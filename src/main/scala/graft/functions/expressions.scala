@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, TernaryExpression}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `csv_column_at(line, idx)` — raw-byte field extraction from a CSV line
+  * under the reference dialect (quote-aware, slice verbatim). Null when the
+  * field does not exist. Codegen calls the static helper so the expression
+  * stays inside WholeStageCodegen.
+  *
+  * Reference: code/KustoPreForgeLib/Transforms/CsvParseTransform.cs:60-115.
+  */
+case class CsvColumnAt(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[Shims.AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "csv_column_at"
+
+  override protected def nullSafeEval(line: Any, idx: Any): Any =
+    CsvUtil.columnAt(line.asInstanceOf[UTF8String], idx.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (line, idx) => {
+      s"""
+         |${ev.value} = graft.functions.CsvUtil.columnAt($line, $idx);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `csv_field_count(line)` — number of fields under the same dialect. */
+case class CsvFieldCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[Shims.AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "csv_field_count"
+
+  override protected def nullSafeEval(line: Any): Any =
+    CsvUtil.fieldCount(line.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, line => s"graft.functions.CsvUtil.fieldCount($line)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `xor_fold_hash(value, seed, n)` — the reference's partition hash,
+  * bit-exact (PartitioningHelper.cs:15-25): XOR-fold of UTF-8 bytes seeded
+  * with `seed`, modulo `n`. Null input hashes to `seed % n` (the reference
+  * never sees nulls — a missing field simply gets no partition id — but a
+  * total function composes better; callers filter nulls upstream when
+  * replicating "no id" semantics).
+  */
+case class XorFoldHash(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[Shims.AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "xor_fold_hash"
+
+  // total: null value still produces seed % n
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = first.eval(input)
+    val s = second.eval(input).asInstanceOf[Int]
+    val n = third.eval(input).asInstanceOf[Int]
+    HashUtil.xorFoldMod(v.asInstanceOf[UTF8String], s, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val v = first.genCode(ctx)
+    val s = second.genCode(ctx)
+    val n = third.genCode(ctx)
+    val valueArg =
+      if (first.nullable) s"(${v.isNull} ? null : ${v.value})" else s"${v.value}"
+    ev.copy(
+      code = code"""
+        ${v.code}
+        ${s.code}
+        ${n.code}
+        int ${ev.value} = graft.functions.HashUtil.xorFoldMod($valueArg, ${s.value}, ${n.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Column-level API + SQL registration for the graft custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.functions.lit
+
+  def csvColumnAt(line: Column, idx: Int): Column =
+    Shims.column(CsvColumnAt(
+      Shims.expression(line), Shims.expression(lit(idx))))
+
+  def csvFieldCount(line: Column): Column =
+    Shims.column(CsvFieldCount(Shims.expression(line)))
+
+  def xorFoldHash(value: Column, seed: Int, maxPartitionCount: Int): Column =
+    Shims.column(XorFoldHash(
+      Shims.expression(value),
+      Shims.expression(lit(seed)),
+      Shims.expression(lit(maxPartitionCount))))
+
+  /** Register `csv_column_at`, `csv_field_count`, `xor_fold_hash` for SQL. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "csv_column_at", exprs => CsvColumnAt(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "csv_field_count", exprs => CsvFieldCount(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "xor_fold_hash", exprs => XorFoldHash(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to `private[sql]` Spark internals needed by graft's custom
+  * Catalyst expressions (Column <-> Expression, abstract type classes).
+  * Kept to the absolute minimum surface.
+  */
+object Shims {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
