@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{PartitionConfig, PrePartition}
+import graft.sources.LogDataGenerator
+import org.apache.spark.sql.SparkSession
+
+/** Console entry point — the Spark-native analogue of the reference's
+  * `KustoPreForgeConsole.Program.Main`
+  * (reference: code/KustoPreForgeConsole/Program.cs:26-49).
+  *
+  * Subcommands:
+  *   generate <outDir> <nRows> [seed]                 — write headerless CSV landing data
+  *   prepartition <inGlob> <outDir> <colIdx> <n> <seed> [gzip]
+  *                                                    — run the PrePartition pipeline
+  *   validate <stagingDir>                            — print B7-style cardinality invariants
+  */
+object GraftCli {
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "generate" :: outDir :: n :: rest =>
+      val spark = session()
+      val seed = rest.headOption.map(_.toLong).getOrElse(42L)
+      LogDataGenerator.toCsvLines(LogDataGenerator.generate(spark, n.toLong, seed))
+        .write.mode("overwrite").text(outDir)
+      println(s"[graft] wrote ${spark.read.text(outDir).count()} lines to $outDir")
+      spark.stop()
+
+    case "prepartition" :: inGlob :: outDir :: colIdx :: n :: seed :: rest =>
+      val spark = session()
+      val compression = rest.headOption // e.g. "gzip"
+      PrePartition.run(spark, inGlob, outDir,
+        PartitionConfig(colIdx.toInt, n.toInt, seed.toInt), compression)
+      println(s"[graft] prepartitioned $inGlob -> $outDir (col=$colIdx n=$n seed=$seed)")
+      spark.stop()
+
+    case "validate" :: stagingDir :: Nil =>
+      val spark = session()
+      PrePartition.invariants(PrePartition.validationFrame(spark, stagingDir))
+        .show(false)
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""Unknown arguments: ${other.mkString(" ")}
+           |Usage:
+           |  generate <outDir> <nRows> [seed]
+           |  prepartition <inGlob> <outDir> <colIdx> <maxPartitions> <seed> [gzip]
+           |  validate <stagingDir>""".stripMargin)
+      sys.exit(2)
+  }
+}

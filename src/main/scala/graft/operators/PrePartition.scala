@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-pre-partitioning settings, mirroring what the reference derives from
+  * the Kusto partitioning policy at runtime
+  * (reference: code/KustoPreForgeLib/EtlRun.cs:21-24,140-180).
+  */
+case class PartitionConfig(columnIndex: Int, maxPartitionCount: Int, seed: Int)
+
+/** The PrePartition pipeline — the reference's only active ETL path
+  * (reference: code/KustoPreForgeLib/EtlRun.cs:92-138), re-expressed as a
+  * declarative Spark plan:
+  *
+  *   reference chain                          Spark plan
+  *   ------------------------------------     ---------------------------------
+  *   ListBlobSource (A1)                      spark.read.text(glob) file listing
+  *   DownloadBlobTransform (A3)               file-split tasks (maxPartitionBytes)
+  *   GunzipContentTransform (A4)              codec-aware text read (.gz native)
+  *   CsvParseTransform (A5)                   csv_column_at(value, idx)   [codegen]
+  *   PartitioningHelper hash (A6)             xor_fold_hash(col, seed, n) [codegen]
+  *   PartitioningTextTransform (A7)           repartition(n, $"pid")  — hash shuffle
+  *   PartitionedContentSink (A8)              write.partitionBy("pid").text(out)
+  *
+  * Records pass through byte-for-byte: we read lines as raw text and never
+  * reserialize (the reference copies records verbatim,
+  * Transforms/PartitioningTextTransform.cs:60-66). Column extraction for
+  * partitioning is an expression over the raw line.
+  *
+  * Scale notes (100 TB): the only shuffle is the single hash exchange on
+  * `pid`, which is exactly the data movement the operation *means*. Filter +
+  * projection happen before the exchange; the text scan splits at
+  * `spark.sql.files.maxPartitionBytes` so a 1000-executor cluster reads
+  * line-aligned splits in parallel (gzip inputs degrade to one task per file,
+  * same as the reference's whole-blob download). The xor-fold hash has ≤256
+  * distinct values — with maxPartitionCount > 256 or a skewed column the
+  * exchange is skewed (reference inherits the same skew, SURVEY.md §7.4); AQE
+  * skew-split mitigates on the write side since partitionBy files don't
+  * require one-task-per-pid.
+  */
+object PrePartition {
+
+  /** Annotate raw lines with their partition id. Null pid = the row's
+    * extracted field doesn't exist (reference: such records get no partition
+    * id and are dropped from partitioned output, CsvParseTransform.cs:103-109).
+    */
+  def withPartitionId(lines: DataFrame, cfg: PartitionConfig): DataFrame = {
+    val field = GraftFunctions.csvColumnAt(col("value"), cfg.columnIndex)
+    lines.withColumn("pid",
+      when(field.isNotNull,
+        GraftFunctions.xorFoldHash(field, cfg.seed, cfg.maxPartitionCount))
+        .otherwise(lit(null)))
+  }
+
+  /** Full batch pipeline: read text (codec inferred per file) → pid →
+    * partitioned write. One shuffle, partition-pruned scan, verbatim bytes.
+    */
+  def run(spark: SparkSession, inputGlob: String, outputDir: String,
+          cfg: PartitionConfig, outputCompression: Option[String] = None): Unit = {
+    val lines = spark.read.text(inputGlob)
+    val partitioned = withPartitionId(lines, cfg)
+      .filter(col("pid").isNotNull)
+    val writer = partitioned
+      // co-locate each pid's records into one task's output before the write
+      .repartition(cfg.maxPartitionCount, col("pid"))
+      .write.mode("overwrite").partitionBy("pid")
+    outputCompression.fold(writer)(c => writer.option("compression", c))
+      .text(outputDir)
+  }
+
+  /** The B7-style validation frame over pipeline output: parse the verbatim
+    * CSV lines back to typed columns (reference validation:
+    * code/IntegrationTests/Text/NoHeaderNoCompressionTest.cs:20-38).
+    */
+  def validationFrame(spark: SparkSession, stagingDir: String): DataFrame = {
+    val lines = spark.read.text(stagingDir)
+    lines.select(
+      GraftFunctions.csvColumnAt(col("value"), 0).cast("long").as("Id"),
+      GraftFunctions.csvColumnAt(col("value"), 1).cast("timestamp").as("Timestamp"),
+      GraftFunctions.csvColumnAt(col("value"), 2).as("Level"))
+  }
+
+  /** Cardinality-conservation invariants (RowCount == distinct Id ==
+    * distinct Timestamp; 3 levels) as a single-row frame — the reference's
+    * correctness contract (NoHeaderNoCompressionTest.cs:46-50).
+    */
+  def invariants(validation: DataFrame): DataFrame =
+    validation.agg(
+      count(lit(1)).as("RowCount"),
+      countDistinct(col("Id")).as("IdCardinality"),
+      countDistinct(col("Timestamp")).as("TimestampCardinality"),
+      countDistinct(col("Level")).as("LevelCardinality"))
+}
