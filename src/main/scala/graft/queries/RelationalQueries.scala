@@ -1,0 +1,392 @@
+package graft.queries
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational query corpus: every §2B/§2C capability of the reference
+  * (SURVEY.md) re-expressed as a Spark plan with a DuckDB oracle.
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *   - every result carries an ORDER BY / orderBy on a unique key prefix;
+  *   - double aggregates are rounded (addition-order ulp noise);
+  *   - integer sums are CAST(... AS BIGINT) in DuckDB (hugeint otherwise);
+  *   - no raw event timestamps in output (parquet ns vs Spark µs).
+  *
+  * Scale notes are per query in comments: what shuffles, what broadcasts,
+  * what pushes down.
+  */
+object RelationalQueries {
+  import QueryDef.t
+
+  val all: Map[String, QueryDef] = Map(
+
+    // ---- B7/§2C aggregation: TPC-H Q1 shape. One hash-agg shuffle over a
+    // 6-group key; partial aggregation map-side; scan reads only 6 columns.
+    "q1_agg" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- §2C filter+projection: predicate and column pruning reach the
+    // parquet scan (PushedFilters); no shuffle at all except the sort.
+    "q2_filter_project" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- B7 distinct cardinalities (the reference's correctness invariant).
+    "q3_distinct" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT count(DISTINCT o_custkey) AS n_cust,
+             |  count(DISTINCT o_orderstatus) AS n_status,
+             |  count(*) AS n_rows FROM orders""".stripMargin)),
+
+    // ---- §2C top-k: TakeOrderedAndProject — no full sort, k rows per
+    // partition reduced on the driver; scales to any input size.
+    "q4_topk" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- §2C join (broadcast): part is the small dim → explicit broadcast;
+    // no shuffle of the big fact side. At 100 TB lineitem this is the only
+    // join shape that survives.
+    "q5_join_broadcast" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- §2C multi-way join: two broadcast dims chained.
+    "q6_join_multi" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_customers
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ---- §2C semi join (EXISTS).
+    "q7_semi_join" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with_orders")),
+      Some("""SELECT count(*) AS n_with_orders FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin)),
+
+    // ---- §2C anti join (NOT EXISTS).
+    "q8_anti_join" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_orders")),
+      Some("""SELECT count(*) AS n_without_orders FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)),
+
+    // ---- §2C window / ranking: one shuffle on the partition key.
+    "q9_window_rank" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 2
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- §2C analytic window frame: running sum per user over event time.
+    "q10_window_running" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("running_value", round(sum("value").over(w), 3))
+          .select("event_id", "user_id", "running_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(sum(value) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
+             |    AS running_value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- §2C set ops: EXCEPT / INTERSECT cardinalities in one row.
+    "q11_setops" -> QueryDef(
+      (s, dir) => {
+        val sold = t(s, dir, "lineitem").select(col("l_partkey").as("pk")).distinct()
+        val big = t(s, dir, "part").filter(col("p_size") > 40)
+          .select(col("p_partkey").as("pk"))
+        val exceptN = sold.except(big).agg(count(lit(1)).as("c"))
+        val intersectN = sold.intersect(big).agg(count(lit(1)).as("c"))
+        exceptN.select(col("c").as("n_except"))
+          .crossJoin(intersectN.select(col("c").as("n_intersect")))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem
+             |     EXCEPT SELECT p_partkey FROM part WHERE p_size > 40)) AS n_except,
+             |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem
+             |     INTERSECT SELECT p_partkey FROM part WHERE p_size > 40)) AS n_intersect""".stripMargin)),
+
+    // ---- §2C rollup (grouping sets).
+    "q12_rollup" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 1).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  round(sum(l_quantity), 1) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // ---- B8 conditional (case/when) over a numeric column.
+    "q13_case" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("bucket",
+          when(col("value") < 10, "low")
+            .when(col("value") < 100, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("bucket"),
+      Some("""SELECT CASE WHEN value < 10 THEN 'low'
+             |  WHEN value < 100 THEN 'mid' ELSE 'high' END AS bucket,
+             |  count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- B8 string functions: upper/length/contains.
+    "q14_strings" -> QueryDef(
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_name").contains("e"))
+        .select(col("p_brand"), upper(col("p_type")).as("type_u"),
+          length(col("p_name")).as("name_len"))
+        .groupBy("p_brand", "type_u", "name_len")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_brand", "type_u", "name_len"),
+      Some("""SELECT p_brand, upper(p_type) AS type_u,
+             |  length(p_name) AS name_len, count(*) AS n
+             |FROM part WHERE contains(p_name, 'e')
+             |GROUP BY p_brand, upper(p_type), length(p_name)
+             |ORDER BY p_brand, type_u, name_len""".stripMargin)),
+
+    // ---- B5 split(col, sep)[i] + cast (the shard-count tracker shape).
+    "q15_split_index" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("prio_num", split(col("o_orderpriority"), "-").getItem(0).cast("int"))
+        .groupBy("prio_num").agg(count(lit(1)).as("n"))
+        .orderBy("prio_num"),
+      Some("""SELECT CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY prio_num""".stripMargin)),
+
+    // ---- B7 parse_csv round-trip through the graft CSV dialect: serialize
+    // rows as CSV lines, extract with csv_column_at (custom expression),
+    // cast back, validate cardinality invariants.
+    "q16_csv_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val lines = t(s, dir, "orders").select(
+          concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("line"))
+        lines.select(
+          GraftFunctions.csvColumnAt(col("line"), 0).cast("long").as("id"),
+          GraftFunctions.csvColumnAt(col("line"), 1).as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("id_card"))
+          .orderBy("status")
+      },
+      Some("""SELECT split_part(line, ',', 2) AS status, count(*) AS n,
+             |  count(DISTINCT CAST(split_part(line, ',', 1) AS BIGINT)) AS id_card
+             |FROM (SELECT concat_ws(',', o_orderkey, o_orderstatus, o_totalprice)
+             |        AS line FROM orders)
+             |GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // ---- A6 the reference partition hash itself, oracle'd bit-for-bit in
+    // SQL (xor-fold % n re-expressed with list_reduce in DuckDB).
+    "q17_xorfold" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("pid",
+          GraftFunctions.xorFoldHash(col("o_orderpriority"), 17, 8))
+        .groupBy("pid").agg(count(lit(1)).as("n"))
+        .orderBy("pid"),
+      Some("""SELECT list_reduce(
+             |    list_prepend(17, list_transform(range(1, length(o_orderpriority) + 1),
+             |      i -> ord(o_orderpriority[i]))),
+             |    (a, b) -> xor(a, b)) % 8 AS pid,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY pid""".stripMargin)),
+
+    // ---- B1 JSON parse + nested access (todynamic ≈ get_json_object).
+    "q18_json" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k_decile", floor(col("k") / 10).cast("int"))
+        .groupBy("k_decile")
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+        .orderBy("k_decile"),
+      Some("""SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT)
+             |    AS k_decile,
+             |  count(*) AS n, max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |FROM events GROUP BY 1 ORDER BY k_decile""".stripMargin)),
+
+    // ---- B7/B8 date functions: month truncation.
+    "q19_date" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("month"),
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ---- A8 time-windowed grouping (the 1-min flush window, batch form):
+    // tumbling 1-hour windows over event time.
+    "q20_time_window" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("ws", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // ---- B1/B8 mv-expand ≈ explode.
+    "q21_explode" -> QueryDef(
+      (s, dir) => t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word"),
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+             |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // ---- B8 make_list ≈ collect_list (sorted + joined for determinism).
+    "q22_collect_list" -> QueryDef(
+      (s, dir) => t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ";").as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  array_to_string(list_sort(list(s_name)), ';') AS suppliers,
+             |  count(*) AS n
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- B7 toscalar / print: scalar subqueries into a single literal row.
+    "q23_scalar_subquery" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          max(col("o_totalprice")).as("max_price"))
+      },
+      Some("""SELECT (SELECT count(*) FROM orders) AS n_orders,
+             |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_custs,
+             |  (SELECT max(o_totalprice) FROM orders) AS max_price""".stripMargin)),
+
+    // ---- B8 range row generator (the GenerateLogData backbone).
+    "q24_range" -> QueryDef(
+      (s, dir) => s.range(1, 10001).toDF("id")
+        .withColumn("g", pmod(col("id"), lit(7)))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        .orderBy("g"),
+      Some("""SELECT id % 7 AS g, count(*) AS n, CAST(sum(id) AS BIGINT) AS s
+             |FROM range(1, 10001) t(id) GROUP BY 1 ORDER BY g""".stripMargin)),
+
+    // ---- B5 take_any parity (deterministic witness: min).
+    "q25_take_any" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(min(col("props")).as("any_props"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, min(props) AS any_props, count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- B1 the partitioning-policy metadata pipeline over the fixture
+    // JSON (FIXTURES.md §7): from_json → explode → filter Kind=Hash →
+    // project casts. The engine's "metadata plane" query shape.
+    "m1_policy" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val policyJson =
+          """{"PartitionKeys": [
+            |  {"ColumnName": "Node", "Kind": "Hash",
+            |   "Properties": {"MaxPartitionCount": 8, "Seed": 17}},
+            |  {"ColumnName": "Timestamp", "Kind": "UniformRange", "Properties": {}}
+            |]}""".stripMargin
+        val schema = StructType(Seq(StructField("PartitionKeys", ArrayType(
+          StructType(Seq(
+            StructField("ColumnName", StringType),
+            StructField("Kind", StringType),
+            StructField("Properties", StructType(Seq(
+              StructField("MaxPartitionCount", IntegerType),
+              StructField("Seed", IntegerType))))))))))
+        s.range(1).select(lit(policyJson).as("policy"))
+          .select(from_json(col("policy"), schema).as("p"))
+          .select(explode(col("p.PartitionKeys")).as("k"))
+          .filter(col("k.Kind") === "Hash")
+          .select(col("k.ColumnName").as("column_name"),
+            col("k.Properties.MaxPartitionCount").as("max_partition_count"),
+            col("k.Properties.Seed").as("seed"))
+      },
+      Some("""SELECT json_extract_string(k, '$.ColumnName') AS column_name,
+             |  CAST(json_extract(k, '$.Properties.MaxPartitionCount') AS INT) AS max_partition_count,
+             |  CAST(json_extract(k, '$.Properties.Seed') AS INT) AS seed
+             |FROM (SELECT unnest(CAST(json_extract('{"PartitionKeys": [ {"ColumnName": "Node", "Kind": "Hash", "Properties": {"MaxPartitionCount": 8, "Seed": 17}}, {"ColumnName": "Timestamp", "Kind": "UniformRange", "Properties": {}} ]}', '$.PartitionKeys') AS JSON[])) AS k)
+             |WHERE json_extract_string(k, '$.Kind') = 'Hash'""".stripMargin))
+  )
+}

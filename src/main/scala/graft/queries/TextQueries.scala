@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Training-data text operations over the `documents` table (doc_id, text,
+  * lang, source, n_chars) — dedup, token counting, quality scoring,
+  * language-ID heuristic, fingerprinting. Each oracle computes the identical
+  * deterministic formula in DuckDB.
+  *
+  * Scale notes: all of these are scan → narrow map → single hash-agg
+  * shuffle; no joins, no skew-prone keys (md5 spreads uniformly). At 100 TB
+  * the md5-groupBy exact dedup is the canonical first pass; the MinHash/LSH
+  * near-dup path (graft.operators.Dedup, no SQL oracle) takes over where
+  * exactness isn't required.
+  */
+object TextQueries {
+  import QueryDef.t
+
+  // whitespace tokenizer shared by several queries (Spark side)
+  private def tokens(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+
+  val all: Map[String, QueryDef] = Map(
+
+    // ---- exact dedup: md5-groupBy, keep the smallest doc_id per content
+    // hash. On 100 TB: one shuffle on a uniform 128-bit key — no skew.
+    "d1_dedup_exact" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // ---- dedup cardinality summary (total vs unique).
+    "d2_dedup_count" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .agg(count(lit(1)).as("total_docs"),
+          countDistinct(md5(col("text"))).as("unique_docs")),
+      Some("""SELECT count(*) AS total_docs,
+             |  count(DISTINCT md5(text)) AS unique_docs FROM documents""".stripMargin)),
+
+    // ---- token counting (whitespace tokenizer) per language.
+    "d3_tokens" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .groupBy("lang")
+        .agg(sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  round(avg(n_tokens), 4) AS avg_tokens,
+             |  count(*) AS n_docs
+             |FROM (SELECT lang,
+             |        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |      FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- quality scoring: length, avg word length, space ratio — the
+    // ratio features a filtering pipeline thresholds on.
+    "d4_quality" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("len_nospace", length(regexp_replace(col("text"), " ", "")))
+        .withColumn("avg_word_len",
+          round(col("len_nospace").cast("double") / col("n_tokens"), 4))
+        .withColumn("space_ratio",
+          round((length(col("text")) - col("len_nospace")).cast("double") /
+            length(col("text")), 4))
+        .groupBy("source")
+        .agg(round(avg("avg_word_len"), 4).as("avg_avg_word_len"),
+          round(avg("space_ratio"), 4).as("avg_space_ratio"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  round(avg(round(CAST(len_nospace AS DOUBLE) / n_tokens, 4)), 4)
+             |    AS avg_avg_word_len,
+             |  round(avg(round(CAST(length(text) - len_nospace AS DOUBLE)
+             |    / length(text), 4)), 4) AS avg_space_ratio,
+             |  count(*) AS n_docs
+             |FROM (SELECT source, text,
+             |        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |        length(replace(text, ' ', '')) AS len_nospace
+             |      FROM documents)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- language-ID heuristic: marker-token scores + fixed-precedence
+    // argmax. (The synthetic corpus shares one vocabulary across langs, so
+    // this checks the *computation*, not model accuracy.)
+    "d5_langid" -> QueryDef(
+      (s, dir) => {
+        def score(marker: String) =
+          size(filter(tokens(col("text")), w => w === lit(marker)))
+        val scored = t(s, dir, "documents")
+          .withColumn("s_en", score("the"))
+          .withColumn("s_de", score("table"))
+          .withColumn("s_fr", score("window"))
+          .withColumn("s_zh", score("join"))
+          .withColumn("s_es", score("data"))
+        val top = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_zh"), col("s_es"))
+        scored
+          .withColumn("pred",
+            when(col("s_en") === top, "en")
+              .when(col("s_de") === top, "de")
+              .when(col("s_fr") === top, "fr")
+              .when(col("s_zh") === top, "zh")
+              .otherwise("es"))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      },
+      Some("""SELECT lang, CASE
+             |    WHEN s_en = top THEN 'en'
+             |    WHEN s_de = top THEN 'de'
+             |    WHEN s_fr = top THEN 'fr'
+             |    WHEN s_zh = top THEN 'zh'
+             |    ELSE 'es' END AS pred, count(*) AS n
+             |FROM (SELECT lang, s_en, s_de, s_fr, s_zh, s_es,
+             |        greatest(s_en, s_de, s_fr, s_zh, s_es) AS top
+             |      FROM (SELECT lang,
+             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'the')) AS s_en,
+             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'table')) AS s_de,
+             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'window')) AS s_fr,
+             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'join')) AS s_zh,
+             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'data')) AS s_es
+             |      FROM documents))
+             |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)),
+
+    // ---- document fingerprint: md5 over the sorted distinct token set
+    // (order-invariant content signature; bag-of-words identity).
+    "d6_fingerprint" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("fp",
+          md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_same_bag"))
+        .orderBy("keep_id"),
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+             |    regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
+             |  min(doc_id) AS keep_id, count(*) AS n_same_bag
+             |FROM documents
+             |GROUP BY 1 ORDER BY keep_id""".stripMargin))
+  )
+}
