@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{QueryDef, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{ExtensionQueries, QueryDef, RelationalQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   lazy val defs: Map[String, QueryDef] =
-    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregation — exercises scan, projection pushdown,

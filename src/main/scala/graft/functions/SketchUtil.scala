@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass sketch kernels shared by interpreted eval and generated code.
+  * All hashing is xxHash64 over UTF-8 bytes (Spark's own XXH64 — public
+  * `org.apache.spark.unsafe.hash.Murmur3_x86_32`-sibling), so sketches are
+  * deterministic across JVMs and partitionings.
+  */
+object SketchUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def hash64(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** k min-hashes over the element set, via Kirsch-Mitzenmacher double
+    * hashing: g_j(x) = h1(x) + j*h2(x). One pass over the elements,
+    * O(T + T·k) adds — no per-seed re-hash.
+    */
+  def minHash(elems: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      if (!elems.isNullAt(i)) {
+        val s = elems.getUTF8String(i)
+        val h1 = hash64(s, 0x9747b28cL)
+        val h2 = hash64(s, 0x85ebca6bL) | 1L // odd => full-period
+        var j = 0
+        var g = h1
+        while (j < k) {
+          if (g < mins(j)) mins(j) = g
+          g += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over the element bag: per element, each bit of its
+    * xxhash64 votes +1/-1; the sign vector packs into a long.
+    */
+  def simHash(elems: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      if (!elems.isNullAt(i)) {
+        val h = hash64(elems.getUTF8String(i), 0x27d4eb2fL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types._
+
+/** `min_hash(tokens, k)` — k-permutation MinHash signature (array<bigint>)
+  * of a string-array column, one pass (Kirsch-Mitzenmacher double hashing).
+  * The signature estimates Jaccard similarity: matching positions / k.
+  */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "min_hash"
+
+  override protected def nullSafeEval(tokens: Any, k: Any): Any =
+    SketchUtil.minHash(tokens.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.functions.SketchUtil.minHash($t, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `sim_hash(tokens)` — 64-bit SimHash (bigint) of a string-array column.
+  * Hamming-close hashes ⇒ similar token bags.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sim_hash"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    SketchUtil.simHash(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchUtil.simHash($t)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SketchFunctions {
+  import org.apache.spark.sql.functions.lit
+
+  def minHash(tokens: Column, k: Int): Column =
+    Shims.column(MinHashSig(Shims.expression(tokens), Shims.expression(lit(k))))
+
+  def simHash(tokens: Column): Column =
+    Shims.column(SimHash64(Shims.expression(tokens)))
+}

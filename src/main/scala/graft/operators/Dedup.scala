@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.functions.SketchFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over a (id, text) corpus — the training-data
+  * dedup family: MinHash+LSH, SimHash, and inverted-index exact n-gram
+  * Jaccard. Exact (md5) dedup lives in TextQueries (oracle-backed).
+  *
+  * Scale design (100 TB):
+  *   - Everything is per-row narrow maps + ONE shuffle on a bucket key
+  *     (band hash / simhash band / rare shingle) + a bucket-local
+  *     pair-join. No all-pairs product ever materializes.
+  *   - Degenerate buckets (boilerplate shingles shared by millions of docs)
+  *     are the skew killer: `maxBucket` drops buckets above a size cap —
+  *     the standard guard; dropped buckets are boilerplate, not near-dups.
+  *   - Candidate pairs are verified with the real Jaccard before reporting,
+  *     so LSH recall/precision tuning never changes correctness of output,
+  *     only completeness.
+  */
+object Dedup {
+
+  /** word-shingles of size `n` from a whitespace-tokenized text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(n)))).otherwise(null)),
+      x => x.isNotNull))
+  }
+
+  /** MinHash+LSH candidate pairs with verified Jaccard.
+    *
+    * @param df        (idCol, textCol)
+    * @param k         signature length
+    * @param bands     LSH bands (k % bands == 0); rows/band = k/bands
+    * @param threshold report pairs with exact shingle-Jaccard >= threshold
+    * @param maxBucket skew guard: drop LSH buckets larger than this
+    * @return (id_a, id_b, jaccard) with id_a < id_b, deterministic
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                 threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPerBand = k / bands
+    val docs = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", SketchFunctions.minHash(col("sh"), k))
+      .cache()
+
+    // band key: xxhash64 of the band's signature slice
+    val banded = docs.select(col("id"), col("sh"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    // skew guard: cap bucket size before the pair join
+    val bucketSizes = banded.groupBy("band", "bucket").count()
+      .filter(col("count").between(2, maxBucket))
+    val inBuckets = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
+
+    // bucket-local pair generation (a < b), dedup across bands
+    val a = inBuckets.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = inBuckets.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // exact Jaccard verification
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup candidates: 64-bit fingerprints bucketed by 16-bit
+    * bands (Hamming-LSH); pairs within `maxHamming` reported. Guarantees:
+    * any pair with Hamming distance <= 3 shares at least one of the 4 bands.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      SketchFunctions.simHash(split(trim(col(textCol)), "\\s+")).as("fp"))
+
+    val banded = docs.select(col("id"), col("fp"), posexplode(
+      array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val bucketSizes = banded.groupBy("band", "bucket").count()
+      .filter(col("count").between(2, maxBucket))
+    val inBuckets = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
+
+    val a = inBuckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = inBuckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard via inverted index on rare shingles: explode
+    * shingles, keep shingles appearing in < `maxDf` docs (boilerplate
+    * guard — identical role to the LSH bucket cap), self-join on shingle,
+    * then verify full Jaccard for candidate pairs.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = 64): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0).cache()
+
+    val posting = docs.select(col("id"), explode(col("sh")).as("shingle"))
+    val rare = posting.groupBy("shingle").count()
+      .filter(col("count").between(2, maxDf))
+    val rarePosting = posting.join(rare, Seq("shingle"), "left_semi")
+
+    val cand = rarePosting.select(col("shingle"), col("id").as("id_a"))
+      .join(rarePosting.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The DECODE step is a clearly-marked STUB (no image/audio codecs in this
+  * container): `fakeDecode` derives deterministic pseudo-features from the
+  * bytes. Everything around it — schema, typed Dataset batching through
+  * mapPartitions (the JVM analogue of mapInPandas: one iterator per
+  * partition, vectorizable batch shape), partitioning by modality, explode
+  * of sampled frames — is real Spark plumbing and is tested.
+  *
+  * Scale notes: binary payloads ride the scan; feature extraction is a
+  * narrow per-partition pass (no shuffle); `repartition(modality)` only
+  * when downstream wants modality-homogeneous tasks (codec affinity).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, modality: String, content: Array[Byte],
+                      width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
+                           mean_byte: Double, entropy_bucket: Int)
+
+  /** Synthesize a deterministic binary "media" corpus from the documents
+    * table — stands in for real blob ingestion; content = utf-8 bytes of a
+    * sha2 chain (deterministic, incompressible, codec-free).
+    */
+  def synthesize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      encode(concat(sha2(col("text"), 256), sha2(concat(col("text"), lit("2")), 256)),
+        "UTF-8").as("content"),
+      (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"))
+
+  /** STUB decode: deterministic pseudo-features from raw bytes. A real
+    * deployment swaps the body for an actual codec call; the mapPartitions
+    * batching, schema, and partitioning contract stay identical.
+    */
+  private def fakeDecode(r: MediaRow): MediaFeatures = {
+    val bytes = r.content
+    var sum = 0L
+    var acc = 0
+    var i = 0
+    while (i < bytes.length) {
+      sum += (bytes(i) & 0xff)
+      acc = (acc * 31 + (bytes(i) & 0xff)) & 0x7fffffff
+      i += 1
+    }
+    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    MediaFeatures(r.doc_id, r.modality, bytes.length,
+      math.rint(mean * 100) / 100, acc % 16)
+  }
+
+  /** Feature extraction: typed mapPartitions pass (iterator-in/iterator-out,
+    * the Scala analogue of mapInPandas batch shape).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = media
+      .select("doc_id", "modality", "content", "width", "height").as[MediaRow]
+    ds.mapPartitions(_.map(fakeDecode)).toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling for video rows: split the binary into fixed-size
+    * pseudo-frames, explode with frame index — the shape of a real
+    * frame-sampler (1 row in, k frames out).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 16,
+                   everyNth: Int = 4): DataFrame =
+    media.filter(col("modality") === "video")
+      .withColumn("n_frames", floor(length(col("content")) / frameBytes).cast("int"))
+      .select(col("doc_id"), posexplode(
+        filter(
+          transform(sequence(lit(0), col("n_frames") - 1),
+            i => when(pmod(i, lit(everyNth)) === 0,
+              substring(col("content"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))
+              .otherwise(null)),
+          x => x.isNotNull)))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_bytes")
+      .withColumn("frame_checksum", crc32(col("frame_bytes")))
+      .select("doc_id", "frame_idx", "frame_checksum")
+      .orderBy("doc_id", "frame_idx")
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths, same contract:
+  *   - `bruteForceTopK`: one narrow pass + TakeOrdered — the exact baseline;
+  *     at 100 TB it is a full scan but ZERO shuffle (query vec broadcast).
+  *   - `lshTopK`: random-hyperplane signature buckets prune the scan to
+  *     candidate buckets — the scale path; recall < 1.0 by construction and
+  *     tunable with planes/probes.
+  *
+  * Embedding-cosine NEAR-DUP (`cosineNearDupPairs`) reuses the hyperplane
+  * buckets for pair generation, like Dedup's band join.
+  */
+object Similarity {
+
+  /** sum_i a[i]*b[i] in double, left-to-right (parity discipline). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane p (dim d): sin(p*8191 + d*127)
+    * — fixed, engine-independent, good enough for LSH.
+    */
+  private def plane(p: Int, dim: Int): Column =
+    array((0 until dim).map(d => lit(math.sin(p * 8191.0 + d * 127.0))): _*)
+
+  /** Packed sign-bit signature of `emb` against `planes` hyperplanes
+    * (static fold — one codegen'd expression, no lambda shift). */
+  def hyperplaneSig(emb: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(emb, plane(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Exact top-k by cosine against one query vector (as a 1-row frame with
+    * column `q_embedding`). Broadcast + TakeOrderedAndProject: no shuffle.
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame =
+    embeddings
+      .crossJoin(broadcast(query))
+      .withColumn("sim", round(cosine(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** LSH top-k: scan only rows whose hyperplane signature is Hamming-close
+    * to the query's (<= probes differing bits). Recall is approximate.
+    */
+  def lshTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+              planes: Int = 16, dim: Int = 64, probes: Int = 4): DataFrame = {
+    val sigged = embeddings
+      .withColumn("sig", hyperplaneSig(col("embedding"), planes, dim))
+    val qSigged = query.withColumn("q_sig", hyperplaneSig(col("q_embedding"), planes, dim))
+    sigged
+      .crossJoin(broadcast(qSigged))
+      .filter(bit_count(col("sig").bitwiseXOR(col("q_sig"))) <= probes)
+      .withColumn("sim", round(cosine(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    * `planes` sign bits split into `bands`; a pair is a candidate if ANY
+    * band matches exactly (standard OR-of-ANDs construction — recall at
+    * cosine c per band is ((1 - acos(c)/π))^(planes/bands), amplified over
+    * bands). Candidates verify with the true cosine, so precision is exact.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                         planes: Int = 16, bands: Int = 8, dim: Int = 64,
+                         maxBucket: Int = 256): DataFrame = {
+    require(planes % bands == 0)
+    val bits = planes / bands
+    val sigged = embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("e"))
+      .withColumn("sig", hyperplaneSig(col("e"), planes, dim))
+    val banded = sigged.select(col("id"), col("e"), posexplode(
+      array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val sizes = banded.groupBy("band", "bucket").count()
+      .filter(col("count").between(2, maxBucket))
+    val inB = banded.join(sizes, Seq("band", "bucket"), "left_semi")
+
+    inB.select(col("band"), col("bucket"), col("id").as("id_a"), col("e").as("e_a"))
+      .join(inB.select(col("band"), col("bucket"), col("id").as("id_b"), col("e").as("e_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the non-oracle extension ops: plant near-duplicates,
+  * verify they are recovered; compare LSH against brute force.
+  */
+class DedupSimilaritySpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  // corpus: token-disjoint base docs + planted near-dup pairs
+  private lazy val corpus = {
+    val base = (1 to 40).map { i =>
+      val words = (0 until 30).map(j => s"w${i}_$j")
+      (i.toLong, words.mkString(" "))
+    }
+    // 41..43: near-copies of docs 1..3 (one word changed)
+    val dups = (1 to 3).map { i =>
+      val words = (0 until 30).map(j => s"w${i}_$j").toArray
+      words(15) = "CHANGED"
+      ((40 + i).toLong, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH recovers planted near-dups, no false positives at high threshold") {
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 41L), (2L, 42L), (3L, 43L)))
+  }
+
+  test("ngram jaccard inverted index finds the same planted pairs") {
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 41L), (2L, 42L), (3L, 43L)))
+  }
+
+  test("simhash: planted near-dups are hamming-close; distinct docs are not") {
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(Set((1L, 41L), (2L, 42L), (3L, 43L)).subsetOf(pairs.toSet))
+  }
+
+  test("minhash signature estimates jaccard") {
+    import graft.functions.SketchFunctions
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i CHANGED")).toDF("id", "text")
+      .withColumn("sig", SketchFunctions.minHash(split($"text", " "), 128))
+    val sigs = df.orderBy("id").collect().map(_.getSeq[Long](2))
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 128.0
+    // true token jaccard = 9/11 ≈ 0.82; estimate within ±0.15
+    assert(math.abs(est - 9.0 / 11.0) < 0.15)
+  }
+
+  test("embedding LSH top-k recall vs brute force on testdata") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_embedding"))
+    val brute = Similarity.bruteForceTopK(e.filter($"vec_id" =!= 0), q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(e.filter($"vec_id" =!= 0), q, 10, probes = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.nonEmpty)
+    // recall of at least half of true top-10 with generous probes
+    assert((brute & lsh).size >= 5, s"recall too low: $brute vs $lsh")
+  }
+
+  test("multimodal plumbing: features + frame sampling are deterministic and typed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.synthesize(docs)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() == docs.count())
+    assert(feats.filter($"n_bytes" =!= 128).count() == 0) // 2 × sha2-256 hex
+    val frames = Multimodal.sampleFrames(media)
+    // every video doc yields ceil(128/16 frames /4 sampled) = 2 frames
+    val perDoc = frames.groupBy("doc_id").count().select("count").distinct().collect()
+    assert(perDoc.map(_.getLong(0)).toSet == Set(2L))
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(Multimodal.synthesize(docs))
+    assert(frames.except(again).count() == 0)
+  }
+}
