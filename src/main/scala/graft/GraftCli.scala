@@ -47,6 +47,16 @@ object GraftCli {
       println(s"[graft] prepartitioned $inGlob -> $outDir (col=$colIdx n=$n seed=$seed)")
       spark.stop()
 
+    case "split" :: inGlob :: outDir :: maxBytes :: rest =>
+      val spark = session()
+      val cfg = operators.Split.SplitConfig(
+        maxBytesPerShard = maxBytes.toLong,
+        hasHeader = rest.contains("header"),
+        gzipOutput = rest.contains("gzip"))
+      val manifest = operators.Split.run(spark, inGlob, outDir, cfg)
+      operators.Split.shardCount(manifest).show(false)
+      spark.stop()
+
     case "validate" :: stagingDir :: Nil =>
       val spark = session()
       PrePartition.invariants(PrePartition.validationFrame(spark, stagingDir))

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Split mode — the reference's legacy (spec-defining) pipeline
+  * (reference: Text/TextSource.cs, TextLineParsingSink.cs,
+  * TextPartitionSink.cs, TextStreamSinkBase.cs, TextKustoSink.cs):
+  * split huge text blobs into ≤N-byte line-aligned shards, optional header
+  * propagated to every shard, optional gzip output, shard naming
+  * `{base}-{shardId:00000}.txt[.gz]`, no empty shards, and exactly-once
+  * ingest bookkeeping (ingest-by tags → a manifest table keyed
+  * (source_file, shard_id) with an is_last_shard marker).
+  *
+  * Spark-first design — NO sort, NO window, no driver loop:
+  *   - `TextInputFormat` keys every line with its BYTE OFFSET in the file;
+  *     shard id = offset / maxBytesPerShard. A line straddling a boundary
+  *     belongs to the shard where it starts, so shards overrun by at most
+  *     one line — the same bound as the reference, which seals a shard on
+  *     the first write that crosses the limit (TextStreamSinkBase.cs:62).
+  *   - shard assignment is a pure map over (offset) — embarrassingly
+  *     parallel over file splits; a 100 TB input is as parallel as its
+  *     split count. gzip inputs collapse to one task per file (codec is
+  *     non-splittable — identical constraint in the reference, which
+  *     streams the whole blob).
+  *   - the write repartitions by (file, shard) — the one necessary
+  *     shuffle — and each task writes its shard with a temp-file + rename
+  *     commit; the manifest write is the commit point (idempotent replay:
+  *     shards already in the manifest are skipped).
+  */
+object Split {
+
+  case class SplitConfig(
+      maxBytesPerShard: Long = 200L * 1024 * 1024, // reference default 200 MB
+      hasHeader: Boolean = false,
+      gzipOutput: Boolean = false)
+
+  /** Lines with provenance: (file, offset, shard, value). */
+  def linesWithOffsets(spark: SparkSession, inputGlob: String,
+                       maxBytesPerShard: Long): DataFrame = {
+    import spark.implicits._
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      inputGlob, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+    val withFile = rdd.asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, iter) =>
+        val file = split.asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
+          .getPath.toString
+        iter.map { case (off, text) => (file, off.get(), text.toString) }
+      }
+    withFile.toDF("file", "offset", "value")
+      .withColumn("shard", (col("offset") / maxBytesPerShard).cast("int"))
+  }
+
+  /** Run Split over a glob of text files (plain or .gz — codec-inferred).
+    * Writes shards named `{fileBase}-{shardId:00000}.txt[.gz]` under
+    * `outDir`, plus a `_manifest` parquet. Returns the manifest DataFrame.
+    *
+    * Replays are idempotent: (source_file, shard_id) pairs already present
+    * in the manifest are not rewritten (reference: IngestIfNotExists tags,
+    * Text/TextKustoSink.cs:48-51).
+    */
+  def run(spark: SparkSession, inputGlob: String, outDir: String,
+          cfg: SplitConfig = SplitConfig()): DataFrame = {
+    import spark.implicits._
+    val lines = linesWithOffsets(spark, inputGlob, cfg.maxBytesPerShard)
+
+    // header per file = the offset-0 line; tiny map, broadcast
+    val headers: Map[String, String] =
+      if (!cfg.hasHeader) Map.empty
+      else lines.filter(col("offset") === 0)
+        .select("file", "value").as[(String, String)].collect().toMap
+    val headersB = spark.sparkContext.broadcast(headers)
+
+    val data = if (cfg.hasHeader) lines.filter(col("offset") > 0) else lines
+
+    // idempotency: skip shards already committed to the manifest
+    val manifestPath = s"$outDir/_manifest"
+    val prior: Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(manifestPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(manifestPath)) else None
+    }
+    val todo = prior match {
+      case Some(m) => data.join(
+        m.select(col("source_file").as("file"), col("shard_id").as("shard")),
+        Seq("file", "shard"), "left_anti")
+      case None => data
+    }
+
+    val gz = cfg.gzipOutput
+    val out = outDir
+    // one task per (file, shard): the only shuffle in the plan
+    val written = todo
+      .repartition(col("file"), col("shard"))
+      .sortWithinPartitions("file", "shard", "offset")
+      .mapPartitions { iter =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val results = scala.collection.mutable.ArrayBuffer[(String, Int, String, Long, Long)]()
+        var cur: (String, Int) = null
+        var writer: java.io.Writer = null
+        var tmpPath: org.apache.hadoop.fs.Path = null
+        var finalPath: org.apache.hadoop.fs.Path = null
+        var nBytes = 0L
+        var nRecords = 0L
+        def close(): Unit = if (writer != null) {
+          writer.close()
+          val fs = finalPath.getFileSystem(conf)
+          fs.delete(finalPath, false)
+          fs.rename(tmpPath, finalPath)
+          results += ((cur._1, cur._2, finalPath.toString, nBytes, nRecords))
+          writer = null
+        }
+        iter.foreach { row =>
+          val file = row.getString(row.fieldIndex("file"))
+          val shard = row.getInt(row.fieldIndex("shard"))
+          val value = row.getString(row.fieldIndex("value"))
+          if (cur == null || cur._1 != file || cur._2 != shard) {
+            close()
+            cur = (file, shard)
+            val base = new org.apache.hadoop.fs.Path(file).getName
+              .stripSuffix(".gz").stripSuffix(".txt")
+            val ext = if (gz) ".txt.gz" else ".txt"
+            finalPath = new org.apache.hadoop.fs.Path(out, f"$base-$shard%05d$ext")
+            tmpPath = new org.apache.hadoop.fs.Path(out, f"_tmp_$base-$shard%05d$ext")
+            val fs = finalPath.getFileSystem(conf)
+            val raw: java.io.OutputStream = fs.create(tmpPath, true)
+            val stream = if (gz) new java.util.zip.GZIPOutputStream(raw) else raw
+            writer = new java.io.OutputStreamWriter(stream, "UTF-8")
+            nBytes = 0L; nRecords = 0L
+            headersB.value.get(file).foreach { h =>
+              writer.write(h); writer.write("\n")
+              nBytes += h.getBytes("UTF-8").length + 1; nRecords += 1
+            }
+          }
+          writer.write(value); writer.write("\n")
+          nBytes += value.getBytes("UTF-8").length + 1
+          nRecords += 1
+        }
+        close()
+        results.iterator
+      }.toDF("source_file", "shard_id", "dest_file", "n_bytes", "n_records")
+
+    // commit point: manifest append, with the per-file last-shard marker
+    val fileMax = written.groupBy("source_file")
+      .agg(max("shard_id").as("max_shard"))
+    val manifest = written.join(fileMax, Seq("source_file"))
+      .withColumn("is_last_shard", col("shard_id") === col("max_shard"))
+      .drop("max_shard")
+    manifest.write.mode(SaveMode.Append).parquet(manifestPath)
+    spark.read.parquet(manifestPath)
+  }
+
+  /** B5 — shard-count tracker re-expressed over the manifest
+    * (reference: code/IntegrationTests/TestBase.cs:310-316).
+    */
+  def shardCount(manifest: DataFrame): DataFrame =
+    manifest.filter(col("is_last_shard"))
+      .select(col("source_file"), (col("shard_id") + 1).as("shard_count"))
+      .orderBy("source_file")
+
+  /** B6 — loaded-shard cardinality (TestBase.cs:326-332). */
+  def loadedCardinality(manifest: DataFrame): DataFrame =
+    manifest.agg(count(lit(1)).as("cardinality"),
+      sum("n_records").cast("long").as("total_records"))
+}
