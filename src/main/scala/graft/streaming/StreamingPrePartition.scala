@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.operators.{PartitionConfig, PrePartition}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** M4 — the event-driven mode (reference: ServiceBusServer.cs + the 1-min
+  * group-commit flush of PartitionedContentSink.cs:163-180), rebuilt on
+  * Structured Streaming:
+  *
+  *   blob-created queue events  →  file-source streaming (new files under
+  *                                 the landing path are the events)
+  *   1-min flush loop           →  Trigger.ProcessingTime micro-batches
+  *   at-least-once + lock renewal → checkpointed source offsets (renewal
+  *                                 is unnecessary: offsets only commit
+  *                                 after the batch succeeds)
+  *   IngestIfNotExists tags     →  per-batch manifest keyed
+  *                                 (batch_id, pid); foreachBatch skips
+  *                                 work already committed, so replays of a
+  *                                 failed batch are idempotent
+  *
+  * Scale notes: each micro-batch is the batch PrePartition plan (one hash
+  * exchange); `maxFilesPerTrigger` bounds batch size = the reference's
+  * bounded-buffer backpressure. Checkpoint + manifest give exactly-once
+  * *output* on top of at-least-once replay.
+  */
+object StreamingPrePartition {
+
+  /** Start the streaming pipeline. Returns the query handle (caller stops). */
+  def start(spark: SparkSession, landingDir: String, stagingDir: String,
+            checkpointDir: String, cfg: PartitionConfig,
+            trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+            maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landingDir)
+
+    val manifestPath = s"$stagingDir/_batch_manifest"
+
+    lines.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val already = {
+          val p = new org.apache.hadoop.fs.Path(manifestPath)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.exists(p) &&
+            !s.read.parquet(manifestPath)
+              .filter(col("batch_id") === batchId).isEmpty
+        }
+        if (!already) {
+          val partitioned = PrePartition
+            .withPartitionId(batch, cfg)
+            .filter(col("pid").isNotNull)
+            .repartition(cfg.maxPartitionCount, col("pid"))
+          partitioned.write.mode(SaveMode.Append)
+            .partitionBy("pid").text(s"$stagingDir/data")
+          // commit marker AFTER the data write: replay-safe ordering
+          s.range(1).select(
+            lit(batchId).as("batch_id"),
+            current_timestamp().as("committed_at"))
+            .write.mode(SaveMode.Append).parquet(manifestPath)
+        }
+        ()
+      }
+      .start()
+  }
+}
