@@ -164,14 +164,18 @@ object RelationalQueries {
           .select(col("p_partkey").as("pk"))
         val exceptN = sold.except(big).agg(count(lit(1)).as("c"))
         val intersectN = sold.intersect(big).agg(count(lit(1)).as("c"))
+        val unionN = sold.union(big).distinct().agg(count(lit(1)).as("c"))
         exceptN.select(col("c").as("n_except"))
           .crossJoin(intersectN.select(col("c").as("n_intersect")))
+          .crossJoin(unionN.select(col("c").as("n_union")))
       },
       Some("""SELECT
              |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem
              |     EXCEPT SELECT p_partkey FROM part WHERE p_size > 40)) AS n_except,
              |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem
-             |     INTERSECT SELECT p_partkey FROM part WHERE p_size > 40)) AS n_intersect""".stripMargin)),
+             |     INTERSECT SELECT p_partkey FROM part WHERE p_size > 40)) AS n_intersect,
+             |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem
+             |     UNION SELECT p_partkey FROM part WHERE p_size > 40)) AS n_union""".stripMargin)),
 
     // ---- §2C rollup (grouping sets).
     "q12_rollup" -> QueryDef(
