@@ -285,7 +285,7 @@ object RelationalQueries {
     // ---- B7/B8 date functions: month truncation.
     "q19_date" -> QueryDef(
       (s, dir) => t(s, dir, "orders")
-        .withColumn("month", date_trunc("month", col("o_orderdate")))
+        .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
         .groupBy("month")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("month"),
