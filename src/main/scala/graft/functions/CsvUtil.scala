@@ -99,4 +99,23 @@ object HashUtil {
 
   def xorFoldMod(value: UTF8String, seed: Int, maxPartitionCount: Int): Int =
     xorFold(value, seed) % maxPartitionCount
+
+  /** Karp–Rabin polynomial rolling hash over the raw UTF-8 bytes:
+    * h = (h * 31 + b) mod 1e9+7. Single pass, no allocation; the standard
+    * content fingerprint for document identity / chunk dedup. For ASCII
+    * input this equals the same fold over code points (how the DuckDB
+    * oracle computes it).
+    */
+  def rollingHash(value: UTF8String): Long = {
+    if (value == null) return 0L
+    val M = 1000000007L
+    var h = 0L
+    var i = 0
+    val n = value.numBytes()
+    while (i < n) {
+      h = (h * 31L + (value.getByte(i) & 0xff)) % M
+      i += 1
+    }
+    h
+  }
 }

@@ -105,6 +105,28 @@ case class XorFoldHash(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** `rolling_hash(value)` — Karp–Rabin polynomial fingerprint of the raw
+  * UTF-8 bytes (h = h*31 + b mod 1e9+7). Codegen'd via the static helper,
+  * stays inside WholeStageCodegen.
+  */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[Shims.AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(value: Any): Any =
+    HashUtil.rollingHash(value.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.HashUtil.rollingHash($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration for the graft custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -122,6 +144,9 @@ object GraftFunctions {
       Shims.expression(lit(seed)),
       Shims.expression(lit(maxPartitionCount))))
 
+  def rollingHash(value: Column): Column =
+    Shims.column(RollingHash(Shims.expression(value)))
+
   /** Register `csv_column_at`, `csv_field_count`, `xor_fold_hash` for SQL. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -131,5 +156,7 @@ object GraftFunctions {
       "csv_field_count", exprs => CsvFieldCount(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "xor_fold_hash", exprs => XorFoldHash(exprs(0), exprs(1), exprs(2)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
   }
 }

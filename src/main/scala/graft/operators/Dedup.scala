@@ -113,34 +113,34 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Exact n-gram Jaccard via inverted index on rare shingles: explode
-    * shingles, keep shingles appearing in < `maxDf` docs (boilerplate
-    * guard — identical role to the LSH bucket cap), self-join on shingle,
-    * then verify full Jaccard for candidate pairs.
+  /** Exact n-gram Jaccard via inverted index: explode shingles, keep those
+    * appearing in 2..`maxDf` docs, self-join on shingle, and compute the
+    * intersection by COUNTING shared postings per pair (map-side-combinable
+    * group-by — no array payloads ever cross the shuffle, the set-similarity
+    * -join shape from the PPJoin family). Exactness: df=1 shingles cannot be
+    * shared so dropping them never changes an intersection; df>`maxDf`
+    * shingles are boilerplate and excluded by design (same guard as the LSH
+    * bucket cap). Union sizes use the full distinct-shingle count per doc.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 64): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
+    val posting = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0).cache()
-
-    val posting = docs.select(col("id"), explode(col("sh")).as("shingle"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
     val rare = posting.groupBy("shingle").count()
       .filter(col("count").between(2, maxDf))
-    val rarePosting = posting.join(rare, Seq("shingle"), "left_semi")
+    val rp = posting.join(rare, Seq("shingle"), "left_semi").cache()
 
-    val cand = rarePosting.select(col("shingle"), col("id").as("id_a"))
-      .join(rarePosting.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+    rp.select(col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(rp.select(col("shingle"), col("id").as("id_b"), col("n").as("n_b")),
+        Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-
-    cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")

@@ -67,6 +67,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) top-k: vectors are assigned to the nearest of
+    * `nlist` centroids (the "coarse quantizer"); a query scans only the
+    * `nprobe` closest lists. Centroids here are a deterministic id-ordered
+    * sample — at 100 TB you'd k-means a sample instead, but the plumbing
+    * (driver-side tiny centroid set → literal expressions → narrow
+    * assignment map, NO shuffle, list pruning before the scan) is the
+    * production shape. Recall < 1.0 by construction, tunable with nprobe.
+    */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // tiny driver-side centroid set (nlist × dim floats)
+    val cents: Array[Array[Float]] = embeddings
+      .orderBy("vec_id").limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+
+    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
+    // cosine of emb against each centroid, as one codegen'd array expr
+    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
+      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
+    }.toSeq: _*)
+    val listId = array_position(simsTo(col("embedding")),
+      array_max(simsTo(col("embedding"))))
+
+    // query's probe lists, computed on the driver (1-row query)
+    val q = query.select(col("q_embedding")).collect()(0).getSeq[Float](0).toArray
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val qSims = cents.zip(centNorms).map { case (c, cn) =>
+      c.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qn)
+    }
+    val probes = qSims.zipWithIndex.sortBy(-_._1).take(nprobe)
+      .map { case (_, i) => (i + 1).toLong } // 1-based, matches array_position
+
+    bruteForceTopK(
+      embeddings.withColumn("list_id", listId)
+        .filter(col("list_id").isin(probes: _*))
+        .drop("list_id"),
+      query, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
     * `planes` sign bits split into `bands`; a pair is a candidate if ANY
     * band matches exactly (standard OR-of-ANDs construction — recall at

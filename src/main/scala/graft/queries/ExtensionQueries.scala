@@ -61,6 +61,17 @@ object ExtensionQueries {
         Multimodal.synthesize(t(s, dir, "documents"))),
       None),
 
+    // IVF approximate top-k: centroid-pruned scan (same query vector as
+    // e2_ann_topk; centroids = deterministic id-ordered sample).
+    "x9_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_embedding"))
+        Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), q, 10)
+      },
+      None),
+
     // Approximate sketches (HLL distinct + quantile) — values are
     // engine-specific, so rows-only.
     "x8_approx" -> QueryDef(

@@ -360,6 +360,90 @@ object RelationalQueries {
       Some("""SELECT event_type, min(props) AS any_props, count(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- as-of join (time-series point lookup): each event matched to the
+    // latest order of the same customer at-or-before the event time. Spark
+    // lacks a native as-of join; the scalable shape is union + last(...,
+    // ignoreNulls) over a (key, time) window — ONE shuffle on the key, no
+    // per-event range probe. Orders are pre-deduped per (key, time) so the
+    // match is deterministic in both engines.
+    "q26_asof_join" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("at"))
+          .agg(max("o_totalprice").as("o_price"))
+          .select(col("key"), col("at"), col("o_price"),
+            lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
+        val e = t(s, dir, "events")
+          .select(col("user_id").as("key"), col("ts").as("at"),
+            lit(null).cast("double").as("o_price"),
+            lit(1).as("is_evt"), col("event_id"))
+        // at equal time the order row (is_evt=0) sorts first → inclusive >=
+        val w = Window.partitionBy("key")
+          .orderBy(col("at"), col("is_evt"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionByName(e)
+          .withColumn("asof_price", last(col("o_price"), ignoreNulls = true).over(w))
+          .filter(col("is_evt") === 1)
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("asof_price")).as("n_matched"),
+            round(sum("asof_price"), 2).as("matched_total"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  count(o_price) AS n_matched,
+             |  round(sum(o_price), 2) AS matched_total
+             |FROM events e ASOF LEFT JOIN
+             |  (SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_price
+             |   FROM orders GROUP BY 1, 2) o
+             |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- sessionization: gap > 1 hour starts a new session (lag + flag +
+    // per-user counts). One shuffle on user_id; the window and the group-by
+    // share the partitioning, so Catalyst plans a single exchange.
+    "q27_sessionize" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1)
+              .otherwise(0))
+          .groupBy("user_id")
+          .agg(sum("new_sess").cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM (SELECT user_id,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR date_diff('second', prev_ts, ts) > 3600 THEN 1 ELSE 0 END AS new_sess
+             |  FROM (SELECT user_id, ts,
+             |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |    FROM events))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- pivot (conditional aggregation): explicit value list keeps the
+    // plan a single hash-agg (no extra distinct pass to discover values).
+    "q28_pivot" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- B1 the partitioning-policy metadata pipeline over the fixture
     // JSON (FIXTURES.md §7): from_json → explode → filter Kind=Hash →
     // project casts. The engine's "metadata plane" query shape.

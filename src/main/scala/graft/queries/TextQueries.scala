@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 
 /** Training-data text operations over the `documents` table (doc_id, text,
@@ -125,6 +126,57 @@ object TextQueries {
              |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'data')) AS s_es
              |      FROM documents))
              |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)),
+
+    // ---- BPE-ish pre-tokenization: letter runs | single digits | single
+    // punctuation (the GPT-2 pre-tokenizer shape, portable regex subset).
+    "d7_bpe_tokens" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("n_pieces", size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))))
+        .groupBy("source")
+        .agg(sum(col("n_pieces")).cast("long").as("total_pieces"),
+          round(avg(col("n_pieces")), 4).as("avg_pieces"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+             |  round(avg(n_pieces), 4) AS avg_pieces,
+             |  count(*) AS n_docs
+             |FROM (SELECT source,
+             |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))
+             |      AS n_pieces FROM documents)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Karp–Rabin rolling-hash fingerprint (custom codegen'd
+    // expression, graft.functions.RollingHash): content-identity dedup on a
+    // 1e9+7 polynomial hash. ASCII corpus → byte fold == codepoint fold,
+    // which is what the oracle computes.
+    "d8_rolling_fingerprint" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("fp", GraftFunctions.rollingHash(col("text")))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(1, length(text) + 1),
+             |      i -> CAST(ord(text[i]) AS BIGINT))),
+             |    (h, c) -> (h * 31 + c) % 1000000007) AS fp,
+             |  min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    // ---- deterministic hash sampling: ~10% of docs by md5 prefix — the
+    // reproducible subset selection a training pipeline uses (no rand()).
+    "d9_sample" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .filter(substring(md5(col("text")), 1, 2) < "1a")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents WHERE substr(md5(text), 1, 2) < '1a'
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---- document fingerprint: md5 over the sorted distinct token set
     // (order-invariant content signature; bag-of-words identity).

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-1 additions: as-of join, sessionization,
+  * rolling-hash fingerprint, and IVF ANN.
+  */
+class NewOpsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  test("asof join query matches hand-computed matches on sf0.001") {
+    val out = SparkEntry.queries("q26_asof_join")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // total events conserved
+    val nEvents = rows.map(_.getAs[Long]("n_events")).sum
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(nEvents == total)
+    // every matched count is bounded by the event count
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_matched") <= r.getAs[Long]("n_events")))
+  }
+
+  test("sessionize: gap > 1h splits sessions (hand corpus)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      (1L, at(0), 10L), (1L, at(100), 11L),    // session 1
+      (1L, at(100 + 3601), 12L),               // gap 3601s > 3600 → session 2
+      (2L, at(0), 20L)                         // one session
+    ).toDF("user_id", "ts", "event_id")
+    df.createOrReplaceTempView("events_hand")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = df
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1)
+          .otherwise(0))
+      .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("rolling_hash matches the independent byte fold, interpreted and codegen") {
+    def expected(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+      h
+    }
+    val inputs = Seq("abc", "", "hello world", "a\"b,c")
+    val got = inputs.toDF("s")
+      .select(GraftFunctions.rollingHash(col("s"))).as[Long].collect()
+    assert(got.toSeq == inputs.map(expected))
+    // SQL registration path
+    val sql = spark.sql("SELECT rolling_hash('abc')").as[Long].head()
+    assert(sql == expected("abc"))
+  }
+
+  test("ivf with exhaustive probes equals brute force; pruned probes keep recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    val rest = e.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, q, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val exhaustive = Similarity.ivfTopK(rest, q, 10, nlist = 8, nprobe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(exhaustive == brute)
+    val pruned = Similarity.ivfTopK(rest, q, 10, nlist = 8, nprobe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(pruned.intersect(brute).size >= 5, s"recall too low: $pruned vs $brute")
+  }
+}
