@@ -13,4 +13,14 @@ object Shims {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply the functions registered on a SparkSessionExtensions to a
+    * registry (`registerFunctions` is private[sql]) — lets tests exercise
+    * the `spark.sql.extensions` injection path without tearing down the
+    * shared session.
+    */
+  def applyExtensionFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
 }
