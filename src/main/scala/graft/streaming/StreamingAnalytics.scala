@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming analytics over the `events` shape — the streaming
+  * surface beyond the reference's processing-time flush (SURVEY.md §2C
+  * "Streaming" row lists watermarks/event-time windows/session state as
+  * absent in the reference; a Spark rebuild gets them from Structured
+  * Streaming and a 100 TB pipeline needs them).
+  *
+  * Scale notes: both operators shuffle once on the grouping key per
+  * micro-batch; state is per-key and bounded — windows age out at the
+  * watermark, sessions are removed on event-time timeout. No unbounded
+  * state, no driver-side loops.
+  */
+object StreamingAnalytics {
+
+  /** Watermarked tumbling-window counts in APPEND mode: a window row is
+    * emitted exactly once, when the watermark passes its end — the
+    * streaming analogue of q20_time_window.
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 minute",
+                     watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  case class Evt(user_id: Long, ts: Timestamp)
+  case class SessionAcc(start: Long, end: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** Stateful sessionization (streaming analogue of q27_sessionize): a
+    * session closes when no event arrives within `gapSeconds` of its last
+    * event, tracked with per-key GroupState + event-time timeout. Sessions
+    * are emitted when a later event opens a new session OR when the
+    * watermark passes last_event + gap (timeout) — so quiet keys still
+    * close. Exactly-once via checkpointed state.
+    */
+  def sessionize(events: Dataset[Evt], gapSeconds: Long,
+                 watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    val gapMs = gapSeconds * 1000L
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, batch: Iterator[Evt],
+               state: GroupState[SessionAcc]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+      } else {
+        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          cur = cur match {
+            case Some(c) if t - c.end <= gapMs =>
+              Some(SessionAcc(c.start, math.max(c.end, t), c.n + 1))
+            case Some(c) =>
+              closed ::= Session(userId, new Timestamp(c.start), new Timestamp(c.end), c.n)
+              Some(SessionAcc(t, t, 1))
+            case None => Some(SessionAcc(t, t, 1))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          state.setTimeoutTimestamp(c.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.{Evt, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Event-time semantics of the streaming analytics operators, driven with
+  * MemoryStream: windows finalize only when the watermark passes; sessions
+  * close on gap or on event-time timeout.
+  */
+class StreamingAnalyticsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("watermarked tumbling window emits finalized windows once (append mode)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = StreamingAnalytics.windowedCounts(
+      in.toDF().toDF("ts", "event_type"), windowLength = "1 minute",
+      watermarkDelay = "10 seconds")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two events in window [0, 60), one in [60, 120)
+      in.addData((ts(5), "click"), (ts(20), "click"), (ts(70), "view"))
+      q.processAllAvailable()
+      // nothing finalized yet: watermark = 70 - 10 = 60 → window [0,60) closes
+      in.addData((ts(200), "click")) // push watermark past both windows
+      q.processAllAvailable()
+      in.addData((ts(400), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("ws", "event_type", "n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(rows.contains((ts(0), "click", 2L)))
+      assert(rows.contains((ts(60), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val sessions = StreamingAnalytics.sessionize(
+      in.toDS(), gapSeconds = 60, watermarkDelay = "5 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10s apart (one session), then 300s silence.
+      // times start at 100 — a row whose event time equals the initial
+      // watermark (0) is treated as late and dropped.
+      in.addData(Evt(1L, ts(100)), Evt(1L, ts(110)))
+      q.processAllAvailable()
+      // same batch: user 1 reappears long after the gap → first session
+      // closes inline; user 2 opens a session that will close by timeout
+      in.addData(Evt(1L, ts(500)), Evt(2L, ts(490)))
+      q.processAllAvailable()
+      // advance the watermark far past everyone's last event + gap
+      in.addData(Evt(3L, ts(1100)))
+      q.processAllAvailable()
+      in.addData(Evt(3L, ts(2100)))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect()
+        .map(s => (s.user_id, s.session_start.getTime / 1000,
+          s.session_end.getTime / 1000, s.n_events)).toSet
+      assert(got.contains((1L, 100L, 110L, 2L)), s"inline close missing: $got")
+      assert(got.contains((1L, 500L, 500L, 1L)), s"timeout close missing: $got")
+      assert(got.contains((2L, 490L, 490L, 1L)), s"timeout close missing: $got")
+    } finally q.stop()
+  }
+}
