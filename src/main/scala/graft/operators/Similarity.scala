@@ -17,27 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** sum_i a[i]*b[i] in double, left-to-right (parity discipline). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** sum_i a[i]*b[i] in double, left-to-right (parity discipline) — the
+    * codegen'd VecDot kernel, bit-identical to the zip_with+aggregate tree
+    * it replaced.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecCosine(a, b)
 
-  /** Deterministic pseudo-random hyperplane p (dim d): sin(p*8191 + d*127)
-    * — fixed, engine-independent, good enough for LSH.
+  /** Packed sign-bit signature of `emb` against `planes` deterministic
+    * hyperplanes (plane(p)(d) = sin(p*8191 + d*127)) — one codegen'd
+    * kernel call per row instead of a 16-plane expression tree.
     */
-  private def plane(p: Int, dim: Int): Column =
-    array((0 until dim).map(d => lit(math.sin(p * 8191.0 + d * 127.0))): _*)
-
-  /** Packed sign-bit signature of `emb` against `planes` hyperplanes
-    * (static fold — one codegen'd expression, no lambda shift). */
-  def hyperplaneSig(emb: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      when(dot(emb, plane(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def hyperplaneSig(emb: Column, planes: Int): Column =
+    graft.functions.VectorFunctions.hyperplaneSig(emb, planes)
 
   /** Exact top-k by cosine against one query vector (as a 1-row frame with
     * column `q_embedding`). Broadcast + TakeOrderedAndProject: no shuffle.
@@ -54,10 +50,10 @@ object Similarity {
     * to the query's (<= probes differing bits). Recall is approximate.
     */
   def lshTopK(embeddings: DataFrame, query: DataFrame, k: Int,
-              planes: Int = 16, dim: Int = 64, probes: Int = 4): DataFrame = {
+              planes: Int = 16, probes: Int = 4): DataFrame = {
     val sigged = embeddings
-      .withColumn("sig", hyperplaneSig(col("embedding"), planes, dim))
-    val qSigged = query.withColumn("q_sig", hyperplaneSig(col("q_embedding"), planes, dim))
+      .withColumn("sig", hyperplaneSig(col("embedding"), planes))
+    val qSigged = query.withColumn("q_sig", hyperplaneSig(col("q_embedding"), planes))
     sigged
       .crossJoin(broadcast(qSigged))
       .filter(bit_count(col("sig").bitwiseXOR(col("q_sig"))) <= probes)
@@ -115,13 +111,13 @@ object Similarity {
     * bands). Candidates verify with the true cosine, so precision is exact.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
-                         planes: Int = 16, bands: Int = 8, dim: Int = 64,
+                         planes: Int = 16, bands: Int = 8,
                          maxBucket: Int = 256): DataFrame = {
     require(planes % bands == 0)
     val bits = planes / bands
     val sigged = embeddings
       .select(col("vec_id").as("id"), col("embedding").as("e"))
-      .withColumn("sig", hyperplaneSig(col("e"), planes, dim))
+      .withColumn("sig", hyperplaneSig(col("e"), planes))
     val banded = sigged.select(col("id"), col("e"), posexplode(
       array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * bits)

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
   import QueryDef.t
 
-  /** sum_i a[i]*b[i], computed in double, left-to-right. */
+  /** sum_i a[i]*b[i], computed in double, left-to-right — the codegen'd
+    * VecDot kernel (graft.functions.VectorUtil), bit-identical fold order
+    * to the oracle's list_reduce.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   val all: Map[String, QueryDef] = Map(
 
