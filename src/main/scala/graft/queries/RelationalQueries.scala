@@ -193,6 +193,22 @@ object RelationalQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // ---- §2C cube (all grouping sets over 2 dims; superset of rollup).
+    "q29_cube" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("total"))
+        .orderBy("st", "prio"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             |  coalesce(o_orderpriority, 'ALL') AS prio,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY st, prio""".stripMargin)),
+
     // ---- B8 conditional (case/when) over a numeric column.
     "q13_case" -> QueryDef(
       (s, dir) => t(s, dir, "events")

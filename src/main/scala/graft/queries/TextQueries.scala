@@ -91,9 +91,11 @@ object TextQueries {
     // this checks the *computation*, not model accuracy.)
     "d5_langid" -> QueryDef(
       (s, dir) => {
+        // tokenize ONCE; five marker counts read the materialized array
         def score(marker: String) =
-          size(filter(tokens(col("text")), w => w === lit(marker)))
+          size(filter(col("toks"), w => w === lit(marker)))
         val scored = t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
           .withColumn("s_en", score("the"))
           .withColumn("s_de", score("table"))
           .withColumn("s_fr", score("window"))
