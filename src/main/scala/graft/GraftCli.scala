@@ -63,13 +63,32 @@ object GraftCli {
         .show(false)
       spark.stop()
 
+    // the event-driven server mode (reference: ServiceBusServer) — watch a
+    // landing dir, flush partitioned output every triggerSec seconds;
+    // optional runSec bounds the server lifetime (0 = run forever).
+    case "stream" :: landing :: staging :: checkpoint :: colIdx :: n :: seed :: rest =>
+      val spark = session()
+      val triggerSec = rest.headOption.map(_.toInt).getOrElse(60)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val q = streaming.StreamingPrePartition.start(
+        spark, landing, staging, checkpoint,
+        PartitionConfig(colIdx.toInt, n.toInt, seed.toInt),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(s"$triggerSec seconds"))
+      println(s"[graft] streaming $landing -> $staging (trigger ${triggerSec}s)")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     case other =>
       System.err.println(
         s"""Unknown arguments: ${other.mkString(" ")}
            |Usage:
            |  generate <outDir> <nRows> [seed]
            |  prepartition <inGlob> <outDir> <colIdx> <maxPartitions> <seed> [gzip]
-           |  validate <stagingDir>""".stripMargin)
+           |  split <inGlob> <outDir> <maxBytesPerShard> [header] [gzip]
+           |  validate <stagingDir>
+           |  stream <landingDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]""".stripMargin)
       sys.exit(2)
   }
 }
