@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{CsvUtil, HashUtil}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the byte-level kernels (no SparkSession needed):
+  * a model CSV serializer drives csv_column_at/csv_field_count over
+  * arbitrary field content including commas, quotes, and empties; the hash
+  * kernels are checked against independent fold models.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 500): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Model serializer for the reference dialect: quote when the field
+    * contains a comma or quote; escape quotes by doubling.
+    */
+  private def quote(f: String): String =
+    if (f.contains(",") || f.contains("\""))
+      "\"" + f.replace("\"", "\"\"") + "\""
+    else f
+
+  private val fieldGen: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(6, Gen.alphaNumChar),
+    Gen.stringOf(Gen.oneOf('a', 'Z', '0', ',', '"', ' ', '.')).map(_.take(10)),
+    Gen.const(""))
+
+  private val rowGen: Gen[List[String]] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, fieldGen))
+
+  test("csv_column_at returns the verbatim serialized slice of every field") {
+    check(Prop.forAll(rowGen) { fields =>
+      val line = UTF8String.fromString(fields.map(quote).mkString(","))
+      fields.indices.forall { i =>
+        val got = CsvUtil.columnAt(line, i)
+        got != null && got.toString == quote(fields(i))
+      }
+    })
+  }
+
+  test("csv_field_count equals the model field count; beyond-range is null") {
+    check(Prop.forAll(rowGen) { fields =>
+      val line = UTF8String.fromString(fields.map(quote).mkString(","))
+      CsvUtil.fieldCount(line) == fields.length &&
+        CsvUtil.columnAt(line, fields.length) == null
+    })
+  }
+
+  test("xor_fold_hash equals the byte-fold model for any string and seed") {
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.chooseNum(0, 1 << 20)) { (s, seed) =>
+      val expected = s.getBytes("UTF-8").foldLeft(seed)((h, b) => h ^ (b & 0xff))
+      HashUtil.xorFold(UTF8String.fromString(s), seed) == expected
+    })
+  }
+
+  test("rolling_hash equals the polynomial fold model (incl. non-ASCII bytes)") {
+    check(Prop.forAll(Gen.stringOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', '漢', 'ß')))) { s =>
+      val expected = s.getBytes("UTF-8")
+        .foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+      HashUtil.rollingHash(UTF8String.fromString(s)) == expected
+    })
+  }
+}
