@@ -113,6 +113,52 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair list (the step a training
+    * pipeline runs AFTER pair detection: near-dup PAIRS chain into CLUSTERS,
+    * and one survivor is kept per cluster). Min-label propagation to a
+    * fixpoint: each node adopts the smallest label among itself and its
+    * neighbors; converges in graph-diameter iterations — near-dup graphs
+    * are shallow (dup clusters are cliques or short chains), so typically
+    * 2–4. Each iteration is one join + one agg shuffle; localCheckpoint
+    * cuts the growing lineage. At larger diameters swap in the alternating
+    * large-star/small-star variant; the contract is unchanged.
+    *
+    * @return (node, label) — label = min doc id of the node's component
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("node"))
+        .select(edges("a").as("node"), col("label"))
+        .groupBy("node").agg(min("label").as("nbr"))
+      val step = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
+        .localCheckpoint()
+      converged = step.filter(col("label") =!= col("old")).isEmpty
+      labels = step.select("node", "label")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep one representative per near-dup cluster: drop every row whose id
+    * is a non-minimal member of a component (rows in no pair survive).
+    */
+  def dedupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dupes = clusters(pairs)
+      .filter(col("label") =!= col("node")).select(col("node"))
+    df.join(dupes, df(idCol) === dupes("node"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard via inverted index: explode shingles, keep those
     * appearing in 2..`maxDf` docs, self-join on shingle, and compute the
     * intersection by COUNTING shared postings per pair (map-side-combinable

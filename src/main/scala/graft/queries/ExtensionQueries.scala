@@ -61,6 +61,16 @@ object ExtensionQueries {
         Multimodal.synthesize(t(s, dir, "documents"))),
       None),
 
+    // Near-dup clusters: connected components over the MinHash+LSH pairs
+    // (pair list -> transitive clusters -> per-cluster size).
+    "x10_dedup_clusters" -> QueryDef(
+      (s, dir) => Dedup.clusters(
+          Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id"),
+      None),
+
     // IVF approximate top-k: centroid-pruned scan (same query vector as
     // e2_ann_topk; centroids = deterministic id-ordered sample).
     "x9_ann_ivf" -> QueryDef(

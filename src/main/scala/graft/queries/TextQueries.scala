@@ -180,6 +180,31 @@ object TextQueries {
              |FROM documents WHERE substr(md5(text), 1, 2) < '1a'
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- TF-IDF profile of the whole corpus vocabulary: df, total tf,
+    // and the global tf-idf mass per term. N/df division and the ln are
+    // computed in double in both engines; rounding collapses ulp noise.
+    "d10_tfidf" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        toks.groupBy("term")
+          .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("total_tf"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", round(col("total_tf") *
+            log(col("n_docs").cast("double") / col("df")), 4))
+          .select("term", "df", "total_tf", "tfidf")
+          .orderBy("term")
+      },
+      Some("""SELECT term,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             |  CAST(count(*) AS BIGINT) AS total_tf,
+             |  round(count(*) * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+             |    / count(DISTINCT doc_id)), 4) AS tfidf
+             |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             |      FROM documents)
+             |GROUP BY term ORDER BY term""".stripMargin)),
+
     // ---- document fingerprint: md5 over the sorted distinct token set
     // (order-invariant content signature; bag-of-words identity).
     "d6_fingerprint" -> QueryDef(

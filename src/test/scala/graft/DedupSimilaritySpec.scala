@@ -24,6 +24,18 @@ class DedupSimilaritySpec extends GraftSparkSpec {
     (base ++ dups).toDF("doc_id", "text")
   }
 
+  test("clusters: pair chains collapse to min-label components; survivors kept") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = (1L to 12L).toDF("doc_id")
+    val survivors = Dedup.dedupSurvivors(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(survivors == (1L to 12L).toSet -- Set(2L, 3L, 11L))
+  }
+
   test("minhash LSH recovers planted near-dups, no false positives at high threshold") {
     val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
