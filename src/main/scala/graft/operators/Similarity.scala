@@ -63,21 +63,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer: seeds =
+    * first `k` vectors by id, then `iters` rounds of distributed
+    * assign-and-average. Assignment is a narrow argmax map against literal
+    * centroids (no shuffle); the recompute is one (list, position) agg
+    * whose output is k×dim rows — trivially collectible. This is the
+    * production shape at 100 TB: train on the full set (or a sample — just
+    * add .sample) with one pass per iteration.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int,
+                      iters: Int = 3): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = embeddings
+      .orderBy("vec_id").limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to iters) {
+      val sims = array(cents.map(c =>
+        graft.functions.VectorFunctions.vecCosine(
+          col("embedding"), array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+      val assigned = embeddings
+        .withColumn("list_id", array_position(sims, array_max(sims)))
+      val means = assigned
+        .select(col("list_id"), posexplode(col("embedding")))
+        .groupBy("list_id", "pos").agg(avg("col").as("m"))
+        .collect()
+        .groupBy(_.getLong(0).toInt - 1) // array_position is 1-based
+        .map { case (lid, rows) =>
+          lid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)).toArray).toArray
+    }
+    cents
+  }
+
   /** IVF (inverted-file) top-k: vectors are assigned to the nearest of
     * `nlist` centroids (the "coarse quantizer"); a query scans only the
-    * `nprobe` closest lists. Centroids here are a deterministic id-ordered
-    * sample — at 100 TB you'd k-means a sample instead, but the plumbing
+    * `nprobe` closest lists. `trainIters` > 0 runs k-means refinement;
+    * 0 keeps the deterministic id-ordered seed sample. The plumbing
     * (driver-side tiny centroid set → literal expressions → narrow
     * assignment map, NO shuffle, list pruning before the scan) is the
     * production shape. Recall < 1.0 by construction, tunable with nprobe.
     */
   def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
     // tiny driver-side centroid set (nlist × dim floats)
-    val cents: Array[Array[Float]] = embeddings
-      .orderBy("vec_id").limit(nlist)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val cents: Array[Array[Float]] =
+      if (trainIters > 0) kmeansCentroids(embeddings, nlist, trainIters)
+      else embeddings
+        .orderBy("vec_id").limit(nlist)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
     val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
 
     def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)

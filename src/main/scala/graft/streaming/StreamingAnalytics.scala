@@ -31,6 +31,18 @@ object StreamingAnalytics {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: first occurrence of each content hash wins;
+    * the watermark bounds the dedup state (a duplicate arriving later than
+    * `watermarkDelay` after its original may pass — the standard
+    * state-size/completeness trade; at 100 TB/day unbounded dedup state is
+    * not an option). Input needs (ts, text) columns.
+    */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("content_hash")
+
   case class Evt(user_id: Long, ts: Timestamp)
   case class SessionAcc(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

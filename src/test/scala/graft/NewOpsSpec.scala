@@ -73,4 +73,21 @@ class NewOpsSpec extends GraftSparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(pruned.intersect(brute).size >= 5, s"recall too low: $pruned vs $brute")
   }
+
+  test("kmeans-trained IVF keeps the exhaustive-probe invariant and recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    val rest = e.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, q, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val exhaustive = Similarity.ivfTopK(rest, q, 10, nlist = 8, nprobe = 8, trainIters = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(exhaustive == brute)
+    val pruned = Similarity.ivfTopK(rest, q, 10, nlist = 8, nprobe = 4, trainIters = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(pruned.intersect(brute).size >= 5, s"recall too low: $pruned vs $brute")
+    // centroids actually moved and stayed finite
+    val cents = Similarity.kmeansCentroids(rest, 8, iters = 2)
+    assert(cents.length == 8 && cents.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
+  }
 }

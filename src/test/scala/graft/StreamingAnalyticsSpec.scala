@@ -41,6 +41,25 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first occurrence per content hash") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val deduped = StreamingAnalytics.dedupStream(
+      in.toDF().toDF("ts", "text", "doc_id"), watermarkDelay = "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(100), "alpha", 1L), (ts(101), "beta", 2L))
+      q.processAllAvailable()
+      // duplicate content within the watermark window is dropped
+      in.addData((ts(102), "alpha", 3L), (ts(103), "gamma", 4L))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L), s"got $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Evt]
