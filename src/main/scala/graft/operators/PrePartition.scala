@@ -58,8 +58,9 @@ object PrePartition {
     * partitioned write. One shuffle, partition-pruned scan, verbatim bytes.
     */
   def run(spark: SparkSession, inputGlob: String, outputDir: String,
-          cfg: PartitionConfig, outputCompression: Option[String] = None): Unit = {
-    val lines = spark.read.text(inputGlob)
+          cfg: PartitionConfig, outputCompression: Option[String] = None,
+          suffix: Option[String] = None): Unit = {
+    val lines = graft.sources.Readers.textLines(spark, inputGlob, suffix)
     val partitioned = withPartitionId(lines, cfg)
       .filter(col("pid").isNotNull)
     val writer = partitioned

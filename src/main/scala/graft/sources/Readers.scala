@@ -12,6 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Readers {
 
+  /** A1 ListBlobSource parity: lines under a prefix, filtered by name
+    * suffix (reference: BlobSources/ListBlobSource.cs:33-43 filters the
+    * listing by `EndsWith(suffix)`). `pathGlobFilter` prunes at FILE
+    * LISTING time — filtered files are never opened, the exact analogue of
+    * filtering the blob listing.
+    */
+  def textLines(spark: SparkSession, pathOrGlob: String,
+                suffix: Option[String] = None): DataFrame = {
+    val reader = spark.read
+    suffix.fold(reader)(sfx => reader.option("pathGlobFilter", s"*$sfx"))
+      .text(pathOrGlob)
+  }
+
   /** Lines of the FIRST zip entry of each archive matched by the glob. */
   def zipFirstEntryLines(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._

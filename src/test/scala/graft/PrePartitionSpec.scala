@@ -62,6 +62,17 @@ class PrePartitionSpec extends GraftSparkSpec {
     assert(diff == 0)
   }
 
+  test("suffix filter prunes non-matching files at listing time (A1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-suffix")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"), "1,x\n2,y\n")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "3,z\n")
+    val got = graft.sources.Readers
+      .textLines(spark, dir.toString, suffix = Some(".csv"))
+      .count()
+    assert(got == 2)
+    assert(graft.sources.Readers.textLines(spark, dir.toString, None).count() == 3)
+  }
+
   test("rows whose extract column is missing get no partition (reference semantics)") {
     import spark.implicits._
     val lines = Seq("a,b,c", "only-one-field").toDF("value")
