@@ -29,6 +29,14 @@ case class PartitionConfig(columnIndex: Int, maxPartitionCount: Int, seed: Int)
   * Transforms/PartitioningTextTransform.cs:60-66). Column extraction for
   * partitioning is an expression over the raw line.
   *
+  * Record boundaries are every `\n` — identical to the reference's Split
+  * mode (Text/TextLineParsingSink.cs). The reference's PrePartition scanner
+  * alone would keep a QUOTED `\n` inside one record
+  * (CsvParseTransform.cs:103-109); its own corpus never emits one
+  * (templates/script.kql:3-16), and `CsvColumnAt` handles quoted newlines
+  * correctly within a record — only the line source differs, documented
+  * here per FIXTURES.md §3.
+  *
   * Scale notes (100 TB): the only shuffle is the single hash exchange on
   * `pid`, which is exactly the data movement the operation *means*. Filter +
   * projection happen before the exchange; the text scan splits at

@@ -30,6 +30,16 @@ class ExpressionsSpec extends GraftSparkSpec {
     assert(col("a,\"b\"\"x\",c", 2) == "c")
   }
 
+  test("csv_column_at: newline inside quotes is data (FIXTURES.md §3)") {
+    // expression-level: a quoted \n does not terminate the field
+    assert(col("a,\"b\nx\",c", 1) == "\"b\nx\"")
+    assert(col("a,\"b\nx\",c", 2) == "c")
+    // read-path divergence is documented in PrePartition: line sources
+    // split at every \n (same behavior as the reference's Split-mode
+    // TextLineParsingSink; the reference's own corpus never emits quoted
+    // newlines, templates/script.kql:3-16)
+  }
+
   test("csv_column_at: empty field and trailing field") {
     assert(col("a,,c", 1) == "")
     assert(col("a,b,", 2) == "")
