@@ -32,7 +32,7 @@ object Export {
       // sample-derived rows-per-file bound (pre-compression, like the ref)
       val stats = df.limit(1000).select(
         count(lit(1)).as("n"),
-        sum(length(concat_ws(",", df.columns.map(col): _*))).as("bytes"))
+        sum(length(concat_ws(",", df.columns.toIndexedSeq.map(col): _*))).as("bytes"))
         .collect()(0)
       val n = stats.getLong(0)
       val avgRow = if (n == 0) 100L else stats.getLong(1) / n + 1

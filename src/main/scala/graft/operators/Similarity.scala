@@ -134,7 +134,7 @@ object Similarity {
 
     bruteForceTopK(
       embeddings.withColumn("list_id", listId)
-        .filter(col("list_id").isin(probes: _*))
+        .filter(col("list_id").isin(probes.toIndexedSeq: _*))
         .drop("list_id"),
       query, k)
   }
