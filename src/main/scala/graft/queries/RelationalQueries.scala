@@ -460,6 +460,22 @@ object RelationalQueries {
              |  count(*) FILTER (WHERE event_type = 'view') AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- exact percentiles (interpolating): the exact counterpart of
+    // x8's approx sketches. One agg shuffle; percentile buffers are
+    // per-group sorted arrays — for skewed hot groups see Skew.saltedAgg.
+    "q30_median" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(round(median(col("value")), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(median(value), 6) AS p50,
+             |  round(quantile_cont(value, 0.9), 6) AS p90,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- B1 the partitioning-policy metadata pipeline over the fixture
     // JSON (FIXTURES.md §7): from_json → explode → filter Kind=Hash →
     // project casts. The engine's "metadata plane" query shape.

@@ -205,6 +205,20 @@ object TextQueries {
              |      FROM documents)
              |GROUP BY term ORDER BY term""".stripMargin)),
 
+    // ---- log-template mining: redact digit runs, group identical
+    // templates (the structure-extraction pass of a log/training pipeline;
+    // doubles as the PII-scrub shape — swap the pattern for emails/ids).
+    "d11_templates" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("template", regexp_replace(col("props"), "[0-9]+", "#"))
+        .groupBy("event_type", "template")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "template"),
+      Some("""SELECT event_type,
+             |  regexp_replace(props, '[0-9]+', '#', 'g') AS template,
+             |  count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, template""".stripMargin)),
+
     // ---- document fingerprint: md5 over the sorted distinct token set
     // (order-invariant content signature; bag-of-words identity).
     "d6_fingerprint" -> QueryDef(
