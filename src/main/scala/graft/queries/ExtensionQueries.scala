@@ -71,6 +71,19 @@ object ExtensionQueries {
         .orderBy("cluster_id"),
       None),
 
+    // End-to-end corpus dedup: MinHash+LSH pairs -> connected components
+    // -> keep one survivor per cluster -> surviving doc counts per lang.
+    "x11_dedup_corpus" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.dedupSurvivors(docs, "doc_id",
+            Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.5))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_survivors"))
+          .orderBy("lang")
+      },
+      None),
+
     // IVF approximate top-k: centroid-pruned scan (same query vector as
     // e2_ann_topk; centroids = deterministic id-ordered sample).
     "x9_ann_ivf" -> QueryDef(
