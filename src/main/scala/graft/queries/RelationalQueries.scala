@@ -460,6 +460,32 @@ object RelationalQueries {
              |  count(*) FILTER (WHERE event_type = 'view') AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- range join (interval containment, no equi-key): tiny interval
+    // side broadcast → BroadcastNestedLoop with a range predicate, the
+    // right plan when one side fits in memory. Large-large range joins
+    // bin-bucket both sides into an equi-join on overlapping bins (for
+    // uniform bins that mapping degenerates to floor(x/width) — same
+    // result, zero NL).
+    "q31_range_join" -> QueryDef(
+      (s, dir) => {
+        val buckets = s.range(0, 10).select(
+          col("id").cast("int").as("bucket"),
+          (col("id") * 500.0).as("lo"),
+          ((col("id") + 1) * 500.0).as("hi"))
+        t(s, dir, "part")
+          .join(broadcast(buckets),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 2).as("avg_price"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT bucket, count(*) AS n,
+             |  round(avg(p_retailprice), 2) AS avg_price
+             |FROM part JOIN (SELECT CAST(i AS INT) AS bucket, i*500.0 AS lo,
+             |    (i+1)*500.0 AS hi FROM range(0, 10) t(i)) b
+             |  ON p_retailprice >= lo AND p_retailprice < hi
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // ---- exact percentiles (interpolating): the exact counterpart of
     // x8's approx sketches. One agg shuffle; percentile buffers are
     // per-group sorted arrays — for skewed hot groups see Skew.saltedAgg.
