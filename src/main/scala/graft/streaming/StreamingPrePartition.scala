@@ -36,35 +36,44 @@ object StreamingPrePartition {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(landingDir)
 
-    val manifestPath = s"$stagingDir/_batch_manifest"
-
     lines.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val already = {
-          val p = new org.apache.hadoop.fs.Path(manifestPath)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          fs.exists(p) &&
-            !s.read.parquet(manifestPath)
-              .filter(col("batch_id") === batchId).isEmpty
-        }
-        if (!already) {
-          val partitioned = PrePartition
-            .withPartitionId(batch, cfg)
-            .filter(col("pid").isNotNull)
-            .repartition(cfg.maxPartitionCount, col("pid"))
-          partitioned.write.mode(SaveMode.Append)
-            .partitionBy("pid").text(s"$stagingDir/data")
-          // commit marker AFTER the data write: replay-safe ordering
-          s.range(1).select(
-            lit(batchId).as("batch_id"),
-            current_timestamp().as("committed_at"))
-            .write.mode(SaveMode.Append).parquet(manifestPath)
-        }
-        ()
+        processBatch(batch, batchId, stagingDir, cfg)
       }
       .start()
+  }
+
+  /** One micro-batch: partition + write, guarded by the batch manifest.
+    * A replayed batchId (crash after the data write, before the checkpoint
+    * commit) is skipped entirely — the manifest marker is written AFTER
+    * the data, so its presence proves the data landed. Public so the
+    * replay path is directly testable.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, stagingDir: String,
+                   cfg: PartitionConfig): Unit = {
+    val s = batch.sparkSession
+    val manifestPath = s"$stagingDir/_batch_manifest"
+    val already = {
+      val p = new org.apache.hadoop.fs.Path(manifestPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.exists(p) &&
+        !s.read.parquet(manifestPath)
+          .filter(col("batch_id") === batchId).isEmpty
+    }
+    if (!already) {
+      val partitioned = PrePartition
+        .withPartitionId(batch, cfg)
+        .filter(col("pid").isNotNull)
+        .repartition(cfg.maxPartitionCount, col("pid"))
+      partitioned.write.mode(SaveMode.Append)
+        .partitionBy("pid").text(s"$stagingDir/data")
+      // commit marker AFTER the data write: replay-safe ordering
+      s.range(1).select(
+        lit(batchId).as("batch_id"),
+        current_timestamp().as("committed_at"))
+        .write.mode(SaveMode.Append).parquet(manifestPath)
+    }
   }
 }

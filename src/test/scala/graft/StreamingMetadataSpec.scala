@@ -98,4 +98,20 @@ class StreamingMetadataSpec extends GraftSparkSpec {
       .filter(col("pid") =!= col("expected")).count()
     assert(mismatches == 0)
   }
+
+  test("replayed batchId is a no-op (crash between data write and checkpoint)") {
+    val staging = s"$tmp/staging-replay"
+    val cfg = PartitionConfig(columnIndex = 3, maxPartitionCount = 4, seed = 17)
+    val batch = LogDataGenerator.toCsvLines(
+      LogDataGenerator.generate(spark, 200, seed = 7))
+
+    StreamingPrePartition.processBatch(batch, batchId = 42L, staging, cfg)
+    assert(spark.read.text(s"$staging/data").count() == 200)
+    // the replay: same batchId arrives again (at-least-once delivery)
+    StreamingPrePartition.processBatch(batch, batchId = 42L, staging, cfg)
+    assert(spark.read.text(s"$staging/data").count() == 200)
+    // a NEW batchId appends
+    StreamingPrePartition.processBatch(batch, batchId = 43L, staging, cfg)
+    assert(spark.read.text(s"$staging/data").count() == 400)
+  }
 }
