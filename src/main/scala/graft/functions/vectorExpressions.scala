@@ -2,12 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types._
 
-/** Vector kernels shared by interpreted eval and generated code. All folds
+/** Vector kernels shared by interpreted eval and generated code. Inputs
+  * are typed array<float> (ExpectsInputTypes -> analysis-time error on
+  * anything else); a length mismatch folds over the common prefix —
+  * callers with heterogeneous dims must align upstream. All folds
   * are double-of-float products summed LEFT-TO-RIGHT from 0.0 — bit-
   * identical to the `zip_with`+`aggregate` trees they replace AND to the
   * DuckDB oracle's `list_reduce` (VectorQueries' parity discipline), so
@@ -63,7 +66,10 @@ object VectorUtil {
 }
 
 /** `vec_dot(a, b)` — double dot product of two array<float> columns. */
-case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
@@ -79,7 +85,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 /** `vec_cosine(a, b)` — cosine similarity of two array<float> columns. */
-case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_cosine"
@@ -96,7 +105,9 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
 
 /** `hyperplane_sig(emb, planes)` — packed sign-bit LSH signature. */
 case class HyperplaneSig(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_sig"

@@ -147,6 +147,12 @@ object Dedup {
       labels = step.select("node", "label")
       iter += 1
     }
+    // silent non-convergence would split components and leak duplicates
+    // into "survivors" — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"clusters() did not converge in $maxIter iterations — component " +
+        "diameter exceeds maxIter; raise maxIter or use an alternating " +
+        "large-star/small-star implementation for deep graphs")
     labels
   }
 
@@ -160,13 +166,15 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard via inverted index: explode shingles, keep those
-    * appearing in 2..`maxDf` docs, self-join on shingle, and compute the
-    * intersection by COUNTING shared postings per pair (map-side-combinable
-    * group-by — no array payloads ever cross the shuffle, the set-similarity
-    * -join shape from the PPJoin family). Exactness: df=1 shingles cannot be
-    * shared so dropping them never changes an intersection; df>`maxDf`
-    * shingles are boilerplate and excluded by design (same guard as the LSH
-    * bucket cap). Union sizes use the full distinct-shingle count per doc.
+    * appearing in <= `maxDf` docs, self-join on the shareable (df >= 2)
+    * ones, and compute the intersection by COUNTING shared postings per
+    * pair (map-side-combinable group-by — no array payloads ever cross the
+    * shuffle, the set-similarity-join shape from the PPJoin family).
+    * Semantics: EXACT Jaccard over each doc's df<=maxDf shingle set —
+    * numerator and denominator consistently exclude only boilerplate
+    * (df>maxDf) shingles, so with no boilerplate present this IS true
+    * Jaccard. df=1 shingles can't be shared but DO count in the union
+    * (they're real content); the pair join only runs over df in [2,maxDf].
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5,
@@ -174,10 +182,18 @@ object Dedup {
     val posting = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
-    val rare = posting.groupBy("shingle").count()
-      .filter(col("count").between(2, maxDf))
-    val rp = posting.join(rare, Seq("shingle"), "left_semi").cache()
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val dfCounts = posting.groupBy("shingle").count()
+    // union side: every non-boilerplate shingle (df <= maxDf, incl. df=1)
+    val kept = posting.join(
+      dfCounts.filter(col("count") <= maxDf).select("shingle"),
+      Seq("shingle"), "left_semi")
+    val nKept = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    // pair side: only shareable shingles (df in [2, maxDf])
+    val rp = posting.join(
+        dfCounts.filter(col("count").between(2, maxDf)).select("shingle"),
+        Seq("shingle"), "left_semi")
+      .join(nKept, Seq("id")).cache()
 
     rp.select(col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
       .join(rp.select(col("shingle"), col("id").as("id_b"), col("n").as("n_b")),

@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join `facts ⋈ dims` on `key`, salted `factor` ways:
-    * facts get a deterministic per-row salt (hash of the whole row's
-    * partition-local position is NOT deterministic across retries — we hash
-    * the fact's columns), dims are replicated once per salt value. Result
-    * equals the plain inner join row-for-row; the hot key's rows spread
-    * over `factor` tasks instead of one.
+  /** Equi-join `facts ⋈ dims` on `key`, salted `factor` ways: facts get a
+    * positional per-row salt, dims are replicated once per salt value.
+    * The JOIN RESULT is identical for ANY salt assignment (every salt
+    * value finds its dim replica), so the salt needs no cross-retry
+    * determinism — positional salting is what spreads byte-identical hot
+    * rows (a content hash would send every identical row to one sub-key).
     *
     * Cost: dims shuffle volume × factor — use AFTER broadcast is ruled out
     * (dim too big to broadcast, but replication factor × dim still ≪ fact).
@@ -38,7 +38,7 @@ object Skew {
                  factor: Int = 8): DataFrame = {
     require(factor > 0)
     val saltedFacts = facts.withColumn("_salt",
-      pmod(xxhash64(facts.columns.map(col).toSeq: _*), lit(factor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
     val saltedDims = dims.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     saltedFacts.join(saltedDims,
@@ -59,8 +59,10 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], factor: Int,
                 partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     require(factor > 0)
+    // positional salt: spreads identical rows; merge combines all partials
+    // regardless of which sub-group a row landed in
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(factor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
     salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)

@@ -32,8 +32,10 @@ object StreamingAnalytics {
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
   /** Streaming exact dedup: first occurrence of each content hash wins;
-    * the watermark bounds the dedup state (a duplicate arriving later than
-    * `watermarkDelay` after its original may pass — the standard
+    * `dropDuplicatesWithinWatermark` evicts a hash's state once the
+    * watermark passes its event time + delay, so state is bounded AND new
+    * rows are never dropped for lateness — a duplicate arriving more than
+    * `watermarkDelay` after its original may pass (the standard
     * state-size/completeness trade; at 100 TB/day unbounded dedup state is
     * not an option). Input needs (ts, text) columns.
     */
@@ -41,7 +43,7 @@ object StreamingAnalytics {
     docs
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   case class Evt(user_id: Long, ts: Timestamp)
   case class SessionAcc(start: Long, end: Long, n: Long)

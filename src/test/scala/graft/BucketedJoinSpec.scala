@@ -12,6 +12,10 @@ class BucketedJoinSpec extends GraftSparkSpec {
   test("join of co-bucketed tables plans without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf) — collect{} on it
+    // finds nothing, making the shuffle assertion vacuous. Disable for the
+    // plan inspection.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -28,13 +32,22 @@ class BucketedJoinSpec extends GraftSparkSpec {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"))
 
-      val shufflesBeforeAgg = joined.queryExecution.executedPlan.collect {
+      val bucketedShuffles = joined.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e
       }
       // the join itself is exchange-free; the only shuffle allowed is the
       // final single-column aggregation
-      assert(shufflesBeforeAgg.size <= 1,
+      assert(bucketedShuffles.size <= 1,
         s"expected at most the agg exchange, got:\n${joined.queryExecution.executedPlan}")
+      // non-vacuity: the same join over the UNBUCKETED tables does shuffle
+      // both sides, so the collect provably sees exchanges when present
+      val plainJoined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val plainShuffles = plainJoined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(plainShuffles.size > bucketedShuffles.size,
+        s"sanity: unbucketed join should shuffle more (got ${plainShuffles.size})")
 
       // and the result matches the plain (shuffled) join
       val expected = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
@@ -44,6 +57,7 @@ class BucketedJoinSpec extends GraftSparkSpec {
       assert(got == expected)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }

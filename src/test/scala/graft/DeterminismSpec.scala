@@ -9,9 +9,8 @@ class DeterminismSpec extends GraftSparkSpec {
 
   test("all queries produce identical results on a second run") {
     val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      def snap(): Seq[String] =
-        try fn(spark, sfDir).collect().map(_.toString).toSeq
-        catch { case e: Throwable => Seq(s"ERROR ${e.getMessage}") }
+      // an exception must FAIL the suite, not compare equal across runs
+      def snap(): Seq[String] = fn(spark, sfDir).collect().map(_.toString).toSeq
       val a = snap()
       val b = snap()
       if (a == b) None else Some(name)

@@ -21,11 +21,17 @@ class SkewSpec extends GraftSparkSpec {
       .select("k", "v", "name").as[(Long, Long, String)].collect().sorted
     assert(salted.length == plain.length)
     assert(salted.toSeq == plain.toSeq)
-    // the hot key really is spread: >1 distinct salt among hot-key facts
+    // the hot key really is spread: >1 distinct salt among hot-key facts —
+    // positional salting spreads even byte-identical rows
     val spread = facts.withColumn("_salt",
-        pmod(xxhash64(facts.columns.map(col).toSeq: _*), lit(8)))
+        pmod(monotonically_increasing_id(), lit(8)))
       .filter(col("k") === 1).select("_salt").distinct().count()
     assert(spread > 1)
+    val identical = spark.range(0, 1000).select(lit(1L).as("k"), lit(7L).as("v"))
+    val identicalSpread = identical.withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(8)))
+      .select("_salt").distinct().count()
+    assert(identicalSpread == 8, s"identical rows not spread: $identicalSpread")
   }
 
   test("saltedAgg(collect_list) equals the direct aggregation") {
