@@ -79,6 +79,23 @@ object PrePartition {
       .text(outputDir)
   }
 
+  /** A5's PartitionValueSamples: one witness value of the extracted column
+    * per partition id (deterministic: min). The reference computes a
+    * first-seen sample per pid and carries it to the sink, where it sits
+    * unused (PartitionedContentSink.cs:20,59 — stored, never read); we
+    * expose it as a queryable frame instead of dead plumbing.
+    */
+  def partitionSamples(lines: DataFrame, cfg: PartitionConfig): DataFrame = {
+    val field = GraftFunctions.csvColumnAt(col("value"), cfg.columnIndex)
+    withPartitionId(lines, cfg)
+      .filter(col("pid").isNotNull)
+      .withColumn("field", field)
+      .groupBy("pid")
+      .agg(min(col("field")).as("partition_value_sample"),
+        count(lit(1)).as("n_records"))
+      .orderBy("pid")
+  }
+
   /** The B7-style validation frame over pipeline output: parse the verbatim
     * CSV lines back to typed columns (reference validation:
     * code/IntegrationTests/Text/NoHeaderNoCompressionTest.cs:20-38).

@@ -62,6 +62,22 @@ class PrePartitionSpec extends GraftSparkSpec {
     assert(diff == 0)
   }
 
+  test("partition samples: one witness value per pid, consistent with the hash") {
+    import graft.functions.HashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val lines = LogDataGenerator.toCsvLines(
+      LogDataGenerator.generate(spark, 2000, seed = 3))
+    val cfg = PartitionConfig(columnIndex = 3, maxPartitionCount = 8, seed = 17)
+    val samples = PrePartition.partitionSamples(lines, cfg).collect()
+    assert(samples.nonEmpty && samples.length <= 8)
+    samples.foreach { r =>
+      val pid = r.getAs[Int]("pid")
+      val witness = r.getAs[String]("partition_value_sample")
+      assert(HashUtil.xorFoldMod(UTF8String.fromString(witness), 17, 8) == pid)
+    }
+    assert(samples.map(_.getAs[Long]("n_records")).sum == 2000L)
+  }
+
   test("suffix filter prunes non-matching files at listing time (A1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-suffix")
     java.nio.file.Files.writeString(dir.resolve("a.csv"), "1,x\n2,y\n")
