@@ -37,8 +37,10 @@ object Bench {
     // steady-state: two runs per query, report the faster (first-run JVM
     // classloading/codegen noise is not an engine property)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = math.min(runOne(fn), runOne(fn))
-      name -> t
+      // min over SUCCESSFUL runs — a single transient failure must not
+      // mask a valid measurement; -1 only when both runs fail
+      val ts = Seq(runOne(fn), runOne(fn)).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

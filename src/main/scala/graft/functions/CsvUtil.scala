@@ -69,9 +69,16 @@ object CsvUtil {
     fields
   }
 
+  // copy ONLY the field's bytes: line.getBytes would copy the whole line
+  // for every field extraction on UnsafeRow-backed strings (3 extractions
+  // per record in the validation frame = 3 full-line copies on the hot path)
   private def slice(line: UTF8String, from: Int, until: Int): UTF8String = {
-    val bytes = line.getBytes
-    UTF8String.fromBytes(bytes, from, until - from)
+    import org.apache.spark.unsafe.Platform
+    val len = until - from
+    val out = new Array[Byte](len)
+    Platform.copyMemory(line.getBaseObject, line.getBaseOffset + from,
+      out, Platform.BYTE_ARRAY_OFFSET, len)
+    UTF8String.fromBytes(out)
   }
 }
 

@@ -75,6 +75,24 @@ case class XorFoldHash(first: Expression, second: Expression, third: Expression)
   override def nullable: Boolean = false
   override def prettyName: String = "xor_fold_hash"
 
+  /** seed and partition count are configuration, not data: require
+    * non-null literals at analysis time — the codegen below substitutes
+    * raw values and would otherwise silently hash with 0 for a null seed
+    * (wrong partitions, no error) or divide by zero for a null/0 count.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!second.foldable || !third.foldable)
+      TypeCheckFailure("xor_fold_hash: seed and maxPartitionCount must be literals")
+    else if (second.eval() == null || third.eval() == null)
+      TypeCheckFailure("xor_fold_hash: seed and maxPartitionCount must be non-null")
+    else if (third.eval().asInstanceOf[Int] == 0)
+      TypeCheckFailure("xor_fold_hash: maxPartitionCount must be non-zero")
+    else TypeCheckSuccess
+  }
+
   // total: null value still produces seed % n
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = first.eval(input)

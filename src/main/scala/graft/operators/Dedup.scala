@@ -50,6 +50,9 @@ object Dedup {
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", SketchFunctions.minHash(col("sh"), k))
+      // cache retained deliberately (MEMORY_AND_DISK, LRU-evicted): the
+      // frame feeds two plan branches and repeated driver runs; callers
+      // needing the storage back can spark.catalog.clearCache()
       .cache()
 
     // band key: xxhash64 of the band's signature slice

@@ -76,6 +76,9 @@ object Multimodal {
                    everyNth: Int = 4): DataFrame =
     media.filter(col("modality") === "video")
       .withColumn("n_frames", floor(length(col("content")) / frameBytes).cast("int"))
+      // guard: sequence(0, -1) yields [0, -1] (negative default step) — a
+      // sub-frame-size payload must produce zero frames, not a phantom one
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), posexplode(
         filter(
           transform(sequence(lit(0), col("n_frames") - 1),

@@ -123,7 +123,12 @@ object Split {
               .stripSuffix(".gz").stripSuffix(".txt")
             val ext = if (gz) ".txt.gz" else ".txt"
             finalPath = new org.apache.hadoop.fs.Path(out, f"$base-$shard%05d$ext")
-            tmpPath = new org.apache.hadoop.fs.Path(out, f"_tmp_$base-$shard%05d$ext")
+            // attempt-unique tmp name: concurrent attempts (speculation,
+            // stage retry) must never interleave writes into one file
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            tmpPath = new org.apache.hadoop.fs.Path(
+              out, f"_tmp_${attempt}_$base-$shard%05d$ext")
             val fs = finalPath.getFileSystem(conf)
             val raw: java.io.OutputStream = fs.create(tmpPath, true)
             val stream = if (gz) new java.util.zip.GZIPOutputStream(raw) else raw
@@ -142,13 +147,32 @@ object Split {
         results.iterator
       }.toDF("source_file", "shard_id", "dest_file", "n_bytes", "n_records")
 
-    // commit point: manifest append, with the per-file last-shard marker
-    val fileMax = written.groupBy("source_file")
+    // materialize the shard writes EXACTLY once — the mapPartitions above
+    // has side effects, and reusing `written` in two plans would run it
+    // twice (racing on the shard files). The summary is one row per shard.
+    val writtenRows = written.collect().toSeq
+
+    // commit point: recompute the per-file last-shard marker over PRIOR +
+    // new shards — incremental runs and replays must not leave stale or
+    // duplicate is_last_shard markers — then rewrite the manifest.
+    import spark.implicits._
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath)
+    val mfs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priorRows =
+      if (mfs.exists(mPath))
+        spark.read.parquet(manifestPath)
+          .select("source_file", "shard_id", "dest_file", "n_bytes", "n_records")
+          .collect().toSeq
+      else Seq.empty
+    val all = (priorRows ++ writtenRows).map(r => (r.getString(0), r.getInt(1),
+      r.getString(2), r.getLong(3), r.getLong(4)))
+      .toDF("source_file", "shard_id", "dest_file", "n_bytes", "n_records")
+    val fileMax = all.groupBy("source_file")
       .agg(max("shard_id").as("max_shard"))
-    val manifest = written.join(fileMax, Seq("source_file"))
+    val manifest = all.join(fileMax, Seq("source_file"))
       .withColumn("is_last_shard", col("shard_id") === col("max_shard"))
       .drop("max_shard")
-    manifest.write.mode(SaveMode.Append).parquet(manifestPath)
+    manifest.write.mode(SaveMode.Overwrite).parquet(manifestPath)
     spark.read.parquet(manifestPath)
   }
 

@@ -24,7 +24,9 @@ object QueryDef {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: `/` would promote the ~1.7e18 ns value to double
+      // (precision 2^53) and corrupt ~12% of microsecond values by 1µs
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else df
   }
 }

@@ -85,7 +85,12 @@ object StreamingAnalytics {
         }
         cur.foreach { c =>
           state.update(c)
-          state.setTimeoutTimestamp(c.end + gapMs)
+          // a timeout at-or-before the current watermark throws and kills
+          // the query (possible when watermarkDelay > gap and the batch's
+          // rows are late-but-in-watermark) — clamp to watermark + 1 so
+          // the session closes on the next trigger instead
+          state.setTimeoutTimestamp(
+            math.max(c.end + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.reverseIterator
       }

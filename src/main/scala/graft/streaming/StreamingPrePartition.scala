@@ -46,10 +46,12 @@ object StreamingPrePartition {
   }
 
   /** One micro-batch: partition + write, guarded by the batch manifest.
-    * A replayed batchId (crash after the data write, before the checkpoint
-    * commit) is skipped entirely — the manifest marker is written AFTER
-    * the data, so its presence proves the data landed. Public so the
-    * replay path is directly testable.
+    * Exactly-once under at-least-once replay needs BOTH halves: the data
+    * write goes to a per-batch directory in OVERWRITE mode (so a replay
+    * that re-runs the write after a crash mid-append replaces, never
+    * duplicates), and the manifest marker is written AFTER the data (so a
+    * marked batch is never re-run at all). Public so the replay path is
+    * directly testable.
     */
   def processBatch(batch: DataFrame, batchId: Long, stagingDir: String,
                    cfg: PartitionConfig): Unit = {
@@ -67,8 +69,8 @@ object StreamingPrePartition {
         .withPartitionId(batch, cfg)
         .filter(col("pid").isNotNull)
         .repartition(cfg.maxPartitionCount, col("pid"))
-      partitioned.write.mode(SaveMode.Append)
-        .partitionBy("pid").text(s"$stagingDir/data")
+      partitioned.write.mode(SaveMode.Overwrite)
+        .partitionBy("pid").text(s"$stagingDir/data/batch=$batchId")
       // commit marker AFTER the data write: replay-safe ordering
       s.range(1).select(
         lit(batchId).as("batch_id"),

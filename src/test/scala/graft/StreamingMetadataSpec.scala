@@ -90,9 +90,9 @@ class StreamingMetadataSpec extends GraftSparkSpec {
     q2.stop()
     assert(spark.read.text(s"$staging/data").count() == 800)
 
-    // partition placement correct in streaming mode too
+    // partition placement correct in streaming mode too (per-batch dirs)
     val mismatches = spark.read.format("text")
-      .option("basePath", s"$staging/data").load(s"$staging/data/pid=*")
+      .option("basePath", s"$staging/data").load(s"$staging/data/batch=*/pid=*")
       .withColumn("node", graft.functions.GraftFunctions.csvColumnAt(col("value"), 3))
       .withColumn("expected", graft.functions.GraftFunctions.xorFoldHash(col("node"), 17, 4))
       .filter(col("pid") =!= col("expected")).count()
