@@ -34,11 +34,15 @@ object Skew {
     * Cost: dims shuffle volume × factor — use AFTER broadcast is ruled out
     * (dim too big to broadcast, but replication factor × dim still ≪ fact).
     */
+  /** The salt expression — positional, so byte-identical rows spread. The
+    * single source of truth for both operators (and their specs). */
+  private[graft] def saltCol(factor: Int): Column =
+    pmod(monotonically_increasing_id(), lit(factor)).cast("int")
+
   def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
                  factor: Int = 8): DataFrame = {
     require(factor > 0)
-    val saltedFacts = facts.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
+    val saltedFacts = facts.withColumn("_salt", saltCol(factor))
     val saltedDims = dims.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     saltedFacts.join(saltedDims,
@@ -61,8 +65,7 @@ object Skew {
     require(factor > 0)
     // positional salt: spreads identical rows; merge combines all partials
     // regardless of which sub-group a row landed in
-    val salted = df.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
+    val salted = df.withColumn("_salt", saltCol(factor))
     salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)

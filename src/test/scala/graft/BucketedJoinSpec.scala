@@ -49,9 +49,9 @@ class BucketedJoinSpec extends GraftSparkSpec {
       assert(plainShuffles.size > bucketedShuffles.size,
         s"sanity: unbucketed join should shuffle more (got ${plainShuffles.size})")
 
-      // and the result matches the plain (shuffled) join
-      val expected = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      // and the result matches the plain (shuffled) join — same frame the
+      // shuffle-count sanity check inspected, so the two can't drift
+      val expected = plainJoined
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == expected)

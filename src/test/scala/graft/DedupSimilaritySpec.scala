@@ -89,8 +89,12 @@ class DedupSimilaritySpec extends GraftSparkSpec {
     // every video doc yields ceil(128/16 frames /4 sampled) = 2 frames
     val perDoc = frames.groupBy("doc_id").count().select("count").distinct().collect()
     assert(perDoc.map(_.getLong(0)).toSet == Set(2L))
-    // deterministic across runs
+    // deterministic across runs: symmetric containment AND identical
+    // cardinality (one-directional except() would miss extra/duplicate
+    // rows in the second run)
     val again = Multimodal.sampleFrames(Multimodal.synthesize(docs))
     assert(frames.except(again).count() == 0)
+    assert(again.except(frames).count() == 0)
+    assert(frames.count() == again.count())
   }
 }

@@ -22,13 +22,21 @@ class ExportDdlSpec extends GraftSparkSpec {
   }
 
   test("B9: compressed export with size limit splits into multiple files") {
-    val df = LogDataGenerator.generate(spark, 2000)
+    // coalesce(1): without the size limit this would be ONE output file,
+    // so every extra file is attributable to sizeLimitBytes alone
+    val df = LogDataGenerator.generate(spark, 2000).coalesce(1)
     Export.toCsv(df, s"$tmp/exp2", includeHeaders = false, compressed = true,
-      sizeLimitBytes = Some(64 * 1024), single = false)
+      sizeLimitBytes = Some(8 * 1024), single = false)
     val files = new java.io.File(s"$tmp/exp2").listFiles()
       .filter(_.getName.endsWith(".csv.gz"))
-    assert(files.length > 1)
+    assert(files.length > 1, s"size limit did not split: ${files.length} file(s)")
     assert(spark.read.csv(s"$tmp/exp2").count() == 2000)
+    // control: same single-partition frame without a limit -> one file
+    Export.toCsv(df, s"$tmp/exp2nolimit", includeHeaders = false,
+      compressed = true, sizeLimitBytes = None, single = false)
+    val control = new java.io.File(s"$tmp/exp2nolimit").listFiles()
+      .filter(_.getName.endsWith(".csv.gz"))
+    assert(control.length == 1)
   }
 
   test("B10: DDL — create table, CTAS limit 0, drop if exists") {

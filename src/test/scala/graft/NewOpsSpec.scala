@@ -23,25 +23,21 @@ class NewOpsSpec extends GraftSparkSpec {
       r.getAs[Long]("n_matched") <= r.getAs[Long]("n_events")))
   }
 
-  test("sessionize: gap > 1h splits sessions (hand corpus)") {
-    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
-    val df = Seq(
-      (1L, at(0), 10L), (1L, at(100), 11L),    // session 1
-      (1L, at(100 + 3601), 12L),               // gap 3601s > 3600 → session 2
-      (2L, at(0), 20L)                         // one session
-    ).toDF("user_id", "ts", "event_id")
-    df.createOrReplaceTempView("events_hand")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val sessions = df
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1)
-          .otherwise(0))
-      .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("sessionize: gap > 1h splits sessions (hand corpus through q27)") {
+    // hand events written as a testdata-shaped dir so the PRODUCTION
+    // query runs end-to-end (ts stored as ns longs, like the driver data)
+    val baseNs = 1700000000L * 1000000000L
+    def ns(sec: Long) = baseNs + sec * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-q27").toString
+    Seq(
+      (10L, ns(0), 1L, "click", 1.0, "{}"),        // u1 session 1
+      (11L, ns(100), 1L, "click", 1.0, "{}"),
+      (12L, ns(100 + 3601), 1L, "click", 1.0, "{}"), // gap 3601s > 3600 → session 2
+      (20L, ns(0), 2L, "view", 1.0, "{}")          // u2: one session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sessions = SparkEntry.queries("q27_sessionize")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
     assert(sessions == Map(1L -> 2L, 2L -> 1L))
   }
 

@@ -21,15 +21,15 @@ class SkewSpec extends GraftSparkSpec {
       .select("k", "v", "name").as[(Long, Long, String)].collect().sorted
     assert(salted.length == plain.length)
     assert(salted.toSeq == plain.toSeq)
-    // the hot key really is spread: >1 distinct salt among hot-key facts —
-    // positional salting spreads even byte-identical rows
-    val spread = facts.withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(8)))
+    // the hot key really is spread: the OPERATOR'S OWN salt expression
+    // (Skew.saltCol — shared by saltedJoin/saltedAgg) must give >1 salt to
+    // hot-key facts, even when the rows are byte-identical. A regression
+    // to content-hash salting fails here.
+    val spread = facts.withColumn("_salt", Skew.saltCol(8))
       .filter(col("k") === 1).select("_salt").distinct().count()
     assert(spread > 1)
     val identical = spark.range(0, 1000).select(lit(1L).as("k"), lit(7L).as("v"))
-    val identicalSpread = identical.withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(8)))
+    val identicalSpread = identical.withColumn("_salt", Skew.saltCol(8))
       .select("_salt").distinct().count()
     assert(identicalSpread == 8, s"identical rows not spread: $identicalSpread")
   }

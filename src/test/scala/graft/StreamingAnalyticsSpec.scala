@@ -28,16 +28,27 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
       // two events in window [0, 60), one in [60, 120)
       in.addData((ts(5), "click"), (ts(20), "click"), (ts(70), "view"))
       q.processAllAvailable()
-      // nothing finalized yet: watermark = 70 - 10 = 60 → window [0,60) closes
+      // the post-batch no-data batch advances the watermark to 60s and
+      // finalizes [0,60) — but [60,120) must still be open: premature
+      // emission of an unfinalized window fails here
+      val mid = spark.table("win_counts")
+        .select("ws", "event_type", "n").as[(Timestamp, String, Long)]
+        .collect().toSeq
+      assert(mid == Seq((ts(0), "click", 2L)),
+        s"expected only the closed [0,60) window, got $mid")
       in.addData((ts(200), "click")) // push watermark past both windows
       q.processAllAvailable()
       in.addData((ts(400), "click"))
       q.processAllAvailable()
+      // exact multiset: duplicates from double emission must fail, so no
+      // toSet collapse — sorted Seq comparison
       val rows = spark.table("win_counts")
         .select("ws", "event_type", "n").as[(Timestamp, String, Long)]
-        .collect().toSet
-      assert(rows.contains((ts(0), "click", 2L)))
-      assert(rows.contains((ts(60), "view", 1L)))
+        .collect().toSeq.sortBy(r => (r._1.getTime, r._2))
+      // [180,240) (the ts=200 event) also closed once the watermark hit
+      // 390; [360,420) (ts=400) is still open — exactly three rows
+      assert(rows == Seq((ts(0), "click", 2L), (ts(60), "view", 1L),
+        (ts(180), "click", 1L)), s"got $rows")
     } finally q.stop()
   }
 
