@@ -486,6 +486,35 @@ object RelationalQueries {
              |  ON p_retailprice >= lo AND p_retailprice < hi
              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // ---- lead/ntile analytics: inter-order gap days and price quartile
+    // per customer — one shuffle on the partition key, aggregated per
+    // quartile so the output stays small at any scale.
+    "q32_lead_ntile" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wAll = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+          .withColumn("gap_days",
+            datediff(col("next_date").cast("date"), col("o_orderdate").cast("date")))
+          .withColumn("quartile", ntile(4).over(wAll))
+          .groupBy("quartile")
+          .agg(count(lit(1)).as("n"),
+            round(avg("gap_days"), 4).as("avg_gap_days"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("quartile")
+      },
+      Some("""SELECT quartile, count(*) AS n,
+             |  round(avg(gap_days), 4) AS avg_gap_days,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM (SELECT o_totalprice,
+             |    datediff('day', CAST(o_orderdate AS DATE),
+             |      CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate, o_orderkey) AS DATE)) AS gap_days,
+             |    ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+             |  FROM orders)
+             |GROUP BY quartile ORDER BY quartile""".stripMargin)),
+
     // ---- exact percentiles (interpolating): the exact counterpart of
     // x8's approx sketches. One agg shuffle; percentile buffers are
     // per-group sorted arrays — for skewed hot groups see Skew.saltedAgg.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operations over the `documents` table (doc_id, text,
@@ -218,6 +219,32 @@ object TextQueries {
              |  regexp_replace(props, '[0-9]+', '#', 'g') AS template,
              |  count(*) AS n
              |FROM events GROUP BY 1, 2 ORDER BY event_type, template""".stripMargin)),
+
+    // ---- stratified sampling: exactly 20 docs per language, chosen by
+    // md5 rank — deterministic, engine-independent quota sampling (the
+    // per-class balancing step of a training-mix pipeline). One window
+    // shuffle on the stratum key.
+    "d12_stratified" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).cast("long").as("sampled_chars"),
+            min(col("doc_id")).as("min_doc_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_sampled,
+             |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+             |  min(doc_id) AS min_doc_id
+             |FROM (SELECT lang, n_chars, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(text), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 20
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---- document fingerprint: md5 over the sorted distinct token set
     // (order-invariant content signature; bag-of-words identity).
