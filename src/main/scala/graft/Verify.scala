@@ -15,9 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Output dir MUST be the bare query name: the driver's correctness gate
+    // keys its report by output-directory name and looks that key up in
+    // oracle_sql.json — any suffix here desynchronizes the two and zeroes
+    // the round's correctness signal (round-1 lesson: all 58 "no_oracle").
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+        .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

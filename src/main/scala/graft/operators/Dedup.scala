@@ -50,10 +50,11 @@ object Dedup {
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", SketchFunctions.minHash(col("sh"), k))
-      // cache retained deliberately (MEMORY_AND_DISK, LRU-evicted): the
-      // frame feeds two plan branches and repeated driver runs; callers
-      // needing the storage back can spark.catalog.clearCache()
-      .cache()
+      // materialize once for the two plan branches below; localCheckpoint
+      // (not cache) so the blocks are released when this frame is GC'd —
+      // an unscoped cache() survives the call and leaks storage across
+      // repeated library invocations
+      .localCheckpoint()
 
     // band key: xxhash64 of the band's signature slice
     val banded = docs.select(col("id"), col("sh"), posexplode(
@@ -193,10 +194,13 @@ object Dedup {
       Seq("shingle"), "left_semi")
     val nKept = kept.groupBy("id").agg(count(lit(1)).as("n"))
     // pair side: only shareable shingles (df in [2, maxDf])
+    // localCheckpoint, not cache: both sides of the self-join read this
+    // frame; checkpoint blocks are GC-scoped instead of leaking in the
+    // session CacheManager
     val rp = posting.join(
         dfCounts.filter(col("count").between(2, maxDf)).select("shingle"),
         Seq("shingle"), "left_semi")
-      .join(nKept, Seq("id")).cache()
+      .join(nKept, Seq("id")).localCheckpoint()
 
     rp.select(col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
       .join(rp.select(col("shingle"), col("id").as("id_b"), col("n").as("n_b")),

@@ -28,6 +28,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecCosine(a, b)
 
+  /** cosine for ranking/thresholding: a zero-norm side is 0/0 = NaN, and
+    * Spark orders NaN ABOVE every double (and NaN >= t is true), so raw
+    * NaNs would top every top-k and pass every near-dup threshold. Map
+    * them to -1 (below any real cosine) instead.
+    */
+  private def cosineRank(a: Column, b: Column): Column =
+    nanvl(cosine(a, b), lit(-1.0d))
+
   /** Packed sign-bit signature of `emb` against `planes` deterministic
     * hyperplanes (plane(p)(d) = sin(p*8191 + d*127)) — one codegen'd
     * kernel call per row instead of a 16-plane expression tree.
@@ -41,7 +49,7 @@ object Similarity {
   def bruteForceTopK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame =
     embeddings
       .crossJoin(broadcast(query))
-      .withColumn("sim", round(cosine(col("embedding"), col("q_embedding")), 6))
+      .withColumn("sim", round(cosineRank(col("embedding"), col("q_embedding")), 6))
       .select(col("vec_id"), col("label"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -57,7 +65,7 @@ object Similarity {
     sigged
       .crossJoin(broadcast(qSigged))
       .filter(bit_count(col("sig").bitwiseXOR(col("q_sig"))) <= probes)
-      .withColumn("sim", round(cosine(col("embedding"), col("q_embedding")), 6))
+      .withColumn("sim", round(cosineRank(col("embedding"), col("q_embedding")), 6))
       .select(col("vec_id"), col("label"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -168,7 +176,7 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", round(cosine(col("e_a"), col("e_b")), 6))
+      .withColumn("sim", round(cosineRank(col("e_a"), col("e_b")), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")

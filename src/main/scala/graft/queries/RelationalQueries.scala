@@ -489,15 +489,45 @@ object RelationalQueries {
     // ---- lead/ntile analytics: inter-order gap days and price quartile
     // per customer — one shuffle on the partition key, aggregated per
     // quartile so the output stays small at any scale.
+    // Global ntile(4) is computed WITHOUT a single-partition sort (the r1
+    // scale-killer): range-partition on the sort key, rank locally, then
+    // add each partition's cumulative predecessor count — the driver holds
+    // P counts (bounded by partition count, never by data) and the ntile
+    // bucket is a narrow arithmetic map over (global_rank, N).
     "q32_lead_ntile" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-        val wAll = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        t(s, dir, "orders")
+        val base = t(s, dir, "orders")
           .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
           .withColumn("gap_days",
             datediff(col("next_date").cast("date"), col("o_orderdate").cast("date")))
-          .withColumn("quartile", ntile(4).over(wAll))
+          .select("o_orderkey", "o_totalprice", "gap_days")
+        val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ranged = base
+          .repartitionByRange(p, col("o_totalprice").desc, col("o_orderkey"))
+          .withColumn("pid", spark_partition_id())
+        val localW = Window.partitionBy("pid")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        // localCheckpoint: the count job below and the final aggregation
+        // must see the SAME pid assignment, but a re-executed range
+        // exchange resamples boundaries (sample seed includes the per-job
+        // RDD id) — materialize once so ranks are consistent.
+        val ranked = ranged.withColumn("rn", row_number().over(localW))
+          .localCheckpoint()
+        val counts = ranked.groupBy("pid").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val n = counts.values.sum
+        val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+        val offsetMap = typedLit((0 until p).map(i => i -> offsets(i)).toMap)
+        // ntile(4): the first n%4 buckets take ceil(n/4) rows, the rest floor
+        val qsz = n / 4; val rem = n % 4; val big = qsz + 1
+        val rank = col("rn") + element_at(offsetMap, col("pid"))
+        val quartile =
+          when(rank <= lit(rem * big), ceil(rank / lit(big.toDouble)))
+            .otherwise(lit(rem) + ceil((rank - lit(rem * big)) / lit(math.max(qsz, 1).toDouble)))
+            .cast("int")
+        ranked
+          .withColumn("quartile", quartile)
           .groupBy("quartile")
           .agg(count(lit(1)).as("n"),
             round(avg("gap_days"), 4).as("avg_gap_days"),
