@@ -147,33 +147,31 @@ object Split {
         results.iterator
       }.toDF("source_file", "shard_id", "dest_file", "n_bytes", "n_records")
 
-    // materialize the shard writes EXACTLY once — the mapPartitions above
-    // has side effects, and reusing `written` in two plans would run it
-    // twice (racing on the shard files). The summary is one row per shard.
-    val writtenRows = written.collect().toSeq
+    // commit point: append the shard summaries as a new manifest SEGMENT.
+    // This materializes the side-effecting mapPartitions exactly once, and
+    // the parquet job commit (task outputs surface only at job commit) IS
+    // the manifest commit — a failed run leaves orphan shard files that the
+    // next run's anti-join simply rewrites. No collect(): driver memory and
+    // I/O are independent of both this run's shard count and the total
+    // shard history (the r1 design rewrote the whole manifest through the
+    // driver — O(history) per run).
+    written.write.mode(SaveMode.Append).parquet(manifestPath)
+    manifest(spark, outDir)
+  }
 
-    // commit point: recompute the per-file last-shard marker over PRIOR +
-    // new shards — incremental runs and replays must not leave stale or
-    // duplicate is_last_shard markers — then rewrite the manifest.
-    import spark.implicits._
-    val mPath = new org.apache.hadoop.fs.Path(manifestPath)
-    val mfs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val priorRows =
-      if (mfs.exists(mPath))
-        spark.read.parquet(manifestPath)
-          .select("source_file", "shard_id", "dest_file", "n_bytes", "n_records")
-          .collect().toSeq
-      else Seq.empty
-    val all = (priorRows ++ writtenRows).map(r => (r.getString(0), r.getInt(1),
-      r.getString(2), r.getLong(3), r.getLong(4)))
-      .toDF("source_file", "shard_id", "dest_file", "n_bytes", "n_records")
+  /** Read the append-only manifest segments and derive `is_last_shard`
+    * distributively: a per-file max over rows (one row per shard — the
+    * manifest is metadata, ~1 row / 200 MB of data) joined back broadcast.
+    * Deriving at read time keeps segments immutable — incremental runs
+    * can never leave a stale or duplicate last-shard marker.
+    */
+  def manifest(spark: SparkSession, outDir: String): DataFrame = {
+    val all = spark.read.parquet(s"$outDir/_manifest")
     val fileMax = all.groupBy("source_file")
       .agg(max("shard_id").as("max_shard"))
-    val manifest = all.join(fileMax, Seq("source_file"))
+    all.join(broadcast(fileMax), Seq("source_file"))
       .withColumn("is_last_shard", col("shard_id") === col("max_shard"))
       .drop("max_shard")
-    manifest.write.mode(SaveMode.Overwrite).parquet(manifestPath)
-    spark.read.parquet(manifestPath)
   }
 
   /** B5 — shard-count tracker re-expressed over the manifest

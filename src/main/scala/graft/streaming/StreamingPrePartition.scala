@@ -56,14 +56,18 @@ object StreamingPrePartition {
   def processBatch(batch: DataFrame, batchId: Long, stagingDir: String,
                    cfg: PartitionConfig): Unit = {
     val s = batch.sparkSession
-    val manifestPath = s"$stagingDir/_batch_manifest"
-    val already = {
-      val p = new org.apache.hadoop.fs.Path(manifestPath)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.exists(p) &&
-        !s.read.parquet(manifestPath)
-          .filter(col("batch_id") === batchId).isEmpty
-    }
+    // Per-batch marker DIRECTORY probed with one fs.exists — O(1) per
+    // trigger regardless of history (the r1 design re-read the full
+    // manifest parquet every micro-batch and appended a 1-row file per
+    // batch: O(batches) listing per trigger, unbounded small files).
+    // The tree still reads as one partitioned parquet table:
+    //   spark.read.parquet(s"$stagingDir/_batch_manifest")
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$stagingDir/_batch_manifest/batch=$batchId")
+    val fs = markerPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // _SUCCESS appears only at job commit, so a crash mid-marker-write
+    // leaves the batch unmarked and the replay re-runs it (overwrite).
+    val already = fs.exists(new org.apache.hadoop.fs.Path(markerPath, "_SUCCESS"))
     if (!already) {
       val partitioned = PrePartition
         .withPartitionId(batch, cfg)
@@ -75,7 +79,7 @@ object StreamingPrePartition {
       s.range(1).select(
         lit(batchId).as("batch_id"),
         current_timestamp().as("committed_at"))
-        .write.mode(SaveMode.Append).parquet(manifestPath)
+        .write.mode(SaveMode.Overwrite).parquet(markerPath.toString)
     }
   }
 }

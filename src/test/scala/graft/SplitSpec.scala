@@ -38,7 +38,9 @@ class SplitSpec extends GraftSparkSpec {
   }
 
   test("B5/B6 tracker queries over the manifest") {
-    val manifest = spark.read.parquet(s"$tmp/shards1/_manifest")
+    // segments on disk are append-only and carry no is_last_shard; the
+    // reader derives it
+    val manifest = Split.manifest(spark, s"$tmp/shards1")
     val sc = Split.shardCount(manifest).collect()
     assert(sc.length == 1)
     assert(sc(0).getAs[Int]("shard_count") == manifest.count())
