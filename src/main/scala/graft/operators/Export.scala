@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** B9 — bulk CSV export (reference: `.export async [compressed] to csv(...)
@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *                            from an avg-row-size sample (the reference
   *                            limit is also approximate: it seals after
   *                            crossing the limit)
-  *   async + operation tracking → Spark actions are synchronous here;
-  *                            callers wanting async wrap in a Future (the
-  *                            reference polls `.show operations`)
+  *   async + operation tracking → `toCsvAsync` returns an operation id;
+  *                            `operations(spark)` is the `.show operations
+  *                            (ids)` analogue (reference polls it,
+  *                            code/IntegrationTests/OperationManager.cs:109-141)
   */
 object Export {
 
@@ -39,5 +40,68 @@ object Export {
       w = w.option("maxRecordsPerFile", math.max(1L, limit / avgRow))
     }
     w.csv(destDir)
+  }
+
+  // ---------------------------------------------------------------- async
+
+  /** One tracked operation (reference `.show operations` row shape:
+    * OperationId, State InProgress/Completed/Failed, Status detail).
+    */
+  private final case class Op(opId: String, kind: String, dest: String,
+                              startedAt: java.sql.Timestamp,
+                              @volatile var state: String = "InProgress",
+                              @volatile var status: String = "",
+                              @volatile var finishedAt: java.sql.Timestamp = null)
+
+  private val ops = new java.util.concurrent.ConcurrentHashMap[String, Op]()
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-export"); t.setDaemon(true); t
+  })
+  private implicit val ec: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(pool)
+
+  /** `.export async`: kicks the export off on a background thread and
+    * returns its operation id immediately. Poll with `operations(spark)`
+    * or `operationState(opId)` until Completed/Failed (the reference's
+    * OperationManager poll loop).
+    */
+  def toCsvAsync(df: DataFrame, destDir: String,
+                 includeHeaders: Boolean = true,
+                 compressed: Boolean = false,
+                 sizeLimitBytes: Option[Long] = None,
+                 single: Boolean = true): String = {
+    val opId = java.util.UUID.randomUUID().toString
+    val op = Op(opId, "DataExportToCsv", destDir,
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    ops.put(opId, op)
+    scala.concurrent.Future {
+      toCsv(df, destDir, includeHeaders, compressed, sizeLimitBytes, single)
+    }.onComplete {
+      case scala.util.Success(_) =>
+        op.state = "Completed"; op.status = destDir
+        op.finishedAt = new java.sql.Timestamp(System.currentTimeMillis())
+      case scala.util.Failure(e) =>
+        op.state = "Failed"; op.status = String.valueOf(e.getMessage)
+        op.finishedAt = new java.sql.Timestamp(System.currentTimeMillis())
+    }
+    opId
+  }
+
+  /** Current state of one operation, or None if unknown. */
+  def operationState(opId: String): Option[String] =
+    Option(ops.get(opId)).map(_.state)
+
+  /** `.show operations` — the queryable op-status frame. Driver-side state
+    * is a handful of rows (one per export this session), not data-scale.
+    */
+  def operations(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    ops.values.asScala.toSeq
+      .map(o => (o.opId, o.kind, o.dest, o.state, o.status,
+        o.startedAt, Option(o.finishedAt)))
+      .toDF("operation_id", "operation", "destination", "state", "status",
+        "started_at", "finished_at")
+      .orderBy("started_at", "operation_id")
   }
 }

@@ -79,6 +79,83 @@ object PrePartition {
       .text(outputDir)
   }
 
+  /** Multi-container output spread (reference: PartitionedContentSink
+    * round-robins each flush-window×partition blob across the Kusto
+    * staging containers, Transforms/PartitionedContentSink.cs:54-66, and
+    * Text/TextKustoSink.cs:28-30): partition `pid` writes under
+    * `basePaths(pid % N)/pid=<pid>/`. Users with per-account throttling
+    * spread ingest load this way.
+    *
+    * Spark's DataFrameWriter targets ONE root, so this is a one-pass
+    * mapPartitions writer (the Split shard-writer pattern): sort the
+    * shuffled partition by pid, switch output files on pid change,
+    * temp-file + rename commit within each root. Single scan, single
+    * shuffle — identical data movement to the single-root path.
+    */
+  def runSpread(spark: SparkSession, inputGlob: String,
+                basePaths: Seq[String], cfg: PartitionConfig,
+                gzipOutput: Boolean = false,
+                suffix: Option[String] = None): Unit = {
+    require(basePaths.nonEmpty, "need at least one base path")
+    import spark.implicits._
+    val nPaths = basePaths.length
+    val paths = basePaths.toIndexedSeq
+    // overwrite semantics: clear prior pid dirs under every root
+    val hconf = spark.sparkContext.hadoopConfiguration
+    paths.foreach { base =>
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.getPath.getName.startsWith("pid="))
+          .foreach(st => fs.delete(st.getPath, true))
+    }
+    val lines = graft.sources.Readers.textLines(spark, inputGlob, suffix)
+    val written = withPartitionId(lines, cfg)
+      .filter(col("pid").isNotNull)
+      .select(col("pid").cast("int").as("pid"), col("value"))
+      .repartition(cfg.maxPartitionCount, col("pid"))
+      .sortWithinPartitions("pid")
+      .mapPartitions { iter =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var n = 0L
+        var cur = Int.MinValue
+        var writer: java.io.Writer = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var dest: org.apache.hadoop.fs.Path = null
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(t => s"${t.partitionId()}-${t.taskAttemptId()}").getOrElse("0")
+        def close(): Unit = if (writer != null) {
+          writer.close()
+          val fs = dest.getFileSystem(conf)
+          fs.delete(dest, false)
+          fs.rename(tmp, dest)
+          writer = null
+        }
+        iter.foreach { row =>
+          val pid = row.getInt(0)
+          if (pid != cur) {
+            close()
+            cur = pid
+            val base = paths(pid % nPaths) // the round-robin spread
+            val ext = if (gzipOutput) ".txt.gz" else ".txt"
+            dest = new org.apache.hadoop.fs.Path(s"$base/pid=$pid/part-$attempt$ext")
+            tmp = new org.apache.hadoop.fs.Path(s"$base/pid=$pid/_tmp-$attempt$ext")
+            val fs = dest.getFileSystem(conf)
+            val raw: java.io.OutputStream = fs.create(tmp, true)
+            val stream =
+              if (gzipOutput) new java.util.zip.GZIPOutputStream(raw) else raw
+            writer = new java.io.OutputStreamWriter(stream, "UTF-8")
+          }
+          writer.write(row.getString(1)); writer.write("\n")
+          n += 1
+        }
+        close()
+        Iterator.single(n)
+      }
+    // one action materializes the writes; count is the records written
+    written.agg(sum("value")).collect()
+  }
+
   /** A5's PartitionValueSamples: one witness value of the extracted column
     * per partition id (deterministic: min). The reference computes a
     * first-seen sample per pid and carries it to the sink, where it sits

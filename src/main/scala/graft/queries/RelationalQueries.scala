@@ -592,6 +592,18 @@ object RelationalQueries {
              |  CAST(json_extract(k, '$.Properties.MaxPartitionCount') AS INT) AS max_partition_count,
              |  CAST(json_extract(k, '$.Properties.Seed') AS INT) AS seed
              |FROM (SELECT unnest(CAST(json_extract('{"PartitionKeys": [ {"ColumnName": "Node", "Kind": "Hash", "Properties": {"MaxPartitionCount": 8, "Seed": 17}}, {"ColumnName": "Timestamp", "Kind": "UniformRange", "Properties": {}} ]}', '$.PartitionKeys') AS JSON[])) AS k)
-             |WHERE json_extract_string(k, '$.Kind') = 'Hash'""".stripMargin))
+             |WHERE json_extract_string(k, '$.Kind') = 'Hash'""".stripMargin)),
+
+    // ---- B3/B4 the ingestion-resources metadata pipeline (reference
+    // RunningContext.cs:141-149): resources doc → explode → TempStorage
+    // rows = the staging containers the round-robin sink spreads over.
+    "m2_resources" -> QueryDef(
+      (s, _) => graft.plans.Resources.stagingContainers(
+        s, graft.plans.Resources.fixtureJson),
+      Some("""SELECT json_extract_string(r, '$.ResourceTypeName') AS resource_type,
+             |  json_extract_string(r, '$.StorageRoot') AS storage_root
+             |FROM (SELECT unnest(CAST(json_extract('{"Resources": [ {"ResourceTypeName": "TempStorage", "StorageRoot": "https://acct0.blob.example/ingest-staging-0"}, {"ResourceTypeName": "TempStorage", "StorageRoot": "https://acct1.blob.example/ingest-staging-1"}, {"ResourceTypeName": "TempStorage", "StorageRoot": "https://acct2.blob.example/ingest-staging-2"}, {"ResourceTypeName": "SecuredReadyForAggregationQueue", "StorageRoot": "https://acct0.queue.example/ready-0"}, {"ResourceTypeName": "FailedIngestionsQueue", "StorageRoot": "https://acct0.queue.example/failed-0"} ], "QueryServiceUri": "https://engine.example/v1/query"}', '$.Resources') AS JSON[])) AS r)
+             |WHERE json_extract_string(r, '$.ResourceTypeName') = 'TempStorage'
+             |ORDER BY storage_root""".stripMargin))
   )
 }
