@@ -110,10 +110,23 @@ object PrePartition {
           .foreach(st => fs.delete(st.getPath, true))
     }
     val lines = graft.sources.Readers.textLines(spark, inputGlob, suffix)
-    val written = withPartitionId(lines, cfg)
+    writeSpread(withPartitionId(lines, cfg), paths, cfg.maxPartitionCount,
+      gzipOutput)
+  }
+
+  /** The spread writer: rows annotated with `pid` land under
+    * `roots(pid % N)/pid=<pid>/part-*`. One shuffle on pid, per-root
+    * temp+rename commit, verbatim bytes. Returns records written.
+    */
+  private[graft] def writeSpread(withPid: DataFrame, roots: IndexedSeq[String],
+                                 nPartitions: Int, gzipOutput: Boolean): Long = {
+    val spark = withPid.sparkSession
+    import spark.implicits._
+    val nPaths = roots.length
+    val written = withPid
       .filter(col("pid").isNotNull)
       .select(col("pid").cast("int").as("pid"), col("value"))
-      .repartition(cfg.maxPartitionCount, col("pid"))
+      .repartition(nPartitions, col("pid"))
       .sortWithinPartitions("pid")
       .mapPartitions { iter =>
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -136,7 +149,7 @@ object PrePartition {
           if (pid != cur) {
             close()
             cur = pid
-            val base = paths(pid % nPaths) // the round-robin spread
+            val base = roots(pid % nPaths) // the round-robin spread
             val ext = if (gzipOutput) ".txt.gz" else ".txt"
             dest = new org.apache.hadoop.fs.Path(s"$base/pid=$pid/part-$attempt$ext")
             tmp = new org.apache.hadoop.fs.Path(s"$base/pid=$pid/_tmp-$attempt$ext")
@@ -152,8 +165,8 @@ object PrePartition {
         close()
         Iterator.single(n)
       }
-    // one action materializes the writes; count is the records written
-    written.agg(sum("value")).collect()
+    // one action materializes the writes; sum is the records written
+    written.agg(sum("value")).collect()(0).getLong(0)
   }
 
   /** A5's PartitionValueSamples: one witness value of the extracted column

@@ -82,4 +82,58 @@ object StreamingPrePartition {
         .write.mode(SaveMode.Overwrite).parquet(markerPath.toString)
     }
   }
+
+  /** Start the streaming pipeline with multi-container output spread:
+    * partition `pid` of every micro-batch lands under
+    * `spreadPaths(pid % N)/data/batch=<id>/pid=<pid>/` (reference:
+    * PartitionedContentSink.cs:54-66 round-robins flush blobs over the
+    * staging containers). Control plane (checkpoint + batch markers)
+    * stays under `controlDir`, so the idempotent-replay contract is
+    * identical to the single-root path.
+    */
+  def startSpread(spark: SparkSession, landingDir: String,
+                  spreadPaths: Seq[String], controlDir: String,
+                  checkpointDir: String, cfg: PartitionConfig,
+                  trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                  maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landingDir)
+    lines.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchSpread(batch, batchId, spreadPaths, controlDir, cfg)
+      }
+      .start()
+  }
+
+  /** One spread micro-batch: same marker protocol as `processBatch`, but
+    * the data write fans out across the N roots via the one-pass spread
+    * writer; a replay clears each root's per-batch dir first (overwrite).
+    */
+  def processBatchSpread(batch: DataFrame, batchId: Long,
+                         spreadPaths: Seq[String], controlDir: String,
+                         cfg: PartitionConfig): Unit = {
+    val s = batch.sparkSession
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$controlDir/_batch_manifest/batch=$batchId")
+    val fs = markerPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val already = fs.exists(new org.apache.hadoop.fs.Path(markerPath, "_SUCCESS"))
+    if (!already) {
+      val roots = spreadPaths.toIndexedSeq.map(b => s"$b/data/batch=$batchId")
+      roots.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        val rfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (rfs.exists(p)) rfs.delete(p, true)
+      }
+      PrePartition.writeSpread(
+        PrePartition.withPartitionId(batch, cfg), roots,
+        cfg.maxPartitionCount, gzipOutput = false)
+      s.range(1).select(
+        lit(batchId).as("batch_id"),
+        current_timestamp().as("committed_at"))
+        .write.mode(SaveMode.Overwrite).parquet(markerPath.toString)
+    }
+  }
 }

@@ -101,6 +101,31 @@ class Round2OpsSpec extends GraftSparkSpec {
     assert(state == "Failed")
   }
 
+  test("streaming spread: per-batch fan-out across roots, replay is a no-op") {
+    val bases = (0 until 2).map(i => s"$tmp/stream-container$i")
+    val control = s"$tmp/stream-control"
+    val cfg = PartitionConfig(columnIndex = 3, maxPartitionCount = 4, seed = 17)
+    val batch = LogDataGenerator.toCsvLines(
+      LogDataGenerator.generate(spark, 300, seed = 11))
+
+    graft.streaming.StreamingPrePartition
+      .processBatchSpread(batch, 7L, bases, control, cfg)
+    val glob = bases.map(b => s"$b/data/batch=7/pid=*/*.txt")
+    assert(spark.read.text(glob: _*).count() == 300)
+    // spread honors pid % N
+    val placed = bases.zipWithIndex.flatMap { case (b, i) =>
+      Option(new java.io.File(s"$b/data/batch=7").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("pid="))
+        .map(f => (i, f.getName.stripPrefix("pid=").toInt))
+    }
+    assert(placed.nonEmpty && placed.forall { case (c, pid) => pid % 2 == c })
+
+    // replay of the same batchId: marker short-circuits, nothing doubles
+    graft.streaming.StreamingPrePartition
+      .processBatchSpread(batch, 7L, bases, control, cfg)
+    assert(spark.read.text(glob: _*).count() == 300)
+  }
+
   test("B3: staging-container fetch filters TempStorage rows in order") {
     val rows = Resources.stagingContainers(spark, Resources.fixtureJson)
       .collect()
