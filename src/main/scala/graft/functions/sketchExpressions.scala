@@ -44,6 +44,28 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `word_shingles(text, n)` — distinct n-word shingles (array<string>) of a
+  * whitespace-tokenized text column, first-occurrence order. Single-pass
+  * kernel; see SketchUtil.wordShingles for the exact tokenization contract.
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    SketchUtil.wordShingles(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.SketchUtil.wordShingles($t, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.functions.lit
 
@@ -52,4 +74,7 @@ object SketchFunctions {
 
   def simHash(tokens: Column): Column =
     Shims.column(SimHash64(Shims.expression(tokens)))
+
+  def wordShingles(text: Column, n: Int): Column =
+    Shims.column(WordShingles(Shims.expression(text), Shims.expression(lit(n))))
 }

@@ -21,15 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** word-shingles of size `n` from a whitespace-tokenized text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(n)))).otherwise(null)),
-      x => x.isNotNull))
-  }
+  /** Distinct word-shingles of size `n` from a whitespace-tokenized text
+    * column. Codegen'd single-pass kernel (WordShingles); the equivalent
+    * `transform(sequence(...), i -> concat_ws(slice(split(...))))` shape
+    * re-runs the regex split per shingle position (no CSE inside lambda
+    * bodies) — ~100x slower on real documents.
+    */
+  def shingles(text: Column, n: Int): Column =
+    SketchFunctions.wordShingles(text, n)
 
   /** MinHash+LSH candidate pairs with verified Jaccard.
     *
