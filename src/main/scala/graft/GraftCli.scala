@@ -57,6 +57,18 @@ object GraftCli {
       operators.Split.shardCount(manifest).show(false)
       spark.stop()
 
+    // multi-container output spread (reference round-robins staging
+    // containers, Transforms/PartitionedContentSink.cs:54-66): comma-
+    // separated base paths, pid -> basePaths(pid % N)/pid=<pid>/
+    case "prepartition-spread" :: inGlob :: basePaths :: colIdx :: n :: seed :: rest =>
+      val spark = session()
+      PrePartition.runSpread(spark, inGlob, basePaths.split(',').toIndexedSeq,
+        PartitionConfig(colIdx.toInt, n.toInt, seed.toInt),
+        gzipOutput = rest.contains("gzip"))
+      println(s"[graft] prepartitioned $inGlob -> spread over " +
+        s"${basePaths.split(',').length} roots (col=$colIdx n=$n seed=$seed)")
+      spark.stop()
+
     case "validate" :: stagingDir :: Nil =>
       val spark = session()
       PrePartition.invariants(PrePartition.validationFrame(spark, stagingDir))
@@ -86,6 +98,7 @@ object GraftCli {
            |Usage:
            |  generate <outDir> <nRows> [seed]
            |  prepartition <inGlob> <outDir> <colIdx> <maxPartitions> <seed> [gzip]
+           |  prepartition-spread <inGlob> <basePath1,basePath2,...> <colIdx> <maxPartitions> <seed> [gzip]
            |  split <inGlob> <outDir> <maxBytesPerShard> [header] [gzip]
            |  validate <stagingDir>
            |  stream <landingDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]""".stripMargin)

@@ -32,16 +32,22 @@ object VectorUtil {
   def cosine(a: ArrayData, b: ArrayData): Double =
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
-  /** Deterministic pseudo-random hyperplanes: plane(p)(d) = sin(p*8191 +
-    * d*127) — same formula the Column-level LSH used; cached per (planes,
-    * dim) so generated code pays one array lookup per plane.
+  /** Deterministic pseudo-random hyperplanes: Rademacher ±1 entries drawn
+    * from xxhash64(p << 32 | d) — mutually independent across planes, unlike
+    * the lattice-correlated sin(p*a + d*b) formula this replaced (adjacent
+    * sin planes share phase structure, collapsing the effective plane count
+    * and the LSH's recall). Cached per (planes, dim) so generated code pays
+    * one array lookup per plane.
     */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
   private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((nPlanes, dim), { case (p, d) =>
-      Array.tabulate(p, d)((pp, dd) => math.sin(pp * 8191.0 + dd * 127.0))
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      Array.tabulate(p, d)((pp, dd) =>
+        if ((XXH64.hashLong((pp.toLong << 32) | dd.toLong, 0x517cc1b7L) & 1L) == 0L)
+          1.0 else -1.0)
     })
 
   /** Packed sign-bit signature of `emb` against `nPlanes` hyperplanes. */

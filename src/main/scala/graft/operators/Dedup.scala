@@ -87,18 +87,24 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup candidates: 64-bit fingerprints bucketed by 16-bit
-    * bands (Hamming-LSH); pairs within `maxHamming` reported. Guarantees:
-    * any pair with Hamming distance <= 3 shares at least one of the 4 bands.
+  /** SimHash near-dup candidates: 64-bit fingerprints bucketed by
+    * `bands` equal bit-slices (Hamming-LSH); pairs within `maxHamming`
+    * reported. Pigeonhole guarantee: any pair with Hamming distance <
+    * `bands` shares at least one band, so recall is total for
+    * maxHamming <= bands - 1; beyond that it is probabilistic.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 64,
+                   bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val docs = df.select(col(idCol).as("id"),
       SketchFunctions.simHash(split(trim(col(textCol)), "\\s+")).as("fp"))
 
     val banded = docs.select(col("id"), col("fp"), posexplode(
-      array((0 until 4).map(b =>
-        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      array((0 until bands).map(b =>
+        shiftrightunsigned(col("fp"), b * bits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     val bucketSizes = banded.groupBy("band", "bucket").count()
@@ -113,6 +119,33 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash candidate generation + exact shingle-Jaccard verification —
+    * the candidate→verify discipline (same contract as minHashLsh, different
+    * candidate generator): precision of the output is EXACT regardless of
+    * sketch tuning; bands/maxHamming tune only completeness. Use
+    * bands > maxHamming for guaranteed recall within the Hamming radius.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, deterministic
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, threshold: Double = 0.5,
+                     maxHamming: Int = 16, maxBucket: Int = 64,
+                     bands: Int = 32): DataFrame = {
+    val cands = simHashPairs(df, idCol, textCol, maxHamming, maxBucket, bands)
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cands.select("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 

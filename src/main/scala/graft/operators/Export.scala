@@ -54,11 +54,45 @@ object Export {
                               @volatile var finishedAt: java.sql.Timestamp = null)
 
   private val ops = new java.util.concurrent.ConcurrentHashMap[String, Op]()
-  private val pool = java.util.concurrent.Executors.newCachedThreadPool(r => {
-    val t = new Thread(r, "graft-export"); t.setDaemon(true); t
-  })
+
+  /** Bound on tracked operations: when exceeded, the oldest TERMINAL
+    * (Completed/Failed) ops are evicted so a long-lived session doesn't
+    * accumulate one entry per export forever. In-progress ops are never
+    * evicted. Mirrors the reference's server-side operations table, which
+    * is also retention-bounded.
+    */
+  private val MaxTrackedOps = 1024
+
+  /** Export concurrency bound — the reference gates on `.show capacity
+    * data-export` (ExportManager.cs:55-65); a fixed pool is our analogue.
+    * Excess exports queue rather than competing for the Spark scheduler.
+    */
+  private val ExportCapacity = 8
+
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    ExportCapacity,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-export"); t.setDaemon(true); t
+    })
   private implicit val ec: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(pool)
+
+  private def evictTerminalIfOverCap(): Unit = if (ops.size > MaxTrackedOps) {
+    import scala.jdk.CollectionConverters._
+    ops.values.asScala.toSeq
+      .filter(o => o.state == "Completed" || o.state == "Failed")
+      .sortBy(_.startedAt.getTime)
+      .take(math.max(0, ops.size - MaxTrackedOps))
+      .foreach(o => ops.remove(o.opId))
+  }
+
+  /** Drop all terminal operations (explicit cleanup hook). */
+  def clearOperations(): Unit = {
+    import scala.jdk.CollectionConverters._
+    ops.values.asScala.toSeq
+      .filter(o => o.state == "Completed" || o.state == "Failed")
+      .foreach(o => ops.remove(o.opId))
+  }
 
   /** `.export async`: kicks the export off on a background thread and
     * returns its operation id immediately. Poll with `operations(spark)`
@@ -74,6 +108,7 @@ object Export {
     val op = Op(opId, "DataExportToCsv", destDir,
       new java.sql.Timestamp(System.currentTimeMillis()))
     ops.put(opId, op)
+    evictTerminalIfOverCap()
     scala.concurrent.Future {
       toCsv(df, destDir, includeHeaders, compressed, sizeLimitBytes, single)
     }.onComplete {

@@ -53,8 +53,11 @@ object Multimodal {
       i += 1
     }
     val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    // round-half-UP to 2dp (floor(x+0.5)), not rint: rint is half-to-even,
+    // which SQL engines don't expose — half-up keeps the stub's output
+    // expressible in the DuckDB oracle bit-for-bit
     MediaFeatures(r.doc_id, r.modality, bytes.length,
-      math.rint(mean * 100) / 100, acc % 16)
+      math.floor(mean * 100 + 0.5) / 100, acc % 16)
   }
 
   /** Feature extraction: typed mapPartitions pass (iterator-in/iterator-out,
@@ -88,7 +91,9 @@ object Multimodal {
           x => x.isNotNull)))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
-      .withColumn("frame_checksum", crc32(col("frame_bytes")))
-      .select("doc_id", "frame_idx", "frame_checksum")
+      // expose the sampled frame as hex — a content-complete witness (the
+      // prior crc32 checksum proved less and had no DuckDB equivalent)
+      .withColumn("frame_hex", lower(hex(col("frame_bytes"))))
+      .select("doc_id", "frame_idx", "frame_hex")
       .orderBy("doc_id", "frame_idx")
 }

@@ -117,26 +117,38 @@ object PrePartition {
   /** The spread writer: rows annotated with `pid` land under
     * `roots(pid % N)/pid=<pid>/part-*`. One shuffle on pid, per-root
     * temp+rename commit, verbatim bytes. Returns records written.
+    *
+    * Exactly-once on retry: the DESTINATION name is deterministic
+    * (`part-<sparkPartitionId>`), only the tmp name is attempt-unique, and
+    * commit is delete(dest)+rename(tmp,dest) — so a task retry or
+    * speculative attempt overwrites the prior attempt's file instead of
+    * accumulating beside it (same discipline as Split's shard writer).
     */
   private[graft] def writeSpread(withPid: DataFrame, roots: IndexedSeq[String],
                                  nPartitions: Int, gzipOutput: Boolean): Long = {
     val spark = withPid.sparkSession
     import spark.implicits._
     val nPaths = roots.length
+    // carry the session's spark.hadoop.* settings to the executors —
+    // the roots may be remote blob containers needing credentials/fs impls
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.sql.graft.Shims.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     val written = withPid
       .filter(col("pid").isNotNull)
       .select(col("pid").cast("int").as("pid"), col("value"))
       .repartition(nPartitions, col("pid"))
       .sortWithinPartitions("pid")
       .mapPartitions { iter =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confB.value.value
         var n = 0L
         var cur = Int.MinValue
         var writer: java.io.Writer = null
         var tmp: org.apache.hadoop.fs.Path = null
         var dest: org.apache.hadoop.fs.Path = null
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(t => s"${t.partitionId()}-${t.taskAttemptId()}").getOrElse("0")
+        val ctx = Option(org.apache.spark.TaskContext.get())
+        val partId = ctx.map(_.partitionId().toString).getOrElse("0")
+        val attempt = ctx.map(t => s"$partId-${t.taskAttemptId()}").getOrElse("0")
         def close(): Unit = if (writer != null) {
           writer.close()
           val fs = dest.getFileSystem(conf)
@@ -151,7 +163,7 @@ object PrePartition {
             cur = pid
             val base = roots(pid % nPaths) // the round-robin spread
             val ext = if (gzipOutput) ".txt.gz" else ".txt"
-            dest = new org.apache.hadoop.fs.Path(s"$base/pid=$pid/part-$attempt$ext")
+            dest = new org.apache.hadoop.fs.Path(s"$base/pid=$pid/part-$partId$ext")
             tmp = new org.apache.hadoop.fs.Path(s"$base/pid=$pid/_tmp-$attempt$ext")
             val fs = dest.getFileSystem(conf)
             val raw: java.io.OutputStream = fs.create(tmp, true)

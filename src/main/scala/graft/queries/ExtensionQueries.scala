@@ -6,17 +6,20 @@ import org.apache.spark.sql.functions._
 /** Extension operators beyond the reference's surface (SURVEY.md §7.3 M6):
   * the LLM-training-data pipeline family.
   *
-  * Oracle coverage: the deterministic text-dedup outputs (x1, x3, x10,
-  * x11) carry brute-force DuckDB oracles — all-pairs shingle Jaccard
-  * (quadratic, fine at the sf0.01 gate scale) and a recursive-CTE
-  * transitive closure for components. x1/x10/x11 additionally assert the
-  * MinHash-LSH candidate stage has FULL recall on this corpus (planted
-  * near-dups are high-Jaccard; verified empirically, and any future
-  * recall loss should fail the gate loudly rather than pass silently).
-  * The rest (custom sketch values, sin-based hyperplane signatures whose
-  * float/double rounding differs from SQL, binary plumbing) stay
-  * rows-only; graft's own specs assert their semantics (planted near-dups
-  * recovered, LSH recall vs brute force, etc.).
+  * Oracle coverage: EVERY query here carries a DuckDB oracle. The
+  * approximate/candidate paths follow one discipline:
+  *   - candidate→verify outputs (x1 minhash, x2 simhash, x3 inverted
+  *     index, x4 embedding LSH) are exact values (Jaccard / cosine), so
+  *     the oracle is the brute-force all-pairs computation (quadratic,
+  *     fine at the sf0.01 gate scale); gate parameters are chosen for
+  *     full empirical recall (RecallProbe) so the oracle doubles as a
+  *     recall TRIPWIRE — a sketch regression fails the gate loudly.
+  *   - top-k ANN (x5 LSH, x9 IVF) gate against exact brute-force top-k.
+  *   - sketch values (x8 HLL/quantile) gate as within-tolerance booleans.
+  *   - multimodal plumbing (x6/x7) re-derives the deterministic stub
+  *     features in SQL (sha256 + byte folds).
+  * Production defaults keep the pruning parameters; only the gate entries
+  * trade pruning for certainty (documented per query).
   */
 object ExtensionQueries {
   import QueryDef.t
@@ -52,6 +55,24 @@ object ExtensionQueries {
        |  WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= $thr
        |)""".stripMargin
 
+  // Exact brute-force cosine top-10 vs the vec_id=0 query (same fold
+  // discipline as e2_ann_topk) — the oracle for both approximate ANN paths.
+  private val bruteTopKSql =
+    """WITH dd AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe FROM dd WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1),
+      |      i -> e[i] * qe[i])), (a, b) -> a + b)
+      |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+      |        (a, b) -> a + b))
+      |      * sqrt(list_reduce(list_prepend(0.0, list_transform(qe, x -> x * x)),
+      |        (a, b) -> a + b))), 6) AS sim
+      |FROM dd, q WHERE vec_id <> 0
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   // Transitive closure over `pairs` + min-label per node (the component id).
   private val componentsCte =
     """edges AS (SELECT id_a AS a, id_b AS b FROM pairs
@@ -72,11 +93,20 @@ object ExtensionQueries {
       Some(s"WITH ${bruteJaccardPairs(0.2)}\n" +
         "SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b")),
 
-    // SimHash Hamming-band near-dup candidates.
+    // SimHash candidates -> exact-Jaccard verification (the candidate→verify
+    // discipline; precision exact, sketch tunes only completeness). 8 bands
+    // of 8 bits guarantee recall for Hamming <= 7 (pigeonhole); the
+    // fixture's jaccard>=0.5 pairs all sit at Hamming <= 5 (X2Probe), so
+    // recall is total with margin. TRIPWIRE (like x1): the oracle is
+    // brute-force all-pairs Jaccard, so a simhash recall regression fails
+    // the gate loudly. Production callers use the 4x16-bit default (65k
+    // buckets/band — the scale path for billion-doc corpora).
     "x2_simhash" -> QueryDef(
-      (s, dir) => Dedup.simHashPairs(
-        t(s, dir, "documents"), "doc_id", "text", maxHamming = 4),
-      None),
+      (s, dir) => Dedup.simHashNearDup(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        maxHamming = 7, maxBucket = 10000, bands = 8),
+      Some(s"WITH ${bruteJaccardPairs(0.5)}\n" +
+        "SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b")),
 
     // Exact n-gram Jaccard via inverted index on rare shingles.
     // Oracle mirrors the df<=maxDf(64) boilerplate exclusion: union counts
@@ -100,34 +130,93 @@ object ExtensionQueries {
               |WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.2
               |ORDER BY id_a, id_b""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs (hyperplane-LSH buckets).
+    // Embedding-cosine near-dup pairs (hyperplane-LSH buckets, verified
+    // cosine — precision exact). Runs the PRODUCTION defaults (16 planes,
+    // 8 two-bit bands, bucket cap 256): with independent Rademacher planes
+    // the banded LSH has full empirical recall on this fixture
+    // (RecallProbe: 59/59 brute-force pairs found), so the brute-force
+    // oracle doubles as a recall tripwire.
     "x4_embed_neardup" -> QueryDef(
       (s, dir) => Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), threshold = 0.4),
-      None),
+      Some(
+        """WITH dd AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |p AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+          |  FROM dd a JOIN dd b ON a.vec_id < b.vec_id),
+          |s AS (
+          |  SELECT id_a, id_b,
+          |    list_reduce(list_prepend(0.0, list_transform(range(1, len(ea) + 1),
+          |        i -> ea[i] * eb[i])), (x, y) -> x + y)
+          |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(ea, x -> x * x)),
+          |          (x, y) -> x + y))
+          |        * sqrt(list_reduce(list_prepend(0.0, list_transform(eb, x -> x * x)),
+          |          (x, y) -> x + y))) AS raw
+          |  FROM p)
+          |SELECT id_a, id_b,
+          |  round(CASE WHEN isnan(raw) THEN -1.0 ELSE raw END, 6) AS sim
+          |FROM s
+          |WHERE round(CASE WHEN isnan(raw) THEN -1.0 ELSE raw END, 6) >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     // LSH approximate top-k vs the same query vector as e2_ann_topk.
+    // probes=8 still prunes (~half the corpus at 16 planes) yet has full
+    // recall on this fixture (RecallProbe: identical to brute force); the
+    // oracle is the exact brute-force top-k, so an LSH recall regression
+    // fails the gate rather than passing silently. Production default
+    // stays at the tighter pruning setting (probes=4).
     "x5_ann_lsh" -> QueryDef(
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_embedding"))
-        Similarity.lshTopK(e.filter(col("vec_id") =!= 0), q, 10)
+        Similarity.lshTopK(e.filter(col("vec_id") =!= 0), q, 10, probes = 8)
       },
-      None),
+      Some(bruteTopKSql)),
 
     // Multimodal: synthesize binary corpus -> typed mapPartitions feature
-    // extraction (decode STUBBED, plumbing real).
+    // extraction (decode STUBBED, plumbing real). The synthesized content
+    // is sha2 hex, so the stub features are fully SQL-expressible — the
+    // oracle re-derives them in DuckDB (sha256, byte-code folds) and gates
+    // the whole binary plumbing end to end.
     "x6_multimodal_features" -> QueryDef(
       (s, dir) => Multimodal.extractFeatures(
         s, Multimodal.synthesize(t(s, dir, "documents"))),
-      None),
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id,
+          |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+          |    sha256(text) || sha256(text || '2') AS content
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, modality, CAST(len(content) AS INT) AS n_bytes,
+          |    list_transform(range(1, len(content) + 1), i -> ord(content[i])) AS codes
+          |  FROM m)
+          |SELECT doc_id, modality, n_bytes,
+          |  floor((list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          |    (a, b) -> a + b)::DOUBLE / n_bytes) * 100 + 0.5) / 100 AS mean_byte,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          |    (a, b) -> (a * 31 + b) & 2147483647) % 16 AS INT) AS entropy_bucket
+          |FROM c ORDER BY doc_id""".stripMargin)),
 
-    // Multimodal frame sampling (1 row -> k frames explode).
+    // Multimodal frame sampling (1 row -> k frames explode); the sampled
+    // frame bytes surface as a hex witness, re-derivable in SQL from the
+    // deterministic synthesized content.
     "x7_frame_sample" -> QueryDef(
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.synthesize(t(s, dir, "documents"))),
-      None),
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id, sha256(text) || sha256(text || '2') AS content
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |f AS (
+          |  SELECT doc_id, content, unnest(range(0, len(content) // 16)) AS i
+          |  FROM m WHERE len(content) // 16 > 0)
+          |SELECT doc_id, CAST(i // 4 AS INT) AS frame_idx,
+          |  lower(hex(substr(content, CAST(i * 16 + 1 AS INT), 16))) AS frame_hex
+          |FROM f WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Near-dup clusters: connected components over the MinHash+LSH pairs
     // (pair list -> transitive clusters -> per-cluster size).
@@ -160,25 +249,44 @@ object ExtensionQueries {
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // IVF approximate top-k: centroid-pruned scan (same query vector as
-    // e2_ann_topk; centroids = deterministic id-ordered sample).
+    // e2_ann_topk; centroids = deterministic id-ordered sample). Gate runs
+    // nprobe = nlist (exhaustive probing), which must EQUAL brute force —
+    // the invariant the IVF spec asserts; the oracle enforces it against
+    // DuckDB. The fixture embeddings are near-uniform (no cluster
+    // structure), so no partial-probe setting is exact here; production
+    // default stays nprobe=4.
     "x9_ann_ivf" -> QueryDef(
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_embedding"))
-        Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), q, 10)
+        Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), q, 10,
+          nlist = 16, nprobe = 16)
       },
-      None),
+      Some(bruteTopKSql)),
 
-    // Approximate sketches (HLL distinct + quantile) — values are
-    // engine-specific, so rows-only.
+    // Approximate sketches (HLL distinct + quantile): Spark compares its
+    // own approx values against its own exact values and outputs
+    // within-tolerance booleans — the oracle supplies exact group counts
+    // and literal `true`s, so a sketch drifting out of tolerance fails the
+    // gate (raw sketch values themselves are engine-specific).
     "x8_approx" -> QueryDef(
       (s, dir) => t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        .agg(approx_count_distinct(col("user_id")).as("au"),
+          countDistinct(col("user_id")).as("eu"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          expr("percentile(value, 0.5)").as("ep50"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"),
           count(lit(1)).as("n"))
+        .select(col("event_type"),
+          (abs(col("au") - col("eu")) <= col("eu") * 0.05).as("approx_users_ok"),
+          (abs(col("ap50") - col("ep50")) <= (col("mx") - col("mn")) * 0.05)
+            .as("p50_ok"),
+          col("n"))
         .orderBy("event_type"),
-      None)
+      Some("""SELECT event_type, true AS approx_users_ok, true AS p50_ok,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

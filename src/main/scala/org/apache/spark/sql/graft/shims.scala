@@ -14,6 +14,17 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A serializable carrier for the driver's Hadoop configuration, so
+    * executor-side writers (PrePartition.writeSpread) see the session's
+    * `spark.hadoop.*` settings (credentials, fs impls) exactly as Spark's
+    * own writers do. Wraps `private[spark]` SerializableConfiguration.
+    */
+  class SerializableHadoopConf(@transient conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private val inner = new org.apache.spark.util.SerializableConfiguration(conf)
+    def value: org.apache.hadoop.conf.Configuration = inner.value
+  }
+
   /** Apply the functions registered on a SparkSessionExtensions to a
     * registry (`registerFunctions` is private[sql]) — lets tests exercise
     * the `spark.sql.extensions` injection path without tearing down the
