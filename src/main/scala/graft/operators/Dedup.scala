@@ -135,9 +135,13 @@ object Dedup {
                      maxHamming: Int = 16, maxBucket: Int = 64,
                      bands: Int = 32): DataFrame = {
     val cands = simHashPairs(df, idCol, textCol, maxHamming, maxBucket, bands)
+    // materialize the shingle sets once — both verify joins read this frame
+    // (localCheckpoint, not cache: blocks release with the frame, see
+    // minHashLsh)
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     cands.select("id_a", "id_b")
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

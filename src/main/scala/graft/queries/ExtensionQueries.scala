@@ -97,14 +97,18 @@ object ExtensionQueries {
     // discipline; precision exact, sketch tunes only completeness). 8 bands
     // of 8 bits guarantee recall for Hamming <= 7 (pigeonhole); the
     // fixture's jaccard>=0.5 pairs all sit at Hamming <= 5 (X2Probe), so
-    // recall is total with margin. TRIPWIRE (like x1): the oracle is
-    // brute-force all-pairs Jaccard, so a simhash recall regression fails
-    // the gate loudly. Production callers use the 4x16-bit default (65k
-    // buckets/band — the scale path for billion-doc corpora).
+    // recall is total with margin. The bucket cap (64, family default)
+    // drops only hot boilerplate-signature bands — near-dup pairs share
+    // >= 3 of 8 bands incl. cold ones (verified: 25/25 at caps 32..128;
+    // uncapped the hot buckets cost quadratic join time for zero recall).
+    // TRIPWIRE (like x1): the oracle is brute-force all-pairs Jaccard, so
+    // a simhash recall regression fails the gate loudly. Production
+    // callers use the 4x16-bit default (65k buckets/band — the scale path
+    // for billion-doc corpora).
     "x2_simhash" -> QueryDef(
       (s, dir) => Dedup.simHashNearDup(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
-        maxHamming = 7, maxBucket = 10000, bands = 8),
+        maxHamming = 7, maxBucket = 64, bands = 8),
       Some(s"WITH ${bruteJaccardPairs(0.5)}\n" +
         "SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b")),
 
