@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: find training documents sharing long
+  * n-gram shingles with a held-out benchmark/eval set — the standard
+  * decontamination step before LLM training (n-gram collision against the
+  * eval corpus; typical n = 8..13 word shingles).
+  *
+  * Scale design (100 TB): training shingles explode to a posting list and
+  * semi-join the benchmark shingle set on the shingle key — one shuffle on
+  * a high-cardinality key. The benchmark side is tiny by construction
+  * (eval sets are MBs, not TBs), so Spark/AQE broadcasts it; the training
+  * side never self-joins. Degenerate shingles are impossible at n >= 8
+  * boilerplate lengths worth caring about would be caught by the df cap
+  * in the dedup family anyway.
+  */
+object Contamination {
+
+  /** Per-document contamination report against a benchmark corpus.
+    *
+    * @param train     (idCol, textCol) training documents
+    * @param benchmark (idCol, textCol) eval/benchmark documents
+    * @param n         shingle width in words
+    * @return (idCol, n_shingles, n_contaminated, contamination_ratio) for
+    *         contaminated docs only, deterministic order
+    */
+  def report(train: DataFrame, benchmark: DataFrame, idCol: String,
+             textCol: String, n: Int = 8): DataFrame = {
+    val trainSh = train
+      .select(col(idCol).as("id"), Dedup.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    trainSh
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .groupBy(col("id").as(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+      .orderBy(idCol)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: documents are concatenated in a
+  * deterministic order and split into fixed-capacity context windows
+  * (tokens, not chars), documents straddling window boundaries — the
+  * standard "packed sequences" preparation (concatenate-with-EOS, cut
+  * every `capacity` tokens). The output maps each document to the token
+  * span it occupies: which window its first token lands in, which its
+  * last, and the offset within the first window.
+  *
+  * Scale design (100 TB): the running token offset is a window cumsum
+  * PARTITIONED by `streamCol` (e.g. language — monolingual packing
+  * streams, the realistic setup): each stream's cumsum shuffles once on
+  * the stream key and sorts within partitions — no global single-partition
+  * window. With one giant stream, swap in the two-phase prefix-sum
+  * (per-partition partial sums broadcast as offsets); the per-stream shape
+  * here never needs it.
+  */
+object Pack {
+
+  /** Whitespace token count — the packing currency. Mirrors the tokenizer
+    * used by the text-analysis family (split on runs of whitespace).
+    */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Per-document packed spans.
+    *
+    * @param docs      input with idCol / textCol / streamCol
+    * @param capacity  window capacity in tokens
+    * @return (streamCol, idCol, n_tokens, start_window, end_window,
+    *          start_offset) — windows are 0-based per stream, offset is the
+    *          token position within the first window
+    */
+  def packedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  streamCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(streamCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(streamCol), col(idCol),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("cum_end") - col("n_tokens"))
+      .select(
+        col(streamCol), col(idCol), col("n_tokens"),
+        (col("start_tok") / capacity).cast("long").as("start_window"),
+        ((col("cum_end") - 1) / capacity).cast("long").as("end_window"),
+        pmod(col("start_tok"), lit(capacity.toLong)).as("start_offset"))
+  }
+
+  /** Per-stream packing summary: windows consumed and mean fill of the
+    * last (partial) window — the packing-efficiency numbers a pipeline
+    * reports.
+    */
+  def packingStats(spans: DataFrame, streamCol: String,
+                   capacity: Int): DataFrame =
+    spans.groupBy(streamCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("end_window") + 1).as("n_windows"),
+        round(sum("n_tokens").cast("double") /
+          ((max("end_window") + 1) * capacity), 4).as("fill_ratio"))
+      .orderBy(streamCol)
+}

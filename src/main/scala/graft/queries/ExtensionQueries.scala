@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Contamination, Dedup, Multimodal, Pack, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Extension operators beyond the reference's surface (SURVEY.md §7.3 M6):
@@ -24,19 +24,24 @@ import org.apache.spark.sql.functions._
 object ExtensionQueries {
   import QueryDef.t
 
-  // Shared oracle-SQL prelude: per-doc DISTINCT 3-word shingle sets over
+  // Shared oracle-SQL prelude: per-doc DISTINCT n-word shingle sets over
   // whitespace-tokenized text — the exact mirror of Dedup.shingles.
-  private val shinglesCte =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-      |),
-      |idx AS (
-      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-      |  FROM toks WHERE len(t) >= 3
-      |),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx
-      |)""".stripMargin
+  private def shinglesCteN(n: Int): String = {
+    val cat = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |),
+       |idx AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+       |  FROM toks WHERE len(t) >= $n
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, $cat AS shingle FROM idx
+       |)""".stripMargin
+  }
+
+  private val shinglesCte = shinglesCteN(3)
 
   // All-pairs exact Jaccard >= `thr` over the full shingle sets.
   private def bruteJaccardPairs(thr: Double): String =
@@ -268,6 +273,75 @@ object ExtensionQueries {
           nlist = 16, nprobe = 16)
       },
       Some(bruteTopKSql)),
+
+    // Sequence packing: concatenate-and-split context windows (capacity
+    // 512 tokens) per language stream; each doc maps to its (start_window,
+    // end_window, start_offset) token span. One shuffle on the stream key;
+    // no global window.
+    "x12_pack" -> QueryDef(
+      (s, dir) => Pack.packedSpans(
+          t(s, dir, "documents"), "doc_id", "text", "lang", capacity = 512)
+        .orderBy("lang", "doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT lang, doc_id,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_end
+             |  FROM tk WHERE n_tokens > 0)
+             |SELECT lang, doc_id, n_tokens,
+             |  (cum_end - n_tokens) // 512 AS start_window,
+             |  (cum_end - 1) // 512 AS end_window,
+             |  (cum_end - n_tokens) % 512 AS start_offset
+             |FROM c ORDER BY lang, doc_id""".stripMargin)),
+
+    // Packing efficiency per stream (windows consumed, fill ratio).
+    "x14_pack_stats" -> QueryDef(
+      (s, dir) => Pack.packingStats(
+        Pack.packedSpans(
+          t(s, dir, "documents"), "doc_id", "text", "lang", capacity = 512),
+        "lang", capacity = 512),
+      Some("""WITH tk AS (
+             |  SELECT lang, doc_id,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_end
+             |  FROM tk WHERE n_tokens > 0)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  max((cum_end - 1) // 512) + 1 AS n_windows,
+             |  round(sum(n_tokens)::DOUBLE /
+             |    ((max((cum_end - 1) // 512) + 1) * 512), 4) AS fill_ratio
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Benchmark-contamination report: training docs sharing an 8-word
+    // shingle with the (deterministic) held-out benchmark subset. The
+    // benchmark side is tiny by construction -> broadcast semi-join; the
+    // training side shuffles once on the shingle key.
+    "x13_contamination" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Contamination.report(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", n = 8)
+      },
+      Some(s"""WITH ${shinglesCteN(8)},
+              |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+              |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+              |hits AS (
+              |  SELECT s.doc_id, count(*) AS n_contaminated
+              |  FROM sh s JOIN bench b USING (shingle)
+              |  WHERE s.doc_id % 20 <> 0
+              |  GROUP BY s.doc_id)
+              |SELECT h.doc_id, c.n_shingles, h.n_contaminated,
+              |  round(h.n_contaminated::DOUBLE / c.n_shingles, 4) AS contamination_ratio
+              |FROM hits h JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // Approximate sketches (HLL distinct + quantile): Spark compares its
     // own approx values against its own exact values and outputs
