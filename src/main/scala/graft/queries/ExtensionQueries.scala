@@ -26,11 +26,11 @@ object ExtensionQueries {
 
   // Shared oracle-SQL prelude: per-doc DISTINCT n-word shingle sets over
   // whitespace-tokenized text — the exact mirror of Dedup.shingles.
-  private def shinglesCteN(n: Int): String = {
+  private def shinglesCteN(n: Int, src: String = "documents"): String = {
     val cat = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
       .mkString(" || ' ' || ")
     s"""toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $src
        |),
        |idx AS (
        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
@@ -44,8 +44,8 @@ object ExtensionQueries {
   private val shinglesCte = shinglesCteN(3)
 
   // All-pairs exact Jaccard >= `thr` over the full shingle sets.
-  private def bruteJaccardPairs(thr: Double): String =
-    s"""$shinglesCte,
+  private def bruteJaccardPairs(thr: Double, src: String = "documents"): String =
+    s"""${shinglesCteN(3, src)},
        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |p0 AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -342,6 +342,46 @@ object ExtensionQueries {
               |SELECT h.doc_id, c.n_shingles, h.n_contaminated,
               |  round(h.n_contaminated::DOUBLE / c.n_shingles, 4) AS contamination_ratio
               |FROM hits h JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // End-to-end corpus prep — the flagship composition of the training
+    // pipeline: quality filter (min token count) -> MinHash near-dup
+    // removal (pairs -> components -> survivors) -> per-language sequence
+    // packing stats. Each stage is the already-oracle-backed operator;
+    // the oracle recomputes the whole chain in SQL (filter CTE ->
+    // brute-force Jaccard -> recursive closure -> windowed cumsum).
+    "x15_corpus_prep" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = docs.filter(Pack.tokenCount(col("text")) >= 25)
+        val surv = Dedup.dedupSurvivors(q, "doc_id",
+          Dedup.minHashLsh(q, "doc_id", "text", threshold = 0.5))
+        Pack.packingStats(
+          Pack.packedSpans(surv, "doc_id", "text", "lang", capacity = 512),
+          "lang", capacity = 512)
+      },
+      Some(s"""WITH RECURSIVE qdocs AS (
+              |  SELECT doc_id, lang, text FROM documents
+              |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 25),
+              |${bruteJaccardPairs(0.5, "qdocs")},
+              |$componentsCte,
+              |surv AS (
+              |  SELECT lang, doc_id, text FROM qdocs
+              |  WHERE doc_id NOT IN (SELECT node FROM labels WHERE label <> node)),
+              |tk AS (
+              |  SELECT lang, doc_id,
+              |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+              |  FROM surv),
+              |c AS (
+              |  SELECT lang, doc_id, n_tokens,
+              |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum_end
+              |  FROM tk WHERE n_tokens > 0)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              |  max((cum_end - 1) // 512) + 1 AS n_windows,
+              |  round(sum(n_tokens)::DOUBLE /
+              |    ((max((cum_end - 1) // 512) + 1) * 512), 4) AS fill_ratio
+              |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Approximate sketches (HLL distinct + quantile): Spark compares its
     // own approx values against its own exact values and outputs
