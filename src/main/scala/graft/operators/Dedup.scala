@@ -219,10 +219,14 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 64): DataFrame = {
+    // materialize the posting list once: three consumers below (df counts,
+    // union-side semi join, pair-side semi join) would each re-run the
+    // shingle kernel over the full corpus otherwise
     val posting = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), explode(col("sh")).as("shingle"))
+      .localCheckpoint()
     val dfCounts = posting.groupBy("shingle").count()
     // union side: every non-boilerplate shingle (df <= maxDf, incl. df=1)
     val kept = posting.join(

@@ -126,6 +126,32 @@ class Round2OpsSpec extends GraftSparkSpec {
     assert(spark.read.text(glob: _*).count() == 300)
   }
 
+  test("spread writer rerun overwrites (deterministic dest names, no dup)") {
+    // a task retry / speculative attempt re-executes the same writer over
+    // the same shuffled partition; the deterministic part-<partition> dest
+    // plus delete+rename commit must OVERWRITE the prior attempt's file,
+    // never accumulate beside it (exactly-once contract of the spread path)
+    val bases = (0 until 2).map(i => s"$tmp/rerun-container$i").toIndexedSeq
+    val cfg = PartitionConfig(columnIndex = 3, maxPartitionCount = 4, seed = 17)
+    val lines = LogDataGenerator.toCsvLines(
+      LogDataGenerator.generate(spark, 200, seed = 5))
+    val withPid = graft.operators.PrePartition.withPartitionId(lines, cfg)
+    val n1 = graft.operators.PrePartition
+      .writeSpread(withPid, bases, cfg.maxPartitionCount, gzipOutput = false)
+    val files1 = bases.flatMap(b =>
+      Option(new java.io.File(b).listFiles()).getOrElse(Array.empty)
+        .flatMap(d => d.listFiles()).map(_.toString)).sorted
+    val n2 = graft.operators.PrePartition
+      .writeSpread(withPid, bases, cfg.maxPartitionCount, gzipOutput = false)
+    val files2 = bases.flatMap(b =>
+      Option(new java.io.File(b).listFiles()).getOrElse(Array.empty)
+        .flatMap(d => d.listFiles()).map(_.toString)).sorted
+    assert(n1 == 200 && n2 == 200)
+    assert(files1 == files2, "rerun must not add files")
+    val glob = bases.map(b => s"$b/pid=*/*.txt")
+    assert(spark.read.text(glob: _*).count() == 200)
+  }
+
   test("B3: staging-container fetch filters TempStorage rows in order") {
     val rows = Resources.stagingContainers(spark, Resources.fixtureJson)
       .collect()
