@@ -196,6 +196,59 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * deep-graph alternative to `clusters`: converges in O(log n) rounds on
+    * ANY graph shape, where min-label propagation needs graph-diameter
+    * rounds (a 10k-node chain would need 10k joins). Same contract as
+    * `clusters`: (node, label) with label = min id of the component.
+    *
+    * Per round, two star operations, each ONE groupBy-min + ONE join:
+    *   large-star: every neighbor v > u re-points to m(u) = min(Γ(u)∪{u})
+    *   small-star: every neighbor v <= u (larger-end-directed edges)
+    *               re-points to m(u)
+    * Fixpoint = the edge set stabilizes into (root, member) stars.
+    */
+  def clustersAlternating(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+
+    var edges = canon(pairs.select(col(idA).as("a"), col(idB).as("b")))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetrized edges
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mL = sym.groupBy("a").agg(least(min(col("b")), col("a")).as("m"))
+      val afterLarge = canon(
+        sym.join(mL, "a").filter(col("b") > col("a"))
+          .select(col("b").as("a"), col("m").as("b")))
+      // small-star over larger-end-directed edges (u > v)
+      val dir = afterLarge.select(col("b").as("u"), col("a").as("v")) // b > a
+      val mS = dir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val joined = dir.join(mS, "u")
+      val afterSmall = canon(
+        joined.select(col("v").as("a"), col("m").as("b"))
+          .union(joined.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint()
+      converged = afterSmall.count() == edges.count() &&
+        afterSmall.except(edges).isEmpty
+      edges = afterSmall
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"clustersAlternating() did not converge in $maxIter rounds")
+    // stars: every member points at its root; roots label themselves
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    sym.groupBy(col("a").as("node"))
+      .agg(least(min(col("b")), col("node")).as("label"))
+  }
+
   /** Keep one representative per near-dup cluster: drop every row whose id
     * is a non-minimal member of a component (rows in no pair survive).
     */

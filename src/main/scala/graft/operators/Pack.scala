@@ -54,6 +54,57 @@ object Pack {
         pmod(col("start_tok"), lit(capacity.toLong)).as("start_offset"))
   }
 
+  /** Packed spans over ONE GLOBAL stream — the two-phase prefix-sum that
+    * replaces a global window (which would sort the entire corpus in a
+    * single partition). Phase 1 range-partitions by id and collects each
+    * partition's token total (P values — bounded by partition count, never
+    * data); phase 2 re-walks each partition with its broadcast starting
+    * offset. The ordered frame is materialized once (localCheckpoint) so
+    * both phases see the identical partitioning.
+    *
+    * Same output contract as `packedSpans` minus the stream column.
+    */
+  def packedSpansGlobal(docs: DataFrame, idCol: String, textCol: String,
+                        capacity: Int, partitions: Int = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = docs
+      .select(col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .repartitionByRange(p, col("id"))
+      .sortWithinPartitions("id")
+      .localCheckpoint()
+    val partials = base.select(col("n_tokens")).as[Int]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach(s += _)
+        Iterator.single((pid, s))
+      }.collect().toMap
+    val nParts = base.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    for (i <- 0 until nParts) {
+      offsets(i) = acc
+      acc += partials.getOrElse(i, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val cap = capacity.toLong
+    base.as[(Long, Int)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var off = bc.value(pid)
+      it.map { case (id, n) =>
+        val start = off
+        off += n
+        (id, n, start / cap, (off - 1) / cap, start % cap)
+      }
+    }.toDF(idCol, "n_tokens", "start_window", "end_window", "start_offset")
+  }
+
   /** Per-stream packing summary: windows consumed and mean fill of the
     * last (partial) window — the packing-efficiency numbers a pipeline
     * reports.

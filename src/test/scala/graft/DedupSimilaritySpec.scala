@@ -36,6 +36,27 @@ class DedupSimilaritySpec extends GraftSparkSpec {
     assert(survivors == (1L to 12L).toSet -- Set(2L, 3L, 11L))
   }
 
+  test("clustersAlternating: logarithmic rounds on a deep chain; agrees with clusters") {
+    import spark.implicits._
+    // a 200-node path: min-label propagation needs ~200 rounds (clusters()
+    // with maxIter=20 must fail loudly); alternating stars needs ~log2(200)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.clusters(chain, maxIter = 20).collect()
+    }
+    val labels = Dedup.clustersAlternating(chain, maxIter = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 200 && labels.forall(_._2 == 0L))
+
+    // same answer as min-label propagation on a shallow multi-component graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L)).toDF("id_a", "id_b")
+    val a = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.clustersAlternating(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("minhash LSH recovers planted near-dups, no false positives at high threshold") {
     val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -49,6 +49,19 @@ class PackContaminationSpec extends GraftSparkSpec {
     assert(stats.getAs[Double]("fill_ratio") == 0.8333) // round(25/30, 4)
   }
 
+  test("packedSpansGlobal: two-phase prefix sum equals the window cumsum") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("one_stream", lit("g"))
+    val viaWindow = Pack.packedSpans(docs, "doc_id", "text", "one_stream", 512)
+      .select("doc_id", "n_tokens", "start_window", "end_window", "start_offset")
+      .collect().map(_.toSeq).toSet
+    val viaPhases = Pack.packedSpansGlobal(docs, "doc_id", "text", 512,
+        partitions = 7) // deliberately uneven vs the 4 shuffle partitions
+      .collect().map(_.toSeq).toSet
+    assert(viaPhases == viaWindow)
+    assert(viaPhases.nonEmpty)
+  }
+
   test("contamination: shared 8-gram detected, disjoint docs clean") {
     val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
     val train = Seq(
