@@ -28,9 +28,17 @@ object Contamination {
     */
   def report(train: DataFrame, benchmark: DataFrame, idCol: String,
              textCol: String, n: Int = 8): DataFrame = {
+    // materialize the shingle arrays before fanning out to size + explode:
+    // without the barrier, InferFiltersFromGenerate re-derives a
+    // size(kernel)>0 filter below the projection and the kernel runs 3x
+    // per training row (filter condition twice + projection; verified in
+    // the plan). Same localCheckpoint discipline as minHashLsh/ngramJaccard
+    // — the dedup family trades executor-local disk for single kernel
+    // evaluation. explode of an empty array emits no rows, so no-shingle
+    // docs drop out naturally.
     val trainSh = train
       .select(col(idCol).as("id"), Dedup.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
       .select(col("id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("shingle"))
     val benchSh = benchmark

@@ -78,6 +78,14 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // exact Jaccard verification
+    verifyPairs(pairs, threshold)
+  }
+
+  /** The shared verify stage of every candidate→verify path: exact
+    * shingle-set Jaccard over candidate pairs carrying `sh_a`/`sh_b`,
+    * thresholded and rounded to 4dp (the oracle-parity discipline).
+    */
+  private def verifyPairs(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -85,7 +93,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
-  }
 
   /** SimHash near-dup candidates: 64-bit fingerprints bucketed by
     * `bands` equal bit-slices (Hamming-LSH); pairs within `maxHamming`
@@ -125,15 +132,24 @@ object Dedup {
   /** SimHash candidate generation + exact shingle-Jaccard verification —
     * the candidate→verify discipline (same contract as minHashLsh, different
     * candidate generator): precision of the output is EXACT regardless of
-    * sketch tuning; bands/maxHamming tune only completeness. Use
-    * bands > maxHamming for guaranteed recall within the Hamming radius.
+    * sketch tuning; bands/maxHamming tune only completeness.
+    *
+    * Parameter coupling to watch: recall is GUARANTEED only for pairs
+    * within Hamming bands-1 (pigeonhole), but more bands means FEWER bits
+    * per band (64/bands) and so 2^(64/bands) bucket values — past
+    * bands=8 the bucket space collapses (bands=32 → 4 values/band) and
+    * every bucket blows through `maxBucket` on corpora beyond a few
+    * hundred docs, silently zeroing recall. Defaults follow the classic
+    * simhash setup (4 bands × 16 bits = 65k buckets/band, maxHamming 3 —
+    * the web-scale shape); small/gate corpora can afford bands=8,
+    * maxHamming=7 (see the x2 gate entry).
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, deterministic
     */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, threshold: Double = 0.5,
-                     maxHamming: Int = 16, maxBucket: Int = 64,
-                     bands: Int = 32): DataFrame = {
+                     maxHamming: Int = 3, maxBucket: Int = 64,
+                     bands: Int = 4): DataFrame = {
     val cands = simHashPairs(df, idCol, textCol, maxHamming, maxBucket, bands)
     // materialize the shingle sets once — both verify joins read this frame
     // (localCheckpoint, not cache: blocks release with the frame, see
@@ -142,15 +158,11 @@ object Dedup {
       shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
-    cands.select("id_a", "id_b")
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
+    verifyPairs(
+      cands.select("id_a", "id_b")
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b")),
+      threshold)
   }
 
   /** Connected components over a near-dup pair list (the step a training

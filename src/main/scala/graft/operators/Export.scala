@@ -118,7 +118,10 @@ object Export {
       case scala.util.Failure(e) =>
         op.state = "Failed"; op.status = String.valueOf(e.getMessage)
         op.finishedAt = new java.sql.Timestamp(System.currentTimeMillis())
-    }
+    }(scala.concurrent.ExecutionContext.parasitic)
+    // ^ the state flip runs on the completing thread, NOT queued on the
+    //   bounded export pool — under a full queue the callback would wait
+    //   behind pending exports and finished ops would poll as InProgress
     opId
   }
 

@@ -71,9 +71,10 @@ object Pack {
     import spark.implicits._
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // id keeps its natural type (string ids pack fine — ordering is the
+    // column's own); only n_tokens needs a concrete encoder
     val base = docs
-      .select(col(idCol).cast("long").as("id"),
-        tokenCount(col(textCol)).as("n_tokens"))
+      .select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .repartitionByRange(p, col("id"))
       .sortWithinPartitions("id")
@@ -94,15 +95,28 @@ object Pack {
     }
     val bc = spark.sparkContext.broadcast(offsets)
     val cap = capacity.toLong
-    base.as[(Long, Int)].mapPartitions { it =>
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        idCol, base.schema("id").dataType, base.schema("id").nullable),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("start_window",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("end_window",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("start_offset",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    base.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var off = bc.value(pid)
-      it.map { case (id, n) =>
+      it.map { r =>
+        val n = r.getInt(1)
         val start = off
         off += n
-        (id, n, start / cap, (off - 1) / cap, start % cap)
+        org.apache.spark.sql.Row(r.get(0), n, start / cap, (off - 1) / cap,
+          start % cap)
       }
-    }.toDF(idCol, "n_tokens", "start_window", "end_window", "start_offset")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Per-stream packing summary: windows consumed and mean fill of the

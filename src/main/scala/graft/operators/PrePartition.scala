@@ -120,9 +120,15 @@ object PrePartition {
     *
     * Exactly-once on retry: the DESTINATION name is deterministic
     * (`part-<sparkPartitionId>`), only the tmp name is attempt-unique, and
-    * commit is delete(dest)+rename(tmp,dest) — so a task retry or
-    * speculative attempt overwrites the prior attempt's file instead of
-    * accumulating beside it (same discipline as Split's shard writer).
+    * commit is a bare rename — FIRST attempt to rename wins (HDFS-contract
+    * rename fails when dest exists); a losing concurrent/speculative
+    * attempt deletes its own tmp and moves on. Attempts over the same
+    * shuffled partition produce identical bytes (deterministic sort), so
+    * first-wins IS exactly-once. No attempt ever deletes a committed
+    * file — a delete(dest)-then-rename discipline would let a zombie
+    * attempt delete another attempt's committed output and die before
+    * restoring it. Job-level OVERWRITE is the caller's dir-clear
+    * (runSpread / processBatchSpread), not this writer's concern.
     */
   private[graft] def writeSpread(withPid: DataFrame, roots: IndexedSeq[String],
                                  nPartitions: Int, gzipOutput: Boolean): Long = {
@@ -152,8 +158,12 @@ object PrePartition {
         def close(): Unit = if (writer != null) {
           writer.close()
           val fs = dest.getFileSystem(conf)
-          fs.delete(dest, false)
-          fs.rename(tmp, dest)
+          if (!fs.rename(tmp, dest)) {
+            // lost the commit race (dest exists): drop our tmp; any other
+            // failure is a real error — surface it
+            if (fs.exists(dest)) fs.delete(tmp, false)
+            else throw new java.io.IOException(s"commit failed: $tmp -> $dest")
+          }
           writer = null
         }
         iter.foreach { row =>
