@@ -259,6 +259,53 @@ object TextQueries {
              |    regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
              |  min(doc_id) AS keep_id, count(*) AS n_same_bag
              |FROM documents
-             |GROUP BY 1 ORDER BY keep_id""".stripMargin))
+             |GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    // ---- vocabulary construction: top-100 tokens by corpus frequency
+    // (tf) with document frequency (df) — the tokenizer-training prep
+    // stage. One explode + one agg shuffle; top-k is TakeOrdered, never a
+    // global sort of the vocabulary.
+    "d13_vocab" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100),
+      Some("""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents)
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
+
+    // ---- PII redaction: email-pattern scrub with redaction accounting.
+    // PII is planted deterministically (the corpus has none), the scrub
+    // itself is the real operator: one narrow regexp pass, no shuffle
+    // before the ordered dump. Pattern kept to the Java-regex /\ RE2
+    // common subset so both engines agree byte-for-byte.
+    "d14_pii" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com now"))).otherwise(lit(""))))
+        .select(col("doc_id"),
+          regexp_replace(col("txt"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+            "<EMAIL>").as("redacted"))
+        .withColumn("was_redacted", col("redacted").contains("<EMAIL>"))
+        .select("doc_id", "was_redacted", "redacted")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, contains(redacted, '<EMAIL>') AS was_redacted,
+             |  redacted
+             |FROM (SELECT doc_id, regexp_replace(
+             |    text || CASE WHEN doc_id % 7 = 0
+             |      THEN ' contact user' || doc_id || '@example.com now'
+             |      ELSE '' END,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g') AS redacted
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 }
