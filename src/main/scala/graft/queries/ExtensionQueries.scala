@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   *     features in SQL (sha256 + byte folds).
   * Production defaults keep the pruning parameters; only the gate entries
   * trade pruning for certainty (documented per query).
+  *
+  * The tripwires are LIVE, not vacuous: re-running the oracle compare
+  * against the sf0.001 corpus (whose near-dup pairs sit at different
+  * Hamming/cosine margins) fails exactly the three recall-sensitive
+  * entries (x2 one pair short, x4 one pair short, x5 one rank swap) and
+  * passes the other 62 — i.e., a sketch recall regression at the gate
+  * fixture WILL surface as a loud gate failure, never a silent pass.
   */
 object ExtensionQueries {
   import QueryDef.t
