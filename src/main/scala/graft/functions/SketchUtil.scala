@@ -69,6 +69,30 @@ object SketchUtil {
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Token count of `split(trim(text), "\s+", -1)` WITHOUT materializing
+    * the token array: count = (maximal whitespace runs in the 0x20-trimmed
+    * string) + 1 — a leading/trailing non-0x20 whitespace run yields an
+    * empty token exactly like Java's split with -1 limit, and the empty
+    * string counts 1 ([""]). Java regex \s is ASCII-only
+    * ([ \t\n\x0B\f\r]), so multi-byte UTF-8 chars never match and the
+    * byte-level scan is exact.
+    */
+  def tokenCount(text: UTF8String): Int = {
+    val s = text.trim() // 0x20-only trim, same as Spark's trim()
+    val n = s.numBytes()
+    var runs = 0
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0D)
+      if (ws) { if (!inRun) { runs += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    runs + 1
+  }
+
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
   /** Distinct n-word shingles of a text column, first-occurrence order —

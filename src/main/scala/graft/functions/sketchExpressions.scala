@@ -66,8 +66,30 @@ case class WordShingles(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `token_count(text)` — whitespace-token count (int), identical to
+  * `size(split(trim(text), "\s+", -1))` but one byte-level pass with no
+  * array materialization. See SketchUtil.tokenCount for the contract.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_count"
+
+  override protected def nullSafeEval(text: Any): Any =
+    SketchUtil.tokenCount(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchUtil.tokenCount($t)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.functions.lit
+
+  def tokenCount(text: Column): Column =
+    Shims.column(TokenCount(Shims.expression(text)))
 
   def minHash(tokens: Column, k: Int): Column =
     Shims.column(MinHashSig(Shims.expression(tokens), Shims.expression(lit(k))))

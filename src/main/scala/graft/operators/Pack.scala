@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
-  /** Whitespace token count — the packing currency. Mirrors the tokenizer
-    * used by the text-analysis family (split on runs of whitespace).
+  /** Whitespace token count — the packing currency. Identical semantics to
+    * `size(split(trim(text), "\s+"))` (the text-analysis tokenizer) via
+    * the single-pass TokenCount kernel — no token-array materialization
+    * just to count (KernelPropertySpec pins the equivalence).
     */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    graft.functions.SketchFunctions.tokenCount(text)
 
   /** Per-document packed spans.
     *

@@ -44,7 +44,7 @@ object TextQueries {
     // ---- token counting (whitespace tokenizer) per language.
     "d3_tokens" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
-        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("n_tokens", graft.functions.SketchFunctions.tokenCount(col("text")))
         .groupBy("lang")
         .agg(sum(col("n_tokens")).cast("long").as("total_tokens"),
           round(avg(col("n_tokens")), 4).as("avg_tokens"),
@@ -63,7 +63,7 @@ object TextQueries {
     // ratio features a filtering pipeline thresholds on.
     "d4_quality" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
-        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("n_tokens", graft.functions.SketchFunctions.tokenCount(col("text")))
         .withColumn("len_nospace", length(regexp_replace(col("text"), " ", "")))
         .withColumn("avg_word_len",
           round(col("len_nospace").cast("double") / col("n_tokens"), 4))

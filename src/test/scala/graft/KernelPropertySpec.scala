@@ -65,4 +65,25 @@ class KernelPropertySpec extends AnyFunSuite {
       HashUtil.rollingHash(UTF8String.fromString(s)) == expected
     })
   }
+
+  test("token_count equals size(split(trim, \\s+, -1)) for any string") {
+    // mixed alphanumerics, every ASCII \s char, and multi-byte chars whose
+    // UTF-8 continuation bytes must never read as whitespace
+    val tokenCharGen = Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+      Gen.oneOf('é', '漢', 'ß'))
+    check(Prop.forAll(Gen.stringOf(tokenCharGen)) { s =>
+      // the Spark-side model: trim() strips 0x20 only, then Java split
+      // with -1 limit (trailing empties kept)
+      val trimmed = {
+        var a = 0; var b = s.length
+        while (a < b && s.charAt(a) == ' ') a += 1
+        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        s.substring(a, b)
+      }
+      val expected = trimmed.split("\\s+", -1).length
+      graft.functions.SketchUtil.tokenCount(UTF8String.fromString(s)) == expected
+    })
+  }
 }
