@@ -37,8 +37,9 @@ object Similarity {
     nanvl(cosine(a, b), lit(-1.0d))
 
   /** Packed sign-bit signature of `emb` against `planes` deterministic
-    * hyperplanes (plane(p)(d) = sin(p*8191 + d*127)) — one codegen'd
-    * kernel call per row instead of a 16-plane expression tree.
+    * hyperplanes (independent Rademacher ±1 entries drawn from xxhash64 —
+    * see VectorUtil.planes) — one codegen'd kernel call per row instead
+    * of a 16-plane expression tree.
     */
   def hyperplaneSig(emb: Column, planes: Int): Column =
     graft.functions.VectorFunctions.hyperplaneSig(emb, planes)
