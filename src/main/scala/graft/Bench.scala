@@ -34,13 +34,13 @@ object Bench {
     // warmup: run the flagship shape once to load classes + codegen paths
     SparkEntry.queries.get("q1_agg").foreach(runOne)
 
-    // steady-state: two runs per query, report the faster (first-run JVM
-    // classloading/codegen noise is not an engine property)
+    // steady-state: three runs per query, report the MEDIAN of successful
+    // runs — run-order JIT/classloading noise can't masquerade as a
+    // regression in either direction (min hides steady-state cost, a lone
+    // GC/compile stall inflates mean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min over SUCCESSFUL runs — a single transient failure must not
-      // mask a valid measurement; -1 only when both runs fail
-      val ts = Seq(runOne(fn), runOne(fn)).filter(_ >= 0)
-      name -> (if (ts.isEmpty) -1.0 else ts.min)
+      val ts = Seq(runOne(fn), runOne(fn), runOne(fn)).filter(_ >= 0).sorted
+      name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

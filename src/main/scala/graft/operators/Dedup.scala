@@ -172,8 +172,9 @@ object Dedup {
     * neighbors; converges in graph-diameter iterations — near-dup graphs
     * are shallow (dup clusters are cliques or short chains), so typically
     * 2–4. Each iteration is one join + one agg shuffle; localCheckpoint
-    * cuts the growing lineage. At larger diameters swap in the alternating
-    * large-star/small-star variant; the contract is unchanged.
+    * cuts the growing lineage. If the diameter exceeds `maxIter` (deep
+    * chain graphs), the call falls back automatically to the log-round
+    * alternating large-star/small-star variant; the contract is unchanged.
     *
     * @return (node, label) — label = min doc id of the node's component
     */
@@ -200,12 +201,13 @@ object Dedup {
       iter += 1
     }
     // silent non-convergence would split components and leak duplicates
-    // into "survivors" — fail loudly instead
-    if (!converged) throw new IllegalStateException(
-      s"clusters() did not converge in $maxIter iterations — component " +
-        "diameter exceeds maxIter; raise maxIter or use an alternating " +
-        "large-star/small-star implementation for deep graphs")
-    labels
+    // into "survivors". Diameter > maxIter (an adversarially deep chain
+    // graph) hands off to the log-round alternating large-star/small-star
+    // variant, which converges on ANY shape — same (node, label) contract,
+    // so the composition removes the operational failure mode instead of
+    // throwing.
+    if (!converged) clustersAlternating(pairs, idA, idB)
+    else labels
   }
 
   /** Connected components via alternating large-star/small-star (Kiveris

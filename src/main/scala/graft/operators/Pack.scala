@@ -51,8 +51,10 @@ object Pack {
       .withColumn("start_tok", col("cum_end") - col("n_tokens"))
       .select(
         col(streamCol), col(idCol), col("n_tokens"),
-        (col("start_tok") / capacity).cast("long").as("start_window"),
-        ((col("cum_end") - 1) / capacity).cast("long").as("end_window"),
+        // exact Long integer division (`div`), same semantics as
+        // packedSpansGlobal — double division rounds wrong past 2^52 tokens
+        expr(s"start_tok div $capacity").as("start_window"),
+        expr(s"(cum_end - 1) div $capacity").as("end_window"),
         pmod(col("start_tok"), lit(capacity.toLong)).as("start_offset"))
   }
 

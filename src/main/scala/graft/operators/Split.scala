@@ -66,13 +66,11 @@ object Split {
     import spark.implicits._
     val lines = linesWithOffsets(spark, inputGlob, cfg.maxBytesPerShard)
 
-    // header per file = the offset-0 line; tiny map, broadcast
-    val headers: Map[String, String] =
-      if (!cfg.hasHeader) Map.empty
-      else lines.filter(col("offset") === 0)
-        .select("file", "value").as[(String, String)].collect().toMap
-    val headersB = spark.sparkContext.broadcast(headers)
-
+    // header per file = the offset-0 line. Read lazily IN THE SHARD WRITER
+    // (first line of the source file, one tiny open per shard ≈ one per
+    // 200 MB) — no driver-side map keyed by file, so driver memory is
+    // independent of input-file count (100 TB of small headered CSVs is
+    // O(#files) under the old collect).
     val data = if (cfg.hasHeader) lines.filter(col("offset") > 0) else lines
 
     // idempotency: skip shards already committed to the manifest
@@ -91,13 +89,32 @@ object Split {
 
     val gz = cfg.gzipOutput
     val out = outDir
+    val withHeader = cfg.hasHeader
+    // carry the session's spark.hadoop.* settings to the executors (remote
+    // blob roots need credentials/fs impls) — same discipline as
+    // PrePartition.writeSpread
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.sql.graft.Shims.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     // one task per (file, shard): the only shuffle in the plan
     val written = todo
       .repartition(col("file"), col("shard"))
       .sortWithinPartitions("file", "shard", "offset")
       .mapPartitions { iter =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confB.value.value
         val results = scala.collection.mutable.ArrayBuffer[(String, Int, String, Long, Long)]()
+        // per-file header cache, bounded by files seen in THIS partition
+        val headerCache = scala.collection.mutable.Map[String, String]()
+        def headerOf(file: String): String = headerCache.getOrElseUpdate(file, {
+          val p = new org.apache.hadoop.fs.Path(file)
+          val fs = p.getFileSystem(conf)
+          val raw: java.io.InputStream = fs.open(p)
+          val in = if (file.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw) else raw
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"))
+          try Option(br.readLine()).getOrElse("") finally br.close()
+        })
         var cur: (String, Int) = null
         var writer: java.io.Writer = null
         var tmpPath: org.apache.hadoop.fs.Path = null
@@ -107,8 +124,16 @@ object Split {
         def close(): Unit = if (writer != null) {
           writer.close()
           val fs = finalPath.getFileSystem(conf)
-          fs.delete(finalPath, false)
-          fs.rename(tmpPath, finalPath)
+          // FIRST-WINS rename commit (never delete a committed dest): a
+          // zombie/speculative loser whose rename fails against an existing
+          // dest drops its own tmp — attempts over the same shuffled
+          // partition produce identical bytes, so first-wins is
+          // exactly-once (see PrePartition.writeSpread for the rationale)
+          if (!fs.rename(tmpPath, finalPath)) {
+            if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+            else throw new java.io.IOException(
+              s"commit failed: $tmpPath -> $finalPath")
+          }
           results += ((cur._1, cur._2, finalPath.toString, nBytes, nRecords))
           writer = null
         }
@@ -134,7 +159,8 @@ object Split {
             val stream = if (gz) new java.util.zip.GZIPOutputStream(raw) else raw
             writer = new java.io.OutputStreamWriter(stream, "UTF-8")
             nBytes = 0L; nRecords = 0L
-            headersB.value.get(file).foreach { h =>
+            if (withHeader) {
+              val h = headerOf(file)
               writer.write(h); writer.write("\n")
               nBytes += h.getBytes("UTF-8").length + 1; nRecords += 1
             }
@@ -151,7 +177,9 @@ object Split {
     // This materializes the side-effecting mapPartitions exactly once, and
     // the parquet job commit (task outputs surface only at job commit) IS
     // the manifest commit — a failed run leaves orphan shard files that the
-    // next run's anti-join simply rewrites. No collect(): driver memory and
+    // next run's anti-join re-processes (the orphan dest survives first-wins
+    // rename; its bytes are deterministic, so keeping it is equivalent to a
+    // rewrite). No collect(): driver memory and
     // I/O are independent of both this run's shard count and the total
     // shard history (the r1 design rewrote the whole manifest through the
     // driver — O(history) per run).

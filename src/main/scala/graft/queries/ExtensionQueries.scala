@@ -299,9 +299,9 @@ object ExtensionQueries {
              |      ROWS UNBOUNDED PRECEDING) AS cum_end
              |  FROM tk WHERE n_tokens > 0)
              |SELECT lang, doc_id, n_tokens,
-             |  (cum_end - n_tokens) // 512 AS start_window,
-             |  (cum_end - 1) // 512 AS end_window,
-             |  (cum_end - n_tokens) % 512 AS start_offset
+             |  CAST((cum_end - n_tokens) // 512 AS BIGINT) AS start_window,
+             |  CAST((cum_end - 1) // 512 AS BIGINT) AS end_window,
+             |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS start_offset
              |FROM c ORDER BY lang, doc_id""".stripMargin)),
 
     // Packing efficiency per stream (windows consumed, fill ratio).
@@ -321,7 +321,7 @@ object ExtensionQueries {
              |  FROM tk WHERE n_tokens > 0)
              |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-             |  max((cum_end - 1) // 512) + 1 AS n_windows,
+             |  CAST(max((cum_end - 1) // 512) + 1 AS BIGINT) AS n_windows,
              |  round(sum(n_tokens)::DOUBLE /
              |    ((max((cum_end - 1) // 512) + 1) * 512), 4) AS fill_ratio
              |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
@@ -385,7 +385,7 @@ object ExtensionQueries {
               |  FROM tk WHERE n_tokens > 0)
               |SELECT lang, count(*) AS n_docs,
               |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-              |  max((cum_end - 1) // 512) + 1 AS n_windows,
+              |  CAST(max((cum_end - 1) // 512) + 1 AS BIGINT) AS n_windows,
               |  round(sum(n_tokens)::DOUBLE /
               |    ((max((cum_end - 1) // 512) + 1) * 512), 4) AS fill_ratio
               |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),

@@ -38,12 +38,13 @@ class DedupSimilaritySpec extends GraftSparkSpec {
 
   test("clustersAlternating: logarithmic rounds on a deep chain; agrees with clusters") {
     import spark.implicits._
-    // a 200-node path: min-label propagation needs ~200 rounds (clusters()
-    // with maxIter=20 must fail loudly); alternating stars needs ~log2(200)
+    // a 200-node path: min-label propagation needs ~200 rounds, so
+    // clusters() with maxIter=20 hits non-convergence and must hand off to
+    // the log-round alternating variant — same answer, no intervention
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    assertThrows[IllegalStateException] {
-      Dedup.clusters(chain, maxIter = 20).collect()
-    }
+    val viaFallback = Dedup.clusters(chain, maxIter = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaFallback.length == 200 && viaFallback.forall(_._2 == 0L))
     val labels = Dedup.clustersAlternating(chain, maxIter = 25)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length == 200 && labels.forall(_._2 == 0L))

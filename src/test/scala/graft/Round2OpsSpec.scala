@@ -129,8 +129,11 @@ class Round2OpsSpec extends GraftSparkSpec {
   test("spread writer rerun overwrites (deterministic dest names, no dup)") {
     // a task retry / speculative attempt re-executes the same writer over
     // the same shuffled partition; the deterministic part-<partition> dest
-    // plus delete+rename commit must OVERWRITE the prior attempt's file,
-    // never accumulate beside it (exactly-once contract of the spread path)
+    // plus FIRST-WINS rename commit (dest is never overwritten; a losing
+    // attempt deletes its own tmp) must leave exactly one file per dest —
+    // the stale-but-byte-identical first file survives; callers clear the
+    // dir for job-level overwrite. Rerun must never accumulate a second
+    // file beside the committed one.
     val bases = (0 until 2).map(i => s"$tmp/rerun-container$i").toIndexedSeq
     val cfg = PartitionConfig(columnIndex = 3, maxPartitionCount = 4, seed = 17)
     val lines = LogDataGenerator.toCsvLines(
