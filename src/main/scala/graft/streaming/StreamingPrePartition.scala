@@ -83,6 +83,33 @@ object StreamingPrePartition {
     }
   }
 
+  /** Start the pipeline on the NOTIFICATION source instead of directory
+    * listing (reference analogue: ServiceBusServer.cs blob-created queue
+    * events): the landing agent publishes each landed blob to `queueDir`
+    * via [[NotifyQueue.publish]], and per-trigger source cost is O(new
+    * notifications) — ONE exists-probe when idle — independent of how many
+    * blobs have ever landed. The built-in file source re-lists the landing
+    * dir every trigger: O(history), a real stall past ~1 M processed blobs.
+    * Sink/replay contract is identical to [[start]].
+    */
+  def startNotified(spark: SparkSession, queueDir: String, stagingDir: String,
+                    checkpointDir: String, cfg: PartitionConfig,
+                    trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                    maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val lines = spark.readStream
+      .format("graft-notify")
+      .option("queueDir", queueDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load()
+    lines.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, stagingDir, cfg)
+      }
+      .start()
+  }
+
   /** Start the streaming pipeline with multi-container output spread:
     * partition `pid` of every micro-batch lands under
     * `spreadPaths(pid % N)/data/batch=<id>/pid=<pid>/` (reference:

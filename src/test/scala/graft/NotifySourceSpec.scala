@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.operators.PartitionConfig
+import graft.sources.LogDataGenerator
+import graft.streaming.{NotifyMicroBatchStream, NotifyOffset, NotifyQueue, StreamingPrePartition}
+import org.apache.spark.sql.streaming.Trigger
+
+/** The file-notification streaming source: event-driven triggering whose
+  * per-trigger cost is independent of landing-dir history (the built-in
+  * file source re-lists the landing dir every trigger).
+  */
+class NotifySourceSpec extends GraftSparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-notify").toString
+
+  private def writeBlob(path: String, lines: Seq[String], gzip: Boolean = false): Unit = {
+    val raw = new java.io.FileOutputStream(path)
+    val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+    out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  test("notify source: published blobs stream through; checkpoint restart is exact") {
+    val queue = s"$tmp/queue"
+    val blobs = s"$tmp/blobs"
+    new java.io.File(blobs).mkdirs()
+
+    writeBlob(s"$blobs/a.txt", Seq("a1", "a2", "a3"))
+    writeBlob(s"$blobs/b.txt.gz", Seq("b1", "b2"), gzip = true)
+    val s0 = NotifyQueue.publish(spark, queue, Seq(s"$blobs/a.txt"))
+    val s1 = NotifyQueue.publish(spark, queue, Seq(s"$blobs/b.txt.gz"), seqHint = s0 + 1)
+    assert(s0 == 0L && s1 == 1L)
+
+    // foreachBatch sink (supports checkpoint recovery, unlike memory sink)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def startQ() = spark.readStream.format("graft-notify")
+      .option("queueDir", queue).load()
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt-mem")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.add(r.getString(0)))
+      }
+      .start()
+
+    val q = startQ()
+    q.processAllAvailable()
+    assert(seen.iterator().asScala.toSet == Set("a1", "a2", "a3", "b1", "b2"),
+      "gzip + plain blobs decoded")
+
+    // a new notification lands mid-stream
+    writeBlob(s"$blobs/c.txt", Seq("c1"))
+    NotifyQueue.publish(spark, queue, Seq(s"$blobs/c.txt"), seqHint = 2)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.size() == 6)
+
+    // restart from the checkpoint: nothing replays, later publishes resume
+    writeBlob(s"$blobs/d.txt", Seq("d1", "d2"))
+    NotifyQueue.publish(spark, queue, Seq(s"$blobs/d.txt"), seqHint = 3)
+    seen.clear()
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.iterator().asScala.toSet == Set("d1", "d2"),
+      s"restart must resume after seq 2, got ${seen.iterator().asScala.toSet}")
+  }
+
+  test("probe cost is O(1) per idle trigger with 10k+ processed notifications") {
+    val queue = s"$tmp/queue-big"
+    new java.io.File(queue).mkdirs()
+    // 10k already-processed notifications (bulk-created directly; the
+    // protocol only needs the seq-named files to exist)
+    (0 until 10000).foreach { i =>
+      Files.write(Paths.get(queue, f"n-$i%012d"), "x\n".getBytes("UTF-8"))
+    }
+    val stream = new NotifyMicroBatchStream(queue, maxPerTrigger = 16)
+    // restart state: the checkpoint says seq 9999 is committed
+    stream.deserializeOffset("""{"seq":9999}""")
+
+    val before = stream.probeCount
+    val off1 = stream.latestOffset().asInstanceOf[NotifyOffset]
+    assert(off1.seq == 9999L)
+    assert(stream.probeCount - before == 1,
+      s"idle trigger must cost exactly ONE exists-probe over 10k processed " +
+        s"files, got ${stream.probeCount - before}")
+
+    // 3 new notifications -> exactly 4 probes (3 hits + 1 miss), and the
+    // bodies resolve to partitions
+    val blob = s"$tmp/probe-blob.txt"
+    writeBlob(blob, Seq("p1", "p2"))
+    (10000 until 10003).foreach { i =>
+      Files.write(Paths.get(queue, f"n-$i%012d"), s"$blob\n".getBytes("UTF-8"))
+    }
+    val mid = stream.probeCount
+    val off2 = stream.latestOffset().asInstanceOf[NotifyOffset]
+    assert(off2.seq == 10002L)
+    assert(stream.probeCount - mid == 4,
+      s"3 new notifications must cost 4 probes, got ${stream.probeCount - mid}")
+    val parts = stream.planInputPartitions(off1, off2)
+    assert(parts.length == 3)
+  }
+
+  test("notified prepartition pipeline: end-to-end with idempotent staging") {
+    val queue = s"$tmp/queue-pp"
+    val staging = s"$tmp/staging-pp"
+    val blobs = s"$tmp/blobs-pp"
+    new java.io.File(blobs).mkdirs()
+    val cfg = PartitionConfig(columnIndex = 3, maxPartitionCount = 4, seed = 17)
+
+    LogDataGenerator.toCsvLines(LogDataGenerator.generate(spark, 400, seed = 3))
+      .coalesce(1).write.mode("overwrite").text(s"$blobs/wave1")
+    val files = new java.io.File(s"$blobs/wave1").listFiles()
+      .filter(_.getName.endsWith(".txt")).map(_.toString).toSeq
+    NotifyQueue.publish(spark, queue, files)
+
+    val q = StreamingPrePartition.startNotified(spark, queue, staging,
+      s"$tmp/ckpt-pp", cfg, trigger = Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.text(s"$staging/data").count() == 400)
+
+    // restart: checkpointed offsets mean zero reprocessing
+    val q2 = StreamingPrePartition.startNotified(spark, queue, staging,
+      s"$tmp/ckpt-pp", cfg, trigger = Trigger.ProcessingTime("1 second"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.text(s"$staging/data").count() == 400)
+  }
+}
