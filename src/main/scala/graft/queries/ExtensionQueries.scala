@@ -390,6 +390,26 @@ object ExtensionQueries {
               |    ((max((cum_end - 1) // 512) + 1) * 512), 4) AS fill_ratio
               |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // REAL image decode (javax.imageio, JDK built-in): synthesize a
+    // deterministic solid-color PNG per doc (dims + RGB from doc_id
+    // arithmetic), decode it back executor-side, extract
+    // (width, height, mean_luma). The oracle PREDICTS every feature from
+    // doc_id arithmetic — a decoder that misreads dimensions or pixel
+    // values fails the gate; DuckDB never needs to decode PNG. Luma is
+    // integer-accumulated milli-units, one double division, half-up 4dp
+    // (the same floor(x*1e4+0.5)/1e4 on both sides).
+    "x16_image_decode" -> QueryDef(
+      (s, dir) => Multimodal.decodeImages(
+        s, Multimodal.synthesizeImages(s, t(s, dir, "documents"))),
+      Some(
+        """SELECT doc_id,
+          |  CAST(doc_id % 8 + 2 AS INT) AS width,
+          |  CAST(doc_id % 5 + 2 AS INT) AS height,
+          |  floor((299 * (doc_id % 256) + 587 * ((doc_id * 7) % 256)
+          |    + 114 * ((doc_id * 13) % 256))::DOUBLE / 1000 * 10000 + 0.5)
+          |    / 10000 AS mean_luma
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Approximate sketches (HLL distinct + quantile): Spark compares its
     // own approx values against its own exact values and outputs
     // within-tolerance booleans — the oracle supplies exact group counts

@@ -119,4 +119,25 @@ class DedupSimilaritySpec extends GraftSparkSpec {
     assert(again.except(frames).count() == 0)
     assert(frames.count() == again.count())
   }
+
+  test("image decode is REAL: PNG encode -> javax.imageio decode round-trip") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pngs = Multimodal.synthesizeImages(spark, docs)
+    // the payloads are genuine PNGs (magic bytes), not pseudo-content
+    val magic = pngs.select("content").head().getAs[Array[Byte]](0).take(8)
+    assert(magic.sameElements(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+
+    val feats = Multimodal.decodeImages(spark, pngs).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 8 + 2).toInt, s"width mismatch doc $id")
+      assert(r.getInt(2) == (id % 5 + 2).toInt, s"height mismatch doc $id")
+      val expected = math.floor(
+        (299L * (id % 256) + 587L * ((id * 7) % 256) +
+          114L * ((id * 13) % 256)).toDouble / 1000 * 10000 + 0.5) / 10000
+      assert(r.getDouble(3) == expected, s"mean_luma mismatch doc $id")
+    }
+  }
 }
