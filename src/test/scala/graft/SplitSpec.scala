@@ -57,6 +57,39 @@ class SplitSpec extends GraftSparkSpec {
     assert(spark.read.text(s"$tmp/shards1/*.txt").count() == 3000)
   }
 
+  test("first-wins commit: a committed shard survives a racing re-run untouched") {
+    // simulate a zombie/speculative attempt racing committed output: wipe
+    // the manifest (so the anti-join re-processes every shard) and re-run.
+    // Every attempt's rename must LOSE against the committed dest and drop
+    // its own tmp — the committed file is never deleted, not even
+    // transiently. mtime is the witness: delete-then-rename would refresh
+    // it; first-wins leaves the original inode untouched.
+    val landing = s"$tmp/landing-race"
+    val out = s"$tmp/shards-race"
+    writeLanding(2000, landing)
+    Split.run(spark, s"$landing/*.txt", out, SplitConfig(maxBytesPerShard = 64 * 1024))
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".txt"))
+    assert(files.length > 1)
+    val mtimes = files.map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(1100) // ensure a rewrite would move mtime past fs granularity
+
+    // wipe the manifest: the re-run sees no committed shards and re-attempts all
+    val fs = new org.apache.hadoop.fs.Path(s"$out/_manifest")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_manifest"), true)
+    Split.run(spark, s"$landing/*.txt", out, SplitConfig(maxBytesPerShard = 64 * 1024))
+
+    val after = new java.io.File(out).listFiles().filter(_.getName.endsWith(".txt"))
+    assert(after.map(_.getName).toSet == mtimes.keySet, "file set must not change")
+    after.foreach { f =>
+      assert(f.lastModified() == mtimes(f.getName),
+        s"${f.getName} was rewritten — committed output must survive a losing attempt")
+    }
+    // losing attempts cleaned their tmp files
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("_tmp_")))
+    assert(spark.read.text(s"$out/*.txt").count() == 2000)
+  }
+
   test("header is propagated to every shard and not duplicated as data") {
     val withHeader = Seq("id,level,text") ++ (1 to 500).map(i => s"$i,Info,row$i")
     Files.write(Paths.get(s"$tmp/hdr.csv"),
