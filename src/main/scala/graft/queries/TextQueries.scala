@@ -306,6 +306,70 @@ object TextQueries {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
              |    '<EMAIL>', 'g') AS redacted
              |  FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- intra-document repetition signals (Gopher/RefinedWeb-style
+    // quality rules): per doc, the fraction of duplicated word-2-grams and
+    // the share of the single most frequent 2-gram. Explode → count per
+    // (doc, gram) → per-doc stats: two map-side-combinable agg shuffles on
+    // (doc_id, gram) then doc_id — no joins, uniform keys.
+    "d15_repetition" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))"))
+          .as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_2grams"),
+          round(lit(1.0) - count(lit(1)).cast("double") / sum("c"), 4)
+            .as("dup_frac"),
+          round(max("c").cast("double") / sum("c"), 4).as("top_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |idx AS (
+             |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+             |  FROM toks WHERE len(t) >= 2),
+             |g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram FROM idx),
+             |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(sum(c) AS BIGINT) AS n_2grams,
+             |  round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_frac,
+             |  round(max(c)::DOUBLE / sum(c), 4) AS top_frac
+             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- language mixture weights: temperature-based sampling
+    // proportions over per-language token mass (w_l = sqrt(tokens_l) /
+    // Σ sqrt — α = 0.5 upsampling of low-resource streams, the standard
+    // multilingual mixing rule). sqrt, not pow(x, α): IEEE sqrt is
+    // correctly rounded in both engines, an arbitrary-α pow is not. The
+    // global window runs over the post-agg frame (one row per language —
+    // bounded by language count, never data).
+    "d16_mixture" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(lit(1))
+        t(s, dir, "documents")
+          .withColumn("n_tokens",
+            graft.functions.SketchFunctions.tokenCount(col("text")))
+          .groupBy("lang")
+          .agg(sum(col("n_tokens")).cast("long").as("lang_tokens"))
+          .withColumn("weight", round(
+            sqrt(col("lang_tokens").cast("double")) /
+              sum(sqrt(col("lang_tokens").cast("double"))).over(w), 6))
+          .select("lang", "lang_tokens", "weight")
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang,
+             |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             |      AS BIGINT) AS lang_tokens
+             |  FROM documents GROUP BY lang)
+             |SELECT lang, lang_tokens,
+             |  round(sqrt(lang_tokens::DOUBLE) /
+             |    sum(sqrt(lang_tokens::DOUBLE)) OVER (), 6) AS weight
+             |FROM c ORDER BY lang""".stripMargin))
   )
 }
