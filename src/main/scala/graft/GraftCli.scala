@@ -92,6 +92,30 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    // landing agent: publish blob paths to a notification queue (the
+    // reference's Event Grid blob-created event -> Service Bus message)
+    case "notify-publish" :: queueDir :: paths if paths.nonEmpty =>
+      val spark = session()
+      val seq = streaming.NotifyQueue.publish(spark, queueDir, paths)
+      println(s"[graft] published ${paths.length} path(s) to $queueDir as seq $seq")
+      spark.stop()
+
+    // event-driven server on the notification queue: per-trigger source
+    // cost is O(new notifications), not O(landing-dir history)
+    case "stream-notify" :: queueDir :: staging :: checkpoint :: colIdx :: n :: seed :: rest =>
+      val spark = session()
+      val triggerSec = rest.headOption.map(_.toInt).getOrElse(60)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val q = streaming.StreamingPrePartition.startNotified(
+        spark, queueDir, staging, checkpoint,
+        PartitionConfig(colIdx.toInt, n.toInt, seed.toInt),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(s"$triggerSec seconds"))
+      println(s"[graft] streaming notify queue $queueDir -> $staging (trigger ${triggerSec}s)")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     case other =>
       System.err.println(
         s"""Unknown arguments: ${other.mkString(" ")}
@@ -101,7 +125,9 @@ object GraftCli {
            |  prepartition-spread <inGlob> <basePath1,basePath2,...> <colIdx> <maxPartitions> <seed> [gzip]
            |  split <inGlob> <outDir> <maxBytesPerShard> [header] [gzip]
            |  validate <stagingDir>
-           |  stream <landingDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]""".stripMargin)
+           |  stream <landingDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
+           |  notify-publish <queueDir> <blobPath> [blobPath ...]
+           |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]""".stripMargin)
       sys.exit(2)
   }
 }
