@@ -148,6 +148,38 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** REAL image resize (the thumbnail/normalize stage of a vision-data
+    * pipeline): decode → `Graphics2D.drawImage` scale to (targetW,
+    * targetH) → re-encode PNG, all JDK built-ins, headless-safe, in one
+    * narrow mapPartitions pass (no shuffle; throughput scales with cores).
+    * Interpolation of a constant image is the constant, so the x17 gate
+    * chains synthesize → resize → decode and the oracle predicts the
+    * output features (target dims, unchanged luma) from doc_id arithmetic.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    import spark.implicits._
+    media.select("doc_id", "content").as[ImageRow].mapPartitions { it =>
+      it.map { r =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(src != null, s"doc ${r.doc_id}: undecodable image payload")
+        val dst = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", baos)
+        ImageRow(r.doc_id, baos.toByteArray)
+      }
+    }.toDF()
+  }
+
   /** Frame sampling for video rows: split the binary into fixed-size
     * pseudo-frames, explode with frame index — the shape of a real
     * frame-sampler (1 row in, k frames out).

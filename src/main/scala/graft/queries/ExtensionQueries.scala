@@ -410,6 +410,23 @@ object ExtensionQueries {
           |    / 10000 AS mean_luma
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL image resize: synthesize → Graphics2D thumbnail (3×3) →
+    // decode. Bilinear interpolation of a solid-color image is the color,
+    // so the oracle predicts (3, 3, original luma) per doc — a resizer
+    // that distorts pixels or dimensions fails the gate.
+    "x17_thumbnail" -> QueryDef(
+      (s, dir) => Multimodal.decodeImages(
+        s, Multimodal.resizeImages(
+          s, Multimodal.synthesizeImages(s, t(s, dir, "documents")), 3, 3)),
+      Some(
+        """SELECT doc_id,
+          |  3 AS width,
+          |  3 AS height,
+          |  floor((299 * (doc_id % 256) + 587 * ((doc_id * 7) % 256)
+          |    + 114 * ((doc_id * 13) % 256))::DOUBLE / 1000 * 10000 + 0.5)
+          |    / 10000 AS mean_luma
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Approximate sketches (HLL distinct + quantile): Spark compares its
     // own approx values against its own exact values and outputs
     // within-tolerance booleans — the oracle supplies exact group counts

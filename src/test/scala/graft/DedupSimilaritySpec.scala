@@ -140,4 +140,21 @@ class DedupSimilaritySpec extends GraftSparkSpec {
       assert(r.getDouble(3) == expected, s"mean_luma mismatch doc $id")
     }
   }
+
+  test("image resize is REAL: thumbnail preserves solid color at target dims") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thumbs = Multimodal.resizeImages(
+      spark, Multimodal.synthesizeImages(spark, docs), 3, 3)
+    val feats = Multimodal.decodeImages(spark, thumbs).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 3 && r.getInt(2) == 3, s"dims mismatch doc $id")
+      val expected = math.floor(
+        (299L * (id % 256) + 587L * ((id * 7) % 256) +
+          114L * ((id * 13) % 256)).toDouble / 1000 * 10000 + 0.5) / 10000
+      assert(r.getDouble(3) == expected,
+        s"solid color must survive bilinear resize, doc $id")
+    }
+  }
 }
