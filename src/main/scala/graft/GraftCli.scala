@@ -116,6 +116,27 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    // event-driven Split server (the reference's EtlAction=Split on queue
+    // events): split each notified blob into size-bounded shards
+    case "stream-notify-split" :: queueDir :: outDir :: checkpoint :: maxBytes :: rest =>
+      val spark = session()
+      val flags = rest.filter(r => r == "header" || r == "gzip")
+      val nums = rest.filterNot(flags.contains)
+      val triggerSec = nums.headOption.map(_.toInt).getOrElse(60)
+      val runSec = nums.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val q = streaming.StreamingPrePartition.startNotifiedSplit(
+        spark, queueDir, outDir, checkpoint,
+        operators.Split.SplitConfig(
+          maxBytesPerShard = maxBytes.toLong,
+          hasHeader = flags.contains("header"),
+          gzipOutput = flags.contains("gzip")),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(s"$triggerSec seconds"))
+      println(s"[graft] split server on $queueDir -> $outDir (trigger ${triggerSec}s)")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     case other =>
       System.err.println(
         s"""Unknown arguments: ${other.mkString(" ")}
@@ -127,7 +148,8 @@ object GraftCli {
            |  validate <stagingDir>
            |  stream <landingDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
            |  notify-publish <queueDir> <blobPath> [blobPath ...]
-           |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]""".stripMargin)
+           |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
+           |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -77,6 +77,40 @@ object Multimodal {
   case class ImageFeatures(doc_id: Long, width: Int, height: Int,
                            mean_luma: Double)
 
+  /** `ImageIO.read`/`write` run an SPI provider scan and allocate a fresh
+    * reader/writer PER CALL — measurable overhead when the row count is
+    * the corpus size. These helpers hoist one PNG reader/writer per
+    * PARTITION (the mapPartitions idiom: pay setup once per task, not per
+    * row); callers must use them from a single thread, which a partition
+    * iterator guarantees.
+    */
+  private def pngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  private def pngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  private def readPng(reader: javax.imageio.ImageReader,
+                      bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
+
+  private def writePng(writer: javax.imageio.ImageWriter,
+                       img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally ios.close()
+    baos.toByteArray
+  }
+
   /** Synthesize a REAL PNG corpus deterministically from `docs`: per doc a
     * solid-color image whose dimensions and RGB derive from doc_id
     * (w = id%8+2, h = id%5+2, rgb = (id, 7·id, 13·id) mod 256), encoded
@@ -88,7 +122,15 @@ object Multimodal {
     */
   def synthesizeImages(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // a small parquet scan is ONE split — without this repartition the
+    // CPU-bound encode (and everything chained after it: decode, resize)
+    // runs on one core. The corpus generator owns parallelization; the
+    // decode/resize operators never inject surprise shuffles themselves
+    // (real scans arrive with real split counts).
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+      val writer = pngWriter()
       it.map { id =>
         val w = (id % 8 + 2).toInt
         val h = (id % 5 + 2).toInt
@@ -101,9 +143,7 @@ object Multimodal {
           while (x < w) { img.setRGB(x, y, rgb); x += 1 }
           y += 1
         }
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
-        ImageRow(id, baos.toByteArray)
+        ImageRow(id, writePng(writer, img))
       }
     }.toDF()
   }
@@ -123,9 +163,9 @@ object Multimodal {
   def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "content").as[ImageRow].mapPartitions { it =>
+      val reader = pngReader()
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+        val img = readPng(reader, r.content)
         require(img != null, s"doc ${r.doc_id}: undecodable image payload")
         val w = img.getWidth
         val h = img.getHeight
@@ -161,9 +201,10 @@ object Multimodal {
     require(targetW > 0 && targetH > 0, "target dims must be positive")
     import spark.implicits._
     media.select("doc_id", "content").as[ImageRow].mapPartitions { it =>
+      val reader = pngReader()
+      val writer = pngWriter()
       it.map { r =>
-        val src = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+        val src = readPng(reader, r.content)
         require(src != null, s"doc ${r.doc_id}: undecodable image payload")
         val dst = new java.awt.image.BufferedImage(
           targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -173,9 +214,7 @@ object Multimodal {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(src, 0, 0, targetW, targetH, null)
         } finally g.dispose()
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", baos)
-        ImageRow(r.doc_id, baos.toByteArray)
+        ImageRow(r.doc_id, writePng(writer, dst))
       }
     }.toDF()
   }

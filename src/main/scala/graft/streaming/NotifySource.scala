@@ -111,7 +111,11 @@ private[streaming] class NotifyTable(props: Map[String, String])
         override def readSchema(): StructType = NotifySource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new NotifyMicroBatchStream(queueDir,
-            props.getOrElse("maxfilespertrigger", "16").toInt)
+            props.getOrElse("maxfilespertrigger", "16").toInt,
+            // emit=lines (default): the referenced blobs' text lines;
+            // emit=paths: one row per blob PATH — for ETLs that consume
+            // whole files (Split needs byte offsets from its own read)
+            emitPaths = props.getOrElse("emit", "lines") == "paths")
       }
     }
 }
@@ -122,7 +126,8 @@ private[graft] case class NotifyOffset(seq: Long) extends Offset {
 }
 
 private[graft] class NotifyMicroBatchStream(queueDir: String,
-                                                maxPerTrigger: Int)
+                                            maxPerTrigger: Int,
+                                            emitPaths: Boolean = false)
     extends MicroBatchStream {
   private val conf = SparkSession.active.sparkContext.hadoopConfiguration
   private val dir = new Path(queueDir)
@@ -173,7 +178,7 @@ private[graft] class NotifyMicroBatchStream(queueDir: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NotifyReaderFactory(new Shims.SerializableHadoopConf(conf))
+    new NotifyReaderFactory(new Shims.SerializableHadoopConf(conf), emitPaths)
 
   override def commit(end: Offset): Unit = () // notifications kept for audit
   override def stop(): Unit = ()
@@ -182,10 +187,18 @@ private[graft] class NotifyMicroBatchStream(queueDir: String,
 private[streaming] case class NotifyInputPartition(path: String)
     extends InputPartition
 
-private[streaming] class NotifyReaderFactory(confC: Shims.SerializableHadoopConf)
+private[streaming] class NotifyReaderFactory(confC: Shims.SerializableHadoopConf,
+                                             emitPaths: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[NotifyInputPartition].path
+    if (emitPaths) return new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(file)))
+      override def close(): Unit = ()
+    }
     new PartitionReader[InternalRow] {
       private val p = new Path(file)
       private val raw: java.io.InputStream = p.getFileSystem(confC.value).open(p)

@@ -110,6 +110,41 @@ object StreamingPrePartition {
       .start()
   }
 
+  /** Event-driven SPLIT — the reference's other EtlAction on the same
+    * notification trigger (`GraftSettings.etlAction`: PrePartition |
+    * Split). The source emits blob PATHS (Split derives shard ids from
+    * byte offsets of its own read, so it consumes files, not lines); each
+    * micro-batch runs the batch Split over the newly-landed blobs.
+    * Exactly-once needs NO batch markers here: Split's shard manifest
+    * (keyed source_file, shard_id) already makes replays no-ops.
+    * The per-batch collect is bounded metadata: ≤ maxFilesPerTrigger
+    * paths, never data.
+    */
+  def startNotifiedSplit(spark: SparkSession, queueDir: String, outDir: String,
+                         checkpointDir: String,
+                         cfg: graft.operators.Split.SplitConfig,
+                         trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                         maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val paths = spark.readStream
+      .format("graft-notify")
+      .option("queueDir", queueDir)
+      .option("emit", "paths")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load()
+    paths.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val blobs = batch.collect().map(_.getString(0))
+        if (blobs.nonEmpty) {
+          graft.operators.Split.run(batch.sparkSession,
+            blobs.mkString(","), outDir, cfg)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Start the streaming pipeline with multi-container output spread:
     * partition `pid` of every micro-batch lands under
     * `spreadPaths(pid % N)/data/batch=<id>/pid=<pid>/` (reference:

@@ -105,6 +105,37 @@ class NotifySourceSpec extends GraftSparkSpec {
     assert(parts.length == 3)
   }
 
+  test("notified SPLIT pipeline: paths mode feeds Split, manifest dedups replays") {
+    val queue = s"$tmp/queue-split"
+    val out = s"$tmp/shards-notify"
+    val blobs = s"$tmp/blobs-split"
+    new java.io.File(blobs).mkdirs()
+    writeBlob(s"$blobs/one.txt", (1 to 500).map(i => s"line-$i"))
+    writeBlob(s"$blobs/two.txt", (1 to 300).map(i => s"row-$i"))
+    NotifyQueue.publish(spark, queue, Seq(s"$blobs/one.txt"))
+    NotifyQueue.publish(spark, queue, Seq(s"$blobs/two.txt"), seqHint = 1)
+
+    val q = StreamingPrePartition.startNotifiedSplit(spark, queue, out,
+      s"$tmp/ckpt-split", graft.operators.Split.SplitConfig(maxBytesPerShard = 4096),
+      trigger = Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.text(s"$out/*.txt").count() == 800)
+    val manifest = graft.operators.Split.manifest(spark, out)
+    assert(manifest.select("source_file").distinct().count() == 2)
+
+    // the same blob published AGAIN (duplicate event, at-least-once
+    // delivery): Split's (source_file, shard) manifest makes it a no-op
+    NotifyQueue.publish(spark, queue, Seq(s"$blobs/one.txt"), seqHint = 2)
+    val q2 = StreamingPrePartition.startNotifiedSplit(spark, queue, out,
+      s"$tmp/ckpt-split", graft.operators.Split.SplitConfig(maxBytesPerShard = 4096),
+      trigger = Trigger.ProcessingTime("1 second"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.text(s"$out/*.txt").count() == 800, "duplicate event must not double data")
+    assert(graft.operators.Split.manifest(spark, out).count() == manifest.count())
+  }
+
   test("notified prepartition pipeline: end-to-end with idempotent staging") {
     val queue = s"$tmp/queue-pp"
     val staging = s"$tmp/staging-pp"
