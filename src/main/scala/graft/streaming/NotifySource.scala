@@ -78,7 +78,13 @@ object NotifyQueue {
     val dir = new Path(queueDir)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    // A hint AHEAD of the queue tail would claim a number past a gap and
+    // stall the consumer (its probe stops at the first missing seq
+    // forever): accept the hint only when its predecessor is claimed —
+    // one extra exists-probe; otherwise restart from 0.
     var seq = math.max(seqHint, 0L)
+    if (seq > 0 && !fs.exists(new Path(dir, NotifySource.seqFile(seq - 1))))
+      seq = 0L
     // skip past already-claimed numbers (exists probes, not a listing)
     while (fs.exists(new Path(dir, NotifySource.seqFile(seq)))) seq += 1
     val tmp = new Path(dir, s"_tmp-${java.util.UUID.randomUUID()}")

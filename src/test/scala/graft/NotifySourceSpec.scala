@@ -70,6 +70,16 @@ class NotifySourceSpec extends GraftSparkSpec {
       s"restart must resume after seq 2, got ${seen.iterator().asScala.toSet}")
   }
 
+  test("publish rejects a gap-creating seqHint (consumer would stall at the gap)") {
+    val queue = s"$tmp/queue-hint"
+    // empty queue + hint far ahead: must claim seq 0, not seq 50
+    assert(NotifyQueue.publish(spark, queue, Seq("a"), seqHint = 50) == 0L)
+    // hint exactly at the tail is accepted
+    assert(NotifyQueue.publish(spark, queue, Seq("b"), seqHint = 1) == 1L)
+    // stale hint (already claimed) walks forward
+    assert(NotifyQueue.publish(spark, queue, Seq("c"), seqHint = 0) == 2L)
+  }
+
   test("probe cost is O(1) per idle trigger with 10k+ processed notifications") {
     val queue = s"$tmp/queue-big"
     new java.io.File(queue).mkdirs()
