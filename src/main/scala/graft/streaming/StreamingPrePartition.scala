@@ -136,6 +136,10 @@ object StreamingPrePartition {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val blobs = batch.collect().map(_.getString(0))
+        // the Hadoop multi-path string is comma-separated: a comma INSIDE
+        // a blob path would silently split into garbage paths — refuse
+        require(blobs.forall(!_.contains(",")),
+          s"blob paths must not contain commas: ${blobs.filter(_.contains(",")).mkString("; ")}")
         if (blobs.nonEmpty) {
           graft.operators.Split.run(batch.sparkSession,
             blobs.mkString(","), outDir, cfg)
