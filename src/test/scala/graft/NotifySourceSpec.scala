@@ -122,8 +122,9 @@ class NotifySourceSpec extends GraftSparkSpec {
     new java.io.File(blobs).mkdirs()
     writeBlob(s"$blobs/one.txt", (1 to 500).map(i => s"line-$i"))
     writeBlob(s"$blobs/two.txt", (1 to 300).map(i => s"row-$i"))
-    NotifyQueue.publish(spark, queue, Seq(s"$blobs/one.txt"))
-    NotifyQueue.publish(spark, queue, Seq(s"$blobs/two.txt"), seqHint = 1)
+    // ONE notification naming BOTH blobs: paths mode must flatten the
+    // notification body into one partition per named blob
+    NotifyQueue.publish(spark, queue, Seq(s"$blobs/one.txt", s"$blobs/two.txt"))
 
     val q = StreamingPrePartition.startNotifiedSplit(spark, queue, out,
       s"$tmp/ckpt-split", graft.operators.Split.SplitConfig(maxBytesPerShard = 4096),
@@ -136,7 +137,7 @@ class NotifySourceSpec extends GraftSparkSpec {
 
     // the same blob published AGAIN (duplicate event, at-least-once
     // delivery): Split's (source_file, shard) manifest makes it a no-op
-    NotifyQueue.publish(spark, queue, Seq(s"$blobs/one.txt"), seqHint = 2)
+    NotifyQueue.publish(spark, queue, Seq(s"$blobs/one.txt"), seqHint = 1)
     val q2 = StreamingPrePartition.startNotifiedSplit(spark, queue, out,
       s"$tmp/ckpt-split", graft.operators.Split.SplitConfig(maxBytesPerShard = 4096),
       trigger = Trigger.ProcessingTime("1 second"))
