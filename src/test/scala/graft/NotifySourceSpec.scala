@@ -70,6 +70,29 @@ class NotifySourceSpec extends GraftSparkSpec {
       s"restart must resume after seq 2, got ${seen.iterator().asScala.toSet}")
   }
 
+  test("cold start on a not-yet-created queue dir: no crash, later publishes flow") {
+    val queue = s"$tmp/queue-cold" // deliberately never mkdir'd
+    val blobs = s"$tmp/blobs-cold"
+    new java.io.File(blobs).mkdirs()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft-notify")
+      .option("queueDir", queue).load()
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt-cold")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.add(r.getString(0)))
+      }
+      .start()
+    q.processAllAvailable() // empty queue, nonexistent dir: a clean no-op
+    assert(seen.isEmpty)
+    writeBlob(s"$blobs/late.txt", Seq("l1", "l2"))
+    NotifyQueue.publish(spark, queue, Seq(s"$blobs/late.txt")) // creates the dir
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.iterator().asScala.toSet == Set("l1", "l2"))
+  }
+
   test("publish rejects a gap-creating seqHint (consumer would stall at the gap)") {
     val queue = s"$tmp/queue-hint"
     // empty queue + hint far ahead: must claim seq 0, not seq 50
