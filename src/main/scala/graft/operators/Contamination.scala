@@ -52,4 +52,18 @@ object Contamination {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
       .orderBy(idCol)
   }
+
+  /** ACT on the report: drop training documents whose contamination ratio
+    * is >= `maxRatio` (ratio 0.0 drops any doc sharing a single n-gram —
+    * the strict decontamination most labs run). One anti-join against the
+    * (small) flagged-doc set; the training side shuffles once on the id.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8,
+                    maxRatio: Double = 0.0): DataFrame = {
+    val flagged = report(train, benchmark, idCol, textCol, n)
+      .filter(col("contamination_ratio") >= maxRatio)
+      .select(col(idCol).as("_flagged_id"))
+    train.join(flagged, train(idCol) === col("_flagged_id"), "left_anti")
+  }
 }

@@ -390,6 +390,28 @@ object ExtensionQueries {
               |    ((max((cum_end - 1) // 512) + 1) * 512), 4) AS fill_ratio
               |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Decontamination ACTION (x13 reports, x18 acts): drop every training
+    // doc sharing >= one 8-gram with the held-out set, then summarize
+    // survivors per language. One extra anti-join on doc_id over x13's
+    // shape; the flagged set is benchmark-sized (small) -> broadcast.
+    "x18_decontaminated" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Contamination.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", n = 8)
+          .groupBy("lang").agg(count(lit(1)).as("n_clean")).orderBy("lang")
+      },
+      Some(s"""WITH ${shinglesCteN(8)},
+              |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+              |hits AS (
+              |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+              |  WHERE s.doc_id % 20 <> 0)
+              |SELECT lang, count(*) AS n_clean FROM documents
+              |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // REAL image decode (javax.imageio, JDK built-in): synthesize a
     // deterministic solid-color PNG per doc (dims + RGB from doc_id
     // arithmetic), decode it back executor-side, extract

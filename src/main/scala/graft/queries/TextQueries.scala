@@ -370,6 +370,39 @@ object TextQueries {
              |SELECT lang, lang_tokens,
              |  round(sqrt(lang_tokens::DOUBLE) /
              |    sum(sqrt(lang_tokens::DOUBLE)) OVER (), 6) AS weight
-             |FROM c ORDER BY lang""".stripMargin))
+             |FROM c ORDER BY lang""".stripMargin)),
+
+    // ---- BPE tokenizer TRAINING, the distributed core: one merge round
+    // counts adjacent symbol pairs over the word-frequency table (initial
+    // alphabet = characters), weighted by word freq — the argmax pair is
+    // the round's merge (d7 applies a tokenizer; this BUILDS one). Scale
+    // shape: the word-freq agg collapses 100 TB of text to vocab size
+    // BEFORE the pair explode, so the expensive fan-out runs over the
+    // (bounded) vocabulary, not the corpus; top-k is TakeOrdered.
+    "d17_bpe_merges" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), expr(
+          "transform(sequence(1, length(word) - 1), " +
+            "i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))")
+          .as("ps"))
+        .filter(size(col("ps")) > 0)
+        .select(col("freq"), explode(col("ps")).as("pair"))
+        .groupBy("pair").agg(sum("freq").cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20),
+      Some("""WITH w AS (
+             |  SELECT word, count(*) AS freq FROM (
+             |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+             |    FROM documents)
+             |  GROUP BY word),
+             |p AS (
+             |  SELECT freq,
+             |    substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair
+             |  FROM (SELECT word, freq,
+             |          unnest(generate_series(1, length(word) - 1)) AS i
+             |        FROM w WHERE length(word) >= 2))
+             |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin))
   )
 }
