@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -134,7 +134,7 @@ private[graft] case class NotifyOffset(seq: Long) extends Offset {
 private[graft] class NotifyMicroBatchStream(queueDir: String,
                                             maxPerTrigger: Int,
                                             emitPaths: Boolean = false)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val conf = SparkSession.active.sparkContext.hadoopConfiguration
   private val dir = new Path(queueDir)
   private lazy val fs = dir.getFileSystem(conf)
@@ -146,6 +146,19 @@ private[graft] class NotifyMicroBatchStream(queueDir: String,
   // by the spec
   @volatile private[graft] var probeCount: Long = 0L
 
+  // Trigger.AvailableNow: capture the queue tail ONCE at query start and
+  // drain to exactly that point in rate-limited batches — without this the
+  // engine would stop after one <=maxPerTrigger batch (the engine only
+  // keeps triggering when the source promises a fixed target), and
+  // notifications arriving mid-drain must not extend the run.
+  @volatile private var availableNowTarget: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    var seq = known
+    while (fs.exists(new Path(dir, NotifySource.seqFile(seq + 1)))) seq += 1
+    availableNowTarget = seq
+  }
+
   override def initialOffset(): Offset = NotifyOffset(-1L)
 
   override def deserializeOffset(json: String): Offset = {
@@ -154,11 +167,22 @@ private[graft] class NotifyMicroBatchStream(queueDir: String,
     NotifyOffset(seq)
   }
 
-  override def latestOffset(): Offset = {
+  // admission-control form (the engine's entry point for this source —
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl): probe
+  // forward from the resume point, bounded by the read limit and, under
+  // AvailableNow, by the captured tail.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(maxPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = limit match {
+      case _: ReadAllAvailable => Int.MaxValue
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => maxPerTrigger
+    }
     var seq = known
     var advanced = 0
     var more = true
-    while (more && advanced < maxPerTrigger) {
+    while (more && advanced < cap && seq < availableNowTarget) {
       probeCount += 1
       if (fs.exists(new Path(dir, NotifySource.seqFile(seq + 1)))) {
         seq += 1; advanced += 1
@@ -167,6 +191,10 @@ private[graft] class NotifyMicroBatchStream(queueDir: String,
     known = seq
     NotifyOffset(seq)
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NotifyOffset].seq

@@ -115,8 +115,10 @@ class NotifySourceSpec extends GraftSparkSpec {
     // restart state: the checkpoint says seq 9999 is committed
     stream.deserializeOffset("""{"seq":9999}""")
 
+    def latest() = stream.latestOffset(
+      stream.initialOffset(), stream.getDefaultReadLimit)
     val before = stream.probeCount
-    val off1 = stream.latestOffset().asInstanceOf[NotifyOffset]
+    val off1 = latest().asInstanceOf[NotifyOffset]
     assert(off1.seq == 9999L)
     assert(stream.probeCount - before == 1,
       s"idle trigger must cost exactly ONE exists-probe over 10k processed " +
@@ -130,7 +132,7 @@ class NotifySourceSpec extends GraftSparkSpec {
       Files.write(Paths.get(queue, f"n-$i%012d"), s"$blob\n".getBytes("UTF-8"))
     }
     val mid = stream.probeCount
-    val off2 = stream.latestOffset().asInstanceOf[NotifyOffset]
+    val off2 = latest().asInstanceOf[NotifyOffset]
     assert(off2.seq == 10002L)
     assert(stream.probeCount - mid == 4,
       s"3 new notifications must cost 4 probes, got ${stream.probeCount - mid}")
@@ -168,6 +170,31 @@ class NotifySourceSpec extends GraftSparkSpec {
     q2.stop()
     assert(spark.read.text(s"$out/*.txt").count() == 800, "duplicate event must not double data")
     assert(graft.operators.Split.manifest(spark, out).count() == manifest.count())
+  }
+
+  test("Trigger.AvailableNow drains the full backlog in rate-limited batches") {
+    val queue = s"$tmp/queue-avail"
+    val blobs = s"$tmp/blobs-avail"
+    new java.io.File(blobs).mkdirs()
+    // 10 blobs, maxFilesPerTrigger=3: AvailableNow must run ceil(10/3)
+    // batches to the captured tail, then terminate on its own
+    (0 until 10).foreach { i =>
+      writeBlob(s"$blobs/b$i.txt", Seq(s"v$i"))
+      NotifyQueue.publish(spark, queue, Seq(s"$blobs/b$i.txt"), seqHint = i)
+    }
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft-notify")
+      .option("queueDir", queue).option("maxFilesPerTrigger", 3).load()
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt-avail")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.add(r.getString(0)))
+      }
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(seen.iterator().asScala.toSet == (0 until 10).map(i => s"v$i").toSet,
+      s"full backlog must drain, got ${seen.size()} rows")
   }
 
   test("notified prepartition pipeline: end-to-end with idempotent staging") {
