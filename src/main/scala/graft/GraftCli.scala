@@ -116,6 +116,29 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    // the flagship LLM-corpus pipeline over a documents parquet
+    // (doc_id, text, lang, ...): quality filter -> MinHash near-dup
+    // removal -> per-language sequence packing; writes packed spans +
+    // prints per-stream packing stats (the x15 composition, operable)
+    case "corpus-prep" :: inParquet :: outDir :: rest =>
+      val spark = session()
+      val minTokens = rest.headOption.map(_.toInt).getOrElse(25)
+      val threshold = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.5)
+      val capacity = rest.drop(2).headOption.map(_.toInt).getOrElse(512)
+      val docs = spark.read.parquet(inParquet)
+      val q = docs.filter(operators.Pack.tokenCount(
+        org.apache.spark.sql.functions.col("text")) >= minTokens)
+      val surv = operators.Dedup.dedupSurvivors(q, "doc_id",
+        operators.Dedup.minHashLsh(q, "doc_id", "text", threshold = threshold))
+      val spans = operators.Pack.packedSpans(
+        surv, "doc_id", "text", "lang", capacity = capacity)
+      spans.write.mode("overwrite").parquet(s"$outDir/packed_spans")
+      operators.Pack.packingStats(
+        spark.read.parquet(s"$outDir/packed_spans"), "lang", capacity).show(false)
+      println(s"[graft] corpus-prep $inParquet -> $outDir " +
+        s"(minTokens=$minTokens threshold=$threshold capacity=$capacity)")
+      spark.stop()
+
     // event-driven Split server (the reference's EtlAction=Split on queue
     // events): split each notified blob into size-bounded shards
     case "stream-notify-split" :: queueDir :: outDir :: checkpoint :: maxBytes :: rest =>
@@ -149,7 +172,8 @@ object GraftCli {
            |  stream <landingDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
            |  notify-publish <queueDir> <blobPath> [blobPath ...]
            |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
-           |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]""".stripMargin)
+           |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]
+           |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]""".stripMargin)
       sys.exit(2)
   }
 }
