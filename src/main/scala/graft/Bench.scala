@@ -40,7 +40,14 @@ object Bench {
     // GC/compile stall inflates mean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = Seq(runOne(fn), runOne(fn), runOne(fn)).filter(_ >= 0).sorted
-      name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
+      // true median: for an even count (one transient failure -> 2 runs),
+      // average the two middle elements — ts(size/2) would pick the MAX of
+      // two successes, reporting exactly the noise the median is meant to cut
+      name -> (ts.size match {
+        case 0 => -1.0
+        case n if n % 2 == 1 => ts(n / 2)
+        case n => (ts(n / 2 - 1) + ts(n / 2)) / 2
+      })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -66,7 +66,17 @@ object NotifySource {
   private[streaming] def seqFile(seq: Long): String = f"n-$seq%012d"
 }
 
-/** Producer side: publish landed-blob notifications into the queue dir. */
+/** Producer side: publish landed-blob notifications into the queue dir.
+  *
+  * FILESYSTEM REQUIREMENT: the queue dir must live on a filesystem whose
+  * `rename` is atomic and REFUSES an existing destination (returns false,
+  * first writer wins) — HDFS, ABFS, and Hadoop's checksummed
+  * LocalFileSystem all do. Object stores without atomic rename (S3A
+  * emulates rename as copy+delete and overwrites) break the multi-producer
+  * claim protocol: two producers racing for the same seq would both
+  * "succeed" and one notification would be silently lost. On such stores,
+  * front the queue with a single publisher or an HDFS/ABFS staging path.
+  */
 object NotifyQueue {
   /** Atomically append one notification naming `dataPaths`; returns the
     * claimed sequence number. `seqHint` lets a long-lived producer skip
@@ -102,11 +112,16 @@ object NotifyQueue {
   }
 }
 
-private[streaming] class NotifyTable(props: Map[String, String])
+private[streaming] class NotifyTable(rawProps: Map[String, String])
     extends Table with SupportsRead {
+  // TableProvider.getTable receives the ORIGINAL-case properties map
+  // (CaseInsensitiveStringMap.asCaseSensitiveMap preserves the caller's key
+  // case), so a caller writing `maxFilesPerTrigger` would silently miss a
+  // lowercase-only lookup. Normalize once; all option reads below are on
+  // lowercase keys.
+  private val props = rawProps.map { case (k, v) => k.toLowerCase -> v }
   private val queueDir = props.getOrElse("queuedir",
-    props.getOrElse("queueDir",
-      throw new IllegalArgumentException("graft-notify requires option queueDir")))
+    throw new IllegalArgumentException("graft-notify requires option queueDir"))
   override def name(): String = s"graft-notify:$queueDir"
   override def schema(): StructType = NotifySource.schema
   override def capabilities(): java.util.Set[TableCapability] =

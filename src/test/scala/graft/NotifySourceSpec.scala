@@ -183,18 +183,31 @@ class NotifySourceSpec extends GraftSparkSpec {
       NotifyQueue.publish(spark, queue, Seq(s"$blobs/b$i.txt"), seqHint = i)
     }
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val q = spark.readStream.format("graft-notify")
+      // camelCase key deliberately: the rate limit must survive the
+      // original-case properties map TableProvider.getTable receives
       .option("queueDir", queue).option("maxFilesPerTrigger", 3).load()
       .writeStream
       .option("checkpointLocation", s"$tmp/ckpt-avail")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        batch.collect().foreach(r => seen.add(r.getString(0)))
+        val rows = batch.collect()
+        rows.foreach(r => seen.add(r.getString(0)))
+        if (rows.nonEmpty) batchSizes.add(rows.length)
+        ()
       }
       .start()
     assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
     assert(seen.iterator().asScala.toSet == (0 until 10).map(i => s"v$i").toSet,
       s"full backlog must drain, got ${seen.size()} rows")
+    // the rate limit must actually bite: 10 one-blob notifications at
+    // maxFilesPerTrigger=3 is exactly ceil(10/3)=4 micro-batches of
+    // 3+3+3+1 rows — a single 10-row batch means the option was dropped
+    val sizes = batchSizes.iterator().asScala.toSeq
+    assert(sizes.length == 4,
+      s"expected ceil(10/3)=4 rate-limited micro-batches, got $sizes")
+    assert(sizes.forall(_ <= 3), s"a batch exceeded maxFilesPerTrigger=3: $sizes")
   }
 
   test("notified prepartition pipeline: end-to-end with idempotent staging") {
