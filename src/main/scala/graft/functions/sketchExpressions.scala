@@ -85,11 +85,32 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `pair_encode(ids)` — every unordered pair of a bigint-array column, each
+  * packed as `(min << 32) | max` (array<bigint>). Feeds bucket-local pair
+  * generation in the dedup family; see SketchUtil.pairEncode.
+  */
+case class PairEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pair_encode"
+
+  override protected def nullSafeEval(ids: Any): Any =
+    SketchUtil.pairEncode(ids.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchUtil.pairEncode($t)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.functions.lit
 
   def tokenCount(text: Column): Column =
     Shims.column(TokenCount(Shims.expression(text)))
+
+  def pairEncode(ids: Column): Column =
+    Shims.column(PairEncode(Shims.expression(ids)))
 
   def minHash(tokens: Column, k: Int): Column =
     Shims.column(MinHashSig(Shims.expression(tokens), Shims.expression(lit(k))))

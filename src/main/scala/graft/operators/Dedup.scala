@@ -286,35 +286,49 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 64): DataFrame = {
-    // materialize the posting list once: three consumers below (df counts,
-    // union-side semi join, pair-side semi join) would each re-run the
-    // shingle kernel over the full corpus otherwise
-    val posting = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
+    import org.apache.spark.sql.expressions.Window
+    // ONE shuffle on shingle gets both artifacts: `count over (partition by
+    // shingle)` annotates every posting with its df in place (no df-counts
+    // groupBy, no semi-joins back onto the posting list), and the pair
+    // stage's groupBy(shingle) below reuses the window's hash partitioning
+    // (zero extra exchange — verified: no Exchange between Window and the
+    // first HashAggregate). Materialized once (localCheckpoint, GC-scoped)
+    // for its two consumers: per-doc sizes and the pair stage.
+    val withDf = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .localCheckpoint()
-    val dfCounts = posting.groupBy("shingle").count()
-    // union side: every non-boilerplate shingle (df <= maxDf, incl. df=1)
-    val kept = posting.join(
-      dfCounts.filter(col("count") <= maxDf).select("shingle"),
-      Seq("shingle"), "left_semi")
-    val nKept = kept.groupBy("id").agg(count(lit(1)).as("n"))
-    // pair side: only shareable shingles (df in [2, maxDf])
-    // localCheckpoint, not cache: both sides of the self-join read this
-    // frame; checkpoint blocks are GC-scoped instead of leaking in the
-    // session CacheManager
-    val rp = posting.join(
-        dfCounts.filter(col("count").between(2, maxDf)).select("shingle"),
-        Seq("shingle"), "left_semi")
-      .join(nKept, Seq("id")).localCheckpoint()
-
-    rp.select(col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
-      .join(rp.select(col("shingle"), col("id").as("id_b"), col("n").as("n_b")),
-        Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
+    // union side: every non-boilerplate shingle (df <= maxDf, incl. df=1).
+    // Checkpointed: it feeds TWO joins below (id_a and id_b sides), which
+    // would otherwise each re-scan the posting checkpoint and re-run this
+    // aggregation (no exchange reuse across differently-built joins).
+    // One narrow row per doc — tiny relative to the posting list.
+    val nKept = withDf.filter(col("df") <= maxDf)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // pair side: shareable shingles (df in [2, maxDf]) — bucket the <=maxDf
+    // posting ids per shingle and emit each unordered pair as ONE packed
+    // long via the codegen'd pair_encode kernel, instead of a shingle
+    // self-join (which sorts/shuffles the posting list twice and generates
+    // the d^2 cross product before the id_a < id_b filter). The df filter
+    // runs BEFORE collect_list, so no boilerplate mega-bucket is ever
+    // collected into an array (that's also why df comes from a window
+    // count, which is sort-based and spillable, not from collecting).
+    val pairs = withDf.filter(col("df").between(2, maxDf))
+      .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
+      .select(explode(
+        graft.functions.SketchFunctions.pairEncode(col("ids"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("inter"))
+      .select(shiftright(col("pk"), 32).as("id_a"),
+        col("pk").bitwiseAND(0xffffffffL).as("id_b"), col("inter"))
+    // n_a/n_b joined AFTER pair counting so the pair shuffle carries only
+    // (id_a, id_b): nKept is one row per doc — AQE broadcasts it at bench
+    // scale; at cluster scale these are plain shuffle joins on the id
+    pairs
+      .join(nKept.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(nKept.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

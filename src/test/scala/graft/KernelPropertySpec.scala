@@ -86,4 +86,37 @@ class KernelPropertySpec extends AnyFunSuite {
       graft.functions.SketchUtil.tokenCount(UTF8String.fromString(s)) == expected
     })
   }
+
+  test("pair_encode emits exactly the n-choose-2 unordered pairs, order-canonical") {
+    val idsGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 0xffffffffL)))
+    check(Prop.forAll(idsGen) { ids =>
+      val got = graft.functions.SketchUtil.pairEncode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ids.toArray))
+        .toLongArray().toSeq
+      // model: every unordered pair (min<<32)|max, from the sorted ids
+      val s = ids.sorted
+      val expected = for {
+        i <- s.indices; j <- (i + 1) until s.length
+      } yield (s(i) << 32) | s(j)
+      got == expected
+    })
+    // shuffling the input must not change the encoding (order-canonical)
+    check(Prop.forAll(idsGen) { ids =>
+      val enc = (l: Seq[Long]) => graft.functions.SketchUtil.pairEncode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(l.toArray))
+        .toLongArray().toSeq
+      enc(ids) == enc(ids.reverse)
+    })
+    // out-of-range ids fail loudly instead of corrupting the packing
+    intercept[IllegalArgumentException] {
+      graft.functions.SketchUtil.pairEncode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array(1L, 0x100000000L)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.SketchUtil.pairEncode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(-1L, 3L)))
+    }
+  }
 }
