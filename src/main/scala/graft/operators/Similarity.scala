@@ -148,6 +148,59 @@ object Similarity {
       query, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * k-means-cluster the embeddings, then within each cluster drop every
+    * vector that has a higher-similarity twin with a smaller id (the
+    * paper's keep-one-per-semantic-group policy, made deterministic by
+    * keeping the minimum id).
+    *
+    * Scale design (100 TB): assignment is the IVF coarse quantizer — a
+    * narrow argmax map against nlist×dim literal centroids, NO shuffle;
+    * the pair stage shuffles once on the cluster id and self-joins only
+    * within clusters (never all-pairs), with `maxCluster` as the skew cap.
+    * The paper scales by growing nlist with corpus size (clusters stay
+    * small); a cluster above the cap passes through un-deduped rather
+    * than detonating a task.
+    *
+    * @return survivors (vec_id, list_id, label), list_id 1-based
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
+               nlist: Int = 16, trainIters: Int = 0,
+               maxCluster: Int = 4096): DataFrame = {
+    val cents: Array[Array[Float]] =
+      if (trainIters > 0) kmeansCentroids(embeddings, nlist, trainIters)
+      else embeddings
+        .orderBy("vec_id").limit(nlist)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
+    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
+      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
+    }.toSeq: _*)
+    // materialized once (GC-scoped) for its two consumers: the pair join
+    // below and the survivor anti-join
+    val assigned = embeddings
+      .withColumn("list_id", array_position(simsTo(col("embedding")),
+        array_max(simsTo(col("embedding")))))
+      .localCheckpoint()
+    val inB = assigned.select(col("list_id"), col("vec_id").as("id"),
+      col("embedding").as("e"))
+    val sized = inB.join(
+      inB.groupBy("list_id").count().filter(col("count").between(2, maxCluster)),
+      Seq("list_id"), "left_semi")
+    val dropped = sized
+      .select(col("list_id"), col("id").as("id_a"), col("e").as("e_a"))
+      .join(sized.select(col("list_id"), col("id").as("id_b"), col("e").as("e_b")),
+        Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineRank(col("e_a"), col("e_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("list_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
     * `planes` sign bits split into `bands`; a pair is a candidate if ANY
     * band matches exactly (standard OR-of-ANDs construction — recall at

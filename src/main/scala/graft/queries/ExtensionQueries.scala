@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Contamination, Dedup, Multimodal, Pack, Similarity}
+import graft.operators.{Budget, Contamination, Dedup, Multimodal, Pack, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Extension operators beyond the reference's surface (SURVEY.md §7.3 M6):
@@ -448,6 +448,91 @@ object ExtensionQueries {
           |    + 114 * ((doc_id * 13) % 256))::DOUBLE / 1000 * 10000 + 0.5)
           |    / 10000 AS mean_luma
           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (IVF
+    // coarse quantizer, deterministic id-ordered seed -> the oracle can
+    // replicate the assignment with the same centroid rows), then drop
+    // every vector with a >= threshold cosine twin of smaller id inside
+    // its cluster. The oracle recomputes assignment + within-cluster
+    // pairs + the keep-min-id policy in SQL; double parity of the cosine
+    // folds is the same discipline x4/e2 already gate.
+    "x19_semdedup" -> QueryDef(
+      (s, dir) => Similarity.semDedup(
+        t(s, dir, "embeddings"), threshold = 0.4, nlist = 16),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id, label,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |cents AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, e AS c,
+          |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+          |      (x, y) -> x + y)) AS cn
+          |  FROM e WHERE vec_id < 16),
+          |sims AS (
+          |  SELECT a.vec_id, c.pos,
+          |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e) + 1),
+          |        i -> a.e[i] * c.c[i])), (x, y) -> x + y)
+          |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x * x)),
+          |          (x, y) -> x + y)) * c.cn) AS sim
+          |  FROM e a CROSS JOIN cents c),
+          |assign AS (
+          |  SELECT vec_id, pos AS list_id FROM (
+          |    SELECT vec_id, pos,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, pos) AS rn
+          |    FROM sims) WHERE rn = 1),
+          |ps AS (
+          |  SELECT b.vec_id AS id_b,
+          |    list_reduce(list_prepend(0.0, list_transform(range(1, len(ea.e) + 1),
+          |        i -> ea.e[i] * eb.e[i])), (x, y) -> x + y)
+          |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(ea.e, x -> x * x)),
+          |          (x, y) -> x + y))
+          |        * sqrt(list_reduce(list_prepend(0.0, list_transform(eb.e, x -> x * x)),
+          |          (x, y) -> x + y))) AS raw
+          |  FROM assign a JOIN assign b
+          |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          |  JOIN e ea ON ea.vec_id = a.vec_id
+          |  JOIN e eb ON eb.vec_id = b.vec_id)
+          |SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id, em.label
+          |FROM assign a JOIN embeddings em ON em.vec_id = a.vec_id
+          |WHERE a.vec_id NOT IN (
+          |  SELECT DISTINCT id_b FROM ps
+          |  WHERE round(CASE WHEN isnan(raw) THEN -1.0 ELSE raw END, 6) >= 0.4)
+          |ORDER BY a.vec_id""".stripMargin)),
+
+    // Token-budget corpus selection: rank by quality score (avg word
+    // length, the d4 metric), take docs in rank order until the global
+    // token budget is exhausted. Two-phase prefix sum over the rank
+    // order — never a single-partition window; partitions past the
+    // budget short-circuit without walking.
+    "x20_token_budget" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens",
+            graft.functions.SketchFunctions.tokenCount(col("text")))
+          .withColumn("score",
+            round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+              col("n_tokens"), 4))
+        Budget.selectByBudget(docs, "doc_id", "score", "n_tokens",
+            budget = 10000)
+          .orderBy("cum_tokens")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS score,
+          |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          |      AS n_tokens
+          |  FROM documents
+          |  WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+          |c AS (
+          |  SELECT doc_id, score, n_tokens,
+          |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          |  FROM s)
+          |SELECT doc_id, score, n_tokens, cum_tokens
+          |FROM c WHERE cum_tokens <= 10000 ORDER BY cum_tokens""".stripMargin)),
 
     // Approximate sketches (HLL distinct + quantile): Spark compares its
     // own approx values against its own exact values and outputs

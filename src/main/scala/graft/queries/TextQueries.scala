@@ -403,6 +403,20 @@ object TextQueries {
              |          unnest(generate_series(1, length(word) - 1)) AS i
              |        FROM w WHERE length(word) >= 2))
              |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
-             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin))
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // ---- deterministic corpus shuffle: reproducible training order via a
+    // seeded md5 key (epoch = seed -> a fresh permutation per epoch, no
+    // rand()). The orderBy is Spark's range-partitioned total sort —
+    // sample-based boundaries + per-partition sort, no single-partition
+    // bottleneck at 100 TB.
+    "d18_shuffle" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":42")))
+            .as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id"),
+      Some("""SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS shuffle_key
+             |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin))
   )
 }

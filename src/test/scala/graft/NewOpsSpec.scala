@@ -86,4 +86,59 @@ class NewOpsSpec extends GraftSparkSpec {
     val cents = Similarity.kmeansCentroids(rest, 8, iters = 2)
     assert(cents.length == 8 && cents.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
   }
+
+  test("semDedup: survivors have no same-cluster near-dup with a smaller id") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Similarity.semDedup(e, threshold = 0.4, nlist = 8)
+    val survivors = out.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(survivors.nonEmpty && survivors.size <= e.count())
+    // model: brute-force within-cluster pairs over the SAME assignment
+    val assignment = out.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("list_id")).toMap
+    // every dropped id must have a smaller-id >= threshold twin in its
+    // cluster; verify the policy on the survivors side: no surviving pair
+    // in one cluster is >= threshold with the larger id surviving
+    val pairs = Similarity.cosineNearDupPairs(e, threshold = 0.4,
+      maxBucket = 10000).collect()
+    pairs.foreach { p =>
+      val (a, b) = (p.getAs[Long]("id_a"), p.getAs[Long]("id_b"))
+      // if both survived they must be in different clusters
+      if (survivors(a) && survivors(b) &&
+          assignment.contains(a) && assignment.contains(b))
+        assert(assignment(a) != assignment(b),
+          s"near-dup pair ($a,$b) survived inside one cluster")
+    }
+    // trained variant also runs and keeps ids unique
+    val trained = Similarity.semDedup(e, threshold = 0.4, nlist = 8,
+      trainIters = 1).collect().map(_.getAs[Long]("vec_id"))
+    assert(trained.distinct.length == trained.length)
+  }
+
+  test("selectByBudget: exact prefix of the rank order, budget never crossed") {
+    import spark.implicits._
+    val docs = Seq(
+      // (id, score, tokens): rank order is score desc then id
+      (1L, 9.0, 40L), (2L, 8.0, 30L), (3L, 8.0, 30L), (4L, 7.0, 50L),
+      (5L, 6.0, 10L), (6L, 0.0, 1L)
+    ).toDF("doc_id", "score", "n_tokens")
+    def sel(budget: Long) = graft.operators.Budget
+      .selectByBudget(docs, "doc_id", "score", "n_tokens", budget)
+      .collect().sortBy(_.getAs[Long]("cum_tokens"))
+    // 40+30+30=100 fits exactly at budget 100; doc 4 (50) would cross
+    val b100 = sel(100)
+    assert(b100.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(b100.last.getAs[Long]("cum_tokens") == 100L)
+    // budget 99: doc 3 would cross -> prefix stops at 70
+    assert(sel(99).map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    // a doc mid-order that crosses is skipped AND nothing after it is
+    // taken (prefix semantics, not best-fit): budget 105 still ends at 3
+    assert(sel(105).map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    // zero budget -> empty; huge budget -> everything, in rank order
+    assert(sel(0).isEmpty)
+    assert(sel(1000).map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // cum_tokens is the inclusive running total in rank order
+    assert(sel(1000).map(_.getAs[Long]("cum_tokens")).toSeq ==
+      Seq(40L, 70L, 100L, 150L, 160L, 161L))
+  }
 }
