@@ -55,30 +55,41 @@ object Dedup {
       // repeated library invocations
       .localCheckpoint()
 
-    // band key: xxhash64 of the band's signature slice
-    val banded = docs.select(col("id"), col("sh"), posexplode(
+    // band key: xxhash64 of the band's signature slice. Only (id, band,
+    // bucket) flows from here — the shingle arrays stay OUT of the pair
+    // machinery and are joined back for verification only.
+    val banded = docs.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    // skew guard: cap bucket size before the pair join
-    val bucketSizes = banded.groupBy("band", "bucket").count()
-      .filter(col("count").between(2, maxBucket))
-    val inBuckets = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
+    // ONE shuffle on the bucket key: the window count is the skew cap (no
+    // bucket-counts groupBy + semi-join round trip), the cap filter runs
+    // BEFORE collect_list (no boilerplate mega-bucket is ever collected),
+    // and the groupBy reuses the window's partitioning. Pairs leave each
+    // bucket as packed longs via the codegen'd pair_encode kernel; the
+    // distinct dedups across bands on an 8-byte key.
+    import org.apache.spark.sql.expressions.Window
+    val pairs = banded
+      .withColumn("bsize", count(lit(1))
+        .over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsize").between(2, maxBucket))
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(SketchFunctions.pairEncode(col("ids"))).as("pk"))
+      .distinct()
+      .select(shiftright(col("pk"), 32).as("id_a"),
+        col("pk").bitwiseAND(0xffffffffL).as("id_b"))
 
-    // bucket-local pair generation (a < b), dedup across bands
-    val a = inBuckets.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = inBuckets.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
-
-    // exact Jaccard verification
-    verifyPairs(pairs, threshold)
+    // exact Jaccard verification: shingle sets join back per side (the
+    // candidate side is small — AQE broadcasts it; at cluster scale these
+    // degrade gracefully to shuffle joins on the id)
+    verifyPairs(
+      pairs
+        .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b")),
+      threshold)
   }
 
   /** The shared verify stage of every candidate→verify path: exact
@@ -106,23 +117,33 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    // (id, fp) is tiny; checkpointed because three consumers read it (the
+    // band explode + the two verify sides below)
     val docs = df.select(col(idCol).as("id"),
       SketchFunctions.simHash(split(trim(col(textCol)), "\\s+")).as("fp"))
+      .localCheckpoint()
 
-    val banded = docs.select(col("id"), col("fp"), posexplode(
+    val banded = docs.select(col("id"), posexplode(
       array((0 until bands).map(b =>
         shiftrightunsigned(col("fp"), b * bits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val bucketSizes = banded.groupBy("band", "bucket").count()
-      .filter(col("count").between(2, maxBucket))
-    val inBuckets = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
-
-    val a = inBuckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = inBuckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // same single-shuffle pair machinery as minHashLsh: window count as
+    // the skew cap, capped buckets collected, pair_encode packed pairs,
+    // distinct across bands on the 8-byte key
+    import org.apache.spark.sql.expressions.Window
+    banded
+      .withColumn("bsize", count(lit(1))
+        .over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsize").between(2, maxBucket))
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(SketchFunctions.pairEncode(col("ids"))).as("pk"))
+      .distinct()
+      .select(shiftright(col("pk"), 32).as("id_a"),
+        col("pk").bitwiseAND(0xffffffffL).as("id_b"))
+      .join(docs.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
