@@ -105,6 +105,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
 
+  /** Incremental near-dup detection: newly-landed `batch` docs against the
+    * standing `corpus` — the delta-dedup a production pipeline runs per
+    * ingest wave instead of re-deduping the whole corpus. Work per wave is
+    * O(batch + touched buckets), never O(corpus²): the corpus's banded
+    * MinHash signatures are the standing index (in production written once
+    * and reused per wave), the batch side is sketched fresh, and the
+    * bucket join touches only corpus buckets the batch actually hits.
+    * `maxBucket` caps degenerate corpus buckets (boilerplate), as
+    * everywhere in this family. Within-batch pairs are `minHashLsh`'s job;
+    * this reports only cross (batch, corpus) pairs.
+    *
+    * @return (batch_id, corpus_id, jaccard) with exact verified Jaccard
+    *         >= threshold, deterministic order
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                         threshold: Double = 0.5,
+                         maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPerBand = k / bands
+    def sketch(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", SketchFunctions.minHash(col("sh"), k))
+      .localCheckpoint()
+    def bandify(docs: DataFrame): DataFrame = docs.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val corpusDocs = sketch(corpus)
+    val batchDocs = sketch(batch)
+    // cap ONLY the corpus side: a boilerplate bucket with a million corpus
+    // members would fan every batch hit into a million candidates
+    import org.apache.spark.sql.expressions.Window
+    val corpusBands = bandify(corpusDocs)
+      .withColumn("bsize", count(lit(1))
+        .over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") <= maxBucket)
+      .select(col("id").as("corpus_id"), col("band"), col("bucket"))
+    val cands = bandify(batchDocs)
+      .select(col("id").as("batch_id"), col("band"), col("bucket"))
+      .join(corpusBands, Seq("band", "bucket"))
+      .select("batch_id", "corpus_id").distinct()
+
+    cands
+      .join(batchDocs.select(col("id").as("batch_id"), col("sh").as("sh_a")),
+        Seq("batch_id"))
+      .join(corpusDocs.select(col("id").as("corpus_id"), col("sh").as("sh_b")),
+        Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** SimHash near-dup candidates: 64-bit fingerprints bucketed by
     * `bands` equal bit-slices (Hamming-LSH); pairs within `maxHamming`
     * reported. Pigeonhole guarantee: any pair with Hamming distance <

@@ -449,6 +449,35 @@ object ExtensionQueries {
           |    / 10000 AS mean_luma
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Incremental dedup: the doc_id%10==0 wave ("newly landed") against
+    // the standing corpus — cross pairs only, exact verified Jaccard.
+    // Oracle is the brute-force cross product, so it doubles as the
+    // recall tripwire for the banded index (same fixture discipline as
+    // x1/x2).
+    "x21_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalNearDup(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", threshold = 0.2)
+      },
+      Some(s"""WITH $shinglesCte,
+              |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |p0 AS (
+              |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+              |    count(*) AS inter
+              |  FROM sh b JOIN sh c ON b.shingle = c.shingle
+              |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+              |  GROUP BY 1, 2)
+              |SELECT batch_id, corpus_id,
+              |  round(inter::DOUBLE / (nb.n + nc.n - inter), 4) AS jaccard
+              |FROM p0
+              |JOIN n nb ON nb.doc_id = batch_id
+              |JOIN n nc ON nc.doc_id = corpus_id
+              |WHERE round(inter::DOUBLE / (nb.n + nc.n - inter), 4) >= 0.2
+              |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (IVF
     // coarse quantizer, deterministic id-ordered seed -> the oracle can
     // replicate the assignment with the same centroid rows), then drop

@@ -417,6 +417,54 @@ object TextQueries {
             .as("shuffle_key"))
         .orderBy("shuffle_key", "doc_id"),
       Some("""SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS shuffle_key
-             |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin))
+             |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+
+    // ---- corpus-trained quality classifier: per-token class rates
+    // (source 'src0' = reference class vs the rest), a token is
+    // "good-dominant" when its good rate exceeds its bad rate — compared
+    // by integer cross-multiplication, so training AND scoring are exact
+    // integer arithmetic until the single final division (no float-sum
+    // ordering hazards). Score = fraction of a doc's token occurrences
+    // that are good-dominant. Scale shape: one groupBy(token) shuffle to
+    // train, one join on token + one per-doc agg to score — all
+    // map-side combinable.
+    "d19_quality_classifier" -> QueryDef(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(tokens(col("text"))).as("token"))
+        val cls = tok.groupBy("token").agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("n_bad"))
+        val tot = cls.agg(sum("n_good").as("tg"), sum("n_bad").as("tb"))
+        val dom = cls.crossJoin(broadcast(tot))
+          .filter(col("n_good") * col("tb") > col("n_bad") * col("tg"))
+          .select("token")
+        tok.join(dom.withColumn("is_dom", lit(1L)), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("is_dom"), lit(0L))).as("n_good_dominant"))
+          .withColumn("good_ratio",
+            round(col("n_good_dominant").cast("double") / col("n_tokens"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS token
+             |  FROM documents),
+             |cls AS (
+             |  SELECT token,
+             |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_good,
+             |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS n_bad
+             |  FROM tok GROUP BY token),
+             |tot AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM cls),
+             |dom AS (SELECT token FROM cls, tot WHERE n_good * tb > n_bad * tg)
+             |SELECT t.doc_id, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN d.token IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_good_dominant,
+             |  round(sum(CASE WHEN d.token IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 4) AS good_ratio
+             |FROM tok t LEFT JOIN dom d ON d.token = t.token
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
   )
 }

@@ -70,6 +70,27 @@ class DedupSimilaritySpec extends GraftSparkSpec {
     assert(pairs.toSet == Set((1L, 41L), (2L, 42L), (3L, 43L)))
   }
 
+  test("incremental dedup: batch hits its corpus twins, cross pairs only") {
+    // corpus = docs 1..40 + planted dup 41; batch = near-copies of docs
+    // 1 and 2 plus one fresh doc — only the (batch, corpus) twins report
+    val corp = corpus.filter(col("doc_id") <= 41)
+    val batchDocs = Seq(
+      (101L, (0 until 30).map(j => s"w1_$j").updated(3, "EDIT").mkString(" ")),
+      (102L, (0 until 30).map(j => s"w2_$j").updated(7, "EDIT").mkString(" ")),
+      (103L, (0 until 30).map(j => s"fresh_$j").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(corp, batchDocs, "doc_id", "text",
+      threshold = 0.5).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 101 matches corpus 1 AND its planted near-copy 41 (both are twins)
+    assert(pairs == Set((101L, 1L), (101L, 41L), (102L, 2L)),
+      s"got $pairs")
+    // every reported pair is batch x corpus (no within-side pairs)
+    assert(got.forall(r => r.getLong(0) >= 101L && r.getLong(1) <= 41L))
+    // jaccard is the exact verified value, high for one-word edits
+    assert(got.forall(_.getAs[Double]("jaccard") > 0.5))
+  }
+
   test("simhash: planted near-dups are hamming-close; distinct docs are not") {
     val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
