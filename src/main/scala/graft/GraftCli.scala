@@ -139,6 +139,20 @@ object GraftCli {
         s"(minTokens=$minTokens threshold=$threshold capacity=$capacity)")
       spark.stop()
 
+    // per-ingest-wave delta dedup: report near-dups of the new batch
+    // against the standing corpus (cross pairs only)
+    case "dedup-delta" :: corpusParquet :: batchParquet :: outDir :: rest =>
+      val spark = session()
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.5)
+      val pairs = operators.Dedup.incrementalNearDup(
+        spark.read.parquet(corpusParquet), spark.read.parquet(batchParquet),
+        "doc_id", "text", threshold = threshold)
+      pairs.write.mode("overwrite").parquet(s"$outDir/delta_pairs")
+      val n = spark.read.parquet(s"$outDir/delta_pairs").count()
+      println(s"[graft] dedup-delta $batchParquet vs $corpusParquet: " +
+        s"$n cross near-dup pairs (threshold=$threshold) -> $outDir/delta_pairs")
+      spark.stop()
+
     // event-driven Split server (the reference's EtlAction=Split on queue
     // events): split each notified blob into size-bounded shards
     case "stream-notify-split" :: queueDir :: outDir :: checkpoint :: maxBytes :: rest =>
@@ -173,7 +187,8 @@ object GraftCli {
            |  notify-publish <queueDir> <blobPath> [blobPath ...]
            |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
            |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]
-           |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]""".stripMargin)
+           |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]
+           |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]""".stripMargin)
       sys.exit(2)
   }
 }
