@@ -66,4 +66,43 @@ object Contamination {
       .select(col(idCol).as("_flagged_id"))
     train.join(flagged, train(idCol) === col("_flagged_id"), "left_anti")
   }
+
+  /** Bloom-prefiltered strict decontamination — the 100 TB shape of
+    * `decontaminate(maxRatio = 0)`. A Bloom filter over the benchmark
+    * shingle set (driver-built from the tiny side, broadcast) discards the
+    * overwhelming majority of training shingles executor-locally BEFORE
+    * anything is shuffled; only bloom hits (true matches + fpp false
+    * positives) reach the exact semi-join that removes the false
+    * positives. The result is therefore EXACTLY `decontaminate(maxRatio=0)`
+    * — the bloom changes shuffle volume, never the answer. At 8-word
+    * shingles a training corpus emits ~token-count shingles per doc;
+    * cutting those from the exchange is the difference between shuffling
+    * 100 TB of shingle text and shuffling megabytes.
+    *
+    * The probe is a plain Scala UDF (off-codegen): one hash probe per
+    * shingle against a broadcast bitset, on a stream the filter SHRINKS by
+    * ~1/fpp — a fair trade that a Catalyst `might_contain` expression
+    * would only shave constant factors off. (Spark's own injected runtime
+    * bloom filters cover join keys, not this explode-then-semi-join
+    * shape.)
+    */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .distinct().localCheckpoint() // consumed twice: bloom build + verify
+    val bf = benchSh.stat.bloomFilter("shingle",
+      math.max(benchSh.count(), 1L), fpp)
+    val bcBf = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((s: String) => s != null && bcBf.value.mightContainString(s))
+    val flagged = train
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .filter(mightContain(col("shingle")))
+      .join(benchSh, Seq("shingle"), "left_semi") // exact: kills bloom FPs
+      .select(col("id").as("_flagged_id")).distinct()
+    train.join(flagged, train(idCol) === col("_flagged_id"), "left_anti")
+  }
 }

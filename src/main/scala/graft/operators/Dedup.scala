@@ -361,6 +361,56 @@ object Dedup {
     df.join(dupes, df(idCol) === dupes("node"), "left_anti")
   }
 
+  /** Sorted-neighborhood near-dup detection: sort each block by a cheap
+    * similarity-correlated key (token count, then text prefix) and compare
+    * every doc only with its next `window` neighbors in that order — the
+    * classic SNM blocking strategy, and the one dedup-family member with
+    * NO shingle explode in the candidate stage at all. Candidates carry
+    * only ids through the window (never shingle arrays); exact
+    * shingle-Jaccard verification joins the sets back, so precision is
+    * exact and the (block, key, window) choice tunes only completeness.
+    *
+    * Scale shape: one window shuffle on the block key + the shared verify
+    * joins. Blocks bound the sort (no global single-partition window);
+    * production pipelines run multiple passes with different keys
+    * (length, prefix, reversed prefix) to recover cross-block recall.
+    *
+    * @param blockCol partition key for the neighborhood sort (e.g. lang)
+    * @param window   neighbors ahead to compare against
+    * @return (id_a, id_b, jaccard) with id_a < id_b, deterministic
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+                         blockCol: String, window: Int = 3,
+                         shingleSize: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("blk").orderBy("ntok", "pfx", "id")
+    // window exprs must be top-level projections (not inside a generator):
+    // lead the ids out first, explode the neighbor array in a second select
+    val led = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        graft.functions.SketchFunctions.tokenCount(col(textCol)).as("ntok"),
+        substring(col(textCol), 1, 32).as("pfx"))
+      .select(col("id") +:
+        (1 to window).map(i => lead(col("id"), i).over(w).as(s"nb$i")): _*)
+    val cands = led
+      .select(col("id"), explode(
+        array((1 to window).map(i => col(s"nb$i")): _*)).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(least(col("id"), col("nb")).as("id_a"),
+        greatest(col("id"), col("nb")).as("id_b"))
+      .distinct()
+    // shared verify stage: shingle sets materialized once for both sides
+    val sh = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    verifyPairs(
+      cands
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b")),
+      threshold)
+  }
+
   /** Exact n-gram Jaccard via inverted index: explode shingles, keep those
     * appearing in <= `maxDf` docs, self-join on the shareable (df >= 2)
     * ones, and compute the intersection by COUNTING shared postings per

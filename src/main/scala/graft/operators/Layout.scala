@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton-curve) clustering keys.
+  *
+  * A table range-partitioned + sorted by a Z-order key over two bucketed
+  * dimensions keeps rows close in BOTH dimensions physically co-located,
+  * so min/max footer stats prune scans for predicates on EITHER dimension
+  * — the standard layout trick (Delta/Iceberg OPTIMIZE ZORDER) for 100 TB
+  * fact tables queried by more than one column. The key computation is
+  * pure bit arithmetic on built-in expressions (shift/and/or), fully
+  * inside WholeStageCodegen; the write path is the existing
+  * `repartitionByRange(zkey).sortWithinPartitions(zkey)` + parquet, which
+  * is Spark's sampled range partitioner — no single-partition sort.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to the even bit positions of a 32-bit
+    * value (Morton spread, the classic shift-or-mask chain).
+    */
+  def spread16(c: Column): Column = {
+    val m0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order key interleaving two 16-bit dimensions: bits of `a` land on
+    * even positions, bits of `b` on odd — equal prefixes = spatial
+    * proximity in both dimensions.
+    */
+  def zkey2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Cluster `df` by the Z-order of two (pre-bucketed, 16-bit) dimension
+    * columns: range-partition on the key, sort within partitions — the
+    * physical layout a downstream parquet write preserves.
+    */
+  def zorderBy(df: DataFrame, a: Column, b: Column,
+               partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    df.withColumn("zkey", zkey2(a, b))
+      .repartitionByRange(p, col("zkey"))
+      .sortWithinPartitions("zkey")
+  }
+}

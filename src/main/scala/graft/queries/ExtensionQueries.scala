@@ -599,6 +599,102 @@ object ExtensionQueries {
       },
       Some("""SELECT event_type, true AS approx_users_ok, true AS p50_ok,
              |  count(*) AS n
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bloom-prefiltered decontamination — the 100 TB shape of x18: a
+    // driver-built Bloom filter over the (tiny) benchmark shingle set
+    // discards almost all training shingles executor-locally before the
+    // shuffle; the exact semi-join then kills the bloom's false positives.
+    // By construction the RESULT equals exact decontamination, so the
+    // oracle is x18's exact SQL — a bloom bug (missed hits, unverified
+    // false positives) diverges from the exact answer and fails loudly.
+    "x22_bloom_decontaminated" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Contamination.decontaminateBloom(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", n = 8)
+          .groupBy("lang").agg(count(lit(1)).as("n_clean")).orderBy("lang")
+      },
+      Some(s"""WITH ${shinglesCteN(8)},
+              |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+              |hits AS (
+              |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+              |  WHERE s.doc_id % 20 <> 0)
+              |SELECT lang, count(*) AS n_clean FROM documents
+              |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Z-order layout keys: Morton-interleave (hour-of-day, user bucket)
+    // into one clustering key — rows close in EITHER dimension sort near
+    // each other, so parquet min/max footers prune scans on both columns
+    // after a repartitionByRange(zkey) write (Layout.zorderBy). The key is
+    // pure shift/and/or bit arithmetic (whole-stage codegen'd); the oracle
+    // replays the identical spread chain in SQL integer ops.
+    "x23_zorder" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), hour(col("ts")).cast("long").as("h"),
+          pmod(col("user_id"), lit(1024)).as("ub"))
+        .withColumn("zkey", graft.operators.Layout.zkey2(col("h"), col("ub")))
+        .orderBy("zkey", "event_id")
+        .limit(500),
+      Some(
+        """WITH b AS (
+          |  SELECT event_id, CAST(hour(ts) AS BIGINT) AS h,
+          |    user_id % 1024 AS ub
+          |  FROM events),
+          |s1 AS (SELECT event_id, h, ub,
+          |  (h | (h << 8)) & 16711935 AS ha,
+          |  (ub | (ub << 8)) & 16711935 AS hb FROM b),
+          |s2 AS (SELECT event_id, h, ub,
+          |  (ha | (ha << 4)) & 252645135 AS ha,
+          |  (hb | (hb << 4)) & 252645135 AS hb FROM s1),
+          |s3 AS (SELECT event_id, h, ub,
+          |  (ha | (ha << 2)) & 858993459 AS ha,
+          |  (hb | (hb << 2)) & 858993459 AS hb FROM s2),
+          |s4 AS (SELECT event_id, h, ub,
+          |  (ha | (ha << 1)) & 1431655765 AS ha,
+          |  (hb | (hb << 1)) & 1431655765 AS hb FROM s3)
+          |SELECT event_id, h, ub, ha | (hb << 1) AS zkey
+          |FROM s4 ORDER BY zkey, event_id LIMIT 500""".stripMargin)),
+
+    // Sorted-neighborhood dedup: candidates from a per-language sort on
+    // (token count, 32-char prefix) compared `window` rows ahead — NO
+    // shingle explode in the candidate stage (the cheapest family member
+    // per candidate). The oracle replays the IDENTICAL deterministic
+    // blocking + window walk, so candidate generation and the exact
+    // Jaccard verify are both gated — unlike x1/x2 this oracle is not a
+    // recall tripwire against brute force; it pins the SNM semantics
+    // themselves.
+    "x24_sorted_neighborhood" -> QueryDef(
+      (s, dir) => Dedup.sortedNeighborhood(
+        t(s, dir, "documents"), "doc_id", "text", blockCol = "lang",
+        window = 3, threshold = 0.2),
+      Some(s"""WITH $shinglesCte,
+              |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |k AS (SELECT doc_id, lang,
+              |        len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+              |        substr(text, 1, 32) AS pfx
+              |      FROM documents),
+              |o AS (SELECT doc_id,
+              |        lead(doc_id, 1) OVER w AS n1,
+              |        lead(doc_id, 2) OVER w AS n2,
+              |        lead(doc_id, 3) OVER w AS n3
+              |      FROM k WINDOW w AS (PARTITION BY lang ORDER BY ntok, pfx, doc_id)),
+              |c AS (SELECT DISTINCT least(doc_id, nb) AS id_a,
+              |        greatest(doc_id, nb) AS id_b
+              |      FROM (SELECT doc_id, unnest([n1, n2, n3]) AS nb FROM o)
+              |      WHERE nb IS NOT NULL),
+              |p0 AS (SELECT c.id_a, c.id_b, count(*) AS inter
+              |       FROM c
+              |       JOIN sh a ON a.doc_id = c.id_a
+              |       JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              |       GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  round(inter::DOUBLE / (na.n + nb.n - inter), 4) AS jaccard
+              |FROM p0 JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+              |WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.2
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -465,6 +465,97 @@ object TextQueries {
              |  round(sum(CASE WHEN d.token IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
              |    / count(*), 4) AS good_ratio
              |FROM tok t LEFT JOIN dom d ON d.token = t.token
-             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- cross-document boilerplate signal: per doc, the fraction of its
+    // DISTINCT 3-grams that also appear in at least one other document —
+    // the corpus-level companion to d15's intra-doc repetition (headers,
+    // footers, licence blocks score high). One explode + one window count
+    // on the shingle key (sort-based, spillable — boilerplate shingles
+    // with huge df never collect into an array) + one per-doc agg.
+    "d20_boilerplate" -> QueryDef(
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), explode(
+            graft.functions.SketchFunctions.wordShingles(col("text"), 3))
+            .as("shingle"))
+        sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+            round(sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
+              count(lit(1)), 4).as("shared_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |idx AS (
+             |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+             |  FROM toks WHERE len(t) >= 3),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |    AS shingle FROM idx),
+             |d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shared,
+             |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 4) AS shared_frac
+             |FROM sh JOIN d USING (shingle)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- unigram-LM scoring: train token probabilities on the corpus
+    // itself (one vocab agg), score each doc by its average negative log
+    // likelihood — the perplexity-style quality signal (KenLM stand-in;
+    // surprising/garbled docs score high, boilerplate scores low). Scale
+    // shape: the vocab agg collapses the corpus to vocabulary size, the
+    // score join is narrow on the token key (AQE broadcasts the
+    // vocab-sized side), one per-doc agg — all map-side combinable.
+    "d21_lm_score" -> QueryDef(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val total = freq.agg(sum("cnt").as("n_total"))
+        tok.join(freq, "token")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log(col("n_total").cast("double") / col("cnt"))), 4)
+              .as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents),
+             |f AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |tot AS (SELECT sum(cnt) AS n_total FROM f)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(avg(ln(n_total::DOUBLE / cnt)), 4) AS avg_nll
+             |FROM tok JOIN f USING (token), tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-source representative selection (URL-dedup keep-best
+    // policy): one doc per source, keeping the longest (ties to smallest
+    // doc_id) — the argmax-per-group pattern a crawl pipeline runs on URL
+    // or domain keys. One window shuffle on the group key.
+    "d22_keep_best" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("source", "doc_id", "n_chars", "lang")
+          .orderBy("source")
+      },
+      Some("""SELECT source, doc_id, n_chars, lang FROM (
+             |  SELECT source, doc_id, n_chars, lang,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk = 1 ORDER BY source""".stripMargin))
   )
 }

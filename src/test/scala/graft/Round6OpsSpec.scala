@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Contamination, Dedup, Layout}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-6 additions: Z-order layout keys,
+  * sorted-neighborhood dedup, and bloom-prefiltered decontamination.
+  */
+class Round6OpsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  // independent reference interleave: bit i of a -> bit 2i, bit i of b -> 2i+1
+  private def refZ(a: Long, b: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 16) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zkey2 equals the bit-by-bit Morton interleave on edge + random values") {
+    val cases = Seq((0L, 0L), (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL),
+      (1L, 2L), (23L, 1023L), (0x1234L, 0xABCDL), (65535L, 32768L))
+    val got = cases.toDF("a", "b")
+      .select(Layout.zkey2(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == cases.map { case (a, b) => refZ(a, b) })
+  }
+
+  test("zkey2 is monotone in each dimension holding the other fixed") {
+    // along one dimension the even (resp. odd) interleaved bits preserve
+    // order — the property that makes range pruning on zkey work
+    val axis = (0L until 64L)
+    assert(axis.map(refZ(_, 7L)) == axis.map(refZ(_, 7L)).sorted)
+    assert(axis.map(refZ(9L, _)) == axis.map(refZ(9L, _)).sorted)
+  }
+
+  test("zorderBy clusters both dimensions: per-partition zkey ranges are disjoint") {
+    val df = (0 until 1024).map(i => (i.toLong, (i % 24).toLong, (i % 32).toLong))
+      .toDF("id", "h", "ub")
+    val z = Layout.zorderBy(df, col("h"), col("ub"), partitions = 8)
+    val ranges = z.select(col("zkey"))
+      .mapPartitions(it => {
+        val v = it.map(_.getLong(0)).toSeq
+        if (v.isEmpty) Iterator.empty
+        else Iterator.single((v.min, v.max, v == v.sorted))
+      }).collect()
+    assert(ranges.forall(_._3), "zkey must be sorted within partitions")
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, max1, _), (min2, _, _)) => assert(max1 <= min2)
+      case _ =>
+    }
+  }
+
+  test("sortedNeighborhood finds planted adjacent near-dups, exact jaccard") {
+    // two near-identical docs (same length, same prefix) + unrelated noise:
+    // the (ntok, pfx) sort makes them neighbors, verify confirms them
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon eta", "en"),
+      (3L, "one two three four five six", "en"),
+      (4L, "completely different words entirely here now", "de")
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+      blockCol = "lang", window = 3, threshold = 0.2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // jaccard of the planted pair: shingles of 6 tokens = 4 each, 3 shared
+    // -> 3 / (4 + 4 - 3) = 0.6
+    assert(pairs.head.getAs[Double]("jaccard") == 0.6)
+  }
+
+  test("decontaminateBloom equals exact decontaminate on the gate fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val exact = Contamination.decontaminate(train, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    val bloom = Contamination.decontaminateBloom(train, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloom.toSeq == exact.toSeq)
+    assert(exact.nonEmpty && exact.length < train.count())
+  }
+}
