@@ -261,7 +261,8 @@ object Dedup {
     * @return (node, label) — label = min doc id of the node's component
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 20): DataFrame = {
+               maxIter: Int = 20,
+               smallGraphEdges: Long = 2000000L): DataFrame = {
     // symmetrize with ONE evaluation of `pairs` (explode both directions
     // per row) — the union-of-two-selects shape re-executes the whole
     // upstream pair pipeline per branch when the caller hands us an
@@ -272,6 +273,15 @@ object Dedup {
         struct(col(idB).as("a"), col(idA).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().localCheckpoint()
+    // small-graph fast path: near-dup PAIR lists are corpus-fraction-sized
+    // (each pair already survived LSH + exact verify), so even a 100 TB
+    // corpus typically yields an edge list in the millions — a BOUNDED
+    // driver structure (like the IVF centroids and prefix-sum offsets, a
+    // size-guarded collect, never data-scale). Union-find on the driver
+    // replaces 2 jobs/iteration of the propagation loop; above the guard
+    // the distributed loop below takes over unchanged.
+    val nEdges = edges.count()
+    if (nEdges <= smallGraphEdges) return clustersLocal(edges)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var converged = false
@@ -297,6 +307,36 @@ object Dedup {
     // throwing.
     if (!converged) clustersAlternating(pairs, idA, idB)
     else labels
+  }
+
+  /** Driver union-find over a materialized symmetric edge list — the
+    * small-graph arm of `clusters`. Union attaches the numerically larger
+    * root under the smaller, so every root IS the min id of its component
+    * (the family's label contract) and the final find pass reads labels
+    * directly.
+    */
+  private def clustersLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.getOrElseUpdate(x, x)
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val labels = parent.keys.toSeq.map(n => (n, find(n)))
+    spark.createDataset(labels).toDF("node", "label")
   }
 
   /** Connected components via alternating large-star/small-star (Kiveris

@@ -70,6 +70,23 @@ class Round6OpsSpec extends GraftSparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") == 0.6)
   }
 
+  test("clusters: driver union-find path equals the distributed loop and the star variant") {
+    // random-ish deterministic graph: chains, a clique, singleton pairs
+    val pairs = (
+      (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq ++ // 40-node chain
+        Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++     // clique
+        Seq((200L, 300L))
+      ).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.clusters(pairs)) // under the small-graph guard
+    val dist = asMap(Dedup.clusters(pairs, smallGraphEdges = 0L))
+    val stars = asMap(Dedup.clustersAlternating(pairs))
+    assert(local == dist)
+    assert(local == stars)
+    assert(local(40L) == 1L && local(102L) == 100L && local(300L) == 200L)
+  }
+
   test("decontaminateBloom equals exact decontaminate on the gate fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
