@@ -123,23 +123,44 @@ object Dedup {
                          idCol: String, textCol: String,
                          k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
                          threshold: Double = 0.5,
-                         maxBucket: Int = 64): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val rowsPerBand = k / bands
-    def sketch(df: DataFrame): DataFrame = df.select(
+                         maxBucket: Int = 64): DataFrame =
+    incrementalNearDupIndexed(
+      sketchIndex(corpus, idCol, textCol, k, shingleSize),
+      batch, idCol, textCol, k, bands, shingleSize, threshold, maxBucket)
+
+  /** The standing dedup index over a corpus: (id, shingle set, MinHash
+    * signature), materialized once. Build it once and hand it to
+    * `incrementalNearDupIndexed` for every ingest wave — in production
+    * this frame is written to storage and reused across waves, not
+    * re-sketched per batch.
+    */
+  def sketchIndex(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 32, shingleSize: Int = 3): DataFrame = df.select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", SketchFunctions.minHash(col("sh"), k))
-      .localCheckpoint()
+    .filter(size(col("sh")) > 0)
+    .withColumn("sig", SketchFunctions.minHash(col("sh"), k))
+    .localCheckpoint()
+
+  /** `incrementalNearDup` against a prebuilt `sketchIndex` — the per-wave
+    * work is O(batch + touched buckets) with ZERO corpus re-sketching.
+    */
+  def incrementalNearDupIndexed(corpusIdx: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 32, bands: Int = 8,
+                                shingleSize: Int = 3,
+                                threshold: Double = 0.5,
+                                maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPerBand = k / bands
     def bandify(docs: DataFrame): DataFrame = docs.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val corpusDocs = sketch(corpus)
-    val batchDocs = sketch(batch)
+    val corpusDocs = corpusIdx
+    val batchDocs = sketchIndex(batch, idCol, textCol, k, shingleSize)
     // cap ONLY the corpus side: a boilerplate bucket with a million corpus
     // members would fan every batch hit into a million candidates
     import org.apache.spark.sql.expressions.Window

@@ -45,6 +45,39 @@ object StreamingAnalytics {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Near-dup flagging AT INGEST: every micro-batch of landing documents
+    * is checked against the standing corpus via the banded MinHash index
+    * (built ONCE here, reused per batch — the wave-work is
+    * O(batch + touched buckets), the corpus is never re-sketched).
+    * `foreachBatch` runs the proven batch operator per wave; each batch's
+    * verified cross pairs land in their own `batch_id=` partition dir in
+    * overwrite mode, so a replayed micro-batch rewrites the identical
+    * bytes instead of duplicating them (the same idempotent-replay
+    * discipline as the streaming pre-partition sink).
+    *
+    * @param docs streaming frame with (idCol, textCol)
+    * @return started query; stop() it or await termination
+    */
+  def nearDupIngest(docs: DataFrame, corpus: DataFrame, idCol: String,
+                    textCol: String, outDir: String, checkpointDir: String,
+                    threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val corpusIdx = graft.operators.Dedup.sketchIndex(corpus, idCol, textCol)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Dedup
+          .incrementalNearDupIndexed(corpusIdx, batch, idCol, textCol,
+            threshold = threshold)
+          // `wave=`, not `batch_id=`: the result already carries a
+          // batch_id data column; a same-named partition dir would
+          // collide at read time
+          .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+        ()
+      }
+      .start()
+  }
+
   case class Evt(user_id: Long, ts: Timestamp)
   case class SessionAcc(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

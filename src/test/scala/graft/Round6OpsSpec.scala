@@ -87,6 +87,33 @@ class Round6OpsSpec extends GraftSparkSpec {
     assert(local(40L) == 1L && local(102L) == 100L && local(300L) == 200L)
   }
 
+  test("nearDupIngest flags stream docs against the standing corpus per batch") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndi").toString
+    val q = graft.streaming.StreamingAnalytics.nearDupIngest(
+      in.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      s"$tmp/out", s"$tmp/ckpt", threshold = 0.5)
+    try {
+      // batch 0: one near-dup of corpus doc 1, one unrelated doc
+      in.addData((10L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (11L, "totally unrelated words appear here instead now right"))
+      q.processAllAvailable()
+      // batch 1: a near-dup of corpus doc 2
+      in.addData((12L, "one two three four five six seven nine"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("wave", "batch_id", "corpus_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((0, 10L, 1L), (1, 12L, 2L)))
+    } finally q.stop()
+  }
+
   test("decontaminateBloom equals exact decontaminate on the gate fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
