@@ -153,6 +153,55 @@ object GraftCli {
         s"$n cross near-dup pairs (threshold=$threshold) -> $outDir/delta_pairs")
       spark.stop()
 
+    // benchmark decontamination: drop training docs sharing an n-gram
+    // with the benchmark set; `bloom` routes through the broadcast-bloom
+    // prefilter (identical result, corpus-scale shuffle volume)
+    case "decontaminate" :: trainParquet :: benchParquet :: outDir :: rest =>
+      val spark = session()
+      val n = rest.filter(_.forall(_.isDigit)).headOption.map(_.toInt).getOrElse(8)
+      val train = spark.read.parquet(trainParquet)
+      val bench = spark.read.parquet(benchParquet)
+      val clean =
+        if (rest.contains("bloom"))
+          operators.Contamination.decontaminateBloom(train, bench, "doc_id", "text", n)
+        else operators.Contamination.decontaminate(train, bench, "doc_id", "text", n)
+      clean.write.mode("overwrite").parquet(s"$outDir/clean")
+      println(s"[graft] decontaminate: ${spark.read.parquet(s"$outDir/clean").count()} " +
+        s"of ${train.count()} docs survive (n=$n, bloom=${rest.contains("bloom")})")
+      spark.stop()
+
+    // Z-order layout write: cluster a parquet table on the Morton
+    // interleave of two (numeric, pre-bucketed to 16 bits) columns so
+    // row-group min/max stats prune scans on BOTH dimensions
+    case "zorder-write" :: inParquet :: outDir :: colA :: colB :: rest =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      // driver testdata stores ns timestamps; read them as longs rather
+      // than refuse the file (same accommodation as QueryDef.t)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val parts = rest.headOption.map(_.toInt).getOrElse(0)
+      operators.Layout.zorderBy(spark.read.parquet(inParquet),
+          col(colA), col(colB), parts)
+        .drop("zkey")
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] zorder-write $inParquet -> $outDir (dims $colA, $colB)")
+      spark.stop()
+
+    // streaming delta dedup server: flag near-dups of each landing
+    // micro-batch against the standing corpus index (built once)
+    case "stream-dedup-delta" :: corpusParquet :: landingDir :: outDir :: checkpoint :: rest =>
+      val spark = session()
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.5)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val corpus = spark.read.parquet(corpusParquet)
+      val stream = spark.readStream.schema(corpus.schema).parquet(landingDir)
+      val q = streaming.StreamingAnalytics.nearDupIngest(
+        stream, corpus, "doc_id", "text", outDir, checkpoint, threshold)
+      println(s"[graft] delta-dedup server on $landingDir vs $corpusParquet -> $outDir")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     // event-driven Split server (the reference's EtlAction=Split on queue
     // events): split each notified blob into size-bounded shards
     case "stream-notify-split" :: queueDir :: outDir :: checkpoint :: maxBytes :: rest =>
@@ -188,7 +237,10 @@ object GraftCli {
            |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
            |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]
            |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]
-           |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]""".stripMargin)
+           |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]
+           |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
+           |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]
+           |  stream-dedup-delta <corpusParquet> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]""".stripMargin)
       sys.exit(2)
   }
 }
