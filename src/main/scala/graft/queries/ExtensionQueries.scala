@@ -695,6 +695,47 @@ object ExtensionQueries {
               |  round(inter::DOUBLE / (na.n + nb.n - inter), 4) AS jaccard
               |FROM p0 JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
               |WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.2
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Keep-BEST dedup survivor policy: production pipelines keep the
+    // highest-quality member of each near-dup cluster, not the smallest
+    // id — argmax by (n_chars desc, doc_id) per component. Reports the
+    // multi-member clusters with their kept representative. Same pair +
+    // component machinery as x10/x11 (oracle doubles as the recall
+    // tripwire), plus one window on the cluster key.
+    "x25_dedup_keep_best" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val labels = Dedup.clusters(
+          Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.2))
+        val labeled = docs
+          .join(labels, docs("doc_id") === labels("node"), "left")
+          .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        labeled
+          .withColumn("rk", row_number().over(Window.partitionBy("cluster")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy("cluster")))
+          .filter(col("rk") === 1 && col("n_members") >= 2)
+          .select(col("cluster"), col("doc_id").as("keep_id"),
+            col("n_members"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE ${bruteJaccardPairs(0.2)},
+              |$componentsCte,
+              |f AS (
+              |  SELECT d.doc_id, coalesce(m.label, d.doc_id) AS cluster,
+              |    d.n_chars
+              |  FROM documents d LEFT JOIN labels m ON m.node = d.doc_id),
+              |sel AS (
+              |  SELECT cluster, doc_id, n_chars,
+              |    row_number() OVER (PARTITION BY cluster
+              |      ORDER BY n_chars DESC, doc_id) AS rk,
+              |    count(*) OVER (PARTITION BY cluster) AS n_members
+              |  FROM f)
+              |SELECT cluster, doc_id AS keep_id, n_members
+              |FROM sel WHERE rk = 1 AND n_members >= 2
+              |ORDER BY cluster""".stripMargin))
   )
 }

@@ -604,6 +604,42 @@ object RelationalQueries {
              |  json_extract_string(r, '$.StorageRoot') AS storage_root
              |FROM (SELECT unnest(CAST(json_extract('{"Resources": [ {"ResourceTypeName": "TempStorage", "StorageRoot": "https://acct0.blob.example/ingest-staging-0"}, {"ResourceTypeName": "TempStorage", "StorageRoot": "https://acct1.blob.example/ingest-staging-1"}, {"ResourceTypeName": "TempStorage", "StorageRoot": "https://acct2.blob.example/ingest-staging-2"}, {"ResourceTypeName": "SecuredReadyForAggregationQueue", "StorageRoot": "https://acct0.queue.example/ready-0"}, {"ResourceTypeName": "FailedIngestionsQueue", "StorageRoot": "https://acct0.queue.example/failed-0"} ], "QueryServiceUri": "https://engine.example/v1/query"}', '$.Resources') AS JSON[])) AS r)
              |WHERE json_extract_string(r, '$.ResourceTypeName') = 'TempStorage'
-             |ORDER BY storage_root""".stripMargin))
+             |ORDER BY storage_root""".stripMargin)),
+
+    // ---- funnel analysis: how deep each user gets through the ordered
+    // view -> click -> purchase chain, judged on FIRST occurrences (a
+    // stage counts only if its first event is strictly after the previous
+    // stage's first event). One agg shuffle on user_id (conditional mins
+    // are partial-aggregable), then a 4-row depth histogram — the product
+    // analytics staple over the events table.
+    "q33_funnel" -> QueryDef(
+      (s, dir) => {
+        val stages = t(s, dir, "events").groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        stages
+          .withColumn("depth",
+            when(col("t_view").isNull, 0)
+              .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1)
+              .when(col("t_purchase").isNull ||
+                col("t_purchase") <= col("t_click"), 2)
+              .otherwise(3))
+          .groupBy("depth").agg(count(lit(1)).as("n_users"))
+          .orderBy("depth")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+             |  FROM events GROUP BY user_id)
+             |SELECT depth, count(*) AS n_users FROM (
+             |  SELECT CASE
+             |    WHEN t_view IS NULL THEN 0
+             |    WHEN t_click IS NULL OR t_click <= t_view THEN 1
+             |    WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+             |    ELSE 3 END AS depth
+             |  FROM s) GROUP BY depth ORDER BY depth""".stripMargin))
   )
 }
