@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CsvColumnAt, CsvFieldCount, RollingHash, XorFoldHash}
+import graft.functions.{CsvColumnAt, CsvFieldCount, HyperplaneSig, MinHashSig, PairEncode, RollingHash, SimHash64, TokenCount, VecCosine, VecDot, WordShingles, XorFoldHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,5 +29,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "_FUNC_(value) - Karp-Rabin polynomial fingerprint"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "_FUNC_(text, n) - distinct n-word shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "_FUNC_(shingles, k) - k-element MinHash signature"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(tokens) - 64-bit SimHash fingerprint"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("token_count"),
+      info("token_count", "_FUNC_(text) - whitespace token count"),
+      (exprs: Seq[Expression]) => TokenCount(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("pair_encode"),
+      info("pair_encode", "_FUNC_(ids) - packed unordered id pairs"),
+      (exprs: Seq[Expression]) => PairEncode(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "_FUNC_(a, b) - float-vector dot product"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "_FUNC_(a, b) - float-vector cosine similarity"),
+      (exprs: Seq[Expression]) => VecCosine(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig", "_FUNC_(vec, planes) - hyperplane LSH signature"),
+      (exprs: Seq[Expression]) => HyperplaneSig(exprs(0), exprs(1))))
   }
 }

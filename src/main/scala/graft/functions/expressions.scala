@@ -165,7 +165,10 @@ object GraftFunctions {
   def rollingHash(value: Column): Column =
     Shims.column(RollingHash(Shims.expression(value)))
 
-  /** Register `csv_column_at`, `csv_field_count`, `xor_fold_hash` for SQL. */
+  /** Register every graft kernel for SQL use: the CSV/hash parity
+    * expressions plus the sketch and vector kernels — `spark.sql` users
+    * get the same codegen'd operators the DataFrame API wraps.
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
@@ -176,5 +179,21 @@ object GraftFunctions {
       "xor_fold_hash", exprs => XorFoldHash(exprs(0), exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "token_count", exprs => TokenCount(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "pair_encode", exprs => PairEncode(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "vec_cosine", exprs => VecCosine(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "hyperplane_sig", exprs => HyperplaneSig(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -11,15 +11,19 @@ import org.apache.spark.sql.graft.Shims
   */
 class ExtensionsSpec extends GraftSparkSpec {
 
+  private val allFns = Seq("csv_column_at", "csv_field_count",
+    "xor_fold_hash", "rolling_hash", "word_shingles", "minhash_sig",
+    "simhash64", "token_count", "pair_encode", "vec_dot", "vec_cosine",
+    "hyperplane_sig")
+
   test("GraftExtensions registers all custom functions") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     val registry = spark.sessionState.functionRegistry.clone()
-    Seq("csv_column_at", "csv_field_count", "xor_fold_hash", "rolling_hash")
-      .foreach(f => registry.dropFunction(FunctionIdentifier(f)))
+    allFns.foreach(f => registry.dropFunction(FunctionIdentifier(f)))
     Shims.applyExtensionFunctions(ext, registry)
-    Seq("csv_column_at", "csv_field_count", "xor_fold_hash", "rolling_hash")
-      .foreach(f => assert(registry.functionExists(FunctionIdentifier(f)), f))
+    allFns.foreach(f =>
+      assert(registry.functionExists(FunctionIdentifier(f)), f))
   }
 
   test("custom functions evaluate through SQL") {
@@ -34,5 +38,26 @@ class ExtensionsSpec extends GraftSparkSpec {
     assert(r.getInt(2) == h % 8)
     var rh = 0L; "abc".getBytes.foreach(b => rh = (rh * 31 + (b & 0xff)) % 1000000007L)
     assert(r.getLong(3) == rh)
+  }
+
+  test("sketch and vector kernels evaluate through SQL") {
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS sh,
+        |  token_count('  a b  c ') AS tc,
+        |  size(minhash_sig(word_shingles('a b c d', 3), 8)) AS k,
+        |  pair_encode(array(3L, 1L, 2L)) AS pk,
+        |  vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |  round(vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |          array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) AS cos
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getInt(1) == 3)
+    assert(r.getInt(2) == 8)
+    // pairs of sorted ids (1,2,3): (1,2), (1,3), (2,3) packed as hi<<32|lo
+    assert(r.getSeq[Long](3).sorted ==
+      Seq((1L << 32) | 2L, (1L << 32) | 3L, (2L << 32) | 3L))
+    assert(r.getDouble(4) == 11.0)
+    assert(r.getDouble(5) == 1.0)
   }
 }
