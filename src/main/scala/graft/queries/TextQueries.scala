@@ -537,6 +537,64 @@ object TextQueries {
              |FROM tok JOIN f USING (token), tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): a
+    // composite of cheap per-doc rules — token count window, mean word
+    // length window, max word length cap, numeric-token ratio cap — with
+    // per-rule failure accounting (the tuning view a filtering pipeline
+    // monitors) and the pass count. One narrow pass + one global agg; at
+    // 100 TB this is scan-bound by design.
+    "d23_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        val m = t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("mean_wl",
+            aggregate(col("toks"), lit(0L), (a, w) => a + length(w))
+              .cast("double") / col("n_tokens"))
+          .withColumn("max_wl",
+            array_max(transform(col("toks"), w => length(w))))
+          .withColumn("num_ratio",
+            size(filter(col("toks"), w => w.rlike("^[0-9]+$")))
+              .cast("double") / col("n_tokens"))
+        m.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("n_tokens").between(30, 10000), 1L).otherwise(0L))
+            .as("fail_tokens"),
+          sum(when(!col("mean_wl").between(3.0, 4.5), 1L).otherwise(0L))
+            .as("fail_mean_wl"),
+          sum(when(col("max_wl") > 7, 1L).otherwise(0L)).as("fail_max_wl"),
+          sum(when(col("num_ratio") > 0.2, 1L).otherwise(0L))
+            .as("fail_num_ratio"),
+          sum(when(col("n_tokens").between(30, 10000) &&
+            col("mean_wl").between(3.0, 4.5) &&
+            col("max_wl") <= 7 && col("num_ratio") <= 0.2, 1L)
+            .otherwise(0L)).as("n_pass"))
+      },
+      Some("""WITH m AS (
+             |  SELECT len(t) AS n_tokens,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(t, w -> CAST(length(w) AS BIGINT))),
+             |      (a, b) -> a + b)::DOUBLE / len(t) AS mean_wl,
+             |    list_max(list_transform(t, w -> length(w))) AS max_wl,
+             |    len(list_filter(t, w -> regexp_matches(w, '^[0-9]+$')))::DOUBLE
+             |      / len(t) AS num_ratio
+             |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+             |        FROM documents))
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN n_tokens NOT BETWEEN 30 AND 10000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS fail_tokens,
+             |  CAST(sum(CASE WHEN mean_wl NOT BETWEEN 3.0 AND 4.5
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_wl,
+             |  CAST(sum(CASE WHEN max_wl > 7 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS fail_max_wl,
+             |  CAST(sum(CASE WHEN num_ratio > 0.2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS fail_num_ratio,
+             |  CAST(sum(CASE WHEN n_tokens BETWEEN 30 AND 10000
+             |    AND mean_wl BETWEEN 3.0 AND 4.5
+             |    AND max_wl <= 7 AND num_ratio <= 0.2
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+             |FROM m""".stripMargin)),
+
     // ---- per-source representative selection (URL-dedup keep-best
     // policy): one doc per source, keeping the longest (ties to smallest
     // doc_id) — the argmax-per-group pattern a crawl pipeline runs on URL
