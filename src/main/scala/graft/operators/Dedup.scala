@@ -472,6 +472,50 @@ object Dedup {
       threshold)
   }
 
+  /** Containment pairs (|A∩B| / |A| per direction): the asymmetric
+    * companion to `ngramJaccard` for EXCERPT/SUBSET detection — a short
+    * doc quoted inside a long one has low Jaccard (the union is large)
+    * but containment ≈ 1 on the short side, which is exactly the case
+    * length-normalized dedup misses. Same PPJoin posting machinery (df
+    * window as boilerplate cap, packed-pair counting, sizes joined after
+    * the pair shuffle); reports pairs where EITHER direction reaches
+    * `threshold`.
+    *
+    * @return (id_a, id_b, cont_a, cont_b) with id_a < id_b — cont_a =
+    *         share of a's shingles inside b, cont_b the reverse
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withDf = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .localCheckpoint()
+    val nKept = withDf.filter(col("df") <= maxDf)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pairs = withDf.filter(col("df").between(2, maxDf))
+      .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
+      .select(explode(
+        graft.functions.SketchFunctions.pairEncode(col("ids"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("inter"))
+      .select(shiftright(col("pk"), 32).as("id_a"),
+        col("pk").bitwiseAND(0xffffffffL).as("id_b"), col("inter"))
+    pairs
+      .join(nKept.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(nKept.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("cont_a",
+        round(col("inter").cast("double") / col("n_a"), 4))
+      .withColumn("cont_b",
+        round(col("inter").cast("double") / col("n_b"), 4))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact n-gram Jaccard via inverted index: explode shingles, keep those
     * appearing in <= `maxDf` docs, self-join on the shareable (df >= 2)
     * ones, and compute the intersection by COUNTING shared postings per

@@ -697,6 +697,41 @@ object ExtensionQueries {
               |WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.2
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Containment dedup (asymmetric): excerpt/subset detection — a doc
+    // quoted inside a longer one has low JACCARD (big union) but
+    // containment ~1 on the short side. Same posting machinery as x3;
+    // the oracle recomputes both directions brute-force over the df<=64
+    // shingle sets (identical exclusion on both sides).
+    "x26_containment" -> QueryDef(
+      (s, dir) => Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
+      Some("""WITH toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              |  FROM documents),
+              |idx AS (
+              |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              |  FROM toks WHERE len(t) >= 3),
+              |sh0 AS (
+              |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              |    AS shingle FROM idx),
+              |d AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+              |sh AS (SELECT doc_id, s.shingle FROM sh0 s JOIN d USING (shingle)
+              |       WHERE d.df <= 64),
+              |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |p0 AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+              |    AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  round(inter::DOUBLE / na.n, 4) AS cont_a,
+              |  round(inter::DOUBLE / nb.n, 4) AS cont_b
+              |FROM p0 JOIN n na ON na.doc_id = id_a
+              |JOIN n nb ON nb.doc_id = id_b
+              |WHERE round(inter::DOUBLE / na.n, 4) >= 0.8
+              |   OR round(inter::DOUBLE / nb.n, 4) >= 0.8
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // Keep-BEST dedup survivor policy: production pipelines keep the
     // highest-quality member of each near-dup cluster, not the smallest
     // id — argmax by (n_chars desc, doc_id) per component. Reports the

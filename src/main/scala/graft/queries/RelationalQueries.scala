@@ -640,6 +640,28 @@ object RelationalQueries {
              |    WHEN t_click IS NULL OR t_click <= t_view THEN 1
              |    WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
              |    ELSE 3 END AS depth
-             |  FROM s) GROUP BY depth ORDER BY depth""".stripMargin))
+             |  FROM s) GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // ---- cohort retention: users grouped by first-seen week, distinct
+    // active users per (cohort, week) — the retention-matrix staple. Two
+    // shuffles: the first-seen agg on user_id, then the cohort join (the
+    // cohort side is one row per user — at 100 TB it shuffle-joins on
+    // user_id and the matrix agg is partial-aggregable).
+    "q34_cohort" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        val first = ev.groupBy("user_id").agg(min("week").as("cohort"))
+        ev.join(first, "user_id")
+          .groupBy("cohort", "week")
+          .agg(countDistinct("user_id").as("n_active"))
+          .orderBy("cohort", "week")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('week', ts) AS week FROM events),
+             |f AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY user_id)
+             |SELECT cohort, week, count(DISTINCT e.user_id) AS n_active
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY cohort, week ORDER BY cohort, week""".stripMargin))
   )
 }
