@@ -114,6 +114,24 @@ class Round6OpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("containment finds a planted excerpt that Jaccard misses") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // prefix of `long`
+    val docs = Seq(
+      (1L, long), (2L, excerpt),
+      (3L, "completely different words entirely here now today")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect()
+    // excerpt shingles: 6 of 6 inside doc 1 -> cont_b = 1.0; cont_a small
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(cont.head.getAs[Double]("cont_b") == 1.0)
+    assert(cont.head.getAs[Double]("cont_a") < 0.2)
+    // the symmetric metric misses it at the same bar: union is large
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8)
+    assert(jac.collect().isEmpty)
+  }
+
   test("decontaminateBloom equals exact decontaminate on the gate fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
