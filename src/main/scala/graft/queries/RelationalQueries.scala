@@ -662,6 +662,35 @@ object RelationalQueries {
              |f AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY user_id)
              |SELECT cohort, week, count(DISTINCT e.user_id) AS n_active
              |FROM e JOIN f USING (user_id)
-             |GROUP BY cohort, week ORDER BY cohort, week""".stripMargin))
+             |GROUP BY cohort, week ORDER BY cohort, week""".stripMargin)),
+
+    // ---- trailing-7-day rolling revenue: a RANGE frame over event-time
+    // seconds (q9/q10 cover ROW frames; this is the time-based frame, which
+    // unlike a 7-row frame is correct across gap days). The window runs
+    // over the POST-AGG daily frame — one row per day, bounded by calendar
+    // span, never data (same discipline as d16's per-language window);
+    // daily revenue is rounded BEFORE the rolling sum so both engines sum
+    // identical 4dp values.
+    "q35_rolling_revenue" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(round(sum("value"), 4).as("rev"))
+        val w = Window.orderBy(col("day").cast("long"))
+          .rangeBetween(-6L * 86400L, 0L)
+        daily
+          .withColumn("rev_7d", round(sum("rev").over(w), 4))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', ts) AS day, round(sum(value), 4) AS rev
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT day, rev,
+             |  round(sum(rev) OVER (ORDER BY day
+             |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4)
+             |    AS rev_7d
+             |FROM daily ORDER BY day""".stripMargin))
   )
 }
