@@ -691,6 +691,88 @@ object RelationalQueries {
              |  round(sum(rev) OVER (ORDER BY day
              |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4)
              |    AS rev_7d
-             |FROM daily ORDER BY day""".stripMargin))
+             |FROM daily ORDER BY day""".stripMargin)),
+
+    // ---- TPC-H Q3 shape (shipping-priority top orders; o_orderpriority
+    // stands in for the schema's missing o_shippriority): selective dim
+    // filter -> fact join -> grouped revenue -> top-k. Revenue accumulates
+    // in integer CENTS (per-row round, exact BIGINT sum) — a double sum's
+    // ordering differs between engines and 4dp rounding can't absorb it at
+    // 1e7 magnitudes. customer is broadcast (dim); lineitem-orders is the
+    // one real shuffle; top-k is TakeOrdered, never a global sort.
+    "q36_tpch_q3" -> QueryDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("o_orderdate"),
+            col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |    AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // ---- TPC-H Q5 shape (local-supplier volume per nation): the 6-table
+    // snowflake join. region/nation/customer/supplier broadcast (dims);
+    // the lineitem-orders fact join is the one big shuffle; the local-
+    // supplier constraint (customer and supplier in the same nation) lands
+    // as a join predicate. Integer-cents revenue, as q36.
+    "q37_tpch_q5" -> QueryDef(
+      (s, dir) => {
+        val nat = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select("o_orderkey", "o_custkey")
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |    AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin))
   )
 }
