@@ -187,17 +187,42 @@ object GraftCli {
       println(s"[graft] zorder-write $inParquet -> $outDir (dims $colA, $colB)")
       spark.stop()
 
+    // build the standing dedup index once (offline): (id, shingles,
+    // MinHash signature) parquet every delta-dedup server loads at startup
+    case "dedup-index-build" :: docsParquet :: indexDir :: Nil =>
+      val spark = session()
+      operators.Dedup.writeIndex(
+        spark.read.parquet(docsParquet), "doc_id", "text", indexDir)
+      println(s"[graft] dedup index: $docsParquet -> $indexDir " +
+        s"(${spark.read.parquet(indexDir).count()} docs)")
+      spark.stop()
+
     // streaming delta dedup server: flag near-dups of each landing
-    // micro-batch against the standing corpus index (built once)
+    // micro-batch against the standing corpus. The corpus argument is
+    // either raw documents parquet (sketched at startup) or a
+    // `dedup-index-build` output (detected by its `sig` column — loaded,
+    // never re-sketched).
     case "stream-dedup-delta" :: corpusParquet :: landingDir :: outDir :: checkpoint :: rest =>
       val spark = session()
       val threshold = rest.headOption.map(_.toDouble).getOrElse(0.5)
       val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
       val corpus = spark.read.parquet(corpusParquet)
-      val stream = spark.readStream.schema(corpus.schema).parquet(landingDir)
-      val q = streaming.StreamingAnalytics.nearDupIngest(
-        stream, corpus, "doc_id", "text", outDir, checkpoint, threshold)
-      println(s"[graft] delta-dedup server on $landingDir vs $corpusParquet -> $outDir")
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val isIndex = corpus.columns.contains("sig")
+      val stream = spark.readStream
+        .schema(if (isIndex) docSchema else corpus.schema)
+        .parquet(landingDir)
+      val q =
+        if (isIndex) streaming.StreamingAnalytics.nearDupIngestIndexed(
+          stream, corpus, "doc_id", "text", outDir, checkpoint, threshold)
+        else streaming.StreamingAnalytics.nearDupIngest(
+          stream, corpus, "doc_id", "text", outDir, checkpoint, threshold)
+      println(s"[graft] delta-dedup server on $landingDir vs $corpusParquet " +
+        s"(index=$isIndex) -> $outDir")
       if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
       else q.awaitTermination()
       spark.stop()
@@ -240,7 +265,8 @@ object GraftCli {
            |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]
-           |  stream-dedup-delta <corpusParquet> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]""".stripMargin)
+           |  dedup-index-build <docsParquet> <indexDir>
+           |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -142,6 +142,25 @@ object Dedup {
     .withColumn("sig", SketchFunctions.minHash(col("sh"), k))
     .localCheckpoint()
 
+  /** Persist a `sketchIndex` as parquet — the write-once corpus index an
+    * ingest pipeline builds offline and every delta-dedup server loads at
+    * startup (re-sketching 100 TB per server start is the anti-pattern
+    * this removes). The layout is the index frame itself:
+    * (id, sh: array<string>, sig: array<long>).
+    */
+  def writeIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+                 k: Int = 32, shingleSize: Int = 3): Unit =
+    sketchIndex(df, idCol, textCol, k, shingleSize)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted `writeIndex` parquet for `incrementalNearDupIndexed`.
+    * No checkpoint needed — the parquet IS the materialization; per-wave
+    * consumers scan it with column pruning (the bucket join reads only
+    * (id, sig); shingles load only for the verify join).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame = spark.read.parquet(path)
+
   /** `incrementalNearDup` against a prebuilt `sketchIndex` — the per-wave
     * work is O(batch + touched buckets) with ZERO corpus re-sketching.
     */

@@ -61,8 +61,19 @@ object StreamingAnalytics {
   def nearDupIngest(docs: DataFrame, corpus: DataFrame, idCol: String,
                     textCol: String, outDir: String, checkpointDir: String,
                     threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    nearDupIngestIndexed(docs,
+      graft.operators.Dedup.sketchIndex(corpus, idCol, textCol),
+      idCol, textCol, outDir, checkpointDir, threshold)
+
+  /** `nearDupIngest` against a PERSISTED corpus index (`Dedup.writeIndex`
+    * parquet, loaded with `Dedup.loadIndex`) — server startup reads the
+    * index instead of re-sketching the corpus.
+    */
+  def nearDupIngestIndexed(docs: DataFrame, corpusIdx: DataFrame,
+                           idCol: String, textCol: String, outDir: String,
+                           checkpointDir: String, threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val corpusIdx = graft.operators.Dedup.sketchIndex(corpus, idCol, textCol)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -114,6 +114,21 @@ class Round6OpsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("persisted dedup index equals fresh sketching for incremental dedup") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    Dedup.writeIndex(corpus, "doc_id", "text", s"$tmp/idx")
+    val fresh = Dedup.incrementalNearDup(corpus, batch,
+      "doc_id", "text", threshold = 0.2).collect().toSeq
+    val loaded = Dedup.incrementalNearDupIndexed(
+      Dedup.loadIndex(spark, s"$tmp/idx"), batch,
+      "doc_id", "text", threshold = 0.2).collect().toSeq
+    assert(loaded == fresh)
+    assert(fresh.nonEmpty)
+  }
+
   test("containment finds a planted excerpt that Jaccard misses") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // prefix of `long`
