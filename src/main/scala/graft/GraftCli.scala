@@ -197,6 +197,29 @@ object GraftCli {
         s"(${spark.read.parquet(indexDir).count()} docs)")
       spark.stop()
 
+    // build a persisted IVF ANN index: inverted lists as list_id-
+    // partitioned parquet + a centroids side table
+    case "ann-index-build" :: embParquet :: indexDir :: rest =>
+      val spark = session()
+      val nlist = rest.headOption.map(_.toInt).getOrElse(16)
+      operators.Similarity.writeIvfIndex(
+        spark.read.parquet(embParquet), indexDir, nlist)
+      println(s"[graft] ivf index: $embParquet -> $indexDir (nlist=$nlist)")
+      spark.stop()
+
+    // top-k query against a persisted IVF index; the query vector is
+    // fetched by id from an embeddings parquet
+    case "ann-query" :: indexDir :: embParquet :: vecId :: k :: rest =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val nprobe = rest.headOption.map(_.toInt).getOrElse(4)
+      val query = spark.read.parquet(embParquet)
+        .filter(col("vec_id") === vecId.toLong)
+        .select(col("embedding").as("q_embedding"))
+      operators.Similarity.ivfIndexTopK(spark, indexDir, query, k.toInt, nprobe)
+        .show(false)
+      spark.stop()
+
     // streaming delta dedup server: flag near-dups of each landing
     // micro-batch against the standing corpus. The corpus argument is
     // either raw documents parquet (sketched at startup) or a
@@ -266,6 +289,8 @@ object GraftCli {
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]
            |  dedup-index-build <docsParquet> <indexDir>
+           |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
+           |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]""".stripMargin)
       sys.exit(2)
   }

@@ -129,6 +129,26 @@ class Round6OpsSpec extends GraftSparkSpec {
     assert(fresh.nonEmpty)
   }
 
+  test("persisted IVF index: pruned query equals in-memory IVF; exhaustive equals brute force") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    val rest = e.filter(col("vec_id") =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(rest, s"$tmp/ivf", nlist = 8)
+    // partition pruning: the probed scan must read fewer list dirs
+    val pruned = Similarity.ivfIndexTopK(spark, s"$tmp/ivf", query, 10,
+      nprobe = 2)
+    val mem = Similarity.ivfTopK(rest, query, 10, nlist = 8, nprobe = 2)
+    assert(pruned.collect().toSeq == mem.collect().toSeq)
+    // exhaustive probes == brute force (recall contract)
+    val all = Similarity.ivfIndexTopK(spark, s"$tmp/ivf", query, 10,
+      nprobe = 8)
+    val brute = Similarity.bruteForceTopK(rest, query, 10)
+    assert(all.collect().toSeq == brute.collect().toSeq)
+  }
+
   test("containment finds a planted excerpt that Jaccard misses") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // prefix of `long`
