@@ -595,6 +595,25 @@ object TextQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
              |FROM m""".stripMargin)),
 
+    // ---- normalization-aware exact dedup: lowercase, strip punctuation,
+    // collapse whitespace, THEN hash — catches trivially-reformatted
+    // copies the raw-md5 pass (d1) misses (case changes, punctuation-only
+    // edits, double spaces). Same one-shuffle shape as d1 on the
+    // normalized 128-bit key.
+    "d24_normalized_dedup" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("norm", regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        .groupBy(md5(col("norm")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT md5(norm) AS h, min(doc_id) AS keep_id,
+             |  count(*) AS n_copies
+             |FROM (SELECT doc_id, regexp_replace(regexp_replace(
+             |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS norm
+             |  FROM documents)
+             |GROUP BY md5(norm) ORDER BY keep_id""".stripMargin)),
+
     // ---- per-source representative selection (URL-dedup keep-best
     // policy): one doc per source, keeping the longest (ties to smallest
     // doc_id) — the argmax-per-group pattern a crawl pipeline runs on URL
