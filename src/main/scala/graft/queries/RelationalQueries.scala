@@ -773,6 +773,46 @@ object RelationalQueries {
              |WHERE r_name = 'ASIA'
              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
-             |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin)),
+
+    // ---- TPC-H Q18 (large-volume orders): the IN-subquery-on-aggregate
+    // shape — find orders whose total quantity exceeds 300, join back to
+    // customer + lineitem for the report. Spark plan: the HAVING subquery
+    // is one partial-agg shuffle on l_orderkey whose survivors are
+    // benchmark-tiny -> broadcast semi-join back onto lineitem (no second
+    // big shuffle); quantities are whole-number doubles so the cast-long
+    // sums are integer-exact in both engines. AQE picks the broadcast
+    // from the runtime size of the filtered agg at any SF.
+    "q38_tpch_q18" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val big = li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+          .filter(col("total_qty") > 300)
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+        ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"),
+            round(col("o_totalprice") * 100).cast("long")
+              .as("totalprice_cents"),
+            col("total_qty"))
+          .orderBy(col("totalprice_cents").desc, col("o_orderdate"),
+            col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+             |  total_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT)
+             |        AS total_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING CAST(sum(l_quantity) AS BIGINT) > 300) big
+             |  ON o_orderkey = big.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY totalprice_cents DESC, o_orderdate, o_orderkey
+             |LIMIT 100""".stripMargin))
   )
 }

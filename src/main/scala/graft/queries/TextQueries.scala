@@ -633,6 +633,146 @@ object TextQueries {
              |    row_number() OVER (PARTITION BY source
              |      ORDER BY n_chars DESC, doc_id) AS rk
              |  FROM documents)
-             |WHERE rk = 1 ORDER BY source""".stripMargin))
+             |WHERE rk = 1 ORDER BY source""".stripMargin)),
+
+    // ---- segment-level dedup STRIP (CCNet-style paragraph dedup over
+    // delimiter-free text): cut each doc into non-overlapping 8-token
+    // segments, drop every segment whose exact text occurs in more than
+    // one place in the corpus, reassemble the survivors in order. This is
+    // the ACTION companion to d20's boilerplate *fraction* — shared
+    // headers/footers/licence blocks vanish from the rebuilt text.
+    // Scale shape: the explode is per-SEGMENT (8x fewer rows than
+    // per-token), the df count is one window on the segment key (uniform
+    // 128-bit-ish distribution — no skew), the rebuild is one per-doc
+    // agg; md5 of the rebuilt text keeps the gate row narrow.
+    "d25_segment_strip" -> QueryDef(
+      (s, dir) => {
+        val seg = 8
+        val docs = t(s, dir, "documents")
+          .withColumn("t", tokens(col("text")))
+          .withColumn("n_segs",
+            ceil(size(col("t")) / lit(seg.toDouble)).cast("long"))
+        val segs = docs
+          .select(col("doc_id"), col("n_segs"), posexplode(
+            transform(sequence(lit(0), col("n_segs").cast("int") - 1),
+              i => array_join(
+                slice(col("t"), i * seg + 1, lit(seg)), " "))))
+          .withColumnRenamed("pos", "s")
+          .withColumnRenamed("col", "seg_text")
+        val kept = segs
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy("seg_text")))
+          .filter(col("df") === 1)
+        val rebuilt = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("s"), col("seg_text")))),
+              x => x.getField("seg_text")), " ")).as("new_md5"))
+        docs.select("doc_id", "n_segs")
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_segs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("new_md5"), lit(md5Empty)).as("new_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |segs AS (
+              |  SELECT doc_id, s,
+              |    array_to_string(list_slice(t, s * 8 + 1, s * 8 + 8), ' ')
+              |      AS seg_text
+              |  FROM toks, unnest(generate_series(0,
+              |    CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS g(s)),
+              |d AS (SELECT seg_text, count(*) AS df FROM segs
+              |      GROUP BY seg_text),
+              |kept AS (
+              |  SELECT doc_id, s, seg_text FROM segs JOIN d USING (seg_text)
+              |  WHERE df = 1),
+              |rebuilt AS (
+              |  SELECT doc_id, count(*) AS n_kept,
+              |    md5(string_agg(seg_text, ' ' ORDER BY s)) AS new_md5
+              |  FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, CAST(ceil(len(t.t) / 8.0) AS BIGINT) AS n_segs,
+              |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+              |  coalesce(r.new_md5, md5('')) AS new_md5
+              |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- heavy hitters, sketch-then-recount: a Misra–Gries(k=256)
+    // candidate pass (custom TypedImperativeAggregate — the shuffle moves
+    // at most k counters per map partition, never the token stream), then
+    // an exact recount of the candidate set, then the threshold filter
+    // count*257 > N. By the MG guarantee every token above N/257 IS a
+    // candidate, so the output equals the full groupBy the oracle runs —
+    // sketch equivalence proven at the gate, not assumed.
+    // On 100 TB: the full-vocabulary groupBy shuffles billions of distinct
+    // keys; this shape shuffles 256 counters per partition + the recount
+    // of ~dozens of hot tokens (map-side filtered before the shuffle).
+    "d26_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val k = 256
+        val toks = t(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+        val Array(row) = toks
+          .agg(count(lit(1)).as("n"),
+            graft.functions.AggFunctions.misraGries(col("token"), k)
+              .as("cands"))
+          .collect()
+        val n = row.getLong(0)
+        val cands = row.getSeq[String](1)
+        toks.filter(col("token").isin(cands: _*))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * (k + 1) > n)
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             |  FROM documents),
+             |n AS (SELECT count(*) AS n FROM toks)
+             |SELECT token, count(*) AS cnt
+             |FROM toks GROUP BY token
+             |HAVING count(*) * 257 > (SELECT n FROM n)
+             |ORDER BY cnt DESC, token""".stripMargin)),
+
+    // ---- RAG chunking: overlapping token windows (size 64, stride 32)
+    // per document — the retrieval-index preparation step. Pure integer
+    // window math: chunk c covers tokens [c*32+1, c*32+64]; the last
+    // chunk starts before n_tokens. One narrow per-chunk explode, no
+    // shuffle at all until the gate's ORDER BY — at scale this writes
+    // straight to the chunk store partitioned by doc hash.
+    "d27_chunks" -> QueryDef(
+      (s, dir) => {
+        val (size_, stride) = (64, 32)
+        t(s, dir, "documents")
+          .withColumn("t", tokens(col("text")))
+          .withColumn("n_chunks",
+            ceil(size(col("t")) / lit(stride.toDouble)).cast("int"))
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), col("n_chunks") - 1),
+              c => slice(col("t"), c * stride + 1, lit(size_)))))
+          .withColumnRenamed("pos", "chunk_id")
+          .filter(size(col("col")) > 0)
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            size(col("col")).cast("long").as("n_tokens"),
+            md5(array_join(col("col"), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, c AS chunk_id,
+             |    list_slice(t, c * 32 + 1, c * 32 + 64) AS w
+             |  FROM toks, unnest(generate_series(0,
+             |    CAST(ceil(len(t) / 32.0) AS INT) - 1)) AS g(c))
+             |SELECT doc_id, chunk_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(w, ' ')) AS chunk_md5
+             |FROM ch WHERE len(w) > 0
+             |ORDER BY doc_id, chunk_id""".stripMargin))
   )
+
+  // md5 of the empty string — the rebuilt-text hash for a doc whose every
+  // segment was stripped (mirrors the oracle's coalesce(..., md5('')))
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
 }

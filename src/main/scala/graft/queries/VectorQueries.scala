@@ -81,6 +81,141 @@ object VectorQueries {
              |      * sqrt(list_reduce(list_prepend(0.0, list_transform(qe, x -> x * x)),
              |        (a, b) -> a + b))), 6) AS sim
              |FROM dd, q WHERE vec_id <> 0
-             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- distributed Lloyd's k-means over the embedding space (the
+    // topic-clustering / semantic-bucketing primitive; also the trainer
+    // behind the IVF coarse quantizer, here gated directly). Seeds are
+    // the first k vectors by id, one refinement round, then the final
+    // assignment — every step deterministic: centroids are quantized to
+    // float32 after each averaging round, so the ~1e-16-relative
+    // summation-order difference between Spark's distributed avg and the
+    // oracle's sequential avg is rounded away (float32 has 2^29 × that
+    // tolerance), and argmax ties break to the lowest centroid id in
+    // both engines. Scale shape: assignment is a narrow codegen'd map
+    // against k×dim literal centroids — NO shuffle; the recompute is one
+    // (cluster, dim) agg of k×64 output rows. One pass per iteration
+    // over 100 TB, exactly how IVF/semdedup training already runs.
+    "x27_kmeans" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = graft.operators.Similarity.kmeansCentroids(e, k = 8, iters = 1)
+        val sims = array(cents.map(c =>
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+        e.withColumn("cluster",
+            (array_position(sims, array_max(sims)) - 1).cast("long"))
+          .select(col("vec_id"), col("cluster"))
+          .orderBy("vec_id")
+      },
+      Some(kmeansOracle(k = 8, assignSteps = 2))),
+
+    // ---- int8-quantized ANN: symmetric per-vector quantization
+    // q[i] = floor(x[i] * 127 / max|x| + 0.5), cosine from INTEGER dot
+    // products (the per-vector scales cancel in cosine, and integer
+    // arithmetic is exact — zero cross-engine float risk in the ranking
+    // signal). This is the memory-scale path for 100 TB embedding
+    // stores: 4x smaller than float32, integer SIMD dots, same top-k
+    // shape as e2 (broadcast query vector, narrow scan, TakeOrdered —
+    // no shuffle). Quantization noise vs e2's exact ranking is visible
+    // in the gate output (same oracle discipline as x5/x9: the oracle
+    // recomputes the quantized pipeline bit-exactly).
+    "x28_ann_int8" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        def dbl(c: Column) = transform(c, x => x.cast("double"))
+        def quant(c: Column) = {
+          val v = dbl(c)
+          val maxabs = greatest(array_max(transform(v, x => abs(x))), lit(1e-30))
+          transform(v, x => floor(x * lit(127.0) / maxabs + lit(0.5)))
+        }
+        def idot(a: Column, b: Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        val q = e.filter(col("vec_id") === 0)
+          .select(quant(col("embedding")).as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .withColumn("q", quant(col("embedding")))
+          .crossJoin(broadcast(q))
+          .withColumn("sim_q", round(
+            idot(col("q"), col("qv")) /
+              (sqrt(idot(col("q"), col("q"))) *
+                sqrt(idot(col("qv"), col("qv")))), 6))
+          .select(col("vec_id"), col("label"), col("sim_q"))
+          .orderBy(col("sim_q").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |q8 AS (
+             |  SELECT vec_id, label,
+             |    list_transform(v, x -> CAST(floor(x * 127.0 /
+             |      greatest(list_max(list_transform(v, y -> abs(y))), 1e-30)
+             |      + 0.5) AS BIGINT)) AS q
+             |  FROM e),
+             |qq AS (SELECT q AS qv FROM q8 WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  round(
+             |    list_reduce(list_prepend(0, list_transform(
+             |        range(1, len(q) + 1), i -> q[i] * qv[i])), (a, b) -> a + b)
+             |    / (sqrt(list_reduce(list_prepend(0, list_transform(q,
+             |          x -> x * x)), (a, b) -> a + b))
+             |     * sqrt(list_reduce(list_prepend(0, list_transform(qv,
+             |          x -> x * x)), (a, b) -> a + b))), 6) AS sim_q
+             |FROM q8, qq WHERE vec_id <> 0
+             |ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin))
   )
+
+  /** Unrolled Lloyd's k-means oracle: `assignSteps` assignment rounds
+    * (assignment i uses centroids c_{i-1}; c_i is the float32-quantized
+    * per-dimension mean of assignment i, keeping c_{i-1}'s row for empty
+    * clusters — the exact mirror of Similarity.kmeansCentroids). Output
+    * is the FINAL assignment (vec_id, cluster): all-integer, so the gate
+    * compares the full clustering decision, not rounded geometry.
+    */
+  private def kmeansOracle(k: Int, assignSteps: Int): String = {
+    def cos(v: String, c: String, vn: String, cn: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1),
+         |      i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)""".stripMargin
+    val norm = (v: String) =>
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform($v, x -> x * x)), (a, b) -> a + b))"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |en AS (SELECT vec_id, v, ${norm("v")} AS vn FROM e),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c,
+         |    ${norm("v")} AS cn
+         |  FROM e WHERE vec_id < $k)""".stripMargin)
+    for (it <- 1 until assignSteps) {
+      val p = s"c${it - 1}"
+      parts += s"""a$it AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT en.vec_id, $p.cid,
+         |      row_number() OVER (PARTITION BY en.vec_id
+         |        ORDER BY ${cos("en.v", s"$p.c", "en.vn", s"$p.cn")} DESC,
+         |          $p.cid) AS rn
+         |    FROM en CROSS JOIN $p) WHERE rn = 1)""".stripMargin
+      parts += s"""m$it AS (
+         |  SELECT cid, list(CAST(mv AS DOUBLE) ORDER BY i) AS c FROM (
+         |    SELECT a$it.cid, i, CAST(avg(en.v[i]) AS FLOAT) AS mv
+         |    FROM a$it JOIN en USING (vec_id),
+         |      unnest(generate_series(1, len(en.v))) AS g(i)
+         |    GROUP BY a$it.cid, i) mm GROUP BY cid)""".stripMargin
+      parts += s"""c$it AS (
+         |  SELECT p.cid, coalesce(n.c, p.c) AS c,
+         |    coalesce(${norm("n.c")}, p.cn) AS cn
+         |  FROM $p p LEFT JOIN m$it n USING (cid))""".stripMargin
+    }
+    val last = s"c${assignSteps - 1}"
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT en.vec_id, CAST(fin.cid AS BIGINT) AS cluster FROM en,
+       |  LATERAL (SELECT $last.cid FROM $last
+       |    ORDER BY ${cos("en.v", s"$last.c", "en.vn", s"$last.cn")} DESC,
+       |      $last.cid LIMIT 1) fin
+       |ORDER BY en.vec_id""".stripMargin
+  }
 }

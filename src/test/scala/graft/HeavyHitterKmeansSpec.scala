@@ -1,0 +1,133 @@
+package graft
+
+import scala.util.Random
+
+import graft.functions.AggFunctions
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the sketch-then-recount heavy hitters, segment-strip
+  * dedup, k-means assignment, int8-quantized ANN, and RAG chunking.
+  */
+class HeavyHitterKmeansSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  test("misra_gries candidates cover every item above N/(k+1) across merged partitions") {
+    // Zipf-ish stream: token i appears ~ N/i times — guarantees a handful
+    // of true heavy hitters and a long tail the sketch must survive.
+    val rnd = new Random(42)
+    val stream = (1 to 60).flatMap(i => Seq.fill(3000 / i)(s"tok$i")) ++
+      (0 until 4000).map(_ => s"tail${rnd.nextInt(2000)}")
+    val df = stream.toDF("token").repartition(8) // force the merge path
+    val k = 30
+    val Array(row) = df
+      .agg(count(lit(1)).as("n"), AggFunctions.misraGries(col("token"), k).as("c"))
+      .collect()
+    val n = row.getLong(0)
+    val cands = row.getSeq[String](1).toSet
+    assert(cands.size <= k, s"MG(k=$k) buffer leaked to ${cands.size}")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    val mustHave = exact.filter { case (_, c) => c * (k + 1) > n }.keys.toSeq
+    assert(mustHave.nonEmpty, "fixture produced no heavy hitter")
+    val missed = mustHave.filterNot(cands)
+    assert(missed.isEmpty, s"MG guarantee violated: missed $missed")
+  }
+
+  test("misra_gries single-partition sequential pass honors the same bound") {
+    val stream = Seq.fill(500)("hot") ++ (0 until 700).map(i => s"cold$i")
+    val df = stream.toDF("token").coalesce(1)
+    val Array(row) =
+      df.agg(AggFunctions.misraGries(col("token"), 10).as("c")).collect()
+    assert(row.getSeq[String](0).contains("hot"))
+  }
+
+  test("segment strip removes exactly the cross-doc duplicated segments") {
+    val block = (1 to 8).map(i => s"dup$i").mkString(" ") // one shared segment
+    val docs = Seq(
+      (0L, block + " " + (1 to 8).map(i => s"a$i").mkString(" ")),
+      (1L, block + " " + (1 to 8).map(i => s"b$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    // inline mirror of d25's kernel at segment size 8
+    val seg = 8
+    val t = split(trim(col("text")), "\\s+")
+    val segs = docs.withColumn("t", t)
+      .withColumn("n_segs", ceil(size(col("t")) / lit(seg.toDouble)).cast("int"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), col("n_segs") - 1),
+          i => array_join(slice(col("t"), i * seg + 1, lit(seg)), " "))))
+    val kept = segs
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("col")))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(collect_set(col("col")).as("kept"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(!kept(0L).exists(_.startsWith("dup")), "shared segment survived in doc 0")
+    assert(!kept(1L).exists(_.startsWith("dup")), "shared segment survived in doc 1")
+    assert(kept(0L).exists(_.startsWith("a1")) && kept(2L).nonEmpty)
+  }
+
+  test("kmeans assignment: every vector lands on its max-cosine centroid") {
+    val e = QueryDefTestAccess.t(spark, sfDir, "embeddings")
+    val cents = graft.operators.Similarity.kmeansCentroids(e, k = 4, iters = 1)
+    val sims = array(cents.map(c =>
+      graft.functions.VectorFunctions.vecCosine(col("embedding"),
+        array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+    val rows = e.withColumn("sims", sims)
+      .withColumn("cluster", array_position(col("sims"), array_max(col("sims"))) - 1)
+      .select(col("cluster"), col("sims")).collect()
+    rows.foreach { r =>
+      val sims = r.getSeq[Double](1)
+      assert(sims(r.getLong(0).toInt) == sims.max)
+    }
+    // k-means must actually move the seeds: refined centroids differ
+    val seeds = e.orderBy("vec_id").limit(4).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    assert(cents.zip(seeds).exists { case (a, b) => !a.sameElements(b) })
+  }
+
+  test("int8 quantization: per-component error bound and sign preservation") {
+    val vecs = Seq((0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(1e-8f, 2e-8f, -1e-8f, 3e-8f))).toDF("vec_id", "embedding")
+    def dbl(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+    val v = dbl(col("embedding"))
+    val maxabs = greatest(array_max(transform(v, x => abs(x))), lit(1e-30))
+    val q = vecs.select(col("vec_id"),
+        transform(v, x => floor(x * lit(127.0) / maxabs + lit(0.5))).as("q"),
+        maxabs.as("m"))
+      .as[(Long, Seq[Long], Double)].collect()
+      .map { case (k, qv, m) => k -> ((qv, m)) }.toMap
+    val (q0, m0) = q(0L)
+    assert(q0 == Seq(64L, -127L, 32L, 0L)) // exact expected levels
+    // dequantized value within half a step of the original
+    Seq(0.5, -1.0, 0.25, 0.0).zip(q0).foreach { case (x, qi) =>
+      assert(math.abs(qi * m0 / 127.0 - x) <= m0 / 127.0 / 2 + 1e-12)
+    }
+    val (q1, _) = q(1L) // tiny vectors still quantize without overflow/NaN
+    assert(q1.max <= 127L && q1.min >= -127L)
+  }
+
+  test("chunking covers every token exactly twice at stride = size/2 (interior)") {
+    val n = 200
+    val doc = Seq((0L, (1 to n).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val (sz, stride) = (64, 32)
+    val t = split(trim(col("text")), "\\s+")
+    val chunks = doc.withColumn("t", t)
+      .withColumn("n_chunks", ceil(size(col("t")) / lit(stride.toDouble)).cast("int"))
+      .select(posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+        c => slice(col("t"), c * stride + 1, lit(sz)))))
+      .filter(size(col("col")) > 0)
+      .select(col("pos"), col("col")).as[(Int, Seq[String])].collect()
+    // coverage: every token is in >= 1 chunk; interior tokens in exactly 2
+    val cover = chunks.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    (1 to n).foreach(i => assert(cover(s"w$i") >= 1))
+    (sz + 1 to n - sz).foreach(i => assert(cover(s"w$i") == 2, s"w$i"))
+    // order within chunks reconstructs the doc from even-numbered chunks
+    val evens = chunks.filter(_._1 % 2 == 0).sortBy(_._1).flatMap(_._2)
+    assert(evens.toSeq == (1 to n).map(i => s"w$i"))
+  }
+}
+
+/** Test-side access to QueryDef.t (package-private style helper). */
+object QueryDefTestAccess {
+  def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    graft.queries.QueryDef.t(s, dir, name)
+}
