@@ -599,4 +599,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
+
+  /** TF-IDF-weighted cosine pairs over the shingle vocabulary — the
+    * weighted companion to `ngramJaccard`: a shared RARE shingle counts
+    * for more than a shared common one (idf = ln(N/df)), so topical
+    * near-dups separate from coincidental overlap better than with set
+    * Jaccard. Same single-pass posting machinery: because shingle sets
+    * are DISTINCT per doc, both endpoints of a shared posting carry the
+    * SAME weight idf(shingle), so each pair contribution is idf² and the
+    * pair stage is one weighted sum over packed pair keys — the pair
+    * shuffle never carries vectors, only (packed_pair, partial_dot).
+    * Norms are over the df<=maxDf vocabulary (boilerplate shingles are
+    * excluded from the geometry, same contract as ngramJaccard).
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.2,
+                       maxDf: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus size for idf — one scalar, the same bounded-driver-value
+    // pattern as the IVF centroid fetch
+    val nDocs = df.count().toDouble
+    val withDf = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn("w", log(lit(nDocs) / col("df")))
+      .localCheckpoint()
+    val nrm = withDf.filter(col("df") <= maxDf)
+      .groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+      .localCheckpoint()
+    val pairs = withDf.filter(col("df").between(2, maxDf))
+      .groupBy("shingle", "w").agg(collect_list(col("id")).as("ids"))
+      .select(col("w"), explode(
+        graft.functions.SketchFunctions.pairEncode(col("ids"))).as("pk"))
+      .groupBy("pk").agg(sum(col("w") * col("w")).as("dp"))
+      .select(shiftright(col("pk"), 32).as("id_a"),
+        col("pk").bitwiseAND(0xffffffffL).as("id_b"), col("dp"))
+    pairs
+      .join(nrm.select(col("id").as("id_a"), col("nm").as("n_a")), Seq("id_a"))
+      .join(nrm.select(col("id").as("id_b"), col("nm").as("n_b")), Seq("id_b"))
+      .withColumn("sim", round(col("dp") / (col("n_a") * col("n_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
 }

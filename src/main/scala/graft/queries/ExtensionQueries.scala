@@ -771,6 +771,36 @@ object ExtensionQueries {
               |  FROM f)
               |SELECT cluster, doc_id AS keep_id, n_members
               |FROM sel WHERE rk = 1 AND n_members >= 2
-              |ORDER BY cluster""".stripMargin))
+              |ORDER BY cluster""".stripMargin)),
+
+    // TF-IDF-weighted cosine near-dup pairs: idf-weighted shingle
+    // vectors, cosine via the weighted posting-list sum (each shared
+    // posting contributes idf² — no vectors cross the pair shuffle).
+    // The graded companion to x3's set Jaccard: rare shared shingles
+    // dominate the score, common ones barely register. Oracle is the
+    // brute-force recomputation (same tripwire discipline as x1-x4).
+    "x30_tfidf_cosine" -> QueryDef(
+      (s, dir) => Dedup.tfidfCosinePairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.2),
+      Some(s"""WITH $shinglesCte,
+              |dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+              |w AS (
+              |  SELECT doc_id, sh.shingle, dfc.df,
+              |    ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+              |      / dfc.df) AS w
+              |  FROM sh JOIN dfc USING (shingle) WHERE dfc.df <= 64),
+              |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w
+              |        GROUP BY doc_id),
+              |p0 AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    sum(a.w * b.w) AS dp
+              |  FROM w a JOIN w b ON a.shingle = b.shingle
+              |    AND a.doc_id < b.doc_id
+              |  WHERE a.df >= 2 GROUP BY 1, 2)
+              |SELECT id_a, id_b, round(dp / (na.nm * nb.nm), 4) AS sim
+              |FROM p0 JOIN nrm na ON na.doc_id = id_a
+              |JOIN nrm nb ON nb.doc_id = id_b
+              |WHERE round(dp / (na.nm * nb.nm), 4) >= 0.2
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }

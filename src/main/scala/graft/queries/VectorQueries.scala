@@ -110,6 +110,33 @@ object VectorQueries {
       },
       Some(kmeansOracle(k = 8, assignSteps = 2))),
 
+    // ---- centroid-distance outlier pruning (the SemDeDup/D4-style
+    // "prune vectors far from every cluster center" curation step):
+    // vectors whose best-centroid cosine falls below 0.15 are flagged
+    // for removal. Same no-shuffle assignment map as x27 — at 100 TB
+    // this is a pure scan with k×dim literal centroids, writing only
+    // the (tiny) outlier id list.
+    "x29_centroid_outliers" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = graft.operators.Similarity.kmeansCentroids(e, k = 8, iters = 1)
+        val sims = array(cents.map(c =>
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+        e.withColumn("sims", sims)
+          .withColumn("cluster",
+            (array_position(col("sims"), array_max(col("sims"))) - 1)
+              .cast("long"))
+          .withColumn("sim", round(array_max(col("sims")), 6))
+          .filter(col("sim") < 0.15)
+          .select("vec_id", "cluster", "sim")
+          .orderBy("vec_id")
+      },
+      Some(kmeansOracle(k = 8, assignSteps = 2,
+        finalSelect =
+          "en.vec_id, CAST(fin.cid AS BIGINT) AS cluster, round(fin.s, 6) AS sim",
+        finalWhere = "WHERE round(fin.s, 6) < 0.15"))),
+
     // ---- int8-quantized ANN: symmetric per-vector quantization
     // q[i] = floor(x[i] * 127 / max|x| + 0.5), cosine from INTEGER dot
     // products (the per-vector scales cancel in cosine, and integer
@@ -174,7 +201,10 @@ object VectorQueries {
     * is the FINAL assignment (vec_id, cluster): all-integer, so the gate
     * compares the full clustering decision, not rounded geometry.
     */
-  private def kmeansOracle(k: Int, assignSteps: Int): String = {
+  private def kmeansOracle(
+      k: Int, assignSteps: Int,
+      finalSelect: String = "en.vec_id, CAST(fin.cid AS BIGINT) AS cluster",
+      finalWhere: String = ""): String = {
     def cos(v: String, c: String, vn: String, cn: String) =
       s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1),
          |      i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)""".stripMargin
@@ -212,10 +242,11 @@ object VectorQueries {
     }
     val last = s"c${assignSteps - 1}"
     s"""WITH ${parts.mkString(",\n")}
-       |SELECT en.vec_id, CAST(fin.cid AS BIGINT) AS cluster FROM en,
-       |  LATERAL (SELECT $last.cid FROM $last
-       |    ORDER BY ${cos("en.v", s"$last.c", "en.vn", s"$last.cn")} DESC,
-       |      $last.cid LIMIT 1) fin
+       |SELECT $finalSelect FROM en,
+       |  LATERAL (SELECT $last.cid,
+       |      ${cos("en.v", s"$last.c", "en.vn", s"$last.cn")} AS s
+       |    FROM $last ORDER BY s DESC, $last.cid LIMIT 1) fin
+       |$finalWhere
        |ORDER BY en.vec_id""".stripMargin
   }
 }

@@ -105,6 +105,48 @@ class HeavyHitterKmeansSpec extends GraftSparkSpec {
     assert(q1.max <= 127L && q1.min >= -127L)
   }
 
+  test("tfidf cosine: identical docs score 1.0, disjoint docs never pair") {
+    val a = (1 to 12).map(i => s"x$i").mkString(" ")
+    val b = (1 to 12).map(i => s"y$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .tfidfCosinePairs(docs, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1.0))) // the clone pair only, at exactly 1
+  }
+
+  test("tfidf cosine weights rare overlap above common overlap") {
+    // base vocabulary shared by many docs (high df -> low idf); one rare
+    // 3-gram shared by exactly two docs (df=2 -> high idf). The rare-pair
+    // sim must exceed every common-overlap pair sim.
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = (0L to 5L).map { i =>
+      val tail = if (i <= 1) "rare one two" else s"only$i alpha$i beta$i"
+      (i, s"$common $tail")
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .tfidfCosinePairs(docs, "doc_id", "text", threshold = 0.0001, maxDf = 64)
+      .as[(Long, Long, Double)].collect()
+    val rarePair = got.find(p => p._1 == 0L && p._2 == 1L).get._3
+    val others = got.filterNot(p => p._1 == 0L && p._2 == 1L).map(_._3)
+    assert(others.forall(_ < rarePair), s"rare=$rarePair others=${others.toSeq}")
+  }
+
+  test("centroid outliers: flagged sims are below every unflagged sim") {
+    val e = QueryDefTestAccess.t(spark, sfDir, "embeddings")
+    val cents = graft.operators.Similarity.kmeansCentroids(e, k = 4, iters = 1)
+    val sims = array(cents.map(c =>
+      graft.functions.VectorFunctions.vecCosine(col("embedding"),
+        array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+    val best = e.withColumn("sim", array_max(sims)).select("vec_id", "sim")
+      .as[(Long, Double)].collect()
+    val tau = 0.15
+    val (out, in) = best.partition(_._2 < tau)
+    assert(out.nonEmpty || best.forall(_._2 >= tau))
+    if (out.nonEmpty && in.nonEmpty)
+      assert(out.map(_._2).max < in.map(_._2).min)
+  }
+
   test("chunking covers every token exactly twice at stride = size/2 (interior)") {
     val n = 200
     val doc = Seq((0L, (1 to n).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
