@@ -271,6 +271,63 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    // exact heavy hitters over a text column via the Misra-Gries
+    // sketch-then-recount pipeline (shuffles k counters per partition,
+    // never the token stream)
+    case "heavy-hitters" :: docsParquet :: rest =>
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val k = rest.headOption.map(_.toInt).getOrElse(256)
+      val toks = spark.read.parquet(docsParquet)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      val Array(row) = toks.agg(count(lit(1)).as("n"),
+        functions.AggFunctions.misraGries(col("token"), k).as("c")).collect()
+      val (n, cands) = (row.getLong(0), row.getSeq[String](1))
+      toks.filter(col("token").isin(cands: _*))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (k + 1) > n)
+        .orderBy(col("cnt").desc, col("token"))
+        .show(50, false)
+      spark.stop()
+
+    // train k-means centroids and write (vec_id, cluster) assignments
+    case "kmeans" :: embParquet :: outDir :: rest =>
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val k = rest.headOption.map(_.toInt).getOrElse(16)
+      val iters = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val e = spark.read.parquet(embParquet)
+      val cents = operators.Similarity.kmeansCentroids(e, k, iters)
+      val sims = array(cents.map(c =>
+        functions.VectorFunctions.vecCosine(col("embedding"),
+          array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+      e.withColumn("cluster",
+          array_position(sims, array_max(sims)).cast("long") - 1)
+        .select("vec_id", "cluster")
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] kmeans k=$k iters=$iters: $embParquet -> $outDir")
+      spark.stop()
+
+    // cut documents into overlapping token-window chunks (RAG prep)
+    case "chunk" :: docsParquet :: outDir :: rest =>
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val sz = rest.headOption.map(_.toInt).getOrElse(64)
+      val stride = rest.drop(1).headOption.map(_.toInt).getOrElse(sz / 2)
+      spark.read.parquet(docsParquet)
+        .withColumn("t", split(trim(col("text")), "\\s+"))
+        .withColumn("n_chunks",
+          ceil(size(col("t")) / lit(stride.toDouble)).cast("int"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), col("n_chunks") - 1),
+            c => array_join(slice(col("t"), c * stride + 1, lit(sz)), " "))))
+        .filter(length(col("col")) > 0)
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          col("col").as("chunk_text"))
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] chunks size=$sz stride=$stride: $docsParquet -> $outDir")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"""Unknown arguments: ${other.mkString(" ")}
@@ -291,7 +348,10 @@ object GraftCli {
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
-           |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]""".stripMargin)
+           |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
+           |  heavy-hitters <docsParquet> [k]
+           |  kmeans <embeddingsParquet> <outDir> [k] [iters]
+           |  chunk <docsParquet> <outDir> [size] [stride]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CsvColumnAt, CsvFieldCount, HyperplaneSig, MinHashSig, PairEncode, RollingHash, SimHash64, TokenCount, VecCosine, VecDot, WordShingles, XorFoldHash}
+import graft.functions.{CsvColumnAt, CsvFieldCount, HyperplaneSig, MinHashSig, MisraGriesAgg, PairEncode, RollingHash, SimHash64, TokenCount, VecCosine, VecDot, WordShingles, XorFoldHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig", "_FUNC_(vec, planes) - hyperplane LSH signature"),
       (exprs: Seq[Expression]) => HyperplaneSig(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "_FUNC_(col, k) - Misra-Gries heavy-hitter candidate aggregate"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
   }
 }

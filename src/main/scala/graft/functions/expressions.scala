@@ -195,5 +195,10 @@ object GraftFunctions {
       "vec_cosine", exprs => VecCosine(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSig(exprs(0), exprs(1)), "built-in")
+    // aggregate: misra_gries(col, k) — k must be a literal int
+    registry.createOrReplaceTempFunction(
+      "misra_gries", exprs => MisraGriesAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
   }
 }

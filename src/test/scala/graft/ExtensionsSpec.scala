@@ -14,7 +14,7 @@ class ExtensionsSpec extends GraftSparkSpec {
   private val allFns = Seq("csv_column_at", "csv_field_count",
     "xor_fold_hash", "rolling_hash", "word_shingles", "minhash_sig",
     "simhash64", "token_count", "pair_encode", "vec_dot", "vec_cosine",
-    "hyperplane_sig")
+    "hyperplane_sig", "misra_gries")
 
   test("GraftExtensions registers all custom functions") {
     val ext = new SparkSessionExtensions
@@ -59,5 +59,14 @@ class ExtensionsSpec extends GraftSparkSpec {
       Seq((1L << 32) | 2L, (1L << 32) | 3L, (2L << 32) | 3L))
     assert(r.getDouble(4) == 11.0)
     assert(r.getDouble(5) == 1.0)
+  }
+
+  test("misra_gries aggregate evaluates through SQL") {
+    import spark.implicits._
+    (Seq.fill(50)("hot") ++ (0 until 60).map(i => s"c$i"))
+      .toDF("token").createOrReplaceTempView("mg_in")
+    val cands = spark.sql("SELECT misra_gries(token, 5) AS c FROM mg_in")
+      .head().getSeq[String](0)
+    assert(cands.contains("hot")) // freq 50 > N/(k+1) ≈ 18 -> guaranteed
   }
 }
