@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CsvColumnAt, CsvFieldCount, HyperplaneSig, MinHashSig, MisraGriesAgg, PairEncode, RollingHash, SimHash64, TokenCount, VecCosine, VecDot, WordShingles, XorFoldHash}
+import graft.functions.{CsvColumnAt, CsvFieldCount, HyperplaneSig, MinHashSig, MisraGriesAgg, PairEncode, PqAdcDot, PqEncode, RollingHash, SimHash64, TokenCount, VecCosine, VecDot, WordShingles, XorFoldHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig", "_FUNC_(vec, planes) - hyperplane LSH signature"),
       (exprs: Seq[Expression]) => HyperplaneSig(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("pq_encode"),
+      info("pq_encode", "_FUNC_(vec, codebook, subspaces) - product-quantization codes"),
+      (exprs: Seq[Expression]) => PqEncode(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier("pq_adc_dot"),
+      info("pq_adc_dot",
+        "_FUNC_(query, codes, codebook, subspaces) - asymmetric PQ inner product"),
+      (exprs: Seq[Expression]) => PqAdcDot(exprs(0), exprs(1), exprs(2), exprs(3))))
     ext.injectFunction((FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "_FUNC_(col, k) - Misra-Gries heavy-hitter candidate aggregate"),

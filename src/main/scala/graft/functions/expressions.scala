@@ -195,6 +195,11 @@ object GraftFunctions {
       "vec_cosine", exprs => VecCosine(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSig(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1), exprs(2)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "pq_adc_dot",
+      exprs => PqAdcDot(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     // aggregate: misra_gries(col, k) — k must be a literal int
     registry.createOrReplaceTempFunction(
       "misra_gries", exprs => MisraGriesAgg(exprs.head,

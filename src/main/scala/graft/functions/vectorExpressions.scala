@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types._
@@ -69,6 +69,62 @@ object VectorUtil {
     }
     sig
   }
+
+  /** PQ codes: for each of `subspaces` contiguous subvectors, the index of
+    * the squared-L2-nearest codebook entry. Codebook layout is flat
+    * row-major [subspace][code][component]; d = dim/subspaces and
+    * C = cb.len/(subspaces*d) are derived. Strict `<` keeps the first
+    * (lowest-code) minimum; component fold is ascending in double.
+    */
+  def pqEncode(vec: ArrayData, cb: ArrayData, subspaces: Int): ArrayData = {
+    val d = vec.numElements() / subspaces
+    val nCodes = cb.numElements() / (subspaces * d)
+    val codes = new Array[Any](subspaces)
+    var s = 0
+    while (s < subspaces) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCodes) {
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = vec.getFloat(s * d + i).toDouble -
+            cb.getFloat((s * nCodes + c) * d + i).toDouble
+          acc += diff * diff
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** ADC inner product: query (full precision) against a PQ-coded vector —
+    * sum over subspaces of dot(query subvector, coded centroid).
+    * Accumulation subspace-ascending, component-ascending, in double.
+    */
+  def pqAdcDot(q: ArrayData, codes: ArrayData, cb: ArrayData,
+               subspaces: Int): Double = {
+    val d = q.numElements() / subspaces
+    val nCodes = cb.numElements() / (subspaces * d)
+    var acc = 0.0
+    var s = 0
+    while (s < subspaces) {
+      val code = codes.getInt(s)
+      var i = 0
+      while (i < d) {
+        acc += q.getFloat(s * d + i).toDouble *
+          cb.getFloat((s * nCodes + code) * d + i).toDouble
+        i += 1
+      }
+      s += 1
+    }
+    acc
+  }
 }
 
 /** `vec_dot(a, b)` — double dot product of two array<float> columns. */
@@ -129,6 +185,66 @@ case class HyperplaneSig(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `pq_encode(vec, codebook, subspaces)` — product-quantization codes
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011): the vector splits into `subspaces` contiguous subvectors;
+  * each maps to the index of its squared-L2-nearest codebook entry.
+  * Codebook is a flat row-major [subspace][code][component] array<float>
+  * literal (constant-folded — one reference per row, not re-built).
+  * Ties break to the LOWEST code (strict `<` keeps the first minimum) —
+  * the oracle's `ORDER BY d2, c` mirror.
+  */
+case class PqEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[Shims.AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(vec: Any, cb: Any, s: Any): Any =
+    VectorUtil.pqEncode(vec.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData], s.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c, s) => s"graft.functions.VectorUtil.pqEncode($v, $c, $s)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** `pq_adc_dot(query, codes, codebook, subspaces)` — asymmetric distance
+  * computation: the query stays full-precision, the database vector is
+  * represented by its PQ codes; the approximate inner product is the sum
+  * of per-subspace dots against the coded centroid. Accumulation is
+  * subspace-ascending then component-ascending, in double — the same
+  * left-to-right fold the oracle's ordered list_reduce performs.
+  */
+case class PqAdcDot(first: Expression, second: Expression,
+                    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[Shims.AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(IntegerType), ArrayType(FloatType),
+      IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_dot"
+
+  override protected def nullSafeEval(q: Any, codes: Any, cb: Any, s: Any): Any =
+    VectorUtil.pqAdcDot(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData], s.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (q, co, c, s) => s"graft.functions.VectorUtil.pqAdcDot($q, $co, $c, $s)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.functions.lit
 
@@ -140,4 +256,13 @@ object VectorFunctions {
 
   def hyperplaneSig(emb: Column, planes: Int): Column =
     Shims.column(HyperplaneSig(Shims.expression(emb), Shims.expression(lit(planes))))
+
+  def pqEncode(vec: Column, codebook: Column, subspaces: Int): Column =
+    Shims.column(PqEncode(Shims.expression(vec), Shims.expression(codebook),
+      Shims.expression(lit(subspaces))))
+
+  def pqAdcDot(query: Column, codes: Column, codebook: Column,
+               subspaces: Int): Column =
+    Shims.column(PqAdcDot(Shims.expression(query), Shims.expression(codes),
+      Shims.expression(codebook), Shims.expression(lit(subspaces))))
 }

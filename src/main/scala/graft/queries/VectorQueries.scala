@@ -191,7 +191,78 @@ object VectorQueries {
              |     * sqrt(list_reduce(list_prepend(0, list_transform(qv,
              |          x -> x * x)), (a, b) -> a + b))), 6) AS sim_q
              |FROM q8, qq WHERE vec_id <> 0
-             |ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin))
+             |ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- product-quantization ANN (Jégou et al. 2011): 64-dim vectors
+    // compress to 8 one-byte codes (8 subspaces × 16-entry codebooks —
+    // a 32x memory reduction); queries rank by asymmetric distance
+    // (full-precision query vs coded centroids). Codebook = subvectors
+    // of the first 16 vectors (the same deterministic id-ordered seed
+    // sample the IVF gate uses; production trains per-subspace k-means
+    // with the x27 machinery). The 100 TB story: the coded corpus is
+    // 8 bytes + id per vector — RAM-resident at billions of vectors;
+    // the scan is a codegen'd table lookup per subspace, no shuffle.
+    // Both kernels fold in fixed order, so the oracle recomputes the
+    // pipeline bit-exactly (codes compare as exact integers).
+    "x31_ann_pq" -> QueryDef(
+      (s, dir) => {
+        val (nSub, nCodes) = (8, 16)
+        val e = t(s, dir, "embeddings")
+        val cbRows = e.orderBy("vec_id").limit(nCodes)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        val d = cbRows.head.length / nSub
+        // flat row-major [subspace][code][component]
+        val cbFlat: Seq[Float] = for {
+          sIdx <- 0 until nSub; c <- 0 until nCodes; i <- 0 until d
+        } yield cbRows(c)(sIdx * d + i)
+        val cb = typedlit(cbFlat)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .withColumn("codes", graft.functions.VectorFunctions
+            .pqEncode(col("embedding"), cb, nSub))
+          .crossJoin(broadcast(q))
+          .withColumn("adc", round(graft.functions.VectorFunctions
+            .pqAdcDot(col("qv"), col("codes"), cb, nSub), 6))
+          .select(col("vec_id"), col("label"), col("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |cbv AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+             |  FROM e WHERE vec_id < 16),
+             |l2 AS (
+             |  SELECT en.vec_id, g.s, cbv.c,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             |      i -> (en.v[g.s * 8 + i] - cbv.v[g.s * 8 + i])
+             |         * (en.v[g.s * 8 + i] - cbv.v[g.s * 8 + i]))),
+             |      (a, b) -> a + b) AS d2
+             |  FROM e en, unnest(generate_series(0, 7)) AS g(s), cbv),
+             |codes AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s
+             |        ORDER BY d2, c) AS rn
+             |    FROM l2) WHERE rn = 1),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |partials AS (
+             |  SELECT codes.vec_id, codes.s,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             |      i -> q.qv[codes.s * 8 + i] * cbv.v[codes.s * 8 + i])),
+             |      (a, b) -> a + b) AS pd
+             |  FROM codes JOIN cbv USING (c), q),
+             |adc AS (
+             |  SELECT vec_id, list_reduce(list_prepend(0.0,
+             |      list(pd ORDER BY s)), (a, b) -> a + b) AS adc
+             |  FROM partials GROUP BY vec_id)
+             |SELECT e.vec_id, e.label, round(adc.adc, 6) AS adc
+             |FROM adc JOIN e USING (vec_id) WHERE vec_id <> 0
+             |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin))
   )
 
   /** Unrolled Lloyd's k-means oracle: `assignSteps` assignment rounds

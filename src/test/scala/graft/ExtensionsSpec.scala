@@ -14,7 +14,7 @@ class ExtensionsSpec extends GraftSparkSpec {
   private val allFns = Seq("csv_column_at", "csv_field_count",
     "xor_fold_hash", "rolling_hash", "word_shingles", "minhash_sig",
     "simhash64", "token_count", "pair_encode", "vec_dot", "vec_cosine",
-    "hyperplane_sig", "misra_gries")
+    "hyperplane_sig", "misra_gries", "pq_encode", "pq_adc_dot")
 
   test("GraftExtensions registers all custom functions") {
     val ext = new SparkSessionExtensions

@@ -147,6 +147,48 @@ class HeavyHitterKmeansSpec extends GraftSparkSpec {
       assert(out.map(_._2).max < in.map(_._2).min)
   }
 
+  test("pq encode/adc: codebook members are fixed points; adc is exact on them") {
+    import graft.functions.VectorFunctions.{pqAdcDot, pqEncode, vecDot}
+    val (nSub, nCodes, d) = (4, 4, 2) // dim 8
+    val rnd = new Random(7)
+    val cbRows = Array.fill(nCodes)(Array.fill(nSub * d)(rnd.nextFloat() * 2 - 1))
+    val cbFlat: Seq[Float] = for {
+      s <- 0 until nSub; c <- 0 until nCodes; i <- 0 until d
+    } yield cbRows(c)(s * d + i)
+    val others = Array.fill(6)(Array.fill(nSub * d)(rnd.nextFloat() * 2 - 1))
+    val df = (cbRows ++ others).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("codes", pqEncode(col("embedding"), typedlit(cbFlat), nSub))
+      .withColumn("adc", pqAdcDot(col("embedding"), col("codes"),
+        typedlit(cbFlat), nSub))
+      .withColumn("selfdot", vecDot(col("embedding"), col("embedding")))
+    val rows = df.select("id", "codes", "adc", "selfdot")
+      .as[(Long, Seq[Int], Double, Double)].collect().sortBy(_._1)
+    // a vector that IS codebook entry c encodes to (c,c,c,c) — each of its
+    // subvectors is L2-distance 0 from entry c — and its ADC self-dot is
+    // exactly its true self-dot
+    rows.take(nCodes).zipWithIndex.foreach { case ((_, codes, adc, sd), c) =>
+      assert(codes == Seq.fill(nSub)(c), s"entry $c encoded to $codes")
+      assert(math.abs(adc - sd) < 1e-12)
+    }
+    // every code is in range, every vector got one code per subspace
+    rows.foreach { case (_, codes, _, _) =>
+      assert(codes.length == nSub && codes.forall(c => c >= 0 && c < nCodes))
+    }
+  }
+
+  test("pq kernels evaluate through SQL registration") {
+    val r = spark.sql(
+      """SELECT pq_encode(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT),
+        |          CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)), 1) AS codes
+        |""".stripMargin).head()
+    // codebook has two 2-dim entries for the single subspace; the vector
+    // equals entry 0
+    assert(r.getSeq[Int](0) == Seq(0))
+  }
+
   test("chunking covers every token exactly twice at stride = size/2 (interior)") {
     val n = 200
     val doc = Seq((0L, (1 to n).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
