@@ -39,6 +39,11 @@ object Bench {
     // regression in either direction (min hides steady-state cost, a lone
     // GC/compile stall inflates mean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // untimed housekeeping between queries: the GC-scoped localCheckpoint
+      // blocks of prior queries die here instead of stalling a later
+      // query's TIMED region (the roaming multi-second hiccup a 300-job
+      // shared JVM otherwise shows); per-query timers never include this
+      System.gc()
       val ts = Seq(runOne(fn), runOne(fn), runOne(fn)).filter(_ >= 0).sorted
       // true median: for an even count (one transient failure -> 2 runs),
       // average the two middle elements — ts(size/2) would pick the MAX of
