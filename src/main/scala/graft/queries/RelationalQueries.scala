@@ -813,6 +813,37 @@ object RelationalQueries {
              |  ON o_orderkey = big.l_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY totalprice_cents DESC, o_orderdate, o_orderkey
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // ---- TPC-H Q17 (small-quantity-order revenue): the CORRELATED
+    // scalar-subquery shape — each lineitem compares against its part's
+    // average quantity. Spark decorrelates by hand: one per-part agg,
+    // joined back on l_partkey (AQE broadcasts the part-avg side when it
+    // fits; at 100 TB it's a plain shuffle join on the uniform part key).
+    // Numeric parity note: quantities are whole-number doubles, so their
+    // sums are EXACT in IEEE double in any summation order — avg and the
+    // 0.2x threshold are bit-identical across engines by construction.
+    "q39_tpch_q17" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val partAvg = li.groupBy(col("l_partkey").as("p_key"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        li.join(partAvg, col("l_partkey") === col("p_key"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(count(lit(1)).as("n_small"),
+            // `div`, not `/`: the long sum must divide integrally (the
+            // double path could round across an integer boundary and
+            // disagree with DuckDB's `//` floor by one)
+            expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 700")
+              .as("avg_yearly_cents"))
+      },
+      Some("""WITH pa AS (
+             |  SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT count(*) AS n_small,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 700
+             |    AS BIGINT) AS avg_yearly_cents
+             |FROM lineitem JOIN pa ON l_partkey = p_key
+             |WHERE l_quantity < 0.2 * avg_qty""".stripMargin))
   )
 }

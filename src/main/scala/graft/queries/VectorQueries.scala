@@ -204,6 +204,10 @@ object VectorQueries {
     // the scan is a codegen'd table lookup per subspace, no shuffle.
     // Both kernels fold in fixed order, so the oracle recomputes the
     // pipeline bit-exactly (codes compare as exact integers).
+    // Retrieval quality (tools/PqRecall, 50 queries, this fixture —
+    // i.i.d.-random dims, PQ's worst case): code-only recall@10 0.25;
+    // the production shape (ADC shortlist -> exact re-rank of 10·k)
+    // reaches 0.848; int8 (x28) holds 0.986 at only 4x compression.
     "x31_ann_pq" -> QueryDef(
       (s, dir) => {
         val (nSub, nCodes) = (8, 16)
