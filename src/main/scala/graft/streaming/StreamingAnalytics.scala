@@ -31,6 +31,27 @@ object StreamingAnalytics {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** Per-window heavy-hitter CANDIDATES in UPDATE mode: the Misra–Gries
+    * aggregate runs inside a watermarked tumbling-window groupBy, so each
+    * (window) key keeps at most k counters of sketch state regardless of
+    * vocabulary size — the streaming form of d26's candidate pass (the
+    * exact-recount half runs as a batch query over the window's stored
+    * data when a window closes). At 100 TB/day the alternative —
+    * streaming count per (window, token) — keeps state per DISTINCT
+    * TOKEN; this keeps k per window.
+    * Input needs (ts, text); emits (ws, candidates).
+    */
+  def windowedHeavyHitters(docs: DataFrame, k: Int = 64,
+                           windowLength: String = "1 minute",
+                           watermarkDelay: String = "10 seconds"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(window(col("ts"), windowLength))
+      .agg(graft.functions.AggFunctions.misraGries(col("token"), k)
+        .as("candidates"))
+      .select(col("window.start").as("ws"), col("candidates"))
+
   /** Streaming exact dedup: first occurrence of each content hash wins;
     * `dropDuplicatesWithinWatermark` evicts a hash's state once the
     * watermark passes its event time + delay, so state is bounded AND new

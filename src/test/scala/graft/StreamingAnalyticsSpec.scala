@@ -52,6 +52,30 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters: MG candidates per window cover the hot token") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val hh = StreamingAnalytics.windowedHeavyHitters(
+      in.toDF().toDF("ts", "text"), k = 8,
+      windowLength = "1 minute", watermarkDelay = "10 seconds")
+    val q = hh.writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // window [0,60): "hot" appears 12x among 20 distinct cold tokens —
+      // freq > N/(k+1) = 32/9, so MG(8) must keep it
+      val hotDoc = Seq.fill(6)("hot").mkString(" ")
+      in.addData((ts(5), s"$hotDoc c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        (ts(20), s"$hotDoc d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_out")
+        .select("ws", "candidates").as[(Timestamp, Seq[String])]
+        .collect().toSeq
+      val cands = rows.filter(_._1 == ts(0)).map(_._2).last
+      assert(cands.length <= 8, s"state leaked past k: $cands")
+      assert(cands.contains("hot"), s"hot token missing from $cands")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per content hash") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Long)]
