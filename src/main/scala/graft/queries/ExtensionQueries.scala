@@ -801,6 +801,50 @@ object ExtensionQueries {
               |FROM p0 JOIN nrm na ON na.doc_id = id_a
               |JOIN nrm nb ON nb.doc_id = id_b
               |WHERE round(dp / (na.nm * nb.nm), 4) >= 0.2
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Length-bucketed batching: sort docs by token count into 8 ntile
+    // buckets (what a training loader does to minimize padding) and
+    // report each bucket's padding waste = max_len*count - sum_len vs
+    // padding to the bucket max. The single-bucket baseline (pad all to
+    // the global max) falls out of the same numbers; on this corpus the
+    // bucketing cuts padding ~an order of magnitude. The global ntile is
+    // the scale-safe two-phase Ranking.globalNtile (range partition +
+    // local rank + P broadcast offsets — NEVER a single-partition sort),
+    // with ntile's equal-fill semantics reproduced exactly; tie-broken
+    // by doc_id for engine-independent assignment.
+    "x32_length_buckets" -> QueryDef(
+      (s, dir) => {
+        val withN = t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        graft.operators.Ranking
+          .globalNtile(withN, Seq(col("n_tokens"), col("doc_id")), 8)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("n_tokens")).cast("long").as("max_tokens"),
+            sum(col("n_tokens")).cast("long").as("sum_tokens"))
+          .withColumn("padding_waste",
+            col("max_tokens") * col("n_docs") - col("sum_tokens"))
+          .withColumn("waste_frac", round(col("padding_waste").cast("double") /
+            (col("max_tokens") * col("n_docs")), 4))
+          .orderBy("bucket")
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |  FROM documents),
+             |b AS (
+             |  SELECT n_tokens,
+             |    CAST(ntile(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+             |      AS bucket
+             |  FROM n)
+             |SELECT bucket, count(*) AS n_docs,
+             |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+             |    AS padding_waste,
+             |  round((max(n_tokens) * count(*) - sum(n_tokens))::DOUBLE
+             |    / (max(n_tokens) * count(*)), 4) AS waste_frac
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -502,32 +502,12 @@ object RelationalQueries {
           .withColumn("gap_days",
             datediff(col("next_date").cast("date"), col("o_orderdate").cast("date")))
           .select("o_orderkey", "o_totalprice", "gap_days")
-        val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val ranged = base
-          .repartitionByRange(p, col("o_totalprice").desc, col("o_orderkey"))
-          .withColumn("pid", spark_partition_id())
-        val localW = Window.partitionBy("pid")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        // localCheckpoint: the count job below and the final aggregation
-        // must see the SAME pid assignment, but a re-executed range
-        // exchange resamples boundaries (sample seed includes the per-job
-        // RDD id) — materialize once so ranks are consistent.
-        val ranked = ranged.withColumn("rn", row_number().over(localW))
-          .localCheckpoint()
-        val counts = ranked.groupBy("pid").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val n = counts.values.sum
-        val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
-        val offsetMap = typedLit((0 until p).map(i => i -> offsets(i)).toMap)
-        // ntile(4): the first n%4 buckets take ceil(n/4) rows, the rest floor
-        val qsz = n / 4; val rem = n % 4; val big = qsz + 1
-        val rank = col("rn") + element_at(offsetMap, col("pid"))
-        val quartile =
-          when(rank <= lit(rem * big), ceil(rank / lit(big.toDouble)))
-            .otherwise(lit(rem) + ceil((rank - lit(rem * big)) / lit(math.max(qsz, 1).toDouble)))
-            .cast("int")
-        ranked
-          .withColumn("quartile", quartile)
+        // two-phase global ntile — factored into Ranking.globalNtile
+        // (range partition + local rank + P broadcast offsets)
+        graft.operators.Ranking
+          .globalNtile(base,
+            Seq(col("o_totalprice").desc, col("o_orderkey")), 4, "quartile")
+          .withColumn("quartile", col("quartile").cast("int"))
           .groupBy("quartile")
           .agg(count(lit(1)).as("n"),
             round(avg("gap_days"), 4).as("avg_gap_days"),

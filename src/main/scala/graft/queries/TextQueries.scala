@@ -769,7 +769,51 @@ object TextQueries {
              |SELECT doc_id, chunk_id, CAST(len(w) AS BIGINT) AS n_tokens,
              |  md5(array_to_string(w, ' ')) AS chunk_md5
              |FROM ch WHERE len(w) > 0
-             |ORDER BY doc_id, chunk_id""".stripMargin))
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- fill-in-middle transformation (Bavarian et al. 2022): split
+    // each doc at the 1/3 and 2/3 token marks and re-emit in PSM order
+    // (prefix, suffix, middle) with sentinel tokens — the document-level
+    // rewrite an infilling-capable code/text model trains on. Pure
+    // integer slice math + string assembly: a narrow map, no shuffle
+    // (the gate's ORDER BY aside); at 100 TB this pipelines straight
+    // into the pack stage.
+    "d28_fim" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
+        .withColumn("n", size(col("t")))
+        .withColumn("c1", (col("n") / 3).cast("int"))
+        .withColumn("c2", (col("n") * 2 / 3).cast("int"))
+        .select(col("doc_id"),
+          col("c1").cast("long").as("n_prefix"),
+          (col("c2") - col("c1")).cast("long").as("n_middle"),
+          (col("n") - col("c2")).cast("long").as("n_suffix"),
+          md5(concat_ws(" ",
+            array_join(slice(col("t"), lit(1), col("c1")), " "),
+            lit("<FIM_SUF>"),
+            array_join(slice(col("t"), col("c2") + 1, col("n") - col("c2")), " "),
+            lit("<FIM_MID>"),
+            array_join(slice(col("t"), col("c1") + 1, col("c2") - col("c1")), " ")))
+            .as("fim_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             |    len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM documents),
+             |cuts AS (
+             |  SELECT doc_id, t, n, n // 3 AS c1, (n * 2) // 3 AS c2
+             |  FROM toks)
+             |SELECT doc_id,
+             |  CAST(c1 AS BIGINT) AS n_prefix,
+             |  CAST(c2 - c1 AS BIGINT) AS n_middle,
+             |  CAST(n - c2 AS BIGINT) AS n_suffix,
+             |  md5(concat_ws(' ',
+             |    array_to_string(list_slice(t, 1, c1), ' '),
+             |    '<FIM_SUF>',
+             |    array_to_string(list_slice(t, c2 + 1, n), ' '),
+             |    '<FIM_MID>',
+             |    array_to_string(list_slice(t, c1 + 1, c2), ' '))) AS fim_md5
+             |FROM cuts ORDER BY doc_id""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every

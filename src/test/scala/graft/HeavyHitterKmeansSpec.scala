@@ -189,6 +189,40 @@ class HeavyHitterKmeansSpec extends GraftSparkSpec {
     assert(r.getSeq[Int](0) == Seq(0))
   }
 
+  test("globalNtile matches built-in ntile row-for-row on adversarial sizes") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 3, 7, 8)) {
+      // 1003 rows: not divisible by any bucket count — the remainder
+      // spread (first N%n buckets take one extra) must match exactly
+      val df = (0 until 1003).map(i => (i.toLong, (i * 37 % 211).toLong))
+        .toDF("id", "key")
+      val expected = df.withColumn("b",
+          ntile(n).over(Window.orderBy(col("key"), col("id"))).cast("long"))
+        .select("id", "b").as[(Long, Long)].collect().toMap
+      val got = graft.operators.Ranking
+        .globalNtile(df, Seq(col("key"), col("id")), n, "b")
+        .select("id", "b").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"ntile($n) diverged")
+    }
+  }
+
+  test("fim split reassembles to the original document") {
+    val doc = (1 to 17).map(i => s"w$i").mkString(" ")
+    val r = Seq((0L, doc)).toDF("doc_id", "text")
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .withColumn("n", size(col("t")))
+      .withColumn("c1", (col("n") / 3).cast("int"))
+      .withColumn("c2", (col("n") * 2 / 3).cast("int"))
+      .select(
+        array_join(slice(col("t"), lit(1), col("c1")), " ").as("p"),
+        array_join(slice(col("t"), col("c1") + 1, col("c2") - col("c1")), " ").as("m"),
+        array_join(slice(col("t"), col("c2") + 1, col("n") - col("c2")), " ").as("s"))
+      .as[(String, String, String)].head()
+    assert(Seq(r._1, r._2, r._3).filter(_.nonEmpty).mkString(" ") == doc)
+    // 17 tokens -> cuts at 5 and 11: |prefix|=5 |middle|=6 |suffix|=6
+    assert(r._1.split(" ").length == 5 && r._2.split(" ").length == 6)
+  }
+
   test("chunking covers every token exactly twice at stride = size/2 (interior)") {
     val n = 200
     val doc = Seq((0L, (1 to n).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
