@@ -119,4 +119,56 @@ class KernelPropertySpec extends AnyFunSuite {
         new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(-1L, 3L)))
     }
   }
+
+  // ---- PQ kernels vs an independent model over random geometry
+
+  private val pqGen: Gen[(Array[Float], Array[Float], Int, Int)] = for {
+    nSub <- Gen.oneOf(1, 2, 4)
+    d <- Gen.oneOf(1, 2, 3)
+    nCodes <- Gen.oneOf(1, 2, 5)
+    vec <- Gen.listOfN(nSub * d, Gen.chooseNum(-10.0f, 10.0f))
+    cb <- Gen.listOfN(nSub * nCodes * d, Gen.chooseNum(-10.0f, 10.0f))
+  } yield (vec.toArray, cb.toArray, nSub, nCodes)
+
+  private def modelEncode(v: Array[Float], cb: Array[Float],
+                          nSub: Int, nCodes: Int): Seq[Int] = {
+    val d = v.length / nSub
+    (0 until nSub).map { s =>
+      val dists = (0 until nCodes).map { c =>
+        (0 until d).foldLeft(0.0) { (acc, i) =>
+          val diff = v(s * d + i).toDouble - cb((s * nCodes + c) * d + i).toDouble
+          acc + diff * diff
+        }
+      }
+      dists.indexOf(dists.min) // first minimum = lowest code
+    }
+  }
+
+  test("pq_encode matches the model argmin with lowest-code tie-break") {
+    check(Prop.forAll(pqGen) { case (v, cb, nSub, nCodes) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val got = graft.functions.VectorUtil
+        .pqEncode(new GenericArrayData(v), new GenericArrayData(cb), nSub)
+        .toIntArray().toSeq
+      got == modelEncode(v, cb, nSub, nCodes)
+    })
+  }
+
+  test("pq_adc_dot equals the model fold bit-exactly") {
+    check(Prop.forAll(pqGen) { case (v, cb, nSub, nCodes) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val d = v.length / nSub
+      val codes = modelEncode(v, cb, nSub, nCodes)
+      val model = (0 until nSub).foldLeft(0.0) { (acc, s) =>
+        (0 until d).foldLeft(acc) { (a, i) =>
+          a + v(s * d + i).toDouble * cb((s * nCodes + codes(s)) * d + i).toDouble
+        }
+      }
+      val got = graft.functions.VectorUtil.pqAdcDot(
+        new GenericArrayData(v),
+        new GenericArrayData(codes.toArray),
+        new GenericArrayData(cb), nSub)
+      got == model // bit-exact: same ops in the same order
+    })
+  }
 }
