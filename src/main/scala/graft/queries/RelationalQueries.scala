@@ -824,6 +824,53 @@ object RelationalQueries {
              |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 700
              |    AS BIGINT) AS avg_yearly_cents
              |FROM lineitem JOIN pa ON l_partkey = p_key
-             |WHERE l_quantity < 0.2 * avg_qty""".stripMargin))
+             |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
+
+    // ---- TPC-H Q21 (suppliers who kept orders waiting): the hardest
+    // relational shape in the suite — a correlated EXISTS plus a
+    // correlated NOT EXISTS against the same fact table. Decorrelated
+    // into ONE per-order aggregate: an order qualifies a late row of
+    // supplier s iff it has >= 2 distinct suppliers and exactly one
+    // distinct LATE supplier (which is then necessarily s, since the
+    // row itself is late). One agg shuffle on l_orderkey + one join
+    // back to the late rows on the same key (co-partitioned — AQE
+    // reuses the exchange side) + a broadcast supplier dim. The oracle
+    // runs the literal double-EXISTS form, so the gate proves the
+    // decorrelation equivalent.
+    "q40_tpch_q21" -> QueryDef(
+      (s, dir) => {
+        val ordF = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(ordF, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late", col("l_shipdate") > col("o_orderdate"))
+        val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        li.filter(col("late"))
+          .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+          .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""SELECT s_name, count(*) AS numwait FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |WHERE o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > o_orderdate)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name
+             |LIMIT 20""".stripMargin))
   )
 }

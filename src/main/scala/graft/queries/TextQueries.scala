@@ -813,7 +813,44 @@ object TextQueries {
              |    array_to_string(list_slice(t, c2 + 1, n), ' '),
              |    '<FIM_MID>',
              |    array_to_string(list_slice(t, c1 + 1, c2), ' '))) AS fim_md5
-             |FROM cuts ORDER BY doc_id""".stripMargin))
+             |FROM cuts ORDER BY doc_id""".stripMargin)),
+
+    // ---- temperature-balanced language mixture (the XLM-R/mT5 α-scaled
+    // sampling rule): raw language shares p_i are flattened to
+    // q_i ∝ p_i^α (α = 0.3) — low-resource languages are upsampled,
+    // high-resource downsampled; expected per-lang draws under a 100k
+    // budget fall out. One tiny agg (languages, not docs); the pow/ln
+    // parity follows the d10/d21 discipline (both engines correctly-
+    // rounded IEEE, outputs rounded to 4).
+    "d29_temperature_mix" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val withP = byLang
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+          .withColumn("p", col("n").cast("double") / col("total"))
+          .withColumn("q_raw", pow(col("p"), lit(0.3)))
+        withP
+          .crossJoin(broadcast(
+            withP.agg(sum(col("q_raw")).as("z"))))
+          .select(col("lang"), col("n"),
+            round(col("p"), 4).as("p"),
+            round(col("q_raw") / col("z"), 4).as("q"),
+            round(col("q_raw") / col("z") * 100000).cast("long")
+              .as("expected_draws"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT lang, count(*) AS n FROM documents
+             |           GROUP BY lang),
+             |t AS (SELECT count(*) AS total FROM documents),
+             |w AS (SELECT lang, n, n::DOUBLE / total AS p,
+             |        pow(n::DOUBLE / total, 0.3) AS q_raw
+             |      FROM b, t),
+             |z AS (SELECT sum(q_raw) AS z FROM w)
+             |SELECT lang, n, round(p, 4) AS p,
+             |  round(q_raw / z, 4) AS q,
+             |  CAST(round(q_raw / z * 100000) AS BIGINT) AS expected_draws
+             |FROM w, z ORDER BY lang""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
