@@ -842,10 +842,15 @@ object RelationalQueries {
         val ordF = t(s, dir, "orders")
           .filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
+        // materialized once (GC-scoped): the fact join feeds BOTH the
+        // per-order aggregate and the late-row side — without this the
+        // lineitem⋈orders subtree is executed twice (verified in the
+        // formatted plan: two independent scans + broadcast joins)
         val li = t(s, dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(ordF, col("l_orderkey") === col("o_orderkey"))
           .withColumn("late", col("l_shipdate") > col("o_orderdate"))
+          .localCheckpoint()
         val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
           .agg(countDistinct(col("l_suppkey")).as("n_supp"),
             countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
