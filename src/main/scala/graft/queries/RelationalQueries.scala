@@ -876,6 +876,62 @@ object RelationalQueries {
              |      AND l3.l_suppkey <> l1.l_suppkey
              |      AND l3.l_shipdate > o_orderdate)
              |GROUP BY s_name ORDER BY numwait DESC, s_name
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ---- explicit GROUPING SETS with grouping() flags — the general
+    // form behind rollup (q12) and cube (q29): three disjoint grouping
+    // sets in ONE aggregation pass (Spark expands each input row per
+    // set before the single exchange). NULL ordering is pinned
+    // explicitly: Spark ASC defaults nulls-first, DuckDB nulls-last.
+    "q41_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("q41_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(grouping(o_orderstatus) AS INT) AS g1,
+                |  CAST(grouping(o_orderpriority) AS INT) AS g2,
+                |  count(*) AS n
+                |FROM q41_orders
+                |GROUP BY GROUPING SETS ((o_orderstatus),
+                |  (o_orderpriority), ())
+                |ORDER BY g1, g2, o_orderstatus NULLS FIRST,
+                |  o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+             |  count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY g1, g2, o_orderstatus NULLS FIRST,
+             |  o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // ---- percent_rank / cume_dist: the top 0.1% of urgent orders by
+    // value. Both functions are pure rank arithmetic ((rank-1)/(n-1),
+    // peers/n) — integer-derived doubles, identical across engines; the
+    // window is keyed on priority, so no single-partition sort.
+    "q42_percent_rank" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .filter(col("pr") >= 0.999)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long")
+              .as("totalprice_cents"),
+            col("pr"), col("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+             |  pr, cd
+             |FROM (SELECT o_orderkey, o_totalprice,
+             |    round(percent_rank() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice), 6) AS pr,
+             |    round(cume_dist() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice), 6) AS cd
+             |  FROM orders WHERE o_orderpriority = '1-URGENT')
+             |WHERE pr >= 0.999 ORDER BY o_orderkey""".stripMargin))
   )
 }

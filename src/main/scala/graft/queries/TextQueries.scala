@@ -850,7 +850,38 @@ object TextQueries {
              |SELECT lang, n, round(p, 4) AS p,
              |  round(q_raw / z, 4) AS q,
              |  CAST(round(q_raw / z * 100000) AS BIGINT) AS expected_draws
-             |FROM w, z ORDER BY lang""".stripMargin))
+             |FROM w, z ORDER BY lang""".stripMargin)),
+
+    // ---- multi-phrase scan (policy/PII/keyword audit): per-phrase
+    // document hits and total occurrence counts in ONE corpus pass —
+    // occurrences via the length-difference identity, so both engines
+    // count with exact integer math. The phrase list is a literal
+    // (broadcast-sized); at 100 TB this is a single scan with K
+    // contains() predicates fused into the same codegen stage.
+    "d30_phrase_scan" -> QueryDef(
+      (s, dir) => {
+        // phrases are plain words — no regex metacharacters to escape
+        val phrases = Seq("hash join", "merge sort", "window agg")
+        t(s, dir, "documents")
+          .select(col("text"), explode(typedLit(phrases)).as("phrase"))
+          .select(col("phrase"),
+            when(col("text").contains(col("phrase")), 1L).otherwise(0L)
+              .as("hit"),
+            ((length(col("text")) -
+              length(regexp_replace(col("text"), col("phrase"), lit("")))) /
+              length(col("phrase"))).cast("long").as("occ"))
+          .groupBy("phrase")
+          .agg(sum(col("hit")).as("n_docs"), sum(col("occ")).as("total_hits"))
+          .orderBy("phrase")
+      },
+      Some("""WITH p AS (SELECT unnest(['hash join', 'merge sort',
+             |    'window agg']) AS phrase)
+             |SELECT phrase,
+             |  CAST(sum(CASE WHEN contains(text, phrase) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_docs,
+             |  CAST(sum((len(text) - len(replace(text, phrase, '')))
+             |    // len(phrase)) AS BIGINT) AS total_hits
+             |FROM documents, p GROUP BY phrase ORDER BY phrase""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every

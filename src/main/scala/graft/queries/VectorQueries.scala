@@ -137,6 +137,42 @@ object VectorQueries {
           "en.vec_id, CAST(fin.cid AS BIGINT) AS cluster, round(fin.s, 6) AS sim",
         finalWhere = "WHERE round(fin.s, 6) < 0.15"))),
 
+    // ---- hard-negative mining for contrastive training: the top-k
+    // most-similar vectors of a DIFFERENT label than the anchor — the
+    // negatives that actually move a contrastive loss. Same zero-shuffle
+    // scan shape as e2 with one extra pushed label predicate; at 100 TB
+    // this runs per anchor batch against the (int8/PQ-compressed) corpus.
+    "x33_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_embedding"),
+            col("label").as("q_label"))
+        e.crossJoin(broadcast(q))
+          .filter(col("label") =!= col("q_label"))
+          .withColumn("sim", round(
+            dot(col("embedding"), col("q_embedding")) /
+              (sqrt(dot(col("embedding"), col("embedding"))) *
+                sqrt(dot(col("q_embedding"), col("q_embedding")))), 6))
+          .select(col("vec_id"), col("label"), col("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH dd AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |q AS (SELECT e AS qe, label AS ql FROM dd WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |  round(list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1),
+             |      i -> e[i] * qe[i])), (a, b) -> a + b)
+             |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+             |        (a, b) -> a + b))
+             |      * sqrt(list_reduce(list_prepend(0.0, list_transform(qe, x -> x * x)),
+             |        (a, b) -> a + b))), 6) AS sim
+             |FROM dd, q WHERE label <> ql
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- int8-quantized ANN: symmetric per-vector quantization
     // q[i] = floor(x[i] * 127 / max|x| + 0.5), cosine from INTEGER dot
     // products (the per-vector scales cancel in cosine, and integer
