@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native as-of join physical strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     ext.injectFunction((FunctionIdentifier("csv_column_at"),
       info("csv_column_at", "_FUNC_(line, idx) - raw CSV field slice (reference dialect)"),
       (exprs: Seq[Expression]) => CsvColumnAt(exprs(0), exprs(1))))

@@ -415,6 +415,38 @@ object RelationalQueries {
              |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- the SAME as-of semantics through the NATIVE operator
+    // (plans.AsofJoinPlan -> AsofStrategy -> AsofJoinExec): one forward
+    // merge per co-partitioned (key, time)-sorted partition, one
+    // candidate row of state — no union superset, no window sort buffer
+    // carrying payloads. Gated against the identical DuckDB ASOF oracle
+    // as q26, so the custom physical operator is hash-proven equal to
+    // both the composed form and the reference engine.
+    "x34_asof_native" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("at"))
+          .agg(max("o_totalprice").as("o_price"))
+        val e = t(s, dir, "events")
+          .select(col("user_id").as("key"), col("ts").as("at"),
+            col("event_id"))
+        graft.plans.AsofJoin
+          .joinAsof(e, o, key = "key", time = "at", valueCols = Seq("o_price"))
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("o_price")).as("n_matched"),
+            round(sum("o_price"), 2).as("matched_total"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  count(o_price) AS n_matched,
+             |  round(sum(o_price), 2) AS matched_total
+             |FROM events e ASOF LEFT JOIN
+             |  (SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_price
+             |   FROM orders GROUP BY 1, 2) o
+             |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- sessionization: gap > 1 hour starts a new session (lag + flag +
     // per-user counts). One shuffle on user_id; the window and the group-by
     // share the partitioning, so Catalyst plans a single exchange.

@@ -14,6 +14,15 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
+    * private[sql]) — the entry point for graft's native operators
+    * (plans.AsofJoinPlan). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** A serializable carrier for the driver's Hadoop configuration, so
     * executor-side writers (PrePartition.writeSpread) see the session's
     * `spark.hadoop.*` settings (credentials, fs impls) exactly as Spark's
