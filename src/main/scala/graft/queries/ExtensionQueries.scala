@@ -432,6 +432,28 @@ object ExtensionQueries {
           |    / 10000 AS mean_luma
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio decode (javax.sound.sampled — WAV/PCM is codec-free in
+    // the JDK): synthesize deterministic 16-bit mono RIFF payloads →
+    // AudioSystem container parse → (sample_rate, n_samples, RMS). The
+    // oracle recomputes the features arithmetically from doc_id (exact
+    // integer squares -> engine-independent rounded RMS), so a header
+    // mis-parse, sample-width drift, or truncation fails the hash.
+    "x35_audio_decode" -> QueryDef(
+      (s, dir) => Multimodal.decodeAudio(
+        s, Multimodal.synthesizeAudio(s, t(s, dir, "documents"))),
+      Some(
+        """SELECT doc_id,
+          |  8000 AS sample_rate,
+          |  CAST(doc_id % 50 + 20 AS INT) AS n_samples,
+          |  floor(sqrt(
+          |    list_reduce(list_prepend(0.0, list_transform(
+          |      range(0, CAST(doc_id % 50 + 20 AS INT)),
+          |      j -> ((doc_id * 31 + j * 17) % 2001 - 1000)
+          |         * ((doc_id * 31 + j * 17) % 2001 - 1000))),
+          |      (a, b) -> a + b)
+          |    / (doc_id % 50 + 20)) * 10000 + 0.5) / 10000 AS rms
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // REAL image resize: synthesize → Graphics2D thumbnail (3×3) →
     // decode. Bilinear interpolation of a solid-color image is the color,
     // so the oracle predicts (3, 3, original luma) per doc — a resizer
