@@ -271,6 +271,25 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    // streaming as-of enrichment server: join each landing micro-batch
+    // of (key, at, ...) events against a static reference table through
+    // the native as-of operator; schema for the stream comes from a
+    // sample parquet in the landing dir
+    case "stream-asof" :: refParquet :: landingDir :: outDir :: checkpoint :: key :: time :: valueCols :: rest =>
+      val spark = session()
+      val runSec = rest.headOption.map(_.toInt).getOrElse(0)
+      val reference = spark.read.parquet(refParquet)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landingDir).schema)
+        .parquet(landingDir)
+      val q = streaming.StreamingAnalytics.asofEnrich(
+        stream, reference, key, time, valueCols.split(",").toSeq,
+        outDir, checkpoint)
+      println(s"[graft] asof-enrich server on $landingDir vs $refParquet -> $outDir")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     // exact heavy hitters over a text column via the Misra-Gries
     // sketch-then-recount pipeline (shuffles k counters per partition,
     // never the token stream)
@@ -349,6 +368,7 @@ object GraftCli {
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
+           |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec]
            |  heavy-hitters <docsParquet> [k]
            |  kmeans <embeddingsParquet> <outDir> [k] [iters]
            |  chunk <docsParquet> <outDir> [size] [stride]""".stripMargin)

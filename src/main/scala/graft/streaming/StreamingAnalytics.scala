@@ -110,6 +110,34 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Streaming AS-OF enrichment: each micro-batch of events is joined —
+    * through the NATIVE as-of operator (plans.AsofJoin) — against a
+    * static, pre-deduped reference table (e.g. latest order state per
+    * customer at event time). The per-batch work is the batch-proven
+    * sort-merge: batch-sized left exchange + reference exchange (reused
+    * across batches via the exchange cache when the reference is
+    * unchanged); output lands per-wave in overwrite mode — the same
+    * idempotent-replay discipline as nearDupIngestIndexed.
+    *
+    * @param events streaming frame with (key, at, ...) columns
+    * @param reference static frame with (key, at, valueCols...) —
+    *        pre-dedupe per (key, at) for a deterministic match
+    */
+  def asofEnrich(events: DataFrame, reference: DataFrame,
+                 key: String, time: String, valueCols: Seq[String],
+                 outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.plans.AsofJoin
+          .joinAsof(batch, reference, key, time, valueCols)
+          .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+        ()
+      }
+      .start()
+  }
+
   case class Evt(user_id: Long, ts: Timestamp)
   case class SessionAcc(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

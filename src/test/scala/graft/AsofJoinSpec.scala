@@ -62,6 +62,31 @@ class AsofJoinSpec extends GraftSparkSpec {
     assert(pinned == 2.0)
   }
 
+  test("streaming as-of enrichment: per-batch native join, idempotent waves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("asof-enrich").toString
+    val in = MemoryStream[(Long, Timestamp, Long)]
+    val reference = Seq((1L, ts(5), 10.0), (1L, ts(15), 20.0), (2L, ts(8), 5.0))
+      .toDF("key", "at", "price")
+    val q = graft.streaming.StreamingAnalytics.asofEnrich(
+      in.toDF().toDF("key", "at", "event_id"), reference,
+      "key", "at", Seq("price"), s"$dir/out", s"$dir/ckpt")
+    try {
+      in.addData((1L, ts(10), 1L), (2L, ts(6), 2L))
+      q.processAllAvailable()
+      in.addData((1L, ts(20), 3L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select("event_id", "price").as[(Long, Option[Double])]
+        .collect().toMap
+      assert(got == Map(
+        1L -> Some(10.0), // latest at-or-before ts=10 is the 5s row
+        2L -> None, // key 2's only reference row is in the future
+        3L -> Some(20.0))) // inclusive/latest at ts=20
+    } finally q.stop()
+  }
+
   test("native as-of equals the composed union+window form on real data") {
     val o = QueryDefTestAccess.t(spark, sfDir, "orders")
       .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("at"))
