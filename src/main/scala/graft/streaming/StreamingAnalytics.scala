@@ -113,11 +113,15 @@ object StreamingAnalytics {
   /** Streaming AS-OF enrichment: each micro-batch of events is joined —
     * through the NATIVE as-of operator (plans.AsofJoin) — against a
     * static, pre-deduped reference table (e.g. latest order state per
-    * customer at event time). The per-batch work is the batch-proven
-    * sort-merge: batch-sized left exchange + reference exchange (reused
-    * across batches via the exchange cache when the reference is
-    * unchanged); output lands per-wave in overwrite mode — the same
-    * idempotent-replay discipline as nearDupIngestIndexed.
+    * customer at event time). The reference is hash-partitioned on the
+    * key, sorted by (key, time), and CACHED once up front — the cached
+    * relation advertises its partitioning and ordering, so every batch
+    * plan satisfies the operator's right-side requirements without a new
+    * exchange or sort (foreachBatch replans per batch; data-level
+    * preparation, not plan-level reuse, is what actually carries over —
+    * same principle as nearDupIngestIndexed's prebuilt index). Per-batch
+    * cost is then the batch-sized left exchange + the merge. Output
+    * lands per-wave in overwrite mode — idempotent replay.
     *
     * @param events streaming frame with (key, at, ...) columns
     * @param reference static frame with (key, at, valueCols...) —
@@ -127,11 +131,15 @@ object StreamingAnalytics {
                  key: String, time: String, valueCols: Seq[String],
                  outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prepped = reference
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time))
+      .persist()
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.plans.AsofJoin
-          .joinAsof(batch, reference, key, time, valueCols)
+          .joinAsof(batch, prepped, key, time, valueCols)
           .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
         ()
       }

@@ -87,6 +87,30 @@ class AsofJoinSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("cached pre-partitioned reference joins with no right-side exchange") {
+    val l = (0 until 100).map(i => (i.toLong % 10, ts(i), i.toLong))
+      .toDF("key", "at", "event_id")
+    val r = (0 until 50).map(i => (i.toLong % 10, ts(i), i * 1.0))
+      .toDF("key", "at", "price")
+    val prepped = r.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("at")).persist()
+    try {
+      prepped.count() // materialize the cache
+      val df = graft.plans.AsofJoin.joinAsof(l, prepped, "key", "at", Seq("price"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the cached relation advertises HashPartitioning(key) + ordering:
+      // only the LEFT side needs an exchange. Scope the count to the
+      // executed tree ABOVE the cache boundary — the InMemoryRelation
+      // rendering nests the (already-run) cache-build plan, whose
+      // exchange must not be miscounted as per-query work.
+      val aboveCache = plan.substring(0, plan.indexOf("InMemoryRelation"))
+      assert(aboveCache.contains("InMemoryTableScan"), s"cache unused:\n$plan")
+      val exchanges = "(?<!Reused)Exchange".r.findAllIn(aboveCache).size
+      assert(exchanges == 1, s"expected 1 exchange (left only), got $exchanges:\n$plan")
+    } finally prepped.unpersist()
+  }
+
   test("native as-of equals the composed union+window form on real data") {
     val o = QueryDefTestAccess.t(spark, sfDir, "orders")
       .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("at"))
