@@ -881,7 +881,36 @@ object TextQueries {
              |    AS BIGINT) AS n_docs,
              |  CAST(sum((len(text) - len(replace(text, phrase, '')))
              |    // len(phrase)) AS BIGINT) AS total_hits
-             |FROM documents, p GROUP BY phrase ORDER BY phrase""".stripMargin))
+             |FROM documents, p GROUP BY phrase ORDER BY phrase""".stripMargin)),
+
+    // ---- column profiler (the ingest-validation step): per-column row/
+    // null/distinct counts and min/max, computed in ONE pass by
+    // unpivoting the columns into (col_name, value) rows — the profile
+    // of a 1000-column table is still one scan + one agg keyed on
+    // col_name (wide per-column agg chains hit codegen limits instead).
+    // String min/max compare bytewise identically in both engines.
+    "d31_profile" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(expr(
+          "stack(3, 'lang', lang, 'source', source, 'text', text) " +
+            "AS (col_name, value)"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_val"),
+          max(col("value")).as("max_val"))
+        .orderBy("col_name"),
+      Some("""WITH u AS (
+             |  SELECT 'lang' AS col_name, lang AS value FROM documents
+             |  UNION ALL SELECT 'source', source FROM documents
+             |  UNION ALL SELECT 'text', text FROM documents)
+             |SELECT col_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+             |  min(value) AS min_val, max(value) AS max_val
+             |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
