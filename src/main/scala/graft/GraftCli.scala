@@ -327,6 +327,24 @@ object GraftCli {
       println(s"[graft] kmeans k=$k iters=$iters: $embParquet -> $outDir")
       spark.stop()
 
+    // one-pass column profile of any parquet table (string-typed view)
+    case "profile" :: inParquet :: Nil =>
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(inParquet)
+      val pairs = df.columns
+        .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+      df.select(expr(
+          s"stack(${df.columns.length}, $pairs) AS (col_name, value)"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+        .orderBy("col_name")
+        .show(100, false)
+      spark.stop()
+
     // cut documents into overlapping token-window chunks (RAG prep)
     case "chunk" :: docsParquet :: outDir :: rest =>
       val spark = session()
@@ -371,6 +389,7 @@ object GraftCli {
            |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec]
            |  heavy-hitters <docsParquet> [k]
            |  kmeans <embeddingsParquet> <outDir> [k] [iters]
+           |  profile <inParquet>
            |  chunk <docsParquet> <outDir> [size] [stride]""".stripMargin)
       sys.exit(2)
   }

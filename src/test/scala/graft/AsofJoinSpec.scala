@@ -111,6 +111,19 @@ class AsofJoinSpec extends GraftSparkSpec {
     } finally prepped.unpersist()
   }
 
+  test("degenerate sides: empty right nulls out; empty left yields no rows") {
+    val l = Seq((1L, ts(10), 1L)).toDF("key", "at", "event_id")
+    val r = Seq((1L, ts(5), 1.0)).toDF("key", "at", "price")
+    val emptyR = r.filter(col("price") < 0)
+    val gotNoRight = graft.plans.AsofJoin
+      .joinAsof(l, emptyR, "key", "at", Seq("price"))
+      .select("event_id", "price").as[(Long, Option[Double])].collect()
+    assert(gotNoRight.toSeq == Seq((1L, None)))
+    val emptyL = l.filter(col("event_id") < 0)
+    assert(graft.plans.AsofJoin
+      .joinAsof(emptyL, r, "key", "at", Seq("price")).count() == 0)
+  }
+
   test("native as-of equals the composed union+window form on real data") {
     val o = QueryDefTestAccess.t(spark, sfDir, "orders")
       .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("at"))
