@@ -964,6 +964,40 @@ object RelationalQueries {
              |    round(cume_dist() OVER (PARTITION BY o_orderpriority
              |      ORDER BY o_totalprice), 6) AS cd
              |  FROM orders WHERE o_orderpriority = '1-URGENT')
-             |WHERE pr >= 0.999 ORDER BY o_orderkey""".stripMargin))
+             |WHERE pr >= 0.999 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- running DISTINCT count over a window: Spark has no
+    // count(DISTINCT) OVER, so the engine uses the first-seen
+    // decomposition — a user contributes to the running distinct count
+    // exactly on their first day — and a running sum of daily new users
+    // over the full (event_type, day) domain. The oracle computes the
+    // SAME numbers with DuckDB's native windowed DISTINCT aggregate — a
+    // genuinely different algorithm, so the gate proves the
+    // decomposition, not just echoes it. Shapes: two aggs + one keyed
+    // window, all sharing the event_type partitioning.
+    "q43_running_distinct" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            to_date(col("ts")).as("day"))
+        val firstSeen = ev.groupBy("event_type", "user_id")
+          .agg(min("day").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("new_users"))
+        val days = ev.select("event_type", "day").distinct()
+        val w = Window.partitionBy("event_type").orderBy("day")
+        days.join(firstSeen, Seq("event_type", "day"), "left")
+          .withColumn("run_distinct",
+            sum(coalesce(col("new_users"), lit(0L))).over(w))
+          .select("event_type", "day", "run_distinct")
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, day,
+             |  count(DISTINCT user_id) OVER
+             |    (PARTITION BY event_type ORDER BY day) AS run_distinct
+             |FROM (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+             |        user_id FROM events)
+             |QUALIFY row_number() OVER (PARTITION BY event_type, day
+             |  ORDER BY user_id) = 1
+             |ORDER BY event_type, day""".stripMargin))
   )
 }
