@@ -998,6 +998,37 @@ object RelationalQueries {
              |        user_id FROM events)
              |QUALIFY row_number() OVER (PARTITION BY event_type, day
              |  ORDER BY user_id) = 1
-             |ORDER BY event_type, day""".stripMargin))
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // ---- NOT IN with NULLs: SQL's three-valued-logic trap. A NULL in
+    // the subquery makes `x NOT IN (...)` UNKNOWN for every x — zero
+    // rows — while the null-free variant is a plain anti join. Spark
+    // plans the first as a null-aware anti join (broadcast,
+    // NULL-checked) and the second as a hash anti join; emitting both
+    // counts side-by-side gates the semantic difference explicitly.
+    "q44_not_in_nulls" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q44_customer")
+        t(s, dir, "supplier").createOrReplaceTempView("q44_supplier")
+        s.sql("""SELECT
+                |  (SELECT count(*) FROM q44_customer
+                |   WHERE c_nationkey NOT IN
+                |     (SELECT nullif(s_nationkey, 3) FROM q44_supplier))
+                |    AS n_with_null,
+                |  (SELECT count(*) FROM q44_customer
+                |   WHERE c_nationkey NOT IN
+                |     (SELECT s_nationkey FROM q44_supplier
+                |      WHERE s_nationkey < 10)) AS n_without_null
+                |""".stripMargin)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM customer
+             |   WHERE c_nationkey NOT IN
+             |     (SELECT nullif(s_nationkey, 3) FROM supplier))
+             |    AS n_with_null,
+             |  (SELECT count(*) FROM customer
+             |   WHERE c_nationkey NOT IN
+             |     (SELECT s_nationkey FROM supplier
+             |      WHERE s_nationkey < 10)) AS n_without_null""".stripMargin))
   )
 }
