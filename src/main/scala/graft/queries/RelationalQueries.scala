@@ -1029,6 +1029,46 @@ object RelationalQueries {
              |  (SELECT count(*) FROM customer
              |   WHERE c_nationkey NOT IN
              |     (SELECT s_nationkey FROM supplier
-             |      WHERE s_nationkey < 10)) AS n_without_null""".stripMargin))
+             |      WHERE s_nationkey < 10)) AS n_without_null""".stripMargin)),
+
+    // ---- TPC-H Q22 shape (adapted to the synthetic schema — no phone
+    // column): above-average-balance customers in selected segments with
+    // NO urgent order, reported per nation. Exercises the scalar-avg
+    // subquery (one 1-row broadcast) + anti join (the NOT EXISTS) + group
+    // report in one plan. Whole-cents sums keep the report integer-exact;
+    // the avg threshold compares arbitrary doubles far from any boundary.
+    "q45_tpch_q22" -> QueryDef(
+      (s, dir) => {
+        val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin(segs: _*))
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg(avg("c_acctbal").as("a"))
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("a"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(round(col("c_acctbal") * 100).cast("long"))
+              .as("totacctbal_cents"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH ab AS (
+             |  SELECT avg(c_acctbal) AS a FROM customer
+             |  WHERE c_acctbal > 0.0
+             |    AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+             |c AS (
+             |  SELECT c_nationkey, c_acctbal, c_custkey FROM customer
+             |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+             |    AND c_acctbal > (SELECT a FROM ab))
+             |SELECT c_nationkey, count(*) AS numcust,
+             |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS totacctbal_cents
+             |FROM c WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }

@@ -910,7 +910,53 @@ object TextQueries {
              |    AS BIGINT) AS n_null,
              |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
              |  min(value) AS min_val, max(value) AS max_val
-             |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin))
+             |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin)),
+
+    // ---- CCNet-style LM-score tertiles (Wenzek et al. 2020): rank every
+    // doc by its unigram-LM score (d21's signal) and cut the corpus into
+    // head/middle/tail thirds — the quality-tier assignment CCNet uses to
+    // keep head+middle and drop tail. Bucketing runs on the ROUNDED score
+    // (cross-engine tie discipline) through Ranking.globalNtile — the
+    // two-phase global ntile, never a single-partition sort.
+    "d32_lm_tertiles" -> QueryDef(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val total = freq.agg(sum("cnt").as("n_total"))
+        val scored = tok.join(freq, "token")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("n_total").cast("double") / col("cnt"))), 4)
+            .as("avg_nll"))
+        graft.operators.Ranking
+          .globalNtile(scored, Seq(col("avg_nll"), col("doc_id")), 3, "tier")
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("avg_nll"), 4).as("mean_nll"),
+            round(min("avg_nll"), 4).as("min_nll"),
+            round(max("avg_nll"), 4).as("max_nll"))
+          .orderBy("tier")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents),
+             |f AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |tot AS (SELECT sum(cnt) AS n_total FROM f),
+             |scored AS (
+             |  SELECT doc_id, round(avg(ln(n_total::DOUBLE / cnt)), 4)
+             |    AS avg_nll
+             |  FROM tok JOIN f USING (token), tot GROUP BY doc_id),
+             |tiers AS (
+             |  SELECT avg_nll, CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id)
+             |    AS BIGINT) AS tier
+             |  FROM scored)
+             |SELECT tier, count(*) AS n_docs,
+             |  round(avg(avg_nll), 4) AS mean_nll,
+             |  round(min(avg_nll), 4) AS min_nll,
+             |  round(max(avg_nll), 4) AS max_nll
+             |FROM tiers GROUP BY tier ORDER BY tier""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
