@@ -867,6 +867,28 @@ object ExtensionQueries {
              |    AS padding_waste,
              |  round((max(n_tokens) * count(*) - sum(n_tokens))::DOUBLE
              |    / (max(n_tokens) * count(*)), 4) AS waste_frac
-             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Salted join through the driver gate: the explicit skew-mitigation
+    // path (Skew.saltedJoin — positional fact salt × replicated dim) must
+    // be RESULT-invariant to salting; the oracle runs the plain join, so
+    // any row lost or duplicated by the salt machinery fails the hash.
+    // (SkewSpec proves equality in-process; this pins it cross-engine.)
+    "x36_salted_join" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("seg"))
+        graft.operators.Skew.saltedJoin(ev, dim, "user_id", factor = 8)
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
