@@ -889,6 +889,29 @@ object ExtensionQueries {
       Some("""SELECT c_mktsegment AS seg, count(*) AS n_events,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events JOIN customer ON user_id = c_custkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Salted two-phase payload aggregation through the gate: collect the
+    // full event_id list per event_type (the collect_list shape whose
+    // partial aggregation cannot shrink a hot group) via Skew.saltedAgg —
+    // sub-group partials then a flatten-merge. The gate hashes the SORTED
+    // id list per group, so a row lost or duplicated anywhere in the
+    // two-phase path fails; the oracle is the direct single-phase agg.
+    "x37_salted_agg" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"), col("event_id"))
+        graft.operators.Skew.saltedAgg(ev, Seq("event_type"), factor = 8,
+            partial = Seq(collect_list(col("event_id")).as("p")),
+            merge = Seq(flatten(collect_list(col("p"))).as("ids")))
+          .select(col("event_type"),
+            size(col("ids")).cast("long").as("n"),
+            md5(array_join(transform(array_sort(col("ids")),
+              x => x.cast("string")), " ")).as("ids_md5"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  md5(string_agg(CAST(event_id AS VARCHAR), ' '
+             |    ORDER BY event_id)) AS ids_md5
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
