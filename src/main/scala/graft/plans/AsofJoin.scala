@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.graft.Shims
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Native AS-OF join — the whole-operator Catalyst extension (SURVEY §7.2
   * preference (c): LogicalPlan + Strategy + SparkPlan, injected via
@@ -26,17 +27,26 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   * unmatched left rows get nulls — DuckDB's `ASOF LEFT JOIN ... ON
   * l.key = r.key AND l.time >= r.time` exactly).
   *
-  * Scope (documented, checked at construction): the key must be an
-  * integral type and the time integral-backed (timestamp/date/int/long) —
-  * covers the engine's event/order shapes without generic-ordering
-  * machinery in the hot loop.
+  * Scope (documented, checked at construction): the key may be integral
+  * or string (compared through the type's interpreted ordering — the
+  * same ordering the sort exchange uses); the time must be
+  * integral-backed (timestamp/date/int/long) so the hot loop compares
+  * primitives.
+  *
+  * Null semantics are SQL three-valued comparison (Polars `join_asof`
+  * behavior): a left row whose key or time is NULL never matches and is
+  * emitted null-extended; right rows with a NULL key or time are
+  * skipped. (DuckDB's raw ASOF instead treats a NULL time as +infinity —
+  * a NULLS LAST sort artifact — so the x38 gate's oracle encodes the
+  * three-valued contract explicitly around the ASOF join.)
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
     rightValues: Seq[Attribute]) extends BinaryNode {
-  AsofJoin.requireIntegral(leftKey, rightKey, leftTime, rightTime)
+  AsofJoin.requireKeyType(leftKey, rightKey)
+  AsofJoin.requireIntegral(leftTime, rightTime)
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -82,6 +92,7 @@ case class AsofJoinExec(
     val rOut = right.output
     val outSchema = output
     val leftOut = left.output
+    val keyType = leftKey.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val valueProj = UnsafeProjection.create(rvSchema, rOut)
       // bind against NULLABLE-marked right values: binding against the
@@ -91,32 +102,51 @@ case class AsofJoinExec(
         leftOut ++ rvSchema.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rvSchema.length)
       val joined = new JoinedRow
+      // interpreted ordering = the same ordering the sort exchange applied,
+      // so the merge's key comparisons agree with the children's sort
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       def longOf(e: Expression, row: InternalRow): Long =
         e.eval(row) match { case i: Int => i.toLong; case l: Long => l }
       new Iterator[InternalRow] {
-        private var rNext: InternalRow =
-          if (rIter.hasNext) rIter.next() else null
+        // right rows with a NULL key or time can never match — skip them.
+        // (They sort first under the Ascending nulls-first child ordering,
+        // so skipping preserves the merge invariant.)
+        private def advanceRight(): InternalRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            if (rk.eval(r) != null && rt.eval(r) != null) return r
+          }
+          null
+        }
+        private var rNext: InternalRow = advanceRight()
         private var candidate: InternalRow = null // copied; latest match
-        private var candidateKey = 0L
+        private var candidateKey: Any = null      // copied (UTF8String reuse)
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val key = longOf(lk, l)
-          val time = longOf(lt, l)
+          val key = lk.eval(l)
+          val timeBoxed = lt.eval(l)
+          if (key == null || timeBoxed == null) {
+            // DuckDB ASOF LEFT JOIN: a NULL key/time comparison is never
+            // true — the left row is unmatched, emitted null-extended.
+            // No right advance: null keys sort before all non-null keys.
+            return resultProj(joined(l, nullRight))
+          }
+          val time = timeBoxed match { case i: Int => i.toLong; case x: Long => x }
           // advance the right side through every row at-or-before (key, time)
           while (rNext != null && {
-            val k = longOf(rk, rNext)
-            k < key || (k == key && longOf(rt, rNext) <= time)
+            val c = keyOrd.compare(rk.eval(rNext), key)
+            c < 0 || (c == 0 && longOf(rt, rNext) <= time)
           }) {
-            if (longOf(rk, rNext) == key) {
+            if (keyOrd.compare(rk.eval(rNext), key) == 0) {
               // latest-so-far for this key; .copy() — the child iterator
-              // reuses its row buffer
+              // reuses its row buffer (and UTF8String keys point into it)
               candidate = valueProj(rNext).copy()
-              candidateKey = key
+              candidateKey = InternalRow.copyValue(rk.eval(rNext))
             }
-            rNext = if (rIter.hasNext) rIter.next() else null
+            rNext = advanceRight()
           }
-          val matched = candidate != null && candidateKey == key
+          val matched = candidate != null && keyOrd.compare(candidateKey, key) == 0
           resultProj(joined(l, if (matched) candidate else nullRight))
         }
       }
@@ -133,6 +163,14 @@ object AsofJoin {
     require(Seq(LongType, IntegerType, TimestampType, TimestampNTZType,
       DateType).contains(a.dataType),
       s"asof join: ${a.name} must be integral-backed, got ${a.dataType}")
+  }
+
+  private[plans] def requireKeyType(l: Attribute, r: Attribute): Unit = {
+    require(l.dataType == r.dataType,
+      s"asof join: key types differ (${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType})")
+    require(Seq(LongType, IntegerType, TimestampType, TimestampNTZType,
+      DateType, StringType).contains(l.dataType),
+      s"asof join: key ${l.name} must be integral-backed or string, got ${l.dataType}")
   }
 
   def register(spark: SparkSession): Unit =

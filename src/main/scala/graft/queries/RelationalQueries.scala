@@ -447,6 +447,99 @@ object RelationalQueries {
              |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- native as-of join NULL semantics: both sides get deterministic
+    // null pokes (left key/time, right key/time). The operator's contract
+    // is SQL three-valued comparison (Polars join_asof semantics): a NULL
+    // key or time never matches — null-poked left rows emit null-extended,
+    // null-poked right rows are skipped, nothing crashes. DuckDB's raw
+    // ASOF instead treats NULL time as +infinity (a NULLS LAST sort
+    // artifact), so the oracle encodes the three-valued contract
+    // explicitly: null right rows filtered, null left rows routed around
+    // the ASOF join unmatched. Same merge shape as x34: two key
+    // exchanges, one candidate row of state.
+    "x38_asof_nulls" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(
+            when(col("o_custkey") % 13 === 0, lit(null))
+              .otherwise(col("o_custkey")).as("key"),
+            when(col("o_orderkey") % 17 === 0, lit(null).cast("timestamp"))
+              .otherwise(col("o_orderdate")).as("at"),
+            col("o_totalprice"))
+          .groupBy("key", "at")
+          .agg(max("o_totalprice").as("o_price"))
+        val e = t(s, dir, "events")
+          .select(
+            when(col("user_id") % 7 === 0, lit(null))
+              .otherwise(col("user_id")).as("key"),
+            when(col("event_id") % 11 === 0, lit(null).cast("timestamp"))
+              .otherwise(col("ts")).as("at"),
+            col("event_id"))
+        graft.plans.AsofJoin
+          .joinAsof(e, o, key = "key", time = "at", valueCols = Seq("o_price"))
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("o_price")).as("n_matched"),
+            round(sum("o_price"), 2).as("matched_total"))
+          .orderBy(col("user_id").asc_nulls_first)
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS key,
+             |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE ts END AS at
+             |  FROM events),
+             |o AS (
+             |  SELECT CASE WHEN o_custkey % 13 = 0 THEN NULL ELSE o_custkey END AS key,
+             |         CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_orderdate END AS at,
+             |         max(o_totalprice) AS o_price
+             |  FROM orders GROUP BY 1, 2
+             |  HAVING key IS NOT NULL AND at IS NOT NULL),
+             |j AS (
+             |  SELECT e.key, o.o_price
+             |  FROM e ASOF LEFT JOIN o ON e.key = o.key AND e.at >= o.at
+             |  WHERE e.key IS NOT NULL AND e.at IS NOT NULL
+             |  UNION ALL
+             |  SELECT key, NULL AS o_price FROM e WHERE key IS NULL OR at IS NULL)
+             |SELECT key AS user_id, count(*) AS n_events,
+             |  count(o_price) AS n_matched,
+             |  round(sum(o_price), 2) AS matched_total
+             |FROM j GROUP BY 1 ORDER BY user_id NULLS FIRST""".stripMargin)),
+
+    // ---- native as-of join on a STRING key (the reference's Node /
+    // ActivityId shapes are string-keyed): the merge compares keys through
+    // the type's interpreted ordering — the same ordering the sort
+    // exchange used — so the plan is unchanged (two key exchanges, no
+    // extra sort) and only the comparison goes through UTF8String.
+    "x40_asof_strkey" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy(concat(lit("u"), col("o_custkey").cast("string")).as("key"),
+            col("o_orderdate").as("at"))
+          .agg(max("o_totalprice").as("o_price"))
+        val e = t(s, dir, "events")
+          .select(concat(lit("u"), col("user_id").cast("string")).as("key"),
+            col("ts").as("at"), col("event_id"))
+        graft.plans.AsofJoin
+          .joinAsof(e, o, key = "key", time = "at", valueCols = Seq("o_price"))
+          .groupBy(col("key").as("user_key"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("o_price")).as("n_matched"),
+            round(sum("o_price"), 2).as("matched_total"))
+          .orderBy("user_key")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, 'u' || CAST(user_id AS VARCHAR) AS key, ts AS at
+             |  FROM events),
+             |o AS (
+             |  SELECT 'u' || CAST(o_custkey AS VARCHAR) AS key, o_orderdate AS at,
+             |         max(o_totalprice) AS o_price
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT e.key AS user_key, count(*) AS n_events,
+             |  count(o_price) AS n_matched,
+             |  round(sum(o_price), 2) AS matched_total
+             |FROM e ASOF LEFT JOIN o ON e.key = o.key AND e.at >= o.at
+             |GROUP BY 1 ORDER BY user_key""".stripMargin)),
+
     // ---- sessionization: gap > 1 hour starts a new session (lag + flag +
     // per-user counts). One shuffle on user_id; the window and the group-by
     // share the partitioning, so Catalyst plans a single exchange.

@@ -150,4 +150,84 @@ class AsofJoinSpec extends GraftSparkSpec {
     assert(native.size == composed.size)
     assert(native == composed)
   }
+
+  test("null keys/times on both sides: unmatched left rows, skipped right rows") {
+    val l = Seq(
+      (Some(1L), Some(ts(10)), 1L), // normal match
+      (None, Some(ts(10)), 2L),     // null key -> unmatched
+      (Some(1L), None, 3L),         // null time -> unmatched
+      (Some(2L), Some(ts(10)), 4L)  // key whose only right rows are null-poked
+    ).toDF("key", "at", "event_id")
+    val r = Seq(
+      (Some(1L), Some(ts(5)), 1.0),
+      (None, Some(ts(1)), 88.0),    // null right key: never a candidate
+      (Some(2L), None, 99.0)        // null right time: never a candidate
+    ).toDF("key", "at", "price")
+    val got = AsofJoin.joinAsof(l, r, "key", "at", Seq("price"))
+      .select("event_id", "price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("null fixture: native equals the composed form on null-poked real data") {
+    val o = QueryDefTestAccess.t(spark, sfDir, "orders")
+      .select(
+        when(col("o_custkey") % 13 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("key"),
+        when(col("o_orderkey") % 17 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate")).as("at"),
+        col("o_totalprice"))
+      .groupBy("key", "at").agg(max("o_totalprice").as("o_price"))
+    val e = QueryDefTestAccess.t(spark, sfDir, "events")
+      .select(
+        when(col("user_id") % 7 === 0, lit(null))
+          .otherwise(col("user_id")).as("key"),
+        when(col("event_id") % 11 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("ts")).as("at"),
+        col("event_id"))
+    val native = AsofJoin.joinAsof(e, o, "key", "at", Seq("o_price"))
+      .select(col("event_id"), col("o_price"))
+      .as[(Long, Option[Double])].collect().toMap
+    // composed form, null-safe by construction: a null key partitions
+    // alone and a null `at` sorts first (before any order row), so
+    // last(..., ignoreNulls) finds nothing for those events — but only if
+    // null-keyed/timed ORDER rows are excluded, mirroring the skip rule
+    val oU = o.filter(col("key").isNotNull && col("at").isNotNull)
+      .select(col("key"), col("at"), col("o_price"),
+        lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
+    val eU = e.select(col("key"), col("at"),
+      lit(null).cast("double").as("o_price"), lit(1).as("is_evt"),
+      col("event_id"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("at").asc_nulls_first, col("is_evt"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = oU.unionByName(eU)
+      .withColumn("p", last(col("o_price"), ignoreNulls = true).over(w))
+      .filter(col("is_evt") === 1)
+      .withColumn("p", when(col("key").isNull || col("at").isNull,
+        lit(null).cast("double")).otherwise(col("p")))
+      .select(col("event_id"), col("p"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
+  test("string keys: correct merge, plan still two exchanges and no extra sort") {
+    val l = Seq(
+      ("a", ts(10), 1L), ("a", ts(3), 2L), ("b", ts(10), 3L), ("c", ts(9), 4L)
+    ).toDF("key", "at", "event_id")
+    val r = Seq(
+      ("a", ts(5), 1.0), ("a", ts(9), 2.0), ("b", ts(11), 3.0)
+    ).toDF("key", "at", "price")
+    val df = AsofJoin.joinAsof(l, r, "key", "at", Seq("price"))
+    val got = df.select("event_id", "price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(1L -> Some(2.0), 2L -> None, 3L -> None, 4L -> None))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing:\n$plan")
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).size
+    val sorts = "(?m)^[^\\n]*\\bSort\\b".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 key exchanges, got $exchanges:\n$plan")
+    assert(sorts == 2, s"expected one (key,time) sort per side, got $sorts:\n$plan")
+  }
 }
