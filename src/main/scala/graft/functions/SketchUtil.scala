@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -129,35 +130,34 @@ object SketchUtil {
     new GenericArrayData(out)
   }
 
-  /** All unordered id pairs of a bigint array, each encoded as one long
-    * `(min << 32) | max` (ids must fit in 32 unsigned bits). One pass into
-    * a primitive long[] — the `flatten(transform(..., slice(...)))`
-    * higher-order equivalent allocates O(d^2) intermediate arrays per call
-    * and evaluates the lambdas interpreted. Sorts a copy first so the
-    * encoding is order-canonical regardless of input order.
+  /** All unordered id pairs of a bigint array, each an `(a, b)` struct
+    * with `a <= b` — full 64-bit ids (the packed-single-long form capped
+    * ids at 2^32, i.e. ~4.3B documents; a struct key is 16 bytes in the
+    * shuffle and has no ceiling). One pass — the
+    * `flatten(transform(..., slice(...)))` higher-order equivalent
+    * allocates O(d^2) intermediate arrays per call and evaluates the
+    * lambdas interpreted. Sorts a copy first so the encoding is
+    * order-canonical regardless of input order.
     */
   def pairEncode(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
-    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
     val a = new Array[Long](n)
     var i = 0
-    while (i < n) {
-      val v = ids.getLong(i)
-      if (v < 0L || v > 0xffffffffL)
-        throw new IllegalArgumentException(
-          s"pair_encode id $v outside [0, 2^32): repartition the id space " +
-            "or use the struct pair form")
-      a(i) = v
-      i += 1
-    }
+    while (i < n) { a(i) = ids.getLong(i); i += 1 }
     java.util.Arrays.sort(a)
-    val out = new Array[Long](n * (n - 1) / 2)
+    val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     i = 0
     while (i < n) {
-      val hi = a(i) << 32
       var j = i + 1
-      while (j < n) { out(k) = hi | a(j); k += 1; j += 1 }
+      while (j < n) {
+        val row = new GenericInternalRow(2)
+        row.setLong(0, a(i))
+        row.setLong(1, a(j))
+        out(k) = row
+        k += 1; j += 1
+      }
       i += 1
     }
     new GenericArrayData(out)

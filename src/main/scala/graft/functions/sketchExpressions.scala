@@ -85,12 +85,15 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** `pair_encode(ids)` — every unordered pair of a bigint-array column, each
-  * packed as `(min << 32) | max` (array<bigint>). Feeds bucket-local pair
-  * generation in the dedup family; see SketchUtil.pairEncode.
+/** `pair_encode(ids)` — every unordered pair of a bigint-array column, as
+  * `array<struct<a, b>>` with `a <= b` per pair (full 64-bit id range —
+  * no 2^32 ceiling). Feeds bucket-local pair generation in the dedup
+  * family; see SketchUtil.pairEncode.
   */
 case class PairEncode(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pair_encode"
 

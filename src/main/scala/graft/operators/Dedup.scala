@@ -68,8 +68,8 @@ object Dedup {
     // bucket-counts groupBy + semi-join round trip), the cap filter runs
     // BEFORE collect_list (no boilerplate mega-bucket is ever collected),
     // and the groupBy reuses the window's partitioning. Pairs leave each
-    // bucket as packed longs via the codegen'd pair_encode kernel; the
-    // distinct dedups across bands on an 8-byte key.
+    // bucket as (a, b) structs via the codegen'd pair_encode kernel (full
+    // 64-bit id range); the distinct dedups across bands on a 16-byte key.
     import org.apache.spark.sql.expressions.Window
     val pairs = banded
       .withColumn("bsize", count(lit(1))
@@ -79,8 +79,7 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"))
       .select(explode(SketchFunctions.pairEncode(col("ids"))).as("pk"))
       .distinct()
-      .select(shiftright(col("pk"), 32).as("id_a"),
-        col("pk").bitwiseAND(0xffffffffL).as("id_b"))
+      .select(col("pk.a").as("id_a"), col("pk.b").as("id_b"))
 
     // exact Jaccard verification: shingle sets join back per side (the
     // candidate side is small — AQE broadcasts it; at cluster scale these
@@ -230,7 +229,7 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     // same single-shuffle pair machinery as minHashLsh: window count as
-    // the skew cap, capped buckets collected, pair_encode packed pairs,
+    // the skew cap, capped buckets collected, pair_encode (a, b) pair structs,
     // distinct across bands on the 8-byte key
     import org.apache.spark.sql.expressions.Window
     banded
@@ -241,8 +240,7 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"))
       .select(explode(SketchFunctions.pairEncode(col("ids"))).as("pk"))
       .distinct()
-      .select(shiftright(col("pk"), 32).as("id_a"),
-        col("pk").bitwiseAND(0xffffffffL).as("id_b"))
+      .select(col("pk.a").as("id_a"), col("pk.b").as("id_b"))
       .join(docs.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
@@ -496,7 +494,7 @@ object Dedup {
     * doc quoted inside a long one has low Jaccard (the union is large)
     * but containment ≈ 1 on the short side, which is exactly the case
     * length-normalized dedup misses. Same PPJoin posting machinery (df
-    * window as boilerplate cap, packed-pair counting, sizes joined after
+    * window as boilerplate cap, struct-pair counting, sizes joined after
     * the pair shuffle); reports pairs where EITHER direction reaches
     * `threshold`.
     *
@@ -521,8 +519,7 @@ object Dedup {
       .select(explode(
         graft.functions.SketchFunctions.pairEncode(col("ids"))).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("inter"))
-      .select(shiftright(col("pk"), 32).as("id_a"),
-        col("pk").bitwiseAND(0xffffffffL).as("id_b"), col("inter"))
+      .select(col("pk.a").as("id_a"), col("pk.b").as("id_b"), col("inter"))
     pairs
       .join(nKept.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(nKept.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
@@ -573,8 +570,8 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n"))
       .localCheckpoint()
     // pair side: shareable shingles (df in [2, maxDf]) — bucket the <=maxDf
-    // posting ids per shingle and emit each unordered pair as ONE packed
-    // long via the codegen'd pair_encode kernel, instead of a shingle
+    // posting ids per shingle and emit each unordered pair as ONE (a, b)
+    // struct via the codegen'd pair_encode kernel, instead of a shingle
     // self-join (which sorts/shuffles the posting list twice and generates
     // the d^2 cross product before the id_a < id_b filter). The df filter
     // runs BEFORE collect_list, so no boilerplate mega-bucket is ever
@@ -585,8 +582,7 @@ object Dedup {
       .select(explode(
         graft.functions.SketchFunctions.pairEncode(col("ids"))).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("inter"))
-      .select(shiftright(col("pk"), 32).as("id_a"),
-        col("pk").bitwiseAND(0xffffffffL).as("id_b"), col("inter"))
+      .select(col("pk.a").as("id_a"), col("pk.b").as("id_b"), col("inter"))
     // n_a/n_b joined AFTER pair counting so the pair shuffle carries only
     // (id_a, id_b): nKept is one row per doc — AQE broadcasts it at bench
     // scale; at cluster scale these are plain shuffle joins on the id
@@ -607,8 +603,8 @@ object Dedup {
     * Jaccard. Same single-pass posting machinery: because shingle sets
     * are DISTINCT per doc, both endpoints of a shared posting carry the
     * SAME weight idf(shingle), so each pair contribution is idf² and the
-    * pair stage is one weighted sum over packed pair keys — the pair
-    * shuffle never carries vectors, only (packed_pair, partial_dot).
+    * pair stage is one weighted sum over (a, b) pair-struct keys — the pair
+    * shuffle never carries vectors, only (pair_struct, partial_dot).
     * Norms are over the df<=maxDf vocabulary (boilerplate shingles are
     * excluded from the geometry, same contract as ngramJaccard).
     */
@@ -634,8 +630,7 @@ object Dedup {
       .select(col("w"), explode(
         graft.functions.SketchFunctions.pairEncode(col("ids"))).as("pk"))
       .groupBy("pk").agg(sum(col("w") * col("w")).as("dp"))
-      .select(shiftright(col("pk"), 32).as("id_a"),
-        col("pk").bitwiseAND(0xffffffffL).as("id_b"), col("dp"))
+      .select(col("pk.a").as("id_a"), col("pk.b").as("id_b"), col("dp"))
     pairs
       .join(nrm.select(col("id").as("id_a"), col("nm").as("n_a")), Seq("id_a"))
       .join(nrm.select(col("id").as("id_b"), col("nm").as("n_b")), Seq("id_b"))

@@ -29,8 +29,7 @@ object X3Prof {
         .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
         .select(explode(graft.functions.SketchFunctions.pairEncode(col("ids"))).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("inter"))
-        .select(shiftright(col("pk"), 32).as("id_a"),
-          col("pk").bitwiseAND(0xffffffffL).as("id_b"), col("inter"))
+        .select(col("pk.a").as("id_a"), col("pk.b").as("id_b"), col("inter"))
       time("pairs-agg")(rawPairs.write.format("noop").mode("overwrite").save())
       println(s"[x3prof] pair rows = ${rawPairs.count()}")
       time("final") {

@@ -54,9 +54,10 @@ class ExtensionsSpec extends GraftSparkSpec {
     assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(r.getInt(1) == 3)
     assert(r.getInt(2) == 8)
-    // pairs of sorted ids (1,2,3): (1,2), (1,3), (2,3) packed as hi<<32|lo
-    assert(r.getSeq[Long](3).sorted ==
-      Seq((1L << 32) | 2L, (1L << 32) | 3L, (2L << 32) | 3L))
+    // pairs of sorted ids (1,2,3): (1,2), (1,3), (2,3) as (a, b) structs
+    assert(r.getSeq[org.apache.spark.sql.Row](3)
+      .map(p => (p.getLong(0), p.getLong(1))) ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(r.getDouble(4) == 11.0)
     assert(r.getDouble(5) == 1.0)
   }

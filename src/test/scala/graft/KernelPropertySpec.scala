@@ -88,36 +88,37 @@ class KernelPropertySpec extends AnyFunSuite {
   }
 
   test("pair_encode emits exactly the n-choose-2 unordered pairs, order-canonical") {
+    // full 64-bit id range — the old packed-long form capped ids at 2^32;
+    // the struct form must handle any long (a 100 TB corpus can exceed
+    // 4.3B documents)
+    def decode(ad: org.apache.spark.sql.catalyst.util.ArrayData): Seq[(Long, Long)] =
+      (0 until ad.numElements()).map { i =>
+        val r = ad.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
     val idsGen = Gen.chooseNum(0, 12).flatMap(n =>
-      Gen.listOfN(n, Gen.chooseNum(0L, 0xffffffffL)))
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
     check(Prop.forAll(idsGen) { ids =>
-      val got = graft.functions.SketchUtil.pairEncode(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(ids.toArray))
-        .toLongArray().toSeq
-      // model: every unordered pair (min<<32)|max, from the sorted ids
+      val got = decode(graft.functions.SketchUtil.pairEncode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ids.toArray)))
+      // model: every unordered (min, max) pair from the sorted ids
       val s = ids.sorted
       val expected = for {
         i <- s.indices; j <- (i + 1) until s.length
-      } yield (s(i) << 32) | s(j)
+      } yield (s(i), s(j))
       got == expected
     })
     // shuffling the input must not change the encoding (order-canonical)
     check(Prop.forAll(idsGen) { ids =>
-      val enc = (l: Seq[Long]) => graft.functions.SketchUtil.pairEncode(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(l.toArray))
-        .toLongArray().toSeq
+      val enc = (l: Seq[Long]) => decode(graft.functions.SketchUtil.pairEncode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(l.toArray)))
       enc(ids) == enc(ids.reverse)
     })
-    // out-of-range ids fail loudly instead of corrupting the packing
-    intercept[IllegalArgumentException] {
-      graft.functions.SketchUtil.pairEncode(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          Array(1L, 0x100000000L)))
-    }
-    intercept[IllegalArgumentException] {
-      graft.functions.SketchUtil.pairEncode(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(-1L, 3L)))
-    }
+    // ids past the old 2^32 ceiling round-trip exactly
+    val big = decode(graft.functions.SketchUtil.pairEncode(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(5_000_000_000L, 7L, Long.MaxValue))))
+    assert(big == Seq((7L, 5_000_000_000L), (7L, Long.MaxValue),
+      (5_000_000_000L, Long.MaxValue)))
   }
 
   // ---- PQ kernels vs an independent model over random geometry
