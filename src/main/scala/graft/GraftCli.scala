@@ -100,6 +100,15 @@ object GraftCli {
       println(s"[graft] published ${paths.length} path(s) to $queueDir as seq $seq")
       spark.stop()
 
+    // object-store-safe publish (S3-class stores whose rename overwrites):
+    // a uniquely-named spool entry; the consuming stream must run with
+    // claimMode=spool so its driver sequences the spool
+    case "notify-publish-spool" :: queueDir :: paths if paths.nonEmpty =>
+      val spark = session()
+      val name = streaming.NotifyQueue.publishSpool(spark, queueDir, paths)
+      println(s"[graft] spooled ${paths.length} path(s) to $queueDir as $name")
+      spark.stop()
+
     // event-driven server on the notification queue: per-trigger source
     // cost is O(new notifications), not O(landing-dir history)
     case "stream-notify" :: queueDir :: staging :: checkpoint :: colIdx :: n :: seed :: rest =>
@@ -376,6 +385,7 @@ object GraftCli {
            |  validate <stagingDir>
            |  stream <landingDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
            |  notify-publish <queueDir> <blobPath> [blobPath ...]
+           |  notify-publish-spool <queueDir> <blobPath> [blobPath ...]   (object-store-safe; consumer needs claimMode=spool)
            |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
            |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]
            |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]

@@ -68,16 +68,78 @@ object NotifySource {
 
 /** Producer side: publish landed-blob notifications into the queue dir.
   *
-  * FILESYSTEM REQUIREMENT: the queue dir must live on a filesystem whose
-  * `rename` is atomic and REFUSES an existing destination (returns false,
-  * first writer wins) — HDFS, ABFS, and Hadoop's checksummed
-  * LocalFileSystem all do. Object stores without atomic rename (S3A
-  * emulates rename as copy+delete and overwrites) break the multi-producer
-  * claim protocol: two producers racing for the same seq would both
-  * "succeed" and one notification would be silently lost. On such stores,
-  * front the queue with a single publisher or an HDFS/ABFS staging path.
+  * Two claim protocols:
+  *
+  * `publish` (rename mode) — claims seq s by atomic no-overwrite rename.
+  * FILESYSTEM REQUIREMENT: rename must REFUSE an existing destination
+  * (returns false, first writer wins) — HDFS, ABFS, and Hadoop's
+  * checksummed LocalFileSystem all do. Object stores without atomic
+  * rename (S3A emulates rename as copy+delete and OVERWRITES) break this:
+  * two producers racing for the same seq would both "succeed" and one
+  * notification would be silently lost.
+  *
+  * `publishSpool` (spool mode, object-store safe) — producers never
+  * contend: each writes a UNIQUELY-named entry under `queueDir/spool/`
+  * (tmp + rename to a fresh name = atomic PUT/copy visibility on every
+  * store; no destination ever pre-exists, so overwrite-allowed rename is
+  * harmless). The CONSUMER's driver — exactly one per stream, so a
+  * natural single sequencer — assigns sequence numbers at trigger time
+  * (`option("claimMode", "spool")`): it lists ONLY the pending spool
+  * entries (O(backlog), not O(history) — sequenced entries leave the
+  * spool), renames each to the next `n-<seq>` (sole sequencer => the
+  * destination never exists), and the probe-by-seq consumption path runs
+  * unchanged. A sequencer crash mid-assignment re-sequences the remaining
+  * spool entries on the next trigger — rename moved the assigned ones
+  * out, so nothing is lost or doubled.
   */
 object NotifyQueue {
+  private[streaming] val SpoolDir = "spool"
+
+  /** Object-store-safe publish: a uniquely-named spool entry, sequenced
+    * later by the consuming stream's driver (claimMode=spool). Returns the
+    * spool entry name.
+    */
+  def publishSpool(spark: SparkSession, queueDir: String,
+                   dataPaths: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val spool = new Path(new Path(queueDir), SpoolDir)
+    val fs = spool.getFileSystem(conf)
+    fs.mkdirs(spool)
+    val name = s"u-${java.util.UUID.randomUUID()}"
+    // tmp + rename-to-fresh-name: readers (the sequencer's list) never see
+    // a partially-written entry, and no destination ever pre-exists so
+    // this is safe on overwrite-allowed renames too
+    val tmp = new Path(spool, s"_tmp-$name")
+    val out = fs.create(tmp, false)
+    try out.write((dataPaths.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(spool, name)))
+      throw new java.io.IOException(s"notify spool publish failed: $name")
+    name
+  }
+
+  /** Sequencer step (single caller per queue — the consuming stream's
+    * driver): assign pending spool entries the next sequence numbers.
+    * `tail` = highest already-assigned seq (-1 if none); returns the new
+    * tail. Deterministic order: (modification time, name).
+    */
+  private[streaming] def sequenceSpool(fs: org.apache.hadoop.fs.FileSystem,
+                                       dir: Path, tail: Long): Long = {
+    val spool = new Path(dir, SpoolDir)
+    if (!fs.exists(spool)) return tail // one probe on queues never spooled to
+    val pending = fs.listStatus(spool)
+      .filter(_.getPath.getName.startsWith("u-"))
+      .sortBy(f => (f.getModificationTime, f.getPath.getName))
+    var seq = tail
+    pending.foreach { f =>
+      val dest = new Path(dir, NotifySource.seqFile(seq + 1))
+      if (!fs.rename(f.getPath, dest))
+        throw new java.io.IOException(
+          s"notify sequencer failed: ${f.getPath} -> $dest")
+      seq += 1
+    }
+    seq
+  }
   /** Atomically append one notification naming `dataPaths`; returns the
     * claimed sequence number. `seqHint` lets a long-lived producer skip
     * the probe-from-zero (pass last claimed + 1).
@@ -136,7 +198,11 @@ private[streaming] class NotifyTable(rawProps: Map[String, String])
             // emit=lines (default): the referenced blobs' text lines;
             // emit=paths: one row per blob PATH — for ETLs that consume
             // whole files (Split needs byte offsets from its own read)
-            emitPaths = props.getOrElse("emit", "lines") == "paths")
+            emitPaths = props.getOrElse("emit", "lines") == "paths",
+            // claimMode=spool: this stream's driver is the single
+            // sequencer for producer spool entries (object-store-safe
+            // publish path — see NotifyQueue)
+            sequenceSpool = props.getOrElse("claimmode", "rename") == "spool")
       }
     }
 }
@@ -148,7 +214,8 @@ private[graft] case class NotifyOffset(seq: Long) extends Offset {
 
 private[graft] class NotifyMicroBatchStream(queueDir: String,
                                             maxPerTrigger: Int,
-                                            emitPaths: Boolean = false)
+                                            emitPaths: Boolean = false,
+                                            sequenceSpool: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val conf = SparkSession.active.sparkContext.hadoopConfiguration
   private val dir = new Path(queueDir)
@@ -168,8 +235,19 @@ private[graft] class NotifyMicroBatchStream(queueDir: String,
   // notifications arriving mid-drain must not extend the run.
   @volatile private var availableNowTarget: Long = Long.MaxValue
 
-  override def prepareForTriggerAvailableNow(): Unit = {
+  // In spool mode the sequencer must find the TRUE queue tail (assigned
+  // but possibly unconsumed seqs past `known`) before appending — probe
+  // forward from the resume point, O(unconsumed backlog).
+  private def queueTail(): Long = {
     var seq = known
+    while (fs.exists(new Path(dir, NotifySource.seqFile(seq + 1)))) seq += 1
+    seq
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    var seq =
+      if (sequenceSpool) NotifyQueue.sequenceSpool(fs, dir, queueTail())
+      else known
     while (fs.exists(new Path(dir, NotifySource.seqFile(seq + 1)))) seq += 1
     availableNowTarget = seq
   }
@@ -189,6 +267,9 @@ private[graft] class NotifyMicroBatchStream(queueDir: String,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(maxPerTrigger)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // spool-mode sequencing runs before the consumption probe so entries
+    // published since the last trigger become consumable seq files now
+    if (sequenceSpool) NotifyQueue.sequenceSpool(fs, dir, queueTail())
     val cap = limit match {
       case _: ReadAllAvailable => Int.MaxValue
       case m: ReadMaxFiles => m.maxFiles()

@@ -95,11 +95,13 @@ object StreamingPrePartition {
   def startNotified(spark: SparkSession, queueDir: String, stagingDir: String,
                     checkpointDir: String, cfg: PartitionConfig,
                     trigger: Trigger = Trigger.ProcessingTime("1 minute"),
-                    maxFilesPerTrigger: Int = 16): StreamingQuery = {
+                    maxFilesPerTrigger: Int = 16,
+                    claimMode: String = "rename"): StreamingQuery = {
     val lines = spark.readStream
       .format("graft-notify")
       .option("queueDir", queueDir)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("claimMode", claimMode)
       .load()
     lines.writeStream
       .trigger(trigger)

@@ -210,6 +210,77 @@ class NotifySourceSpec extends GraftSparkSpec {
     assert(sizes.forall(_ <= 3), s"a batch exceeded maxFilesPerTrigger=3: $sizes")
   }
 
+  test("spool claim mode: concurrent publishers on an overwrite-allowed (S3-like) FS lose nothing") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.owfs.impl", classOf[OverwriteAllowedFs].getName)
+    val queue = s"owfs:$tmp/queue-spool"
+    val fs = new org.apache.hadoop.fs.Path(queue).getFileSystem(conf)
+
+    // sanity: the hazard this mode exists for — on this FS, rename onto an
+    // EXISTING destination silently replaces it (what S3A's copy+delete
+    // does), so the default rename-claim protocol would lose a racing
+    // producer's notification without any error
+    val hazardDir = new org.apache.hadoop.fs.Path(s"owfs:$tmp/hazard")
+    fs.mkdirs(hazardDir)
+    def put(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val o = fs.create(p, false); o.write(s.getBytes("UTF-8")); o.close()
+    }
+    val pA = new org.apache.hadoop.fs.Path(hazardDir, "a")
+    val pB = new org.apache.hadoop.fs.Path(hazardDir, "b")
+    put(pA, "first"); put(pB, "second")
+    assert(fs.rename(pB, pA), "S3-like rename must 'succeed' onto an existing dest")
+    val in = fs.open(pA)
+    val buf = new Array[Byte](64)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, "UTF-8") == "second", "silent overwrite simulated")
+
+    // 16 blobs published from 4 concurrent producer threads via the spool
+    // protocol: unique names, zero rename contention
+    val blobs = s"$tmp/blobs-spool"
+    new java.io.File(blobs).mkdirs()
+    val expected = (0 until 16).map(i => s"spool-v$i")
+    (0 until 16).foreach(i => writeBlob(s"$blobs/sb$i.txt", Seq(s"spool-v$i")))
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 4).foreach { j =>
+        NotifyQueue.publishSpool(spark, queue, Seq(s"$blobs/sb${t * 4 + j}.txt"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-notify")
+        .option("queueDir", queue).option("claimMode", "spool").load()
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt-spool")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen.add(r.getString(0)))
+        }
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    }
+    drain()
+    assert(seen.iterator().asScala.toSeq.sorted == expected.sorted,
+      s"every concurrently-published notification must arrive exactly once, " +
+        s"got ${seen.size()} rows")
+    // spool drained: sequenced entries left the spool dir (listing cost is
+    // O(backlog), not O(history))
+    val spoolLeft = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$queue/spool"))
+      .count(_.getPath.getName.startsWith("u-"))
+    assert(spoolLeft == 0, s"sequenced entries must leave the spool, $spoolLeft remain")
+
+    // a second wave while the stream is down; restart sequences + resumes
+    // exactly after the checkpointed offset — no replays, no losses
+    writeBlob(s"$blobs/late.txt", Seq("spool-late"))
+    NotifyQueue.publishSpool(spark, queue, Seq(s"$blobs/late.txt"))
+    seen.clear()
+    drain()
+    assert(seen.iterator().asScala.toSeq == Seq("spool-late"),
+      s"restart must resume after the sequenced wave, got ${seen.iterator().asScala.toSeq}")
+  }
+
   test("notified prepartition pipeline: end-to-end with idempotent staging") {
     val queue = s"$tmp/queue-pp"
     val staging = s"$tmp/staging-pp"
