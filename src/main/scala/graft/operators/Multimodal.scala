@@ -6,16 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * IMAGE decode is REAL (`decodeImages`: javax.imageio PNG round-trip,
-  * oracle-gated as x16). AUDIO decode is REAL (`decodeAudio`:
-  * javax.sound.sampled RIFF/WAV parse — PCM needs no external codec;
-  * oracle-gated as x35). VIDEO decode remains a clearly-marked STUB
-  * (video codecs aren't in the JDK or this container): `fakeDecode`
-  * derives deterministic pseudo-features from the bytes. Everything around
-  * the stubs — schema, typed Dataset batching through mapPartitions (the
-  * JVM analogue of mapInPandas: one iterator per partition, vectorizable
-  * batch shape), partitioning by modality, explode of sampled frames — is
-  * real Spark plumbing and is tested.
+  * ALL THREE modalities decode REAL containers with JDK-only code:
+  * images via javax.imageio (PNG, x16), audio via javax.sound.sampled
+  * (RIFF/WAV PCM, x35), video via a RIFF/AVI walker over uncompressed
+  * 24-bit DIB frames (x39 — the JDK has no video codec, but an AVI
+  * container with BI_RGB frames needs none: the parser validates the
+  * RIFF structure, stream headers, and BITMAPINFOHEADER, and a
+  * truncated/corrupted container fails loudly). The mixed-modality
+  * feature pass (`extractFeatures`, x6) dispatches each row to its real
+  * decoder — no pseudo-decode stub remains.
+  *
+  * Each decode is a typed Dataset pass through mapPartitions (the JVM
+  * analogue of mapInPandas: one iterator per partition, vectorizable
+  * batch shape); decoder/reader objects are hoisted per partition.
   *
   * Scale notes: binary payloads ride the scan; feature extraction is a
   * narrow per-partition pass (no shuffle); `repartition(modality)` only
@@ -23,56 +26,82 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  case class MediaRow(doc_id: Long, modality: String, content: Array[Byte],
-                      width: Int, height: Int)
-  case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
-                           mean_byte: Double, entropy_bucket: Int)
+  case class MediaRow(doc_id: Long, modality: String, content: Array[Byte])
+  case class MediaFeatures(doc_id: Long, modality: String, n_units: Int,
+                           feature: Double)
 
-  /** Synthesize a deterministic binary "media" corpus from the documents
-    * table — stands in for real blob ingestion; content = utf-8 bytes of a
-    * sha2 chain (deterministic, incompressible, codec-free).
+  /** Synthesize a deterministic REAL-container media corpus from the
+    * documents table: doc_id % 3 picks the modality, and the payload is a
+    * genuine PNG / RIFF-WAV / RIFF-AVI whose decoded features are exact
+    * functions of doc_id (see each synthesizer) — so oracles can gate the
+    * real decode paths without decoding containers themselves.
     */
-  def synthesize(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      encode(concat(sha2(col("text"), 256), sha2(concat(col("text"), lit("2")), 256)),
-        "UTF-8").as("content"),
-      (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
-      (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"))
-
-  /** STUB decode: deterministic pseudo-features from raw bytes. A real
-    * deployment swaps the body for an actual codec call; the mapPartitions
-    * batching, schema, and partitioning contract stay identical.
-    */
-  private def fakeDecode(r: MediaRow): MediaFeatures = {
-    val bytes = r.content
-    var sum = 0L
-    var acc = 0
-    var i = 0
-    while (i < bytes.length) {
-      sum += (bytes(i) & 0xff)
-      acc = (acc * 31 + (bytes(i) & 0xff)) & 0x7fffffff
-      i += 1
-    }
-    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-    // round-half-UP to 2dp (floor(x+0.5)), not rint: rint is half-to-even,
-    // which SQL engines don't expose — half-up keeps the stub's output
-    // expressible in the DuckDB oracle bit-for-bit
-    MediaFeatures(r.doc_id, r.modality, bytes.length,
-      math.floor(mean * 100 + 0.5) / 100, acc % 16)
+  def synthesizeMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        lazy val writer = pngWriter()
+        it.map { id =>
+          (id % 3) match {
+            case 0 => MediaRow(id, "image", pngOf(writer, id))
+            case 1 => MediaRow(id, "audio", wavOf(id))
+            case _ => MediaRow(id, "video", aviOf(id))
+          }
+        }
+      }.toDF()
   }
 
-  /** Feature extraction: typed mapPartitions pass (iterator-in/iterator-out,
-    * the Scala analogue of mapInPandas batch shape).
+  /** Mixed-modality feature extraction — every row through its REAL
+    * decoder in one narrow pass: images decode to (pixels, mean_luma),
+    * audio to (samples, RMS), video to (frames, mean frame intensity).
+    * `n_units` is the modality's natural count; `feature` its 4dp
+    * half-up-rounded summary statistic (the oracle-parity discipline).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val ds: Dataset[MediaRow] = media
-      .select("doc_id", "modality", "content", "width", "height").as[MediaRow]
-    ds.mapPartitions(_.map(fakeDecode)).toDF()
-      .orderBy("doc_id")
+      .select("doc_id", "modality", "content").as[MediaRow]
+    ds.mapPartitions { it =>
+      lazy val reader = pngReader()
+      it.map { r =>
+        r.modality match {
+          case "image" =>
+            val (w, h, luma) = imageLuma(reader, r.content, r.doc_id)
+            MediaFeatures(r.doc_id, "image", w * h, luma)
+          case "audio" =>
+            val (_, n, rms) = audioRms(r.content, r.doc_id)
+            MediaFeatures(r.doc_id, "audio", n, rms)
+          case "video" =>
+            val (w, h, n, frames) = parseAvi(r.content)
+            val rowBytes = (3 * w + 3) & ~3
+            val np = w.toLong * h
+            // per-frame mean intensity (r+g+b)/3 as double, summed in
+            // frame order, then the mean over frames — mirrored term for
+            // term by the oracle's list_reduce fold
+            var acc = 0.0
+            frames.foreach { f =>
+              var s = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val o = y * rowBytes + 3 * x
+                  s += (f(o) & 0xff) + (f(o + 1) & 0xff) + (f(o + 2) & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              acc += s.toDouble / (3.0 * np)
+            }
+            MediaFeatures(r.doc_id, "video", n,
+              math.floor(acc / n * 10000 + 0.5) / 10000)
+          case other =>
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: unknown modality '$other'")
+        }
+      }
+    }.toDF().orderBy("doc_id")
   }
 
   case class ImageRow(doc_id: Long, content: Array[Byte])
@@ -133,21 +162,54 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
       val writer = pngWriter()
-      it.map { id =>
-        val w = (id % 8 + 2).toInt
-        val h = (id % 5 + 2).toInt
-        val rgb = ((id % 256) << 16 | ((id * 7) % 256) << 8 | ((id * 13) % 256)).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
-        ImageRow(id, writePng(writer, img))
-      }
+      it.map(id => ImageRow(id, pngOf(writer, id)))
     }.toDF()
+  }
+
+  /** Solid-color PNG for doc `id`: w = id%8+2, h = id%5+2,
+    * rgb = (id, 7·id, 13·id) mod 256 — every decoded feature is doc_id
+    * arithmetic.
+    */
+  private def pngOf(writer: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    val w = (id % 8 + 2).toInt
+    val h = (id % 5 + 2).toInt
+    val rgb = ((id % 256) << 16 | ((id * 7) % 256) << 8 | ((id * 13) % 256)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    writePng(writer, img)
+  }
+
+  /** Shared image-decode kernel: (width, height, mean_luma 4dp half-up).
+    * Luma accumulates in integer milli-units, so the mean is ONE
+    * correctly-rounded double division — bit-reproducible vs an oracle
+    * that predicts it arithmetically.
+    */
+  private def imageLuma(reader: javax.imageio.ImageReader, bytes: Array[Byte],
+                        docId: Long): (Int, Int, Double) = {
+    val img = readPng(reader, bytes)
+    require(img != null, s"doc $docId: undecodable image payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    var lumaMilli = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        lumaMilli += 299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (w, h, math.floor(lumaMilli.toDouble / (n * 1000L) * 10000 + 0.5) / 10000)
   }
 
   /** REAL image decode (VERDICT r3 #6 — no longer a stub for the image
@@ -167,25 +229,8 @@ object Multimodal {
     media.select("doc_id", "content").as[ImageRow].mapPartitions { it =>
       val reader = pngReader()
       it.map { r =>
-        val img = readPng(reader, r.content)
-        require(img != null, s"doc ${r.doc_id}: undecodable image payload")
-        val w = img.getWidth
-        val h = img.getHeight
-        var lumaMilli = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            lumaMilli += 299L * ((p >> 16) & 0xff) +
-              587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        ImageFeatures(r.doc_id, w, h,
-          math.floor(lumaMilli.toDouble / (n * 1000L) * 10000 + 0.5) / 10000)
+        val (w, h, luma) = imageLuma(reader, r.content, r.doc_id)
+        ImageFeatures(r.doc_id, w, h, luma)
       }
     }.toDF().orderBy("doc_id")
   }
@@ -221,31 +266,214 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Frame sampling for video rows: split the binary into fixed-size
-    * pseudo-frames, explode with frame index — the shape of a real
-    * frame-sampler (1 row in, k frames out).
+  // ---- video modality: REAL container decode. The JDK ships no video
+  // codec, but a RIFF/AVI container holding uncompressed 24-bit DIB
+  // frames (BI_RGB) needs none — the writer emits a structurally complete
+  // AVI (hdrl with avih + strl/strh/strf, movi with 00db chunks, idx1),
+  // and the reader is a RIFF chunk walker that validates the container
+  // (fourccs, header agreement, frame count) instead of splitting bytes
+  // at fixed offsets. VLC/ffprobe-parseable output; JDK-only input path.
+
+  case class VideoRow(doc_id: Long, content: Array[Byte])
+  case class VideoFrameFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
+                                width: Int, height: Int,
+                                mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic AVI per doc: n_frames = id%6+2 solid frames of
+    * w = id%5+2, h = id%4+2, frame f colored
+    * (r,g,b) = ((id+f), (7id+13f), (13id+29f)) mod 256 — every decoded
+    * feature is doc_id arithmetic.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 16,
-                   everyNth: Int = 4): DataFrame =
-    media.filter(col("modality") === "video")
-      .withColumn("n_frames", floor(length(col("content")) / frameBytes).cast("int"))
-      // guard: sequence(0, -1) yields [0, -1] (negative default step) — a
-      // sub-frame-size payload must produce zero frames, not a phantom one
-      .filter(col("n_frames") > 0)
-      .select(col("doc_id"), posexplode(
-        filter(
-          transform(sequence(lit(0), col("n_frames") - 1),
-            i => when(pmod(i, lit(everyNth)) === 0,
-              substring(col("content"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))
-              .otherwise(null)),
-          x => x.isNotNull)))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumnRenamed("col", "frame_bytes")
-      // expose the sampled frame as hex — a content-complete witness (the
-      // prior crc32 checksum proved less and had no DuckDB equivalent)
-      .withColumn("frame_hex", lower(hex(col("frame_bytes"))))
-      .select("doc_id", "frame_idx", "frame_hex")
+  private def aviOf(id: Long): Array[Byte] =
+    aviBytes((id % 5 + 2).toInt, (id % 4 + 2).toInt,
+      Array.tabulate((id % 6 + 2).toInt) { f =>
+        (((id + f) % 256).toInt, ((7 * id + 13 * f) % 256).toInt,
+          ((13 * id + 29 * f) % 256).toInt)
+      })
+
+  /** RIFF/AVI writer: 24-bit BI_RGB DIB frames (rows bottom-up, 4-byte
+    * padded), one solid color per frame. Layout:
+    * RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    *            LIST('movi' 00db...) idx1).
+    */
+  private[operators] def aviBytes(w: Int, h: Int,
+                                  colors: Array[(Int, Int, Int)]): Array[Byte] = {
+    val n = colors.length
+    val rowBytes = (3 * w + 3) & ~3
+    val frameBytes = rowBytes * h
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + n * (8 + frameBytes)
+    val idx1Size = 16 * n
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    cc("RIFF"); bb.putInt(riffSize); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(40000) // 25 fps
+      .putInt(frameBytes * 25).putInt(0).putInt(0x10) // AVIF_HASINDEX
+      .putInt(n).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    cc("LIST"); bb.putInt(strlSize); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("DIB ")
+    bb.putInt(0).putShort(0).putShort(0) // flags, priority, language
+      .putInt(0) // initial frames
+      .putInt(1).putInt(25) // scale, rate
+      .putInt(0).putInt(n) // start, length (frames)
+      .putInt(frameBytes).putInt(-1).putInt(0) // bufsize, quality, samplesize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); bb.putInt(40) // BITMAPINFOHEADER
+    bb.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0) // BI_RGB: uncompressed
+      .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(moviSize); cc("movi")
+    colors.foreach { case (r, g, b) =>
+      cc("00db"); bb.putInt(frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bb.put(b.toByte); bb.put(g.toByte); bb.put(r.toByte); x += 1
+        }
+        var p = 3 * w
+        while (p < rowBytes) { bb.put(0.toByte); p += 1 }
+        y += 1
+      }
+    }
+    cc("idx1"); bb.putInt(idx1Size)
+    var off = 4 // chunk offsets relative to the 'movi' fourcc
+    colors.indices.foreach { _ =>
+      cc("00db"); bb.putInt(0x10).putInt(off).putInt(frameBytes)
+      off += 8 + frameBytes
+    }
+    bb.array()
+  }
+
+  /** RIFF/AVI reader: walks the chunk tree, validates the container
+    * (RIFF/AVI fourccs, avih↔strf dimension agreement, vids stream,
+    * 24-bit BI_RGB, header frame count = movi chunk count) and returns
+    * (width, height, n_frames, frames as raw DIB byte arrays). A
+    * truncated or corrupted container fails loudly — this is a parse,
+    * not a byte split.
+    */
+  private[operators] def parseAvi(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(cc() == "RIFF", "not a RIFF container")
+    bb.getInt()
+    require(cc() == "AVI ", "not an AVI")
+    var width = -1
+    var height = -1
+    var total = -1
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    while (bb.remaining() >= 8) {
+      val id = cc()
+      val size = bb.getInt()
+      id match {
+        case "LIST" =>
+          cc() match {
+            case "hdrl" | "strl" | "movi" => () // descend: children follow
+            case _ => bb.position(bb.position() + size - 4 + (size & 1))
+          }
+        case "avih" =>
+          val p0 = bb.position()
+          bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
+          total = bb.getInt()
+          bb.getInt(); bb.getInt(); bb.getInt()
+          width = bb.getInt(); height = bb.getInt()
+          bb.position(p0 + size + (size & 1))
+        case "strh" =>
+          val p0 = bb.position()
+          require(cc() == "vids", "first stream must be video")
+          bb.position(p0 + size + (size & 1))
+        case "strf" =>
+          val p0 = bb.position()
+          require(bb.getInt() == 40, "BITMAPINFOHEADER expected")
+          val bw = bb.getInt(); val bh = bb.getInt()
+          bb.getShort()
+          val bpp = bb.getShort()
+          val comp = bb.getInt()
+          require(bw == width && bh == height,
+            s"strf dims ($bw x $bh) disagree with avih ($width x $height)")
+          require(bpp == 24 && comp == 0, "expected uncompressed 24-bit DIB")
+          bb.position(p0 + size + (size & 1))
+        case "00db" =>
+          val f = new Array[Byte](size)
+          bb.get(f)
+          if ((size & 1) == 1) bb.get()
+          frames += f
+        case _ => // idx1 and anything else: skip (even-padded)
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(total == frames.length,
+      s"header frame count $total != ${frames.length} movi chunks")
+    (width, height, total, frames.toArray)
+  }
+
+  def synthesizeVideo(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => VideoRow(id, aviOf(id)))
+      .toDF()
+  }
+
+  /** REAL video decode: parse the AVI container, emit one row per frame
+    * with exact per-channel means (solid frames make them integers, so
+    * the oracle predicts them from doc_id arithmetic). Narrow
+    * mapPartitions-backed flatMap; no shuffle; throughput scales with
+    * cores.
+    */
+  def decodeVideo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "content").as[VideoRow].flatMap { r =>
+      val (w, h, n, frames) = parseAvi(r.content)
+      val rowBytes = (3 * w + 3) & ~3
+      val np = w.toLong * h
+      frames.iterator.zipWithIndex.map { case (f, idx) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = y * rowBytes + 3 * x
+            sb += f(o) & 0xff; sg += f(o + 1) & 0xff; sr += f(o + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        VideoFrameFeatures(r.doc_id, idx, n, w, h,
+          sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Frame sampling over REAL containers: parse the AVI, keep every Nth
+    * frame, expose the raw DIB bytes as a hex witness (1 row in, k frames
+    * out — the shape of a real frame-sampler, now backed by a container
+    * parse instead of a fixed-size byte split).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   everyNth: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "content").as[VideoRow].flatMap { r =>
+      val (_, _, _, frames) = parseAvi(r.content)
+      frames.iterator.zipWithIndex.collect {
+        case (f, idx) if idx % everyNth == 0 =>
+          (r.doc_id, idx, f.map(b => f"${b & 0xff}%02x").mkString)
+      }
+    }.toDF("doc_id", "frame_idx", "frame_hex")
       .orderBy("doc_id", "frame_idx")
+  }
 
   // ---- audio modality: REAL decode (javax.sound.sampled — WAV/PCM needs
   // no external codec, closing VERDICT r3's "audio needs codecs" gap the
@@ -266,12 +494,17 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
-      .map { id =>
-        val n = (id % 50 + 20).toInt
-        val samples = Array.tabulate(n)(j =>
-          ((id * 31 + j * 17) % 2001 - 1000).toShort)
-        AudioRow(id, wavBytes(8000, samples))
-      }.toDF()
+      .map(id => AudioRow(id, wavOf(id)))
+      .toDF()
+  }
+
+  /** Deterministic WAV for doc `id`: (id % 50 + 20) samples of
+    * s[j] = (id*31 + j*17) % 2001 - 1000 at 8 kHz.
+    */
+  private def wavOf(id: Long): Array[Byte] = {
+    val n = (id % 50 + 20).toInt
+    wavBytes(8000, Array.tabulate(n)(j =>
+      ((id * 31 + j * 17) % 2001 - 1000).toShort))
   }
 
   /** 44-byte RIFF header + little-endian 16-bit PCM frames. */
@@ -297,25 +530,34 @@ object Multimodal {
     * decodeImages' (width, height, mean_luma). RMS sums exact integer
     * squares, so the rounded double is engine-independent.
     */
+  /** Shared audio-decode kernel: AudioSystem container parse →
+    * (sample_rate, n_samples, RMS 4dp half-up). RMS sums exact integer
+    * squares, so the rounded double is engine-independent.
+    */
+  private def audioRms(content: Array[Byte], docId: Long): (Int, Int, Double) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"doc $docId: unexpected format $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var sumSq = 0L
+    var j = 0
+    while (j < n) {
+      val s = ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff)).toShort.toLong
+      sumSq += s * s
+      j += 1
+    }
+    (fmt.getSampleRate.toInt, n,
+      math.floor(math.sqrt(sumSq.toDouble / n) * 10000 + 0.5) / 10000)
+  }
+
   def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "content").as[AudioRow].map { r =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.content))
-      val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-        s"doc ${r.doc_id}: unexpected format $fmt")
-      val bytes = ais.readAllBytes()
-      val n = bytes.length / 2
-      var sumSq = 0L
-      var j = 0
-      while (j < n) {
-        val s = ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff)).toShort.toLong
-        sumSq += s * s
-        j += 1
-      }
-      AudioFeatures(r.doc_id, fmt.getSampleRate.toInt, n,
-        math.floor(math.sqrt(sumSq.toDouble / n) * 10000 + 0.5) / 10000)
+      val (rate, n, rms) = audioRms(r.content, r.doc_id)
+      AudioFeatures(r.doc_id, rate, n, rms)
     }.toDF().orderBy("doc_id")
   }
 }

@@ -192,47 +192,91 @@ object ExtensionQueries {
       },
       Some(bruteTopKSql)),
 
-    // Multimodal: synthesize binary corpus -> typed mapPartitions feature
-    // extraction (decode STUBBED, plumbing real). The synthesized content
-    // is sha2 hex, so the stub features are fully SQL-expressible — the
-    // oracle re-derives them in DuckDB (sha256, byte-code folds) and gates
-    // the whole binary plumbing end to end.
+    // Multimodal mixed-corpus feature extraction, every modality through
+    // its REAL decoder (no pseudo-decode stub remains): doc_id%3 picks
+    // PNG / RIFF-WAV / RIFF-AVI payloads, one narrow pass dispatches each
+    // row to javax.imageio / javax.sound / the AVI parser, and the oracle
+    // predicts (n_units, feature) arithmetically per modality — mean luma
+    // for images (x16's formula), RMS for audio (x35's), mean frame
+    // intensity for video (x39's), all 4dp half-up.
     "x6_multimodal_features" -> QueryDef(
       (s, dir) => Multimodal.extractFeatures(
-        s, Multimodal.synthesize(t(s, dir, "documents"))),
+        s, Multimodal.synthesizeMedia(s, t(s, dir, "documents"))),
       Some(
-        """WITH m AS (
-          |  SELECT doc_id,
-          |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
-          |    sha256(text) || sha256(text || '2') AS content
-          |  FROM documents),
-          |c AS (
-          |  SELECT doc_id, modality, CAST(len(content) AS INT) AS n_bytes,
-          |    list_transform(range(1, len(content) + 1), i -> ord(content[i])) AS codes
-          |  FROM m)
-          |SELECT doc_id, modality, n_bytes,
-          |  floor((list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-          |    (a, b) -> a + b)::DOUBLE / n_bytes) * 100 + 0.5) / 100 AS mean_byte,
-          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-          |    (a, b) -> (a * 31 + b) & 2147483647) % 16 AS INT) AS entropy_bucket
-          |FROM c ORDER BY doc_id""".stripMargin)),
+        """SELECT doc_id,
+          |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+          |  CASE CAST(doc_id % 3 AS INT)
+          |    WHEN 0 THEN CAST((doc_id % 8 + 2) * (doc_id % 5 + 2) AS INT)
+          |    WHEN 1 THEN CAST(doc_id % 50 + 20 AS INT)
+          |    ELSE CAST(doc_id % 6 + 2 AS INT) END AS n_units,
+          |  CASE CAST(doc_id % 3 AS INT)
+          |    WHEN 0 THEN floor((299 * (doc_id % 256) + 587 * ((doc_id * 7) % 256)
+          |      + 114 * ((doc_id * 13) % 256))::DOUBLE / 1000 * 10000 + 0.5) / 10000
+          |    WHEN 1 THEN floor(sqrt(
+          |      list_reduce(list_prepend(0.0, list_transform(
+          |        range(0, CAST(doc_id % 50 + 20 AS INT)),
+          |        j -> ((doc_id * 31 + j * 17) % 2001 - 1000)
+          |           * ((doc_id * 31 + j * 17) % 2001 - 1000))),
+          |        (a, b) -> a + b)
+          |      / (doc_id % 50 + 20)) * 10000 + 0.5) / 10000
+          |    ELSE floor(
+          |      list_reduce(list_prepend(0.0, list_transform(
+          |        range(0, CAST(doc_id % 6 + 2 AS INT)),
+          |        f -> ((doc_id + f) % 256 + (7 * doc_id + 13 * f) % 256
+          |            + (13 * doc_id + 29 * f) % 256)::DOUBLE / 3)),
+          |        (a, b) -> a + b)
+          |      / (doc_id % 6 + 2) * 10000 + 0.5) / 10000 END AS feature
+          |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Multimodal frame sampling (1 row -> k frames explode); the sampled
-    // frame bytes surface as a hex witness, re-derivable in SQL from the
-    // deterministic synthesized content.
+    // Frame sampling over REAL AVI containers (1 row -> k frames): parse
+    // the container, keep every 2nd frame, surface the raw DIB frame
+    // bytes as hex. The oracle rebuilds the exact DIB layout (BGR pixels,
+    // rows padded to 4 bytes, solid color per frame) from doc_id
+    // arithmetic — so a parser that mis-walks chunks or mis-pads rows
+    // fails the hash.
     "x7_frame_sample" -> QueryDef(
       (s, dir) => Multimodal.sampleFrames(
-        Multimodal.synthesize(t(s, dir, "documents"))),
+        s, Multimodal.synthesizeMedia(s, t(s, dir, "documents"))
+          .filter(col("modality") === "video")),
       Some(
-        """WITH m AS (
-          |  SELECT doc_id, sha256(text) || sha256(text || '2') AS content
+        """WITH f AS (
+          |  SELECT doc_id, unnest(range(0, doc_id % 6 + 2)) AS frame
           |  FROM documents WHERE doc_id % 3 = 2),
-          |f AS (
-          |  SELECT doc_id, content, unnest(range(0, len(content) // 16)) AS i
-          |  FROM m WHERE len(content) // 16 > 0)
-          |SELECT doc_id, CAST(i // 4 AS INT) AS frame_idx,
-          |  lower(hex(substr(content, CAST(i * 16 + 1 AS INT), 16))) AS frame_hex
-          |FROM f WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
+          |v AS (
+          |  SELECT doc_id, CAST(frame AS INT) AS frame_idx,
+          |    CAST(doc_id % 5 + 2 AS INT) AS w, CAST(doc_id % 4 + 2 AS INT) AS h,
+          |    CAST((doc_id + frame) % 256 AS INT) AS r,
+          |    CAST((7 * doc_id + 13 * frame) % 256 AS INT) AS g,
+          |    CAST((13 * doc_id + 29 * frame) % 256 AS INT) AS b
+          |  FROM f WHERE frame % 2 = 0)
+          |SELECT doc_id, frame_idx,
+          |  repeat(
+          |    repeat(lpad(lower(hex(b)), 2, '0') || lpad(lower(hex(g)), 2, '0')
+          |      || lpad(lower(hex(r)), 2, '0'), w)
+          |    || repeat('00', ((3 * w + 3) // 4) * 4 - 3 * w), h) AS frame_hex
+          |FROM v ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // REAL video decode (the last modality off a stub): deterministic
+    // RIFF/AVI with uncompressed 24-bit DIB frames → chunk-walking parse
+    // → one row per frame with exact per-channel means. Solid frames make
+    // every feature doc_id arithmetic, so the oracle gates the container
+    // round-trip without an AVI parser of its own; a header/count/layout
+    // mis-parse fails the hash.
+    "x39_video_decode" -> QueryDef(
+      (s, dir) => Multimodal.decodeVideo(
+        s, Multimodal.synthesizeVideo(s, t(s, dir, "documents"))),
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id, unnest(range(0, doc_id % 6 + 2)) AS frame
+          |  FROM documents)
+          |SELECT doc_id, CAST(frame AS INT) AS frame_idx,
+          |  CAST(doc_id % 6 + 2 AS INT) AS n_frames,
+          |  CAST(doc_id % 5 + 2 AS INT) AS width,
+          |  CAST(doc_id % 4 + 2 AS INT) AS height,
+          |  CAST((doc_id + frame) % 256 AS DOUBLE) AS mean_r,
+          |  CAST((7 * doc_id + 13 * frame) % 256 AS DOUBLE) AS mean_g,
+          |  CAST((13 * doc_id + 29 * frame) % 256 AS DOUBLE) AS mean_b
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Near-dup clusters: connected components over the MinHash+LSH pairs
     // (pair list -> transitive clusters -> per-cluster size).
