@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the native as-of join physical strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
+    // composed union+window as-of idiom -> AsofJoinPlan, for free
+    ext.injectOptimizerRule(_ => graft.plans.AsofRewrite)
     ext.injectFunction((FunctionIdentifier("csv_column_at"),
       info("csv_column_at", "_FUNC_(line, idx) - raw CSV field slice (reference dialect)"),
       (exprs: Seq[Expression]) => CsvColumnAt(exprs(0), exprs(1))))

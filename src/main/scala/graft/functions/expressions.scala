@@ -170,6 +170,9 @@ object GraftFunctions {
     * get the same codegen'd operators the DataFrame API wraps.
     */
   def register(spark: SparkSession): Unit = {
+    // the native as-of operator surface rides along: physical strategy +
+    // the composed-idiom optimizer rewrite
+    graft.plans.AsofJoin.register(spark)
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "csv_column_at", exprs => CsvColumnAt(exprs(0), exprs(1)), "built-in")

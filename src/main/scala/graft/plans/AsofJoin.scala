@@ -33,18 +33,28 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, 
   * integral-backed (timestamp/date/int/long) so the hot loop compares
   * primitives.
   *
-  * Null semantics are SQL three-valued comparison (Polars `join_asof`
-  * behavior): a left row whose key or time is NULL never matches and is
-  * emitted null-extended; right rows with a NULL key or time are
-  * skipped. (DuckDB's raw ASOF instead treats a NULL time as +infinity —
-  * a NULLS LAST sort artifact — so the x38 gate's oracle encodes the
-  * three-valued contract explicitly around the ASOF join.)
+  * Null semantics (default, `nullsAsValues = false`) are SQL three-valued
+  * comparison (Polars `join_asof` behavior): a left row whose key or time
+  * is NULL never matches and is emitted null-extended; right rows with a
+  * NULL key or time are skipped. (DuckDB's raw ASOF instead treats a NULL
+  * time as +infinity — a NULLS LAST sort artifact — so the x38 gate's
+  * oracle encodes the three-valued contract explicitly around the ASOF
+  * join.)
+  *
+  * `nullsAsValues = true` instead treats NULL through the children's
+  * nulls-FIRST sort order: a NULL key is an ordinary (smallest) key
+  * value and a NULL time is -infinity. That is exactly the semantics of
+  * the composed union+window form (`partitionBy` groups NULL keys
+  * together; `orderBy ... ASC` sorts NULL times first), which is why the
+  * [[AsofRewrite]] optimizer rule — a rewrite that must preserve
+  * semantics on ALL inputs, nulls included — plans into this mode.
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryNode {
+    rightValues: Seq[Attribute],
+    nullsAsValues: Boolean = false) extends BinaryNode {
   AsofJoin.requireKeyType(leftKey, rightKey)
   AsofJoin.requireIntegral(leftTime, rightTime)
   override def output: Seq[Attribute] =
@@ -56,8 +66,8 @@ case class AsofJoinPlan(
 /** Planner rule: AsofJoinPlan → AsofJoinExec. */
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, lt, rk, rt, rv) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rv) :: Nil
+    case AsofJoinPlan(l, r, lk, lt, rk, rt, rv, nav) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rv, nav) :: Nil
     case _ => Nil
   }
 }
@@ -66,7 +76,8 @@ case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryExecNode {
+    rightValues: Seq[Attribute],
+    nullsAsValues: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -93,6 +104,7 @@ case class AsofJoinExec(
     val outSchema = output
     val leftOut = left.output
     val keyType = leftKey.dataType
+    val nav = nullsAsValues
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val valueProj = UnsafeProjection.create(rvSchema, rOut)
       // bind against NULLABLE-marked right values: binding against the
@@ -102,51 +114,63 @@ case class AsofJoinExec(
         leftOut ++ rvSchema.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rvSchema.length)
       val joined = new JoinedRow
-      // interpreted ordering = the same ordering the sort exchange applied,
+      // interpreted ordering = the same ordering the sort exchange
+      // applied, extended nulls-first to agree with SortOrder Ascending —
       // so the merge's key comparisons agree with the children's sort
-      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
-      def longOf(e: Expression, row: InternalRow): Long =
-        e.eval(row) match { case i: Int => i.toLong; case l: Long => l }
+      val baseOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val keyOrd: (Any, Any) => Int = (a, b) =>
+        if (a == null) { if (b == null) 0 else -1 }
+        else if (b == null) 1
+        else baseOrd.compare(a, b)
+      // nullsAsValues: NULL time = -infinity (nulls-first sort position)
+      val timeOf: Any => Long = {
+        case null => Long.MinValue
+        case i: Int => i.toLong
+        case x: Long => x
+      }
       new Iterator[InternalRow] {
-        // right rows with a NULL key or time can never match — skip them.
-        // (They sort first under the Ascending nulls-first child ordering,
-        // so skipping preserves the merge invariant.)
+        // three-valued mode: right rows with a NULL key or time can never
+        // match — skip them. (They sort first under the Ascending
+        // nulls-first child ordering, so skipping preserves the merge
+        // invariant.) nullsAsValues mode: they are ordinary rows.
         private def advanceRight(): InternalRow = {
           while (rIter.hasNext) {
             val r = rIter.next()
-            if (rk.eval(r) != null && rt.eval(r) != null) return r
+            if (nav || (rk.eval(r) != null && rt.eval(r) != null)) return r
           }
           null
         }
         private var rNext: InternalRow = advanceRight()
         private var candidate: InternalRow = null // copied; latest match
         private var candidateKey: Any = null      // copied (UTF8String reuse)
+        private var haveCandidate = false
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           val key = lk.eval(l)
           val timeBoxed = lt.eval(l)
-          if (key == null || timeBoxed == null) {
-            // DuckDB ASOF LEFT JOIN: a NULL key/time comparison is never
-            // true — the left row is unmatched, emitted null-extended.
-            // No right advance: null keys sort before all non-null keys.
+          if (!nav && (key == null || timeBoxed == null)) {
+            // three-valued: a NULL key/time comparison is never true — the
+            // left row is unmatched, emitted null-extended. No right
+            // advance: null keys sort before all non-null keys.
             return resultProj(joined(l, nullRight))
           }
-          val time = timeBoxed match { case i: Int => i.toLong; case x: Long => x }
+          val time = timeOf(timeBoxed)
           // advance the right side through every row at-or-before (key, time)
           while (rNext != null && {
-            val c = keyOrd.compare(rk.eval(rNext), key)
-            c < 0 || (c == 0 && longOf(rt, rNext) <= time)
+            val c = keyOrd(rk.eval(rNext), key)
+            c < 0 || (c == 0 && timeOf(rt.eval(rNext)) <= time)
           }) {
-            if (keyOrd.compare(rk.eval(rNext), key) == 0) {
+            if (keyOrd(rk.eval(rNext), key) == 0) {
               // latest-so-far for this key; .copy() — the child iterator
               // reuses its row buffer (and UTF8String keys point into it)
               candidate = valueProj(rNext).copy()
               candidateKey = InternalRow.copyValue(rk.eval(rNext))
+              haveCandidate = true
             }
             rNext = advanceRight()
           }
-          val matched = candidate != null && keyOrd.compare(candidateKey, key) == 0
+          val matched = haveCandidate && keyOrd(candidateKey, key) == 0
           resultProj(joined(l, if (matched) candidate else nullRight))
         }
       }
@@ -173,10 +197,17 @@ object AsofJoin {
       s"asof join: key ${l.name} must be integral-backed or string, got ${l.dataType}")
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsofStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofStrategy
+    // the composed-idiom rewrite rides along: any session with the native
+    // operator also gets the pattern upgrade (toggle:
+    // spark.graft.asofRewrite.enabled)
+    if (!spark.experimental.extraOptimizations.contains(AsofRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofRewrite
+  }
 
   /** Left as-of join: for each left row, the latest right row of the same
     * `key` with `right.time <= left.time` (nulls when none). `valueCols`

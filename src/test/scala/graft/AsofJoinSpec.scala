@@ -133,7 +133,9 @@ class AsofJoinSpec extends GraftSparkSpec {
     val native = AsofJoin.joinAsof(e, o, "key", "at", Seq("o_price"))
       .select(col("event_id"), col("o_price"))
       .as[(Long, Option[Double])].collect().toMap
-    // composed form (q26's shape), at row granularity
+    // composed form (q26's shape), at row granularity — computed with the
+    // AsofRewrite rule OFF, else this would compare native to native
+    spark.conf.set("spark.graft.asofRewrite.enabled", "false")
     val oU = o.select(col("key"), col("at"), col("o_price"),
       lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
     val eU = e.select(col("key"), col("at"),
@@ -147,6 +149,7 @@ class AsofJoinSpec extends GraftSparkSpec {
       .filter(col("is_evt") === 1)
       .select(col("event_id"), col("p"))
       .as[(Long, Option[Double])].collect().toMap
+    spark.conf.set("spark.graft.asofRewrite.enabled", "true")
     assert(native.size == composed.size)
     assert(native == composed)
   }
@@ -192,6 +195,7 @@ class AsofJoinSpec extends GraftSparkSpec {
     // alone and a null `at` sorts first (before any order row), so
     // last(..., ignoreNulls) finds nothing for those events — but only if
     // null-keyed/timed ORDER rows are excluded, mirroring the skip rule
+    spark.conf.set("spark.graft.asofRewrite.enabled", "false")
     val oU = o.filter(col("key").isNotNull && col("at").isNotNull)
       .select(col("key"), col("at"), col("o_price"),
         lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
@@ -208,6 +212,7 @@ class AsofJoinSpec extends GraftSparkSpec {
         lit(null).cast("double")).otherwise(col("p")))
       .select(col("event_id"), col("p"))
       .as[(Long, Option[Double])].collect().toMap
+    spark.conf.set("spark.graft.asofRewrite.enabled", "true")
     assert(native.size == composed.size)
     assert(native == composed)
   }
