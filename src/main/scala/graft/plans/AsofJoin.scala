@@ -54,7 +54,9 @@ case class AsofJoinPlan(
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
     rightValues: Seq[Attribute],
-    nullsAsValues: Boolean = false) extends BinaryNode {
+    nullsAsValues: Boolean = false,
+    forward: Boolean = false,
+    tolerance: Long = -1L) extends BinaryNode {
   AsofJoin.requireKeyType(leftKey, rightKey)
   AsofJoin.requireIntegral(leftTime, rightTime)
   override def output: Seq[Attribute] =
@@ -66,8 +68,8 @@ case class AsofJoinPlan(
 /** Planner rule: AsofJoinPlan → AsofJoinExec. */
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, lt, rk, rt, rv, nav) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rv, nav) :: Nil
+    case AsofJoinPlan(l, r, lk, lt, rk, rt, rv, nav, fwd, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rv, nav, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +79,9 @@ case class AsofJoinExec(
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
     rightValues: Seq[Attribute],
-    nullsAsValues: Boolean = false) extends BinaryExecNode {
+    nullsAsValues: Boolean = false,
+    forward: Boolean = false,
+    tolerance: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -105,6 +109,8 @@ case class AsofJoinExec(
     val leftOut = left.output
     val keyType = leftKey.dataType
     val nav = nullsAsValues
+    val fwd = forward
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val valueProj = UnsafeProjection.create(rvSchema, rOut)
       // bind against NULLABLE-marked right values: binding against the
@@ -143,6 +149,7 @@ case class AsofJoinExec(
         private var rNext: InternalRow = advanceRight()
         private var candidate: InternalRow = null // copied; latest match
         private var candidateKey: Any = null      // copied (UTF8String reuse)
+        private var candidateTime = 0L
         private var haveCandidate = false
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
@@ -156,7 +163,25 @@ case class AsofJoinExec(
             return resultProj(joined(l, nullRight))
           }
           val time = timeOf(timeBoxed)
-          // advance the right side through every row at-or-before (key, time)
+          if (fwd) {
+            // FORWARD: stop on the first right row at-or-after (key, time).
+            // Skipped rows (earlier keys / earlier times) can't match any
+            // later left row either — left times ascend — so no state at
+            // all: rNext itself is the candidate, shared by every left row
+            // it covers.
+            while (rNext != null && {
+              val c = keyOrd(rk.eval(rNext), key)
+              c < 0 || (c == 0 && timeOf(rt.eval(rNext)) < time)
+            }) rNext = advanceRight()
+            val matched = rNext != null &&
+              keyOrd(rk.eval(rNext), key) == 0 &&
+              (tol < 0 || timeOf(rt.eval(rNext)) - time <= tol)
+            // valueProj's buffer is consumed by resultProj immediately —
+            // no copy needed
+            return resultProj(joined(l,
+              if (matched) valueProj(rNext) else nullRight))
+          }
+          // BACKWARD: advance through every row at-or-before (key, time)
           while (rNext != null && {
             val c = keyOrd(rk.eval(rNext), key)
             c < 0 || (c == 0 && timeOf(rt.eval(rNext)) <= time)
@@ -166,11 +191,19 @@ case class AsofJoinExec(
               // reuses its row buffer (and UTF8String keys point into it)
               candidate = valueProj(rNext).copy()
               candidateKey = InternalRow.copyValue(rk.eval(rNext))
+              candidateTime = timeOf(rt.eval(rNext))
               haveCandidate = true
             }
             rNext = advanceRight()
           }
-          val matched = haveCandidate && keyOrd(candidateKey, key) == 0
+          // tolerance: the candidate is the LATEST row <= time, so if IT
+          // is out of tolerance no earlier row can be in — one check is
+          // exact. (A -infinity candidate time — nullsAsValues — is an
+          // infinite gap: never within a finite tolerance, and the
+          // sentinel check avoids Long underflow in the subtraction.)
+          val matched = haveCandidate && keyOrd(candidateKey, key) == 0 &&
+            (tol < 0 ||
+              (candidateTime != Long.MinValue && time - candidateTime <= tol))
           resultProj(joined(l, if (matched) candidate else nullRight))
         }
       }
@@ -212,10 +245,21 @@ object AsofJoin {
   /** Left as-of join: for each left row, the latest right row of the same
     * `key` with `right.time <= left.time` (nulls when none). `valueCols`
     * are the right columns carried into the output.
+    *
+    * `direction = "forward"` instead matches the EARLIEST right row with
+    * `right.time >= left.time` (DuckDB `ASOF ... ON l.t <= r.t`, Polars
+    * `strategy="forward"`). `tolerance >= 0` bounds the time gap in the
+    * time column's native units (microseconds for timestamps, the raw
+    * value for ints/longs — pandas merge_asof's `tolerance`): a match
+    * farther than `tolerance` nulls out instead.
     */
   def joinAsof(leftDf: DataFrame, rightDf: DataFrame,
                key: String, time: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               direction: String = "backward",
+               tolerance: Long = -1L): DataFrame = {
+    require(Seq("backward", "forward").contains(direction),
+      s"asof join: direction must be backward|forward, got '$direction'")
     val spark = leftDf.sparkSession
     register(spark)
     val lp = leftDf.queryExecution.analyzed
@@ -226,6 +270,7 @@ object AsofJoin {
           s"asof join: no column '$name' in ${plan.output.map(_.name)}"))
     Shims.ofRows(spark, AsofJoinPlan(lp, rp,
       att(lp, key), att(lp, time), att(rp, key), att(rp, time),
-      valueCols.map(att(rp, _))))
+      valueCols.map(att(rp, _)),
+      forward = direction == "forward", tolerance = tolerance))
   }
 }

@@ -540,6 +540,80 @@ object RelationalQueries {
              |FROM e ASOF LEFT JOIN o ON e.key = o.key AND e.at >= o.at
              |GROUP BY 1 ORDER BY user_key""".stripMargin)),
 
+    // ---- FORWARD as-of join (Polars strategy=forward; DuckDB ASOF with
+    // l.t <= r.t): for each click, the user's EARLIEST purchase at-or-
+    // after it — the attribution shape ("next conversion after the
+    // impression"). The forward merge is stateless: right rows skipped
+    // for one left row can never match a later (larger-time) left row,
+    // and the current right row is shared by every left row it covers.
+    "x42_asof_forward" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("key"), col("ts").as("at"), col("event_id"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("key"), col("ts").as("at"))
+          .agg(max("value").as("conv_value"))
+        graft.plans.AsofJoin
+          .joinAsof(l, r, key = "key", time = "at",
+            valueCols = Seq("conv_value"), direction = "forward")
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("conv_value")).as("n_converted"),
+            round(sum("conv_value"), 2).as("conv_total"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'click'),
+             |r AS (
+             |  SELECT user_id AS r_uid, ts AS r_ts, max(value) AS conv_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT l.user_id, count(*) AS n_clicks,
+             |  count(conv_value) AS n_converted,
+             |  round(sum(conv_value), 2) AS conv_total
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.r_uid AND l.ts <= r.r_ts
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- as-of join with TOLERANCE (pandas merge_asof tolerance): the
+    // latest purchase at-or-before each click counts only within a
+    // 1-hour window — time-bounded attribution. One gap check on the
+    // merge's single candidate is exact: the candidate is the LATEST
+    // row <= t, so if it is out of tolerance no earlier row can be in.
+    // The oracle post-filters DuckDB's unbounded ASOF the same way.
+    "x43_asof_tolerance" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("key"), col("ts").as("at"), col("event_id"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("key"), col("ts").as("at"))
+          .agg(max("value").as("conv_value"))
+        graft.plans.AsofJoin
+          .joinAsof(l, r, key = "key", time = "at",
+            valueCols = Seq("conv_value"), tolerance = 3600L * 1000000L)
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("conv_value")).as("n_attributed"),
+            round(sum("conv_value"), 2).as("attr_total"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'click'),
+             |r AS (
+             |  SELECT user_id AS r_uid, ts AS r_ts, max(value) AS conv_value
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |j AS (
+             |  SELECT l.user_id,
+             |    CASE WHEN epoch_us(l.ts) - epoch_us(r.r_ts) <= 3600000000
+             |         THEN r.conv_value END AS conv_value
+             |  FROM l ASOF LEFT JOIN r ON l.user_id = r.r_uid AND l.ts >= r.r_ts)
+             |SELECT user_id, count(*) AS n_clicks,
+             |  count(conv_value) AS n_attributed,
+             |  round(sum(conv_value), 2) AS attr_total
+             |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // ---- sessionization: gap > 1 hour starts a new session (lag + flag +
     // per-user counts). One shuffle on user_id; the window and the group-by
     // share the partitioning, so Catalyst plans a single exchange.

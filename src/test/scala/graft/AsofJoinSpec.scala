@@ -217,6 +217,52 @@ class AsofJoinSpec extends GraftSparkSpec {
     assert(native == composed)
   }
 
+  test("forward direction: earliest at-or-after match; stateless merge") {
+    val l = Seq(
+      (1L, ts(10), 1L), // 15 is the first right row >= 10
+      (1L, ts(4), 2L),  // 5 >= 4 (inclusive down to the boundary)
+      (1L, ts(5), 3L),  // 5 >= 5 (inclusive at equality)
+      (1L, ts(99), 4L), // nothing after 99
+      (2L, ts(1), 5L)   // key with no right rows
+    ).toDF("key", "at", "event_id")
+    val r = Seq((1L, ts(5), 1.0), (1L, ts(15), 2.0))
+      .toDF("key", "at", "price")
+    val got = AsofJoin.joinAsof(l, r, "key", "at", Seq("price"),
+      direction = "forward")
+      .select("event_id", "price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(1L -> Some(2.0), 2L -> Some(1.0), 3L -> Some(1.0),
+      4L -> None, 5L -> None))
+    // null left key/time: unmatched (three-valued default), no crash
+    val ln = Seq((Some(1L), None: Option[Timestamp], 9L))
+      .toDF("key", "at", "event_id")
+    val gotN = AsofJoin.joinAsof(ln, r, "key", "at", Seq("price"),
+      direction = "forward")
+      .select("event_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(gotN == Map(9L -> None))
+  }
+
+  test("tolerance bounds the match gap in both directions") {
+    val l = Seq((1L, ts(100), 1L), (1L, ts(200), 2L))
+      .toDF("key", "at", "event_id")
+    val r = Seq((1L, ts(95), 1.0), (1L, ts(210), 2.0))
+      .toDF("key", "at", "price")
+    // backward, tolerance 10s (micros): 100-95=5s in, 200-95=105s out
+    val back = AsofJoin.joinAsof(l, r, "key", "at", Seq("price"),
+      tolerance = 10L * 1000000L)
+      .select("event_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(back == Map(1L -> Some(1.0), 2L -> None))
+    // forward, tolerance 15s: 210-200=10s in, 210-100=110s out
+    val fwd = AsofJoin.joinAsof(l, r, "key", "at", Seq("price"),
+      direction = "forward", tolerance = 15L * 1000000L)
+      .select("event_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(fwd == Map(1L -> None, 2L -> Some(2.0)))
+    // tolerance = -1 (default) is unbounded: both rows match
+    val unbounded = AsofJoin.joinAsof(l, r, "key", "at", Seq("price"))
+      .select("event_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(unbounded == Map(1L -> Some(1.0), 2L -> Some(1.0)))
+  }
+
   test("string keys: correct merge, plan still two exchanges and no extra sort") {
     val l = Seq(
       ("a", ts(10), 1L), ("a", ts(3), 2L), ("b", ts(10), 3L), ("c", ts(9), 4L)
