@@ -1204,6 +1204,94 @@ object RelationalQueries {
     // subquery (one 1-row broadcast) + anti join (the NOT EXISTS) + group
     // report in one plan. Whole-cents sums keep the report integer-exact;
     // the avg threshold compares arbitrary doubles far from any boundary.
+    // ---- TPC-H Q7 shape (volume shipping between two nations): the
+    // classic snowflake join — the ONE big join is lineitem ⋈ orders
+    // (both shuffle on orderkey); customer/supplier/nation broadcast
+    // (nation twice, aliased per side). The two-nation disjunction can't
+    // push below the joins (it spans both sides), but the year range
+    // prunes the lineitem scan. Revenue in integer cents (per-row round,
+    // exact order-independent sum — q36's discipline).
+    "q46_tpch_q7" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val n1 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(broadcast(n1), supp("s_nationkey") === n1("s_nk"))
+          .join(broadcast(n2), cust("c_nationkey") === n2("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .withColumn("l_year", year(col("l_shipdate")))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(sum(volume_cents) AS BIGINT) AS revenue_cents,
+             |  count(*) AS n
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    year(l_shipdate) AS l_year,
+             |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT) AS volume_cents
+             |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+             |    AND c_nationkey = n2.n_nationkey
+             |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1999-01-01')
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    // revenue lost to returns in a half-year window. lineitem ⋈ orders
+    // shuffles on orderkey; customer/nation broadcast; the return-flag
+    // and date filters push to the scans; final top-k is TakeOrdered
+    // (rounded-cents revenue as primary key, custkey tie-break).
+    "q47_tpch_q10" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val cust = t(s, dir, "customer")
+        val nat = t(s, dir, "nation")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))
+          .select(col("c_custkey"), col("c_name"), col("revenue_cents"),
+            round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  round(c_acctbal, 2) AS acctbal, n_name
+             |FROM customer, orders, lineitem, nation
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-07-01'
+             |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
+
     "q45_tpch_q22" -> QueryDef(
       (s, dir) => {
         val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
