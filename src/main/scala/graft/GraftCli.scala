@@ -287,13 +287,15 @@ object GraftCli {
     case "stream-asof" :: refParquet :: landingDir :: outDir :: checkpoint :: key :: time :: valueCols :: rest =>
       val spark = session()
       val runSec = rest.headOption.map(_.toInt).getOrElse(0)
+      val direction = rest.drop(1).headOption.getOrElse("backward")
+      val tolerance = rest.drop(2).headOption.map(_.toLong).getOrElse(-1L)
       val reference = spark.read.parquet(refParquet)
       val stream = spark.readStream
         .schema(spark.read.parquet(landingDir).schema)
         .parquet(landingDir)
       val q = streaming.StreamingAnalytics.asofEnrich(
         stream, reference, key, time, valueCols.split(",").toSeq,
-        outDir, checkpoint)
+        outDir, checkpoint, direction, tolerance)
       println(s"[graft] asof-enrich server on $landingDir vs $refParquet -> $outDir")
       if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
       else q.awaitTermination()
@@ -396,7 +398,7 @@ object GraftCli {
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
-           |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec]
+           |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec] [backward|forward] [toleranceUnits]
            |  heavy-hitters <docsParquet> [k]
            |  kmeans <embeddingsParquet> <outDir> [k] [iters]
            |  profile <inParquet>

@@ -123,7 +123,7 @@ object NotifyQueue {
     * `tail` = highest already-assigned seq (-1 if none); returns the new
     * tail. Deterministic order: (modification time, name).
     */
-  private[streaming] def sequenceSpool(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def sequenceSpool(fs: org.apache.hadoop.fs.FileSystem,
                                        dir: Path, tail: Long): Long = {
     val spool = new Path(dir, SpoolDir)
     if (!fs.exists(spool)) return tail // one probe on queues never spooled to

@@ -129,7 +129,8 @@ object StreamingAnalytics {
     */
   def asofEnrich(events: DataFrame, reference: DataFrame,
                  key: String, time: String, valueCols: Seq[String],
-                 outDir: String, checkpointDir: String)
+                 outDir: String, checkpointDir: String,
+                 direction: String = "backward", tolerance: Long = -1L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val prepped = reference
       .repartition(col(key))
@@ -139,7 +140,7 @@ object StreamingAnalytics {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.plans.AsofJoin
-          .joinAsof(batch, prepped, key, time, valueCols)
+          .joinAsof(batch, prepped, key, time, valueCols, direction, tolerance)
           .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
         ()
       }

@@ -56,8 +56,20 @@ object NotifyScale {
       queue, f"n-$n%012d") // next unclaimed seq
     val probeUs = medianMicros(9) { fs.exists(probePath) }
 
+    // (c) what SPOOL claim mode adds per idle trigger: sequencing an
+    // EMPTY spool at history size N — one listStatus of the spool dir,
+    // O(pending backlog) not O(history) (sequenced entries left the
+    // spool; the n-* history never enters the listing)
+    val spool = new org.apache.hadoop.fs.Path(s"$queue/spool")
+    fs.mkdirs(spool)
+    val qp = new org.apache.hadoop.fs.Path(queue)
+    val spoolUs = medianMicros(9) {
+      graft.streaming.NotifyQueue.sequenceSpool(fs, qp, n - 1L)
+    }
+
     println(f"[notify-scale] history=$n%d files: listing=$listUs%d us/trigger, " +
-      f"idle notify probe=$probeUs%d us/trigger (${listUs.toDouble / math.max(probeUs, 1)}%.0fx)")
+      f"idle notify probe=$probeUs%d us/trigger (${listUs.toDouble / math.max(probeUs, 1)}%.0fx), " +
+      f"idle spool sequencing=$spoolUs%d us/trigger")
     spark.stop()
   }
 }
