@@ -281,6 +281,48 @@ class NotifySourceSpec extends GraftSparkSpec {
       s"restart must resume after the sequenced wave, got ${seen.iterator().asScala.toSeq}")
   }
 
+  test("spool sequencer crash mid-assignment: survivors re-sequence, no loss, no doubles") {
+    val queue = s"$tmp/queue-spool-crash"
+    val blobs = s"$tmp/blobs-spool-crash"
+    new java.io.File(blobs).mkdirs()
+    (0 until 3).foreach(i => writeBlob(s"$blobs/cb$i.txt", Seq(s"crash-v$i")))
+    (0 until 3).foreach(i =>
+      NotifyQueue.publishSpool(spark, queue, Seq(s"$blobs/cb$i.txt")))
+
+    // simulate a sequencer that died after assigning exactly ONE entry:
+    // perform the first rename by hand (the same (modTime, name) order the
+    // real sequencer uses) and leave the other two in the spool
+    val conf = spark.sparkContext.hadoopConfiguration
+    val qp = new org.apache.hadoop.fs.Path(queue)
+    val fs = qp.getFileSystem(conf)
+    val spool = new org.apache.hadoop.fs.Path(qp, "spool")
+    val pending = fs.listStatus(spool)
+      .filter(_.getPath.getName.startsWith("u-"))
+      .sortBy(f => (f.getModificationTime, f.getPath.getName))
+    assert(pending.length == 3)
+    assert(fs.rename(pending.head.getPath,
+      new org.apache.hadoop.fs.Path(qp, "n-000000000000")))
+
+    // the next trigger's sequencer picks up from the true tail (seq 0
+    // already assigned) and assigns the two survivors — every
+    // notification arrives exactly once
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft-notify")
+      .option("queueDir", queue).option("claimMode", "spool").load()
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt-spool-crash")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.add(r.getString(0)))
+      }
+      .start()
+    assert(q.awaitTermination(60000))
+    assert(seen.iterator().asScala.toSeq.sorted ==
+      Seq("crash-v0", "crash-v1", "crash-v2"),
+      s"crash recovery lost or doubled data: ${seen.iterator().asScala.toSeq}")
+    assert(fs.listStatus(spool).count(_.getPath.getName.startsWith("u-")) == 0)
+  }
+
   test("notified prepartition pipeline: end-to-end with idempotent staging") {
     val queue = s"$tmp/queue-pp"
     val staging = s"$tmp/staging-pp"
