@@ -115,11 +115,13 @@ object GraftCli {
       val spark = session()
       val triggerSec = rest.headOption.map(_.toInt).getOrElse(60)
       val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val claimMode = rest.drop(2).headOption.getOrElse("rename")
       val q = streaming.StreamingPrePartition.startNotified(
         spark, queueDir, staging, checkpoint,
         PartitionConfig(colIdx.toInt, n.toInt, seed.toInt),
         trigger = org.apache.spark.sql.streaming.Trigger
-          .ProcessingTime(s"$triggerSec seconds"))
+          .ProcessingTime(s"$triggerSec seconds"),
+        claimMode = claimMode)
       println(s"[graft] streaming notify queue $queueDir -> $staging (trigger ${triggerSec}s)")
       if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
       else q.awaitTermination()
@@ -388,7 +390,7 @@ object GraftCli {
            |  stream <landingDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
            |  notify-publish <queueDir> <blobPath> [blobPath ...]
            |  notify-publish-spool <queueDir> <blobPath> [blobPath ...]   (object-store-safe; consumer needs claimMode=spool)
-           |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec]
+           |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec] [rename|spool]
            |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]
            |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]
            |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]
