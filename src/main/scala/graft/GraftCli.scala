@@ -218,6 +218,28 @@ object GraftCli {
       println(s"[graft] ivf index: $embParquet -> $indexDir (nlist=$nlist)")
       spark.stop()
 
+    // IVF+PQ index: lists carry 8-byte PQ codes next to the vectors, so
+    // the query's ADC shortlist scan column-prunes to ~8 B/vector
+    case "ann-index-build-pq" :: embParquet :: indexDir :: rest =>
+      val spark = session()
+      val nlist = rest.headOption.map(_.toInt).getOrElse(8)
+      val nSub = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      operators.Similarity.writeIvfPqIndex(
+        spark.read.parquet(embParquet), indexDir, nlist, nSub)
+      println(s"[graft] ivf+pq index: $embParquet -> $indexDir (nlist=$nlist nSub=$nSub)")
+      spark.stop()
+
+    case "ann-query-pq" :: indexDir :: embParquet :: vecId :: k :: rest =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val nprobe = rest.headOption.map(_.toInt).getOrElse(4)
+      val query = spark.read.parquet(embParquet)
+        .filter(col("vec_id") === vecId.toLong)
+        .select(col("embedding").as("q_embedding"))
+      operators.Similarity.ivfPqIndexTopK(spark, indexDir, query, k.toInt, nprobe)
+        .show(false)
+      spark.stop()
+
     // top-k query against a persisted IVF index; the query vector is
     // fetched by id from an embeddings parquet
     case "ann-query" :: indexDir :: embParquet :: vecId :: k :: rest =>
@@ -399,6 +421,8 @@ object GraftCli {
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
+           |  ann-index-build-pq <embeddingsParquet> <indexDir> [nlist] [nSub]
+           |  ann-query-pq <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
            |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec] [backward|forward] [toleranceUnits]
            |  heavy-hitters <docsParquet> [k]

@@ -274,6 +274,97 @@ object Similarity {
       query, k)
   }
 
+  /** Persist an IVF+PQ index: the inverted lists carry BOTH the 8-byte PQ
+    * codes and the full vectors in one list_id-partitioned parquet layout.
+    * At query time the ADC stage selects only (vec_id, label, codes) —
+    * parquet column pruning means the shortlist scan reads ~8 B/vector
+    * even though full vectors sit in the same files — and the exact
+    * re-rank joins the tiny shortlist back for its embeddings. Probe
+    * pruning is FILESYSTEM partition pruning, as in writeIvfIndex.
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, path: String, nlist: Int = 8,
+                      nSub: Int = 8, nCodes: Int = 16,
+                      trainIters: Int = 0): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents: Array[Array[Float]] =
+      if (trainIters > 0) kmeansCentroids(embeddings, nlist, trainIters)
+      else embeddings
+        .orderBy("vec_id").limit(nlist)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
+    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
+      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
+    }.toSeq: _*)
+    cents.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cbRows = embeddings.orderBy("vec_id").limit(nCodes)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = cbRows.head.length / nSub
+    val cbFlat: Seq[Float] = for {
+      sIdx <- 0 until nSub; c <- 0 until nCodes; i <- 0 until d
+    } yield cbRows(c)(sIdx * d + i)
+    Seq((nSub, cbFlat)).toDF("n_sub", "codebook")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    embeddings
+      .withColumn("codes", graft.functions.VectorFunctions
+        .pqEncode(col("embedding"), typedlit(cbFlat), nSub))
+      .withColumn("list_id", array_position(simsTo(col("embedding")),
+        array_max(simsTo(col("embedding")))))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/lists")
+  }
+
+  /** Top-k against a persisted `writeIvfPqIndex`: probe lists chosen
+    * driver-side (partition pruning), ADC shortlist over the codes-only
+    * projection, exact cosine re-rank of the shortlist's full vectors.
+    * Identical math to [[ivfPqTopK]] — the spec pins them row-equal.
+    */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: DataFrame, k: Int, nprobe: Int = 4,
+                     shortlistFactor: Int = 10): DataFrame = {
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect()
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    val nSub = cbRow.getInt(0)
+    val cbFlat = cbRow.getSeq[Float](1)
+    val q = query.select(col("q_embedding")).collect()(0)
+      .getSeq[Float](0).toArray
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val qSims = cents.zip(centNorms).map { case (c, cn) =>
+      c.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qn)
+    }
+    val probes = qSims.zipWithIndex.sortBy(-_._1).take(nprobe)
+      .map { case (_, i) => (i + 1).toLong }
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*))
+    val cb = typedlit(cbFlat)
+    val qDf = query.select(col("q_embedding"))
+    // ADC stage: codes-only projection — the scan never reads `embedding`
+    val short = lists.select("vec_id", "codes")
+      .crossJoin(broadcast(qDf))
+      .withColumn("adc", round(graft.functions.VectorFunctions
+        .pqAdcDot(col("q_embedding"), col("codes"), cb, nSub), 6))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlistFactor * k)
+      .select("vec_id")
+    // re-rank: only the shortlist's vectors leave the probed lists
+    lists.select("vec_id", "label", "embedding")
+      .join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(qDf))
+      .withColumn("sim", round(cosineRank(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     * k-means-cluster the embeddings, then within each cluster drop every
     * vector that has a higher-similarity twin with a smaller id (the

@@ -147,6 +147,28 @@ class DedupSimilaritySpec extends GraftSparkSpec {
       s"unexpected shuffle in IVF+PQ plan:\n$p")
   }
 
+  test("IVF+PQ persisted index: equals the in-memory operator; ADC scan prunes to codes") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_embedding"))
+    val cand = e.filter($"vec_id" =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    Similarity.writeIvfPqIndex(cand, dir, nlist = 8, nSub = 8, nCodes = 16)
+    val viaIndex = Similarity.ivfPqIndexTopK(spark, dir, q, 10, nprobe = 4)
+    val direct = Similarity.ivfPqTopK(cand, q, 10, nlist = 8, nprobe = 4)
+    assert(viaIndex.collect().toSeq == direct.collect().toSeq,
+      "persisted-index query must reproduce the in-memory pipeline exactly")
+    // scale shape, from the formatted plan: (a) probe pruning reaches the
+    // scan as a list_id PartitionFilter; (b) the ADC stage's scan reads
+    // codes but NOT embedding (column pruning = ~8 B/vector shortlisting)
+    val plan = Similarity.ivfPqIndexTopK(spark, dir, q, 10, nprobe = 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), s"no partition pruning:\n$plan")
+    val adcScan = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .exists(l => l.contains("codes") && !l.contains("embedding"))
+    assert(adcScan, s"ADC stage must scan codes without embedding:\n$plan")
+  }
+
   test("multimodal plumbing: real per-modality decode + frame sampling, deterministic") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val media = Multimodal.synthesizeMedia(spark, docs)
