@@ -1292,6 +1292,69 @@ object RelationalQueries {
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
              |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // ---- TPC-H Q8 shape (national market share): the full 8-table
+    // snowflake — lineitem ⋈ orders is the one shuffle; part, customer,
+    // supplier, region, and twice-aliased nation all broadcast; filters
+    // (p_type, region, date range) prune their dim scans before the
+    // joins. The share ratio divides two EXACT integer-cents sums
+    // (conditional numerator via CASE), so the 6dp rounding has no
+    // summation-order exposure at all.
+    "q48_tpch_q8" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val prt = t(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val n1 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+        val reg = t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val n2 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(n1), cust("c_nationkey") === n1("c_nk"))
+          .join(broadcast(reg), n1("n_regionkey") === reg("r_regionkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(broadcast(n2), supp("s_nationkey") === n2("s_nk"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("vc", round(col("l_extendedprice")
+            * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .groupBy("o_year")
+          .agg(
+            round(sum(when(col("nation") === "NATION_1", col("vc"))
+              .otherwise(0L)).cast("double") / sum(col("vc")), 6)
+              .as("mkt_share"),
+            sum(col("vc")).cast("long").as("total_cents"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT o_year,
+             |  round(sum(CASE WHEN nation = 'NATION_1' THEN vc ELSE 0 END)::DOUBLE
+             |    / sum(vc), 6) AS mkt_share,
+             |  CAST(sum(vc) AS BIGINT) AS total_cents
+             |FROM (
+             |  SELECT year(o_orderdate) AS o_year,
+             |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vc,
+             |    n2.n_name AS nation
+             |  FROM part, supplier, lineitem, orders, customer,
+             |    nation n1, nation n2, region
+             |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1999-01-01'
+             |    AND p_type = 'PROMO')
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
     "q45_tpch_q22" -> QueryDef(
       (s, dir) => {
         val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
