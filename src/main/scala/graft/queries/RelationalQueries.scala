@@ -1387,6 +1387,391 @@ object RelationalQueries {
              |    AS totacctbal_cents
              |FROM c WHERE NOT EXISTS (SELECT 1 FROM orders
              |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- TPC-H Q6 shape: pure scan-side work. Both range predicates and
+    // the column projection push into the parquet scan; single partial+final
+    // agg, no shuffle beyond the 1-row final combine.
+    "q49_tpch_q6" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+             |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- TPC-H Q4 shape (EXISTS): left-semi join with a non-equi conjunct
+    // (l_shipdate > o_orderdate). Spark keeps the equi key as the shuffle
+    // key and evaluates the inequality as a residual — no cross product.
+    // The 3-month orders filter prunes the probe side before the exchange.
+    "q50_tpch_q4" -> QueryDef(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- TPC-H Q12 shape (adapted: l_returnflag stands in for the absent
+    // l_shipmode). Conditional aggregation after a shuffle join; the
+    // returnflag/shipdate filters prune lineitem before the exchange.
+    "q51_tpch_q12" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R") &&
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_returnflag")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ord.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_returnflag").as("ship_class"))
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("ship_class")
+      },
+      Some("""SELECT l_returnflag AS ship_class,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_returnflag IN ('A','R')
+             |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- TPC-H Q13 shape: LEFT OUTER join with an extra join-side filter
+    // (kept in the join condition, NOT a WHERE — a WHERE would turn the
+    // outer join inner), then a two-level aggregation. Customers with zero
+    // qualifying orders survive with c_count = 0.
+    "q52_tpch_q13" -> QueryDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_orderpriority")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey") &&
+            ord("o_orderpriority") =!= "4-NOT SPECIFIED", "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey
+             |    AND o_orderpriority <> '4-NOT SPECIFIED'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---- TPC-H Q14 shape: promo revenue share. Broadcast the 2k-row part
+    // dim; one-row final agg. Cents-exact numerator/denominator, double
+    // division rounded to 6 places (same discipline as q48's mkt_share).
+    "q53_tpch_q14" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        val prt = t(s, dir, "part").select("p_partkey", "p_type")
+        li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+          .withColumn("vc", round(col("l_extendedprice")
+            * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .agg(
+            round(lit(100.0) * sum(when(col("p_type") === "PROMO", col("vc"))
+              .otherwise(0L)).cast("double") / sum(col("vc")), 6)
+              .as("promo_revenue_pct"),
+            sum(col("vc")).as("total_cents"))
+      },
+      Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN vc
+             |    ELSE 0 END)::DOUBLE / sum(vc), 6) AS promo_revenue_pct,
+             |  CAST(sum(vc) AS BIGINT) AS total_cents
+             |FROM (
+             |  SELECT p_type, CAST(round(l_extendedprice * (1 - l_discount)
+             |    * 100) AS BIGINT) AS vc
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin)),
+
+    // ---- TPC-H Q15 shape: top revenue supplier. The revenue CTE is
+    // computed ONCE (no view re-evaluation); its 1-row max broadcasts back
+    // as a cross join — the classic decorrelated max-equality plan.
+    "q54_tpch_q15" -> QueryDef(
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("total_revenue_cents"))
+        val mx = rev.agg(max("total_revenue_cents").as("mx"))
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue_cents") === col("mx"))
+          .join(broadcast(supp), col("supplier_no") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue_cents")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+             |      * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue_cents
+             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_revenue_cents =
+             |  (SELECT max(total_revenue_cents) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- TPC-H Q19 shape: disjunctive mixed-side predicates. Each OR arm
+    // references both part and lineitem, so the filter is a residual on the
+    // broadcast join; Catalyst still derives the common l_partkey equi key
+    // and an implied part-side domain (brand IN ...) pushdown.
+    "q55_tpch_q19" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        val prt = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+        li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 21)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#6" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 40)))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+             |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  count(*) AS n
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             |    AND l_quantity BETWEEN 1 AND 21)
+             |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+             |    AND l_quantity BETWEEN 10 AND 30)
+             |  OR (p_brand = 'Brand#6' AND p_size BETWEEN 1 AND 35
+             |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin)),
+
+    // ---- TPC-H Q2 shape (adapted: lineitem is the part-supplier bridge;
+    // supplycost = min observed unit price). The correlated min subquery is
+    // decorrelated by hand: one groupBy over the region-restricted bridge,
+    // joined back on (partkey, cost) — the plan TPC-H engines converge to.
+    "q56_tpch_q2" -> QueryDef(
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("partkey"),
+            col("l_suppkey").as("suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity"))
+            .as("supplycost"))
+        val asiaSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+        val eligible = ps.join(broadcast(asiaSupp),
+          col("suppkey") === col("s_suppkey"))
+        val minCost = eligible.groupBy(col("partkey").as("mc_partkey"))
+          .agg(min("supplycost").as("min_cost"))
+        val prt = t(s, dir, "part")
+          .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+          .select("p_partkey", "p_type")
+        eligible
+          .join(broadcast(prt), col("partkey") === col("p_partkey"))
+          .join(minCost, col("partkey") === col("mc_partkey") &&
+            col("supplycost") === col("min_cost"))
+          .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+          .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+            col("p_partkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             |    min(l_extendedprice / l_quantity) AS supplycost
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+             |FROM part, ps, supplier, nation, region
+             |WHERE p_partkey = ps.partkey AND s_suppkey = ps.suppkey
+             |  AND p_size = 15 AND p_type = 'LARGE'
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND supplycost = (
+             |    SELECT min(supplycost) FROM ps ps2, supplier s2,
+             |      nation n2, region r2
+             |    WHERE ps2.partkey = p_partkey AND s2.s_suppkey = ps2.suppkey
+             |      AND s2.s_nationkey = n2.n_nationkey
+             |      AND n2.n_regionkey = r2.r_regionkey
+             |      AND r2.r_name = 'ASIA')
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)),
+
+    // ---- TPC-H Q9 shape (adapted: cost proxy = 10% of retail price; the
+    // schema has no partsupp). One big-big shuffle join (lineitem-orders);
+    // part/supplier/nation broadcast. The LIKE filter prunes part BEFORE
+    // the broadcast, shrinking both the build side and the probe output.
+    "q57_tpch_q9" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val prt = t(s, dir, "part")
+          .filter(col("p_name").like("%a%"))
+          .select("p_partkey", "p_retailprice")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("amount_cents",
+            round((col("l_extendedprice") * (lit(1) - col("l_discount"))
+              - col("p_retailprice") * col("l_quantity") * lit(0.1)) * 100)
+              .cast("long"))
+          .groupBy("nation", "o_year")
+          .agg(sum("amount_cents").as("profit_cents"))
+          .orderBy(col("nation"), desc("o_year"))
+      },
+      Some("""SELECT nation, o_year,
+             |  CAST(sum(amount_cents) AS BIGINT) AS profit_cents
+             |FROM (
+             |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             |    CAST(round((l_extendedprice * (1 - l_discount)
+             |      - p_retailprice * l_quantity * 0.1) * 100) AS BIGINT)
+             |      AS amount_cents
+             |  FROM lineitem
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE p_name LIKE '%a%')
+             |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // ---- TPC-H Q11 shape (adapted: lineitem value per part in one
+    // nation). The HAVING-over-global-fraction is a 1-row agg broadcast
+    // back over the grouped values — the value CTE is computed once and
+    // reused for both sides (Spark reuses the exchange).
+    "q58_tpch_q11" -> QueryDef(
+      (s, dir) => {
+        val n1Supp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_1")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val value = t(s, dir, "lineitem")
+          .join(broadcast(n1Supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("value_cents"))
+        val thr = value.agg((sum("value_cents") * lit(0.001)).as("thr"))
+        value.crossJoin(broadcast(thr))
+          .filter(col("value_cents") > col("thr"))
+          .select("l_partkey", "value_cents")
+          .orderBy(desc("value_cents"), col("l_partkey"))
+      },
+      Some("""WITH value AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+             |      * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |  FROM lineitem
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_1' GROUP BY l_partkey)
+             |SELECT l_partkey, value_cents FROM value
+             |WHERE value_cents > (SELECT sum(value_cents) * 0.001 FROM value)
+             |ORDER BY value_cents DESC, l_partkey""".stripMargin)),
+
+    // ---- TPC-H Q16 shape: distinct-supplier counts per part attribute
+    // with a NOT IN exclusion. The exclusion list (negative-balance
+    // suppliers) is tiny → broadcast anti join; count(DISTINCT) expands to
+    // the standard two-phase distinct aggregate on (group, suppkey).
+    "q59_tpch_q16" -> QueryDef(
+      (s, dir) => {
+        val badSupp = t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val prt = t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+             |  AND l_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // ---- TPC-H Q20 shape: nested semi join — suppliers who shipped >100
+    // units of widget parts in 1997. The inner aggregate runs over the
+    // part-pruned lineitem (broadcast), then the qualifying supplier set
+    // (tiny) semi-joins the nation-filtered supplier dim.
+    "q60_tpch_q20" -> QueryDef(
+      (s, dir) => {
+        val widgets = t(s, dir, "part")
+          .filter(col("p_name").like("%widget%")).select("p_partkey")
+        val qualifying = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_suppkey")
+          .agg(sum("l_quantity").as("qty"))
+          .filter(col("qty") > 100)
+          .select("l_suppkey")
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_1")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(qualifying, col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, s_acctbal
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_1' AND s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  WHERE p_name LIKE '%widget%'
+             |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+             |ORDER BY s_name""".stripMargin))
   )
 }
