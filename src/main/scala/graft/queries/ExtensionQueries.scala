@@ -956,6 +956,44 @@ object ExtensionQueries {
       Some("""SELECT event_type, count(*) AS n,
              |  md5(string_agg(CAST(event_id AS VARCHAR), ' '
              |    ORDER BY event_id)) AS ids_md5
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Corpus-level repeated-n-gram mining (the boilerplate-detection pass
+    // real pipelines run before span removal — cf. C4's repeated-span rule
+    // and the reference's validation-query cardinality checks): every
+    // word bigram with document frequency >= 5% of the corpus, with its
+    // total occurrence count and doc spread. The gram stream never leaves
+    // the executor as raw text pairs: split → in-row transform to bigram
+    // strings → explode → ONE hash-agg on the gram key (count + distinct
+    // doc partials). The 5%-of-N threshold is corpus-relative, so the op
+    // scales to any SF without retuning; N is a single driver-side count
+    // (same bounded-scalar pattern as the tf-idf idf fetch). At 100 TB
+    // the agg key space is bounded by the vocab², not the corpus.
+    "x44_repeated_ngrams" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val minDocs = docs.count() * 0.05
+        docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(tk) - 2), " +
+              "i -> concat(tk[i], ' ', tk[i + 1]))")).as("gram"))
+          .groupBy("gram")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("doc_id")).as("ndocs"))
+          .filter(col("ndocs") >= lit(minDocs))
+          .orderBy(desc("n"), col("gram"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |ng AS (
+             |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+             |  FROM toks, LATERAL
+             |    (SELECT unnest(generate_series(1, len(t) - 1)) AS i))
+             |SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS ndocs
+             |FROM ng GROUP BY gram
+             |HAVING count(DISTINCT doc_id) >=
+             |  (SELECT count(*) * 0.05 FROM documents)
+             |ORDER BY n DESC, gram""".stripMargin))
   )
 }

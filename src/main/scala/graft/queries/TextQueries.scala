@@ -956,7 +956,70 @@ object TextQueries {
              |  round(avg(avg_nll), 4) AS mean_nll,
              |  round(min(avg_nll), 4) AS min_nll,
              |  round(max(avg_nll), 4) AS max_nll
-             |FROM tiers GROUP BY tier ORDER BY tier""".stripMargin))
+             |FROM tiers GROUP BY tier ORDER BY tier""".stripMargin)),
+
+    // ---- DSIR importance weights (Xie et al. 2023, "Data Selection via
+    // Importance Resampling"): score every raw doc by how target-like its
+    // hashed-n-gram distribution is. Features are words hashed into 64
+    // buckets (arithmetic char hash, identical in both engines); the
+    // importance weight of a doc is sum over tokens of
+    // log p_target(bucket) - log p_raw(bucket), Laplace-smoothed.
+    // Per-token log-ratios are quantized to integer MICROS before the
+    // per-doc sum, so the result is exact-integer and immune to addition
+    // order — the float-parity discipline from SCALE.md. At 100 TB: the
+    // bucket table is 64 rows (broadcast); scoring is one scan + one
+    // hash-agg on doc_id; the two distribution passes are map-side
+    // partial counts into 64 cells.
+    "d33_dsir_weights" -> QueryDef(
+      (s, dir) => {
+        val nBuckets = 64
+        val tok2 = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .withColumn("b", (length(col("w")) * 37
+            + ascii(substring(col("w"), 1, 1)) * 31
+            + ascii(substring(col("w"), -1, 1))) % nBuckets)
+        val tgt = tok2.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).cast("double").as("ct"))
+        val raw = tok2.groupBy("b")
+          .agg(count(lit(1)).cast("double").as("cr"))
+        val tot = raw.agg(sum("cr").as("nr"))
+          .crossJoin(tgt.agg(sum("ct").as("nt")))
+        val lr = raw.join(tgt, Seq("b"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("b"),
+            round((log((coalesce(col("ct"), lit(0.0)) + lit(1))
+              / (col("nt") + lit(nBuckets)))
+              - log((col("cr") + lit(1)) / (col("nr") + lit(nBuckets))))
+              * 1e6).cast("long").as("lrm"))
+        tok2.join(broadcast(lr), Seq("b"))
+          .groupBy("doc_id")
+          .agg(sum("lrm").as("logw_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |tok2 AS (
+             |  SELECT doc_id, lang,
+             |    (length(w) * 37 + ascii(substr(w, 1, 1)) * 31
+             |      + ascii(substr(w, -1, 1))) % 64 AS b
+             |  FROM tok WHERE w <> ''),
+             |tgt AS (SELECT b, count(*)::DOUBLE AS c FROM tok2
+             |  WHERE lang = 'en' GROUP BY b),
+             |rawc AS (SELECT b, count(*)::DOUBLE AS c FROM tok2 GROUP BY b),
+             |tot AS (SELECT (SELECT sum(c) FROM tgt) AS nt,
+             |  (SELECT sum(c) FROM rawc) AS nr),
+             |lr AS (
+             |  SELECT rawc.b,
+             |    CAST(round((ln((coalesce(tgt.c, 0) + 1) / (tot.nt + 64))
+             |      - ln((rawc.c + 1) / (tot.nr + 64))) * 1e6) AS BIGINT)
+             |      AS lrm
+             |  FROM rawc LEFT JOIN tgt ON rawc.b = tgt.b CROSS JOIN tot)
+             |SELECT doc_id, CAST(sum(lrm) AS BIGINT) AS logw_micro
+             |FROM tok2 JOIN lr ON tok2.b = lr.b
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
