@@ -994,6 +994,36 @@ object ExtensionQueries {
              |FROM ng GROUP BY gram
              |HAVING count(DISTINCT doc_id) >=
              |  (SELECT count(*) * 0.05 FROM documents)
-             |ORDER BY n DESC, gram""".stripMargin))
+             |ORDER BY n DESC, gram""".stripMargin)),
+
+    // Short-time frame energies over REAL decoded WAV audio (8-sample
+    // frames, hop 4 — the integer-exact skeleton of an STFT front-end).
+    // The oracle re-derives every per-frame energy arithmetically from
+    // doc_id (nested list_transform mirror of the synthesis LCG), so a
+    // framing off-by-one, a hop error, or a container mis-parse fails
+    // the hash — same discipline as x35/x39.
+    "x45_audio_frames" -> QueryDef(
+      (s, dir) => Multimodal.frameAudio(
+        s, Multimodal.synthesizeAudio(s, t(s, dir, "documents"))),
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n
+          |  FROM documents),
+          |fr AS (
+          |  SELECT doc_id, CAST((n - 8) // 4 + 1 AS INT) AS n_frames,
+          |    list_transform(range(0, CAST((n - 8) // 4 + 1 AS INT)), f ->
+          |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |        list_transform(range(0, 8), j ->
+          |          ((doc_id * 31 + (f * 4 + j) * 17) % 2001 - 1000)
+          |          * ((doc_id * 31 + (f * 4 + j) * 17) % 2001 - 1000))),
+          |        (a, b) -> a + b)) AS energies
+          |  FROM base)
+          |SELECT doc_id, n_frames,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), energies),
+          |    (a, b) -> a + b) AS BIGINT) AS total_energy,
+          |  CAST(list_aggregate(energies, 'max') AS BIGINT) AS max_energy,
+          |  CAST(list_position(energies, list_aggregate(energies, 'max'))
+          |    - 1 AS INT) AS argmax_frame
+          |FROM fr ORDER BY doc_id""".stripMargin))
   )
 }
