@@ -388,7 +388,62 @@ object VectorQueries {
              |  round(list_reduce(list_prepend(0.0, list_transform(range(1, len(en.v) + 1),
              |    i -> en.v[i] * q.qv[i])), (a, b) -> a + b) / (en.vn * q.qn), 6) AS sim
              |FROM en JOIN short USING (vec_id), q
-             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- exact k-NN GRAPH (k=3) with mutual-edge annotation — the graph
+    // SemDeDup/SSL-curation pipelines build before clustering. A bounded
+    // 500-vector block (vec_id < 500 at every SF) brute-forces its exact
+    // graph: one broadcast of the block, per-src TOP-3 via rank over the
+    // ROUNDED sim (cross-engine tie discipline), then a self-join of the
+    // edge list marks reciprocal edges. This is the exact-baseline
+    // companion to x9/x41: at 100 TB the same graph is built per IVF cell
+    // or LSH bucket (cluster-local blocks bound the quadratic term), and
+    // the mutual-kNN filter is the standard spurious-edge cut.
+    "x46_knn_graph" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+        val top = a.join(broadcast(b), col("src") =!= col("dst"))
+          .withColumn("sim", round(dot(col("ea"), col("eb")) /
+            (sqrt(dot(col("ea"), col("ea"))) *
+              sqrt(dot(col("eb"), col("eb")))), 6))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("src").orderBy(desc("sim"), col("dst"))))
+          .filter(col("rk") <= 3)
+          .select("src", "dst", "rk", "sim")
+        val rev = top.select(col("src").as("m_src"), col("dst").as("m_dst"))
+        top.join(broadcast(rev),
+            col("m_src") === col("dst") && col("m_dst") === col("src"),
+            "left_outer")
+          .select(col("src"), col("dst"), col("rk"), col("sim"),
+            when(col("m_src").isNotNull, 1).otherwise(0).as("mutual"))
+          .orderBy("src", "rk")
+      },
+      Some("""WITH dd AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings WHERE vec_id < 500),
+             |n AS (
+             |  SELECT vec_id, e,
+             |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+             |      (a, b) -> a + b)) AS nm
+             |  FROM dd),
+             |p AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst,
+             |    round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e) + 1),
+             |        i -> a.e[i] * b.e[i])), (x, y) -> x + y) / (a.nm * b.nm), 6) AS sim
+             |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+             |r AS (
+             |  SELECT src, dst, sim,
+             |    CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+             |      AS INT) AS rk
+             |  FROM p),
+             |top AS (SELECT * FROM r WHERE rk <= 3)
+             |SELECT t.src, t.dst, t.rk, t.sim,
+             |  CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+             |FROM top t LEFT JOIN top m ON m.src = t.dst AND m.dst = t.src
+             |ORDER BY t.src, t.rk""".stripMargin))
   )
 
   /** Unrolled Lloyd's k-means oracle: `assignSteps` assignment rounds
