@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Budget, Contamination, Dedup, Multimodal, Pack, Similarity}
+import graft.operators.{Budget, Contamination, Dedup, Graph, Multimodal, Pack, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Extension operators beyond the reference's surface (SURVEY.md §7.3 M6):
@@ -1024,6 +1024,139 @@ object ExtensionQueries {
           |  CAST(list_aggregate(energies, 'max') AS BIGINT) AS max_energy,
           |  CAST(list_position(energies, list_aggregate(energies, 'max'))
           |    - 1 AS INT) AS argmax_frame
-          |FROM fr ORDER BY doc_id""".stripMargin))
+          |FROM fr ORDER BY doc_id""".stripMargin)),
+
+    // Link-analysis centrality (integer-exact damped PageRank, 3 rounds)
+    // over the customer↔part interaction graph: the graph-importance
+    // scoring pass web-corpus pipelines run before sampling (Common
+    // Crawl's harmonic/PageRank host ranking). Bidirected bipartite
+    // edges from orders⋈lineitem (59k distinct pairs at sf0.01); node
+    // id = 2·custkey | 2·partkey+1. Every step is integer arithmetic
+    // (rank div degree, pct-damping div 100) so the result is
+    // summation-order-exact at any parallelism — the oracle unrolls the
+    // same three rounds in SQL and matches bit-for-bit. Scale shape:
+    // per-iteration = one src-key join + one dst-key agg over rank-sized
+    // rows; the degree-annotated edge list checkpoints once (Graph.scala).
+    "x47_pagerank" -> QueryDef(
+      (s, dir) => {
+        val cp = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_partkey") * 2 + 1).as("p"))
+          .distinct()
+        val edges = cp.select(col("c").as("src"), col("p").as("dst"))
+          .unionAll(cp.select(col("p").as("src"), col("c").as("dst")))
+        Graph.pagerank(edges, iters = 3)
+          .orderBy(desc("r"), col("node"))
+          .limit(20)
+          .select(col("node"), col("r").as("rank_units"))
+      },
+      Some("""WITH cp AS (
+             |  SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT c AS src, p AS dst FROM cp
+             |      UNION ALL SELECT p AS src, c AS dst FROM cp),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |nn AS (SELECT count(*) AS n FROM nodes),
+             |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+             |r0 AS (SELECT node, (1000000000000 // n) AS r FROM nodes, nn),
+             |i1 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+             |       FROM e JOIN r0 r ON r.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r1 AS (SELECT nodes.node,
+             |         (15 * (1000000000000 // nn.n)) // 100
+             |           + (85 * coalesce(i1.s, 0)) // 100 AS r
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN i1 ON i1.node = nodes.node),
+             |i2 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+             |       FROM e JOIN r1 r ON r.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r2 AS (SELECT nodes.node,
+             |         (15 * (1000000000000 // nn.n)) // 100
+             |           + (85 * coalesce(i2.s, 0)) // 100 AS r
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN i2 ON i2.node = nodes.node),
+             |i3 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+             |       FROM e JOIN r2 r ON r.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r3 AS (SELECT nodes.node,
+             |         (15 * (1000000000000 // nn.n)) // 100
+             |           + (85 * coalesce(i3.s, 0)) // 100 AS r
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN i3 ON i3.node = nodes.node)
+             |SELECT node, r AS rank_units FROM r3
+             |ORDER BY rank_units DESC, node LIMIT 20""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES
+    // exponential keys) — the importance-sampling primitive behind
+    // mixture construction when domains must be drawn ∝ a weight (here
+    // n_chars: longer docs proportionally likelier). Each doc draws
+    // u ~ U(0,1] from md5(doc_id) (the d18 seeded-determinism idiom);
+    // its key -ln(u)/w is Exp(w), and the k smallest keys per language
+    // are a weight-proportional without-replacement sample. One narrow
+    // map + one per-stratum top-k window — no shuffle beyond the
+    // stratum key; at 100 TB the window is replaced by the q4-style
+    // TakeOrdered per stratum. Keys round to 9 decimals (x46's
+    // cross-engine float discipline) with doc_id tiebreak.
+    "x48_weighted_sample" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+          .withColumn("u",
+            (conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":wsamp"))), 1, 12), 16, 10).cast("long") + 1) /
+              lit(281474976710656.0))
+          .withColumn("key",
+            round(-log(col("u")) / col("n_chars"), 9))
+        docs.withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("key"), col("doc_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("lang"), col("doc_id"), col("n_chars"), col("key"))
+          .orderBy("lang", "key", "doc_id")
+      },
+      Some("""WITH k AS (
+             |  SELECT lang, doc_id, n_chars,
+             |    round(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':wsamp'),
+             |        1, 12))::BIGINT + 1) / 281474976710656.0)
+             |      / n_chars, 9) AS key
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id, n_chars, key,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY key, doc_id) AS rk
+             |  FROM k)
+             |SELECT lang, doc_id, n_chars, key FROM r WHERE rk <= 10
+             |ORDER BY lang, key, doc_id""".stripMargin)),
+
+    // Blocked fuzzy-match pairs (edit distance ≤ 2 within a block) —
+    // the record-linkage sibling of x24's sorted neighborhood: entity
+    // resolution over the part-name dictionary, blocked on the head
+    // noun so the quadratic term is bounded by the block size, never
+    // the dictionary. Distinct-name dictionary first (2000 parts → 64
+    // names at sf0.01: the dedup-before-pairing step that makes
+    // dictionary linkage O(names²/blocks) not O(rows²)); codegen'd
+    // `levenshtein` both sides of the gate.
+    "x49_fuzzy_pairs" -> QueryDef(
+      (s, dir) => {
+        val names = t(s, dir, "part").select(col("p_name")).distinct()
+          .withColumn("blk", split(col("p_name"), " ").getItem(1))
+        val a = names.select(col("blk"), col("p_name").as("name_a"))
+        val b = names.select(col("blk").as("blk_b"), col("p_name").as("name_b"))
+        a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 2)
+          .select("name_a", "name_b", "dist")
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH names AS (
+             |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk
+             |  FROM part)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+             |FROM names a JOIN names b
+             |  ON a.blk = b.blk AND a.p_name < b.p_name
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY name_a, name_b""".stripMargin))
   )
 }

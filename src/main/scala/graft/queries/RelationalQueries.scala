@@ -1772,6 +1772,77 @@ object RelationalQueries {
              |    AND l_shipdate >= TIMESTAMP '1997-01-01'
              |    AND l_shipdate < TIMESTAMP '1998-01-01'
              |  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
-             |ORDER BY s_name""".stripMargin))
+             |ORDER BY s_name""".stripMargin)),
+
+    // Rolling z-score anomaly detection: per-user mean/stddev over the
+    // PRECEDING-20-rows frame (never the current row — no self-leak),
+    // flag |z| > 2.5. The time-series outlier primitive for metric
+    // streams; the frame is a bounded per-key window, so state is 20
+    // rows per key at any scale and the single exchange is the user_id
+    // hash. z rounds to 6 decimals in BOTH engines before the threshold
+    // compare (x46's cross-engine float discipline — the flag decision
+    // itself is made on the rounded value, so a 1-ulp stddev drift
+    // cannot flip membership).
+    "q61_anomaly" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        t(s, dir, "events")
+          .withColumn("mu", avg("value").over(w))
+          .withColumn("sd", stddev_samp("value").over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("cnt") === 20 && round(col("sd"), 9) > 0)
+          .withColumn("z", round((col("value") - col("mu")) / col("sd"), 6))
+          .filter(abs(col("z")) > 2.5)
+          .select(col("event_id"), col("user_id"), col("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT event_id, user_id, value,
+             |    avg(value) OVER win AS mu,
+             |    stddev_samp(value) OVER win AS sd,
+             |    count(*) OVER win AS cnt
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, round((value - mu) / sd, 6) AS z
+             |FROM w
+             |WHERE cnt = 20 AND round(sd, 9) > 0
+             |  AND abs(round((value - mu) / sd, 6)) > 2.5
+             |ORDER BY event_id""".stripMargin)),
+
+    // Full outer join with coalesced keys — the reconciliation shape
+    // (orders placed per day vs lineitems shipped per day; boundary
+    // days exist on exactly one side, so both null-extension arms are
+    // exercised). Each side pre-aggregates to day grain BEFORE the
+    // join (the 100 TB discipline: join cardinalities collapse from
+    // row counts to day counts), and the USING-join emits the
+    // coalesced key.
+    "q62_full_outer" -> QueryDef(
+      (s, dir) => {
+        val od = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val sd = t(s, dir, "lineitem")
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(count(lit(1)).as("n_ships"))
+        od.join(sd, Seq("day"), "full_outer")
+          .select(col("day").cast("string").as("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+          .orderBy("day")
+      },
+      Some("""WITH od AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+             |  FROM orders GROUP BY 1),
+             |sd AS (
+             |  SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_ships
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(COALESCE(od.day, sd.day) AS VARCHAR) AS day,
+             |  COALESCE(n_orders, 0) AS n_orders,
+             |  COALESCE(n_ships, 0) AS n_ships
+             |FROM od FULL OUTER JOIN sd ON od.day = sd.day
+             |ORDER BY day""".stripMargin))
   )
 }

@@ -1019,7 +1019,51 @@ object TextQueries {
              |  FROM rawc LEFT JOIN tgt ON rawc.b = tgt.b CROSS JOIN tot)
              |SELECT doc_id, CAST(sum(lrm) AS BIGINT) AS logw_micro
              |FROM tok2 JOIN lr ON tok2.b = lr.b
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization dedup — the first dedup pass every web-corpus
+    // pipeline runs (CCNet/RefinedWeb dedupe by canonical URL before any
+    // content hashing): lowercase, strip query string + fragment, strip
+    // a trailing slash, then group. URLs are synthesized
+    // deterministically from (source, doc_id) — mixed case hosts, utm
+    // tracking params on every 3rd doc, fragments on every 5th — so the
+    // canonicalizer provably collapses real variation (500 raw URLs →
+    // fewer canonical groups). Narrow per-row regex kernel + ONE
+    // group-by on the canonical key; at 100 TB this is the cheapest
+    // dedup stage and runs first for exactly that reason.
+    "d34_url_dedup" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"), upper(col("source")),
+            lit(".Example.com/docs/"), (col("doc_id") % 40).cast("string"),
+            when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, lit("?utm_source=feed&ref=rss"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("#section-2"))
+              .otherwise(lit(""))).as("url"))
+        .withColumn("canonical",
+          regexp_replace(regexp_replace(lower(col("url")),
+            "[?#].*$", ""), "/$", ""))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("canonical"),
+      Some("""WITH urls AS (
+             |  SELECT doc_id,
+             |    'https://' || upper(source) || '.Example.com/docs/' ||
+             |    CAST(doc_id % 40 AS VARCHAR) ||
+             |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN '?utm_source=feed&ref=rss' ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
+             |      AS url
+             |  FROM documents),
+             |canon AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(lower(url),
+             |      '[?#].*$', ''), '/$', '') AS canonical
+             |  FROM urls)
+             |SELECT canonical, count(*) AS n_docs, min(doc_id) AS keeper
+             |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.Graph
+import graft.queries.{ExtensionQueries, RelationalQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the link-analysis / sampling / linkage /
+  * anomaly additions beyond the oracle gate: PageRank invariants on
+  * hand-analyzable graphs, weighted-sampling monotonicity, fuzzy-pair
+  * blocking contracts, and spike detection on a planted anomaly.
+  */
+class GraphLinkageSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private val SCALE = 1000000000000L
+
+  test("pagerank on a symmetric pair is uniform and conserves mass") {
+    // 1 <-> 2: perfect symmetry => equal ranks; bidirected graph loses
+    // only integer-truncation dust (< iters * (nodes + 1) units)
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pagerank(e, iters = 5).as[(Long, Long)].collect().toMap
+    assert(r(1L) == r(2L))
+    val total = r.values.sum
+    assert(total <= SCALE && total >= SCALE - 5 * 3)
+  }
+
+  test("pagerank ranks a star center above its leaves") {
+    // bidirected star 0 <-> {1,2,3,4}: the center absorbs every leaf's
+    // full contribution each round, leaves split the center's 4 ways
+    val leaves = (1L to 4L)
+    val e = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L)))
+      .toDF("src", "dst")
+    val r = Graph.pagerank(e, iters = 3).as[(Long, Long)].collect().toMap
+    assert(leaves.forall(l => r(0L) > r(l)))
+    assert(leaves.map(r).distinct.size == 1) // leaf symmetry
+  }
+
+  test("pagerank dangling node keeps teleport-only rank") {
+    // 1 -> 2 only: node 2 has no out-edges; its absorbed mass vanishes
+    // (documented dangling simplification) and node 1 gets teleport only
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Graph.pagerank(e, iters = 2).as[(Long, Long)].collect().toMap
+    val unit = SCALE / 2
+    val teleport = 15L * unit / 100L
+    assert(r(1L) == teleport)
+    assert(r(2L) > r(1L))
+  }
+
+  test("x47 gate ranks sum to less than total mass, all positive") {
+    val df = ExtensionQueries.all("x47_pagerank").fn(spark, sfDir)
+    val ranks = df.as[(Long, Long)].collect()
+    assert(ranks.length == 20)
+    assert(ranks.forall(_._2 > 0))
+    // top-20 of a big graph: each row is far below total mass
+    assert(ranks.map(_._2).sum < SCALE)
+    // sorted by rank desc (tie-broken by node asc)
+    assert(ranks.map(_._2).toSeq == ranks.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("weighted-sample key is monotone decreasing in weight for fixed u") {
+    // -ln(u)/w: same doc hash, larger weight => smaller key => more
+    // likely sampled. Check the kernel arithmetic directly.
+    val u = 0.37
+    val k1 = -math.log(u) / 10.0
+    val k2 = -math.log(u) / 1000.0
+    assert(k2 < k1)
+    // and on the gate output: every stratum emits exactly 10 rows
+    val out = ExtensionQueries.all("x48_weighted_sample").fn(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(out.values.forall(_ == 10L))
+  }
+
+  test("x48 is deterministic across runs") {
+    val a = ExtensionQueries.all("x48_weighted_sample").fn(spark, sfDir)
+      .collect().toSeq
+    val b = ExtensionQueries.all("x48_weighted_sample").fn(spark, sfDir)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("fuzzy pairs stay within blocks and within the distance bound") {
+    val rows = ExtensionQueries.all("x49_fuzzy_pairs").fn(spark, sfDir)
+      .as[(String, String, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, d) =>
+      assert(a < b)                       // canonical pair order
+      assert(d >= 1 && d <= 2)            // distinct names, bounded dist
+      assert(a.split(" ")(1) == b.split(" ")(1)) // same head-noun block
+    }
+  }
+
+  test("q61 flags a planted spike and ignores steady series") {
+    // synthesize an events table: user 1 emits 20 near-constant values
+    // then one spike; user 2 is steady throughout. Only the spike and
+    // genuinely extreme later points may flag — and the spike MUST.
+    // ts is nanos-as-long, the driver table format QueryDef.t converts
+    val dir = java.nio.file.Files.createTempDirectory("g8events").toString
+    def nanos(i: Int): Long = 1704067200000000000L + i * 60000000000L
+    val rows = (0 until 21).map { i =>
+      val v = if (i == 20) 500.0 else 10.0 + (i % 3) * 0.5
+      (i.toLong, nanos(i), 1L, "m", v, "{}")
+    } ++ (0 until 21).map { i =>
+      (100L + i, nanos(i), 2L, "m", 10.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val flagged = RelationalQueries.all("q61_anomaly").fn(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(flagged.map(_._1).contains(20L)) // the spike
+    assert(!flagged.exists(_._2 == 2L))     // steady user never flags
+  }
+
+  test("d34 canonical urls carry no query, fragment, or trailing slash") {
+    val rows = TextQueries.all("d34_url_dedup").fn(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (canon, n, _) =>
+      assert(!canon.contains("?") && !canon.contains("#"))
+      assert(!canon.endsWith("/"))
+      assert(canon == canon.toLowerCase)
+      assert(n >= 1)
+    }
+    // the synthesized variation genuinely collapses: fewer canonical
+    // groups than documents
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length < docs)
+  }
+
+  test("q62 full outer covers one-sided days with coalesced zeros") {
+    val rows = RelationalQueries.all("q62_full_outer").fn(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    // boundary days: shipments trail orders, so some days are one-sided
+    assert(rows.exists(r => r._2 == 0L && r._3 > 0L))
+    assert(rows.forall(_._1.nonEmpty)) // key never null after coalesce
+  }
+}
