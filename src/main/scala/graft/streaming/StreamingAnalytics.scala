@@ -147,6 +147,37 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Stream-stream join with a time-range condition — view→click
+    * attribution: a click joins the view it followed within
+    * `joinWindowSeconds` on the same user. BOTH sides are watermarked and
+    * the range condition is part of the join predicate, which is what
+    * bounds each side's buffered state: a view can be evicted once the
+    * click-side watermark passes `v_ts + joinWindow`, a click once the
+    * view-side watermark passes its `c_ts` — without the range bound the
+    * state is unbounded and Spark rejects outer modes outright. One
+    * exchange per side on user_id per micro-batch; state scales with the
+    * in-window row count, never stream history.
+    *
+    * `joinType = "leftOuter"` additionally emits unattributed views
+    * (null click columns) — exactly once, when the watermark proves no
+    * matching click can still arrive.
+    */
+  def attributedClicks(views: DataFrame, clicks: DataFrame,
+                       joinWindowSeconds: Long = 60,
+                       watermarkDelay: String = "10 seconds",
+                       joinType: String = "inner"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") +
+          expr(s"INTERVAL $joinWindowSeconds SECONDS"),
+      joinType)
+  }
+
   case class Evt(user_id: Long, ts: Timestamp)
   case class SessionAcc(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

@@ -125,4 +125,62 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
       assert(got.contains((2L, 490L, 490L, 1L)), s"timeout close missing: $got")
     } finally q.stop()
   }
+
+  test("stream-stream join attributes clicks within the window only") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingAnalytics.attributedClicks(
+      views.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts"),
+      joinWindowSeconds = 60, watermarkDelay = "10 seconds")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 views at t=100; clicks at t=120 (in window), t=300 (out);
+      // user 2 clicks with no view at all
+      views.addData((1L, ts(100)))
+      clicks.addData((1L, ts(120)), (1L, ts(300)), (2L, ts(130)))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("v_user", "v_ts", "c_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(got == Set((1L, ts(100), ts(120))), s"got $got")
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER emits the unattributed view exactly once") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingAnalytics.attributedClicks(
+      views.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts"),
+      joinWindowSeconds = 60, watermarkDelay = "10 seconds",
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("attrib_lo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((1L, ts(100)), (2L, ts(105)))
+      clicks.addData((1L, ts(120)))
+      q.processAllAvailable()
+      // user 2's view cannot null-emit yet: a click at <=165 could still
+      // arrive while the click watermark sits at 110
+      val early = spark.table("attrib_lo")
+        .filter("v_user = 2").count()
+      assert(early == 0, "null-extended row emitted before watermark proof")
+      // push both watermarks far past 105 + 60 + delay
+      views.addData((9L, ts(1000)))
+      clicks.addData((9L, ts(1000)))
+      q.processAllAvailable()
+      views.addData((9L, ts(2000)))
+      clicks.addData((9L, ts(2000)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_lo")
+        .select("v_user", "c_ts").as[(Long, Option[Timestamp])]
+        .collect().filter(_._1 == 2L)
+      assert(got.toSeq == Seq((2L, None)),
+        s"expected exactly one null-extended row for user 2, got ${got.toSeq}")
+    } finally q.stop()
+  }
 }
