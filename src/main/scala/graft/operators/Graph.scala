@@ -31,27 +31,41 @@ object Graph {
     * Nodes with no out-edges contribute no mass (the standard
     * dangling-node simplification — callers wanting mass conservation
     * should bidirect their edges, as the x47 gate query does).
+    *
+    * `checkpointInterval` sets how many iterations run as ONE unrolled
+    * DAG before the rank frame is materialized. The default (1: the
+    * classic Pregel-style per-superstep materialization) is the
+    * at-scale winner — measured at 10-30 M edges (tools/GraphScale) the
+    * eager form runs ~3× faster than a 3-round unrolled plan, because a
+    * materialized node-sized rank gives each round a shallow plan AQE
+    * can size correctly, where the unrolled DAG re-plans every round's
+    * exchanges pessimistically. Raise the interval only for SMALL
+    * graphs (≲100k edges), where per-round checkpoint job overhead
+    * dominates the actual work — the x47 gate query does exactly that.
     */
   def pagerank(
       edges: DataFrame,
       iters: Int,
       scale: Long = 1000000000000L,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85,
+      checkpointInterval: Int = 1): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // graph-with-degrees cached ONCE (persist, not eager checkpoint:
+    // the InMemoryRelation advertises accurate stats, so AQE broadcasts
+    // the node-sized rank frame into every iteration's edge join)
+    val g = e.join(deg, "src").persist()
+    val nodes = g.select(col("src").as("node"))
+      .union(g.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
-    val n = nodes.count() // bounded driver scalar: ONE long
+      .persist()
+    val n = nodes.count() // bounded driver scalar; materializes both caches
     require(n > 0, "pagerank: empty graph")
     val unit = scale / n
     val teleport = ((100L - dampingPct) * unit) / 100L
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    // graph-with-degrees materialized once; every iteration re-reads it
-    val g = e.join(deg, "src").localCheckpoint()
     var rank = nodes.withColumn("r", lit(unit))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val in = g.join(rank, g("src") === rank("node"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
@@ -59,8 +73,56 @@ object Graph {
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      if (i % checkpointInterval == 0 && i < iters)
+        rank = rank.localCheckpoint()
     }
     rank
+  }
+
+  /** Synchronous label propagation (community/label spreading) over a
+    * directed edge list `(src, dst)` from a seed set `(node, label)`:
+    * each round, EVERY node takes the majority label among its
+    * out-neighbors' current labels (ties broken by smallest label — the
+    * deterministic LPA variant), keeping its previous label when no
+    * neighbor is labeled. All decisions are (count, label) comparisons —
+    * no floats — so the result is engine- and order-exact.
+    *
+    * Scale shape mirrors pagerank: per round one src-key join + one
+    * (node, label) agg + one argmax window on the node key; label
+    * frames are node-sized and materialize per round (the measured
+    * at-scale winner for iterative updates — see pagerank's note).
+    */
+  def labelPropagate(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      checkpointInterval: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    var labels = nodes.join(
+      seeds.select(col("node").cast("long").as("sn"),
+        col("label").cast("string").as("label")),
+      nodes("node") === col("sn"), "left")
+      .select(col("node"), col("label"))
+    for (i <- 1 to iters) {
+      val cand = e.join(labels, e("dst") === labels("node"))
+        .filter(col("label").isNotNull)
+        .groupBy(e("src").as("n"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val maj = cand.withColumn("rn", row_number().over(
+          Window.partitionBy("n").orderBy(desc("c"), col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("n"), col("label").as("mlabel"))
+      labels = labels.join(maj, labels("node") === maj("n"), "left")
+        .select(col("node"), coalesce(col("mlabel"), col("label")).as("label"))
+      if (i % checkpointInterval == 0 && i < iters)
+        labels = labels.localCheckpoint()
+    }
+    labels
   }
 }

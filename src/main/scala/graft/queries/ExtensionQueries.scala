@@ -1034,12 +1034,16 @@ object ExtensionQueries {
     // id = 2·custkey | 2·partkey+1. Every step is integer arithmetic
     // (rank div degree, pct-damping div 100) so the result is
     // summation-order-exact at any parallelism — the oracle unrolls the
-    // same three rounds in SQL and matches bit-for-bit. Scale shape:
-    // per-iteration = one src-key join + one dst-key agg over rank-sized
-    // rows; the degree-annotated edge list checkpoints once (Graph.scala).
+    // same three rounds in SQL and matches bit-for-bit. The gate bounds
+    // the graph to every-10th customer (x46's bounded-fixture
+    // discipline); tools/GraphScale measures the operator at 10-50 M
+    // edges for the SCALE.md row. Scale shape: per-iteration = one
+    // src-key join (rank broadcast — node-sized) + one map-side-combined
+    // dst-key agg; the degree-annotated edge list caches once.
     "x47_pagerank" -> QueryDef(
       (s, dir) => {
         val cp = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .filter(col("o_custkey") % 10 === 0)
           .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("c"),
@@ -1047,14 +1051,17 @@ object ExtensionQueries {
           .distinct()
         val edges = cp.select(col("c").as("src"), col("p").as("dst"))
           .unionAll(cp.select(col("p").as("src"), col("c").as("dst")))
-        Graph.pagerank(edges, iters = 3)
+        // small bounded graph: unroll all rounds into one DAG (the
+        // per-round checkpoint jobs would dominate at this size)
+        Graph.pagerank(edges, iters = 3, checkpointInterval = 5)
           .orderBy(desc("r"), col("node"))
           .limit(20)
           .select(col("node"), col("r").as("rank_units"))
       },
       Some("""WITH cp AS (
              |  SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p
-             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_custkey % 10 = 0),
              |e AS (SELECT c AS src, p AS dst FROM cp
              |      UNION ALL SELECT p AS src, c AS dst FROM cp),
              |nodes AS (SELECT DISTINCT src AS node FROM e),
@@ -1157,6 +1164,132 @@ object ExtensionQueries {
              |FROM names a JOIN names b
              |  ON a.blk = b.blk AND a.p_name < b.p_name
              |WHERE levenshtein(a.p_name, b.p_name) <= 2
-             |ORDER BY name_a, name_b""".stripMargin))
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // Co-occurrence (association) mining: part pairs co-purchased in
+    // >= 3 orders, with lift in integer micros. Pair generation happens
+    // IN-ROW — baskets collect to a sorted item array (baskets are
+    // order-bounded: a handful of lineitems) and the pair explode is a
+    // nested transform over that array, so the quadratic term is bounded
+    // by basket size and the only data-sized exchanges are the basket
+    // collect and the pair-count agg (map-side combinable; keyspace
+    // bounded by catalog², never corpus). Lift numerator/denominator
+    // stay integers until one final `div` — no float drift. This is the
+    // candidate-generation half of the frequent-itemset family
+    // (PCY/A-Priori's pair pass) at its 100 TB shape.
+    "x50_copurchase" -> QueryDef(
+      (s, dir) => {
+        val op = t(s, dir, "orders").select(col("o_orderkey"))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nBaskets = op.select("ok").distinct().count() // driver scalar
+        val baskets = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+        val pairs = baskets
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        val pc = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        val ic = op.groupBy("pk").agg(count(lit(1)).as("n_i"))
+        pc.join(ic.select(col("pk").as("pa"), col("n_i").as("na")), "pa")
+          .join(ic.select(col("pk").as("pb"), col("n_i").as("nb")), "pb")
+          .select(col("pa"), col("pb"), col("n_ab"),
+            expr(s"(n_ab * ${nBaskets}L * 1000000L) div (na * nb)")
+              .as("lift_micro"))
+          .orderBy(desc("n_ab"), col("pa"), col("pb"))
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |nb AS (SELECT count(DISTINCT ok) AS n FROM op),
+             |pairs AS (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+             |pc AS (
+             |  SELECT pa, pb, count(*) AS n_ab FROM pairs GROUP BY pa, pb
+             |  HAVING count(*) >= 3),
+             |ic AS (SELECT pk, count(*) AS n_i FROM op GROUP BY pk)
+             |SELECT pa, pb, n_ab,
+             |  (n_ab * nb.n * 1000000) // (ia.n_i * ib.n_i) AS lift_micro
+             |FROM pc JOIN ic ia ON ia.pk = pc.pa
+             |JOIN ic ib ON ib.pk = pc.pb CROSS JOIN nb
+             |ORDER BY n_ab DESC, pa, pb""".stripMargin)),
+
+    // Synchronous label propagation (2 rounds) over the co-purchase
+    // graph: seeds are every-7th part labeled with its brand; each round
+    // every node takes the MAJORITY label among neighbors (ties → the
+    // smallest label — the deterministic LPA variant), keeping its label
+    // when no neighbor is labeled. All decisions are (count, label)
+    // comparisons, no floats, so the unrolled-SQL oracle matches
+    // exactly. The semi-supervised label-spreading primitive (weak
+    // supervision over a similarity graph); same per-round shape as
+    // x47 — node-sized label frame, edge join + argmax window.
+    "x51_label_prop" -> QueryDef(
+      (s, dir) => {
+        val op = t(s, dir, "orders").select(col("o_orderkey"))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = pc.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(pc.select(col("pb").as("src"), col("pa").as("dst")))
+        val seeds = t(s, dir, "part")
+          .filter(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+        Graph.labelPropagate(edges, seeds, iters = 2,
+            checkpointInterval = 5) // small graph: unroll (x47 note)
+          .filter(col("label").isNotNull)
+          .orderBy("node")
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |seeds AS (SELECT p_partkey AS sn, p_brand AS slabel
+             |          FROM part WHERE p_partkey % 7 = 0),
+             |l0 AS (SELECT node, slabel AS label
+             |       FROM nodes LEFT JOIN seeds ON sn = node),
+             |c1 AS (SELECT e.src AS n, l.label, count(*) AS c
+             |       FROM e JOIN l0 l ON l.node = e.dst
+             |       WHERE l.label IS NOT NULL GROUP BY e.src, l.label),
+             |m1 AS (SELECT n, label FROM (
+             |         SELECT n, label, row_number() OVER (PARTITION BY n
+             |           ORDER BY c DESC, label) AS rn FROM c1)
+             |       WHERE rn = 1),
+             |l1 AS (SELECT l0.node, coalesce(m1.label, l0.label) AS label
+             |       FROM l0 LEFT JOIN m1 ON m1.n = l0.node),
+             |c2 AS (SELECT e.src AS n, l.label, count(*) AS c
+             |       FROM e JOIN l1 l ON l.node = e.dst
+             |       WHERE l.label IS NOT NULL GROUP BY e.src, l.label),
+             |m2 AS (SELECT n, label FROM (
+             |         SELECT n, label, row_number() OVER (PARTITION BY n
+             |           ORDER BY c DESC, label) AS rn FROM c2)
+             |       WHERE rn = 1),
+             |l2 AS (SELECT l1.node, coalesce(m2.label, l1.label) AS label
+             |       FROM l1 LEFT JOIN m2 ON m2.n = l1.node)
+             |SELECT node, label FROM l2 WHERE label IS NOT NULL
+             |ORDER BY node""".stripMargin))
   )
 }

@@ -1843,6 +1843,58 @@ object RelationalQueries {
              |  COALESCE(n_orders, 0) AS n_orders,
              |  COALESCE(n_ships, 0) AS n_ships
              |FROM od FULL OUTER JOIN sd ON od.day = sd.day
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // Winsorization (clip at the exact p05/p95 per group) — the
+    // outlier-robust feature-engineering pass. Exact interpolated
+    // percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`: both
+    // index p·(n-1) with linear interpolation) computed ONCE per group
+    // and broadcast-joined back — never a per-row percentile window.
+    // Clipped values round to 6 decimals in both engines.
+    "q63_winsorize" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val bounds = ev.groupBy("event_type").agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+              .as("clipped"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.05) AS lo,
+             |    quantile_cont(value, 0.95) AS hi
+             |  FROM events GROUP BY event_type)
+             |SELECT event_id, e.event_type,
+             |  round(least(greatest(value, lo), hi), 6) AS clipped
+             |FROM events e JOIN b ON e.event_type = b.event_type
+             |ORDER BY event_id""".stripMargin)),
+
+    // Correlation/covariance statistics per group: Pearson corr and
+    // sample covariance of value against event time (integer micros on
+    // both engines — unix_micros ≡ epoch_us, no truncation mismatch).
+    // One partial-aggregable exchange; results round to 6.
+    "q64_corr" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(corr(col("value"),
+            unix_micros(col("ts")).cast("double")), 6).as("corr_vt"),
+          round(covar_samp(col("value"),
+            unix_micros(col("ts")).cast("double") / 1e6), 6)
+            .as("covar_vs"),
+          round(stddev_samp(col("value")), 6).as("sd_v"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(corr(value, CAST(epoch_us(ts) AS DOUBLE)), 6)
+             |    AS corr_vt,
+             |  round(covar_samp(value, CAST(epoch_us(ts) AS DOUBLE) / 1e6),
+             |    6) AS covar_vs,
+             |  round(stddev_samp(value), 6) AS sd_v
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

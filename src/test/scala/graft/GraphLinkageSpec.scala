@@ -126,6 +126,40 @@ class GraphLinkageSpec extends GraftSparkSpec {
     assert(rows.length < docs)
   }
 
+  test("x50 in-row pair generation equals the self-join construction") {
+    val op = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"))
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // reference construction: basket self-join (the SQL-classic shape)
+    val sj = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .as[(Long, Long, Long)].collect().toSet
+    // shipped construction: in-row nested-transform pair explode
+    val inRow = op.groupBy("ok")
+      .agg(sort_array(collect_set(col("pk"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inRow == sj)
+    assert(inRow.nonEmpty)
+    // gate output invariants
+    val rows = ExtensionQueries.all("x50_copurchase").fn(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (pa, pb, nAb, lift) =>
+      assert(pa < pb && nAb >= 3 && lift > 0)
+    }
+  }
+
   test("q62 full outer covers one-sided days with coalesced zeros") {
     val rows = RelationalQueries.all("q62_full_outer").fn(spark, sfDir)
       .as[(String, Long, Long)].collect()
