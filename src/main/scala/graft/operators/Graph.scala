@@ -125,4 +125,57 @@ object Graph {
     }
     labels
   }
+
+  /** Exact per-node triangle counts over an undirected edge list
+    * `(src, dst)` (direction ignored, self-loops dropped). Output:
+    * `(node, n_tri)` for every node in at least one triangle.
+    *
+    * Scale shape — degree-ordered orientation, the standard hub-safe
+    * triangle algorithm: every edge is oriented from its lower-(degree,
+    * id) endpoint to the higher, which turns the undirected graph into a
+    * DAG under a TOTAL order. Wedges are then built only over a node's
+    * OUT-edges — out-degree under degree-orientation is O(√m) on ANY
+    * graph (a node of out-degree d has d higher-degree neighbors, so
+    * d² ≤ 2m) — and because the orientation is a total order, each
+    * triangle {x <o y <o z} yields exactly ONE canonical wedge
+    * (y, z around x) whose closing edge is exactly the ORIENTED edge
+    * y→z: the close check is a plain equality semi-join, never an
+    * OR-of-directions probe. Three exchanges total (degree agg, wedge
+    * self-join on the center key, closing semi-join on the wedge-tip
+    * pair); per-node counts are one final agg over 3 rows per triangle.
+    * Node-id orientation (the naive `a<b<c` SQL form the oracle uses)
+    * computes the same counts but lets one high-id hub fan out O(deg²)
+    * wedges — fine for a DuckDB oracle at gate scale, wrong at 100 TB.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low -> high by (degree, id); carry the tip's (degree, id)
+    // so the wedge stage can order tips by the SAME total order
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist()
+    // one canonical wedge per triangle: tips ordered by (deg, id)
+    val w = o.as("e1").join(o.as("e2"), col("e1.u") === col("e2.u"))
+      .filter(col("e1.dv") < col("e2.dv") ||
+        (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v")))
+      .select(col("e1.u").as("c0"), col("e1.v").as("c1"), col("e2.v").as("c2"))
+    val tri = w.join(o.select(col("u").as("c1"), col("v").as("c2")),
+      Seq("c1", "c2"), "left_semi")
+    tri.select(explode(array(col("c0"), col("c1"), col("c2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -1290,6 +1290,107 @@ object ExtensionQueries {
              |l2 AS (SELECT l1.node, coalesce(m2.label, l1.label) AS label
              |       FROM l1 LEFT JOIN m2 ON m2.n = l1.node)
              |SELECT node, label FROM l2 WHERE label IS NOT NULL
-             |ORDER BY node""".stripMargin))
+             |ORDER BY node""".stripMargin)),
+
+    // Exact per-node triangle counts over the co-purchase graph — the
+    // clustering-coefficient / community-density primitive. The operator
+    // (Graph.triangles) orients edges by (degree, id) so wedge fan-out is
+    // O(sqrt(m)) per node on ANY degree distribution and each triangle is
+    // found exactly once by an equality-only closing semi-join; the
+    // oracle uses the naive a<b<c node-id triple join (same counts,
+    // hub-quadratic — fine for DuckDB at gate scale, wrong at 100 TB;
+    // see the Scaladoc).
+    "x52_triangles" -> QueryDef(
+      (s, dir) => {
+        val op = t(s, dir, "orders").select(col("o_orderkey"))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        Graph.triangles(pc.select(col("pa").as("src"), col("pb").as("dst")))
+          .orderBy("node")
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (
+             |  SELECT a.pk AS a, b.pk AS b
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |corners AS (
+             |  SELECT x AS node FROM tri
+             |  UNION ALL SELECT y FROM tri
+             |  UNION ALL SELECT z FROM tri)
+             |SELECT node, count(*) AS n_tri
+             |FROM corners GROUP BY node ORDER BY node""".stripMargin)),
+
+    // BM25 top-k retrieval (k1=1.2, b=0.75) for a literal query-term set
+    // — the lexical-retrieval half of a RAG / data-curation stack
+    // (Robertson-Spärck Jones BM25). Scale shape: the term filter lands
+    // BEFORE the tf aggregation, so only matching postings ever shuffle;
+    // df and avgdl are term-/corpus-sized broadcasts; the per-doc score
+    // sum is one agg over ≤|query| rows per candidate doc. Floats: both
+    // engines compute the same ln/(+*/) over the same doubles; scores
+    // round to 4 (the d10 tfidf discipline).
+    "x53_bm25" -> QueryDef(
+      (s, dir) => {
+        val qterms = Seq("spark", "join", "window", "hash")
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // avgdl from the EXACT integer token total (a float avg's
+        // accumulation order could drift a ulp between engines)
+        val stats = dl.agg(
+          expr("CAST(sum(dl) AS DOUBLE) / count(*)").as("avgdl"),
+          count(lit(1)).as("n_docs"))
+        val tf = toks.filter(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("part",
+            expr("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
+              "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"))
+          .groupBy("doc_id")
+          .agg(round(sum(col("part")), 4).as("bm25"))
+          .orderBy(desc("bm25"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             |          count(*) AS n_docs FROM dl),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE term IN ('spark', 'join', 'window', 'hash')
+             |  GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+             |SELECT tf.doc_id,
+             |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+             |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+             |    AS bm25
+             |FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+             |CROSS JOIN stats
+             |GROUP BY tf.doc_id
+             |ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin))
   )
 }

@@ -1895,6 +1895,37 @@ object RelationalQueries {
              |    6) AS covar_vs,
              |  round(stddev_samp(value), 6) AS sd_v
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Equi-width histogram (10 buckets between the exact per-group
+    // min/max) — the data-profiling distribution pass. Bucket index is
+    // floor((v-lo)*10/(hi-lo)) clamped to 9: every arithmetic step is
+    // the same IEEE double op in both engines, so the integer bucket is
+    // bit-deterministic (no rounding discipline needed). Shape: one agg
+    // for bounds (broadcast back) + one map + one (group, bucket) agg —
+    // bucket keyspace is groups×10, never data-sized.
+    "q65_histogram" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val bounds = ev.groupBy("event_type").agg(
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .select(col("event_type"),
+            least(floor((col("value") - col("lo")) * lit(10.0) /
+              (col("hi") - col("lo"))), lit(9L)).cast("int").as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, min(value) AS lo, max(value) AS hi
+             |  FROM events GROUP BY event_type)
+             |SELECT e.event_type,
+             |  CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9)
+             |    AS INT) AS bucket,
+             |  count(*) AS n
+             |FROM events e JOIN b ON e.event_type = b.event_type
+             |GROUP BY e.event_type, bucket
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1063,7 +1063,40 @@ object TextQueries {
              |      '[?#].*$', ''), '/$', '') AS canonical
              |  FROM urls)
              |SELECT canonical, count(*) AS n_docs, min(doc_id) AS keeper
-             |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin))
+             |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin)),
+
+    // Token Shannon entropy per document — the information-density
+    // quality signal (low entropy = repetitive/template text; the
+    // complement of d15's repeated-line ratio and one of the classic
+    // Gopher-family filters). Shape: one (doc, term) count agg + one
+    // per-doc sum — both map-side combinable; per-doc term counts are
+    // vocabulary-bounded. Floats: entropy terms are (c/n)·ln(c/n) over
+    // exact integer c and n, summed per doc (≤ distinct-token terms) and
+    // rounded to 4 — the d10 ln discipline.
+    "d35_entropy" -> QueryDef(
+      (s, dir) => {
+        val tc = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        tc.groupBy("doc_id").agg(
+          sum(col("c")).as("n_tokens"),
+          round(-sum(col("c") * log(col("c").cast("double"))) /
+              sum(col("c")) +
+              log(sum(col("c")).cast("double")), 4)
+            .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tc AS (
+             |  SELECT doc_id, term, count(*) AS c
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(trim(text), '\s+')) AS term
+             |        FROM documents)
+             |  GROUP BY doc_id, term)
+             |SELECT doc_id, sum(c) AS n_tokens,
+             |  round(-sum(c * ln(CAST(c AS DOUBLE))) / sum(c)
+             |    + ln(CAST(sum(c) AS DOUBLE)), 4) AS entropy
+             |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every

@@ -167,4 +167,61 @@ class GraphLinkageSpec extends GraftSparkSpec {
     assert(rows.exists(r => r._2 == 0L && r._3 > 0L))
     assert(rows.forall(_._1.nonEmpty)) // key never null after coalesce
   }
+
+  test("triangles counts K4 exactly and ignores a pendant edge") {
+    // K4 on {1,2,3,4}: each node sits in C(3,2) = 3 triangles; the
+    // pendant 4-5 edge adds node 5 to no triangle. Edges fed in mixed
+    // directions + a duplicate to exercise canonicalization.
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (4L, 2L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r = Graph.triangles(e).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("degree-oriented triangles equal the naive closure on a hub graph") {
+    // a hub (0) connected to everyone plus a sparse ring — the shape
+    // where node-id orientation fans out quadratically but counts must
+    // not change under degree orientation
+    val n = 40L
+    val hub = (1L until n).map(i => (0L, i))
+    val ring = (1L until n).map(i => (i, if (i == n - 1) 1L else i + 1))
+    val e = (hub ++ ring).toDF("src", "dst")
+    val got = Graph.triangles(e).as[(Long, Long)].collect().toMap
+    // naive: canonical a<b edge set, a<b<c triple join
+    val und = (hub ++ ring).map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val vs = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    for (a <- vs; b <- vs if a < b && und((a, b)); c <- vs
+         if b < c && und((b, c)) && und((a, c))) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    assert(got == naive.toMap)
+    assert(got.values.sum / 3 == (n - 1)) // one triangle per ring edge
+  }
+
+  test("bm25 retrieves only term-bearing docs in descending score order") {
+    val rows = ExtensionQueries.all("x53_bm25").fn(spark, sfDir)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    val qterms = Set("spark", "join", "window", "hash")
+    val withTerm = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t").isin(qterms.toSeq: _*))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(rows.forall(r => withTerm(r._1)))
+  }
+
+  test("entropy is ln(n) for distinct tokens and 0 for a constant doc") {
+    val docs = Seq((1L, "a b c d"), (2L, "x x x x x")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = s"/tmp/graft-entropy-${System.nanoTime()}"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextQueries.all("d35_entropy").fn(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(math.abs(got.find(_._1 == 1L).get._3 - math.log(4)) < 1e-4)
+    assert(got.find(_._2 == 5L).get._3 == 0.0)
+  }
 }
