@@ -48,4 +48,35 @@ object Layout {
       .repartitionByRange(p, col("zkey"))
       .sortWithinPartitions("zkey")
   }
+
+  /** Compact a parquet directory to ~`targetBytes` output files — the
+    * small-files maintenance pass every long-lived 100 TB table needs
+    * (streaming sinks and per-partition writers leave thousands of tiny
+    * files; scan cost then goes by FILE COUNT — open/footer/seek — not
+    * bytes). File count is sized from the parquet dirs actual on-disk
+    * bytes (not row estimates, which mis-size compressed columnar data),
+    * then one round-robin `repartition(n)` rewrite. Optionally passes
+    * `sortCols` to sort within the new files so footer min/max stats
+    * stay selective after compaction (a plain repartition would shuffle
+    * rows randomly and DESTROY the pruning a sorted layout gave — the
+    * classic compaction mistake). Returns the output file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytes: Long = 128L * 1024 * 1024,
+              sortCols: Seq[String] = Nil): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inDir)).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(n)
+    laid.write.mode("overwrite").parquet(outDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }

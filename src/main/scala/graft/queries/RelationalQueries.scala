@@ -1926,6 +1926,59 @@ object RelationalQueries {
              |  count(*) AS n
              |FROM events e JOIN b ON e.event_type = b.event_type
              |GROUP BY e.event_type, bucket
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Calendar-spine forward fill — the time-series gap-filling pass
+    // (resample daily + carry the last observation forward). A sparse
+    // event subset (every-97th id) is summed per (type, day), joined
+    // against the full min..max day spine per type, and nulls fill from
+    // the last non-null daily sum via `last(v, ignoreNulls)` over an
+    // unbounded-preceding frame (≡ DuckDB last_value IGNORE NULLS).
+    // Days before a type's first observation stay null in both engines.
+    // Shape: one daily agg + spine explode (types × days, group-bounded)
+    // + one per-type ordered window — running state is ONE value.
+    "q66_ffill" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+          .filter(col("event_id") % 97 === 0)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("value"))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(round(sum(col("value")), 6).as("v"))
+        val span = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val spine = daily.select("event_type").distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            last(col("v"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, value
+             |  FROM events WHERE event_id % 97 = 0),
+             |daily AS (
+             |  SELECT event_type, day, round(sum(value), 6) AS v
+             |  FROM ev GROUP BY event_type, day),
+             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+             |spine AS (
+             |  SELECT t.event_type, CAST(g.day AS DATE) AS day
+             |  FROM (SELECT DISTINCT event_type FROM daily) t
+             |  CROSS JOIN (
+             |    SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+             |      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS day
+             |    FROM span) g)
+             |SELECT spine.event_type, spine.day,
+             |  last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY spine.event_type ORDER BY spine.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             |FROM spine LEFT JOIN daily
+             |  ON daily.event_type = spine.event_type
+             |  AND daily.day = spine.day
              |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -234,4 +234,27 @@ object StreamingAnalytics {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Declarative sessionization via the built-in `session_window`
+    * (gap-merged event-time windows) — the no-custom-state alternative to
+    * `sessionize`: Spark's session-window state store handles merge and
+    * eviction, APPEND mode emits each closed session exactly once when
+    * the watermark passes its end. Prefer this form when per-session
+    * output is (start, end, agg) — the engine's native session operator
+    * merges windows inside the state store with no user code on the hot
+    * path; drop to `flatMapGroupsWithState` only for session logic the
+    * aggregate language can't express (e.g. mid-session emission).
+    * One shuffle on (user_id) per micro-batch; state per OPEN session.
+    */
+  def sessionWindowStats(events: DataFrame, gapSeconds: Long,
+                         watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

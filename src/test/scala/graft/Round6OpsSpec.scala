@@ -178,4 +178,35 @@ class Round6OpsSpec extends GraftSparkSpec {
     assert(bloom.toSeq == exact.toSeq)
     assert(exact.nonEmpty && exact.length < train.count())
   }
+
+  test("compact merges a many-file dir to the byte-sized count, content intact") {
+    val base = s"/tmp/graft-compact-${System.nanoTime()}"
+    // 64 tiny files
+    spark.range(0, 20000).selectExpr("id", "id % 7 AS k")
+      .repartition(64).write.parquet(s"$base/in")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/in"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val total = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$base/in")).getLength
+    // target a quarter of the input -> expect ceil(total/target) = 4 files
+    val n = Layout.compact(spark, s"$base/in", s"$base/out", total / 4 + 1)
+    assert(n >= 3 && n <= 5, s"got $n output files")
+    val a = spark.read.parquet(s"$base/in").as[(Long, Long)].collect().sorted
+    val b = spark.read.parquet(s"$base/out").as[(Long, Long)].collect().sorted
+    assert(a.toSeq == b.toSeq)
+    // sorted variant keeps per-file id ranges disjoint (footer pruning)
+    Layout.compact(spark, s"$base/in", s"$base/sorted", total / 4 + 1,
+      sortCols = Seq("id"))
+    val ranges = spark.read.parquet(s"$base/sorted")
+      .select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array(x, y) => assert(x._3 < y._2, s"overlap: $x vs $y")
+      case _ =>
+    }
+  }
 }

@@ -183,4 +183,30 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
         s"expected exactly one null-extended row for user 2, got ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("session_window merges gap-bounded events and appends closed sessions once") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val sess = StreamingAnalytics.sessionWindowStats(
+      in.toDF().toDF("user_id", "ts"), gapSeconds = 30,
+      watermarkDelay = "10 seconds")
+    val q = sess.writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: 0,20,40 chain (gaps <= 30) into ONE session; user 2: lone
+      // event. Split across two batches so the state-store merge runs.
+      in.addData((1L, ts(0)), (2L, ts(5)))
+      q.processAllAvailable()
+      in.addData((1L, ts(20)), (1L, ts(40)))
+      q.processAllAvailable()
+      in.addData((9L, ts(500))) // watermark -> 490: closes everything
+      q.processAllAvailable()
+      val rows = spark.table("sw_out")
+        .as[(Long, Timestamp, Timestamp, Long)]
+        .collect().toSeq.sortBy(r => (r._1, r._2.getTime))
+      // session_window end = last event + gap
+      assert(rows == Seq((1L, ts(0), ts(70), 3L), (2L, ts(5), ts(35), 1L)),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
