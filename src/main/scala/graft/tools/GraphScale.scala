@@ -64,6 +64,62 @@ object GraphScale {
       spark.sharedState.cacheManager.clearCache()
       println(f"${m}%4dM ${tUnrolled}%10.2f s ${tEager}%12.2f s")
     }
+
+    // ---- triangle counting: degree orientation vs node-id orientation
+    // (the x52 claim). Node-id orientation's wedge count at a node v is
+    // (#edges where v is the max end) x (#edges where v is the min end)
+    // — near ZERO for a hub at an extreme id (all its edges share one
+    // direction) but ~deg^2/4 for a hub at a MID id. So id orientation's
+    // cost depends on where the ids happen to fall; degree orientation
+    // bounds every node's out-degree at O(sqrt(m)) REGARDLESS. Two arms:
+    //   benign: the power-law graph above (hubs at id 0 — id
+    //     orientation's lucky case; measures degree orientation's
+    //     constant overhead: the two degree-annotation joins).
+    //   planted: uniform background + one degree-`starDeg` star at a
+    //     mid id — id orientation builds ~starDeg^2/4 wedges from the
+    //     hub alone; degree orientation orients every spoke INTO the
+    //     hub (highest degree), so the hub centers no wedges at all.
+    def naiveIdTriangles(e: org.apache.spark.sql.DataFrame) = {
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().persist()
+      val w = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val tri = w.join(und.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"), "left_semi")
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    }
+
+    def plantedStar(nEdges: Long, starDeg: Long) = {
+      val nNodes = nEdges / 20
+      val hub = nNodes / 2 // mid id: worst case for id orientation
+      val background = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("id"), lit(13)), lit(nNodes)).as("dst"))
+      val spokes = spark.range(starDeg).select(
+        lit(hub).as("src"),
+        pmod(xxhash64(col("id"), lit(29)), lit(nNodes)).as("dst"))
+      background.unionAll(spokes).filter(col("src") =!= col("dst"))
+    }
+
+    println(f"%n${"graph"}%18s ${"deg_orient"}%12s ${"id_orient"}%12s")
+    for (m <- sizesM) {
+      val n = m * 1000000L
+      for ((label, g) <- Seq(
+          ("benign-hub", () => edges(n)),
+          ("planted-star-20k", () => plantedStar(n, 20000L)))) {
+        val tDeg = timed {
+          Graph.triangles(g()).agg(sum("n_tri")).head()
+        }
+        spark.sharedState.cacheManager.clearCache()
+        val tId = timed {
+          naiveIdTriangles(g()).agg(sum("n_tri")).head()
+        }
+        spark.sharedState.cacheManager.clearCache()
+        println(f"${m}%3dM $label%14s ${tDeg}%10.2f s ${tId}%10.2f s")
+      }
+    }
     spark.stop()
   }
 }
