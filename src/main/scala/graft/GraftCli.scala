@@ -198,6 +198,20 @@ object GraftCli {
       println(s"[graft] zorder-write $inParquet -> $outDir (dims $colA, $colB)")
       spark.stop()
 
+    // small-files maintenance: rewrite a parquet dir to ~targetMB files,
+    // optionally range-sorted so footer min/max pruning survives
+    case "compact" :: inDir :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val targetMb = rest.headOption.map(_.toLong).getOrElse(128L)
+      val sortCols = rest.drop(1).headOption
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      val n = operators.Layout.compact(spark, inDir, outDir,
+        targetMb * 1024 * 1024, sortCols)
+      println(s"[graft] compact $inDir -> $outDir ($n files, " +
+        s"target ${targetMb}MB${if (sortCols.nonEmpty) s", sorted by ${sortCols.mkString(",")}" else ""})")
+      spark.stop()
+
     // build the standing dedup index once (offline): (id, shingles,
     // MinHash signature) parquet every delta-dedup server loads at startup
     case "dedup-index-build" :: docsParquet :: indexDir :: Nil =>
@@ -418,6 +432,7 @@ object GraftCli {
            |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]
+           |  compact <inDir> <outDir> [targetMB] [sortCol1,sortCol2,...]
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]

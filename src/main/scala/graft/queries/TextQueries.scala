@@ -1096,7 +1096,66 @@ object TextQueries {
              |SELECT doc_id, sum(c) AS n_tokens,
              |  round(-sum(c * ln(CAST(c AS DOUBLE))) / sum(c)
              |    + ln(CAST(sum(c) AS DOUBLE)), 4) AS entropy
-             |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Bigram PMI collocations (count >= 5, top 30) — the lexical
+    // association statistic behind phrase mining / tokenizer-merge
+    // candidates (complements x44's df-threshold repeated n-grams with a
+    // strength ranking). Shape: bigrams build IN-ROW (x44's transform
+    // pattern — no posexplode self-join), unigram + bigram count aggs
+    // are map-side combinable with vocab/vocab²-bounded keyspaces, and
+    // the unigram table joins back as a vocab-sized broadcast. Floats:
+    // numerator/denominator each multiply out as doubles in one fixed
+    // order from exact integer counts, ONE division, one ln, round 4 —
+    // both engines see identical doubles.
+    "d36_pmi" -> QueryDef(
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val uni = tk.select(explode(col("tk")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val ntok = uni.agg(sum(col("c")).as("n_tok"))
+        val bg = tk.filter(size(col("tk")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(tk) - 2), " +
+              "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val nbig = bg.agg(count(lit(1)).as("n_big"))
+        bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
+            "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
+            "w2")
+          .crossJoin(broadcast(ntok))
+          .crossJoin(broadcast(nbig))
+          .select(col("w1"), col("w2"), col("c_ab"),
+            round(expr("ln((CAST(c_ab AS DOUBLE) * n_tok * n_tok) / " +
+              "(CAST(n_big AS DOUBLE) * c1 * c2))"), 4).as("pmi"))
+          .orderBy(desc("pmi"), col("w1"), col("w2"))
+          .limit(30)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |uni AS (
+             |  SELECT unnest(t) AS w FROM tk),
+             |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+             |ntok AS (SELECT sum(c) AS n_tok FROM uc),
+             |bg AS (
+             |  SELECT t[i] AS w1, t[i+1] AS w2
+             |  FROM tk, LATERAL
+             |    (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+             |nbig AS (SELECT count(*) AS n_big FROM bg),
+             |cab AS (
+             |  SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2
+             |  HAVING count(*) >= 5)
+             |SELECT w1, w2, c_ab,
+             |  round(ln((CAST(c_ab AS DOUBLE) * n_tok * n_tok) /
+             |    (CAST(n_big AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+             |FROM cab JOIN uc u1 ON u1.w = cab.w1
+             |JOIN uc u2 ON u2.w = cab.w2
+             |CROSS JOIN ntok CROSS JOIN nbig
+             |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
