@@ -178,4 +178,37 @@ object Graph {
     tri.select(explode(array(col("c0"), col("c1"), col("c2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Flatten a forest to `(node, root, depth)` by pointer doubling over
+    * a parent table `(node, parent)` (parent NULL marks a root) — the
+    * hierarchy-resolution pass (org charts, category trees, thread
+    * parents) that a recursive CTE runs sequentially and Spark runs in
+    * O(log depth) ROUNDS: each round joins every node's current
+    * 2^k-ancestor pointer to that ancestor's own pointer, doubling the
+    * distance covered; roots self-loop at distance 0, so converged rows
+    * pass through unchanged. `rounds` must satisfy 2^rounds >= max
+    * depth (un-converged rows would report a non-root ancestor;
+    * callers size it from the known hierarchy bound).
+    *
+    * 100 TB shape: the frame is node-sized with ONE equality join per
+    * round on the ancestor key and `localCheckpoint` capping lineage —
+    * depth ceases to matter (a 5000-deep chain converges in 13
+    * rounds); a recursive CTE's 5000 sequential steps is the shape
+    * that does not survive scale.
+    */
+  def rootsAndDepth(parents: DataFrame, rounds: Int): DataFrame = {
+    var f = parents.select(
+      col("node").cast("long").as("node"),
+      coalesce(col("parent").cast("long"), col("node")).as("anc"),
+      when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"))
+    for (i <- 1 to rounds) {
+      val b = f.select(col("node").as("b_node"), col("anc").as("b_anc"),
+        col("depth").as("b_depth"))
+      f = f.join(b, f("anc") === b("b_node"))
+        .select(col("node"), col("b_anc").as("anc"),
+          (col("depth") + col("b_depth")).as("depth"))
+      if (i < rounds) f = f.localCheckpoint()
+    }
+    f.select(col("node"), col("anc").as("root"), col("depth"))
+  }
 }

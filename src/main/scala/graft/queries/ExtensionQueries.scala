@@ -1391,6 +1391,37 @@ object ExtensionQueries {
              |FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
              |CROSS JOIN stats
              |GROUP BY tf.doc_id
-             |ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin))
+             |ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin)),
+
+    // Hierarchy flattening to (node, root, depth) by pointer doubling
+    // (Graph.rootsAndDepth) over a synthetic part forest: parent(p) =
+    // p - (p%7 + 1), NULL (root) when that underflows — irregular steps
+    // so depths vary and several roots exist. The oracle is a RECURSIVE
+    // CTE walking the same forest one level per step; Spark covers the
+    // same paths in O(log depth) doubling rounds (15 rounds = depth
+    // 32768, strictly above any chain the part table can produce since
+    // every step moves >= 1 id). Depth stays integer end to end.
+    "x54_ancestors" -> QueryDef(
+      (s, dir) => {
+        val step = col("p_partkey") % 7 + 1
+        val parents = t(s, dir, "part").select(
+          col("p_partkey").as("node"),
+          when(col("p_partkey") - step <= 0, lit(null))
+            .otherwise(col("p_partkey") - step).as("parent"))
+        Graph.rootsAndDepth(parents, rounds = 15).orderBy("node")
+      },
+      Some("""WITH RECURSIVE h AS (
+             |  SELECT p_partkey AS node,
+             |    CASE WHEN p_partkey - (p_partkey % 7 + 1) <= 0 THEN NULL
+             |         ELSE p_partkey - (p_partkey % 7 + 1) END AS parent
+             |  FROM part),
+             |r AS (
+             |  SELECT node, node AS root, 0 AS depth
+             |  FROM h WHERE parent IS NULL
+             |  UNION ALL
+             |  SELECT h.node, r.root, r.depth + 1
+             |  FROM h JOIN r ON h.parent = r.node)
+             |SELECT node, root, CAST(depth AS BIGINT) AS depth
+             |FROM r ORDER BY node""".stripMargin))
   )
 }

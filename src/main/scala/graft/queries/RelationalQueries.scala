@@ -1979,6 +1979,47 @@ object RelationalQueries {
              |FROM spine LEFT JOIN daily
              |  ON daily.event_type = spine.event_type
              |  AND daily.day = spine.day
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Two-sample z-test per event_type (cohorts = user_id parity) — the
+    // A/B-significance pass of an experimentation pipeline. ONE
+    // conditional aggregation computes both cohorts' n/sum/stddev (no
+    // second scan, no join); z = (mean0-mean1)/sqrt(sd0²/n0 + sd1²/n1)
+    // from the UNROUNDED partials, rounded to 4 at the end, and the
+    // significance flag derives from the ROUNDED z so a 1-ulp drift
+    // cannot flip the boolean (the q61 discipline).
+    "q67_abtest" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("grp", (col("user_id") % 2).cast("int"))
+        ev.groupBy("event_type").agg(
+            count(when(col("grp") === 0, lit(1))).as("n0"),
+            count(when(col("grp") === 1, lit(1))).as("n1"),
+            sum(when(col("grp") === 0, col("value"))).as("s0"),
+            sum(when(col("grp") === 1, col("value"))).as("s1"),
+            stddev_samp(when(col("grp") === 0, col("value"))).as("sd0"),
+            stddev_samp(when(col("grp") === 1, col("value"))).as("sd1"))
+          .select(col("event_type"), col("n0"), col("n1"),
+            round(expr("(s0 / n0 - s1 / n1) / " +
+              "sqrt(sd0 * sd0 / n0 + sd1 * sd1 / n1)"), 4).as("z"))
+          .withColumn("significant", abs(col("z")) > 1.96)
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_type,
+             |    count(*) FILTER (WHERE user_id % 2 = 0) AS n0,
+             |    count(*) FILTER (WHERE user_id % 2 = 1) AS n1,
+             |    sum(value) FILTER (WHERE user_id % 2 = 0) AS s0,
+             |    sum(value) FILTER (WHERE user_id % 2 = 1) AS s1,
+             |    stddev_samp(value) FILTER (WHERE user_id % 2 = 0) AS sd0,
+             |    stddev_samp(value) FILTER (WHERE user_id % 2 = 1) AS sd1
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, n0, n1,
+             |  round((s0 / n0 - s1 / n1) /
+             |    sqrt(sd0 * sd0 / n0 + sd1 * sd1 / n1), 4) AS z,
+             |  abs(round((s0 / n0 - s1 / n1) /
+             |    sqrt(sd0 * sd0 / n0 + sd1 * sd1 / n1), 4)) > 1.96
+             |    AS significant
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 }

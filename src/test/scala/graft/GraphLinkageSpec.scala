@@ -199,6 +199,24 @@ class GraphLinkageSpec extends GraftSparkSpec {
     assert(got.values.sum / 3 == (n - 1)) // one triangle per ring edge
   }
 
+  test("rootsAndDepth resolves a chain and a forest by pointer doubling") {
+    // chain 1 <- 2 <- ... <- 10 plus a separate 2-node tree 100 <- 101
+    val parents = ((2L to 10L).map(i => (i, Some(i - 1))) ++
+      Seq((1L, None), (100L, None), (101L, Some(100L))))
+      .toDF("node", "parent")
+    // 4 rounds cover depth 16 > 9
+    val r = Graph.rootsAndDepth(parents, rounds = 4)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    (1L to 10L).foreach(i => assert(r(i) == (1L, i - 1)))
+    assert(r(100L) == (100L, 0L) && r(101L) == (100L, 1L))
+    // UNDER-provisioned rounds must under-report: depth reached is
+    // capped at 2^rounds (documented contract, not silent corruption)
+    val shallow = Graph.rootsAndDepth(parents, rounds = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(shallow(10L)._2 == 4L) // 2^2 = 4 levels covered, anc not root
+    assert(shallow(10L)._1 != 1L)
+  }
+
   test("bm25 retrieves only term-bearing docs in descending score order") {
     val rows = ExtensionQueries.all("x53_bm25").fn(spark, sfDir)
       .as[(Long, Double)].collect()
