@@ -198,6 +198,37 @@ object GraftCli {
       println(s"[graft] zorder-write $inParquet -> $outDir (dims $colA, $colB)")
       spark.stop()
 
+    // link-analysis over an (src, dst) parquet edge list: damped
+    // PageRank ranks written as (node, r) integer rank units
+    case "graph-pagerank" :: edgesParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val iters = rest.headOption.map(_.toInt).getOrElse(10)
+      operators.Graph.pagerank(spark.read.parquet(edgesParquet), iters)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-pagerank $edgesParquet -> $outDir ($iters iters)")
+      spark.stop()
+
+    // per-node triangle counts over an undirected (src, dst) edge list
+    case "graph-triangles" :: edgesParquet :: outDir :: Nil =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      operators.Graph.triangles(spark.read.parquet(edgesParquet))
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-triangles $edgesParquet -> $outDir")
+      spark.stop()
+
+    // flatten a (node, parent) forest to (node, root, depth)
+    case "graph-ancestors" :: parentsParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rounds = rest.headOption.map(_.toInt).getOrElse(20)
+      operators.Graph.rootsAndDepth(
+          spark.read.parquet(parentsParquet), rounds)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-ancestors $parentsParquet -> $outDir ($rounds rounds)")
+      spark.stop()
+
     // small-files maintenance: rewrite a parquet dir to ~targetMB files,
     // optionally range-sorted so footer min/max pruning survives
     case "compact" :: inDir :: outDir :: rest =>
@@ -433,6 +464,9 @@ object GraftCli {
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]
            |  compact <inDir> <outDir> [targetMB] [sortCol1,sortCol2,...]
+           |  graph-pagerank <edgesParquet> <outDir> [iters]
+           |  graph-triangles <edgesParquet> <outDir>
+           |  graph-ancestors <parentsParquet> <outDir> [rounds]
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]

@@ -76,7 +76,15 @@ object Graph {
       if (i % checkpointInterval == 0 && i < iters)
         rank = rank.localCheckpoint()
     }
-    rank
+    // eager-materialize the node-sized result, then RELEASE the helper
+    // caches: CacheManager holds persisted frames until an explicit
+    // unpersist (GC never reclaims them), so returning a plan that
+    // references them would leak two cached frames per call into any
+    // long-lived session
+    val out = rank.localCheckpoint()
+    g.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** Synchronous label propagation (community/label spreading) over a
@@ -123,7 +131,11 @@ object Graph {
       if (i % checkpointInterval == 0 && i < iters)
         labels = labels.localCheckpoint()
     }
-    labels
+    // same cache-release discipline as pagerank
+    val out = labels.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** Exact per-node triangle counts over an undirected edge list
@@ -175,8 +187,12 @@ object Graph {
       .select(col("e1.u").as("c0"), col("e1.v").as("c1"), col("e2.v").as("c2"))
     val tri = w.join(o.select(col("u").as("c1"), col("v").as("c2")),
       Seq("c1", "c2"), "left_semi")
-    tri.select(explode(array(col("c0"), col("c1"), col("c2"))).as("node"))
+    val counts = tri
+      .select(explode(array(col("c0"), col("c1"), col("c2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint() // materialize, then release the oriented cache
+    o.unpersist()
+    counts
   }
 
   /** Flatten a forest to `(node, root, depth)` by pointer doubling over

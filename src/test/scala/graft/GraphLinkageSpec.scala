@@ -199,6 +199,21 @@ class GraphLinkageSpec extends GraftSparkSpec {
     assert(got.values.sum / 3 == (n - 1)) // one triangle per ring edge
   }
 
+  test("graph operators release their caches (no CacheManager leak)") {
+    // CacheManager holds persisted frames until explicit unpersist; a
+    // long-lived session calling graph ops per batch would otherwise
+    // accumulate cached frames without bound (observed as a broad
+    // slowdown across a 480-query bench before the fix)
+    spark.sharedState.cacheManager.clearCache()
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    Graph.pagerank(e, iters = 2).collect()
+    Graph.labelPropagate(e,
+      Seq((1L, "a")).toDF("node", "label"), iters = 2).collect()
+    Graph.triangles(e).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graph operator left frames in the CacheManager")
+  }
+
   test("rootsAndDepth resolves a chain and a forest by pointer doubling") {
     // chain 1 <- 2 <- ... <- 10 plus a separate 2-node tree 100 <- 101
     val parents = ((2L to 10L).map(i => (i, Some(i - 1))) ++
