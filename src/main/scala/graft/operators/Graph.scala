@@ -195,6 +195,47 @@ object Graph {
     counts
   }
 
+  /** Deterministic `steps`-step walks from `seeds` over a directed edge
+    * list — the graph-sampling primitive (node2vec/DeepWalk-style
+    * context generation) made engine-exact: the next hop from `cur` at
+    * step k is the out-neighbor minimizing md5(seed > k > neighbor)
+    * (md5 yields identical hex in any engine, so an unrolled SQL oracle
+    * reproduces the walk bit-for-bit; including the seed keeps two
+    * walks that meet at a node from shadowing each other forever). A
+    * node with no out-edges holds the walk in place. Returns
+    * `(seed, step, node)` for steps 0..steps.
+    *
+    * 100 TB shape: per step ONE join of the walk frontier (seed-sized)
+    * against the edge list on the current-node key + one argmin window
+    * per seed — frontier frames are seed-sized, never graph-sized; the
+    * hash ranking replaces an RNG so resumed/replayed jobs sample the
+    * SAME walks (determinism under retry is what makes walk sampling
+    * usable in a checkpointed pipeline).
+    */
+  def deterministicWalks(edges: DataFrame, seeds: DataFrame,
+                         steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    var walk = seeds.select(col("seed").cast("long").as("seed"))
+      .distinct().withColumn("cur", col("seed"))
+    var acc = walk.select(col("seed"), lit(0).as("step"),
+      col("cur").as("node"))
+    for (k <- 1 to steps) {
+      val pick = walk.join(e, walk("cur") === e("src"), "left")
+        .withColumn("hk",
+          md5(concat_ws(">", col("seed"), lit(k), col("dst"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("seed").orderBy(col("hk"), col("dst"))))
+        .filter(col("rn") === 1)
+        .select(col("seed"), coalesce(col("dst"), col("cur")).as("cur"))
+      walk = pick.localCheckpoint()
+      acc = acc.unionAll(walk.select(col("seed"), lit(k).as("step"),
+        col("cur").as("node")))
+    }
+    acc
+  }
+
   /** Flatten a forest to `(node, root, depth)` by pointer doubling over
     * a parent table `(node, parent)` (parent NULL marks a root) — the
     * hierarchy-resolution pass (org charts, category trees, thread

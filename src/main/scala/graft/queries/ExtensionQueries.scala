@@ -1422,6 +1422,63 @@ object ExtensionQueries {
              |  SELECT h.node, r.root, r.depth + 1
              |  FROM h JOIN r ON h.parent = r.node)
              |SELECT node, root, CAST(depth AS BIGINT) AS depth
-             |FROM r ORDER BY node""".stripMargin))
+             |FROM r ORDER BY node""".stripMargin)),
+
+    // Deterministic random walks (3 steps) over the bipartite
+    // part-supplier graph — node2vec/DeepWalk-style context sampling
+    // with an md5 argmin replacing the RNG (Graph.deterministicWalks),
+    // so a checkpointed/replayed pipeline samples the SAME walks and an
+    // unrolled-SQL oracle reproduces them bit-for-bit. Seeds are every
+    // 100th part; ids disambiguate the two sides as 2p / 2s+1.
+    "x55_random_walks" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+        val fwd = li.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = fwd.unionAll(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = li.filter(col("l_partkey") % 100 === 0)
+          .select((col("l_partkey") * 2).as("seed"))
+        Graph.deterministicWalks(edges, seeds, steps = 3)
+          .orderBy("seed", "step")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM lineitem
+             |  UNION
+             |  SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem),
+             |w0 AS (
+             |  SELECT DISTINCT l_partkey * 2 AS seed, l_partkey * 2 AS cur
+             |  FROM lineitem WHERE l_partkey % 100 = 0),
+             |c1 AS (
+             |  SELECT w0.seed, e.dst, row_number() OVER (PARTITION BY w0.seed
+             |    ORDER BY md5(concat_ws('>', w0.seed, 1, e.dst)), e.dst) AS rn
+             |  FROM w0 JOIN e ON e.src = w0.cur),
+             |w1 AS (
+             |  SELECT w0.seed, coalesce(c1.dst, w0.cur) AS cur
+             |  FROM w0 LEFT JOIN (SELECT seed, dst FROM c1 WHERE rn = 1) c1
+             |    USING (seed)),
+             |c2 AS (
+             |  SELECT w1.seed, e.dst, row_number() OVER (PARTITION BY w1.seed
+             |    ORDER BY md5(concat_ws('>', w1.seed, 2, e.dst)), e.dst) AS rn
+             |  FROM w1 JOIN e ON e.src = w1.cur),
+             |w2 AS (
+             |  SELECT w1.seed, coalesce(c2.dst, w1.cur) AS cur
+             |  FROM w1 LEFT JOIN (SELECT seed, dst FROM c2 WHERE rn = 1) c2
+             |    USING (seed)),
+             |c3 AS (
+             |  SELECT w2.seed, e.dst, row_number() OVER (PARTITION BY w2.seed
+             |    ORDER BY md5(concat_ws('>', w2.seed, 3, e.dst)), e.dst) AS rn
+             |  FROM w2 JOIN e ON e.src = w2.cur),
+             |w3 AS (
+             |  SELECT w2.seed, coalesce(c3.dst, w2.cur) AS cur
+             |  FROM w2 LEFT JOIN (SELECT seed, dst FROM c3 WHERE rn = 1) c3
+             |    USING (seed))
+             |SELECT seed, 0 AS step, cur AS node FROM w0
+             |UNION ALL SELECT seed, 1, cur FROM w1
+             |UNION ALL SELECT seed, 2, cur FROM w2
+             |UNION ALL SELECT seed, 3, cur FROM w3
+             |ORDER BY seed, step""".stripMargin))
   )
 }

@@ -1876,7 +1876,11 @@ object RelationalQueries {
     // Correlation/covariance statistics per group: Pearson corr and
     // sample covariance of value against event time (integer micros on
     // both engines — unix_micros ≡ epoch_us, no truncation mismatch).
-    // One partial-aggregable exchange; results round to 6.
+    // One partial-aggregable exchange. Rounding is MAGNITUDE-AWARE:
+    // corr/stddev are O(1)/O(100) and round to 6, but covar_vs is
+    // O(1e6) — at that size 6 decimals sits on the distributed
+    // summation-drift boundary (~1e-12 relative), so it rounds to 1
+    // decimal (tolerance 0.05 vs ~3e-6 drift; caught at sf0.001).
     "q64_corr" -> QueryDef(
       (s, dir) => t(s, dir, "events")
         .groupBy("event_type")
@@ -1884,7 +1888,7 @@ object RelationalQueries {
           round(corr(col("value"),
             unix_micros(col("ts")).cast("double")), 6).as("corr_vt"),
           round(covar_samp(col("value"),
-            unix_micros(col("ts")).cast("double") / 1e6), 6)
+            unix_micros(col("ts")).cast("double") / 1e6), 1)
             .as("covar_vs"),
           round(stddev_samp(col("value")), 6).as("sd_v"))
         .orderBy("event_type"),
@@ -1892,7 +1896,7 @@ object RelationalQueries {
              |  round(corr(value, CAST(epoch_us(ts) AS DOUBLE)), 6)
              |    AS corr_vt,
              |  round(covar_samp(value, CAST(epoch_us(ts) AS DOUBLE) / 1e6),
-             |    6) AS covar_vs,
+             |    1) AS covar_vs,
              |  round(stddev_samp(value), 6) AS sd_v
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
@@ -2020,6 +2024,30 @@ object RelationalQueries {
              |  abs(round((s0 / n0 - s1 / n1) /
              |    sqrt(sd0 * sd0 / n0 + sd1 * sd1 / n1), 4)) > 1.96
              |    AS significant
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // SLIDING event-time windows (6h length, 2h slide — q20 is the
+    // tumbling case): every event lands in exactly 3 overlapping
+    // windows. Spark's window(len, slide) replicates rows engine-side;
+    // the oracle derives the same 3 covering starts per event as
+    // time_bucket(2h) - {0,1,2}*2h (both engines align 2h buckets to a
+    // whole-day origin, so starts agree exactly). Shape: the 3x row
+    // expansion happens map-side; one (ws, type) agg — at 100 TB the
+    // expansion factor is len/slide, a deliberate, bounded constant.
+    "q68_sliding" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "2 hours")
+            .getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("ws", "event_type"),
+      Some("""SELECT ws, event_type, count(*) AS n,
+             |  round(sum(value), 2) AS total
+             |FROM (
+             |  SELECT time_bucket(INTERVAL 2 HOUR, ts)
+             |      - i.i * INTERVAL 2 HOUR AS ws,
+             |    event_type, value
+             |  FROM events, LATERAL (SELECT unnest([0, 1, 2]) AS i) i)
+             |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin))
   )
 }

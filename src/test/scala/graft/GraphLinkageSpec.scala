@@ -232,6 +232,27 @@ class GraphLinkageSpec extends GraftSparkSpec {
     assert(shallow(10L)._1 != 1L)
   }
 
+  test("deterministic walks follow edges, hold at dead ends, and replay identically") {
+    // 1 -> {2,3}, 2 -> {4}, 3 -> {}, 4 -> {1}: node 3 is a dead end
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 3L).toDF("seed")
+    def run() = Graph.deterministicWalks(e, seeds, steps = 3)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val w = run()
+    assert(w.length == 8) // 2 seeds x steps 0..3
+    // dead-end seed holds in place forever
+    assert(w.filter(_._1 == 3L).forall(_._3 == 3L))
+    // every hop from seed 1 follows an edge (or holds)
+    val adj = Map(1L -> Set(2L, 3L), 2L -> Set(4L), 3L -> Set.empty[Long],
+      4L -> Set(1L))
+    val path = w.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    path.sliding(2).foreach { case Array(a, b) =>
+      assert(adj(a).contains(b) || (adj(a).isEmpty && a == b),
+        s"illegal hop $a -> $b")
+    }
+    assert(w.toSeq == run().toSeq) // replay-exact
+  }
+
   test("bm25 retrieves only term-bearing docs in descending score order") {
     val rows = ExtensionQueries.all("x53_bm25").fn(spark, sfDir)
       .as[(Long, Double)].collect()
