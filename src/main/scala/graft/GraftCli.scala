@@ -303,6 +303,22 @@ object GraftCli {
     // either raw documents parquet (sketched at startup) or a
     // `dedup-index-build` output (detected by its `sig` column — loaded,
     // never re-sketched).
+    // continuous latest-per-key materialized view over a parquet landing
+    // stream (schema inferred from the first landed file)
+    case "stream-upsert" :: landingDir :: tableDir :: checkpoint :: keyCol :: tsCol :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val nBuckets = rest.headOption.map(_.toInt).getOrElse(64)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val schema = spark.read.parquet(landingDir).schema
+      val stream = spark.readStream.schema(schema).parquet(landingDir)
+      val q = streaming.StreamingAnalytics.upsertLatest(
+        stream, keyCol, tsCol, tableDir, checkpoint, nBuckets)
+      println(s"[graft] upsert server on $landingDir -> $tableDir " +
+        s"(key=$keyCol ts=$tsCol buckets=$nBuckets)")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+
     case "stream-dedup-delta" :: corpusParquet :: landingDir :: outDir :: checkpoint :: rest =>
       val spark = session()
       val threshold = rest.headOption.map(_.toDouble).getOrElse(0.5)
@@ -472,6 +488,7 @@ object GraftCli {
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  ann-index-build-pq <embeddingsParquet> <indexDir> [nlist] [nSub]
            |  ann-query-pq <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
+           |  stream-upsert <landingDir> <tableDir> <checkpointDir> <keyCol> <tsCol> [nBuckets] [runSec]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
            |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec] [backward|forward] [toleranceUnits]
            |  heavy-hitters <docsParquet> [k]

@@ -235,6 +235,77 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Replay-safe streaming upsert: continuously materialize the LATEST
+    * row per key into a bucket-partitioned parquet table (the CDC
+    * "materialized view" pattern). Per micro-batch, `foreachBatch`:
+    *   1. reduces the batch to its latest row per key,
+    *   2. reads ONLY the table buckets those keys hash into (partition
+    *      pruning on the bucket column — the batch's touched-bucket set,
+    *      not the table, bounds the read),
+    *   3. merges by (tsCol, then key) argmax,
+    *   4. rewrites just those buckets via DYNAMIC partition overwrite.
+    *
+    * Crash/replay safety without a transaction log: the merge is
+    * IDEMPOTENT (re-applying rows that already won changes nothing), and
+    * a partially-overwritten bucket set simply re-merges on the replayed
+    * batch — the argmax re-derives the same winners whether or not the
+    * previous attempt's writes landed. At 100 TB the per-batch cost is
+    * O(touched buckets), not O(table) — the same reason the dedup index
+    * and IVF lists partition their standing state.
+    *
+    * Contract: (keyCol, tsCol) pairs are unique per key version (the
+    * CDC shape); two different rows carrying the SAME key and ts race
+    * arbitrarily, as in any last-writer-wins store.
+    */
+  def upsertLatest(stream: DataFrame, keyCol: String, tsCol: String,
+                   tableDir: String, checkpointDir: String,
+                   nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, keyCol, tsCol, tableDir, nBuckets)
+      }
+      .start()
+
+  /** One upsert merge step (the `foreachBatch` body, callable directly
+    * for batch backfills and tested in isolation).
+    */
+  def upsertBatch(batch: DataFrame, keyCol: String, tsCol: String,
+                  tableDir: String, nBuckets: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val bucketed = batch.withColumn("bucket",
+      pmod(hash(col(keyCol)), lit(nBuckets)))
+    val latestInBatch = bucketed.withColumn("rn",
+        row_number().over(Window.partitionBy(keyCol)
+          .orderBy(desc(tsCol), col(keyCol))))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint() // bounded: batch-sized; read before any overwrite
+    val touched = latestInBatch.select("bucket").distinct()
+      .collect().map(_.getInt(0)) // bounded driver list: <= nBuckets ints
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
+        val existing = spark.read.parquet(tableDir)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        // read fully before the overwrite below replaces these files
+        existing.unionByName(latestInBatch).withColumn("rn",
+            row_number().over(Window.partitionBy(keyCol)
+              .orderBy(desc(tsCol), col(keyCol))))
+          .filter(col("rn") === 1).drop("rn")
+          .localCheckpoint()
+      } else latestInBatch
+    // scope the dynamic-overwrite mode to THIS write (a session-wide
+    // flip would silently change other writers' overwrite semantics)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(tableDir)
+  }
+
   /** Declarative sessionization via the built-in `session_window`
     * (gap-merged event-time windows) — the no-custom-state alternative to
     * `sessionize`: Spark's session-window state store handles merge and

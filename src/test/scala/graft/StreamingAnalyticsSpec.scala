@@ -184,6 +184,36 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("upsertLatest keeps the newest row per key across batches and replays idempotently") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-upsert-${System.nanoTime()}"
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamingAnalytics.upsertLatest(
+      in.toDF().toDF("k", "ts", "v"), "k", "ts",
+      s"$base/table", s"$base/ckpt", nBuckets = 4)
+    try {
+      in.addData((1L, ts(10), 1.0), (2L, ts(10), 2.0))
+      q.processAllAvailable()
+      in.addData((2L, ts(20), 2.5), (3L, ts(5), 3.0),
+        (3L, ts(6), 3.5)) // key 3 updated twice within one batch
+      q.processAllAvailable()
+      def table() = spark.read.parquet(s"$base/table")
+        .select("k", "v").as[(Long, Double)].collect().sorted.toSeq
+      assert(table() == Seq((1L, 1.0), (2L, 2.5), (3L, 3.5)))
+      // replay: re-applying an already-applied batch must change nothing
+      // (older ts rows lose the argmax; equal rows re-win identically)
+      StreamingAnalytics.upsertBatch(
+        Seq((2L, ts(20), 2.5), (3L, ts(5), 3.0)).toDF("k", "ts", "v"),
+        "k", "ts", s"$base/table", nBuckets = 4)
+      assert(table() == Seq((1L, 1.0), (2L, 2.5), (3L, 3.5)))
+      // out-of-order late update: older ts never overwrites newer
+      StreamingAnalytics.upsertBatch(
+        Seq((2L, ts(15), 9.9)).toDF("k", "ts", "v"),
+        "k", "ts", s"$base/table", nBuckets = 4)
+      assert(table() == Seq((1L, 1.0), (2L, 2.5), (3L, 3.5)))
+    } finally q.stop()
+  }
+
   test("session_window merges gap-bounded events and appends closed sessions once") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
