@@ -2048,6 +2048,47 @@ object RelationalQueries {
              |      - i.i * INTERVAL 2 HOUR AS ws,
              |    event_type, value
              |  FROM events, LATERAL (SELECT unnest([0, 1, 2]) AS i) i)
-             |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin))
+             |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+
+    // Markov transition matrix over per-user event sequences (the
+    // user-journey / clickstream-mining pass): consecutive event pairs
+    // via lead() over (ts, event_id) — the id tiebreak makes the
+    // sequence engine-exact — counted into a types² matrix with
+    // transition probability in integer micros (n·1e6 div row total).
+    // Shape: one window exchange on user_id + one bounded-keyspace agg.
+    "q69_transitions" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy("from_type")
+          .agg(sum(col("n")).as("row_n"))
+        pairs.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(n * 1000000L) div row_n").as("p_micro"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |pairs AS (
+             |  SELECT from_type, to_type, count(*) AS n FROM seq
+             |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |tot AS (
+             |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM pairs
+             |  GROUP BY from_type)
+             |SELECT pairs.from_type, to_type, n,
+             |  CAST((n * 1000000) // row_n AS BIGINT) AS p_micro
+             |FROM pairs JOIN tot ON tot.from_type = pairs.from_type
+             |ORDER BY pairs.from_type, to_type""".stripMargin))
   )
 }

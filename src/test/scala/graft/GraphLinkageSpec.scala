@@ -267,6 +267,29 @@ class GraphLinkageSpec extends GraftSparkSpec {
     assert(rows.forall(r => withTerm(r._1)))
   }
 
+  test("round-8 query plans keep their intended shapes") {
+    // x53 bm25: the df/corpus-stats joins must be broadcasts (term- and
+    // 1-row-sized) and the top-20 must be TakeOrdered, never a global sort
+    val bm25 = ExtensionQueries.all("x53_bm25").fn(spark, sfDir)
+    val p53 = bm25.queryExecution.executedPlan.toString
+    assert(p53.contains("BroadcastHashJoin") ||
+      p53.contains("BroadcastNestedLoopJoin"))
+    assert(p53.contains("TakeOrderedAndProject"))
+    // q65 histogram: per-type bounds come back as a broadcast, and the
+    // parquet scan projects only the needed columns
+    val q65 = RelationalQueries.all("q65_histogram").fn(spark, sfDir)
+    val p65 = q65.queryExecution.executedPlan.toString
+    assert(p65.contains("BroadcastHashJoin"))
+    val scan65 = q65.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("events.parquet")).getOrElse("")
+    assert(!scan65.contains("props"), "histogram scan reads unused columns")
+    // q66 ffill: the spine cross join must broadcast the 1-row span
+    val p66 = RelationalQueries.all("q66_ffill").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p66.contains("BroadcastNestedLoopJoin") ||
+      p66.contains("BroadcastHashJoin"))
+  }
+
   test("entropy is ln(n) for distinct tokens and 0 for a constant doc") {
     val docs = Seq((1L, "a b c d"), (2L, "x x x x x")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
