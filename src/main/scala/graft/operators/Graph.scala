@@ -215,10 +215,14 @@ object Graph {
   def deterministicWalks(edges: DataFrame, seeds: DataFrame,
                          steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached across the step loop (each step's eager checkpoint would
+    // otherwise rebuild the distinct edge list); released before return
+    // — every acc arm is checkpointed, so nothing references it after
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
+      col("dst").cast("long").as("dst")).distinct().persist()
     var walk = seeds.select(col("seed").cast("long").as("seed"))
       .distinct().withColumn("cur", col("seed"))
+      .localCheckpoint()
     var acc = walk.select(col("seed"), lit(0).as("step"),
       col("cur").as("node"))
     for (k <- 1 to steps) {
@@ -233,6 +237,7 @@ object Graph {
       acc = acc.unionAll(walk.select(col("seed"), lit(k).as("step"),
         col("cur").as("node")))
     }
+    e.unpersist()
     acc
   }
 

@@ -1042,8 +1042,9 @@ object ExtensionQueries {
     // dst-key agg; the degree-annotated edge list caches once.
     "x47_pagerank" -> QueryDef(
       (s, dir) => {
-        val cp = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-          .filter(col("o_custkey") % 10 === 0)
+        val cp = broadcast(
+            t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+              .filter(col("o_custkey") % 10 === 0))
           .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("c"),
@@ -1179,7 +1180,11 @@ object ExtensionQueries {
     // (PCY/A-Priori's pair pass) at its 100 TB shape.
     "x50_copurchase" -> QueryDef(
       (s, dir) => {
-        val op = t(s, dir, "orders").select(col("o_orderkey"))
+        // the single-column orderkey projection is the textbook broadcast
+        // dim (8 B/row); without the hint the planner occasionally falls
+        // back to a sort-merge join here, tripling this query's cost in
+        // long-lived sessions (measured r8) — pin it
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
           .join(t(s, dir, "lineitem")
               .select(col("l_orderkey"), col("l_partkey")),
             col("l_orderkey") === col("o_orderkey"))
@@ -1232,7 +1237,7 @@ object ExtensionQueries {
     // x47 — node-sized label frame, edge join + argmax window.
     "x51_label_prop" -> QueryDef(
       (s, dir) => {
-        val op = t(s, dir, "orders").select(col("o_orderkey"))
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
           .join(t(s, dir, "lineitem")
               .select(col("l_orderkey"), col("l_partkey")),
             col("l_orderkey") === col("o_orderkey"))
@@ -1302,7 +1307,7 @@ object ExtensionQueries {
     // see the Scaladoc).
     "x52_triangles" -> QueryDef(
       (s, dir) => {
-        val op = t(s, dir, "orders").select(col("o_orderkey"))
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
           .join(t(s, dir, "lineitem")
               .select(col("l_orderkey"), col("l_partkey")),
             col("l_orderkey") === col("o_orderkey"))

@@ -210,6 +210,7 @@ class GraphLinkageSpec extends GraftSparkSpec {
     Graph.labelPropagate(e,
       Seq((1L, "a")).toDF("node", "label"), iters = 2).collect()
     Graph.triangles(e).collect()
+    Graph.deterministicWalks(e, Seq(1L).toDF("seed"), steps = 2).collect()
     assert(spark.sharedState.cacheManager.isEmpty,
       "graph operator left frames in the CacheManager")
   }
