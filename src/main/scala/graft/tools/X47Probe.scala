@@ -49,6 +49,41 @@ object X47Probe {
       }
       println(f"pagerank interval=$interval rep=$rep: $t%.2f s")
     }
+
+    // x51's shape: labels referenced TWICE per round (neighbor join +
+    // keep-label join) — the unrolled plan doubles per iteration, unlike
+    // pagerank's linear chain
+    def copurchaseEdges = {
+      val op = broadcast(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey")))
+        .join(spark.read.parquet(s"$dir/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pc = op.groupBy("ok")
+        .agg(sort_array(collect_set(col("pk"))).as("items"))
+        .select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), " +
+            "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pc.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(pc.select(col("pb").as("src"), col("pa").as("dst")))
+    }
+    val seeds = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+    for (interval <- Seq(1, 5); rep <- 1 to 2) {
+      val t = timed {
+        graft.operators.Graph.labelPropagate(copurchaseEdges, seeds,
+          iters = 2, checkpointInterval = interval)
+          .filter(col("label").isNotNull).orderBy("node").collect()
+      }
+      println(f"labelprop interval=$interval rep=$rep: $t%.2f s")
+    }
     spark.stop()
   }
 }
