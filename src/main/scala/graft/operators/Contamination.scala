@@ -79,24 +79,37 @@ object Contamination {
     * cutting those from the exchange is the difference between shuffling
     * 100 TB of shingle text and shuffling megabytes.
     *
-    * The probe is a plain Scala UDF (off-codegen): one hash probe per
-    * shingle against a broadcast bitset, on a stream the filter SHRINKS by
-    * ~1/fpp — a fair trade that a Catalyst `might_contain` expression
-    * would only shave constant factors off. (Spark's own injected runtime
-    * bloom filters cover join keys, not this explode-then-semi-join
-    * shape.)
+    * Build and probe both ride Spark's NATIVE bloom machinery (the same
+    * expressions `InjectRuntimeFilter` uses for join keys — which never
+    * fire for this explode-then-semi-join shape, so we instantiate them
+    * directly): the sketch is built by a distributed `BloomFilterAggregate`
+    * over xxhash64(shingle) (partial sketches OR-merged, nothing
+    * collected but the final bitset), and the probe is
+    * `BloomFilterMightContain`, a codegen'd predicate — the filter stays
+    * inside the WholeStageCodegen span instead of breaking it at a Scala
+    * UDF boundary.
     */
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 8,
                          fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.sql.types.BinaryType
     val benchSh = benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
       .distinct().localCheckpoint() // consumed twice: bloom build + verify
-    val bf = benchSh.stat.bloomFilter("shingle",
-      math.max(benchSh.count(), 1L), fpp)
-    val bcBf = train.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((s: String) => s != null && bcBf.value.mightContainString(s))
+    val nItems = math.max(benchSh.count(), 1L)
+    // standard sizing: bits = -n ln(fpp) / ln(2)^2
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val buildAgg = Shims.column(new BloomFilterAggregate(
+      Shims.expression(xxhash64(col("shingle"))),
+      Literal(nItems), Literal(numBits)).toAggregateExpression())
+    val bfBytes = benchSh.select(buildAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = (c: Column) => Shims.column(new BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), Shims.expression(xxhash64(c))))
     val flagged = train
       .select(col(idCol).as("id"),
         explode(Dedup.shingles(col(textCol), n)).as("shingle"))

@@ -258,6 +258,17 @@ object Graph {
     * rounds); a recursive CTE's 5000 sequential steps is the shape
     * that does not survive scale.
     */
+  /** Rounds derived from the data: depth is bounded by the node count, so
+    * ceil(log2(n)) doubling rounds always converge — callers don't have to
+    * guess a pin that silently under-provisions when the table grows. The
+    * count is one scan of a 2-column projection, negligible next to the
+    * O(log n) join rounds it sizes. */
+  def rootsAndDepth(parents: DataFrame): DataFrame = {
+    val n = math.max(2L, parents.count())
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    rootsAndDepth(parents, rounds)
+  }
+
   def rootsAndDepth(parents: DataFrame, rounds: Int): DataFrame = {
     var f = parents.select(
       col("node").cast("long").as("node"),

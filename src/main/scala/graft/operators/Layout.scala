@@ -66,6 +66,16 @@ object Layout {
               sortCols: Seq[String] = Nil): Int = {
     val fs = new org.apache.hadoop.fs.Path(inDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite deletes outDir before the lazy input scan runs — writing
+    // into (or over) the source would destroy it. Resolve both and refuse.
+    val inQ = fs.makeQualified(new org.apache.hadoop.fs.Path(inDir)).toUri
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)).toUri
+    val inP = inQ.getPath.stripSuffix("/") + "/"
+    val outP = outQ.getPath.stripSuffix("/") + "/"
+    require(inQ.getScheme != outQ.getScheme || inQ.getAuthority != outQ.getAuthority ||
+        (!outP.startsWith(inP) && !inP.startsWith(outP)),
+      s"compact: output $outDir must not equal or nest with input $inDir " +
+        "(overwrite would delete the source before it is read)")
     val totalBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(inDir)).getLength
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

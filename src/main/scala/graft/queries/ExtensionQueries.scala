@@ -1093,7 +1093,7 @@ object ExtensionQueries {
              |           + (85 * coalesce(i3.s, 0)) // 100 AS r
              |       FROM nodes CROSS JOIN nn
              |       LEFT JOIN i3 ON i3.node = nodes.node)
-             |SELECT node, r AS rank_units FROM r3
+             |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3
              |ORDER BY rank_units DESC, node LIMIT 20""".stripMargin)),
 
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES
@@ -1190,7 +1190,9 @@ object ExtensionQueries {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-        val nBaskets = op.select("ok").distinct().count() // driver scalar
+        // basket count as a 1-row agg crossed back (q23 idiom) — not a
+        // driver count(), which would be a whole extra job over op
+        val nb = op.agg(countDistinct(col("ok")).as("n_baskets"))
         val baskets = op.groupBy("ok")
           .agg(sort_array(collect_set(col("pk"))).as("items"))
         val pairs = baskets
@@ -1202,10 +1204,16 @@ object ExtensionQueries {
         val pc = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 3)
         val ic = op.groupBy("pk").agg(count(lit(1)).as("n_i"))
+        // lift numerator n_ab * nBaskets * 1e6 overflows Int64 at the
+        // 100 TB shape (baskets ~1e9, hot pairs 1e6+): widen to
+        // DECIMAL(38,0) before multiplying; `div` returns BIGINT, and the
+        // quotient (a scaled ratio) always fits
         pc.join(ic.select(col("pk").as("pa"), col("n_i").as("na")), "pa")
           .join(ic.select(col("pk").as("pb"), col("n_i").as("nb")), "pb")
+          .crossJoin(broadcast(nb))
           .select(col("pa"), col("pb"), col("n_ab"),
-            expr(s"(n_ab * ${nBaskets}L * 1000000L) div (na * nb)")
+            expr("(CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000) " +
+              "div (CAST(na AS DECIMAL(38,0)) * nb)")
               .as("lift_micro"))
           .orderBy(desc("n_ab"), col("pa"), col("pb"))
       },
@@ -1221,7 +1229,9 @@ object ExtensionQueries {
              |  HAVING count(*) >= 3),
              |ic AS (SELECT pk, count(*) AS n_i FROM op GROUP BY pk)
              |SELECT pa, pb, n_ab,
-             |  (n_ab * nb.n * 1000000) // (ia.n_i * ib.n_i) AS lift_micro
+             |  CAST((CAST(n_ab AS HUGEINT) * nb.n * 1000000)
+             |    // (CAST(ia.n_i AS HUGEINT) * ib.n_i) AS BIGINT)
+             |    AS lift_micro
              |FROM pc JOIN ic ia ON ia.pk = pc.pa
              |JOIN ic ib ON ib.pk = pc.pb CROSS JOIN nb
              |ORDER BY n_ab DESC, pa, pb""".stripMargin)),
@@ -1403,9 +1413,10 @@ object ExtensionQueries {
     // p - (p%7 + 1), NULL (root) when that underflows — irregular steps
     // so depths vary and several roots exist. The oracle is a RECURSIVE
     // CTE walking the same forest one level per step; Spark covers the
-    // same paths in O(log depth) doubling rounds (15 rounds = depth
-    // 32768, strictly above any chain the part table can produce since
-    // every step moves >= 1 id). Depth stays integer end to end.
+    // same paths in doubling rounds derived from the node count
+    // (ceil(log2(n)) rounds always exceed any chain, since depth < n),
+    // so growing the part table can never under-provision the loop.
+    // Depth stays integer end to end.
     "x54_ancestors" -> QueryDef(
       (s, dir) => {
         val step = col("p_partkey") % 7 + 1
@@ -1413,7 +1424,7 @@ object ExtensionQueries {
           col("p_partkey").as("node"),
           when(col("p_partkey") - step <= 0, lit(null))
             .otherwise(col("p_partkey") - step).as("parent"))
-        Graph.rootsAndDepth(parents, rounds = 15).orderBy("node")
+        Graph.rootsAndDepth(parents).orderBy("node")
       },
       Some("""WITH RECURSIVE h AS (
              |  SELECT p_partkey AS node,

@@ -1905,7 +1905,9 @@ object RelationalQueries {
     // min/max) — the data-profiling distribution pass. Bucket index is
     // floor((v-lo)*10/(hi-lo)) clamped to 9: every arithmetic step is
     // the same IEEE double op in both engines, so the integer bucket is
-    // bit-deterministic (no rounding discipline needed). Shape: one agg
+    // bit-deterministic. A group whose values are all equal (hi = lo)
+    // is pinned to bucket 0 explicitly — 0.0/0.0 is where the engines
+    // diverge (Spark floor(NaN)→0 vs DuckDB NULL). Shape: one agg
     // for bounds (broadcast back) + one map + one (group, bucket) agg —
     // bucket keyspace is groups×10, never data-sized.
     "q65_histogram" -> QueryDef(
@@ -1915,8 +1917,9 @@ object RelationalQueries {
           min(col("value")).as("lo"), max(col("value")).as("hi"))
         ev.join(broadcast(bounds), Seq("event_type"))
           .select(col("event_type"),
-            least(floor((col("value") - col("lo")) * lit(10.0) /
-              (col("hi") - col("lo"))), lit(9L)).cast("int").as("bucket"))
+            when(col("hi") === col("lo"), lit(0L))
+              .otherwise(least(floor((col("value") - col("lo")) * lit(10.0) /
+                (col("hi") - col("lo"))), lit(9L))).cast("int").as("bucket"))
           .groupBy("event_type", "bucket")
           .agg(count(lit(1)).as("n"))
           .orderBy("event_type", "bucket")
@@ -1925,8 +1928,9 @@ object RelationalQueries {
              |  SELECT event_type, min(value) AS lo, max(value) AS hi
              |  FROM events GROUP BY event_type)
              |SELECT e.event_type,
-             |  CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9)
-             |    AS INT) AS bucket,
+             |  CAST(CASE WHEN hi = lo THEN 0
+             |    ELSE least(floor((value - lo) * 10.0 / (hi - lo)), 9)
+             |    END AS INT) AS bucket,
              |  count(*) AS n
              |FROM events e JOIN b ON e.event_type = b.event_type
              |GROUP BY e.event_type, bucket

@@ -1093,7 +1093,7 @@ object TextQueries {
              |          unnest(string_split_regex(trim(text), '\s+')) AS term
              |        FROM documents)
              |  GROUP BY doc_id, term)
-             |SELECT doc_id, sum(c) AS n_tokens,
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
              |  round(-sum(c * ln(CAST(c AS DOUBLE))) / sum(c)
              |    + ln(CAST(sum(c) AS DOUBLE)), 4) AS entropy
              |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),

@@ -276,6 +276,30 @@ object StreamingAnalytics {
                   tableDir: String, nBuckets: Int): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
+    // The table's layout is keyed by pmod(hash(key), nBuckets): merging
+    // with a DIFFERENT nBuckets than the one the table was built with
+    // would leave stale versions of a key stranded in its old bucket —
+    // duplicates the argmax merge never sees. Record the bucket count in
+    // a marker file on first write and fail fast on mismatch.
+    val fsM = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // capture BEFORE creating the marker (which materializes tableDir)
+    val tableHasData = fsM.exists(new org.apache.hadoop.fs.Path(tableDir)) &&
+      fsM.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .exists(_.getPath.getName.startsWith("bucket="))
+    val marker = new org.apache.hadoop.fs.Path(tableDir, "_bucket_count")
+    if (fsM.exists(marker)) {
+      val in = fsM.open(marker)
+      val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt finally in.close()
+      require(recorded == nBuckets,
+        s"upsert table $tableDir was built with nBuckets=$recorded; " +
+          s"refusing to merge with nBuckets=$nBuckets (keys would be " +
+          "looked up in the wrong bucket, leaving stale duplicates)")
+    } else {
+      val out = fsM.create(marker, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
     val bucketed = batch.withColumn("bucket",
       pmod(hash(col(keyCol)), lit(nBuckets)))
     val latestInBatch = bucketed.withColumn("rn",
@@ -285,10 +309,8 @@ object StreamingAnalytics {
       .localCheckpoint() // bounded: batch-sized; read before any overwrite
     val touched = latestInBatch.select("bucket").distinct()
       .collect().map(_.getInt(0)) // bounded driver list: <= nBuckets ints
-    val fs = new org.apache.hadoop.fs.Path(tableDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
+      if (tableHasData) {
         val existing = spark.read.parquet(tableDir)
           .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
         // read fully before the overwrite below replaces these files

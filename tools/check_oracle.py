@@ -33,7 +33,16 @@ def main(sf_dir, out_dir):
             print(f"MISSING  {name}: no spark output"); n_fail += 1; continue
         try:
             got = norm(pd.read_parquet(spark_dir))
-            want = norm(con.execute(sql).fetchdf())
+            rel = con.sql(sql)
+            # The driver hashes exact values; DuckDB HUGEINT becomes float64 in
+            # pandas, so allclose would mask a guaranteed driver hash-mismatch.
+            # Fail loudly here instead (cast sums AS BIGINT in the oracle).
+            huge = [cn for cn, ct in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(ct).upper()]
+            if huge:
+                print(f"TYPE     {name}: HUGEINT oracle column(s) {huge} — "
+                      f"CAST AS BIGINT in the oracle SQL"); n_fail += 1; continue
+            want = norm(rel.fetchdf())
         except Exception as e:
             print(f"ERROR    {name}: {e}"); n_fail += 1; continue
         if got.shape != want.shape:
