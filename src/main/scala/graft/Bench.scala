@@ -38,13 +38,23 @@ object Bench {
     // runs — run-order JIT/classloading noise can't masquerade as a
     // regression in either direction (min hides steady-state cost, a lone
     // GC/compile stall inflates mean)
+    // untimed housekeeping after every run: localCheckpoint blocks are
+    // persisted RDDs that only die when ContextCleaner processes their
+    // GC'd weak refs — an ASYNC path that lags a 500-job shared JVM, so
+    // prior queries' node-sized frames pile up in the BlockManager and
+    // surface as roaming multi-second swings in LATER queries' timed
+    // regions (r8: x51 4.5 s isolated vs 26.6 s mid-stretch). Every
+    // result is fully consumed (noop write) before this runs, so a
+    // blocking unpersist of everything still registered is safe and
+    // makes block-manager state deterministic at each timer start.
+    def drainBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // untimed housekeeping between queries: the GC-scoped localCheckpoint
-      // blocks of prior queries die here instead of stalling a later
-      // query's TIMED region (the roaming multi-second hiccup a 300-job
-      // shared JVM otherwise shows); per-query timers never include this
-      System.gc()
-      val ts = Seq(runOne(fn), runOne(fn), runOne(fn)).filter(_ >= 0).sorted
+      System.gc() // once per query: plain-heap garbage from the prior query
+      def timed(): Double = { val r = runOne(fn); drainBlocks(); r }
+      val ts = Seq(timed(), timed(), timed()).filter(_ >= 0).sorted
       // true median: for an even count (one transient failure -> 2 runs),
       // average the two middle elements — ts(size/2) would pick the MAX of
       // two successes, reporting exactly the noise the median is meant to cut

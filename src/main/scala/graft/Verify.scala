@@ -30,6 +30,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the query's localCheckpoint blocks now (fully consumed by the
+      // write above) instead of letting them pile up across 160+ queries
+      // waiting on the async ContextCleaner
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

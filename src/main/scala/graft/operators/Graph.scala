@@ -48,7 +48,9 @@ object Graph {
       iters: Int,
       scale: Long = 1000000000000L,
       dampingPct: Int = 85,
-      checkpointInterval: Int = 1): DataFrame = {
+      checkpointInterval: Int = 1,
+      tolUnits: Long = 0L,
+      redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -64,17 +66,48 @@ object Graph {
     require(n > 0, "pagerank: empty graph")
     val unit = scale / n
     val teleport = ((100L - dampingPct) * unit) / 100L
+    // convergence / dangling options (both OFF by default — the gate
+    // query's bit-exact unrolled-oracle path is the default path):
+    //  - tolUnits > 0: stop once the L1 rank delta (in units) falls to or
+    //    below tolUnits — what a real web-graph ranking run wants instead
+    //    of guessing an iteration count. Costs one node-sized join + agg
+    //    (a driver scalar) per iteration, so it forces per-round
+    //    materialization.
+    //  - redistributeDangling: spread dangling-node mass (nodes with no
+    //    out-edges) uniformly each round, restoring mass conservation
+    //    without the bidirect-your-edges workaround. One anti-join agg
+    //    (driver scalar) per iteration.
     var rank = nodes.withColumn("r", lit(unit))
-    for (i <- 1 to iters) {
+    var converged = false
+    for (i <- 1 to iters if !converged) {
+      val danglingAdd: Long =
+        if (!redistributeDangling) 0L
+        else {
+          val dm = rank.join(g.select(col("src")).distinct(),
+              rank("node") === col("src"), "left_anti")
+            .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0)
+          (dampingPct.toLong * dm) / (100L * n)
+        }
       val in = g.join(rank, g("src") === rank("node"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      rank = nodes.join(in, nodes("node") === in("dst"), "left")
+      val next = nodes.join(in, nodes("node") === in("dst"), "left")
         .select(col("node"),
-          (lit(teleport) +
+          (lit(teleport + danglingAdd) +
             expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
-      if (i % checkpointInterval == 0 && i < iters)
-        rank = rank.localCheckpoint()
+      if (tolUnits > 0L) {
+        val nextM = next.localCheckpoint()
+        val delta = nextM
+          .join(rank.select(col("node"), col("r").as("r0")), "node")
+          .agg(coalesce(sum(abs(col("r") - col("r0"))), lit(0L)))
+          .head.getLong(0)
+        rank = nextM
+        if (delta <= tolUnits) converged = true
+      } else {
+        rank = next
+        if (i % checkpointInterval == 0 && i < iters)
+          rank = rank.localCheckpoint()
+      }
     }
     // eager-materialize the node-sized result, then RELEASE the helper
     // caches: CacheManager holds persisted frames until an explicit

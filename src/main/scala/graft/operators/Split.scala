@@ -194,12 +194,67 @@ object Split {
     * can never leave a stale or duplicate last-shard marker.
     */
   def manifest(spark: SparkSession, outDir: String): DataFrame = {
+    // dropDuplicates: a replayed failed run can append the same
+    // (source_file, shard_id) summary twice (rows are bit-identical — the
+    // shard bytes are deterministic), and a compaction interrupted between
+    // add-new and delete-old phases briefly holds both copies; metadata-
+    // sized, so the dedup is free and makes both windows harmless
     val all = spark.read.parquet(s"$outDir/_manifest")
+      .dropDuplicates(Seq("source_file", "shard_id"))
     val fileMax = all.groupBy("source_file")
       .agg(max("shard_id").as("max_shard"))
     all.join(broadcast(fileMax), Seq("source_file"))
       .withColumn("is_last_shard", col("shard_id") === col("max_shard"))
       .drop("max_shard")
+  }
+
+  /** Manifest retention/compaction — the reference's `extent_tags_retention`
+    * analog (reference: templates/script.kql:6 sets a retention policy so
+    * ingest-idempotency tags don't accumulate forever): an append-only
+    * manifest grows one parquet segment per run, so a year of hourly
+    * streaming runs pays listing + footer cost on ~10k tiny segments and
+    * keeps idempotency rows for files nobody will ever re-submit.
+    *
+    * This maintenance op (single-writer, like `Layout.compact` — run it
+    * when no split job is appending):
+    *   1. drops whole segments older than `retainMs` (segment mtime; each
+    *      run's rows land in its own segment, so this is per-run retention
+    *      — a source file expired here would be RE-PROCESSED if re-submitted,
+    *      the same documented trade the reference's tag retention makes),
+    *   2. rewrites the survivors as ONE deduplicated segment.
+    * Crash safety: new files land in the manifest dir BEFORE old ones are
+    * deleted; the overlap window shows duplicate rows, which `manifest()`
+    * dedups at read time. Returns (segmentFilesBefore, segmentFilesAfter).
+    */
+  def compactManifest(spark: SparkSession, outDir: String,
+                      retainMs: Long = Long.MaxValue): (Int, Int) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$outDir/_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+    val cutoff = System.currentTimeMillis() - retainMs
+    val keep = segs.filter(_.getModificationTime >= cutoff)
+    val before = segs.length
+    if (keep.isEmpty) { // everything expired: drop all rows, keep the dir
+      segs.foreach(s => fs.delete(s.getPath, false))
+      return (before, 0) // next run's append re-creates the schema
+    }
+    val compacted = spark.read.parquet(keep.map(_.getPath.toString): _*)
+      .dropDuplicates(Seq("source_file", "shard_id"))
+      .coalesce(1)
+    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_manifest_compacting")
+    fs.delete(tmp, true)
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // add-new-then-delete-old: part file names carry a job UUID, so the
+    // renames cannot collide with existing segments
+    val newFiles = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    newFiles.foreach { s =>
+      require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir, s.getPath.getName)),
+        s"compactManifest: rename failed for ${s.getPath}")
+    }
+    segs.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(tmp, true)
+    (before, newFiles.length)
   }
 
   /** B5 — shard-count tracker re-expressed over the manifest

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Graph, Split}
+import graft.operators.Split.SplitConfig
+import graft.sources.LogDataGenerator
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Round-9 hardening: manifest retention/compaction (the reference's
+  * extent_tags_retention analog), pagerank convergence stop and
+  * dangling-mass redistribution, and the streaming-upsert bucket guard.
+  */
+class Round9OpsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-r9").toString
+
+  private val SCALE = 1000000000000L
+
+  test("compactManifest dedupes replayed segments and bounds file count") {
+    LogDataGenerator.toCsvLines(LogDataGenerator.generate(spark, 2000))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/landing")
+    val out = s"$tmp/shards"
+    Split.run(spark, s"$tmp/landing/*.txt", out,
+      SplitConfig(maxBytesPerShard = 32 * 1024))
+    val rows = Split.manifest(spark, out).count()
+    assert(rows > 2)
+    // simulate a replayed commit: duplicate one committed segment file
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"$out/_manifest")
+    val seg = fs.listStatus(mdir)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val dup = new org.apache.hadoop.fs.Path(mdir, "part-replay-dup.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, seg, fs, dup, false,
+      spark.sparkContext.hadoopConfiguration)
+    // raw segment rows now exceed logical rows; manifest() dedupes
+    assert(spark.read.parquet(mdir.toString).count() > rows)
+    assert(Split.manifest(spark, out).count() == rows)
+    // compaction rewrites survivors as ONE deduplicated segment
+    val (before, after) = Split.compactManifest(spark, out)
+    assert(before >= 2 && after == 1)
+    assert(spark.read.parquet(mdir.toString).count() == rows)
+    assert(Split.manifest(spark, out).count() == rows)
+    // retention: everything older than the cutoff is dropped
+    Thread.sleep(50)
+    val (_, afterExpiry) = Split.compactManifest(spark, out, retainMs = 0L)
+    assert(afterExpiry == 0)
+    assert(!fs.listStatus(mdir).exists(_.getPath.getName.endsWith(".parquet")))
+  }
+
+  test("pagerank tolUnits stops early at the symmetric fixed point") {
+    // 1 <-> 2 reaches its fixed point after round 1; with a tolerance the
+    // loop must stop long before 50 iterations and still return the same
+    // ranks the fixed-count run computes
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val rTol = Graph.pagerank(e, iters = 50, tolUnits = 1L)
+      .as[(Long, Long)].collect().toMap
+    val tolSecs = (System.nanoTime() - t0) / 1e9
+    val rFix = Graph.pagerank(e, iters = 5).as[(Long, Long)].collect().toMap
+    assert(rTol == rFix)
+    // 50 materialized iterations would take far longer than the handful
+    // the tolerance allows; bound loosely to stay timing-robust
+    assert(tolSecs < 30.0, s"tolUnits run took ${tolSecs}s — early stop broken?")
+  }
+
+  test("pagerank redistributeDangling conserves total mass") {
+    // 1 -> 2 only: node 2 is dangling. Without redistribution its mass
+    // vanishes (documented simplification); with it, total mass stays
+    // within integer-truncation dust of SCALE every round.
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Graph.pagerank(e, iters = 3, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    val total = r.values.sum
+    assert(total <= SCALE && total >= SCALE - 3 * 4,
+      s"mass not conserved: $total vs $SCALE")
+    // the non-dangling node now receives redistributed mass on top of
+    // teleport
+    val unit = SCALE / 2
+    assert(r(1L) > 15L * unit / 100L)
+    assert(r(2L) > r(1L))
+  }
+
+  test("upsertBatch refuses a mismatched bucket count") {
+    import graft.streaming.StreamingAnalytics
+    val dir = s"$tmp/upsert"
+    val b1 = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "ts", "v")
+    StreamingAnalytics.upsertBatch(b1, "k", "ts", dir, nBuckets = 8)
+    assert(spark.read.parquet(dir).count() == 2)
+    // same nBuckets: fine (idempotent merge)
+    StreamingAnalytics.upsertBatch(b1, "k", "ts", dir, nBuckets = 8)
+    assert(spark.read.parquet(dir).count() == 2)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingAnalytics.upsertBatch(b1, "k", "ts", dir, nBuckets = 16)
+    }
+    assert(ex.getMessage.contains("nBuckets"))
+  }
+}
