@@ -204,9 +204,33 @@ object GraftCli {
       val spark = session()
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val iters = rest.headOption.map(_.toInt).getOrElse(10)
-      operators.Graph.pagerank(spark.read.parquet(edgesParquet), iters)
+      val tol = rest.lift(1).map(_.toLong).getOrElse(0L)
+      val dangling = rest.lift(2).contains("dangling")
+      operators.Graph.pagerank(spark.read.parquet(edgesParquet), iters,
+          tolUnits = tol, redistributeDangling = dangling)
         .write.mode("overwrite").parquet(outDir)
-      println(s"[graft] graph-pagerank $edgesParquet -> $outDir ($iters iters)")
+      println(s"[graft] graph-pagerank $edgesParquet -> $outDir " +
+        s"($iters iters max, tol=$tol, dangling=$dangling)")
+      spark.stop()
+
+    // dense-core extraction: peel nodes of degree < k to the fixpoint
+    case "graph-kcore" :: edgesParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val k = rest.headOption.map(_.toInt).getOrElse(4)
+      operators.Graph.kcore(spark.read.parquet(edgesParquet), k)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-kcore $edgesParquet -> $outDir (k=$k)")
+      spark.stop()
+
+    // manifest maintenance: dedupe + rewrite segments, optional retention
+    case "manifest-compact" :: shardDir :: rest =>
+      val spark = session()
+      val retainDays = rest.headOption.map(_.toLong)
+      val retainMs = retainDays.map(_ * 86400L * 1000L).getOrElse(Long.MaxValue)
+      val (before, after) = operators.Split.compactManifest(spark, shardDir, retainMs)
+      println(s"[graft] manifest-compact $shardDir: $before -> $after segments" +
+        retainDays.map(d => s" (retained last $d days)").getOrElse(""))
       spark.stop()
 
     // per-node triangle counts over an undirected (src, dst) edge list
@@ -222,11 +246,14 @@ object GraftCli {
     case "graph-ancestors" :: parentsParquet :: outDir :: rest =>
       val spark = session()
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rounds = rest.headOption.map(_.toInt).getOrElse(20)
-      operators.Graph.rootsAndDepth(
-          spark.read.parquet(parentsParquet), rounds)
-        .write.mode("overwrite").parquet(outDir)
-      println(s"[graft] graph-ancestors $parentsParquet -> $outDir ($rounds rounds)")
+      val parents = spark.read.parquet(parentsParquet)
+      // explicit rounds override; default derives ceil(log2(n)) from the data
+      val flat = rest.headOption.map(_.toInt)
+        .map(operators.Graph.rootsAndDepth(parents, _))
+        .getOrElse(operators.Graph.rootsAndDepth(parents))
+      flat.write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-ancestors $parentsParquet -> $outDir" +
+        rest.headOption.map(r => s" ($r rounds)").getOrElse(" (derived rounds)"))
       spark.stop()
 
     // small-files maintenance: rewrite a parquet dir to ~targetMB files,
@@ -480,9 +507,11 @@ object GraftCli {
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]
            |  compact <inDir> <outDir> [targetMB] [sortCol1,sortCol2,...]
-           |  graph-pagerank <edgesParquet> <outDir> [iters]
+           |  graph-pagerank <edgesParquet> <outDir> [iters] [tolUnits] [dangling]
            |  graph-triangles <edgesParquet> <outDir>
            |  graph-ancestors <parentsParquet> <outDir> [rounds]
+           |  graph-kcore <edgesParquet> <outDir> [k]
+           |  manifest-compact <shardDir> [retainDays]
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]

@@ -274,6 +274,46 @@ object Graph {
     acc
   }
 
+  /** k-core decomposition: iteratively peel nodes of degree < k from a
+    * BIDIRECTED edge list `(src, dst)` (degree = out-degree; callers
+    * bidirect, as the graph family's other ops do) until no node falls
+    * below k — the standard dense-subgraph extraction (spam/boilerplate
+    * hub isolation, community cores for curriculum sampling). Returns
+    * `(node, core_deg)`: the surviving nodes with their degree INSIDE
+    * the core. Exact integer decisions only, so results are engine- and
+    * order-independent.
+    *
+    * 100 TB shape: each round is one degree agg + two semi-joins on the
+    * endpoint keys, all on a monotonically SHRINKING edge frame
+    * (`localCheckpoint` per round caps lineage; the frame can only lose
+    * rows, so the first round's cost bounds every later round). The
+    * fixpoint test is a bounded driver scalar (the kept-node count —
+    * monotone, so equal counts ⟺ equal sets); real graphs converge in a
+    * handful of rounds, `maxRounds` is a runaway guard.
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    var e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
+    var prevKept = -1L
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("n"))
+        .localCheckpoint()
+      val kept = keep.count()
+      if (kept == prevKept) done = true
+      else {
+        prevKept = kept
+        e = e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Flatten a forest to `(node, root, depth)` by pointer doubling over
     * a parent table `(node, parent)` (parent NULL marks a root) — the
     * hierarchy-resolution pass (org charts, category trees, thread

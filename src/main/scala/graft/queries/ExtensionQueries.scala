@@ -1495,6 +1495,66 @@ object ExtensionQueries {
              |UNION ALL SELECT seed, 1, cur FROM w1
              |UNION ALL SELECT seed, 2, cur FROM w2
              |UNION ALL SELECT seed, 3, cur FROM w3
-             |ORDER BY seed, step""".stripMargin))
+             |ORDER BY seed, step""".stripMargin)),
+
+    // k-core decomposition (k=2) of the co-purchase graph — dense-
+    // subgraph extraction (the hub/community-core isolation pass used
+    // for spam clusters and curriculum sampling). Spark peels to the
+    // TRUE fixpoint (Graph.kcore's driver-scalar convergence test); the
+    // oracle unrolls 5 peel rounds, which is safe because peeling is
+    // IDEMPOTENT once converged (extra unrolled rounds are no-ops), so
+    // the two agree whenever the fixture converges within 5 rounds —
+    // measured: 3 rounds / 1535 core nodes at sf0.01, 1 round / 200 at
+    // sf0.001 (k>=3 peels sf0.01 to nothing or needs 10 rounds — both
+    // useless as a gate). CTEs are MATERIALIZED: each e_i is referenced
+    // twice, and DuckDB's default inlining re-expands the chain
+    // EXPONENTIALLY (>8 min; materialized: ~5 s). All-integer decisions.
+    "x56_kcore" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = pc.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(pc.select(col("pb").as("src"), col("pa").as("dst")))
+        Graph.kcore(edges, k = 2).orderBy("node")
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+             |       UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 2),
+             |e1 AS MATERIALIZED (SELECT e0.src, e0.dst FROM e0
+             |       JOIN k1 a ON a.src = e0.src JOIN k1 b ON b.src = e0.dst),
+             |k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 2),
+             |e2 AS MATERIALIZED (SELECT e1.src, e1.dst FROM e1
+             |       JOIN k2 a ON a.src = e1.src JOIN k2 b ON b.src = e1.dst),
+             |k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 2),
+             |e3 AS MATERIALIZED (SELECT e2.src, e2.dst FROM e2
+             |       JOIN k3 a ON a.src = e2.src JOIN k3 b ON b.src = e2.dst),
+             |k4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 2),
+             |e4 AS MATERIALIZED (SELECT e3.src, e3.dst FROM e3
+             |       JOIN k4 a ON a.src = e3.src JOIN k4 b ON b.src = e3.dst),
+             |k5 AS (SELECT src FROM e4 GROUP BY src HAVING count(*) >= 2),
+             |e5 AS MATERIALIZED (SELECT e4.src, e4.dst FROM e4
+             |       JOIN k5 a ON a.src = e4.src JOIN k5 b ON b.src = e4.dst)
+             |SELECT src AS node, count(*) AS core_deg
+             |FROM e5 GROUP BY src ORDER BY node""".stripMargin))
   )
 }
