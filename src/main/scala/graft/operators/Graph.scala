@@ -129,16 +129,21 @@ object Graph {
     * no floats — so the result is engine- and order-exact.
     *
     * Scale shape mirrors pagerank: per round one src-key join + one
-    * (node, label) agg + one argmax window on the node key; label
+    * (node, label) agg + one argmax agg on the node key; label
     * frames are node-sized and materialize per round (the measured
     * at-scale winner for iterative updates — see pagerank's note).
+    * The per-node majority pick is `min_by` over (-count, label) — a
+    * HASH aggregation with map-side partial combine, not a sort window:
+    * same deterministic winner (max count, ties to smallest label; the
+    * ordering struct is unique per row since labels are distinct within
+    * a node's candidate set), one less sort per round, and the agg
+    * shares the (n)-key exchange the window needed anyway.
     */
   def labelPropagate(
       edges: DataFrame,
       seeds: DataFrame,
       iters: Int,
       checkpointInterval: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
@@ -155,10 +160,9 @@ object Graph {
         .filter(col("label").isNotNull)
         .groupBy(e("src").as("n"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val maj = cand.withColumn("rn", row_number().over(
-          Window.partitionBy("n").orderBy(desc("c"), col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("n"), col("label").as("mlabel"))
+      val maj = cand.groupBy(col("n"))
+        .agg(min_by(col("label"),
+          struct((-col("c")).as("negc"), col("label"))).as("mlabel"))
       labels = labels.join(maj, labels("node") === maj("n"), "left")
         .select(col("node"), coalesce(col("mlabel"), col("label")).as("label"))
       if (i % checkpointInterval == 0 && i < iters)
@@ -239,15 +243,17 @@ object Graph {
     * `(seed, step, node)` for steps 0..steps.
     *
     * 100 TB shape: per step ONE join of the walk frontier (seed-sized)
-    * against the edge list on the current-node key + one argmin window
-    * per seed — frontier frames are seed-sized, never graph-sized; the
+    * against the edge list on the current-node key + one argmin AGG per
+    * seed (`min_by` over (md5, dst) — a hash aggregation with map-side
+    * partial combine instead of a sort window; the ordering struct is
+    * unique per row because out-neighbors are distinct, so the winner is
+    * the same) — frontier frames are seed-sized, never graph-sized; the
     * hash ranking replaces an RNG so resumed/replayed jobs sample the
     * SAME walks (determinism under retry is what makes walk sampling
     * usable in a checkpointed pipeline).
     */
   def deterministicWalks(edges: DataFrame, seeds: DataFrame,
                          steps: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // cached across the step loop (each step's eager checkpoint would
     // otherwise rebuild the distinct edge list); released before return
     // — every acc arm is checkpointed, so nothing references it after
@@ -262,10 +268,10 @@ object Graph {
       val pick = walk.join(e, walk("cur") === e("src"), "left")
         .withColumn("hk",
           md5(concat_ws(">", col("seed"), lit(k), col("dst"))))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("seed").orderBy(col("hk"), col("dst"))))
-        .filter(col("rn") === 1)
-        .select(col("seed"), coalesce(col("dst"), col("cur")).as("cur"))
+        .groupBy(col("seed"))
+        .agg(min_by(col("dst"), struct(col("hk"), col("dst"))).as("nxt"),
+          min(col("cur")).as("cur0")) // cur is constant per seed
+        .select(col("seed"), coalesce(col("nxt"), col("cur0")).as("cur"))
       walk = pick.localCheckpoint()
       acc = acc.unionAll(walk.select(col("seed"), lit(k).as("step"),
         col("cur").as("node")))

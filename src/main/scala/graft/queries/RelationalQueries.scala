@@ -2093,6 +2093,38 @@ object RelationalQueries {
              |SELECT pairs.from_type, to_type, n,
              |  CAST((n * 1000000) // row_n AS BIGINT) AS p_micro
              |FROM pairs JOIN tot ON tot.from_type = pairs.from_type
-             |ORDER BY pairs.from_type, to_type""".stripMargin))
+             |ORDER BY pairs.from_type, to_type""".stripMargin)),
+
+    // UNPIVOT / melt — wide-to-long reshaping (the feature-table ->
+    // (entity, metric, value) normalization every profiling/export layer
+    // needs). Spark's native Dataset.unpivot lowers to an Expand node:
+    // ONE pass over the input emitting k rows per input row, no shuffle
+    // beyond the upstream agg — the same plan shape the UNION-ALL oracle
+    // describes, minus its k separate scans. Metrics are kept integer
+    // (counts and BIGINT sums) so parity is exact.
+    "q70_unpivot" -> QueryDef(
+      (s, dir) => {
+        val wide = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(col("l_linenumber").cast("long")).as("sum_lines"))
+        wide.unpivot(
+            Array(col("flag")),
+            Array(col("n_rows"), col("sum_qty"), col("sum_lines")),
+            "metric", "value")
+          .orderBy("flag", "metric")
+      },
+      Some("""WITH wide AS (
+             |  SELECT l_returnflag AS flag, count(*) AS n_rows,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |    CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_lines
+             |  FROM lineitem GROUP BY 1)
+             |SELECT flag, 'n_rows' AS metric, n_rows AS value FROM wide
+             |UNION ALL
+             |SELECT flag, 'sum_qty', sum_qty FROM wide
+             |UNION ALL
+             |SELECT flag, 'sum_lines', sum_lines FROM wide
+             |ORDER BY flag, metric""".stripMargin))
   )
 }
