@@ -1155,7 +1155,67 @@ object TextQueries {
              |FROM cab JOIN uc u1 ON u1.w = cab.w1
              |JOIN uc u2 ON u2.w = cab.w2
              |CROSS JOIN ntok CROSS JOIN nbig
-             |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin))
+             |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin)),
+
+    // Per-source quota cap (keep the 10 "best" docs per source, best =
+    // longest then smallest id — deterministic) — the domain-cap
+    // curation step every crawl pipeline runs so one giant domain can't
+    // dominate the training mix. Shape: ONE shuffle on the source key;
+    // the rank<=k filter triggers Spark's WindowGroupLimit pushdown
+    // (3.5+), which partial-limits to k rows per group MAP-SIDE before
+    // the exchange — the skew mitigation (one hot domain) is built into
+    // the operator, no salting needed for top-k semantics.
+    "d37_source_cap" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(desc("n_chars"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .orderBy("source", "rk")
+      },
+      Some("""SELECT source, doc_id, n_chars, rk FROM (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
+
+    // Deterministic train/val/test assignment by content-stable hash —
+    // the split step every training pipeline runs, made REPRODUCIBLE
+    // (re-runs, late-arriving shards, and different engines all agree)
+    // by deriving the split from md5(doc_id) instead of an RNG. The
+    // 90/5/5 boundaries are hex-string prefixes (0.9*65536 = 0xE666,
+    // 0.95*65536 = 0xF333) compared LEXICOGRAPHICALLY — hex digits sort
+    // correctly as strings, so no hex-to-int conversion is needed and
+    // the same compare runs in any engine. Narrow map + one tiny agg;
+    // at 100 TB the assignment is a zero-shuffle projection.
+    "d38_hash_split" -> QueryDef(
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 4)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            when(h < "e666", "train").when(h < "f333", "val")
+              .otherwise("test").as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("split")
+      },
+      Some("""SELECT split, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM (
+             |  SELECT n_chars,
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             |           < 'e666' THEN 'train'
+             |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             |           < 'f333' THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents)
+             |GROUP BY split ORDER BY split""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
