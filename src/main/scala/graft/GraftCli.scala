@@ -213,6 +213,18 @@ object GraftCli {
         s"($iters iters max, tol=$tol, dangling=$dangling)")
       spark.stop()
 
+    // seeded relevance: personalized PageRank from a (seed) parquet
+    case "graph-ppr" :: edgesParquet :: seedsParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val iters = rest.headOption.map(_.toInt).getOrElse(10)
+      operators.Graph.personalizedPagerank(
+          spark.read.parquet(edgesParquet),
+          spark.read.parquet(seedsParquet), iters)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-ppr $edgesParquet seeds=$seedsParquet -> $outDir ($iters iters)")
+      spark.stop()
+
     // dense-core extraction: peel nodes of degree < k to the fixpoint
     case "graph-kcore" :: edgesParquet :: outDir :: rest =>
       val spark = session()
@@ -510,6 +522,7 @@ object GraftCli {
            |  graph-pagerank <edgesParquet> <outDir> [iters] [tolUnits] [dangling]
            |  graph-triangles <edgesParquet> <outDir>
            |  graph-ancestors <parentsParquet> <outDir> [rounds]
+           |  graph-ppr <edgesParquet> <seedsParquet> <outDir> [iters]
            |  graph-kcore <edgesParquet> <outDir> [k]
            |  manifest-compact <shardDir> [retainDays]
            |  dedup-index-build <docsParquet> <indexDir>

@@ -1555,6 +1555,75 @@ object ExtensionQueries {
              |e5 AS MATERIALIZED (SELECT e4.src, e4.dst FROM e4
              |       JOIN k5 a ON a.src = e4.src JOIN k5 b ON b.src = e4.dst)
              |SELECT src AS node, count(*) AS core_deg
-             |FROM e5 GROUP BY src ORDER BY node""".stripMargin))
+             |FROM e5 GROUP BY src ORDER BY node""".stripMargin)),
+
+    // Personalized PageRank (2 rounds) from an every-50th-customer seed
+    // set over x47's customer↔part graph — relevance-to-the-seeds
+    // scoring, the topic-focused corpus-expansion primitive (vet a seed
+    // set, rank candidates by graph proximity). Initial mass and
+    // teleport go ONLY to seeds; everything else is x47's integer-unit
+    // machinery, so the unrolled oracle matches bit-for-bit.
+    "x57_ppr" -> QueryDef(
+      (s, dir) => {
+        val cp = broadcast(
+            t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+              .filter(col("o_custkey") % 10 === 0))
+          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_partkey") * 2 + 1).as("p"))
+          .distinct()
+        val edges = cp.select(col("c").as("src"), col("p").as("dst"))
+          .unionAll(cp.select(col("p").as("src"), col("c").as("dst")))
+        val seeds = t(s, dir, "orders")
+          .filter(col("o_custkey") % 50 === 0)
+          .select((col("o_custkey") * 2).as("seed")).distinct()
+        Graph.personalizedPagerank(edges, seeds, iters = 2,
+            checkpointInterval = 5) // small bounded graph: unroll (x47 note)
+          .orderBy(desc("r"), col("node"))
+          .limit(20)
+          .select(col("node"), col("r").as("rank_units"))
+      },
+      Some("""WITH cp AS (
+             |  SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_custkey % 10 = 0),
+             |e AS (SELECT c AS src, p AS dst FROM cp
+             |      UNION ALL SELECT p AS src, c AS dst FROM cp),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |sd AS (SELECT DISTINCT o_custkey * 2 AS node FROM orders
+             |       WHERE o_custkey % 50 = 0
+             |       AND o_custkey * 2 IN (SELECT node FROM nodes)),
+             |ns AS (SELECT count(*) AS n FROM sd),
+             |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+             |r0 AS (SELECT nodes.node,
+             |         CASE WHEN sd.node IS NOT NULL
+             |           THEN (1000000000000 // ns.n) ELSE 0 END AS r
+             |       FROM nodes CROSS JOIN ns
+             |       LEFT JOIN sd ON sd.node = nodes.node),
+             |i1 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+             |       FROM e JOIN r0 r ON r.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r1 AS (SELECT nodes.node,
+             |         CASE WHEN sd.node IS NOT NULL
+             |           THEN (15 * (1000000000000 // ns.n)) // 100
+             |           ELSE 0 END
+             |           + (85 * coalesce(i1.s, 0)) // 100 AS r
+             |       FROM nodes CROSS JOIN ns
+             |       LEFT JOIN sd ON sd.node = nodes.node
+             |       LEFT JOIN i1 ON i1.node = nodes.node),
+             |i2 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+             |       FROM e JOIN r1 r ON r.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r2 AS (SELECT nodes.node,
+             |         CASE WHEN sd.node IS NOT NULL
+             |           THEN (15 * (1000000000000 // ns.n)) // 100
+             |           ELSE 0 END
+             |           + (85 * coalesce(i2.s, 0)) // 100 AS r
+             |       FROM nodes CROSS JOIN ns
+             |       LEFT JOIN sd ON sd.node = nodes.node
+             |       LEFT JOIN i2 ON i2.node = nodes.node)
+             |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r2
+             |ORDER BY rank_units DESC, node LIMIT 20""".stripMargin))
   )
 }

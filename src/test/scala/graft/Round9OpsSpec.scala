@@ -82,6 +82,24 @@ class Round9OpsSpec extends GraftSparkSpec {
     assert(r(2L) > r(1L))
   }
 
+  test("personalized pagerank concentrates rank near the seed") {
+    // bidirected path 1-2-3-4-5, seed {1}: relevance decays with
+    // distance from the seed at equal degree (2 > 4, 3 > 5, 1 > 4 —
+    // the seed itself can be OUTRANKED by its neighbor, since a
+    // degree-1 seed pours its whole mass there each round; hand-traced:
+    // r3(2) = 0.588e12 > r3(1) = 0.204e12)
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val r = Graph.personalizedPagerank(e, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) > r(4L))
+    assert(r(3L) > r(5L))
+    assert(r(1L) > r(4L))
+    val total = r.values.sum
+    assert(total <= SCALE) // mass never exceeds the scale budget
+  }
+
   test("upsertBatch refuses a mismatched bucket count") {
     import graft.streaming.StreamingAnalytics
     val dir = s"$tmp/upsert"
