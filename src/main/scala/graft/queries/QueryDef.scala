@@ -13,20 +13,29 @@ case class QueryDef(
 object QueryDef {
   /** Load one driver-provided table (TESTDATA.md).
     *
-    * The driver's `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). We read nanos
-    * as long (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
-    * microsecond TimestampType column — same ordering, hour/month truncation
-    * and window semantics as DuckDB's native ns timestamps.
+    * `events.parquet`'s `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses by default, so we
+    * read nanos-as-long and convert), TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (which Spark 4 infers as TIMESTAMP_NTZ), or a
+    * plain UTC timestamp. Normalize all three to a microsecond TimestampType
+    * column — identical ordering, hour/month truncation and window semantics
+    * as DuckDB's native read of the same file (session timezone is UTC in
+    * every entry point, so the NTZ→TZ cast is value-preserving).
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      // integer division: `/` would promote the ~1.7e18 ns value to double
-      // (precision 2^53) and corrupt ~12% of microsecond values by 1µs
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        // legacy nanos-as-long: integer division (`/` would promote the
+        // ~1.7e18 ns value to double (precision 2^53) and corrupt ~12% of
+        // microsecond values by 1µs)
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else df
   }
 }

@@ -23,8 +23,7 @@ object AsofScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = graft.queries.QueryDef.t(spark, dir, "events")
       .select(col("user_id").as("key"), col("ts").as("at"), col("event_id"))
     def orders(width: Int): (DataFrame, Seq[String]) = {
       val base = spark.read.parquet(s"$dir/orders.parquet")
