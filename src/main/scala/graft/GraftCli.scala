@@ -235,6 +235,27 @@ object GraftCli {
       println(s"[graft] graph-kcore $edgesParquet -> $outDir (k=$k)")
       spark.stop()
 
+    // HITS hub/authority scoring over a directed (src, dst) edge list
+    case "graph-hits" :: edgesParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val iters = rest.headOption.map(_.toInt).getOrElse(10)
+      operators.Graph.hits(spark.read.parquet(edgesParquet), iters)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-hits $edgesParquet -> $outDir ($iters iters)")
+      spark.stop()
+
+    // seed expansion: BFS hop labels within maxDepth of a (source) parquet
+    case "graph-bfs" :: edgesParquet :: seedsParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val depth = rest.headOption.map(_.toInt).getOrElse(3)
+      operators.Graph.bfs(spark.read.parquet(edgesParquet),
+          spark.read.parquet(seedsParquet), depth)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-bfs $edgesParquet seeds=$seedsParquet -> $outDir (depth<=$depth)")
+      spark.stop()
+
     // manifest maintenance: dedupe + rewrite segments, optional retention
     case "manifest-compact" :: shardDir :: rest =>
       val spark = session()
@@ -524,6 +545,8 @@ object GraftCli {
            |  graph-ancestors <parentsParquet> <outDir> [rounds]
            |  graph-ppr <edgesParquet> <seedsParquet> <outDir> [iters]
            |  graph-kcore <edgesParquet> <outDir> [k]
+           |  graph-hits <edgesParquet> <outDir> [iters]
+           |  graph-bfs <edgesParquet> <seedsParquet> <outDir> [maxDepth]
            |  manifest-compact <shardDir> [retainDays]
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]

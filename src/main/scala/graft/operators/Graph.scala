@@ -374,6 +374,112 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** HITS hub/authority scoring over a DIRECTED edge list `(src, dst)` —
+    * the link-analysis dual of PageRank for bipartite curation graphs
+    * (e.g. pages↔domains, customers↔products): authorities are endorsed
+    * BY good hubs, hubs endorse good authorities. Kept engine-exact the
+    * same way pagerank is: scores live in integer units and each
+    * half-iteration renormalizes to `scale` units TOTAL via integer
+    * division by the global sum — the sum rides a 1-row aggregate
+    * broadcast-crossed back into the plan (the q23 scalar idiom), so
+    * normalization never touches the driver. Products are widened to
+    * DECIMAL(38,0) before the multiply (raw sums can reach ~2e10; ×scale
+    * would overflow int64), and `div` brings the quotient back to long.
+    *
+    * Returns `(node, auth_units, hub_units)` for every node. 100 TB
+    * shape: per iteration two edge⋈score joins + two dst/src-key aggs +
+    * two 1-row sums — identical exchange profile to two pagerank rounds;
+    * score frames stay node-sized and materialize per round past
+    * `checkpointInterval`.
+    */
+  def hits(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000L,
+      checkpointInterval: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    def renorm(raw: DataFrame, vcol: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col(vcol)).as("t"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          coalesce(
+            expr(s"(CAST($vcol AS DECIMAL(38,0)) * $scale) div t"),
+            lit(0L)).as(out))
+    }
+    var h = nodes.withColumn("h", lit(1000000L))
+    var a = nodes.withColumn("a", lit(0L))
+    for (i <- 1 to iters) {
+      a = renorm(
+        e.join(h, e("src") === h("node"))
+          .groupBy(e("dst").as("node")).agg(sum(col("h")).as("ar")),
+        "ar", "a")
+      h = renorm(
+        e.join(a.filter(col("a") =!= 0L), e("dst") === a("node"))
+          .groupBy(e("src").as("node")).agg(sum(col("a")).as("hr")),
+        "hr", "h")
+      if (i % checkpointInterval == 0 && i < iters) {
+        a = a.localCheckpoint(); h = h.localCheckpoint()
+      }
+    }
+    val out = nodes
+      .join(a, Seq("node"), "left")
+      .join(h, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("a"), lit(0L)).as("auth_units"),
+        coalesce(col("h"), lit(0L)).as("hub_units"))
+      .localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /** Multi-source BFS hop labeling over a directed edge list: every node
+    * reachable from `sources` within `maxDepth` hops gets the hop count
+    * of its FIRST discovery — `(node, d)` with d minimal. This is the
+    * seed-expansion primitive corpus curation runs on domain/citation
+    * graphs ("take the vetted seed list plus everything within 2 hops").
+    *
+    * 100 TB shape — a true delta iteration, the property that makes BFS
+    * survive scale where naive iterate-the-whole-graph does not: each
+    * round joins only the FRONTIER (nodes discovered last round) against
+    * the edge list, anti-joins out already-visited nodes, and appends the
+    * survivors; settled nodes are never touched again. Per-round cost is
+    * O(frontier out-edges), the visited set accumulates as a union of
+    * per-round checkpointed frames, and rounds end early when the
+    * frontier empties (bounded driver scalar, one count of an
+    * already-materialized frame).
+    */
+  def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    var frontier = sources.select(col("source").cast("long").as("node"))
+      .distinct().localCheckpoint()
+    var dist = frontier.withColumn("d", lit(0))
+    var k = 1
+    var empty = false
+    while (k <= maxDepth && !empty) {
+      val nxt = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (nxt.isEmpty) empty = true
+      else {
+        dist = dist.unionAll(nxt.withColumn("d", lit(k)))
+        frontier = nxt
+        k += 1
+      }
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Flatten a forest to `(node, root, depth)` by pointer doubling over
     * a parent table `(node, parent)` (parent NULL marks a root) — the
     * hierarchy-resolution pass (org charts, category trees, thread

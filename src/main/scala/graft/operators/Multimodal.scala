@@ -427,16 +427,41 @@ object Multimodal {
       .toDF()
   }
 
-  /** REAL video decode: parse the AVI container, emit one row per frame
-    * with exact per-channel means (solid frames make them integers, so
-    * the oracle predicts them from doc_id arithmetic). Narrow
-    * mapPartitions-backed flatMap; no shuffle; throughput scales with
-    * cores.
+  /** Pluggable container-decode seam: maps one opaque binary payload to
+    * `(width, height, declaredFrameCount, frames)` where each frame is a
+    * packed 24-bit BGR DIB (rows bottom-up, 4-byte padded) — the wire
+    * shape `decodeVideo`/`sampleFrames` consume. The JDK ships no
+    * compressed-video codec, so the default impl is the RIFF/AVI
+    * uncompressed-DIB walker (`parseAvi`); a production deployment drops
+    * in a JavaCV/ffmpeg-backed instance here WITHOUT touching the
+    * operators — the instance is shipped to executors via closure
+    * serialization, so it must be Serializable and must not capture a
+    * per-JVM native handle (acquire those lazily inside `decode`).
     */
-  def decodeVideo(spark: SparkSession, media: DataFrame): DataFrame = {
+  trait VideoDecoder extends Serializable {
+    def decode(content: Array[Byte]): (Int, Int, Int, Array[Array[Byte]])
+  }
+
+  /** Default seam impl: the dependency-free RIFF/AVI 24-bit DIB walker. */
+  object AviDecoder extends VideoDecoder {
+    def decode(content: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) =
+      parseAvi(content)
+  }
+
+  /** REAL video decode: parse the container through the decoder seam,
+    * emit one row per frame with exact per-channel means (solid frames
+    * make them integers, so the oracle predicts them from doc_id
+    * arithmetic). Narrow mapPartitions-backed flatMap; no shuffle;
+    * throughput scales with cores.
+    */
+  def decodeVideo(spark: SparkSession, media: DataFrame): DataFrame =
+    decodeVideo(spark, media, AviDecoder)
+
+  def decodeVideo(spark: SparkSession, media: DataFrame,
+                  decoder: VideoDecoder): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "content").as[VideoRow].flatMap { r =>
-      val (w, h, n, frames) = parseAvi(r.content)
+      val (w, h, n, frames) = decoder.decode(r.content)
       val rowBytes = (3 * w + 3) & ~3
       val np = w.toLong * h
       frames.iterator.zipWithIndex.map { case (f, idx) =>
@@ -463,10 +488,11 @@ object Multimodal {
     * parse instead of a fixed-size byte split).
     */
   def sampleFrames(spark: SparkSession, media: DataFrame,
-                   everyNth: Int = 2): DataFrame = {
+                   everyNth: Int = 2,
+                   decoder: VideoDecoder = AviDecoder): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "content").as[VideoRow].flatMap { r =>
-      val (_, _, _, frames) = parseAvi(r.content)
+      val (_, _, _, frames) = decoder.decode(r.content)
       frames.iterator.zipWithIndex.collect {
         case (f, idx) if idx % everyNth == 0 =>
           (r.doc_id, idx, f.map(b => f"${b & 0xff}%02x").mkString)

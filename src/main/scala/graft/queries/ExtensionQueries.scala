@@ -1050,8 +1050,13 @@ object ExtensionQueries {
           .select((col("o_custkey") * 2).as("c"),
             (col("l_partkey") * 2 + 1).as("p"))
           .distinct()
-        val edges = cp.select(col("c").as("src"), col("p").as("dst"))
-          .unionAll(cp.select(col("p").as("src"), col("c").as("dst")))
+        // bidirect via a 2-element array explode: ONE pass over cp (the
+        // swapped-unionAll form recomputes the orders⋈lineitem+distinct
+        // pipeline once per branch — measured 2x slower, tools/BidirectProbe)
+        val edges = cp.select(explode(array(
+            struct(col("c").as("src"), col("p").as("dst")),
+            struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         // small bounded graph: unroll all rounds into one DAG (the
         // per-round checkpoint jobs would dominate at this size)
         Graph.pagerank(edges, iters = 3, checkpointInterval = 5)
@@ -1262,8 +1267,11 @@ object ExtensionQueries {
           .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
           .agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 2)
-        val edges = pc.select(col("pa").as("src"), col("pb").as("dst"))
-          .unionAll(pc.select(col("pb").as("src"), col("pa").as("dst")))
+        // bidirect via explode — one pass over the pair pipeline (x47 note)
+        val edges = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val seeds = t(s, dir, "part")
           .filter(col("p_partkey") % 7 === 0)
           .select(col("p_partkey").as("node"), col("p_brand").as("label"))
@@ -1450,10 +1458,13 @@ object ExtensionQueries {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_suppkey"))
-        val fwd = li.select((col("l_partkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        val edges = fwd.unionAll(
-          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        // bidirect via explode — one lineitem scan (x47 note)
+        val edges = li.select(explode(array(
+            struct((col("l_partkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst")),
+            struct((col("l_suppkey") * 2 + 1).as("src"),
+              (col("l_partkey") * 2).as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val seeds = li.filter(col("l_partkey") % 100 === 0)
           .select((col("l_partkey") * 2).as("seed"))
         Graph.deterministicWalks(edges, seeds, steps = 3)
@@ -1526,8 +1537,11 @@ object ExtensionQueries {
           .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
           .agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 2)
-        val edges = pc.select(col("pa").as("src"), col("pb").as("dst"))
-          .unionAll(pc.select(col("pb").as("src"), col("pa").as("dst")))
+        // bidirect via explode — one pass over the pair pipeline (x47 note)
+        val edges = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         Graph.kcore(edges, k = 2).orderBy("node")
       },
       Some("""WITH op AS MATERIALIZED (
@@ -1573,8 +1587,13 @@ object ExtensionQueries {
           .select((col("o_custkey") * 2).as("c"),
             (col("l_partkey") * 2 + 1).as("p"))
           .distinct()
-        val edges = cp.select(col("c").as("src"), col("p").as("dst"))
-          .unionAll(cp.select(col("p").as("src"), col("c").as("dst")))
+        // bidirect via a 2-element array explode: ONE pass over cp (the
+        // swapped-unionAll form recomputes the orders⋈lineitem+distinct
+        // pipeline once per branch — measured 2x slower, tools/BidirectProbe)
+        val edges = cp.select(explode(array(
+            struct(col("c").as("src"), col("p").as("dst")),
+            struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val seeds = t(s, dir, "orders")
           .filter(col("o_custkey") % 50 === 0)
           .select((col("o_custkey") * 2).as("seed")).distinct()
@@ -1624,6 +1643,140 @@ object ExtensionQueries {
              |       LEFT JOIN sd ON sd.node = nodes.node
              |       LEFT JOIN i2 ON i2.node = nodes.node)
              |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r2
-             |ORDER BY rank_units DESC, node LIMIT 20""".stripMargin))
+             |ORDER BY rank_units DESC, node LIMIT 20""".stripMargin)),
+
+    // HITS hubs/authorities (2 iterations) over the DIRECTED customer→
+    // part purchase graph — the bipartite dual of x47: customers are
+    // hubs (they endorse), parts are authorities (they are endorsed).
+    // Integer units with per-half-iteration renormalization to 1e9
+    // total via a 1-row-sum broadcast cross (the q23 scalar idiom), so
+    // the unrolled oracle matches bit-for-bit; products widen to
+    // DECIMAL(38,0)/HUGEINT before the multiply in BOTH engines. The
+    // oracle omits Graph.hits's a<>0 join prefilter: zero-score rows
+    // contribute 0 to every sum and the renormalizer maps missing and
+    // zero rows identically, so the outputs are equal by construction.
+    "x58_hits" -> QueryDef(
+      (s, dir) => {
+        val cp = broadcast(
+            t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+              .filter(col("o_custkey") % 10 === 0))
+          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_partkey") * 2 + 1).as("p"))
+          .distinct()
+        val edges = cp.select(col("c").as("src"), col("p").as("dst"))
+        Graph.hits(edges, iters = 2,
+            checkpointInterval = 5) // small bounded graph: unroll (x47 note)
+          .orderBy(desc("auth_units"), col("node"))
+          .limit(20)
+      },
+      Some("""WITH cp AS MATERIALIZED (
+             |  SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_custkey % 10 = 0),
+             |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM cp),
+             |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |h0 AS (SELECT node, 1000000 AS h FROM nodes),
+             |ar1 AS (SELECT e.dst AS node, sum(h0.h) AS ar
+             |        FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+             |at1 AS (SELECT sum(ar) AS t FROM ar1),
+             |a1 AS (SELECT n.node,
+             |         coalesce(CAST(ar1.ar AS HUGEINT) * 1000000000 // at1.t,
+             |                  0) AS a
+             |       FROM nodes n CROSS JOIN at1
+             |       LEFT JOIN ar1 ON ar1.node = n.node),
+             |hr1 AS (SELECT e.src AS node, sum(a1.a) AS hr
+             |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+             |ht1 AS (SELECT sum(hr) AS t FROM hr1),
+             |h1 AS (SELECT n.node,
+             |         coalesce(CAST(hr1.hr AS HUGEINT) * 1000000000 // ht1.t,
+             |                  0) AS h
+             |       FROM nodes n CROSS JOIN ht1
+             |       LEFT JOIN hr1 ON hr1.node = n.node),
+             |ar2 AS (SELECT e.dst AS node, sum(h1.h) AS ar
+             |        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+             |at2 AS (SELECT sum(ar) AS t FROM ar2),
+             |a2 AS (SELECT n.node,
+             |         coalesce(CAST(ar2.ar AS HUGEINT) * 1000000000 // at2.t,
+             |                  0) AS a
+             |       FROM nodes n CROSS JOIN at2
+             |       LEFT JOIN ar2 ON ar2.node = n.node),
+             |hr2 AS (SELECT e.src AS node, sum(a2.a) AS hr
+             |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+             |ht2 AS (SELECT sum(hr) AS t FROM hr2),
+             |h2 AS (SELECT n.node,
+             |         coalesce(CAST(hr2.hr AS HUGEINT) * 1000000000 // ht2.t,
+             |                  0) AS h
+             |       FROM nodes n CROSS JOIN ht2
+             |       LEFT JOIN hr2 ON hr2.node = n.node)
+             |SELECT a2.node, CAST(a2.a AS BIGINT) AS auth_units,
+             |  CAST(h2.h AS BIGINT) AS hub_units
+             |FROM a2 JOIN h2 ON h2.node = a2.node
+             |ORDER BY auth_units DESC, a2.node LIMIT 20""".stripMargin)),
+
+    // Multi-source BFS hop expansion (3 hops) from an every-97th-part
+    // seed list over the co-purchase graph — "the vetted seed set plus
+    // everything within k hops", the graph-proximity corpus-expansion
+    // pass. Spark runs it as a true delta iteration (frontier-sized
+    // joins, settled nodes never revisited — Graph.bfs); the oracle
+    // unrolls the three frontiers. Seeds outside the graph stay at
+    // d=0 (the seed list is part of the corpus by definition).
+    "x59_bfs" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        // bidirect via explode — one pass over the pair pipeline (x47 note)
+        val edges = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val seeds = t(s, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("source"))
+        Graph.bfs(edges, seeds, maxDepth = 3).orderBy("node")
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |l0 AS (SELECT DISTINCT p_partkey AS node, 0 AS d FROM part
+             |       WHERE p_partkey % 97 = 0),
+             |f1 AS MATERIALIZED (
+             |  SELECT DISTINCT e.dst AS node FROM e
+             |  JOIN l0 ON l0.node = e.src
+             |  WHERE e.dst NOT IN (SELECT node FROM l0)),
+             |l1 AS (SELECT * FROM l0
+             |       UNION ALL SELECT node, 1 AS d FROM f1),
+             |f2 AS MATERIALIZED (
+             |  SELECT DISTINCT e.dst AS node FROM e
+             |  JOIN f1 ON f1.node = e.src
+             |  WHERE e.dst NOT IN (SELECT node FROM l1)),
+             |l2 AS (SELECT * FROM l1
+             |       UNION ALL SELECT node, 2 AS d FROM f2),
+             |f3 AS (SELECT DISTINCT e.dst AS node FROM e
+             |  JOIN f2 ON f2.node = e.src
+             |  WHERE e.dst NOT IN (SELECT node FROM l2)),
+             |l3 AS (SELECT * FROM l2
+             |       UNION ALL SELECT node, 3 AS d FROM f3)
+             |SELECT node, d FROM l3 ORDER BY node""".stripMargin))
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: HITS hub/authority scoring and multi-source BFS
+  * hop expansion — semantic invariants on hand-analyzable graphs beyond
+  * the unrolled-oracle gate entries (x58, x59).
+  */
+class Round10OpsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  test("hits on a bipartite star: center authority dominates, hubs symmetric") {
+    // 3 hubs all point at authority 10; one hub also points at 11.
+    // 10 must out-rank 11; hubs 1 and 2 (identical out-sets) tie.
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, iters = 2).as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(10L)._1 > r(11L)._1)          // endorsed by 3 hubs vs 1
+    assert(r(1L)._1 == 0L && r(1L)._2 > 0) // pure hub: no authority
+    assert(r(10L)._2 == 0L)                // pure authority: no hub score
+    assert(r(1L) == r(2L))                 // identical out-sets tie
+    assert(r(3L)._2 > r(1L)._2)            // 3 endorses more mass
+  }
+
+  test("hits renormalization bounds each half-score sum by scale") {
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L), (11L, 1L))
+      .toDF("src", "dst")
+    val rows = Graph.hits(e, iters = 3, scale = 1000000L)
+      .as[(Long, Long, Long)].collect()
+    // integer truncation only loses mass, never creates it
+    assert(rows.map(_._2).sum <= 1000000L)
+    assert(rows.map(_._3).sum <= 1000000L)
+    assert(rows.map(_._2).sum > 900000L) // ...and loses only dust
+  }
+
+  test("bfs labels hops minimally and stops at maxDepth") {
+    // path 1 -> 2 -> 3 -> 4 -> 5 plus shortcut 1 -> 3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .toDF("src", "dst")
+    val d = Graph.bfs(e, Seq(1L).toDF("source"), maxDepth = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2)) // 5 beyond depth
+  }
+
+  test("bfs multi-source takes the nearest seed; isolated seeds stay at 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (9L, 3L)).toDF("src", "dst")
+    val d = Graph.bfs(e, Seq(1L, 9L, 42L).toDF("source"), maxDepth = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(d(3L) == 1)   // via seed 9, not 2 hops via seed 1
+    assert(d(42L) == 0)  // seed absent from the graph is still level 0
+    assert(!d.contains(4L))
+  }
+
+  test("video decoder seam: a custom decoder drives the frame operators") {
+    import graft.operators.Multimodal
+    // 2×1 solid frames derived from the payload length — a stand-in for a
+    // JavaCV/ffmpeg-backed impl, exercising exactly the seam contract
+    // (packed bottom-up 24-bit BGR rows, 4-byte padded: 2 px -> 8 bytes)
+    object FakeDecoder extends Multimodal.VideoDecoder {
+      def decode(c: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+        val v = (c.length % 256).toByte
+        (2, 1, 2, Array.fill(2)(Array[Byte](v, v, v, v, v, v, 0, 0)))
+      }
+    }
+    val media = Seq((1L, Array[Byte](9, 9, 9)), (2L, Array[Byte](1)))
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeVideo(spark, media, FakeDecoder)
+      .as[(Long, Int, Int, Int, Int, Double, Double, Double)].collect()
+    assert(out.length == 4) // 2 docs × 2 frames
+    val r = out.find(t => t._1 == 1L && t._2 == 0).get
+    assert(r._4 == 2 && r._5 == 1)            // w=2, h=1
+    assert(r._6 == 3.0 && r._7 == 3.0 && r._8 == 3.0) // len-3 payload
+    // default-decoder path unchanged: the x39 gate still parses real AVIs
+    val avi = Multimodal.synthesizeVideo(spark,
+      Seq(5L).toDF("doc_id"))
+    assert(Multimodal.decodeVideo(spark, avi).count() == 5 % 6 + 2)
+  }
+
+  test("bfs early-stops when the frontier drains before maxDepth") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val d = Graph.bfs(e, Seq(1L).toDF("source"), maxDepth = 50)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1))
+  }
+}
