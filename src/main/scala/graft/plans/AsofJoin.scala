@@ -56,7 +56,8 @@ case class AsofJoinPlan(
     rightValues: Seq[Attribute],
     nullsAsValues: Boolean = false,
     forward: Boolean = false,
-    tolerance: Long = -1L) extends BinaryNode {
+    tolerance: Long = -1L,
+    nearest: Boolean = false) extends BinaryNode {
   AsofJoin.requireKeyType(leftKey, rightKey)
   AsofJoin.requireIntegral(leftTime, rightTime)
   override def output: Seq[Attribute] =
@@ -68,8 +69,8 @@ case class AsofJoinPlan(
 /** Planner rule: AsofJoinPlan → AsofJoinExec. */
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, lt, rk, rt, rv, nav, fwd, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rv, nav, fwd, tol) :: Nil
+    case AsofJoinPlan(l, r, lk, lt, rk, rt, rv, nav, fwd, tol, near) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rv, nav, fwd, tol, near) :: Nil
     case _ => Nil
   }
 }
@@ -81,7 +82,8 @@ case class AsofJoinExec(
     rightValues: Seq[Attribute],
     nullsAsValues: Boolean = false,
     forward: Boolean = false,
-    tolerance: Long = -1L) extends BinaryExecNode {
+    tolerance: Long = -1L,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -111,6 +113,7 @@ case class AsofJoinExec(
     val nav = nullsAsValues
     val fwd = forward
     val tol = tolerance
+    val near = nearest
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val valueProj = UnsafeProjection.create(rvSchema, rOut)
       // bind against NULLABLE-marked right values: binding against the
@@ -181,7 +184,8 @@ case class AsofJoinExec(
             return resultProj(joined(l,
               if (matched) valueProj(rNext) else nullRight))
           }
-          // BACKWARD: advance through every row at-or-before (key, time)
+          // BACKWARD/NEAREST: advance through every row at-or-before
+          // (key, time)
           while (rNext != null && {
             val c = keyOrd(rk.eval(rNext), key)
             c < 0 || (c == 0 && timeOf(rt.eval(rNext)) <= time)
@@ -195,6 +199,32 @@ case class AsofJoinExec(
               haveCandidate = true
             }
             rNext = advanceRight()
+          }
+          if (near) {
+            // NEAREST: the backward scan above leaves `candidate` = the
+            // latest right row <= time and `rNext` = the FIRST row
+            // strictly after (key, time) — exactly the forward candidate
+            // when its key matches, and untouched here so it stays valid
+            // for later left rows. A side farther than `tolerance` is no
+            // candidate at all (candidates filter first, then the nearest
+            // survivor wins); equal distances break BACKWARD — the
+            // documented tie rule the oracle encodes. MaxValue sentinels
+            // double as "no candidate" and guard the nullsAsValues
+            // -infinity time from underflowing the subtraction.
+            val distB =
+              if (!haveCandidate || keyOrd(candidateKey, key) != 0 ||
+                candidateTime == Long.MinValue) Long.MaxValue
+              else time - candidateTime
+            val fMatch = rNext != null && keyOrd(rk.eval(rNext), key) == 0
+            val distF =
+              if (!fMatch) Long.MaxValue
+              else timeOf(rt.eval(rNext)) - time
+            val validB = distB != Long.MaxValue && (tol < 0 || distB <= tol)
+            val validF = distF != Long.MaxValue && (tol < 0 || distF <= tol)
+            return resultProj(joined(l,
+              if (validB && (!validF || distB <= distF)) candidate
+              else if (validF) valueProj(rNext)
+              else nullRight))
           }
           // tolerance: the candidate is the LATEST row <= time, so if IT
           // is out of tolerance no earlier row can be in — one check is
@@ -248,18 +278,21 @@ object AsofJoin {
     *
     * `direction = "forward"` instead matches the EARLIEST right row with
     * `right.time >= left.time` (DuckDB `ASOF ... ON l.t <= r.t`, Polars
-    * `strategy="forward"`). `tolerance >= 0` bounds the time gap in the
-    * time column's native units (microseconds for timestamps, the raw
-    * value for ints/longs — pandas merge_asof's `tolerance`): a match
-    * farther than `tolerance` nulls out instead.
+    * `strategy="forward"`). `direction = "nearest"` matches whichever of
+    * the two is CLOSER in time (pandas merge_asof `direction='nearest'`),
+    * ties breaking backward; with a tolerance, each side is filtered
+    * first and the nearest survivor wins. `tolerance >= 0` bounds the
+    * time gap in the time column's native units (microseconds for
+    * timestamps, the raw value for ints/longs — pandas merge_asof's
+    * `tolerance`): a match farther than `tolerance` nulls out instead.
     */
   def joinAsof(leftDf: DataFrame, rightDf: DataFrame,
                key: String, time: String,
                valueCols: Seq[String],
                direction: String = "backward",
                tolerance: Long = -1L): DataFrame = {
-    require(Seq("backward", "forward").contains(direction),
-      s"asof join: direction must be backward|forward, got '$direction'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asof join: direction must be backward|forward|nearest, got '$direction'")
     val spark = leftDf.sparkSession
     register(spark)
     val lp = leftDf.queryExecution.analyzed
@@ -271,6 +304,7 @@ object AsofJoin {
     Shims.ofRows(spark, AsofJoinPlan(lp, rp,
       att(lp, key), att(lp, time), att(rp, key), att(rp, time),
       valueCols.map(att(rp, _)),
-      forward = direction == "forward", tolerance = tolerance))
+      forward = direction == "forward", tolerance = tolerance,
+      nearest = direction == "nearest"))
   }
 }

@@ -575,6 +575,59 @@ object RelationalQueries {
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.r_uid AND l.ts <= r.r_ts
              |GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // Native as-of join, NEAREST direction: each click attributes to the
+    // purchase event CLOSEST in time either way (pandas merge_asof
+    // direction='nearest'; ties break backward). The engine does it in
+    // the one-pass merge (AsofJoinExec keeps the backward candidate AND
+    // peeks the forward head — no second exchange); the oracle has no
+    // nearest ASOF, so it runs DuckDB's backward and forward ASOF joins
+    // and CASE-picks the closer side with the same tie rule.
+    "x60_asof_nearest" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("key"), col("ts").as("at"), col("event_id"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("key"), col("ts").as("at"))
+          .agg(max("value").as("conv_value"))
+        graft.plans.AsofJoin
+          .joinAsof(l, r, key = "key", time = "at",
+            valueCols = Seq("conv_value"), direction = "nearest")
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("conv_value")).as("n_matched"),
+            round(sum("conv_value"), 2).as("conv_total"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'click'),
+             |r AS (
+             |  SELECT user_id AS b_uid, ts AS b_ts, max(value) AS b_val
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |r2 AS (
+             |  SELECT user_id AS f_uid, ts AS f_ts, max(value) AS f_val
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |m AS (
+             |  SELECT l.user_id, l.ts, l.event_id, b_ts, b_val, f_ts, f_val
+             |  FROM l
+             |  ASOF LEFT JOIN r ON l.user_id = r.b_uid AND l.ts >= r.b_ts
+             |  ASOF LEFT JOIN r2 ON l.user_id = r2.f_uid AND l.ts <= r2.f_ts),
+             |pick AS (
+             |  SELECT user_id, event_id,
+             |    CASE
+             |      WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+             |        epoch_us(ts) - epoch_us(b_ts)
+             |          <= epoch_us(f_ts) - epoch_us(ts))
+             |        THEN b_val
+             |      WHEN f_ts IS NOT NULL THEN f_val
+             |      ELSE NULL END AS conv_value
+             |  FROM m)
+             |SELECT user_id, count(*) AS n_clicks,
+             |  count(conv_value) AS n_matched,
+             |  round(sum(conv_value), 2) AS conv_total
+             |FROM pick GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // ---- as-of join with TOLERANCE (pandas merge_asof tolerance): the
     // latest purchase at-or-before each click counts only within a
     // 1-hour window — time-bounded attribution. One gap check on the

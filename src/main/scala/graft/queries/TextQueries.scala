@@ -1215,7 +1215,58 @@ object TextQueries {
              |           < 'f333' THEN 'val'
              |         ELSE 'test' END AS split
              |  FROM documents)
-             |GROUP BY split ORDER BY split""".stripMargin))
+             |GROUP BY split ORDER BY split""".stripMargin)),
+
+    // Cross-corpus duplicate-shingle fraction — the CCNet/Gopher-style
+    // "how much of this document exists elsewhere" signal (d15 measures
+    // repetition WITHIN a doc; this measures sharing ACROSS the corpus).
+    // Docs are cut into non-overlapping 8-word shingles (full blocks
+    // only; <8-word docs contribute nothing, matching the oracle's
+    // empty range()); a shingle seen >=2 times corpus-wide marks its
+    // occurrences duplicated. 100 TB shape: one shuffle on the shingle
+    // key for the global count (map-side combined), and the postings
+    // join back rides the SAME key so the exchange is reused; per-doc
+    // re-agg is doc-keyed. Fraction rounds at 6 dp (the established
+    // cross-engine float discipline).
+    "d39_dup_shingles" -> QueryDef(
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN size(words) >= 8 THEN " +
+              "transform(sequence(0, CAST(size(words) / 8 AS INT) - 1), " +
+              "i -> array_join(slice(words, i * 8 + 1, 8), ' ')) " +
+              "ELSE array() END")).as("shingle"))
+        val gc = sh.groupBy("shingle").agg(count(lit(1)).as("n"))
+        sh.join(gc, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("n") >= 2, 1).otherwise(0)).as("n_dup"))
+          .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+            round(col("n_dup").cast("double") / col("n_shingles"), 6)
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_slice(words, i*8+1, i*8+8), ' ')
+             |      AS shingle
+             |  FROM (SELECT doc_id, words,
+             |          unnest(range(CAST(floor(len(words)/8) AS BIGINT)))
+             |            AS i
+             |        FROM w)),
+             |gc AS (SELECT shingle, count(*) AS n FROM sh GROUP BY shingle)
+             |SELECT sh.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup,
+             |  round(CAST(sum(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / count(*), 6) AS dup_frac
+             |FROM sh JOIN gc ON gc.shingle = sh.shingle
+             |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every

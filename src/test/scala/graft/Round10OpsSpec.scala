@@ -78,6 +78,29 @@ class Round10OpsSpec extends GraftSparkSpec {
     assert(Multimodal.decodeVideo(spark, avi).count() == 5 % 6 + 2)
   }
 
+  test("asof nearest picks the closer side, ties backward, tolerance filters") {
+    import graft.plans.AsofJoin
+    val l = Seq((1L, 10L, "c1"), (1L, 11L, "c2"), (1L, 20L, "c3"),
+        (2L, 5L, "c4"))
+      .toDF("key", "at", "tag")
+    val r = Seq((1L, 8L, "a"), (1L, 14L, "b"), (1L, 29L, "c"))
+      .toDF("key", "at", "v")
+    def run(tol: Long) = AsofJoin
+      .joinAsof(l, r, "key", "at", Seq("v"), direction = "nearest",
+        tolerance = tol)
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    val m = run(-1L)
+    assert(m("c1").contains("a")) // dist 2 back vs 4 fwd
+    assert(m("c2").contains("a")) // dist 3 == 3: tie -> backward
+    assert(m("c3").contains("b")) // dist 6 back vs 9 fwd
+    assert(m("c4").isEmpty)       // key 2: no right rows at all
+    val t5 = run(5L)
+    assert(t5("c1").contains("a"))
+    assert(t5("c3").isEmpty)      // both sides beyond tolerance 5
+    val t8 = run(8L)
+    assert(t8("c3").contains("b")) // backward (6) inside, forward (9) out
+  }
+
   test("bfs early-stops when the frontier drains before maxDepth") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val d = Graph.bfs(e, Seq(1L).toDF("source"), maxDepth = 50)
