@@ -1777,6 +1777,155 @@ object ExtensionQueries {
              |  WHERE e.dst NOT IN (SELECT node FROM l2)),
              |l3 AS (SELECT * FROM l2
              |       UNION ALL SELECT node, 3 AS d FROM f3)
-             |SELECT node, d FROM l3 ORDER BY node""".stripMargin))
+             |SELECT node, d FROM l3 ORDER BY node""".stripMargin)),
+
+    // Degree assortativity of the co-purchase graph — the one-number
+    // "do hubs link to hubs" diagnostic (Newman r): Pearson correlation
+    // of endpoint degrees over the BIDIRECTED edge list (each undirected
+    // edge contributes both orientations, which is exactly how the
+    // undirected coefficient is defined). Degrees are integers, the
+    // correlation is double rounded at 6 dp (q64's cross-engine float
+    // discipline). 100 TB shape: one degree agg + two src/dst-key joins
+    // + a single scalar agg — no quadratic anything.
+    "x61_assortativity" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val e = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+        e.join(deg.select(col("src"), col("d").as("du")), "src")
+          .join(deg.select(col("src").as("dst"), col("d").as("dv")), "dst")
+          .agg(count(lit(1)).as("n_edges"),
+            round(corr(col("du").cast("double"),
+              col("dv").cast("double")), 6).as("assortativity"))
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)
+             |SELECT count(*) AS n_edges,
+             |  round(corr(CAST(du.d AS DOUBLE), CAST(dv.d AS DOUBLE)), 6)
+             |    AS assortativity
+             |FROM e JOIN deg du ON du.src = e.src
+             |JOIN deg dv ON dv.src = e.dst""".stripMargin)),
+
+    // Modularity of the x51 label-propagation communities over the same
+    // co-purchase graph — the "were those communities real" evaluation
+    // (Newman Q): intra-community edge fraction minus the degree-squared
+    // null expectation. Unlabeled nodes become singletons (coalesce to a
+    // per-node label) so the partition is total. All counts are integer;
+    // the final ratio is double at gate scale (every intermediate
+    // < 2^53 — exact) rounded 6 dp; at 100 TB the same numerator moves
+    // to DECIMAL(38,0) (the x50 widening discipline).
+    "x62_modularity" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val seeds = t(s, dir, "part")
+          .filter(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+        val lab = Graph.labelPropagate(edges, seeds, iters = 2,
+            checkpointInterval = 5)
+          .select(col("node"), coalesce(col("label"),
+            concat(lit("u"), col("node").cast("string"))).as("lab"))
+        val wl = edges
+          .join(lab.select(col("node").as("src"), col("lab").as("sl")), "src")
+          .join(lab.select(col("node").as("dst"), col("lab").as("dl")), "dst")
+        val tot = wl.agg(count(lit(1)).as("r"),
+          sum(when(col("sl") === col("dl"), 1).otherwise(0)).as("intra"))
+        val s2 = wl.groupBy("sl").agg(count(lit(1)).as("dc"))
+          .agg(sum(col("dc") * col("dc")).as("s2"))
+        tot.crossJoin(broadcast(s2))
+          .select(col("r"), col("intra"),
+            round((col("intra") * col("r") - col("s2")).cast("double") /
+              (col("r") * col("r")).cast("double"), 6).as("q_mod"))
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |seeds AS (SELECT p_partkey AS sn, p_brand AS slabel
+             |          FROM part WHERE p_partkey % 7 = 0),
+             |l0 AS (SELECT node, slabel AS label
+             |       FROM nodes LEFT JOIN seeds ON sn = node),
+             |c1 AS (SELECT e.src AS n, l.label, count(*) AS c
+             |       FROM e JOIN l0 l ON l.node = e.dst
+             |       WHERE l.label IS NOT NULL GROUP BY e.src, l.label),
+             |m1 AS (SELECT n, label FROM (
+             |         SELECT n, label, row_number() OVER (PARTITION BY n
+             |           ORDER BY c DESC, label) AS rn FROM c1)
+             |       WHERE rn = 1),
+             |l1 AS (SELECT l0.node, coalesce(m1.label, l0.label) AS label
+             |       FROM l0 LEFT JOIN m1 ON m1.n = l0.node),
+             |c2 AS (SELECT e.src AS n, l.label, count(*) AS c
+             |       FROM e JOIN l1 l ON l.node = e.dst
+             |       WHERE l.label IS NOT NULL GROUP BY e.src, l.label),
+             |m2 AS (SELECT n, label FROM (
+             |         SELECT n, label, row_number() OVER (PARTITION BY n
+             |           ORDER BY c DESC, label) AS rn FROM c2)
+             |       WHERE rn = 1),
+             |l2 AS (SELECT l1.node, coalesce(m2.label, l1.label) AS label
+             |       FROM l1 LEFT JOIN m2 ON m2.n = l1.node),
+             |lab AS (SELECT node,
+             |          coalesce(label, 'u' || CAST(node AS VARCHAR)) AS lab
+             |        FROM l2),
+             |wl AS (SELECT ls.lab AS sl, ld.lab AS dl
+             |       FROM e JOIN lab ls ON ls.node = e.src
+             |       JOIN lab ld ON ld.node = e.dst),
+             |tot AS (SELECT count(*) AS r,
+             |          sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS intra
+             |        FROM wl),
+             |ds AS (SELECT sl, count(*) AS dc FROM wl GROUP BY sl),
+             |s2 AS (SELECT sum(dc * dc) AS s2 FROM ds)
+             |SELECT CAST(tot.r AS BIGINT) AS r,
+             |  CAST(tot.intra AS BIGINT) AS intra,
+             |  round(CAST(tot.intra * tot.r - s2.s2 AS DOUBLE)
+             |    / (tot.r * tot.r), 6) AS q_mod
+             |FROM tot CROSS JOIN s2""".stripMargin))
   )
 }
