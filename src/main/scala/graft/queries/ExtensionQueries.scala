@@ -1926,6 +1926,90 @@ object ExtensionQueries {
              |  CAST(tot.intra AS BIGINT) AS intra,
              |  round(CAST(tot.intra * tot.r - s2.s2 AS DOUBLE)
              |    / (tot.r * tot.r), 6) AS q_mod
-             |FROM tot CROSS JOIN s2""".stripMargin))
+             |FROM tot CROSS JOIN s2""".stripMargin)),
+
+    // MinHash calibration — measure the sketch against ground truth: for
+    // every pair in a bounded doc panel (every 50th doc), the k=32
+    // md5-slot MinHash Jaccard ESTIMATE next to the exact shingle
+    // Jaccard. md5 (not the production xxhash kernel) makes the
+    // signature engine-reproducible, so the oracle rebuilds the exact
+    // same sketch — this is the honesty check behind x1's
+    // threshold/band choices, as a standing gate. Estimates are
+    // multiples of 1/32 (exact in binary); both ratios round at 6 dp.
+    // 100 TB shape: panel-bounded — sizes, signatures, and pairs all
+    // scale with the PANEL (a fixed calibration sample), never the
+    // corpus; the per-slot min rides one (doc, slot)-key agg.
+    "d40_minhash_calibration" -> QueryDef(
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+          .distinct()
+          .localCheckpoint() // consumed by three branches below
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val mh = sh
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(31))).as("slot"), col("shingle"))
+          .select(col("doc_id"), col("slot"),
+            md5(concat(col("slot").cast("string"), lit(":"),
+              col("shingle"))).as("h"))
+          .groupBy("doc_id", "slot").agg(min(col("h")).as("mh"))
+        // COLLISION join, not an all-pairs slot join: pairs surface only
+        // where a slot's min-hash actually matches (je > 0) or a shingle
+        // is shared (inter > 0) — cost scales with the matches, never
+        // panel². Pairs absent from one side coalesce to 0 on that side.
+        val coll = mh.as("a").join(mh.as("b"),
+            col("a.slot") === col("b.slot") &&
+              col("a.mh") === col("b.mh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("nc"))
+        val inter = sh.as("x").join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        coll.join(inter, Seq("id_a", "id_b"), "full_outer")
+          .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+          .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(coalesce(col("inter"), lit(0L)).cast("double") /
+              (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6)
+              .as("j_exact"),
+            round(coalesce(col("nc"), lit(0L)) / 32.0, 6).as("j_est"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${shinglesCteN(3,
+                 "(SELECT * FROM documents WHERE doc_id % 2 = 0) seld")},
+             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |mh AS (
+             |  SELECT doc_id, i AS slot,
+             |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+             |  FROM sh, range(32) t(i) GROUP BY doc_id, i),
+             |coll AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+             |  FROM mh a JOIN mh b
+             |    ON a.slot = b.slot AND a.mh = b.mh
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |p0 AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+             |  FROM sh x JOIN sh y
+             |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT coalesce(coll.id_a, p0.id_a) AS id_a,
+             |    coalesce(coll.id_b, p0.id_b) AS id_b,
+             |    coalesce(nc, 0) AS nc, coalesce(inter, 0) AS inter
+             |  FROM coll FULL OUTER JOIN p0
+             |    ON p0.id_a = coll.id_a AND p0.id_b = coll.id_b)
+             |SELECT pairs.id_a, pairs.id_b,
+             |  round(inter::DOUBLE / (na.n + nb.n - inter), 6) AS j_exact,
+             |  round(nc / 32.0, 6) AS j_est
+             |FROM pairs
+             |JOIN n na ON na.doc_id = pairs.id_a
+             |JOIN n nb ON nb.doc_id = pairs.id_b
+             |ORDER BY pairs.id_a, pairs.id_b""".stripMargin))
   )
 }
