@@ -404,7 +404,13 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist()
-    def renorm(raw: DataFrame, vcol: String, out: String): DataFrame = {
+    def renorm(rawIn: DataFrame, vcol: String, out: String): DataFrame = {
+      // materialize the half-step aggregate: renorm reads it TWICE (the
+      // 1-row total and the join). Left lazy in an unrolled DAG, each of
+      // the two branches recomputes the whole chain below it — 2^depth
+      // recomputation (measured: 14.4 s for 2 unrolled iterations on the
+      // x58 gate vs ~2 s materialized). The frame is node-sized.
+      val raw = rawIn.localCheckpoint()
       val tot = raw.agg(sum(col(vcol)).as("t"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))

@@ -1266,7 +1266,66 @@ object TextQueries {
              |  round(CAST(sum(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END)
              |      AS DOUBLE) / count(*), 6) AS dup_frac
              |FROM sh JOIN gc ON gc.shingle = sh.shingle
-             |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
+             |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
+
+    // Vocabulary growth curve (Heaps' law) over ingestion order — how
+    // fast does the corpus stop teaching new words? Docs bucket by
+    // doc_id/50; the curve is cumulative distinct words and cumulative
+    // tokens per bucket. Computed in the SCALABLE form: each word maps
+    // to the bucket where it FIRST appears (one token-key agg), new-word
+    // counts aggregate per bucket, and the cumulative sums run over the
+    // BUCKET-sized frame (bounded — never a corpus-sized window). The
+    // naive form — re-counting distinct words per prefix — rescans the
+    // corpus once per bucket; the oracle can afford it, a 100 TB corpus
+    // cannot. Type-token ratio rounds at 6 dp.
+    "d41_vocab_growth" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = t(s, dir, "documents")
+          .select((col("doc_id") / 50).cast("long").as("bucket"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+        val first = tok.groupBy("token")
+          .agg(min(col("bucket")).as("fb"))
+          .groupBy(col("fb").as("bucket"))
+          .agg(count(lit(1)).as("new_words"))
+        val counts = tok.groupBy("bucket")
+          .agg(count(lit(1)).as("n_tokens"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts.join(first, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_tokens"),
+            coalesce(col("new_words"), lit(0L)).as("new_words"))
+          .withColumn("tokens_cum", sum("n_tokens").over(w))
+          .withColumn("vocab_cum", sum("new_words").over(w))
+          .select(col("bucket"), col("tokens_cum"), col("vocab_cum"),
+            round(col("vocab_cum").cast("double") / col("tokens_cum"), 6)
+              .as("ttr"))
+          .orderBy("bucket")
+      },
+      Some("""WITH tok AS (
+             |  SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS token
+             |  FROM documents),
+             |first AS (
+             |  SELECT fb AS bucket, count(*) AS new_words FROM (
+             |    SELECT token, min(bucket) AS fb FROM tok GROUP BY token)
+             |  GROUP BY fb),
+             |counts AS (
+             |  SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY bucket),
+             |cum AS (
+             |  SELECT counts.bucket,
+             |    sum(counts.n_tokens) OVER (ORDER BY counts.bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS tokens_cum,
+             |    sum(coalesce(first.new_words, 0)) OVER (
+             |      ORDER BY counts.bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS vocab_cum
+             |  FROM counts LEFT JOIN first ON first.bucket = counts.bucket)
+             |SELECT bucket, CAST(tokens_cum AS BIGINT) AS tokens_cum,
+             |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
+             |  round(CAST(vocab_cum AS DOUBLE) / tokens_cum, 6) AS ttr
+             |FROM cum ORDER BY bucket""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
