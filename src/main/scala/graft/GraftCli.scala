@@ -379,6 +379,26 @@ object GraftCli {
       if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
       else q.awaitTermination()
 
+    // streaming quality gate: docs landing as parquet route to pass /
+    // quarantine per-batch dirs (idempotent overwrite on replay)
+    case "stream-quality-route" :: landingDir :: passDir :: quarDir :: checkpoint :: rest =>
+      val spark = session()
+      val minWords = rest.headOption.map(_.toInt).getOrElse(5)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(docSchema).parquet(landingDir)
+      val q = streaming.StreamingAnalytics.qualityRoute(
+        stream, passDir, quarDir, checkpoint, minWords = minWords)
+      println(s"[graft] quality-route server on $landingDir -> " +
+        s"$passDir | $quarDir (minWords=$minWords)")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     case "stream-dedup-delta" :: corpusParquet :: landingDir :: outDir :: checkpoint :: rest =>
       val spark = session()
       val threshold = rest.headOption.map(_.toDouble).getOrElse(0.5)
@@ -555,6 +575,7 @@ object GraftCli {
            |  ann-query-pq <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  stream-upsert <landingDir> <tableDir> <checkpointDir> <keyCol> <tsCol> [nBuckets] [runSec]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
+           |  stream-quality-route <landingDir> <passDir> <quarantineDir> <checkpointDir> [minWords] [runSec]
            |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec] [backward|forward] [toleranceUnits]
            |  heavy-hitters <docsParquet> [k]
            |  kmeans <embeddingsParquet> <outDir> [k] [iters]

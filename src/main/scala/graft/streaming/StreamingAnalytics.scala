@@ -328,6 +328,54 @@ object StreamingAnalytics {
       .parquet(tableDir)
   }
 
+  /** Streaming quality gate with a QUARANTINE side-channel — the
+    * filter-and-route stage every ingestion pipeline runs before data
+    * reaches the training corpus: passing docs land under
+    * `passDir/batch=<id>`, failing docs under `quarantineDir/batch=<id>`
+    * with their failure signals attached (quarantine is reviewable, not
+    * discarded — the operational difference between a filter and a gate).
+    * The decision rule is deterministic (word count + mean word length,
+    * the d4/d23 signal family), so a REPLAYED batch rewrites exactly the
+    * same rows into the same per-batch directories in overwrite mode —
+    * idempotent without markers (the StreamingPrePartition discipline).
+    * One narrow pass per batch; the scored frame materializes once
+    * (node... batch-sized) because both routes consume it.
+    */
+  def qualityRoute(docs: DataFrame, passDir: String, quarantineDir: String,
+                   checkpointDir: String, minWords: Int = 5,
+                   maxMeanWordLen: Double = 12.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        routeBatch(batch, batchId, passDir, quarantineDir,
+          minWords, maxMeanWordLen)
+        ()
+      }
+      .start()
+
+  /** One routing step (the `foreachBatch` body, callable directly for
+    * batch backfills). Returns (nPassed, nQuarantined).
+    */
+  def routeBatch(batch: DataFrame, batchId: Long,
+                 passDir: String, quarantineDir: String,
+                 minWords: Int, maxMeanWordLen: Double): (Long, Long) = {
+    val scored = batch
+      .withColumn("n_words", size(split(trim(col("text")), "\\s+")))
+      .withColumn("mean_wl",
+        (length(translate(trim(col("text")), " ", "")).cast("double") /
+          greatest(col("n_words"), lit(1))))
+      .withColumn("q_pass",
+        col("n_words") >= minWords && col("mean_wl") <= maxMeanWordLen)
+      .localCheckpoint() // consumed by both routes below
+    val pass = scored.filter(col("q_pass"))
+      .drop("n_words", "mean_wl", "q_pass")
+    val fail = scored.filter(!col("q_pass")).drop("q_pass")
+    pass.write.mode("overwrite").parquet(s"$passDir/batch=$batchId")
+    fail.write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
+    (pass.count(), fail.count())
+  }
+
   /** Declarative sessionization via the built-in `session_window`
     * (gap-merged event-time windows) — the no-custom-state alternative to
     * `sessionize`: Spark's session-window state store handles merge and

@@ -101,6 +101,54 @@ class Round10OpsSpec extends GraftSparkSpec {
     assert(t8("c3").contains("b")) // backward (6) inside, forward (9) out
   }
 
+  test("quality router splits pass/quarantine idempotently per batch") {
+    import graft.streaming.StreamingAnalytics
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r10-route")
+      .toString
+    val docs = Seq(
+      (1L, "one two three four five six seven"),       // pass
+      (2L, "short"),                                   // fail: words
+      (3L, "antidisestablishmentarianism " * 6)        // fail: word length
+    ).toDF("doc_id", "text")
+    val (p1, f1) = StreamingAnalytics.routeBatch(docs, 7L,
+      s"$tmp/pass", s"$tmp/quar", minWords = 5, maxMeanWordLen = 12.0)
+    assert((p1, f1) == (1L, 2L))
+    val passed = spark.read.parquet(s"$tmp/pass/batch=7")
+      .select("doc_id").as[Long].collect().toSet
+    assert(passed == Set(1L))
+    val quar = spark.read.parquet(s"$tmp/quar/batch=7")
+    assert(quar.columns.contains("n_words")) // signals kept for review
+    assert(quar.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    // replay of the same batch id rewrites the same rows, no duplication
+    val (p2, f2) = StreamingAnalytics.routeBatch(docs, 7L,
+      s"$tmp/pass", s"$tmp/quar", minWords = 5, maxMeanWordLen = 12.0)
+    assert((p2, f2) == (1L, 2L))
+    assert(spark.read.parquet(s"$tmp/pass/batch=7").count() == 1)
+    assert(spark.read.parquet(s"$tmp/quar/batch=7").count() == 2)
+  }
+
+  test("quality router end-to-end over a MemoryStream") {
+    import graft.streaming.StreamingAnalytics
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r10-routes")
+      .toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.qualityRoute(
+      in.toDF().toDF("doc_id", "text"),
+      s"$tmp/pass", s"$tmp/quar", s"$tmp/ckpt")
+    in.addData((10L, "a b c d e f g"), (11L, "x"))
+    q.processAllAvailable()
+    in.addData((12L, "h i j k l m n o p"))
+    q.processAllAvailable()
+    q.stop()
+    val pass = spark.read.parquet(s"$tmp/pass/batch=*")
+      .select("doc_id").as[Long].collect().toSet
+    val quar = spark.read.parquet(s"$tmp/quar/batch=*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(pass == Set(10L, 12L) && quar == Set(11L))
+  }
+
   test("bfs early-stops when the frontier drains before maxDepth") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val d = Graph.bfs(e, Seq(1L).toDF("source"), maxDepth = 50)
