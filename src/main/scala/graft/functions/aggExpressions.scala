@@ -117,10 +117,134 @@ case class MisraGriesAgg(
       c: IndexedSeq[Expression]): Expression = copy(child = c.head)
 }
 
+/** Exact bounded-heap top-k: keeps the `k` SMALLEST struct values under
+  * the struct type's ordering (callers encode descending dimensions by
+  * negation and append a unique tiebreak field for determinism). Returns
+  * the k rows as an ascending-sorted array.
+  *
+  * This is the 100 TB replacement for the per-group
+  * `row_number() OVER (PARTITION BY g ORDER BY ...) <= k` idiom: the
+  * window form SORTS every group's full row set (shuffle + sort of the
+  * whole input); this aggregate rides ObjectHashAggregate with MAP-SIDE
+  * partial heaps, so the exchange carries at most k rows per group per
+  * map partition and nothing is ever globally sorted. Same result set by
+  * construction (both select the k minima of a total order) — gated
+  * against the row_number oracle in x63.
+  *
+  * Spark ships this shape only for unpartitioned limits
+  * (TakeOrderedAndProject); per-GROUP top-k has no built-in aggregate —
+  * hence this TypedImperativeAggregate (the same extension point as
+  * Spark's own percentile/HLL sketches).
+  */
+case class TopKStructAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
+
+  require(k >= 1, s"TopKStructAgg needs k >= 1, got $k")
+
+  private def structType: StructType =
+    child.dataType.asInstanceOf[StructType]
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(structType, containsNull = false)
+  override def prettyName: String = "topk_struct"
+
+  // interpreted ordering of the struct type — identical to what ORDER BY
+  // on the struct would use, so the row_number oracle agrees
+  @transient private lazy val ord: Ordering[InternalRow] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(structType)
+      .asInstanceOf[Ordering[InternalRow]]
+
+  // PriorityQueue dequeues the LARGEST under `ord` — exactly the row to
+  // evict when a smaller candidate arrives
+  override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
+    mutable.PriorityQueue.empty[InternalRow](ord)
+
+  private def offer(buf: mutable.PriorityQueue[InternalRow],
+                    row: InternalRow): Unit = {
+    if (buf.size < k) buf.enqueue(row)
+    else if (ord.compare(row, buf.head) < 0) { buf.dequeue(); buf.enqueue(row) }
+  }
+
+  override def update(buf: mutable.PriorityQueue[InternalRow],
+                      input: InternalRow): mutable.PriorityQueue[InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // copy: childless eval may return a reused buffer row
+      offer(buf, v.asInstanceOf[InternalRow].copy())
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[InternalRow],
+                     other: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[InternalRow]): Any =
+    new GenericArrayData(buf.toArray.sorted(ord).asInstanceOf[Array[Any]])
+
+  @transient private lazy val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(structType)
+
+  override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { row =>
+      val u = toUnsafe(row)
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, new Array[Byte](4096))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[InternalRow] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    val fields = structType.length
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(fields)
+      row.pointTo(rowBytes, len)
+      buf.enqueue(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKStructAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKStructAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
 object AggFunctions {
   /** `misra_gries(col, k)` as a Column aggregate — returns the candidate
     * key array (superset of every key with frequency > N/(k+1)). */
   def misraGries(col: Column, k: Int): Column =
     Shims.column(
       MisraGriesAgg(Shims.expression(col), k).toAggregateExpression())
+
+  /** `topk_struct(structCol, k)` — the k SMALLEST struct values under the
+    * struct ordering, as an ascending array. Encode descending dims by
+    * negation; include a unique field for a deterministic tiebreak. */
+  def topKStruct(col: Column, k: Int): Column =
+    Shims.column(
+      TopKStructAgg(Shims.expression(col), k).toAggregateExpression())
 }

@@ -2010,6 +2010,35 @@ object ExtensionQueries {
              |FROM pairs
              |JOIN n na ON na.doc_id = pairs.id_a
              |JOIN n nb ON nb.doc_id = pairs.id_b
-             |ORDER BY pairs.id_a, pairs.id_b""".stripMargin))
+             |ORDER BY pairs.id_a, pairs.id_b""".stripMargin)),
+
+    // Exact per-group top-k WITHOUT a window sort: the native
+    // TopKStructAgg (TypedImperativeAggregate) keeps a k-bounded heap
+    // per group and rides ObjectHashAggregate with MAP-SIDE partials —
+    // the exchange carries <= k rows per group per map partition where
+    // the row_number window form shuffles and SORTS every group's full
+    // row set. The oracle IS that window form: both select the k minima
+    // of the same total order (-n_chars, doc_id), so equality is the
+    // correctness proof for the heap machinery (update/merge/serde).
+    "x63_topk_per_group" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .groupBy("lang")
+          .agg(graft.functions.AggFunctions.topKStruct(
+            struct((-col("n_chars")).as("negc"), col("doc_id")), 3)
+            .as("top"))
+          .select(col("lang"), posexplode(col("top")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+            col("col.doc_id").as("doc_id"),
+            (-col("col.negc")).as("n_chars"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars
+             |FROM (
+             |  SELECT lang, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
   )
 }

@@ -149,6 +149,35 @@ class Round10OpsSpec extends GraftSparkSpec {
     assert(pass == Set(10L, 12L) && quar == Set(11L))
   }
 
+  test("topk_struct equals the window form across partition merges") {
+    import graft.functions.AggFunctions
+    // 1000 rows over 7 groups, shuffled across 8 partitions: partial
+    // heaps MUST merge (and serde) to agree with the window form
+    val df = spark.range(1000).selectExpr("id % 7 AS g",
+        "CAST((id * 37) % 211 AS BIGINT) AS v", "id")
+      .repartition(8)
+    val viaAgg = df.groupBy("g")
+      .agg(AggFunctions.topKStruct(
+        struct((-col("v")).as("nv"), col("id")), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rk"),
+        col("col.id").as("id"), (-col("col.nv")).as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(desc("v"), col("id"))))
+      .filter(col("rk") <= 5)
+      .select(col("g"), col("rk").cast("long").as("rk"), col("id"), col("v"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+    // k larger than a group: returns the whole group, still sorted
+    val small = Seq((1L, 5L, 1L), (1L, 9L, 2L)).toDF("g", "v", "id")
+      .groupBy("g")
+      .agg(AggFunctions.topKStruct(
+        struct((-col("v")).as("nv"), col("id")), 10).as("top"))
+      .select(size(col("top")).as("n")).as[Int].head()
+    assert(small == 2)
+  }
+
   test("bfs early-stops when the frontier drains before maxDepth") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val d = Graph.bfs(e, Seq(1L).toDF("source"), maxDepth = 50)
