@@ -1114,7 +1114,6 @@ object ExtensionQueries {
     // cross-engine float discipline) with doc_id tiebreak.
     "x48_weighted_sample" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = t(s, dir, "documents")
           .withColumn("u",
             (conv(substring(md5(concat(col("doc_id").cast("string"),
@@ -1122,10 +1121,16 @@ object ExtensionQueries {
               lit(281474976710656.0))
           .withColumn("key",
             round(-log(col("u")) / col("n_chars"), 9))
-        docs.withColumn("rk", row_number().over(
-            Window.partitionBy("lang").orderBy(col("key"), col("doc_id"))))
-          .filter(col("rk") <= 10)
-          .select(col("lang"), col("doc_id"), col("n_chars"), col("key"))
+        // per-stratum top-k via the bounded-heap aggregate (x63): map-side
+        // partial heaps instead of the window form's full per-stratum
+        // sort — same rows by construction ((key, doc_id) is a total
+        // order; n_chars rides as payload after the unique tiebreak)
+        docs.groupBy("lang")
+          .agg(graft.functions.AggFunctions.topKStruct(
+            struct(col("key"), col("doc_id"), col("n_chars")), 10).as("top"))
+          .select(col("lang"), explode(col("top")).as("t"))
+          .select(col("lang"), col("t.doc_id").as("doc_id"),
+            col("t.n_chars").as("n_chars"), col("t.key").as("key"))
           .orderBy("lang", "key", "doc_id")
       },
       Some("""WITH k AS (
