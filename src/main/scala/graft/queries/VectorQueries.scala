@@ -443,7 +443,115 @@ object VectorQueries {
              |SELECT t.src, t.dst, t.rk, t.sim,
              |  CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
              |FROM top t LEFT JOIN top m ON m.src = t.dst AND m.dst = t.src
-             |ORDER BY t.src, t.rk""".stripMargin))
+             |ORDER BY t.src, t.rk""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion — the production
+    // sparse+dense pattern: BM25 (x53's scorer) and brute cosine vs the
+    // vec_id=0 query (e2's scorer) each rank their top-50; fused score =
+    // Σ 1/(60+rank) over the arms where the doc appears (RRF, Cormack et
+    // al. k=60). Both arms rank on ROUNDED scores with id tiebreaks
+    // (total orders), so ranks — and therefore the fusion — are
+    // engine-exact; the rank windows run over candidate-set-sized frames
+    // (docs matching a query term / the dense shortlist), never the
+    // corpus. Docs and vectors share the id space (vec_id == doc_id).
+    "x64_rrf_hybrid" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val qterms = Seq("spark", "join", "window", "hash")
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(
+          expr("CAST(sum(dl) AS DOUBLE) / count(*)").as("avgdl"),
+          count(lit(1)).as("n_docs"))
+        val tf = toks.filter(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val sparse = tf.join(broadcast(dfq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("part",
+            expr("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
+              "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"))
+          .groupBy("doc_id")
+          .agg(round(sum(col("part")), 4).as("bm25"))
+          .withColumn("r_s", row_number().over(
+            Window.orderBy(desc("bm25"), col("doc_id"))))
+          .filter(col("r_s") <= 50)
+          .select(col("doc_id"), col("r_s"))
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val dense = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", round(
+            dot(col("embedding"), col("qe")) /
+              (sqrt(dot(col("embedding"), col("embedding"))) *
+                sqrt(dot(col("qe"), col("qe")))), 6))
+          .withColumn("r_d", row_number().over(
+            Window.orderBy(desc("sim"), col("vec_id"))))
+          .filter(col("r_d") <= 50)
+          .select(col("vec_id").as("doc_id"), col("r_d"))
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(coalesce(lit(1.0) / (lit(60) + col("r_s")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_d")), lit(0.0)), 6)
+              .as("rrf"),
+            coalesce(col("r_s"), lit(0)).as("r_sparse"),
+            coalesce(col("r_d"), lit(0)).as("r_dense"))
+          .orderBy(desc("rrf"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             |          count(*) AS n_docs FROM dl),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE term IN ('spark', 'join', 'window', 'hash')
+             |  GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |bm AS (
+             |  SELECT tf.doc_id,
+             |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+             |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+             |      AS bm25
+             |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN stats GROUP BY tf.doc_id),
+             |sparse AS (
+             |  SELECT doc_id, CAST(row_number() OVER (
+             |      ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_s
+             |  FROM bm QUALIFY r_s <= 50),
+             |dd AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |q AS (SELECT e AS qe FROM dd WHERE vec_id = 0),
+             |sims AS (
+             |  SELECT vec_id,
+             |    round(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(e) + 1), i -> e[i] * qe[i])),
+             |        (a, b) -> a + b)
+             |      / (sqrt(list_reduce(list_prepend(0.0,
+             |          list_transform(e, x -> x * x)), (a, b) -> a + b))
+             |        * sqrt(list_reduce(list_prepend(0.0,
+             |          list_transform(qe, x -> x * x)), (a, b) -> a + b))), 6)
+             |      AS sim
+             |  FROM dd, q WHERE vec_id <> 0),
+             |dense AS (
+             |  SELECT vec_id AS doc_id, CAST(row_number() OVER (
+             |      ORDER BY sim DESC, vec_id) AS INTEGER) AS r_d
+             |  FROM sims QUALIFY r_d <= 50)
+             |SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id,
+             |  round(coalesce(1.0 / (60 + r_s), 0.0) +
+             |    coalesce(1.0 / (60 + r_d), 0.0), 6) AS rrf,
+             |  coalesce(r_s, 0) AS r_sparse,
+             |  coalesce(r_d, 0) AS r_dense
+             |FROM sparse FULL OUTER JOIN dense
+             |  ON dense.doc_id = sparse.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** Unrolled Lloyd's k-means oracle: `assignSteps` assignment rounds
