@@ -522,6 +522,20 @@ object GraftCli {
       spark.stop()
 
     // cut documents into overlapping token-window chunks (RAG prep)
+    // JSONL training-data export (one JSON object per line, optional
+    // gzip + byte-bounded shards)
+    case "export-jsonl" :: inParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val limitMb = rest.headOption.map(_.toLong)
+      val gz = rest.lift(1).contains("gzip")
+      operators.Export.toJsonl(spark.read.parquet(inParquet), outDir,
+        compressed = gz, sizeLimitBytes = limitMb.map(_ * 1024 * 1024))
+      println(s"[graft] export-jsonl $inParquet -> $outDir" +
+        limitMb.map(m => s" (limit ${m}MB)").getOrElse("") +
+        (if (gz) " gzip" else ""))
+      spark.stop()
+
     case "chunk" :: docsParquet :: outDir :: rest =>
       val spark = session()
       import org.apache.spark.sql.functions._
@@ -560,6 +574,7 @@ object GraftCli {
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]
            |  compact <inDir> <outDir> [targetMB] [sortCol1,sortCol2,...]
+           |  export-jsonl <inParquet> <outDir> [limitMB] [gzip]
            |  graph-pagerank <edgesParquet> <outDir> [iters] [tolUnits] [dangling]
            |  graph-triangles <edgesParquet> <outDir>
            |  graph-ancestors <parentsParquet> <outDir> [rounds]

@@ -42,6 +42,33 @@ object Export {
     w.csv(destDir)
   }
 
+  /** JSONL export — the interchange format training pipelines consume
+    * (one JSON object per line; gzip optional). Same size-bounding
+    * approach as `toCsv` (sample-derived rows-per-file, pre-compression),
+    * with the JSON overhead estimated from the actual serialized form of
+    * the sample rather than the raw column bytes — `to_json(struct(*))`
+    * is exactly what the writer emits per line.
+    */
+  def toJsonl(df: DataFrame, destDir: String,
+              compressed: Boolean = false,
+              sizeLimitBytes: Option[Long] = None,
+              single: Boolean = false): Unit = {
+    val base = if (single) df.coalesce(1) else df
+    var w = base.write.mode("overwrite")
+    if (compressed) w = w.option("compression", "gzip")
+    sizeLimitBytes.foreach { limit =>
+      val stats = df.limit(1000).select(
+        count(lit(1)).as("n"),
+        sum(length(to_json(struct(df.columns.toIndexedSeq.map(col): _*))))
+          .as("bytes"))
+        .collect()(0)
+      val n = stats.getLong(0)
+      val avgRow = if (n == 0) 100L else stats.getLong(1) / n + 1
+      w = w.option("maxRecordsPerFile", math.max(1L, limit / avgRow))
+    }
+    w.json(destDir)
+  }
+
   // ---------------------------------------------------------------- async
 
   /** One tracked operation (reference `.show operations` row shape:

@@ -39,6 +39,24 @@ class ExportDdlSpec extends GraftSparkSpec {
     assert(control.length == 1)
   }
 
+  test("jsonl export round-trips and size limit splits files") {
+    val df = LogDataGenerator.generate(spark, 500).coalesce(1)
+    Export.toJsonl(df, s"$tmp/expj", single = true)
+    val files = new java.io.File(s"$tmp/expj").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.length == 1)
+    val back = spark.read.json(s"$tmp/expj")
+    assert(back.count() == 500)
+    assert(back.columns.sorted.toSeq == df.columns.sorted.toSeq)
+    // split under a byte bound (every extra file attributable to the limit)
+    Export.toJsonl(df, s"$tmp/expj2", compressed = true,
+      sizeLimitBytes = Some(8 * 1024))
+    val parts = new java.io.File(s"$tmp/expj2").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(parts.length > 1, s"size limit did not split: ${parts.length}")
+    assert(spark.read.json(s"$tmp/expj2").count() == 500)
+  }
+
   test("B10: DDL — create table, CTAS limit 0, drop if exists") {
     spark.sql("DROP TABLE IF EXISTS t_landing")
     // .create table T(Text:string)
