@@ -315,6 +315,14 @@ object GraftCli {
 
     // build a persisted IVF ANN index: inverted lists as list_id-
     // partitioned parquet + a centroids side table
+    // append an embedding wave to a persisted IVF index (frozen centroids)
+    case "ann-index-append" :: embParquet :: indexDir :: Nil =>
+      val spark = session()
+      operators.Similarity.appendIvfIndex(
+        spark.read.parquet(embParquet), indexDir)
+      println(s"[graft] ivf append: $embParquet -> $indexDir")
+      spark.stop()
+
     case "ann-index-build" :: embParquet :: indexDir :: rest =>
       val spark = session()
       val nlist = rest.headOption.map(_.toInt).getOrElse(16)
@@ -585,6 +593,7 @@ object GraftCli {
            |  manifest-compact <shardDir> [retainDays]
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
+           |  ann-index-append <embeddingsParquet> <indexDir>
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  ann-index-build-pq <embeddingsParquet> <indexDir> [nlist] [nSub]
            |  ann-query-pq <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]

@@ -249,6 +249,34 @@ object Similarity {
       .parquet(s"$path/lists")
   }
 
+  /** Append a batch of vectors to a persisted `writeIvfIndex` WITHOUT
+    * rebuilding: the batch is assigned against the index's FROZEN
+    * centroids (read once, nlist×dim driver-side literals — the same
+    * zero-shuffle assignment as the build) and appended to the
+    * `list_id`-partitioned lists. This is standard IVF maintenance —
+    * ingestion waves assign under the existing coarse quantizer;
+    * re-training is a deliberate separate rebuild (drift is a recall
+    * concern, never a correctness one: queries scan whatever lives in
+    * the probed lists). Append-only contract mirrors the ingest sinks:
+    * re-appending the same vec_id duplicates it — callers dedup waves
+    * upstream (x21's incremental-dedup discipline).
+    */
+  def appendIvfIndex(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect().map(_.getSeq[Float](1).toArray)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
+    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
+      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
+    }.toSeq: _*)
+    batch
+      .withColumn("list_id", array_position(simsTo(col("embedding")),
+        array_max(simsTo(col("embedding")))))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/lists")
+  }
+
   /** Top-k against a persisted `writeIvfIndex`: centroids load driver-side
     * (nlist×dim floats), probe lists are chosen on the driver, and the
     * list scan is partition-pruned to the probed directories.

@@ -178,6 +178,30 @@ class Round10OpsSpec extends GraftSparkSpec {
     assert(small == 2)
   }
 
+  test("appendIvfIndex: incremental build equals the one-shot index") {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r10-ivf")
+      .toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val head = all.filter(col("vec_id") < 300)
+    val tail = all.filter(col("vec_id") >= 300)
+    // one-shot index over everything
+    Similarity.writeIvfIndex(all, s"$tmp/full", nlist = 8)
+    // incremental: build on the head (same seed centroids — first nlist
+    // by vec_id), append the tail under the frozen quantizer
+    Similarity.writeIvfIndex(head, s"$tmp/inc", nlist = 8)
+    Similarity.appendIvfIndex(tail, s"$tmp/inc")
+    val q = all.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    val a = Similarity.ivfIndexTopK(spark, s"$tmp/full", q, k = 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.ivfIndexTopK(spark, s"$tmp/inc", q, k = 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // both indexes hold every vector
+    assert(spark.read.parquet(s"$tmp/inc/lists").count() == all.count())
+  }
+
   test("bfs early-stops when the frontier drains before maxDepth") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val d = Graph.bfs(e, Seq(1L).toDF("source"), maxDepth = 50)
