@@ -1325,7 +1325,65 @@ object TextQueries {
              |SELECT bucket, CAST(tokens_cum AS BIGINT) AS tokens_cum,
              |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
              |  round(CAST(vocab_cum AS DOUBLE) / tokens_cum, 6) AS ttr
-             |FROM cum ORDER BY bucket""".stripMargin))
+             |FROM cum ORDER BY bucket""".stripMargin)),
+
+    // Duplication rate BY SOURCE — d39's cross-corpus signal rolled up
+    // to the operational question "which feed is redundant": per source,
+    // doc count, mean duplicated-shingle fraction (6 dp), and how many
+    // docs are FULLY duplicated elsewhere (dup_frac = 1). Same two
+    // shingle-key exchanges as d39 plus one source-keyed rollup; the
+    // per-doc fractions are exact integer ratios so the mean is the only
+    // float (rounded, q64 discipline).
+    "d42_dup_by_source" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = docs
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN size(words) >= 8 THEN " +
+              "transform(sequence(0, CAST(size(words) / 8 AS INT) - 1), " +
+              "i -> array_join(slice(words, i * 8 + 1, 8), ' ')) " +
+              "ELSE array() END")).as("shingle"))
+        val gc = sh.groupBy("shingle").agg(count(lit(1)).as("n"))
+        val perDoc = sh.join(gc, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("n") >= 2, 1).otherwise(0)).as("n_dup"))
+        docs.select(col("doc_id"), col("source"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(coalesce(col("n_dup"), lit(0L)).cast("double") /
+              greatest(coalesce(col("n_sh"), lit(0L)), lit(1L))), 6)
+              .as("mean_dup_frac"),
+            sum(when(col("n_dup") === col("n_sh"), 1).otherwise(0))
+              .as("n_full_dup"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_slice(words, i*8+1, i*8+8), ' ')
+             |      AS shingle
+             |  FROM (SELECT doc_id, words,
+             |          unnest(range(CAST(floor(len(words)/8) AS BIGINT)))
+             |            AS i
+             |        FROM w)),
+             |gc AS (SELECT shingle, count(*) AS n FROM sh GROUP BY shingle),
+             |pd AS (
+             |  SELECT sh.doc_id, count(*) AS n_sh,
+             |    sum(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END) AS n_dup
+             |  FROM sh JOIN gc ON gc.shingle = sh.shingle
+             |  GROUP BY sh.doc_id)
+             |SELECT source, count(*) AS n_docs,
+             |  round(avg(CAST(coalesce(pd.n_dup, 0) AS DOUBLE) /
+             |    greatest(coalesce(pd.n_sh, 0), 1)), 6) AS mean_dup_frac,
+             |  CAST(sum(CASE WHEN pd.n_dup = pd.n_sh THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_full_dup
+             |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
