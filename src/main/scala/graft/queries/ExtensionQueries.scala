@@ -2017,14 +2017,17 @@ object ExtensionQueries {
              |JOIN n nb ON nb.doc_id = pairs.id_b
              |ORDER BY pairs.id_a, pairs.id_b""".stripMargin)),
 
-    // Exact per-group top-k WITHOUT a window sort: the native
-    // TopKStructAgg (TypedImperativeAggregate) keeps a k-bounded heap
-    // per group and rides ObjectHashAggregate with MAP-SIDE partials —
-    // the exchange carries <= k rows per group per map partition where
-    // the row_number window form shuffles and SORTS every group's full
-    // row set. The oracle IS that window form: both select the k minima
-    // of the same total order (-n_chars, doc_id), so equality is the
-    // correctness proof for the heap machinery (update/merge/serde).
+    // Exact per-group top-k WITHOUT a sort: the native TopKStructAgg
+    // (TypedImperativeAggregate) keeps a k-bounded heap per group on
+    // ObjectHashAggregate with map-side partials. Spark 4's
+    // WindowGroupLimit already map-side-bounds the row_number idiom too
+    // (measured both ways in tools/TopKScale — see the Scaladoc): the
+    // heap's regime is FEW groups (O(n log k) vs per-partition sort; 5
+    // langs here) and aggregate composition (top-k beside other aggs in
+    // one pass, rows returned as an array). The oracle IS the window
+    // form: both select the k minima of the same total order
+    // (-n_chars, doc_id), so equality proves the heap machinery
+    // (update/merge/serde).
     "x63_topk_per_group" -> QueryDef(
       (s, dir) => {
         t(s, dir, "documents")
