@@ -387,6 +387,26 @@ object GraftCli {
       if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
       else q.awaitTermination()
 
+    // exactly-once corpus append: landing docs dedup exactly (content
+    // hash) against the persisted corpus table, novel rows append
+    case "stream-append-unique" :: landingDir :: tableDir :: checkpoint :: rest =>
+      val spark = session()
+      val nBuckets = rest.headOption.map(_.toInt).getOrElse(64)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(docSchema).parquet(landingDir)
+      val q = streaming.StreamingAnalytics.appendUnique(
+        stream, "text", "doc_id", tableDir, checkpoint, nBuckets)
+      println(s"[graft] append-unique server on $landingDir -> $tableDir " +
+        s"(buckets=$nBuckets)")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     // streaming quality gate: docs landing as parquet route to pass /
     // quarantine per-batch dirs (idempotent overwrite on replay)
     case "stream-quality-route" :: landingDir :: passDir :: quarDir :: checkpoint :: rest =>
@@ -600,6 +620,7 @@ object GraftCli {
            |  stream-upsert <landingDir> <tableDir> <checkpointDir> <keyCol> <tsCol> [nBuckets] [runSec]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
            |  stream-quality-route <landingDir> <passDir> <quarantineDir> <checkpointDir> [minWords] [runSec]
+           |  stream-append-unique <landingDir> <corpusTableDir> <checkpointDir> [nBuckets] [runSec]
            |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec] [backward|forward] [toleranceUnits]
            |  heavy-hitters <docsParquet> [k]
            |  kmeans <embeddingsParquet> <outDir> [k] [iters]

@@ -66,6 +66,67 @@ object StreamingAnalytics {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** EXACT-dedup corpus append — the exactly-once "add to the training
+    * corpus" sink: each micro-batch drops rows whose content hash already
+    * exists in the persisted corpus table (and in-batch duplicates, first
+    * id wins), then appends only the novel rows into a hash-bucketed
+    * layout. The existence probe reads ONLY the buckets the batch
+    * touches (the upsertLatest pruning discipline) — per-batch cost is
+    * O(batch + touched buckets), never O(corpus). Replay-idempotent by
+    * construction: a re-run batch finds its own rows already present and
+    * appends nothing (state convergence, not byte-identical files —
+    * same contract as the reference's ingest-if-not-exists tags).
+    */
+  def appendUnique(docs: DataFrame, textCol: String, idCol: String,
+                   tableDir: String, checkpointDir: String,
+                   nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendUniqueBatch(batch, textCol, idCol, tableDir, nBuckets)
+        ()
+      }
+      .start()
+
+  /** One exact-dedup append step (the `foreachBatch` body, callable
+    * directly for batch backfills). Returns the number of novel rows
+    * appended.
+    */
+  def appendUniqueBatch(batch: DataFrame, textCol: String, idCol: String,
+                        tableDir: String, nBuckets: Int = 64): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val hashed = batch
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("bucket", pmod(hash(col("content_hash")), lit(nBuckets)))
+      // in-batch exact dedup, deterministic winner (lowest id)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("content_hash").orderBy(col(idCol))))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint() // read for probe + append; bounded batch-sized
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(new org.apache.hadoop.fs.Path(tableDir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .exists(_.getPath.getName.startsWith("bucket="))
+    val novel =
+      if (!hasData) hashed
+      else {
+        val touched = hashed.select("bucket").distinct()
+          .collect().map(_.getInt(0)) // bounded: <= nBuckets ints
+        val existing = spark.read.parquet(tableDir)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          .select("content_hash")
+        hashed.join(existing, Seq("content_hash"), "left_anti")
+          .localCheckpoint() // materialize BEFORE appending below
+      }
+    val n = novel.count()
+    if (n > 0)
+      novel.write.mode("append").partitionBy("bucket").parquet(tableDir)
+    n
+  }
+
   /** Near-dup flagging AT INGEST: every micro-batch of landing documents
     * is checked against the standing corpus via the banded MinHash index
     * (built ONCE here, reused per batch — the wave-work is

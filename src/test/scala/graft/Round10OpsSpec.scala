@@ -202,6 +202,30 @@ class Round10OpsSpec extends GraftSparkSpec {
     assert(spark.read.parquet(s"$tmp/inc/lists").count() == all.count())
   }
 
+  test("appendUnique drops corpus and in-batch duplicates; replay is a no-op") {
+    import graft.streaming.StreamingAnalytics
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r10-uniq")
+      .toString
+    val b1 = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      .toDF("doc_id", "text")
+    // in-batch dup (3 repeats 1's text): only the lowest id survives
+    assert(StreamingAnalytics.appendUniqueBatch(b1, "text", "doc_id",
+      s"$tmp/corpus", nBuckets = 8) == 2)
+    val b2 = Seq((4L, "beta text"), (5L, "gamma text"))
+      .toDF("doc_id", "text")
+    // cross-batch dup (4 repeats 2's text): only the novel row appends
+    assert(StreamingAnalytics.appendUniqueBatch(b2, "text", "doc_id",
+      s"$tmp/corpus", nBuckets = 8) == 1)
+    // replay of batch 2: everything already present -> nothing appended
+    assert(StreamingAnalytics.appendUniqueBatch(b2, "text", "doc_id",
+      s"$tmp/corpus", nBuckets = 8) == 0)
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    assert(corpus.count() == 3)
+    assert(corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    // one row per distinct content hash
+    assert(corpus.select("content_hash").distinct().count() == 3)
+  }
+
   test("bfs early-stops when the frontier drains before maxDepth") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val d = Graph.bfs(e, Seq(1L).toDF("source"), maxDepth = 50)
