@@ -226,6 +226,30 @@ class Round10OpsSpec extends GraftSparkSpec {
     assert(corpus.select("content_hash").distinct().count() == 3)
   }
 
+  test("bfs agrees with a sequential BFS model on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(80)(
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)).distinct
+      val seeds = Seq(0L, 13L)
+      // sequential model: classic queue BFS over the adjacency map
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      val dist = scala.collection.mutable.Map(seeds.map(_ -> 0): _*)
+      var frontier = seeds
+      var d = 0
+      while (frontier.nonEmpty && d < 6) {
+        d += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = d)
+      }
+      val got = Graph.bfs(edges.toDF("src", "dst"),
+          seeds.toDF("source"), maxDepth = 6)
+        .as[(Long, Int)].collect().toMap
+      assert(got == dist.toMap)
+    }
+  }
+
   test("bfs early-stops when the frontier drains before maxDepth") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val d = Graph.bfs(e, Seq(1L).toDF("source"), maxDepth = 50)
