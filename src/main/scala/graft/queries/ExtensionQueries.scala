@@ -1861,10 +1861,14 @@ object ExtensionQueries {
           .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
           .agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 2)
+        // materialized ONCE: consumed by labelPropagate (which derives
+        // its own cached distinct) AND by the modularity joins below —
+        // left lazy, the whole collect_set+pair pipeline would run twice
         val edges = pc.select(explode(array(
             struct(col("pa").as("src"), col("pb").as("dst")),
             struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .localCheckpoint()
         val seeds = t(s, dir, "part")
           .filter(col("p_partkey") % 7 === 0)
           .select(col("p_partkey").as("node"), col("p_brand").as("label"))
