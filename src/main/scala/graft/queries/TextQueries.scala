@@ -1383,7 +1383,78 @@ object TextQueries {
              |  CAST(sum(CASE WHEN pd.n_dup = pd.n_sh THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_full_dup
              |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Deterministic fractional upsampling — materializing a
+    // source-weighted epoch (the DoReMi/data-mixing step where a 2.5×
+    // source repeats each doc 2 or 3 times): n_copies = floor(mult) +
+    // one extra copy iff the doc's seeded md5 uniform < frac(mult), so
+    // the REALIZED multiplier converges to the target without an RNG —
+    // replays and both engines materialize the identical epoch. The
+    // copy explode is in-row (sequence 1..n_copies); the report is one
+    // source-keyed agg. Multipliers here are a literal policy table
+    // (src0-lineage 2500000µ, src1 1000000µ, rest 500000µ).
+    "d43_upsample" -> QueryDef(
+      (s, dir) => {
+        val multMicro = when(col("source") === "src0", lit(2500000L))
+          .when(col("source") === "src1", lit(1000000L))
+          .otherwise(lit(500000L))
+        val docs = t(s, dir, "documents")
+          .withColumn("mult_micro", multMicro)
+          .withColumn("u_micro",
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":up"))), 1, 12), 16, 10).cast("long") % 1000000L)
+          .withColumn("n_copies",
+            expr("mult_micro div 1000000") +
+              when(col("u_micro") < col("mult_micro") % 1000000L, 1L)
+                .otherwise(0L))
+        docs.select(col("source"), col("doc_id"),
+            explode(when(col("n_copies") > 0,
+              sequence(lit(1L), col("n_copies")))
+              .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+              .as("copy_idx"))
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_rows_out"))
+          .join(docs.groupBy("source")
+            .agg(count(lit(1)).as("n_docs_in")), Seq("source"), "right")
+          .select(col("source"), col("n_docs_in"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs_kept"),
+            coalesce(col("n_rows_out"), lit(0L)).as("n_rows_out"),
+            round(coalesce(col("n_rows_out"), lit(0L)).cast("double") /
+              col("n_docs_in"), 6).as("realized_mult"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id,
+             |    CASE WHEN source = 'src0' THEN 2500000
+             |         WHEN source = 'src1' THEN 1000000
+             |         ELSE 500000 END AS mult_micro,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':up'),
+             |      1, 12))::BIGINT % 1000000 AS u_micro
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, doc_id,
+             |    mult_micro // 1000000 +
+             |      CASE WHEN u_micro < mult_micro % 1000000 THEN 1
+             |           ELSE 0 END AS n_copies
+             |  FROM d),
+             |outr AS (
+             |  SELECT source, doc_id FROM c,
+             |    unnest(range(CAST(c.n_copies AS BIGINT))) AS t(i)),
+             |agg AS (
+             |  SELECT source, count(DISTINCT doc_id) AS n_docs_kept,
+             |    count(*) AS n_rows_out
+             |  FROM outr GROUP BY source),
+             |base AS (SELECT source, count(*) AS n_docs_in
+             |         FROM documents GROUP BY source)
+             |SELECT base.source, base.n_docs_in,
+             |  coalesce(agg.n_docs_kept, 0) AS n_docs_kept,
+             |  CAST(coalesce(agg.n_rows_out, 0) AS BIGINT) AS n_rows_out,
+             |  round(CAST(coalesce(agg.n_rows_out, 0) AS DOUBLE)
+             |    / base.n_docs_in, 6) AS realized_mult
+             |FROM base LEFT JOIN agg ON agg.source = base.source
+             |ORDER BY base.source""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
