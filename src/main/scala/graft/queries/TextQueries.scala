@@ -1454,7 +1454,69 @@ object TextQueries {
              |  round(CAST(coalesce(agg.n_rows_out, 0) AS DOUBLE)
              |    / base.n_docs_in, 6) AS realized_mult
              |FROM base LEFT JOIN agg ON agg.source = base.source
-             |ORDER BY base.source""".stripMargin))
+             |ORDER BY base.source""".stripMargin)),
+
+    // Contamination-safe split assignment — the composition every eval
+    // pipeline must get right: d38's deterministic md5 split, but any
+    // candidate doc sharing an 8-word shingle with the held-out
+    // benchmark subset (doc_id % 20 = 0, x13's fixture) is forced into
+    // 'quarantine' instead of train/val/test — benchmark leakage into
+    // ANY split is a measurement bug, not just into train. Benchmark
+    // shingles are eval-set-sized → the contamination probe is a
+    // broadcast semi-join before the one split-keyed report agg.
+    "d44_decontaminated_split" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cand = docs.filter(col("doc_id") % 20 =!= 0)
+        val benchShingles = docs.filter(col("doc_id") % 20 === 0)
+          .select(explode(graft.operators.Dedup.shingles(col("text"), 8)).as("shingle"))
+          .distinct()
+        val dirty = cand
+          .select(col("doc_id"),
+            explode(graft.operators.Dedup.shingles(col("text"), 8)).as("shingle"))
+          .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+          .select("doc_id").distinct()
+        val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+        cand.join(dirty.withColumn("is_dirty", lit(1)), Seq("doc_id"), "left")
+          .withColumn("split",
+            when(col("is_dirty") === 1, "quarantine")
+              .when(h < "e666", "train")
+              .when(h < "f333", "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("split")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |idx AS (
+             |  SELECT doc_id, t,
+             |    unnest(generate_series(1, len(t) - 7)) AS i
+             |  FROM toks WHERE len(t) >= 8),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+             |      || ' ' || t[i+7] AS shingle
+             |  FROM idx),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+             |dirty AS (
+             |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+             |  WHERE s.doc_id % 20 <> 0)
+             |SELECT CASE
+             |    WHEN dirty.doc_id IS NOT NULL THEN 'quarantine'
+             |    WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < 'e666'
+             |      THEN 'train'
+             |    WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < 'f333'
+             |      THEN 'val'
+             |    ELSE 'test' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents d LEFT JOIN dirty ON dirty.doc_id = d.doc_id
+             |WHERE d.doc_id % 20 <> 0
+             |GROUP BY split ORDER BY split""".stripMargin))
   )
 
   // md5 of the empty string — the rebuilt-text hash for a doc whose every
