@@ -551,8 +551,97 @@ object VectorQueries {
              |  coalesce(r_d, 0) AS r_dense
              |FROM sparse FULL OUTER JOIN dense
              |  ON dense.doc_id = sparse.doc_id
-             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // In-gate IVF recall — the ANN honesty check as a standing gate (the
+    // d40 pattern for vectors): for four query vectors, recall@10 of the
+    // PARTIAL-probe IVF (nprobe=4 of nlist=16) against exact brute
+    // force. The oracle recomputes the ENTIRE approximate pipeline in
+    // SQL (assignment argmax with lowest-centroid ties, probe selection,
+    // pruned-scan top-k — the x41 machinery) so any recall drift fails
+    // the gate loudly rather than silently degrading retrieval. Query
+    // ids ≥ 100 keep the id-seeded centroid set identical across the
+    // per-query leave-one-out corpora.
+    "x65_ivf_recall" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val per = Seq(100L, 200L, 300L, 400L).map { qid =>
+          val corpus = e.filter(col("vec_id") =!= qid)
+          val qv = e.filter(col("vec_id") === qid)
+            .select(col("embedding").as("q_embedding"))
+          val ivf = graft.operators.Similarity
+            .ivfTopK(corpus, qv, 10, nlist = 16, nprobe = 4)
+          val brute = graft.operators.Similarity
+            .bruteForceTopK(corpus, qv, 10)
+          ivf.select(col("vec_id"))
+            .join(brute.select(col("vec_id")), "vec_id")
+            .agg(count(lit(1)).as("n_overlap"))
+            .select(lit(qid).as("query_id"), col("n_overlap"),
+              round(col("n_overlap") / 10.0, 2).as("recall_at_10"))
+        }
+        per.reduce(_.unionAll(_)).orderBy("query_id")
+      },
+      Some(ivfRecallOracle(Seq(100L, 200L, 300L, 400L))))
   )
+
+  /** Oracle builder for x65: recomputes ivfTopK (assignment, probes,
+    * pruned top-k) and brute top-k per query id, then the overlap. */
+  private def ivfRecallOracle(qids: Seq[Long]): String = {
+    def cosC(v: String, c: String, vn: String, cn: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1), " +
+        s"i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)"
+    val blocks = qids.map { q =>
+      s"""sims_$q AS (
+         |  SELECT en.vec_id, cen.cid,
+         |    ${cosC("en.v", "cen.v", "en.vn", "cen.vn")} AS s
+         |  FROM en, cen WHERE en.vec_id <> $q),
+         |best_$q AS (
+         |  SELECT sims_$q.vec_id, min(cid) AS list_id FROM sims_$q
+         |  JOIN (SELECT vec_id AS v2, max(s) AS ms FROM sims_$q GROUP BY 1) m
+         |    ON sims_$q.vec_id = m.v2 AND sims_$q.s = m.ms
+         |  GROUP BY sims_$q.vec_id),
+         |pr_$q AS (
+         |  SELECT cen.cid FROM cen, (SELECT v, vn FROM en WHERE vec_id = $q) qq
+         |  ORDER BY ${cosC("cen.v", "qq.v", "cen.vn", "qq.vn")} DESC, cid
+         |  LIMIT 4),
+         |ivf_$q AS (
+         |  SELECT en.vec_id FROM en
+         |  JOIN best_$q USING (vec_id),
+         |    (SELECT v, vn FROM en WHERE vec_id = $q) qq
+         |  WHERE best_$q.list_id IN (SELECT cid FROM pr_$q)
+         |  ORDER BY round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10),
+         |brute_$q AS (
+         |  SELECT en.vec_id FROM en,
+         |    (SELECT v, vn FROM en WHERE vec_id = $q) qq
+         |  WHERE en.vec_id <> $q
+         |  ORDER BY round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10),
+         |ov_$q AS (
+         |  SELECT CAST($q AS BIGINT) AS query_id, count(*) AS n_overlap
+         |  FROM ivf_$q JOIN brute_$q USING (vec_id))""".stripMargin
+    }
+    val union = qids.map(q =>
+      s"SELECT query_id, CAST(n_overlap AS BIGINT) AS n_overlap, " +
+        s"round(n_overlap / 10.0, 2) AS recall_at_10 FROM ov_$q")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |      (a, b) -> a + b)) AS vn
+       |  FROM e),
+       |cen AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v, vn
+       |  FROM en ORDER BY vec_id LIMIT 16),
+       |${blocks.mkString(",\n")}
+       |$union
+       |ORDER BY query_id""".stripMargin
+  }
 
   /** Unrolled Lloyd's k-means oracle: `assignSteps` assignment rounds
     * (assignment i uses centroids c_{i-1}; c_i is the float32-quantized
