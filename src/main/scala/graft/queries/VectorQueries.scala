@@ -581,8 +581,103 @@ object VectorQueries {
         }
         per.reduce(_.unionAll(_)).orderBy("query_id")
       },
-      Some(ivfRecallOracle(Seq(100L, 200L, 300L, 400L))))
+      Some(ivfRecallOracle(Seq(100L, 200L, 300L, 400L)))),
+
+    // The nprobe tuning curve — what an operator actually reads before
+    // setting the probe count: mean recall@10 across the x65 query panel
+    // for nprobe ∈ {1,2,4,8,16} of nlist=16. nprobe=16 is exhaustive
+    // probing and MUST read 1.0 (the x9 invariant, now curve-anchored);
+    // the curve below it is the honest recall/cost trade on this
+    // fixture. Oracle recomputes every (query, nprobe) cell end to end.
+    "x66_nprobe_sweep" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qids = Seq(100L, 200L, 300L, 400L)
+        val nprobes = Seq(1, 2, 4, 8, 16)
+        val cells = for (qid <- qids; np <- nprobes) yield {
+          val corpus = e.filter(col("vec_id") =!= qid)
+          val qv = e.filter(col("vec_id") === qid)
+            .select(col("embedding").as("q_embedding"))
+          val ivf = graft.operators.Similarity
+            .ivfTopK(corpus, qv, 10, nlist = 16, nprobe = np)
+          val brute = graft.operators.Similarity
+            .bruteForceTopK(corpus, qv, 10)
+          ivf.select(col("vec_id"))
+            .join(brute.select(col("vec_id")), "vec_id")
+            .agg(count(lit(1)).as("n_overlap"))
+            .select(lit(np).as("nprobe"), col("n_overlap"))
+        }
+        cells.reduce(_.unionAll(_))
+          .groupBy("nprobe")
+          .agg(round(avg(col("n_overlap")) / 10.0, 3).as("mean_recall"))
+          .orderBy("nprobe")
+      },
+      Some(nprobeSweepOracle(Seq(100L, 200L, 300L, 400L),
+        Seq(1, 2, 4, 8, 16))))
   )
+
+  /** Oracle builder for x66: per (query, nprobe) IVF recall cells, then
+    * the mean-recall curve by nprobe. Shares x65's machinery — the
+    * assignment/brute CTEs are per QUERY; probes/pruned-top-k per cell. */
+  private def nprobeSweepOracle(qids: Seq[Long], nprobes: Seq[Int]): String = {
+    def cosC(v: String, c: String, vn: String, cn: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1), " +
+        s"i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)"
+    val perQuery = qids.map { q =>
+      s"""sims_$q AS (
+         |  SELECT en.vec_id, cen.cid,
+         |    ${cosC("en.v", "cen.v", "en.vn", "cen.vn")} AS s
+         |  FROM en, cen WHERE en.vec_id <> $q),
+         |best_$q AS (
+         |  SELECT sims_$q.vec_id, min(cid) AS list_id FROM sims_$q
+         |  JOIN (SELECT vec_id AS v2, max(s) AS ms FROM sims_$q GROUP BY 1) m
+         |    ON sims_$q.vec_id = m.v2 AND sims_$q.s = m.ms
+         |  GROUP BY sims_$q.vec_id),
+         |cord_$q AS (
+         |  SELECT cen.cid, row_number() OVER (ORDER BY
+         |      ${cosC("cen.v", "qq.v", "cen.vn", "qq.vn")} DESC, cid)
+         |    AS prank
+         |  FROM cen, (SELECT v, vn FROM en WHERE vec_id = $q) qq),
+         |brute_$q AS (
+         |  SELECT en.vec_id FROM en,
+         |    (SELECT v, vn FROM en WHERE vec_id = $q) qq
+         |  WHERE en.vec_id <> $q
+         |  ORDER BY round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10)""".stripMargin
+    }
+    val perCell = for (q <- qids; np <- nprobes) yield
+      s"""ivf_${q}_$np AS (
+         |  SELECT en.vec_id FROM en
+         |  JOIN best_$q USING (vec_id),
+         |    (SELECT v, vn FROM en WHERE vec_id = $q) qq
+         |  WHERE best_$q.list_id IN
+         |    (SELECT cid FROM cord_$q WHERE prank <= $np)
+         |  ORDER BY round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10),
+         |ov_${q}_$np AS (
+         |  SELECT $np AS nprobe, count(*) AS n_overlap
+         |  FROM ivf_${q}_$np JOIN brute_$q USING (vec_id))""".stripMargin
+    val union = (for (q <- qids; np <- nprobes) yield
+      s"SELECT nprobe, n_overlap FROM ov_${q}_$np")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |      (a, b) -> a + b)) AS vn
+       |  FROM e),
+       |cen AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v, vn
+       |  FROM en ORDER BY vec_id LIMIT 16),
+       |${(perQuery ++ perCell).mkString(",\n")}
+       |SELECT nprobe, round(avg(n_overlap) / 10.0, 3) AS mean_recall
+       |FROM ($union)
+       |GROUP BY nprobe ORDER BY nprobe""".stripMargin
+  }
 
   /** Oracle builder for x65: recomputes ivfTopK (assignment, probes,
     * pruned top-k) and brute top-k per query id, then the overlap. */
