@@ -47,9 +47,16 @@ object Bench {
     // result is fully consumed (noop write) before this runs, so a
     // blocking unpersist of everything still registered is safe and
     // makes block-manager state deterministic at each timer start.
-    def drainBlocks(): Unit =
+    // broadcast blocks are the OTHER ContextCleaner-async resource (r10:
+    // d5_langid tripled mid-stretch with zero code change — broadcast
+    // exchange blocks from ~500 prior jobs were still resident); drain
+    // them blocking too, for the same determinism-at-timer-start reason
+    def drainBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      org.apache.spark.sql.graft.Shims.drainBroadcasts(spark.sparkContext)
+      ()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // once per query: plain-heap garbage from the prior query

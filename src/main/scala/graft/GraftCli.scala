@@ -555,8 +555,11 @@ object GraftCli {
     case "export-jsonl" :: inParquet :: outDir :: rest =>
       val spark = session()
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val limitMb = rest.headOption.map(_.toLong)
-      val gz = rest.lift(1).contains("gzip")
+      // tokens are positional-agnostic: a numeric token is the MB limit,
+      // a literal "gzip" enables compression — so `export-jsonl in out gzip`
+      // works without a limit (the documented usage)
+      val limitMb = rest.find(t => t.nonEmpty && t.forall(_.isDigit)).map(_.toLong)
+      val gz = rest.contains("gzip")
       operators.Export.toJsonl(spark.read.parquet(inParquet), outDir,
         compressed = gz, sizeLimitBytes = limitMb.map(_ * 1024 * 1024))
       println(s"[graft] export-jsonl $inParquet -> $outDir" +

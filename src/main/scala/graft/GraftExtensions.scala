@@ -22,11 +22,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // composed union+window as-of idiom -> AsofJoinPlan, for free
     ext.injectOptimizerRule(_ => graft.plans.AsofRewrite)
     ext.injectFunction((FunctionIdentifier("csv_column_at"),
-      info("csv_column_at", "_FUNC_(line, idx) - raw CSV field slice (reference dialect)"),
-      (exprs: Seq[Expression]) => CsvColumnAt(exprs(0), exprs(1))))
+      info("csv_column_at", "_FUNC_(line, idx[, delim]) - raw CSV-family field slice (reference dialect)"),
+      (exprs: Seq[Expression]) =>
+        if (exprs.size >= 3) CsvColumnAt(exprs(0), exprs(1),
+          graft.functions.GraftFunctions.delimOf(exprs(2), "csv_column_at"))
+        else CsvColumnAt(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("csv_field_count"),
-      info("csv_field_count", "_FUNC_(line) - field count under the reference dialect"),
-      (exprs: Seq[Expression]) => CsvFieldCount(exprs.head)))
+      info("csv_field_count", "_FUNC_(line[, delim]) - field count under the reference dialect"),
+      (exprs: Seq[Expression]) =>
+        if (exprs.size >= 2) CsvFieldCount(exprs.head,
+          graft.functions.GraftFunctions.delimOf(exprs(1), "csv_field_count"))
+        else CsvFieldCount(exprs.head)))
     ext.injectFunction((FunctionIdentifier("xor_fold_hash"),
       info("xor_fold_hash", "_FUNC_(value, seed, n) - reference partition hash"),
       (exprs: Seq[Expression]) => XorFoldHash(exprs(0), exprs(1), exprs(2))))

@@ -21,7 +21,16 @@ object CsvUtil {
     * line has fewer than idx+1 fields. Operates on UTF-8 bytes directly —
     * no decode, no copy (UTF8String.substring-style slice).
     */
-  def columnAt(line: UTF8String, idx: Int): UTF8String = {
+  def columnAt(line: UTF8String, idx: Int): UTF8String =
+    columnAt(line, idx, ','.toByte)
+
+  /** Delimiter-parameterized variant — the reference's intended test
+    * matrix declares `Format=psv` as a default dimension alongside csv
+    * (code/IntegrationTests/TestCaseConfiguration.cs:17-29); quoting
+    * rules are unchanged (`"` quote, `""` escape — only the separator
+    * byte varies across the csv/psv/tsv family).
+    */
+  def columnAt(line: UTF8String, idx: Int, delim: Byte): UTF8String = {
     if (line == null || idx < 0) return null
     val n = line.numBytes()
     var i = 0
@@ -38,7 +47,7 @@ object CsvUtil {
         }
       } else if (b == '"') {
         inQuotes = true
-      } else if (b == ',') {
+      } else if (b == delim) {
         if (field == idx) return slice(line, start, i)
         field += 1
         start = i + 1
@@ -49,7 +58,9 @@ object CsvUtil {
   }
 
   /** Number of fields in the line under the same dialect (empty line = 1). */
-  def fieldCount(line: UTF8String): Int = {
+  def fieldCount(line: UTF8String): Int = fieldCount(line, ','.toByte)
+
+  def fieldCount(line: UTF8String, delim: Byte): Int = {
     if (line == null) return 0
     val n = line.numBytes()
     var i = 0
@@ -63,7 +74,7 @@ object CsvUtil {
           else inQuotes = false
         }
       } else if (b == '"') inQuotes = true
-      else if (b == ',') fields += 1
+      else if (b == delim) fields += 1
       i += 1
     }
     fields

@@ -8,14 +8,19 @@ import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `csv_column_at(line, idx)` — raw-byte field extraction from a CSV line
-  * under the reference dialect (quote-aware, slice verbatim). Null when the
-  * field does not exist. Codegen calls the static helper so the expression
-  * stays inside WholeStageCodegen.
+/** `csv_column_at(line, idx[, delim])` — raw-byte field extraction from a
+  * CSV-family line under the reference dialect (quote-aware, slice
+  * verbatim). Null when the field does not exist. The delimiter is
+  * CONFIGURATION, not data (the reference test matrix's Format=csv/psv
+  * dimension, code/IntegrationTests/TestCaseConfiguration.cs:17-29), so it
+  * rides as a plain constructor byte — codegen substitutes the literal and
+  * the expression stays a 2-child BinaryExpression inside
+  * WholeStageCodegen.
   *
   * Reference: code/KustoPreForgeLib/Transforms/CsvParseTransform.cs:60-115.
   */
-case class CsvColumnAt(left: Expression, right: Expression)
+case class CsvColumnAt(left: Expression, right: Expression,
+                       delim: Byte = ','.toByte)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[Shims.AbstractDataType] = Seq(StringType, IntegerType)
@@ -25,12 +30,12 @@ case class CsvColumnAt(left: Expression, right: Expression)
   override def prettyName: String = "csv_column_at"
 
   override protected def nullSafeEval(line: Any, idx: Any): Any =
-    CsvUtil.columnAt(line.asInstanceOf[UTF8String], idx.asInstanceOf[Int])
+    CsvUtil.columnAt(line.asInstanceOf[UTF8String], idx.asInstanceOf[Int], delim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (line, idx) => {
       s"""
-         |${ev.value} = graft.functions.CsvUtil.columnAt($line, $idx);
+         |${ev.value} = graft.functions.CsvUtil.columnAt($line, $idx, (byte) $delim);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })
@@ -40,8 +45,9 @@ case class CsvColumnAt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `csv_field_count(line)` — number of fields under the same dialect. */
-case class CsvFieldCount(child: Expression)
+/** `csv_field_count(line[, delim])` — number of fields under the same
+  * dialect. */
+case class CsvFieldCount(child: Expression, delim: Byte = ','.toByte)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
   override def inputTypes: Seq[Shims.AbstractDataType] = Seq(StringType)
@@ -50,10 +56,11 @@ case class CsvFieldCount(child: Expression)
   override def prettyName: String = "csv_field_count"
 
   override protected def nullSafeEval(line: Any): Any =
-    CsvUtil.fieldCount(line.asInstanceOf[UTF8String])
+    CsvUtil.fieldCount(line.asInstanceOf[UTF8String], delim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, line => s"graft.functions.CsvUtil.fieldCount($line)")
+    defineCodeGen(ctx, ev,
+      line => s"graft.functions.CsvUtil.fieldCount($line, (byte) $delim)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -149,12 +156,24 @@ case class RollingHash(child: Expression)
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
 
-  def csvColumnAt(line: Column, idx: Int): Column =
+  def csvColumnAt(line: Column, idx: Int, delim: Char = ','): Column =
     Shims.column(CsvColumnAt(
-      Shims.expression(line), Shims.expression(lit(idx))))
+      Shims.expression(line), Shims.expression(lit(idx)), delim.toByte))
 
-  def csvFieldCount(line: Column): Column =
-    Shims.column(CsvFieldCount(Shims.expression(line)))
+  def csvFieldCount(line: Column, delim: Char = ','): Column =
+    Shims.column(CsvFieldCount(Shims.expression(line), delim.toByte))
+
+  /** SQL-surface delimiter arg → constructor byte: configuration must be a
+    * non-null single-byte literal (a per-row delimiter has no meaning in
+    * the reference's Format dimension, and codegen substitutes the raw
+    * byte). */
+  private[graft] def delimOf(e: Expression, fn: String): Byte = {
+    require(e.foldable, s"$fn: delimiter must be a literal")
+    val s = e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    require(s != null && s.numBytes == 1,
+      s"$fn: delimiter must be a single one-byte character")
+    s.getByte(0)
+  }
 
   def xorFoldHash(value: Column, seed: Int, maxPartitionCount: Int): Column =
     Shims.column(XorFoldHash(
@@ -175,9 +194,15 @@ object GraftFunctions {
     graft.plans.AsofJoin.register(spark)
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
-      "csv_column_at", exprs => CsvColumnAt(exprs(0), exprs(1)), "built-in")
+      "csv_column_at", exprs =>
+        if (exprs.size >= 3)
+          CsvColumnAt(exprs(0), exprs(1), delimOf(exprs(2), "csv_column_at"))
+        else CsvColumnAt(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      "csv_field_count", exprs => CsvFieldCount(exprs.head), "built-in")
+      "csv_field_count", exprs =>
+        if (exprs.size >= 2)
+          CsvFieldCount(exprs.head, delimOf(exprs(1), "csv_field_count"))
+        else CsvFieldCount(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "xor_fold_hash", exprs => XorFoldHash(exprs(0), exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction(

@@ -361,7 +361,18 @@ object Multimodal {
     * truncated or corrupted container fails loudly — this is a parse,
     * not a byte split.
     */
-  private[operators] def parseAvi(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+  private[operators] def parseAvi(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) =
+    parseAviChunks(bytes, expectComp = 0, dataChunk = "00db")
+
+  /** The walker itself, parameterized on the codec dimension: expected
+    * biCompression (0 = BI_RGB uncompressed, MJPG_FOURCC = motion-JPEG)
+    * and the movi data chunk id ('00db' uncompressed / '00dc' compressed).
+    * Returns the RAW chunk payloads — DIB pixels or JPEG streams; the
+    * VideoDecoder impl owns turning payloads into the wire DIB shape.
+    */
+  private[operators] def parseAviChunks(bytes: Array[Byte], expectComp: Int,
+                                        dataChunk: String)
+      : (Int, Int, Int, Array[Array[Byte]]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def cc(): String = {
@@ -403,9 +414,10 @@ object Multimodal {
           val comp = bb.getInt()
           require(bw == width && bh == height,
             s"strf dims ($bw x $bh) disagree with avih ($width x $height)")
-          require(bpp == 24 && comp == 0, "expected uncompressed 24-bit DIB")
+          require(bpp == 24 && comp == expectComp,
+            s"expected 24-bit biCompression=$expectComp, got bpp=$bpp comp=$comp")
           bb.position(p0 + size + (size & 1))
-        case "00db" =>
+        case c if c == dataChunk =>
           val f = new Array[Byte](size)
           bb.get(f)
           if ((size & 1) == 1) bb.get()
@@ -446,6 +458,145 @@ object Multimodal {
   object AviDecoder extends VideoDecoder {
     def decode(content: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) =
       parseAvi(content)
+  }
+
+  /** biCompression fourcc 'MJPG' as the little-endian int BITMAPINFOHEADER
+    * stores ('M' low byte). */
+  private[operators] val MJPG_FOURCC: Int =
+    'M' | ('J' << 8) | ('P' << 16) | ('G' << 24)
+
+  /** Second in-tree seam impl — motion-JPEG: a COMPRESSED codec decodable
+    * with the JDK alone (each '00dc' chunk is an independent JPEG stream,
+    * read via javax.imageio). Proves the VideoDecoder seam carries a real
+    * codec without touching the operators: `decodeVideo`/`sampleFrames`
+    * run unchanged against MJPEG containers. Decoded frames are
+    * re-packed into the wire DIB shape (24-bit BGR, rows bottom-up,
+    * 4-byte padded) the operators consume. Uses the static
+    * `ImageIO.read` (fresh reader per call): this singleton is shared by
+    * every task thread in the JVM, so a hoisted per-instance reader
+    * would race — the per-call SPI cost is the thread-safety price, paid
+    * only on the video path.
+    */
+  object MjpegDecoder extends VideoDecoder {
+    def decode(content: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+      val (w, h, n, jpegs) = parseAviChunks(content, MJPG_FOURCC, "00dc")
+      val rowBytes = (3 * w + 3) & ~3
+      val dibs = jpegs.map { j =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+        require(img != null, "undecodable MJPEG frame payload")
+        require(img.getWidth == w && img.getHeight == h,
+          s"frame dims ${img.getWidth}x${img.getHeight} disagree with strf ${w}x$h")
+        val out = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val o = (h - 1 - y) * rowBytes + 3 * x // DIB rows are bottom-up
+            out(o) = (rgb & 0xff).toByte
+            out(o + 1) = ((rgb >> 8) & 0xff).toByte
+            out(o + 2) = ((rgb >> 16) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      (w, h, n, dibs)
+    }
+  }
+
+  /** RIFF/AVI writer for the MJPEG codec path: same container skeleton as
+    * `aviBytes` but variable-size '00dc' chunks (one independent JPEG per
+    * frame, handler/biCompression 'MJPG').
+    */
+  private[operators] def mjpegAviBytes(w: Int, h: Int,
+                                       jpegs: Array[Array[Byte]]): Array[Byte] = {
+    val n = jpegs.length
+    def pad(sz: Int): Int = sz + (sz & 1)
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + jpegs.map(j => 8 + pad(j.length)).sum
+    val idx1Size = 16 * n
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val maxFrame = jpegs.map(_.length).max
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    cc("RIFF"); bb.putInt(riffSize); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(40000) // 25 fps
+      .putInt(maxFrame * 25).putInt(0).putInt(0x10) // AVIF_HASINDEX
+      .putInt(n).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    cc("LIST"); bb.putInt(strlSize); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("MJPG")
+    bb.putInt(0).putShort(0).putShort(0) // flags, priority, language
+      .putInt(0) // initial frames
+      .putInt(1).putInt(25) // scale, rate
+      .putInt(0).putInt(n) // start, length (frames)
+      .putInt(maxFrame).putInt(-1).putInt(0) // bufsize, quality, samplesize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); bb.putInt(40) // BITMAPINFOHEADER
+    bb.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(MJPG_FOURCC)
+      .putInt(maxFrame).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(moviSize); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); bb.putInt(j.length); bb.put(j)
+      if ((j.length & 1) == 1) bb.put(0.toByte)
+    }
+    cc("idx1"); bb.putInt(idx1Size)
+    var off = 4 // chunk offsets relative to the 'movi' fourcc
+    jpegs.foreach { j =>
+      cc("00dc"); bb.putInt(0x10).putInt(off).putInt(j.length)
+      off += 8 + pad(j.length)
+    }
+    bb.array()
+  }
+
+  /** Deterministic MJPEG corpus: same dims/colors as `aviOf`
+    * (w = id%5+2, h = id%4+2, n = id%6+2 solid frames colored
+    * ((id+f), (7id+13f), (13id+29f)) mod 256), each frame JPEG-encoded
+    * with the JDK codec. JPEG is LOSSY: the decoded solid color sits
+    * within quantization error (±~3) of the synthesized one — gates
+    * compare within tolerance (the x8 sketch-boolean discipline), never
+    * exact bytes.
+    */
+  def synthesizeMjpegVideo(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        it.map { id =>
+          val w = (id % 5 + 2).toInt
+          val h = (id % 4 + 2).toInt
+          val jpegs = Array.tabulate((id % 6 + 2).toInt) { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (((id + f) % 256).toInt << 16) |
+              (((7 * id + 13 * f) % 256).toInt << 8) |
+              ((13 * id + 29 * f) % 256).toInt
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+            try { writer.setOutput(ios); writer.write(img) } finally ios.close()
+            baos.toByteArray
+          }
+          VideoRow(id, mjpegAviBytes(w, h, jpegs))
+        }
+      }.toDF()
   }
 
   /** REAL video decode: parse the container through the decoder seam,

@@ -105,6 +105,59 @@ object Similarity {
     cents
   }
 
+  /** Driver-side id-ordered seed centroids (the trainIters=0 coarse
+    * quantizer) — exposed so multi-query/multi-nprobe sweeps collect the
+    * nlist×dim floats ONCE instead of once per cell (the x66 lesson).
+    */
+  def seedCentroids(embeddings: DataFrame, nlist: Int): Array[Array[Float]] =
+    embeddings
+      .orderBy("vec_id").limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Nearest-centroid assignment: adds `list_id` (1-based, lowest-centroid
+    * ties — matches `array_position` and the oracle's ORDER BY). A narrow
+    * argmax map against literal centroids: ZERO shuffle, and a sweep can
+    * `localCheckpoint` the result and reuse it across every nprobe cell.
+    */
+  def assignLists(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
+    // cosine of emb against each centroid, as one codegen'd array expr
+    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
+      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
+    }.toSeq: _*)
+    embeddings.withColumn("list_id",
+      array_position(simsTo(col("embedding")), array_max(simsTo(col("embedding")))))
+  }
+
+  /** Full probe ranking of query vector `q` against the centroids: every
+    * 1-based list id, best-first, ties ascending id (stable sort — the
+    * oracle's ORDER BY sim DESC, cid). Driver-side arithmetic on
+    * nlist×dim floats; an nprobe sweep takes prefixes of ONE ranking
+    * instead of re-ranking per cell.
+    */
+  def probeRanking(cents: Array[Array[Float]], q: Array[Float]): Array[Long] = {
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val qSims = cents.zip(centNorms).map { case (c, cn) =>
+      c.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qn)
+    }
+    qSims.zipWithIndex.sortBy(-_._1).map { case (_, i) => (i + 1).toLong }
+  }
+
+  /** Top-k over a pre-assigned frame (see `assignLists`) probing exactly
+    * `probes`: list pruning + exact scan of the survivors. The sweep-shaped
+    * half of `ivfTopK` — same result, but assignment cost is paid once.
+    */
+  def ivfTopKPreAssigned(assigned: DataFrame, query: DataFrame, k: Int,
+                         probes: Seq[Long]): DataFrame =
+    bruteForceTopK(
+      assigned
+        .filter(col("list_id").isin(probes: _*))
+        .drop("list_id"),
+      query, k)
+
   /** IVF (inverted-file) top-k: vectors are assigned to the nearest of
     * `nlist` centroids (the "coarse quantizer"); a query scans only the
     * `nprobe` closest lists. `trainIters` > 0 runs k-means refinement;
@@ -118,34 +171,12 @@ object Similarity {
     // tiny driver-side centroid set (nlist × dim floats)
     val cents: Array[Array[Float]] =
       if (trainIters > 0) kmeansCentroids(embeddings, nlist, trainIters)
-      else embeddings
-        .orderBy("vec_id").limit(nlist)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray)
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
-
-    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
-    // cosine of emb against each centroid, as one codegen'd array expr
-    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
-      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
-    }.toSeq: _*)
-    val listId = array_position(simsTo(col("embedding")),
-      array_max(simsTo(col("embedding"))))
-
+      else seedCentroids(embeddings, nlist)
     // query's probe lists, computed on the driver (1-row query)
     val q = query.select(col("q_embedding")).collect()(0).getSeq[Float](0).toArray
-    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
-    val qSims = cents.zip(centNorms).map { case (c, cn) =>
-      c.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qn)
-    }
-    val probes = qSims.zipWithIndex.sortBy(-_._1).take(nprobe)
-      .map { case (_, i) => (i + 1).toLong } // 1-based, matches array_position
-
-    bruteForceTopK(
-      embeddings.withColumn("list_id", listId)
-        .filter(col("list_id").isin(probes.toIndexedSeq: _*))
-        .drop("list_id"),
-      query, k)
+    val probes = probeRanking(cents, q).take(nprobe)
+    ivfTopKPreAssigned(assignLists(embeddings, cents), query, k,
+      probes.toIndexedSeq)
   }
 
   /** IVF + PQ two-stage ANN — the production billion-vector shape

@@ -278,6 +278,35 @@ object ExtensionQueries {
           |  CAST((13 * doc_id + 29 * frame) % 256 AS DOUBLE) AS mean_b
           |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // MJPEG through the SAME operators (x39's decodeVideo, different
+    // VideoDecoder impl) — the proof the codec seam is real: '00dc'
+    // chunks are independent JDK-decodable JPEG streams, re-packed to
+    // the wire DIB shape. JPEG is lossy, so the color gate is
+    // within-tolerance (±6 of the synthesized solid color — quantization
+    // error is ±~3; the x8 sketch-boolean discipline), while the
+    // STRUCTURAL facts (frame count, dims, per-frame indexing through
+    // the compressed container) gate exactly.
+    "x67_mjpeg_decode" -> QueryDef(
+      (s, dir) => Multimodal.decodeVideo(
+          s, Multimodal.synthesizeMjpegVideo(s, t(s, dir, "documents")),
+          Multimodal.MjpegDecoder)
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"),
+          (abs(col("mean_r") - (col("doc_id") + col("frame_idx")) % 256) <= 6 &&
+            abs(col("mean_g") - (col("doc_id") * 7 + col("frame_idx") * 13) % 256) <= 6 &&
+            abs(col("mean_b") - (col("doc_id") * 13 + col("frame_idx") * 29) % 256) <= 6)
+            .as("color_ok")),
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id, unnest(range(0, doc_id % 6 + 2)) AS frame
+          |  FROM documents)
+          |SELECT doc_id, CAST(frame AS INT) AS frame_idx,
+          |  CAST(doc_id % 6 + 2 AS INT) AS n_frames,
+          |  CAST(doc_id % 5 + 2 AS INT) AS width,
+          |  CAST(doc_id % 4 + 2 AS INT) AS height,
+          |  true AS color_ok
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // Near-dup clusters: connected components over the MinHash+LSH pairs
     // (pair list -> transitive clusters -> per-cluster size).
     "x10_dedup_clusters" -> QueryDef(
@@ -1813,6 +1842,10 @@ object ExtensionQueries {
             struct(col("pa").as("src"), col("pb").as("dst")),
             struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          // three consumers below (degree agg + two endpoint joins):
+          // without this the orders⋈lineitem→pair pipeline recomputes
+          // per consumer (the x62 rationale)
+          .localCheckpoint()
         val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
         e.join(deg.select(col("src"), col("d").as("du")), "src")
           .join(deg.select(col("src").as("dst"), col("d").as("dv")), "dst")
@@ -1938,7 +1971,7 @@ object ExtensionQueries {
              |FROM tot CROSS JOIN s2""".stripMargin)),
 
     // MinHash calibration — measure the sketch against ground truth: for
-    // every pair in a bounded doc panel (every 50th doc), the k=32
+    // every pair in a bounded doc panel (every 2nd doc), the k=32
     // md5-slot MinHash Jaccard ESTIMATE next to the exact shingle
     // Jaccard. md5 (not the production xxhash kernel) makes the
     // signature engine-reproducible, so the oracle rebuilds the exact

@@ -270,6 +270,33 @@ object RelationalQueries {
              |        AS line FROM orders)
              |GROUP BY 1 ORDER BY status""".stripMargin)),
 
+    // ---- A5 again under Format=psv — the reference's intended test matrix
+    // declares pipe-delimited input as a default dimension
+    // (code/IntegrationTests/TestCaseConfiguration.cs:17-29); same
+    // quote-aware kernel, delimiter parameterized. o_orderpriority ("1-URGENT")
+    // proves the extraction is REALLY pipe-splitting: under the comma
+    // dialect the whole line is one field and every cast would null out.
+    "q71_psv_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val lines = t(s, dir, "orders").select(
+          concat_ws("|", col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")).as("line"))
+        lines.select(
+          GraftFunctions.csvColumnAt(col("line"), 0, '|').cast("long").as("id"),
+          GraftFunctions.csvColumnAt(col("line"), 1, '|').as("priority"),
+          GraftFunctions.csvFieldCount(col("line"), '|').as("nf"))
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("id_card"),
+            max(col("nf")).cast("long").as("max_fields"))
+          .orderBy("priority")
+      },
+      Some("""SELECT split_part(line, '|', 2) AS priority, count(*) AS n,
+             |  count(DISTINCT CAST(split_part(line, '|', 1) AS BIGINT)) AS id_card,
+             |  max(len(string_split(line, '|'))) AS max_fields
+             |FROM (SELECT concat_ws('|', o_orderkey, o_orderpriority, o_totalprice)
+             |        AS line FROM orders)
+             |GROUP BY 1 ORDER BY priority""".stripMargin)),
+
     // ---- A6 the reference partition hash itself, oracle'd bit-for-bit in
     // SQL (xor-fold % n re-expressed with list_reduce in DuckDB).
     "q17_xorfold" -> QueryDef(

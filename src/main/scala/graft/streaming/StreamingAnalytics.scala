@@ -97,8 +97,11 @@ object StreamingAnalytics {
                         tableDir: String, nBuckets: Int = 64): Long = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
+    // coalesce: a NULL text must still get a non-null hash key, else the
+    // left_anti probe never matches it and replays re-append the row
+    // forever (breaking the replay-idempotency contract)
     val hashed = batch
-      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("content_hash", md5(coalesce(col(textCol), lit(""))))
       .withColumn("bucket", pmod(hash(col("content_hash")), lit(nBuckets)))
       // in-batch exact dedup, deterministic winner (lowest id)
       .withColumn("rn", row_number().over(

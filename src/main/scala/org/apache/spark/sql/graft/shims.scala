@@ -34,6 +34,28 @@ object Shims {
     def value: org.apache.hadoop.conf.Configuration = inner.value
   }
 
+  /** Blocking removal of every broadcast block still materialized in the
+    * BlockManager. Broadcast cleanup normally rides ContextCleaner's
+    * weak-ref queue — an ASYNC path that lags a shared long-running JVM
+    * (same failure mode as localCheckpoint blocks, r8): hundreds of
+    * queries' broadcast-exchange blocks pile up and surface as
+    * multi-second timing swings in unrelated later queries. Benchmarks
+    * call this after each fully-consumed run so block-manager state is
+    * deterministic at every timer start. Only safe once the owning
+    * query's result has been consumed (a later `.value` re-read of a
+    * drained broadcast would fail).
+    */
+  def drainBroadcasts(sc: org.apache.spark.SparkContext): Int = {
+    val master = sc.env.blockManager.master
+    val bids = master
+      .getMatchingBlockIds(_.isBroadcast, askStorageEndpoints = true)
+      .collect { case b: org.apache.spark.storage.BroadcastBlockId => b.broadcastId }
+      .distinct
+    bids.foreach(id =>
+      master.removeBroadcast(id, removeFromMaster = true, blocking = true))
+    bids.size
+  }
+
   /** Apply the functions registered on a SparkSessionExtensions to a
     * registry (`registerFunctions` is private[sql]) — lets tests exercise
     * the `spark.sql.extensions` injection path without tearing down the

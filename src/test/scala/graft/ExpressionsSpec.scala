@@ -57,6 +57,27 @@ class ExpressionsSpec extends GraftSparkSpec {
     assert(CsvUtil.fieldCount(UTF8String.fromString("")) == 1)
   }
 
+  test("psv: delimiter-parameterized extraction (Format=psv dimension)") {
+    def pcol(line: String, idx: Int): String = {
+      val r = CsvUtil.columnAt(UTF8String.fromString(line), idx, '|'.toByte)
+      if (r == null) null else r.toString
+    }
+    assert(pcol("a|b|c", 1) == "b")
+    assert(pcol("a|b|c", 3) == null)
+    // quoting rules unchanged: pipes inside quotes are data, commas are plain bytes
+    assert(pcol("a|\"b|x\"|c", 1) == "\"b|x\"")
+    assert(pcol("a,b|c,d", 0) == "a,b")
+    assert(CsvUtil.fieldCount(UTF8String.fromString("a|\"b|x\"|c"), '|'.toByte) == 3)
+    // SQL surface: 3-arg form, literal-only delimiter
+    val row = spark.sql(
+      "SELECT csv_column_at('a|b|c', 1, '|') AS f, csv_field_count('a|b|c', '|') AS n")
+      .collect()(0)
+    assert(row.getString(0) == "b" && row.getInt(1) == 3)
+    intercept[Exception] {
+      spark.sql("SELECT csv_column_at('a|b', 1, '||')").collect()
+    }
+  }
+
   test("xor_fold_hash fixtures (FIXTURES.md §4)") {
     def h(s: String, seed: Int, n: Int): Int =
       HashUtil.xorFoldMod(UTF8String.fromString(s), seed, n)
