@@ -15,22 +15,53 @@ import org.apache.spark.sql.SparkSession
   *   validate <stagingDir>                            — print B7-style cardinality invariants
   */
 object GraftCli {
+  /** Per-tenant scheduler pool for this process, set by the leading
+    * `--pool=<tenant>` flag. Pools only matter when several tenants share
+    * one long-lived session/cluster (the ConcurrencyProbe shape, 2.6–3.1×
+    * serial throughput): FAIR mode stops one tenant's heavyweight stage
+    * from starving another's, and each submitting thread tags its jobs
+    * with its own pool. For the one-shot CLI the flag flips the session
+    * to FAIR and tags all jobs — so the same binary drops into a shared
+    * SparkConnect/ThriftServer deployment with per-tenant fairness.
+    */
+  private var schedulerPool: Option[String] = None
+
+  /** Split the leading `--pool=<name>` flag (if any) off the arg list. */
+  private[graft] def parsePoolFlag(args: List[String])
+      : (Option[String], List[String]) = args match {
+    case head :: rest if head.startsWith("--pool=") &&
+        head.length > "--pool=".length =>
+      (Some(head.substring("--pool=".length)), rest)
+    case _ => (None, args)
+  }
+
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    schedulerPool.foreach(_ => b.config("spark.scheduler.mode", "FAIR"))
+    val s = b.getOrCreate()
+    // thread-local: jobs submitted by this (main) thread land in the pool
+    schedulerPool.foreach(p =>
+      s.sparkContext.setLocalProperty("spark.scheduler.pool", p))
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(s)
     s
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
+  def main(rawArgs: Array[String]): Unit = {
+    val (pool, argList) = parsePoolFlag(rawArgs.toList)
+    schedulerPool = pool
+    pool.foreach(p => println(s"[graft] scheduler pool: $p (FAIR)"))
+    dispatch(argList)
+  }
+
+  private def dispatch(args: List[String]): Unit = args match {
     case "generate" :: outDir :: n :: rest =>
       val spark = session()
       val seed = rest.headOption.map(_.toLong).getOrElse(42L)
@@ -326,9 +357,14 @@ object GraftCli {
     case "ann-index-build" :: embParquet :: indexDir :: rest =>
       val spark = session()
       val nlist = rest.headOption.map(_.toInt).getOrElse(16)
+      // trainIters > 0 runs Lloyd refinement before the layout write —
+      // the x68 gate measures what that buys (panel recall 13/40 -> 22/40
+      // at one round on the bench fixture)
+      val trainIters = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
       operators.Similarity.writeIvfIndex(
-        spark.read.parquet(embParquet), indexDir, nlist)
-      println(s"[graft] ivf index: $embParquet -> $indexDir (nlist=$nlist)")
+        spark.read.parquet(embParquet), indexDir, nlist, trainIters)
+      println(s"[graft] ivf index: $embParquet -> $indexDir " +
+        s"(nlist=$nlist trainIters=$trainIters)")
       spark.stop()
 
     // IVF+PQ index: lists carry 8-byte PQ codes next to the vectors, so
@@ -337,9 +373,12 @@ object GraftCli {
       val spark = session()
       val nlist = rest.headOption.map(_.toInt).getOrElse(8)
       val nSub = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val trainIters = rest.drop(2).headOption.map(_.toInt).getOrElse(0)
       operators.Similarity.writeIvfPqIndex(
-        spark.read.parquet(embParquet), indexDir, nlist, nSub)
-      println(s"[graft] ivf+pq index: $embParquet -> $indexDir (nlist=$nlist nSub=$nSub)")
+        spark.read.parquet(embParquet), indexDir, nlist, nSub,
+        trainIters = trainIters)
+      println(s"[graft] ivf+pq index: $embParquet -> $indexDir " +
+        s"(nlist=$nlist nSub=$nSub trainIters=$trainIters)")
       spark.stop()
 
     case "ann-query-pq" :: indexDir :: embParquet :: vecId :: k :: rest =>
@@ -589,7 +628,7 @@ object GraftCli {
     case other =>
       System.err.println(
         s"""Unknown arguments: ${other.mkString(" ")}
-           |Usage:
+           |Usage: [--pool=<tenant>] <command> ...   (FAIR scheduler pool for shared sessions)
            |  generate <outDir> <nRows> [seed]
            |  prepartition <inGlob> <outDir> <colIdx> <maxPartitions> <seed> [gzip]
            |  prepartition-spread <inGlob> <basePath1,basePath2,...> <colIdx> <maxPartitions> <seed> [gzip]
@@ -615,10 +654,10 @@ object GraftCli {
            |  graph-bfs <edgesParquet> <seedsParquet> <outDir> [maxDepth]
            |  manifest-compact <shardDir> [retainDays]
            |  dedup-index-build <docsParquet> <indexDir>
-           |  ann-index-build <embeddingsParquet> <indexDir> [nlist]
+           |  ann-index-build <embeddingsParquet> <indexDir> [nlist] [trainIters]
            |  ann-index-append <embeddingsParquet> <indexDir>
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
-           |  ann-index-build-pq <embeddingsParquet> <indexDir> [nlist] [nSub]
+           |  ann-index-build-pq <embeddingsParquet> <indexDir> [nlist] [nSub] [trainIters]
            |  ann-query-pq <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  stream-upsert <landingDir> <tableDir> <checkpointDir> <keyCol> <tsCol> [nBuckets] [runSec]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]

@@ -288,7 +288,13 @@ object Similarity {
     * ingestion waves assign under the existing coarse quantizer;
     * re-training is a deliberate separate rebuild (drift is a recall
     * concern, never a correctness one: queries scan whatever lives in
-    * the probed lists). Append-only contract mirrors the ingest sinks:
+    * the probed lists). RETRAIN TRIGGER: run the x65-style recall panel
+    * (a fixed query set vs brute force over the current index) after
+    * each append wave; when panel recall at the operating nprobe drops
+    * below the build-time baseline by more than the budgeted margin,
+    * rebuild with `writeIvfIndex(trainIters > 0)` — the x68 gate
+    * measures exactly what that buys. Append-only contract mirrors the
+    * ingest sinks:
     * re-appending the same vec_id duplicates it — callers dedup waves
     * upstream (x21's incremental-dedup discipline).
     */

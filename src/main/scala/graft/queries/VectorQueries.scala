@@ -632,8 +632,139 @@ object VectorQueries {
           .orderBy("nprobe")
       },
       Some(nprobeSweepOracle(Seq(100L, 200L, 300L, 400L),
-        Seq(1, 2, 4, 8, 16))))
+        Seq(1, 2, 4, 8, 16)))),
+
+    // Trained vs seed coarse quantizer — closes the IVF lifecycle loop
+    // the recall gates opened: the SAME x65 panel and nprobe, once with
+    // the id-seeded centroids and once with Lloyd-trained ones
+    // (kmeansCentroids iters=1, the x27 pipeline; oracle unrolls the
+    // round with the float32-quantized means — the proven kmeansOracle
+    // machinery). Output is per-query overlap under both quantizers plus
+    // the panel-level `trained_ge_seed` verdict — the honest statement
+    // an operator reads before paying for training. Training runs on the
+    // FULL table (the index-build reality: queries are held out at query
+    // time, not build time); both assignment frames are computed once
+    // and checkpointed (the x66 sweep discipline).
+    "x68_trained_recall" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Similarity
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+        val qids = Seq(100L, 200L, 300L, 400L)
+        val centsS = Similarity.seedCentroids(e, 16)
+        val centsT = Similarity.kmeansCentroids(e, 16, iters = 1)
+        val aS = Similarity.assignLists(e, centsS).localCheckpoint()
+        val aT = Similarity.assignLists(e, centsT).localCheckpoint()
+        val per = qids.map { qid =>
+          val qv = e.filter(col("vec_id") === qid)
+            .select(col("embedding").as("q_embedding"))
+          val q = qv.collect()(0).getSeq[Float](0).toArray
+          val brute = Similarity
+            .bruteForceTopK(aS.filter(col("vec_id") =!= qid).drop("list_id"), qv, 10)
+            .select(col("vec_id")).localCheckpoint()
+          def overlapOf(assigned: org.apache.spark.sql.DataFrame,
+                        cents: Array[Array[Float]], alias: String) =
+            Similarity.ivfTopKPreAssigned(
+                assigned.filter(col("vec_id") =!= qid), qv, 10,
+                Similarity.probeRanking(cents, q).take(4).toIndexedSeq)
+              .select(col("vec_id")).join(brute, "vec_id")
+              .agg(count(lit(1)).as(alias))
+          overlapOf(aS, centsS, "n_seed")
+            .crossJoin(overlapOf(aT, centsT, "n_trained"))
+            .select(lit(qid).as("query_id"), col("n_seed"), col("n_trained"))
+        }
+        per.reduce(_.unionAll(_))
+          .withColumn("trained_ge_seed",
+            avg(col("n_trained")).over(Window.partitionBy()) >=
+              avg(col("n_seed")).over(Window.partitionBy()))
+          .orderBy("query_id")
+      },
+      Some(trainedRecallOracle(Seq(100L, 200L, 300L, 400L), nprobe = 4)))
   )
+
+  /** Oracle for x68: one unrolled float32-quantized Lloyd round (the
+    * kmeansOracle discipline) builds the trained centroid table next to
+    * the seed one; per panel query, IVF recall cells under BOTH
+    * quantizers at equal nprobe, then the panel-mean comparison.
+    */
+  private def trainedRecallOracle(qids: Seq[Long], nprobe: Int): String = {
+    def cosC(v: String, c: String, vn: String, cn: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1), " +
+        s"i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)"
+    val normC = (v: String) =>
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform($v, x -> x * x)), (a, b) -> a + b))"
+    val blocks = qids.map { q =>
+      s"""qq_$q AS (SELECT v, vn FROM en WHERE vec_id = $q),
+         |prs_$q AS (
+         |  SELECT cid FROM cs, qq_$q
+         |  ORDER BY ${cosC("cs.v", s"qq_$q.v", "cs.vn", s"qq_$q.vn")} DESC, cid
+         |  LIMIT $nprobe),
+         |prt_$q AS (
+         |  SELECT cid FROM ct, qq_$q
+         |  ORDER BY ${cosC("ct.v", s"qq_$q.v", "ct.vn", s"qq_$q.vn")} DESC, cid
+         |  LIMIT $nprobe),
+         |ivs_$q AS (
+         |  SELECT en.vec_id FROM en JOIN asg USING (vec_id), qq_$q
+         |  WHERE en.vec_id <> $q AND asg.cid IN (SELECT cid FROM prs_$q)
+         |  ORDER BY round(${cosC("en.v", s"qq_$q.v", "en.vn", s"qq_$q.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10),
+         |ivt_$q AS (
+         |  SELECT en.vec_id FROM en JOIN asgt USING (vec_id), qq_$q
+         |  WHERE en.vec_id <> $q AND asgt.cid IN (SELECT cid FROM prt_$q)
+         |  ORDER BY round(${cosC("en.v", s"qq_$q.v", "en.vn", s"qq_$q.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10),
+         |brute_$q AS (
+         |  SELECT en.vec_id FROM en, qq_$q
+         |  WHERE en.vec_id <> $q
+         |  ORDER BY round(${cosC("en.v", s"qq_$q.v", "en.vn", s"qq_$q.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10),
+         |ov_$q AS (
+         |  SELECT CAST($q AS BIGINT) AS query_id,
+         |    (SELECT count(*) FROM ivs_$q JOIN brute_$q USING (vec_id)) AS n_seed,
+         |    (SELECT count(*) FROM ivt_$q JOIN brute_$q USING (vec_id)) AS n_trained)""".stripMargin
+    }
+    val union = qids.map(q => s"SELECT * FROM ov_$q").mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v, ${normC("v")} AS vn FROM e),
+       |cs AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v, vn
+       |  FROM en ORDER BY vec_id LIMIT 16),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT en.vec_id, cs.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${cosC("en.v", "cs.v", "en.vn", "cs.vn")} DESC,
+       |          cs.cid) AS rn
+       |    FROM en CROSS JOIN cs) WHERE rn = 1),
+       |m1 AS (
+       |  SELECT cid, list(CAST(mv AS DOUBLE) ORDER BY i) AS v FROM (
+       |    SELECT asg.cid, i, CAST(avg(en.v[i]) AS FLOAT) AS mv
+       |    FROM asg JOIN en USING (vec_id),
+       |      unnest(generate_series(1, len(en.v))) AS g(i)
+       |    GROUP BY asg.cid, i) mm GROUP BY cid),
+       |ct AS (
+       |  SELECT cs.cid, coalesce(m1.v, cs.v) AS v,
+       |    coalesce(${normC("m1.v")}, cs.vn) AS vn
+       |  FROM cs LEFT JOIN m1 USING (cid)),
+       |asgt AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT en.vec_id, ct.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${cosC("en.v", "ct.v", "en.vn", "ct.vn")} DESC,
+       |          ct.cid) AS rn
+       |    FROM en CROSS JOIN ct) WHERE rn = 1),
+       |${blocks.mkString(",\n")}
+       |SELECT query_id, n_seed, n_trained,
+       |  avg(n_trained) OVER () >= avg(n_seed) OVER () AS trained_ge_seed
+       |FROM ($union)
+       |ORDER BY query_id""".stripMargin
+  }
 
   /** Oracle builder for x66: per (query, nprobe) IVF recall cells, then
     * the mean-recall curve by nprobe. Shares x65's machinery — the

@@ -123,3 +123,85 @@ object GraphScale {
     spark.stop()
   }
 }
+
+/** The 100 M-edge confirmation run (SCALE.md r11): pagerank / label
+  * propagation / multi-source BFS / k-core on the same power-law graph
+  * at one more order of magnitude than GraphScale's default sizes,
+  * recording wall time AND the JVM heap envelope (peak across memory
+  * pools, reset before each family) — the question is whether the
+  * per-superstep materialization and frontier-delta claims survive
+  * 100 M edges on one 32-core box, and what they cost in memory.
+  * Triangle counting is excluded here: it is measured separately in
+  * GraphScale (its naive arm is quadratic-wedge and would dominate).
+  *
+  * Usage: GraphScale100 [nEdgesMillions] (default 100)
+  */
+object GraphScale100 {
+  def main(args: Array[String]): Unit = {
+    val m = args.headOption.map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64) // 100 M-edge shuffles: keep partitions ~<256 MB
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = m * 1000000L
+    val nNodes = n / 20
+
+    def edges() = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+      floor(lit(nNodes.toDouble) *
+        pow(pmod(xxhash64(col("id"), lit(7)), lit(1000000)) / 1e6,
+          lit(3.0))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def resetPeaks(): Unit = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .foreach(_.resetPeakUsage())
+    def peakHeapGb: Double = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / 1e9
+
+    def drain(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      org.apache.spark.sql.graft.Shims.drainBroadcasts(spark.sparkContext)
+      System.gc()
+    }
+
+    def run(label: String)(f: => Any): Unit = {
+      drain(); resetPeaks()
+      val t0 = System.nanoTime()
+      f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%12s ${m}%4dM edges ${secs}%8.1f s  peak-heap ${peakHeapGb}%5.1f GB")
+      drain()
+    }
+
+    // warm classloading/codegen on a small graph
+    Graph.pagerank(edges().limit(100000), iters = 1).agg(sum("r")).head()
+
+    run("pagerank") {
+      Graph.pagerank(edges(), iters = 3, checkpointInterval = 5)
+        .agg(sum("r"), max("r")).head()
+    }
+    run("label_prop") {
+      val seeds = spark.range(0, nNodes, 50)
+        .select(col("id").as("node"), (col("id") % 97).as("label"))
+      Graph.labelPropagate(edges(), seeds, iters = 3, checkpointInterval = 5)
+        .agg(count(lit(1)), countDistinct(col("label"))).head()
+    }
+    run("bfs") {
+      val sources = spark.range(0, 64).select(col("id").as("source"))
+      Graph.bfs(edges(), sources, maxDepth = 4)
+        .agg(count(lit(1)), max(col("d"))).head()
+    }
+    run("kcore") {
+      Graph.kcore(edges(), k = 10).agg(count(lit(1))).head()
+    }
+    spark.stop()
+  }
+}
