@@ -529,4 +529,103 @@ object Graph {
     }
     f.select(col("node"), col("anc").as("root"), col("depth"))
   }
+
+  /** Connected components over an UNDIRECTED graph (callers pass a
+    * bidirected edge list, as with labelPropagate): every node is
+    * labeled with the MINIMUM node id in its component — the canonical
+    * deterministic component id, so results are engine-exact.
+    *
+    * Algorithm: min-label propagation to a fixpoint — each round every
+    * node takes min(own label, min over in-neighbors' labels); rounds
+    * stop early when no label changes. Convergence is bounded by the
+    * component diameter, which is the right trade for the small-world
+    * graphs corpus curation runs this on (co-purchase, domain-link,
+    * dedup-cluster graphs have diameters in the single digits even at
+    * billions of edges). For adversarial long-path graphs the
+    * pointer-doubling form (rootsAndDepth) or alternating large/small
+    * star rewrites converge in O(log n) rounds instead; the SCALE.md
+    * graph section documents the crossover.
+    *
+    * 100 TB shape: the edge list materializes ONCE; each round is one
+    * edges⋈labels join on the src key + one dst-key min-agg + a
+    * node-keyed min against the previous labels, all node/edge-sized
+    * with `localCheckpoint` capping lineage. The early-exit signal is
+    * one count of an already-materialized changed-rows frame (bounded
+    * driver scalar, same discipline as kcore/bfs).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      // min neighbor label arriving at each dst
+      val nbr = e.join(labels, e("src") === labels("node"))
+        .groupBy(e("dst").as("node")).agg(min(col("comp")).as("nc"))
+      val next = labels.join(nbr, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
+          (col("nc") < col("comp")).as("changed"))
+        .localCheckpoint()
+      done = next.filter(col("changed")).isEmpty
+      labels = next.select("node", "comp")
+      rounds += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** Multi-source shortest paths over a weighted directed edge list
+    * `(src, dst, w)` with non-negative INTEGER weights — Bellman-Ford
+    * relaxation with a delta frontier, run to a fixpoint (or `maxRounds`,
+    * whichever first). Returns `(node, dist)` for every reached node,
+    * dist = min over sources of the cheapest path cost. Integer weights
+    * keep the result summation-order-exact across engines (the pagerank
+    * discipline); ties need no tie-break because min is total on longs.
+    *
+    * 100 TB shape — the same delta iteration that makes bfs survive
+    * scale: each round relaxes only edges out of the FRONTIER (nodes
+    * whose distance improved last round), so per-round cost is
+    * O(frontier out-edges), not O(E). The settled distance map stays
+    * node-sized, updated by a node-keyed min-merge; rounds end early
+    * when no distance improves (one count of a materialized frame).
+    * Negative weights are rejected up front: with a delta frontier a
+    * negative cycle would never terminate.
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .persist()
+    require(e.filter(col("w") < 0).isEmpty,
+      "shortestPaths requires non-negative weights")
+    var dist = sources.select(col("source").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .groupBy(e("dst").as("node"))
+        .agg(min(frontier("dist") + e("w")).as("cand"))
+      val improved = cand.join(dist, Seq("node"), "left_outer")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint()
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist.unionAll(improved)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+        frontier = improved
+        rounds += 1
+      }
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -2084,6 +2084,127 @@ object ExtensionQueries {
              |    row_number() OVER (PARTITION BY lang
              |      ORDER BY n_chars DESC, doc_id) AS rk
              |  FROM documents)
-             |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
+             |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+
+    // Connected components of the co-purchase graph — every node labeled
+    // with the MIN node id in its component (the deterministic component
+    // id dedup-cluster resolution uses; x10 runs the same contract on
+    // minhash pairs, this runs it on an arbitrary graph operator).
+    // Engine: Graph.connectedComponents — min-label propagation to a
+    // FIXPOINT with a per-round early exit, so the result is the exact
+    // component labeling regardless of round count. Oracle: DuckDB
+    // recursive transitive closure + min-reachable — exact by
+    // construction, so the gate proves the iterative operator actually
+    // converged (a dropped round would leave a non-min label somewhere
+    // and fail the hash). 100 TB shape is documented on the operator:
+    // per-round cost is one edge-key join + node-key min-aggs, rounds
+    // bounded by component diameter (single digits on co-purchase-like
+    // small-world graphs).
+    "x69_connected_components" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        Graph.connectedComponents(edges).orderBy("node")
+      },
+      Some("""WITH RECURSIVE op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |reach AS (
+             |  SELECT src AS node, src AS r FROM e
+             |  UNION
+             |  SELECT reach.node, e.dst FROM reach
+             |  JOIN e ON e.src = reach.r)
+             |SELECT node, min(r) AS comp FROM reach
+             |GROUP BY node ORDER BY node""".stripMargin)),
+
+    // Multi-source weighted shortest paths (bounded Bellman-Ford) over
+    // the co-purchase graph: seed parts (p_partkey % 97 = 0) at cost 0,
+    // edge weight = (pa + pb) % 7 + 1 (deterministic integer, same in
+    // both directions), 8 relaxation rounds — i.e. exact cheapest cost
+    // over paths of <= 8 edges, which on this small-world graph IS the
+    // converged shortest path (the operator's early exit fires first).
+    // The round cap makes the semantic engine-exact WITHOUT relying on
+    // convergence: round k of delta-frontier Bellman-Ford and round k of
+    // the oracle's full relaxation both yield "cheapest path using <= k
+    // edges", so the hash matches even on adversarial inputs. 100 TB
+    // shape: documented on Graph.shortestPaths — per-round cost rides
+    // the frontier's out-edges, never O(E).
+    "x70_sssp" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+          .withColumn("w", (col("pa") + col("pb")) % 7 + 1)
+        val edges = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst"), col("w")),
+            struct(col("pb").as("src"), col("pa").as("dst"), col("w"))))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.w").as("w"))
+        val seeds = t(s, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("source"))
+        Graph.shortestPaths(edges, seeds, maxRounds = 8).orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 8).map { k =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, d.dist + e.w AS dist
+             |    FROM d${k - 1} d JOIN e ON e.src = d.node)
+             |  GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH op AS MATERIALIZED (
+           |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |pc AS MATERIALIZED (
+           |  SELECT a.pk AS pa, b.pk AS pb,
+           |    (a.pk + b.pk) % 7 + 1 AS w
+           |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+           |e AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM pc
+           |      UNION ALL SELECT pb AS src, pa AS dst, w FROM pc),
+           |d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT)
+           |         AS dist FROM part WHERE p_partkey % 97 = 0),
+           |$rounds
+           |SELECT node, dist FROM d8 ORDER BY node""".stripMargin
+      })
   )
 }

@@ -2205,6 +2205,39 @@ object RelationalQueries {
              |SELECT flag, 'sum_qty', sum_qty FROM wide
              |UNION ALL
              |SELECT flag, 'sum_lines', sum_lines FROM wide
-             |ORDER BY flag, metric""".stripMargin))
+             |ORDER BY flag, metric""".stripMargin)),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — "top 2 orders
+    // per customer" phrased the way an analyst writes it. Spark
+    // decorrelates the lateral (DecorrelateInnerQuery rewrites the
+    // correlated Limit into a partitioned rank filter), so the physical
+    // plan is ONE shuffle on the correlation key — identical cost to the
+    // hand-written window idiom (q9/x63), never a per-customer re-scan
+    // of orders. That rewrite is the point of the gate: at 100 TB the
+    // naive nested-loop reading is unrunnable, and this proves the engine
+    // plans the declarative form into the scalable shape. The q71-family
+    // delimiter work lives elsewhere; the oracle here is DuckDB's native
+    // LATERAL, same ORDER BY tie-break (o_totalprice DESC, o_orderkey).
+    "q72_lateral" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q72_customer")
+        t(s, dir, "orders").createOrReplaceTempView("q72_orders")
+        s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+                |FROM q72_customer c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM q72_orders
+                |         WHERE o_custkey = c.c_custkey
+                |         ORDER BY o_totalprice DESC, o_orderkey
+                |         LIMIT 2) o
+                |ORDER BY c.c_custkey, o.o_totalprice DESC,
+                |  o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey
+             |         LIMIT 2) o
+             |ORDER BY c.c_custkey, o.o_totalprice DESC,
+             |  o.o_orderkey""".stripMargin))
   )
 }

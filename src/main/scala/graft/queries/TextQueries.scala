@@ -21,6 +21,12 @@ object TextQueries {
   // whitespace tokenizer shared by several queries (Spark side)
   private def tokens(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
 
+  // md5 of the empty string — the rebuilt-text hash for a doc whose every
+  // segment was stripped (mirrors the oracle's coalesce(..., md5(''))).
+  // Declared BEFORE `all`: d45's oracle string interpolates it eagerly at
+  // map construction, so a bottom-of-file declaration would still be null.
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: md5-groupBy, keep the smallest doc_id per content
@@ -1516,10 +1522,83 @@ object TextQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents d LEFT JOIN dirty ON dirty.doc_id = d.doc_id
              |WHERE d.doc_id % 20 <> 0
-             |GROUP BY split ORDER BY split""".stripMargin))
-  )
+             |GROUP BY split ORDER BY split""".stripMargin)),
 
-  // md5 of the empty string — the rebuilt-text hash for a doc whose every
-  // segment was stripped (mirrors the oracle's coalesce(..., md5('')))
-  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+    // Exact duplicate-span REMOVAL with text reconstruction — the
+    // dedup step Lee et al.'s "Deduplicating Training Data Makes
+    // Language Models Better" applies at span granularity: d39 only
+    // MEASURES cross-corpus duplicate shingles; this strips every
+    // repeated occurrence (keep-first by corpus order (doc_id, pos))
+    // and rebuilds each document from its surviving spans, returning
+    // per-doc span counts plus the md5 of the rebuilt text (proof the
+    // reassembly actually ran, not just the bookkeeping). Spans are
+    // d39's non-overlapping 8-word blocks; docs under 8 words have no
+    // spans and rebuild to the empty string.
+    //
+    // 100 TB shape: first-occurrence ranking is ONE shuffle on the span
+    // key (the same key d39's global count rides) with tiny per-span
+    // groups (the duplication count); the rebuild is a doc-keyed agg
+    // whose collect_list is bounded by document length — never a
+    // corpus-sized window. At petabyte scale the span key would carry
+    // a 64-bit hash instead of the span text (same plan, narrower
+    // exchange); the gate keeps the text so the oracle is literal.
+    "d45_span_dedup" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val sh = docs
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"), posexplode(expr(
+            "CASE WHEN size(words) >= 8 THEN " +
+              "transform(sequence(0, CAST(size(words) / 8 AS INT) - 1), " +
+              "i -> array_join(slice(words, i * 8 + 1, 8), ' ')) " +
+              "ELSE array() END")))
+          .withColumnRenamed("col", "span")
+        val rk = sh.withColumn("rn", row_number().over(
+          Window.partitionBy("span").orderBy("doc_id", "pos")))
+        val agg = rk.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_spans"),
+            md5(array_join(expr(
+              "transform(array_sort(collect_list(" +
+                "CASE WHEN rn = 1 THEN struct(pos, span) END)), " +
+                "s -> s.span)"), " ")).as("text_hash"))
+        docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+            coalesce(col("text_hash"), lit(md5Empty)).as("text_hash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, i,
+             |    array_to_string(list_slice(words, i*8+1, i*8+8), ' ')
+             |      AS span
+             |  FROM (SELECT doc_id, words,
+             |          unnest(range(CAST(floor(len(words)/8) AS BIGINT)))
+             |            AS i
+             |        FROM w)),
+             |rk AS (
+             |  SELECT doc_id, i, span,
+             |    row_number() OVER (PARTITION BY span
+             |      ORDER BY doc_id, i) AS rn
+             |  FROM sh),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_spans,
+             |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS kept_spans,
+             |    md5(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+             |      ORDER BY i)) AS th
+             |  FROM rk GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(n_spans, 0) AS n_spans,
+             |  coalesce(kept_spans, 0) AS kept_spans,
+             |  coalesce(th, '$md5Empty') AS text_hash
+             |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
+  )
 }
