@@ -158,6 +158,32 @@ object Similarity {
         .drop("list_id"),
       query, k)
 
+  /** IVF radius (range) search: every vector whose cosine to the query
+    * is >= `threshold`, scanning only the given probe lists — the "all
+    * near-duplicates of this example" primitive (top-k asks for the k
+    * best; curation thresholds ask for ALL matches above a bar, however
+    * many there are). Takes a pre-assigned frame (`assignLists`) so a
+    * multi-query batch pays the assignment once. Similarity is rounded
+    * to 6dp BEFORE thresholding (the cross-engine float discipline), and
+    * zero-norm NaNs rank as -1 (below any threshold). Recall < 1.0 by
+    * construction — a true match in an unprobed list is missed; the
+    * probe count tunes it exactly as in top-k.
+    *
+    * 100 TB shape: list pruning is partition pruning against a persisted
+    * index layout (writeIvfIndex); the scan that remains is a narrow
+    * filter — no shuffle, no k-sized heap, output size driven by the
+    * data (callers wanting a cap compose `.limit`).
+    */
+  def ivfRangeSearch(assigned: DataFrame, query: DataFrame,
+                     threshold: Double, probes: Seq[Long]): DataFrame =
+    assigned
+      .filter(col("list_id").isin(probes: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("sim",
+        round(cosineRank(col("embedding"), col("q_embedding")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_id"), col("label"), col("sim"))
+
   /** IVF (inverted-file) top-k: vectors are assigned to the nearest of
     * `nlist` centroids (the "coarse quantizer"); a query scans only the
     * `nprobe` closest lists. `trainIters` > 0 runs k-means refinement;

@@ -679,8 +679,93 @@ object VectorQueries {
               avg(col("n_seed")).over(Window.partitionBy()))
           .orderBy("query_id")
       },
-      Some(trainedRecallOracle(Seq(100L, 200L, 300L, 400L), nprobe = 4)))
+      Some(trainedRecallOracle(Seq(100L, 200L, 300L, 400L), nprobe = 4))),
+
+    // IVF radius (range) search — "ALL vectors within cosine >= 0.25 of
+    // the query", the thresholded dual of top-k that dedup/curation
+    // policies actually state ("drop everything closer than t"), probing
+    // 4 of 16 lists over ONE shared assignment for the 3-query batch.
+    // The oracle recomputes the exact pruned pipeline (full-corpus
+    // assignment, per-query probe ranking, 6dp-rounded threshold), so
+    // the gate proves the radius semantics INCLUDING the approximation
+    // boundary — a vector inside the radius but in an unprobed list must
+    // be absent from both engines. 100 TB shape: see
+    // Similarity.ivfRangeSearch (partition pruning + narrow filter, no
+    // shuffle, data-driven output size).
+    "x71_range_search" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.seedCentroids(e, 16)
+        val assigned = Similarity.assignLists(e, cents).localCheckpoint()
+        val per = Seq(100L, 200L, 300L).map { qid =>
+          val qv = e.filter(col("vec_id") === qid)
+            .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+          val probes = Similarity.probeRanking(cents, qv).take(4)
+          Similarity.ivfRangeSearch(
+              assigned.filter(col("vec_id") =!= qid),
+              e.filter(col("vec_id") === qid)
+                .select(col("embedding").as("q_embedding")),
+              threshold = 0.25, probes.toIndexedSeq)
+            .select(lit(qid).as("query_id"), col("vec_id"), col("sim"))
+        }
+        per.reduce(_.unionAll(_)).orderBy("query_id", "vec_id")
+      },
+      Some(rangeSearchOracle(Seq(100L, 200L, 300L), thr = "0.25",
+        nprobe = 4)))
   )
+
+  /** Oracle for x71: one full-corpus nearest-centroid assignment (max
+    * sim, min cid ties — `assignLists`), per-query probe ranking, then
+    * the 6dp-rounded cosine threshold over the probed lists, self
+    * excluded.
+    */
+  private def rangeSearchOracle(
+      qids: Seq[Long], thr: String, nprobe: Int): String = {
+    def cosC(v: String, c: String, vn: String, cn: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1), " +
+        s"i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)"
+    val blocks = qids.map { q =>
+      s"""pr_$q AS (
+         |  SELECT cen.cid FROM cen, (SELECT v, vn FROM en WHERE vec_id = $q) qq
+         |  ORDER BY ${cosC("cen.v", "qq.v", "cen.vn", "qq.vn")} DESC, cid
+         |  LIMIT $nprobe),
+         |res_$q AS (
+         |  SELECT CAST($q AS BIGINT) AS query_id, en.vec_id,
+         |    round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6) AS sim
+         |  FROM en JOIN asg USING (vec_id),
+         |    (SELECT v, vn FROM en WHERE vec_id = $q) qq
+         |  WHERE asg.list_id IN (SELECT cid FROM pr_$q)
+         |    AND en.vec_id <> $q
+         |    AND round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6) >= $thr)"""
+        .stripMargin
+    }
+    val union = qids.map(q => s"SELECT * FROM res_$q")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |      (a, b) -> a + b)) AS vn
+       |  FROM e),
+       |cen AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v, vn
+       |  FROM en ORDER BY vec_id LIMIT 16),
+       |sims AS (
+       |  SELECT en.vec_id, cen.cid,
+       |    ${cosC("en.v", "cen.v", "en.vn", "cen.vn")} AS s
+       |  FROM en, cen),
+       |asg AS (
+       |  SELECT sims.vec_id, min(cid) AS list_id FROM sims
+       |  JOIN (SELECT vec_id AS v2, max(s) AS ms FROM sims GROUP BY 1) m
+       |    ON sims.vec_id = m.v2 AND sims.s = m.ms
+       |  GROUP BY sims.vec_id),
+       |${blocks.mkString(",\n")}
+       |$union
+       |ORDER BY query_id, vec_id""".stripMargin
+  }
 
   /** Oracle for x68: one unrolled float32-quantized Lloyd round (the
     * kmeansOracle discipline) builds the trained centroid table next to
