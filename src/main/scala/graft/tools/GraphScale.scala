@@ -134,11 +134,13 @@ object GraphScale {
   * Triangle counting is excluded here: it is measured separately in
   * GraphScale (its naive arm is quadratic-wedge and would dominate).
   *
-  * Usage: GraphScale100 [nEdgesMillions] (default 100)
+  * Usage: GraphScale100 [nEdgesMillions] [family...] (default 100, all
+  * families; naming families reruns a subset without repaying the rest)
   */
 object GraphScale100 {
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(100)
+    val families = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 64) // 100 M-edge shuffles: keep partitions ~<256 MB
@@ -173,6 +175,7 @@ object GraphScale100 {
     }
 
     def run(label: String)(f: => Any): Unit = {
+      if (families.nonEmpty && !families(label)) return
       drain(); resetPeaks()
       val t0 = System.nanoTime()
       f
@@ -201,6 +204,26 @@ object GraphScale100 {
     }
     run("kcore") {
       Graph.kcore(edges(), k = 10).agg(count(lit(1))).head()
+    }
+    // r11 additions at the same scale: min-label components (rounds ~
+    // graph diameter — the power-law graph's giant component is
+    // small-world, so this also measures how many rounds the early exit
+    // actually runs) and delta-frontier Bellman-Ford from 64 sources
+    // with weights 1..7 (the frontier should decay like bfs's).
+    run("components") {
+      // connectedComponents takes a bidirected list (labels flow along
+      // edge direction): 100M directed edges -> 200M propagation edges
+      val e = edges()
+      Graph.connectedComponents(
+          e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))))
+        .agg(count(lit(1)), countDistinct(col("comp"))).head()
+    }
+    run("sssp") {
+      val sources = spark.range(0, 64).select(col("id").as("source"))
+      val weighted = edges().withColumn("w",
+        pmod(col("src") + col("dst"), lit(7)) + 1)
+      Graph.shortestPaths(weighted, sources, maxRounds = 8)
+        .agg(count(lit(1)), max(col("dist"))).head()
     }
     spark.stop()
   }
