@@ -553,7 +553,18 @@ object Graph {
     * one count of an already-materialized changed-rows frame (bounded
     * driver scalar, same discipline as kcore/bfs).
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+  /** `checkpointInterval` (the x47 knob): how many rounds the label
+    * frame's union-min chain may grow before materializing. The changed
+    * frontier ALWAYS materializes (the early-exit test consumes it);
+    * only the standing label frame batches. NOTE: unlike x47 — where
+    * batching wins on small graphs because the deferred work is narrow —
+    * this frame's update is a union-min SHUFFLE, so deferring just
+    * re-runs shuffles for every consumer (measured on the sf0.1 gate
+    * graph: interval=5 ran 4.4 s vs 3.8 s at interval=1). Keep 1 unless
+    * a future variant makes the update narrow.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64,
+                          checkpointInterval: Int = 1): DataFrame = {
     // pre-partition the edge list on the src key ONCE: every round's
     // frontier join reuses this layout from the cache, so only the
     // (shrinking) frontier side exchanges per round
@@ -583,9 +594,9 @@ object Graph {
       else {
         labels = labels.unionAll(improved)
           .groupBy("node").agg(min(col("comp")).as("comp"))
-          .localCheckpoint()
-        frontier = improved
         rounds += 1
+        if (rounds % checkpointInterval == 0) labels = labels.localCheckpoint()
+        frontier = improved
       }
     }
     e.unpersist()
@@ -612,7 +623,8 @@ object Graph {
   def shortestPaths(
       edges: DataFrame,
       sources: DataFrame,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64,
+      checkpointInterval: Int = 1): DataFrame = {
     // src-key layout cached once; per-round frontier joins reuse it
     // (only the frontier side exchanges — see connectedComponents)
     val e = edges.select(col("src").cast("long").as("src"),
@@ -637,9 +649,11 @@ object Graph {
       else {
         dist = dist.unionAll(improved)
           .groupBy("node").agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
-        frontier = improved
         rounds += 1
+        // x47 knob, same contract as connectedComponents: the frontier
+        // always materializes, the standing dist frame batches
+        if (rounds % checkpointInterval == 0) dist = dist.localCheckpoint()
+        frontier = improved
       }
     }
     e.unpersist()

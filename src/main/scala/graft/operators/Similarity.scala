@@ -184,6 +184,56 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("vec_id"), col("label"), col("sim"))
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * over a BOUNDED candidate pool `(vec_id, rel, embedding)`: greedily
+    * pick k items maximizing `lambdaRel·rel − (1−lambdaRel)·max sim to
+    * already-selected` — the diversity re-rank step between retrieval
+    * and prompt assembly in a RAG/curation stack. Step 1 is pure
+    * relevance (nothing selected yet). Engine-exact: `rel` arrives
+    * 6dp-rounded from the retriever, pairwise sims round to 6dp, the
+    * combined score rounds to 6dp BEFORE the argmax, ties break on
+    * vec_id — so an unrolled SQL oracle reproduces every pick.
+    *
+    * 100 TB shape: MMR is inherently pool-bounded — the distributed
+    * work is candidate GENERATION (ANN top-N upstream); this re-rank
+    * touches N·k pairs of a broadcast-sized pool. The k driver-side
+    * 1-row collects are the bounded-scalar pattern the selection
+    * semantics require (each pick conditions the next step's scores).
+    */
+  def mmrRerank(candidates: DataFrame, k: Int,
+                lambdaRel: Double = 0.5): DataFrame = {
+    val spark = candidates.sparkSession
+    val cand = candidates.select(col("vec_id").cast("long").as("vec_id"),
+      col("rel").cast("double").as("rel"), col("embedding"))
+      .localCheckpoint()
+    var selected = Vector.empty[(Int, Long, Double)] // (rk, vec_id, score)
+    for (step <- 1 to k) {
+      val chosenIds = selected.map(_._2)
+      val remaining =
+        if (chosenIds.isEmpty) cand
+        else cand.filter(!col("vec_id").isin(chosenIds: _*))
+      val scored =
+        if (step == 1) remaining.withColumn("score", col("rel"))
+        else {
+          val sel = broadcast(cand.filter(col("vec_id").isin(chosenIds: _*))
+            .select(col("embedding").as("s_emb")))
+          remaining.crossJoin(sel)
+            .groupBy("vec_id", "rel")
+            .agg(max(round(cosineRank(col("embedding"), col("s_emb")), 6))
+              .as("maxsim"))
+            .withColumn("score", round(col("rel") * lambdaRel
+              - col("maxsim") * (1 - lambdaRel), 6))
+        }
+      scored.orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("score")).collect()
+        .headOption.foreach { r =>
+          selected :+= ((step, r.getLong(0), r.getDouble(1)))
+        }
+    }
+    import spark.implicits._
+    selected.toDF("rk", "vec_id", "score")
+  }
+
   /** IVF (inverted-file) top-k: vectors are assigned to the nearest of
     * `nlist` centroids (the "coarse quantizer"); a query scans only the
     * `nprobe` closest lists. `trainIters` > 0 runs k-means refinement;

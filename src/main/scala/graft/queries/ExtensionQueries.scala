@@ -2121,6 +2121,11 @@ object ExtensionQueries {
             struct(col("pa").as("src"), col("pb").as("dst")),
             struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // checkpointInterval stays 1 even on this small graph: unlike
+        // x47's narrow rank update, the standing label frame's update is
+        // a union-min SHUFFLE, so deferring materialization re-runs
+        // shuffles instead of shedding jobs (measured: interval=5 ran
+        // 4.4 s vs 3.8 s at sf0.1)
         Graph.connectedComponents(edges).orderBy("node")
       },
       Some("""WITH RECURSIVE op AS MATERIALIZED (
@@ -2179,7 +2184,8 @@ object ExtensionQueries {
         val seeds = t(s, dir, "part")
           .filter(col("p_partkey") % 97 === 0)
           .select(col("p_partkey").as("source"))
-        Graph.shortestPaths(edges, seeds, maxRounds = 8).orderBy("node")
+        Graph.shortestPaths(edges, seeds, maxRounds = 8)
+          .orderBy("node") // interval=1: see the x69 shuffle-update note
       },
       Some {
         val rounds = (1 to 8).map { k =>

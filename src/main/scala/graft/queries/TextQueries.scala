@@ -1599,6 +1599,67 @@ object TextQueries {
              |  coalesce(kept_spans, 0) AS kept_spans,
              |  coalesce(th, '$md5Empty') AS text_hash
              |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Per-source distribution drift: KL(P_source || P_corpus) over the
+    // unigram distributions — the one-number "how far does this source
+    // sit from the mixture" diagnostic that decides reweighting/refresh
+    // (the corpus-level companion of d33's per-document DSIR weights).
+    // Restricted to tokens the source contains (c > 0 ⇒ corpus count
+    // > 0), so no smoothing is needed and the sum is the exact KL over
+    // the source's support. Float discipline (the d33 idiom): every
+    // per-term contribution is computed from EXACT integer counts in one
+    // fixed expression shape, quantized to integer micros, and only
+    // integers aggregate — summation order cannot drift the result.
+    //
+    // 100 TB shape: one (source, token) agg (map-side combinable), a
+    // token-keyed join against the vocab-sized corpus table, the total
+    // as a 1-row broadcast cross (q23 idiom), and a sources-sized final
+    // agg. Nothing scales with documents except the first token agg.
+    "d46_kl_drift" -> QueryDef(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val sc = tok.groupBy("source", "token")
+          .agg(count(lit(1)).as("c"))
+        val ns = sc.groupBy("source").agg(sum(col("c")).as("ns"))
+        val cc = sc.groupBy("token").agg(sum(col("c")).as("cc"))
+        val n = sc.agg(sum(col("c")).as("n"))
+        sc.join(broadcast(ns), "source")
+          .join(cc, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("term_micro",
+            round((col("c").cast("double") / col("ns").cast("double")) *
+              log((col("c").cast("double") * col("n").cast("double")) /
+                (col("ns").cast("double") * col("cc").cast("double")))
+              * 1e6).cast("long"))
+          .groupBy("source")
+          .agg(max(col("ns")).as("n_tokens"),
+            sum(col("term_micro")).as("kl_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |sc AS (
+             |  SELECT source, token, count(*) AS c FROM tok
+             |  WHERE token <> '' GROUP BY source, token),
+             |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+             |       FROM sc GROUP BY source),
+             |cc AS (SELECT token, CAST(sum(c) AS BIGINT) AS cc
+             |       FROM sc GROUP BY token),
+             |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+             |terms AS (
+             |  SELECT sc.source,
+             |    CAST(round((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)) *
+             |      ln((CAST(c AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+             |        (CAST(ns AS DOUBLE) * CAST(cc AS DOUBLE)))
+             |      * 1e6) AS BIGINT) AS term_micro,
+             |    ns
+             |  FROM sc JOIN ns USING (source) JOIN cc USING (token), n)
+             |SELECT source, max(ns) AS n_tokens,
+             |  CAST(sum(term_micro) AS BIGINT) AS kl_micro
+             |FROM terms GROUP BY source ORDER BY source""".stripMargin))
   )
 }

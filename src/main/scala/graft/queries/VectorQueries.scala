@@ -712,8 +712,77 @@ object VectorQueries {
         per.reduce(_.unionAll(_)).orderBy("query_id", "vec_id")
       },
       Some(rangeSearchOracle(Seq(100L, 200L, 300L), thr = "0.25",
-        nprobe = 4)))
+        nprobe = 4))),
+
+    // MMR diversity re-ranking (Carbonell-Goldstein) — the re-rank
+    // between retrieval and prompt assembly: greedy k=5 over a top-12
+    // relevance pool vs query vec 0, score = 0.5·rel − 0.5·max-sim-to-
+    // selected, everything 6dp-rounded before each argmax with vec_id
+    // ties, so the oracle unrolls all 5 picks exactly. Pool-bounded by
+    // construction (the 100 TB-scale work is the upstream ANN top-N);
+    // see Similarity.mmrRerank for the bounded-scalar rationale.
+    "x72_mmr_rerank" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_embedding"))
+        val cands = Similarity
+          .bruteForceTopK(e.filter(col("vec_id") =!= 0), q, 12)
+          .select(col("vec_id"), col("sim").as("rel"))
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        Similarity.mmrRerank(cands, 5).orderBy("rk")
+      },
+      Some(mmrOracle(k = 5, pool = 12)))
   )
+
+  /** Oracle for x72: the candidate pool once, then each greedy pick as
+    * its own CTE pair (maxsim against everything selected so far, then
+    * the rounded-score argmax with vec_id ties).
+    */
+  private def mmrOracle(k: Int, pool: Int): String = {
+    def cosC(v: String, c: String, vn: String, cn: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1), " +
+        s"i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)"
+    val steps = (2 to k).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""m$i AS (
+         |  SELECT c.vec_id, max(round(${cosC("c.v", "s.v", "c.vn", "s.vn")},
+         |    6)) AS maxsim
+         |  FROM cands c, $prev s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY c.vec_id),
+         |s$i AS (
+         |  SELECT c.vec_id,
+         |    round(c.rel * 0.5 - m$i.maxsim * 0.5, 6) AS score, c.v, c.vn
+         |  FROM cands c JOIN m$i USING (vec_id)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$i AS (SELECT * FROM $prev
+         |  UNION ALL SELECT $i AS rk, vec_id, score, v, vn FROM s$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |      (a, b) -> a + b)) AS vn
+       |  FROM e),
+       |qq AS (SELECT v, vn FROM en WHERE vec_id = 0),
+       |cands AS (
+       |  SELECT en.vec_id,
+       |    round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6) AS rel,
+       |    en.v, en.vn
+       |  FROM en, qq WHERE en.vec_id <> 0
+       |  ORDER BY rel DESC, en.vec_id LIMIT $pool),
+       |sel1 AS (
+       |  SELECT 1 AS rk, vec_id, rel AS score, v, vn FROM cands
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(rk AS INTEGER) AS rk, vec_id, score FROM sel$k
+       |ORDER BY rk""".stripMargin
+  }
 
   /** Oracle for x71: one full-corpus nearest-centroid assignment (max
     * sim, min cid ties — `assignLists`), per-query probe ranking, then

@@ -45,4 +45,26 @@ class RangeSearchSpec extends GraftSparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"radius scan should not shuffle:\n$plan")
   }
+
+  test("MMR trades relevance for diversity on a redundant pool") {
+    // a (rel .99) and b (rel .98) are near-identical; c (rel .60) is
+    // orthogonal to both. Pure relevance ranks a,b,c; MMR must demote
+    // the redundant b below the diverse c at pick 2.
+    val cands = Seq(
+      (1L, 0.99, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0.98, Array(0.999f, 0.045f, 0.0f)),
+      (3L, 0.60, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "rel", "embedding")
+    val got = Similarity.mmrRerank(cands, 3)
+      .orderBy("rk").as[(Int, Long, Double)].collect()
+    assert(got.map(_._2).toSeq === Seq(1L, 3L, 2L))
+    // pick 1 is pure relevance, untouched by the lambda mix
+    assert(got.head._3 === 0.99)
+  }
+
+  test("MMR stops when the pool is exhausted") {
+    val cands = Seq((1L, 0.9, Array(1.0f, 0.0f)), (2L, 0.5, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "rel", "embedding")
+    assert(Similarity.mmrRerank(cands, 5).count() === 2)
+  }
 }
