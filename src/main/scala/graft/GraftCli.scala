@@ -287,6 +287,34 @@ object GraftCli {
       println(s"[graft] graph-bfs $edgesParquet seeds=$seedsParquet -> $outDir (depth<=$depth)")
       spark.stop()
 
+    // connected components over a (src, dst) edge list (bidirected
+    // internally: CLI callers hand an undirected relation)
+    case "graph-components" :: edgesParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val maxRounds = rest.headOption.map(_.toInt).getOrElse(64)
+      import org.apache.spark.sql.functions.{array, col, explode, struct}
+      val e = spark.read.parquet(edgesParquet)
+      val bidirected = e.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+      operators.Graph.connectedComponents(bidirected, maxRounds)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-components $edgesParquet -> $outDir")
+      spark.stop()
+
+    // multi-source weighted shortest paths over (src, dst, w)
+    case "graph-sssp" :: edgesParquet :: seedsParquet :: outDir :: rest =>
+      val spark = session()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val maxRounds = rest.headOption.map(_.toInt).getOrElse(64)
+      operators.Graph.shortestPaths(spark.read.parquet(edgesParquet),
+          spark.read.parquet(seedsParquet), maxRounds)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] graph-sssp $edgesParquet seeds=$seedsParquet -> $outDir (rounds<=$maxRounds)")
+      spark.stop()
+
     // manifest maintenance: dedupe + rewrite segments, optional retention
     case "manifest-compact" :: shardDir :: rest =>
       val spark = session()
@@ -652,6 +680,8 @@ object GraftCli {
            |  graph-kcore <edgesParquet> <outDir> [k]
            |  graph-hits <edgesParquet> <outDir> [iters]
            |  graph-bfs <edgesParquet> <seedsParquet> <outDir> [maxDepth]
+           |  graph-components <edgesParquet> <outDir> [maxRounds]
+           |  graph-sssp <edgesParquet(src,dst,w)> <seedsParquet> <outDir> [maxRounds]
            |  manifest-compact <shardDir> [retainDays]
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist] [trainIters]
