@@ -733,8 +733,79 @@ object VectorQueries {
           .join(e.select(col("vec_id"), col("embedding")), "vec_id")
         Similarity.mmrRerank(cands, 5).orderBy("rk")
       },
-      Some(mmrOracle(k = 5, pool = 12)))
+      Some(mmrOracle(k = 5, pool = 12))),
+
+    // Filtered vector search — ANN top-k under a metadata predicate
+    // (label = 3), the production "filtered ANN" pattern every vector
+    // store ships. POST-filter semantics: the coarse quantizer and probe
+    // ranking see the FULL corpus (the index is built once, not per
+    // predicate), the label filter applies inside the probed scan — at
+    // 100 TB that filter rides the pruned partition scan as a pushed
+    // parquet predicate, costing nothing extra. Recall interacts with
+    // selectivity (a probe list may hold few label-3 vectors); the
+    // oracle recomputes the exact pruned+filtered pipeline so that
+    // interaction is pinned, not hidden.
+    "x73_filtered_ann" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.seedCentroids(e, 16)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        val probes = Similarity.probeRanking(cents, qv).take(4)
+        Similarity.ivfTopKPreAssigned(
+          Similarity.assignLists(e, cents)
+            .filter(col("label") === 3 && col("vec_id") =!= 0),
+          e.filter(col("vec_id") === 0)
+            .select(col("embedding").as("q_embedding")),
+          5, probes.toIndexedSeq)
+      },
+      Some(filteredAnnOracle(qid = 0, label = 3, nprobe = 4, k = 5)))
   )
+
+  /** Oracle for x73: full-corpus assignment + probe ranking (the index
+    * is predicate-independent), label filter inside the probed scan,
+    * then the rounded-cosine top-k with vec_id ties.
+    */
+  private def filteredAnnOracle(
+      qid: Long, label: Int, nprobe: Int, k: Int): String = {
+    def cosC(v: String, c: String, vn: String, cn: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1), " +
+        s"i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |      (a, b) -> a + b)) AS vn
+       |  FROM e),
+       |cen AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v, vn
+       |  FROM en ORDER BY vec_id LIMIT 16),
+       |sims AS (
+       |  SELECT en.vec_id, cen.cid,
+       |    ${cosC("en.v", "cen.v", "en.vn", "cen.vn")} AS s
+       |  FROM en, cen),
+       |asg AS (
+       |  SELECT sims.vec_id, min(cid) AS list_id FROM sims
+       |  JOIN (SELECT vec_id AS v2, max(s) AS ms FROM sims GROUP BY 1) m
+       |    ON sims.vec_id = m.v2 AND sims.s = m.ms
+       |  GROUP BY sims.vec_id),
+       |pr AS (
+       |  SELECT cen.cid FROM cen, (SELECT v, vn FROM en WHERE vec_id = $qid) qq
+       |  ORDER BY ${cosC("cen.v", "qq.v", "cen.vn", "qq.vn")} DESC, cid
+       |  LIMIT $nprobe)
+       |SELECT en.vec_id, en.label,
+       |  round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6) AS sim
+       |FROM en JOIN asg USING (vec_id),
+       |  (SELECT v, vn FROM en WHERE vec_id = $qid) qq
+       |WHERE asg.list_id IN (SELECT cid FROM pr)
+       |  AND en.label = $label AND en.vec_id <> $qid
+       |ORDER BY sim DESC, en.vec_id
+       |LIMIT $k""".stripMargin
+  }
 
   /** Oracle for x72: the candidate pool once, then each greedy pick as
     * its own CTE pair (maxsim against everything selected so far, then
