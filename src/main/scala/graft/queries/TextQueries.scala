@@ -1621,8 +1621,12 @@ object TextQueries {
         val tok = t(s, dir, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("token"))
           .filter(col("token") =!= "")
+        // materialized once (x61/x62 discipline): sc is vocab×sources-
+        // sized and has FOUR consumers (ns, cc, n, and the term join) —
+        // unmaterialized, each would re-scan the corpus token agg
         val sc = tok.groupBy("source", "token")
           .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
         val ns = sc.groupBy("source").agg(sum(col("c")).as("ns"))
         val cc = sc.groupBy("token").agg(sum(col("c")).as("cc"))
         val n = sc.agg(sum(col("c")).as("n"))
