@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Graph
+import scala.collection.mutable
+
+/** Randomized cross-checks of the round-11 graph operators against
+  * independent in-memory reference implementations: union-find for
+  * connected components, multi-source Dijkstra for shortest paths.
+  * Seeded graphs (not ScalaCheck-driven) keep Spark job counts bounded
+  * while still walking a different topology per seed.
+  */
+class GraphRandomizedSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private val seeds = Seq(1, 7, 13, 42)
+
+  for (seed <- seeds) test(
+    s"connectedComponents matches union-find (seed=$seed)") {
+    val rnd = new scala.util.Random(seed)
+    val n = 30 + rnd.nextInt(40)
+    val m = 40 + rnd.nextInt(80)
+    val edges = Seq.fill(m)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x
+      else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.groupBy(v => find(v.toInt)).values
+      .flatMap { vs => val mn = vs.min; vs.map(_ -> mn) }.toMap
+
+    val bidir = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(bidir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  for (seed <- seeds) test(
+    s"shortestPaths matches multi-source Dijkstra (seed=$seed)") {
+    val rnd = new scala.util.Random(seed * 31 + 5)
+    val n = 30 + rnd.nextInt(40)
+    val m = 50 + rnd.nextInt(100)
+    val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+      (1 + rnd.nextInt(9)).toLong))
+      .filter(e => e._1 != e._2)
+      // one weight per (src,dst): keep the minimum, as the operator's
+      // distinct-free relaxation would anyway
+      .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+    val sources = Seq(0L, 1L, 2L)
+
+    val adj = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val dist = mutable.Map[Long, Long](sources.map(_ -> 0L): _*)
+    val pq = mutable.PriorityQueue[(Long, Long)]()(
+      Ordering.by[(Long, Long), Long](_._1).reverse)
+    sources.foreach(s => pq.enqueue((0L, s)))
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (dist(v) == d)
+        adj.getOrElse(v, Nil).foreach { case (w, c) =>
+          if (dist.get(w).forall(_ > d + c)) {
+            dist(w) = d + c; pq.enqueue((d + c, w))
+          }
+        }
+    }
+
+    val got = Graph.shortestPaths(edges.toDF("src", "dst", "w"),
+        sources.toDF("source"), maxRounds = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(got === dist.toMap)
+  }
+}
