@@ -198,8 +198,15 @@ object Graph {
       seeds: DataFrame,
       iters: Int,
       checkpointInterval: Int = 1): DataFrame = {
+    // cache the edge list PRE-PARTITIONED on the per-round join key:
+    // distinct() leaves it hash-partitioned on (src,dst), which every
+    // round's dst-key join would re-exchange — 100 M rows per iteration.
+    // One upfront dst exchange makes the cached layout reusable, so per
+    // round only the node-sized label frame shuffles (the
+    // connectedComponents discipline).
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+      col("dst").cast("long").as("dst")).distinct()
+      .repartition(col("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -365,8 +372,12 @@ object Graph {
       if (kept == prevKept) done = true
       else {
         prevKept = kept
-        e = e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
-          .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
+        // dst semi first, src semi LAST: the surviving edge frame
+        // checkpoints partitioned on src, so the next round's degree agg
+        // (groupBy src) reuses the layout instead of re-exchanging the
+        // edge-sized frame — one fewer big exchange per peeling round
+        e = e.join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
+          .join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
           .localCheckpoint()
         rounds += 1
       }
