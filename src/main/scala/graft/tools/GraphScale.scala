@@ -225,6 +225,10 @@ object GraphScale100 {
       Graph.shortestPaths(weighted, sources, maxRounds = 8)
         .agg(count(lit(1)), max(col("dist"))).head()
     }
+    run("hits") {
+      Graph.hits(edges(), iters = 2)
+        .agg(sum(col("auth_units")), sum(col("hub_units"))).head()
+    }
     spark.stop()
   }
 }
