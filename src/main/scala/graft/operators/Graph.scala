@@ -510,6 +510,61 @@ object Graph {
     dist
   }
 
+  /** Per-source BFS distances for a source panel: like `bfs` but the
+    * frontier key is `(source, node)`, so each source's expansion stays
+    * independent — the input centrality measures need. Same delta
+    * iteration: per-round cost O(frontier out-edges), settled
+    * (source, node) pairs never revisited, rounds end early on an empty
+    * frontier. At 100 TB the frame is (|panel| × reached)-sized — the
+    * panel bounds the blow-up, which is exactly how production
+    * closeness/betweenness estimators run (pivot sampling).
+    */
+  def bfsPerSource(edges: DataFrame, sources: DataFrame,
+                   maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    var frontier = sources.select(col("source").cast("long").as("source"))
+      .distinct().withColumn("node", col("source")).localCheckpoint()
+    var dist = frontier.withColumn("d", lit(0))
+    var k = 1
+    var empty = false
+    while (k <= maxDepth && !empty) {
+      val nxt = frontier.join(e, frontier("node") === e("src"))
+        .select(frontier("source"), e("dst").as("node")).distinct()
+        .join(dist.select("source", "node"), Seq("source", "node"),
+          "left_anti")
+        .localCheckpoint()
+      if (nxt.isEmpty) empty = true
+      else {
+        dist = dist.unionAll(nxt.withColumn("d", lit(k)))
+        frontier = nxt
+        k += 1
+      }
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** k-bounded closeness + harmonic centrality for a source panel —
+    * "how central is this node", the reachability-weighted dual of
+    * PageRank's in-link view. All integer units (the order-exactness
+    * discipline): harmonic_units = Σ 1e6 div d over reached nodes,
+    * closeness_ppm = n_reached·1e6 div Σd. Truncation at `maxDepth` is
+    * the production estimator shape (exact closeness needs all-pairs);
+    * sources reaching nothing within k hops drop out (no 0/0 row).
+    */
+  def harmonicCentrality(edges: DataFrame, sources: DataFrame,
+                         maxDepth: Int): DataFrame =
+    bfsPerSource(edges, sources, maxDepth)
+      .filter(col("d") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("d").cast("long")).as("sum_d"),
+        sum(expr("CAST(1000000 AS BIGINT) div CAST(d AS BIGINT)"))
+          .as("harmonic_units"))
+      .withColumn("closeness_ppm",
+        expr("CAST(n_reached * 1000000 AS BIGINT) div sum_d"))
+
   /** Flatten a forest to `(node, root, depth)` by pointer doubling over
     * a parent table `(node, parent)` (parent NULL marks a root) — the
     * hierarchy-resolution pass (org charts, category trees, thread

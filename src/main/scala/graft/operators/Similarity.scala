@@ -72,6 +72,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** 1-bit (sign) quantization of up to 64 dims into ONE packed long:
+    * bit i set iff embedding[i] > 0. This is the asymmetric
+    * binary-quantization signature real vector stores ship (8 bytes per
+    * vector vs 256 for float32×64 — a 32× memory/scan reduction), and
+    * unlike `hyperplaneSig` it quantizes the DATA axes, not random
+    * projections, so the Hamming distance between two packed words is
+    * exactly the count of sign-disagreeing dimensions.
+    */
+  def signBits(embCol: String): Column = expr(
+    s"aggregate(transform($embCol, (x, i) -> " +
+      "IF(CAST(x AS DOUBLE) > 0.0D, shiftleft(CAST(1 AS BIGINT), i), " +
+      "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)")
+
+  /** Binary-quantized top-k: Hamming prefilter over the packed sign
+    * word (`bit_count(xor)` — one codegen'd instruction pair per row on
+    * an 8-byte column) keeps the best `prefilter` candidates, then ONLY
+    * those are re-ranked with exact cosine. Both stages are
+    * TakeOrderedAndProject (no shuffle); at 100 TB the prefilter scan
+    * touches 8 bytes/vector instead of the full float column, and the
+    * exact rerank reads `prefilter` rows, not the corpus. Deterministic:
+    * Hamming ties break by vec_id, rerank rounds cosine to 6dp (the
+    * x41/x65 oracle discipline). Recall < 1.0 by construction — gated
+    * with the x74 overlap-vs-brute entry.
+    */
+  def binaryTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+                 prefilter: Int = 40): DataFrame = {
+    val packed = embeddings.withColumn("bits", signBits("embedding"))
+    val q = query.withColumn("q_bits", signBits("q_embedding"))
+    val cands = packed.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        bit_count(col("bits").bitwiseXOR(col("q_bits"))))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(prefilter)
+    cands
+      .withColumn("sim",
+        round(cosineRank(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("sim"), col("hamming"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer: seeds =
     * first `k` vectors by id, then `iters` rounds of distributed
     * assign-and-average. Assignment is a narrow argmax map against literal

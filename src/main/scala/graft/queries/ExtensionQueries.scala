@@ -1990,12 +1990,23 @@ object ExtensionQueries {
           .distinct()
           .localCheckpoint() // consumed by three branches below
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // ONE md5 per shingle (48 bits of it, parsed to an int), then the
+        // 32 slot hashes are universal-hash arithmetic (a_i·v + b_i mod p,
+        // p = 2^31−1) — pure codegen integer ops instead of 32 salted
+        // md5 calls per shingle (was the whole cost of this query: ~12 M
+        // md5s at sf0.1; now ~0.4 M plus multiply-adds). Identical
+        // formula in the oracle, so estimates stay cross-engine exact.
         val mh = sh
           .select(col("doc_id"),
-            explode(sequence(lit(0), lit(31))).as("slot"), col("shingle"))
+            (conv(substring(md5(col("shingle")), 1, 12), 16, 10)
+              .cast("long") % 2147483647L).as("v"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(31))).as("slot"), col("v"))
           .select(col("doc_id"), col("slot"),
-            md5(concat(col("slot").cast("string"), lit(":"),
-              col("shingle"))).as("h"))
+            (((col("slot") * 1103515245L + 12345L) % 2147483647L
+              * col("v")
+              + (col("slot") * 179426549L + 7919L) % 2147483647L)
+              % 2147483647L).as("h"))
           .groupBy("doc_id", "slot").agg(min(col("h")).as("mh"))
         // COLLISION join, not an all-pairs slot join: pairs surface only
         // where a slot's min-hash actually matches (je > 0) or a shingle
@@ -2027,8 +2038,16 @@ object ExtensionQueries {
              |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              |mh AS (
              |  SELECT doc_id, i AS slot,
-             |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-             |  FROM sh, range(32) t(i) GROUP BY doc_id, i),
+             |    min(((i * 1103515245 + 12345) % 2147483647 * v
+             |         + (i * 179426549 + 7919) % 2147483647)
+             |        % 2147483647) AS mh
+             |  FROM (SELECT doc_id,
+             |          list_reduce(list_transform(range(1, 13),
+             |            j -> CAST(strpos('0123456789abcdef',
+             |              substr(md5(shingle), j, 1)) - 1 AS BIGINT)),
+             |            (a, b) -> a * 16 + b) % 2147483647 AS v
+             |        FROM sh) vs, range(32) t(i)
+             |  GROUP BY doc_id, i),
              |coll AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
              |  FROM mh a JOIN mh b
@@ -2211,6 +2230,85 @@ object ExtensionQueries {
            |         AS dist FROM part WHERE p_partkey % 97 = 0),
            |$rounds
            |SELECT node, dist FROM d8 ORDER BY node""".stripMargin
-      })
+      }),
+
+    // k-bounded closeness + harmonic centrality on the x59 seed panel —
+    // "how central is this part in the co-purchase graph", the
+    // reachability view PageRank's in-link view misses. Spark runs ONE
+    // per-source delta BFS (frontier keyed (source, node), settled pairs
+    // never revisited — Graph.bfsPerSource) and aggregates to integer
+    // units: harmonic = Σ 1e6 div d, closeness_ppm = reached·1e6 div Σd
+    // (1e6/1=1000000, /2=500000, /3=333333 — exact in both engines).
+    // Truncation at 3 hops is the production estimator shape (exact
+    // closeness needs all-pairs); the panel bounds the (source × node)
+    // frame. The oracle unrolls the three per-source frontiers with
+    // NOT-EXISTS settlement, mirroring x59.
+    "x75_closeness" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val seeds = t(s, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("source"))
+        Graph.harmonicCentrality(edges, seeds, maxDepth = 3)
+          .orderBy("source")
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |l0 AS (SELECT DISTINCT p_partkey AS source,
+             |         p_partkey AS node, 0 AS d
+             |       FROM part WHERE p_partkey % 97 = 0),
+             |f1 AS MATERIALIZED (
+             |  SELECT DISTINCT l0.source, e.dst AS node
+             |  FROM e JOIN l0 ON l0.node = e.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |    WHERE x.source = l0.source AND x.node = e.dst)),
+             |l1 AS (SELECT * FROM l0
+             |       UNION ALL SELECT source, node, 1 AS d FROM f1),
+             |f2 AS MATERIALIZED (
+             |  SELECT DISTINCT f1.source, e.dst AS node
+             |  FROM e JOIN f1 ON f1.node = e.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM l1 x
+             |    WHERE x.source = f1.source AND x.node = e.dst)),
+             |l2 AS (SELECT * FROM l1
+             |       UNION ALL SELECT source, node, 2 AS d FROM f2),
+             |f3 AS MATERIALIZED (
+             |  SELECT DISTINCT f2.source, e.dst AS node
+             |  FROM e JOIN f2 ON f2.node = e.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM l2 x
+             |    WHERE x.source = f2.source AND x.node = e.dst)),
+             |l3 AS (SELECT * FROM l2
+             |       UNION ALL SELECT source, node, 3 AS d FROM f3)
+             |SELECT source, count(*) AS n_reached,
+             |  CAST(sum(d) AS BIGINT) AS sum_d,
+             |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_units,
+             |  CAST(count(*) * 1000000 // sum(d) AS BIGINT)
+             |    AS closeness_ppm
+             |FROM l3 WHERE d > 0
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -1664,6 +1664,72 @@ object TextQueries {
              |  FROM sc JOIN ns USING (source) JOIN cc USING (token), n)
              |SELECT source, max(ns) AS n_tokens,
              |  CAST(sum(term_micro) AS BIGINT) AS kl_micro
-             |FROM terms GROUP BY source ORDER BY source""".stripMargin))
+             |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Cross-source shingle-overlap matrix — "which ingestion sources
+    // duplicate each other", the question that decides dedup ORDER and
+    // source pruning before any doc-level pass is paid for. Set-level
+    // Jaccard over the d39 8-word shingles: one (source, shingle)
+    // distinct agg, a shingle-keyed self-join for pair intersections
+    // (output bounded by sources², with #sources in the dozens at any
+    // scale), integer-ppm Jaccard. Zero-overlap pairs drop out in both
+    // engines (inner join). The distinct frame is checkpointed once for
+    // its two consumers (per-source sizes + the self-join).
+    "d47_source_overlap" -> QueryDef(
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("source"), split(col("text"), " ").as("words"))
+          .select(col("source"), explode(expr(
+            "CASE WHEN size(words) >= 8 THEN " +
+              "transform(sequence(0, CAST(size(words) / 8 AS INT) - 1), " +
+              "i -> array_join(slice(words, i * 8 + 1, 8), ' ')) " +
+              "ELSE array() END")).as("shingle"))
+          .distinct()
+          .localCheckpoint()
+        val sz = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+        sh.as("a").join(sh.as("b"), "shingle")
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(sz.select(col("source").as("src_a"),
+            col("n_sh").as("n_a")), "src_a")
+          .join(sz.select(col("source").as("src_b"),
+            col("n_sh").as("n_b")), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("n_common"),
+            expr("CAST(n_common * 1000000 AS BIGINT) div " +
+              "(n_a + n_b - n_common)").as("jaccard_ppm"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH w AS (
+             |  SELECT source, string_split(text, ' ') AS words
+             |  FROM documents),
+             |sh0 AS (
+             |  SELECT source,
+             |    array_to_string(list_slice(words, i*8+1, i*8+8), ' ')
+             |      AS shingle
+             |  FROM (SELECT source, words,
+             |          unnest(range(CAST(floor(len(words)/8) AS BIGINT)))
+             |            AS i
+             |        FROM w)),
+             |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+             |sz AS (SELECT source, count(*) AS n_sh FROM sh
+             |       GROUP BY source),
+             |pairs AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    count(*) AS n_common
+             |  FROM sh a JOIN sh b
+             |    ON a.shingle = b.shingle AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b,
+             |  CAST(sa.n_sh AS BIGINT) AS n_a,
+             |  CAST(sb.n_sh AS BIGINT) AS n_b,
+             |  CAST(n_common AS BIGINT) AS n_common,
+             |  CAST(n_common * 1000000 // (sa.n_sh + sb.n_sh - n_common)
+             |    AS BIGINT) AS jaccard_ppm
+             |FROM pairs
+             |JOIN sz sa ON sa.source = src_a
+             |JOIN sz sb ON sb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin))
   )
 }

@@ -760,8 +760,86 @@ object VectorQueries {
             .select(col("embedding").as("q_embedding")),
           5, probes.toIndexedSeq)
       },
-      Some(filteredAnnOracle(qid = 0, label = 3, nprobe = 4, k = 5)))
+      Some(filteredAnnOracle(qid = 0, label = 3, nprobe = 4, k = 5))),
+
+    // Binary (1-bit sign) quantization search — the modern small-footprint
+    // ANN path every vector store ships: the corpus scan reads an 8-byte
+    // packed sign word per vector (bit_count(xor) Hamming, codegen), only
+    // the best `prefilter`=40 candidates get the exact-cosine rerank.
+    // Gated the x65 way: recall@10 of the quantized pipeline vs brute
+    // force on the leave-one-out panel — the honest statement of what the
+    // 32× memory reduction costs on this fixture. The oracle recomputes
+    // Hamming dimension-by-dimension (sign disagreement count), which
+    // equals popcount of the packed xor by construction.
+    "x74_binary_quant" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val per = Seq(100L, 200L, 300L, 400L).map { qid =>
+          val corpus = e.filter(col("vec_id") =!= qid)
+          val qv = e.filter(col("vec_id") === qid)
+            .select(col("embedding").as("q_embedding"))
+          val bin = Similarity.binaryTopK(corpus, qv, 10, prefilter = 40)
+          val brute = Similarity.bruteForceTopK(corpus, qv, 10)
+          bin.select(col("vec_id"))
+            .join(brute.select(col("vec_id")), "vec_id")
+            .agg(count(lit(1)).as("n_overlap"))
+            .select(lit(qid).as("query_id"), col("n_overlap"),
+              round(col("n_overlap") / 10.0, 2).as("recall_at_10"))
+        }
+        per.reduce(_.unionAll(_)).orderBy("query_id")
+      },
+      Some(binaryQuantOracle(Seq(100L, 200L, 300L, 400L), prefilter = 40)))
   )
+
+  /** Oracle for x74: Hamming = count of sign-disagreeing dimensions
+    * (identical to popcount of the packed-sign xor), prefilter by
+    * (hamming, vec_id), exact rerank by 6dp-rounded cosine with vec_id
+    * ties, overlap vs the brute-force top-10.
+    */
+  private def binaryQuantOracle(qids: Seq[Long], prefilter: Int): String = {
+    def cosC(v: String, c: String, vn: String, cn: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1), " +
+        s"i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)"
+    val blocks = qids.map { q =>
+      s"""qq_$q AS (SELECT v, vn FROM en WHERE vec_id = $q),
+         |cand_$q AS (
+         |  SELECT en.vec_id FROM en, qq_$q qq
+         |  WHERE en.vec_id <> $q
+         |  ORDER BY len(list_filter(range(1, len(en.v) + 1),
+         |    i -> (en.v[i] > 0) <> (qq.v[i] > 0))), en.vec_id
+         |  LIMIT $prefilter),
+         |bin_$q AS (
+         |  SELECT en.vec_id FROM en JOIN cand_$q USING (vec_id), qq_$q qq
+         |  ORDER BY round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10),
+         |brute_$q AS (
+         |  SELECT en.vec_id FROM en, qq_$q qq
+         |  WHERE en.vec_id <> $q
+         |  ORDER BY round(${cosC("en.v", "qq.v", "en.vn", "qq.vn")}, 6)
+         |    DESC, en.vec_id
+         |  LIMIT 10),
+         |ov_$q AS (
+         |  SELECT CAST($q AS BIGINT) AS query_id, count(*) AS n_overlap
+         |  FROM bin_$q JOIN brute_$q USING (vec_id))""".stripMargin
+    }
+    val union = qids.map(q =>
+      s"SELECT query_id, CAST(n_overlap AS BIGINT) AS n_overlap, " +
+        s"round(n_overlap / 10.0, 2) AS recall_at_10 FROM ov_$q")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |      (a, b) -> a + b)) AS vn
+       |  FROM e),
+       |${blocks.mkString(",\n")}
+       |$union
+       |ORDER BY query_id""".stripMargin
+  }
 
   /** Oracle for x73: full-corpus assignment + probe ranking (the index
     * is predicate-independent), label filter inside the probed scan,

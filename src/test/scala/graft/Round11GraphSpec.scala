@@ -118,4 +118,36 @@ class Round11GraphSpec extends GraftSparkSpec {
     assert(plan.contains("Window") || plan.contains("GroupLimit"),
       s"expected a windowed rank plan for the correlated LIMIT:\n$plan")
   }
+
+  test("bfsPerSource min over sources equals merged bfs distance") {
+    // two overlapping source expansions on a graph with a branch: the
+    // merged single-frontier BFS must be the pointwise min of the
+    // per-source distances
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (6L, 7L), (7L, 4L))
+    val sources = Seq(1L, 5L).toDF("source")
+    val merged = Graph.bfs(e, sources, maxDepth = 6)
+      .orderBy("node").as[(Long, Int)].collect().toMap
+    val perSrc = Graph.bfsPerSource(e, sources, maxDepth = 6)
+      .groupBy("node").agg(min(col("d")).as("d"))
+      .orderBy("node").as[(Long, Int)].collect().toMap
+    assert(perSrc === merged)
+    // and each source's own expansion is independent: node 4 is 3 hops
+    // from source 1 (1-2-3-4 or 1-2-6-7-4 is 4) but 1 hop from source 5
+    val d4 = Graph.bfsPerSource(e, sources, maxDepth = 6)
+      .filter(col("node") === 4L)
+      .select("source", "d").as[(Long, Int)].collect().toMap
+    assert(d4 === Map(1L -> 3, 5L -> 1))
+  }
+
+  test("harmonicCentrality integer units on a hand-checked chain") {
+    // chain 1-2-3-4, source 1, depth 3: d = {2:1, 3:2, 4:3} →
+    // harmonic = 1000000 + 500000 + 333333, closeness = 3·1e6 div 6
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.harmonicCentrality(e, Seq(1L).toDF("source"), 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((1L, 3L, 6L, 1833333L, 500000L)))
+    // an isolated source reaches nothing and emits no row (no 0/0)
+    assert(Graph.harmonicCentrality(e, Seq(99L).toDF("source"), 3).isEmpty)
+  }
 }

@@ -123,4 +123,38 @@ class Round11OpsSpec extends GraftSparkSpec {
       batch, "text", "doc_id", s"$tmp/corpus", nBuckets = 4) == 0)
     assert(spark.read.parquet(s"$tmp/corpus").count() == 2)
   }
+
+  test("signBits packs sign bits; popcount(xor) counts sign disagreements") {
+    import graft.operators.Similarity
+    val a = Array(1.0f, -2.0f, 0.0f, 3.0f) // bits 0 and 3 → 0b1001 = 9
+    val b = Array(-1.0f, 2.0f, 0.5f, 4.0f) // bits 1, 2, 3   → 0b1110 = 14
+    val df = Seq((1L, a.toSeq), (2L, b.toSeq)).toDF("vec_id", "embedding")
+    val bits = df.select(col("vec_id"),
+        Similarity.signBits("embedding").as("bits"))
+      .as[(Long, Long)].collect().toMap
+    assert(bits === Map(1L -> 9L, 2L -> 14L))
+    // xor = 0b0111: dims 0, 1, 2 disagree in sign (0.0 counts negative)
+    assert(java.lang.Long.bitCount(bits(1L) ^ bits(2L)) == 3)
+  }
+
+  test("binaryTopK with corpus-wide prefilter equals exact brute force") {
+    import graft.operators.Similarity
+    // when nothing is pruned, the Hamming stage only reorders candidates
+    // and the exact-cosine rerank must reproduce brute force verbatim
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 50L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i.toInt % 4))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq(Tuple1(Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("q_embedding")
+    val brute = Similarity.bruteForceTopK(corpus, q, 5)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val bin = Similarity.binaryTopK(corpus, q, 5, prefilter = 50)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    assert(bin === brute)
+    // and a tight prefilter returns exactly k rows, Hamming-bounded
+    val tight = Similarity.binaryTopK(corpus, q, 5, prefilter = 8)
+    assert(tight.count() == 5)
+    assert(tight.select(max(col("hamming"))).as[Int].head() <= 16)
+  }
 }
