@@ -58,7 +58,12 @@ object Bench {
       ()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: restrict to the named queries (local iteration; the
+    // driver always calls with none)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       System.gc() // once per query: plain-heap garbage from the prior query
       def timed(): Double = { val r = runOne(fn); drainBlocks(); r }
       val ts = Seq(timed(), timed(), timed()).filter(_ >= 0).sorted

@@ -98,7 +98,11 @@ object Similarity {
     */
   def binaryTopK(embeddings: DataFrame, query: DataFrame, k: Int,
                  prefilter: Int = 40): DataFrame = {
-    val packed = embeddings.withColumn("bits", signBits("embedding"))
+    // a precomputed `bits` column (the persisted-index shape: pack once
+    // at build time, 8 bytes/vector) is reused; otherwise pack inline
+    val packed =
+      if (embeddings.columns.contains("bits")) embeddings
+      else embeddings.withColumn("bits", signBits("embedding"))
     val q = query.withColumn("q_bits", signBits("q_embedding"))
     val cands = packed.crossJoin(broadcast(q))
       .withColumn("hamming",

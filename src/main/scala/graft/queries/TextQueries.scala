@@ -27,6 +27,14 @@ object TextQueries {
   // map construction, so a bottom-of-file declaration would still be null.
   private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
 
+  /** round(ln(64/V)·1e6) for V = 1..64 — d48's linear-counting table,
+    * shared VERBATIM by the Spark expression and the DuckDB oracle so
+    * the small-range estimate is integer-identical in both engines
+    * (neither evaluates a float log at runtime).
+    */
+  private val hllLnTable: Seq[Long] =
+    (1 to 64).map(v => Math.round(Math.log(64.0 / v) * 1e6))
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: md5-groupBy, keep the smallest doc_id per content
@@ -1730,6 +1738,123 @@ object TextQueries {
              |FROM pairs
              |JOIN sz sa ON sa.source = src_a
              |JOIN sz sb ON sb.source = src_b
-             |ORDER BY src_a, src_b""".stripMargin))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Deterministic HyperLogLog (m=64 registers) per source, gated
+    // AGAINST the exact distinct count it estimates — the sketch that
+    // replaces a billion-key distinct shuffle with 64 integers per
+    // source at 100 TB. Spark's own approx_count_distinct can't be
+    // oracle-gated (HLL++ internals differ per engine), so the registers
+    // here are built from portable primitives: bucket = first md5 byte
+    // mod 64, rho = leading-zero count of the next 48 bits + 1 (computed
+    // on the hex string — no float log anywhere), register sum in
+    // integer units 2^(20−r) (capped at r=20; a 1-in-2^20 truncation),
+    // estimate = α·m²·2^20 div S with α_ppm = 709357 — every step
+    // integer-exact in both engines, so the gate hashes the ESTIMATE
+    // itself plus its error vs exact. Shape: one (source, bucket) max
+    // agg with map-side partials (duplicates die in the partials — rho
+    // is a max), a 64-row-per-source frame after.
+    "d48_hll_distinct" -> QueryDef(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+        val reg = tok
+          .withColumn("h", md5(col("token")))
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % 64"))
+          .withColumn("tz", expr(
+            "regexp_replace(substring(h, 3, 12), '^0+', '')"))
+          .withColumn("rho", expr(
+            """CASE WHEN tz = '' THEN 49
+              |ELSE (12 - length(tz)) * 4 +
+              |  CASE WHEN substring(tz, 1, 1) = '1' THEN 3
+              |       WHEN substring(tz, 1, 1) IN ('2', '3') THEN 2
+              |       WHEN substring(tz, 1, 1) IN ('4', '5', '6', '7')
+              |         THEN 1
+              |       ELSE 0 END + 1 END""".stripMargin))
+          .groupBy("source", "bucket").agg(max(col("rho")).as("r"))
+        val allB = tok.select("source").distinct()
+          .select(col("source"),
+            explode(sequence(lit(0L), lit(63L))).as("bucket"))
+        val hll = allB.join(reg, Seq("source", "bucket"), "left")
+          .withColumn("unit", expr(
+            "shiftleft(CAST(1 AS BIGINT), " +
+              "greatest(20 - coalesce(r, 0), 0))"))
+          .groupBy("source").agg(sum(col("unit")).as("hll_sum"),
+            sum(when(col("r").isNull, 1L).otherwise(0L)).as("v_empty"))
+        val exact = tok.groupBy("source")
+          .agg(countDistinct(col("token")).as("n_exact"))
+        // small-range branch (raw < 2.5m with empty buckets): linear
+        // counting m·ln(m/V) via the SHARED literal table — hllLnTable
+        // feeds both this expr and the SQL string, so parity is by
+        // construction, with no runtime float log in either engine
+        val lnArr = hllLnTable.mkString("array(", ", ", ")")
+        exact.join(hll, "source")
+          .withColumn("raw_est", expr(
+            "CAST(709357 AS BIGINT) * 4096 * 1048576 " +
+              "div hll_sum div 1000000"))
+          .withColumn("hll_est", expr(
+            "CASE WHEN raw_est < 160 AND v_empty > 0 THEN " +
+              s"64 * element_at($lnArr, CAST(v_empty AS INT)) " +
+              "div 1000000 ELSE raw_est END"))
+          .drop("raw_est")
+          .withColumn("err_ppm", expr(
+            "abs(hll_est - n_exact) * 1000000 div n_exact"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents),
+             |reg AS (
+             |  SELECT source, bucket, max(rho) AS r FROM (
+             |    SELECT source,
+             |      (16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+             |       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+             |        % 64 AS bucket,
+             |      CASE WHEN tz = '' THEN 49
+             |      ELSE (12 - len(tz)) * 4 +
+             |        CASE WHEN substr(tz, 1, 1) = '1' THEN 3
+             |             WHEN substr(tz, 1, 1) IN ('2', '3') THEN 2
+             |             WHEN substr(tz, 1, 1) IN ('4', '5', '6', '7')
+             |               THEN 1
+             |             ELSE 0 END + 1 END AS rho
+             |    FROM (SELECT source, h,
+             |            regexp_replace(substr(h, 3, 12), '^0+', '') AS tz
+             |          FROM (SELECT source, md5(token) AS h FROM tok)))
+             |  GROUP BY source, bucket),
+             |allb AS (
+             |  SELECT DISTINCT source, b.bucket
+             |  FROM tok, (SELECT unnest(range(64)) AS bucket) b),
+             |hll AS (
+             |  SELECT allb.source,
+             |    CAST(sum(1::BIGINT <<
+             |      greatest(20 - coalesce(r, 0), 0)) AS BIGINT) AS hll_sum,
+             |    CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS v_empty
+             |  FROM allb LEFT JOIN reg
+             |    ON reg.source = allb.source AND reg.bucket = allb.bucket
+             |  GROUP BY allb.source),
+             |exact AS (
+             |  SELECT source, count(DISTINCT token) AS n_exact FROM tok
+             |  GROUP BY source),
+             |raw AS (
+             |  SELECT exact.source, n_exact, hll_sum, v_empty,
+             |    709357::BIGINT * 4096 * 1048576
+             |      // hll_sum // 1000000 AS raw_est
+             |  FROM exact JOIN hll ON hll.source = exact.source),
+             |est AS (
+             |  SELECT source, n_exact, hll_sum, v_empty,
+             |    CASE WHEN raw_est < 160 AND v_empty > 0 THEN
+             |      64 * ([__LNT__])[CAST(v_empty AS INT)] // 1000000
+             |    ELSE raw_est END AS hll_est
+             |  FROM raw)
+             |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+             |  hll_sum, v_empty, CAST(hll_est AS BIGINT) AS hll_est,
+             |  CAST(abs(hll_est - n_exact) * 1000000 // n_exact
+             |    AS BIGINT) AS err_ppm
+             |FROM est ORDER BY source""".stripMargin
+        .replace("__LNT__", hllLnTable.mkString(", "))))
   )
 }
