@@ -2238,6 +2238,50 @@ object RelationalQueries {
              |         ORDER BY o_totalprice DESC, o_orderkey
              |         LIMIT 2) o
              |ORDER BY c.c_custkey, o.o_totalprice DESC,
-             |  o.o_orderkey""".stripMargin))
+             |  o.o_orderkey""".stripMargin)),
+
+    // WITH RECURSIVE executed by Spark ITSELF (UnionLoop, new in the 4.x
+    // line) — the iterative-SQL surface, gated against DuckDB running
+    // the IDENTICAL statement: ancestor closure (depth + path sum) down
+    // a binary tree over the 64 distinct p_partkey%64 nodes. The node
+    // count — hence recursion depth (6) — is scale-INVARIANT by
+    // construction: Spark's recursion executes one sequential join per
+    // level, so depth, not data size, is what must stay bounded (the
+    // default cteRecursionLevelLimit is 100). For data-sized hierarchies
+    // the scale path stays x54's O(log depth) pointer doubling; this
+    // gate pins the SQL surface itself.
+    "q73_recursive_cte" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("q73_part")
+        s.sql("""WITH RECURSIVE nodes AS (
+                |  SELECT DISTINCT CAST(p_partkey % 64 AS BIGINT) AS node
+                |  FROM q73_part),
+                |r AS (
+                |  SELECT node, CAST(0 AS BIGINT) AS depth,
+                |    node AS path_sum
+                |  FROM nodes WHERE node = 0
+                |  UNION ALL
+                |  SELECT n.node, r.depth + 1, r.path_sum + n.node
+                |  FROM nodes n JOIN r
+                |    ON r.node = CAST(floor(n.node / 2) AS BIGINT)
+                |  WHERE n.node > 0)
+                |SELECT node, depth, path_sum FROM r
+                |ORDER BY node""".stripMargin)
+      },
+      Some("""WITH RECURSIVE nodes AS (
+             |  SELECT DISTINCT CAST(p_partkey % 64 AS BIGINT) AS node
+             |  FROM part),
+             |r AS (
+             |  SELECT node, CAST(0 AS BIGINT) AS depth,
+             |    node AS path_sum
+             |  FROM nodes WHERE node = 0
+             |  UNION ALL
+             |  SELECT n.node, r.depth + 1, r.path_sum + n.node
+             |  FROM nodes n JOIN r
+             |    ON r.node = CAST(floor(n.node / 2) AS BIGINT)
+             |  WHERE n.node > 0)
+             |SELECT node, CAST(depth AS BIGINT) AS depth,
+             |  CAST(path_sum AS BIGINT) AS path_sum FROM r
+             |ORDER BY node""".stripMargin))
   )
 }

@@ -1855,6 +1855,119 @@ object TextQueries {
              |  CAST(abs(hll_est - n_exact) * 1000000 // n_exact
              |    AS BIGINT) AS err_ppm
              |FROM est ORDER BY source""".stripMargin
+        .replace("__LNT__", hllLnTable.mkString(", ")))),
+
+    // HLL MERGE — the property that makes the d48 sketch matter at
+    // 100 TB: per-source registers union by bucket-wise max (64 ints per
+    // source travel, never token streams), and the merged estimate is
+    // gated against the exact corpus-wide distinct. Also emits the sum
+    // of per-source exact counts: sum >> union is the cross-source
+    // duplication signal d47 details pairwise. Same integer discipline
+    // and shared ln-table as d48.
+    "d49_hll_union" -> QueryDef(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+        val reg = tok
+          .withColumn("h", md5(col("token")))
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % 64"))
+          .withColumn("tz", expr(
+            "regexp_replace(substring(h, 3, 12), '^0+', '')"))
+          .withColumn("rho", expr(
+            """CASE WHEN tz = '' THEN 49
+              |ELSE (12 - length(tz)) * 4 +
+              |  CASE WHEN substring(tz, 1, 1) = '1' THEN 3
+              |       WHEN substring(tz, 1, 1) IN ('2', '3') THEN 2
+              |       WHEN substring(tz, 1, 1) IN ('4', '5', '6', '7')
+              |         THEN 1
+              |       ELSE 0 END + 1 END""".stripMargin))
+          .groupBy("source", "bucket").agg(max(col("rho")).as("r"))
+        // the merge: bucket-wise max across sources — 64 rows total
+        val merged = reg.groupBy("bucket").agg(max(col("r")).as("r"))
+        val allB = bucketFrame64(s)
+        val hll = allB.join(merged, Seq("bucket"), "left")
+          .agg(sum(expr(
+            "shiftleft(CAST(1 AS BIGINT), " +
+              "greatest(20 - coalesce(r, 0), 0))")).as("hll_sum"),
+            sum(when(col("r").isNull, 1L).otherwise(0L)).as("v_empty"))
+        val exact = tok.agg(
+          countDistinct(col("token")).as("n_exact_union"),
+          countDistinct(col("source"), col("token")).as("sum_per_source"))
+        val lnArr = hllLnTable.mkString("array(", ", ", ")")
+        exact.crossJoin(hll)
+          .withColumn("raw_est", expr(
+            "CAST(709357 AS BIGINT) * 4096 * 1048576 " +
+              "div hll_sum div 1000000"))
+          .withColumn("hll_est_union", expr(
+            "CASE WHEN raw_est < 160 AND v_empty > 0 THEN " +
+              s"64 * element_at($lnArr, CAST(v_empty AS INT)) " +
+              "div 1000000 ELSE raw_est END"))
+          .drop("raw_est")
+          .withColumn("err_ppm", expr(
+            "abs(hll_est_union - n_exact_union) * 1000000 " +
+              "div n_exact_union"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents),
+             |reg AS (
+             |  SELECT source, bucket, max(rho) AS r FROM (
+             |    SELECT source,
+             |      (16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+             |       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+             |        % 64 AS bucket,
+             |      CASE WHEN tz = '' THEN 49
+             |      ELSE (12 - len(tz)) * 4 +
+             |        CASE WHEN substr(tz, 1, 1) = '1' THEN 3
+             |             WHEN substr(tz, 1, 1) IN ('2', '3') THEN 2
+             |             WHEN substr(tz, 1, 1) IN ('4', '5', '6', '7')
+             |               THEN 1
+             |             ELSE 0 END + 1 END AS rho
+             |    FROM (SELECT source, h,
+             |            regexp_replace(substr(h, 3, 12), '^0+', '') AS tz
+             |          FROM (SELECT source, md5(token) AS h FROM tok)))
+             |  GROUP BY source, bucket),
+             |merged AS (SELECT bucket, max(r) AS r FROM reg
+             |           GROUP BY bucket),
+             |allb AS (SELECT unnest(range(64)) AS bucket),
+             |hll AS (
+             |  SELECT
+             |    CAST(sum(1::BIGINT <<
+             |      greatest(20 - coalesce(r, 0), 0)) AS BIGINT) AS hll_sum,
+             |    CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS v_empty
+             |  FROM allb LEFT JOIN merged USING (bucket)),
+             |exact AS (
+             |  SELECT count(DISTINCT token) AS n_exact_union,
+             |    count(DISTINCT (source, token)) AS sum_per_source
+             |  FROM tok),
+             |raw AS (
+             |  SELECT n_exact_union, sum_per_source, hll_sum, v_empty,
+             |    709357::BIGINT * 4096 * 1048576
+             |      // hll_sum // 1000000 AS raw_est
+             |  FROM exact, hll),
+             |est AS (
+             |  SELECT n_exact_union, sum_per_source, hll_sum, v_empty,
+             |    CASE WHEN raw_est < 160 AND v_empty > 0 THEN
+             |      64 * ([__LNT__])[CAST(v_empty AS INT)] // 1000000
+             |    ELSE raw_est END AS hll_est_union
+             |  FROM raw)
+             |SELECT CAST(n_exact_union AS BIGINT) AS n_exact_union,
+             |  CAST(sum_per_source AS BIGINT) AS sum_per_source,
+             |  hll_sum, v_empty,
+             |  CAST(hll_est_union AS BIGINT) AS hll_est_union,
+             |  CAST(abs(hll_est_union - n_exact_union) * 1000000
+             |    // n_exact_union AS BIGINT) AS err_ppm
+             |FROM est""".stripMargin
         .replace("__LNT__", hllLnTable.mkString(", "))))
   )
+
+  /** One 64-row bucket frame (0..63) for the HLL union merge. */
+  private def bucketFrame64(s: org.apache.spark.sql.SparkSession) = {
+    s.range(1)
+      .select(explode(sequence(lit(0L), lit(63L))).as("bucket"))
+  }
 }
