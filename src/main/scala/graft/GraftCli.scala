@@ -519,6 +519,39 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    // streaming per-source distinct-cardinality monitor: 256 bytes of
+    // HLL register state per source (StreamingAnalytics.streamingDistinct,
+    // the d48 register semantics), estimates appended per micro-batch —
+    // the "is this feed suddenly all duplicates" tripwire
+    case "stream-distinct" :: landingDir :: outDir :: checkpoint :: rest =>
+      val spark = session()
+      import spark.implicits._
+      val runSec = rest.headOption.map(_.toInt).getOrElse(0)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val toks = spark.readStream.schema(docSchema).parquet(landingDir)
+        .select(org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.trim(
+                org.apache.spark.sql.functions.col("text")), "\\s+"))
+            .as("token"))
+        .as[streaming.StreamingAnalytics.SrcTok]
+      val q = streaming.StreamingAnalytics.streamingDistinct(toks)
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      println(s"[graft] stream-distinct server on $landingDir -> $outDir")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     // event-driven Split server (the reference's EtlAction=Split on queue
     // events): split each notified blob into size-bounded shards
     case "stream-notify-split" :: queueDir :: outDir :: checkpoint :: maxBytes :: rest =>

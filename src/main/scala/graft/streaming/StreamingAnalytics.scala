@@ -462,4 +462,37 @@ object StreamingAnalytics {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  case class SrcTok(source: String, token: String)
+  case class HllState(regs: Seq[Int], n_seen: Long)
+  case class HllEst(source: String, n_seen: Long, hll_est: Long)
+
+  /** Streaming distinct-count per source: a 64-register HyperLogLog in
+    * per-key GroupState (256 bytes per source, FOREVER — vs the
+    * unbounded token set exact streaming distinct would hoard). Emits
+    * the updated estimate per key per micro-batch (Update mode). The
+    * register semantics are graft.functions.Hll — the SAME arithmetic
+    * the d48/d49 batch gates pin against DuckDB, so a streaming
+    * estimate and a batch recompute of the same data agree EXACTLY
+    * (spec-pinned), and replay is idempotent by construction: registers
+    * are a max, duplicates and re-deliveries are absorbed. Emits one
+    * row per (source, micro-batch) — an append-mode estimate time
+    * series any sink can take (parquet included).
+    */
+  def streamingDistinct(toks: Dataset[SrcTok]): Dataset[HllEst] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[SrcTok], state: GroupState[HllState]) =>
+          val regs = state.getOption
+            .map(_.regs.toArray).getOrElse(new Array[Int](graft.functions.Hll.m))
+          var n = state.getOption.map(_.n_seen).getOrElse(0L)
+          batch.foreach { st =>
+            graft.functions.Hll.update(regs, st.token)
+            n += 1
+          }
+          state.update(HllState(regs.toSeq, n))
+          Iterator(HllEst(src, n, graft.functions.Hll.estimate(regs)))
+      }
+  }
 }

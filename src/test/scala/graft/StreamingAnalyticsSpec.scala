@@ -239,4 +239,64 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
         s"got $rows")
     } finally q.stop()
   }
+
+  test("streaming HLL matches the batch formula exactly and absorbs replays") {
+    import StreamingAnalytics.SrcTok
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SrcTok]
+    val q = StreamingAnalytics.streamingDistinct(in.toDS())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val b1 = (1 to 40).map(i => SrcTok("s1", s"tok$i"))
+      val b2 = (30 to 70).map(i => SrcTok("s1", s"tok$i")) // 11 dup, 30 new
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("hll_out")
+        .orderBy(org.apache.spark.sql.functions.desc("n_seen"))
+        .as[StreamingAnalytics.HllEst].head()
+      assert(last.n_seen == 81)
+      // the streaming state must agree EXACTLY with a cold batch fold of
+      // the union — register max absorbs duplication and batch order
+      val offline = (1 to 70).map(i => s"tok$i")
+        .foldLeft(new Array[Int](graft.functions.Hll.m))(
+          graft.functions.Hll.update)
+      assert(last.hll_est == graft.functions.Hll.estimate(offline))
+      // replaying batch 2 wholesale must not move the estimate
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val replayed = spark.table("hll_out")
+        .orderBy(org.apache.spark.sql.functions.desc("n_seen"))
+        .as[StreamingAnalytics.HllEst].head()
+      assert(replayed.hll_est == last.hll_est)
+      // and the 70-distinct estimate is inside HLL's documented error
+      // envelope for m=64 (~13% rse): sanity, not tautology
+      assert(math.abs(replayed.hll_est - 70) <= 21,
+        s"estimate ${replayed.hll_est} too far from 70")
+    } finally q.stop()
+  }
+
+  test("JVM Hll registers are bit-identical to the d48 SQL expression") {
+    import spark.implicits._
+    val toks = (1 to 500).map(i => s"w$i")
+    val sql = toks.toDF("token")
+      .selectExpr("token", "md5(token) AS h")
+      .selectExpr("token",
+        "CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % 64 AS bucket",
+        "regexp_replace(substring(h, 3, 12), '^0+', '') AS tz")
+      .selectExpr("token", "bucket",
+        """CASE WHEN tz = '' THEN 49
+          |ELSE (12 - length(tz)) * 4 +
+          |  CASE WHEN substring(tz, 1, 1) = '1' THEN 3
+          |       WHEN substring(tz, 1, 1) IN ('2', '3') THEN 2
+          |       WHEN substring(tz, 1, 1) IN ('4', '5', '6', '7') THEN 1
+          |       ELSE 0 END + 1 END AS rho""".stripMargin)
+      .as[(String, Long, Int)].collect()
+    sql.foreach { case (tok, bucket, rho) =>
+      assert(graft.functions.Hll.registerOf(tok) == ((bucket.toInt, rho)),
+        s"mismatch on $tok")
+    }
+  }
 }
