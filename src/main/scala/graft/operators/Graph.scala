@@ -565,6 +565,76 @@ object Graph {
       .withColumn("closeness_ppm",
         expr("CAST(n_reached * 1000000 AS BIGINT) div sum_d"))
 
+  /** k-bounded Brandes betweenness centrality for a source panel — "which
+    * nodes do shortest paths FLOW THROUGH", the brokerage metric closeness
+    * and PageRank both miss. Exact Brandes needs all-pairs; the production
+    * estimator (Brandes–Pich pivot sampling) runs the same two passes from
+    * a bounded source panel, truncated at `maxDepth` — which is what this
+    * computes, in integer micro-units so the accumulation is
+    * summation-order-exact in any engine:
+    *
+    *   forward:  per level k, path counts σ(s,v) = Σ_{pred u} σ(s,u) —
+    *             one frontier join + (source,node) sum per level;
+    *   backward: δ_k(u) = Σ_{succ w} σ_u·(1e6 + δ_{k+1}(w)) div σ_w —
+    *             each term floor-divided BEFORE the sum, so the result
+    *             is independent of accumulation order (the float form
+    *             σ_u/σ_w·(1+δ_w) is not);
+    *   bc(v)    = Σ_s Σ_k δ_k(v).
+    *
+    * All frames are (|panel| × frontier)-sized and every join is an
+    * equality join on (source, node) or the edge key; localCheckpoint
+    * caps lineage per level exactly as bfsPerSource does.
+    */
+  def betweennessTruncated(edges: DataFrame, sources: DataFrame,
+                           maxDepth: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    // forward: levels(k) = (source, node, sigma) at distance exactly k
+    val levels = scala.collection.mutable.ArrayBuffer(
+      sources.select(col("source").cast("long").as("source"))
+        .distinct()
+        .select(col("source"), col("source").as("node"),
+          lit(1L).as("sigma"))
+        .localCheckpoint())
+    var settled = levels(0).select("source", "node")
+    for (_ <- 1 to maxDepth) {
+      val prev = levels.last
+      val nxt = prev.join(e, prev("node") === e("src"))
+        .groupBy(prev("source"), e("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("source", "node"), "left_anti")
+        .localCheckpoint()
+      levels += nxt
+      settled = settled.unionAll(nxt.select("source", "node"))
+        .localCheckpoint()
+    }
+    // backward: deltaNext carries (source, node, sigma, delta) of level
+    // k+1; the deepest level's deltas are 0 by truncation and are NOT
+    // accumulated (a node reached only at maxDepth has no flow-through
+    // evidence — same exclusion in the oracle)
+    var deltaNext = levels(maxDepth).withColumn("delta", lit(0L))
+    var acc = List.empty[DataFrame]
+    for (k <- (maxDepth - 1) to 1 by -1) {
+      val lk = levels(k)
+      val succ = deltaNext.select(col("source").as("s2"),
+        col("node").as("w"), col("sigma").as("sigma_w"),
+        col("delta").as("delta_w"))
+      val dk = lk.join(e, lk("node") === e("src"))
+        .join(succ, lk("source") === col("s2") && e("dst") === col("w"))
+        .select(lk("source"), lk("node"),
+          expr("sigma * (1000000 + delta_w) div sigma_w").as("term"))
+        .groupBy("source", "node").agg(sum(col("term")).as("delta"))
+      // level-k nodes with no level-(k+1) successors contribute delta 0
+      deltaNext = lk.join(dk, Seq("source", "node"), "left")
+        .withColumn("delta", coalesce(col("delta"), lit(0L)))
+        .localCheckpoint()
+      acc ::= deltaNext.select("node", "delta")
+    }
+    e.unpersist()
+    acc.reduce(_.unionAll(_))
+      .groupBy("node").agg(sum(col("delta")).as("bc_micro"))
+  }
+
   /** Flatten a forest to `(node, root, depth)` by pointer doubling over
     * a parent table `(node, parent)` (parent NULL marks a root) — the
     * hierarchy-resolution pass (org charts, category trees, thread

@@ -2309,6 +2309,110 @@ object ExtensionQueries {
              |  CAST(count(*) * 1000000 // sum(d) AS BIGINT)
              |    AS closeness_ppm
              |FROM l3 WHERE d > 0
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // k-bounded Brandes betweenness on the same panel — "which parts do
+    // co-purchase paths flow THROUGH" (the brokerage/chokepoint view
+    // x47/x75 both miss). Two passes over the per-source BFS DAG: path
+    // counts forward, dependency accumulation backward, every δ term
+    // floor-divided to micro-units BEFORE its sum so the result is
+    // accumulation-order-exact (the float Brandes form is not) — see
+    // Graph.betweennessTruncated. Truncation at 3 hops + source panel is
+    // the Brandes–Pich estimator shape exact betweenness scales by.
+    // Top-20 with node tiebreak; the oracle unrolls both passes.
+    "x76_betweenness" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val seeds = t(s, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("source"))
+        Graph.betweennessTruncated(edges, seeds, maxDepth = 3)
+          .orderBy(desc("bc_micro"), col("node")).limit(20)
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |l0 AS (SELECT DISTINCT p_partkey AS source,
+             |         p_partkey AS node, 1::BIGINT AS sigma
+             |       FROM part WHERE p_partkey % 97 = 0),
+             |l1 AS MATERIALIZED (
+             |  SELECT l0.source, e.dst AS node,
+             |    CAST(sum(l0.sigma) AS BIGINT) AS sigma
+             |  FROM e JOIN l0 ON l0.node = e.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |    WHERE x.source = l0.source AND x.node = e.dst)
+             |  GROUP BY l0.source, e.dst),
+             |l2 AS MATERIALIZED (
+             |  SELECT l1.source, e.dst AS node,
+             |    CAST(sum(l1.sigma) AS BIGINT) AS sigma
+             |  FROM e JOIN l1 ON l1.node = e.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |    WHERE x.source = l1.source AND x.node = e.dst)
+             |    AND NOT EXISTS (SELECT 1 FROM l1 x
+             |    WHERE x.source = l1.source AND x.node = e.dst)
+             |  GROUP BY l1.source, e.dst),
+             |l3 AS MATERIALIZED (
+             |  SELECT l2.source, e.dst AS node,
+             |    CAST(sum(l2.sigma) AS BIGINT) AS sigma
+             |  FROM e JOIN l2 ON l2.node = e.src
+             |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |    WHERE x.source = l2.source AND x.node = e.dst)
+             |    AND NOT EXISTS (SELECT 1 FROM l1 x
+             |    WHERE x.source = l2.source AND x.node = e.dst)
+             |    AND NOT EXISTS (SELECT 1 FROM l2 x
+             |    WHERE x.source = l2.source AND x.node = e.dst)
+             |  GROUP BY l2.source, e.dst),
+             |d2 AS (
+             |  SELECT l2.source, l2.node,
+             |    CAST(sum(l2.sigma * 1000000 // l3.sigma) AS BIGINT)
+             |      AS delta
+             |  FROM l2 JOIN e ON l2.node = e.src
+             |  JOIN l3 ON l3.source = l2.source AND l3.node = e.dst
+             |  GROUP BY l2.source, l2.node),
+             |d2f AS (
+             |  SELECT l2.source, l2.node, l2.sigma,
+             |    coalesce(d2.delta, 0) AS delta
+             |  FROM l2 LEFT JOIN d2
+             |    ON d2.source = l2.source AND d2.node = l2.node),
+             |d1 AS (
+             |  SELECT l1.source, l1.node,
+             |    CAST(sum(l1.sigma * (1000000 + d2f.delta) // d2f.sigma)
+             |      AS BIGINT) AS delta
+             |  FROM l1 JOIN e ON l1.node = e.src
+             |  JOIN d2f ON d2f.source = l1.source AND d2f.node = e.dst
+             |  GROUP BY l1.source, l1.node),
+             |d1f AS (
+             |  SELECT l1.source, l1.node, coalesce(d1.delta, 0) AS delta
+             |  FROM l1 LEFT JOIN d1
+             |    ON d1.source = l1.source AND d1.node = l1.node)
+             |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micro
+             |FROM (SELECT node, delta FROM d1f
+             |      UNION ALL SELECT node, delta FROM d2f)
+             |GROUP BY node ORDER BY bc_micro DESC, node LIMIT 20"""
+        .stripMargin))
   )
 }

@@ -140,6 +140,25 @@ class Round11GraphSpec extends GraftSparkSpec {
     assert(d4 === Map(1L -> 3, 5L -> 1))
   }
 
+  test("betweennessTruncated matches hand-computed Brandes on a chain") {
+    // chain 1-2-3-4, panel {1, 4}, depth 3: from s=1, δ(2)=2e6 (paths to
+    // 3 and 4 flow through), δ(3)=1e6; s=4 mirrors → bc(2)=bc(3)=3e6.
+    // Endpoints only ever appear at the truncation depth → excluded.
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.betweennessTruncated(e, Seq(1L, 4L).toDF("source"), 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(2L -> 3000000L, 3L -> 3000000L))
+  }
+
+  test("betweennessTruncated splits dependency across equal-count paths") {
+    // diamond 1-{2,3}-4: σ(4)=2, so each middle node carries HALF the
+    // (1,4) dependency — the σ_u/σ_w division, floor'd to micro-units
+    val e = edges((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.betweennessTruncated(e, Seq(1L).toDF("source"), 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+  }
+
   test("harmonicCentrality integer units on a hand-checked chain") {
     // chain 1-2-3-4, source 1, depth 3: d = {2:1, 3:2, 4:3} →
     // harmonic = 1000000 + 500000 + 333333, closeness = 3·1e6 div 6
