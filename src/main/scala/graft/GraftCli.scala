@@ -395,6 +395,28 @@ object GraftCli {
         s"(nlist=$nlist trainIters=$trainIters)")
       spark.stop()
 
+    // binary (sign-bit) index: 16-byte-row codes table for the Hamming
+    // prefilter scan, full vectors read only for the rerank survivors
+    case "ann-binary-build" :: embParquet :: indexDir :: Nil =>
+      val spark = session()
+      operators.Similarity.writeBinaryIndex(
+        spark.read.parquet(embParquet), indexDir)
+      println(s"[graft] binary index: $embParquet -> $indexDir")
+      spark.stop()
+
+    case "ann-binary-query" :: indexDir :: embParquet :: qidStr :: rest =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val k = rest.headOption.map(_.toInt).getOrElse(5)
+      val prefilter = rest.drop(1).headOption.map(_.toInt).getOrElse(40)
+      val q = spark.read.parquet(embParquet)
+        .filter(col("vec_id") === qidStr.toLong)
+        .select(col("embedding").as("q_embedding"))
+      operators.Similarity
+        .binaryIndexTopK(spark, indexDir, q, k, prefilter)
+        .show(k, false)
+      spark.stop()
+
     // IVF+PQ index: lists carry 8-byte PQ codes next to the vectors, so
     // the query's ADC shortlist scan column-prunes to ~8 B/vector
     case "ann-index-build-pq" :: embParquet :: indexDir :: rest =>

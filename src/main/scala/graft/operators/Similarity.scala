@@ -401,6 +401,48 @@ object Similarity {
       .parquet(s"$path/lists")
   }
 
+  /** Persist a binary (sign-bit) index: TWO tables with different scan
+    * economics — `codes` holds only (vec_id, bits), 16 bytes a row, the
+    * table every query's Hamming prefilter scans; `vectors` holds the
+    * full embeddings, read only for the ≤`prefilter` rerank rows via an
+    * id semi-join. At 100 TB that split is the whole point of binary
+    * quantization: the hot scan shrinks 32× and the float column stays
+    * cold. Append = pack the batch and append to both tables (no global
+    * structure to maintain — signatures are per-row, unlike IVF lists).
+    */
+  def writeBinaryIndex(embeddings: DataFrame, path: String): Unit = {
+    val packed = embeddings
+      .withColumn("bits", signBits("embedding"))
+      .localCheckpoint() // one pack pass feeds both writes
+    packed.select("vec_id", "bits")
+      .write.mode("overwrite").parquet(s"$path/codes")
+    packed.drop("bits")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Top-k against a persisted `writeBinaryIndex`: Hamming prefilter on
+    * the 16-byte-row codes table, exact rerank joins back only the
+    * survivors' embeddings.
+    */
+  def binaryIndexTopK(spark: org.apache.spark.sql.SparkSession,
+                      path: String, query: DataFrame, k: Int,
+                      prefilter: Int = 40): DataFrame = {
+    val q = query.withColumn("q_bits", signBits("q_embedding"))
+    val cands = spark.read.parquet(s"$path/codes")
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        bit_count(col("bits").bitwiseXOR(col("q_bits"))))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(prefilter)
+    spark.read.parquet(s"$path/vectors")
+      .join(cands.select("vec_id", "hamming", "q_embedding"), "vec_id")
+      .withColumn("sim",
+        round(cosineRank(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("sim"), col("hamming"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Append a batch of vectors to a persisted `writeIvfIndex` WITHOUT
     * rebuilding: the batch is assigned against the index's FROZEN
     * centroids (read once, nlist×dim driver-side literals — the same

@@ -2413,6 +2413,79 @@ object ExtensionQueries {
              |FROM (SELECT node, delta FROM d1f
              |      UNION ALL SELECT node, delta FROM d2f)
              |GROUP BY node ORDER BY bc_micro DESC, node LIMIT 20"""
+        .stripMargin)),
+
+    // Link prediction by neighborhood overlap — the "parts that SHOULD
+    // be co-purchased but aren't yet" candidate generator (the classic
+    // common-neighbors/Jaccard baseline every recommender starts from).
+    // Candidates are distance-2 pairs only (one wedge self-join on the
+    // center key — the x52 triangle shape, never all-pairs), existing
+    // edges anti-joined away, ranked by neighbor-set Jaccard in integer
+    // ppm with (u, w) tiebreaks. 100 TB: wedge volume is Σ deg² — the
+    // degree-cap/orientation mitigations measured for x52 apply
+    // unchanged; everything downstream is pair-keyed aggregation.
+    "x77_link_prediction" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val e = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .distinct()
+          .localCheckpoint() // consumed by degree agg, wedge join, anti
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        val cn = e.select(col("src").as("z"), col("dst").as("u"))
+          .join(e.select(col("src").as("z"), col("dst").as("w")), "z")
+          .filter(col("u") < col("w"))
+          .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+        cn.join(e.select(col("src").as("u"), col("dst").as("w")),
+            Seq("u", "w"), "left_anti")
+          .join(deg.select(col("src").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("src").as("w"), col("deg").as("dw")), "w")
+          .select(col("u"), col("w"), col("cn"),
+            expr("CAST(cn * 1000000 AS BIGINT) div (du + dw - cn)")
+              .as("jaccard_ppm"))
+          .orderBy(desc("jaccard_ppm"), col("u"), col("w")).limit(20)
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             |cn AS (
+             |  SELECT a.dst AS u, b.dst AS w, count(*) AS cn
+             |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+             |  GROUP BY 1, 2),
+             |ne AS (
+             |  SELECT cn.u, cn.w, cn.cn FROM cn
+             |  WHERE NOT EXISTS (SELECT 1 FROM e
+             |    WHERE e.src = cn.u AND e.dst = cn.w))
+             |SELECT ne.u, ne.w, CAST(ne.cn AS BIGINT) AS cn,
+             |  CAST(ne.cn * 1000000 // (du.deg + dw.deg - ne.cn)
+             |    AS BIGINT) AS jaccard_ppm
+             |FROM ne
+             |JOIN deg du ON du.src = ne.u
+             |JOIN deg dw ON dw.src = ne.w
+             |ORDER BY jaccard_ppm DESC, ne.u, ne.w LIMIT 20"""
         .stripMargin))
   )
 }

@@ -157,4 +157,28 @@ class Round11OpsSpec extends GraftSparkSpec {
     assert(tight.count() == 5)
     assert(tight.select(max(col("hamming"))).as[Int].head() <= 16)
   }
+
+  test("persisted binary index reproduces the in-memory binaryTopK") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 80L).map(i =>
+      (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1), i.toInt % 3))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq(Tuple1(Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("q_embedding")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-binidx").toString
+    Similarity.writeBinaryIndex(corpus, s"$tmp/idx")
+    // the codes table must be the skinny scan target: two columns only
+    val codes = spark.read.parquet(s"$tmp/idx/codes")
+    assert(codes.columns.sorted.toSeq == Seq("bits", "vec_id"))
+    val mem = Similarity.binaryTopK(corpus, q, 6, prefilter = 20)
+      .select("vec_id", "sim", "hamming")
+      .as[(Long, Double, Int)].collect().toSeq
+    val idx = Similarity.binaryIndexTopK(spark, s"$tmp/idx", q, 6,
+        prefilter = 20)
+      .select("vec_id", "sim", "hamming")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(idx === mem)
+  }
 }
