@@ -2486,6 +2486,51 @@ object ExtensionQueries {
              |JOIN deg du ON du.src = ne.u
              |JOIN deg dw ON dw.src = ne.w
              |ORDER BY jaccard_ppm DESC, ne.u, ne.w LIMIT 20"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Scene-cut detection over decoded video — the segmentation pass
+    // that decides WHICH frames are worth keeping before any expensive
+    // per-frame model runs (shot-boundary sampling). Runs the REAL
+    // pipeline end to end: RIFF/AVI walk → DIB frame decode
+    // (Multimodal.decodeVideo, exact for the uncompressed path) →
+    // integer luma (BT.601 ×1000: 299R+587G+114B) → per-video lag
+    // window → cut where the luma step exceeds 50 000 milli-units. The
+    // oracle recomputes from the synthesizer's closed-form frame colors,
+    // so the gate proves decode + windowing agree with ground truth
+    // frame-exactly. 100 TB: decode is a narrow mapPartitions, the lag
+    // is a per-video window over frame-count-sized groups.
+    "x78_scene_cuts" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val frames = graft.operators.Multimodal.decodeVideo(
+          s, graft.operators.Multimodal.synthesizeVideo(
+            s, t(s, dir, "documents")))
+        val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        frames
+          .withColumn("luma_k", expr(
+            "CAST(mean_r AS BIGINT) * 299 + CAST(mean_g AS BIGINT) * 587" +
+              " + CAST(mean_b AS BIGINT) * 114"))
+          .withColumn("prev_luma", lag(col("luma_k"), 1).over(w))
+          .select(col("doc_id"), col("frame_idx"), col("luma_k"),
+            (col("prev_luma").isNotNull &&
+              abs(col("luma_k") - col("prev_luma")) > 50000L)
+              .as("is_cut"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id, unnest(range(0, doc_id % 6 + 2)) AS frame
+          |  FROM documents),
+          |l AS (
+          |  SELECT doc_id, CAST(frame AS INT) AS frame_idx,
+          |    ((doc_id + frame) % 256) * 299
+          |    + ((7 * doc_id + 13 * frame) % 256) * 587
+          |    + ((13 * doc_id + 29 * frame) % 256) * 114 AS luma_k
+          |  FROM f)
+          |SELECT doc_id, frame_idx, CAST(luma_k AS BIGINT) AS luma_k,
+          |  coalesce(abs(luma_k - lag(luma_k) OVER
+          |    (PARTITION BY doc_id ORDER BY frame_idx)) > 50000, FALSE)
+          |    AS is_cut
+          |FROM l ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

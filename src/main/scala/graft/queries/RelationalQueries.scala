@@ -2282,6 +2282,51 @@ object RelationalQueries {
              |  WHERE n.node > 0)
              |SELECT node, CAST(depth AS BIGINT) AS depth,
              |  CAST(path_sum AS BIGINT) AS path_sum FROM r
-             |ORDER BY node""".stripMargin))
+             |ORDER BY node""".stripMargin)),
+
+    // EWMA smoothing per user (α = 1/2, 16-event window) — the standard
+    // monitoring smoother, made CROSS-ENGINE EXACT by construction:
+    // power-of-two weights scale doubles without rounding, and both
+    // engines fold the windowed list left-to-right (Spark `aggregate`,
+    // DuckDB `list_reduce`), so the only float additions happen in the
+    // same order — bit-identical sums, then one round(6). The window is
+    // ROWS-bounded (16), so state never grows with series length; an
+    // unbounded-α EWMA needs 2^n weight ratios no integer type survives.
+    "q74_ewma" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id").rowsBetween(-15, 0)
+        t(s, dir, "events")
+          .filter(col("user_id") % 50 === 0)
+          .withColumn("ws", collect_list(col("value")).over(w))
+          .select(col("user_id"), col("event_id"),
+            round(col("value"), 6).as("value"),
+            round(expr(
+              """aggregate(transform(ws, (x, i) ->
+                |  x * CAST(shiftleft(CAST(1 AS BIGINT),
+                |        16 - size(ws) + i) AS DOUBLE)),
+                |  CAST(0.0 AS DOUBLE), (a, b) -> a + b)
+                |/ CAST(shiftleft(CAST(1 AS BIGINT), 16)
+                |       - shiftleft(CAST(1 AS BIGINT), 16 - size(ws))
+                |       AS DOUBLE)""".stripMargin), 6).as("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH win AS (
+             |  SELECT user_id, event_id, value,
+             |    list(value) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS ws
+             |  FROM events WHERE user_id % 50 = 0)
+             |SELECT user_id, event_id, round(value, 6) AS value,
+             |  round(
+             |    list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(ws) + 1), j ->
+             |        ws[j] * CAST(1::BIGINT << (16 - len(ws) + j - 1)
+             |          AS DOUBLE))),
+             |      (a, b) -> a + b)
+             |    / CAST((1::BIGINT << 16) - (1::BIGINT << (16 - len(ws)))
+             |        AS DOUBLE), 6) AS ewma
+             |FROM win ORDER BY user_id, event_id""".stripMargin))
   )
 }
