@@ -785,4 +785,38 @@ object Multimodal {
       AudioFrameFeatures(r.doc_id, nFrames, total, maxE, argmax)
     }.toDF().orderBy("doc_id")
   }
+
+  case class AudioFrameEnergy(doc_id: Long, frame_idx: Int, energy: Long)
+
+  /** Per-frame energies as ROWS (the x45 aggregation un-collapsed) — the
+    * input shape segmentation passes need. Same WAV decode and framing;
+    * still a narrow map over the binary column, output size = frame
+    * count (bounded by audio length / hop).
+    */
+  def frameEnergies(spark: SparkSession, media: DataFrame,
+                    frameLen: Int = 8, hop: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "content").as[AudioRow].flatMap { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"doc ${r.doc_id}: unexpected format $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      def sample(j: Int): Long =
+        ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff)).toShort.toLong
+      val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
+      (0 until nFrames).map { f =>
+        var e = 0L
+        var j = 0
+        while (j < frameLen) {
+          val s = sample(f * hop + j)
+          e += s * s
+          j += 1
+        }
+        AudioFrameEnergy(r.doc_id, f, e)
+      }
+    }.toDF()
+  }
 }

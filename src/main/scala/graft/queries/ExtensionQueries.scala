@@ -2531,6 +2531,53 @@ object ExtensionQueries {
           |  coalesce(abs(luma_k - lag(luma_k) OVER
           |    (PARTITION BY doc_id ORDER BY frame_idx)) > 50000, FALSE)
           |    AS is_cut
-          |FROM l ORDER BY doc_id, frame_idx""".stripMargin))
+          |FROM l ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Audio activity segmentation (VAD-style silence trim) — the x78
+    // idea on the audio axis: WAV decode → per-frame energies AS ROWS
+    // (Multimodal.frameEnergies, the x45 aggregation un-collapsed) →
+    // active = energy above threshold → segment starts where activity
+    // turns on (lag window). What a speech pipeline runs before paying
+    // for ASR. The oracle recomputes energies from the synthesizer's
+    // closed-form samples and applies the same window, so decode,
+    // framing, and segmentation all gate exactly.
+    "x79_audio_segments" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val fe = graft.operators.Multimodal.frameEnergies(
+          s, graft.operators.Multimodal.synthesizeAudio(
+            s, t(s, dir, "documents")))
+        val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        fe.withColumn("active", col("energy") > 2600000L)
+          .withColumn("prev_active", lag(col("active"), 1).over(w))
+          .select(col("doc_id"), col("frame_idx"), col("energy"),
+            col("active"),
+            (col("active") &&
+              (col("prev_active").isNull || !col("prev_active")))
+              .as("seg_start"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n
+          |  FROM documents),
+          |fr AS (
+          |  SELECT doc_id,
+          |    unnest(range(0, CAST((n - 8) // 4 + 1 AS INT))) AS f
+          |  FROM base),
+          |en AS (
+          |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(0, 8), j ->
+          |        ((doc_id * 31 + (f * 4 + j) * 17) % 2001 - 1000)
+          |        * ((doc_id * 31 + (f * 4 + j) * 17) % 2001 - 1000))),
+          |      (a, b) -> a + b) AS BIGINT) AS energy
+          |  FROM fr)
+          |SELECT doc_id, frame_idx, energy,
+          |  energy > 2600000 AS active,
+          |  (energy > 2600000) AND coalesce(
+          |    NOT (lag(energy) OVER (PARTITION BY doc_id
+          |      ORDER BY frame_idx) > 2600000), TRUE) AS seg_start
+          |FROM en ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -1962,7 +1962,31 @@ object TextQueries {
              |  CAST(abs(hll_est_union - n_exact_union) * 1000000
              |    // n_exact_union AS BIGINT) AS err_ppm
              |FROM est""".stripMargin
-        .replace("__LNT__", hllLnTable.mkString(", "))))
+        .replace("__LNT__", hllLnTable.mkString(", ")))),
+
+    // Source-balanced epoch interleaving — the training-order pass that
+    // prevents long single-source runs (a shuffled epoch that still
+    // respects mixture weights starts from exactly this round-robin):
+    // rank within source by doc_id, then order by (rank, source) so
+    // consecutive rows rotate through every source before any source
+    // repeats. Both steps are one shuffle each (source-keyed window,
+    // range-partitioned global sort) — no global row_number, no driver
+    // collect. Gated on the first 200 positions.
+    "d50_interleave" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .orderBy("rn", "source")
+          .limit(200)
+      },
+      Some("""SELECT source, doc_id,
+             |  CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY doc_id) AS INT) AS rn
+             |FROM documents
+             |ORDER BY rn, source LIMIT 200""".stripMargin))
   )
 
   /** One 64-row bucket frame (0..63) for the HLL union merge. */

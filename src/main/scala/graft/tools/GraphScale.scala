@@ -229,6 +229,20 @@ object GraphScale100 {
       Graph.hits(edges(), iters = 2)
         .agg(sum(col("auth_units")), sum(col("hub_units"))).head()
     }
+    // r11: the two centrality additions. Both are panel-bounded by
+    // design — the measurement confirms the (|panel| × reached) frame,
+    // not the graph, is what scales: 16 sources over a 5 M-node
+    // small-world giant component saturate reachability by 3 hops.
+    run("closeness") {
+      val sources = spark.range(0, 16).select(col("id").as("source"))
+      Graph.harmonicCentrality(edges(), sources, maxDepth = 3)
+        .agg(count(lit(1)), sum(col("harmonic_units"))).head()
+    }
+    run("betweenness") {
+      val sources = spark.range(0, 16).select(col("id").as("source"))
+      Graph.betweennessTruncated(edges(), sources, maxDepth = 3)
+        .agg(count(lit(1)), max(col("bc_micro"))).head()
+    }
     spark.stop()
   }
 }
