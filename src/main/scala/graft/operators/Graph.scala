@@ -635,6 +635,77 @@ object Graph {
       .groupBy("node").agg(sum(col("delta")).as("bc_micro"))
   }
 
+  /** Luby's maximal-independent-set with DETERMINISTIC per-round md5
+    * priorities — the distributed answer to "keep a maximal set of
+    * mutually non-conflicting items" (dedup survivor selection on a
+    * near-dup conflict graph: no two kept docs are near-dups, and
+    * nothing outside the set could be added). Per round, an active node
+    * joins the MIS iff its priority beats every active neighbor's
+    * (Luby's local-max rule — expected O(log n) rounds); its neighbors
+    * deactivate. Ties (md5 collisions) leave both nodes active for the
+    * next round — progress is delayed, never corrupted. `rounds` is a
+    * cap in the x70 style: the gate pins the state AFTER k rounds
+    * (status 0 = still active, 1 = in MIS, 2 = removed), so the hash is
+    * exact whether or not the fixpoint was reached; production callers
+    * loop until no node is active.
+    *
+    * 100 TB shape: per round one neighbor-max join over the ACTIVE
+    * subgraph (shrinks geometrically) + two status merges, all on the
+    * node key; priorities are arithmetic on md5, no state beyond the
+    * node-sized status frame.
+    */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    var status = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().withColumn("status", lit(0))
+      .localCheckpoint()
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val active = status.filter(col("status") === 0).select("node")
+        .localCheckpoint()
+      // early exit at the fixpoint: remaining rounds would be exact
+      // no-ops (no active node changes status), so capped callers and
+      // the 3-round gate see identical results either way; the count is
+      // of an already-materialized frame (the bounded-scalar discipline)
+      if (active.isEmpty) done = true
+      else status = misRound(e, status, active, r)
+    }
+    e.unpersist()
+    status
+  }
+
+  private def misRound(e: DataFrame, status: DataFrame,
+                       active: DataFrame, r: Int): DataFrame = {
+      val prio = active.withColumn("p",
+        conv(substring(md5(concat(lit(r.toString), lit(":"),
+          col("node").cast("string"))), 1, 12), 16, 10).cast("long"))
+      // active edges only: both endpoints still undecided
+      val ae = e.join(prio.select(col("node").as("src"),
+            col("p").as("p_src")), "src")
+        .join(prio.select(col("node").as("dst"),
+          col("p").as("p_dst")), "dst")
+      val maxNbr = ae.groupBy(col("src").as("node"))
+        .agg(max(col("p_dst")).as("max_nbr"))
+      val winners = prio.join(maxNbr, Seq("node"), "left")
+        .filter(col("max_nbr").isNull || col("p") > col("max_nbr"))
+        .select("node")
+      val removed = ae.join(winners.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+      status
+        .join(winners.withColumn("w", lit(true)), Seq("node"), "left")
+        .join(removed.withColumn("x", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("status") =!= 0, col("status"))
+            .when(col("w"), lit(1))
+            .when(col("x"), lit(2))
+            .otherwise(lit(0)).as("status"))
+        .localCheckpoint()
+  }
+
   /** Flatten a forest to `(node, root, depth)` by pointer doubling over
     * a parent table `(node, parent)` (parent NULL marks a root) — the
     * hierarchy-resolution pass (org charts, category trees, thread

@@ -2578,6 +2578,96 @@ object ExtensionQueries {
           |  (energy > 2600000) AND coalesce(
           |    NOT (lag(energy) OVER (PARTITION BY doc_id
           |      ORDER BY frame_idx) > 2600000), TRUE) AS seg_start
-          |FROM en ORDER BY doc_id, frame_idx""".stripMargin))
+          |FROM en ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // MIS dedup survivors — Luby's maximal independent set with
+    // deterministic md5 priorities (Graph.maximalIndependentSet) on the
+    // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a
+    // maximal set of mutually non-duplicate docs — the alternative to
+    // x10's keep-one-per-component that keeps MORE data (one survivor
+    // per conflict NEIGHBORHOOD, not per transitive cluster: A~B~C with
+    // A!~C keeps A and C, where components keep only A). Status after 3
+    // capped rounds is the gate (x70 discipline): 1 = kept, 2 = dropped,
+    // 0 = still contended; isolated docs never enter the graph and are
+    // trivially kept. The oracle unrolls all three rounds with the same
+    // 48-bit md5 priorities.
+    "x80_mis_survivors" -> QueryDef(
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.operators.Dedup.shingles(col("text"), 3))
+              .as("shingle"))
+          .distinct()
+        val pairs = sh.as("a").join(sh.as("b"), "shingle")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 3)
+        val edges = pairs.select(explode(array(
+            struct(col("u").as("src"), col("v").as("dst")),
+            struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        graft.operators.Graph.maximalIndependentSet(edges, rounds = 3)
+          .orderBy("node")
+      },
+      Some {
+        def prio(expr: String) =
+          "list_reduce(list_transform(range(1, 13), j -> " +
+            "CAST(strpos('0123456789abcdef', " +
+            s"substr(md5($expr), j, 1)) - 1 AS BIGINT)), " +
+            "(a, b) -> a * 16 + b)"
+        val rounds = (1 to 3).map { r =>
+          val prev = r - 1
+          val act =
+            if (r == 1) "SELECT node FROM nodes"
+            else s"""SELECT node FROM a$prev
+               | WHERE node NOT IN (SELECT node FROM w$prev)
+               |   AND node NOT IN (SELECT node FROM x$prev)""".stripMargin
+          s"""a$r AS MATERIALIZED ($act),
+             |p$r AS MATERIALIZED (
+             |  SELECT node, ${prio(s"'$r:' || CAST(node AS VARCHAR)")} AS p
+             |  FROM a$r),
+             |m$r AS (
+             |  SELECT e.src AS node, max(pd.p) AS mx
+             |  FROM e JOIN p$r ps ON ps.node = e.src
+             |  JOIN p$r pd ON pd.node = e.dst
+             |  GROUP BY e.src),
+             |w$r AS MATERIALIZED (
+             |  SELECT p$r.node FROM p$r LEFT JOIN m$r USING (node)
+             |  WHERE m$r.mx IS NULL OR p$r.p > m$r.mx),
+             |x$r AS MATERIALIZED (
+             |  SELECT DISTINCT e.dst AS node
+             |  FROM e JOIN w$r ON w$r.node = e.src
+             |  WHERE e.dst IN (SELECT node FROM a$r))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           |  FROM documents),
+           |idx AS (
+           |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+           |  FROM toks WHERE len(t) >= 3),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           |  FROM idx),
+           |pr AS (
+           |  SELECT a.doc_id AS u, b.doc_id AS v
+           |  FROM sh a JOIN sh b
+           |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= 3),
+           |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM pr
+           |     UNION ALL SELECT v AS src, u AS dst FROM pr),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |$rounds
+           |SELECT nodes.node,
+           |  CASE WHEN node IN (SELECT node FROM w1
+           |         UNION SELECT node FROM w2 UNION SELECT node FROM w3)
+           |       THEN 1
+           |       WHEN node IN (SELECT node FROM x1
+           |         UNION SELECT node FROM x2 UNION SELECT node FROM x3)
+           |       THEN 2
+           |       ELSE 0 END AS status
+           |FROM nodes ORDER BY node""".stripMargin
+      })
   )
 }

@@ -76,4 +76,32 @@ class GraphRandomizedSpec extends GraftSparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === dist.toMap)
   }
+
+  for (seed <- seeds) test(
+    s"maximalIndependentSet: independent, maximal at fixpoint (seed=$seed)") {
+    val rnd = new scala.util.Random(seed)
+    val n = 30 + rnd.nextInt(40)
+    val m = 40 + rnd.nextInt(80)
+    val edges = Seq.fill(m)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val bidir = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    // enough rounds to reach the fixpoint on a ~70-node graph
+    val status = Graph.maximalIndependentSet(bidir, rounds = 12)
+      .as[(Long, Int)].collect().toMap
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    assert(status.values.forall(s => s == 1 || s == 2),
+      "fixpoint not reached: some node still active after 12 rounds")
+    val mis = status.collect { case (v, 1) => v }.toSet
+    // independence: no edge inside the MIS
+    edges.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside MIS")
+    }
+    // maximality: every removed node has a MIS neighbor
+    status.collect { case (v, 2) => v }.foreach { v =>
+      assert(adj(v).exists(mis), s"removed node $v has no MIS neighbor")
+    }
+  }
 }
