@@ -706,6 +706,44 @@ object Graph {
         .localCheckpoint()
   }
 
+  /** k-truss peeling on a CANONICAL (u < v) edge list — the
+    * community-core refinement of k-core: an edge survives iff it closes
+    * at least k−2 triangles with other SURVIVING edges, so bridges and
+    * hub spokes that k-core keeps (degree without cohesion) peel away.
+    * Per round: one wedge join against the bidirected current edge set
+    * (the x52 triangle shape — at 100 TB the same degree-orientation
+    * mitigation applies), one per-edge support count, one filter.
+    * Rounds are capped in the x70 style — the gate pins the state after
+    * `rounds` peels, with the early exit making post-fixpoint rounds
+    * free. Returns surviving (u, v, support) where support was measured
+    * against the PREVIOUS round's survivor set (the value the final
+    * peel decided on — recomputing on the output set would be round
+    * rounds+1).
+    */
+  def ktruss(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var cur = canonEdges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).distinct().localCheckpoint()
+    var support: DataFrame = null
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val bidir = cur.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(cur.select(col("v").as("src"), col("u").as("dst")))
+      val fromU = bidir.select(col("src").as("u"), col("dst").as("z"))
+      val fromV = bidir.select(col("src").as("v"), col("dst").as("z"))
+      support = cur.join(fromU, "u").join(fromV, Seq("v", "z"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .localCheckpoint()
+      val next = support.filter(col("support") >= k - 2)
+        .select("u", "v").localCheckpoint()
+      // fixpoint: nothing peeled this round — further rounds are no-ops
+      if (next.count() == cur.count()) done = true
+      cur = next
+    }
+    cur.join(support, Seq("u", "v"))
+  }
+
   /** Flatten a forest to `(node, root, depth)` by pointer doubling over
     * a parent table `(node, parent)` (parent NULL marks a root) — the
     * hierarchy-resolution pass (org charts, category trees, thread

@@ -2668,6 +2668,62 @@ object ExtensionQueries {
            |       THEN 2
            |       ELSE 0 END AS status
            |FROM nodes ORDER BY node""".stripMargin
-      })
+      }),
+
+    // 3-truss of the co-purchase graph (2 capped peels) — the cohesion
+    // core k-core can't see: an edge survives only if it closes a
+    // triangle with other SURVIVORS, so hub spokes and bridges (high
+    // degree, no mutual support — exactly what co-purchase noise looks
+    // like) peel away while genuinely cohesive product groups remain.
+    // Per round one wedge join (x52 shape) + per-edge support count;
+    // output is each surviving edge with the support the final peel
+    // decided on. Oracle unrolls both peels.
+    "x81_ktruss" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+          .select(col("pa").as("u"), col("pb").as("v"))
+        graft.operators.Graph.ktruss(pc, k = 3, rounds = 2)
+          .orderBy("u", "v")
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS MATERIALIZED (
+             |  SELECT a.pk AS u, b.pk AS v
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |b0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pc
+             |      UNION ALL SELECT v AS src, u AS dst FROM pc),
+             |s1 AS MATERIALIZED (
+             |  SELECT pc.u, pc.v, count(*) AS c
+             |  FROM pc
+             |  JOIN b0 x ON x.src = pc.u
+             |  JOIN b0 y ON y.src = pc.v AND y.dst = x.dst
+             |  GROUP BY 1, 2),
+             |e1 AS MATERIALIZED (SELECT u, v FROM s1 WHERE c >= 1),
+             |b1 AS MATERIALIZED (SELECT u AS src, v AS dst FROM e1
+             |      UNION ALL SELECT v AS src, u AS dst FROM e1),
+             |s2 AS (
+             |  SELECT e1.u, e1.v, count(*) AS c
+             |  FROM e1
+             |  JOIN b1 x ON x.src = e1.u
+             |  JOIN b1 y ON y.src = e1.v AND y.dst = x.dst
+             |  GROUP BY 1, 2)
+             |SELECT u, v, CAST(c AS BIGINT) AS support
+             |FROM s2 WHERE c >= 1 ORDER BY u, v""".stripMargin))
   )
 }

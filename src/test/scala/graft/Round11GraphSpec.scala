@@ -159,6 +159,18 @@ class Round11GraphSpec extends GraftSparkSpec {
     assert(got === Seq(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
   }
 
+  test("ktruss peels bridges and weak triangles, keeps the K4") {
+    // K4 on 1-4 (every edge closes 2 triangles) + pendant (4,5) + an
+    // isolated triangle 10-12 (support 1 each): 4-truss = exactly the K4
+    val canon = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("u", "v")
+    val got = Graph.ktruss(canon, k = 4, rounds = 4)
+      .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
   test("harmonicCentrality integer units on a hand-checked chain") {
     // chain 1-2-3-4, source 1, depth 3: d = {2:1, 3:2, 4:3} →
     // harmonic = 1000000 + 500000 + 333333, closeness = 3·1e6 div 6
