@@ -2724,6 +2724,83 @@ object ExtensionQueries {
              |  JOIN b1 y ON y.src = e1.v AND y.dst = x.dst
              |  GROUP BY 1, 2)
              |SELECT u, v, CAST(c AS BIGINT) AS support
-             |FROM s2 WHERE c >= 1 ORDER BY u, v""".stripMargin))
+             |FROM s2 WHERE c >= 1 ORDER BY u, v""".stripMargin)),
+
+    // Diameter lower bound by double sweep (the standard cheap
+    // estimator: BFS from an anchor, then BFS from the farthest node
+    // found — its eccentricity bounds the diameter from below) — the
+    // "how many propagation rounds will label/rank passes need" sizing
+    // question answered with TWO BFS runs instead of all-pairs. Both
+    // sweeps are 4-hop-capped delta iterations (x70 discipline: the
+    // gate's value is exact whether or not 4 hops reach the periphery);
+    // anchor = min node id, argmax ties break to the min node — fully
+    // deterministic. Output is one row; the oracle unrolls both sweeps.
+    "x82_diameter" -> QueryDef(
+      (s, dir) => {
+        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pc = op.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("items"))
+          .select(explode(expr(
+            "flatten(transform(items, (x, i) -> " +
+              "transform(slice(items, i + 2, size(items)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val e = pc.select(explode(array(
+            struct(col("pa").as("src"), col("pb").as("dst")),
+            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .localCheckpoint() // two sweeps + the anchor agg read it
+        val anchor = e.agg(min(col("src")).as("source"))
+        val sweep1 = Graph.bfs(e, anchor, maxDepth = 4)
+        val far = sweep1.orderBy(desc("d"), col("node")).limit(1)
+        val sweep2 = Graph.bfs(e,
+          far.select(col("node").as("source")), maxDepth = 4)
+        anchor.select(col("source").as("seed"))
+          .crossJoin(sweep1.agg(max(col("d")).cast("long").as("ecc_seed")))
+          .crossJoin(far.select(col("node").as("far_node")))
+          .crossJoin(sweep2.agg(max(col("d")).cast("long")
+            .as("diameter_lb")))
+      },
+      Some {
+        def sweep(p: String, srcSel: String) = {
+          val levels = (1 to 4).map { k =>
+            s"""${p}f$k AS MATERIALIZED (
+               |  SELECT DISTINCT e.dst AS node FROM e
+               |  JOIN ${p}l${k - 1} ON ${p}l${k - 1}.node = e.src
+               |  WHERE e.dst NOT IN (SELECT node FROM ${p}l${k - 1})),
+               |${p}l$k AS (SELECT * FROM ${p}l${k - 1}
+               |       UNION ALL SELECT node, $k AS d FROM ${p}f$k)"""
+              .stripMargin
+          }.mkString(",\n")
+          s"""${p}l0 AS (SELECT $srcSel AS node, 0 AS d),
+             |$levels""".stripMargin
+        }
+        s"""WITH op AS MATERIALIZED (
+           |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |pc AS MATERIALIZED (
+           |  SELECT a.pk AS pa, b.pk AS pb
+           |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+           |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
+           |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+           |${sweep("a", "(SELECT min(src) FROM e)")},
+           |ecc1 AS (SELECT max(d) AS ecc FROM al4),
+           |far1 AS (SELECT min(node) AS node FROM al4, ecc1
+           |         WHERE d = ecc1.ecc),
+           |${sweep("b", "(SELECT node FROM far1)")}
+           |SELECT (SELECT min(src) FROM e) AS seed,
+           |  CAST(ecc1.ecc AS BIGINT) AS ecc_seed,
+           |  far1.node AS far_node,
+           |  (SELECT CAST(max(d) AS BIGINT) FROM bl4) AS diameter_lb
+           |FROM ecc1, far1""".stripMargin
+      })
   )
 }

@@ -243,6 +243,16 @@ object GraphScale100 {
       Graph.betweennessTruncated(edges(), sources, maxDepth = 3)
         .agg(count(lit(1)), max(col("bc_micro"))).head()
     }
+    // r11: Luby MIS — the claim under test is the geometric shrink of
+    // the ACTIVE subgraph (each round's wedge work should collapse),
+    // capped at 12 rounds with the early exit finding the fixpoint
+    run("mis") {
+      val e = edges()
+      val st = Graph.maximalIndependentSet(
+        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))),
+        rounds = 12)
+      st.groupBy("status").agg(count(lit(1))).collect()
+    }
     spark.stop()
   }
 }
