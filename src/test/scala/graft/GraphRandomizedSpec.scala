@@ -78,6 +78,96 @@ class GraphRandomizedSpec extends GraftSparkSpec {
   }
 
   for (seed <- seeds) test(
+    s"harmonicCentrality matches an in-memory truncated BFS (seed=$seed)") {
+    val rnd = new scala.util.Random(seed)
+    val n = 30 + rnd.nextInt(40)
+    val m = 40 + rnd.nextInt(80)
+    val edges = Seq.fill(m)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+    val sources = (0L until n.toLong by 7).filter(adj.contains)
+    def bfsDist(s: Long, maxD: Int): Map[Long, Int] = {
+      val dist = mutable.Map(s -> 0)
+      var frontier = List(s)
+      var d = 0
+      while (frontier.nonEmpty && d < maxD) {
+        d += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains).distinct
+        frontier.foreach(v => dist(v) = d)
+      }
+      dist.toMap
+    }
+    val expected = sources.flatMap { s =>
+      val ds = bfsDist(s, 3).filter(_._2 > 0)
+      if (ds.isEmpty) None
+      else Some(s -> ((ds.size.toLong, ds.values.map(_.toLong).sum,
+        ds.values.map(d => 1000000L / d).sum,
+        ds.size.toLong * 1000000L / ds.values.sum)))
+    }.toMap
+    val bidir = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.harmonicCentrality(bidir,
+        sources.toDF("source"), maxDepth = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === expected)
+  }
+
+  for (seed <- seeds) test(
+    s"betweennessTruncated matches in-memory Brandes (seed=$seed)") {
+    val rnd = new scala.util.Random(seed + 100)
+    val n = 25 + rnd.nextInt(30)
+    val m = 35 + rnd.nextInt(60)
+    val edges = Seq.fill(m)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+    val sources = (0L until n.toLong by 5).filter(adj.contains)
+    // reference: truncated Brandes with the SAME integer micro-unit
+    // floor-division per term the operator documents
+    val bc = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    sources.foreach { s =>
+      val level = mutable.Map(s -> 0)
+      val sigma = mutable.Map(s -> 1L)
+      var frontier = List(s)
+      for (d <- 1 to 3) {
+        val next = mutable.LinkedHashSet.empty[Long]
+        frontier.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { v =>
+            if (!level.contains(v) || level(v) == d) {
+              if (!level.contains(v)) { level(v) = d; next += v }
+              sigma(v) = sigma.getOrElse(v, 0L) + sigma(u)
+            }
+          }
+        }
+        frontier = next.toList
+      }
+      val delta = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (d <- 2 to 1 by -1) {
+        level.filter(_._2 == d).keys.foreach { u =>
+          val terms = adj(u).filter(w =>
+            level.get(w).contains(d + 1))
+            .map(w => sigma(u) * (1000000L + delta(w)) / sigma(w))
+          delta(u) = terms.sum
+          bc(u) += delta(u)
+        }
+      }
+    }
+    val expected = bc.filter(_._2 != 0).toMap
+    val bidir = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.betweennessTruncated(bidir,
+        sources.toDF("source"), maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+      .filter(_._2 != 0)
+    assert(got === expected)
+  }
+
+  for (seed <- seeds) test(
     s"maximalIndependentSet: independent, maximal at fixpoint (seed=$seed)") {
     val rnd = new scala.util.Random(seed)
     val n = 30 + rnd.nextInt(40)
