@@ -1986,7 +1986,102 @@ object TextQueries {
              |  CAST(row_number() OVER (PARTITION BY source
              |    ORDER BY doc_id) AS INT) AS rn
              |FROM documents
-             |ORDER BY rn, source LIMIT 200""".stripMargin))
+             |ORDER BY rn, source LIMIT 200""".stripMargin)),
+
+    // k-anonymity audit over the events table — the data-governance
+    // question asked before any release: "how many rows sit in
+    // quasi-identifier groups smaller than k?" QI = (coarse user bucket,
+    // event type); one group-size agg, then each k threshold is an
+    // arithmetic rollup of the SAME size frame (no per-k rescan — the
+    // 100 TB shape). Integer ppm share per the engine-exactness
+    // discipline.
+    "d51_k_anonymity" -> QueryDef(
+      (s, dir) => {
+        val sizes = t(s, dir, "events")
+          .groupBy((col("user_id") % 100).as("user_bucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // three k-thresholds read it
+        val total = sizes.agg(sum(col("n")).as("total"))
+        val per = Seq(2, 5, 10).map { k =>
+          sizes.filter(col("n") < k)
+            .agg(coalesce(count(lit(1)), lit(0L)).as("n_groups_below"),
+              coalesce(sum(col("n")), lit(0L)).as("n_rows_below"))
+            .select(lit(k).as("k"), col("n_groups_below"),
+              col("n_rows_below"))
+        }
+        per.reduce(_.unionAll(_))
+          .crossJoin(total)
+          .select(col("k"), col("n_groups_below"), col("n_rows_below"),
+            expr("CAST(n_rows_below * 1000000 AS BIGINT) div total")
+              .as("share_ppm"))
+          .orderBy("k")
+      },
+      Some("""WITH sizes AS (
+             |  SELECT user_id % 100 AS user_bucket, event_type,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM sizes),
+             |ks AS (SELECT unnest([2, 5, 10]) AS k)
+             |SELECT k,
+             |  CAST(coalesce(count(sizes.n), 0) AS BIGINT)
+             |    AS n_groups_below,
+             |  CAST(coalesce(sum(sizes.n), 0) AS BIGINT) AS n_rows_below,
+             |  CAST(coalesce(sum(sizes.n), 0) * 1000000 // max(total.total)
+             |    AS BIGINT) AS share_ppm
+             |FROM ks
+             |LEFT JOIN sizes ON sizes.n < ks.k, total
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
+    // Corpus version diff — the dataset-versioning primitive (what
+    // changed between corpus v1 and v2): v2 is derived deterministically
+    // (every 11th doc deleted, every 7th doc's text amended, every 13th
+    // doc re-added under a shifted id), the diff classifies by doc_id
+    // full-outer join + content-hash compare. One join on the id key,
+    // hash compare pushed into the join output — at 100 TB this is the
+    // manifest-diff shape, never a text diff.
+    "d52_corpus_diff" -> QueryDef(
+      (s, dir) => {
+        val v1 = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h1"))
+        val docs = t(s, dir, "documents")
+        val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h2"))
+          .unionAll(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              md5(col("text")).as("h2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .agg(
+            sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+              col("h1") =!= col("h2"), 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("h1") === col("h2"), 1L).otherwise(0L))
+              .as("n_unchanged"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, md5(text) AS h1 FROM documents),
+             |v2 AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+             |        ELSE text END) AS h2
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, md5(text) AS h2
+             |  FROM documents WHERE doc_id % 13 = 0)
+             |SELECT
+             |  CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_added,
+             |  CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_removed,
+             |  CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL
+             |    AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_unchanged
+             |FROM v1 FULL OUTER JOIN v2 USING (doc_id)""".stripMargin))
   )
 
   /** One 64-row bucket frame (0..63) for the HLL union merge. */
