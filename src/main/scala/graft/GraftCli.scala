@@ -181,6 +181,26 @@ object GraftCli {
         s"(minTokens=$minTokens threshold=$threshold capacity=$capacity)")
       spark.stop()
 
+    // the FULL training-run preparation in one command — what a user
+    // actually runs before a pretraining job: quality gate → MinHash
+    // near-dup survivors → benchmark decontamination (bloom-prefiltered)
+    // → deterministic train/val split → source-balanced interleave rank
+    // → context-window packing of train → manifest with per-stage and
+    // per-source counts. Every stage is one of the gated operators; the
+    // composition itself is spec-pinned (Round11OpsSpec invariants).
+    case "prepare-run" :: docsParquet :: benchParquet :: outDir :: rest =>
+      val spark = session()
+      val minTokens = rest.headOption.map(_.toInt).getOrElse(25)
+      val threshold = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.5)
+      val capacity = rest.drop(2).headOption.map(_.toInt).getOrElse(512)
+      val valPct = rest.drop(3).headOption.map(_.toInt).getOrElse(5)
+      operators.PrepareRun.run(spark,
+          spark.read.parquet(docsParquet),
+          spark.read.parquet(benchParquet),
+          outDir, minTokens, threshold, capacity, valPct)
+        .foreach { case (st, c) => println(s"[graft] prepare-run $st: $c") }
+      spark.stop()
+
     // per-ingest-wave delta dedup: report near-dups of the new batch
     // against the standing corpus (cross pairs only)
     case "dedup-delta" :: corpusParquet :: batchParquet :: outDir :: rest =>

@@ -158,6 +158,41 @@ class Round11OpsSpec extends GraftSparkSpec {
     assert(tight.select(max(col("hamming"))).as[Int].head() <= 16)
   }
 
+  test("prepare-run pipeline holds its contract invariants end to end") {
+    import graft.operators.{Contamination, Dedup, Pack, PrepareRun}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // a bench set guaranteed to contaminate: 5 real docs verbatim
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep").toString
+    val manifest = PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10).toMap
+
+    val train = spark.read.parquet(s"$tmp/train_docs")
+    val vals = spark.read.parquet(s"$tmp/val_docs")
+    // split: disjoint and complete w.r.t. the decontaminated count
+    assert(train.select("doc_id").intersect(vals.select("doc_id")).isEmpty)
+    assert(manifest("train") + manifest("val") == manifest("decontaminated"))
+    assert(manifest("input") >= manifest("quality_pass"))
+    assert(manifest("quality_pass") >= manifest("dedup_survivors"))
+    assert(manifest("dedup_survivors") >= manifest("decontaminated"))
+    // quality floor holds on every surviving row
+    val kept = train.select("doc_id", "text", "source", "lang")
+      .unionByName(vals.select("doc_id", "text", "source", "lang"))
+    assert(kept.filter(Pack.tokenCount(col("text")) < 10).isEmpty)
+    // zero surviving near-dup pairs at the pipeline's own threshold
+    assert(Dedup.minHashLsh(kept, "doc_id", "text", threshold = 0.5)
+      .isEmpty)
+    // zero contaminated survivors (exact recheck, not the bloom path)
+    assert(Contamination.report(kept, bench, "doc_id", "text", 8)
+      .isEmpty)
+    // packed spans respect capacity and cover every train doc
+    val spans = spark.read.parquet(s"$tmp/train_spans")
+    assert(spans.filter(col("n_tokens") > 512).isEmpty)
+  }
+
   test("persisted binary index reproduces the in-memory binaryTopK") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(11)
