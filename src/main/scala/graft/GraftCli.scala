@@ -743,6 +743,7 @@ object GraftCli {
            |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec] [rename|spool]
            |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]
            |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]
+           |  prepare-run <documentsParquet> <benchParquet> <outDir> [minTokens] [jaccardThreshold] [capacity] [valPct]
            |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]
