@@ -1912,11 +1912,16 @@ object ExtensionQueries {
         val wl = edges
           .join(lab.select(col("node").as("src"), col("lab").as("sl")), "src")
           .join(lab.select(col("node").as("dst"), col("lab").as("dl")), "dst")
-        val tot = wl.agg(count(lit(1)).as("r"),
-          sum(when(col("sl") === col("dl"), 1).otherwise(0)).as("intra"))
-        val s2 = wl.groupBy("sl").agg(count(lit(1)).as("dc"))
-          .agg(sum(col("dc") * col("dc")).as("s2"))
-        tot.crossJoin(broadcast(s2))
+        // ONE pass over the labeled-edge frame: the edge total, the
+        // intra-community count, and the per-label degree squares all
+        // roll up from a single label-keyed agg (label cardinality is
+        // bounded) — wl was previously consumed lazily by two separate
+        // aggregates, recomputing its two joins; values are identical
+        // (sum of per-label partials), so the gate hash is unchanged
+        val g = wl.groupBy("sl").agg(count(lit(1)).as("dc"),
+          sum(when(col("sl") === col("dl"), 1).otherwise(0)).as("intra_l"))
+        g.agg(sum(col("dc")).as("r"), sum(col("intra_l")).as("intra"),
+            sum(col("dc") * col("dc")).as("s2"))
           .select(col("r"), col("intra"),
             round((col("intra") * col("r") - col("s2")).cast("double") /
               (col("r") * col("r")).cast("double"), 6).as("q_mod"))
