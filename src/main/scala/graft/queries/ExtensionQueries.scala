@@ -2806,6 +2806,71 @@ object ExtensionQueries {
            |  far1.node AS far_node,
            |  (SELECT CAST(max(d) AS BIGINT) FROM bl4) AS diameter_lb
            |FROM ecc1, far1""".stripMargin
-      })
+      }),
+
+    // Trending co-purchase degree — the time-sliced graph question
+    // ("which parts are GAINING connectivity") that decides recency
+    // weighting: distinct co-purchase partner count per part in each
+    // order-date half, top movers by delta. Each half is one order-keyed
+    // self-join + a partner-distinct agg (no pair thresholding — degree,
+    // not edge weight); halves meet in ONE full-outer join on the part
+    // key. The date literal is fixed (1998-01-01), so both engines slice
+    // identically.
+    "x83_trending" -> QueryDef(
+      (s, dir) => {
+        def halfDeg(pred: org.apache.spark.sql.Column) = {
+          val op = broadcast(t(s, dir, "orders").filter(pred)
+              .select(col("o_orderkey")))
+            .join(t(s, dir, "lineitem")
+                .select(col("l_orderkey"), col("l_partkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+            .distinct()
+          op.as("a").join(op.as("b"), "ok")
+            .filter(col("a.pk") =!= col("b.pk"))
+            .groupBy(col("a.pk").as("part"))
+            .agg(countDistinct(col("b.pk")).as("deg"))
+        }
+        val h1 = halfDeg(col("o_orderdate") <
+          to_timestamp(lit("1998-01-01")))
+        val h2 = halfDeg(col("o_orderdate") >=
+          to_timestamp(lit("1998-01-01")))
+        h1.select(col("part"), col("deg").as("deg_h1"))
+          .join(h2.select(col("part"), col("deg").as("deg_h2")),
+            Seq("part"), "full_outer")
+          .select(col("part"),
+            coalesce(col("deg_h1"), lit(0L)).as("deg_h1"),
+            coalesce(col("deg_h2"), lit(0L)).as("deg_h2"))
+          .withColumn("delta", col("deg_h2") - col("deg_h1"))
+          .orderBy(desc("delta"), col("part"))
+          .limit(20)
+      },
+      Some("""WITH h1 AS (
+             |  SELECT a.pk AS part, count(DISTINCT b.pk) AS deg
+             |  FROM (SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |        WHERE o_orderdate < TIMESTAMP '1998-01-01') a
+             |  JOIN (SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |        WHERE o_orderdate < TIMESTAMP '1998-01-01') b
+             |    ON a.ok = b.ok AND a.pk <> b.pk
+             |  GROUP BY a.pk),
+             |h2 AS (
+             |  SELECT a.pk AS part, count(DISTINCT b.pk) AS deg
+             |  FROM (SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |        WHERE o_orderdate >= TIMESTAMP '1998-01-01') a
+             |  JOIN (SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |        WHERE o_orderdate >= TIMESTAMP '1998-01-01') b
+             |    ON a.ok = b.ok AND a.pk <> b.pk
+             |  GROUP BY a.pk)
+             |SELECT coalesce(h1.part, h2.part) AS part,
+             |  CAST(coalesce(h1.deg, 0) AS BIGINT) AS deg_h1,
+             |  CAST(coalesce(h2.deg, 0) AS BIGINT) AS deg_h2,
+             |  CAST(coalesce(h2.deg, 0) - coalesce(h1.deg, 0) AS BIGINT)
+             |    AS delta
+             |FROM h1 FULL OUTER JOIN h2 ON h2.part = h1.part
+             |ORDER BY delta DESC, part LIMIT 20""".stripMargin))
   )
 }
