@@ -2081,7 +2081,41 @@ object TextQueries {
              |    AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
              |  CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_unchanged
-             |FROM v1 FULL OUTER JOIN v2 USING (doc_id)""".stripMargin))
+             |FROM v1 FULL OUTER JOIN v2 USING (doc_id)""".stripMargin)),
+
+    // Zipf rank-frequency profile in power-of-two buckets — the "is this
+    // natural text or generated spam" corpus diagnostic (natural corpora
+    // put geometrically fewer TYPES in each doubling of frequency;
+    // machine-generated floods break the slope). Bucket = floor(log2 f)
+    // computed INTEGER-exactly as len(bin(f))−1 in both engines — no
+    // float log at any frequency, so no boundary flips at exact powers
+    // of two. One token-count agg + one bucket rollup.
+    "d53_zipf_buckets" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("f"))
+          .withColumn("bucket", expr("length(bin(f)) - 1"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"))
+          .select(col("bucket").cast("long").as("bucket"),
+            col("n_types"), col("n_tokens"),
+            expr("CAST(n_tokens * 1000000 AS BIGINT) div n_types")
+              .as("mean_freq_micro"))
+          .orderBy("bucket")
+      },
+      Some("""WITH tf AS (
+             |  SELECT token, count(*) AS f FROM (
+             |    SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+             |      AS token
+             |    FROM documents)
+             |  GROUP BY token)
+             |SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_types,
+             |  CAST(sum(f) AS BIGINT) AS n_tokens,
+             |  CAST(sum(f) * 1000000 // count(*) AS BIGINT)
+             |    AS mean_freq_micro
+             |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** One 64-row bucket frame (0..63) for the HLL union merge. */
