@@ -631,8 +631,13 @@ object Graph {
       acc ::= deltaNext.select("node", "delta")
     }
     e.unpersist()
-    acc.reduce(_.unionAll(_))
-      .groupBy("node").agg(sum(col("delta")).as("bc_micro"))
+    // maxDepth < 2 leaves no level with flow-through evidence: the
+    // correct result is an empty frame, not an empty.reduce crash
+    if (acc.isEmpty)
+      levels(0).select(col("node"), lit(0L).as("bc_micro")).limit(0)
+    else
+      acc.reduce(_.unionAll(_))
+        .groupBy("node").agg(sum(col("delta")).as("bc_micro"))
   }
 
   /** Luby's maximal-independent-set with DETERMINISTIC per-round md5
@@ -655,8 +660,16 @@ object Graph {
     * node-sized status frame.
     */
   def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+    require(rounds >= 1, "rounds must be >= 1")
+    // defensively bidirect: the local-max rule reads neighbors from the
+    // src side only, so a directed-only edge u->v would let BOTH
+    // endpoints win (v never sees u) — normalizing to undirected makes
+    // the operator correct for any input; already-bidirected lists pass
+    // through the distinct unchanged
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = raw.unionAll(raw.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().persist()
     var status = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct().withColumn("status", lit(0))
@@ -721,6 +734,8 @@ object Graph {
     * rounds+1).
     */
   def ktruss(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1 (support is undefined " +
+      "before the first peel)")
     var cur = canonEdges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")).distinct().localCheckpoint()
     var support: DataFrame = null

@@ -24,10 +24,16 @@ object PrepareRun {
           outDir: String, minTokens: Int = 25, threshold: Double = 0.5,
           capacity: Int = 512, valPct: Int = 5): Seq[(String, Long)] = {
     val q = docs.filter(Pack.tokenCount(col("text")) >= minTokens)
+    // surv feeds BOTH the decontamination build and its manifest count;
+    // clean feeds the split writes and its count — left lazy, each extra
+    // consumer re-runs the survivor anti-join and the whole-corpus
+    // shingle-explode bloom pass (the x61/x62 multi-consumer rule)
     val surv = Dedup.dedupSurvivors(q, "doc_id",
       Dedup.minHashLsh(q, "doc_id", "text", threshold = threshold))
+      .localCheckpoint()
     val clean = Contamination.decontaminateBloom(
       surv, bench, "doc_id", "text", 8)
+      .localCheckpoint()
     // deterministic split: seeded md5 bucket, val = first valPct of 100
     val bucketed = clean.withColumn("bucket",
       pmod(abs(hash(md5(concat(col("doc_id").cast("string"),

@@ -81,9 +81,15 @@ object Similarity {
     * exactly the count of sign-disagreeing dimensions.
     */
   def signBits(embCol: String): Column = expr(
-    s"aggregate(transform($embCol, (x, i) -> " +
+    // >64 dims would WRAP the shift count (shiftleft masks to 6 bits),
+    // silently OR-ing unrelated dimensions into the same bit and
+    // collapsing recall with no error — fail loudly instead
+    s"IF(size($embCol) <= 64, " +
+      s"aggregate(transform($embCol, (x, i) -> " +
       "IF(CAST(x AS DOUBLE) > 0.0D, shiftleft(CAST(1 AS BIGINT), i), " +
-      "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)")
+      "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b), " +
+      "raise_error('signBits supports at most 64 dims; got ' || " +
+      s"CAST(size($embCol) AS STRING)))")
 
   /** Binary-quantized top-k: Hamming prefilter over the packed sign
     * word (`bit_count(xor)` — one codegen'd instruction pair per row on
@@ -379,24 +385,17 @@ object Similarity {
                     trainIters: Int = 0): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // ONE definition of the assignment semantics: the persisted layout
+    // uses the SAME seedCentroids/assignLists the query paths use, so a
+    // tie-break or NaN-guard change can never diverge index from query
     val cents: Array[Array[Float]] =
       if (trainIters > 0) kmeansCentroids(embeddings, nlist, trainIters)
-      else embeddings
-        .orderBy("vec_id").limit(nlist)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray)
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
-    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
-    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
-      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
-    }.toSeq: _*)
+      else seedCentroids(embeddings, nlist)
     cents.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    embeddings
-      .withColumn("list_id", array_position(simsTo(col("embedding")),
-        array_max(simsTo(col("embedding")))))
+    assignLists(embeddings, cents)
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/lists")
   }
@@ -465,14 +464,9 @@ object Similarity {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("list_id").collect().map(_.getSeq[Float](1).toArray)
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
-    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
-    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
-      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
-    }.toSeq: _*)
-    batch
-      .withColumn("list_id", array_position(simsTo(col("embedding")),
-        array_max(simsTo(col("embedding")))))
+    // same assignLists the build and query paths use (no private copy
+    // of the argmax/tie-break semantics)
+    assignLists(batch, cents)
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/lists")
   }
@@ -515,17 +509,10 @@ object Similarity {
                       trainIters: Int = 0): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // same shared coarse-quantizer semantics as writeIvfIndex/queries
     val cents: Array[Array[Float]] =
       if (trainIters > 0) kmeansCentroids(embeddings, nlist, trainIters)
-      else embeddings
-        .orderBy("vec_id").limit(nlist)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray)
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
-    def centCol(c: Array[Float]): Column = array(c.map(lit(_)).toSeq: _*)
-    def simsTo(emb: Column): Column = array(cents.zip(centNorms).map {
-      case (c, cn) => dot(emb, centCol(c)) / (norm(emb) * lit(cn))
-    }.toSeq: _*)
+      else seedCentroids(embeddings, nlist)
     cents.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
@@ -539,11 +526,10 @@ object Similarity {
     } yield cbRows(c)(sIdx * d + i)
     Seq((nSub, cbFlat)).toDF("n_sub", "codebook")
       .write.mode("overwrite").parquet(s"$path/codebook")
-    embeddings
-      .withColumn("codes", graft.functions.VectorFunctions
-        .pqEncode(col("embedding"), typedlit(cbFlat), nSub))
-      .withColumn("list_id", array_position(simsTo(col("embedding")),
-        array_max(simsTo(col("embedding")))))
+    assignLists(
+        embeddings.withColumn("codes", graft.functions.VectorFunctions
+          .pqEncode(col("embedding"), typedlit(cbFlat), nSub)),
+        cents)
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/lists")
   }

@@ -33,6 +33,44 @@ object ExtensionQueries {
 
   // Shared oracle-SQL prelude: per-doc DISTINCT n-word shingle sets over
   // whitespace-tokenized text — the exact mirror of Dedup.shingles.
+  /** The co-purchase pair pipeline every graph-family gate builds on:
+    * distinct (order, part) incidences, per-order sorted item sets, one
+    * in-row pair explode (never an op x op self-join on Spark's side),
+    * pairs kept at co-purchase count >= 2. ONE definition for the ~10
+    * graph gates that previously inlined it verbatim — the SQL oracles
+    * keep their own copies by design (each gate's oracle is
+    * self-contained), so the HAVING >= 2 threshold lives here and in
+    * each oracle's `pc` CTE.
+    */
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
+      .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.groupBy("ok")
+      .agg(sort_array(collect_set(col("pk"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+  }
+
+  /** Bidirected unweighted edge list over `coPurchasePairs` (each
+    * undirected pair explodes to both orientations in one pass).
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    coPurchasePairs(s, dir).select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst")),
+        struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   private def shinglesCteN(n: Int, src: String = "documents"): String = {
     val cat = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
       .mkString(" || ' ' || ")
@@ -1286,21 +1324,7 @@ object ExtensionQueries {
     // x47 — node-sized label frame, edge join + argmax window.
     "x51_label_prop" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
         // bidirect via explode — one pass over the pair pipeline (x47 note)
         val edges = pc.select(explode(array(
             struct(col("pa").as("src"), col("pb").as("dst")),
@@ -1359,21 +1383,7 @@ object ExtensionQueries {
     // see the Scaladoc).
     "x52_triangles" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
         Graph.triangles(pc.select(col("pa").as("src"), col("pb").as("dst")))
           .orderBy("node")
       },
@@ -1556,21 +1566,7 @@ object ExtensionQueries {
     // EXPONENTIALLY (>8 min; materialized: ~5 s). All-integer decisions.
     "x56_kcore" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
         // bidirect via explode — one pass over the pair pipeline (x47 note)
         val edges = pc.select(explode(array(
             struct(col("pa").as("src"), col("pb").as("dst")),
@@ -1758,21 +1754,7 @@ object ExtensionQueries {
     // d=0 (the seed list is part of the corpus by definition).
     "x59_bfs" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
         // bidirect via explode — one pass over the pair pipeline (x47 note)
         val edges = pc.select(explode(array(
             struct(col("pa").as("src"), col("pb").as("dst")),
@@ -1823,21 +1805,7 @@ object ExtensionQueries {
     // + a single scalar agg — no quadratic anything.
     "x61_assortativity" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
         val e = pc.select(explode(array(
             struct(col("pa").as("src"), col("pb").as("dst")),
             struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
@@ -1879,21 +1847,7 @@ object ExtensionQueries {
     // to DECIMAL(38,0) (the x50 widening discipline).
     "x62_modularity" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
         // materialized ONCE: consumed by labelPropagate (which derives
         // its own cached distinct) AND by the modularity joins below —
         // left lazy, the whole collect_set+pair pipeline would run twice
@@ -2126,25 +2080,7 @@ object ExtensionQueries {
     // small-world graphs).
     "x69_connected_components" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
-        val edges = pc.select(explode(array(
-            struct(col("pa").as("src"), col("pb").as("dst")),
-            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val edges = coPurchaseEdges(s, dir)
         // checkpointInterval stays 1 even on this small graph: unlike
         // x47's narrow rank update, the standing label frame's update is
         // a union-min SHUFFLE, so deferring materialization re-runs
@@ -2183,21 +2119,7 @@ object ExtensionQueries {
     // the frontier's out-edges, never O(E).
     "x70_sssp" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
           .withColumn("w", (col("pa") + col("pb")) % 7 + 1)
         val edges = pc.select(explode(array(
             struct(col("pa").as("src"), col("pb").as("dst"), col("w")),
@@ -2250,25 +2172,7 @@ object ExtensionQueries {
     // NOT-EXISTS settlement, mirroring x59.
     "x75_closeness" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
-        val edges = pc.select(explode(array(
-            struct(col("pa").as("src"), col("pb").as("dst")),
-            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val edges = coPurchaseEdges(s, dir)
         val seeds = t(s, dir, "part")
           .filter(col("p_partkey") % 97 === 0)
           .select(col("p_partkey").as("source"))
@@ -2327,25 +2231,7 @@ object ExtensionQueries {
     // Top-20 with node tiebreak; the oracle unrolls both passes.
     "x76_betweenness" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
-        val edges = pc.select(explode(array(
-            struct(col("pa").as("src"), col("pb").as("dst")),
-            struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val edges = coPurchaseEdges(s, dir)
         val seeds = t(s, dir, "part")
           .filter(col("p_partkey") % 97 === 0)
           .select(col("p_partkey").as("source"))
@@ -2431,21 +2317,7 @@ object ExtensionQueries {
     // unchanged; everything downstream is pair-keyed aggregation.
     "x77_link_prediction" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
         val e = pc.select(explode(array(
             struct(col("pa").as("src"), col("pb").as("dst")),
             struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
@@ -2685,21 +2557,7 @@ object ExtensionQueries {
     // decided on. Oracle unrolls both peels.
     "x81_ktruss" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
           .select(col("pa").as("u"), col("pb").as("v"))
         graft.operators.Graph.ktruss(pc, k = 3, rounds = 2)
           .orderBy("u", "v")
@@ -2742,21 +2600,7 @@ object ExtensionQueries {
     // deterministic. Output is one row; the oracle unrolls both sweeps.
     "x82_diameter" -> QueryDef(
       (s, dir) => {
-        val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
-          .join(t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_partkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pc = op.groupBy("ok")
-          .agg(sort_array(collect_set(col("pk"))).as("items"))
-          .select(explode(expr(
-            "flatten(transform(items, (x, i) -> " +
-              "transform(slice(items, i + 2, size(items)), " +
-              "y -> struct(x AS pa, y AS pb))))")).as("pr"))
-          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
+        val pc = coPurchasePairs(s, dir)
         val e = pc.select(explode(array(
             struct(col("pa").as("src"), col("pb").as("dst")),
             struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))

@@ -23,7 +23,9 @@ object AnnScale {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.driver.memory", "24g")
+      // NOTE: spark.driver.memory is a no-op for an in-process builder
+      // (heap is fixed at JVM launch) — the probe runs on the sbt JVM's
+      // heap; size it via SBT_OPTS/-Xmx if the corpus is scaled up
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
