@@ -747,8 +747,15 @@ object Graph {
         .unionAll(cur.select(col("v").as("src"), col("u").as("dst")))
       val fromU = bidir.select(col("src").as("u"), col("dst").as("z"))
       val fromV = bidir.select(col("src").as("v"), col("dst").as("z"))
-      support = cur.join(fromU, "u").join(fromV, Seq("v", "z"))
-        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      // triangle-free edges never appear in the wedge join, so left-join
+      // them back with support 0 — otherwise k <= 2 (threshold 0) would
+      // wrongly drop edges that close no triangle instead of keeping all
+      support = cur.join(
+          cur.join(fromU, "u").join(fromV, Seq("v", "z"))
+            .groupBy("u", "v").agg(count(lit(1)).as("tri")),
+          Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("tri"), lit(0L)).as("support"))
         .localCheckpoint()
       val next = support.filter(col("support") >= k - 2)
         .select("u", "v").localCheckpoint()

@@ -715,7 +715,10 @@ object Multimodal {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(content))
     val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+    // the decode below is little-endian; a big-endian stream would
+    // silently produce wrong samples, so reject it up front
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian,
       s"doc $docId: unexpected format $fmt")
     val bytes = ais.readAllBytes()
     val n = bytes.length / 2
@@ -759,7 +762,10 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.content))
       val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      // the decode below is little-endian; a big-endian stream would
+      // silently produce wrong samples, so reject it up front
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
         s"doc ${r.doc_id}: unexpected format $fmt")
       val bytes = ais.readAllBytes()
       val n = bytes.length / 2
@@ -800,7 +806,10 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.content))
       val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      // the decode below is little-endian; a big-endian stream would
+      // silently produce wrong samples, so reject it up front
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
         s"doc ${r.doc_id}: unexpected format $fmt")
       val bytes = ais.readAllBytes()
       val n = bytes.length / 2

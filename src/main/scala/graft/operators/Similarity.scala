@@ -102,8 +102,19 @@ object Similarity {
     * x41/x65 oracle discipline). Recall < 1.0 by construction — gated
     * with the x74 overlap-vs-brute entry.
     */
+  /** The Hamming prefilter and final `limit` are GLOBAL, so a multi-row
+    * query frame would silently merge top-k across queries — enforce the
+    * single-query contract loudly (multi-query callers loop per query,
+    * the x66-sweep discipline). Cost: one 2-row count on a tiny frame.
+    */
+  private def requireSingleQuery(query: DataFrame, op: String): Unit =
+    require(query.limit(2).count() == 1,
+      s"$op is single-query (global prefilter+limit would merge top-k " +
+        "across queries); call once per query row")
+
   def binaryTopK(embeddings: DataFrame, query: DataFrame, k: Int,
                  prefilter: Int = 40): DataFrame = {
+    requireSingleQuery(query, "binaryTopK")
     // a precomputed `bits` column (the persisted-index shape: pack once
     // at build time, 8 bytes/vector) is reused; otherwise pack inline
     val packed =
@@ -426,6 +437,7 @@ object Similarity {
   def binaryIndexTopK(spark: org.apache.spark.sql.SparkSession,
                       path: String, query: DataFrame, k: Int,
                       prefilter: Int = 40): DataFrame = {
+    requireSingleQuery(query, "binaryIndexTopK")
     val q = query.withColumn("q_bits", signBits("q_embedding"))
     val cands = spark.read.parquet(s"$path/codes")
       .crossJoin(broadcast(q))

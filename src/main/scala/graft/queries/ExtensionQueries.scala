@@ -1930,7 +1930,7 @@ object ExtensionQueries {
              |FROM tot CROSS JOIN s2""".stripMargin)),
 
     // MinHash calibration — measure the sketch against ground truth: for
-    // every pair in a bounded doc panel (every 2nd doc), the k=32
+    // every pair in a bounded doc panel (every 50th doc), the k=32
     // md5-slot MinHash Jaccard ESTIMATE next to the exact shingle
     // Jaccard. md5 (not the production xxhash kernel) makes the
     // signature engine-reproducible, so the oracle rebuilds the exact
@@ -1938,12 +1938,14 @@ object ExtensionQueries {
     // threshold/band choices, as a standing gate. Estimates are
     // multiples of 1/32 (exact in binary); both ratios round at 6 dp.
     // 100 TB shape: panel-bounded — sizes, signatures, and pairs all
-    // scale with the PANEL (a fixed calibration sample), never the
-    // corpus; the per-slot min rides one (doc, slot)-key agg.
+    // scale with the PANEL (a 2% calibration sample — the exact-Jaccard
+    // shingle self-join inside runs on panel-sized frames only, so the
+    // claim holds by construction), never the corpus; the per-slot min
+    // rides one (doc, slot)-key agg.
     "d40_minhash_calibration" -> QueryDef(
       (s, dir) => {
         val sh = t(s, dir, "documents")
-          .filter(col("doc_id") % 2 === 0)
+          .filter(col("doc_id") % 50 === 0)
           .select(col("doc_id"),
             explode(Dedup.shingles(col("text"), 3)).as("shingle"))
           .distinct()
@@ -1993,7 +1995,7 @@ object ExtensionQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH ${shinglesCteN(3,
-                 "(SELECT * FROM documents WHERE doc_id % 2 = 0) seld")},
+                 "(SELECT * FROM documents WHERE doc_id % 50 = 0) seld")},
              |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              |mh AS (
              |  SELECT doc_id, i AS slot,
@@ -2467,14 +2469,22 @@ object ExtensionQueries {
     // capped rounds is the gate (x70 discipline): 1 = kept, 2 = dropped,
     // 0 = still contended; isolated docs never enter the graph and are
     // trivially kept. The oracle unrolls all three rounds with the same
-    // 48-bit md5 priorities.
+    // 48-bit md5 priorities. The pair build caps shingle document
+    // frequency at 64 (the Dedup.maxBucket discipline): a shingle shared
+    // by >64 docs is boilerplate, not near-dup evidence, and an uncapped
+    // self-join on it is the quadratic hot-key blowup SCALE.md §2 bans —
+    // one window on the join key drops it BEFORE any pair materializes.
     "x80_mis_survivors" -> QueryDef(
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val sh = t(s, dir, "documents")
           .select(col("doc_id"),
             explode(graft.operators.Dedup.shingles(col("text"), 3))
               .as("shingle"))
           .distinct()
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("df") <= 64).drop("df")
         val pairs = sh.as("a").join(sh.as("b"), "shingle")
           .filter(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
@@ -2524,9 +2534,13 @@ object ExtensionQueries {
            |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
            |  FROM toks WHERE len(t) >= 3),
            |sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-           |  FROM idx),
+           |  SELECT doc_id, shingle FROM (
+           |    SELECT doc_id, shingle,
+           |      count(*) OVER (PARTITION BY shingle) AS df
+           |    FROM (SELECT DISTINCT doc_id,
+           |      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           |      FROM idx))
+           |  WHERE df <= 64),
            |pr AS (
            |  SELECT a.doc_id AS u, b.doc_id AS v
            |  FROM sh a JOIN sh b

@@ -470,7 +470,7 @@ object StreamingAnalytics {
   /** Streaming distinct-count per source: a 64-register HyperLogLog in
     * per-key GroupState (256 bytes per source, FOREVER — vs the
     * unbounded token set exact streaming distinct would hoard). Emits
-    * the updated estimate per key per micro-batch (Update mode). The
+    * the updated estimate per key per micro-batch (Append mode). The
     * register semantics are graft.functions.Hll — the SAME arithmetic
     * the d48/d49 batch gates pin against DuckDB, so a streaming
     * estimate and a batch recompute of the same data agree EXACTLY

@@ -171,6 +171,18 @@ class Round11GraphSpec extends GraftSparkSpec {
       (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
   }
 
+  test("ktruss k=2 keeps triangle-free edges with support 0") {
+    // threshold k-2 = 0: every edge survives, including the pendant and
+    // the bare bridge that close no triangle — the zero-support rows the
+    // wedge join alone would drop (r11 advice fix)
+    val canon = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (8L, 9L))
+      .toDF("u", "v")
+    val got = Graph.ktruss(canon, k = 2, rounds = 2)
+      .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 0L), (8L, 9L, 0L)))
+  }
+
   test("harmonicCentrality integer units on a hand-checked chain") {
     // chain 1-2-3-4, source 1, depth 3: d = {2:1, 3:2, 4:3} →
     // harmonic = 1000000 + 500000 + 333333, closeness = 3·1e6 div 6
