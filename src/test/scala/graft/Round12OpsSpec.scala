@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: PrepareRun's stage-marker resume protocol — a
+  * process death between the `train_docs` and `train_spans` writes must
+  * not recompute the dedup/decontaminate front on re-run, and a changed
+  * parameter must invalidate the markers so stages DO recompute.
+  */
+class Round12OpsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private def rmTree(p: String): Unit = {
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("PrepareRun resumes after a death between train_docs and train_spans") {
+    import graft.operators.PrepareRun
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-resume").toString
+    val m1 = PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10).toMap
+
+    // simulate the kill: spans output, its marker, and the manifest are
+    // gone (the death happened before any of them committed); the docs
+    // stage marker and its parquet outputs survived
+    rmTree(s"$tmp/train_spans")
+    rmTree(s"$tmp/_stage_spans")
+    rmTree(s"$tmp/manifest")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/_stage_docs")))
+
+    // resume with a DIFFERENT (smaller) docs frame: if the front re-ran,
+    // the manifest's input/survivor counts would reflect the new frame —
+    // they must instead come from the committed stage marker
+    val m2 = PrepareRun.run(spark, docs.filter(col("doc_id") % 2 === 0),
+      bench, tmp, minTokens = 10, threshold = 0.5,
+      capacity = 512, valPct = 10).toMap
+    assert(m2("input") == m1("input"))
+    assert(m2("dedup_survivors") == m1("dedup_survivors"))
+    assert(m2("train") == m1("train"))
+    // the interrupted stage was redone: spans exist and match run 1
+    assert(m2("train_spans") == m1("train_spans"))
+    assert(spark.read.parquet(s"$tmp/train_spans").count() ==
+      m1("train_spans"))
+  }
+
+  test("PrepareRun recomputes every stage when parameters change") {
+    import graft.operators.PrepareRun
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-params").toString
+    val m1 = PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10).toMap
+    // same outDir, tighter quality floor: the stale markers carry a
+    // different fingerprint, so the front recomputes under the new floor
+    val m2 = PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 40, threshold = 0.5, capacity = 512, valPct = 10).toMap
+    assert(m2("input") == m1("input"))
+    assert(m2("quality_pass") < m1("quality_pass"))
+    // outputs were rewritten to match the new run, not left stale
+    assert(spark.read.parquet(s"$tmp/train_docs").count() == m2("train"))
+  }
+
+  test("PrepareRun full re-run into the same outDir is a cheap no-op") {
+    import graft.operators.PrepareRun
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-noop").toString
+    val m1 = PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10)
+    val m2 = PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10)
+    assert(m2 === m1)
+  }
+}
