@@ -397,9 +397,13 @@ object GraftCli {
     // append an embedding wave to a persisted IVF index (frozen centroids)
     case "ann-index-append" :: embParquet :: indexDir :: Nil =>
       val spark = session()
-      operators.Similarity.appendIvfIndex(
+      val drift = operators.Similarity.appendIvfIndex(
         spark.read.parquet(embParquet), indexDir)
       println(s"[graft] ivf append: $embParquet -> $indexDir")
+      drift.foreach { d =>
+        println(s"[graft] drift: n=${d.nBatch} kl_micro=${d.klMicro} " +
+          s"retrain=${d.retrain}")
+      }
       spark.stop()
 
     case "ann-index-build" :: embParquet :: indexDir :: rest =>

@@ -406,10 +406,65 @@ object Similarity {
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    assignLists(embeddings, cents)
+    val assigned = assignLists(embeddings, cents)
+      .localCheckpoint() // one assignment pass feeds lists + build_dist
+    assigned
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/lists")
+    // build-time list-assignment distribution (nlist rows): the drift
+    // baseline appendIvfIndex compares every append wave against
+    assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/build_dist")
   }
+
+  /** Drift of a batch's list-assignment distribution against the
+    * index's build-time distribution: add-one-smoothed KL(batch ||
+    * build) over all `nlist` lists, in integer micro-nats with per-term
+    * rounding (the d46 cross-engine discipline — both engines compute
+    * `round(p·ln(p/q)·1e6)` per list on integer-ratio doubles, then
+    * sum). `buildDist` is `(list_id, n)` — the `build_dist` table a
+    * `writeIvfIndex` persists. Returns ONE row `(n_batch, kl_micro,
+    * retrain)` with `retrain = kl_micro > retrainMicro`.
+    *
+    * Why KL and not recall: the x65-style recall panel is the
+    * ground-truth retrain check but costs brute-force scans; this
+    * tripwire is nlist-sized arithmetic on counts the append pass
+    * already computes, so it runs on EVERY wave and flags when the
+    * expensive check is worth running. The default threshold (0.5
+    * nats) is far above sampling noise for realistic wave sizes
+    * ((nlist−1)/2n nats for an in-distribution wave of n vectors) and
+    * far below the ≥1-nat signal of ingest concentrated in a few lists;
+    * calibrate per deployment from logged wave KLs.
+    */
+  def assignmentDrift(batchAssigned: DataFrame, buildDist: DataFrame,
+                      nlist: Int,
+                      retrainMicro: Long = 500000L): DataFrame = {
+    val spark = batchAssigned.sparkSession
+    import spark.implicits._
+    val lists = (1L to nlist.toLong).toDF("list_id")
+    val bc = batchAssigned.groupBy("list_id").agg(count(lit(1)).as("bn"))
+    // nlist-row frame: every list appears, absent counts are 0 (the
+    // smoothing must see empty lists on BOTH sides)
+    val j = lists
+      .join(bc, Seq("list_id"), "left")
+      .join(buildDist.select(col("list_id"), col("n").as("cn")),
+        Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("bn"), lit(0L)).as("bn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val tot = j.agg(sum("bn").as("tb"), sum("cn").as("tc"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("p", (col("bn") + 1).cast("double") /
+        (col("tb") + nlist).cast("double"))
+      .withColumn("q", (col("cn") + 1).cast("double") /
+        (col("tc") + nlist).cast("double"))
+      .withColumn("term_micro",
+        round(col("p") * log(col("p") / col("q")) * 1e6).cast("long"))
+      .agg(max(col("tb")).as("n_batch"),
+        sum(col("term_micro")).as("kl_micro"))
+      .withColumn("retrain", col("kl_micro") > retrainMicro)
+  }
+
+  case class DriftReport(nBatch: Long, klMicro: Long, retrain: Boolean)
 
   /** Persist a binary (sign-bit) index: TWO tables with different scan
     * economics — `codes` holds only (vec_id, bits), 16 bytes a row, the
@@ -462,25 +517,41 @@ object Similarity {
     * ingestion waves assign under the existing coarse quantizer;
     * re-training is a deliberate separate rebuild (drift is a recall
     * concern, never a correctness one: queries scan whatever lives in
-    * the probed lists). RETRAIN TRIGGER: run the x65-style recall panel
-    * (a fixed query set vs brute force over the current index) after
-    * each append wave; when panel recall at the operating nprobe drops
-    * below the build-time baseline by more than the budgeted margin,
-    * rebuild with `writeIvfIndex(trainIters > 0)` — the x68 gate
-    * measures exactly what that buys. Append-only contract mirrors the
-    * ingest sinks:
-    * re-appending the same vec_id duplicates it — callers dedup waves
-    * upstream (x21's incremental-dedup discipline).
+    * the probed lists). RETRAIN TRIPWIRE: every append wave's
+    * list-assignment distribution is compared against the index's
+    * persisted build-time distribution (`assignmentDrift`, KL in
+    * micro-nats — the x84 gate pins the semantics); the returned report
+    * says whether the wave drifted past the threshold. A fired tripwire
+    * means: run the x65-style recall panel (fixed query set vs brute
+    * force — the ground truth the cheap KL check stands in for), and if
+    * panel recall at the operating nprobe has dropped past the budgeted
+    * margin, rebuild with `writeIvfIndex(trainIters > 0)` — the x68
+    * gate measures exactly what that buys. Append-only contract mirrors
+    * the ingest sinks: re-appending the same vec_id duplicates it —
+    * callers dedup waves upstream (x21's incremental-dedup discipline).
+    *
+    * Returns None for an index persisted before `build_dist` existed
+    * (pre-r12 layout) — the append still lands.
     */
-  def appendIvfIndex(batch: DataFrame, path: String): Unit = {
+  def appendIvfIndex(batch: DataFrame, path: String): Option[DriftReport] = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("list_id").collect().map(_.getSeq[Float](1).toArray)
     // same assignLists the build and query paths use (no private copy
     // of the argmax/tie-break semantics)
-    assignLists(batch, cents)
+    val assigned = assignLists(batch, cents)
+      .localCheckpoint() // feeds the append write AND the drift counts
+    assigned
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/lists")
+    val distPath = new org.apache.hadoop.fs.Path(s"$path/build_dist")
+    val fsys = distPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(distPath)) None
+    else {
+      val r = assignmentDrift(assigned.select("list_id"),
+        spark.read.parquet(s"$path/build_dist"), cents.length).head()
+      Some(DriftReport(r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    }
   }
 
   /** Top-k against a persisted `writeIvfIndex`: centroids load driver-side

@@ -789,8 +789,99 @@ object VectorQueries {
         }
         per.reduce(_.unionAll(_)).orderBy("query_id")
       },
-      Some(binaryQuantOracle(Seq(100L, 200L, 300L, 400L), prefilter = 40)))
+      Some(binaryQuantOracle(Seq(100L, 200L, 300L, 400L), prefilter = 40))),
+
+    // IVF drift tripwire — the incremental-append retrain trigger as a
+    // standing gate (Similarity.assignmentDrift, the hook appendIvfIndex
+    // runs on every wave): add-one-smoothed KL(batch || build) over list
+    // assignments in integer micro-nats (the d46 per-term-rounding
+    // discipline). Two synthetic waves against the full-corpus build
+    // distribution: an in-distribution sample (every 7th vector — KL is
+    // sampling noise, tripwire stays QUIET) and a drifted wave (vectors
+    // from two lists only, the ingest-suddenly-concentrated shape — KL
+    // is O(1) nats, tripwire FIRES). The oracle recomputes assignment,
+    // both distributions, and every smoothed KL term in SQL.
+    "x84_ivf_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.seedCentroids(e, 16)
+        val assigned = Similarity.assignLists(e, cents)
+          .select("vec_id", "list_id").localCheckpoint()
+        val buildDist = assigned.groupBy("list_id")
+          .agg(count(lit(1)).as("n"))
+        Seq(
+          ("drifted", assigned.filter(col("list_id") <= 2)),
+          ("in_dist", assigned.filter(col("vec_id") % 7 === 3)))
+          .map { case (nm, b) =>
+            Similarity.assignmentDrift(b.select("list_id"), buildDist, 16)
+              .select(lit(nm).as("batch"), col("n_batch"),
+                col("kl_micro"), col("retrain"))
+          }.reduce(_.unionAll(_)).orderBy("batch")
+      },
+      Some(ivfDriftOracle(nlist = 16, retrainMicro = 500000L)))
   )
+
+  /** Oracle for x84: assignment argmax (the x73 asg machinery), build +
+    * wave distributions over all nlist lists (absent lists count 0 on
+    * both sides — the smoothing must see them), add-one-smoothed KL
+    * terms rounded to micro-nats each, summed per wave.
+    */
+  private def ivfDriftOracle(nlist: Int, retrainMicro: Long): String = {
+    def cosC(v: String, c: String, vn: String, cn: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1), " +
+        s"i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |      (a, b) -> a + b)) AS vn
+       |  FROM e),
+       |cen AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v, vn
+       |  FROM en ORDER BY vec_id LIMIT $nlist),
+       |sims AS (
+       |  SELECT en.vec_id, cen.cid,
+       |    ${cosC("en.v", "cen.v", "en.vn", "cen.vn")} AS s
+       |  FROM en, cen),
+       |asg AS (
+       |  SELECT sims.vec_id, min(cid) AS list_id FROM sims
+       |  JOIN (SELECT vec_id AS v2, max(s) AS ms FROM sims GROUP BY 1) m
+       |    ON sims.vec_id = m.v2 AND sims.s = m.ms
+       |  GROUP BY sims.vec_id),
+       |lists AS (
+       |  SELECT CAST(unnest(range(1, ${nlist + 1})) AS BIGINT) AS list_id),
+       |bld AS (SELECT list_id, count(*) AS cn FROM asg GROUP BY list_id),
+       |tc AS (SELECT count(*) AS tc FROM asg),
+       |waves AS (
+       |  SELECT 'drifted' AS batch, list_id FROM asg WHERE list_id <= 2
+       |  UNION ALL
+       |  SELECT 'in_dist' AS batch, list_id FROM asg WHERE vec_id % 7 = 3),
+       |bc AS (SELECT batch, list_id, count(*) AS bn FROM waves
+       |       GROUP BY 1, 2),
+       |tb AS (SELECT batch, count(*) AS tb FROM waves GROUP BY batch),
+       |grid AS (SELECT tb.batch, tb.tb, lists.list_id FROM tb, lists),
+       |j AS (
+       |  SELECT grid.batch, grid.tb, grid.list_id,
+       |    coalesce(bc.bn, 0) AS bn, coalesce(bld.cn, 0) AS cn
+       |  FROM grid
+       |  LEFT JOIN bc ON bc.batch = grid.batch
+       |    AND bc.list_id = grid.list_id
+       |  LEFT JOIN bld ON bld.list_id = grid.list_id),
+       |terms AS (
+       |  SELECT batch, tb,
+       |    CAST(round((CAST(bn + 1 AS DOUBLE) / (tb + $nlist)) *
+       |      ln((CAST(bn + 1 AS DOUBLE) / (tb + $nlist)) /
+       |         (CAST(cn + 1 AS DOUBLE) / (tc.tc + $nlist))) * 1e6)
+       |      AS BIGINT) AS term_micro
+       |  FROM j, tc)
+       |SELECT batch, CAST(max(tb) AS BIGINT) AS n_batch,
+       |  CAST(sum(term_micro) AS BIGINT) AS kl_micro,
+       |  sum(term_micro) > $retrainMicro AS retrain
+       |FROM terms GROUP BY batch ORDER BY batch""".stripMargin
+  }
 
   /** Oracle for x74: Hamming = count of sign-disagreeing dimensions
     * (identical to popcount of the packed-sign xor), prefilter by

@@ -74,6 +74,40 @@ class Round12OpsSpec extends GraftSparkSpec {
     assert(spark.read.parquet(s"$tmp/train_docs").count() == m2("train"))
   }
 
+  test("appendIvfIndex drift tripwire: drifted wave fires, in-dist stays quiet") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ivf-drift").toString
+    Similarity.writeIvfIndex(e, s"$tmp/idx", nlist = 8)
+    val cents = Similarity.seedCentroids(e, 8)
+    val assigned = Similarity.assignLists(e, cents).localCheckpoint()
+
+    // in-distribution wave: a uniform sample of the corpus — KL is
+    // sampling noise, far below the 0.5-nat threshold
+    val quiet = Similarity.appendIvfIndex(
+      e.filter(col("vec_id") % 5 === 2), s"$tmp/idx")
+    assert(quiet.isDefined && !quiet.get.retrain)
+    assert(quiet.get.klMicro < 500000L)
+
+    // drifted wave: vectors from ONE coarse cell only (ingest suddenly
+    // concentrated) — KL is O(1) nats, tripwire fires
+    val hot = assigned.orderBy("list_id", "vec_id")
+      .limit(1).select("list_id").as[Long].head()
+    val fired = Similarity.appendIvfIndex(
+      e.join(assigned.filter(col("list_id") === hot)
+        .select("vec_id"), "vec_id"), s"$tmp/idx")
+    assert(fired.isDefined && fired.get.retrain)
+
+    // pre-r12 index layout (no build_dist): append lands, report absent
+    val rmAt = new org.apache.hadoop.fs.Path(s"$tmp/idx/build_dist")
+    rmAt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rmAt, true)
+    val legacy = Similarity.appendIvfIndex(
+      e.filter(col("vec_id") % 11 === 0), s"$tmp/idx")
+    assert(legacy.isEmpty)
+  }
+
   test("PrepareRun full re-run into the same outDir is a cheap no-op") {
     import graft.operators.PrepareRun
     val dir = "/root/testdata/sf0.001"
