@@ -652,6 +652,321 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---- mp4 / ISO-BMFF (the container virtually every real video corpus
+  // ships in): the JDK has no H.264 decoder, but the CONTAINER is a
+  // public-spec box tree (ISO/IEC 14496-12) needing none — codec tag,
+  // dimensions, sample sizes/offsets, keyframe (sync-sample) numbers,
+  // and per-sample timing all live in moov/trak/mdia/minf/stbl metadata.
+  // That metadata is what scene/segment pipelines (x78) and frame
+  // samplers actually consume: WHICH byte ranges are keyframes and WHEN
+  // each sample presents — the walk below surfaces exactly that, and a
+  // production deployment points its frame decoder at the surfaced
+  // (offset, size) ranges. The writer emits a structurally complete
+  // minimal mp4 (ftyp, moov with full stbl, mdat) so the parser is
+  // exercised against real box layout, not a byte split.
+
+  /** Parsed ISO-BMFF metadata: codec fourcc + dims from stsd, media
+    * timescale from mdhd, per-sample sizes from stsz, 1-based sync
+    * sample numbers from stss, (count, delta) runs from stts, first
+    * chunk offset from stco.
+    */
+  private[graft] case class Mp4Meta(brand: String, codec: String,
+      width: Int, height: Int, timescale: Long, sizes: Array[Long],
+      syncs: Array[Int], sttsRuns: Array[(Long, Long)], chunkOffset: Long)
+
+  case class Mp4Sample(doc_id: Long, sample_idx: Int, codec: String,
+                       width: Int, height: Int, n_samples: Int,
+                       n_bytes: Long, byte_offset: Long, dts: Long,
+                       is_sync: Boolean)
+
+  private def putCc(bb: java.nio.ByteBuffer, s: String): Unit = {
+    bb.put(s.getBytes("US-ASCII")); ()
+  }
+
+  /** `size+type` box with the given payload parts (big-endian, the
+    * ISO-BMFF wire order — ByteBuffer's default).
+    */
+  private def mkBox(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val inner = parts.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(8 + inner)
+    bb.putInt(8 + inner); putCc(bb, typ)
+    parts.foreach(bb.put)
+    bb.array()
+  }
+
+  private def buf(size: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(size)
+    f(bb)
+    require(!bb.hasRemaining, s"buf under-filled: ${bb.remaining()} left")
+    bb.array()
+  }
+
+  /** Minimal structurally-complete mp4: ftyp(isom), moov(mvhd,
+    * trak(tkhd, mdia(mdhd, hdlr'vide', minf(vmhd, dinf/dref,
+    * stbl(stsd'avc1', stts, stss, stsz, stsc, stco))))), mdat. Sample
+    * DATA is deterministic filler (no H.264 encoder in the JDK — the
+    * container metadata is the point); `stco` carries the real absolute
+    * mdat-payload offset via a two-pass build (the moov size does not
+    * depend on the offset VALUE, so pass 2 patches it exactly).
+    */
+  private[graft] def mp4Bytes(w: Int, h: Int, sizes: Array[Int],
+                                  sttsRuns: Array[(Int, Int)],
+                                  syncs: Array[Int],
+                                  seed: Long): Array[Byte] = {
+    val n = sizes.length
+    require(sttsRuns.map(_._1).sum == n, "stts must cover every sample")
+    val durMedia = sttsRuns.map { case (c, d) => c.toLong * d }.sum
+    val payload = buf(sizes.sum) { bb =>
+      var i = 0
+      var j = 0L
+      while (i < n) {
+        var k = 0
+        while (k < sizes(i)) {
+          bb.put(((seed + 7 * i + j) % 256).toByte); k += 1; j += 1
+        }
+        i += 1
+      }
+    }
+    def build(chunkOff: Long): Array[Byte] = {
+      val ftyp = mkBox("ftyp", buf(16) { bb =>
+        putCc(bb, "isom"); bb.putInt(512); putCc(bb, "isom"); putCc(bb, "avc1")
+      })
+      val mvhd = mkBox("mvhd", buf(100) { bb =>
+        bb.putInt(0) // version 0 + flags
+        bb.putInt(0).putInt(0) // created, modified
+        bb.putInt(1000).putInt((durMedia * 1000 / 90000).toInt)
+        bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        bb.putLong(0) // reserved
+        // unity matrix
+        bb.putInt(0x00010000).putInt(0).putInt(0)
+        bb.putInt(0).putInt(0x00010000).putInt(0)
+        bb.putInt(0).putInt(0).putInt(0x40000000)
+        (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+        bb.putInt(2) // next track id
+        ()
+      })
+      val tkhd = mkBox("tkhd", buf(84) { bb =>
+        bb.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+        bb.putInt(0).putInt(0).putInt(1).putInt(0)
+        bb.putInt((durMedia * 1000 / 90000).toInt)
+        bb.putLong(0).putShort(0).putShort(0).putShort(0).putShort(0)
+        bb.putInt(0x00010000).putInt(0).putInt(0)
+        bb.putInt(0).putInt(0x00010000).putInt(0)
+        bb.putInt(0).putInt(0).putInt(0x40000000)
+        bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+        ()
+      })
+      val mdhd = mkBox("mdhd", buf(24) { bb =>
+        bb.putInt(0).putInt(0).putInt(0)
+        bb.putInt(90000).putInt(durMedia.toInt)
+        bb.putShort(0x55c4.toShort).putShort(0) // 'und' language
+        ()
+      })
+      val hdlr = mkBox("hdlr", buf(25) { bb =>
+        bb.putInt(0).putInt(0); putCc(bb, "vide")
+        bb.putInt(0).putInt(0).putInt(0); bb.put(0.toByte) // empty name
+        ()
+      })
+      val vmhd = mkBox("vmhd", buf(12) { bb =>
+        bb.putInt(1).putShort(0).putShort(0).putShort(0).putShort(0); ()
+      })
+      val dinf = mkBox("dinf", mkBox("dref", buf(8) { bb =>
+        bb.putInt(0).putInt(1); ()
+      }, mkBox("url ", buf(4) { bb => bb.putInt(1); () })))
+      val avc1 = mkBox("avc1", buf(78) { bb =>
+        bb.putInt(0).putShort(0) // 6 reserved bytes
+        bb.putShort(1) // data_reference_index
+        bb.putShort(0).putShort(0) // pre_defined, reserved
+        bb.putInt(0).putInt(0).putInt(0) // pre_defined[3]
+        bb.putShort(w.toShort).putShort(h.toShort)
+        bb.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+        bb.putInt(0).putShort(1) // reserved, frame_count
+        (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
+        bb.putShort(24).putShort(-1) // depth, pre_defined
+        ()
+      })
+      val stsd = mkBox("stsd", buf(8) { bb =>
+        bb.putInt(0).putInt(1); ()
+      }, avc1)
+      val stts = mkBox("stts", buf(8 + 8 * sttsRuns.length) { bb =>
+        bb.putInt(0).putInt(sttsRuns.length)
+        sttsRuns.foreach { case (c, d) => bb.putInt(c).putInt(d) }
+        ()
+      })
+      val stss = mkBox("stss", buf(8 + 4 * syncs.length) { bb =>
+        bb.putInt(0).putInt(syncs.length)
+        syncs.foreach(bb.putInt)
+        ()
+      })
+      val stsz = mkBox("stsz", buf(12 + 4 * n) { bb =>
+        bb.putInt(0).putInt(0).putInt(n)
+        sizes.foreach(bb.putInt)
+        ()
+      })
+      val stsc = mkBox("stsc", buf(20) { bb =>
+        bb.putInt(0).putInt(1)
+        bb.putInt(1).putInt(n).putInt(1) // one chunk holds every sample
+        ()
+      })
+      val stco = mkBox("stco", buf(12) { bb =>
+        bb.putInt(0).putInt(1).putInt(chunkOff.toInt); ()
+      })
+      val stbl = mkBox("stbl", stsd, stts, stss, stsz, stsc, stco)
+      val minf = mkBox("minf", vmhd, dinf, stbl)
+      val mdia = mkBox("mdia", mdhd, hdlr, minf)
+      val trak = mkBox("trak", tkhd, mdia)
+      val moov = mkBox("moov", mvhd, trak)
+      val mdat = mkBox("mdat", payload)
+      ftyp ++ moov ++ mdat
+    }
+    val pass1 = build(0)
+    // mdat payload sits at the end; its absolute offset is fixed by the
+    // box sizes, which do not depend on the offset value
+    build(pass1.length - payload.length)
+  }
+
+  /** Deterministic mp4 per doc: n = id%7+3 samples of a
+    * (id%5+2)*16 x (id%4+2)*16 'avc1' track; sample i is
+    * (id+i)%50+20 bytes; stts is TWO runs (first half delta 3000, rest
+    * 3600 at timescale 90000 — exercises the run-length parse);
+    * keyframes every 3rd sample from 1. Every surfaced field is doc_id
+    * arithmetic — the oracle recomputes all of it.
+    */
+  private def mp4Of(id: Long): Array[Byte] = {
+    val n = (id % 7 + 3).toInt
+    val n1 = n / 2
+    mp4Bytes(((id % 5 + 2) * 16).toInt, ((id % 4 + 2) * 16).toInt,
+      Array.tabulate(n)(i => ((id + i) % 50 + 20).toInt),
+      Array((n1, 3000), (n - n1, 3600)),
+      (1 to n by 3).toArray, id)
+  }
+
+  def synthesizeMp4(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => VideoRow(id, mp4Of(id)))
+      .toDF()
+  }
+
+  /** ISO-BMFF box walker: recursive descent over the size+type tree
+    * (64-bit largesize and size-0-to-end handled), descending into
+    * moov/trak/mdia/minf/stbl and extracting the stbl sample tables.
+    * Validates structure loudly: box bounds against the container,
+    * handler 'vide', single stsd entry, stts coverage = stsz count,
+    * and the stco chunk offset + total sample bytes inside the mdat
+    * payload — a parse, not a byte split.
+    */
+  private[graft] def parseMp4(bytes: Array[Byte]): Mp4Meta = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    def cc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    var brand: String = null
+    var codec: String = null
+    var w = -1; var h = -1
+    var timescale = -1L
+    var sizes: Array[Long] = null
+    var syncs: Array[Int] = Array.empty
+    var sttsRuns: Array[(Long, Long)] = null
+    var stco = -1L
+    var mdatStart = -1L; var mdatEnd = -1L
+    def u32(): Long = bb.getInt().toLong & 0xffffffffL
+    def walk(end: Long): Unit = {
+      while (bb.position() < end) {
+        val start = bb.position().toLong
+        require(end - start >= 8, "truncated box header")
+        var size = u32()
+        val typ = cc()
+        if (size == 1) size = bb.getLong()
+        else if (size == 0) size = end - start
+        val boxEnd = start + size
+        require(size >= 8 && boxEnd <= end,
+          s"box $typ overruns its container ($size bytes, $end end)")
+        typ match {
+          case "ftyp" => brand = cc()
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(boxEnd)
+          case "mdhd" =>
+            val ver = bb.get()
+            bb.get(); bb.get(); bb.get()
+            if (ver == 1) { bb.getLong(); bb.getLong() }
+            else { bb.getInt(); bb.getInt() }
+            timescale = u32()
+          case "hdlr" =>
+            bb.getInt(); bb.getInt()
+            require(cc() == "vide", "first track must be video")
+          case "stsd" =>
+            bb.getInt()
+            require(bb.getInt() == 1, "expected a single stsd entry")
+            bb.getInt() // entry size
+            codec = cc()
+            bb.position(bb.position() + 6 + 2 + 16) // rsvd, dref, pre_def
+            w = bb.getShort() & 0xffff
+            h = bb.getShort() & 0xffff
+          case "stts" =>
+            bb.getInt()
+            sttsRuns = Array.fill(bb.getInt())((u32(), u32()))
+          case "stss" =>
+            bb.getInt()
+            syncs = Array.fill(bb.getInt())(bb.getInt())
+          case "stsz" =>
+            bb.getInt()
+            val uniform = u32()
+            val cnt = bb.getInt()
+            sizes =
+              if (uniform != 0) Array.fill(cnt)(uniform)
+              else Array.fill(cnt)(u32())
+          case "stco" =>
+            bb.getInt()
+            require(bb.getInt() >= 1, "stco must hold an offset")
+            stco = u32()
+          case "mdat" =>
+            mdatStart = start + 8
+            mdatEnd = boxEnd
+          case _ => // mvhd/tkhd/vmhd/dinf/free/...: opaque here
+        }
+        bb.position(boxEnd.toInt)
+      }
+    }
+    walk(bytes.length.toLong)
+    require(brand != null && codec != null && timescale > 0 &&
+      sizes != null && sttsRuns != null && stco >= 0 && mdatStart >= 0,
+      "missing required ISO-BMFF boxes")
+    require(sttsRuns.map(_._1).sum == sizes.length,
+      s"stts covers ${sttsRuns.map(_._1).sum} samples, stsz says ${sizes.length}")
+    require(stco >= mdatStart && stco + sizes.sum <= mdatEnd,
+      "stco chunk offset + sample bytes must sit inside mdat")
+    Mp4Meta(brand, codec, w, h, timescale, sizes, syncs, sttsRuns, stco)
+  }
+
+  /** One row per SAMPLE from the container metadata alone: codec,
+    * dims, size, intra-chunk byte offset (prefix sum of sizes — plus
+    * `stco` it is the absolute range a production frame decoder reads),
+    * decode timestamp from the stts runs, and the stss keyframe flag.
+    * Narrow flatMap over the binary column; no shuffle; the shape
+    * scene-cut and frame-sample pipelines consume for real corpora.
+    */
+  def mp4SampleTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "content").as[VideoRow].flatMap { r =>
+      val m = parseMp4(r.content)
+      val n = m.sizes.length
+      val syncSet = m.syncs.toSet
+      val dts = new Array[Long](n)
+      var i = 0
+      var acc = 0L
+      m.sttsRuns.foreach { case (cnt, delta) =>
+        var c = 0L
+        while (c < cnt) { dts(i) = acc; acc += delta; i += 1; c += 1 }
+      }
+      val offs = m.sizes.scanLeft(0L)(_ + _)
+      (0 until n).map { j =>
+        Mp4Sample(r.doc_id, j, m.codec, m.width, m.height, n,
+          m.sizes(j), offs(j), dts(j), syncSet.contains(j + 1))
+      }
+    }.toDF()
+  }
+
   // ---- audio modality: REAL decode (javax.sound.sampled — WAV/PCM needs
   // no external codec, closing VERDICT r3's "audio needs codecs" gap the
   // same way x16 closed it for images). Synthesis writes a deterministic

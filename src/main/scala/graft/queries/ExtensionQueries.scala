@@ -2459,6 +2459,41 @@ object ExtensionQueries {
           |      ORDER BY frame_idx) > 2600000), TRUE) AS seg_start
           |FROM en ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // mp4/ISO-BMFF container walk — real-corpus video metadata without a
+    // codec: virtually every real video ships in ISO-BMFF, and the box
+    // tree (ftyp/moov/trak/mdia/minf/stbl) carries everything the x78
+    // scene/segment and x7 frame-sample pipelines actually consume —
+    // codec tag, dims, per-sample byte ranges, keyframe (stss) numbers,
+    // per-sample timing (stts runs). One row per SAMPLE from metadata
+    // alone (Multimodal.mp4SampleTable over synthesized structurally
+    // complete mp4s); the parser validates the tree loudly (bounds,
+    // stts↔stsz coverage, stco inside mdat). Every field is doc_id
+    // arithmetic, so the oracle recomputes the whole table.
+    "x85_mp4_meta" -> QueryDef(
+      (s, dir) => graft.operators.Multimodal.mp4SampleTable(
+          s, graft.operators.Multimodal.synthesizeMp4(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id", "sample_idx"),
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
+          |    unnest(range(0, doc_id % 7 + 3)) AS i
+          |  FROM documents)
+          |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+          |  'avc1' AS codec,
+          |  CAST((doc_id % 5 + 2) * 16 AS INT) AS width,
+          |  CAST((doc_id % 4 + 2) * 16 AS INT) AS height,
+          |  CAST(n AS INT) AS n_samples,
+          |  CAST((doc_id + i) % 50 + 20 AS BIGINT) AS n_bytes,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(0, i), j -> (doc_id + j) % 50 + 20)),
+          |    (a, b) -> a + b) AS BIGINT) AS byte_offset,
+          |  CAST(CASE WHEN i < n // 2 THEN i * 3000
+          |    ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END
+          |    AS BIGINT) AS dts,
+          |  i % 3 = 0 AS is_sync
+          |FROM s ORDER BY doc_id, sample_idx""".stripMargin)),
+
     // MIS dedup survivors — Luby's maximal independent set with
     // deterministic md5 priorities (Graph.maximalIndependentSet) on the
     // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a

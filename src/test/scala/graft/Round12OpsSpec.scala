@@ -108,6 +108,33 @@ class Round12OpsSpec extends GraftSparkSpec {
     assert(legacy.isEmpty)
   }
 
+  test("mp4 walker: absolute keyframe ranges land inside mdat, corruption is loud") {
+    import graft.operators.Multimodal
+    val bytes = Multimodal.mp4Bytes(32, 48, Array(20, 21, 22, 23, 24),
+      Array((2, 3000), (3, 3600)), Array(1, 4), seed = 9L)
+    val m = Multimodal.parseMp4(bytes)
+    assert(m.brand == "isom" && m.codec == "avc1")
+    assert(m.width == 32 && m.height == 48 && m.timescale == 90000L)
+    assert(m.sizes.toSeq == Seq(20L, 21L, 22L, 23L, 24L))
+    assert(m.syncs.toSeq == Seq(1, 4))
+    assert(m.sttsRuns.toSeq == Seq((2L, 3000L), (3L, 3600L)))
+    // the stco offset is ABSOLUTE: every keyframe's (offset, size) byte
+    // range must sit inside the file — what a production frame decoder
+    // would seek to
+    val prefix = m.sizes.scanLeft(0L)(_ + _)
+    m.syncs.foreach { s1 =>
+      val lo = m.chunkOffset + prefix(s1 - 1)
+      assert(lo >= 0 && lo + m.sizes(s1 - 1) <= bytes.length)
+    }
+    // a walker, not a byte split: truncation and header corruption fail
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(bytes.take(bytes.length - 30))
+    }
+    val bad = bytes.clone()
+    bad(4) = 'X'.toByte // ftyp fourcc corrupted -> unknown root box
+    intercept[IllegalArgumentException] { Multimodal.parseMp4(bad) }
+  }
+
   test("PrepareRun full re-run into the same outDir is a cheap no-op") {
     import graft.operators.PrepareRun
     val dir = "/root/testdata/sf0.001"
