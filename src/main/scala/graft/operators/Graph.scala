@@ -655,11 +655,27 @@ object Graph {
     * loop until no node is active.
     *
     * 100 TB shape: per round one neighbor-max join over the ACTIVE
-    * subgraph (shrinks geometrically) + two status merges, all on the
-    * node key; priorities are arithmetic on md5, no state beyond the
-    * node-sized status frame.
+    * subgraph + two status merges, all on the node key; priorities are
+    * arithmetic on md5, no state beyond the node-sized status frame.
+    * From round 2 the active-active edge frame is materialized and
+    * CARRIED into the next round as the edge input (active sets only
+    * shrink, so an edge both of whose endpoints are active at round r+1
+    * was active-active at r) — later rounds scan the geometrically
+    * shrinking frame instead of re-scanning the full cached edge list.
+    * Round 1 is deliberately NOT materialized: its active set is every
+    * node, so its "shrunk" frame IS the whole graph — the r12 100 M-edge
+    * counterfactual measured that checkpointing it costs 1.3× the whole
+    * run and blows the heap (827.8 s vs 627.0 s rescan, same box) while
+    * the lazy double-compute of a cached frame is nearly free. Each
+    * carried frame replaces (unpersists) the previous one — one
+    * active-subgraph-sized cache lives at a time. `shrinkActive = false`
+    * keeps the full-rescan arm for the SCALE.md measurement.
     */
-  def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame = {
+  def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame =
+    maximalIndependentSet(edges, rounds, shrinkActive = true)
+
+  def maximalIndependentSet(edges: DataFrame, rounds: Int,
+                            shrinkActive: Boolean): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     // defensively bidirect: the local-max rule reads neighbors from the
     // src side only, so a directed-only edge u->v would let BOTH
@@ -674,6 +690,8 @@ object Graph {
       .unionAll(e.select(col("dst").as("node")))
       .distinct().withColumn("status", lit(0))
       .localCheckpoint()
+    var eCur = e
+    var carried: Option[DataFrame] = None
     var r = 0
     var done = false
     while (r < rounds && !done) {
@@ -685,22 +703,38 @@ object Graph {
       // the 3-round gate see identical results either way; the count is
       // of an already-materialized frame (the bounded-scalar discipline)
       if (active.isEmpty) done = true
-      else status = misRound(e, status, active, r)
+      else {
+        val prio = active.withColumn("p",
+          conv(substring(md5(concat(lit(r.toString), lit(":"),
+            col("node").cast("string"))), 1, 12), 16, 10).cast("long"))
+        // active edges only: both endpoints still undecided
+        val aeLazy = eCur.join(prio.select(col("node").as("src"),
+              col("p").as("p_src")), "src")
+          .join(prio.select(col("node").as("dst"),
+            col("p").as("p_dst")), "dst")
+        // round 1's active set is every node — "shrinking" it yields the
+        // whole graph, so materializing is pure cost; from round 2 the
+        // frame is genuinely small and is cached for its three consumers
+        // (neighbor max, removal join, next round's edge input)
+        val carry = shrinkActive && r >= 2
+        val ae = if (carry) aeLazy.persist() else aeLazy
+        status = misStatus(ae, status, prio)
+        if (carry) {
+          // the new status is checkpointed, so the previous cache has no
+          // remaining consumer — exactly one carried frame stays resident
+          carried.foreach(_.unpersist())
+          carried = Some(ae)
+          eCur = ae.select("src", "dst")
+        }
+      }
     }
+    carried.foreach(_.unpersist())
     e.unpersist()
     status
   }
 
-  private def misRound(e: DataFrame, status: DataFrame,
-                       active: DataFrame, r: Int): DataFrame = {
-      val prio = active.withColumn("p",
-        conv(substring(md5(concat(lit(r.toString), lit(":"),
-          col("node").cast("string"))), 1, 12), 16, 10).cast("long"))
-      // active edges only: both endpoints still undecided
-      val ae = e.join(prio.select(col("node").as("src"),
-            col("p").as("p_src")), "src")
-        .join(prio.select(col("node").as("dst"),
-          col("p").as("p_dst")), "dst")
+  private def misStatus(ae: DataFrame, status: DataFrame,
+                        prio: DataFrame): DataFrame = {
       val maxNbr = ae.groupBy(col("src").as("node"))
         .agg(max(col("p_dst")).as("max_nbr"))
       val winners = prio.join(maxNbr, Seq("node"), "left")
@@ -723,9 +757,14 @@ object Graph {
     * community-core refinement of k-core: an edge survives iff it closes
     * at least k−2 triangles with other SURVIVING edges, so bridges and
     * hub spokes that k-core keeps (degree without cohesion) peel away.
-    * Per round: one wedge join against the bidirected current edge set
-    * (the x52 triangle shape — at 100 TB the same degree-orientation
-    * mitigation applies), one per-edge support count, one filter.
+    * Per round the support count uses the SAME degree-ordered
+    * orientation as `triangles` (each triangle enumerated exactly once
+    * from its lowest-(degree, id) corner, wedge fan-out O(√m) per node
+    * on ANY graph), then explodes each found triangle into its three
+    * canonical edges for the per-edge count — the r11 wedge join over
+    * the raw bidirected edge set let one hub fan out O(deg²) wedges per
+    * round (measured: the 100 M-edge power-law graph's top hub alone
+    * generates ~3·10¹¹ wedges, a non-starter; see SCALE.md).
     * Rounds are capped in the x70 style — the gate pins the state after
     * `rounds` peels, with the early exit making post-fixpoint rounds
     * free. Returns surviving (u, v, support) where support was measured
@@ -743,20 +782,47 @@ object Graph {
     var done = false
     while (r < rounds && !done) {
       r += 1
-      val bidir = cur.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(cur.select(col("v").as("src"), col("u").as("dst")))
-      val fromU = bidir.select(col("src").as("u"), col("dst").as("z"))
-      val fromV = bidir.select(col("src").as("v"), col("dst").as("z"))
-      // triangle-free edges never appear in the wedge join, so left-join
+      // degree-ordered orientation over the CURRENT survivor set (degrees
+      // change as edges peel, so re-derived per round): x -> y with
+      // (deg, id) of x below y; one canonical wedge per triangle
+      val deg = cur.select(col("u").as("n"))
+        .unionAll(cur.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = cur
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(lowFirst, col("u")).otherwise(col("v")).as("x"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("y"),
+          when(lowFirst, col("dv")).otherwise(col("du")).as("dy"))
+        .persist()
+      val w = o.as("e1").join(o.as("e2"), col("e1.x") === col("e2.x"))
+        .filter(col("e1.dy") < col("e2.dy") ||
+          (col("e1.dy") === col("e2.dy") && col("e1.y") < col("e2.y")))
+        .select(col("e1.x").as("c0"), col("e1.y").as("c1"),
+          col("e2.y").as("c2"))
+      val tri = w.join(o.select(col("x").as("c1"), col("y").as("c2")),
+        Seq("c1", "c2"), "left_semi")
+      // each triangle credits its THREE canonical (u < v) edges
+      val triSupport = tri.select(explode(array(
+          struct(least(col("c0"), col("c1")).as("u"),
+            greatest(col("c0"), col("c1")).as("v")),
+          struct(least(col("c0"), col("c2")).as("u"),
+            greatest(col("c0"), col("c2")).as("v")),
+          struct(least(col("c1"), col("c2")).as("u"),
+            greatest(col("c1"), col("c2")).as("v")))).as("t"))
+        .select(col("t.u").as("u"), col("t.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("tri"))
+      // triangle-free edges never appear in the enumeration, so left-join
       // them back with support 0 — otherwise k <= 2 (threshold 0) would
       // wrongly drop edges that close no triangle instead of keeping all
-      support = cur.join(
-          cur.join(fromU, "u").join(fromV, Seq("v", "z"))
-            .groupBy("u", "v").agg(count(lit(1)).as("tri")),
-          Seq("u", "v"), "left")
+      support = cur.join(triSupport, Seq("u", "v"), "left")
         .select(col("u"), col("v"),
           coalesce(col("tri"), lit(0L)).as("support"))
         .localCheckpoint()
+      o.unpersist()
       val next = support.filter(col("support") >= k - 2)
         .select("u", "v").localCheckpoint()
       // fixpoint: nothing peeled this round — further rounds are no-ops

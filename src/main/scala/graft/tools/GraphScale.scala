@@ -244,14 +244,55 @@ object GraphScale100 {
         .agg(count(lit(1)), max(col("bc_micro"))).head()
     }
     // r11: Luby MIS — the claim under test is the geometric shrink of
-    // the ACTIVE subgraph (each round's wedge work should collapse),
-    // capped at 12 rounds with the early exit finding the fixpoint
+    // the ACTIVE subgraph. Two arms (r12): the shipped default CARRIES
+    // the materialized active-active edge frame into the next round, so
+    // round r+1 scans the shrunk frame; the counterfactual re-scans the
+    // full cached edge list every round (the r11 shape).
     run("mis") {
       val e = edges()
       val st = Graph.maximalIndependentSet(
         e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))),
         rounds = 12)
       st.groupBy("status").agg(count(lit(1))).collect()
+    }
+    run("mis_rescan") {
+      val e = edges()
+      val st = Graph.maximalIndependentSet(
+        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))),
+        rounds = 12, shrinkActive = false)
+      st.groupBy("status").agg(count(lit(1))).collect()
+    }
+    // r12: the x82 double sweep — two multi-hop BFS passes over the
+    // bidirected graph plus scalar aggs; the question is only whether
+    // 2x the bfs family's cost holds (it shares bfs's frontier shape)
+    run("diameter") {
+      val e0 = edges()
+      val e = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val anchor = e.agg(min(col("src")).as("source"))
+      val sweep1 = Graph.bfs(e, anchor, maxDepth = 4).localCheckpoint()
+      val far = sweep1.orderBy(desc("d"), col("node")).limit(1)
+      val sweep2 = Graph.bfs(e, far.select(col("node").as("source")),
+        maxDepth = 4)
+      sweep2.agg(max(col("d")), count(lit(1))).head()
+    }
+    // r12: k-truss — the heaviest per-round shape in the graph family
+    // (triangle ENUMERATION per peel). The r11 wedge join over the raw
+    // bidirected survivor set is quadratic in hub degree: this graph's
+    // top hub holds ~0.6% of all in-edges (~590 k at 100 M), so its
+    // wedge fan-out alone is ~3.5e11 rows — AQE rebalances skewed
+    // partitions but cannot delete wedge work, so no cap or orientation
+    // means no result at this scale. The shipped fix re-derives the
+    // degree-ORDERED orientation per peel (out-degree O(sqrt m) on any
+    // graph — the x52 mitigation applied to the peeling loop), making
+    // the round cost triangle-enumeration-bounded rather than hub².
+    run("ktruss") {
+      val und = edges().select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v"))
+      Graph.ktruss(und, k = 10, rounds = 2)
+        .agg(count(lit(1)), max(col("support"))).head()
     }
     spark.stop()
   }
