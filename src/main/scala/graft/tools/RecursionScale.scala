@@ -32,8 +32,13 @@ object RecursionScale {
       .config("spark.ui.enabled", "false")
       // default cteRecursionLevelLimit is 100 — raise it to the fixture
       // depth (the limit exists to catch runaway recursion, which a
-      // known-depth hierarchy is not)
+      // known-depth hierarchy is not). The CUMULATIVE row limit
+      // (cteRecursionRowLimit, default 1 M) trips too: the first 5000x200
+      // run died with RECURSION_ROW_LIMIT_EXCEEDED at exactly its 1 M-row
+      // result AFTER 33 min of sequential execution — a deep hierarchy
+      // needs BOTH limits sized up front
       .config("spark.sql.cteRecursionLevelLimit", depth + 10)
+      .config("spark.sql.cteRecursionRowLimit", depth.toLong * width * 2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
