@@ -775,8 +775,15 @@ object Graph {
   def ktruss(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1 (support is undefined " +
       "before the first peel)")
-    var cur = canonEdges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).distinct().localCheckpoint()
+    // normalize defensively: the support count is keyed on canonical
+    // least/greatest pairs, so a (v > u) input row would silently match
+    // nothing and peel with support 0 — make the u < v contract true by
+    // construction instead (self-loops close no triangle; dropped)
+    var cur = canonEdges.select(
+        least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
     var support: DataFrame = null
     var r = 0
     var done = false

@@ -1026,7 +1026,13 @@ object Multimodal {
     * (sample_rate, n_samples, RMS 4dp half-up). RMS sums exact integer
     * squares, so the rounded double is engine-independent.
     */
-  private def audioRms(content: Array[Byte], docId: Long): (Int, Int, Double) = {
+  /** THE 16-bit mono little-endian PCM decode kernel: container parse +
+    * format guard + sample extraction, shared by all three audio
+    * features so the format contract lives in exactly one place (the
+    * r12 review found the guard copy-pasted in triplicate — one site
+    * drifting would silently accept what another rejects).
+    */
+  private def pcm16(content: Array[Byte], docId: Long): (Int, Array[Short]) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(content))
     val fmt = ais.getFormat
@@ -1037,14 +1043,41 @@ object Multimodal {
       s"doc $docId: unexpected format $fmt")
     val bytes = ais.readAllBytes()
     val n = bytes.length / 2
+    val out = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      out(j) = ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff)).toShort
+      j += 1
+    }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** Energy of frame `f`: sum of int16 squares over
+    * [f·hop, f·hop + frameLen) — integer-exact in any engine.
+    */
+  private def frameEnergyAt(s: Array[Short], f: Int,
+                            frameLen: Int, hop: Int): Long = {
+    var e = 0L
+    var j = 0
+    while (j < frameLen) {
+      val x = s(f * hop + j).toLong
+      e += x * x
+      j += 1
+    }
+    e
+  }
+
+  private def audioRms(content: Array[Byte], docId: Long): (Int, Int, Double) = {
+    val (rate, samples) = pcm16(content, docId)
+    val n = samples.length
     var sumSq = 0L
     var j = 0
     while (j < n) {
-      val s = ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff)).toShort.toLong
+      val s = samples(j).toLong
       sumSq += s * s
       j += 1
     }
-    (fmt.getSampleRate.toInt, n,
+    (rate, n,
       math.floor(math.sqrt(sumSq.toDouble / n) * 10000 + 0.5) / 10000)
   }
 
@@ -1074,31 +1107,15 @@ object Multimodal {
                  frameLen: Int = 8, hop: Int = 4): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "content").as[AudioRow].map { r =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.content))
-      val fmt = ais.getFormat
-      // the decode below is little-endian; a big-endian stream would
-      // silently produce wrong samples, so reject it up front
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-        !fmt.isBigEndian,
-        s"doc ${r.doc_id}: unexpected format $fmt")
-      val bytes = ais.readAllBytes()
-      val n = bytes.length / 2
-      def sample(j: Int): Long =
-        ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff)).toShort.toLong
+      val (_, samples) = pcm16(r.content, r.doc_id)
+      val n = samples.length
       val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
       var total = 0L
       var maxE = Long.MinValue
       var argmax = -1
       var f = 0
       while (f < nFrames) {
-        var e = 0L
-        var j = 0
-        while (j < frameLen) {
-          val s = sample(f * hop + j)
-          e += s * s
-          j += 1
-        }
+        val e = frameEnergyAt(samples, f, frameLen, hop)
         total += e
         if (e > maxE) { maxE = e; argmax = f }
         f += 1
@@ -1118,28 +1135,11 @@ object Multimodal {
                     frameLen: Int = 8, hop: Int = 4): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "content").as[AudioRow].flatMap { r =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.content))
-      val fmt = ais.getFormat
-      // the decode below is little-endian; a big-endian stream would
-      // silently produce wrong samples, so reject it up front
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-        !fmt.isBigEndian,
-        s"doc ${r.doc_id}: unexpected format $fmt")
-      val bytes = ais.readAllBytes()
-      val n = bytes.length / 2
-      def sample(j: Int): Long =
-        ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xff)).toShort.toLong
+      val (_, samples) = pcm16(r.content, r.doc_id)
+      val n = samples.length
       val nFrames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
       (0 until nFrames).map { f =>
-        var e = 0L
-        var j = 0
-        while (j < frameLen) {
-          val s = sample(f * hop + j)
-          e += s * s
-          j += 1
-        }
-        AudioFrameEnergy(r.doc_id, f, e)
+        AudioFrameEnergy(r.doc_id, f, frameEnergyAt(samples, f, frameLen, hop))
       }
     }.toDF()
   }

@@ -26,21 +26,40 @@ import org.apache.spark.sql.functions._
   * a recompute of everything before it. Each stage therefore commits a
   * MARKER file (`_stage_docs`, `_stage_spans`) via temp-write + rename
   * AFTER its parquet outputs land, carrying the stage's manifest counts
-  * and a parameter fingerprint. A re-run into the same `outDir` skips
-  * any stage whose marker exists AND was produced with the same
-  * parameters (a changed parameter invalidates the marker and the stage
-  * recomputes); a crash mid-write leaves no marker, so the interrupted
-  * stage recomputes and its `overwrite` writes replace any partial
-  * output. The manifest is derived from markers + output counts and is
-  * rewritten last, idempotently. Fresh runs use a fresh `outDir` (the
+  * and a PER-STAGE parameter fingerprint (only the parameters the stage
+  * consumes — a capacity-only change redoes the packing stage, never
+  * the dedup/decontaminate front). A re-run into the same `outDir`
+  * skips any stage whose marker exists AND fingerprint matches; a
+  * mismatched (stale) marker is deleted BEFORE the recompute starts
+  * overwriting the outputs it certified, so a crash mid-recompute can
+  * never leave an old marker validating clobbered parquet. A crash
+  * mid-write leaves no marker, so the interrupted stage recomputes and
+  * its `overwrite` writes replace any partial output. The manifest is
+  * derived from markers + output counts and is rewritten last,
+  * idempotently. Fresh runs use a fresh `outDir` (the
   * checkpoint-directory contract).
   */
 object PrepareRun {
 
-  private def fingerprint(minTokens: Int, threshold: Double,
-                          capacity: Int, valPct: Int): Long =
-    s"$minTokens:$threshold:$capacity:$valPct".hashCode.toLong
+  /** PER-STAGE fingerprints: a stage's marker is invalidated only by
+    * parameters that stage actually consumes — changing `capacity`
+    * (a packing knob) must redo train_spans but NOT the hours-long
+    * dedup/decontaminate front that produced byte-identical train_docs.
+    */
+  private def docsFp(minTokens: Int, threshold: Double, valPct: Int): Long =
+    s"docs:$minTokens:$threshold:$valPct".hashCode.toLong
 
+  private def spansFp(minTokens: Int, threshold: Double, valPct: Int,
+                      capacity: Int): Long =
+    s"spans:$minTokens:$threshold:$valPct:$capacity".hashCode.toLong
+
+  /** Reads a stage marker; on a fingerprint mismatch the stale marker is
+    * DELETED before returning None — the caller is about to overwrite
+    * the outputs it certifies, and a crash mid-recompute must not leave
+    * an old marker validating clobbered parquet (a later run with the
+    * old params would skip the stage and serve the corruption as
+    * committed).
+    */
   private def readMarker(spark: SparkSession, outDir: String,
                          stage: String, fp: Long): Option[Map[String, Long]] = {
     val p = new Path(s"$outDir/_stage_$stage")
@@ -56,7 +75,8 @@ object PrepareRun {
         .toMap
       // a marker from a run with different parameters does not certify
       // this run's outputs — recompute rather than silently mix configs
-      if (kv.get("param_fp").contains(fp)) Some(kv) else None
+      if (kv.get("param_fp").contains(fp)) Some(kv)
+      else { fsys.delete(p, false); None }
     }
   }
 
@@ -69,21 +89,19 @@ object PrepareRun {
     try out.write((("param_fp" -> fp) +: counts.map { case (k, v) => k -> v })
       .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // stale marker only exists here when the fingerprint mismatched (we
-    // recomputed); replace it with this run's commit
-    fsys.delete(p, false)
     require(fsys.rename(tmp, p), s"marker commit failed for stage $stage")
   }
 
   def run(spark: SparkSession, docs: DataFrame, bench: DataFrame,
           outDir: String, minTokens: Int = 25, threshold: Double = 0.5,
           capacity: Int = 512, valPct: Int = 5): Seq[(String, Long)] = {
-    val fp = fingerprint(minTokens, threshold, capacity, valPct)
+    val fpDocs = docsFp(minTokens, threshold, valPct)
+    val fpSpans = spansFp(minTokens, threshold, valPct, capacity)
 
     // stage "docs": quality → dedup → decontaminate → split → epoch rank;
     // commits train_docs + val_docs and the front's manifest counts (the
     // expensive half of the pipeline — the half resume must never redo)
-    val frontCounts = readMarker(spark, outDir, "docs", fp).getOrElse {
+    val frontCounts = readMarker(spark, outDir, "docs", fpDocs).getOrElse {
       val q = docs.filter(Pack.tokenCount(col("text")) >= minTokens)
       // surv feeds BOTH the decontamination build and its manifest count;
       // clean feeds the split writes and its count — left lazy, each extra
@@ -111,18 +129,20 @@ object PrepareRun {
         ("quality_pass", q.count()),
         ("dedup_survivors", surv.count()),
         ("decontaminated", clean.count()))
-      writeMarker(spark, outDir, "docs", fp, counts)
+      writeMarker(spark, outDir, "docs", fpDocs, counts)
       counts.toMap
     }
 
     // stage "spans": pack the committed train_docs (reads the stage-1
-    // output, so resume never touches the dedup/decontaminate front)
-    if (readMarker(spark, outDir, "spans", fp).isEmpty) {
+    // output, so resume never touches the dedup/decontaminate front).
+    // Its fingerprint includes `capacity`, which the docs stage ignores:
+    // a capacity-only change redoes ONLY this stage
+    if (readMarker(spark, outDir, "spans", fpSpans).isEmpty) {
       val spans = Pack.packedSpans(
         spark.read.parquet(s"$outDir/train_docs"),
         "doc_id", "text", "lang", capacity = capacity)
       spans.write.mode("overwrite").parquet(s"$outDir/train_spans")
-      writeMarker(spark, outDir, "spans", fp, Seq.empty)
+      writeMarker(spark, outDir, "spans", fpSpans, Seq.empty)
     }
 
     // manifest: derived from the docs-stage marker + committed outputs;

@@ -105,22 +105,34 @@ object Similarity {
   /** The Hamming prefilter and final `limit` are GLOBAL, so a multi-row
     * query frame would silently merge top-k across queries — enforce the
     * single-query contract loudly (multi-query callers loop per query,
-    * the x66-sweep discipline). Cost: one 2-row count on a tiny frame.
+    * the x66-sweep discipline). The check lives INSIDE the plan: a
+    * global-window count over the (broadcast-tiny) query frame feeds
+    * `assert_true`, so it costs nothing beyond the broadcast build the
+    * call already pays — an eager `query.count()` would force a
+    * near-full corpus scan when the query is a 1-row filter over a
+    * large table (every real call site: x74, AnnScale, the CLI).
     */
-  private def requireSingleQuery(query: DataFrame, op: String): Unit =
-    require(query.limit(2).count() == 1,
-      s"$op is single-query (global prefilter+limit would merge top-k " +
-        "across queries); call once per query row")
+  private def singleQueryChecked(query: DataFrame, op: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    query
+      .withColumn("__nq", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .where(isnull(assert_true(col("__nq") === 1,
+        lit(s"$op is single-query (global prefilter+limit would merge " +
+          "top-k across queries); call once per query row"))))
+      .drop("__nq")
+  }
 
   def binaryTopK(embeddings: DataFrame, query: DataFrame, k: Int,
                  prefilter: Int = 40): DataFrame = {
-    requireSingleQuery(query, "binaryTopK")
     // a precomputed `bits` column (the persisted-index shape: pack once
     // at build time, 8 bytes/vector) is reused; otherwise pack inline
     val packed =
       if (embeddings.columns.contains("bits")) embeddings
       else embeddings.withColumn("bits", signBits("embedding"))
-    val q = query.withColumn("q_bits", signBits("q_embedding"))
+    val q = singleQueryChecked(query, "binaryTopK")
+      .withColumn("q_bits", signBits("q_embedding"))
     val cands = packed.crossJoin(broadcast(q))
       .withColumn("hamming",
         bit_count(col("bits").bitwiseXOR(col("q_bits"))))
@@ -406,14 +418,20 @@ object Similarity {
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = assignLists(embeddings, cents)
-      .localCheckpoint() // one assignment pass feeds lists + build_dist
-    assigned
+    assignLists(embeddings, cents)
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/lists")
     // build-time list-assignment distribution (nlist rows): the drift
-    // baseline appendIvfIndex compares every append wave against
-    assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+    // baseline appendIvfIndex compares every append wave against.
+    // Derived by READING BACK the just-written lists with a scan pruned
+    // to the partition column — checkpointing the corpus-sized
+    // assignment frame just to count nlist groups would hold the whole
+    // corpus in block storage for the duration of both writes
+    spark.read.parquet(s"$path/lists")
+      // partition-column type inference narrows list_id to int on
+      // read-back; the drift join expects the long assignLists writes
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/build_dist")
   }
 
@@ -461,7 +479,11 @@ object Similarity {
         round(col("p") * log(col("p") / col("q")) * 1e6).cast("long"))
       .agg(max(col("tb")).as("n_batch"),
         sum(col("term_micro")).as("kl_micro"))
-      .withColumn("retrain", col("kl_micro") > retrainMicro)
+      // an EMPTY wave smooths to the uniform distribution, whose KL
+      // against a skewed build easily clears the threshold — a wave that
+      // appended nothing must never demand a retrain
+      .withColumn("retrain",
+        col("n_batch") > 0 && col("kl_micro") > retrainMicro)
   }
 
   case class DriftReport(nBatch: Long, klMicro: Long, retrain: Boolean)
@@ -492,8 +514,8 @@ object Similarity {
   def binaryIndexTopK(spark: org.apache.spark.sql.SparkSession,
                       path: String, query: DataFrame, k: Int,
                       prefilter: Int = 40): DataFrame = {
-    requireSingleQuery(query, "binaryIndexTopK")
-    val q = query.withColumn("q_bits", signBits("q_embedding"))
+    val q = singleQueryChecked(query, "binaryIndexTopK")
+      .withColumn("q_bits", signBits("q_embedding"))
     val cands = spark.read.parquet(s"$path/codes")
       .crossJoin(broadcast(q))
       .withColumn("hamming",

