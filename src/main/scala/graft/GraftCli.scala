@@ -428,6 +428,13 @@ object GraftCli {
       println(s"[graft] binary index: $embParquet -> $indexDir")
       spark.stop()
 
+    case "ann-binary-append" :: embParquet :: indexDir :: Nil =>
+      val spark = session()
+      operators.Similarity.appendBinaryIndex(
+        spark.read.parquet(embParquet), indexDir)
+      println(s"[graft] binary append: $embParquet -> $indexDir")
+      spark.stop()
+
     case "ann-binary-query" :: indexDir :: embParquet :: qidStr :: rest =>
       val spark = session()
       import org.apache.spark.sql.functions.col
@@ -769,6 +776,9 @@ object GraftCli {
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  ann-index-build-pq <embeddingsParquet> <indexDir> [nlist] [nSub] [trainIters]
            |  ann-query-pq <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
+           |  ann-binary-build <embeddingsParquet> <indexDir>
+           |  ann-binary-append <embeddingsParquet> <indexDir>
+           |  ann-binary-query <indexDir> <embeddingsParquet> <vecId> <k> [prefilter]
            |  stream-upsert <landingDir> <tableDir> <checkpointDir> <keyCol> <tsCol> [nBuckets] [runSec]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
            |  stream-quality-route <landingDir> <passDir> <quarantineDir> <checkpointDir> [minWords] [runSec]

@@ -507,6 +507,24 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/vectors")
   }
 
+  /** Append a wave to a persisted `writeBinaryIndex` — the lifecycle
+    * counterpart of `appendIvfIndex`, but with NO drift concern by
+    * construction: sign signatures are per-row, so there is no global
+    * structure (centroids) for new data to drift away from; recall
+    * characteristics depend only on the signature bits, which each
+    * vector carries for itself. Same append-only contract: re-appending
+    * a vec_id duplicates it — callers dedup waves upstream.
+    */
+  def appendBinaryIndex(batch: DataFrame, path: String): Unit = {
+    val packed = batch
+      .withColumn("bits", signBits("embedding"))
+      .localCheckpoint() // wave-sized; one pack pass feeds both appends
+    packed.select("vec_id", "bits")
+      .write.mode("append").parquet(s"$path/codes")
+    packed.drop("bits")
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
   /** Top-k against a persisted `writeBinaryIndex`: Hamming prefilter on
     * the 16-byte-row codes table, exact rerank joins back only the
     * survivors' embeddings.

@@ -212,6 +212,26 @@ class Round12OpsSpec extends GraftSparkSpec {
     assert(got === Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("appendBinaryIndex: incremental build equals the one-shot index") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(12)
+    val all = (1L to 90L).map(i =>
+      (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1), i.toInt % 3))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq(Tuple1(Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("q_embedding")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-binappend").toString
+    Similarity.writeBinaryIndex(all, s"$tmp/full")
+    Similarity.writeBinaryIndex(all.filter(col("vec_id") <= 60), s"$tmp/inc")
+    Similarity.appendBinaryIndex(all.filter(col("vec_id") > 60), s"$tmp/inc")
+    def top(path: String) =
+      Similarity.binaryIndexTopK(spark, path, q, 8, prefilter = 25)
+        .select("vec_id", "sim", "hamming")
+        .as[(Long, Double, Int)].collect().toSeq
+    assert(top(s"$tmp/inc") === top(s"$tmp/full"))
+  }
+
   test("PrepareRun full re-run into the same outDir is a cheap no-op") {
     import graft.operators.PrepareRun
     val dir = "/root/testdata/sf0.001"
