@@ -41,19 +41,26 @@ import org.apache.spark.sql.functions._
   */
 object PrepareRun {
 
-  /** PER-STAGE fingerprints: a stage's marker is invalidated only by
-    * parameters that stage actually consumes — changing `capacity`
+  /** PER-STAGE parameter strings: a stage's marker is invalidated only
+    * by parameters that stage actually consumes — changing `capacity`
     * (a packing knob) must redo train_spans but NOT the hours-long
     * dedup/decontaminate front that produced byte-identical train_docs.
+    * The RAW string is stored in the marker and compared verbatim — a
+    * hash would add a (tiny) collision surface for no benefit, and the
+    * raw string doubles as human-readable provenance in the marker file.
+    * Note the marker certifies PARAMETERS, not input-data identity:
+    * re-running into the same outDir with a different `docs` frame but
+    * identical params serves the committed outputs — the fresh-outDir
+    * contract (scaladoc above) is what makes that sound.
     */
-  private def docsFp(minTokens: Int, threshold: Double, valPct: Int): Long =
-    s"docs:$minTokens:$threshold:$valPct".hashCode.toLong
+  private def docsParams(minTokens: Int, threshold: Double, valPct: Int): String =
+    s"docs:$minTokens:$threshold:$valPct"
 
-  private def spansFp(minTokens: Int, threshold: Double, valPct: Int,
-                      capacity: Int): Long =
-    s"spans:$minTokens:$threshold:$valPct:$capacity".hashCode.toLong
+  private def spansParams(minTokens: Int, threshold: Double, valPct: Int,
+                          capacity: Int): String =
+    s"spans:$minTokens:$threshold:$valPct:$capacity"
 
-  /** Reads a stage marker; on a fingerprint mismatch the stale marker is
+  /** Reads a stage marker; on a parameter mismatch the stale marker is
     * DELETED before returning None — the caller is about to overwrite
     * the outputs it certifies, and a crash mid-recompute must not leave
     * an old marker validating clobbered parquet (a later run with the
@@ -61,7 +68,7 @@ object PrepareRun {
     * committed).
     */
   private def readMarker(spark: SparkSession, outDir: String,
-                         stage: String, fp: Long): Option[Map[String, Long]] = {
+                         stage: String, params: String): Option[Map[String, Long]] = {
     val p = new Path(s"$outDir/_stage_$stage")
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fsys.exists(p)) None
@@ -71,23 +78,25 @@ object PrepareRun {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val kv = txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map { l => val Array(k, v) = l.split("=", 2); k -> v.toLong }
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }
         .toMap
       // a marker from a run with different parameters does not certify
       // this run's outputs — recompute rather than silently mix configs
-      if (kv.get("param_fp").contains(fp)) Some(kv)
+      if (kv.get("params").contains(params))
+        Some((kv - "params").map { case (k, v) => k -> v.toLong })
       else { fsys.delete(p, false); None }
     }
   }
 
   private def writeMarker(spark: SparkSession, outDir: String, stage: String,
-                          fp: Long, counts: Seq[(String, Long)]): Unit = {
+                          params: String, counts: Seq[(String, Long)]): Unit = {
     val p = new Path(s"$outDir/_stage_$stage")
     val tmp = new Path(s"$outDir/._stage_$stage.tmp")
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fsys.create(tmp, true)
-    try out.write((("param_fp" -> fp) +: counts.map { case (k, v) => k -> v })
-      .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    try out.write((s"params=$params" +:
+        counts.map { case (k, v) => s"$k=$v" })
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(fsys.rename(tmp, p), s"marker commit failed for stage $stage")
   }
@@ -95,8 +104,8 @@ object PrepareRun {
   def run(spark: SparkSession, docs: DataFrame, bench: DataFrame,
           outDir: String, minTokens: Int = 25, threshold: Double = 0.5,
           capacity: Int = 512, valPct: Int = 5): Seq[(String, Long)] = {
-    val fpDocs = docsFp(minTokens, threshold, valPct)
-    val fpSpans = spansFp(minTokens, threshold, valPct, capacity)
+    val fpDocs = docsParams(minTokens, threshold, valPct)
+    val fpSpans = spansParams(minTokens, threshold, valPct, capacity)
 
     // stage "docs": quality → dedup → decontaminate → split → epoch rank;
     // commits train_docs + val_docs and the front's manifest counts (the

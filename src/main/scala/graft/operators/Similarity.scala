@@ -101,6 +101,12 @@ object Similarity {
     * Hamming ties break by vec_id, rerank rounds cosine to 6dp (the
     * x41/x65 oracle discipline). Recall < 1.0 by construction — gated
     * with the x74 overlap-vs-brute entry.
+    *
+    * `query` must be exactly one row: the prefilter and final `limit`
+    * are global, so a multi-row frame would merge top-k across queries.
+    * This is enforced in-plan and surfaces at EXECUTION time as a
+    * SparkException (wrapped assert_true) — multi-query callers loop
+    * per query row. Same contract applies to [[binaryIndexTopK]].
     */
   /** The Hamming prefilter and final `limit` are GLOBAL, so a multi-row
     * query frame would silently merge top-k across queries — enforce the
@@ -111,13 +117,21 @@ object Similarity {
     * call already pays — an eager `query.count()` would force a
     * near-full corpus scan when the query is a 1-row filter over a
     * large table (every real call site: x74, AnnScale, the CLI).
+    * The partition key `pmod(xxhash64(col), 1)` is 0 for EVERY row
+    * (still one global partition — a per-row-varying key would split a
+    * multi-row frame into count-1 partitions and defeat the assert)
+    * but is NOT foldable, so Spark 4's EliminateWindowPartitions rule
+    * can't strip it back to an empty spec — which is what a plain
+    * `lit(0)` becomes, re-triggering the "No Partition Defined for
+    * Window" WARN this key exists to silence in test/bench logs.
     */
   private def singleQueryChecked(query: DataFrame, op: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     query
       .withColumn("__nq", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+        Window.partitionBy(pmod(xxhash64(col(query.columns.head)), lit(1)))
+          .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
       .where(isnull(assert_true(col("__nq") === 1,
         lit(s"$op is single-query (global prefilter+limit would merge " +
           "top-k across queries); call once per query row"))))

@@ -1930,22 +1930,23 @@ object ExtensionQueries {
              |FROM tot CROSS JOIN s2""".stripMargin)),
 
     // MinHash calibration — measure the sketch against ground truth: for
-    // every pair in a bounded doc panel (every 50th doc), the k=32
-    // md5-slot MinHash Jaccard ESTIMATE next to the exact shingle
+    // every pair in a bounded doc panel (the 200 LOWEST doc_ids), the
+    // k=32 md5-slot MinHash Jaccard ESTIMATE next to the exact shingle
     // Jaccard. md5 (not the production xxhash kernel) makes the
     // signature engine-reproducible, so the oracle rebuilds the exact
     // same sketch — this is the honesty check behind x1's
     // threshold/band choices, as a standing gate. Estimates are
     // multiples of 1/32 (exact in binary); both ratios round at 6 dp.
-    // 100 TB shape: panel-bounded — sizes, signatures, and pairs all
-    // scale with the PANEL (a 2% calibration sample — the exact-Jaccard
-    // shingle self-join inside runs on panel-sized frames only, so the
-    // claim holds by construction), never the corpus; the per-slot min
-    // rides one (doc, slot)-key agg.
+    // 100 TB shape: the panel is a FIXED SIZE (not a fixed fraction —
+    // r12's `doc_id % 50` panel still grew with the corpus): lowest-200
+    // doc_ids via orderBy+limit = TakeOrderedAndProject (per-partition
+    // top-N then one driver merge, no shuffle), so the exact-Jaccard
+    // self-join inside runs on a 200-doc frame at ANY corpus size —
+    // pairs scale with the panel, never the corpus, by construction.
     "d40_minhash_calibration" -> QueryDef(
       (s, dir) => {
         val sh = t(s, dir, "documents")
-          .filter(col("doc_id") % 50 === 0)
+          .orderBy("doc_id").limit(200)
           .select(col("doc_id"),
             explode(Dedup.shingles(col("text"), 3)).as("shingle"))
           .distinct()
@@ -1995,7 +1996,7 @@ object ExtensionQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH ${shinglesCteN(3,
-                 "(SELECT * FROM documents WHERE doc_id % 50 = 0) seld")},
+                 "(SELECT * FROM documents ORDER BY doc_id LIMIT 200) seld")},
              |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              |mh AS (
              |  SELECT doc_id, i AS slot,

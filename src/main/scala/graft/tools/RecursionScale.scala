@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * Fixture: `width` parallel chains of `depth` nodes (node i's parent
   * is i−1 within its chain; level-0 nodes are roots), so every level
   * carries `width` rows and both arms resolve the identical forest.
-  * Both arms are checked to agree on (row count, max depth) before
-  * their times are reported.
+  * Per-arm times print as each arm completes (the cte arm can run for
+  * half an hour — progress beats batching); the arms are then checked
+  * to agree on (row count, max depth) before the RATIO line, so a
+  * disagreement aborts before the comparison is stated.
   *
   * Usage: RecursionScale [depth] [width] (default 5000 200)
   */
