@@ -661,23 +661,81 @@ object Multimodal {
   // samplers actually consume: WHICH byte ranges are keyframes and WHEN
   // each sample presents — the walk below surfaces exactly that, and a
   // production deployment points its frame decoder at the surfaced
-  // (offset, size) ranges. The writer emits a structurally complete
-  // minimal mp4 (ftyp, moov with full stbl, mdat) so the parser is
-  // exercised against real box layout, not a byte split.
+  // (offset, size) ranges. The writer emits structurally complete mp4s
+  // in the REAL-WORLD shape — multiple traks (audio muxed beside video,
+  // audio first), multi-chunk stsc/stco layouts with interleaved chunk
+  // bytes, and co64 64-bit offsets — so the parser is exercised against
+  // the layouts actual muxers produce, not a byte split.
 
-  /** Parsed ISO-BMFF metadata: codec fourcc + dims from stsd, media
-    * timescale from mdhd, per-sample sizes from stsz, 1-based sync
-    * sample numbers from stss, (count, delta) runs from stts, first
-    * chunk offset from stco.
+  /** One parsed ISO-BMFF track: handler fourcc from hdlr ('vide'/
+    * 'soun'), codec + dims from stsd (dims video-only), media timescale
+    * from mdhd, per-sample sizes from stsz, 1-based sync sample numbers
+    * from stss (empty = every sample is sync, the spec default for
+    * audio), (count, delta) runs from stts, (first_chunk,
+    * samples_per_chunk) runs from stsc, and the FULL chunk-offset array
+    * from stco or co64.
     */
-  private[graft] case class Mp4Meta(brand: String, codec: String,
+  private[graft] case class Mp4Track(handler: String, codec: String,
       width: Int, height: Int, timescale: Long, sizes: Array[Long],
-      syncs: Array[Int], sttsRuns: Array[(Long, Long)], chunkOffset: Long)
+      syncs: Array[Int], sttsRuns: Array[(Long, Long)],
+      stscRuns: Array[(Long, Long)], chunkOffsets: Array[Long])
+
+  /** Parsed ISO-BMFF container: brand, EVERY trak (a real mp4 muxes
+    * audio beside video — parsing must tolerate all of them), and the
+    * mdat payload bounds. `video` SELECTS the track by handler, never
+    * by position: trak order in moov is arbitrary in the wild.
+    */
+  private[graft] case class Mp4Meta(brand: String, tracks: Array[Mp4Track],
+      mdatStart: Long, mdatEnd: Long) {
+    def video: Mp4Track = {
+      val vs = tracks.filter(_.handler == "vide")
+      require(vs.length == 1,
+        s"expected exactly one video track, found ${vs.length} " +
+          s"among ${tracks.length} (handlers: ${tracks.map(_.handler).mkString(",")})")
+      vs.head
+    }
+  }
+
+  /** Per-sample (0-based chunk index, ABSOLUTE byte offset) via the
+    * ISO-BMFF chunk expansion: stsc runs say how many samples each
+    * chunk holds (a run covers chunks from its first_chunk until the
+    * next run's), stco/co64 give each chunk's absolute start, and the
+    * intra-chunk offset is the prefix sum of the chunk's earlier
+    * samples' stsz sizes. This — not `stco(0) + global prefix sum`,
+    * which is wrong the moment a file has a second chunk — is the
+    * byte range a production frame decoder seeks to.
+    */
+  private[graft] def sampleChunkOffsets(t: Mp4Track): Array[(Int, Long)] = {
+    val n = t.sizes.length
+    val out = new Array[(Int, Long)](n)
+    require(t.stscRuns.nonEmpty && t.stscRuns.head._1 == 1,
+      "stsc must start at chunk 1")
+    require(t.stscRuns.sliding(2).forall(
+      p => p.length < 2 || p(0)._1 < p(1)._1),
+      "stsc first_chunk must be strictly increasing")
+    var s = 0
+    var ri = 0
+    var chunk = 1 // 1-based, the wire convention
+    while (chunk <= t.chunkOffsets.length && s < n) {
+      while (ri + 1 < t.stscRuns.length && t.stscRuns(ri + 1)._1 <= chunk)
+        ri += 1
+      var off = t.chunkOffsets(chunk - 1)
+      var k = 0L
+      while (k < t.stscRuns(ri)._2 && s < n) {
+        out(s) = (chunk - 1, off)
+        off += t.sizes(s)
+        s += 1; k += 1
+      }
+      chunk += 1
+    }
+    require(s == n, s"stsc/stco map only $s of $n samples")
+    out
+  }
 
   case class Mp4Sample(doc_id: Long, sample_idx: Int, codec: String,
                        width: Int, height: Int, n_samples: Int,
-                       n_bytes: Long, byte_offset: Long, dts: Long,
-                       is_sync: Boolean)
+                       n_bytes: Long, chunk_idx: Int, byte_offset: Long,
+                       mdat_start: Long, dts: Long, is_sync: Boolean)
 
   private def putCc(bb: java.nio.ByteBuffer, s: String): Unit = {
     bb.put(s.getBytes("US-ASCII")); ()
@@ -701,33 +759,98 @@ object Multimodal {
     bb.array()
   }
 
-  /** Minimal structurally-complete mp4: ftyp(isom), moov(mvhd,
-    * trak(tkhd, mdia(mdhd, hdlr'vide', minf(vmhd, dinf/dref,
-    * stbl(stsd'avc1', stts, stss, stsz, stsc, stco))))), mdat. Sample
-    * DATA is deterministic filler (no H.264 encoder in the JDK — the
-    * container metadata is the point); `stco` carries the real absolute
-    * mdat-payload offset via a two-pass build (the moov size does not
-    * depend on the offset VALUE, so pass 2 patches it exactly).
+  /** Structurally-complete mp4: ftyp(isom), moov(mvhd, trak*), mdat.
+    * Beyond the r12 single-chunk/video-only shape this emits what real
+    * muxers emit: `samplesPerChunk` splits the video samples across
+    * MULTIPLE chunks (stsc runs + a full stco/co64 offset array);
+    * `audioSizes` adds a SECOND trak (hdlr 'soun', stsd 'mp4a', own
+    * mdhd/stts/stsz/stsc/stco) whose chunks INTERLEAVE with the video
+    * chunks in mdat — so video chunk offsets jump over audio bytes, the
+    * layout that breaks any "stco(0) + prefix sum" shortcut; the audio
+    * trak is written FIRST in moov so parsers that grab the first trak
+    * (or require it to be video) fail. `useCo64` writes 64-bit chunk
+    * offsets. Sample DATA is deterministic filler (no H.264/AAC encoder
+    * in the JDK — the container metadata is the point) that specs use
+    * as per-sample ground truth: the byte at absolute offset o of
+    * sample i must match the fill formula, proving the offset tables.
+    * Offsets land via a two-pass build (box sizes do not depend on the
+    * offset VALUES — co64 width is fixed by the flag — so pass 2
+    * patches them exactly).
     */
   private[graft] def mp4Bytes(w: Int, h: Int, sizes: Array[Int],
-                                  sttsRuns: Array[(Int, Int)],
-                                  syncs: Array[Int],
-                                  seed: Long): Array[Byte] = {
+                              sttsRuns: Array[(Int, Int)],
+                              syncs: Array[Int],
+                              seed: Long,
+                              samplesPerChunk: Int = 0,
+                              audioSizes: Array[Int] = Array.empty,
+                              useCo64: Boolean = false): Array[Byte] = {
     val n = sizes.length
     require(sttsRuns.map(_._1).sum == n, "stts must cover every sample")
     val durMedia = sttsRuns.map { case (c, d) => c.toLong * d }.sum
-    val payload = buf(sizes.sum) { bb =>
-      var i = 0
+
+    val spc = if (samplesPerChunk <= 0) math.max(n, 1) else samplesPerChunk
+    val vChunkSizes = Array.tabulate((n + spc - 1) / spc)(
+      c => math.min(spc, n - c * spc))
+    val na = audioSizes.length
+    val aChunkSizes = Array.fill(na)(1) // one audio sample per chunk
+
+    // per-sample filler; j is the per-track running byte index (the
+    // video formula is unchanged from r12 — specs pin it as ground truth)
+    val vBytes = locally {
       var j = 0L
-      while (i < n) {
-        var k = 0
-        while (k < sizes(i)) {
-          bb.put(((seed + 7 * i + j) % 256).toByte); k += 1; j += 1
-        }
-        i += 1
+      sizes.zipWithIndex.map { case (sz, i) =>
+        Array.tabulate(sz) { _ =>
+          val b = ((seed + 7 * i + j) % 256).toByte; j += 1; b }
       }
     }
-    def build(chunkOff: Long): Array[Byte] = {
+    val aBytes = locally {
+      var j = 0L
+      audioSizes.zipWithIndex.map { case (sz, i) =>
+        Array.tabulate(sz) { _ =>
+          val b = java.lang.Math.floorMod(seed * 5 + 11 * i + j, 256L).toByte
+          j += 1; b }
+      }
+    }
+
+    // mdat layout: round c writes video chunk c then audio chunk c
+    // (whichever exist) — the real-muxer interleave
+    val vChunkRel = new Array[Long](vChunkSizes.length)
+    val aChunkRel = new Array[Long](aChunkSizes.length)
+    val payloadOut = new java.io.ByteArrayOutputStream()
+    locally {
+      var vs = 0; var as = 0
+      var pos = 0L
+      var c = 0
+      while (c < math.max(vChunkSizes.length, aChunkSizes.length)) {
+        if (c < vChunkSizes.length) {
+          vChunkRel(c) = pos
+          var k = 0
+          while (k < vChunkSizes(c)) {
+            payloadOut.write(vBytes(vs)); pos += vBytes(vs).length
+            vs += 1; k += 1
+          }
+        }
+        if (c < aChunkSizes.length) {
+          aChunkRel(c) = pos
+          payloadOut.write(aBytes(as)); pos += aBytes(as).length
+          as += 1
+        }
+        c += 1
+      }
+    }
+    val payload = payloadOut.toByteArray
+
+    // compress a samples-per-chunk array to stsc (first_chunk, count)
+    // runs — a run extends until the next run's first_chunk
+    def stscOf(chunkSizes: Array[Int]): Array[(Int, Int)] = {
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      chunkSizes.zipWithIndex.foreach { case (szc, i) =>
+        if (runs.isEmpty || runs.last._2 != szc) runs += ((i + 1, szc))
+      }
+      runs.toArray
+    }
+
+    def build(vOffs: Array[Long], aOffs: Array[Long]): Array[Byte] = {
       val ftyp = mkBox("ftyp", buf(16) { bb =>
         putCc(bb, "isom"); bb.putInt(512); putCc(bb, "isom"); putCc(bb, "avc1")
       })
@@ -742,35 +865,41 @@ object Multimodal {
         bb.putInt(0).putInt(0x00010000).putInt(0)
         bb.putInt(0).putInt(0).putInt(0x40000000)
         (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
-        bb.putInt(2) // next track id
+        bb.putInt(if (na == 0) 2 else 3) // next track id
         ()
       })
-      val tkhd = mkBox("tkhd", buf(84) { bb =>
-        bb.putInt(7) // version 0, flags: enabled|in-movie|in-preview
-        bb.putInt(0).putInt(0).putInt(1).putInt(0)
-        bb.putInt((durMedia * 1000 / 90000).toInt)
-        bb.putLong(0).putShort(0).putShort(0).putShort(0).putShort(0)
-        bb.putInt(0x00010000).putInt(0).putInt(0)
-        bb.putInt(0).putInt(0x00010000).putInt(0)
-        bb.putInt(0).putInt(0).putInt(0x40000000)
-        bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed
-        ()
-      })
-      val mdhd = mkBox("mdhd", buf(24) { bb =>
-        bb.putInt(0).putInt(0).putInt(0)
-        bb.putInt(90000).putInt(durMedia.toInt)
-        bb.putShort(0x55c4.toShort).putShort(0) // 'und' language
-        ()
-      })
-      val hdlr = mkBox("hdlr", buf(25) { bb =>
-        bb.putInt(0).putInt(0); putCc(bb, "vide")
-        bb.putInt(0).putInt(0).putInt(0); bb.put(0.toByte) // empty name
-        ()
-      })
+      def tkhdBox(trackId: Int, tw: Int, th: Int): Array[Byte] =
+        mkBox("tkhd", buf(84) { bb =>
+          bb.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+          bb.putInt(0).putInt(0).putInt(trackId).putInt(0)
+          bb.putInt((durMedia * 1000 / 90000).toInt)
+          bb.putLong(0).putShort(0).putShort(0).putShort(0).putShort(0)
+          bb.putInt(0x00010000).putInt(0).putInt(0)
+          bb.putInt(0).putInt(0x00010000).putInt(0)
+          bb.putInt(0).putInt(0).putInt(0x40000000)
+          bb.putInt(tw << 16).putInt(th << 16) // 16.16 fixed
+          ()
+        })
+      def mdhdBox(timescale: Int, dur: Long): Array[Byte] =
+        mkBox("mdhd", buf(24) { bb =>
+          bb.putInt(0).putInt(0).putInt(0)
+          bb.putInt(timescale).putInt(dur.toInt)
+          bb.putShort(0x55c4.toShort).putShort(0) // 'und' language
+          ()
+        })
+      def hdlrBox(handler: String): Array[Byte] =
+        mkBox("hdlr", buf(25) { bb =>
+          bb.putInt(0).putInt(0); putCc(bb, handler)
+          bb.putInt(0).putInt(0).putInt(0); bb.put(0.toByte) // empty name
+          ()
+        })
       val vmhd = mkBox("vmhd", buf(12) { bb =>
         bb.putInt(1).putShort(0).putShort(0).putShort(0).putShort(0); ()
       })
-      val dinf = mkBox("dinf", mkBox("dref", buf(8) { bb =>
+      val smhd = mkBox("smhd", buf(8) { bb =>
+        bb.putInt(0).putShort(0).putShort(0); () // balance 0, reserved
+      })
+      def dinf = mkBox("dinf", mkBox("dref", buf(8) { bb =>
         bb.putInt(0).putInt(1); ()
       }, mkBox("url ", buf(4) { bb => bb.putInt(1); () })))
       val avc1 = mkBox("avc1", buf(78) { bb =>
@@ -785,60 +914,118 @@ object Multimodal {
         bb.putShort(24).putShort(-1) // depth, pre_defined
         ()
       })
-      val stsd = mkBox("stsd", buf(8) { bb =>
-        bb.putInt(0).putInt(1); ()
-      }, avc1)
-      val stts = mkBox("stts", buf(8 + 8 * sttsRuns.length) { bb =>
-        bb.putInt(0).putInt(sttsRuns.length)
-        sttsRuns.foreach { case (c, d) => bb.putInt(c).putInt(d) }
+      val mp4a = mkBox("mp4a", buf(28) { bb =>
+        bb.putInt(0).putShort(0) // 6 reserved bytes
+        bb.putShort(1) // data_reference_index
+        bb.putLong(0) // reserved
+        bb.putShort(2).putShort(16) // channels, sample size
+        bb.putShort(0).putShort(0) // pre_defined, reserved
+        bb.putInt(48000 << 16) // samplerate 16.16 (u32 bit pattern)
         ()
       })
-      val stss = mkBox("stss", buf(8 + 4 * syncs.length) { bb =>
-        bb.putInt(0).putInt(syncs.length)
-        syncs.foreach(bb.putInt)
-        ()
-      })
-      val stsz = mkBox("stsz", buf(12 + 4 * n) { bb =>
-        bb.putInt(0).putInt(0).putInt(n)
-        sizes.foreach(bb.putInt)
-        ()
-      })
-      val stsc = mkBox("stsc", buf(20) { bb =>
-        bb.putInt(0).putInt(1)
-        bb.putInt(1).putInt(n).putInt(1) // one chunk holds every sample
-        ()
-      })
-      val stco = mkBox("stco", buf(12) { bb =>
-        bb.putInt(0).putInt(1).putInt(chunkOff.toInt); ()
-      })
-      val stbl = mkBox("stbl", stsd, stts, stss, stsz, stsc, stco)
-      val minf = mkBox("minf", vmhd, dinf, stbl)
-      val mdia = mkBox("mdia", mdhd, hdlr, minf)
-      val trak = mkBox("trak", tkhd, mdia)
-      val moov = mkBox("moov", mvhd, trak)
+      def stblBox(codecEntry: Array[Byte], runs: Array[(Int, Int)],
+                  syncsArr: Array[Int], sizesArr: Array[Int],
+                  chunkSizes: Array[Int], offs: Array[Long]): Array[Byte] = {
+        val stsd = mkBox("stsd", buf(8) { bb =>
+          bb.putInt(0).putInt(1); ()
+        }, codecEntry)
+        val stts = mkBox("stts", buf(8 + 8 * runs.length) { bb =>
+          bb.putInt(0).putInt(runs.length)
+          runs.foreach { case (c, d) => bb.putInt(c).putInt(d) }
+          ()
+        })
+        // an absent stss means EVERY sample is sync (the spec default,
+        // and what real muxers write for audio) — emit it only when a
+        // proper subset of samples is key
+        val stss =
+          if (syncsArr.isEmpty) Array.empty[Byte]
+          else mkBox("stss", buf(8 + 4 * syncsArr.length) { bb =>
+            bb.putInt(0).putInt(syncsArr.length)
+            syncsArr.foreach(bb.putInt)
+            ()
+          })
+        val stsz = mkBox("stsz", buf(12 + 4 * sizesArr.length) { bb =>
+          bb.putInt(0).putInt(0).putInt(sizesArr.length)
+          sizesArr.foreach(bb.putInt)
+          ()
+        })
+        val sruns = stscOf(chunkSizes)
+        val stsc = mkBox("stsc", buf(8 + 12 * sruns.length) { bb =>
+          bb.putInt(0).putInt(sruns.length)
+          sruns.foreach { case (fc, c) =>
+            bb.putInt(fc).putInt(c).putInt(1) } // sample_description 1
+          ()
+        })
+        val stcoOrCo64 =
+          if (useCo64) mkBox("co64", buf(8 + 8 * offs.length) { bb =>
+            bb.putInt(0).putInt(offs.length)
+            offs.foreach(bb.putLong)
+            ()
+          })
+          else mkBox("stco", buf(8 + 4 * offs.length) { bb =>
+            bb.putInt(0).putInt(offs.length)
+            offs.foreach { o =>
+              // u32 on the wire: an offset past 4 GiB needs co64 — fail
+              // loudly rather than truncate silently
+              require(o >= 0 && o <= 0xffffffffL,
+                s"stco cannot hold offset $o — write with useCo64")
+              bb.putInt(o.toInt)
+            }
+            ()
+          })
+        mkBox("stbl", stsd, stts, stss, stsz, stsc, stcoOrCo64)
+      }
+      val vstbl = stblBox(avc1, sttsRuns, syncs, sizes, vChunkSizes, vOffs)
+      val vtrak = mkBox("trak", tkhdBox(1, w, h),
+        mkBox("mdia", mdhdBox(90000, durMedia), hdlrBox("vide"),
+          mkBox("minf", vmhd, dinf, vstbl)))
+      val traks =
+        if (na == 0) Array(vtrak)
+        else {
+          val astbl = stblBox(mp4a, Array((na, 1024)), Array.empty,
+            audioSizes, aChunkSizes, aOffs)
+          val atrak = mkBox("trak", tkhdBox(2, 0, 0),
+            mkBox("mdia", mdhdBox(48000, na.toLong * 1024), hdlrBox("soun"),
+              mkBox("minf", smhd, dinf, astbl)))
+          // audio FIRST: a parser that grabs the first trak (or requires
+          // it to be video) must fail against this fixture
+          Array(atrak, vtrak)
+        }
+      val moov = mkBox("moov", (mvhd +: traks): _*)
       val mdat = mkBox("mdat", payload)
       ftyp ++ moov ++ mdat
     }
-    val pass1 = build(0)
-    // mdat payload sits at the end; its absolute offset is fixed by the
-    // box sizes, which do not depend on the offset value
-    build(pass1.length - payload.length)
+    val pass1 = build(vChunkRel, aChunkRel)
+    // mdat payload sits at the end; its absolute start is fixed by the
+    // box sizes, which do not depend on the offset values
+    val base = (pass1.length - payload.length).toLong
+    build(vChunkRel.map(_ + base), aChunkRel.map(_ + base))
   }
 
-  /** Deterministic mp4 per doc: n = id%7+3 samples of a
-    * (id%5+2)*16 x (id%4+2)*16 'avc1' track; sample i is
-    * (id+i)%50+20 bytes; stts is TWO runs (first half delta 3000, rest
-    * 3600 at timescale 90000 — exercises the run-length parse);
-    * keyframes every 3rd sample from 1. Every surfaced field is doc_id
-    * arithmetic — the oracle recomputes all of it.
+  /** Deterministic mp4 per doc — the REAL-WORLD shape, not the r12
+    * minimal one: n = id%7+3 video samples of a (id%5+2)*16 x
+    * (id%4+2)*16 'avc1' track, sample i is (id+i)%50+20 bytes, stts is
+    * TWO runs (first half delta 3000, rest 3600 at timescale 90000),
+    * keyframes every 3rd sample from 1; video samples split 2-per-chunk
+    * (exercises stsc runs + the full stco array); an 'mp4a' audio trak
+    * with id%6+2 samples of (id*3+i)%40+10 bytes whose chunks
+    * INTERLEAVE with the video chunks in mdat (video offsets jump over
+    * audio bytes) and which is written FIRST in moov (selection must go
+    * by hdlr); every 3rd doc writes co64 instead of stco. Every
+    * surfaced field is doc_id arithmetic — the oracle recomputes all of
+    * it, including the interleave-aware relative offsets.
     */
   private def mp4Of(id: Long): Array[Byte] = {
     val n = (id % 7 + 3).toInt
     val n1 = n / 2
+    val na = (id % 6 + 2).toInt
     mp4Bytes(((id % 5 + 2) * 16).toInt, ((id % 4 + 2) * 16).toInt,
       Array.tabulate(n)(i => ((id + i) % 50 + 20).toInt),
       Array((n1, 3000), (n - n1, 3600)),
-      (1 to n by 3).toArray, id)
+      (1 to n by 3).toArray, id,
+      samplesPerChunk = 2,
+      audioSizes = Array.tabulate(na)(i => ((id * 3 + i) % 40 + 10).toInt),
+      useCo64 = id % 3 == 0)
   }
 
   def synthesizeMp4(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -850,12 +1037,20 @@ object Multimodal {
   }
 
   /** ISO-BMFF box walker: recursive descent over the size+type tree
-    * (64-bit largesize and size-0-to-end handled), descending into
-    * moov/trak/mdia/minf/stbl and extracting the stbl sample tables.
-    * Validates structure loudly: box bounds against the container,
-    * handler 'vide', single stsd entry, stts coverage = stsz count,
-    * and the stco chunk offset + total sample bytes inside the mdat
-    * payload — a parse, not a byte split.
+    * (64-bit largesize and size-0-to-end handled), collecting EVERY
+    * trak — a real mp4 muxes audio beside video, and r12's
+    * first-track-must-be-video require rejected virtually every
+    * real-world file. Per track it extracts the full stbl: stsd codec
+    * (+dims for video entries), mdhd timescale, stts runs, stss syncs
+    * (absent = all-sync, the audio default), stsz sizes, stsc
+    * sample-to-chunk runs, and the COMPLETE chunk-offset array from
+    * stco or co64 (64-bit offsets — files past 4 GiB). Validates
+    * structure loudly: box bounds against the container, single stsd
+    * entry, stts coverage = stsz count per track, and EVERY sample's
+    * (chunk offset + intra-chunk position, size) range inside the mdat
+    * payload — a parse, not a byte split. Inputs are in-memory byte
+    * arrays (≤2 GiB by JVM construction), so box offsets always fit
+    * the buffer's int positions once the bounds checks pass.
     */
   private[graft] def parseMp4(bytes: Array[Byte]): Mp4Meta = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -863,14 +1058,18 @@ object Multimodal {
       val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
     }
     var brand: String = null
+    var mdatStart = -1L; var mdatEnd = -1L
+    val tracks = scala.collection.mutable.ArrayBuffer[Mp4Track]()
+    // per-trak accumulator state, reset on each 'trak' entry
+    var handler: String = null
     var codec: String = null
     var w = -1; var h = -1
     var timescale = -1L
     var sizes: Array[Long] = null
     var syncs: Array[Int] = Array.empty
     var sttsRuns: Array[(Long, Long)] = null
-    var stco = -1L
-    var mdatStart = -1L; var mdatEnd = -1L
+    var stscRuns: Array[(Long, Long)] = null
+    var chunkOffsets: Array[Long] = null
     def u32(): Long = bb.getInt().toLong & 0xffffffffL
     def walk(end: Long): Unit = {
       while (bb.position() < end) {
@@ -885,7 +1084,21 @@ object Multimodal {
           s"box $typ overruns its container ($size bytes, $end end)")
         typ match {
           case "ftyp" => brand = cc()
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(boxEnd)
+          case "moov" | "mdia" | "minf" | "stbl" => walk(boxEnd)
+          case "trak" =>
+            handler = null; codec = null; w = -1; h = -1; timescale = -1L
+            sizes = null; syncs = Array.empty; sttsRuns = null
+            stscRuns = null; chunkOffsets = null
+            walk(boxEnd)
+            require(handler != null && codec != null && timescale > 0 &&
+              sizes != null && sttsRuns != null && stscRuns != null &&
+              chunkOffsets != null,
+              s"trak (handler=$handler) missing required stbl boxes")
+            require(sttsRuns.map(_._1).sum == sizes.length,
+              s"stts covers ${sttsRuns.map(_._1).sum} samples, " +
+                s"stsz says ${sizes.length} (handler=$handler)")
+            tracks += Mp4Track(handler, codec, w, h, timescale, sizes,
+              syncs, sttsRuns, stscRuns, chunkOffsets)
           case "mdhd" =>
             val ver = bb.get()
             bb.get(); bb.get(); bb.get()
@@ -894,15 +1107,22 @@ object Multimodal {
             timescale = u32()
           case "hdlr" =>
             bb.getInt(); bb.getInt()
-            require(cc() == "vide", "first track must be video")
+            handler = cc() // 'vide' / 'soun' / ... — selection happens
+                           // at Mp4Meta.video, never here
           case "stsd" =>
             bb.getInt()
             require(bb.getInt() == 1, "expected a single stsd entry")
             bb.getInt() // entry size
             codec = cc()
-            bb.position(bb.position() + 6 + 2 + 16) // rsvd, dref, pre_def
-            w = bb.getShort() & 0xffff
-            h = bb.getShort() & 0xffff
+            // sample-entry layout is handler-specific: only the visual
+            // entry carries dims at this offset; audio entries keep
+            // codec only (channels/rate are not surfaced downstream)
+            require(handler != null, "stsd before hdlr in mdia")
+            if (handler == "vide") {
+              bb.position(bb.position() + 6 + 2 + 16) // rsvd, dref, pre_def
+              w = bb.getShort() & 0xffff
+              h = bb.getShort() & 0xffff
+            }
           case "stts" =>
             bb.getInt()
             sttsRuns = Array.fill(bb.getInt())((u32(), u32()))
@@ -916,53 +1136,75 @@ object Multimodal {
             sizes =
               if (uniform != 0) Array.fill(cnt)(uniform)
               else Array.fill(cnt)(u32())
+          case "stsc" =>
+            bb.getInt()
+            stscRuns = Array.fill(bb.getInt()) {
+              val fc = u32(); val cnt = u32(); u32() // sample_description
+              (fc, cnt)
+            }
           case "stco" =>
             bb.getInt()
-            require(bb.getInt() >= 1, "stco must hold an offset")
-            stco = u32()
+            chunkOffsets = Array.fill(bb.getInt())(u32())
+          case "co64" =>
+            bb.getInt()
+            chunkOffsets = Array.fill(bb.getInt())(bb.getLong())
           case "mdat" =>
             mdatStart = start + 8
             mdatEnd = boxEnd
-          case _ => // mvhd/tkhd/vmhd/dinf/free/...: opaque here
+          case _ => // mvhd/tkhd/vmhd/smhd/dinf/free/...: opaque here
         }
         bb.position(boxEnd.toInt)
       }
     }
     walk(bytes.length.toLong)
-    require(brand != null && codec != null && timescale > 0 &&
-      sizes != null && sttsRuns != null && stco >= 0 && mdatStart >= 0,
-      "missing required ISO-BMFF boxes")
-    require(sttsRuns.map(_._1).sum == sizes.length,
-      s"stts covers ${sttsRuns.map(_._1).sum} samples, stsz says ${sizes.length}")
-    require(stco >= mdatStart && stco + sizes.sum <= mdatEnd,
-      "stco chunk offset + sample bytes must sit inside mdat")
-    Mp4Meta(brand, codec, w, h, timescale, sizes, syncs, sttsRuns, stco)
+    require(brand != null && tracks.nonEmpty && mdatStart >= 0,
+      "missing required ISO-BMFF boxes (ftyp/trak/mdat)")
+    // every track's every sample byte range must sit inside mdat — the
+    // chunk expansion is validated here once so downstream consumers
+    // can trust the (offset, size) ranges they seek to
+    tracks.foreach { t =>
+      val co = sampleChunkOffsets(t)
+      var i = 0
+      while (i < co.length) {
+        require(co(i)._2 >= mdatStart && co(i)._2 + t.sizes(i) <= mdatEnd,
+          s"sample $i of ${t.handler} track outside mdat " +
+            s"(${co(i)._2}+${t.sizes(i)} vs [$mdatStart,$mdatEnd))")
+        i += 1
+      }
+    }
+    Mp4Meta(brand, tracks.toArray, mdatStart, mdatEnd)
   }
 
-  /** One row per SAMPLE from the container metadata alone: codec,
-    * dims, size, intra-chunk byte offset (prefix sum of sizes — plus
-    * `stco` it is the absolute range a production frame decoder reads),
+  /** One row per VIDEO sample from the container metadata alone: codec,
+    * dims, size, the sample's 0-based chunk index and ABSOLUTE byte
+    * offset (stsc/stco/co64 chunk expansion — correct for multi-chunk,
+    * audio-interleaved files, where a `stco(0) + prefix sum` shortcut
+    * points into the wrong track's bytes), the mdat payload start,
     * decode timestamp from the stts runs, and the stss keyframe flag.
-    * Narrow flatMap over the binary column; no shuffle; the shape
-    * scene-cut and frame-sample pipelines consume for real corpora.
+    * The video track is SELECTED by hdlr among however many traks the
+    * file muxes. Narrow flatMap over the binary column; no shuffle; the
+    * shape scene-cut and frame-sample pipelines consume for real
+    * corpora.
     */
   def mp4SampleTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "content").as[VideoRow].flatMap { r =>
       val m = parseMp4(r.content)
-      val n = m.sizes.length
-      val syncSet = m.syncs.toSet
+      val v = m.video
+      val n = v.sizes.length
+      val syncSet = v.syncs.toSet
       val dts = new Array[Long](n)
       var i = 0
       var acc = 0L
-      m.sttsRuns.foreach { case (cnt, delta) =>
+      v.sttsRuns.foreach { case (cnt, delta) =>
         var c = 0L
         while (c < cnt) { dts(i) = acc; acc += delta; i += 1; c += 1 }
       }
-      val offs = m.sizes.scanLeft(0L)(_ + _)
+      val co = sampleChunkOffsets(v)
       (0 until n).map { j =>
-        Mp4Sample(r.doc_id, j, m.codec, m.width, m.height, n,
-          m.sizes(j), offs(j), dts(j), syncSet.contains(j + 1))
+        Mp4Sample(r.doc_id, j, v.codec, v.width, v.height, n,
+          v.sizes(j), co(j)._1, co(j)._2, m.mdatStart, dts(j),
+          syncSet.contains(j + 1))
       }
     }.toDF()
   }

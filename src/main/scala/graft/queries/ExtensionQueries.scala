@@ -2465,19 +2465,31 @@ object ExtensionQueries {
     // tree (ftyp/moov/trak/mdia/minf/stbl) carries everything the x78
     // scene/segment and x7 frame-sample pipelines actually consume —
     // codec tag, dims, per-sample byte ranges, keyframe (stss) numbers,
-    // per-sample timing (stts runs). One row per SAMPLE from metadata
-    // alone (Multimodal.mp4SampleTable over synthesized structurally
-    // complete mp4s); the parser validates the tree loudly (bounds,
-    // stts↔stsz coverage, stco inside mdat). Every field is doc_id
-    // arithmetic, so the oracle recomputes the whole table.
+    // per-sample timing (stts runs). The r13 fixture is the REAL-WORLD
+    // shape: an 'mp4a' audio trak muxed FIRST (selection must go by
+    // hdlr), video samples split 2-per-chunk with audio chunks
+    // INTERLEAVED in mdat (stsc runs + full stco arrays; every 3rd doc
+    // uses co64), so the surfaced offsets prove the chunk expansion.
+    // The gate compares offsets RELATIVE to the mdat payload start
+    // (byte_offset − mdat_start): absolute offsets depend on box sizes
+    // the oracle cannot reasonably recompute, while the relative form
+    // still encodes the whole stsc/stco/interleave structure — the
+    // audio-gap jumps are visible in it. Absolute offsets are pinned
+    // byte-for-byte against writer ground truth in Round13OpsSpec.
     "x85_mp4_meta" -> QueryDef(
       (s, dir) => graft.operators.Multimodal.mp4SampleTable(
           s, graft.operators.Multimodal.synthesizeMp4(
             s, t(s, dir, "documents")))
+        .select(col("doc_id"), col("sample_idx"), col("codec"),
+          col("width"), col("height"), col("n_samples"), col("n_bytes"),
+          col("chunk_idx"),
+          (col("byte_offset") - col("mdat_start")).as("rel_offset"),
+          col("dts"), col("is_sync"))
         .orderBy("doc_id", "sample_idx"),
       Some(
         """WITH s AS (
           |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
+          |    CAST(doc_id % 6 + 2 AS BIGINT) AS na,
           |    unnest(range(0, doc_id % 7 + 3)) AS i
           |  FROM documents)
           |SELECT doc_id, CAST(i AS INT) AS sample_idx,
@@ -2486,9 +2498,18 @@ object ExtensionQueries {
           |  CAST((doc_id % 4 + 2) * 16 AS INT) AS height,
           |  CAST(n AS INT) AS n_samples,
           |  CAST((doc_id + i) % 50 + 20 AS BIGINT) AS n_bytes,
+          |  CAST(i // 2 AS INT) AS chunk_idx,
+          |  -- video prefix bytes (chunks are contiguous in sample order)
+          |  -- plus the audio chunks interleaved BEFORE this video chunk:
+          |  -- mdat rounds go v0 a0 v1 a1 ..., so video chunk c is
+          |  -- preceded by min(c, na) one-sample audio chunks
           |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
           |    list_transform(range(0, i), j -> (doc_id + j) % 50 + 20)),
-          |    (a, b) -> a + b) AS BIGINT) AS byte_offset,
+          |    (a, b) -> a + b)
+          |  + list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(0, least(i // 2, na)),
+          |      k -> (doc_id * 3 + k) % 40 + 10)),
+          |    (a, b) -> a + b) AS BIGINT) AS rel_offset,
           |  CAST(CASE WHEN i < n // 2 THEN i * 3000
           |    ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END
           |    AS BIGINT) AS dts,

@@ -113,18 +113,19 @@ class Round12OpsSpec extends GraftSparkSpec {
     val bytes = Multimodal.mp4Bytes(32, 48, Array(20, 21, 22, 23, 24),
       Array((2, 3000), (3, 3600)), Array(1, 4), seed = 9L)
     val m = Multimodal.parseMp4(bytes)
-    assert(m.brand == "isom" && m.codec == "avc1")
-    assert(m.width == 32 && m.height == 48 && m.timescale == 90000L)
-    assert(m.sizes.toSeq == Seq(20L, 21L, 22L, 23L, 24L))
-    assert(m.syncs.toSeq == Seq(1, 4))
-    assert(m.sttsRuns.toSeq == Seq((2L, 3000L), (3L, 3600L)))
-    // the stco offset is ABSOLUTE: every keyframe's (offset, size) byte
+    val v = m.video
+    assert(m.brand == "isom" && v.codec == "avc1")
+    assert(v.width == 32 && v.height == 48 && v.timescale == 90000L)
+    assert(v.sizes.toSeq == Seq(20L, 21L, 22L, 23L, 24L))
+    assert(v.syncs.toSeq == Seq(1, 4))
+    assert(v.sttsRuns.toSeq == Seq((2L, 3000L), (3L, 3600L)))
+    // chunk offsets are ABSOLUTE: every keyframe's (offset, size) byte
     // range must sit inside the file — what a production frame decoder
     // would seek to
-    val prefix = m.sizes.scanLeft(0L)(_ + _)
-    m.syncs.foreach { s1 =>
-      val lo = m.chunkOffset + prefix(s1 - 1)
-      assert(lo >= 0 && lo + m.sizes(s1 - 1) <= bytes.length)
+    val co = Multimodal.sampleChunkOffsets(v)
+    v.syncs.foreach { s1 =>
+      val lo = co(s1 - 1)._2
+      assert(lo >= 0 && lo + v.sizes(s1 - 1) <= bytes.length)
     }
     // a walker, not a byte split: truncation and header corruption fail
     intercept[IllegalArgumentException] {
