@@ -435,6 +435,19 @@ object GraftCli {
       println(s"[graft] binary append: $embParquet -> $indexDir")
       spark.stop()
 
+    case "ann-compact" :: indexDir :: rest =>
+      val spark = session()
+      val targetBytes = rest.headOption.map(_.toLong)
+        .getOrElse(128L * 1024 * 1024)
+      val report = operators.Similarity.compactIndex(
+        spark, indexDir, targetBytes)
+      report.foreach { case (tbl, (before, after)) =>
+        println(s"[graft] ann-compact $tbl: $before -> $after files")
+      }
+      if (report.isEmpty)
+        println(s"[graft] ann-compact: no index tables under $indexDir")
+      spark.stop()
+
     case "ann-binary-query" :: indexDir :: embParquet :: qidStr :: rest =>
       val spark = session()
       import org.apache.spark.sql.functions.col
@@ -779,6 +792,7 @@ object GraftCli {
            |  ann-binary-build <embeddingsParquet> <indexDir>
            |  ann-binary-append <embeddingsParquet> <indexDir>
            |  ann-binary-query <indexDir> <embeddingsParquet> <vecId> <k> [prefilter]
+           |  ann-compact <indexDir> [targetBytes]
            |  stream-upsert <landingDir> <tableDir> <checkpointDir> <keyCol> <tsCol> [nBuckets] [runSec]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
            |  stream-quality-route <landingDir> <passDir> <quarantineDir> <checkpointDir> [minWords] [runSec]

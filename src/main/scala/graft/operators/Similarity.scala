@@ -803,4 +803,131 @@ object Similarity {
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")
   }
+
+  // ---- index maintenance: after thousands of append waves
+  // (appendIvfIndex / appendBinaryIndex each land one wave-sized file
+  // set) the index tables fragment into tiny files and every query's
+  // scan pays per-file open/footer costs instead of bytes. Generic
+  // Layout.compact cannot be pointed at an index: a flat rewrite of
+  // `lists` would DESTROY the list_id partitioning that makes nprobe a
+  // filesystem partition prune. compactIndex is the index-aware pass.
+
+  private def parquetFileCount(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path): Int = {
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).map { s =>
+      if (s.isDirectory) parquetFileCount(fs, s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) 1 else 0
+    }.sum
+  }
+
+  /** Crash recovery for the staged-swap protocol below: a death between
+    * the two renames leaves `<table>` missing and `<table>.old` intact —
+    * restore it before doing anything else. (A death BEFORE the first
+    * rename leaves the live table untouched and only an orphaned
+    * `.compacting` dir, which the next run deletes.)
+    */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          cur: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(cur.toString + ".old")
+    if (!fs.exists(cur) && fs.exists(old)) {
+      require(fs.rename(old, cur), s"compact recovery failed for $cur")
+    }
+  }
+
+  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+                       cur: org.apache.hadoop.fs.Path,
+                       next: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(cur.toString + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(cur, old), s"compact swap: cannot stage $cur")
+    require(fs.rename(next, cur), s"compact swap: cannot commit $next")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Index-aware small-file compaction for the persisted ANN indexes —
+    * a pure layout rewrite: query results are identical before and
+    * after (spec-pinned), `centroids`/`codebook`/`build_dist` are never
+    * touched, and the `lists` table keeps its `list_id=` partition
+    * directories (per-LIST coalesce — the nprobe partition prune
+    * survives). Sizing follows Layout.compact's bytes-based rule
+    * (`ceil(dirBytes / targetBytes)` files, from real on-disk bytes,
+    * not row estimates) applied PER list directory; a list already at
+    * or under its target file count is MOVED file-by-file, not
+    * rewritten — steady-state maintenance reprocesses only the
+    * fragmented lists, so running compaction after every N waves costs
+    * O(recent waves), not O(index). `codes`/`vectors` (the binary-index
+    * tables) compact flat, sorted by vec_id within files so footer
+    * min/max stats keep the rerank's id semi-join selective. Each table
+    * commits via write-to-`.compacting` + two renames with `.old`
+    * recovery: a crash at any point leaves either the original or the
+    * compacted table fully live, never a mix.
+    *
+    * Returns per-table (filesBefore, filesAfter).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024)
+      : Map[String, (Int, Int)] = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val out = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
+
+    // lists: per-list-dir coalesce preserving the partition layout
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = lists.getFileSystem(hadoop)
+    recoverSwap(fs, lists)
+    if (fs.exists(lists)) {
+      val next = new org.apache.hadoop.fs.Path(s"$path/lists.compacting")
+      if (fs.exists(next)) fs.delete(next, true)
+      fs.mkdirs(next)
+      var before = 0
+      fs.listStatus(lists).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("list_id="))
+        .sortBy(_.getPath.getName)
+        .foreach { d =>
+          val nFiles = parquetFileCount(fs, d.getPath)
+          before += nFiles
+          val bytes = fs.getContentSummary(d.getPath).getLength
+          val target =
+            math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          val dst = new org.apache.hadoop.fs.Path(next, d.getPath.getName)
+          if (nFiles <= target) {
+            // already compact: move, don't rewrite
+            require(fs.rename(d.getPath, dst),
+              s"compact: cannot move ${d.getPath}")
+          } else {
+            spark.read.parquet(d.getPath.toString)
+              .repartition(target)
+              .sortWithinPartitions("vec_id")
+              .write.parquet(dst.toString)
+          }
+        }
+      swapDirs(fs, lists, next)
+      out += "lists" -> ((before, parquetFileCount(fs, lists)))
+    }
+
+    // binary-index tables: flat compaction, vec_id-sorted files
+    Seq("codes", "vectors").foreach { tbl =>
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$tbl")
+      recoverSwap(fs, cur)
+      if (fs.exists(cur)) {
+        val before = parquetFileCount(fs, cur)
+        val bytes = fs.getContentSummary(cur).getLength
+        val target =
+          math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        if (before > target) {
+          val next =
+            new org.apache.hadoop.fs.Path(s"$path/$tbl.compacting")
+          if (fs.exists(next)) fs.delete(next, true)
+          spark.read.parquet(cur.toString)
+            .repartitionByRange(target, col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.parquet(next.toString)
+          swapDirs(fs, cur, next)
+        }
+        out += tbl -> ((before, parquetFileCount(fs, cur)))
+      }
+    }
+    out.toMap
+  }
 }

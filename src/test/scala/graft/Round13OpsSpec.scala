@@ -79,6 +79,67 @@ class Round13OpsSpec extends GraftSparkSpec {
     intercept[IllegalArgumentException] { m.video }
   }
 
+  test("compactIndex IVF: query-identical, per-list layout kept, file count drops") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ann-compact").toString
+    // head build + 3 disjoint append waves → each list dir fragments
+    // into up to 4 wave file sets
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 === 0), s"$tmp/ivf", 8)
+    (1 to 3).foreach { w =>
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 4 === w), s"$tmp/ivf")
+    }
+    def q() = Similarity.ivfIndexTopK(spark, s"$tmp/ivf",
+      e.filter(col("vec_id") === 7)
+        .select(col("embedding").as("q_embedding")), 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val before = q()
+    val distBefore = spark.read.parquet(s"$tmp/ivf/build_dist")
+      .collect().map(_.toSeq).toSet
+    val report = Similarity.compactIndex(spark, s"$tmp/ivf")
+    val (fb, fa) = report("lists")
+    assert(fa < fb, s"lists files must drop: $fb -> $fa")
+    // list_id partition dirs survive (the nprobe partition prune)
+    val listDirs = new java.io.File(s"$tmp/ivf/lists").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("list_id=")))
+    assert(q() == before, "compaction changed query results")
+    assert(spark.read.parquet(s"$tmp/ivf/build_dist")
+      .collect().map(_.toSeq).toSet == distBefore,
+      "compaction touched build_dist")
+    // the lifecycle continues: another append + drift report still works
+    val r = Similarity.appendIvfIndex(
+      e.filter(col("vec_id") % 4 === 1), s"$tmp/ivf")
+    assert(r.isDefined)
+    // idempotent maintenance: a second pass moves (not rewrites) and
+    // keeps the file count
+    val again = Similarity.compactIndex(spark, s"$tmp/ivf")
+    assert(again("lists")._2 <= again("lists")._1)
+  }
+
+  test("compactIndex binary: codes/vectors compact flat, queries identical") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bin-compact").toString
+    Similarity.writeBinaryIndex(e.filter(col("vec_id") % 3 === 0), s"$tmp/b")
+    (1 to 2).foreach { w =>
+      Similarity.appendBinaryIndex(e.filter(col("vec_id") % 3 === w), s"$tmp/b")
+    }
+    def q() = Similarity.binaryIndexTopK(spark, s"$tmp/b",
+      e.filter(col("vec_id") === 11)
+        .select(col("embedding").as("q_embedding")), 5, prefilter = 40)
+      .collect().map(_.toSeq).toSeq
+    val before = q()
+    val report = Similarity.compactIndex(spark, s"$tmp/b")
+    assert(report("codes")._2 < report("codes")._1)
+    assert(report("vectors")._2 < report("vectors")._1)
+    assert(q() == before, "compaction changed binary query results")
+  }
+
   test("mp4: stco past 4 GiB fails loudly at write time (co64 is the path)") {
     import graft.operators.Multimodal
     // can't build a >4 GiB array; pin the guard via the expansion
