@@ -201,6 +201,14 @@ object GraftCli {
         .foreach { case (st, c) => println(s"[graft] prepare-run $st: $c") }
       spark.stop()
 
+    case "prepare-run-wave" :: waveParquet :: outDir :: waveIdStr :: Nil =>
+      val spark = session()
+      operators.PrepareRun.runWave(spark,
+          spark.read.parquet(waveParquet), outDir, waveIdStr.toInt)
+        .foreach { case (st, c) =>
+          println(s"[graft] prepare-run wave $waveIdStr $st: $c") }
+      spark.stop()
+
     // per-ingest-wave delta dedup: report near-dups of the new batch
     // against the standing corpus (cross pairs only)
     case "dedup-delta" :: corpusParquet :: batchParquet :: outDir :: rest =>
@@ -768,6 +776,7 @@ object GraftCli {
            |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]
            |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]
            |  prepare-run <documentsParquet> <benchParquet> <outDir> [minTokens] [jaccardThreshold] [capacity] [valPct]
+           |  prepare-run-wave <waveParquet> <outDir> <waveId>
            |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]

@@ -92,11 +92,23 @@ object Contamination {
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 8,
                          fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val (bfBytes, benchSh) = buildBloom(benchmark, textCol, n, fpp)
+    decontaminateWithBloom(train, idCol, textCol, n, bfBytes, benchSh)
+  }
+
+  /** Build the benchmark-shingle bloom once and return (filter bytes,
+    * distinct benchmark shingles). BOTH halves are persistable — a
+    * wave-mode ingest pipeline writes them beside the corpus at base-run
+    * time and every later wave decontaminates against the persisted
+    * artifacts without re-shingling the benchmark
+    * (`PrepareRun.runWave`). The benchSh frame is localCheckpointed:
+    * build and the callers' exact-verify join both consume it.
+    */
+  def buildBloom(benchmark: DataFrame, textCol: String, n: Int = 8,
+                 fpp: Double = 0.01): (Array[Byte], DataFrame) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Shims
-    import org.apache.spark.sql.types.BinaryType
     val benchSh = benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
       .distinct().localCheckpoint() // consumed twice: bloom build + verify
@@ -107,14 +119,31 @@ object Contamination {
     val buildAgg = Shims.column(new BloomFilterAggregate(
       Shims.expression(xxhash64(col("shingle"))),
       Literal(nItems), Literal(numBits)).toAggregateExpression())
-    val bfBytes = benchSh.select(buildAgg.as("bf")).head.getAs[Array[Byte]](0)
+    (benchSh.select(buildAgg.as("bf")).head.getAs[Array[Byte]](0), benchSh)
+  }
+
+  /** `decontaminateBloom` against a PREBUILT bloom + benchmark shingle
+    * set — the per-wave path: probe executor-locally with the persisted
+    * filter, then the exact semi-join against the persisted shingles
+    * kills the false positives. Exactly `decontaminate(maxRatio=0)`
+    * provided (bfBytes, benchSh) came from `buildBloom` over the same
+    * benchmark and `n` matches.
+    */
+  def decontaminateWithBloom(train: DataFrame, idCol: String,
+                             textCol: String, n: Int,
+                             bfBytes: Array[Byte],
+                             benchSh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.sql.types.BinaryType
     val mightContain = (c: Column) => Shims.column(new BloomFilterMightContain(
       Literal(bfBytes, BinaryType), Shims.expression(xxhash64(c))))
     val flagged = train
       .select(col(idCol).as("id"),
         explode(Dedup.shingles(col(textCol), n)).as("shingle"))
       .filter(mightContain(col("shingle")))
-      .join(benchSh, Seq("shingle"), "left_semi") // exact: kills bloom FPs
+      .join(benchSh.select("shingle"), Seq("shingle"), "left_semi") // exact: kills bloom FPs
       .select(col("id").as("_flagged_id")).distinct()
     train.join(flagged, train(idCol) === col("_flagged_id"), "left_anti")
   }

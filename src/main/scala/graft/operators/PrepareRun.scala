@@ -67,8 +67,12 @@ object PrepareRun {
     * old params would skip the stage and serve the corruption as
     * committed).
     */
-  private def readMarker(spark: SparkSession, outDir: String,
-                         stage: String, params: String): Option[Map[String, Long]] = {
+  /** Raw marker read: (params string, counts) with NO validation — the
+    * wave path reads the BASE run's marker to inherit its parameters
+    * (a wave must run under the same knobs as the corpus it extends).
+    */
+  private def readMarkerRaw(spark: SparkSession, outDir: String,
+                            stage: String): Option[(String, Map[String, Long])] = {
     val p = new Path(s"$outDir/_stage_$stage")
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fsys.exists(p)) None
@@ -80,11 +84,23 @@ object PrepareRun {
       val kv = txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
         .map { l => val Array(k, v) = l.split("=", 2); k -> v }
         .toMap
+      kv.get("params").map(ps =>
+        (ps, (kv - "params").map { case (k, v) => k -> v.toLong }))
+    }
+  }
+
+  private def readMarker(spark: SparkSession, outDir: String,
+                         stage: String, params: String): Option[Map[String, Long]] = {
+    readMarkerRaw(spark, outDir, stage) match {
+      case Some((ps, counts)) if ps == params => Some(counts)
       // a marker from a run with different parameters does not certify
       // this run's outputs — recompute rather than silently mix configs
-      if (kv.get("params").contains(params))
-        Some((kv - "params").map { case (k, v) => k -> v.toLong })
-      else { fsys.delete(p, false); None }
+      case Some(_) =>
+        val p = new Path(s"$outDir/_stage_$stage")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, false)
+        None
+      case None => None
     }
   }
 
@@ -119,8 +135,12 @@ object PrepareRun {
       val surv = Dedup.dedupSurvivors(q, "doc_id",
         Dedup.minHashLsh(q, "doc_id", "text", threshold = threshold))
         .localCheckpoint()
-      val clean = Contamination.decontaminateBloom(
-        surv, bench, "doc_id", "text", 8)
+      // the bloom + benchmark shingles are built once and PERSISTED:
+      // wave-mode appends (`runWave`) decontaminate later waves against
+      // these artifacts without re-shingling the benchmark
+      val (bfBytes, benchSh) = Contamination.buildBloom(bench, "text", 8)
+      val clean = Contamination.decontaminateWithBloom(
+        surv, "doc_id", "text", 8, bfBytes, benchSh)
         .localCheckpoint()
       // deterministic split: seeded md5 bucket, val = first valPct of 100
       val bucketed = clean.withColumn("bucket",
@@ -131,8 +151,26 @@ object PrepareRun {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
       val ordered = train.withColumn("epoch_rank", row_number().over(w))
-      ordered.write.mode("overwrite").parquet(s"$outDir/train_docs")
-      valSet.write.mode("overwrite").parquet(s"$outDir/val_docs")
+      // outputs are wave=0 partition dirs: a later `runWave(waveId)`
+      // appends ONLY its own wave=N dir, so wave replay can delete and
+      // recompute its exact files without touching committed waves
+      ordered.withColumn("wave", lit(0))
+        .write.mode("overwrite").partitionBy("wave")
+        .parquet(s"$outDir/train_docs")
+      valSet.withColumn("wave", lit(0))
+        .write.mode("overwrite").partitionBy("wave")
+        .parquet(s"$outDir/val_docs")
+      // the standing dedup index over the KEPT docs (near-dup evidence
+      // against a removed doc must not drop a wave doc) — what every
+      // later wave dedups against (x21's incremental discipline)
+      Dedup.sketchIndex(clean, "doc_id", "text")
+        .withColumn("wave", lit(0))
+        .write.mode("overwrite").partitionBy("wave")
+        .parquet(s"$outDir/dedup_index")
+      benchSh.write.mode("overwrite").parquet(s"$outDir/bench_shingles")
+      import spark.implicits._
+      Seq((bfBytes, 8)).toDF("bf", "n")
+        .write.mode("overwrite").parquet(s"$outDir/bench_bloom")
       val counts = Seq(
         ("input", docs.count()),
         ("quality_pass", q.count()),
@@ -150,7 +188,9 @@ object PrepareRun {
       val spans = Pack.packedSpans(
         spark.read.parquet(s"$outDir/train_docs"),
         "doc_id", "text", "lang", capacity = capacity)
-      spans.write.mode("overwrite").parquet(s"$outDir/train_spans")
+      spans.withColumn("wave", lit(0))
+        .write.mode("overwrite").partitionBy("wave")
+        .parquet(s"$outDir/train_spans")
       writeMarker(spark, outDir, "spans", fpSpans, Seq.empty)
     }
 
@@ -168,5 +208,175 @@ object PrepareRun {
     manifest.toDF("stage", "n")
       .write.mode("overwrite").parquet(s"$outDir/manifest")
     manifest
+  }
+
+  /** Incremental (wave-mode) prepare-run: process ONE new corpus wave
+    * against a completed base run WITHOUT touching any committed
+    * output — at 100 TB a daily ingest wave must cost O(wave), not the
+    * hours-long full re-run the base paid. The wave pipeline:
+    *
+    *   quality floor → wave-INTERNAL near-dup survivors (same
+    *   minHashLsh/dedupSurvivors as the base) → cross-corpus dedup
+    *   against the PERSISTED sketch index (`incrementalNearDupIndexed`,
+    *   O(wave + touched buckets); committed corpus docs always win — a
+    *   wave near-dup of an indexed doc is dropped, never the reverse) →
+    *   decontamination against the PERSISTED bloom + benchmark shingles
+    *   (zero benchmark re-shingling) → the SAME deterministic md5
+    *   split (a doc's train/val assignment depends only on its doc_id,
+    *   so the union split stays disjoint-and-complete by construction)
+    *   → epoch ranks CONTINUE after each source's committed max →
+    *   spans pack the wave's train docs into fresh windows starting
+    *   after each lang's committed max window.
+    *
+    * Every output lands in `wave=<waveId>` partition directories of the
+    * base tables, and the wave's sketch index appends under the same
+    * wave dir — so wave N+1 dedups against base ∪ waves 1..N. Append
+    * never reopens committed pack windows: the base's tail window per
+    * lang may stay under-filled (bounded waste, < 1 window per lang per
+    * wave) — the price of immutable prior outputs.
+    *
+    * Crash safety mirrors the base stage-marker protocol: the wave's
+    * marker (`_stage_wave_<id>`) commits AFTER all wave outputs; replay
+    * of an unmarked or param-mismatched wave DELETES that wave's
+    * partition dirs before recomputing (they are exactly identifiable —
+    * the reason the layout is partitioned by wave), so a crash at any
+    * point leaves committed waves intact and the interrupted wave fully
+    * redone. A marked wave with matching params is an idempotent no-op.
+    *
+    * Parameters are NOT arguments: they are read from the base run's
+    * committed markers, so a wave can never silently run under
+    * different knobs than the corpus it extends. The spec-pinned
+    * equivalence: base(c1) + runWave(w2) satisfies the one-shot(c1∪w2)
+    * invariants — zero surviving near-dup pairs across the union at the
+    * threshold, zero contaminated survivors, disjoint-and-complete
+    * split with identical per-doc assignment, per-source epoch ranks a
+    * permutation of 1..n, one span row per train doc.
+    *
+    * Returns the wave's manifest counts (also appended to
+    * `wave_manifest` as (wave, stage, n) rows).
+    */
+  def runWave(spark: SparkSession, wave: DataFrame, outDir: String,
+              waveId: Int): Seq[(String, Long)] = {
+    require(waveId >= 1, "waveId 0 is the base run; waves start at 1")
+    val (docsParamStr, _) = readMarkerRaw(spark, outDir, "docs").getOrElse(
+      throw new IllegalStateException(
+        s"$outDir has no completed base docs stage — run PrepareRun.run first"))
+    val (spansParamStr, _) = readMarkerRaw(spark, outDir, "spans").getOrElse(
+      throw new IllegalStateException(
+        s"$outDir has no completed base spans stage — run PrepareRun.run first"))
+    // "docs:<minTokens>:<threshold>:<valPct>" / "spans:...:<capacity>"
+    val dp = docsParamStr.split(":")
+    val minTokens = dp(1).toInt
+    val threshold = dp(2).toDouble
+    val valPct = dp(3).toInt
+    val capacity = spansParamStr.split(":")(4).toInt
+    val waveParams =
+      s"wave:$waveId:$minTokens:$threshold:$valPct:$capacity"
+    val stage = s"wave_$waveId"
+
+    readMarkerRaw(spark, outDir, stage) match {
+      case Some((ps, counts)) if ps == waveParams =>
+        // committed wave: idempotent replay returns the recorded counts
+        return counts.toSeq.sortBy(_._1)
+      case Some(_) =>
+        val p = new Path(s"$outDir/_stage_$stage")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, false)
+      case None =>
+    }
+    // unmarked (crashed or param-changed) wave: delete exactly this
+    // wave's partition dirs before recomputing
+    Seq("train_docs", "val_docs", "train_spans", "dedup_index",
+        "wave_manifest").foreach { t =>
+      val p = new Path(s"$outDir/$t/wave=$waveId")
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+    }
+    // manual fs deletes bypass Spark's write-path cache invalidation:
+    // drop any cached file listings under outDir so the reads below
+    // (and any pre-replay reader in this session) re-list
+    spark.catalog.refreshByPath(outDir)
+
+    val q = wave.filter(Pack.tokenCount(col("text")) >= minTokens)
+    val waveSurv = Dedup.dedupSurvivors(q, "doc_id",
+      Dedup.minHashLsh(q, "doc_id", "text", threshold = threshold))
+      .localCheckpoint()
+    // committed corpus wins: any wave doc near-dup of an indexed doc drops
+    val idx = Dedup.loadIndex(spark, s"$outDir/dedup_index")
+    val dupHits = Dedup.incrementalNearDupIndexed(
+        idx, waveSurv, "doc_id", "text", threshold = threshold)
+      .select(col("batch_id").as("_dup_id")).distinct()
+    val crossKept = waveSurv
+      .join(dupHits, waveSurv("doc_id") === col("_dup_id"), "left_anti")
+    val bloomRow = spark.read.parquet(s"$outDir/bench_bloom").head()
+    val clean = Contamination.decontaminateWithBloom(
+        crossKept, "doc_id", "text", bloomRow.getAs[Int]("n"),
+        bloomRow.getAs[Array[Byte]]("bf"),
+        spark.read.parquet(s"$outDir/bench_shingles"))
+      .localCheckpoint()
+    val bucketed = clean.withColumn("bucket",
+      pmod(abs(hash(md5(concat(col("doc_id").cast("string"),
+        lit(":split"))))), lit(100)))
+    val valSet = bucketed.filter(col("bucket") < valPct).drop("bucket")
+    val train = bucketed.filter(col("bucket") >= valPct).drop("bucket")
+    // epoch ranks continue after each source's committed max (read-only
+    // source-sized agg over the prior waves — partition-pruned)
+    val priorMax = spark.read.parquet(s"$outDir/train_docs")
+      .filter(col("wave") < waveId)
+      .groupBy("source").agg(max("epoch_rank").as("_prior_max"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val ordered = train.withColumn("_r", row_number().over(w))
+      .join(broadcast(priorMax), Seq("source"), "left")
+      .withColumn("epoch_rank",
+        (col("_r") + coalesce(col("_prior_max"), lit(0))).cast("int"))
+      .drop("_r", "_prior_max")
+      .localCheckpoint() // feeds the write AND the spans pack below
+    ordered.withColumn("wave", lit(waveId))
+      .write.mode("append").partitionBy("wave")
+      .parquet(s"$outDir/train_docs")
+    valSet.withColumn("wave", lit(waveId))
+      .write.mode("append").partitionBy("wave")
+      .parquet(s"$outDir/val_docs")
+    // fresh pack windows after each lang's committed max window
+    val priorWin = spark.read.parquet(s"$outDir/train_spans")
+      .filter(col("wave") < waveId)
+      .groupBy("lang").agg(max("end_window").as("_prior_win"))
+    val spans = Pack.packedSpans(ordered, "doc_id", "text", "lang",
+        capacity = capacity)
+      .join(broadcast(priorWin), Seq("lang"), "left")
+      .withColumn("start_window",
+        col("start_window") + coalesce(col("_prior_win") + 1, lit(0L)))
+      .withColumn("end_window",
+        col("end_window") + coalesce(col("_prior_win") + 1, lit(0L)))
+      .drop("_prior_win")
+    spans.withColumn("wave", lit(waveId))
+      .write.mode("append").partitionBy("wave")
+      .parquet(s"$outDir/train_spans")
+    // wave N+1 dedups against base ∪ waves 1..N
+    Dedup.sketchIndex(clean, "doc_id", "text")
+      .withColumn("wave", lit(waveId))
+      .write.mode("append").partitionBy("wave")
+      .parquet(s"$outDir/dedup_index")
+
+    val counts = Seq(
+      ("input", wave.count()),
+      ("quality_pass", q.count()),
+      ("wave_survivors", waveSurv.count()),
+      ("cross_corpus_kept", crossKept.count()),
+      ("decontaminated", clean.count()),
+      ("train", spark.read.parquet(s"$outDir/train_docs")
+        .filter(col("wave") === waveId).count()),
+      ("val", spark.read.parquet(s"$outDir/val_docs")
+        .filter(col("wave") === waveId).count()),
+      ("train_spans", spark.read.parquet(s"$outDir/train_spans")
+        .filter(col("wave") === waveId).count()))
+    import spark.implicits._
+    counts.map { case (st, c) => (waveId, st, c) }
+      .toDF("wave", "stage", "n")
+      .write.mode("append").partitionBy("wave")
+      .parquet(s"$outDir/wave_manifest")
+    writeMarker(spark, outDir, stage, waveParams, counts)
+    counts
   }
 }

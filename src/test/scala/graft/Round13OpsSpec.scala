@@ -140,6 +140,95 @@ class Round13OpsSpec extends GraftSparkSpec {
     assert(q() == before, "compaction changed binary query results")
   }
 
+  test("runWave: base + wave satisfies the one-shot union invariants, prior outputs immutable") {
+    import graft.operators.{PrepareRun, Dedup, Contamination}
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val c1 = docs.filter(col("doc_id") % 2 === 0)
+    val w2 = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-wave").toString
+    PrepareRun.run(spark, c1, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10)
+
+    def snapshot(t: String): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/$t/wave=0")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val baseSnap = Seq("train_docs", "val_docs", "train_spans")
+      .map(t => t -> snapshot(t)).toMap
+
+    val m = PrepareRun.runWave(spark, w2, tmp, 1).toMap
+    assert(m("input") == w2.count())
+    assert(m("train") > 0)
+
+    // prior outputs byte-untouched (same files, same sizes)
+    assert(Seq("train_docs", "val_docs", "train_spans")
+      .map(t => t -> snapshot(t)).toMap == baseSnap,
+      "wave append touched a committed wave-0 file")
+
+    val train = spark.read.parquet(s"$tmp/train_docs")
+    val vals = spark.read.parquet(s"$tmp/val_docs")
+    val union = train.select("doc_id", "text")
+      .union(vals.select("doc_id", "text")).localCheckpoint()
+
+    // one-shot invariant 1: zero surviving near-dup pairs at threshold
+    assert(Dedup.minHashLsh(union, "doc_id", "text", threshold = 0.5)
+      .count() == 0, "near-dup pair survived across base ∪ wave")
+    // invariant 2: zero contaminated survivors
+    assert(Contamination.decontaminateBloom(
+      union, bench, "doc_id", "text", 8).count() == union.count(),
+      "contaminated doc survived the wave path")
+    // invariant 3: disjoint split, and per-doc assignment identical to
+    // what the one-shot's deterministic md5 bucket gives
+    assert(train.join(vals, "doc_id").count() == 0)
+    val bucket = pmod(abs(hash(md5(concat(col("doc_id").cast("string"),
+      lit(":split"))))), lit(100))
+    assert(vals.filter(bucket >= 10).count() == 0)
+    assert(train.filter(bucket < 10).count() == 0)
+    // invariant 4: per-source epoch ranks are a permutation of 1..n
+    val badRanks = train.groupBy("source")
+      .agg(count(lit(1)).as("n"), min("epoch_rank").as("mn"),
+        max("epoch_rank").as("mx"),
+        countDistinct("epoch_rank").as("d"))
+      .filter(!(col("mn") === 1 && col("mx") === col("n") &&
+        col("d") === col("n")))
+    assert(badRanks.count() == 0, "epoch ranks not contiguous per source")
+    // invariant 5: one span row per train doc, wave windows AFTER the
+    // committed windows per lang
+    val spans = spark.read.parquet(s"$tmp/train_spans")
+    assert(spans.count() == train.count())
+    val overlap = spans.filter(col("wave") === 0)
+      .groupBy("lang").agg(max("end_window").as("base_max"))
+      .join(spans.filter(col("wave") === 1)
+        .groupBy("lang").agg(min("start_window").as("wave_min")), "lang")
+      .filter(col("wave_min") <= col("base_max"))
+    assert(overlap.count() == 0, "wave reopened a committed pack window")
+    // per-wave manifest rows landed
+    assert(spark.read.parquet(s"$tmp/wave_manifest")
+      .filter(col("wave") === 1 && col("stage") === "train").count() == 1)
+
+    // capture the count NOW: the replay below rewrites wave=1's files,
+    // so the `train` frame's resolved file listing goes stale
+    val trainCount = train.count()
+
+    // idempotent replay: marked wave is a no-op with the same counts
+    assert(PrepareRun.runWave(spark, w2, tmp, 1).toMap == m)
+    assert(spark.read.parquet(s"$tmp/train_docs").count() == trainCount)
+
+    // crash replay: a dead wave (outputs landed, marker missing) redoes
+    // exactly its own wave dirs — same counts, no duplicated rows
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$tmp/_stage_wave_1"))
+    val m3 = PrepareRun.runWave(spark, w2, tmp, 1).toMap
+    assert(m3 == m)
+    assert(spark.read.parquet(s"$tmp/train_docs").count() == trainCount)
+  }
+
   test("mp4: stco past 4 GiB fails loudly at write time (co64 is the path)") {
     import graft.operators.Multimodal
     // can't build a >4 GiB array; pin the guard via the expansion
