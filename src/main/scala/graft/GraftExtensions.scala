@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     // composed union+window as-of idiom -> AsofJoinPlan, for free
     ext.injectOptimizerRule(_ => graft.plans.AsofRewrite)
+    // linear recursive CTE (UnionLoop) -> pointer doubling
+    ext.injectPlannerStrategy(_ => graft.plans.HierarchyDoublingStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RecursionDoubling)
     ext.injectFunction((FunctionIdentifier("csv_column_at"),
       info("csv_column_at", "_FUNC_(line, idx[, delim]) - raw CSV-family field slice (reference dialect)"),
       (exprs: Seq[Expression]) =>

@@ -270,6 +270,14 @@ object AsofJoin {
     if (!spark.experimental.extraOptimizations.contains(AsofRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsofRewrite
+    // linear recursive CTEs -> pointer doubling (toggle:
+    // spark.graft.recursionDoubling.enabled)
+    if (!spark.experimental.extraStrategies.contains(HierarchyDoublingStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ HierarchyDoublingStrategy
+    if (!spark.experimental.extraOptimizations.contains(RecursionDoubling))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RecursionDoubling
   }
 
   /** Left as-of join: for each left row, the latest right row of the same

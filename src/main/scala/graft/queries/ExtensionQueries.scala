@@ -2315,9 +2315,19 @@ object ExtensionQueries {
     // Candidates are distance-2 pairs only (one wedge self-join on the
     // center key — the x52 triangle shape, never all-pairs), existing
     // edges anti-joined away, ranked by neighbor-set Jaccard in integer
-    // ppm with (u, w) tiebreaks. 100 TB: wedge volume is Σ deg² — the
-    // degree-cap/orientation mitigations measured for x52 apply
-    // unchanged; everything downstream is pair-keyed aggregation.
+    // ppm with (u, w) tiebreaks. 100 TB: the wedge join IS the output
+    // here (every wedge is a candidate pair), so unlike triangles/
+    // ktruss the degree-ordered orientation cannot delete hub work —
+    // the mitigation is the x80/maxBucket CENTER-DEGREE CAP: centers
+    // with deg > 64 are dropped from the wedge join (in BOTH engines —
+    // a mega-hub's co-occurrence is boilerplate, not similarity
+    // evidence, and its C(deg,2) pair fan-out is the whole cliff:
+    // tools/GraphScale100 `linkpred` measures 2.13·10¹¹ uncapped
+    // wedges at 100 M edges — the top hub's fan-out alone is ~1.5·10¹¹
+    // — vs 8.34·10⁸ capped, 256× less). Jaccard denominators keep the
+    // TRUE degrees — the cap prunes evidence channels, never the
+    // degree normalization. At gate scale the cap drops nothing: max
+    // center degree is 13 (sf0.01) / 6 (sf0.1).
     "x77_link_prediction" -> QueryDef(
       (s, dir) => {
         val pc = coPurchasePairs(s, dir)
@@ -2328,8 +2338,10 @@ object ExtensionQueries {
           .distinct()
           .localCheckpoint() // consumed by degree agg, wedge join, anti
         val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        val cn = e.select(col("src").as("z"), col("dst").as("u"))
-          .join(e.select(col("src").as("z"), col("dst").as("w")), "z")
+        val ec = e.join(deg.filter(col("deg") <= 64).select("src"),
+          Seq("src"), "left_semi")
+        val cn = ec.select(col("src").as("z"), col("dst").as("u"))
+          .join(ec.select(col("src").as("z"), col("dst").as("w")), "z")
           .filter(col("u") < col("w"))
           .groupBy("u", "w").agg(count(lit(1)).as("cn"))
         cn.join(e.select(col("src").as("u"), col("dst").as("w")),
@@ -2351,9 +2363,11 @@ object ExtensionQueries {
              |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pc
              |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
              |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             |ec AS (SELECT e.* FROM e
+             |  JOIN deg ON deg.src = e.src AND deg.deg <= 64),
              |cn AS (
              |  SELECT a.dst AS u, b.dst AS w, count(*) AS cn
-             |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+             |  FROM ec a JOIN ec b ON a.src = b.src AND a.dst < b.dst
              |  GROUP BY 1, 2),
              |ne AS (
              |  SELECT cn.u, cn.w, cn.cn FROM cn

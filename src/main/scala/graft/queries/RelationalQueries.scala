@@ -2250,8 +2250,17 @@ object RelationalQueries {
     // default cteRecursionLevelLimit is 100). For data-sized hierarchies
     // the scale path stays x54's O(log depth) pointer doubling; this
     // gate pins the SQL surface itself.
+    //
+    // r13: the explicit register() makes the RecursionDoubling rule
+    // (plans/RecursionRewrite.scala) fire HERE deterministically — the
+    // recursive term is exactly the linear-additive shape it matches, so
+    // this gate oracle-checks the HierarchyDoubling exec against DuckDB
+    // running the raw SQL every round (spec additionally pins rewrite
+    // rows == UnionLoop rows). Without this, registration depended on
+    // whether an as-of gate happened to run earlier in the sweep.
     "q73_recursive_cte" -> QueryDef(
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         t(s, dir, "part").createOrReplaceTempView("q73_part")
         s.sql("""WITH RECURSIVE nodes AS (
                 |  SELECT DISTINCT CAST(p_partkey % 64 AS BIGINT) AS node

@@ -294,6 +294,47 @@ object GraphScale100 {
       Graph.ktruss(und, k = 10, rounds = 2)
         .agg(count(lit(1)), max(col("support"))).head()
     }
+    // r13: x77 link prediction. The common-neighbor wedge join IS the
+    // output (every wedge = one candidate pair), so the degree-ordered
+    // orientation that rescued ktruss cannot delete hub work here —
+    // the applicable treatment is the x80/maxBucket CENTER-DEGREE CAP
+    // (deg <= 64 centers only; a mega-hub's co-occurrence is
+    // boilerplate evidence whose C(deg,2) fan-out is the entire
+    // cliff). The counterfactual wedge volumes are computed
+    // ANALYTICALLY from the degree distribution (sum of C(deg,2)) —
+    // the uncapped join is a non-starter of the same order as r12's
+    // raw ktruss wedge join, so its volume is reported, not run.
+    run("linkpred") {
+      val e0 = edges()
+      val e = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val vol = deg.agg(
+        sum(expr("deg * (deg - 1) div 2")).as("wedges_uncapped"),
+        sum(expr("CASE WHEN deg <= 64 THEN deg * (deg - 1) div 2 " +
+          "ELSE 0 END")).as("wedges_capped"),
+        max(col("deg"))).head()
+      println(s"    wedges: uncapped=${vol.get(0)} capped64=${vol.get(1)}" +
+        s" maxdeg=${vol.get(2)}")
+      val ec = e.join(deg.filter(col("deg") <= 64).select("src"),
+        Seq("src"), "left_semi")
+      val cn = ec.select(col("src").as("z"), col("dst").as("u"))
+        .join(ec.select(col("src").as("z"), col("dst").as("w")), "z")
+        .filter(col("u") < col("w"))
+        .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+      val top = cn
+        .join(e.select(col("src").as("u"), col("dst").as("w")),
+          Seq("u", "w"), "left_anti")
+        .join(deg.select(col("src").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("src").as("w"), col("deg").as("dw")), "w")
+        .select(col("u"), col("w"),
+          expr("CAST(cn * 1000000 AS BIGINT) div (du + dw - cn)")
+            .as("jppm"))
+        .orderBy(desc("jppm"), col("u"), col("w")).limit(20)
+      top.collect()
+    }
     spark.stop()
   }
 }

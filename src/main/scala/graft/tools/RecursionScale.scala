@@ -17,16 +17,25 @@ import org.apache.spark.sql.functions._
   * is i−1 within its chain; level-0 nodes are roots), so every level
   * carries `width` rows and both arms resolve the identical forest.
   * Per-arm times print as each arm completes (the cte arm can run for
-  * half an hour — progress beats batching); the arms are then checked
-  * to agree on (row count, max depth) before the RATIO line, so a
-  * disagreement aborts before the comparison is stated.
+  * half an hour — progress beats batching); after the selected arms
+  * finish, a final `require` aborts with a non-zero exit if any two
+  * disagree on (row count, max depth).
   *
-  * Usage: RecursionScale [depth] [width] (default 5000 200)
+  * A third arm `rewrite` runs the IDENTICAL `WITH RECURSIVE` SQL with
+  * graft's RecursionDoubling optimizer rule registered: the planner
+  * detects the linear-recursion shape and swaps UnionLoop for the
+  * pointer-doubling exec, so the SQL text gets the log-rounds path for
+  * free. Its (rows, maxDepth) is checked against the doubling arm.
+  *
+  * Usage: RecursionScale [depth] [width] [arm...] (default 5000 200,
+  * all arms; naming arms — doubling / cte / rewrite — reruns a subset
+  * without repaying the others; the cte arm at default size is ~28 min)
   */
 object RecursionScale {
   def main(args: Array[String]): Unit = {
     val depth = args.headOption.map(_.toInt).getOrElse(5000)
     val width = args.drop(1).headOption.map(_.toInt).getOrElse(200)
+    val arms = args.drop(2).toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -66,31 +75,57 @@ object RecursionScale {
                 |  UNION ALL SELECT i + 1 FROM w WHERE i < 3)
                 |SELECT count(*) FROM w""".stripMargin).head()
 
-    val (tDbl, rowsDbl, maxDbl) = timed {
-      val r = Graph.rootsAndDepth(parents)
-        .agg(count(lit(1)), max(col("depth"))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    println(f"doubling $depth%6d x $width%4d  ${tDbl}%8.1f s  " +
-      f"rows=$rowsDbl maxDepth=$maxDbl")
+    val cteSql =
+      """WITH RECURSIVE r AS (
+        |  SELECT node, node AS root, CAST(0 AS BIGINT) AS depth
+        |  FROM parents WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT p.node, r.root, r.depth + 1
+        |  FROM parents p JOIN r ON p.parent = r.node)
+        |SELECT count(*), max(depth) FROM r""".stripMargin
+    def arm(name: String): Boolean = arms.isEmpty || arms(name)
+    val results = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
 
-    val (tCte, rowsCte, maxCte) = timed {
-      val r = spark.sql(
-        """WITH RECURSIVE r AS (
-          |  SELECT node, node AS root, CAST(0 AS BIGINT) AS depth
-          |  FROM parents WHERE parent IS NULL
-          |  UNION ALL
-          |  SELECT p.node, r.root, r.depth + 1
-          |  FROM parents p JOIN r ON p.parent = r.node)
-          |SELECT count(*), max(depth) FROM r""".stripMargin).head()
-      (r.getLong(0), r.getLong(1))
+    if (arm("doubling")) {
+      val (t, rows, maxD) = timed {
+        val r = Graph.rootsAndDepth(parents)
+          .agg(count(lit(1)), max(col("depth"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      println(f"doubling $depth%6d x $width%4d  ${t}%8.1f s  " +
+        f"rows=$rows maxDepth=$maxD")
+      results += "doubling" -> ((rows, maxD))
     }
-    println(f"cte      $depth%6d x $width%4d  ${tCte}%8.1f s  " +
-      f"rows=$rowsCte maxDepth=$maxCte")
 
-    require(rowsDbl == rowsCte && maxDbl == maxCte,
-      s"arms disagree: doubling ($rowsDbl, $maxDbl) vs cte ($rowsCte, $maxCte)")
-    println(f"ratio cte/doubling: ${tCte / tDbl}%.1f x")
+    if (arm("cte")) {
+      // rule OFF: this arm measures Spark's own UnionLoop
+      spark.conf.set("spark.graft.recursionDoubling.enabled", "false")
+      val (t, rows, maxD) = timed {
+        val r = spark.sql(cteSql).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      println(f"cte      $depth%6d x $width%4d  ${t}%8.1f s  " +
+        f"rows=$rows maxDepth=$maxD")
+      results += "cte" -> ((rows, maxD))
+    }
+
+    if (arm("rewrite")) {
+      // the SAME SQL with the RecursionDoubling rule registered: the
+      // planner swaps UnionLoop for the pointer-doubling exec, so the
+      // unmodified query text gets the log-rounds path
+      graft.plans.AsofJoin.register(spark)
+      spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
+      val (t, rows, maxD) = timed {
+        val r = spark.sql(cteSql).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      println(f"rewrite  $depth%6d x $width%4d  ${t}%8.1f s  " +
+        f"rows=$rows maxDepth=$maxD")
+      results += "rewrite" -> ((rows, maxD))
+    }
+
+    require(results.values.toSet.size <= 1,
+      s"arms disagree on (rows, maxDepth): $results")
     spark.stop()
   }
 }

@@ -229,6 +229,91 @@ class Round13OpsSpec extends GraftSparkSpec {
     assert(spark.read.parquet(s"$tmp/train_docs").count() == trainCount)
   }
 
+  test("RecursionDoubling: linear recursive CTE plans as pointer doubling, rows identical to UnionLoop") {
+    import org.apache.spark.sql.functions._
+    spark.range(64).select(col("id").as("node"))
+      .createOrReplaceTempView("r13_nodes")
+    val sql = """WITH RECURSIVE r AS (
+                |  SELECT node, CAST(0 AS BIGINT) AS depth, node AS path_sum
+                |  FROM r13_nodes WHERE node = 0
+                |  UNION ALL
+                |  SELECT n.node, r.depth + 1, r.path_sum + n.node
+                |  FROM r13_nodes n JOIN r
+                |    ON r.node = CAST(floor(n.node / 2) AS BIGINT)
+                |  WHERE n.node > 0)
+                |SELECT node, depth, path_sum FROM r ORDER BY node"""
+      .stripMargin
+    val on = spark.sql(sql)
+    // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf to exists()),
+    // so assert on the rendered tree
+    assert(on.queryExecution.executedPlan.toString
+      .contains("HierarchyDoubling"),
+      s"rule did not fire:\n${on.queryExecution.executedPlan}")
+    val onRows = on.collect().map(_.toSeq).toSeq
+    assert(onRows.length == 64)
+    spark.conf.set("spark.graft.recursionDoubling.enabled", "false")
+    try {
+      val off = spark.sql(sql)
+      assert(!off.queryExecution.executedPlan.toString
+        .contains("HierarchyDoubling"))
+      assert(off.collect().map(_.toSeq).toSeq == onRows,
+        "doubling diverged from the UnionLoop rows")
+    } finally spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
+  }
+
+  test("RecursionDoubling: non-additive recursion is left alone") {
+    import org.apache.spark.sql.functions._
+    spark.range(8).select(col("id").as("node"))
+      .createOrReplaceTempView("r13_nodes2")
+    // path-string accumulation: concat is not associative-additive along
+    // the path in the matched Add sense — must stay a UnionLoop
+    val q = spark.sql(
+      """WITH RECURSIVE r AS (
+        |  SELECT node, CAST(node AS STRING) AS path
+        |  FROM r13_nodes2 WHERE node = 0
+        |  UNION ALL
+        |  SELECT n.node, concat(r.path, '/', CAST(n.node AS STRING))
+        |  FROM r13_nodes2 n JOIN r
+        |    ON r.node = CAST(floor(n.node / 2) AS BIGINT)
+        |  WHERE n.node > 0)
+        |SELECT node, path FROM r ORDER BY node""".stripMargin)
+    assert(!q.queryExecution.executedPlan.toString
+      .contains("HierarchyDoubling"))
+    val rows = q.collect()
+    assert(rows.length == 8 &&
+      rows.map(_.getString(1)).contains("0/1/3/7"))
+  }
+
+  test("RecursionDoubling: DAG multiplicity falls back to faithful level iteration") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // node 2 has TWO parents (0 and 1): UNION ALL semantics emit one row
+    // per PATH — doubling cannot compose that, so the exec's runtime
+    // uniqueness check must route to the level-at-a-time fallback
+    Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 2L)).toDF("child", "parent")
+      .createOrReplaceTempView("r13_edges")
+    val sql = """WITH RECURSIVE r AS (
+                |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+                |  UNION ALL
+                |  SELECT e.child, r.depth + 1
+                |  FROM r13_edges e JOIN r ON r.node = e.parent)
+                |SELECT node, depth FROM r ORDER BY node, depth"""
+      .stripMargin
+    val on = spark.sql(sql)
+    // the PLAN matched (linear shape) — multiplicity is data-dependent
+    assert(on.queryExecution.executedPlan.toString
+      .contains("HierarchyDoubling"))
+    val onRows = on.collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.recursionDoubling.enabled", "false")
+    try {
+      val off = spark.sql(sql).collect().map(_.toSeq).toSeq
+      assert(onRows == off, s"fallback diverged: $onRows vs $off")
+      // node 2 via 0 (depth 1) AND via 1 (depth 2); node 3 inherits both
+      assert(onRows.count(_.head == 2L) == 2)
+      assert(onRows.count(_.head == 3L) == 2)
+    } finally spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
+  }
+
   test("mp4: stco past 4 GiB fails loudly at write time (co64 is the path)") {
     import graft.operators.Multimodal
     // can't build a >4 GiB array; pin the guard via the expansion
