@@ -4,7 +4,7 @@ import org.apache.spark.SparkException
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeSet, EqualTo, Expression, IsNotNull}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeSet, EqualTo, Expression, Greatest, IsNotNull, Least}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LeafNode, LogicalPlan, Project, UnionLoop, UnionLoopRef}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -43,12 +43,16 @@ import org.apache.spark.sql.graft.Shims
   * the loop's own `UnionLoopRef` (non-accumulated), whose condition is
   * `refKey = h(static)`, and whose projection has exactly one column
   * sourced purely from the static side (the NEW key) with every other
-  * column of the form `refCol + e(static)` at the SAME position
-  * (`Add` — the accumulation must be associative along the path for
-  * segment-composition to be sound; depth counters and path sums are,
-  * string concat / multiplication are not matched). `UnionLoop.limit`
-  * set (a pushed LIMIT) bails out: limit semantics depend on level
-  * order, which doubling does not reproduce.
+  * column at the SAME position being one of the three PATH MONOIDS —
+  * `refCol + e(static)` (`Add`), `greatest(refCol, e(static)...)`, or
+  * `least(refCol, e(static)...)` — or a plain carry-through. The
+  * accumulation must be associative along the path for
+  * segment-composition to be sound; sums, path-max and path-min are
+  * (greatest/least are also null-skipping IDENTICALLY in the level and
+  * segment forms, so nulls compose), string concat / multiplication
+  * are not matched. `UnionLoop.limit` set (a pushed LIMIT) bails out:
+  * limit semantics depend on level order, which doubling does not
+  * reproduce.
   *
   * Execution (`HierarchyDoublingExec`) handles the data-dependent parts
   * the plan cannot know statically:
@@ -145,7 +149,7 @@ object RecursionDoubling extends Rule[LogicalPlan] {
     if (nnAttrs.exists(_.exprId != refKeyAttr.exprId)) return None
 
     var childKey: Expression = null
-    val deltas = Seq.newBuilder[(Int, Expression)]
+    val deltas = Seq.newBuilder[(Int, Expression, String)]
     val carries = Seq.newBuilder[Int]
     projList.zipWithIndex.foreach { case (ne, i) =>
       val e = unalias(ne)
@@ -154,6 +158,23 @@ object RecursionDoubling extends Rule[LogicalPlan] {
         childKey = e
       } else {
         val refAttr = refOut(i)
+        // greatest/least are variadic: match when EXACTLY one child is
+        // the recursive column and every other child is static (the
+        // extra statics fold into one delta — greatest(r.c, a, b) ==
+        // greatest(r.c, greatest(a, b)))
+        def monoid(kids: Seq[Expression],
+                   rebuild: Seq[Expression] => Expression,
+                   kind: String): Boolean = {
+          val (refKids, rest) = kids.partition {
+            case a: Attribute => a.exprId == refAttr.exprId
+            case _ => false
+          }
+          val ok = refKids.size == 1 && rest.nonEmpty &&
+            rest.forall(_.references.subsetOf(staticOut))
+          if (ok) deltas +=
+            ((i, if (rest.size == 1) rest.head else rebuild(rest), kind))
+          ok
+        }
         e match {
           // pass-through (e.g. carrying the root id): constant along
           // the path, so it resolves to the anchor row's value
@@ -162,11 +183,13 @@ object RecursionDoubling extends Rule[LogicalPlan] {
           case Add(a: Attribute, d, _)
               if a.exprId == refAttr.exprId &&
                 d.references.subsetOf(staticOut) =>
-            deltas += ((i, d))
+            deltas += ((i, d, "add"))
           case Add(d, a: Attribute, _)
               if a.exprId == refAttr.exprId &&
                 d.references.subsetOf(staticOut) =>
-            deltas += ((i, d))
+            deltas += ((i, d, "add"))
+          case g: Greatest if monoid(g.children, Greatest(_), "greatest") =>
+          case l: Least if monoid(l.children, Least(_), "least") =>
           case _ => return None
         }
       }
@@ -191,7 +214,7 @@ case class HierarchyDoublingPlan(
     keyPos: Int,
     childKey: Expression,
     parentKey: Expression,
-    deltas: Seq[(Int, Expression)],
+    deltas: Seq[(Int, Expression, String)], // (position, per-hop expr, add|greatest|least)
     carries: Seq[Int]) extends LeafNode {
   override def output: Seq[Attribute] = loopOutput
   override def innerChildren: Seq[LogicalPlan] = Seq(anchor, static)
@@ -221,6 +244,15 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
 
   override def output: Seq[Attribute] = loopOutput
 
+  /** Segment composition / anchor fold for one accumulator column —
+    * the per-kind monoid op (sums add, path-max/min select).
+    */
+  private def comb(kind: String)(a: Column, b: Column): Column = kind match {
+    case "add"      => a + b
+    case "greatest" => greatest(a, b)
+    case "least"    => least(a, b)
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val spark = session
     val sconf = spark.sessionState.conf
@@ -230,7 +262,6 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
       .getConfString("spark.sql.cteRecursionRowLimit", "1000000").toLong
     val idx = plan.loopOutput.indices
     val keyPos = plan.keyPos
-    val dPos = plan.deltas.map(_._1)
 
     val anchorDf = Shims.ofRows(spark, plan.anchor)
       .toDF(idx.map(i => s"_gr_a$i"): _*).localCheckpoint()
@@ -239,7 +270,7 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
     val p = staticDf.select(
         Shims.column(plan.childKey).as("_gr_node") +:
         Shims.column(plan.parentKey).as("_gr_anc") +:
-        plan.deltas.map { case (i, e) => Shims.column(e).as(s"_gr_d$i") }: _*)
+        plan.deltas.map { case (i, e, _) => Shims.column(e).as(s"_gr_d$i") }: _*)
       .localCheckpoint()
 
     val hasDupChild = !p.groupBy("_gr_node").agg(count(lit(1)).as("_gr_c"))
@@ -263,7 +294,6 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
                        levelLimit: Int, rowLimit: Long): DataFrame = {
     val idx = plan.loopOutput.indices
     val keyPos = plan.keyPos
-    val dPos = plan.deltas.map(_._1)
     var f = p.withColumn("_gr_hop", lit(1L)).localCheckpoint()
     val total = f.count()
     val maxRounds =
@@ -274,7 +304,8 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
       val b = f.select(
         col("_gr_node").as("_gr_bn") +: col("_gr_anc").as("_gr_ba") +:
         col("_gr_hop").as("_gr_bh") +:
-        dPos.map(i => col(s"_gr_d$i").as(s"_gr_bd$i")): _*)
+        plan.deltas.map { case (i, _, _) =>
+          col(s"_gr_d$i").as(s"_gr_bd$i") }: _*)
       val adv = col("_gr_bn").isNotNull
       val f2 = f.join(b, col("_gr_anc") === col("_gr_bn"), "left")
         .select(
@@ -283,8 +314,9 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
           when(adv, col("_gr_hop") + col("_gr_bh"))
             .otherwise(col("_gr_hop")).as("_gr_hop") +:
           adv.cast("long").as("_gr_moved") +:
-          dPos.map(i => when(adv, col(s"_gr_d$i") + col(s"_gr_bd$i"))
-            .otherwise(col(s"_gr_d$i")).as(s"_gr_d$i")): _*)
+          plan.deltas.map { case (i, _, k) =>
+            when(adv, comb(k)(col(s"_gr_d$i"), col(s"_gr_bd$i")))
+              .otherwise(col(s"_gr_d$i")).as(s"_gr_d$i") }: _*)
         .localCheckpoint()
       moved = Option(f2.agg(sum("_gr_moved")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -307,10 +339,11 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
         s"${anchorRows + derivedRows} result rows exceed " +
         s"spark.sql.cteRecursionRowLimit=$rowLimit")
     val carrySet = plan.carries.toSet
+    val kindOf = plan.deltas.map { case (i, _, k) => i -> k }.toMap
     val outCols = idx.map { i =>
       if (i == keyPos) col("_gr_node")
       else if (carrySet(i)) col(s"_gr_a$i") // constant along the path
-      else (col(s"_gr_a$i") + col(s"_gr_d$i")).as(s"_gr_o$i")
+      else comb(kindOf(i))(col(s"_gr_a$i"), col(s"_gr_d$i")).as(s"_gr_o$i")
     }
     anchorDf.select(idx.map(i => col(s"_gr_a$i")): _*)
       .unionAll(joined.select(outCols: _*))
@@ -324,7 +357,7 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
                            levelLimit: Int, rowLimit: Long): DataFrame = {
     val idx = plan.loopOutput.indices
     val keyPos = plan.keyPos
-    val deltaOf = plan.deltas.toMap
+    val deltaOf = plan.deltas.map { case (i, e, k) => i -> ((e, k)) }.toMap
     var frontier = anchorDf
       .toDF(idx.map(i => s"_gr_c$i"): _*).localCheckpoint()
     var total = frontier.count()
@@ -342,8 +375,8 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
         .select(idx.map { i =>
           if (i == keyPos) Shims.column(plan.childKey).as(s"_gr_c$i")
           else deltaOf.get(i) match {
-            case Some(d) =>
-              (col(s"_gr_c$i") + Shims.column(d)).as(s"_gr_c$i")
+            case Some((d, k)) =>
+              comb(k)(col(s"_gr_c$i"), Shims.column(d)).as(s"_gr_c$i")
             case None => col(s"_gr_c$i") // carry-through
           }
         }: _*)

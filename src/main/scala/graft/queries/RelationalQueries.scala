@@ -2336,6 +2336,56 @@ object RelationalQueries {
              |      (a, b) -> a + b)
              |    / CAST((1::BIGINT << 16) - (1::BIGINT << (16 - len(ws)))
              |        AS DOUBLE), 6) AS ewma
-             |FROM win ORDER BY user_id, event_id""".stripMargin))
+             |FROM win ORDER BY user_id, event_id""".stripMargin)),
+
+    // Path max/min down the q73 tree — the OTHER two path monoids the
+    // RecursionDoubling rule composes (greatest/least alongside Add):
+    // per-node value is max(p_retailprice) in integer CENTS (exact in
+    // both engines — max over identical doubles, one round, one cast;
+    // no float arithmetic downstream: greatest/least only SELECT among
+    // those exact values). Spark runs the HierarchyDoubling exec (rule
+    // registered, spec-pinned); DuckDB runs the raw recursion — so the
+    // gate cross-checks segment-composed max/min against level-at-a-
+    // time max/min on real data every round.
+    "q75_recursive_minmax" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "part").createOrReplaceTempView("q75_part")
+        s.sql("""WITH RECURSIVE nodes AS (
+                |  SELECT CAST(p_partkey % 64 AS BIGINT) AS node,
+                |    CAST(round(max(p_retailprice) * 100) AS BIGINT)
+                |      AS cents
+                |  FROM q75_part GROUP BY 1),
+                |r AS (
+                |  SELECT node, cents AS max_cents, cents AS min_cents,
+                |    CAST(0 AS BIGINT) AS depth
+                |  FROM nodes WHERE node = 0
+                |  UNION ALL
+                |  SELECT n.node, greatest(r.max_cents, n.cents),
+                |    least(r.min_cents, n.cents), r.depth + 1
+                |  FROM nodes n JOIN r
+                |    ON r.node = CAST(floor(n.node / 2) AS BIGINT)
+                |  WHERE n.node > 0)
+                |SELECT node, max_cents, min_cents, depth FROM r
+                |ORDER BY node""".stripMargin)
+      },
+      Some("""WITH RECURSIVE nodes AS (
+             |  SELECT CAST(p_partkey % 64 AS BIGINT) AS node,
+             |    CAST(round(max(p_retailprice) * 100) AS BIGINT)
+             |      AS cents
+             |  FROM part GROUP BY 1),
+             |r AS (
+             |  SELECT node, cents AS max_cents, cents AS min_cents,
+             |    CAST(0 AS BIGINT) AS depth
+             |  FROM nodes WHERE node = 0
+             |  UNION ALL
+             |  SELECT n.node, greatest(r.max_cents, n.cents),
+             |    least(r.min_cents, n.cents), r.depth + 1
+             |  FROM nodes n JOIN r
+             |    ON r.node = CAST(floor(n.node / 2) AS BIGINT)
+             |  WHERE n.node > 0)
+             |SELECT node, max_cents, min_cents,
+             |  CAST(depth AS BIGINT) AS depth FROM r
+             |ORDER BY node""".stripMargin))
   )
 }

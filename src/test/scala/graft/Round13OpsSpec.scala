@@ -261,6 +261,41 @@ class Round13OpsSpec extends GraftSparkSpec {
     } finally spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
   }
 
+  test("RecursionDoubling: greatest/least path monoids compose (variadic + null-skip)") {
+    import org.apache.spark.sql.functions._
+    // v is NULL on multiples of 7: greatest/least are null-SKIPPING in
+    // both the level-at-a-time and the segment-composed form — the
+    // doubling result must match UnionLoop's on those paths too. The
+    // 3-arg greatest exercises the variadic fold (extra static children
+    // collapse into one delta).
+    spark.range(64).select(col("id").as("node"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise((col("id") * 13) % 97).as("v"))
+      .createOrReplaceTempView("r13_mm")
+    val sql = """WITH RECURSIVE r AS (
+                |  SELECT node, v AS mx, v AS mn, CAST(0 AS BIGINT) AS depth
+                |  FROM r13_mm WHERE node = 0
+                |  UNION ALL
+                |  SELECT n.node, greatest(r.mx, n.v, CAST(5 AS BIGINT)),
+                |    least(r.mn, n.v), r.depth + 1
+                |  FROM r13_mm n JOIN r
+                |    ON r.node = CAST(floor(n.node / 2) AS BIGINT)
+                |  WHERE n.node > 0)
+                |SELECT node, mx, mn, depth FROM r ORDER BY node"""
+      .stripMargin
+    val on = spark.sql(sql)
+    assert(on.queryExecution.executedPlan.toString
+      .contains("HierarchyDoubling"),
+      s"monoid shape did not match:\n${on.queryExecution.optimizedPlan}")
+    val onRows = on.collect().map(_.toSeq).toSeq
+    assert(onRows.length == 64)
+    spark.conf.set("spark.graft.recursionDoubling.enabled", "false")
+    try {
+      val off = spark.sql(sql).collect().map(_.toSeq).toSeq
+      assert(off == onRows, "greatest/least doubling diverged from UnionLoop")
+    } finally spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
+  }
+
   test("RecursionDoubling: non-additive recursion is left alone") {
     import org.apache.spark.sql.functions._
     spark.range(8).select(col("id").as("node"))
