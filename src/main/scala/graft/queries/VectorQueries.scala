@@ -819,8 +819,80 @@ object VectorQueries {
                 col("kl_micro"), col("retrain"))
           }.reduce(_.unionAll(_)).orderBy("batch")
       },
-      Some(ivfDriftOracle(nlist = 16, retrainMicro = 500000L)))
+      Some(ivfDriftOracle(nlist = 16, retrainMicro = 500000L))),
+
+    // ---- SemDeDup-style semantic deduplication: cluster the corpus
+    // (the x27 seeded k-means assignment — shuffle-free map against
+    // k×dim literal centroids), then remove every vector that has an
+    // EARLIER same-cluster vector above the cosine threshold (keep-
+    // lowest-id representative). Output is the removal list with each
+    // dup's strongest earlier neighbor similarity.
+    //
+    // 100 TB: this is the whole point of the cluster scoping — the
+    // pairwise join runs WITHIN clusters only, so pair volume is
+    // Σ C(|cluster|,2) ≈ n²/(2k) instead of C(n,2): k grows with the
+    // corpus (SemDeDup uses k ~ n/`target cluster size`, keeping
+    // per-cluster pairs bounded), the join shuffles on cluster id
+    // (skew: a mega-cluster is the x80/maxBucket discipline — cap or
+    // sub-cluster it; at gate scale clusters are ~n/8 and uncapped),
+    // and the output is only the (tiny) removal list. The float path
+    // is the established double-of-float left-to-right fold —
+    // bit-identical across engines, rounded before the threshold
+    // compare and output.
+    "x87_semantic_dedup" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = graft.operators.Similarity.kmeansCentroids(e, k = 8, iters = 1)
+        val sims = array(cents.map(c =>
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+        val asg = e.withColumn("cluster",
+            (array_position(sims, array_max(sims)) - 1).cast("long"))
+          .select(col("vec_id"), col("cluster"), col("embedding"))
+        val a = asg.select(col("cluster"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"))
+        a.join(asg, Seq("cluster"))
+          .filter(col("a_id") < col("vec_id"))
+          .withColumn("sim", graft.functions.VectorFunctions
+            .vecCosine(col("a_emb"), col("embedding")))
+          .groupBy("vec_id", "cluster")
+          .agg(round(max("sim"), 6).as("max_sim"))
+          .filter(col("max_sim") > 0.4)
+          .select(col("vec_id"), col("cluster"), col("max_sim"))
+          .orderBy("vec_id")
+      },
+      Some(semanticDedupOracle(k = 8, assignSteps = 2, tau = "0.4")))
   )
+
+  /** Oracle for x87: the x27 k-means assignment (kmeansOracle verbatim,
+    * nested as a CTE) joined back to the raw embeddings for the
+    * within-cluster pairwise cosine; a vector is a dup when its best
+    * EARLIER same-cluster neighbor exceeds tau (rounded first, as the
+    * engine does).
+    */
+  private def semanticDedupOracle(k: Int, assignSteps: Int,
+                                  tau: String): String = {
+    val norm = (v: String) =>
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform($v, x -> x * x)), (a, b) -> a + b))"
+    s"""WITH asg AS (
+       |  ${kmeansOracle(k, assignSteps).replace("\n", "\n  ")}
+       |),
+       |ev AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM asg a JOIN embeddings e USING (vec_id)),
+       |evn AS (SELECT vec_id, cluster, v, ${norm("v")} AS vn FROM ev),
+       |pairs AS (
+       |  SELECT b.vec_id, b.cluster,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
+       |        i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.vn * b.vn) AS sim
+       |  FROM evn a JOIN evn b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT vec_id, cluster, round(max(sim), 6) AS max_sim
+       |FROM pairs GROUP BY vec_id, cluster
+       |HAVING round(max(sim), 6) > $tau
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Oracle for x84: assignment argmax (the x73 asg machinery), build +
     * wave distributions over all nlist lists (absent lists count 0 on
