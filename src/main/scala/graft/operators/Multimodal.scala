@@ -1202,9 +1202,12 @@ object Multimodal {
       }
       val co = sampleChunkOffsets(v)
       (0 until n).map { j =>
+        // ISO 14496-12 §8.6.2: an ABSENT stss box means every sample
+        // is a sync sample (all-intra files omit it); only a present
+        // stss restricts the sync set
+        val isSync = v.syncs.isEmpty || syncSet.contains(j + 1)
         Mp4Sample(r.doc_id, j, v.codec, v.width, v.height, n,
-          v.sizes(j), co(j)._1, co(j)._2, m.mdatStart, dts(j),
-          syncSet.contains(j + 1))
+          v.sizes(j), co(j)._1, co(j)._2, m.mdatStart, dts(j), isSync)
       }
     }.toDF()
   }

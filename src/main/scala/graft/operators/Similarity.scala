@@ -193,6 +193,61 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup-style semantic deduplication: k-means-cluster the corpus,
+    * then flag every vector whose strongest EARLIER same-cluster
+    * neighbor exceeds `tau` cosine (keep-lowest-id representative).
+    * Returns the removal list (vec_id, cluster, max_sim).
+    *
+    * 100 TB scale discipline (the x80/maxBucket rule — every pair
+    * generator bounds its bucket):
+    *  - `k` GROWS with the corpus: k = max(8, ceil(n / targetSize)),
+    *    the SemDeDup recipe (k ~ n / target-cluster-size), so average
+    *    cluster size stays ~targetSize no matter how big n gets. The
+    *    assignment is still the shuffle-free argmax map against k×dim
+    *    literal centroids.
+    *  - mega-clusters are WINDOWED: only each cluster's `repCap`
+    *    lowest-id members act as the earlier-neighbor (representative)
+    *    side of the pairwise join, so pair volume is ≤ n·repCap —
+    *    LINEAR in n — instead of Σ C(|cluster|,2) ≈ n·targetSize/2
+    *    worst-cased by skew into n²/2. Later members still dedup
+    *    against the cluster's earliest repCap representatives (the
+    *    keep-lowest-id survivors by construction); what the cap drops
+    *    is only dup-pairs BOTH past the window — measured in
+    *    tools/AnnScale + SCALE.md. The rank itself is one
+    *    (cluster, vec_id) window sort — O(m log m) per cluster,
+    *    spillable, no quadratic term.
+    * Float path: the established double-of-float left-to-right fold
+    * (`VectorFunctions.vecCosine`) rounded to 6dp before the threshold
+    * compare — bit-identical to the DuckDB oracle.
+    */
+  def semanticDedup(embeddings: DataFrame, targetSize: Int = 128,
+                    repCap: Int = 256, tau: Double = 0.4,
+                    iters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = embeddings.count()
+    val k = math.max(8L, math.ceil(n.toDouble / targetSize).toLong).toInt
+    val cents = kmeansCentroids(embeddings, k, iters)
+    val sims = array(cents.map(c =>
+      graft.functions.VectorFunctions.vecCosine(col("embedding"),
+        array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+    val asg = embeddings.withColumn("cluster",
+        (array_position(sims, array_max(sims)) - 1).cast("long"))
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+    val ranked = asg.withColumn("rnk", row_number().over(
+      Window.partitionBy("cluster").orderBy("vec_id")))
+    val reps = ranked.filter(col("rnk") <= repCap)
+      .select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+    reps.join(asg, Seq("cluster"))
+      .filter(col("a_id") < col("vec_id"))
+      .withColumn("sim", graft.functions.VectorFunctions
+        .vecCosine(col("a_emb"), col("embedding")))
+      .groupBy("vec_id", "cluster")
+      .agg(round(max("sim"), 6).as("max_sim"))
+      .filter(col("max_sim") > tau)
+      .select(col("vec_id"), col("cluster"), col("max_sim"))
+  }
+
   /** Driver-side id-ordered seed centroids (the trainIters=0 coarse
     * quantizer) — exposed so multi-query/multi-nprobe sweeps collect the
     * nlist×dim floats ONCE instead of once per cell (the x66 lesson).
@@ -835,6 +890,33 @@ object Similarity {
     }
   }
 
+  /** Lists-table recovery, run before deleting an orphaned `.compacting`
+    * dir: any `list_id=` partition present in `.compacting` but MISSING
+    * from the live table is moved back. With the two-phase protocol below
+    * this only ever fires for a crash inside the swap window (live was
+    * renamed to `.old`, some already-compact dirs were moved into
+    * `.compacting`, and the `.old` restore above brought back a table
+    * missing exactly those dirs) — the merge restores the full original.
+    * Rewritten (fragmented) dirs still have their originals live, so the
+    * missing-from-live check skips them and they are simply discarded
+    * with `.compacting`.
+    */
+  private def mergeBackLists(fs: org.apache.hadoop.fs.FileSystem,
+                             cur: org.apache.hadoop.fs.Path,
+                             staging: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(staging) && fs.exists(cur)) {
+      fs.listStatus(staging).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("list_id="))
+        .foreach { d =>
+          val live = new org.apache.hadoop.fs.Path(cur, d.getPath.getName)
+          if (!fs.exists(live)) {
+            require(fs.rename(d.getPath, live),
+              s"compact recovery: cannot restore ${d.getPath}")
+          }
+        }
+    }
+  }
+
   private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
                        cur: org.apache.hadoop.fs.Path,
                        next: org.apache.hadoop.fs.Path): Unit = {
@@ -862,7 +944,15 @@ object Similarity {
     * min/max stats keep the rerank's id semi-join selective. Each table
     * commits via write-to-`.compacting` + two renames with `.old`
     * recovery: a crash at any point leaves either the original or the
-    * compacted table fully live, never a mix.
+    * compacted table fully live, never a mix. For `lists` that guarantee
+    * needs two phases: the rewrite phase only READS the live table
+    * (fragmented dirs are rewritten into `.compacting`; live is never
+    * mutated), and the cheap already-compact moves happen INSIDE the
+    * swap window, after live has been renamed to `.old` — so the live
+    * path is either fully present or (briefly, during the swap) absent
+    * and loudly unreadable, never present-but-missing-lists. Recovery
+    * merges any swap-window-moved dirs from `.compacting` back before
+    * discarding it (`mergeBackLists`).
     *
     * Returns per-table (filesBefore, filesAfter).
     */
@@ -876,11 +966,21 @@ object Similarity {
     val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = lists.getFileSystem(hadoop)
     recoverSwap(fs, lists)
+    locally {
+      // a prior crash inside the swap window may have moved compact
+      // dirs into `.compacting`; restore them before discarding it
+      val stale = new org.apache.hadoop.fs.Path(s"$path/lists.compacting")
+      mergeBackLists(fs, lists, stale)
+      if (fs.exists(stale)) fs.delete(stale, true)
+    }
     if (fs.exists(lists)) {
       val next = new org.apache.hadoop.fs.Path(s"$path/lists.compacting")
-      if (fs.exists(next)) fs.delete(next, true)
       fs.mkdirs(next)
       var before = 0
+      // phase 1: rewrite fragmented dirs into `.compacting`; the live
+      // table is only read — concurrent queries see the full index and
+      // a crash here leaves nothing to undo
+      val alreadyCompact = scala.collection.mutable.ArrayBuffer[String]()
       fs.listStatus(lists).filter(_.isDirectory)
         .filter(_.getPath.getName.startsWith("list_id="))
         .sortBy(_.getPath.getName)
@@ -890,19 +990,28 @@ object Similarity {
           val bytes = fs.getContentSummary(d.getPath).getLength
           val target =
             math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-          val dst = new org.apache.hadoop.fs.Path(next, d.getPath.getName)
-          if (nFiles <= target) {
-            // already compact: move, don't rewrite
-            require(fs.rename(d.getPath, dst),
-              s"compact: cannot move ${d.getPath}")
-          } else {
+          if (nFiles <= target) alreadyCompact += d.getPath.getName
+          else {
+            val dst =
+              new org.apache.hadoop.fs.Path(next, d.getPath.getName)
             spark.read.parquet(d.getPath.toString)
               .repartition(target)
               .sortWithinPartitions("vec_id")
               .write.parquet(dst.toString)
           }
         }
-      swapDirs(fs, lists, next)
+      // phase 2 (swap window): stage live to `.old`, move the
+      // already-compact dirs across (cheap renames, no rewrite), commit
+      val old = new org.apache.hadoop.fs.Path(lists.toString + ".old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(lists, old), s"compact swap: cannot stage $lists")
+      alreadyCompact.foreach { name =>
+        require(fs.rename(new org.apache.hadoop.fs.Path(old, name),
+                          new org.apache.hadoop.fs.Path(next, name)),
+          s"compact swap: cannot move $name")
+      }
+      require(fs.rename(next, lists), s"compact swap: cannot commit $next")
+      fs.delete(old, true)
       out += "lists" -> ((before, parquetFileCount(fs, lists)))
     }
 

@@ -821,73 +821,65 @@ object VectorQueries {
       },
       Some(ivfDriftOracle(nlist = 16, retrainMicro = 500000L))),
 
-    // ---- SemDeDup-style semantic deduplication: cluster the corpus
-    // (the x27 seeded k-means assignment — shuffle-free map against
-    // k×dim literal centroids), then remove every vector that has an
-    // EARLIER same-cluster vector above the cosine threshold (keep-
-    // lowest-id representative). Output is the removal list with each
-    // dup's strongest earlier neighbor similarity.
+    // ---- SemDeDup-style semantic deduplication (Similarity
+    // .semanticDedup): k-means-cluster the corpus, then remove every
+    // vector whose strongest EARLIER same-cluster neighbor exceeds the
+    // cosine threshold (keep-lowest-id representative). Output is the
+    // removal list with each dup's strongest earlier-neighbor sim.
     //
-    // 100 TB: this is the whole point of the cluster scoping — the
-    // pairwise join runs WITHIN clusters only, so pair volume is
-    // Σ C(|cluster|,2) ≈ n²/(2k) instead of C(n,2): k grows with the
-    // corpus (SemDeDup uses k ~ n/`target cluster size`, keeping
-    // per-cluster pairs bounded), the join shuffles on cluster id
-    // (skew: a mega-cluster is the x80/maxBucket discipline — cap or
-    // sub-cluster it; at gate scale clusters are ~n/8 and uncapped),
-    // and the output is only the (tiny) removal list. The float path
-    // is the established double-of-float left-to-right fold —
-    // bit-identical across engines, rounded before the threshold
-    // compare and output.
+    // 100 TB: both quadratic escapes are closed (the x80/maxBucket
+    // discipline, in BOTH engines so the gate stays hash-exact) —
+    // k scales with the corpus (max(8, ceil(n/128)); at sf0.01 n=500
+    // that IS 8, at sf0.1 it is 16, at 1 B vectors ~8 M clusters of
+    // ~128) and each vector only pairs against its cluster's 256
+    // lowest-id members, so pair volume is ≤ 256·n — linear — even
+    // when skew piles everything into one mega-cluster. The 1 M-vector
+    // probe (tools/AnnScale semdedup) measures capped vs uncapped pair
+    // volume; SCALE.md has the counterfactual.
     "x87_semantic_dedup" -> QueryDef(
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val cents = graft.operators.Similarity.kmeansCentroids(e, k = 8, iters = 1)
-        val sims = array(cents.map(c =>
-          graft.functions.VectorFunctions.vecCosine(col("embedding"),
-            array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
-        val asg = e.withColumn("cluster",
-            (array_position(sims, array_max(sims)) - 1).cast("long"))
-          .select(col("vec_id"), col("cluster"), col("embedding"))
-        val a = asg.select(col("cluster"), col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"))
-        a.join(asg, Seq("cluster"))
-          .filter(col("a_id") < col("vec_id"))
-          .withColumn("sim", graft.functions.VectorFunctions
-            .vecCosine(col("a_emb"), col("embedding")))
-          .groupBy("vec_id", "cluster")
-          .agg(round(max("sim"), 6).as("max_sim"))
-          .filter(col("max_sim") > 0.4)
-          .select(col("vec_id"), col("cluster"), col("max_sim"))
+        graft.operators.Similarity
+          .semanticDedup(t(s, dir, "embeddings"),
+            targetSize = 128, repCap = 256, tau = 0.4)
           .orderBy("vec_id")
       },
-      Some(semanticDedupOracle(k = 8, assignSteps = 2, tau = "0.4")))
+      Some(semanticDedupOracle(targetSize = 128, repCap = 256,
+        assignSteps = 2, tau = "0.4")))
   )
 
   /** Oracle for x87: the x27 k-means assignment (kmeansOracle verbatim,
-    * nested as a CTE) joined back to the raw embeddings for the
-    * within-cluster pairwise cosine; a vector is a dup when its best
-    * EARLIER same-cluster neighbor exceeds tau (rounded first, as the
-    * engine does).
+    * nested as a CTE — with the seed count computed from the corpus,
+    * mirroring the engine's k = max(8, ceil(n / targetSize))) joined
+    * back to the raw embeddings for the within-cluster pairwise cosine;
+    * the earlier-neighbor side is windowed to each cluster's `repCap`
+    * lowest vec_ids (the engine's linear-pair-volume cap); a vector is
+    * a dup when its best earlier representative exceeds tau (rounded
+    * first, as the engine does).
     */
-  private def semanticDedupOracle(k: Int, assignSteps: Int,
-                                  tau: String): String = {
+  private def semanticDedupOracle(targetSize: Int, repCap: Int,
+                                  assignSteps: Int, tau: String): String = {
     val norm = (v: String) =>
       s"sqrt(list_reduce(list_prepend(0.0, list_transform($v, x -> x * x)), (a, b) -> a + b))"
+    val kSql = "(SELECT greatest(8, CAST(ceil(count(*) / " +
+      s"$targetSize.0) AS BIGINT)) FROM embeddings)"
     s"""WITH asg AS (
-       |  ${kmeansOracle(k, assignSteps).replace("\n", "\n  ")}
+       |  ${kmeansOracle(0, assignSteps, kSql = kSql).replace("\n", "\n  ")}
        |),
        |ev AS (
        |  SELECT a.vec_id, a.cluster,
        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM asg a JOIN embeddings e USING (vec_id)),
-       |evn AS (SELECT vec_id, cluster, v, ${norm("v")} AS vn FROM ev),
+       |evn AS (
+       |  SELECT vec_id, cluster, v, ${norm("v")} AS vn,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rnk
+       |  FROM ev),
        |pairs AS (
        |  SELECT b.vec_id, b.cluster,
        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
        |        i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.vn * b.vn) AS sim
        |  FROM evn a JOIN evn b
-       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE a.rnk <= $repCap)
        |SELECT vec_id, cluster, round(max(sim), 6) AS max_sim
        |FROM pairs GROUP BY vec_id, cluster
        |HAVING round(max(sim), 6) > $tau
@@ -1364,7 +1356,12 @@ object VectorQueries {
   private def kmeansOracle(
       k: Int, assignSteps: Int,
       finalSelect: String = "en.vec_id, CAST(fin.cid AS BIGINT) AS cluster",
-      finalWhere: String = ""): String = {
+      finalWhere: String = "",
+      kSql: String = null): String = {
+    // seed predicate: a literal k, or a corpus-derived SQL expression
+    // (the x87 scaled-k path — must mirror the engine's
+    // max(8, ceil(n / targetSize)) exactly)
+    val kPred = Option(kSql).getOrElse(k.toString)
     def cos(v: String, c: String, vn: String, cn: String) =
       s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1),
          |      i -> $v[i] * $c[i])), (a, b) -> a + b) / ($vn * $cn)""".stripMargin
@@ -1379,7 +1376,7 @@ object VectorQueries {
          |c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c,
          |    ${norm("v")} AS cn
-         |  FROM e WHERE vec_id < $k)""".stripMargin)
+         |  FROM e WHERE vec_id < $kPred)""".stripMargin)
     for (it <- 1 until assignSteps) {
       val p = s"c${it - 1}"
       parts += s"""a$it AS (
