@@ -707,6 +707,7 @@ object Multimodal {
     */
   private[graft] def sampleChunkOffsets(t: Mp4Track): Array[(Int, Long)] = {
     val n = t.sizes.length
+    if (n == 0) return Array.empty // a track with no samples maps nothing
     val out = new Array[(Int, Long)](n)
     require(t.stscRuns.nonEmpty && t.stscRuns.head._1 == 1,
       "stsc must start at chunk 1")
@@ -758,6 +759,85 @@ object Multimodal {
     require(!bb.hasRemaining, s"buf under-filled: ${bb.remaining()} left")
     bb.array()
   }
+
+  // ---- shared ISO-BMFF box builders (used by both the moov-sample
+  // writer mp4Bytes and the fragmented writer mp4FragmentedBytes)
+
+  private def ftypBox: Array[Byte] = mkBox("ftyp", buf(16) { bb =>
+    putCc(bb, "isom"); bb.putInt(512); putCc(bb, "isom"); putCc(bb, "avc1")
+  })
+  private def mvhdBox(durMovie: Long, nextTrackId: Int): Array[Byte] =
+    mkBox("mvhd", buf(100) { bb =>
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0).putInt(0) // created, modified
+      bb.putInt(1000).putInt(durMovie.toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      bb.putLong(0) // reserved
+      // unity matrix
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(nextTrackId)
+      ()
+    })
+  private def tkhdBox(trackId: Int, durMovie: Long,
+                      tw: Int, th: Int): Array[Byte] =
+    mkBox("tkhd", buf(84) { bb =>
+      bb.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+      bb.putInt(0).putInt(0).putInt(trackId).putInt(0)
+      bb.putInt(durMovie.toInt)
+      bb.putLong(0).putShort(0).putShort(0).putShort(0).putShort(0)
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      bb.putInt(tw << 16).putInt(th << 16) // 16.16 fixed
+      ()
+    })
+  private def mdhdBox(timescale: Int, dur: Long): Array[Byte] =
+    mkBox("mdhd", buf(24) { bb =>
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(timescale).putInt(dur.toInt)
+      bb.putShort(0x55c4.toShort).putShort(0) // 'und' language
+      ()
+    })
+  private def hdlrBox(handler: String): Array[Byte] =
+    mkBox("hdlr", buf(25) { bb =>
+      bb.putInt(0).putInt(0); putCc(bb, handler)
+      bb.putInt(0).putInt(0).putInt(0); bb.put(0.toByte) // empty name
+      ()
+    })
+  private def vmhdBox: Array[Byte] = mkBox("vmhd", buf(12) { bb =>
+    bb.putInt(1).putShort(0).putShort(0).putShort(0).putShort(0); ()
+  })
+  private def smhdBox: Array[Byte] = mkBox("smhd", buf(8) { bb =>
+    bb.putInt(0).putShort(0).putShort(0); () // balance 0, reserved
+  })
+  private def dinfBox: Array[Byte] = mkBox("dinf", mkBox("dref",
+    buf(8) { bb => bb.putInt(0).putInt(1); () },
+    mkBox("url ", buf(4) { bb => bb.putInt(1); () })))
+  private def avc1Box(w: Int, h: Int): Array[Byte] =
+    mkBox("avc1", buf(78) { bb =>
+      bb.putInt(0).putShort(0) // 6 reserved bytes
+      bb.putShort(1) // data_reference_index
+      bb.putShort(0).putShort(0) // pre_defined, reserved
+      bb.putInt(0).putInt(0).putInt(0) // pre_defined[3]
+      bb.putShort(w.toShort).putShort(h.toShort)
+      bb.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+      bb.putInt(0).putShort(1) // reserved, frame_count
+      (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
+      bb.putShort(24).putShort(-1) // depth, pre_defined
+      ()
+    })
+  private def mp4aBox: Array[Byte] = mkBox("mp4a", buf(28) { bb =>
+    bb.putInt(0).putShort(0) // 6 reserved bytes
+    bb.putShort(1) // data_reference_index
+    bb.putLong(0) // reserved
+    bb.putShort(2).putShort(16) // channels, sample size
+    bb.putShort(0).putShort(0) // pre_defined, reserved
+    bb.putInt(48000 << 16) // samplerate 16.16 (u32 bit pattern)
+    ()
+  })
 
   /** Structurally-complete mp4: ftyp(isom), moov(mvhd, trak*), mdat.
     * Beyond the r12 single-chunk/video-only shape this emits what real
@@ -851,78 +931,7 @@ object Multimodal {
     }
 
     def build(vOffs: Array[Long], aOffs: Array[Long]): Array[Byte] = {
-      val ftyp = mkBox("ftyp", buf(16) { bb =>
-        putCc(bb, "isom"); bb.putInt(512); putCc(bb, "isom"); putCc(bb, "avc1")
-      })
-      val mvhd = mkBox("mvhd", buf(100) { bb =>
-        bb.putInt(0) // version 0 + flags
-        bb.putInt(0).putInt(0) // created, modified
-        bb.putInt(1000).putInt((durMedia * 1000 / 90000).toInt)
-        bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
-        bb.putLong(0) // reserved
-        // unity matrix
-        bb.putInt(0x00010000).putInt(0).putInt(0)
-        bb.putInt(0).putInt(0x00010000).putInt(0)
-        bb.putInt(0).putInt(0).putInt(0x40000000)
-        (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
-        bb.putInt(if (na == 0) 2 else 3) // next track id
-        ()
-      })
-      def tkhdBox(trackId: Int, tw: Int, th: Int): Array[Byte] =
-        mkBox("tkhd", buf(84) { bb =>
-          bb.putInt(7) // version 0, flags: enabled|in-movie|in-preview
-          bb.putInt(0).putInt(0).putInt(trackId).putInt(0)
-          bb.putInt((durMedia * 1000 / 90000).toInt)
-          bb.putLong(0).putShort(0).putShort(0).putShort(0).putShort(0)
-          bb.putInt(0x00010000).putInt(0).putInt(0)
-          bb.putInt(0).putInt(0x00010000).putInt(0)
-          bb.putInt(0).putInt(0).putInt(0x40000000)
-          bb.putInt(tw << 16).putInt(th << 16) // 16.16 fixed
-          ()
-        })
-      def mdhdBox(timescale: Int, dur: Long): Array[Byte] =
-        mkBox("mdhd", buf(24) { bb =>
-          bb.putInt(0).putInt(0).putInt(0)
-          bb.putInt(timescale).putInt(dur.toInt)
-          bb.putShort(0x55c4.toShort).putShort(0) // 'und' language
-          ()
-        })
-      def hdlrBox(handler: String): Array[Byte] =
-        mkBox("hdlr", buf(25) { bb =>
-          bb.putInt(0).putInt(0); putCc(bb, handler)
-          bb.putInt(0).putInt(0).putInt(0); bb.put(0.toByte) // empty name
-          ()
-        })
-      val vmhd = mkBox("vmhd", buf(12) { bb =>
-        bb.putInt(1).putShort(0).putShort(0).putShort(0).putShort(0); ()
-      })
-      val smhd = mkBox("smhd", buf(8) { bb =>
-        bb.putInt(0).putShort(0).putShort(0); () // balance 0, reserved
-      })
-      def dinf = mkBox("dinf", mkBox("dref", buf(8) { bb =>
-        bb.putInt(0).putInt(1); ()
-      }, mkBox("url ", buf(4) { bb => bb.putInt(1); () })))
-      val avc1 = mkBox("avc1", buf(78) { bb =>
-        bb.putInt(0).putShort(0) // 6 reserved bytes
-        bb.putShort(1) // data_reference_index
-        bb.putShort(0).putShort(0) // pre_defined, reserved
-        bb.putInt(0).putInt(0).putInt(0) // pre_defined[3]
-        bb.putShort(w.toShort).putShort(h.toShort)
-        bb.putInt(0x00480000).putInt(0x00480000) // 72 dpi
-        bb.putInt(0).putShort(1) // reserved, frame_count
-        (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
-        bb.putShort(24).putShort(-1) // depth, pre_defined
-        ()
-      })
-      val mp4a = mkBox("mp4a", buf(28) { bb =>
-        bb.putInt(0).putShort(0) // 6 reserved bytes
-        bb.putShort(1) // data_reference_index
-        bb.putLong(0) // reserved
-        bb.putShort(2).putShort(16) // channels, sample size
-        bb.putShort(0).putShort(0) // pre_defined, reserved
-        bb.putInt(48000 << 16) // samplerate 16.16 (u32 bit pattern)
-        ()
-      })
+      val durMovie = durMedia * 1000 / 90000
       def stblBox(codecEntry: Array[Byte], runs: Array[(Int, Int)],
                   syncsArr: Array[Int], sizesArr: Array[Int],
                   chunkSizes: Array[Int], offs: Array[Long]): Array[Byte] = {
@@ -975,31 +984,190 @@ object Multimodal {
           })
         mkBox("stbl", stsd, stts, stss, stsz, stsc, stcoOrCo64)
       }
-      val vstbl = stblBox(avc1, sttsRuns, syncs, sizes, vChunkSizes, vOffs)
-      val vtrak = mkBox("trak", tkhdBox(1, w, h),
+      val vstbl = stblBox(avc1Box(w, h), sttsRuns, syncs, sizes,
+        vChunkSizes, vOffs)
+      val vtrak = mkBox("trak", tkhdBox(1, durMovie, w, h),
         mkBox("mdia", mdhdBox(90000, durMedia), hdlrBox("vide"),
-          mkBox("minf", vmhd, dinf, vstbl)))
+          mkBox("minf", vmhdBox, dinfBox, vstbl)))
       val traks =
         if (na == 0) Array(vtrak)
         else {
-          val astbl = stblBox(mp4a, Array((na, 1024)), Array.empty,
+          val astbl = stblBox(mp4aBox, Array((na, 1024)), Array.empty,
             audioSizes, aChunkSizes, aOffs)
-          val atrak = mkBox("trak", tkhdBox(2, 0, 0),
+          val atrak = mkBox("trak", tkhdBox(2, durMovie, 0, 0),
             mkBox("mdia", mdhdBox(48000, na.toLong * 1024), hdlrBox("soun"),
-              mkBox("minf", smhd, dinf, astbl)))
+              mkBox("minf", smhdBox, dinfBox, astbl)))
           // audio FIRST: a parser that grabs the first trak (or requires
           // it to be video) must fail against this fixture
           Array(atrak, vtrak)
         }
-      val moov = mkBox("moov", (mvhd +: traks): _*)
+      val moov = mkBox("moov",
+        (mvhdBox(durMovie, if (na == 0) 2 else 3) +: traks): _*)
       val mdat = mkBox("mdat", payload)
-      ftyp ++ moov ++ mdat
+      ftypBox ++ moov ++ mdat
     }
     val pass1 = build(vChunkRel, aChunkRel)
     // mdat payload sits at the end; its absolute start is fixed by the
     // box sizes, which do not depend on the offset values
     val base = (pass1.length - payload.length).toLong
     build(vChunkRel.map(_ + base), aChunkRel.map(_ + base))
+  }
+
+  /** FRAGMENTED mp4 (fMP4 — the DASH/CMAF/live-capture shape, the other
+    * half of real web-scraped video): moov carries EMPTY sample tables
+    * plus mvex/trex defaults, and every sample lives in per-fragment
+    * moof/traf/trun boxes, each followed by its own mdat. The fixture
+    * exercises the field-presence matrix real muxers use: the video
+    * trun carries explicit per-sample durations+sizes with
+    * `first_sample_flags` marking the fragment-leading keyframe against
+    * a NON-sync tfhd `default_sample_flags`; the audio traf carries no
+    * defaults at all, so its duration and sync flag resolve through
+    * trex. `explicitBase = false` writes the CMAF
+    * `default-base-is-moof` tfhd flag; `true` writes an explicit
+    * `base_data_offset` (same value, the other wire encoding). Each
+    * traf's tfdt declares the accumulated media time — the parser
+    * validates continuity. Sample data reuses mp4Bytes' exact fill
+    * formulas, so specs pin per-sample ABSOLUTE offsets across both
+    * writers with one ground-truth implementation. One audio sample per
+    * fragment (mirroring the moov writer's one-per-chunk interleave);
+    * fragments beyond the video sample count carry audio only.
+    */
+  private[graft] def mp4FragmentedBytes(
+      w: Int, h: Int, sizes: Array[Int], durations: Array[Int],
+      seed: Long, samplesPerFragment: Int,
+      audioSizes: Array[Int] = Array.empty,
+      explicitBase: Boolean = false): Array[Byte] = {
+    val n = sizes.length
+    require(durations.length == n, "one duration per video sample")
+    val spf = math.max(1, samplesPerFragment)
+    val na = audioSizes.length
+    val nFrag = math.max((n + spf - 1) / spf, na)
+    require(nFrag > 0, "a fragmented file needs at least one fragment")
+
+    // IDENTICAL fill formulas to mp4Bytes — shared spec ground truth
+    val vBytes = locally {
+      var j = 0L
+      sizes.zipWithIndex.map { case (sz, i) =>
+        Array.tabulate(sz) { _ =>
+          val b = ((seed + 7 * i + j) % 256).toByte; j += 1; b }
+      }
+    }
+    val aBytes = locally {
+      var j = 0L
+      audioSizes.zipWithIndex.map { case (sz, i) =>
+        Array.tabulate(sz) { _ =>
+          val b = java.lang.Math.floorMod(seed * 5 + 11 * i + j, 256L).toByte
+          j += 1; b }
+      }
+    }
+
+    def emptyStbl(codecEntry: Array[Byte]): Array[Byte] = mkBox("stbl",
+      mkBox("stsd", buf(8) { bb => bb.putInt(0).putInt(1); () }, codecEntry),
+      mkBox("stts", buf(8) { bb => bb.putInt(0).putInt(0); () }),
+      mkBox("stsz", buf(12) { bb => bb.putInt(0).putInt(0).putInt(0); () }),
+      mkBox("stsc", buf(8) { bb => bb.putInt(0).putInt(0); () }),
+      mkBox("stco", buf(8) { bb => bb.putInt(0).putInt(0); () }))
+    def trexBox(tid: Int, defDur: Int, defFlags: Int): Array[Byte] =
+      mkBox("trex", buf(24) { bb =>
+        bb.putInt(0).putInt(tid).putInt(1) // version/flags, id, descIdx
+        bb.putInt(defDur).putInt(0).putInt(defFlags)
+        ()
+      })
+
+    val vtrak = mkBox("trak", tkhdBox(1, 0, w, h),
+      mkBox("mdia", mdhdBox(90000, 0), hdlrBox("vide"),
+        mkBox("minf", vmhdBox, dinfBox, emptyStbl(avc1Box(w, h)))))
+    val traks =
+      if (na == 0) Array(vtrak)
+      else {
+        val atrak = mkBox("trak", tkhdBox(2, 0, 0, 0),
+          mkBox("mdia", mdhdBox(48000, 0), hdlrBox("soun"),
+            mkBox("minf", smhdBox, dinfBox, emptyStbl(mp4aBox))))
+        Array(atrak, vtrak) // audio FIRST, as the moov writer does
+      }
+    // trex: video defaults NON-sync flags (the trun's
+    // first_sample_flags is what marks keyframes); audio defaults sync
+    // with the fixed 1024-tick AAC frame duration
+    val mvex =
+      if (na == 0) mkBox("mvex", trexBox(1, 3000, 0x00010000))
+      else mkBox("mvex", trexBox(1, 3000, 0x00010000),
+        trexBox(2, 1024, 0))
+    val moov = mkBox("moov",
+      (mvhdBox(0, if (na == 0) 2 else 3) +: traks :+ mvex): _*)
+
+    def fragment(f: Int, moofStart: Long): (Array[Byte], Array[Byte]) = {
+      val vr = (f * spf) until math.min(n, (f + 1) * spf)
+      val hasA = f < na
+      val vFragBytes = vr.map(i => sizes(i).toLong).sum
+      val mdatPayload = new java.io.ByteArrayOutputStream()
+      vr.foreach(i => mdatPayload.write(vBytes(i)))
+      if (hasA) mdatPayload.write(aBytes(f))
+      val mdat = mkBox("mdat", mdatPayload.toByteArray)
+
+      def moofOf(vOff: Int, aOff: Int): Array[Byte] = {
+        val mfhd = mkBox("mfhd", buf(8) { bb =>
+          bb.putInt(0).putInt(f + 1); () })
+        val baseFlag = if (explicitBase) 0x1 else 0x20000
+        val parts = scala.collection.mutable.ArrayBuffer(mfhd)
+        if (vr.nonEmpty) {
+          val vTfhd = mkBox("tfhd",
+            buf(if (explicitBase) 20 else 12) { bb =>
+              bb.putInt(baseFlag | 0x20).putInt(1)
+              if (explicitBase) bb.putLong(moofStart)
+              bb.putInt(0x00010000) // default: non-sync
+              ()
+            })
+          val vTfdt = mkBox("tfdt", buf(12) { bb =>
+            bb.putInt(0x01000000)
+            bb.putLong(durations.take(vr.start).map(_.toLong).sum)
+            ()
+          })
+          // data-offset | first-sample-flags | sample-duration |
+          // sample-size
+          val vTrun = mkBox("trun", buf(16 + 8 * vr.length) { bb =>
+            bb.putInt(0x305).putInt(vr.length)
+            bb.putInt(vOff)
+            bb.putInt(0x02000000) // I-frame: depends-on=2, sync
+            vr.foreach { i => bb.putInt(durations(i)).putInt(sizes(i)) }
+            ()
+          })
+          parts += mkBox("traf", vTfhd, vTfdt, vTrun)
+        }
+        if (hasA) {
+          val aTfhd = mkBox("tfhd",
+            buf(if (explicitBase) 16 else 8) { bb =>
+              bb.putInt(baseFlag).putInt(2)
+              if (explicitBase) bb.putLong(moofStart)
+              ()
+            })
+          val aTfdt = mkBox("tfdt", buf(12) { bb =>
+            bb.putInt(0x01000000).putLong(f.toLong * 1024); () })
+          // data-offset | sample-size: duration and flags via trex
+          val aTrun = mkBox("trun", buf(16) { bb =>
+            bb.putInt(0x201).putInt(1)
+            bb.putInt(aOff).putInt(audioSizes(f))
+            ()
+          })
+          parts += mkBox("traf", aTfhd, aTfdt, aTrun)
+        }
+        mkBox("moof", parts.toSeq: _*)
+      }
+      // trun data_offset is moof-relative; moof size is fixed by
+      // structure, not offset values — probe then patch
+      val probe = moofOf(0, 0)
+      val vOff = probe.length + 8
+      (moofOf(vOff, (vOff + vFragBytes).toInt), mdat)
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftypBox); out.write(moov)
+    var pos = out.size().toLong
+    (0 until nFrag).foreach { f =>
+      val (moof, mdat) = fragment(f, pos)
+      out.write(moof); out.write(mdat)
+      pos += moof.length + mdat.length
+    }
+    out.toByteArray
   }
 
   /** Deterministic mp4 per doc — the REAL-WORLD shape, not the r12
@@ -1036,6 +1204,35 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic FRAGMENTED mp4 per doc — same doc_id arithmetic as
+    * mp4Of (n, dims, sizes, the 3000/3600 two-regime durations, na
+    * audio samples) but laid out as moof/traf/trun fragments of 2 video
+    * samples each, one audio sample per fragment, keyframe = each
+    * fragment's first sample via first_sample_flags (so is_sync is
+    * i % 2 = 0); every 3rd doc writes explicit base_data_offset instead
+    * of default-base-is-moof. The oracle recomputes every surfaced
+    * field, including the intra-fragment relative offsets.
+    */
+  private def fmp4Of(id: Long): Array[Byte] = {
+    val n = (id % 7 + 3).toInt
+    val n1 = n / 2
+    val na = (id % 6 + 2).toInt
+    mp4FragmentedBytes(((id % 5 + 2) * 16).toInt, ((id % 4 + 2) * 16).toInt,
+      Array.tabulate(n)(i => ((id + i) % 50 + 20).toInt),
+      Array.tabulate(n)(i => if (i < n1) 3000 else 3600),
+      id, samplesPerFragment = 2,
+      audioSizes = Array.tabulate(na)(i => ((id * 3 + i) % 40 + 10).toInt),
+      explicitBase = id % 3 == 0)
+  }
+
+  def synthesizeFmp4(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => VideoRow(id, fmp4Of(id)))
+      .toDF()
+  }
+
   /** ISO-BMFF box walker: recursive descent over the size+type tree
     * (64-bit largesize and size-0-to-end handled), collecting EVERY
     * trak — a real mp4 muxes audio beside video, and r12's
@@ -1058,18 +1255,34 @@ object Multimodal {
       val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
     }
     var brand: String = null
-    var mdatStart = -1L; var mdatEnd = -1L
+    val mdatRanges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val tracks = scala.collection.mutable.ArrayBuffer[Mp4Track]()
+    val trackIds = scala.collection.mutable.ArrayBuffer[Long]()
     // per-trak accumulator state, reset on each 'trak' entry
     var handler: String = null
     var codec: String = null
     var w = -1; var h = -1
     var timescale = -1L
+    var trackId = -1L
     var sizes: Array[Long] = null
     var syncs: Array[Int] = Array.empty
     var sttsRuns: Array[(Long, Long)] = null
     var stscRuns: Array[(Long, Long)] = null
     var chunkOffsets: Array[Long] = null
+    // fragmented-file state: trex defaults (duration, size, flags) per
+    // track id; one FragRun per trun, in file order
+    val trexDefs =
+      scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    case class FragRun(trackId: Long, start: Long, sizes: Array[Long],
+                       durs: Array[Long], syncs: Array[Boolean],
+                       tfdt: Long)
+    val fragRuns = scala.collection.mutable.ArrayBuffer[FragRun]()
+    var moofStart = -1L
+    var trafSeen = 0 // trafs closed so far in the current moof
+    var trafTrackId = -1L
+    var trafBase = -1L
+    var trafDefDur = -1L; var trafDefSize = -1L; var trafDefFlags = -1L
+    var tfdtVal = -1L
     def u32(): Long = bb.getInt().toLong & 0xffffffffL
     def walk(end: Long): Unit = {
       while (bb.position() < end) {
@@ -1084,9 +1297,10 @@ object Multimodal {
           s"box $typ overruns its container ($size bytes, $end end)")
         typ match {
           case "ftyp" => brand = cc()
-          case "moov" | "mdia" | "minf" | "stbl" => walk(boxEnd)
+          case "moov" | "mdia" | "minf" | "stbl" | "mvex" => walk(boxEnd)
           case "trak" =>
             handler = null; codec = null; w = -1; h = -1; timescale = -1L
+            trackId = -1L
             sizes = null; syncs = Array.empty; sttsRuns = null
             stscRuns = null; chunkOffsets = null
             walk(boxEnd)
@@ -1094,11 +1308,102 @@ object Multimodal {
               sizes != null && sttsRuns != null && stscRuns != null &&
               chunkOffsets != null,
               s"trak (handler=$handler) missing required stbl boxes")
+            require(trackId > 0, s"trak (handler=$handler) missing tkhd")
             require(sttsRuns.map(_._1).sum == sizes.length,
               s"stts covers ${sttsRuns.map(_._1).sum} samples, " +
                 s"stsz says ${sizes.length} (handler=$handler)")
             tracks += Mp4Track(handler, codec, w, h, timescale, sizes,
               syncs, sttsRuns, stscRuns, chunkOffsets)
+            trackIds += trackId
+          case "tkhd" =>
+            val ver = bb.getInt() >>> 24
+            if (ver == 1) { bb.getLong(); bb.getLong() }
+            else { bb.getInt(); bb.getInt() }
+            trackId = u32()
+          case "trex" =>
+            bb.getInt() // version/flags
+            val tid = u32()
+            u32() // default_sample_description_index
+            trexDefs(tid) = (u32(), u32(), u32())
+          case "moof" =>
+            moofStart = start; trafSeen = 0
+            walk(boxEnd)
+          case "traf" =>
+            trafTrackId = -1L; trafBase = -1L
+            trafDefDur = -1L; trafDefSize = -1L; trafDefFlags = -1L
+            tfdtVal = -1L
+            walk(boxEnd)
+            trafSeen += 1
+          case "tfhd" =>
+            val flags = bb.getInt() & 0xffffff
+            trafTrackId = u32()
+            // base-data-offset strategy (ISO 14496-12 §8.8.7): explicit
+            // u64, or default-base-is-moof, or — for the FIRST traf
+            // only — the spec default of the enclosing moof's start
+            trafBase =
+              if ((flags & 0x1) != 0) bb.getLong()
+              else {
+                require((flags & 0x20000) != 0 || trafSeen == 0,
+                  "traf after the first without base-data-offset or " +
+                    "default-base-is-moof unsupported")
+                moofStart
+              }
+            if ((flags & 0x2) != 0) u32() // sample_description_index
+            def trexOf(sel: ((Long, Long, Long)) => Long): Long =
+              trexDefs.get(trafTrackId).map(sel).getOrElse(-1L)
+            trafDefDur =
+              if ((flags & 0x8) != 0) u32() else trexOf(_._1)
+            trafDefSize =
+              if ((flags & 0x10) != 0) u32() else trexOf(_._2)
+            trafDefFlags =
+              if ((flags & 0x20) != 0) u32() else trexOf(_._3)
+          case "tfdt" =>
+            val vf = bb.getInt()
+            tfdtVal = if ((vf >>> 24) == 1) bb.getLong() else u32()
+          case "trun" =>
+            require(trafTrackId > 0, "trun before tfhd in traf")
+            val flags = bb.getInt() & 0xffffff
+            val cnt = bb.getInt()
+            require(cnt > 0, "empty trun")
+            require((flags & 0x1) != 0,
+              "trun without data_offset unsupported")
+            val dataOff = bb.getInt() // SIGNED per spec
+            val firstFlags =
+              if ((flags & 0x4) != 0) u32() else -1L
+            val szs = new Array[Long](cnt)
+            val durs = new Array[Long](cnt)
+            val syn = new Array[Boolean](cnt)
+            var i = 0
+            while (i < cnt) {
+              durs(i) =
+                if ((flags & 0x100) != 0) u32()
+                else {
+                  require(trafDefDur >= 0,
+                    "no sample duration in trun, tfhd, or trex")
+                  trafDefDur
+                }
+              szs(i) =
+                if ((flags & 0x200) != 0) u32()
+                else {
+                  require(trafDefSize > 0,
+                    "no sample size in trun, tfhd, or trex")
+                  trafDefSize
+                }
+              val fl =
+                if ((flags & 0x400) != 0) u32()
+                else if (i == 0 && firstFlags >= 0) firstFlags
+                else {
+                  require(trafDefFlags >= 0,
+                    "no sample flags in trun, tfhd, or trex")
+                  trafDefFlags
+                }
+              if ((flags & 0x800) != 0) bb.getInt() // cts offset
+              syn(i) = (fl & 0x10000L) == 0 // sample_is_non_sync_sample
+              i += 1
+            }
+            fragRuns += FragRun(trafTrackId, trafBase + dataOff,
+              szs, durs, syn, tfdtVal)
+            tfdtVal = -1L // the declared time covers the traf's FIRST trun
           case "mdhd" =>
             val ver = bb.get()
             bb.get(); bb.get(); bb.get()
@@ -1149,30 +1454,88 @@ object Multimodal {
             bb.getInt()
             chunkOffsets = Array.fill(bb.getInt())(bb.getLong())
           case "mdat" =>
-            mdatStart = start + 8
-            mdatEnd = boxEnd
-          case _ => // mvhd/tkhd/vmhd/smhd/dinf/free/...: opaque here
+            // a fragmented file carries one mdat PER fragment — keep
+            // every payload range for the bounds validation below
+            mdatRanges += ((start + 8, boxEnd))
+          case _ => // mvhd/vmhd/smhd/dinf/mfhd/free/...: opaque here
         }
         bb.position(boxEnd.toInt)
       }
     }
     walk(bytes.length.toLong)
-    require(brand != null && tracks.nonEmpty && mdatStart >= 0,
+    require(brand != null && tracks.nonEmpty && mdatRanges.nonEmpty,
       "missing required ISO-BMFF boxes (ftyp/trak/mdat)")
-    // every track's every sample byte range must sit inside mdat — the
-    // chunk expansion is validated here once so downstream consumers
-    // can trust the (offset, size) ranges they seek to
-    tracks.foreach { t =>
+    // fold movie fragments into their tracks: each trun becomes one
+    // synthesized chunk (its samples are contiguous at base +
+    // data_offset), so sampleChunkOffsets and every downstream consumer
+    // work identically on moov-sample and fragmented files
+    val merged = tracks.toArray.zip(trackIds).map { case (t, tid) =>
+      val runs = fragRuns.filter(_.trackId == tid).toArray
+      if (runs.isEmpty) t
+      else {
+        require(t.sizes.isEmpty && t.chunkOffsets.isEmpty,
+          s"track $tid mixes moov sample tables with movie fragments " +
+            "— unsupported")
+        // tfdt continuity: each traf's declared baseMediaDecodeTime
+        // must equal the running duration sum (a gap or overlap here
+        // corrupts every downstream dts)
+        var acc = 0L
+        runs.foreach { r =>
+          if (r.tfdt >= 0) require(r.tfdt == acc,
+            s"tfdt declares ${r.tfdt}, expected $acc for track $tid")
+          acc += r.durs.sum
+        }
+        val allSizes = runs.flatMap(_.sizes)
+        val allDurs = runs.flatMap(_.durs)
+        val sttsAcc =
+          scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        allDurs.foreach { d =>
+          if (sttsAcc.nonEmpty && sttsAcc.last._2 == d)
+            sttsAcc(sttsAcc.length - 1) =
+              (sttsAcc.last._1 + 1, d)
+          else sttsAcc += ((1L, d))
+        }
+        val synFlags = runs.flatMap(_.syncs)
+        val syncIdx = synFlags.zipWithIndex.collect {
+          case (true, i) => i + 1
+        }
+        require(syncIdx.nonEmpty,
+          s"fragmented track $tid has zero sync samples")
+        // all-sync collapses to the absent-stss convention
+        val mSyncs =
+          if (syncIdx.length == synFlags.length) Array.empty[Int]
+          else syncIdx
+        val stscAcc =
+          scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        runs.map(_.sizes.length.toLong).zipWithIndex.foreach {
+          case (c, i) =>
+            if (stscAcc.isEmpty || stscAcc.last._2 != c)
+              stscAcc += ((i + 1L, c))
+        }
+        t.copy(sizes = allSizes, syncs = mSyncs,
+          sttsRuns = sttsAcc.toArray, stscRuns = stscAcc.toArray,
+          chunkOffsets = runs.map(_.start))
+      }
+    }
+    val mdatStart = mdatRanges.map(_._1).min
+    val mdatEnd = mdatRanges.map(_._2).max
+    // every track's every sample byte range must sit inside SOME mdat
+    // payload — the chunk expansion is validated here once so
+    // downstream consumers can trust the (offset, size) ranges they
+    // seek to
+    merged.foreach { t =>
       val co = sampleChunkOffsets(t)
       var i = 0
       while (i < co.length) {
-        require(co(i)._2 >= mdatStart && co(i)._2 + t.sizes(i) <= mdatEnd,
-          s"sample $i of ${t.handler} track outside mdat " +
-            s"(${co(i)._2}+${t.sizes(i)} vs [$mdatStart,$mdatEnd))")
+        val off = co(i)._2
+        val sz = t.sizes(i)
+        require(mdatRanges.exists(r => off >= r._1 && off + sz <= r._2),
+          s"sample $i of ${t.handler} track outside every mdat " +
+            s"($off+$sz)")
         i += 1
       }
     }
-    Mp4Meta(brand, tracks.toArray, mdatStart, mdatEnd)
+    Mp4Meta(brand, merged, mdatStart, mdatEnd)
   }
 
   /** One row per VIDEO sample from the container metadata alone: codec,

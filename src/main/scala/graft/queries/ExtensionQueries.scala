@@ -2577,6 +2577,58 @@ object ExtensionQueries {
           |FROM seg GROUP BY doc_id, seg_idx
           |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // FRAGMENTED mp4 (fMP4 — DASH/CMAF/live capture, the other half of
+    // real web video): moov carries EMPTY sample tables + mvex/trex and
+    // every sample lives in per-fragment moof/traf/trun boxes with their
+    // own mdats. mp4SampleTable consumes it UNCHANGED — the parser folds
+    // each trun into a synthesized chunk — so this gate is x85 over the
+    // fragmented fixture: per-sample durations/sizes from the video
+    // trun, keyframes from first_sample_flags against a non-sync tfhd
+    // default (sync = each fragment's first sample), every 3rd doc using
+    // explicit base_data_offset instead of default-base-is-moof.
+    // Offsets are compared RELATIVE to each sample's own fragment
+    // payload (byte_offset − the fragment's first video offset): each
+    // fragment's absolute position depends on box sizes the oracle
+    // cannot reasonably recompute, while the relative form still proves
+    // the trun expansion. Absolute offsets are pinned byte-for-byte
+    // against writer ground truth in Round14OpsSpec.
+    "x88_fmp4_meta" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.operators.Multimodal.mp4SampleTable(
+            s, graft.operators.Multimodal.synthesizeFmp4(
+              s, t(s, dir, "documents")))
+          .select(col("doc_id"), col("sample_idx"), col("codec"),
+            col("width"), col("height"), col("n_samples"), col("n_bytes"),
+            col("chunk_idx").as("frag_idx"),
+            (col("byte_offset") - min(col("byte_offset")).over(
+              Window.partitionBy(col("doc_id"), col("chunk_idx"))))
+              .as("rel_offset"),
+            col("dts"), col("is_sync"))
+          .orderBy("doc_id", "sample_idx")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
+          |    unnest(range(0, doc_id % 7 + 3)) AS i
+          |  FROM documents)
+          |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+          |  'avc1' AS codec,
+          |  CAST((doc_id % 5 + 2) * 16 AS INT) AS width,
+          |  CAST((doc_id % 4 + 2) * 16 AS INT) AS height,
+          |  CAST(n AS INT) AS n_samples,
+          |  CAST((doc_id + i) % 50 + 20 AS BIGINT) AS n_bytes,
+          |  CAST(i // 2 AS INT) AS frag_idx,
+          |  -- 2-sample fragments, video written first in each mdat:
+          |  -- the odd sample sits right after its even predecessor
+          |  CAST(CASE WHEN i % 2 = 1 THEN (doc_id + i - 1) % 50 + 20
+          |    ELSE 0 END AS BIGINT) AS rel_offset,
+          |  CAST(CASE WHEN i < n // 2 THEN i * 3000
+          |    ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END
+          |    AS BIGINT) AS dts,
+          |  i % 2 = 0 AS is_sync
+          |FROM s ORDER BY doc_id, sample_idx""".stripMargin)),
+
     // MIS dedup survivors — Luby's maximal independent set with
     // deterministic md5 priorities (Graph.maximalIndependentSet) on the
     // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a

@@ -61,6 +61,131 @@ class Round14OpsSpec extends GraftSparkSpec {
     assert(!st2.exists())
   }
 
+  // the writers' deterministic per-track fill formulas — reproduced as
+  // independent ground truth (same formulas as Round13OpsSpec pins for
+  // the moov writer; the fragmented writer shares them by construction)
+  private def videoFill(seed: Long, sizes: Array[Int]): Array[Array[Byte]] = {
+    var j = 0L
+    sizes.zipWithIndex.map { case (sz, i) =>
+      Array.tabulate(sz) { _ =>
+        val b = ((seed + 7 * i + j) % 256).toByte; j += 1; b }
+    }
+  }
+  private def audioFill(seed: Long, sizes: Array[Int]): Array[Array[Byte]] = {
+    var j = 0L
+    sizes.zipWithIndex.map { case (sz, i) =>
+      Array.tabulate(sz) { _ =>
+        val b = java.lang.Math.floorMod(seed * 5 + 11 * i + j, 256L).toByte
+        j += 1; b }
+    }
+  }
+
+  test("fmp4: moof/traf/trun absolute offsets match writer ground truth") {
+    import graft.operators.Multimodal
+    for (explicitBase <- Seq(false, true)) {
+      val vSizes = Array(20, 21, 22, 23, 24)
+      val vDurs = Array(3000, 3000, 3600, 3600, 3600)
+      val aSizes = Array(10, 11, 12)
+      val bytes = Multimodal.mp4FragmentedBytes(32, 48, vSizes, vDurs,
+        seed = 9L, samplesPerFragment = 2, audioSizes = aSizes,
+        explicitBase = explicitBase)
+      val m = Multimodal.parseMp4(bytes)
+      assert(m.tracks.length == 2)
+      // audio trak written FIRST in moov — selection still goes by hdlr
+      assert(m.tracks(0).handler == "soun" && m.tracks(0).codec == "mp4a")
+      val v = m.video
+      assert(v.codec == "avc1" && v.width == 32 && v.height == 48)
+      // first sample of each 2-sample fragment is the keyframe
+      // (first_sample_flags vs the non-sync tfhd default)
+      assert(v.syncs.toSeq == Seq(1, 3, 5))
+      // each trun synthesizes one chunk: 2,2,1 samples
+      val co = Multimodal.sampleChunkOffsets(v)
+      assert(co.map(_._1).toSeq == Seq(0, 0, 1, 1, 2))
+      // stts re-assembled from per-sample trun durations
+      assert(v.sttsRuns.toSeq == Seq((2L, 3000L), (3L, 3600L)))
+      // ABSOLUTE offsets read back the writer's exact payload bytes
+      val vExp = videoFill(9L, vSizes)
+      co.zipWithIndex.foreach { case ((_, off), j) =>
+        assert(bytes.slice(off.toInt, off.toInt + vSizes(j)).toSeq ==
+          vExp(j).toSeq,
+          s"video sample $j at offset $off (explicitBase=$explicitBase)")
+      }
+      // audio: duration + sync resolve through trex (no trun fields)
+      val a = m.tracks(0)
+      assert(a.syncs.isEmpty && a.timescale == 48000L)
+      assert(a.sttsRuns.toSeq == Seq((3L, 1024L)))
+      val ao = Multimodal.sampleChunkOffsets(a)
+      val aExp = audioFill(9L, aSizes)
+      ao.zipWithIndex.foreach { case ((ci, off), i) =>
+        assert(ci == i)
+        assert(bytes.slice(off.toInt, off.toInt + aSizes(i)).toSeq ==
+          aExp(i).toSeq,
+          s"audio sample $i at offset $off (explicitBase=$explicitBase)")
+      }
+      // the audio sample shares its fragment's mdat with the video
+      // samples: it starts right after them
+      assert(ao(0)._2 == co(0)._2 + vSizes(0) + vSizes(1))
+    }
+  }
+
+  test("fmp4: more audio fragments than video fragments still map") {
+    import graft.operators.Multimodal
+    // 1 video fragment, 4 audio fragments — trailing moofs carry audio
+    // trafs only
+    val bytes = Multimodal.mp4FragmentedBytes(16, 16, Array(20, 21),
+      Array(3000, 3000), seed = 4L, samplesPerFragment = 2,
+      audioSizes = Array(10, 11, 12, 13))
+    val m = Multimodal.parseMp4(bytes)
+    assert(m.video.sizes.length == 2)
+    val a = m.tracks(0)
+    assert(a.sizes.toSeq == Seq(10L, 11L, 12L, 13L))
+    val aExp = audioFill(4L, Array(10, 11, 12, 13))
+    Multimodal.sampleChunkOffsets(a).zipWithIndex.foreach {
+      case ((_, off), i) =>
+        assert(bytes.slice(off.toInt, off.toInt + aExp(i).length).toSeq ==
+          aExp(i).toSeq, s"audio sample $i")
+    }
+  }
+
+  test("fmp4: a corrupted tfdt fails loudly (timeline continuity)") {
+    import graft.operators.Multimodal
+    val bytes = Multimodal.mp4FragmentedBytes(16, 16, Array(20, 21, 22, 23),
+      Array(3000, 3000, 3000, 3000), seed = 7L, samplesPerFragment = 2)
+    assert(Multimodal.parseMp4(bytes).video.sizes.length == 4)
+    // video-only file: the 2nd tfdt is fragment 1's video traf; bump
+    // its declared baseMediaDecodeTime by one tick
+    val marker = "tfdt".getBytes("US-ASCII").toSeq
+    val first = bytes.toSeq.indexOfSlice(marker)
+    val second = bytes.toSeq.indexOfSlice(marker, first + 4)
+    assert(second > first && first >= 0)
+    val mutated = bytes.clone()
+    // u64 payload sits at marker + 4 (fourcc) + 4 (version/flags)
+    val bb = java.nio.ByteBuffer.wrap(mutated)
+    val old = bb.getLong(second + 8)
+    bb.putLong(second + 8, old + 1)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(mutated)
+    }
+    assert(ex.getMessage.contains("tfdt"))
+  }
+
+  test("fmp4: mp4SampleTable consumes fragmented files unchanged") {
+    import graft.operators.Multimodal
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
+    val st = Multimodal.mp4SampleTable(spark,
+      Multimodal.synthesizeFmp4(spark, docs))
+      .collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val i = r.getAs[Int]("sample_idx")
+      assert(r.getAs[Long]("n_bytes") == (id + i) % 50 + 20)
+      assert(r.getAs[Int]("chunk_idx") == i / 2)
+      assert(r.getAs[Boolean]("is_sync") == (i % 2 == 0))
+    }
+  }
+
   test("mp4: absent stss means EVERY sample is sync (ISO 14496-12 §8.6.2)") {
     import graft.operators.Multimodal
     import spark.implicits._
