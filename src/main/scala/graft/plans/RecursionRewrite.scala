@@ -41,8 +41,11 @@ import org.apache.spark.sql.graft.Shims
   * i.e. after optimization: `Project` over an Inner `Join` of a static
   * subplan (no UnionLoopRef inside, all expressions deterministic) with
   * the loop's own `UnionLoopRef` (non-accumulated), whose condition is
-  * `refKey = h(static)`, and whose projection has exactly one column
-  * sourced purely from the static side (the NEW key) with every other
+  * `refKey = h(static)` — or an AND of such equalities over distinct
+  * ref attributes (the COMPOSITE key of the multi-tenant shape, e.g.
+  * `r.tenant = s.tenant AND r.node = h(s)`: the key tuple is the
+  * pointer) — and whose projection has each key-tuple column sourced
+  * purely from the static side (the NEW key) with every other
   * column at the SAME position being one of the three PATH MONOIDS —
   * `refCol + e(static)` (`Add`), `greatest(refCol, e(static)...)`, or
   * `least(refCol, e(static)...)` — or a plain carry-through. The
@@ -132,30 +135,49 @@ object RecursionDoubling extends Rule[LogicalPlan] {
     val refOut = ref.output // positionally aligned with loop.output
     val refSet = AttributeSet(refOut)
 
-    val (refKeyAttr, parentKey) = join.condition.get match {
-      case EqualTo(a: Attribute, e)
-          if refSet.contains(a) && e.references.subsetOf(staticOut) =>
-        (a, e)
-      case EqualTo(e, a: Attribute)
-          if refSet.contains(a) && e.references.subsetOf(staticOut) =>
-        (a, e)
-      case _ => return None
+    // the join key may be COMPOSITE (the multi-tenant shape: ON
+    // r.tenant = s.tenant AND r.node = h(s)) — accept any conjunction
+    // of `refAttr = staticExpr` equalities over DISTINCT ref attributes
+    // and treat the key tuple as the pointer
+    def splitConj(e: Expression): Seq[Expression] = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.And =>
+        splitConj(a.left) ++ splitConj(a.right)
+      case other => Seq(other)
     }
-    val keyPos = refOut.indexWhere(_.exprId == refKeyAttr.exprId)
-    if (keyPos < 0 || projList.length != refOut.length) return None
-    // any unwrapped isnotnull must be on the join key itself — a
+    val keyEqs: Seq[(Attribute, Expression)] =
+      splitConj(join.condition.get).map {
+        case EqualTo(a: Attribute, e)
+            if refSet.contains(a) && e.references.subsetOf(staticOut) =>
+          (a, e)
+        case EqualTo(e, a: Attribute)
+            if refSet.contains(a) && e.references.subsetOf(staticOut) =>
+          (a, e)
+        case _ => return None
+      }
+    if (keyEqs.isEmpty ||
+      keyEqs.map(_._1.exprId).distinct.length != keyEqs.length)
+      return None
+    val keyPos = keyEqs.map { case (a, _) =>
+      refOut.indexWhere(_.exprId == a.exprId)
+    }
+    if (keyPos.exists(_ < 0) || projList.length != refOut.length)
+      return None
+    val keyPosOf = keyEqs.map(_._1.exprId).zip(keyPos).toMap
+    // any unwrapped isnotnull must be on a join-key component — a
     // not-null constraint on a non-key recursive column is a real
     // filter, not the inferred artifact
-    if (nnAttrs.exists(_.exprId != refKeyAttr.exprId)) return None
+    if (nnAttrs.exists(nn => !keyPosOf.contains(nn.exprId))) return None
 
-    var childKey: Expression = null
+    val childKeyAt =
+      scala.collection.mutable.Map[Int, Expression]()
     val deltas = Seq.newBuilder[(Int, Expression, String)]
     val carries = Seq.newBuilder[Int]
+    val keySet = keyPos.toSet
     projList.zipWithIndex.foreach { case (ne, i) =>
       val e = unalias(ne)
-      if (i == keyPos) {
+      if (keySet(i)) {
         if (!e.references.subsetOf(staticOut)) return None
-        childKey = e
+        childKeyAt(i) = e
       } else {
         val refAttr = refOut(i)
         // greatest/least are variadic: match when EXACTLY one child is
@@ -194,8 +216,11 @@ object RecursionDoubling extends Rule[LogicalPlan] {
         }
       }
     }
-    if (childKey == null || !childKey.deterministic ||
-      !parentKey.deterministic) return None
+    // child/parent key components aligned in keyPos order
+    val childKey = keyPos.map(p => childKeyAt.getOrElse(p, return None))
+    val parentKey = keyEqs.map(_._2)
+    if (childKey.exists(!_.deterministic) ||
+      parentKey.exists(!_.deterministic)) return None
     Some(HierarchyDoublingPlan(
       loop.output, loop.anchor, static, keyPos, childKey, parentKey,
       deltas.result(), carries.result()))
@@ -211,9 +236,10 @@ case class HierarchyDoublingPlan(
     loopOutput: Seq[Attribute],
     anchor: LogicalPlan,
     static: LogicalPlan,
-    keyPos: Int,
-    childKey: Expression,
-    parentKey: Expression,
+    keyPos: Seq[Int], // projection positions of the key tuple, in
+                      // join-condition order (1 entry = simple key)
+    childKey: Seq[Expression], // static-side new-key exprs, keyPos-aligned
+    parentKey: Seq[Expression], // static-side pointer exprs, keyPos-aligned
     deltas: Seq[(Int, Expression, String)], // (position, per-hop expr, add|greatest|least)
     carries: Seq[Int]) extends LeafNode {
   override def output: Seq[Attribute] = loopOutput
@@ -256,28 +282,40 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
   override protected def doExecute(): RDD[InternalRow] = {
     val spark = session
     val sconf = spark.sessionState.conf
-    val levelLimit = sconf
-      .getConfString("spark.sql.cteRecursionLevelLimit", "100").toInt
-    val rowLimit = sconf
-      .getConfString("spark.sql.cteRecursionRowLimit", "1000000").toLong
+    // the REAL SQLConf entries — defaults come from Spark, not
+    // duplicated literals that could drift across versions
+    val levelLimit = sconf.getConf(
+      org.apache.spark.sql.internal.SQLConf.CTE_RECURSION_LEVEL_LIMIT)
+    val rowLimit = sconf.getConf(
+      org.apache.spark.sql.internal.SQLConf.CTE_RECURSION_ROW_LIMIT).toLong
     val idx = plan.loopOutput.indices
-    val keyPos = plan.keyPos
+    val nk = plan.keyPos.length
+    val nodeCols = (0 until nk).map(j => s"_gr_node$j")
 
     val anchorDf = Shims.ofRows(spark, plan.anchor)
       .toDF(idx.map(i => s"_gr_a$i"): _*).localCheckpoint()
     val staticDf = Shims.ofRows(spark, plan.static)
-    // parents relation: (child node, parent pointer, per-hop deltas)
+    // parents relation: (child node tuple, parent pointer tuple,
+    // per-hop deltas) — one column per key component, joined on the
+    // CONJUNCTION of component equalities so null components keep
+    // their no-match equi-join semantics (a packed struct would
+    // compare nulls as equal)
     val p = staticDf.select(
-        Shims.column(plan.childKey).as("_gr_node") +:
-        Shims.column(plan.parentKey).as("_gr_anc") +:
-        plan.deltas.map { case (i, e, _) => Shims.column(e).as(s"_gr_d$i") }: _*)
+        (0 until nk).map(j =>
+          Shims.column(plan.childKey(j)).as(s"_gr_node$j")) ++
+        (0 until nk).map(j =>
+          Shims.column(plan.parentKey(j)).as(s"_gr_anc$j")) ++
+        plan.deltas.map { case (i, e, _) =>
+          Shims.column(e).as(s"_gr_d$i") }: _*)
       .localCheckpoint()
 
-    val hasDupChild = !p.groupBy("_gr_node").agg(count(lit(1)).as("_gr_c"))
+    val hasDupChild = !p.groupBy(nodeCols.map(col): _*)
+      .agg(count(lit(1)).as("_gr_c"))
       .filter(col("_gr_c") > 1).isEmpty
     val anchorAsChild = !p.join(
-      anchorDf.select(col(s"_gr_a$keyPos").as("_gr_node")),
-      Seq("_gr_node"), "left_semi").isEmpty
+      anchorDf.select(plan.keyPos.zipWithIndex.map { case (kp, j) =>
+        col(s"_gr_a$kp").as(s"_gr_node$j") }: _*),
+      nodeCols, "left_semi").isEmpty
 
     val result: DataFrame =
       if (hasDupChild || anchorAsChild) levelIterate(
@@ -293,7 +331,7 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
   private def doubling(anchorDf: DataFrame, p: DataFrame,
                        levelLimit: Int, rowLimit: Long): DataFrame = {
     val idx = plan.loopOutput.indices
-    val keyPos = plan.keyPos
+    val nk = plan.keyPos.length
     var f = p.withColumn("_gr_hop", lit(1L)).localCheckpoint()
     val total = f.count()
     val maxRounds =
@@ -302,18 +340,25 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
     var round = 0
     while (moved > 0 && round < maxRounds) {
       val b = f.select(
-        col("_gr_node").as("_gr_bn") +: col("_gr_anc").as("_gr_ba") +:
-        col("_gr_hop").as("_gr_bh") +:
+        (0 until nk).map(j => col(s"_gr_node$j").as(s"_gr_bn$j")) ++
+        (0 until nk).map(j => col(s"_gr_anc$j").as(s"_gr_ba$j")) ++
+        Seq(col("_gr_hop").as("_gr_bh")) ++
         plan.deltas.map { case (i, _, _) =>
           col(s"_gr_d$i").as(s"_gr_bd$i") }: _*)
-      val adv = col("_gr_bn").isNotNull
-      val f2 = f.join(b, col("_gr_anc") === col("_gr_bn"), "left")
+      // hop is non-null on every real row: null = the left join missed
+      val adv = col("_gr_bh").isNotNull
+      val ptrEq = (0 until nk)
+        .map(j => col(s"_gr_anc$j") === col(s"_gr_bn$j")).reduce(_ && _)
+      val f2 = f.join(b, ptrEq, "left")
         .select(
-          col("_gr_node") +:
-          when(adv, col("_gr_ba")).otherwise(col("_gr_anc")).as("_gr_anc") +:
-          when(adv, col("_gr_hop") + col("_gr_bh"))
-            .otherwise(col("_gr_hop")).as("_gr_hop") +:
-          adv.cast("long").as("_gr_moved") +:
+          (0 until nk).map(j => col(s"_gr_node$j")) ++
+          (0 until nk).map(j =>
+            when(adv, col(s"_gr_ba$j")).otherwise(col(s"_gr_anc$j"))
+              .as(s"_gr_anc$j")) ++
+          Seq(
+            when(adv, col("_gr_hop") + col("_gr_bh"))
+              .otherwise(col("_gr_hop")).as("_gr_hop"),
+            adv.cast("long").as("_gr_moved")) ++
           plan.deltas.map { case (i, _, k) =>
             when(adv, comb(k)(col(s"_gr_d$i"), col(s"_gr_bd$i")))
               .otherwise(col(s"_gr_d$i")).as(s"_gr_d$i") }: _*)
@@ -324,14 +369,19 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
       round += 1
     }
     // descendants = nodes whose frozen pointer landed on an anchor key
-    val joined = f.join(
-      anchorDf, col("_gr_anc") === col(s"_gr_a$keyPos")).localCheckpoint()
+    val anchorEq = plan.keyPos.zipWithIndex.map { case (kp, j) =>
+      col(s"_gr_anc$j") === col(s"_gr_a$kp") }.reduce(_ && _)
+    val joined = f.join(anchorDf, anchorEq).localCheckpoint()
     val stats = joined
       .agg(count(lit(1)), coalesce(max(col("_gr_hop")), lit(0L))).head()
     val derivedRows = stats.getLong(0)
-    if (stats.getLong(1) > levelLimit)
+    // boundary matches UnionLoop and levelIterate exactly: both throw
+    // upon ENTERING level levelLimit+1 while the frontier is non-empty,
+    // i.e. the moment any row sits at depth == levelLimit — so a
+    // hierarchy the original rejects is rejected here too
+    if (stats.getLong(1) >= levelLimit)
       throw new SparkException("graft recursion doubling: hierarchy depth " +
-        s"${stats.getLong(1)} exceeds spark.sql.cteRecursionLevelLimit=" +
+        s"${stats.getLong(1)} reaches spark.sql.cteRecursionLevelLimit=" +
         s"$levelLimit (the UnionLoop form would have failed here too)")
     val anchorRows = anchorDf.count()
     if (anchorRows + derivedRows > rowLimit)
@@ -340,8 +390,9 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
         s"spark.sql.cteRecursionRowLimit=$rowLimit")
     val carrySet = plan.carries.toSet
     val kindOf = plan.deltas.map { case (i, _, k) => i -> k }.toMap
+    val keyCompOf = plan.keyPos.zipWithIndex.toMap
     val outCols = idx.map { i =>
-      if (i == keyPos) col("_gr_node")
+      if (keyCompOf.contains(i)) col(s"_gr_node${keyCompOf(i)}")
       else if (carrySet(i)) col(s"_gr_a$i") // constant along the path
       else comb(kindOf(i))(col(s"_gr_a$i"), col(s"_gr_d$i")).as(s"_gr_o$i")
     }
@@ -356,8 +407,8 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
   private def levelIterate(anchorDf: DataFrame, staticDf: DataFrame,
                            levelLimit: Int, rowLimit: Long): DataFrame = {
     val idx = plan.loopOutput.indices
-    val keyPos = plan.keyPos
     val deltaOf = plan.deltas.map { case (i, e, k) => i -> ((e, k)) }.toMap
+    val keyCompOf = plan.keyPos.zipWithIndex.toMap
     var frontier = anchorDf
       .toDF(idx.map(i => s"_gr_c$i"): _*).localCheckpoint()
     var total = frontier.count()
@@ -369,11 +420,14 @@ case class HierarchyDoublingExec(loopOutput: Seq[Attribute],
       if (level > levelLimit)
         throw new SparkException("graft recursion fallback: exceeded " +
           s"spark.sql.cteRecursionLevelLimit=$levelLimit")
+      val joinCond = plan.keyPos.zipWithIndex.map { case (kp, j) =>
+        Shims.column(plan.parentKey(j)) === col(s"_gr_c$kp")
+      }.reduce(_ && _)
       val next = staticDf
-        .join(frontier,
-          Shims.column(plan.parentKey) === col(s"_gr_c$keyPos"))
+        .join(frontier, joinCond)
         .select(idx.map { i =>
-          if (i == keyPos) Shims.column(plan.childKey).as(s"_gr_c$i")
+          if (keyCompOf.contains(i))
+            Shims.column(plan.childKey(keyCompOf(i))).as(s"_gr_c$i")
           else deltaOf.get(i) match {
             case Some((d, k)) =>
               comb(k)(col(s"_gr_c$i"), Shims.column(d)).as(s"_gr_c$i")

@@ -2386,6 +2386,56 @@ object RelationalQueries {
              |  WHERE n.node > 0)
              |SELECT node, max_cents, min_cents,
              |  CAST(depth AS BIGINT) AS depth FROM r
-             |ORDER BY node""".stripMargin))
+             |ORDER BY node""".stripMargin)),
+
+    // COMPOSITE-key recursion — the multi-tenant hierarchy shape: the
+    // same binary forest per tenant, keyed (tenant, node), the recursive
+    // join an AND of two equalities. r14's RecursionDoubling extension
+    // treats the key tuple as the pointer (one _gr_node/_gr_anc column
+    // per component, joined on the conjunction so null components keep
+    // equi-join semantics), so this executes through HierarchyDoubling
+    // (spec plan-pinned) while DuckDB runs the raw recursion — the
+    // composite path is oracle-checked every round. Tenants must not
+    // cross: each (tenant, node) path_sum is the within-tenant sum.
+    "q76_recursive_composite" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "part").createOrReplaceTempView("q76_part")
+        s.sql("""WITH RECURSIVE nodes AS (
+                |  SELECT DISTINCT CAST(p_partkey % 4 AS BIGINT) AS tenant,
+                |    CAST(floor(p_partkey / 4) AS BIGINT) % 32 AS node
+                |  FROM q76_part),
+                |r AS (
+                |  SELECT tenant, node, CAST(0 AS BIGINT) AS depth,
+                |    node AS path_sum
+                |  FROM nodes WHERE node = 0
+                |  UNION ALL
+                |  SELECT n.tenant, n.node, r.depth + 1,
+                |    r.path_sum + n.node
+                |  FROM nodes n JOIN r
+                |    ON r.tenant = n.tenant
+                |    AND r.node = CAST(floor(n.node / 2) AS BIGINT)
+                |  WHERE n.node > 0)
+                |SELECT tenant, node, depth, path_sum FROM r
+                |ORDER BY tenant, node""".stripMargin)
+      },
+      Some("""WITH RECURSIVE nodes AS (
+             |  SELECT DISTINCT CAST(p_partkey % 4 AS BIGINT) AS tenant,
+             |    CAST(floor(p_partkey / 4) AS BIGINT) % 32 AS node
+             |  FROM part),
+             |r AS (
+             |  SELECT tenant, node, CAST(0 AS BIGINT) AS depth,
+             |    node AS path_sum
+             |  FROM nodes WHERE node = 0
+             |  UNION ALL
+             |  SELECT n.tenant, n.node, r.depth + 1,
+             |    r.path_sum + n.node
+             |  FROM nodes n JOIN r
+             |    ON r.tenant = n.tenant
+             |    AND r.node = CAST(floor(n.node / 2) AS BIGINT)
+             |  WHERE n.node > 0)
+             |SELECT tenant, node, CAST(depth AS BIGINT) AS depth,
+             |  CAST(path_sum AS BIGINT) AS path_sum FROM r
+             |ORDER BY tenant, node""".stripMargin))
   )
 }

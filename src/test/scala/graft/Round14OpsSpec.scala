@@ -186,6 +186,110 @@ class Round14OpsSpec extends GraftSparkSpec {
     }
   }
 
+  test("RecursionDoubling: composite (tenant, node) keys plan as HierarchyDoubling") {
+    import org.apache.spark.sql.functions._
+    // two tenants, each a 32-node binary forest — the multi-tenant
+    // hierarchy shape keyed on (tenant_id, node)
+    spark.range(64).select((col("id") % 2).as("tenant"),
+        (col("id") / 2).cast("long").as("node"))
+      .createOrReplaceTempView("r14_tn")
+    val sql = """WITH RECURSIVE r AS (
+                |  SELECT tenant, node, CAST(0 AS BIGINT) AS depth,
+                |    node AS path_sum
+                |  FROM r14_tn WHERE node = 0
+                |  UNION ALL
+                |  SELECT n.tenant, n.node, r.depth + 1,
+                |    r.path_sum + n.node
+                |  FROM r14_tn n JOIN r
+                |    ON r.tenant = n.tenant
+                |    AND r.node = CAST(floor(n.node / 2) AS BIGINT)
+                |  WHERE n.node > 0)
+                |SELECT tenant, node, depth, path_sum FROM r
+                |ORDER BY tenant, node""".stripMargin
+    val on = spark.sql(sql)
+    assert(on.queryExecution.executedPlan.toString
+      .contains("HierarchyDoubling"),
+      s"composite key did not match:\n${on.queryExecution.optimizedPlan}")
+    val onRows = on.collect().map(_.toSeq).toSeq
+    assert(onRows.length == 64)
+    spark.conf.set("spark.graft.recursionDoubling.enabled", "false")
+    try {
+      val off = spark.sql(sql)
+      assert(!off.queryExecution.executedPlan.toString
+        .contains("HierarchyDoubling"))
+      assert(off.collect().map(_.toSeq).toSeq == onRows,
+        "composite-key doubling diverged from the UnionLoop rows")
+    } finally spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
+    // the tenants do NOT cross: every node's path_sum is the
+    // within-tenant root-to-node sum
+    assert(onRows.forall(r => r(3).asInstanceOf[Long] ==
+      Iterator.iterate(r(1).asInstanceOf[Long])(_ / 2)
+        .takeWhile(_ > 0).sum))
+  }
+
+  test("RecursionDoubling: composite keys with DAG multiplicity still fall back") {
+    import spark.implicits._
+    // same (tenant, child) reachable via two parents in tenant 0
+    Seq((0L, 1L, 0L), (0L, 2L, 0L), (0L, 2L, 1L), (1L, 1L, 0L))
+      .toDF("tenant", "child", "parent")
+      .createOrReplaceTempView("r14_te")
+    val sql = """WITH RECURSIVE r AS (
+                |  SELECT CAST(0 AS BIGINT) AS tenant,
+                |    CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+                |  UNION ALL
+                |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                |    CAST(0 AS BIGINT)
+                |  UNION ALL
+                |  SELECT e.tenant, e.child, r.depth + 1
+                |  FROM r14_te e JOIN r
+                |    ON r.tenant = e.tenant AND r.node = e.parent)
+                |SELECT tenant, node, depth FROM r
+                |ORDER BY tenant, node, depth""".stripMargin
+    val on = spark.sql(sql).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.recursionDoubling.enabled", "false")
+    try {
+      val off = spark.sql(sql).collect().map(_.toSeq).toSeq
+      assert(on == off, s"composite fallback diverged: $on vs $off")
+      // (0, 2) reached via 0 (depth 1) and via 1 (depth 2)
+      assert(on.count(r => r(0) == 0L && r(1) == 2L) == 2)
+    } finally spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
+  }
+
+  test("RecursionDoubling: level-limit boundary matches UnionLoop exactly") {
+    import org.apache.spark.sql.functions._
+    // 0 -> 1 -> 2 -> 3: rows at depths 0..3
+    spark.range(4).select(col("id").as("node"))
+      .createOrReplaceTempView("r14_chain")
+    val sql = """WITH RECURSIVE r AS (
+                |  SELECT node, CAST(0 AS BIGINT) AS depth
+                |  FROM r14_chain WHERE node = 0
+                |  UNION ALL
+                |  SELECT n.node, r.depth + 1
+                |  FROM r14_chain n JOIN r ON r.node = n.node - 1
+                |  WHERE n.node > 0)
+                |SELECT node, depth FROM r ORDER BY node""".stripMargin
+    def runWith(limit: Int, doubling: Boolean): Either[Throwable, Int] = {
+      spark.conf.set("spark.sql.cteRecursionLevelLimit", limit.toString)
+      spark.conf.set("spark.graft.recursionDoubling.enabled",
+        doubling.toString)
+      try Right(spark.sql(sql).collect().length)
+      catch { case t: Throwable => Left(t) }
+      finally {
+        spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+        spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
+      }
+    }
+    // depth == levelLimit: BOTH paths reject (UnionLoop throws upon
+    // entering level limit+1 while the frontier is non-empty)
+    assert(runWith(3, doubling = false).isLeft,
+      "vanilla UnionLoop accepted depth == levelLimit")
+    assert(runWith(3, doubling = true).isLeft,
+      "doubling accepted a hierarchy the UnionLoop form rejects")
+    // one above: both complete with the full 4 rows
+    assert(runWith(4, doubling = false) == Right(4))
+    assert(runWith(4, doubling = true) == Right(4))
+  }
+
   test("mp4: absent stss means EVERY sample is sync (ISO 14496-12 §8.6.2)") {
     import graft.operators.Multimodal
     import spark.implicits._
