@@ -209,6 +209,17 @@ object GraftCli {
           println(s"[graft] prepare-run wave $waveIdStr $st: $c") }
       spark.stop()
 
+    // fold committed wave=N dirs into a fresh wave=0 base per table
+    // (the small-file maintenance pass, under the marker protocol)
+    case "prepare-run-compact" :: outDir :: rest =>
+      val spark = session()
+      val target = rest.headOption.map(_.toLong)
+        .getOrElse(128L * 1024 * 1024)
+      operators.PrepareRun.compactRun(spark, outDir, target)
+        .foreach { case (t, (b, a)) =>
+          println(s"[graft] prepare-run-compact $t: $b -> $a files") }
+      spark.stop()
+
     // per-ingest-wave delta dedup: report near-dups of the new batch
     // against the standing corpus (cross pairs only)
     case "dedup-delta" :: corpusParquet :: batchParquet :: outDir :: rest =>
@@ -777,6 +788,7 @@ object GraftCli {
            |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]
            |  prepare-run <documentsParquet> <benchParquet> <outDir> [minTokens] [jaccardThreshold] [capacity] [valPct]
            |  prepare-run-wave <waveParquet> <outDir> <waveId>
+           |  prepare-run-compact <outDir> [targetBytes]
            |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]
            |  decontaminate <trainParquet> <benchParquet> <outDir> [nGram] [bloom]
            |  zorder-write <inParquet> <outDir> <colA> <colB> [partitions]

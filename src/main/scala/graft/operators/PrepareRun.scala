@@ -75,6 +75,13 @@ object PrepareRun {
                             stage: String): Option[(String, Map[String, Long])] = {
     val p = new Path(s"$outDir/_stage_$stage")
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a marker REWRITE (the compacted marker grows per compaction)
+    // commits via two renames; a crash between them leaves only
+    // `.old` — roll BACK to it (the old marker still guards correctly;
+    // the interrupted rewrite re-runs)
+    val old = new Path(s"$outDir/_stage_$stage.old")
+    if (!fsys.exists(p) && fsys.exists(old))
+      require(fsys.rename(old, p), s"marker recovery failed for $stage")
     if (!fsys.exists(p)) None
     else {
       val in = fsys.open(p)
@@ -104,6 +111,59 @@ object PrepareRun {
     }
   }
 
+  /** Lists committed wave ids from `_stage_wave_<id>` marker files. */
+  private def waveMarkerIds(spark: SparkSession, outDir: String): Seq[Int] = {
+    val dir = new Path(outDir)
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(dir)) Seq.empty
+    else fsys.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("_stage_wave_"))
+      .map(_.stripPrefix("_stage_wave_").toInt).toSeq.sorted
+  }
+
+  /** A BASE-stage recompute invalidates every wave built on top of it:
+    * the overwrite wipes the `wave=N` partitions while their markers
+    * survive, so a later `runWave(N)` with matching params would be an
+    * idempotent no-op serving counts for data that no longer exists.
+    * Delete the wave markers FIRST (forcing waves to replay), then —
+    * for a docs-stage recompute, which invalidates the wave DATA too —
+    * the `wave!=0` partition dirs and the wave manifest. A spans-only
+    * (capacity) recompute keeps the wave docs-level outputs on disk:
+    * they are byte-identical under replay, and replay's own
+    * delete-then-recompute handles them.
+    */
+  private def invalidateWaves(spark: SparkSession, outDir: String,
+                              deleteData: Boolean): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    waveMarkerIds(spark, outDir).foreach { id =>
+      val p = new Path(s"$outDir/_stage_wave_$id")
+      p.getFileSystem(hconf).delete(p, false)
+    }
+    if (deleteData) {
+      // the compacted-waves marker certifies docs-level identity of
+      // FOLDED waves — only a docs-front recompute invalidates it (a
+      // spans-only recompute keeps folded docs valid inside wave=0)
+      val cm = new Path(s"$outDir/_stage_compacted")
+      if (cm.getFileSystem(hconf).exists(cm))
+        cm.getFileSystem(hconf).delete(cm, false)
+      Seq("train_docs", "val_docs", "train_spans", "dedup_index")
+        .foreach { t =>
+          val tp = new Path(s"$outDir/$t")
+          val fsys = tp.getFileSystem(hconf)
+          if (fsys.exists(tp)) {
+            fsys.listStatus(tp).map(_.getPath)
+              .filter(p => p.getName.startsWith("wave=") &&
+                p.getName != "wave=0")
+              .foreach(fsys.delete(_, true))
+          }
+        }
+      val wm = new Path(s"$outDir/wave_manifest")
+      if (wm.getFileSystem(hconf).exists(wm))
+        wm.getFileSystem(hconf).delete(wm, true)
+      spark.catalog.refreshByPath(outDir)
+    }
+  }
+
   private def writeMarker(spark: SparkSession, outDir: String, stage: String,
                           params: String, counts: Seq[(String, Long)]): Unit = {
     val p = new Path(s"$outDir/_stage_$stage")
@@ -114,7 +174,17 @@ object PrepareRun {
         counts.map { case (k, v) => s"$k=$v" })
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    // rewriting an existing marker: stage it to .old first (rename onto
+    // an existing path fails on HDFS and local alike); readMarkerRaw
+    // rolls back from .old if the commit rename never happens
+    val old = new Path(s"$outDir/_stage_$stage.old")
+    if (fsys.exists(p)) {
+      if (fsys.exists(old)) fsys.delete(old, false)
+      require(fsys.rename(p, old), s"marker stage failed for $stage")
+    }
     require(fsys.rename(tmp, p), s"marker commit failed for stage $stage")
+    if (fsys.exists(old)) fsys.delete(old, false)
+    ()
   }
 
   def run(spark: SparkSession, docs: DataFrame, bench: DataFrame,
@@ -127,6 +197,10 @@ object PrepareRun {
     // commits train_docs + val_docs and the front's manifest counts (the
     // expensive half of the pipeline — the half resume must never redo)
     val frontCounts = readMarker(spark, outDir, "docs", fpDocs).getOrElse {
+      // recomputing the front invalidates every committed wave (the
+      // overwrite below wipes their partitions) — clear their markers
+      // and data so they replay instead of serving ghost counts
+      invalidateWaves(spark, outDir, deleteData = true)
       val q = docs.filter(Pack.tokenCount(col("text")) >= minTokens)
       // surv feeds BOTH the decontamination build and its manifest count;
       // clean feeds the split writes and its count — left lazy, each extra
@@ -185,8 +259,18 @@ object PrepareRun {
     // Its fingerprint includes `capacity`, which the docs stage ignores:
     // a capacity-only change redoes ONLY this stage
     if (readMarker(spark, outDir, "spans", fpSpans).isEmpty) {
+      // a spans-only recompute (capacity change) wipes every wave's
+      // span partitions too — wave markers must go so waves replay
+      // (their docs-level outputs are byte-identical under replay)
+      invalidateWaves(spark, outDir, deleteData = false)
+      // pack the BASE partition only (wave=0 — which, after a
+      // compactRun fold, contains every folded wave's docs): unfolded
+      // waves re-pack their own spans on replay with window
+      // continuation, so a capacity change + sequential wave replays
+      // rebuilds the whole spans table without duplicating any doc
       val spans = Pack.packedSpans(
-        spark.read.parquet(s"$outDir/train_docs"),
+        spark.read.parquet(s"$outDir/train_docs")
+          .filter(col("wave") === 0),
         "doc_id", "text", "lang", capacity = capacity)
       spans.withColumn("wave", lit(0))
         .write.mode("overwrite").partitionBy("wave")
@@ -274,6 +358,24 @@ object PrepareRun {
       s"wave:$waveId:$minTokens:$threshold:$valPct:$capacity"
     val stage = s"wave_$waveId"
 
+    // waves folded into wave=0 by compactRun no longer have their own
+    // partition dirs — a replay would APPEND duplicates of docs that
+    // now live in the base partition. The compacted marker makes their
+    // replay an idempotent no-op (counts preserved) under matching
+    // docs params, and a loud error otherwise.
+    readMarkerRaw(spark, outDir, "compacted") match {
+      case Some((cps, ccounts))
+          if waveId <= ccounts.getOrElse("max_wave", 0L) =>
+        val expect = s"compact:$minTokens:$threshold:$valPct"
+        require(cps == expect,
+          s"wave $waveId was folded into the base under params $cps; " +
+            s"it cannot replay under $expect — recompute the base run")
+        return ccounts.collect {
+          case (k, v) if k.startsWith(s"w${waveId}_") =>
+            (k.stripPrefix(s"w${waveId}_"), v)
+        }.toSeq.sortBy(_._1)
+      case _ =>
+    }
     readMarkerRaw(spark, outDir, stage) match {
       case Some((ps, counts)) if ps == waveParams =>
         // committed wave: idempotent replay returns the recorded counts
@@ -378,5 +480,132 @@ object PrepareRun {
       .parquet(s"$outDir/wave_manifest")
     writeMarker(spark, outDir, stage, waveParams, counts)
     counts
+  }
+
+  /** Long-run maintenance: fold every marker-COMMITTED `wave=N`
+    * partition into a fresh `wave=0` base per table — after thousands
+    * of daily waves the tables hit the same small-file wall
+    * `Similarity.compactIndex` solves for ANN indexes, and a naive
+    * flat rewrite would break the wave-dir crash-recovery contract.
+    *
+    * Protocol (per table, the compactIndex swap discipline): the fold
+    * READS the live table and writes the union as `wave=0` into
+    * `<table>.compacting` (bytes-sized file count, doc_id-sorted files
+    * for footer stats), then commits via rename-to-`.old` + rename +
+    * delete. A crash leaves either the original or the folded table
+    * fully live (`.old` recovery on the next run); a crash BETWEEN
+    * tables is safe because data location is semantics-free — every
+    * read path (`priorMax`, `priorWin`, `loadIndex`, manifest counts)
+    * filters on wave RANGES or reads whole tables, and folded rows
+    * keep their values.
+    *
+    * Markers commit LAST: per-wave counts are re-homed from the
+    * `_stage_wave_N` markers into ONE `_stage_compacted` marker
+    * (`w<N>_<stage>=count` rows + `max_wave`, docs-level params
+    * preserved), then the wave markers are deleted. `runWave(N+1)`
+    * works unchanged afterwards; `runWave(k <= max_wave)` becomes an
+    * idempotent no-op serving the preserved counts (replaying a folded
+    * wave would duplicate docs now living in wave=0 — the marker is
+    * the guard). Refuses loudly while ANY wave dir lacks its marker (an
+    * in-flight or crashed wave must replay before its data is folded).
+    *
+    * Returns per-table (filesBefore, filesAfter).
+    */
+  def compactRun(spark: SparkSession, outDir: String,
+                 targetBytes: Long = 128L * 1024 * 1024)
+      : Map[String, (Int, Int)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (docsParamStr, _) = readMarkerRaw(spark, outDir, "docs").getOrElse(
+      throw new IllegalStateException(
+        s"$outDir has no completed base docs stage — nothing to compact"))
+    val dp = docsParamStr.split(":")
+    val compactParams = s"compact:${dp(1)}:${dp(2)}:${dp(3)}"
+
+    val tables = Seq("train_docs", "val_docs", "train_spans", "dedup_index")
+    def parquetFiles(p: Path): Int = {
+      val fsys = p.getFileSystem(hconf)
+      if (!fsys.exists(p)) 0
+      else fsys.listStatus(p).map { s =>
+        if (s.isDirectory) parquetFiles(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+
+    // committed waves (markers) + prior folds; every wave DIR must be
+    // marker-committed before its data may be folded
+    val waveIds = waveMarkerIds(spark, outDir)
+    val prior = readMarkerRaw(spark, outDir, "compacted")
+    prior.foreach { case (ps, _) =>
+      require(ps == compactParams,
+        s"compacted marker params $ps do not match the base " +
+          s"($compactParams) — recompute the base run first")
+    }
+    tables.foreach { t =>
+      val tp = new Path(s"$outDir/$t")
+      val fsys = tp.getFileSystem(hconf)
+      if (fsys.exists(tp)) {
+        fsys.listStatus(tp).map(_.getPath.getName)
+          .filter(n => n.startsWith("wave=") && n != "wave=0")
+          .foreach { n =>
+            val id = n.stripPrefix("wave=").toInt
+            require(waveIds.contains(id),
+              s"$t/$n has no committed _stage_wave_$id marker — " +
+                "replay the wave before compacting")
+          }
+      }
+    }
+    // per-wave counts, re-homed into the compacted marker below
+    val waveCounts = waveIds.flatMap { id =>
+      readMarkerRaw(spark, outDir, s"wave_$id").toSeq.flatMap {
+        case (_, counts) =>
+          counts.map { case (k, v) => (s"w${id}_$k", v) }
+      }
+    }
+
+    val report = tables.flatMap { t =>
+      val cur = new Path(s"$outDir/$t")
+      val fsys = cur.getFileSystem(hconf)
+      // recovery: a prior crash between the two renames leaves only .old
+      val old = new Path(s"$outDir/$t.old")
+      if (!fsys.exists(cur) && fsys.exists(old))
+        require(fsys.rename(old, cur), s"compact recovery failed for $t")
+      if (!fsys.exists(cur)) None
+      else {
+        val before = parquetFiles(cur)
+        val next = new Path(s"$outDir/$t.compacting")
+        if (fsys.exists(next)) fsys.delete(next, true)
+        val bytes = fsys.getContentSummary(cur).getLength
+        val target =
+          math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val df = spark.read.parquet(cur.toString)
+        val sorted = df.drop("wave").withColumn("wave", lit(0))
+          .repartition(target)
+        (if (df.columns.contains("doc_id"))
+           sorted.sortWithinPartitions("doc_id") else sorted)
+          .write.partitionBy("wave").parquet(next.toString)
+        if (fsys.exists(old)) fsys.delete(old, true)
+        require(fsys.rename(cur, old), s"compact swap: cannot stage $t")
+        require(fsys.rename(next, cur), s"compact swap: cannot commit $t")
+        fsys.delete(old, true)
+        Some(t -> ((before, parquetFiles(cur))))
+      }
+    }.toMap
+    spark.catalog.refreshByPath(outDir)
+
+    // markers last: one compacted marker absorbs the wave markers
+    val priorCounts = prior.map(_._2).getOrElse(Map.empty)
+    val maxWave = math.max(
+      priorCounts.getOrElse("max_wave", 0L),
+      waveIds.lastOption.getOrElse(0).toLong)
+    val mergedCounts =
+      (priorCounts - "max_wave") ++ waveCounts.toMap +
+        ("max_wave" -> maxWave)
+    writeMarker(spark, outDir, "compacted", compactParams,
+      mergedCounts.toSeq.sortBy(_._1))
+    waveIds.foreach { id =>
+      val p = new Path(s"$outDir/_stage_wave_$id")
+      p.getFileSystem(hconf).delete(p, false)
+    }
+    report
   }
 }

@@ -290,6 +290,140 @@ class Round14OpsSpec extends GraftSparkSpec {
     assert(runWith(4, doubling = true) == Right(4))
   }
 
+  test("compactRun: folds committed waves, queries identical, waves keep working") {
+    import graft.operators.PrepareRun
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val c1 = docs.filter(col("doc_id") % 4 === 0)
+    val w1 = docs.filter(col("doc_id") % 4 === 1)
+    val w2 = docs.filter(col("doc_id") % 4 === 2)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-compact").toString
+    PrepareRun.run(spark, c1, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10)
+    val mw1 = PrepareRun.runWave(spark, w1, tmp, 1).toMap
+    PrepareRun.runWave(spark, w2, tmp, 2)
+
+    def tableRows(t: String): Set[Seq[Any]] = {
+      val df = spark.read.parquet(s"$tmp/$t")
+      val cols = df.columns.filter(_ != "wave").sorted
+      df.select(cols.map(col).toSeq: _*).collect().map(_.toSeq).toSet
+    }
+    val tables = Seq("train_docs", "val_docs", "train_spans", "dedup_index")
+    val before = tables.map(t => t -> tableRows(t)).toMap
+
+    val report = PrepareRun.compactRun(spark, tmp, targetBytes = 1L << 30)
+    tables.foreach { t =>
+      assert(report(t)._2 < report(t)._1,
+        s"$t files did not drop: ${report(t)}")
+      assert(tableRows(t) == before(t), s"$t rows changed under the fold")
+      // everything folded into the single wave=0 partition
+      val dirs = new java.io.File(s"$tmp/$t").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == Set("wave=0"), s"$t still has wave dirs: $dirs")
+    }
+    // wave markers re-homed into the compacted marker
+    assert(!new java.io.File(s"$tmp/_stage_wave_1").exists())
+    assert(new java.io.File(s"$tmp/_stage_compacted").exists())
+
+    // replaying a FOLDED wave is an idempotent no-op with preserved
+    // counts — never a duplicate-appending recompute
+    val trainCount = spark.read.parquet(s"$tmp/train_docs").count()
+    assert(PrepareRun.runWave(spark, w1, tmp, 1).toMap == mw1)
+    assert(spark.read.parquet(s"$tmp/train_docs").count() == trainCount)
+
+    // a NEW wave appends unchanged: epoch ranks continue per source,
+    // span windows continue per lang, docs all land in wave=3
+    val w3 = docs.filter(col("doc_id") % 4 === 3)
+    val m3 = PrepareRun.runWave(spark, w3, tmp, 3).toMap
+    assert(m3("train") > 0)
+    val train = spark.read.parquet(s"$tmp/train_docs")
+    val badRanks = train.groupBy("source")
+      .agg(count(lit(1)).as("n"), min("epoch_rank").as("mn"),
+        max("epoch_rank").as("mx"),
+        countDistinct("epoch_rank").as("d"))
+      .filter(!(col("mn") === 1 && col("mx") === col("n") &&
+        col("d") === col("n")))
+    assert(badRanks.count() == 0,
+      "epoch ranks broke after compaction + append")
+    val spans = spark.read.parquet(s"$tmp/train_spans")
+    assert(spans.count() == train.count())
+    val overlap = spans.filter(col("wave") === 0)
+      .groupBy("lang").agg(max("end_window").as("base_max"))
+      .join(spans.filter(col("wave") === 3)
+        .groupBy("lang").agg(min("start_window").as("wave_min")), "lang")
+      .filter(col("wave_min") <= col("base_max"))
+    assert(overlap.count() == 0,
+      "post-compaction wave reopened a folded pack window")
+
+    // capture NOW: compaction below replaces the files this frame's
+    // resolved listing points at
+    val fullTrainCount = train.count()
+
+    // a second compaction folds wave=3 too and keeps max_wave
+    PrepareRun.compactRun(spark, tmp, targetBytes = 1L << 30)
+    assert(PrepareRun.runWave(spark, w3, tmp, 3).toMap == m3)
+
+    // crash inside the swap window: .old present, live missing —
+    // recovered on the next run, rows intact
+    val live = new java.io.File(s"$tmp/train_docs")
+    assert(live.renameTo(new java.io.File(s"$tmp/train_docs.old")))
+    spark.catalog.refreshByPath(tmp)
+    val afterCrash = PrepareRun.compactRun(spark, tmp,
+      targetBytes = 1L << 30)
+    assert(afterCrash.contains("train_docs"))
+    assert(spark.read.parquet(s"$tmp/train_docs").count() == fullTrainCount)
+  }
+
+  test("PrepareRun: a base recompute clears stale wave markers (no ghost waves)") {
+    import graft.operators.PrepareRun
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val c1 = docs.filter(col("doc_id") % 2 === 0)
+    val w1 = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-stale").toString
+    PrepareRun.run(spark, c1, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10)
+    PrepareRun.runWave(spark, w1, tmp, 1)
+    assert(new java.io.File(s"$tmp/_stage_wave_1").exists())
+
+    // docs-front param change: the overwrite wipes wave partitions —
+    // the stale wave marker and manifest must go with them
+    PrepareRun.run(spark, c1, bench, tmp,
+      minTokens = 12, threshold = 0.5, capacity = 512, valPct = 10)
+    assert(!new java.io.File(s"$tmp/_stage_wave_1").exists(),
+      "stale wave marker survived the base recompute")
+    assert(!new java.io.File(s"$tmp/wave_manifest").exists())
+    val dirs = new java.io.File(s"$tmp/train_docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("wave=0"))
+
+    // the wave now REPLAYS (recompute, not a ghost no-op) and lands data
+    val m = PrepareRun.runWave(spark, w1, tmp, 1).toMap
+    assert(m("train") > 0)
+    assert(spark.read.parquet(s"$tmp/train_docs")
+      .filter(col("wave") === 1).count() == m("train"))
+
+    // spans-only (capacity) recompute: wave markers cleared so waves
+    // replay their spans under the new capacity; wave docs stay valid
+    PrepareRun.run(spark, c1, bench, tmp,
+      minTokens = 12, threshold = 0.5, capacity = 256, valPct = 10)
+    assert(!new java.io.File(s"$tmp/_stage_wave_1").exists(),
+      "wave marker survived a capacity-only recompute")
+    val m2 = PrepareRun.runWave(spark, w1, tmp, 1).toMap
+    assert(m2("train") == m("train"))
+    // spans table is complete and duplicate-free: one row per train doc
+    val train = spark.read.parquet(s"$tmp/train_docs")
+    val spans = spark.read.parquet(s"$tmp/train_spans")
+    assert(spans.count() == train.count(),
+      "capacity recompute + replay duplicated or dropped spans")
+  }
+
   test("mp4: absent stss means EVERY sample is sync (ISO 14496-12 §8.6.2)") {
     import graft.operators.Multimodal
     import spark.implicits._
