@@ -194,10 +194,12 @@ object GraftCli {
       val threshold = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.5)
       val capacity = rest.drop(2).headOption.map(_.toInt).getOrElse(512)
       val valPct = rest.drop(3).headOption.map(_.toInt).getOrElse(5)
+      val semTau = rest.drop(4).headOption.map(_.toDouble)
+        .getOrElse(Double.NaN)
       operators.PrepareRun.run(spark,
           spark.read.parquet(docsParquet),
           spark.read.parquet(benchParquet),
-          outDir, minTokens, threshold, capacity, valPct)
+          outDir, minTokens, threshold, capacity, valPct, semTau)
         .foreach { case (st, c) => println(s"[graft] prepare-run $st: $c") }
       spark.stop()
 
@@ -786,7 +788,7 @@ object GraftCli {
            |  stream-notify <queueDir> <stagingDir> <checkpointDir> <colIdx> <maxPartitions> <seed> [triggerSec] [runSec] [rename|spool]
            |  stream-notify-split <queueDir> <outDir> <checkpointDir> <maxBytesPerShard> [header] [gzip] [triggerSec] [runSec]
            |  corpus-prep <documentsParquet> <outDir> [minTokens] [jaccardThreshold] [capacity]
-           |  prepare-run <documentsParquet> <benchParquet> <outDir> [minTokens] [jaccardThreshold] [capacity] [valPct]
+           |  prepare-run <documentsParquet> <benchParquet> <outDir> [minTokens] [jaccardThreshold] [capacity] [valPct] [semanticTau]
            |  prepare-run-wave <waveParquet> <outDir> <waveId>
            |  prepare-run-compact <outDir> [targetBytes]
            |  dedup-delta <corpusParquet> <batchParquet> <outDir> [jaccardThreshold]

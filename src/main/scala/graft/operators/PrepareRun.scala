@@ -53,12 +53,20 @@ object PrepareRun {
     * identical params serves the committed outputs — the fresh-outDir
     * contract (scaladoc above) is what makes that sound.
     */
-  private def docsParams(minTokens: Int, threshold: Double, valPct: Int): String =
-    s"docs:$minTokens:$threshold:$valPct"
+  /** Semantic-stage suffix: absent when disabled, so runs without it
+    * keep the historical fingerprint format (and its marker
+    * compatibility) exactly.
+    */
+  private def semSuffix(semanticTau: Double): String =
+    if (semanticTau.isNaN) "" else s":sem$semanticTau"
+
+  private def docsParams(minTokens: Int, threshold: Double, valPct: Int,
+                         semanticTau: Double): String =
+    s"docs:$minTokens:$threshold:$valPct${semSuffix(semanticTau)}"
 
   private def spansParams(minTokens: Int, threshold: Double, valPct: Int,
-                          capacity: Int): String =
-    s"spans:$minTokens:$threshold:$valPct:$capacity"
+                          capacity: Int, semanticTau: Double): String =
+    s"spans:$minTokens:$threshold:$valPct:$capacity${semSuffix(semanticTau)}"
 
   /** Reads a stage marker; on a parameter mismatch the stale marker is
     * DELETED before returning None — the caller is about to overwrite
@@ -146,7 +154,8 @@ object PrepareRun {
       val cm = new Path(s"$outDir/_stage_compacted")
       if (cm.getFileSystem(hconf).exists(cm))
         cm.getFileSystem(hconf).delete(cm, false)
-      Seq("train_docs", "val_docs", "train_spans", "dedup_index")
+      Seq("train_docs", "val_docs", "train_spans", "dedup_index",
+          "semantic_reps")
         .foreach { t =>
           val tp = new Path(s"$outDir/$t")
           val fsys = tp.getFileSystem(hconf)
@@ -187,11 +196,24 @@ object PrepareRun {
     ()
   }
 
+  /** `semanticTau` (NaN = disabled) turns on the SemDeDup-style
+    * semantic stage between near-dup dedup and decontamination: docs
+    * must carry an `embedding` column; the removal semantics are
+    * exactly x87's capped pipeline (`Similarity.semanticDedupState` —
+    * scaled k, repCap window), the clustering state persists as
+    * `semantic_centroids` + `semantic_reps` (wave-partitioned), and
+    * `runWave` extends the pass incrementally (wave vectors dedup
+    * against committed cluster representatives, committed docs win).
+    * The tau fingerprints into both stage markers, so changing it (or
+    * toggling the stage) recomputes the front like any other docs knob.
+    */
   def run(spark: SparkSession, docs: DataFrame, bench: DataFrame,
           outDir: String, minTokens: Int = 25, threshold: Double = 0.5,
-          capacity: Int = 512, valPct: Int = 5): Seq[(String, Long)] = {
-    val fpDocs = docsParams(minTokens, threshold, valPct)
-    val fpSpans = spansParams(minTokens, threshold, valPct, capacity)
+          capacity: Int = 512, valPct: Int = 5,
+          semanticTau: Double = Double.NaN): Seq[(String, Long)] = {
+    val fpDocs = docsParams(minTokens, threshold, valPct, semanticTau)
+    val fpSpans = spansParams(minTokens, threshold, valPct, capacity,
+      semanticTau)
 
     // stage "docs": quality → dedup → decontaminate → split → epoch rank;
     // commits train_docs + val_docs and the front's manifest counts (the
@@ -209,12 +231,36 @@ object PrepareRun {
       val surv = Dedup.dedupSurvivors(q, "doc_id",
         Dedup.minHashLsh(q, "doc_id", "text", threshold = threshold))
         .localCheckpoint()
+      // optional semantic stage over the near-dup SURVIVORS: x87's
+      // capped pipeline, with the clustering state persisted so waves
+      // extend the pass incrementally
+      val semKept =
+        if (semanticTau.isNaN) surv
+        else {
+          require(docs.columns.contains("embedding"),
+            "semanticTau set but docs carry no embedding column")
+          val (cents, removal, reps) = Similarity.semanticDedupState(
+            surv.select(col("doc_id").as("vec_id"), col("embedding")),
+            targetSize = 128, repCap = 256, tau = semanticTau)
+          import spark.implicits._
+          cents.zipWithIndex
+            .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+            .toDF("cluster", "centroid")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/semantic_centroids")
+          reps.withColumn("wave", lit(0))
+            .write.mode("overwrite").partitionBy("wave")
+            .parquet(s"$outDir/semantic_reps")
+          surv.join(removal.select(col("vec_id").as("_sem_id")),
+              surv("doc_id") === col("_sem_id"), "left_anti")
+            .localCheckpoint()
+        }
       // the bloom + benchmark shingles are built once and PERSISTED:
       // wave-mode appends (`runWave`) decontaminate later waves against
       // these artifacts without re-shingling the benchmark
       val (bfBytes, benchSh) = Contamination.buildBloom(bench, "text", 8)
       val clean = Contamination.decontaminateWithBloom(
-        surv, "doc_id", "text", 8, bfBytes, benchSh)
+        semKept, "doc_id", "text", 8, bfBytes, benchSh)
         .localCheckpoint()
       // deterministic split: seeded md5 bucket, val = first valPct of 100
       val bucketed = clean.withColumn("bucket",
@@ -248,8 +294,10 @@ object PrepareRun {
       val counts = Seq(
         ("input", docs.count()),
         ("quality_pass", q.count()),
-        ("dedup_survivors", surv.count()),
-        ("decontaminated", clean.count()))
+        ("dedup_survivors", surv.count())) ++
+        (if (semanticTau.isNaN) Seq.empty
+         else Seq(("semantic_kept", semKept.count()))) ++
+        Seq(("decontaminated", clean.count()))
       writeMarker(spark, outDir, "docs", fpDocs, counts)
       counts.toMap
     }
@@ -283,7 +331,9 @@ object PrepareRun {
     val manifest = Seq(
       ("input", frontCounts("input")),
       ("quality_pass", frontCounts("quality_pass")),
-      ("dedup_survivors", frontCounts("dedup_survivors")),
+      ("dedup_survivors", frontCounts("dedup_survivors"))) ++
+      frontCounts.get("semantic_kept")
+        .map(("semantic_kept", _)).toSeq ++ Seq(
       ("decontaminated", frontCounts("decontaminated")),
       ("train", spark.read.parquet(s"$outDir/train_docs").count()),
       ("val", spark.read.parquet(s"$outDir/val_docs").count()),
@@ -348,14 +398,20 @@ object PrepareRun {
     val (spansParamStr, _) = readMarkerRaw(spark, outDir, "spans").getOrElse(
       throw new IllegalStateException(
         s"$outDir has no completed base spans stage — run PrepareRun.run first"))
-    // "docs:<minTokens>:<threshold>:<valPct>" / "spans:...:<capacity>"
+    // "docs:<minTokens>:<threshold>:<valPct>[:sem<tau>]" /
+    // "spans:...:<capacity>[:sem<tau>]"
     val dp = docsParamStr.split(":")
     val minTokens = dp(1).toInt
     val threshold = dp(2).toDouble
     val valPct = dp(3).toInt
     val capacity = spansParamStr.split(":")(4).toInt
+    val semTau: Option[Double] =
+      if (dp.length > 4 && dp(4).startsWith("sem"))
+        Some(dp(4).stripPrefix("sem").toDouble)
+      else None
     val waveParams =
-      s"wave:$waveId:$minTokens:$threshold:$valPct:$capacity"
+      s"wave:$waveId:$minTokens:$threshold:$valPct:$capacity" +
+        semTau.map(t => s":sem$t").getOrElse("")
     val stage = s"wave_$waveId"
 
     // waves folded into wave=0 by compactRun no longer have their own
@@ -366,7 +422,7 @@ object PrepareRun {
     readMarkerRaw(spark, outDir, "compacted") match {
       case Some((cps, ccounts))
           if waveId <= ccounts.getOrElse("max_wave", 0L) =>
-        val expect = s"compact:$minTokens:$threshold:$valPct"
+        val expect = "compact:" + dp.drop(1).mkString(":")
         require(cps == expect,
           s"wave $waveId was folded into the base under params $cps; " +
             s"it cannot replay under $expect — recompute the base run")
@@ -389,7 +445,7 @@ object PrepareRun {
     // unmarked (crashed or param-changed) wave: delete exactly this
     // wave's partition dirs before recomputing
     Seq("train_docs", "val_docs", "train_spans", "dedup_index",
-        "wave_manifest").foreach { t =>
+        "semantic_reps", "wave_manifest").foreach { t =>
       val p = new Path(s"$outDir/$t/wave=$waveId")
       val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fsys.exists(p)) fsys.delete(p, true)
@@ -410,9 +466,34 @@ object PrepareRun {
       .select(col("batch_id").as("_dup_id")).distinct()
     val crossKept = waveSurv
       .join(dupHits, waveSurv("doc_id") === col("_dup_id"), "left_anti")
+    // optional semantic stage: wave vectors dedup against the committed
+    // cluster representatives (Similarity.semanticDedupWave — committed
+    // docs always win), and the wave's window entrants append so wave
+    // N+1 sees base ∪ waves 1..N
+    val semKept = semTau match {
+      case None => crossKept
+      case Some(tau) =>
+        require(wave.columns.contains("embedding"),
+          "base run used semantic dedup but the wave has no embedding")
+        val cents = spark.read.parquet(s"$outDir/semantic_centroids")
+          .orderBy("cluster").select("centroid").collect()
+          .map(_.getSeq[Float](0).toArray)
+        val reps = spark.read.parquet(s"$outDir/semantic_reps")
+          .filter(col("wave") < waveId)
+          .select("cluster", "rep_rank", "vec_id", "embedding")
+        val (removal, newReps) = Similarity.semanticDedupWave(
+          crossKept.select(col("doc_id").as("vec_id"), col("embedding")),
+          cents, reps, repCap = 256, tau = tau)
+        newReps.withColumn("wave", lit(waveId))
+          .write.mode("append").partitionBy("wave")
+          .parquet(s"$outDir/semantic_reps")
+        crossKept.join(removal.select(col("vec_id").as("_sem_id")),
+            crossKept("doc_id") === col("_sem_id"), "left_anti")
+          .localCheckpoint()
+    }
     val bloomRow = spark.read.parquet(s"$outDir/bench_bloom").head()
     val clean = Contamination.decontaminateWithBloom(
-        crossKept, "doc_id", "text", bloomRow.getAs[Int]("n"),
+        semKept, "doc_id", "text", bloomRow.getAs[Int]("n"),
         bloomRow.getAs[Array[Byte]]("bf"),
         spark.read.parquet(s"$outDir/bench_shingles"))
       .localCheckpoint()
@@ -465,7 +546,9 @@ object PrepareRun {
       ("input", wave.count()),
       ("quality_pass", q.count()),
       ("wave_survivors", waveSurv.count()),
-      ("cross_corpus_kept", crossKept.count()),
+      ("cross_corpus_kept", crossKept.count())) ++
+      (if (semTau.isEmpty) Seq.empty
+       else Seq(("semantic_kept", semKept.count()))) ++ Seq(
       ("decontaminated", clean.count()),
       ("train", spark.read.parquet(s"$outDir/train_docs")
         .filter(col("wave") === waveId).count()),
@@ -519,9 +602,11 @@ object PrepareRun {
       throw new IllegalStateException(
         s"$outDir has no completed base docs stage — nothing to compact"))
     val dp = docsParamStr.split(":")
-    val compactParams = s"compact:${dp(1)}:${dp(2)}:${dp(3)}"
+    // docs-level identity incl. the semantic suffix when present
+    val compactParams = "compact:" + dp.drop(1).mkString(":")
 
-    val tables = Seq("train_docs", "val_docs", "train_spans", "dedup_index")
+    val tables = Seq("train_docs", "val_docs", "train_spans",
+      "dedup_index", "semantic_reps")
     def parquetFiles(p: Path): Int = {
       val fsys = p.getFileSystem(hconf)
       if (!fsys.exists(p)) 0

@@ -222,23 +222,49 @@ object Similarity {
     */
   def semanticDedup(embeddings: DataFrame, targetSize: Int = 128,
                     repCap: Int = 256, tau: Double = 0.4,
-                    iters: Int = 1): DataFrame = {
+                    iters: Int = 1): DataFrame =
+    semanticDedupState(embeddings, targetSize, repCap, tau, iters)._2
+
+  /** 0-based nearest-centroid assignment with x87's exact argmax
+    * formula (array_position over the cosine array — lowest index wins
+    * ties): the ONE cluster definition both the one-shot pass and the
+    * wave path below must share, or wave vectors would land in
+    * different clusters than the one-shot oracle puts them.
+    */
+  def assignClusters(embeddings: DataFrame,
+                     cents: Array[Array[Float]]): DataFrame = {
+    val sims = array(cents.map(c =>
+      graft.functions.VectorFunctions.vecCosine(col("embedding"),
+        array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+    embeddings.withColumn("cluster",
+        (array_position(sims, array_max(sims)) - 1).cast("long"))
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+  }
+
+  /** [[semanticDedup]] exposing the state an incremental corpus needs
+    * to extend the pass: the trained centroids and the representative
+    * window (each cluster's `repCap` lowest-id members — kept or
+    * removed: x87's earlier-neighbor side is the id window, not the
+    * survivor set). Returns (centroids, removal list, reps) where reps
+    * is (cluster, rep_rank 1-based, vec_id, embedding).
+    */
+  def semanticDedupState(embeddings: DataFrame, targetSize: Int = 128,
+                         repCap: Int = 256, tau: Double = 0.4,
+                         iters: Int = 1)
+      : (Array[Array[Float]], DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val n = embeddings.count()
     val k = math.max(8L, math.ceil(n.toDouble / targetSize).toLong).toInt
     val cents = kmeansCentroids(embeddings, k, iters)
-    val sims = array(cents.map(c =>
-      graft.functions.VectorFunctions.vecCosine(col("embedding"),
-        array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
-    val asg = embeddings.withColumn("cluster",
-        (array_position(sims, array_max(sims)) - 1).cast("long"))
-      .select(col("vec_id"), col("cluster"), col("embedding"))
+    val asg = assignClusters(embeddings, cents)
     val ranked = asg.withColumn("rnk", row_number().over(
       Window.partitionBy("cluster").orderBy("vec_id")))
     val reps = ranked.filter(col("rnk") <= repCap)
-      .select(col("cluster"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"))
-    reps.join(asg, Seq("cluster"))
+      .select(col("cluster"), col("rnk").cast("int").as("rep_rank"),
+        col("vec_id"), col("embedding"))
+    val a = reps.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val removal = a.join(asg, Seq("cluster"))
       .filter(col("a_id") < col("vec_id"))
       .withColumn("sim", graft.functions.VectorFunctions
         .vecCosine(col("a_emb"), col("embedding")))
@@ -246,6 +272,61 @@ object Similarity {
       .agg(round(max("sim"), 6).as("max_sim"))
       .filter(col("max_sim") > tau)
       .select(col("vec_id"), col("cluster"), col("max_sim"))
+    (cents, removal, reps)
+  }
+
+  /** Incremental (wave) semantic dedup against a committed corpus's
+    * persisted state — the sequential extension of the one-shot pass:
+    * wave vectors assign to the SAME persisted centroids, and a wave
+    * vector is a dup when its strongest EARLIER-IN-COMMIT-ORDER window
+    * neighbor exceeds tau — committed reps (always earlier) plus
+    * earlier same-wave vectors still inside the cluster's repCap union
+    * window. Committed docs always win (the PrepareRun protocol); a
+    * wave vector can never evict one. Returns (removal, newReps) where
+    * newReps are the wave's window entrants (rep_rank continuing after
+    * each cluster's committed count) to append for the next wave.
+    *
+    * 100 TB: assignment is the shuffle-free argmax map; both pair
+    * generators are bounded — vs-committed is wave_n × ≤repCap reps
+    * per cluster, wave-internal is capped by the union window — so a
+    * wave costs O(wave · repCap) pairs, never O(wave²).
+    */
+  def semanticDedupWave(wave: DataFrame, cents: Array[Array[Float]],
+                        reps: DataFrame, repCap: Int = 256,
+                        tau: Double = 0.4): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = assignClusters(wave, cents).localCheckpoint()
+    val priorCnt = reps.groupBy("cluster")
+      .agg(count(lit(1)).as("_prior_reps"))
+    val ranked = asg.withColumn("_rnk", row_number().over(
+        Window.partitionBy("cluster").orderBy("vec_id")))
+      .join(broadcast(priorCnt), Seq("cluster"), "left")
+      .withColumn("rep_rank",
+        (col("_rnk") + coalesce(col("_prior_reps"), lit(0L))).cast("int"))
+      .drop("_rnk", "_prior_reps")
+    val vsCommitted = reps
+      .select(col("cluster"), col("embedding").as("a_emb"))
+      .join(asg, Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.VectorFunctions
+          .vecCosine(col("a_emb"), col("embedding")).as("sim"))
+    val aside = ranked.filter(col("rep_rank") <= repCap)
+      .select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+    val vsWave = aside.join(asg, Seq("cluster"))
+      .filter(col("a_id") < col("vec_id"))
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.VectorFunctions
+          .vecCosine(col("a_emb"), col("embedding")).as("sim"))
+    val removal = vsCommitted.unionAll(vsWave)
+      .groupBy("vec_id", "cluster")
+      .agg(round(max("sim"), 6).as("max_sim"))
+      .filter(col("max_sim") > tau)
+      .select(col("vec_id"), col("cluster"), col("max_sim"))
+    val newReps = ranked.filter(col("rep_rank") <= repCap)
+      .select(col("cluster"), col("rep_rank"), col("vec_id"),
+        col("embedding"))
+    (removal, newReps)
   }
 
   /** Driver-side id-ordered seed centroids (the trainIters=0 coarse

@@ -424,6 +424,135 @@ class Round14OpsSpec extends GraftSparkSpec {
       "capacity recompute + replay duplicated or dropped spans")
   }
 
+  test("semanticDedupWave: base + wave EQUALS the one-shot pass on the union") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // wave ids all ABOVE base ids: commit order == id order, so the
+    // sequential pass must reproduce the one-shot x87 windowing exactly
+    val base = e.filter(col("vec_id") < 250)
+    val wave = e.filter(col("vec_id") >= 250)
+    val tau = 0.3
+    val (cents, remB, repsB) =
+      Similarity.semanticDedupState(base, 128, 256, tau)
+    val (remW, repsW) =
+      Similarity.semanticDedupWave(wave, cents, repsB, 256, tau)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "max_sim")
+        .collect().map(_.toSeq).toSet
+    val seqRemoval = rows(remB) ++ rows(remW)
+
+    // one-shot reference over the union with the SAME centroids —
+    // x87's exact windowed formula
+    import org.apache.spark.sql.expressions.Window
+    val asgU = Similarity.assignClusters(e, cents)
+    val aside = asgU.withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster").orderBy("vec_id")))
+      .filter(col("rnk") <= 256)
+      .select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+    val oneShot = aside.join(asgU, Seq("cluster"))
+      .filter(col("a_id") < col("vec_id"))
+      .withColumn("sim", graft.functions.VectorFunctions
+        .vecCosine(col("a_emb"), col("embedding")))
+      .groupBy("vec_id", "cluster")
+      .agg(round(max("sim"), 6).as("max_sim"))
+      .filter(col("max_sim") > tau)
+    assert(rows(remB).nonEmpty && rows(remW).nonEmpty,
+      "fixture produced no removals on one of the sides")
+    assert(seqRemoval == rows(oneShot),
+      "sequential wave pass diverged from the one-shot union pass")
+    // the union windows agree too: base reps ∪ wave entrants == the
+    // one-shot window
+    val seqReps = repsB.select("cluster", "vec_id").collect()
+      .map(_.toSeq).toSet ++
+      repsW.select("cluster", "vec_id").collect().map(_.toSeq).toSet
+    val oneShotReps = aside.select(col("cluster"), col("a_id"))
+      .collect().map(_.toSeq).toSet
+    assert(seqReps == oneShotReps)
+  }
+
+  test("PrepareRun semantic stage: persisted state, immutable reps, no kept violations") {
+    import graft.operators.{PrepareRun, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val corpus = docs.join(emb, "doc_id")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val c1 = corpus.filter(col("doc_id") % 2 === 0)
+    val w2 = corpus.filter(col("doc_id") % 2 === 1)
+    val tau = 0.3
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prep-sem").toString
+    val mb = PrepareRun.run(spark, c1, bench, tmp, minTokens = 10,
+      threshold = 0.5, capacity = 512, valPct = 10,
+      semanticTau = tau).toMap
+    assert(mb.contains("semantic_kept"))
+    assert(mb("semantic_kept") < mb("dedup_survivors"),
+      "semantic stage dropped nothing — fixture tau too high")
+
+    def repSnap(): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/semantic_reps/wave=0")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val baseReps = repSnap()
+    val mw = PrepareRun.runWave(spark, w2, tmp, 1).toMap
+    assert(mw.contains("semantic_kept"))
+    assert(mw("semantic_kept") <= mw("cross_corpus_kept"))
+    assert(repSnap() == baseReps, "wave touched committed wave-0 reps")
+
+    // rep ranks stay contiguous per cluster across the append
+    val reps = spark.read.parquet(s"$tmp/semantic_reps")
+    val badRanks = reps.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), min("rep_rank").as("mn"),
+        max("rep_rank").as("mx"), countDistinct("rep_rank").as("d"))
+      .filter(!(col("mn") === 1 && col("mx") === col("n") &&
+        col("d") === col("n")))
+    assert(badRanks.count() == 0, "rep ranks not contiguous per cluster")
+
+    // NO kept doc has an earlier-committed window neighbor above tau
+    // under the persisted clustering — the semantic invariant over the
+    // final outputs
+    val cents = spark.read.parquet(s"$tmp/semantic_centroids")
+      .orderBy("cluster").select("centroid").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val kept = spark.read.parquet(s"$tmp/train_docs")
+      .select("doc_id", "wave")
+      .union(spark.read.parquet(s"$tmp/val_docs").select("doc_id", "wave"))
+      .join(corpus.select("doc_id", "embedding"), "doc_id")
+    val keptAsg = Similarity.assignClusters(
+      kept.select(col("doc_id").as("vec_id"), col("embedding")), cents)
+      .join(kept.select(col("doc_id").as("vec_id"), col("wave")), "vec_id")
+    val violations = spark.read.parquet(s"$tmp/semantic_reps")
+      .select(col("cluster"), col("vec_id").as("r_id"),
+        col("embedding").as("r_emb"), col("wave").as("r_wave"))
+      .join(keptAsg, Seq("cluster"))
+      .filter(col("r_wave") < col("wave") ||
+        (col("r_wave") === col("wave") && col("r_id") < col("vec_id")))
+      .withColumn("sim", round(graft.functions.VectorFunctions
+        .vecCosine(col("r_emb"), col("embedding")), 6))
+      .filter(col("sim") > tau)
+    assert(violations.count() == 0,
+      "a kept doc has an earlier committed neighbor above tau")
+
+    // marker discipline: same tau is a front no-op (committed front
+    // counts served from the marker; train/val/spans totals now include
+    // the wave); a different tau clears the wave state and recomputes
+    val rerun = PrepareRun.run(spark, c1, bench, tmp, minTokens = 10,
+      threshold = 0.5, capacity = 512, valPct = 10,
+      semanticTau = tau).toMap
+    Seq("input", "quality_pass", "dedup_survivors", "semantic_kept",
+      "decontaminated").foreach(k => assert(rerun(k) == mb(k), k))
+    assert(new java.io.File(s"$tmp/_stage_wave_1").exists())
+    PrepareRun.run(spark, c1, bench, tmp, minTokens = 10,
+      threshold = 0.5, capacity = 512, valPct = 10, semanticTau = 0.5)
+    assert(!new java.io.File(s"$tmp/_stage_wave_1").exists(),
+      "tau change kept the stale wave marker")
+  }
+
   test("mp4: absent stss means EVERY sample is sync (ISO 14496-12 §8.6.2)") {
     import graft.operators.Multimodal
     import spark.implicits._
