@@ -657,22 +657,32 @@ object PrepareRun {
       if (!fsys.exists(cur)) None
       else {
         val before = parquetFiles(cur)
-        val next = new Path(s"$outDir/$t.compacting")
-        if (fsys.exists(next)) fsys.delete(next, true)
         val bytes = fsys.getContentSummary(cur).getLength
         val target =
           math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        val df = spark.read.parquet(cur.toString)
-        val sorted = df.drop("wave").withColumn("wave", lit(0))
-          .repartition(target)
-        (if (df.columns.contains("doc_id"))
-           sorted.sortWithinPartitions("doc_id") else sorted)
-          .write.partitionBy("wave").parquet(next.toString)
-        if (fsys.exists(old)) fsys.delete(old, true)
-        require(fsys.rename(cur, old), s"compact swap: cannot stage $t")
-        require(fsys.rename(next, cur), s"compact swap: cannot commit $t")
-        fsys.delete(old, true)
-        Some(t -> ((before, parquetFiles(cur))))
+        val hasWaveDirs = fsys.listStatus(cur).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("wave=") &&
+            s.getPath.getName != "wave=0")
+        // steady-state skip: an already-folded, already-sized table is
+        // left untouched — repeated maintenance costs O(new waves)
+        if (!hasWaveDirs && before <= target)
+          Some(t -> ((before, before)))
+        else {
+          val next = new Path(s"$outDir/$t.compacting")
+          if (fsys.exists(next)) fsys.delete(next, true)
+          val df = spark.read.parquet(cur.toString)
+          val sorted = df.drop("wave").withColumn("wave", lit(0))
+            .repartition(target)
+          (if (df.columns.contains("doc_id"))
+             sorted.sortWithinPartitions("doc_id") else sorted)
+            .write.partitionBy("wave").parquet(next.toString)
+          if (fsys.exists(old)) fsys.delete(old, true)
+          require(fsys.rename(cur, old), s"compact swap: cannot stage $t")
+          require(fsys.rename(next, cur),
+            s"compact swap: cannot commit $t")
+          fsys.delete(old, true)
+          Some(t -> ((before, parquetFiles(cur))))
+        }
       }
     }.toMap
     spark.catalog.refreshByPath(outDir)

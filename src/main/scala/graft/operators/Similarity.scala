@@ -175,16 +175,15 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 1 to iters) {
-      val sims = array(cents.map(c =>
-        graft.functions.VectorFunctions.vecCosine(
-          col("embedding"), array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
-      val assigned = embeddings
-        .withColumn("list_id", array_position(sims, array_max(sims)))
+      // assignment via assignClusters: the identical argmax in both its
+      // arms, so k past the literal-expression limit (SemDeDup's
+      // scaled k) trains through the broadcast-join path
+      val assigned = assignClusters(embeddings, cents)
       val means = assigned
-        .select(col("list_id"), posexplode(col("embedding")))
-        .groupBy("list_id", "pos").agg(avg("col").as("m"))
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
         .collect()
-        .groupBy(_.getLong(0).toInt - 1) // array_position is 1-based
+        .groupBy(_.getLong(0).toInt)
         .map { case (lid, rows) =>
           lid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
         }
@@ -226,20 +225,54 @@ object Similarity {
     semanticDedupState(embeddings, targetSize, repCap, tau, iters)._2
 
   /** 0-based nearest-centroid assignment with x87's exact argmax
-    * formula (array_position over the cosine array — lowest index wins
-    * ties): the ONE cluster definition both the one-shot pass and the
-    * wave path below must share, or wave vectors would land in
-    * different clusters than the one-shot oracle puts them.
+    * semantics (highest cosine, lowest cluster id on ties): the ONE
+    * cluster definition both the one-shot pass and the wave path below
+    * must share, or wave vectors would land in different clusters than
+    * the one-shot oracle puts them.
+    *
+    * Two arms, bit-identical results (spec-pinned):
+    *  - k ≤ 128: the literal-centroid argmax array expression — zero
+    *    shuffle, whole-stage codegen, the gate path;
+    *  - k > 128: codegen cannot hold k×dim literals (SemDeDup's
+    *    k ~ n/targetSize reaches thousands of clusters at 1 M+
+    *    vectors), so the centroids become a BROADCAST k-row frame and
+    *    the argmax a partial-aggregated max over (sim, -cid) structs —
+    *    still no shuffle of the corpus beyond the map-side combine,
+    *    n×k cosine work either way (that IS k-means assignment cost).
+    * `vecCosine` evaluates the identical double-of-float fold on
+    * identical inputs in both arms, and the struct ordering reproduces
+    * array_position's first-max-wins tie rule, so the arms agree
+    * bit-for-bit.
     */
   def assignClusters(embeddings: DataFrame,
-                     cents: Array[Array[Float]]): DataFrame = {
-    val sims = array(cents.map(c =>
-      graft.functions.VectorFunctions.vecCosine(col("embedding"),
-        array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
-    embeddings.withColumn("cluster",
-        (array_position(sims, array_max(sims)) - 1).cast("long"))
-      .select(col("vec_id"), col("cluster"), col("embedding"))
-  }
+                     cents: Array[Array[Float]]): DataFrame =
+    if (cents.length <= 128) {
+      val sims = array(cents.map(c =>
+        graft.functions.VectorFunctions.vecCosine(col("embedding"),
+          array(c.map(lit(_)).toSeq: _*))).toSeq: _*)
+      embeddings.withColumn("cluster",
+          (array_position(sims, array_max(sims)) - 1).cast("long"))
+        .select(col("vec_id"), col("cluster"), col("embedding"))
+    } else {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val centsDf = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF("_gr_cid", "_gr_cent")
+      embeddings.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centsDf))
+        .select(col("vec_id"), col("embedding"),
+          struct(
+            graft.functions.VectorFunctions
+              .vecCosine(col("embedding"), col("_gr_cent")).as("s"),
+            (-col("_gr_cid")).as("nc")).as("_gr_cand"))
+        .groupBy("vec_id")
+        .agg(max(col("_gr_cand")).as("_gr_best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"),
+          (-col("_gr_best.nc")).cast("long").as("cluster"),
+          col("embedding"))
+    }
 
   /** [[semanticDedup]] exposing the state an incremental corpus needs
     * to extend the pass: the trained centroids and the representative

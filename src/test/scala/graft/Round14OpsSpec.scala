@@ -472,6 +472,29 @@ class Round14OpsSpec extends GraftSparkSpec {
     assert(seqReps == oneShotReps)
   }
 
+  test("assignClusters: literal and broadcast-join arms agree bit-for-bit") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // k chosen on BOTH sides of the 128 arm threshold with the same
+    // centroid set is impossible — instead pin the join arm against the
+    // literal arm by replicating the same 8 centroids 17x (136 > 128):
+    // positions 0..7 are the literal arm's centroids, and the argmax's
+    // lowest-id tie rule must pick exactly those (copies tie at equal
+    // sim but carry HIGHER ids)
+    val cents = Similarity.kmeansCentroids(e, 8, iters = 1)
+    val literal = Similarity.assignClusters(e, cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val replicated = Array.tabulate(136)(i => cents(i % 8))
+    val joined = Similarity.assignClusters(e, replicated)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(joined.size == literal.size)
+    assert(joined == literal,
+      "join-arm argmax diverged from the literal arm")
+  }
+
   test("PrepareRun semantic stage: persisted state, immutable reps, no kept violations") {
     import graft.operators.{PrepareRun, Similarity}
     val dir = "/root/testdata/sf0.001"
