@@ -2629,6 +2629,52 @@ object ExtensionQueries {
           |  i % 2 = 0 AS is_sync
           |FROM s ORDER BY doc_id, sample_idx""".stripMargin)),
 
+    // Keyframe segmentation over the FRAGMENTED fixture — x86's exact
+    // composition on x88's sample table: fMP4 keyframes come from
+    // first_sample_flags (each fragment's first sample), so the
+    // seekable units a frame sampler shards by are exactly the
+    // fragments — the gate proves the trun-derived is_sync/dts flow
+    // end-to-end through the same window the moov path uses.
+    "x89_fmp4_segments" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val st = graft.operators.Multimodal.mp4SampleTable(
+          s, graft.operators.Multimodal.synthesizeFmp4(
+            s, t(s, dir, "documents")))
+        val w = Window.partitionBy("doc_id").orderBy("sample_idx")
+        st.withColumn("seg_idx",
+            sum(when(col("is_sync"), 1).otherwise(0)).over(w))
+          .groupBy(col("doc_id"), col("seg_idx"))
+          .agg(min(col("sample_idx")).as("start_sample"),
+            count(lit(1)).as("n_samples_seg"),
+            min(col("dts")).as("start_dts"),
+            max(col("dts")).as("end_dts"))
+          .orderBy("doc_id", "seg_idx")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
+          |    unnest(range(0, doc_id % 7 + 3)) AS i
+          |  FROM documents),
+          |samp AS (
+          |  SELECT doc_id, CAST(i AS INT) AS sample_idx,
+          |    CAST(CASE WHEN i < n // 2 THEN i * 3000
+          |      ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END
+          |      AS BIGINT) AS dts,
+          |    i % 2 = 0 AS is_sync
+          |  FROM s),
+          |seg AS (
+          |  SELECT doc_id, sample_idx, dts,
+          |    sum(CASE WHEN is_sync THEN 1 ELSE 0 END) OVER (
+          |      PARTITION BY doc_id ORDER BY sample_idx) AS seg_idx
+          |  FROM samp)
+          |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+          |  CAST(min(sample_idx) AS INT) AS start_sample,
+          |  CAST(count(*) AS BIGINT) AS n_samples_seg,
+          |  min(dts) AS start_dts, max(dts) AS end_dts
+          |FROM seg GROUP BY doc_id, seg_idx
+          |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // MIS dedup survivors — Luby's maximal independent set with
     // deterministic md5 priorities (Graph.maximalIndependentSet) on the
     // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a
