@@ -687,7 +687,10 @@ object PrepareRun {
     }.toMap
     spark.catalog.refreshByPath(outDir)
 
-    // markers last: one compacted marker absorbs the wave markers
+    // markers last: one compacted marker absorbs the wave markers.
+    // Nothing to absorb and no prior marker → leave no marker behind
+    // (a max_wave=0 marker would be noise on a never-compacted run)
+    if (waveIds.isEmpty && prior.isEmpty) return report
     val priorCounts = prior.map(_._2).getOrElse(Map.empty)
     val maxWave = math.max(
       priorCounts.getOrElse("max_wave", 0L),

@@ -88,6 +88,27 @@ object RecursionDoubling extends Rule[LogicalPlan] {
     case other => other
   }
 
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.And =>
+      splitConj(a.left) ++ splitConj(a.right)
+    case other => Seq(other)
+  }
+
+  /** Strip the optimizer's float-key normalization wrappers
+    * (`KnownFloatingPointNormalized(NormalizeNaNAndZero(x))`) from a
+    * join-key side: the exec rebuilds its pointer joins through the
+    * DataFrame API, where NormalizeFloatingNumbers re-inserts the
+    * identical normalization — so matching through the wrapper is
+    * semantics-preserving for double/float key components.
+    */
+  private def unwrapNorm(e: Expression): Expression = e match {
+    case org.apache.spark.sql.catalyst.expressions
+        .KnownFloatingPointNormalized(
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(c)) =>
+      unwrapNorm(c)
+    case other => other
+  }
+
   private def rewrite(loop: UnionLoop): Option[LogicalPlan] = {
     if (loop.limit.isDefined || loop.maxDepth.isDefined) return None
     val (projList, join) = loop.recursion match {
@@ -103,12 +124,9 @@ object RecursionDoubling extends Rule[LogicalPlan] {
       p match {
         case r: UnionLoopRef => Some((r, Nil))
         case Filter(cond, r: UnionLoopRef) =>
-          val conjuncts = cond match {
-            case and: org.apache.spark.sql.catalyst.expressions.And =>
-              Seq(and.left, and.right)
-            case single => Seq(single)
-          }
-          val attrs = conjuncts.map {
+          // a composite key infers one isnotnull per component — split
+          // the FULL conjunction tree, not just one And level
+          val attrs = splitConj(cond).map {
             case IsNotNull(a: Attribute) => a
             case _ => return None
           }
@@ -139,20 +157,20 @@ object RecursionDoubling extends Rule[LogicalPlan] {
     // r.tenant = s.tenant AND r.node = h(s)) — accept any conjunction
     // of `refAttr = staticExpr` equalities over DISTINCT ref attributes
     // and treat the key tuple as the pointer
-    def splitConj(e: Expression): Seq[Expression] = e match {
-      case a: org.apache.spark.sql.catalyst.expressions.And =>
-        splitConj(a.left) ++ splitConj(a.right)
-      case other => Seq(other)
-    }
     val keyEqs: Seq[(Attribute, Expression)] =
-      splitConj(join.condition.get).map {
-        case EqualTo(a: Attribute, e)
-            if refSet.contains(a) && e.references.subsetOf(staticOut) =>
-          (a, e)
-        case EqualTo(e, a: Attribute)
-            if refSet.contains(a) && e.references.subsetOf(staticOut) =>
-          (a, e)
-        case _ => return None
+      splitConj(join.condition.get).map { conj =>
+        (conj match {
+          case EqualTo(l, r) => Some((unwrapNorm(l), unwrapNorm(r)))
+          case _ => None
+        }) match {
+          case Some((a: Attribute, e))
+              if refSet.contains(a) && e.references.subsetOf(staticOut) =>
+            (a, e)
+          case Some((e, a: Attribute))
+              if refSet.contains(a) && e.references.subsetOf(staticOut) =>
+            (a, e)
+          case _ => return None
+        }
       }
     if (keyEqs.isEmpty ||
       keyEqs.map(_._1.exprId).distinct.length != keyEqs.length)

@@ -227,6 +227,43 @@ class Round14OpsSpec extends GraftSparkSpec {
         .takeWhile(_ > 0).sum))
   }
 
+  test("RecursionDoubling: THREE-column keys match (nested And unwrap)") {
+    import org.apache.spark.sql.functions._
+    spark.range(64).select((col("id") % 2).as("region"),
+        ((col("id") / 2) % 2).as("tenant"),
+        (col("id") / 4).cast("long").as("node"))
+      .createOrReplaceTempView("r14_rtn")
+    val sql = """WITH RECURSIVE r AS (
+                |  SELECT region, tenant, node, CAST(0 AS BIGINT) AS depth
+                |  FROM r14_rtn WHERE node = 0
+                |  UNION ALL
+                |  SELECT n.region, n.tenant, n.node, r.depth + 1
+                |  FROM r14_rtn n JOIN r
+                |    ON r.region = n.region AND r.tenant = n.tenant
+                |    AND r.node = CAST(floor(n.node / 2) AS BIGINT)
+                |  WHERE n.node > 0)
+                |SELECT region, tenant, node, depth FROM r
+                |ORDER BY region, tenant, node""".stripMargin
+    val on = spark.sql(sql)
+    assert(on.queryExecution.executedPlan.toString
+      .contains("HierarchyDoubling"),
+      s"3-col key did not match:\n${on.queryExecution.optimizedPlan}")
+    val onRows = on.collect().map(_.toSeq).toSeq
+    assert(onRows.length == 64)
+    spark.conf.set("spark.graft.recursionDoubling.enabled", "false")
+    try assert(spark.sql(sql).collect().map(_.toSeq).toSeq == onRows)
+    finally spark.conf.set("spark.graft.recursionDoubling.enabled", "true")
+  }
+
+  test("q76 gate executes through HierarchyDoubling (not UnionLoop)") {
+    // the oracle compare passes either way (UnionLoop is also correct) —
+    // this pins that the composite-key rule actually FIRES on the gate
+    val df = SparkEntry.queries("q76_recursive_composite")(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("HierarchyDoubling"),
+      s"q76 fell back to UnionLoop:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("RecursionDoubling: composite keys with DAG multiplicity still fall back") {
     import spark.implicits._
     // same (tenant, child) reachable via two parents in tenant 0
