@@ -670,15 +670,18 @@ object Multimodal {
   /** One parsed ISO-BMFF track: handler fourcc from hdlr ('vide'/
     * 'soun'), codec + dims from stsd (dims video-only), media timescale
     * from mdhd, per-sample sizes from stsz, 1-based sync sample numbers
-    * from stss (empty = every sample is sync, the spec default for
-    * audio), (count, delta) runs from stts, (first_chunk,
+    * from stss, (count, delta) runs from stts, (first_chunk,
     * samples_per_chunk) runs from stsc, and the FULL chunk-offset array
-    * from stco or co64.
+    * from stco or co64. `hasStss` distinguishes an ABSENT stss box
+    * (every sample is sync — ISO 14496-12 §8.6.2, the audio default)
+    * from a PRESENT one: a present-but-empty stss means NO sample is a
+    * sync point, the exact inverse — emptiness alone cannot encode both.
     */
   private[graft] case class Mp4Track(handler: String, codec: String,
       width: Int, height: Int, timescale: Long, sizes: Array[Long],
       syncs: Array[Int], sttsRuns: Array[(Long, Long)],
-      stscRuns: Array[(Long, Long)], chunkOffsets: Array[Long])
+      stscRuns: Array[(Long, Long)], chunkOffsets: Array[Long],
+      hasStss: Boolean = false)
 
   /** Parsed ISO-BMFF container: brand, EVERY trak (a real mp4 muxes
     * audio beside video — parsing must tolerate all of them), and the
@@ -1266,6 +1269,7 @@ object Multimodal {
     var trackId = -1L
     var sizes: Array[Long] = null
     var syncs: Array[Int] = Array.empty
+    var hasStss = false
     var sttsRuns: Array[(Long, Long)] = null
     var stscRuns: Array[(Long, Long)] = null
     var chunkOffsets: Array[Long] = null
@@ -1301,7 +1305,8 @@ object Multimodal {
           case "trak" =>
             handler = null; codec = null; w = -1; h = -1; timescale = -1L
             trackId = -1L
-            sizes = null; syncs = Array.empty; sttsRuns = null
+            sizes = null; syncs = Array.empty; hasStss = false
+            sttsRuns = null
             stscRuns = null; chunkOffsets = null
             walk(boxEnd)
             require(handler != null && codec != null && timescale > 0 &&
@@ -1313,7 +1318,7 @@ object Multimodal {
               s"stts covers ${sttsRuns.map(_._1).sum} samples, " +
                 s"stsz says ${sizes.length} (handler=$handler)")
             tracks += Mp4Track(handler, codec, w, h, timescale, sizes,
-              syncs, sttsRuns, stscRuns, chunkOffsets)
+              syncs, sttsRuns, stscRuns, chunkOffsets, hasStss)
             trackIds += trackId
           case "tkhd" =>
             val ver = bb.getInt() >>> 24
@@ -1433,6 +1438,7 @@ object Multimodal {
             sttsRuns = Array.fill(bb.getInt())((u32(), u32()))
           case "stss" =>
             bb.getInt()
+            hasStss = true
             syncs = Array.fill(bb.getInt())(bb.getInt())
           case "stsz" =>
             bb.getInt()
@@ -1499,12 +1505,10 @@ object Multimodal {
         val syncIdx = synFlags.zipWithIndex.collect {
           case (true, i) => i + 1
         }
-        require(syncIdx.nonEmpty,
-          s"fragmented track $tid has zero sync samples")
-        // all-sync collapses to the absent-stss convention
-        val mSyncs =
-          if (syncIdx.length == synFlags.length) Array.empty[Int]
-          else syncIdx
+        // all-sync collapses to the absent-stss convention; anything
+        // else (including zero sync samples) is a present sync table
+        val allSync = syncIdx.length == synFlags.length
+        val mSyncs = if (allSync) Array.empty[Int] else syncIdx
         val stscAcc =
           scala.collection.mutable.ArrayBuffer[(Long, Long)]()
         runs.map(_.sizes.length.toLong).zipWithIndex.foreach {
@@ -1514,7 +1518,7 @@ object Multimodal {
         }
         t.copy(sizes = allSizes, syncs = mSyncs,
           sttsRuns = sttsAcc.toArray, stscRuns = stscAcc.toArray,
-          chunkOffsets = runs.map(_.start))
+          chunkOffsets = runs.map(_.start), hasStss = !allSync)
       }
     }
     val mdatStart = mdatRanges.map(_._1).min
@@ -1566,9 +1570,10 @@ object Multimodal {
       val co = sampleChunkOffsets(v)
       (0 until n).map { j =>
         // ISO 14496-12 §8.6.2: an ABSENT stss box means every sample
-        // is a sync sample (all-intra files omit it); only a present
-        // stss restricts the sync set
-        val isSync = v.syncs.isEmpty || syncSet.contains(j + 1)
+        // is a sync sample (all-intra files omit it); a PRESENT stss —
+        // even an empty one, which means NO seekable samples —
+        // restricts the sync set to exactly its entries
+        val isSync = !v.hasStss || syncSet.contains(j + 1)
         Mp4Sample(r.doc_id, j, v.codec, v.width, v.height, n,
           v.sizes(j), co(j)._1, co(j)._2, m.mdatStart, dts(j), isSync)
       }

@@ -111,12 +111,26 @@ object PrepareRun {
       // a marker from a run with different parameters does not certify
       // this run's outputs — recompute rather than silently mix configs
       case Some(_) =>
-        val p = new Path(s"$outDir/_stage_$stage")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, false)
+        deleteMarker(spark, outDir, stage)
         None
       case None => None
     }
+  }
+
+  /** Marker deletion must remove the `.old` rewrite-staging sibling
+    * too: readMarkerRaw rolls BACK from `.old` when the main file is
+    * missing, so an orphaned sibling would resurrect an invalidated
+    * marker (with its stale params and counts) on the next read.
+    */
+  private def deleteMarker(spark: SparkSession, outDir: String,
+                           stage: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$outDir/_stage_$stage", s"$outDir/_stage_$stage.old")
+      .foreach { s =>
+        val p = new Path(s)
+        if (p.getFileSystem(hconf).exists(p))
+          p.getFileSystem(hconf).delete(p, false)
+      }
   }
 
   /** Lists committed wave ids from `_stage_wave_<id>` marker files. */
@@ -125,7 +139,7 @@ object PrepareRun {
     val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fsys.exists(dir)) Seq.empty
     else fsys.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("_stage_wave_"))
+      .filter(n => n.startsWith("_stage_wave_") && !n.endsWith(".old"))
       .map(_.stripPrefix("_stage_wave_").toInt).toSeq.sorted
   }
 
@@ -143,17 +157,36 @@ object PrepareRun {
   private def invalidateWaves(spark: SparkSession, outDir: String,
                               deleteData: Boolean): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    waveMarkerIds(spark, outDir).foreach { id =>
-      val p = new Path(s"$outDir/_stage_wave_$id")
-      p.getFileSystem(hconf).delete(p, false)
+    val ids = waveMarkerIds(spark, outDir)
+    if (!deleteData) {
+      // a spans-only recompute may only drop markers whose wave DATA is
+      // still on disk (replay rebuilds it byte-identically). A marker
+      // whose partitions are gone means an interrupted compactRun folded
+      // the wave but never absorbed the marker — deleting it here would
+      // destroy the folded wave's replay guard and counts; completing
+      // the compaction is the fix, said loudly.
+      ids.foreach { id =>
+        val hadData = readMarkerRaw(spark, outDir, s"wave_$id")
+          .exists { case (_, counts) =>
+            counts.getOrElse("train", 0L) > 0 ||
+              counts.getOrElse("val", 0L) > 0
+          }
+        val p = new Path(s"$outDir/train_docs/wave=$id")
+        val v = new Path(s"$outDir/val_docs/wave=$id")
+        val onDisk = p.getFileSystem(hconf).exists(p) ||
+          v.getFileSystem(hconf).exists(v)
+        require(!hadData || onDisk,
+          s"wave $id is folded into the base but its marker was never " +
+            "absorbed (interrupted prepare-run-compact?) — run " +
+            "prepare-run-compact to complete it, then retry")
+      }
     }
+    ids.foreach(id => deleteMarker(spark, outDir, s"wave_$id"))
     if (deleteData) {
       // the compacted-waves marker certifies docs-level identity of
       // FOLDED waves — only a docs-front recompute invalidates it (a
       // spans-only recompute keeps folded docs valid inside wave=0)
-      val cm = new Path(s"$outDir/_stage_compacted")
-      if (cm.getFileSystem(hconf).exists(cm))
-        cm.getFileSystem(hconf).delete(cm, false)
+      deleteMarker(spark, outDir, "compacted")
       Seq("train_docs", "val_docs", "train_spans", "dedup_index",
           "semantic_reps")
         .foreach { t =>
@@ -426,10 +459,18 @@ object PrepareRun {
         require(cps == expect,
           s"wave $waveId was folded into the base under params $cps; " +
             s"it cannot replay under $expect — recompute the base run")
-        return ccounts.collect {
+        val folded = ccounts.collect {
           case (k, v) if k.startsWith(s"w${waveId}_") =>
             (k.stripPrefix(s"w${waveId}_"), v)
         }.toSeq.sortBy(_._1)
+        // a waveId under max_wave that was NEVER committed must not be
+        // swallowed as an empty no-op — wave ids are increasing by
+        // contract (priorMax/priorWin read `wave < waveId`), so a new
+        // id below the fold point is a caller error, said loudly
+        require(folded.nonEmpty,
+          s"wave $waveId is below the compacted max_wave but was never " +
+            "committed — wave ids must be increasing")
+        return folded
       case _ =>
     }
     readMarkerRaw(spark, outDir, stage) match {
@@ -437,9 +478,7 @@ object PrepareRun {
         // committed wave: idempotent replay returns the recorded counts
         return counts.toSeq.sortBy(_._1)
       case Some(_) =>
-        val p = new Path(s"$outDir/_stage_$stage")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, false)
+        deleteMarker(spark, outDir, stage)
       case None =>
     }
     // unmarked (crashed or param-changed) wave: delete exactly this
@@ -700,10 +739,7 @@ object PrepareRun {
         ("max_wave" -> maxWave)
     writeMarker(spark, outDir, "compacted", compactParams,
       mergedCounts.toSeq.sortBy(_._1))
-    waveIds.foreach { id =>
-      val p = new Path(s"$outDir/_stage_wave_$id")
-      p.getFileSystem(hconf).delete(p, false)
-    }
+    waveIds.foreach(id => deleteMarker(spark, outDir, s"wave_$id"))
     report
   }
 }

@@ -236,9 +236,16 @@ object Similarity {
     *  - k > 128: codegen cannot hold k×dim literals (SemDeDup's
     *    k ~ n/targetSize reaches thousands of clusters at 1 M+
     *    vectors), so the centroids become a BROADCAST k-row frame and
-    *    the argmax a partial-aggregated max over (sim, -cid) structs —
-    *    still no shuffle of the corpus beyond the map-side combine,
-    *    n×k cosine work either way (that IS k-means assignment cost).
+    *    the argmax a max over (sim, -cid) structs grouped by vec_id.
+    *    The k candidate rows per vector collapse map-side (partial
+    *    agg), but the final agg still exchanges the n surviving rows —
+    *    one corpus-sized shuffle per assignment pass, the price of the
+    *    grouped argmax. The n×k cosine work is the same either way
+    *    (that IS k-means assignment cost). This arm requires UNIQUE
+    *    vec_ids (checked — a duplicate would silently collapse to one
+    *    row here while the literal arm keeps both), and returns a
+    *    localCheckpoint so multi-consumer callers don't re-pay the
+    *    n×k pass.
     * `vecCosine` evaluates the identical double-of-float fold on
     * identical inputs in both arms, and the struct ordering reproduces
     * array_position's first-max-wins tie rule, so the arms agree
@@ -259,7 +266,7 @@ object Similarity {
       val centsDf = cents.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
         .toDF("_gr_cid", "_gr_cent")
-      embeddings.select(col("vec_id"), col("embedding"))
+      val out = embeddings.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(centsDf))
         .select(col("vec_id"), col("embedding"),
           struct(
@@ -272,6 +279,11 @@ object Similarity {
         .select(col("vec_id"),
           (-col("_gr_best.nc")).cast("long").as("cluster"),
           col("embedding"))
+        .localCheckpoint()
+      require(out.count() == embeddings.count(),
+        "assignClusters requires unique vec_ids — duplicates would " +
+          "collapse in the grouped argmax (the literal arm keeps them)")
+      out
     }
 
   /** [[semanticDedup]] exposing the state an incremental corpus needs
@@ -289,7 +301,10 @@ object Similarity {
     val n = embeddings.count()
     val k = math.max(8L, math.ceil(n.toDouble / targetSize).toLong).toInt
     val cents = kmeansCentroids(embeddings, k, iters)
-    val asg = assignClusters(embeddings, cents)
+    // asg feeds reps AND both sides of the pairwise join — checkpoint
+    // once so the n×k assignment isn't re-run per consumer (the x61
+    // multi-consumer rule; semanticDedupWave does the same)
+    val asg = assignClusters(embeddings, cents).localCheckpoint()
     val ranked = asg.withColumn("rnk", row_number().over(
       Window.partitionBy("cluster").orderBy("vec_id")))
     val reps = ranked.filter(col("rnk") <= repCap)

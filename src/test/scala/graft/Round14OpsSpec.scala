@@ -629,5 +629,19 @@ class Round14OpsSpec extends GraftSparkSpec {
       .toSet
     assert(rows == Set((1L, 0, true), (1L, 1, true), (1L, 2, true),
       (2L, 0, true), (2L, 1, false), (2L, 2, true)))
+
+    // a PRESENT-but-EMPTY stss is the exact inverse: NO sample is a
+    // seek point (ISO entry_count 0) — presence, not emptiness, is
+    // what restricts the sync set
+    val emptied = withStss.clone()
+    val at = emptied.toSeq.indexOfSlice("stss".getBytes("US-ASCII").toSeq)
+    assert(at >= 0)
+    java.nio.ByteBuffer.wrap(emptied).putInt(at + 8, 0) // entry_count=0
+    val m = Multimodal.parseMp4(emptied)
+    assert(m.video.hasStss && m.video.syncs.isEmpty)
+    val noneSync = Multimodal.mp4SampleTable(spark,
+        Seq((3L, emptied)).toDF("doc_id", "content"))
+      .select("is_sync").collect().map(_.getBoolean(0))
+    assert(noneSync.length == 3 && noneSync.forall(_ == false))
   }
 }
