@@ -681,7 +681,13 @@ object Multimodal {
       width: Int, height: Int, timescale: Long, sizes: Array[Long],
       syncs: Array[Int], sttsRuns: Array[(Long, Long)],
       stscRuns: Array[(Long, Long)], chunkOffsets: Array[Long],
-      hasStss: Boolean = false)
+      hasStss: Boolean = false,
+      // per-sample composition offsets (ctts / trun cts): pts = dts +
+      // offset — B-frames make decode and display order diverge, so a
+      // frame sampler ordering by dts shows frames out of order. Empty
+      // = no ctts (pts == dts). Signed: v1 ctts/trun carry negative
+      // offsets on edit-shifted content.
+      ctsOffsets: Array[Long] = Array.empty)
 
   /** Parsed ISO-BMFF container: brand, EVERY trak (a real mp4 muxes
     * audio beside video — parsing must tolerate all of them), and the
@@ -739,7 +745,8 @@ object Multimodal {
   case class Mp4Sample(doc_id: Long, sample_idx: Int, codec: String,
                        width: Int, height: Int, n_samples: Int,
                        n_bytes: Long, chunk_idx: Int, byte_offset: Long,
-                       mdat_start: Long, dts: Long, is_sync: Boolean)
+                       mdat_start: Long, dts: Long, pts: Long,
+                       is_sync: Boolean)
 
   private def putCc(bb: java.nio.ByteBuffer, s: String): Unit = {
     bb.put(s.getBytes("US-ASCII")); ()
@@ -866,9 +873,13 @@ object Multimodal {
                               seed: Long,
                               samplesPerChunk: Int = 0,
                               audioSizes: Array[Int] = Array.empty,
-                              useCo64: Boolean = false): Array[Byte] = {
+                              useCo64: Boolean = false,
+                              ctsOffsets: Array[Int] = Array.empty)
+      : Array[Byte] = {
     val n = sizes.length
     require(sttsRuns.map(_._1).sum == n, "stts must cover every sample")
+    require(ctsOffsets.isEmpty || ctsOffsets.length == n,
+      "one cts offset per video sample (or none)")
     val durMedia = sttsRuns.map { case (c, d) => c.toLong * d }.sum
 
     val spc = if (samplesPerChunk <= 0) math.max(n, 1) else samplesPerChunk
@@ -937,7 +948,8 @@ object Multimodal {
       val durMovie = durMedia * 1000 / 90000
       def stblBox(codecEntry: Array[Byte], runs: Array[(Int, Int)],
                   syncsArr: Array[Int], sizesArr: Array[Int],
-                  chunkSizes: Array[Int], offs: Array[Long]): Array[Byte] = {
+                  chunkSizes: Array[Int], offs: Array[Long],
+                  ctsArr: Array[Int] = Array.empty): Array[Byte] = {
         val stsd = mkBox("stsd", buf(8) { bb =>
           bb.putInt(0).putInt(1); ()
         }, codecEntry)
@@ -956,6 +968,24 @@ object Multimodal {
             syncsArr.foreach(bb.putInt)
             ()
           })
+        // composition offsets (B-frame pts shifts), run-length
+        // compressed; version 1 — SIGNED offsets, the form edit-shifted
+        // real content uses
+        val ctts =
+          if (ctsArr.isEmpty) Array.empty[Byte]
+          else {
+            val cruns = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+            ctsArr.foreach { o =>
+              if (cruns.nonEmpty && cruns.last._2 == o)
+                cruns(cruns.length - 1) = (cruns.last._1 + 1, o)
+              else cruns += ((1, o))
+            }
+            mkBox("ctts", buf(8 + 8 * cruns.length) { bb =>
+              bb.putInt(0x01000000).putInt(cruns.length)
+              cruns.foreach { case (c, o) => bb.putInt(c).putInt(o) }
+              ()
+            })
+          }
         val stsz = mkBox("stsz", buf(12 + 4 * sizesArr.length) { bb =>
           bb.putInt(0).putInt(0).putInt(sizesArr.length)
           sizesArr.foreach(bb.putInt)
@@ -985,10 +1015,10 @@ object Multimodal {
             }
             ()
           })
-        mkBox("stbl", stsd, stts, stss, stsz, stsc, stcoOrCo64)
+        mkBox("stbl", stsd, stts, ctts, stss, stsz, stsc, stcoOrCo64)
       }
       val vstbl = stblBox(avc1Box(w, h), sttsRuns, syncs, sizes,
-        vChunkSizes, vOffs)
+        vChunkSizes, vOffs, ctsOffsets)
       val vtrak = mkBox("trak", tkhdBox(1, durMovie, w, h),
         mkBox("mdia", mdhdBox(90000, durMedia), hdlrBox("vide"),
           mkBox("minf", vmhdBox, dinfBox, vstbl)))
@@ -1039,9 +1069,12 @@ object Multimodal {
       w: Int, h: Int, sizes: Array[Int], durations: Array[Int],
       seed: Long, samplesPerFragment: Int,
       audioSizes: Array[Int] = Array.empty,
-      explicitBase: Boolean = false): Array[Byte] = {
+      explicitBase: Boolean = false,
+      ctsOffsets: Array[Int] = Array.empty): Array[Byte] = {
     val n = sizes.length
     require(durations.length == n, "one duration per video sample")
+    require(ctsOffsets.isEmpty || ctsOffsets.length == n,
+      "one cts offset per video sample (or none)")
     val spf = math.max(1, samplesPerFragment)
     val na = audioSizes.length
     val nFrag = math.max((n + spf - 1) / spf, na)
@@ -1126,14 +1159,23 @@ object Multimodal {
             ()
           })
           // data-offset | first-sample-flags | sample-duration |
-          // sample-size
-          val vTrun = mkBox("trun", buf(16 + 8 * vr.length) { bb =>
-            bb.putInt(0x305).putInt(vr.length)
-            bb.putInt(vOff)
-            bb.putInt(0x02000000) // I-frame: depends-on=2, sync
-            vr.foreach { i => bb.putInt(durations(i)).putInt(sizes(i)) }
-            ()
-          })
+          // sample-size [| cts-offset when B-frame shifts present —
+          // trun version 1 for SIGNED offsets]
+          val hasCts = ctsOffsets.nonEmpty
+          val perSample = if (hasCts) 12 else 8
+          val vTrunFlags = 0x305 | (if (hasCts) 0x800 else 0)
+          val vTrun = mkBox("trun",
+            buf(16 + perSample * vr.length) { bb =>
+              bb.putInt((if (hasCts) 0x01000000 else 0) | vTrunFlags)
+              bb.putInt(vr.length)
+              bb.putInt(vOff)
+              bb.putInt(0x02000000) // I-frame: depends-on=2, sync
+              vr.foreach { i =>
+                bb.putInt(durations(i)).putInt(sizes(i))
+                if (hasCts) bb.putInt(ctsOffsets(i))
+              }
+              ()
+            })
           parts += mkBox("traf", vTfhd, vTfdt, vTrun)
         }
         if (hasA) {
@@ -1196,7 +1238,11 @@ object Multimodal {
       (1 to n by 3).toArray, id,
       samplesPerChunk = 2,
       audioSizes = Array.tabulate(na)(i => ((id * 3 + i) % 40 + 10).toInt),
-      useCo64 = id % 3 == 0)
+      useCo64 = id % 3 == 0,
+      // B-frame composition shifts: pts = dts + ((id+i)%3)*700 — the
+      // ctts runs exercise run-length expansion; the oracle recomputes
+      // pts from the same arithmetic
+      ctsOffsets = Array.tabulate(n)(i => (((id + i) % 3) * 700).toInt))
   }
 
   def synthesizeMp4(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -1225,7 +1271,10 @@ object Multimodal {
       Array.tabulate(n)(i => if (i < n1) 3000 else 3600),
       id, samplesPerFragment = 2,
       audioSizes = Array.tabulate(na)(i => ((id * 3 + i) % 40 + 10).toInt),
-      explicitBase = id % 3 == 0)
+      explicitBase = id % 3 == 0,
+      // same pts arithmetic as the moov fixture, carried per-sample in
+      // the trun (v1) instead of a ctts box
+      ctsOffsets = Array.tabulate(n)(i => (((id + i) % 3) * 700).toInt))
   }
 
   def synthesizeFmp4(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -1270,6 +1319,7 @@ object Multimodal {
     var sizes: Array[Long] = null
     var syncs: Array[Int] = Array.empty
     var hasStss = false
+    var ctsOffsets: Array[Long] = Array.empty
     var sttsRuns: Array[(Long, Long)] = null
     var stscRuns: Array[(Long, Long)] = null
     var chunkOffsets: Array[Long] = null
@@ -1279,7 +1329,7 @@ object Multimodal {
       scala.collection.mutable.Map[Long, (Long, Long, Long)]()
     case class FragRun(trackId: Long, start: Long, sizes: Array[Long],
                        durs: Array[Long], syncs: Array[Boolean],
-                       tfdt: Long)
+                       cts: Array[Long], tfdt: Long)
     val fragRuns = scala.collection.mutable.ArrayBuffer[FragRun]()
     var moofStart = -1L
     var trafSeen = 0 // trafs closed so far in the current moof
@@ -1306,7 +1356,7 @@ object Multimodal {
             handler = null; codec = null; w = -1; h = -1; timescale = -1L
             trackId = -1L
             sizes = null; syncs = Array.empty; hasStss = false
-            sttsRuns = null
+            ctsOffsets = Array.empty; sttsRuns = null
             stscRuns = null; chunkOffsets = null
             walk(boxEnd)
             require(handler != null && codec != null && timescale > 0 &&
@@ -1317,8 +1367,13 @@ object Multimodal {
             require(sttsRuns.map(_._1).sum == sizes.length,
               s"stts covers ${sttsRuns.map(_._1).sum} samples, " +
                 s"stsz says ${sizes.length} (handler=$handler)")
+            require(ctsOffsets.isEmpty ||
+              ctsOffsets.length == sizes.length,
+              s"ctts covers ${ctsOffsets.length} samples, stsz says " +
+                s"${sizes.length} (handler=$handler)")
             tracks += Mp4Track(handler, codec, w, h, timescale, sizes,
-              syncs, sttsRuns, stscRuns, chunkOffsets, hasStss)
+              syncs, sttsRuns, stscRuns, chunkOffsets, hasStss,
+              ctsOffsets)
             trackIds += trackId
           case "tkhd" =>
             val ver = bb.getInt() >>> 24
@@ -1367,7 +1422,9 @@ object Multimodal {
             tfdtVal = if ((vf >>> 24) == 1) bb.getLong() else u32()
           case "trun" =>
             require(trafTrackId > 0, "trun before tfhd in traf")
-            val flags = bb.getInt() & 0xffffff
+            val trunVf = bb.getInt()
+            val flags = trunVf & 0xffffff
+            val trunVer = trunVf >>> 24
             val cnt = bb.getInt()
             require(cnt > 0, "empty trun")
             require((flags & 0x1) != 0,
@@ -1378,6 +1435,7 @@ object Multimodal {
             val szs = new Array[Long](cnt)
             val durs = new Array[Long](cnt)
             val syn = new Array[Boolean](cnt)
+            val ctsArr = new Array[Long](cnt)
             var i = 0
             while (i < cnt) {
               durs(i) =
@@ -1402,12 +1460,16 @@ object Multimodal {
                     "no sample flags in trun, tfhd, or trex")
                   trafDefFlags
                 }
-              if ((flags & 0x800) != 0) bb.getInt() // cts offset
+              // composition offset: trun v0 unsigned, v1 SIGNED
+              ctsArr(i) =
+                if ((flags & 0x800) == 0) 0L
+                else if (trunVer >= 1) bb.getInt().toLong
+                else u32()
               syn(i) = (fl & 0x10000L) == 0 // sample_is_non_sync_sample
               i += 1
             }
             fragRuns += FragRun(trafTrackId, trafBase + dataOff,
-              szs, durs, syn, tfdtVal)
+              szs, durs, syn, ctsArr, tfdtVal)
             tfdtVal = -1L // the declared time covers the traf's FIRST trun
           case "mdhd" =>
             val ver = bb.get()
@@ -1440,6 +1502,17 @@ object Multimodal {
             bb.getInt()
             hasStss = true
             syncs = Array.fill(bb.getInt())(bb.getInt())
+          case "ctts" =>
+            // composition offsets: v0 unsigned, v1 SIGNED (negative on
+            // edit-shifted content) — run-length (count, offset)
+            val ver = bb.getInt() >>> 24
+            ctsOffsets = Array.fill(bb.getInt()) {
+              val cnt = u32()
+              val off = if (ver == 1) bb.getInt().toLong else u32()
+              (cnt, off)
+            }.flatMap { case (cnt, off) =>
+              Array.fill(cnt.toInt)(off)
+            }
           case "stsz" =>
             bb.getInt()
             val uniform = u32()
@@ -1516,9 +1589,12 @@ object Multimodal {
             if (stscAcc.isEmpty || stscAcc.last._2 != c)
               stscAcc += ((i + 1L, c))
         }
+        val allCts = runs.flatMap(_.cts)
         t.copy(sizes = allSizes, syncs = mSyncs,
           sttsRuns = sttsAcc.toArray, stscRuns = stscAcc.toArray,
-          chunkOffsets = runs.map(_.start), hasStss = !allSync)
+          chunkOffsets = runs.map(_.start), hasStss = !allSync,
+          ctsOffsets =
+            if (allCts.forall(_ == 0L)) Array.empty else allCts)
       }
     }
     val mdatStart = mdatRanges.map(_._1).min
@@ -1574,8 +1650,13 @@ object Multimodal {
         // even an empty one, which means NO seekable samples —
         // restricts the sync set to exactly its entries
         val isSync = !v.hasStss || syncSet.contains(j + 1)
+        // presentation time: B-frames reorder display vs decode, so a
+        // frame sampler MUST seek by pts, not dts
+        val pts = dts(j) +
+          (if (v.ctsOffsets.isEmpty) 0L else v.ctsOffsets(j))
         Mp4Sample(r.doc_id, j, v.codec, v.width, v.height, n,
-          v.sizes(j), co(j)._1, co(j)._2, m.mdatStart, dts(j), isSync)
+          v.sizes(j), co(j)._1, co(j)._2, m.mdatStart, dts(j), pts,
+          isSync)
       }
     }.toDF()
   }

@@ -2498,7 +2498,7 @@ object ExtensionQueries {
           col("width"), col("height"), col("n_samples"), col("n_bytes"),
           col("chunk_idx"),
           (col("byte_offset") - col("mdat_start")).as("rel_offset"),
-          col("dts"), col("is_sync"))
+          col("dts"), col("pts"), col("is_sync"))
         .orderBy("doc_id", "sample_idx"),
       Some(
         """WITH s AS (
@@ -2527,6 +2527,10 @@ object ExtensionQueries {
           |  CAST(CASE WHEN i < n // 2 THEN i * 3000
           |    ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END
           |    AS BIGINT) AS dts,
+          |  -- B-frame composition shift from the ctts runs
+          |  CAST((CASE WHEN i < n // 2 THEN i * 3000
+          |    ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END)
+          |    + ((doc_id + i) % 3) * 700 AS BIGINT) AS pts,
           |  i % 3 = 0 AS is_sync
           |FROM s ORDER BY doc_id, sample_idx""".stripMargin)),
 
@@ -2604,7 +2608,7 @@ object ExtensionQueries {
             (col("byte_offset") - min(col("byte_offset")).over(
               Window.partitionBy(col("doc_id"), col("chunk_idx"))))
               .as("rel_offset"),
-            col("dts"), col("is_sync"))
+            col("dts"), col("pts"), col("is_sync"))
           .orderBy("doc_id", "sample_idx")
       },
       Some(
@@ -2626,6 +2630,10 @@ object ExtensionQueries {
           |  CAST(CASE WHEN i < n // 2 THEN i * 3000
           |    ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END
           |    AS BIGINT) AS dts,
+          |  -- B-frame composition shift from the per-sample trun cts
+          |  CAST((CASE WHEN i < n // 2 THEN i * 3000
+          |    ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END)
+          |    + ((doc_id + i) % 3) * 700 AS BIGINT) AS pts,
           |  i % 2 = 0 AS is_sync
           |FROM s ORDER BY doc_id, sample_idx""".stripMargin)),
 

@@ -613,6 +613,39 @@ class Round14OpsSpec extends GraftSparkSpec {
       "tau change kept the stale wave marker")
   }
 
+  test("mp4/fmp4: composition offsets (B-frame pts) round-trip, v1 signed") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // closed-GOP B-frame shape with a NEGATIVE offset (v1 signedness):
+    // decode I P B -> display I B P: cts = {0, +d, -d}
+    val cts = Array(0, 3000, -3000, 0, 3000, -3000)
+    val sizes = Array(20, 21, 22, 23, 24, 25)
+    val durs = Array.fill(6)(3000)
+    val moov = Multimodal.mp4Bytes(16, 16, sizes,
+      Array((6, 3000)), syncs = Array(1, 4), seed = 8L,
+      ctsOffsets = cts)
+    val frag = Multimodal.mp4FragmentedBytes(16, 16, sizes, durs,
+      seed = 8L, samplesPerFragment = 3, ctsOffsets = cts)
+    for ((bytes, nm) <- Seq((moov, "moov"), (frag, "frag"))) {
+      val v = Multimodal.parseMp4(bytes).video
+      assert(v.ctsOffsets.toSeq ==
+        Seq(0L, 3000L, -3000L, 0L, 3000L, -3000L), nm)
+      val st = Multimodal.mp4SampleTable(spark,
+          Seq((1L, bytes)).toDF("doc_id", "content"))
+        .orderBy("sample_idx")
+        .select("dts", "pts").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // pts order differs from dts order — the B-frame reorder is real
+      assert(st.toSeq == Seq((0L, 0L), (3000L, 6000L), (6000L, 3000L),
+        (9000L, 9000L), (12000L, 15000L), (15000L, 12000L)), nm)
+    }
+    // no ctts -> pts == dts (the r13 default preserved)
+    val plain = Multimodal.mp4Bytes(16, 16, Array(20, 21),
+      Array((2, 3000)), syncs = Array(1), seed = 2L)
+    val pv = Multimodal.parseMp4(plain).video
+    assert(pv.ctsOffsets.isEmpty)
+  }
+
   test("mp4: absent stss means EVERY sample is sync (ISO 14496-12 §8.6.2)") {
     import graft.operators.Multimodal
     import spark.implicits._
