@@ -606,6 +606,33 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    // streaming semantic-dedup tripwire: flag landing embeddings that
+    // are semantic dups of the committed corpus (PrepareRun's persisted
+    // clustering state) — flags only; runWave is what extends the corpus
+    case "stream-semantic-dedup" :: prepDir :: landingDir :: outDir ::
+        checkpoint :: rest =>
+      val spark = session()
+      val tau = rest.headOption.map(_.toDouble).getOrElse(0.4)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val cents = spark.read.parquet(s"$prepDir/semantic_centroids")
+        .orderBy("cluster").select("centroid").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val reps = spark.read.parquet(s"$prepDir/semantic_reps")
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val stream = spark.readStream.schema(embSchema).parquet(landingDir)
+      val q = streaming.StreamingAnalytics.semanticDedupIngest(
+        stream, cents, reps, "doc_id", outDir, checkpoint, tau = tau)
+      println(s"[graft] semantic-dedup server on $landingDir vs $prepDir " +
+        s"(k=${cents.length}, tau=$tau) -> $outDir")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     // streaming per-source distinct-cardinality monitor: 256 bytes of
     // HLL register state per source (StreamingAnalytics.streamingDistinct,
     // the d48 register semantics), estimates appended per micro-batch —
@@ -818,6 +845,7 @@ object GraftCli {
            |  ann-compact <indexDir> [targetBytes]
            |  stream-upsert <landingDir> <tableDir> <checkpointDir> <keyCol> <tsCol> [nBuckets] [runSec]
            |  stream-dedup-delta <corpusParquetOrIndex> <landingDir> <outDir> <checkpointDir> [threshold] [runSec]
+           |  stream-semantic-dedup <prepRunDir> <landingDir> <outDir> <checkpointDir> [tau] [runSec]
            |  stream-quality-route <landingDir> <passDir> <quarantineDir> <checkpointDir> [minWords] [runSec]
            |  stream-append-unique <landingDir> <corpusTableDir> <checkpointDir> [nBuckets] [runSec]
            |  stream-asof <refParquet> <landingDir> <outDir> <checkpointDir> <keyCol> <timeCol> <valueCols,> [runSec] [backward|forward] [toleranceUnits]

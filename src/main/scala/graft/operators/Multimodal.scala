@@ -687,7 +687,12 @@ object Multimodal {
       // frame sampler ordering by dts shows frames out of order. Empty
       // = no ctts (pts == dts). Signed: v1 ctts/trun carry negative
       // offsets on edit-shifted content.
-      ctsOffsets: Array[Long] = Array.empty)
+      ctsOffsets: Array[Long] = Array.empty,
+      // elst entries as (segment_duration in MOVIE timescale,
+      // media_time in MEDIA timescale; -1 = empty edit). Real files
+      // (phone captures especially) lead with an edit that trims the
+      // pre-roll — ignoring it shifts every presented timestamp.
+      edits: Array[(Long, Long)] = Array.empty)
 
   /** Parsed ISO-BMFF container: brand, EVERY trak (a real mp4 muxes
     * audio beside video — parsing must tolerate all of them), and the
@@ -695,7 +700,7 @@ object Multimodal {
     * by position: trak order in moov is arbitrary in the wild.
     */
   private[graft] case class Mp4Meta(brand: String, tracks: Array[Mp4Track],
-      mdatStart: Long, mdatEnd: Long) {
+      mdatStart: Long, mdatEnd: Long, movieTimescale: Long = 0L) {
     def video: Mp4Track = {
       val vs = tracks.filter(_.handler == "vide")
       require(vs.length == 1,
@@ -839,6 +844,27 @@ object Multimodal {
       bb.putShort(24).putShort(-1) // depth, pre_defined
       ()
     })
+  /** Optional edts(elst) for the video trak: an optional leading EMPTY
+    * edit of `delayMovie` (movie-timescale) ticks, then one media edit
+    * starting at `mediaTime` (media timescale) — the single-shift shape
+    * real captures write. Returns empty bytes when both are zero.
+    */
+  private def edtsBox(mediaTime: Long, delayMovie: Long,
+                      durMovie: Long): Array[Byte] =
+    if (mediaTime == 0 && delayMovie == 0) Array.empty
+    else {
+      val entries =
+        (if (delayMovie > 0) Seq((delayMovie, -1L)) else Seq.empty) :+
+          ((durMovie, mediaTime))
+      mkBox("edts", mkBox("elst", buf(8 + 12 * entries.length) { bb =>
+        bb.putInt(0).putInt(entries.length)
+        entries.foreach { case (d, mt) =>
+          bb.putInt(d.toInt).putInt(mt.toInt).putInt(0x00010000)
+        }
+        ()
+      }))
+    }
+
   private def mp4aBox: Array[Byte] = mkBox("mp4a", buf(28) { bb =>
     bb.putInt(0).putShort(0) // 6 reserved bytes
     bb.putShort(1) // data_reference_index
@@ -874,7 +900,9 @@ object Multimodal {
                               samplesPerChunk: Int = 0,
                               audioSizes: Array[Int] = Array.empty,
                               useCo64: Boolean = false,
-                              ctsOffsets: Array[Int] = Array.empty)
+                              ctsOffsets: Array[Int] = Array.empty,
+                              editMediaTime: Long = 0,
+                              editDelayMovie: Long = 0)
       : Array[Byte] = {
     val n = sizes.length
     require(sttsRuns.map(_._1).sum == n, "stts must cover every sample")
@@ -1020,6 +1048,7 @@ object Multimodal {
       val vstbl = stblBox(avc1Box(w, h), sttsRuns, syncs, sizes,
         vChunkSizes, vOffs, ctsOffsets)
       val vtrak = mkBox("trak", tkhdBox(1, durMovie, w, h),
+        edtsBox(editMediaTime, editDelayMovie, durMovie),
         mkBox("mdia", mdhdBox(90000, durMedia), hdlrBox("vide"),
           mkBox("minf", vmhdBox, dinfBox, vstbl)))
       val traks =
@@ -1070,7 +1099,9 @@ object Multimodal {
       seed: Long, samplesPerFragment: Int,
       audioSizes: Array[Int] = Array.empty,
       explicitBase: Boolean = false,
-      ctsOffsets: Array[Int] = Array.empty): Array[Byte] = {
+      ctsOffsets: Array[Int] = Array.empty,
+      editMediaTime: Long = 0,
+      editDelayMovie: Long = 0): Array[Byte] = {
     val n = sizes.length
     require(durations.length == n, "one duration per video sample")
     require(ctsOffsets.isEmpty || ctsOffsets.length == n,
@@ -1111,6 +1142,8 @@ object Multimodal {
       })
 
     val vtrak = mkBox("trak", tkhdBox(1, 0, w, h),
+      edtsBox(editMediaTime, editDelayMovie,
+        durations.map(_.toLong).sum * 1000 / 90000),
       mkBox("mdia", mdhdBox(90000, 0), hdlrBox("vide"),
         mkBox("minf", vmhdBox, dinfBox, emptyStbl(avc1Box(w, h)))))
     val traks =
@@ -1320,6 +1353,8 @@ object Multimodal {
     var syncs: Array[Int] = Array.empty
     var hasStss = false
     var ctsOffsets: Array[Long] = Array.empty
+    var edits: Array[(Long, Long)] = Array.empty
+    var movieTimescale = 0L
     var sttsRuns: Array[(Long, Long)] = null
     var stscRuns: Array[(Long, Long)] = null
     var chunkOffsets: Array[Long] = null
@@ -1356,7 +1391,8 @@ object Multimodal {
             handler = null; codec = null; w = -1; h = -1; timescale = -1L
             trackId = -1L
             sizes = null; syncs = Array.empty; hasStss = false
-            ctsOffsets = Array.empty; sttsRuns = null
+            ctsOffsets = Array.empty; edits = Array.empty
+            sttsRuns = null
             stscRuns = null; chunkOffsets = null
             walk(boxEnd)
             require(handler != null && codec != null && timescale > 0 &&
@@ -1373,7 +1409,7 @@ object Multimodal {
                 s"${sizes.length} (handler=$handler)")
             tracks += Mp4Track(handler, codec, w, h, timescale, sizes,
               syncs, sttsRuns, stscRuns, chunkOffsets, hasStss,
-              ctsOffsets)
+              ctsOffsets, edits)
             trackIds += trackId
           case "tkhd" =>
             val ver = bb.getInt() >>> 24
@@ -1502,6 +1538,26 @@ object Multimodal {
             bb.getInt()
             hasStss = true
             syncs = Array.fill(bb.getInt())(bb.getInt())
+          case "mvhd" =>
+            val ver = bb.getInt() >>> 24
+            if (ver == 1) { bb.getLong(); bb.getLong() }
+            else { bb.getInt(); bb.getInt() }
+            movieTimescale = u32()
+          case "edts" => walk(boxEnd)
+          case "elst" =>
+            val ver = bb.getInt() >>> 24
+            edits = Array.fill(bb.getInt()) {
+              val (dur, mt) =
+                if (ver == 1) (bb.getLong(), bb.getLong())
+                else (u32(), bb.getInt().toLong) // media_time SIGNED
+              val rate = bb.getInt()
+              // dwell (rate 0) and slow/fast-motion edits change
+              // per-sample presentation in ways a sample table cannot
+              // carry — reject rather than emit wrong timestamps
+              require(rate == 0x00010000,
+                s"elst rate ${rate / 65536.0} unsupported (only 1.0)")
+              (dur, mt)
+            }
           case "ctts" =>
             // composition offsets: v0 unsigned, v1 SIGNED (negative on
             // edit-shifted content) — run-length (count, offset)
@@ -1615,7 +1671,7 @@ object Multimodal {
         i += 1
       }
     }
-    Mp4Meta(brand, merged, mdatStart, mdatEnd)
+    Mp4Meta(brand, merged, mdatStart, mdatEnd, movieTimescale)
   }
 
   /** One row per VIDEO sample from the container metadata alone: codec,
@@ -1629,6 +1685,30 @@ object Multimodal {
     * shape scene-cut and frame-sample pipelines consume for real
     * corpora.
     */
+  /** Edit-list presentation shift (ISO 14496-12 §8.6.6) in MEDIA
+    * timescale ticks — the shape real captures use: at most one leading
+    * EMPTY edit (a delay, in MOVIE timescale) followed by exactly one
+    * media edit whose media_time trims the pre-roll. Multi-segment
+    * lists re-sequence the timeline per segment — no single per-track
+    * shift exists, so they fail loudly rather than emit wrong
+    * timestamps.
+    */
+  private[graft] def editShift(movieTimescale: Long, t: Mp4Track): Long =
+    if (t.edits.isEmpty) 0L
+    else {
+      val (empties, medias) = t.edits.partition(_._2 == -1L)
+      require(medias.length == 1 && empties.length <= 1 &&
+        (empties.isEmpty || t.edits.head._2 == -1L),
+        s"unsupported edit list (${t.edits.length} entries) — only " +
+          "[empty?, media] single-shift lists are supported")
+      val delay = empties.headOption.map { case (d, _) =>
+        require(movieTimescale > 0,
+          "empty edit needs the mvhd movie timescale")
+        d * t.timescale / movieTimescale
+      }.getOrElse(0L)
+      delay - medias.head._2
+    }
+
   def mp4SampleTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "content").as[VideoRow].flatMap { r =>
@@ -1636,6 +1716,7 @@ object Multimodal {
       val v = m.video
       val n = v.sizes.length
       val syncSet = v.syncs.toSet
+      val shift = editShift(m.movieTimescale, v)
       val dts = new Array[Long](n)
       var i = 0
       var acc = 0L
@@ -1650,9 +1731,10 @@ object Multimodal {
         // even an empty one, which means NO seekable samples —
         // restricts the sync set to exactly its entries
         val isSync = !v.hasStss || syncSet.contains(j + 1)
-        // presentation time: B-frames reorder display vs decode, so a
+        // presentation time: B-frames reorder display vs decode (ctts)
+        // and the edit list shifts the whole presented timeline — a
         // frame sampler MUST seek by pts, not dts
-        val pts = dts(j) +
+        val pts = dts(j) + shift +
           (if (v.ctsOffsets.isEmpty) 0L else v.ctsOffsets(j))
         Mp4Sample(r.doc_id, j, v.codec, v.width, v.height, n,
           v.sizes(j), co(j)._1, co(j)._2, m.mdatStart, dts(j), pts,

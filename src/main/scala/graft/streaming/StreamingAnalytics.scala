@@ -174,6 +174,46 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** SEMANTIC (embedding) dedup at ingest against a committed corpus's
+    * persisted clustering state (PrepareRun's `semantic_centroids` +
+    * `semantic_reps`): each micro-batch of (idCol, embedding) rows runs
+    * `Similarity.semanticDedupWave` — assign to the SAME committed
+    * centroids, flag when an earlier-committed representative (or an
+    * earlier same-batch vector inside the union window) exceeds `tau`.
+    * Committed docs always win; per-batch cost is O(batch · repCap)
+    * pairs (both generators are window-bounded).
+    *
+    * FLAGS only — it never appends representatives: rep appends are the
+    * transactional `runWave` marker protocol's job, and a foreachBatch
+    * writer has no stage marker to make that crash-safe. The streaming
+    * server is the tripwire ("this feed is semantically redundant");
+    * the ingest that actually extends the corpus runs `runWave`.
+    * Removal rows land per `wave=<batchId>` dir in overwrite mode —
+    * the idempotent-replay discipline.
+    *
+    * @param docs streaming frame with (idCol, "embedding") columns
+    */
+  def semanticDedupIngest(docs: DataFrame, cents: Array[Array[Float]],
+                          reps: DataFrame, idCol: String, outDir: String,
+                          checkpointDir: String, repCap: Int = 256,
+                          tau: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // data-level prep carried across batches (the asofEnrich/
+    // nearDupIngestIndexed discipline): the reps side is cached once
+    val prepped = reps
+      .select("cluster", "rep_rank", "vec_id", "embedding").persist()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.semanticDedupWave(
+            batch.select(col(idCol).as("vec_id"), col("embedding")),
+            cents, prepped, repCap = repCap, tau = tau)._1
+          .write.mode("overwrite").parquet(s"$outDir/wave=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming AS-OF enrichment: each micro-batch of events is joined —
     * through the NATIVE as-of operator (plans.AsofJoin) — against a
     * static, pre-deduped reference table (e.g. latest order state per

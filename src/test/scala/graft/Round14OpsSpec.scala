@@ -613,6 +613,49 @@ class Round14OpsSpec extends GraftSparkSpec {
       "tau change kept the stale wave marker")
   }
 
+  test("semanticDedupIngest: per-batch flags equal the batch operator, replay-idempotent") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 300)
+    val tau = 0.3
+    val (cents, _, reps) = Similarity.semanticDedupState(base, 128, 256, tau)
+    val w1 = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val w2 = e.filter(col("vec_id") >= 400)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "max_sim")
+        .collect().map(_.toSeq).toSet
+    val exp1 = rowsOf(Similarity.semanticDedupWave(w1, cents, reps,
+      256, tau)._1)
+    val exp2 = rowsOf(Similarity.semanticDedupWave(w2, cents, reps,
+      256, tau)._1)
+    assert(exp1.nonEmpty && exp2.nonEmpty, "fixture flags nothing")
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sem-stream").toString
+    val q = graft.streaming.StreamingAnalytics.semanticDedupIngest(
+      in.toDF().toDF("doc_id", "embedding"), cents, reps, "doc_id",
+      s"$tmp/out", s"$tmp/ckpt", tau = tau)
+    try {
+      def feed(df: org.apache.spark.sql.DataFrame): Unit = {
+        in.addData(df.collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(w1); feed(w2)
+      val out = spark.read.parquet(s"$tmp/out")
+      assert(rowsOf(out.filter(col("wave") === 0)) == exp1)
+      assert(rowsOf(out.filter(col("wave") === 1)) == exp2)
+      // flags-only: the reps the server dedups against never grew —
+      // each batch flags against the COMMITTED state, not prior batches
+      assert(rowsOf(out) == (exp1 ++ exp2))
+    } finally q.stop()
+  }
+
   test("mp4/fmp4: composition offsets (B-frame pts) round-trip, v1 signed") {
     import graft.operators.Multimodal
     import spark.implicits._
@@ -644,6 +687,47 @@ class Round14OpsSpec extends GraftSparkSpec {
       Array((2, 3000)), syncs = Array(1), seed = 2L)
     val pv = Multimodal.parseMp4(plain).video
     assert(pv.ctsOffsets.isEmpty)
+  }
+
+  test("mp4: edit lists shift the presented timeline (pre-roll trim + delay)") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val sizes = Array(20, 21, 22)
+    def ptsOf(bytes: Array[Byte]): Seq[Long] =
+      Multimodal.mp4SampleTable(spark,
+          Seq((1L, bytes)).toDF("doc_id", "content"))
+        .orderBy("sample_idx").select("pts")
+        .collect().map(_.getLong(0)).toSeq
+    // media_time trim: presentation starts 3000 media ticks in
+    val trimmed = Multimodal.mp4Bytes(16, 16, sizes, Array((3, 3000)),
+      Array(1), seed = 5L, editMediaTime = 3000)
+    assert(ptsOf(trimmed) == Seq(-3000L, 0L, 3000L))
+    // leading empty edit: 50 movie ticks (timescale 1000) delay the
+    // media by 50 * 90000/1000 = 4500 media ticks
+    val delayed = Multimodal.mp4Bytes(16, 16, sizes, Array((3, 3000)),
+      Array(1), seed = 5L, editDelayMovie = 50)
+    assert(ptsOf(delayed) == Seq(4500L, 7500L, 10500L))
+    // both together, through the FRAGMENTED writer (trim only — elst
+    // sits in moov either way)
+    val fragTrim = Multimodal.mp4FragmentedBytes(16, 16, sizes,
+      Array(3000, 3000, 3000), seed = 5L, samplesPerFragment = 2,
+      editMediaTime = 3000, editDelayMovie = 50)
+    assert(ptsOf(fragTrim) == Seq(1500L, 4500L, 7500L))
+    // multi-segment lists have no single shift — loud reject: patch the
+    // empty edit's media_time from -1 to 0 (two media edits)
+    val mutated = delayed.clone()
+    val at = mutated.toSeq.indexOfSlice("elst".getBytes("US-ASCII").toSeq)
+    assert(at >= 0)
+    java.nio.ByteBuffer.wrap(mutated).putInt(at + 16, 0)
+    val v = Multimodal.parseMp4(mutated).video
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.editShift(1000L, v)
+    }
+    assert(ex.getMessage.contains("unsupported edit list"))
+    // rate != 1.0 rejected at parse
+    val rated = delayed.clone()
+    java.nio.ByteBuffer.wrap(rated).putInt(at + 20, 0x00020000)
+    intercept[IllegalArgumentException] { Multimodal.parseMp4(rated) }
   }
 
   test("mp4: absent stss means EVERY sample is sync (ISO 14496-12 §8.6.2)") {
