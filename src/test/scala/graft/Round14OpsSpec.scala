@@ -613,6 +613,73 @@ class Round14OpsSpec extends GraftSparkSpec {
       "tau change kept the stale wave marker")
   }
 
+  test("compactRun folds semantic_reps; post-fold waves keep the semantic invariant") {
+    import graft.operators.{PrepareRun, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val corpus = docs.join(emb, "doc_id")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val c1 = corpus.filter(col("doc_id") % 3 === 0)
+    val w1 = corpus.filter(col("doc_id") % 3 === 1)
+    val w2 = corpus.filter(col("doc_id") % 3 === 2)
+    val tau = 0.3
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sem-compact").toString
+    PrepareRun.run(spark, c1, bench, tmp, minTokens = 10,
+      threshold = 0.5, capacity = 512, valPct = 10, semanticTau = tau)
+    val mw1 = PrepareRun.runWave(spark, w1, tmp, 1).toMap
+    assert(mw1.contains("semantic_kept"))
+
+    def repRows() = spark.read.parquet(s"$tmp/semantic_reps")
+      .select("cluster", "rep_rank", "vec_id").collect()
+      .map(_.toSeq).toSet
+    val before = repRows()
+    val report = PrepareRun.compactRun(spark, tmp, targetBytes = 1L << 30)
+    assert(report.contains("semantic_reps"))
+    assert(repRows() == before, "fold changed the rep window")
+    // folded wave replay stays a no-op with semantic counts preserved
+    assert(PrepareRun.runWave(spark, w1, tmp, 1).toMap == mw1)
+
+    // a post-fold wave still extends the pass against the (now wave=0)
+    // reps: rep ranks stay contiguous and no kept doc violates tau
+    val mw2 = PrepareRun.runWave(spark, w2, tmp, 2).toMap
+    assert(mw2.contains("semantic_kept"))
+    val reps = spark.read.parquet(s"$tmp/semantic_reps")
+    val badRanks = reps.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), min("rep_rank").as("mn"),
+        max("rep_rank").as("mx"), countDistinct("rep_rank").as("d"))
+      .filter(!(col("mn") === 1 && col("mx") === col("n") &&
+        col("d") === col("n")))
+    assert(badRanks.count() == 0,
+      "rep ranks broke across the fold + append")
+    // rep_rank is the fold-INVARIANT commit order (waves append ranks
+    // after each cluster's committed count, and the fold preserves
+    // values): a kept doc must have no same-cluster rep with a LOWER
+    // rank above tau. Every kept doc here sits inside the repCap
+    // window, so its own rank is its reps row — assert that coverage
+    // so the invariant actually checks everything.
+    val kept = spark.read.parquet(s"$tmp/train_docs").select("doc_id")
+      .union(spark.read.parquet(s"$tmp/val_docs").select("doc_id"))
+    val keptRanked = kept
+      .join(reps.select(col("vec_id").as("doc_id"), col("cluster"),
+        col("rep_rank"), col("embedding")), "doc_id")
+    assert(keptRanked.count() == kept.count(),
+      "a kept doc fell outside the rep window — widen the invariant")
+    val violations = reps
+      .select(col("cluster"), col("rep_rank").as("r_rank"),
+        col("embedding").as("r_emb"))
+      .join(keptRanked, Seq("cluster"))
+      .filter(col("r_rank") < col("rep_rank"))
+      .withColumn("sim", round(graft.functions.VectorFunctions
+        .vecCosine(col("r_emb"), col("embedding")), 6))
+      .filter(col("sim") > tau)
+    assert(violations.count() == 0,
+      "post-fold kept doc has an earlier-committed neighbor above tau")
+  }
+
   test("semanticDedupIngest: per-batch flags equal the batch operator, replay-idempotent") {
     import graft.operators.Similarity
     import spark.implicits._
