@@ -612,7 +612,12 @@ object GraftCli {
     case "stream-semantic-dedup" :: prepDir :: landingDir :: outDir ::
         checkpoint :: rest =>
       val spark = session()
-      val tau = rest.headOption.map(_.toDouble).getOrElse(0.4)
+      // tau defaults to the COMMITTED run's knob (params-from-markers:
+      // a tripwire silently flagging at a different threshold than the
+      // corpus was built with would under/over-flag vs runWave)
+      val tau = rest.headOption.map(_.toDouble)
+        .orElse(operators.PrepareRun.semanticTauOf(spark, prepDir))
+        .getOrElse(0.4)
       val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
       val cents = spark.read.parquet(s"$prepDir/semantic_centroids")
         .orderBy("cluster").select("centroid").collect()

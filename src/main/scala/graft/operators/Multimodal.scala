@@ -689,10 +689,13 @@ object Multimodal {
       // offsets on edit-shifted content.
       ctsOffsets: Array[Long] = Array.empty,
       // elst entries as (segment_duration in MOVIE timescale,
-      // media_time in MEDIA timescale; -1 = empty edit). Real files
-      // (phone captures especially) lead with an edit that trims the
-      // pre-roll — ignoring it shifts every presented timestamp.
-      edits: Array[(Long, Long)] = Array.empty)
+      // media_time in MEDIA timescale; -1 = empty edit, rate in 16.16
+      // fixed point). Real files (phone captures especially) lead with
+      // an edit that trims the pre-roll — ignoring it shifts every
+      // presented timestamp. Rate validation happens where timestamps
+      // are EMITTED (editShift, video track only): an exotic edit on a
+      // track the pipeline never consumes must not reject the file.
+      edits: Array[(Long, Long, Long)] = Array.empty)
 
   /** Parsed ISO-BMFF container: brand, EVERY trak (a real mp4 muxes
     * audio beside video — parsing must tolerate all of them), and the
@@ -1353,7 +1356,7 @@ object Multimodal {
     var syncs: Array[Int] = Array.empty
     var hasStss = false
     var ctsOffsets: Array[Long] = Array.empty
-    var edits: Array[(Long, Long)] = Array.empty
+    var edits: Array[(Long, Long, Long)] = Array.empty
     var movieTimescale = 0L
     var sttsRuns: Array[(Long, Long)] = null
     var stscRuns: Array[(Long, Long)] = null
@@ -1550,13 +1553,7 @@ object Multimodal {
               val (dur, mt) =
                 if (ver == 1) (bb.getLong(), bb.getLong())
                 else (u32(), bb.getInt().toLong) // media_time SIGNED
-              val rate = bb.getInt()
-              // dwell (rate 0) and slow/fast-motion edits change
-              // per-sample presentation in ways a sample table cannot
-              // carry — reject rather than emit wrong timestamps
-              require(rate == 0x00010000,
-                s"elst rate ${rate / 65536.0} unsupported (only 1.0)")
-              (dur, mt)
+              (dur, mt, bb.getInt().toLong)
             }
           case "ctts" =>
             // composition offsets: v0 unsigned, v1 SIGNED (negative on
@@ -1696,12 +1693,19 @@ object Multimodal {
   private[graft] def editShift(movieTimescale: Long, t: Mp4Track): Long =
     if (t.edits.isEmpty) 0L
     else {
+      // dwell (rate 0) and slow/fast-motion edits change per-sample
+      // presentation in ways a single shift cannot carry — reject at
+      // the point timestamps are emitted, for the consumed track only
+      t.edits.foreach { case (_, _, rate) =>
+        require(rate == 0x00010000L,
+          s"elst rate ${rate / 65536.0} unsupported (only 1.0)")
+      }
       val (empties, medias) = t.edits.partition(_._2 == -1L)
       require(medias.length == 1 && empties.length <= 1 &&
         (empties.isEmpty || t.edits.head._2 == -1L),
         s"unsupported edit list (${t.edits.length} entries) — only " +
           "[empty?, media] single-shift lists are supported")
-      val delay = empties.headOption.map { case (d, _) =>
+      val delay = empties.headOption.map { case (d, _, _) =>
         require(movieTimescale > 0,
           "empty edit needs the mvhd movie timescale")
         d * t.timescale / movieTimescale

@@ -125,7 +125,10 @@ object PrepareRun {
   private def deleteMarker(spark: SparkSession, outDir: String,
                            stage: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    Seq(s"$outDir/_stage_$stage", s"$outDir/_stage_$stage.old")
+    // `.old` FIRST: a crash between the deletes must leave the main
+    // marker (still-valid until fully deleted), never only `.old` —
+    // readMarkerRaw's rollback would resurrect that as live
+    Seq(s"$outDir/_stage_$stage.old", s"$outDir/_stage_$stage")
       .foreach { s =>
         val p = new Path(s)
         if (p.getFileSystem(hconf).exists(p))
@@ -138,9 +141,13 @@ object PrepareRun {
     val dir = new Path(outDir)
     val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fsys.exists(dir)) Seq.empty
+    // `.old` rewrite-staging orphans count too: readMarkerRaw would
+    // roll one back into a live marker, so invalidation must see (and
+    // deleteMarker must remove) their ids
     else fsys.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("_stage_wave_") && !n.endsWith(".old"))
-      .map(_.stripPrefix("_stage_wave_").toInt).toSeq.sorted
+      .filter(_.startsWith("_stage_wave_"))
+      .map(_.stripPrefix("_stage_wave_").stripSuffix(".old").toInt)
+      .toSeq.distinct.sorted
   }
 
   /** A BASE-stage recompute invalidates every wave built on top of it:
@@ -166,19 +173,21 @@ object PrepareRun {
       // destroy the folded wave's replay guard and counts; completing
       // the compaction is the fix, said loudly.
       ids.foreach { id =>
-        val hadData = readMarkerRaw(spark, outDir, s"wave_$id")
-          .exists { case (_, counts) =>
-            counts.getOrElse("train", 0L) > 0 ||
-              counts.getOrElse("val", 0L) > 0
-          }
-        val p = new Path(s"$outDir/train_docs/wave=$id")
-        val v = new Path(s"$outDir/val_docs/wave=$id")
-        val onDisk = p.getFileSystem(hconf).exists(p) ||
-          v.getFileSystem(hconf).exists(v)
-        require(!hadData || onDisk,
-          s"wave $id is folded into the base but its marker was never " +
-            "absorbed (interrupted prepare-run-compact?) — run " +
-            "prepare-run-compact to complete it, then retry")
+        // PER-TABLE implication: a compactRun crash between tables can
+        // fold train_docs while val_docs still has its wave dir — an OR
+        // would pass the guard and let replay duplicate the folded side
+        val counts = readMarkerRaw(spark, outDir, s"wave_$id")
+          .map(_._2).getOrElse(Map.empty)
+        Seq(("train", "train_docs"), ("val", "val_docs")).foreach {
+          case (key, table) =>
+            val p = new Path(s"$outDir/$table/wave=$id")
+            require(counts.getOrElse(key, 0L) == 0L ||
+              p.getFileSystem(hconf).exists(p),
+              s"wave $id's $table partitions are folded into the base " +
+                "but its marker was never absorbed (interrupted " +
+                "prepare-run-compact?) — run prepare-run-compact to " +
+                "complete it, then retry")
+        }
       }
     }
     ids.foreach(id => deleteMarker(spark, outDir, s"wave_$id"))
@@ -240,6 +249,17 @@ object PrepareRun {
     * The tau fingerprints into both stage markers, so changing it (or
     * toggling the stage) recomputes the front like any other docs knob.
     */
+  /** The committed base run's semantic tau (None when the stage was
+    * off) from the docs marker's params — the knob a streaming
+    * tripwire over the same corpus must inherit, per the
+    * params-from-markers discipline (`runWave` reads it the same way).
+    */
+  def semanticTauOf(spark: SparkSession, outDir: String): Option[Double] =
+    readMarkerRaw(spark, outDir, "docs").flatMap { case (ps, _) =>
+      ps.split(":").find(_.startsWith("sem"))
+        .map(_.stripPrefix("sem").toDouble)
+    }
+
   def run(spark: SparkSession, docs: DataFrame, bench: DataFrame,
           outDir: String, minTokens: Int = 25, threshold: Double = 0.5,
           capacity: Int = 512, valPct: Int = 5,

@@ -242,10 +242,13 @@ object Similarity {
     *    one corpus-sized shuffle per assignment pass, the price of the
     *    grouped argmax. The n×k cosine work is the same either way
     *    (that IS k-means assignment cost). This arm requires UNIQUE
-    *    vec_ids (checked — a duplicate would silently collapse to one
-    *    row here while the literal arm keeps both), and returns a
-    *    localCheckpoint so multi-consumer callers don't re-pay the
-    *    n×k pass.
+    *    vec_ids — a duplicate would silently collapse to one row here
+    *    while the literal arm keeps both. The check lives at the
+    *    dedup entry points (semanticDedupState/Wave verify row
+    *    conservation on their checkpointed assignment), NOT here:
+    *    kmeansCentroids calls this once per iteration and a per-call
+    *    count + checkpoint would re-materialize the corpus per round
+    *    for a check the final assignment repeats anyway.
     * `vecCosine` evaluates the identical double-of-float fold on
     * identical inputs in both arms, and the struct ordering reproduces
     * array_position's first-max-wins tie rule, so the arms agree
@@ -266,7 +269,7 @@ object Similarity {
       val centsDf = cents.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
         .toDF("_gr_cid", "_gr_cent")
-      val out = embeddings.select(col("vec_id"), col("embedding"))
+      embeddings.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(centsDf))
         .select(col("vec_id"), col("embedding"),
           struct(
@@ -279,11 +282,6 @@ object Similarity {
         .select(col("vec_id"),
           (-col("_gr_best.nc")).cast("long").as("cluster"),
           col("embedding"))
-        .localCheckpoint()
-      require(out.count() == embeddings.count(),
-        "assignClusters requires unique vec_ids — duplicates would " +
-          "collapse in the grouped argmax (the literal arm keeps them)")
-      out
     }
 
   /** [[semanticDedup]] exposing the state an incremental corpus needs
@@ -303,8 +301,13 @@ object Similarity {
     val cents = kmeansCentroids(embeddings, k, iters)
     // asg feeds reps AND both sides of the pairwise join — checkpoint
     // once so the n×k assignment isn't re-run per consumer (the x61
-    // multi-consumer rule; semanticDedupWave does the same)
+    // multi-consumer rule; semanticDedupWave does the same). Row
+    // conservation doubles as the join-arm uniqueness check: a
+    // duplicate vec_id would have collapsed in the grouped argmax.
     val asg = assignClusters(embeddings, cents).localCheckpoint()
+    require(asg.count() == n,
+      "semanticDedup requires unique vec_ids — duplicates collapse in " +
+        "the large-k grouped argmax")
     val ranked = asg.withColumn("rnk", row_number().over(
       Window.partitionBy("cluster").orderBy("vec_id")))
     val reps = ranked.filter(col("rnk") <= repCap)
@@ -344,6 +347,9 @@ object Similarity {
                         tau: Double = 0.4): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val asg = assignClusters(wave, cents).localCheckpoint()
+    require(asg.count() == wave.count(),
+      "semanticDedupWave requires unique vec_ids — duplicates collapse " +
+        "in the large-k grouped argmax")
     val priorCnt = reps.groupBy("cluster")
       .agg(count(lit(1)).as("_prior_reps"))
     val ranked = asg.withColumn("_rnk", row_number().over(

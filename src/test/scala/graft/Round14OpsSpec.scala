@@ -791,10 +791,15 @@ class Round14OpsSpec extends GraftSparkSpec {
       Multimodal.editShift(1000L, v)
     }
     assert(ex.getMessage.contains("unsupported edit list"))
-    // rate != 1.0 rejected at parse
+    // rate != 1.0 rejected where timestamps are EMITTED (the consumed
+    // track), not at parse — an exotic audio edit must not kill a file
     val rated = delayed.clone()
     java.nio.ByteBuffer.wrap(rated).putInt(at + 20, 0x00020000)
-    intercept[IllegalArgumentException] { Multimodal.parseMp4(rated) }
+    val rv = Multimodal.parseMp4(rated).video // parse itself succeeds
+    val rex = intercept[IllegalArgumentException] {
+      Multimodal.editShift(1000L, rv)
+    }
+    assert(rex.getMessage.contains("rate"))
   }
 
   test("mp4: absent stss means EVERY sample is sync (ISO 14496-12 §8.6.2)") {
