@@ -551,6 +551,98 @@ object TextQueries {
              |FROM tok JOIN f USING (token), tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- HELD-OUT bigram LM scoring — the KenLM/CCNet quality-filter
+    // shape d21's unigram model cannot provide: unigram NLL is
+    // permutation-INVARIANT (scrambled text scores identically to
+    // fluent text), while a bigram model penalizes improbable token
+    // TRANSITIONS. Train on the doc_id%2=0 half (held-out honesty —
+    // scoring a doc with a model that memorized it flatters
+    // duplicates), add-one smoothing over the train vocabulary, score
+    // EVERY doc by its mean bigram NLL. Float discipline (the d33/d46
+    // idiom): each term is ln of a ratio of EXACT integer counts in one
+    // fixed expression shape, rounded to integer micro-nats per term,
+    // then integer sum / integer count — no float ever crosses an
+    // aggregation boundary, so engines agree bit-for-bit.
+    //
+    // 100 TB: two train-side count aggs (bigram- and prefix-keyed, both
+    // map-side combinable, outputs vocabulary-sized); the score path
+    // shuffles once per join key with AQE broadcasting the
+    // vocab-bounded sides and skew-splitting stopword-bigram fan-in;
+    // one per-doc agg. Scan-bound like every quality gate.
+    "d54_bigram_lm" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def bigrams(d: org.apache.spark.sql.DataFrame) = d
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 2 THEN
+              |  transform(sequence(0, size(toks) - 2),
+              |    i -> struct(toks[i] AS w1, toks[i + 1] AS w2))
+              |ELSE array() END""".stripMargin)).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"),
+            col("bg.w2").as("w2"))
+        val train = docs.filter(col("doc_id") % 2 === 0)
+        val tb = bigrams(train)
+        val c2 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = train
+          .select(explode(tokens(col("text"))).as("token"))
+          .agg(countDistinct("token").as("v"))
+        val scored = bigrams(docs)
+          .join(c2, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            round(log((coalesce(col("c1"), lit(0L)) + col("v"))
+                .cast("double") /
+              (coalesce(col("c2"), lit(0L)) + lit(1)).cast("double"))
+              * 1e6).cast("long").as("nll_micro"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum("nll_micro") / count(lit(1))).cast("long")
+              .as("avg_nll_micro"))
+        docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("avg_nll_micro"), lit(0L)).as("avg_nll_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') AS tk
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+             |  FROM toks, unnest(range(len(tk) - 1)) AS g(i)
+             |  WHERE len(tk) >= 2),
+             |tb AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY 1),
+             |v AS (
+             |  SELECT count(DISTINCT tok) AS v FROM (
+             |    SELECT unnest(tk) AS tok FROM toks WHERE doc_id % 2 = 0)),
+             |terms AS (
+             |  SELECT bg.doc_id,
+             |    CAST(round(ln(
+             |      CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)
+             |      / CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)) * 1e6)
+             |      AS BIGINT) AS nll_micro
+             |  FROM bg
+             |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+             |  LEFT JOIN c1 ON bg.w1 = c1.w1
+             |  CROSS JOIN v),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_bigrams,
+             |    CAST(sum(nll_micro) // count(*) AS BIGINT)
+             |      AS avg_nll_micro
+             |  FROM terms GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  CAST(coalesce(avg_nll_micro, 0) AS BIGINT)
+             |    AS avg_nll_micro
+             |FROM documents d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): a
     // composite of cheap per-doc rules — token count window, mean word
     // length window, max word length cap, numeric-token ratio cap — with
