@@ -643,6 +643,76 @@ object TextQueries {
              |FROM documents d LEFT JOIN agg USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- WITHIN-doc repetition (Gopher §A1.2 / RefinedWeb
+    // dup_ngram_frac): the fraction of a document's tokens covered by
+    // 3-grams that repeat INSIDE the same document — the "model output
+    // loop" / template-spam signal that neither the cross-doc span
+    // dedup (d39/d45) nor the per-doc length rules (d23) can see.
+    // Coverage is the UNION of the repeated windows' token positions
+    // (overlapping repeats must not double-count), reported in exact
+    // ppm via integer floor division. All grouping is doc-keyed — at
+    // 100 TB this is a narrow scan + per-doc hash aggs with
+    // document-bounded state, no corpus-sized key ever shuffles.
+    "d55_repetition" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+            col("toks"))
+        val grams = base
+          .select(col("doc_id"), col("n_tokens"), explode(expr(
+            """CASE WHEN size(toks) >= 3 THEN
+              |  transform(sequence(0, size(toks) - 3),
+              |    i -> struct(i AS i,
+              |      concat_ws(' ', slice(toks, i + 1, 3)) AS g))
+              |ELSE array() END""".stripMargin)).as("w"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("w.i").as("i"), col("w.g").as("g"))
+        val dup = grams
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id", "g")))
+          .filter(col("cnt") >= 2)
+        val covered = dup
+          .select(col("doc_id"),
+            explode(expr("sequence(i, i + 2)")).as("p"))
+          .groupBy("doc_id")
+          .agg(countDistinct("p").as("covered"))
+        base.select("doc_id", "n_tokens")
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            coalesce(col("covered"), lit(0L)).as("covered"),
+            expr("CAST(coalesce(covered, 0) * 1000000 DIV n_tokens " +
+              "AS BIGINT)").as("rep_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') AS tk
+             |  FROM documents),
+             |base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
+             |grams AS (
+             |  SELECT doc_id, i,
+             |    array_to_string(list_slice(tk, i + 1, i + 3), ' ') AS g
+             |  FROM base, unnest(range(len(tk) - 2)) AS u(i)
+             |  WHERE len(tk) >= 3),
+             |dup AS (
+             |  SELECT doc_id, i FROM (
+             |    SELECT doc_id, i,
+             |      count(*) OVER (PARTITION BY doc_id, g) AS cnt
+             |    FROM grams) WHERE cnt >= 2),
+             |cov AS (
+             |  SELECT doc_id, count(DISTINCT p) AS covered FROM (
+             |    SELECT doc_id, unnest(range(i, i + 3)) AS p FROM dup)
+             |  GROUP BY doc_id)
+             |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(covered, 0) AS BIGINT) AS covered,
+             |  CAST(coalesce(covered, 0) * 1000000 // n_tokens AS BIGINT)
+             |    AS rep_ppm
+             |FROM base b LEFT JOIN cov USING (doc_id)
+             |ORDER BY b.doc_id""".stripMargin)),
+
     // ---- Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): a
     // composite of cheap per-doc rules — token count window, mean word
     // length window, max word length cap, numeric-token ratio cap — with
