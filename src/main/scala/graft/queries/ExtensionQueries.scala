@@ -2683,6 +2683,60 @@ object ExtensionQueries {
           |FROM seg GROUP BY doc_id, seg_idx
           |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // Frame-at-time lookup — the operation a frame sampler actually
+    // runs over the x85 sample table: for target presentation times t,
+    // the DISPLAYED frame is the one with the greatest pts <= t (as-of
+    // semantics on pts — with B-frames this is NOT the greatest dts!),
+    // and the DECODE ENTRY POINT is its nearest keyframe at or below it
+    // in decode order (a decoder can only enter at a sync sample).
+    // Docs whose first displayed frame starts after t have no row for
+    // that t — both engines agree by construction. The oracle
+    // recomputes pts arithmetically and picks the argmax per (doc, t);
+    // the keyframe is i - i%3 (the fixture's stss stride).
+    "x90_frame_at" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val st = graft.operators.Multimodal.mp4SampleTable(
+          s, graft.operators.Multimodal.synthesizeMp4(
+            s, t(s, dir, "documents")))
+        val targets = Seq(0L, 5000L, 12000L).toDF("t")
+        val w = Window.partitionBy("doc_id", "t")
+          .orderBy(col("pts").desc, col("sample_idx").desc)
+        st.join(broadcast(targets), col("pts") <= col("t"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("t"),
+            col("sample_idx").as("frame_idx"), col("pts"),
+            col("n_bytes"),
+            (col("sample_idx") - col("sample_idx") % 3)
+              .as("entry_keyframe"))
+          .orderBy("doc_id", "t")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
+          |    unnest(range(0, doc_id % 7 + 3)) AS i
+          |  FROM documents),
+          |samp AS (
+          |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+          |    CAST((CASE WHEN i < n // 2 THEN i * 3000
+          |      ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END)
+          |      + ((doc_id + i) % 3) * 700 AS BIGINT) AS pts,
+          |    CAST((doc_id + i) % 50 + 20 AS BIGINT) AS n_bytes
+          |  FROM s),
+          |tg AS (SELECT unnest([0, 5000, 12000]) AS t),
+          |rk AS (
+          |  SELECT doc_id, CAST(t AS BIGINT) AS t, frame_idx, pts,
+          |    n_bytes,
+          |    row_number() OVER (PARTITION BY doc_id, t
+          |      ORDER BY pts DESC, frame_idx DESC) AS rn
+          |  FROM samp JOIN tg ON samp.pts <= tg.t)
+          |SELECT doc_id, t, frame_idx, pts, n_bytes,
+          |  CAST(frame_idx - frame_idx % 3 AS INT) AS entry_keyframe
+          |FROM rk WHERE rn = 1
+          |ORDER BY doc_id, t""".stripMargin)),
+
     // MIS dedup survivors — Luby's maximal independent set with
     // deterministic md5 priorities (Graph.maximalIndependentSet) on the
     // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a
