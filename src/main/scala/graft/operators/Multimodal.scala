@@ -1747,6 +1747,92 @@ object Multimodal {
     }.toDF()
   }
 
+  // ---- timed text (WebVTT): the caption side of video-text training
+  // pairs. A vision-language corpus aligns subtitle cues with video
+  // segments; the parse below is a REAL cue parser (timestamps, blank-
+  // line cue framing, loud failures), and the x92 composition joins
+  // cues to the x86 keyframe segments by time overlap — in integer
+  // 90 kHz ticks, so the alignment is exact across engines.
+
+  case class VttRow(doc_id: Long, content: String)
+  case class VttCue(doc_id: Long, cue_idx: Int, start_ms: Long,
+                    end_ms: Long, n_words: Int, text: String)
+
+  /** Deterministic WebVTT per doc: (id%4+2) cues; cue i spans
+    * [i*80 + id%20, +60 + (id+i)%40) ms (inside the mp4 fixture's
+    * presentation range, so segment alignment is non-trivial) with
+    * (id+i)%5+2 words — every surfaced field is doc_id arithmetic.
+    */
+  private[graft] def vttOf(id: Long): String = {
+    val nc = (id % 4 + 2).toInt
+    def ts(ms: Long): String =
+      f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:" +
+        f"${ms / 1000 % 60}%02d.${ms % 1000}%03d"
+    val cues = (0 until nc).map { i =>
+      val start = i * 80L + id % 20
+      val end = start + 60 + (id + i) % 40
+      val words = (0 until ((id + i) % 5 + 2).toInt)
+        .map(j => s"w$j").mkString(" ")
+      s"${ts(start)} --> ${ts(end)}\n$words"
+    }
+    "WEBVTT\n\n" + cues.mkString("\n\n") + "\n"
+  }
+
+  def synthesizeVtt(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => VttRow(id, vttOf(id)))
+      .toDF()
+  }
+
+  /** Parse one WebVTT payload into cues: header line must say WEBVTT,
+    * cues are blank-line-framed blocks whose first line is
+    * `HH:MM:SS.mmm --> HH:MM:SS.mmm` (optional cue-identifier line
+    * before it, per spec), remaining lines are the cue text. Malformed
+    * timestamps, end <= start, and a missing header all fail loudly.
+    */
+  private[graft] def parseVtt(content: String): Seq[(Long, Long, String)] = {
+    val blocks = content.replace("\r\n", "\n").split("\n\n+")
+      .map(_.trim).filter(_.nonEmpty)
+    require(blocks.nonEmpty && blocks.head.startsWith("WEBVTT"),
+      "not a WebVTT payload (missing WEBVTT header)")
+    val tsRe =
+      """(\d{2,}):(\d{2}):(\d{2})\.(\d{3})\s*-->\s*(\d{2,}):(\d{2}):(\d{2})\.(\d{3})""".r
+    blocks.drop(1).toSeq.filterNot(b =>
+      b.startsWith("NOTE") || b.startsWith("STYLE")).map { b =>
+      val lines = b.split("\n")
+      // optional cue identifier: skip a first line without "-->"
+      val at = lines.indexWhere(_.contains("-->"))
+      require(at >= 0, s"cue block without timestamps: $b")
+      val (s, e) = lines(at).trim match {
+        case tsRe(h1, m1, s1, x1, h2, m2, s2, x2) =>
+          def ms(h: String, m: String, sec: String, mil: String) =
+            h.toLong * 3600000 + m.toLong * 60000 +
+              sec.toLong * 1000 + mil.toLong
+          (ms(h1, m1, s1, x1), ms(h2, m2, s2, x2))
+        case other =>
+          throw new IllegalArgumentException(
+            s"malformed cue timing line: $other")
+      }
+      require(e > s, s"cue ends at $e before it starts at $s")
+      (s, e, lines.drop(at + 1).mkString(" ").trim)
+    }
+  }
+
+  /** One row per cue from a (doc_id, content) frame — narrow flatMap,
+    * the same shape every other modality decode uses.
+    */
+  def vttCueTable(spark: SparkSession, vtt: DataFrame): DataFrame = {
+    import spark.implicits._
+    vtt.select("doc_id", "content").as[VttRow].flatMap { r =>
+      parseVtt(r.content).zipWithIndex.map { case ((s, e, text), i) =>
+        VttCue(r.doc_id, i, s, e,
+          text.split("\\s+").count(_.nonEmpty), text)
+      }
+    }.toDF()
+  }
+
   // ---- audio modality: REAL decode (javax.sound.sampled — WAV/PCM needs
   // no external codec, closing VERDICT r3's "audio needs codecs" gap the
   // same way x16 closed it for images). Synthesis writes a deterministic

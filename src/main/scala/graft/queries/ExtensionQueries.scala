@@ -2737,6 +2737,102 @@ object ExtensionQueries {
           |FROM rk WHERE rn = 1
           |ORDER BY doc_id, t""".stripMargin)),
 
+    // WebVTT cue extraction — the caption side of video-text training
+    // pairs: a REAL cue parser (timestamp grammar, blank-line framing,
+    // loud failures on malformed timings) over the deterministic VTT
+    // fixture; every surfaced field is doc_id arithmetic.
+    "x91_vtt_cues" -> QueryDef(
+      (s, dir) => graft.operators.Multimodal.vttCueTable(
+          s, graft.operators.Multimodal.synthesizeVtt(
+            s, t(s, dir, "documents")))
+        .select("doc_id", "cue_idx", "start_ms", "end_ms", "n_words")
+        .orderBy("doc_id", "cue_idx"),
+      Some(
+        """WITH c AS (
+          |  SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS i
+          |  FROM documents)
+          |SELECT doc_id, CAST(i AS INT) AS cue_idx,
+          |  CAST(i * 80 + doc_id % 20 AS BIGINT) AS start_ms,
+          |  CAST(i * 80 + doc_id % 20 + 60 + (doc_id + i) % 40
+          |    AS BIGINT) AS end_ms,
+          |  CAST((doc_id + i) % 5 + 2 AS INT) AS n_words
+          |FROM c ORDER BY doc_id, cue_idx""".stripMargin)),
+
+    // Caption-to-segment ALIGNMENT — the vision-language pairing step:
+    // join each doc's subtitle cues to its keyframe segments (x86) by
+    // time overlap, in EXACT integer 90 kHz ticks (cue ms × 90 vs
+    // segment dts — no float time anywhere), counting cues and caption
+    // words per seekable segment. This is the unit a video-caption
+    // corpus trains on: (segment byte range, aligned caption text).
+    // Scale shape: both sides are doc-keyed; the overlap join is a
+    // per-doc range join whose fan-out is bounded by cues×segments per
+    // document, never corpus-sized.
+    "x92_caption_align" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val st = graft.operators.Multimodal.mp4SampleTable(
+          s, graft.operators.Multimodal.synthesizeMp4(
+            s, t(s, dir, "documents")))
+        val w = Window.partitionBy("doc_id").orderBy("sample_idx")
+        val segs = st.withColumn("seg_idx",
+            sum(when(col("is_sync"), 1).otherwise(0)).over(w))
+          .groupBy(col("doc_id"), col("seg_idx"))
+          .agg(min(col("dts")).as("start_dts"),
+            max(col("dts")).as("end_dts"))
+        val cues = graft.operators.Multimodal.vttCueTable(
+            s, graft.operators.Multimodal.synthesizeVtt(
+              s, t(s, dir, "documents")))
+          .select(col("doc_id"), col("cue_idx"),
+            (col("start_ms") * 90).as("c_start"),
+            (col("end_ms") * 90).as("c_end"),
+            col("n_words"))
+        segs.join(cues,
+            segs("doc_id") === cues("doc_id") &&
+              col("c_start") <= col("end_dts") &&
+              col("c_end") >= col("start_dts"), "left")
+          .groupBy(segs("doc_id"), col("seg_idx"))
+          .agg(count(col("cue_idx")).as("n_cues"),
+            coalesce(sum("n_words"), lit(0L)).as("caption_words"))
+          .orderBy(segs("doc_id"), col("seg_idx"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
+          |    unnest(range(0, doc_id % 7 + 3)) AS i
+          |  FROM documents),
+          |samp AS (
+          |  SELECT doc_id, CAST(i AS INT) AS sample_idx,
+          |    CAST(CASE WHEN i < n // 2 THEN i * 3000
+          |      ELSE (n // 2) * 3000 + (i - n // 2) * 3600 END
+          |      AS BIGINT) AS dts,
+          |    i % 3 = 0 AS is_sync
+          |  FROM s),
+          |segs AS (
+          |  SELECT doc_id, seg_idx, min(dts) AS start_dts,
+          |    max(dts) AS end_dts
+          |  FROM (
+          |    SELECT doc_id, dts,
+          |      sum(CASE WHEN is_sync THEN 1 ELSE 0 END) OVER (
+          |        PARTITION BY doc_id ORDER BY sample_idx) AS seg_idx
+          |    FROM samp)
+          |  GROUP BY doc_id, seg_idx),
+          |cues AS (
+          |  SELECT doc_id, CAST(i AS INT) AS cue_idx,
+          |    (i * 80 + doc_id % 20) * 90 AS c_start,
+          |    (i * 80 + doc_id % 20 + 60 + (doc_id + i) % 40) * 90
+          |      AS c_end,
+          |    CAST((doc_id + i) % 5 + 2 AS BIGINT) AS n_words
+          |  FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS i
+          |        FROM documents))
+          |SELECT segs.doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+          |  CAST(count(cue_idx) AS BIGINT) AS n_cues,
+          |  CAST(coalesce(sum(n_words), 0) AS BIGINT) AS caption_words
+          |FROM segs LEFT JOIN cues
+          |  ON segs.doc_id = cues.doc_id
+          |  AND c_start <= end_dts AND c_end >= start_dts
+          |GROUP BY segs.doc_id, seg_idx
+          |ORDER BY segs.doc_id, seg_idx""".stripMargin)),
+
     // MIS dedup survivors — Luby's maximal independent set with
     // deterministic md5 priorities (Graph.maximalIndependentSet) on the
     // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a

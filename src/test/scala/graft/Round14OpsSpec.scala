@@ -756,6 +756,36 @@ class Round14OpsSpec extends GraftSparkSpec {
     assert(pv.ctsOffsets.isEmpty)
   }
 
+  test("WebVTT parser: real grammar (identifiers, NOTE blocks), loud failures") {
+    import graft.operators.Multimodal
+    // spec-shaped file with optional cue identifiers and a NOTE block —
+    // both must parse/skip per the WebVTT grammar
+    val vtt = """WEBVTT
+                |
+                |NOTE this block is a comment
+                |
+                |intro
+                |00:00:01.000 --> 00:00:02.500
+                |hello there
+                |world
+                |
+                |00:01:00.250 --> 00:01:03.000
+                |second cue""".stripMargin
+    val cues = Multimodal.parseVtt(vtt)
+    assert(cues == Seq((1000L, 2500L, "hello there world"),
+      (60250L, 63000L, "second cue")))
+    // missing header, malformed timing, and end-before-start all fail
+    intercept[IllegalArgumentException] {
+      Multimodal.parseVtt("00:00:01.000 --> 00:00:02.000\nx")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseVtt("WEBVTT\n\n00:00:01 --> 00:00:02.000\nx")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseVtt("WEBVTT\n\n00:00:03.000 --> 00:00:02.000\nx")
+    }
+  }
+
   test("mp4: edit lists shift the presented timeline (pre-roll trim + delay)") {
     import graft.operators.Multimodal
     import spark.implicits._
