@@ -1747,6 +1747,25 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Keyframe segmentation over a [[mp4SampleTable]] frame — the ONE
+    * definition of the seekable units (segments start at each sync
+    * sample; a decoder can only enter a stream there) that the x86/x89
+    * gates and the caption-alignment join all share: a running sum
+    * over is_sync, then one per-(doc, segment) agg. Doc-bounded window
+    * state; no corpus-sized keys.
+    */
+  def mp4Segments(st: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("sample_idx")
+    st.withColumn("seg_idx",
+        sum(when(col("is_sync"), 1).otherwise(0)).over(w))
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(min(col("sample_idx")).as("start_sample"),
+        count(lit(1)).as("n_samples_seg"),
+        min(col("dts")).as("start_dts"),
+        max(col("dts")).as("end_dts"))
+  }
+
   // ---- timed text (WebVTT): the caption side of video-text training
   // pairs. A vision-language corpus aligns subtitle cues with video
   // segments; the parse below is a REAL cue parser (timestamps, blank-
@@ -1793,14 +1812,26 @@ object Multimodal {
     * timestamps, end <= start, and a missing header all fail loudly.
     */
   private[graft] def parseVtt(content: String): Seq[(Long, Long, String)] = {
-    val blocks = content.replace("\r\n", "\n").split("\n\n+")
-      .map(_.trim).filter(_.nonEmpty)
+    // the spec allows a UTF-8 BOM before the header (String.trim does
+    // not strip U+FEFF)
+    val blocks = content.stripPrefix("\uFEFF").replace("\r\n", "\n")
+      .split("\n\n+").map(_.trim).filter(_.nonEmpty)
     require(blocks.nonEmpty && blocks.head.startsWith("WEBVTT"),
       "not a WebVTT payload (missing WEBVTT header)")
+    // hours are OPTIONAL (MM:SS.mmm is valid), and cue settings may
+    // trail the end timestamp (`align:start position:0%`)
     val tsRe =
-      """(\d{2,}):(\d{2}):(\d{2})\.(\d{3})\s*-->\s*(\d{2,}):(\d{2}):(\d{2})\.(\d{3})""".r
-    blocks.drop(1).toSeq.filterNot(b =>
-      b.startsWith("NOTE") || b.startsWith("STYLE")).map { b =>
+      ("""(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})\s*-->\s*""" +
+        """(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})(?:[ \t].*)?""").r
+    // a comment/style block is "NOTE" or "STYLE" followed by
+    // whitespace/EOL on its FIRST line — a cue identifier that merely
+    // starts with those letters (e.g. "NOTEBOOK intro") is a cue
+    def isComment(b: String): Boolean = {
+      val fl = b.split("\n").head
+      fl == "NOTE" || fl.startsWith("NOTE ") || fl.startsWith("NOTE\t") ||
+        fl == "STYLE"
+    }
+    blocks.drop(1).toSeq.filterNot(isComment).map { b =>
       val lines = b.split("\n")
       // optional cue identifier: skip a first line without "-->"
       val at = lines.indexWhere(_.contains("-->"))
@@ -1808,8 +1839,8 @@ object Multimodal {
       val (s, e) = lines(at).trim match {
         case tsRe(h1, m1, s1, x1, h2, m2, s2, x2) =>
           def ms(h: String, m: String, sec: String, mil: String) =
-            h.toLong * 3600000 + m.toLong * 60000 +
-              sec.toLong * 1000 + mil.toLong
+            Option(h).map(_.toLong).getOrElse(0L) * 3600000 +
+              m.toLong * 60000 + sec.toLong * 1000 + mil.toLong
           (ms(h1, m1, s1, x1), ms(h2, m2, s2, x2))
         case other =>
           throw new IllegalArgumentException(

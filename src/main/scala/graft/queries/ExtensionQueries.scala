@@ -2542,21 +2542,11 @@ object ExtensionQueries {
     // by). One running-sum window over is_sync + one group-by; both
     // engines run the identical window over the identical sample table.
     "x86_mp4_segments" -> QueryDef(
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val st = graft.operators.Multimodal.mp4SampleTable(
-          s, graft.operators.Multimodal.synthesizeMp4(
-            s, t(s, dir, "documents")))
-        val w = Window.partitionBy("doc_id").orderBy("sample_idx")
-        st.withColumn("seg_idx",
-            sum(when(col("is_sync"), 1).otherwise(0)).over(w))
-          .groupBy(col("doc_id"), col("seg_idx"))
-          .agg(min(col("sample_idx")).as("start_sample"),
-            count(lit(1)).as("n_samples_seg"),
-            min(col("dts")).as("start_dts"),
-            max(col("dts")).as("end_dts"))
-          .orderBy("doc_id", "seg_idx")
-      },
+      (s, dir) => graft.operators.Multimodal.mp4Segments(
+          graft.operators.Multimodal.mp4SampleTable(
+            s, graft.operators.Multimodal.synthesizeMp4(
+              s, t(s, dir, "documents"))))
+        .orderBy("doc_id", "seg_idx"),
       Some(
         """WITH s AS (
           |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
@@ -2644,21 +2634,11 @@ object ExtensionQueries {
     // fragments — the gate proves the trun-derived is_sync/dts flow
     // end-to-end through the same window the moov path uses.
     "x89_fmp4_segments" -> QueryDef(
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val st = graft.operators.Multimodal.mp4SampleTable(
-          s, graft.operators.Multimodal.synthesizeFmp4(
-            s, t(s, dir, "documents")))
-        val w = Window.partitionBy("doc_id").orderBy("sample_idx")
-        st.withColumn("seg_idx",
-            sum(when(col("is_sync"), 1).otherwise(0)).over(w))
-          .groupBy(col("doc_id"), col("seg_idx"))
-          .agg(min(col("sample_idx")).as("start_sample"),
-            count(lit(1)).as("n_samples_seg"),
-            min(col("dts")).as("start_dts"),
-            max(col("dts")).as("end_dts"))
-          .orderBy("doc_id", "seg_idx")
-      },
+      (s, dir) => graft.operators.Multimodal.mp4Segments(
+          graft.operators.Multimodal.mp4SampleTable(
+            s, graft.operators.Multimodal.synthesizeFmp4(
+              s, t(s, dir, "documents"))))
+        .orderBy("doc_id", "seg_idx"),
       Some(
         """WITH s AS (
           |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
@@ -2700,17 +2680,23 @@ object ExtensionQueries {
         val st = graft.operators.Multimodal.mp4SampleTable(
           s, graft.operators.Multimodal.synthesizeMp4(
             s, t(s, dir, "documents")))
+        // the entry keyframe comes from the PARSED is_sync column (a
+        // running max over sync positions in decode order) — so this
+        // gate exercises the stss parse, while the oracle derives the
+        // same value from the fixture's keyframe stride arithmetic
+        val wk = Window.partitionBy("doc_id").orderBy("sample_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withEntry = st.withColumn("entry_keyframe",
+          max(when(col("is_sync"), col("sample_idx"))).over(wk))
         val targets = Seq(0L, 5000L, 12000L).toDF("t")
         val w = Window.partitionBy("doc_id", "t")
           .orderBy(col("pts").desc, col("sample_idx").desc)
-        st.join(broadcast(targets), col("pts") <= col("t"))
+        withEntry.join(broadcast(targets), col("pts") <= col("t"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("t"),
             col("sample_idx").as("frame_idx"), col("pts"),
-            col("n_bytes"),
-            (col("sample_idx") - col("sample_idx") % 3)
-              .as("entry_keyframe"))
+            col("n_bytes"), col("entry_keyframe"))
           .orderBy("doc_id", "t")
       },
       Some(
@@ -2769,16 +2755,11 @@ object ExtensionQueries {
     // document, never corpus-sized.
     "x92_caption_align" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val st = graft.operators.Multimodal.mp4SampleTable(
-          s, graft.operators.Multimodal.synthesizeMp4(
-            s, t(s, dir, "documents")))
-        val w = Window.partitionBy("doc_id").orderBy("sample_idx")
-        val segs = st.withColumn("seg_idx",
-            sum(when(col("is_sync"), 1).otherwise(0)).over(w))
-          .groupBy(col("doc_id"), col("seg_idx"))
-          .agg(min(col("dts")).as("start_dts"),
-            max(col("dts")).as("end_dts"))
+        val segs = graft.operators.Multimodal.mp4Segments(
+          graft.operators.Multimodal.mp4SampleTable(
+            s, graft.operators.Multimodal.synthesizeMp4(
+              s, t(s, dir, "documents"))))
+          .select("doc_id", "seg_idx", "start_dts", "end_dts")
         val cues = graft.operators.Multimodal.vttCueTable(
             s, graft.operators.Multimodal.synthesizeVtt(
               s, t(s, dir, "documents")))

@@ -582,7 +582,8 @@ object TextQueries {
           .select(col("doc_id"), col("bg.w1").as("w1"),
             col("bg.w2").as("w2"))
         val train = docs.filter(col("doc_id") % 2 === 0)
-        val tb = bigrams(train)
+        // tb feeds both count aggs — materialize once (x61 discipline)
+        val tb = bigrams(train).localCheckpoint()
         val c2 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
         val v = train
@@ -599,8 +600,10 @@ object TextQueries {
               * 1e6).cast("long").as("nll_micro"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
-            (sum("nll_micro") / count(lit(1))).cast("long")
-              .as("avg_nll_micro"))
+            // integer `div`, matching DuckDB's `//` exactly — not
+            // double division + cast, which only coincides while terms
+            // stay nonnegative and sums stay under 2^53
+            expr("sum(nll_micro) div count(1)").as("avg_nll_micro"))
         docs.select("doc_id").join(scored, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
