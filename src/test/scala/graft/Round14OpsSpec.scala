@@ -774,6 +774,14 @@ class Round14OpsSpec extends GraftSparkSpec {
     val cues = Multimodal.parseVtt(vtt)
     assert(cues == Seq((1000L, 2500L, "hello there world"),
       (60250L, 63000L, "second cue")))
+    // the real-file forms: UTF-8 BOM, hour-less timestamps, trailing
+    // cue settings, and a cue IDENTIFIER that merely starts with NOTE
+    val real = "﻿WEBVTT\n\n" +
+      "01:05.000 --> 01:07.250 align:start position:0%\nshort form\n\n" +
+      "NOTEBOOK intro\n00:00:01.000 --> 00:00:02.000\nnot a comment"
+    assert(Multimodal.parseVtt(real) == Seq(
+      (65000L, 67250L, "short form"),
+      (1000L, 2000L, "not a comment")))
     // missing header, malformed timing, and end-before-start all fail
     intercept[IllegalArgumentException] {
       Multimodal.parseVtt("00:00:01.000 --> 00:00:02.000\nx")
