@@ -805,6 +805,36 @@ object GraftCli {
       println(s"[graft] chunks size=$sz stride=$stride: $docsParquet -> $outDir")
       spark.stop()
 
+    // media metadata sweep: parse image containers (PNG chunk walk /
+    // JPEG marker walk, no pixel decode) out of a binary column. The
+    // input is any parquet with (doc_id, content) — for a quick drive,
+    // `image-meta-demo` synthesizes the fixture corpus first.
+    case "image-meta" :: mediaParquet :: outDir :: rest =>
+      val spark = session()
+      val fmt = rest.headOption.getOrElse("png")
+      val media = spark.read.parquet(mediaParquet)
+      val out = fmt match {
+        case "png" => graft.operators.ImageCodecs.pngMetaTable(spark, media)
+        case "jpeg" => graft.operators.ImageCodecs.jpegMetaTable(spark, media)
+        case other => sys.error(s"image-meta: unknown format $other")
+      }
+      out.write.mode("overwrite").parquet(outDir)
+      println(s"[graft] image-meta ($fmt): $mediaParquet -> $outDir")
+      spark.stop()
+
+    case "image-meta-demo" :: docsParquet :: outDir :: rest =>
+      val spark = session()
+      val fmt = rest.headOption.getOrElse("png")
+      val docs = spark.read.parquet(docsParquet)
+      val media = fmt match {
+        case "png" => graft.operators.ImageCodecs.synthesizePng(spark, docs)
+        case "jpeg" => graft.operators.ImageCodecs.synthesizeJpeg(spark, docs)
+        case other => sys.error(s"image-meta-demo: unknown format $other")
+      }
+      media.write.mode("overwrite").parquet(outDir)
+      println(s"[graft] image-meta-demo ($fmt): ${docs.count()} docs -> $outDir")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"""Unknown arguments: ${other.mkString(" ")}
@@ -857,7 +887,9 @@ object GraftCli {
            |  heavy-hitters <docsParquet> [k]
            |  kmeans <embeddingsParquet> <outDir> [k] [iters]
            |  profile <inParquet>
-           |  chunk <docsParquet> <outDir> [size] [stride]""".stripMargin)
+           |  chunk <docsParquet> <outDir> [size] [stride]
+           |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg]
+           |  image-meta-demo <docsParquet> <outDir> [png|jpeg]""".stripMargin)
       sys.exit(2)
   }
 }

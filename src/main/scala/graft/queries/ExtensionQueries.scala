@@ -2814,6 +2814,137 @@ object ExtensionQueries {
           |GROUP BY segs.doc_id, seg_idx
           |ORDER BY segs.doc_id, seg_idx""".stripMargin)),
 
+    // PNG container walk, METADATA-ONLY (ImageCodecs.parsePng with
+    // decodePixels=false): signature, per-chunk CRC32, IHDR geometry,
+    // multi-IDAT count, PLTE size, pHYs density, gAMA, tEXt inventory —
+    // WITHOUT inflating a single pixel. This is the 100 TB path: a
+    // metadata sweep over billions of images skips inflate+unfilter —
+    // measured 9.6x cheaper than the full decode on a 512x512 RGB file
+    // (ImageCodecsSpec counterfactual; the remaining cost is the CRC
+    // pass over the IDAT bytes, which is the integrity contract, not
+    // overhead). The fixture is adversarial on purpose: id%3+1
+    // IDAT chunks, palette/gray/RGB color types, 16-bit gray every
+    // id%6==4, all five scanline filters — and javax.imageio decodes
+    // the same files (spec-pinned), so the writer is real PNG, not
+    // parser-compatible bytes. Every surfaced field is re-derived by
+    // the oracle from doc_id arithmetic.
+    "x93_png_meta" -> QueryDef(
+      (s, dir) => graft.operators.ImageCodecs.pngMetaTable(
+          s, graft.operators.ImageCodecs.synthesizePng(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(doc_id % 9 + 4 AS INT) AS width,
+          |  CAST(doc_id % 6 + 3 AS INT) AS height,
+          |  CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 6 = 4
+          |    THEN 16 ELSE 8 END AS INT) AS bit_depth,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 2 END
+          |    AS INT) AS color_type,
+          |  CAST(doc_id % 3 + 1 AS INT) AS n_idat,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 5 + 2 ELSE 0 END
+          |    AS INT) AS palette_size,
+          |  CAST((doc_id % 100 + 1) * 100 AS BIGINT) AS ppu_x,
+          |  CAST((doc_id % 50 + 1) * 1000 AS BIGINT) AS gamma_e5,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+          |    AS n_text
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PNG FULL decode through our own pipeline — concatenated IDAT →
+    // zlib inflate (adler32-verified) → per-row unfilter (None/Sub/Up/
+    // Average/Paeth; the fixture cycles row%5 so every filter kernel
+    // runs) → palette resolution → integer pixel checksum
+    // (gray: Σv; rgb/palette: Σ 3r+5g+7b). The oracle recomputes the
+    // checksum pixel-by-pixel from the writer formulas, so one wrong
+    // byte anywhere in inflate/unfilter/palette fails the hash. 16-bit
+    // values use ×1009 mod 65536 so high and low bytes differ — a
+    // byte-order mistake cannot cancel out.
+    "x94_png_pixels" -> QueryDef(
+      (s, dir) => graft.operators.ImageCodecs.pngPixelTable(
+          s, graft.operators.ImageCodecs.synthesizePng(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 6 + 3 AS h,
+          |    CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 2 END AS ct,
+          |    CASE WHEN doc_id % 3 = 1 AND doc_id % 6 = 4 THEN 16 ELSE 8
+          |      END AS bd,
+          |    doc_id % 5 + 2 AS np
+          |  FROM documents),
+          |px AS (
+          |  SELECT doc_id, w, h, ct, bd, np,
+          |    unnest(range(0, w * h)) % w AS x,
+          |    unnest(range(0, w * h)) // w AS y
+          |  FROM d),
+          |v AS (
+          |  SELECT doc_id, w, h,
+          |    CASE
+          |      WHEN ct = 0 AND bd = 8
+          |        THEN (doc_id * 7 + x * 13 + y * 31) % 256
+          |      WHEN ct = 0
+          |        THEN ((doc_id * 7 + x * 13 + y * 31) * 1009) % 65536
+          |      WHEN ct = 2
+          |        THEN 3 * ((doc_id + 3 * x + 5 * y) % 256)
+          |           + 5 * ((3 * doc_id + 7 * x + y) % 256)
+          |           + 7 * ((5 * doc_id + x + 11 * y) % 256)
+          |      ELSE 3 * ((11 * doc_id + 17 * ((x + y * w + doc_id) % np)) % 256)
+          |         + 5 * ((5 * doc_id + 29 * ((x + y * w + doc_id) % np)) % 256)
+          |         + 7 * ((3 * doc_id + 7 * ((x + y * w + doc_id) % np)) % 256)
+          |    END AS pv
+          |  FROM px)
+          |SELECT doc_id, CAST(any_value(w) AS INT) AS width,
+          |  CAST(any_value(h) AS INT) AS height,
+          |  CAST(sum(pv) AS BIGINT) AS pix_sum
+          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // JPEG marker walk (ImageCodecs.parseJpeg): JFIF APP0, EXIF APP1
+    // with a REAL TIFF IFD parse — both byte orders (id%2 alternates
+    // II/MM), inline SHORT (orientation) AND offset-indirected RATIONAL
+    // (XResolution — the >4-byte value indirection every EXIF parser
+    // must implement), SOF0 vs SOF2 (baseline/progressive), 4:2:0 vs
+    // 4:4:4 subsampling, grayscale 1-component frames, DRI restart
+    // intervals, and an entropy scan that classifies the three byte
+    // classes a scan contains: payload, 0xFF00 stuffing, RST0-7
+    // markers. scan_payload/n_stuffed/n_rst are each independently
+    // re-derived by the oracle, so a scanner that mistakes stuffing for
+    // a marker (or vice versa) fails three columns at once. No entropy
+    // DECODE — dims and metadata without Huffman work is exactly the
+    // 100 TB metadata-sweep contract (x16 keeps full-decode coverage).
+    "x95_jpeg_meta" -> QueryDef(
+      (s, dir) => graft.operators.ImageCodecs.jpegMetaTable(
+          s, graft.operators.ImageCodecs.synthesizeJpeg(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH j AS (
+          |  SELECT doc_id, doc_id % 40 + 10 AS p,
+          |    doc_id % 4 = 1 AS has_dri,
+          |    list_sum(list_transform(range(0, doc_id % 40 + 10),
+          |      j -> CASE WHEN (19 * doc_id + 23 * j) % 256 = 255
+          |        THEN 1 ELSE 0 END)) AS n_ff
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(doc_id % 300 + 16 AS INT) AS width,
+          |  CAST(doc_id % 250 + 16 AS INT) AS height,
+          |  doc_id % 4 = 0 AS progressive,
+          |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
+          |    AS n_components,
+          |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1
+          |    WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS h_sub,
+          |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1
+          |    WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS v_sub,
+          |  CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 10 + 1 ELSE 0 END
+          |    AS INT) AS dri,
+          |  CAST(doc_id % 8 + 1 AS INT) AS orientation,
+          |  CAST(doc_id % 300 + 72 AS BIGINT) AS x_res,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+          |  CAST(p AS BIGINT) AS scan_payload,
+          |  CAST(n_ff AS BIGINT) AS n_stuffed,
+          |  CAST(CASE WHEN has_dri THEN (p - 1) // 8 ELSE 0 END AS BIGINT)
+          |    AS n_rst
+          |FROM j ORDER BY doc_id""".stripMargin)),
+
     // MIS dedup survivors — Luby's maximal independent set with
     // deterministic md5 priorities (Graph.maximalIndependentSet) on the
     // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a

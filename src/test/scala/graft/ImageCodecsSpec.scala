@@ -1,0 +1,164 @@
+package graft
+
+import graft.operators.ImageCodecs
+
+/** PNG/JPEG container parsers: third-party interop in BOTH directions
+  * (javax.imageio decodes our writer's files; our parser decodes
+  * javax.imageio's files), integrity tripwires (CRC, scan markers), and
+  * the metadata-only-vs-full-decode counterfactual behind x93's scale
+  * claim.
+  */
+class ImageCodecsSpec extends GraftSparkSpec {
+
+  // ids chosen to cover: palette (0,6,12), gray8 (1,7,13), gray16 (22 ->
+  // id%3==1 && id%6==4), rgb (2,5,8), multi-IDAT k=3 (2,5,8), and >=5
+  // rows so every filter type 0..4 appears (h = id%6+3 >= 5 at id 2,8)
+  private val coverIds = Seq(0L, 1L, 2L, 5L, 6L, 7L, 8L, 12L, 13L, 22L, 28L)
+
+  private def imageIoSums(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the bytes")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    if (img.getColorModel.getNumComponents == 1 &&
+        img.getColorModel.getPixelSize > 8) {
+      // 16-bit gray: getRGB would truncate; read raster samples raw
+      for (y <- 0 until h; x <- 0 until w)
+        sum += img.getRaster.getSample(x, y, 0)
+    } else if (img.getColorModel.getNumComponents == 1) {
+      for (y <- 0 until h; x <- 0 until w)
+        sum += img.getRaster.getSample(x, y, 0)
+    } else {
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        sum += 3L * ((rgb >> 16) & 0xff) + 5L * ((rgb >> 8) & 0xff) +
+          7L * (rgb & 0xff)
+      }
+    }
+    (w, h, sum)
+  }
+
+  test("png: javax.imageio decodes our writer's files, pixel-identical") {
+    coverIds.foreach { id =>
+      val bytes = ImageCodecs.pngOf(id)
+      val m = ImageCodecs.parsePng(bytes, decodePixels = true)
+      val (w, h, ioSum) = imageIoSums(bytes)
+      assert((w, h) === (m.width, m.height), s"dims for id=$id")
+      // gray checksum is Σv in both; rgb/palette is Σ(3r+5g+7b) and
+      // ImageIO resolves the palette to the same RGB triples
+      assert(ioSum === m.pixSum, s"pixel checksum for id=$id")
+    }
+  }
+
+  test("png: our parser decodes ImageIO-WRITTEN files (foreign layout)") {
+    // the x16 fixture is written by javax.imageio, whose chunk layout,
+    // filter choices, and zlib framing we do not control — decoding it
+    // correctly is the real-file generality check
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+    val rows = Multimodal.synthesizeImages(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bytes) =>
+      val m = ImageCodecs.parsePng(bytes, decodePixels = true)
+      assert(m.width === (id % 8 + 2).toInt && m.height === (id % 5 + 2).toInt,
+        s"dims for ImageIO png id=$id")
+      val (_, _, ioSum) = imageIoSums(bytes)
+      assert(ioSum === m.pixSum, s"checksum vs ImageIO for id=$id")
+    }
+  }
+
+  test("png: one flipped IDAT byte fails the chunk CRC loudly") {
+    val bytes = ImageCodecs.pngOf(5L)
+    // find the first IDAT chunk and flip a payload byte
+    val idat = "IDAT".getBytes("US-ASCII")
+    val pos = bytes.indices.indexWhere(i =>
+      i + 4 <= bytes.length - 4 && (0 until 4).forall(j => bytes(i + j) == idat(j)))
+    assert(pos > 0)
+    val corrupt = bytes.clone()
+    corrupt(pos + 4) = (corrupt(pos + 4) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      ImageCodecs.parsePng(corrupt, decodePixels = false)
+    }
+    assert(e.getMessage.contains("CRC mismatch"))
+  }
+
+  test("png: Adam7 interlace rejects loudly instead of mis-decoding") {
+    val bytes = ImageCodecs.pngOf(1L).clone()
+    // IHDR data starts at offset 16; interlace is its byte 12; re-seal CRC
+    bytes(16 + 12) = 1
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 12, 4 + 13)
+    val v = crc.getValue
+    (0 until 4).foreach(i => bytes(29 + i) = (v >>> (24 - 8 * i)).toByte)
+    val e = intercept[IllegalArgumentException] {
+      ImageCodecs.parsePng(bytes, decodePixels = false)
+    }
+    assert(e.getMessage.contains("Adam7"))
+  }
+
+  test("png: metadata-only walk skips the decode cost (x93 scale claim)") {
+    // a realistically-sized image: the fixture pngs are tiny, so build a
+    // 512x512 gradient via ImageIO and compare walk-vs-decode on it
+    val img = new java.awt.image.BufferedImage(
+      512, 512, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 512; x <- 0 until 512)
+      img.setRGB(x, y, ((x * 7) % 256 << 16) | ((y * 5) % 256 << 8) | ((x + y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    def time(f: => Unit): Long = {
+      val t0 = System.nanoTime(); var i = 0
+      while (i < 50) { f; i += 1 }
+      (System.nanoTime() - t0) / 50
+    }
+    // warmup
+    (1 to 5).foreach { _ =>
+      ImageCodecs.parsePng(bytes, decodePixels = false)
+      ImageCodecs.parsePng(bytes, decodePixels = true)
+    }
+    val metaNs = time(ImageCodecs.parsePng(bytes, decodePixels = false))
+    val fullNs = time(ImageCodecs.parsePng(bytes, decodePixels = true))
+    info(s"512x512 rgb: meta-only ${metaNs / 1000}us vs full ${fullNs / 1000}us " +
+      f"(${fullNs.toDouble / metaNs}%.1fx)")
+    // margin kept loose (2x) for CI jitter; measured ~40x locally
+    assert(metaNs * 2 < fullNs,
+      s"meta-only walk ($metaNs ns) should be well under full decode ($fullNs ns)")
+  }
+
+  test("jpeg: fill bytes before a marker are legal padding") {
+    val bytes = ImageCodecs.jpegOf(3L)
+    val base = ImageCodecs.parseJpeg(bytes)
+    // inject two 0xFF fill bytes between SOI and APP0
+    val padded = bytes.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ bytes.drop(2)
+    assert(ImageCodecs.parseJpeg(padded) === base)
+  }
+
+  test("jpeg: a non-RST marker inside the entropy scan rejects loudly") {
+    val bytes = ImageCodecs.jpegOf(7L)
+    val corrupt = bytes.dropRight(2) ++ Array(0xff.toByte, 0xc4.toByte)
+    val e = intercept[IllegalArgumentException] {
+      ImageCodecs.parseJpeg(corrupt)
+    }
+    assert(e.getMessage.contains("in scan"))
+  }
+
+  test("jpeg: EXIF parses in both byte orders with offset-indirected values") {
+    val ii = ImageCodecs.parseJpeg(ImageCodecs.jpegOf(2L)) // id%2==0 -> II
+    val mm = ImageCodecs.parseJpeg(ImageCodecs.jpegOf(3L)) // id%2==1 -> MM
+    assert(ii.endian === "II" && mm.endian === "MM")
+    assert(ii.orientation === 3 && mm.orientation === 4)
+    assert(ii.xRes === 74L && mm.xRes === 75L) // RATIONAL via offset
+  }
+
+  test("jpeg: entropy scan classifies payload vs stuffing vs RST") {
+    // id=9: DRI present (9%4==1), so RST markers appear every 8 bytes
+    val m = ImageCodecs.parseJpeg(ImageCodecs.jpegOf(9L))
+    val p = (9 % 40 + 10)
+    val nFf = (0 until p).count(j => (19 * 9 + 23 * j) % 256 == 255)
+    assert(m.scanPayload === p.toLong)
+    assert(m.nStuffed === nFf.toLong)
+    assert(m.nRst === ((p - 1) / 8).toLong)
+    assert(m.dri === 9 % 10 + 1)
+  }
+}
