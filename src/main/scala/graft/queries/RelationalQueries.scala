@@ -2436,6 +2436,135 @@ object RelationalQueries {
              |  WHERE n.node > 0)
              |SELECT tenant, node, CAST(depth AS BIGINT) AS depth,
              |  CAST(path_sum AS BIGINT) AS path_sum FROM r
-             |ORDER BY tenant, node""".stripMargin))
+             |ORDER BY tenant, node""".stripMargin)),
+
+    // ---- A4 sibling under the zstd codec (sources/Readers.zstdLines is
+    // the file path; this gate proves the same codec arm in-memory so the
+    // oracle never needs zstd): every line is framed, compressed, and
+    // decompressed through zstd-jni before parsing — a corrupted byte,
+    // wrong frame size, or codec-context misuse breaks the downstream
+    // aggregate. Contexts are allocated once per PARTITION and reused
+    // (per-record ctx allocation is the classic codec-in-a-loop trap; at
+    // 100 TB it dominates the actual compression work).
+    "q77_zstd_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val lines = t(s, dir, "orders").select(
+          concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("line")).as[String]
+        val round = lines.mapPartitions { it =>
+          val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+          cctx.setLevel(3)
+          val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+          it.map { line =>
+            val comp = cctx.compress(line.getBytes("UTF-8"))
+            val n = com.github.luben.zstd.Zstd.getFrameContentSize(comp)
+            new String(dctx.decompress(comp, n.toInt), "UTF-8")
+          }
+        }.toDF("line")
+        round.select(
+          GraftFunctions.csvColumnAt(col("line"), 0).cast("long").as("id"),
+          GraftFunctions.csvColumnAt(col("line"), 1).as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("id_card"))
+          .orderBy("status")
+      },
+      Some("""SELECT split_part(line, ',', 2) AS status, count(*) AS n,
+             |  count(DISTINCT CAST(split_part(line, ',', 1) AS BIGINT)) AS id_card
+             |FROM (SELECT concat_ws(',', o_orderkey, o_orderstatus, o_totalprice)
+             |        AS line FROM orders)
+             |GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // ---- SCD2 dimension build (slowly-changing-dimension type 2) from
+    // the event log: collapse each user's consecutive runs of the same
+    // event_type into validity intervals [valid_from, valid_to), open
+    // interval = current version. The warehouse-standard change-capture
+    // shape: one lag + one running sum + one group-by + one lead. The
+    // whole chain runs on ONE hash exchange (PlanAudit: Exchange(3) on
+    // user_id feeds both ts-ordered windows, and that partitioning also
+    // satisfies the coarser (user_id, version) group-by clustering and
+    // the lead window — the only other exchange is the presentation
+    // orderBy). Timestamps surface as epoch MICROS (integer — the
+    // parquet-ns vs Spark-µs hash rule in this file's header).
+    "q78_scd2" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val versioned = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1)
+              .otherwise(0))
+          .withColumn("version", sum("chg").over(w))
+        val wv = Window.partitionBy("user_id").orderBy("version")
+        versioned.groupBy("user_id", "version")
+          .agg(min("event_type").as("event_type"),
+            unix_micros(min("ts")).as("valid_from_us"))
+          .withColumn("valid_to_us", lead("valid_from_us", 1).over(wv))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |v AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    sum(CASE WHEN prev IS NULL OR prev <> event_type
+             |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS version
+             |  FROM m),
+             |g AS (
+             |  SELECT user_id, version, min(event_type) AS event_type,
+             |    epoch_us(min(ts)) AS valid_from_us
+             |  FROM v GROUP BY user_id, version)
+             |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             |  valid_from_us,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id
+             |    ORDER BY version) AS valid_to_us,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id
+             |    ORDER BY version) IS NULL AS is_current
+             |FROM g ORDER BY user_id, version""".stripMargin)),
+
+    // ---- Interval concurrency (sweep line): max simultaneously-open
+    // intervals per event_type, intervals = [ts, ts + (event_id%600+60)s).
+    // The classic capacity-planning query (peak concurrent sessions /
+    // connections / jobs). Encoding: +1/-1 deltas, one running sum, one
+    // max — entirely shuffle-light (one exchange on event_type). Ordering
+    // (t, delta ASC) closes intervals BEFORE opening new ones at the same
+    // instant, so touching intervals never count as concurrent; the
+    // default RANGE frame makes tied rows see the post-tie total in both
+    // engines, which is the correct "after all simultaneous events" peak.
+    "q79_concurrency" -> QueryDef(
+      (s, dir) => {
+        val iv = t(s, dir, "events").select(col("event_type"),
+          unix_micros(col("ts")).as("t0"),
+          (unix_micros(col("ts")) +
+            (pmod(col("event_id"), lit(600)) + 60) * 1000000L).as("t1"))
+        val deltas = iv.select(col("event_type"), col("t0").as("t"),
+            lit(1).as("d"))
+          .unionAll(iv.select(col("event_type"), col("t1").as("t"),
+            lit(-1).as("d")))
+        val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
+        deltas.withColumn("cur", sum("d").over(w))
+          .groupBy("event_type")
+          .agg(max("cur").as("max_concurrent"))
+          .orderBy("event_type")
+      },
+      Some("""WITH iv AS (
+             |  SELECT event_type, epoch_us(ts) AS t0,
+             |    epoch_us(ts) + (event_id % 600 + 60) * 1000000 AS t1
+             |  FROM events),
+             |d AS (
+             |  SELECT event_type, t0 AS t, 1 AS d FROM iv
+             |  UNION ALL
+             |  SELECT event_type, t1 AS t, -1 AS d FROM iv),
+             |r AS (
+             |  SELECT event_type, sum(d) OVER (PARTITION BY event_type
+             |    ORDER BY t, d) AS cur
+             |  FROM d)
+             |SELECT event_type, CAST(max(cur) AS BIGINT) AS max_concurrent
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

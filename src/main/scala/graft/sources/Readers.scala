@@ -46,4 +46,34 @@ object Readers {
       }
       .toDF("file", "value")
   }
+
+  /** Lines of zstd-compressed text blobs — the A4 gunzip transform's
+    * modern-codec sibling (zstd is what current data lakes actually ship;
+    * zstd-jni is already on Spark's own classpath, no new dependency).
+    * Same execution shape as the reference's whole-blob gunzip
+    * (GunzipContentTransform.cs streams one blob per task): one
+    * ZstdInputStream per file, no splitting — zstd frames, like gzip
+    * members, are not block-splittable without a seekable-format index.
+    */
+  def zstdLines(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        val zin = new com.github.luben.zstd.ZstdInputStream(pds.open())
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(zin, "UTF-8"))
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .map(line => (path, line)).toVector.iterator
+        finally reader.close()
+      }
+      .toDF("file", "value")
+  }
+
+  /** Write one zstd-compressed text blob (test/CLI fixture path). */
+  def writeZstdBlob(path: String, lines: Seq[String], level: Int = 3): Unit = {
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(path), level)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 }
