@@ -135,10 +135,8 @@ object ImageCodecs {
   private[graft] def pngBitDepth(id: Long): Int =
     if (pngColorType(id) == 0 && id % 6 == 4) 16 else 8
 
-  private def rawScanlines(id: Long): (Array[Array[Byte]], Int) = {
-    val (w, h) = pngDims(id)
-    val ct = pngColorType(id)
-    val bd = pngBitDepth(id)
+  private def rawScanlines(id: Long, w: Int, h: Int, ct: Int,
+                           bd: Int): (Array[Array[Byte]], Int) = {
     val bpp = ct match {
       case 2 => 3
       case 0 => if (bd == 16) 2 else 1
@@ -177,8 +175,15 @@ object ImageCodecs {
     */
   private[graft] def pngOf(id: Long): Array[Byte] = {
     val (w, h) = pngDims(id)
-    val ct = pngColorType(id)
-    val bd = pngBitDepth(id)
+    pngBytesFor(id, w, h, pngColorType(id), pngBitDepth(id))
+  }
+
+  /** Parameterized writer behind [[pngOf]] — the scale probe
+    * (tools/ImageScale) uses realistic dimensions the fixture arithmetic
+    * never produces; ancillary-chunk content stays id-derived.
+    */
+  private[graft] def pngBytesFor(id: Long, w: Int, h: Int, ct: Int,
+                                 bd: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
     chunk(out, "IHDR", be32(w.toLong) ++ be32(h.toLong) ++
@@ -203,7 +208,7 @@ object ImageCodecs {
       }
       chunk(out, "PLTE", plte)
     }
-    val (rows, bpp) = rawScanlines(id)
+    val (rows, bpp) = rawScanlines(id, w, h, ct, bd)
     val filtered = new java.io.ByteArrayOutputStream()
     var prior = new Array[Byte](rows(0).length)
     rows.zipWithIndex.foreach { case (raw, y) =>
