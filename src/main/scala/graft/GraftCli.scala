@@ -809,6 +809,29 @@ object GraftCli {
     // JPEG marker walk, no pixel decode) out of a binary column. The
     // input is any parquet with (doc_id, content) — for a quick drive,
     // `image-meta-demo` synthesizes the fixture corpus first.
+    // scan-planner's view of a parquet file: footer-only read (tail KBs,
+    // never data pages) via our own thrift-compact decoder
+    case "parquet-footer" :: paths if paths.nonEmpty =>
+      paths.foreach { p =>
+        val f = graft.sources.ParquetFooter.readFooter(p)
+        println(s"$p: rows=${f.numRows} rowGroups=${f.rowGroups.size} " +
+          s"createdBy='${f.createdBy}'")
+        f.rowGroups.zipWithIndex.foreach { case (rg, i) =>
+          println(f"  rg$i: rows=${rg.numRows} bytes=${rg.totalByteSize}")
+          rg.columns.foreach { c =>
+            val stats = (c.minI64, c.maxI64) match {
+              case (Some(a), Some(b)) => s" min=$a max=$b"
+              case _ => ""
+            }
+            println(f"    ${c.pathInSchema.mkString(".")}%-28s " +
+              f"${graft.sources.ParquetFooter.physName(c.physType)}%-10s " +
+              f"${graft.sources.ParquetFooter.codecName(c.codec)}%-8s " +
+              f"n=${c.numValues} comp=${c.totalCompressed} " +
+              f"unc=${c.totalUncompressed} off=${c.dataPageOffset}$stats")
+          }
+        }
+      }
+
     case "image-meta" :: mediaParquet :: outDir :: rest =>
       val spark = session()
       val fmt = rest.headOption.getOrElse("png")
@@ -889,7 +912,8 @@ object GraftCli {
            |  profile <inParquet>
            |  chunk <docsParquet> <outDir> [size] [stride]
            |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg]
-           |  image-meta-demo <docsParquet> <outDir> [png|jpeg]""".stripMargin)
+           |  image-meta-demo <docsParquet> <outDir> [png|jpeg]
+           |  parquet-footer <file.parquet> [file.parquet ...]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -2945,6 +2945,54 @@ object ExtensionQueries {
           |    AS n_rst
           |FROM j ORDER BY doc_id""".stripMargin)),
 
+    // Parquet FOOTER parse (sources/ParquetFooter): our own thrift
+    // compact protocol decoder reads ONLY the last bytes of every sf
+    // table file — footer length + FileMetaData — and surfaces what a
+    // scan planner runs on before touching a data page. The gate checks
+    // the LOGICAL facts DuckDB can independently verify from its own
+    // read of the same files: per top-level scalar column the value
+    // count summed across row groups (== rowcount for flat leaves; the
+    // nested embeddings column is excluded on both sides — path depth
+    // >1 here, FLOAT[] type in DESCRIBE there), plus min/max decoded
+    // from the row-group STATISTICS binaries for each table's integer
+    // (INT32 or INT64 physical) key
+    // column — physical stats bytes vs a logical aggregate, so a
+    // little-endian slip or field-id misread cannot pass. Physical
+    // facts (offsets, sizes, codecs) are pinned against parquet-mr's
+    // decoder in ParquetFooterSpec — three independent parsers over
+    // files a fourth implementation (pyarrow) wrote. 100 TB shape: one
+    // task per file, tens of KB read per file regardless of file size.
+    "x96_parquet_footer" -> QueryDef(
+      (s, dir) => graft.sources.ParquetFooter.footerTable(s, dir),
+      Some {
+        val cols = graft.sources.ParquetFooter.tables.map { case (t, _) =>
+          s"SELECT '$t' AS table_name, column_name AS col_name, column_type FROM (DESCRIBE $t)"
+        }.mkString("\n  UNION ALL ")
+        val counts = graft.sources.ParquetFooter.tables.map { case (t, _) =>
+          s"SELECT '$t' AS table_name, count(*) AS n FROM $t"
+        }.mkString("\n  UNION ALL ")
+        val keys = graft.sources.ParquetFooter.tables.map { case (t, k) =>
+          s"SELECT '$t' AS table_name, '$k' AS col_name, min($k) AS mn, max($k) AS mx FROM $t"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH cols AS (
+           |  $cols),
+           |counts AS (
+           |  $counts),
+           |keys AS (
+           |  $keys)
+           |SELECT c.table_name AS table_name, c.col_name AS col_name,
+           |  CAST(n AS BIGINT) AS num_values,
+           |  CAST(k.mn AS BIGINT) AS min_i64, CAST(k.mx AS BIGINT) AS max_i64
+           |FROM cols c
+           |JOIN counts USING (table_name)
+           |LEFT JOIN keys k
+           |  ON k.table_name = c.table_name AND k.col_name = c.col_name
+           |WHERE c.column_type NOT LIKE '%[]'
+           |  AND c.column_type NOT LIKE 'STRUCT%'
+           |  AND c.column_type NOT LIKE 'MAP%'
+           |ORDER BY c.table_name, c.col_name""".stripMargin
+      }),
+
     // MIS dedup survivors — Luby's maximal independent set with
     // deterministic md5 priorities (Graph.maximalIndependentSet) on the
     // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a
