@@ -805,6 +805,22 @@ object GraftCli {
       println(s"[graft] chunks size=$sz stride=$stride: $docsParquet -> $outDir")
       spark.stop()
 
+    case "parquet-prune" :: file :: column :: lo :: hi :: Nil =>
+      val plan = graft.sources.ParquetFooter.pruneRowGroups(
+        file, column, lo.toLong, hi.toLong)
+      plan.foreach { p =>
+        val st = (p.mn, p.mx) match {
+          case (Some(a), Some(b)) => s"[$a,$b]"
+          case _ => "[no stats]"
+        }
+        println(f"rg${p.rgIdx}%-4d rows=${p.numRows}%-8d off=${p.startOffset}%-10d " +
+          f"bytes=${p.totalCompressed}%-9d $st%-22s ${if (p.keep) "SCAN" else "prune"}")
+      }
+      val kept = plan.filter(_.keep)
+      println(s"[graft] ${kept.size}/${plan.size} row groups survive: " +
+        s"${kept.map(_.totalCompressed).sum} of " +
+        s"${plan.map(_.totalCompressed).sum} compressed bytes")
+
     // media metadata sweep: parse image containers (PNG chunk walk /
     // JPEG marker walk, no pixel decode) out of a binary column. The
     // input is any parquet with (doc_id, content) — for a quick drive,
@@ -913,7 +929,8 @@ object GraftCli {
            |  chunk <docsParquet> <outDir> [size] [stride]
            |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg]
            |  image-meta-demo <docsParquet> <outDir> [png|jpeg]
-           |  parquet-footer <file.parquet> [file.parquet ...]""".stripMargin)
+           |  parquet-footer <file.parquet> [file.parquet ...]
+           |  parquet-prune <file.parquet> <intColumn> <lo> <hi>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -45,7 +45,13 @@ object ParquetFooter {
   private[graft] case class PqColChunk(pathInSchema: Seq[String],
       physType: Int, codec: Int, numValues: Long, totalUncompressed: Long,
       totalCompressed: Long, dataPageOffset: Long,
-      minI64: Option[Long], maxI64: Option[Long])
+      dictPageOffset: Option[Long],
+      minI64: Option[Long], maxI64: Option[Long]) {
+    /** First byte of this chunk in the file (dictionary page precedes
+      * data pages when present).
+      */
+    def startOffset: Long = dictPageOffset.filter(_ > 0).getOrElse(dataPageOffset)
+  }
   private[graft] case class PqRowGroup(numRows: Long, totalByteSize: Long,
       columns: Seq[PqColChunk])
   private[graft] case class PqFooter(numRows: Long, createdBy: String,
@@ -183,6 +189,7 @@ object ParquetFooter {
     var physType = -1; var codec = -1
     var numValues = -1L; var totUnc = -1L; var totComp = -1L
     var dataOff = -1L
+    var dictOff: Option[Long] = None
     var path: Seq[String] = Nil
     var mn: Option[Long] = None; var mx: Option[Long] = None
     r.struct { (id, t) =>
@@ -197,6 +204,7 @@ object ParquetFooter {
         case (6, TI64) => totUnc = r.zigzag()
         case (7, TI64) => totComp = r.zigzag()
         case (9, TI64) => dataOff = r.zigzag()
+        case (11, TI64) => dictOff = Some(r.zigzag())
         case (12, TStruct) =>
           val (a, b) = parseStatistics(r, physType); mn = a; mx = b
         case _ => r.skip(t)
@@ -205,7 +213,7 @@ object ParquetFooter {
     require(physType >= 0 && numValues >= 0 && path.nonEmpty,
       "parquet: incomplete ColumnMetaData")
     PqColChunk(path, physType, codec, numValues, totUnc, totComp, dataOff,
-      mn, mx)
+      dictOff, mn, mx)
   }
 
   private def parseColumnChunk(r: Reader): PqColChunk = {
@@ -317,6 +325,35 @@ object ParquetFooter {
     "part" -> "p_partkey", "orders" -> "o_orderkey",
     "lineitem" -> "l_orderkey", "events" -> "event_id",
     "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  private[graft] case class RgPlan(rgIdx: Int, numRows: Long,
+      startOffset: Long, totalCompressed: Long,
+      mn: Option[Long], mx: Option[Long], keep: Boolean)
+
+  /** Row-group pruning plan for an integer range predicate
+    * `column BETWEEN lo AND hi` — THE reason a planner reads footers: a
+    * group whose [min,max] statistics are disjoint from the predicate is
+    * never scanned. Groups without usable statistics are kept (pruning
+    * must be sound, never clairvoyant). Returns every group with its
+    * byte range so a scheduler can assign exactly the surviving splits;
+    * on a sorted table this turns a point/range lookup into O(groups
+    * overlapping the range) I/O, independent of file size.
+    */
+  private[graft] def pruneRowGroups(path: String, column: String,
+      lo: Long, hi: Long): Seq[RgPlan] = {
+    val f = readFooter(path)
+    f.rowGroups.zipWithIndex.map { case (rg, i) =>
+      val start = rg.columns.map(_.startOffset).min
+      val bytes = rg.columns.map(_.totalCompressed).sum
+      val chunk = rg.columns.find(_.pathInSchema == Seq(column))
+      val (mn, mx) = chunk.map(c => (c.minI64, c.maxI64)).getOrElse((None, None))
+      val keep = (mn, mx) match {
+        case (Some(a), Some(b)) => b >= lo && a <= hi
+        case _ => true // no stats -> cannot prune soundly
+      }
+      RgPlan(i, rg.numRows, start, bytes, mn, mx, keep)
+    }
+  }
 
   def footerTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -98,6 +98,42 @@ class ParquetFooterSpec extends GraftSparkSpec {
     assert(ParquetFooter.readFooter(p).numRows > 0)
   }
 
+  test("row-group pruning is sound and effective on a sorted multi-group file") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey").coalesce(1)
+      .write.option("parquet.block.size", "16384")
+      .option("parquet.page.size", "8192")
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toString
+    val maxKey = spark.read.parquet(file)
+      .agg(max("l_orderkey")).head().getLong(0)
+    val (lo, hi) = (maxKey / 3, maxKey / 2)
+    val plan = graft.sources.ParquetFooter.pruneRowGroups(
+      file, "l_orderkey", lo, hi)
+    assert(plan.size > 3, s"need multiple row groups, got ${plan.size}")
+    assert(plan.exists(!_.keep) && plan.exists(_.keep),
+      "mid-range predicate on a sorted file must prune some groups")
+    // byte ranges must be disjoint and ordered (a scheduler's split list)
+    val kept = plan.filter(_.keep)
+    assert(plan.map(_.startOffset) === plan.map(_.startOffset).sorted)
+    // soundness: every matching row's key lies inside a KEPT group's
+    // stats range — no match can live in a pruned group
+    val matching = spark.read.parquet(file)
+      .filter(col("l_orderkey").between(lo, hi))
+    val cnt = matching.count()
+    val keptPred = kept.flatMap(p => for { a <- p.mn; b <- p.mx }
+        yield col("l_orderkey").between(a, b))
+      .reduce(_ || _)
+    assert(cnt > 0 && matching.filter(keptPred).count() === cnt)
+    info(s"${plan.size} row groups, ${plan.count(!_.keep)} pruned, " +
+      s"${kept.map(_.totalCompressed).sum} of " +
+      s"${plan.map(_.totalCompressed).sum} bytes scanned")
+  }
+
   test("corrupt magic and absurd footer length reject loudly") {
     val src = java.nio.file.Paths.get(s"$sfDir/region.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-pqf")
