@@ -298,7 +298,10 @@ object ImageCodecs {
           palette = data; paletteSize = len / 3
         case "IDAT" =>
           require(!idatDone, "png: non-contiguous IDAT chunks")
-          nIdat += 1; idat.write(data)
+          nIdat += 1
+          // metadata-only walks never inflate; skipping the buffer copy
+          // here is most of x93's win over the decode path
+          if (decodePixels) idat.write(data)
         case "tEXt" =>
           val z = data.indexOf(0.toByte)
           require(z > 0, "png: tEXt missing separator")
@@ -531,12 +534,17 @@ object ImageCodecs {
     var endian = ""
     var scanPayload, nStuffed, nRst = 0L
     var done = false
+    var consumedPos = false
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     while (!done) {
       require(pos + 2 <= bytes.length, "jpeg: truncated before marker")
       require((bytes(pos) & 0xff) == 0xff, s"jpeg: expected marker at $pos")
-      // fill bytes: any number of 0xFF may pad before the marker code
-      while ((bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      // fill bytes: any number of 0xFF may pad before the marker code —
+      // bounded, so a file truncated inside FF padding rejects loudly
+      // instead of overrunning the buffer
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1
+      require(pos + 2 <= bytes.length, "jpeg: truncated in marker padding")
       val m = bytes(pos + 1) & 0xff
       pos += 2
       m match {
@@ -554,18 +562,32 @@ object ImageCodecs {
             case 0xe1 if dlen >= 14 &&
               new String(bytes, d0, 4, "US-ASCII") == "Exif" =>
               val t0 = d0 + 6 // TIFF header start
+              val segEnd = pos + len
+              // every IFD/value offset is attacker/corruption-controlled:
+              // bound every read to the APP1 segment or reject loudly —
+              // out-of-segment reads would otherwise crash (AIOOBE) or
+              // silently surface the NEXT segment's bytes as metadata
+              def chk(p: Int, n: Int): Int = {
+                require(p >= t0 && p + n <= segEnd,
+                  s"jpeg: EXIF offset $p out of segment")
+                p
+              }
               val bo = new String(bytes, t0, 2, "US-ASCII")
               require(bo == "II" || bo == "MM", "jpeg: bad TIFF byte order")
               endian = bo
               val little = bo == "II"
-              def t16(p: Int): Int =
+              def t16(p0: Int): Int = {
+                val p = chk(p0, 2)
                 if (little) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
                 else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
-              def t32(p: Int): Long =
+              }
+              def t32(p0: Int): Long = {
+                val p = chk(p0, 4)
                 if (little) (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
                   ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
                 else ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
                   ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+              }
               require(t16(t0 + 2) == 42, "jpeg: bad TIFF magic")
               val ifd = t0 + t32(t0 + 4).toInt
               val n = t16(ifd)
@@ -596,7 +618,13 @@ object ImageCodecs {
                   "(hierarchical/arithmetic out of fixture scope)")
             case 0xda =>
               require(width > 0, "jpeg: SOS before SOF")
-              // entropy scan after the SOS header
+              // entropy scan after the SOS header: three byte classes —
+              // payload, 0xFF00 stuffing, RST0-7. Any OTHER marker ends
+              // the scan: EOI finishes the image, everything else (the
+              // DHT/SOS of a progressive image's next scan, DNL, COM)
+              // returns control to the marker walk — a real progressive
+              // JPEG is a SEQUENCE of scans, not one. 0xFF fill bytes
+              // are legal padding inside the scan tail too.
               var p = pos + len
               var inScan = true
               while (inScan) {
@@ -608,17 +636,19 @@ object ImageCodecs {
                   val nb = bytes(p + 1) & 0xff
                   if (nb == 0x00) { scanPayload += 1; nStuffed += 1; p += 2 }
                   else if (nb >= 0xd0 && nb <= 0xd7) { nRst += 1; p += 2 }
-                  else if (nb == 0xd9) { inScan = false; done = true; p += 2 }
-                  else throw new IllegalArgumentException(
-                    s"jpeg: unexpected marker 0x${nb.toHexString} in scan")
+                  else if (nb == 0xff) p += 1 // fill byte
+                  else if (nb == 0xd9) { inScan = false; done = true }
+                  else inScan = false // next segment: resume marker walk
                 }
               }
-              pos = p - 2 // loop exits via done
+              pos = p // at the 0xFF of the scan-ending marker
+              consumedPos = true
             case 0xdd =>
               require(dlen == 2, "jpeg: bad DRI length"); dri = u16(d0)
             case _ => () // DQT/DHT/APPn/COM: length-skipped
           }
-          if (!done) pos += len
+          if (!consumedPos) pos += len
+          consumedPos = false
       }
     }
     require(width > 0, "jpeg: missing SOF")

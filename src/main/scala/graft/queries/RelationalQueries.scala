@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import QueryDef.t
 
+  /** Shared by q16 and q77: parse `id,status,...` lines with the
+    * quote-aware kernel and aggregate per status (same oracle text too —
+    * the two gates differ only in what the lines pass through first).
+    */
+  private def csvStatusAgg(lines: DataFrame): DataFrame =
+    lines.select(
+      GraftFunctions.csvColumnAt(col("line"), 0).cast("long").as("id"),
+      GraftFunctions.csvColumnAt(col("line"), 1).as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("id_card"))
+      .orderBy("status")
+
+  private def statusOracle: String =
+    """SELECT split_part(line, ',', 2) AS status, count(*) AS n,
+      |  count(DISTINCT CAST(split_part(line, ',', 1) AS BIGINT)) AS id_card
+      |FROM (SELECT concat_ws(',', o_orderkey, o_orderstatus, o_totalprice)
+      |        AS line FROM orders)
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- B7/§2C aggregation: TPC-H Q1 shape. One hash-agg shuffle over a
@@ -253,22 +272,10 @@ object RelationalQueries {
     // rows as CSV lines, extract with csv_column_at (custom expression),
     // cast back, validate cardinality invariants.
     "q16_csv_roundtrip" -> QueryDef(
-      (s, dir) => {
-        val lines = t(s, dir, "orders").select(
-          concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
-            col("o_totalprice")).as("line"))
-        lines.select(
-          GraftFunctions.csvColumnAt(col("line"), 0).cast("long").as("id"),
-          GraftFunctions.csvColumnAt(col("line"), 1).as("status"))
-          .groupBy("status")
-          .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("id_card"))
-          .orderBy("status")
-      },
-      Some("""SELECT split_part(line, ',', 2) AS status, count(*) AS n,
-             |  count(DISTINCT CAST(split_part(line, ',', 1) AS BIGINT)) AS id_card
-             |FROM (SELECT concat_ws(',', o_orderkey, o_orderstatus, o_totalprice)
-             |        AS line FROM orders)
-             |GROUP BY 1 ORDER BY status""".stripMargin)),
+      (s, dir) => csvStatusAgg(t(s, dir, "orders").select(
+        concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")).as("line"))),
+      Some(statusOracle)),
 
     // ---- A5 again under Format=psv — the reference's intended test matrix
     // declares pipe-delimited input as a default dimension
@@ -2456,24 +2463,22 @@ object RelationalQueries {
           val cctx = new com.github.luben.zstd.ZstdCompressCtx()
           cctx.setLevel(3)
           val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+          // native contexts: freed at task end, not GC finalization —
+          // mapPartitions returns a lazy iterator, so a try/finally here
+          // would close them before the first record is read
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ =>
+              cctx.close(); dctx.close()
+            })
           it.map { line =>
             val comp = cctx.compress(line.getBytes("UTF-8"))
             val n = com.github.luben.zstd.Zstd.getFrameContentSize(comp)
             new String(dctx.decompress(comp, n.toInt), "UTF-8")
           }
         }.toDF("line")
-        round.select(
-          GraftFunctions.csvColumnAt(col("line"), 0).cast("long").as("id"),
-          GraftFunctions.csvColumnAt(col("line"), 1).as("status"))
-          .groupBy("status")
-          .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("id_card"))
-          .orderBy("status")
+        csvStatusAgg(round)
       },
-      Some("""SELECT split_part(line, ',', 2) AS status, count(*) AS n,
-             |  count(DISTINCT CAST(split_part(line, ',', 1) AS BIGINT)) AS id_card
-             |FROM (SELECT concat_ws(',', o_orderkey, o_orderstatus, o_totalprice)
-             |        AS line FROM orders)
-             |GROUP BY 1 ORDER BY status""".stripMargin)),
+      Some(statusOracle)),
 
     // ---- SCD2 dimension build (slowly-changing-dimension type 2) from
     // the event log: collapse each user's consecutive runs of the same

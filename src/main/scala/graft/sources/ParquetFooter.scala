@@ -126,17 +126,7 @@ object ParquetFooter {
         s"thrift: unknown wire type $other at $pos")
     }
 
-    def skipStruct(): Unit = {
-      var last = 0
-      var b = u8()
-      while (b != TStop) {
-        val t = b & 0x0f
-        val delta = (b >>> 4) & 0x0f
-        last = if (delta == 0) zigzag().toInt else last + delta
-        skip(t)
-        b = u8()
-      }
-    }
+    def skipStruct(): Unit = struct((_, t) => skip(t))
 
     /** Walk a struct's fields, dispatching on field id; `f` must consume
       * the value (or call skip).

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   *   meta    ImageCodecs.pngMetaTable   (chunk walk + CRC, no inflate)
   *   decode  ImageCodecs.pngPixelTable  (own inflate + unfilter)
   *   imageio Multimodal.decodeImages    (JDK ImageIO full decode)
-  * Corpus: n 64x64 RGB PNGs (pixel formulas keep them incompressible-ish,
-  * ~12.5 KB each) written once to parquet; each path is then timed on the
-  * identical input with a noop write. Run OUTSIDE sbt (no build lock):
+  * Corpus: n dim x dim RGB PNGs (the linear pixel formulas deflate ~4.5x
+  * under the scanline filters — the real-photo band) written once to
+  * parquet; each path is then timed on the identical input with a noop
+  * write. Run OUTSIDE sbt (no build lock):
   *   java -cp "target/scala-2.13/classes:<spark jars>"
   *     <add-opens flags> graft.tools.ImageScale 200000
   */

@@ -20,12 +20,9 @@ class ImageCodecsSpec extends GraftSparkSpec {
     assert(img != null, "ImageIO could not decode the bytes")
     val (w, h) = (img.getWidth, img.getHeight)
     var sum = 0L
-    if (img.getColorModel.getNumComponents == 1 &&
-        img.getColorModel.getPixelSize > 8) {
-      // 16-bit gray: getRGB would truncate; read raster samples raw
-      for (y <- 0 until h; x <- 0 until w)
-        sum += img.getRaster.getSample(x, y, 0)
-    } else if (img.getColorModel.getNumComponents == 1) {
+    if (img.getColorModel.getNumComponents == 1) {
+      // gray (8- or 16-bit): raw raster samples — getRGB would truncate
+      // 16-bit values to their high byte
       for (y <- 0 until h; x <- 0 until w)
         sum += img.getRaster.getSample(x, y, 0)
     } else {
@@ -134,13 +131,57 @@ class ImageCodecsSpec extends GraftSparkSpec {
     assert(ImageCodecs.parseJpeg(padded) === base)
   }
 
-  test("jpeg: a non-RST marker inside the entropy scan rejects loudly") {
-    val bytes = ImageCodecs.jpegOf(7L)
-    val corrupt = bytes.dropRight(2) ++ Array(0xff.toByte, 0xc4.toByte)
-    val e = intercept[IllegalArgumentException] {
-      ImageCodecs.parseJpeg(corrupt)
+  test("jpeg: a second scan after DHT parses (progressive multi-scan shape)") {
+    // real SOF2 files are a SEQUENCE of scans; a marker other than
+    // RST/EOI must END the scan and resume the walk, not reject
+    val base = ImageCodecs.jpegOf(7L)
+    val parsed = ImageCodecs.parseJpeg(base)
+    val dht = Array(0xff, 0xc4, 0x00, 0x14, 0x00, 0x01).map(_.toByte) ++
+      Array.fill(15)(0.toByte) ++ Array(0.toByte)
+    val sos2 = Array(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00,
+      0x3f, 0x00).map(_.toByte)
+    val payload2 = Array(0x11, 0x22, 0x33).map(_.toByte)
+    val multi = base.dropRight(2) ++ dht ++ sos2 ++ payload2 ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val m = ImageCodecs.parseJpeg(multi)
+    assert(m.scanPayload === parsed.scanPayload + 3)
+    assert(m.nStuffed === parsed.nStuffed && m.nRst === parsed.nRst)
+  }
+
+  test("jpeg: 0xFF fill bytes before EOI inside the scan tail are legal") {
+    val base = ImageCodecs.jpegOf(7L)
+    val parsed = ImageCodecs.parseJpeg(base)
+    val padded = base.dropRight(2) ++
+      Array(0xff.toByte, 0xff.toByte, 0xd9.toByte)
+    assert(ImageCodecs.parseJpeg(padded) === parsed)
+  }
+
+  test("jpeg: truncation inside the scan or FF padding rejects loudly") {
+    val base = ImageCodecs.jpegOf(7L)
+    val e1 = intercept[IllegalArgumentException] {
+      ImageCodecs.parseJpeg(base.dropRight(2)) // ends mid-scan
     }
-    assert(e.getMessage.contains("in scan"))
+    assert(e1.getMessage.contains("EOF"))
+    val e2 = intercept[IllegalArgumentException] {
+      // SOI then nothing but FF padding to EOF
+      ImageCodecs.parseJpeg(Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte))
+    }
+    assert(e2.getMessage.toLowerCase.contains("truncated"))
+  }
+
+  test("jpeg: out-of-segment EXIF offsets reject instead of reading garbage") {
+    val bytes = ImageCodecs.jpegOf(2L).clone() // II endian
+    val exif = "Exif".getBytes("US-ASCII")
+    val at = bytes.indices.indexWhere(i => i + 4 < bytes.length &&
+      (0 until 4).forall(j => bytes(i + j) == exif(j)))
+    assert(at > 0)
+    val t0 = at + 6 // TIFF header
+    // IFD offset field (t0+4, little-endian): point far outside the APP1
+    bytes(t0 + 4) = 0xff.toByte; bytes(t0 + 5) = 0xff.toByte
+    val e = intercept[IllegalArgumentException] {
+      ImageCodecs.parseJpeg(bytes)
+    }
+    assert(e.getMessage.contains("out of segment"))
   }
 
   test("jpeg: EXIF parses in both byte orders with offset-indirected values") {
