@@ -236,6 +236,83 @@ object Graph {
     out
   }
 
+  /** Synchronous Louvain phase-1: community-move rounds over an
+    * undirected edge list `(src, dst)` (taken as distinct undirected
+    * pairs, bidirected internally). Output: `(node, community)` after
+    * `rounds` simultaneous move rounds, communities initialized to the
+    * node id.
+    *
+    * Gain arithmetic is FULLY INTEGER (the cross-engine float discipline):
+    * multiplying the classical ΔQ of moving node i into community c
+    * through by (2m)² and dropping the terms identical across candidates
+    * leaves the comparator
+    *   score(i→c) = 2m·k(i,c) − k_i·Σtot'(c)
+    * where k(i,c) counts i's edges into c, Σtot'(c) is the community's
+    * total degree with i's own degree removed when c is i's current
+    * community (remove-then-evaluate, as in sequential Louvain), and m
+    * is the undirected edge count — all longs, so the argmax is exact
+    * and the DuckDB oracle replays it bit-for-bit. Ties break to the
+    * smaller community id. The synchronous (all nodes at once) variant
+    * is the one a shuffle-based engine can actually run — sequential
+    * Louvain's per-node cascading updates serialize; the cost is that
+    * some rounds oscillate instead of strictly improving, which bounded
+    * `rounds` accepts (the standard distributed-Louvain trade,
+    * cf. GraphX/Grappolo-style implementations).
+    *
+    * Scale shape: the bidirected edge list is cached partitioned on dst
+    * (the per-round join key, labelPropagate's discipline); each round
+    * shuffles only node-sized frames (assignments, community degrees,
+    * per-(node, community) weights — bounded by the edge count map-side
+    * combined). Per-round lineage is cut with localCheckpoint.
+    */
+  def louvainSync(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "louvain: rounds must be >= 1")
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val e = und.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst")).persist()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("k")).persist()
+    val m2 = deg.agg(sum("k")).head().getLong(0) // = 2m
+    var comm = deg.select(col("node"), col("node").as("community"))
+    for (r <- 1 to rounds) {
+      val commDeg = comm.join(deg, "node")
+        .groupBy(col("community").as("c")).agg(sum("k").as("ctot"))
+      // k(i,c): i's edge weight into each neighbor community, plus a
+      // zero row for i's CURRENT community so "stay" is always a
+      // candidate (max(w) merges it when real edges exist)
+      val nbrW = e.join(comm.select(col("node").as("dn"),
+          col("community").as("c")), e("dst") === col("dn"))
+        .groupBy(e("src").as("i"), col("c"))
+        .agg(count(lit(1)).as("w"))
+      val cand = nbrW.unionByName(
+          comm.select(col("node").as("i"), col("community").as("c"),
+            lit(0L).as("w")))
+        .groupBy("i", "c").agg(max("w").as("w"))
+      val scored = cand
+        .join(commDeg, "c")
+        .join(deg.select(col("node").as("i"), col("k")), "i")
+        .join(comm.select(col("node").as("i"),
+          col("community").as("curr")), "i")
+        .withColumn("score",
+          lit(m2) * col("w") - col("k") *
+            (col("ctot") - when(col("c") === col("curr"), col("k"))
+              .otherwise(lit(0L))))
+      comm = scored.groupBy(col("i").as("node"))
+        .agg(min_by(col("c"), struct((-col("score")).as("neg"), col("c")))
+          .as("community"))
+      if (r < rounds) comm = comm.localCheckpoint()
+    }
+    val out = comm.localCheckpoint()
+    e.unpersist(); deg.unpersist()
+    out
+  }
+
   /** Exact per-node triangle counts over an undirected edge list
     * `(src, dst)` (direction ignored, self-loops dropped). Output:
     * `(node, n_tri)` for every node in at least one triangle.

@@ -2993,6 +2993,75 @@ object ExtensionQueries {
            |ORDER BY c.table_name, c.col_name""".stripMargin
       }),
 
+    // Community detection #2 (beyond x51's seeded label propagation):
+    // synchronous Louvain phase-1 over the co-purchase graph — the
+    // standard modularity-driven community pass, in the all-nodes-at-once
+    // form a shuffle engine can run. The move comparator is the classical
+    // ΔQ multiplied through by (2m)²: score(i→c) = 2m·k(i,c) − k_i·Σtot'(c),
+    // ALL LONGS (the cross-engine integer discipline — no float appears
+    // on either engine), ties to the smaller community id. The oracle
+    // unrolls both rounds: round 1 against singleton communities
+    // (Σtot = k), round 2 against the round-1 assignment, bit-for-bit
+    // the same argmax.
+    "x97_louvain" -> QueryDef(
+      (s, dir) => {
+        val pc = coPurchasePairs(s, dir)
+        Graph.louvainSync(
+            pc.select(col("pa").as("src"), col("pb").as("dst")), rounds = 2)
+          .orderBy("node")
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS pk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pc AS (
+             |  SELECT a.pk AS pa, b.pk AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+             |e AS (SELECT pa AS src, pb AS dst FROM pc
+             |      UNION ALL SELECT pb AS src, pa AS dst FROM pc),
+             |deg AS (SELECT src AS node, count(*) AS k FROM e GROUP BY src),
+             |m2 AS (SELECT CAST(sum(k) AS BIGINT) AS v FROM deg),
+             |w1 AS (SELECT e.src AS i, e.dst AS c, count(*) AS w
+             |       FROM e GROUP BY e.src, e.dst),
+             |cand1 AS (SELECT i, c, max(w) AS w FROM (
+             |    SELECT i, c, w FROM w1
+             |    UNION ALL SELECT node AS i, node AS c, 0 AS w FROM deg)
+             |  GROUP BY i, c),
+             |s1 AS (SELECT cand1.i AS i, cand1.c AS c,
+             |    (SELECT v FROM m2) * w - di.k *
+             |      (dc.k - CASE WHEN cand1.c = cand1.i THEN di.k
+             |        ELSE 0 END) AS score
+             |  FROM cand1
+             |  JOIN deg dc ON dc.node = cand1.c
+             |  JOIN deg di ON di.node = cand1.i),
+             |comm1 AS (SELECT i AS node, c AS community FROM (
+             |    SELECT i, c, row_number() OVER (PARTITION BY i
+             |      ORDER BY score DESC, c) AS rn FROM s1) WHERE rn = 1),
+             |cd2 AS (SELECT c1.community AS c, sum(deg.k) AS ctot
+             |  FROM comm1 c1 JOIN deg ON deg.node = c1.node
+             |  GROUP BY c1.community),
+             |w2 AS (SELECT e.src AS i, c1.community AS c, count(*) AS w
+             |  FROM e JOIN comm1 c1 ON c1.node = e.dst
+             |  GROUP BY e.src, c1.community),
+             |cand2 AS (SELECT i, c, max(w) AS w FROM (
+             |    SELECT i, c, w FROM w2
+             |    UNION ALL SELECT node AS i, community AS c, 0 AS w
+             |    FROM comm1)
+             |  GROUP BY i, c),
+             |s2 AS (SELECT cand2.i AS i, cand2.c AS c,
+             |    (SELECT v FROM m2) * w - di.k *
+             |      (cd2.ctot - CASE WHEN cand2.c = cu.community THEN di.k
+             |        ELSE 0 END) AS score
+             |  FROM cand2
+             |  JOIN cd2 ON cd2.c = cand2.c
+             |  JOIN deg di ON di.node = cand2.i
+             |  JOIN comm1 cu ON cu.node = cand2.i),
+             |comm2 AS (SELECT i AS node, c AS community FROM (
+             |    SELECT i, c, row_number() OVER (PARTITION BY i
+             |      ORDER BY score DESC, c) AS rn FROM s2) WHERE rn = 1)
+             |SELECT node, CAST(community AS BIGINT) AS community
+             |FROM comm2 ORDER BY node""".stripMargin)),
+
     // MIS dedup survivors — Luby's maximal independent set with
     // deterministic md5 priorities (Graph.maximalIndependentSet) on the
     // near-dup CONFLICT graph (docs sharing ≥3 3-word shingles): keep a

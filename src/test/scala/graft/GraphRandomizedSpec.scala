@@ -194,4 +194,59 @@ class GraphRandomizedSpec extends GraftSparkSpec {
       assert(adj(v).exists(mis), s"removed node $v has no MIS neighbor")
     }
   }
+
+  for (seed <- seeds) test(
+    s"louvainSync matches the in-memory synchronous reference (seed=$seed)") {
+    val rnd = new scala.util.Random(seed * 17 + 3)
+    val n = 25 + rnd.nextInt(30)
+    val m = 40 + rnd.nextInt(80)
+    val und = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val rounds = 1 + rnd.nextInt(3)
+
+    // independent reference: same comparator, plain maps and loops
+    val adj = mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    und.foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val deg = nodes.map(v => v -> adj(v).size.toLong).toMap
+    val m2 = deg.values.sum
+    var comm = nodes.map(v => v -> v).toMap
+    (1 to rounds).foreach { _ =>
+      // .keys is a Set — mapping deg over it directly would DEDUPLICATE
+      // equal degrees before summing (a 4+4 community would total 4)
+      val ctot = comm.groupBy(_._2).map { case (c, ms) =>
+        c -> ms.keys.iterator.map(deg).sum }
+      val next = nodes.map { i =>
+        val w = mutable.Map[Long, Long]().withDefaultValue(0L)
+        adj(i).foreach(nb => w(comm(nb)) += 1L)
+        if (!w.contains(comm(i))) w(comm(i)) = 0L
+        val best = w.keys.map { c =>
+          val tot = ctot(c) - (if (c == comm(i)) deg(i) else 0L)
+          (m2 * w(c) - deg(i) * tot, c)
+        }.minBy { case (s, c) => (-s, c) }
+        i -> best._2
+      }.toMap
+      comm = next
+    }
+
+    val got = Graph.louvainSync(und.toDF("src", "dst"), rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got === comm, s"rounds=$rounds n=$n m=${und.size}")
+  }
+
+  test("louvainSync: two cliques with one bridge collapse to two communities") {
+    // K5 on 0-4 and K5 on 10-14, bridged 4-10: after two rounds every
+    // clique member should sit in one community per clique
+    val k5a = for (a <- 0 to 4; b <- 0 to 4 if a < b) yield (a.toLong, b.toLong)
+    val k5b = for (a <- 10 to 14; b <- 10 to 14 if a < b) yield (a.toLong, b.toLong)
+    val edges = (k5a ++ k5b :+ (4L, 10L)).toDF("src", "dst")
+    val got = Graph.louvainSync(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.filterKeys(_ <= 4).values.toSet.size === 1, s"clique A split: $got")
+    assert(got.filterKeys(_ >= 10).values.toSet.size === 1, s"clique B split: $got")
+    assert(got(0L) !== got(12L), "cliques merged across the bridge")
+  }
 }
