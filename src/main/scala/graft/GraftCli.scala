@@ -805,6 +805,13 @@ object GraftCli {
       println(s"[graft] chunks size=$sz stride=$stride: $docsParquet -> $outDir")
       spark.stop()
 
+    case "avro-scan" :: glob :: outDir :: Nil =>
+      val spark = session()
+      graft.sources.AvroContainer.avroRows(spark, glob)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] avro-scan: $glob -> $outDir")
+      spark.stop()
+
     case "parquet-prune" :: file :: column :: lo :: hi :: Nil =>
       val plan = graft.sources.ParquetFooter.pruneRowGroups(
         file, column, lo.toLong, hi.toLong)
@@ -930,7 +937,8 @@ object GraftCli {
            |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg]
            |  image-meta-demo <docsParquet> <outDir> [png|jpeg]
            |  parquet-footer <file.parquet> [file.parquet ...]
-           |  parquet-prune <file.parquet> <intColumn> <lo> <hi>""".stripMargin)
+           |  parquet-prune <file.parquet> <intColumn> <lo> <hi>
+           |  avro-scan <glob.avro> <outDir>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -2993,6 +2993,37 @@ object ExtensionQueries {
            |ORDER BY c.table_name, c.col_name""".stripMargin
       }),
 
+    // Avro OBJECT CONTAINER FILE walk + row decode
+    // (sources/AvroContainer.parseOcf) — the data-lake container family's
+    // third member after the parquet footer (x96) and the zstd blob arm
+    // (q77). Our own parser implements the OCF grammar (magic, metadata
+    // map, 16-byte sync equality on EVERY block — enforced loudly), raw-
+    // deflate block decompression, and avro-binary row decode (zigzag
+    // varints + length-prefixed UTF-8) for the flat fixture record. The
+    // fixture bytes are written by the OFFICIAL avro library (deflate
+    // codec on even doc_ids, an explicit sync per record so the block
+    // count is oracle-predictable) — our parser never reads its own
+    // writer's bytes. Decoded content (id sums, name byte lengths) is
+    // re-derived arithmetically by DuckDB, so a varint/zigzag slip or a
+    // block-boundary error fails the hash.
+    "x98_avro_scan" -> QueryDef(
+      (s, dir) => graft.sources.AvroContainer.ocfTable(
+          s, graft.sources.AvroContainer.synthesizeOcf(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS k FROM documents),
+          |j AS (SELECT doc_id, k, unnest(range(0, k)) AS j FROM d)
+          |SELECT doc_id,
+          |  CAST(any_value(k) AS INT) AS n_blocks,
+          |  CAST(any_value(k) AS BIGINT) AS n_rows,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'deflate' ELSE 'null' END
+          |    AS codec,
+          |  CAST(sum(doc_id * 1000 + 7 * j) AS BIGINT) AS id_sum,
+          |  CAST(sum(1 + CASE WHEN (doc_id + j) % 23 < 10 THEN 1 ELSE 2
+          |    END) AS BIGINT) AS name_chars
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Community detection #2 (beyond x51's seeded label propagation):
     // synchronous Louvain phase-1 over the co-purchase graph — the
     // standard modularity-driven community pass, in the all-nodes-at-once

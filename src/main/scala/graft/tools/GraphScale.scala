@@ -197,6 +197,10 @@ object GraphScale100 {
       Graph.labelPropagate(edges(), seeds, iters = 3, checkpointInterval = 5)
         .agg(count(lit(1)), countDistinct(col("label"))).head()
     }
+    run("louvain") {
+      Graph.louvainSync(edges(), rounds = 2)
+        .agg(count(lit(1)), countDistinct(col("community"))).head()
+    }
     run("bfs") {
       val sources = spark.range(0, 64).select(col("id").as("source"))
       Graph.bfs(edges(), sources, maxDepth = 4)
