@@ -34,7 +34,7 @@ object ImageCodecs {
     */
   private[graft] case class PngMeta(
       width: Int, height: Int, bitDepth: Int, colorType: Int,
-      nChunks: Int, nIdat: Int, paletteSize: Int,
+      interlace: Int, nChunks: Int, nIdat: Int, paletteSize: Int,
       ppuX: Long, ppuY: Long, physUnit: Int, gammaE5: Long,
       texts: Seq[(String, String)], pixSum: Long)
 
@@ -57,6 +57,16 @@ object ImageCodecs {
     out.write(t); out.write(data)
     out.write(be32(crc32(t, data)))
   }
+
+  /** Adam7 pass grid: (x0, y0, dx, dy) per pass. Each pass is an
+    * independent sub-image with its own scanlines and filters; passes
+    * that select no pixels at the image's dimensions contribute zero
+    * bytes (not even filter bytes) — the spec rule small images exercise
+    * constantly.
+    */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -183,11 +193,13 @@ object ImageCodecs {
     * never produces; ancillary-chunk content stays id-derived.
     */
   private[graft] def pngBytesFor(id: Long, w: Int, h: Int, ct: Int,
-                                 bd: Int): Array[Byte] = {
+                                 bd: Int,
+                                 interlace: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
     chunk(out, "IHDR", be32(w.toLong) ++ be32(h.toLong) ++
-      Array(bd.toByte, ct.toByte, 0.toByte, 0.toByte, 0.toByte))
+      Array(bd.toByte, ct.toByte, 0.toByte, 0.toByte,
+        (if (interlace) 1 else 0).toByte))
     chunk(out, "gAMA", be32((id % 50 + 1) * 1000))
     val ppuX = (id % 100 + 1) * 100
     chunk(out, "pHYs", be32(ppuX) ++ be32(ppuX + id % 7) ++ Array(1.toByte))
@@ -210,12 +222,26 @@ object ImageCodecs {
     }
     val (rows, bpp) = rawScanlines(id, w, h, ct, bd)
     val filtered = new java.io.ByteArrayOutputStream()
-    var prior = new Array[Byte](rows(0).length)
-    rows.zipWithIndex.foreach { case (raw, y) =>
-      val ft = y % 5
-      filtered.write(ft)
-      filtered.write(filterRow(ft, raw, prior, bpp))
-      prior = raw
+    def writePass(passRows: Seq[Array[Byte]]): Unit = {
+      var prior = if (passRows.nonEmpty) new Array[Byte](passRows.head.length)
+        else Array.emptyByteArray
+      passRows.zipWithIndex.foreach { case (raw, y) =>
+        val ft = y % 5
+        filtered.write(ft)
+        filtered.write(filterRow(ft, raw, prior, bpp))
+        prior = raw
+      }
+    }
+    if (!interlace) writePass(rows.toSeq)
+    else Adam7.foreach { case (x0, y0, dx, dy) =>
+      // each pass: sample the full-image pixels on the pass grid; an
+      // empty pass (no selected pixels) writes NOTHING, per spec
+      val ys = y0 until h by dy
+      val xs = x0 until w by dx
+      if (ys.nonEmpty && xs.nonEmpty)
+        writePass(ys.map { y =>
+          xs.flatMap(x => rows(y).slice(x * bpp, (x + 1) * bpp)).toArray
+        })
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(filtered.toByteArray); deflater.finish()
@@ -241,14 +267,15 @@ object ImageCodecs {
     *
     * Always: signature check, per-chunk CRC32 validation, IHDR-first /
     * IEND-last / IDAT-contiguity ordering rules, IHDR sanity (compression
-    * and filter method 0; interlace 1 = loud reject — Adam7 is out of
-    * fixture scope and silently mis-decoding it would be worse than
-    * stopping), supported depth/color combos (8-bit gray/RGB/palette,
+    * and filter method 0; interlace 0 or 1 — anything else rejects
+    * loudly), supported depth/color combos (8-bit gray/RGB/palette,
     * 16-bit gray; anything else rejects loudly).
     *
     * With `decodePixels`: concatenated IDAT → zlib inflate (Inflater
-    * verifies the adler32 trailer) → exact expected length check →
-    * per-row unfilter (all five filter types, bpp-aware) → checksum
+    * verifies the adler32 trailer) → exact expected length check —
+    * interlace 1 decodes the seven Adam7 passes, each an independent
+    * scanline+filter chain (x99) → per-row unfilter (all five filter
+    * types, bpp-aware) → checksum
     *   gray: Σ v   rgb/palette: Σ (3r + 5g + 7b)
     * Without it, the IDAT payload bytes are CRC-checked but never
     * inflated — the metadata-only scan a 100 TB image sweep runs.
@@ -262,6 +289,7 @@ object ImageCodecs {
       ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
         ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
     var width, height, bitDepth, colorType = -1
+    var interlace = 0
     var nChunks, nIdat, paletteSize, physUnit = 0
     var ppuX, ppuY, gammaE5 = 0L
     var palette: Array[Byte] = null
@@ -288,8 +316,9 @@ object ImageCodecs {
           bitDepth = data(8) & 0xff; colorType = data(9) & 0xff
           require(data(10) == 0, "png: unknown compression method")
           require(data(11) == 0, "png: unknown filter method")
-          require(data(12) == 0,
-            "png: Adam7 interlace unsupported (out of fixture scope)")
+          interlace = data(12) & 0xff
+          require(interlace == 0 || interlace == 1,
+            s"png: unknown interlace method $interlace")
           require((bitDepth == 8 && Set(0, 2, 3)(colorType)) ||
             (bitDepth == 16 && Set(0, 2)(colorType)),
             s"png: unsupported depth/color ($bitDepth/$colorType)")
@@ -327,11 +356,24 @@ object ImageCodecs {
     if (decodePixels) {
       val channels = colorType match { case 2 => 3; case _ => 1 }
       val bytesPerVal = bitDepth / 8
-      val rowBytes = width * channels * bytesPerVal
       val bpp = channels * bytesPerVal
+      // sub-images: the whole frame for interlace 0; the seven Adam7
+      // passes for interlace 1 (each with its own scanlines + filter
+      // chain; dimensionless passes contribute zero bytes, per spec).
+      // The gate checksum is position-independent, so summing per pass
+      // needs no pixel re-placement — the passes partition the image.
+      val subs: Seq[(Int, Int)] =
+        if (interlace == 0) Seq((width, height))
+        else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+          (((width - x0) + dx - 1) / dx max 0,
+            ((height - y0) + dy - 1) / dy max 0)
+        }.filter { case (pw, ph) => pw > 0 && ph > 0 }
+      val expected = subs.map { case (pw, ph) =>
+        ph.toLong * (1 + pw.toLong * bpp) }.sum
+      require(expected <= Int.MaxValue, "png: image too large to buffer")
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(idat.toByteArray)
-      val raw = new Array[Byte](height * (1 + rowBytes))
+      val raw = new Array[Byte](expected.toInt)
       var off = 0
       while (!inflater.finished() && off < raw.length) {
         val n = inflater.inflate(raw, off, raw.length - off)
@@ -341,36 +383,41 @@ object ImageCodecs {
       require(off == raw.length && inflater.finished(),
         s"png: decoded length $off != expected ${raw.length}")
       inflater.end()
-      var prior = new Array[Byte](rowBytes)
-      var y = 0
-      while (y < height) {
-        val ft = raw(y * (1 + rowBytes)) & 0xff
-        val cur = java.util.Arrays.copyOfRange(raw,
-          y * (1 + rowBytes) + 1, (y + 1) * (1 + rowBytes))
-        unfilterRow(ft, cur, prior, bpp)
-        var x = 0
-        while (x < width) {
-          colorType match {
-            case 0 if bitDepth == 8 => pixSum += cur(x) & 0xff
-            case 0 =>
-              pixSum += ((cur(2 * x) & 0xff) << 8) | (cur(2 * x + 1) & 0xff)
-            case 2 =>
-              pixSum += 3L * (cur(3 * x) & 0xff) +
-                5L * (cur(3 * x + 1) & 0xff) + 7L * (cur(3 * x + 2) & 0xff)
-            case 3 =>
-              val i = cur(x) & 0xff
-              require(i < paletteSize, "png: palette index out of range")
-              pixSum += 3L * (palette(3 * i) & 0xff) +
-                5L * (palette(3 * i + 1) & 0xff) + 7L * (palette(3 * i + 2) & 0xff)
+      var base = 0
+      subs.foreach { case (pw, ph) =>
+        val rowBytes = pw * bpp
+        var prior = new Array[Byte](rowBytes)
+        var y = 0
+        while (y < ph) {
+          val ft = raw(base + y * (1 + rowBytes)) & 0xff
+          val cur = java.util.Arrays.copyOfRange(raw,
+            base + y * (1 + rowBytes) + 1, base + (y + 1) * (1 + rowBytes))
+          unfilterRow(ft, cur, prior, bpp)
+          var x = 0
+          while (x < pw) {
+            colorType match {
+              case 0 if bitDepth == 8 => pixSum += cur(x) & 0xff
+              case 0 =>
+                pixSum += ((cur(2 * x) & 0xff) << 8) | (cur(2 * x + 1) & 0xff)
+              case 2 =>
+                pixSum += 3L * (cur(3 * x) & 0xff) +
+                  5L * (cur(3 * x + 1) & 0xff) + 7L * (cur(3 * x + 2) & 0xff)
+              case 3 =>
+                val i = cur(x) & 0xff
+                require(i < paletteSize, "png: palette index out of range")
+                pixSum += 3L * (palette(3 * i) & 0xff) +
+                  5L * (palette(3 * i + 1) & 0xff) + 7L * (palette(3 * i + 2) & 0xff)
+            }
+            x += 1
           }
-          x += 1
+          prior = cur
+          y += 1
         }
-        prior = cur
-        y += 1
+        base += ph * (1 + rowBytes)
       }
     }
-    PngMeta(width, height, bitDepth, colorType, nChunks, nIdat, paletteSize,
-      ppuX, ppuY, physUnit, gammaE5, texts.toSeq, pixSum)
+    PngMeta(width, height, bitDepth, colorType, interlace, nChunks, nIdat,
+      paletteSize, ppuX, ppuY, physUnit, gammaE5, texts.toSeq, pixSum)
   }
 
   def synthesizePng(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -378,6 +425,25 @@ object ImageCodecs {
     docs.select(col("doc_id")).as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
       .map(id => Multimodal.ImageRow(id, pngOf(id)))
+      .toDF()
+  }
+
+  /** Same fixture arithmetic as [[pngOf]], encoded Adam7-INTERLACED —
+    * the seven-pass progressive layout (x99). Pixel content is
+    * identical, so the x99 oracle is x94's verbatim: only the encoding
+    * differs, which is exactly what the gate proves the decoder
+    * understands.
+    */
+  def synthesizeAdam7(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val (w, h) = pngDims(id)
+        Multimodal.ImageRow(id,
+          pngBytesFor(id, w, h, pngColorType(id), pngBitDepth(id),
+            interlace = true))
+      }
       .toDF()
   }
 
@@ -389,11 +455,12 @@ object ImageCodecs {
     media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val m = parsePng(bytes, decodePixels = false)
-        (id, m.width, m.height, m.bitDepth, m.colorType, m.nIdat,
-          m.paletteSize, m.ppuX, m.gammaE5, m.texts.size)
+        (id, m.width, m.height, m.bitDepth, m.colorType, m.interlace,
+          m.nIdat, m.paletteSize, m.ppuX, m.gammaE5, m.texts.size)
       }
       .toDF("doc_id", "width", "height", "bit_depth", "color_type",
-        "n_idat", "palette_size", "ppu_x", "gamma_e5", "n_text")
+        "interlace", "n_idat", "palette_size", "ppu_x", "gamma_e5",
+        "n_text")
   }
 
   /** x94: full decode (inflate + unfilter) — checksum proves every pixel. */

@@ -2841,6 +2841,7 @@ object ExtensionQueries {
           |    THEN 16 ELSE 8 END AS INT) AS bit_depth,
           |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 2 END
           |    AS INT) AS color_type,
+          |  CAST(0 AS INT) AS interlace,
           |  CAST(doc_id % 3 + 1 AS INT) AS n_idat,
           |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 5 + 2 ELSE 0 END
           |    AS INT) AS palette_size,
@@ -2862,6 +2863,55 @@ object ExtensionQueries {
     "x94_png_pixels" -> QueryDef(
       (s, dir) => graft.operators.ImageCodecs.pngPixelTable(
           s, graft.operators.ImageCodecs.synthesizePng(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 6 + 3 AS h,
+          |    CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 2 END AS ct,
+          |    CASE WHEN doc_id % 3 = 1 AND doc_id % 6 = 4 THEN 16 ELSE 8
+          |      END AS bd,
+          |    doc_id % 5 + 2 AS np
+          |  FROM documents),
+          |px AS (
+          |  SELECT doc_id, w, h, ct, bd, np,
+          |    unnest(range(0, w * h)) % w AS x,
+          |    unnest(range(0, w * h)) // w AS y
+          |  FROM d),
+          |v AS (
+          |  SELECT doc_id, w, h,
+          |    CASE
+          |      WHEN ct = 0 AND bd = 8
+          |        THEN (doc_id * 7 + x * 13 + y * 31) % 256
+          |      WHEN ct = 0
+          |        THEN ((doc_id * 7 + x * 13 + y * 31) * 1009) % 65536
+          |      WHEN ct = 2
+          |        THEN 3 * ((doc_id + 3 * x + 5 * y) % 256)
+          |           + 5 * ((3 * doc_id + 7 * x + y) % 256)
+          |           + 7 * ((5 * doc_id + x + 11 * y) % 256)
+          |      ELSE 3 * ((11 * doc_id + 17 * ((x + y * w + doc_id) % np)) % 256)
+          |         + 5 * ((5 * doc_id + 29 * ((x + y * w + doc_id) % np)) % 256)
+          |         + 7 * ((3 * doc_id + 7 * ((x + y * w + doc_id) % np)) % 256)
+          |    END AS pv
+          |  FROM px)
+          |SELECT doc_id, CAST(any_value(w) AS INT) AS width,
+          |  CAST(any_value(h) AS INT) AS height,
+          |  CAST(sum(pv) AS BIGINT) AS pix_sum
+          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Adam7-INTERLACED PNG through the same full-decode pipeline: the
+    // seven-pass progressive encoding (pass grids 8x8 down to 1x2),
+    // where every pass is an independent sub-image with its own
+    // scanlines, filter chain, and filter-byte per row — and passes
+    // that select no pixels at these small dims contribute ZERO bytes,
+    // the spec rule tiny images hammer. The fixture pixels are
+    // IDENTICAL to x94's, so the oracle is x94's verbatim: a gate
+    // mismatch can only come from the interlace de-multiplex itself.
+    // javax.imageio reads the same interlaced files (spec-pinned), so
+    // the writer's pass layout is real Adam7, not parser-compatible.
+    "x99_png_adam7" -> QueryDef(
+      (s, dir) => graft.operators.ImageCodecs.pngPixelTable(
+          s, graft.operators.ImageCodecs.synthesizeAdam7(
             s, t(s, dir, "documents")))
         .orderBy("doc_id"),
       Some(

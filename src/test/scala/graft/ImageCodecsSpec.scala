@@ -80,10 +80,28 @@ class ImageCodecsSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("CRC mismatch"))
   }
 
-  test("png: Adam7 interlace rejects loudly instead of mis-decoding") {
+  test("png: Adam7 interlaced files decode to the same pixels (ImageIO-confirmed)") {
+    coverIds.foreach { id =>
+      val (w, h) = (ImageCodecs.pngDims(id)._1, ImageCodecs.pngDims(id)._2)
+      val inter = ImageCodecs.pngBytesFor(id, w, h,
+        ImageCodecs.pngColorType(id), ImageCodecs.pngBitDepth(id),
+        interlace = true)
+      val m = ImageCodecs.parsePng(inter, decodePixels = true)
+      assert(m.interlace === 1)
+      // same pixel content as the sequential encoding...
+      val seq = ImageCodecs.parsePng(ImageCodecs.pngOf(id), decodePixels = true)
+      assert(m.pixSum === seq.pixSum, s"id=$id interlaced vs sequential")
+      // ...and javax.imageio agrees our interlaced bytes ARE Adam7
+      val (iw, ih, ioSum) = imageIoSums(inter)
+      assert((iw, ih) === (m.width, m.height))
+      assert(ioSum === m.pixSum, s"id=$id ImageIO on interlaced")
+    }
+  }
+
+  test("png: an unknown interlace method rejects loudly") {
     val bytes = ImageCodecs.pngOf(1L).clone()
     // IHDR data starts at offset 16; interlace is its byte 12; re-seal CRC
-    bytes(16 + 12) = 1
+    bytes(16 + 12) = 2
     val crc = new java.util.zip.CRC32
     crc.update(bytes, 12, 4 + 13)
     val v = crc.getValue
@@ -91,7 +109,7 @@ class ImageCodecsSpec extends GraftSparkSpec {
     val e = intercept[IllegalArgumentException] {
       ImageCodecs.parsePng(bytes, decodePixels = false)
     }
-    assert(e.getMessage.contains("Adam7"))
+    assert(e.getMessage.contains("interlace"))
   }
 
   test("png: metadata-only walk skips the decode cost (x93 scale claim)") {
