@@ -148,7 +148,7 @@ object ImageCodecs {
   private def rawScanlines(id: Long, w: Int, h: Int, ct: Int,
                            bd: Int): (Array[Array[Byte]], Int) = {
     val bpp = ct match {
-      case 2 => 3
+      case 2 => if (bd == 16) 6 else 3
       case 0 => if (bd == 16) 2 else 1
       case 3 => 1
     }
@@ -162,10 +162,20 @@ object ImageCodecs {
           case 0 =>
             val v = ((id * 7 + x * 13 + y * 31) * 1009 % 65536).toInt
             row.write(v >>> 8); row.write(v & 0xff)
-          case 2 =>
+          case 2 if bd == 8 =>
             row.write(((id + 3 * x + 5 * y) % 256).toInt)
             row.write(((3 * id + 7 * x + y) % 256).toInt)
             row.write(((5 * id + x + 11 * y) % 256).toInt)
+          case 2 =>
+            // 16-bit RGB: the same channel seeds widened by the gray16
+            // multiplier so high and low bytes both vary
+            def w16(v: Long): Unit = {
+              val s = (v * 1009 % 65536).toInt
+              row.write(s >>> 8); row.write(s & 0xff)
+            }
+            w16(id + 3 * x + 5 * y)
+            w16(3 * id + 7 * x + y)
+            w16(5 * id + x + 11 * y)
           case 3 =>
             val p = (id % 5 + 2).toInt
             row.write(((x + y.toLong * w + id) % p).toInt)
@@ -269,7 +279,7 @@ object ImageCodecs {
     * IEND-last / IDAT-contiguity ordering rules, IHDR sanity (compression
     * and filter method 0; interlace 0 or 1 — anything else rejects
     * loudly), supported depth/color combos (8-bit gray/RGB/palette,
-    * 16-bit gray; anything else rejects loudly).
+    * 16-bit gray/RGB; anything else rejects loudly).
     *
     * With `decodePixels`: concatenated IDAT → zlib inflate (Inflater
     * verifies the adler32 trailer) → exact expected length check —
@@ -322,6 +332,8 @@ object ImageCodecs {
           require((bitDepth == 8 && Set(0, 2, 3)(colorType)) ||
             (bitDepth == 16 && Set(0, 2)(colorType)),
             s"png: unsupported depth/color ($bitDepth/$colorType)")
+          // every accepted combo has a matching decode arm below — keep
+          // this require and the pixSum cases in lockstep
         case "PLTE" =>
           require(len % 3 == 0 && len > 0, "png: bad PLTE length")
           palette = data; paletteSize = len / 3
@@ -399,9 +411,14 @@ object ImageCodecs {
               case 0 if bitDepth == 8 => pixSum += cur(x) & 0xff
               case 0 =>
                 pixSum += ((cur(2 * x) & 0xff) << 8) | (cur(2 * x + 1) & 0xff)
-              case 2 =>
+              case 2 if bitDepth == 8 =>
                 pixSum += 3L * (cur(3 * x) & 0xff) +
                   5L * (cur(3 * x + 1) & 0xff) + 7L * (cur(3 * x + 2) & 0xff)
+              case 2 =>
+                def s16(i: Int): Long =
+                  (((cur(i) & 0xff) << 8) | (cur(i + 1) & 0xff)).toLong
+                pixSum += 3L * s16(6 * x) + 5L * s16(6 * x + 2) +
+                  7L * s16(6 * x + 4)
               case 3 =>
                 val i = cur(x) & 0xff
                 require(i < paletteSize, "png: palette index out of range")

@@ -108,7 +108,10 @@ object ParquetFooter {
       case TByte => pos += 1
       case TI16 | TI32 | TI64 => varint(); ()
       case TDouble => pos += 8
-      case TBinary => val n = varint().toInt; pos += n
+      case TBinary =>
+        val n = varint().toInt
+        require(n >= 0 && pos + n <= bytes.length, "thrift: binary skip overruns")
+        pos += n
       case TList | TSet =>
         val (n, et) = listHeader()
         // inside collections, bools are one byte each (not nibble-packed)

@@ -220,4 +220,33 @@ class ImageCodecsSpec extends GraftSparkSpec {
     assert(m.nRst === ((p - 1) / 8).toLong)
     assert(m.dri === 9 % 10 + 1)
   }
+
+  test("png: 16-bit RGB decodes at full precision (sequential + Adam7, ImageIO raster)") {
+    // the gate fixture never emits this combo (ADVICE r14: the require
+    // accepted it while the decode arm read 8-bit strides) — pin it here
+    Seq(3L, 10L, 22L).foreach { id =>
+      val (w, h) = ImageCodecs.pngDims(id)
+      def s(v: Long): Long = v * 1009 % 65536
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        exp += 3L * s(id + 3 * x + 5 * y) + 5L * s(3 * id + 7 * x + y) +
+          7L * s(5 * id + x + 11 * y)
+      Seq(false, true).foreach { inter =>
+        val bytes = ImageCodecs.pngBytesFor(id, w, h, 2, 16, interlace = inter)
+        val m = ImageCodecs.parsePng(bytes, decodePixels = true)
+        assert(m.bitDepth === 16 && m.colorType === 2, s"id=$id inter=$inter")
+        assert(m.pixSum === exp, s"id=$id inter=$inter fixture checksum")
+        // ImageIO at raster precision — getRGB would truncate to 8 bits
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(img != null, s"ImageIO rejects 16-bit RGB id=$id inter=$inter")
+        var io = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          io += 3L * img.getRaster.getSample(x, y, 0) +
+            5L * img.getRaster.getSample(x, y, 1) +
+            7L * img.getRaster.getSample(x, y, 2)
+        assert(io === m.pixSum, s"id=$id inter=$inter vs ImageIO")
+      }
+    }
+  }
 }
