@@ -812,6 +812,30 @@ object GraftCli {
       println(s"[graft] avro-scan: $glob -> $outDir")
       spark.stop()
 
+    case "warc-demo" :: docsParquet :: outDir :: Nil =>
+      val spark = session()
+      new java.io.File(outDir).mkdirs()
+      graft.sources.WarcSource.synthesizeWarc(
+          spark, spark.read.parquet(docsParquet))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val ext = if (id % 2 == 0) "warc.gz" else "warc"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"d$id.$ext"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      println(s"[graft] warc-demo: $docsParquet -> $outDir")
+      spark.stop()
+
+    case "warc-extract" :: glob :: outDir :: Nil =>
+      val spark = session()
+      graft.sources.WarcSource.warcFiles(spark, glob)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] warc-extract: $glob -> $outDir")
+      spark.stop()
+
     case "parquet-prune" :: file :: column :: lo :: hi :: Nil =>
       val plan = graft.sources.ParquetFooter.pruneRowGroups(
         file, column, lo.toLong, hi.toLong)
@@ -938,7 +962,9 @@ object GraftCli {
            |  image-meta-demo <docsParquet> <outDir> [png|jpeg]
            |  parquet-footer <file.parquet> [file.parquet ...]
            |  parquet-prune <file.parquet> <intColumn> <lo> <hi>
-           |  avro-scan <glob.avro> <outDir>""".stripMargin)
+           |  avro-scan <glob.avro> <outDir>
+           |  warc-demo <docsParquet> <outDir>
+           |  warc-extract <glob.warc[.gz]> <outDir>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -3074,6 +3074,76 @@ object ExtensionQueries {
           |    END) AS BIGINT) AS name_chars
           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // WARC archive walk (sources/WarcSource.parseWarc) — the container
+    // web-scraped pretraining corpora ship in (member-per-record gzip on
+    // even doc_ids, plain concatenation on odd). Our own gzip member
+    // walker validates CRC32 + ISIZE per member; the WARC grammar
+    // (version line, CRLF headers, Content-Length payload, CRLF CRLF
+    // terminator) and the HTTP sub-parse are ours end to end. The facts
+    // (member/record/response/request counts, status sums, body byte
+    // sums) are re-derived by DuckDB constructing the same HTML strings
+    // from the documents table — a header slip, member mis-split, or
+    // Content-Length error fails the hash. Fixture property the oracle
+    // leans on: document text has no &/<.> specials, so escapeHtml is
+    // the identity and length(text) is the embedded byte count.
+    "x100_warc_records" -> QueryDef(
+      (s, dir) => graft.sources.WarcSource.warcTable(
+          s, graft.sources.WarcSource.synthesizeWarc(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, text, doc_id % 3 + 1 AS k,
+          |             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS hasreq
+          |           FROM documents),
+          |u AS (SELECT doc_id, text, k, hasreq, unnest(range(0, k)) AS jj
+          |      FROM d),
+          |r AS (SELECT doc_id, k, hasreq, jj,
+          |        CASE WHEN (doc_id + jj) % 5 = 0 THEN 404 ELSE 200 END
+          |          AS status,
+          |        length('<!DOCTYPE html><html><head><title>doc ' || doc_id
+          |          || '</title><style>body{color:#000}</style><script>var x="<div>no</div>";</script></head><body><h1>Doc '
+          |          || doc_id || '</h1><p>' ||
+          |          CASE WHEN jj = 0 THEN text
+          |               ELSE 'word' || ((doc_id * 7 + jj) % 50) ||
+          |                    ' page ' || doc_id || ' ' || jj END ||
+          |          '</p><!-- note <p>skip</p> --><div class="f">footer '
+          |          || (doc_id % 11) || '</div></body></html>') AS hlen
+          |      FROM u)
+          |SELECT doc_id,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+          |    AS is_gzip,
+          |  CAST(CASE WHEN doc_id % 2 = 0
+          |    THEN 1 + any_value(k) * (1 + any_value(hasreq))
+          |    ELSE 0 END AS INT) AS n_members,
+          |  CAST(1 + any_value(k) * (1 + any_value(hasreq)) AS INT)
+          |    AS n_records,
+          |  CAST(any_value(k) AS INT) AS n_responses,
+          |  CAST(any_value(k) * any_value(hasreq) AS INT) AS n_requests,
+          |  CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS INT)
+          |    AS ok_cnt,
+          |  CAST(sum(status) AS BIGINT) AS sum_status,
+          |  CAST(sum(hlen) AS BIGINT) AS body_bytes
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // WARC -> HTTP -> HTML -> text, end to end (WarcSource.htmlText): the
+    // text-extraction stage a pretraining pipeline runs on each crawled
+    // page. The scanner is quote-aware (attribute values may contain >),
+    // elides script/style WITH their content and comments, decodes
+    // entities, and collapses whitespace; the oracle re-constructs the
+    // exact expected string from the documents table, so a tag-boundary
+    // or entity slip anywhere in the chain fails the hash.
+    "x101_warc_text" -> QueryDef(
+      (s, dir) => graft.sources.WarcSource.warcTextTable(
+          s, graft.sources.WarcSource.synthesizeWarc(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  'doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
+          |  trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+          |  ' footer ' || (doc_id % 11) AS extracted
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Community detection #2 (beyond x51's seeded label propagation):
     // synchronous Louvain phase-1 over the co-purchase graph — the
     // standard modularity-driven community pass, in the all-nodes-at-once

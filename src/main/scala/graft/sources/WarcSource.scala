@@ -1,0 +1,410 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive) ingestion — the container format web-scraped
+  * training corpora actually arrive in (Common Crawl ships ~100 TB/crawl
+  * of `.warc.gz`). Extends the reference's gzip-blob seam (reference:
+  * Transforms/GunzipContentTransform.cs streams whole blobs through one
+  * gunzip) to the MEMBER-PER-RECORD layout the WARC spec (ISO 28500
+  * annex) prescribes for compressed archives: each record is an
+  * independent gzip member, so a 1 GB file splits at member boundaries
+  * and a reader never needs more than one record in memory.
+  *
+  * Three layers, each validated loudly:
+  *  - gzip member walk: magic/CM/FLG (FEXTRA, FNAME, FCOMMENT, FHCRC all
+  *    handled; reserved bits reject), raw-deflate inflate, then the
+  *    trailer CRC32 AND ISIZE are checked against the decompressed bytes
+  *    — a flipped payload byte fails the member, not the file after it.
+  *  - WARC/1.0–1.1 record grammar: version line, CRLF header block,
+  *    `Content-Length`-delimited payload, mandatory CRLF CRLF terminator.
+  *    A record spanning gzip members rejects by name (the spec forbids
+  *    the layout, and silently buffering across members would reintroduce
+  *    the O(file) memory the member layout exists to avoid).
+  *  - HTTP sub-parse for `application/http` payloads: status line +
+  *    headers + body split, so response records surface status code,
+  *    content type, and the HTML body.
+  *
+  * [[htmlText]] is the text-extraction stage a pretraining pipeline runs
+  * next: a quote-aware tag scanner (not a regex — attribute values may
+  * contain `>`), script/style/comment elision, entity decode, whitespace
+  * collapse. The x100 gate checks container facts and x101 checks the
+  * end-to-end extracted text against DuckDB re-deriving the same strings
+  * from the documents table.
+  *
+  * 100 TB shape: one task per `.warc.gz` file ([[warcFiles]] uses
+  * binaryFiles — file-granular parallelism, the same discipline as the
+  * codec arms in [[Readers]]); within a task, members decode one at a
+  * time with O(largest record) memory. No shuffle anywhere: parse and
+  * extract are map-only; downstream dedup/quality stages impose the
+  * first exchange.
+  */
+object WarcSource {
+
+  private[graft] case class WarcRecord(
+      warcType: String, targetUri: String, contentLength: Long,
+      httpStatus: Int, httpContentType: String, body: String)
+  private[graft] case class WarcFile(
+      gzip: Boolean, nMembers: Int, records: Seq[WarcRecord])
+
+  // ---------------------------------------------------------------- gzip
+
+  /** Decode one gzip member starting at `start`; returns (data, end). */
+  private[graft] def gzipMember(bytes: Array[Byte], start: Int): (Array[Byte], Int) = {
+    require(start + 10 <= bytes.length, "gzip: truncated header")
+    require((bytes(start) & 0xff) == 0x1f && (bytes(start + 1) & 0xff) == 0x8b,
+      "gzip: bad magic")
+    require((bytes(start + 2) & 0xff) == 8, "gzip: unknown compression method")
+    val flg = bytes(start + 3) & 0xff
+    require((flg & 0xe0) == 0, "gzip: reserved FLG bits set")
+    var p = start + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      require(p + 2 <= bytes.length, "gzip: truncated FEXTRA length")
+      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      require(p <= bytes.length, "gzip: FEXTRA overruns")
+    }
+    def zstr(): Unit = {
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      require(p < bytes.length, "gzip: unterminated header string")
+      p += 1
+    }
+    if ((flg & 8) != 0) zstr()  // FNAME
+    if ((flg & 16) != 0) zstr() // FCOMMENT
+    if ((flg & 2) != 0) {       // FHCRC: low 16 bits of header CRC32
+      require(p + 2 <= bytes.length, "gzip: truncated FHCRC")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, start, p - start)
+      val want = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      require((crc.getValue & 0xffffL).toInt == want, "gzip: header CRC mismatch")
+      p += 2
+    }
+    val inf = new java.util.zip.Inflater(true) // raw deflate
+    inf.setInput(bytes, p, bytes.length - p)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val k = inf.inflate(buf)
+      require(k > 0 || inf.finished(), "gzip: truncated deflate stream")
+      out.write(buf, 0, k)
+    }
+    val consumed = (bytes.length - p) - inf.getRemaining
+    inf.end()
+    val data = out.toByteArray
+    val q = p + consumed
+    require(q + 8 <= bytes.length, "gzip: truncated trailer")
+    def le32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    require(le32(q) == crc.getValue, "gzip: payload CRC mismatch")
+    require(le32(q + 4) == (data.length.toLong & 0xffffffffL),
+      "gzip: ISIZE mismatch")
+    (data, q + 8)
+  }
+
+  // ---------------------------------------------------------------- warc
+
+  private def ascii(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, "ISO-8859-1")
+
+  /** Parse the records of one decompressed chunk (one gzip member, or the
+    * whole file when uncompressed). Requires exact consumption: a partial
+    * record at the end means the archive violated record-per-member.
+    */
+  private[graft] def parseRecords(data: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    var pos = 0
+    def line(): String = {
+      val e = {
+        var i = pos
+        while (i + 1 < data.length && !(data(i) == 13 && data(i + 1) == 10)) i += 1
+        require(i + 1 < data.length, "warc: record spans gzip members (unsupported)")
+        i
+      }
+      val s = ascii(data, pos, e)
+      pos = e + 2
+      s
+    }
+    while (pos < data.length) {
+      val version = line()
+      require(version == "WARC/1.0" || version == "WARC/1.1",
+        s"warc: bad version line '$version'")
+      val headers = scala.collection.mutable.Map[String, String]()
+      var h = line()
+      while (h.nonEmpty) {
+        val c = h.indexOf(':')
+        require(c > 0, s"warc: malformed header '$h'")
+        headers(h.substring(0, c).trim.toLowerCase) = h.substring(c + 1).trim
+        h = line()
+      }
+      val clen = headers.getOrElse("content-length",
+        sys.error("warc: missing Content-Length")).toLong
+      require(clen >= 0 && pos + clen + 4 <= data.length,
+        "warc: record spans gzip members (unsupported)")
+      val payload = java.util.Arrays.copyOfRange(data, pos, pos + clen.toInt)
+      pos += clen.toInt
+      require(data(pos) == 13 && data(pos + 1) == 10 &&
+        data(pos + 2) == 13 && data(pos + 3) == 10,
+        "warc: missing record terminator")
+      pos += 4
+      val wtype = headers.getOrElse("warc-type", "")
+      val ctype = headers.getOrElse("content-type", "")
+      var status = -1
+      var httpCt = ""
+      var body = ""
+      if (ctype.startsWith("application/http")) {
+        val s = new String(payload, "UTF-8")
+        val he = s.indexOf("\r\n\r\n")
+        require(he >= 0, "warc: http payload missing header terminator")
+        val lines = s.substring(0, he).split("\r\n")
+        val first = lines.head.split(" ", 3)
+        if (first(0).startsWith("HTTP/")) {
+          require(first.length >= 2, s"warc: bad status line '${lines.head}'")
+          status = first(1).toInt
+          httpCt = lines.tail.map(_.split(":", 2))
+            .collectFirst { case Array(k, v) if k.trim.equalsIgnoreCase("content-type") => v.trim }
+            .getOrElse("")
+          body = s.substring(he + 4)
+        } // request payloads keep status = -1, body empty
+      }
+      out += WarcRecord(wtype, headers.getOrElse("warc-target-uri", ""),
+        clen, status, httpCt, body)
+    }
+    out.toSeq
+  }
+
+  /** Parse a `.warc` / `.warc.gz` byte blob. */
+  private[graft] def parseWarc(bytes: Array[Byte]): WarcFile = {
+    require(bytes.length >= 2, "warc: empty file")
+    val gz = (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+    if (!gz) WarcFile(gzip = false, 0, parseRecords(bytes))
+    else {
+      var pos = 0
+      var n = 0
+      val recs = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+      while (pos < bytes.length) {
+        val (data, end) = gzipMember(bytes, pos)
+        recs ++= parseRecords(data)
+        pos = end
+        n += 1
+      }
+      WarcFile(gzip = true, n, recs.toSeq)
+    }
+  }
+
+  // ---------------------------------------------------------------- html
+
+  /** Extract visible text from HTML: quote-aware tag scan (each tag
+    * becomes one space), script/style elision including their content,
+    * comment elision, entity decode (&amp; &lt; &gt; &quot; &apos;
+    * &#N; &#xN;), whitespace collapse.
+    */
+  private[graft] def htmlText(html: String): String = {
+    val n = html.length
+    val sb = new StringBuilder
+    var i = 0
+    def findIc(needle: String, from: Int): Int = {
+      var j = from
+      while (j + needle.length <= n) {
+        if (html.regionMatches(true, j, needle, 0, needle.length)) return j
+        j += 1
+      }
+      -1
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          require(e >= 0, "html: unterminated comment")
+          i = e + 3
+        } else {
+          var j = i + 1
+          var q: Char = 0
+          while (j < n && (q != 0 || html.charAt(j) != '>')) {
+            val ch = html.charAt(j)
+            if (q == 0 && (ch == '"' || ch == '\'')) q = ch
+            else if (q != 0 && ch == q) q = 0
+            j += 1
+          }
+          require(j < n, "html: unterminated tag")
+          val inner = html.substring(i + 1, j)
+          i = j + 1
+          val name = inner.takeWhile(_.isLetter).toLowerCase
+          if ((name == "script" || name == "style") && !inner.endsWith("/")) {
+            val e = findIc("</" + name, i)
+            require(e >= 0, s"html: unterminated <$name> element")
+            val close = html.indexOf('>', e)
+            require(close >= 0, s"html: unterminated </$name> tag")
+            i = close + 1
+          }
+          sb.append(' ')
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    // entity decode on the tag-free text
+    val raw = sb.toString
+    val out = new StringBuilder
+    i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '&') {
+        val e = raw.indexOf(';', i + 1)
+        val name = if (e > i && e - i <= 10) raw.substring(i + 1, e) else null
+        val rep = name match {
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case s if s != null && s.startsWith("#x") && s.length > 2 &&
+            s.drop(2).forall(ch => Character.digit(ch, 16) >= 0) =>
+            Integer.parseInt(s.drop(2), 16).toChar.toString
+          case s if s != null && s.startsWith("#") && s.length > 1 &&
+            s.drop(1).forall(_.isDigit) =>
+            Integer.parseInt(s.drop(1)).toChar.toString
+          case _ => null
+        }
+        if (rep != null) { out.append(rep); i = e + 1 }
+        else { out.append(c); i += 1 } // bare '&': literal, per browsers
+      } else { out.append(c); i += 1 }
+    }
+    out.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  private[graft] def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  // ------------------------------------------------------------- fixture
+
+  // Fixture arithmetic (the DuckDB oracle re-derives everything):
+  //   k = doc_id % 3 + 1 responses; a request precedes each response when
+  //   doc_id % 4 == 0; gzip member-per-record when doc_id % 2 == 0, plain
+  //   concatenation otherwise. Response j: uri http://site{id%7}.example/
+  //   {id}/{j}, status 404 when (id+j)%5==0 else 200, html body embeds
+  //   the document's text at j==0 and "word{(id*7+j)%50} page {id} {j}"
+  //   otherwise.
+  private[graft] def htmlOf(id: Long, j: Int, text: String): String = {
+    val t = if (j == 0) escapeHtml(text)
+      else "word" + ((id * 7 + j) % 50) + " page " + id + " " + j
+    "<!DOCTYPE html><html><head><title>doc " + id + "</title>" +
+      "<style>body{color:#000}</style>" +
+      "<script>var x=\"<div>no</div>\";</script></head><body><h1>Doc " +
+      id + "</h1><p>" + t + "</p><!-- note <p>skip</p> -->" +
+      "<div class=\"f\">footer " + (id % 11) + "</div></body></html>"
+  }
+
+  private def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder("WARC/1.0\r\n")
+    (headers :+ ("Content-Length" -> payload.length.toString)).foreach {
+      case (k, v) => h.append(k).append(": ").append(v).append("\r\n")
+    }
+    h.append("\r\n")
+    h.toString.getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def gzipOne(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data); g.close()
+    bos.toByteArray
+  }
+
+  private[graft] def warcOf(id: Long, text: String): Array[Byte] = {
+    val date = f"2026-01-${id % 28 + 1}%02dT00:00:00Z"
+    val uriBase = s"http://site${id % 7}.example"
+    val recs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    recs += record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:uuid:$id-info>",
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft\r\nformat: WARC File Format 1.0\r\n".getBytes("UTF-8"))
+    val k = (id % 3 + 1).toInt
+    (0 until k).foreach { j =>
+      val uri = s"$uriBase/$id/$j"
+      if (id % 4 == 0)
+        recs += record(Seq(
+          "WARC-Type" -> "request",
+          "WARC-Record-ID" -> s"<urn:uuid:$id-$j-req>",
+          "WARC-Date" -> date,
+          "WARC-Target-URI" -> uri,
+          "Content-Type" -> "application/http; msgtype=request"),
+          s"GET /$id/$j HTTP/1.1\r\nHost: site${id % 7}.example\r\nUser-Agent: graft\r\n\r\n"
+            .getBytes("UTF-8"))
+      val status = if ((id + j) % 5 == 0) 404 else 200
+      val reason = if (status == 200) "OK" else "Not Found"
+      val html = htmlOf(id, j, text).getBytes("UTF-8")
+      val http = (s"HTTP/1.1 $status $reason\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${html.length}\r\n\r\n").getBytes("UTF-8") ++ html
+      recs += record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:$id-$j>",
+        "WARC-Date" -> date,
+        "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"), http)
+    }
+    if (id % 2 == 0) recs.toArray.flatMap(gzipOne) // member per record
+    else recs.toArray.flatten
+  }
+
+  def synthesizeWarc(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { case (id, text) =>
+        graft.operators.Multimodal.ImageRow(id, warcOf(id, text)) }
+      .toDF()
+  }
+
+  /** x100 gate: container facts per archive. */
+  def warcTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val f = parseWarc(bytes)
+        val resp = f.records.filter(_.warcType == "response")
+        (id, if (f.gzip) 1 else 0, f.nMembers, f.records.size, resp.size,
+          f.records.count(_.warcType == "request"),
+          resp.count(_.httpStatus == 200),
+          resp.map(_.httpStatus.toLong).sum,
+          resp.map(_.body.getBytes("UTF-8").length.toLong).sum)
+      }
+      .toDF("doc_id", "is_gzip", "n_members", "n_records", "n_responses",
+        "n_requests", "ok_cnt", "sum_status", "body_bytes")
+  }
+
+  /** x101 gate: end-to-end extracted text of each archive's first
+    * response (the one embedding the document's text).
+    */
+  def warcTextTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val first = parseWarc(bytes).records
+          .find(_.warcType == "response")
+          .getOrElse(sys.error(s"warc: no response record in doc $id"))
+        (id, htmlText(first.body))
+      }
+      .toDF("doc_id", "extracted")
+  }
+
+  /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit
+    * one row per response record with its extracted text — the CLI's
+    * ingestion entry (one task per file; member-at-a-time decode inside).
+    */
+  def warcFiles(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        parseWarc(pds.toArray()).records
+          .filter(_.warcType == "response")
+          .map(r => (path, r.targetUri, r.httpStatus, htmlText(r.body)))
+      }
+      .toDF("file", "uri", "status", "text")
+  }
+}

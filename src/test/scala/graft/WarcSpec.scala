@@ -1,0 +1,182 @@
+package graft
+
+import graft.sources.WarcSource
+
+/** WARC container + HTML extraction: gzip member-walk integrity
+  * tripwires, header-flag coverage beyond what GZIPOutputStream emits,
+  * WARC grammar rejects (including the record-spans-members rule), and
+  * the HTML scanner's adversarial shapes (quoted `>`, entities, nested
+  * case-insensitive script, comments).
+  */
+class WarcSpec extends GraftSparkSpec {
+
+  private def gz(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data); g.close()
+    bos.toByteArray
+  }
+
+  private def deflateRaw(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** Hand-build a gzip member with FNAME+FEXTRA+FCOMMENT+FHCRC set — the
+    * full header-flag surface, which GZIPOutputStream never emits.
+    */
+  private def gzAllFlags(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
+      (1 | 2 | 4 | 8 | 16).toByte, 0, 0, 0, 0, 0, 0xff.toByte))
+    hdr.write(Array[Byte](4, 0)) // FEXTRA: xlen=4
+    hdr.write(Array[Byte]('G', 'R', 2, 0))
+    hdr.write("name.warc".getBytes("ISO-8859-1")); hdr.write(0)
+    hdr.write("a comment".getBytes("ISO-8859-1")); hdr.write(0)
+    val hb = hdr.toByteArray
+    val crcH = new java.util.zip.CRC32(); crcH.update(hb)
+    out.write(hb)
+    out.write((crcH.getValue & 0xff).toInt); out.write(((crcH.getValue >> 8) & 0xff).toInt)
+    out.write(deflateRaw(data))
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    le32(crc.getValue); le32(data.length.toLong)
+    out.toByteArray
+  }
+
+  private val docText = "alpha beta gamma"
+
+  test("warc: fixture round-trips both arms (gzip member-per-record, plain)") {
+    Seq(4L, 7L).foreach { id => // 4: gzip + requests; 7: plain, k=2
+      val f = WarcSource.parseWarc(WarcSource.warcOf(id, docText))
+      val k = (id % 3 + 1).toInt
+      val withReq = id % 4 == 0
+      assert(f.gzip === (id % 2 == 0))
+      assert(f.records.size === 1 + k * (if (withReq) 2 else 1))
+      if (f.gzip) assert(f.nMembers === f.records.size) else assert(f.nMembers === 0)
+      assert(f.records.head.warcType === "warcinfo")
+      val resp = f.records.filter(_.warcType === "response")
+      assert(resp.size === k)
+      resp.zipWithIndex.foreach { case (r, j) =>
+        assert(r.targetUri === s"http://site${id % 7}.example/$id/$j")
+        assert(r.httpStatus === (if ((id + j) % 5 == 0) 404 else 200))
+        assert(r.httpContentType.startsWith("text/html"))
+      }
+      assert(f.records.count(_.warcType === "request") === (if (withReq) k else 0))
+    }
+  }
+
+  test("gzip: all header flags (FEXTRA/FNAME/FCOMMENT/FHCRC) parse; GZIPInputStream agrees") {
+    val payload = "WARC-like bytes for flag coverage".getBytes("UTF-8")
+    val member = gzAllFlags(payload)
+    val (data, end) = WarcSource.gzipMember(member, 0)
+    assert(data.toSeq === payload.toSeq)
+    assert(end === member.length)
+    // third-party interop: java's reader accepts the same hand-built member
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(member))
+    assert(in.readAllBytes().toSeq === payload.toSeq)
+  }
+
+  test("gzip: payload CRC, ISIZE, header CRC, and reserved flags all reject loudly") {
+    val payload = "tripwire".getBytes("UTF-8")
+    val good = gz(payload)
+    // flip one deflate byte
+    val c1 = good.clone(); c1(12) = (c1(12) ^ 0x10).toByte
+    val e1 = intercept[Exception] { WarcSource.gzipMember(c1, 0) }
+    assert(e1.isInstanceOf[java.util.zip.DataFormatException] ||
+      e1.getMessage.contains("CRC") || e1.getMessage.contains("deflate"))
+    // corrupt ISIZE (last 4 bytes)
+    val c2 = good.clone(); c2(c2.length - 1) = (c2(c2.length - 1) ^ 0x01).toByte
+    val e2 = intercept[IllegalArgumentException] { WarcSource.gzipMember(c2, 0) }
+    assert(e2.getMessage.contains("ISIZE"))
+    // header CRC mismatch
+    val c3 = gzAllFlags(payload).clone()
+    c3(14) = (c3(14) ^ 0x01).toByte // inside FEXTRA subfield -> FHCRC fails
+    val e3 = intercept[IllegalArgumentException] { WarcSource.gzipMember(c3, 0) }
+    assert(e3.getMessage.contains("header CRC"))
+    // reserved FLG bit
+    val c4 = good.clone(); c4(3) = (c4(3) | 0x40).toByte
+    val e4 = intercept[IllegalArgumentException] { WarcSource.gzipMember(c4, 0) }
+    assert(e4.getMessage.contains("reserved"))
+  }
+
+  test("warc: a record split across gzip members rejects by name") {
+    val whole = WarcSource.warcOf(7L, docText) // plain arm = raw records
+    val cut = whole.length / 2
+    val spanned = gz(java.util.Arrays.copyOfRange(whole, 0, cut)) ++
+      gz(java.util.Arrays.copyOfRange(whole, cut, whole.length))
+    val e = intercept[Exception] { WarcSource.parseWarc(spanned) }
+    assert(e.getMessage.contains("spans gzip members"))
+  }
+
+  test("warc: grammar violations reject loudly") {
+    val good = WarcSource.warcOf(7L, docText)
+    // bad version line
+    val v = good.clone(); v(4) = '2'
+    val e1 = intercept[Exception] { WarcSource.parseWarc(v) }
+    assert(e1.getMessage.contains("bad version"))
+    // missing record terminator: truncate the final CRLF CRLF
+    val t = java.util.Arrays.copyOfRange(good, 0, good.length - 2)
+    val e2 = intercept[Exception] { WarcSource.parseWarc(t) }
+    assert(e2.getMessage.contains("spans gzip members") ||
+      e2.getMessage.contains("terminator"))
+    // corrupt the terminator in place
+    val c = good.clone(); c(c.length - 1) = 'X'
+    val e3 = intercept[Exception] { WarcSource.parseWarc(c) }
+    assert(e3.getMessage.contains("terminator"))
+  }
+
+  test("html: scanner handles quoted '>', entities, nested case-flipped script, comments") {
+    assert(WarcSource.htmlText(
+      """<p title="a>b">x &amp; y &lt;z&gt; &#65;&#x42; &unknown; A&B</p>""")
+      === "x & y <z> AB &unknown; A&B")
+    assert(WarcSource.htmlText(
+      """a<SCRIPT type="t">var s="</div>"; if (1<2) {}</sCrIpT>b""") === "a b")
+    // comments elide to NOTHING (browsers do not render a space for them)
+    assert(WarcSource.htmlText(
+      "<style>p>span{}</style>t<!-- <p>gone</p> -->u") === "tu")
+    // self-closing script has no content to elide
+    assert(WarcSource.htmlText("""a<script src="x"/>b""") === "a b")
+    val e = intercept[IllegalArgumentException] {
+      WarcSource.htmlText("a<!-- never closed")
+    }
+    assert(e.getMessage.contains("unterminated comment"))
+    val e2 = intercept[IllegalArgumentException] {
+      WarcSource.htmlText("a<script>no close")
+    }
+    assert(e2.getMessage.contains("unterminated <script>"))
+  }
+
+  test("html: escape/extract round-trips text with specials through the fixture html") {
+    val tricky = "a & b < c > d \"quoted\" 'single'  double  space"
+    val html = WarcSource.htmlOf(3L, 0, tricky)
+    val got = WarcSource.htmlText(html)
+    assert(got === "doc 3 Doc 3 a & b < c > d \"quoted\" 'single' double space footer 3")
+  }
+
+  test("warc: file-path arm reads .warc.gz files one task per file") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    try {
+      Seq(2L, 4L).foreach { id =>
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"f$id.warc.gz").toPath,
+          WarcSource.warcOf(id, s"text for $id"))
+      }
+      val rows = WarcSource.warcFiles(spark, dir.getAbsolutePath + "/*.warc.gz")
+        .collect()
+      // id=2 -> k=3 responses (all 200), id=4 -> k=2 (j=1 hits 404)
+      assert(rows.length === 5)
+      assert(rows.forall(r => r.getString(3).contains("Doc")))
+      assert(rows.map(_.getInt(2)).count(_ == 200) === 4)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
