@@ -812,6 +812,22 @@ object GraftCli {
       println(s"[graft] avro-scan: $glob -> $outDir")
       spark.stop()
 
+    case "mkv-meta" :: mediaParquet :: outDir :: Nil =>
+      val spark = session()
+      graft.sources.MkvSource.mkvTable(spark, spark.read.parquet(mediaParquet))
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] mkv-meta: $mediaParquet -> $outDir")
+      spark.stop()
+
+    case "mkv-meta-demo" :: docsParquet :: outDir :: Nil =>
+      val spark = session()
+      val media = graft.sources.MkvSource.synthesizeMkv(
+        spark, spark.read.parquet(docsParquet))
+      graft.sources.MkvSource.mkvTable(spark, media)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] mkv-meta-demo: $docsParquet -> $outDir")
+      spark.stop()
+
     case "warc-demo" :: docsParquet :: outDir :: Nil =>
       val spark = session()
       new java.io.File(outDir).mkdirs()
@@ -963,6 +979,8 @@ object GraftCli {
            |  parquet-footer <file.parquet> [file.parquet ...]
            |  parquet-prune <file.parquet> <intColumn> <lo> <hi>
            |  avro-scan <glob.avro> <outDir>
+           |  mkv-meta <mediaParquet(doc_id,content)> <outDir>
+           |  mkv-meta-demo <docsParquet> <outDir>
            |  warc-demo <docsParquet> <outDir>
            |  warc-extract <glob.warc[.gz]> <outDir>""".stripMargin)
       sys.exit(2)

@@ -3144,6 +3144,74 @@ object ExtensionQueries {
           |  ' footer ' || (doc_id % 11) AS extracted
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
+    // the second web-video container family after mp4/fmp4 (x85/x88).
+    // Our walker implements the RFC 8794 wire grammar: marker-kept VINT
+    // ids, marker-stripped VINT sizes (the all-ones unknown-size
+    // streaming form rejects by name), size-packed big-endian ints, IEEE
+    // floats, skip-by-size forward compatibility. Track facts are
+    // selected by TrackType (never position — the mp4 discipline),
+    // keyframes come from the parsed SimpleBlock flag bit, and block
+    // times are cluster-absolute (cluster Timestamp + signed s16
+    // relative). DuckDB re-derives every fact from doc_id arithmetic.
+    "x102_mkv_meta" -> QueryDef(
+      (s, dir) => graft.sources.MkvSource.mkvTable(
+          s, graft.sources.MkvSource.synthesizeMkv(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS c, doc_id % 4 + 2 AS b,
+          |            CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS aud
+          |           FROM documents),
+          |ci AS (SELECT doc_id, c, b, aud, unnest(range(0, c)) AS i FROM d),
+          |vj AS (SELECT doc_id, c, b, aud, i, unnest(range(0, b)) AS j
+          |       FROM ci)
+          |SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+          |    AS doctype,
+          |  CAST(1 + any_value(aud) AS INT) AS n_tracks,
+          |  'V_VP9' AS v_codec,
+          |  CAST(320 + (doc_id % 5) * 16 AS INT) AS width,
+          |  CAST(240 + (doc_id % 3) * 16 AS INT) AS height,
+          |  CAST(any_value(aud) * (1 + doc_id % 3) AS INT) AS audio_ch,
+          |  CAST(any_value(c) AS INT) AS n_clusters,
+          |  CAST(any_value(c) * any_value(b) AS INT) AS n_vblocks,
+          |  CAST(any_value(aud) * any_value(c) * 2 AS INT) AS n_ablocks,
+          |  CAST(sum(CASE WHEN j = 0 OR (doc_id + i + j) % 7 = 0
+          |    THEN 1 ELSE 0 END) AS INT) AS n_keyframes,
+          |  CAST(any_value(c) * 1000 AS BIGINT) AS dur_ms,
+          |  CAST(sum(i * 1000 + j * 40) AS BIGINT) AS ts_sum,
+          |  CAST(sum((doc_id + j) % 17 + 1) AS BIGINT) AS frame_bytes
+          |FROM vj GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Keyframe-to-keyframe segments of the mkv VIDEO track — the
+    // Matroska sibling of x86/x89: parse map-side, running keyframe
+    // count as one window over (doc, pts), segment rollup as one
+    // exchange. The last frame's extent uses the track's PARSED
+    // DefaultDuration, not a fixture constant.
+    "x103_mkv_segments" -> QueryDef(
+      (s, dir) => graft.sources.MkvSource.mkvSegments(
+          s, graft.sources.MkvSource.synthesizeMkv(
+            s, t(s, dir, "documents"))),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS c, doc_id % 4 + 2
+          |             AS b FROM documents),
+          |ci AS (SELECT doc_id, c, b, unnest(range(0, c)) AS i FROM d),
+          |f AS (SELECT doc_id, i * 1000 + j * 40 AS ts,
+          |        CASE WHEN j = 0 OR (doc_id + i + j) % 7 = 0 THEN 1
+          |          ELSE 0 END AS is_key
+          |      FROM (SELECT doc_id, c, b, i, unnest(range(0, b)) AS j
+          |            FROM ci)),
+          |s AS (SELECT doc_id, ts, is_key,
+          |        sum(is_key) OVER (PARTITION BY doc_id ORDER BY ts)
+          |          AS seg
+          |      FROM f)
+          |SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+          |  CAST(min(ts) AS BIGINT) AS start_ms,
+          |  CAST(count(*) AS BIGINT) AS n_frames,
+          |  CAST(max(ts) + 40 - min(ts) AS BIGINT) AS dur_ms
+          |FROM s GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin)),
+
     // Community detection #2 (beyond x51's seeded label propagation):
     // synchronous Louvain phase-1 over the co-purchase graph — the
     // standard modularity-driven community pass, in the all-nodes-at-once

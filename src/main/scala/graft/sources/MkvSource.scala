@@ -1,0 +1,351 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Matroska / WebM (EBML) container walker — the second web-video
+  * container family after the ISO-BMFF walker in
+  * `operators/Multimodal.scala` (mp4/fmp4): WebM is what browser-captured
+  * and royalty-free web video ships as, so a crawled corpus carries it in
+  * volume. Same discipline as the mp4 walker: tracks are selected by
+  * TYPE, never position; keyframes come from the PARSED SimpleBlock flag
+  * bit; per-frame presentation times are cluster-absolute (cluster
+  * Timestamp + the block's signed relative offset, in TimestampScale
+  * units); anything outside the understood grammar rejects loudly by
+  * name (unknown-size elements — the live-streaming form — included).
+  *
+  * EBML wire grammar (RFC 8794): element IDs are VINTs stored WITH their
+  * length marker (1–4 bytes); sizes are VINTs with the marker stripped
+  * (1–8 bytes; all-value-bits-ones means "unknown size", rejected here);
+  * integers are big-endian size-packed; floats are 4- or 8-byte IEEE 754.
+  * Unknown elements are skipped by size — which is what makes EBML
+  * forward-compatible and a sequential walk O(file).
+  *
+  * 100 TB shape: one task per file (the codec-blob discipline); the walk
+  * is a single pass and the per-frame table streams out of it. The x102
+  * gate checks container facts, x103 derives keyframe-to-keyframe
+  * segments from the parsed frame table with a window over (doc, pts) —
+  * parse map-side, one exchange for the segment aggregation.
+  */
+object MkvSource {
+
+  // element IDs (stored with marker bits, as the spec writes them)
+  private val EBML = 0x1A45DFA3L
+  private val DocTypeId = 0x4282L
+  private val Segment = 0x18538067L
+  private val Info = 0x1549A966L
+  private val TimestampScale = 0x2AD7B1L
+  private val DurationId = 0x4489L
+  private val Tracks = 0x1654AE6BL
+  private val TrackEntry = 0xAEL
+  private val TrackNumber = 0xD7L
+  private val TrackType = 0x83L
+  private val CodecID = 0x86L
+  private val DefaultDuration = 0x23E383L
+  private val VideoEl = 0xE0L
+  private val PixelWidth = 0xB0L
+  private val PixelHeight = 0xBAL
+  private val AudioEl = 0xE1L
+  private val SamplingFrequency = 0xB5L
+  private val Channels = 0x9FL
+  private val Cluster = 0x1F43B675L
+  private val ClusterTimestamp = 0xE7L
+  private val SimpleBlock = 0xA3L
+
+  private[graft] case class MkvTrack(number: Long, trackType: Int,
+      codec: String, width: Int, height: Int, channels: Int,
+      defaultDurNs: Long)
+  private[graft] case class MkvBlock(track: Long, tsAbs: Long,
+      keyframe: Boolean, frameBytes: Int)
+  private[graft] case class MkvFile(docType: String, timestampScale: Long,
+      durationTs: Double, tracks: Seq[MkvTrack], nClusters: Int,
+      blocks: Seq[MkvBlock])
+
+  private final class Rd(val bytes: Array[Byte], var pos: Int, val end: Int) {
+    def u8(): Int = {
+      require(pos < end, "ebml: truncated")
+      val b = bytes(pos) & 0xff; pos += 1; b
+    }
+    /** Element ID: VINT kept with its marker (1–4 bytes). */
+    def readId(): Long = {
+      val b0 = u8()
+      val len = if ((b0 & 0x80) != 0) 1 else if ((b0 & 0x40) != 0) 2
+        else if ((b0 & 0x20) != 0) 3 else if ((b0 & 0x10) != 0) 4
+        else sys.error("ebml: bad element ID leading byte")
+      var v = b0.toLong
+      (1 until len).foreach(_ => v = (v << 8) | u8())
+      v
+    }
+    /** Size VINT: marker stripped (1–8 bytes); all-ones rejects. */
+    def readSize(): Long = {
+      val b0 = u8()
+      var len = 1
+      var mask = 0x80
+      while (len <= 8 && (b0 & mask) == 0) { len += 1; mask >>= 1 }
+      require(len <= 8, "ebml: bad size leading byte")
+      var v = (b0 & (mask - 1)).toLong
+      (1 until len).foreach(_ => v = (v << 8) | u8())
+      require(v != (1L << (7 * len)) - 1,
+        "ebml: unknown-size element unsupported (streaming form)")
+      v
+    }
+    def uint(n: Int): Long = {
+      var v = 0L
+      (0 until n).foreach(_ => v = (v << 8) | u8())
+      v
+    }
+    def float(n: Int): Double = n match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(8))
+      case _ => sys.error(s"ebml: bad float size $n")
+    }
+    def str(n: Int): String = {
+      require(pos + n <= end, "ebml: string overruns")
+      val s = new String(bytes, pos, n, "UTF-8"); pos += n; s
+    }
+    def skip(n: Long): Unit = {
+      require(n >= 0 && pos + n <= end, "ebml: element overruns parent")
+      pos += n.toInt
+    }
+    def child(n: Long): Rd = {
+      require(n >= 0 && pos + n <= end, "ebml: element overruns parent")
+      val r = new Rd(bytes, pos, pos + n.toInt); pos += n.toInt; r
+    }
+  }
+
+  private[graft] def parseMkv(bytes: Array[Byte]): MkvFile = {
+    val r = new Rd(bytes, 0, bytes.length)
+    require(r.readId() == EBML, "ebml: missing EBML header")
+    val hdr = r.child(r.readSize())
+    var docType = "matroska"
+    while (hdr.pos < hdr.end) {
+      val id = hdr.readId(); val sz = hdr.readSize()
+      if (id == DocTypeId) docType = hdr.str(sz.toInt)
+      else hdr.skip(sz)
+    }
+    require(r.pos < r.end && r.readId() == Segment, "ebml: missing Segment")
+    val seg = r.child(r.readSize())
+    var tsScale = 1000000L // spec default: 1 ms
+    var duration = 0.0
+    val tracks = scala.collection.mutable.ArrayBuffer[MkvTrack]()
+    val blocks = scala.collection.mutable.ArrayBuffer[MkvBlock]()
+    var nClusters = 0
+    while (seg.pos < seg.end) {
+      val id = seg.readId(); val sz = seg.readSize()
+      id match {
+        case Info =>
+          val in = seg.child(sz)
+          while (in.pos < in.end) {
+            val i2 = in.readId(); val s2 = in.readSize()
+            i2 match {
+              case TimestampScale => tsScale = in.uint(s2.toInt)
+              case DurationId => duration = in.float(s2.toInt)
+              case _ => in.skip(s2)
+            }
+          }
+        case Tracks =>
+          val tr = seg.child(sz)
+          while (tr.pos < tr.end) {
+            val i2 = tr.readId(); val s2 = tr.readSize()
+            if (i2 == TrackEntry) {
+              val te = tr.child(s2)
+              var num = -1L; var typ = -1; var codec = ""
+              var w = 0; var h = 0; var ch = 0; var dd = 0L
+              while (te.pos < te.end) {
+                val i3 = te.readId(); val s3 = te.readSize()
+                i3 match {
+                  case TrackNumber => num = te.uint(s3.toInt)
+                  case TrackType => typ = te.uint(s3.toInt).toInt
+                  case CodecID => codec = te.str(s3.toInt)
+                  case DefaultDuration => dd = te.uint(s3.toInt)
+                  case VideoEl =>
+                    val v = te.child(s3)
+                    while (v.pos < v.end) {
+                      val i4 = v.readId(); val s4 = v.readSize()
+                      i4 match {
+                        case PixelWidth => w = v.uint(s4.toInt).toInt
+                        case PixelHeight => h = v.uint(s4.toInt).toInt
+                        case _ => v.skip(s4)
+                      }
+                    }
+                  case AudioEl =>
+                    val a = te.child(s3)
+                    while (a.pos < a.end) {
+                      val i4 = a.readId(); val s4 = a.readSize()
+                      if (i4 == Channels) ch = a.uint(s4.toInt).toInt
+                      else a.skip(s4)
+                    }
+                  case _ => te.skip(s3)
+                }
+              }
+              require(num > 0 && typ > 0, "mkv: TrackEntry missing number/type")
+              tracks += MkvTrack(num, typ, codec, w, h, ch, dd)
+            } else tr.skip(s2)
+          }
+        case Cluster =>
+          nClusters += 1
+          val cl = seg.child(sz)
+          var clusterTs = 0L
+          var sawTs = false
+          while (cl.pos < cl.end) {
+            val i2 = cl.readId(); val s2 = cl.readSize()
+            i2 match {
+              case ClusterTimestamp =>
+                clusterTs = cl.uint(s2.toInt); sawTs = true
+              case SimpleBlock =>
+                require(sawTs, "mkv: SimpleBlock before cluster Timestamp")
+                val sb = cl.child(s2)
+                val track = sb.readSize() // block track VINT, marker stripped
+                val rel = {
+                  val v = sb.uint(2)
+                  (v ^ 0x8000L) - 0x8000L // sign-extend s16
+                }
+                val flags = sb.u8()
+                require((flags & 0x06) == 0, "mkv: laced blocks unsupported")
+                blocks += MkvBlock(track, clusterTs + rel,
+                  (flags & 0x80) != 0, sb.end - sb.pos)
+                sb.pos = sb.end
+              case _ => cl.skip(s2)
+            }
+          }
+        case _ => seg.skip(sz)
+      }
+    }
+    require(r.pos == r.end, "ebml: bytes after Segment")
+    MkvFile(docType, tsScale, duration, tracks.toSeq, nClusters, blocks.toSeq)
+  }
+
+  // ------------------------------------------------------------- writer
+
+  private[graft] def vintSize(n: Long): Array[Byte] = {
+    var w = 1
+    while (w < 8 && n >= (1L << (7 * w)) - 1) w += 1
+    require(n < (1L << (7 * w)) - 1, "ebml: size too large")
+    val v = n | (1L << (7 * w))
+    Array.tabulate(w)(i => ((v >> (8 * (w - 1 - i))) & 0xff).toByte)
+  }
+  private[graft] def idBytes(id: Long): Array[Byte] = {
+    val w = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    Array.tabulate(w)(i => ((id >> (8 * (w - 1 - i))) & 0xff).toByte)
+  }
+  private[graft] def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ vintSize(payload.length.toLong) ++ payload
+  private[graft] def uintBytes(v: Long): Array[Byte] = {
+    var w = 1
+    while (w < 8 && v >= (1L << (8 * w))) w += 1
+    Array.tabulate(w)(i => ((v >> (8 * (w - 1 - i))) & 0xff).toByte)
+  }
+  private[graft] def elU(id: Long, v: Long): Array[Byte] = el(id, uintBytes(v))
+  private[graft] def elF(id: Long, v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    el(id, Array.tabulate(8)(i => ((bits >> (8 * (7 - i))) & 0xff).toByte))
+  }
+  private[graft] def elS(id: Long, s: String): Array[Byte] = el(id, s.getBytes("UTF-8"))
+
+  // Fixture arithmetic (the DuckDB oracle re-derives everything):
+  //   doctype webm on even doc_ids, matroska on odd; video track always
+  //   (number 1, V_VP9, w=320+(id%5)*16, h=240+(id%3)*16, DefaultDuration
+  //   40ms); audio track on even ids (number 2, A_OPUS, ch=1+id%3);
+  //   c=id%3+1 clusters at ts i*1000; per cluster b=id%4+2 video blocks
+  //   (rel ts j*40, keyframe iff j==0 or (id+i+j)%7==0, frame bytes
+  //   (id+j)%17+1) and, when audio exists, 2 audio blocks (rel ts j*20,
+  //   always key per the opus convention, 3 bytes); Duration = c*1000.
+  private[graft] def mkvOf(id: Long): Array[Byte] = {
+    val webm = id % 2 == 0
+    val hdr = el(EBML,
+      elU(0x4286L, 1) ++ elU(0x42F7L, 1) ++ elU(0x42F2L, 4) ++
+        elU(0x42F3L, 8) ++ elS(DocTypeId, if (webm) "webm" else "matroska") ++
+        elU(0x4287L, 4) ++ elU(0x4285L, 2))
+    val c = (id % 3 + 1).toInt
+    val b = (id % 4 + 2).toInt
+    val info = el(Info,
+      elU(TimestampScale, 1000000L) ++ elF(DurationId, c * 1000.0))
+    val video = el(TrackEntry,
+      elU(TrackNumber, 1) ++ elU(TrackType, 1) ++ elS(CodecID, "V_VP9") ++
+        elU(DefaultDuration, 40000000L) ++
+        el(VideoEl, elU(PixelWidth, 320 + (id % 5) * 16) ++
+          elU(PixelHeight, 240 + (id % 3) * 16)))
+    val audio = if (!webm) Array.emptyByteArray
+      else el(TrackEntry,
+        elU(TrackNumber, 2) ++ elU(TrackType, 2) ++ elS(CodecID, "A_OPUS") ++
+          el(AudioEl,
+            elF(SamplingFrequency, 48000.0) ++ elU(Channels, 1 + id % 3)))
+    val tracks = el(Tracks, video ++ audio)
+    def block(track: Int, rel: Int, key: Boolean, n: Int, fill: Int): Array[Byte] =
+      el(SimpleBlock,
+        Array((0x80 | track).toByte, ((rel >> 8) & 0xff).toByte,
+          (rel & 0xff).toByte, (if (key) 0x80 else 0x00).toByte) ++
+          Array.fill(n)(fill.toByte))
+    val clusters = (0 until c).flatMap { i =>
+      val vb = (0 until b).flatMap { j =>
+        block(1, j * 40, j == 0 || (id + i + j) % 7 == 0,
+          ((id + j) % 17 + 1).toInt, ((id * 31 + j) % 256).toInt)
+      }
+      val ab = if (!webm) Seq.empty[Byte]
+        else (0 until 2).flatMap(j => block(2, j * 20, key = true, 3, 0x55))
+      el(Cluster, elU(ClusterTimestamp, i * 1000L) ++ vb.toArray ++ ab.toArray)
+    }.toArray
+    hdr ++ el(Segment, info ++ tracks ++ clusters)
+  }
+
+  def synthesizeMkv(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => graft.operators.Multimodal.ImageRow(id, mkvOf(id)))
+      .toDF()
+  }
+
+  /** x102 gate: container facts per file — track facts selected by TYPE. */
+  def mkvTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val f = parseMkv(bytes)
+        val v = f.tracks.find(_.trackType == 1)
+          .getOrElse(sys.error(s"mkv: no video track in doc $id"))
+        val a = f.tracks.find(_.trackType == 2)
+        val vb = f.blocks.filter(_.track == v.number)
+        val ab = a.map(t => f.blocks.filter(_.track == t.number))
+          .getOrElse(Seq.empty)
+        (id, f.docType, f.tracks.size, v.codec, v.width, v.height,
+          a.map(_.channels).getOrElse(0), f.nClusters, vb.size, ab.size,
+          vb.count(_.keyframe),
+          (f.durationTs * f.timestampScale / 1000000L).toLong,
+          vb.map(_.tsAbs).sum, vb.map(_.frameBytes.toLong).sum)
+      }
+      .toDF("doc_id", "doctype", "n_tracks", "v_codec", "width", "height",
+        "audio_ch", "n_clusters", "n_vblocks", "n_ablocks", "n_keyframes",
+        "dur_ms", "ts_sum", "frame_bytes")
+  }
+
+  /** x103 gate: keyframe-to-keyframe segments of the VIDEO track — the
+    * mkv sibling of x86/x89. Parse is map-side; the running keyframe
+    * count is one window over (doc, pts); segment rollup is one exchange.
+    * The last frame's extent comes from the track's PARSED
+    * DefaultDuration, not a fixture constant.
+    */
+  def mkvSegments(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val frames = media.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val f = parseMkv(bytes)
+        val v = f.tracks.find(_.trackType == 1)
+          .getOrElse(sys.error(s"mkv: no video track in doc $id"))
+        val durMs = v.defaultDurNs / 1000000L
+        f.blocks.filter(_.track == v.number)
+          .map(bk => (id, bk.tsAbs, if (bk.keyframe) 1 else 0, durMs))
+      }
+      .toDF("doc_id", "ts", "is_key", "frame_ms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("ts")
+    frames
+      .withColumn("seg", sum(col("is_key")).over(w))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min("ts").as("start_ms"), count(lit(1)).as("n_frames"),
+        (max("ts") + max("frame_ms") - min("ts")).as("dur_ms"))
+      .orderBy("doc_id", "seg")
+  }
+}

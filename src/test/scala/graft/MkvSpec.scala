@@ -1,0 +1,129 @@
+package graft
+
+import graft.sources.MkvSource
+
+/** EBML/Matroska walker: VINT width edges, unknown-size and lacing
+  * rejects, signed relative timestamps, forward-compat skip of unknown
+  * elements, and fixture round-trip invariants.
+  */
+class MkvSpec extends GraftSparkSpec {
+
+  private val EBML = 0x1A45DFA3L
+  private val Segment = 0x18538067L
+  private val Info = 0x1549A966L
+  private val Tracks = 0x1654AE6BL
+  private val TrackEntry = 0xAEL
+  private val Cluster = 0x1F43B675L
+  private val ClusterTs = 0xE7L
+  private val SimpleBlock = 0xA3L
+
+  private def header(doctype: String): Array[Byte] =
+    MkvSource.el(EBML, MkvSource.elS(0x4282L, doctype))
+
+  private def videoTrack(num: Int): Array[Byte] =
+    MkvSource.el(TrackEntry,
+      MkvSource.elU(0xD7L, num.toLong) ++ MkvSource.elU(0x83L, 1) ++
+        MkvSource.elS(0x86L, "V_VP9") ++
+        MkvSource.el(0xE0L, MkvSource.elU(0xB0L, 64) ++ MkvSource.elU(0xBAL, 48)))
+
+  private def block(track: Int, rel: Int, key: Boolean, n: Int): Array[Byte] =
+    MkvSource.el(SimpleBlock,
+      Array((0x80 | track).toByte, ((rel >> 8) & 0xff).toByte,
+        (rel & 0xff).toByte, (if (key) 0x80 else 0x00).toByte) ++
+        Array.fill(n)(0x11.toByte))
+
+  test("mkv: fixture round-trips; tracks selected by type; audio never pollutes video facts") {
+    Seq(4L, 7L).foreach { id => // 4: webm + audio; 7: matroska video-only
+      val f = MkvSource.parseMkv(MkvSource.mkvOf(id))
+      val c = (id % 3 + 1).toInt; val b = (id % 4 + 2).toInt
+      assert(f.docType === (if (id % 2 == 0) "webm" else "matroska"))
+      assert(f.nClusters === c)
+      val v = f.tracks.find(_.trackType == 1).get
+      assert(v.codec === "V_VP9" && v.defaultDurNs === 40000000L)
+      val vb = f.blocks.filter(_.track == v.number)
+      assert(vb.size === c * b)
+      assert(vb.map(_.tsAbs) === (0 until c).flatMap(i =>
+        (0 until b).map(j => i * 1000L + j * 40L)))
+      if (id % 2 == 0) {
+        val a = f.tracks.find(_.trackType == 2).get
+        assert(a.codec === "A_OPUS")
+        assert(f.blocks.count(_.track == a.number) === c * 2)
+      } else assert(f.tracks.size === 1)
+    }
+  }
+
+  test("ebml: size VINTs cross 1/2/3-byte widths (frame >127 and >16383 bytes)") {
+    // a 20 000-byte frame forces a 3-byte size on the SimpleBlock and a
+    // 3-byte (or wider) size on the enclosing Cluster/Segment
+    val bytes = header("matroska") ++ MkvSource.el(Segment,
+      MkvSource.el(Tracks, videoTrack(1)) ++
+        MkvSource.el(Cluster, MkvSource.elU(ClusterTs, 0L) ++
+          block(1, 0, key = true, 200) ++ block(1, 40, key = false, 20000)))
+    val f = MkvSource.parseMkv(bytes)
+    assert(f.blocks.map(_.frameBytes) === Seq(200, 20000))
+    // writer-side width check: 200+4 needs 2 bytes, 20000+4 needs 3
+    assert(MkvSource.vintSize(204L).length === 2)
+    assert(MkvSource.vintSize(20004L).length === 3)
+    assert(MkvSource.vintSize(127L).length === 2) // 127 is the 1-byte all-ones
+    assert(MkvSource.vintSize(126L).length === 1)
+  }
+
+  test("ebml: unknown-size element (streaming form) rejects by name") {
+    val good = header("matroska")
+    // replace the Segment size with the 1-byte unknown marker 0xFF
+    val bytes = good ++ MkvSource.idBytes(Segment) ++ Array(0xff.toByte)
+    val e = intercept[Exception] { MkvSource.parseMkv(bytes) }
+    assert(e.getMessage.contains("unknown-size"))
+  }
+
+  test("mkv: laced SimpleBlocks and blocks before the cluster Timestamp reject") {
+    def file(cluster: Array[Byte]): Array[Byte] =
+      header("matroska") ++ MkvSource.el(Segment,
+        MkvSource.el(Tracks, videoTrack(1)) ++ MkvSource.el(Cluster, cluster))
+    val laced = MkvSource.el(SimpleBlock,
+      Array[Byte](0x81.toByte, 0, 0, 0x86.toByte) ++ Array.fill(4)(1.toByte))
+    val e1 = intercept[Exception] {
+      MkvSource.parseMkv(file(MkvSource.elU(ClusterTs, 0L) ++ laced))
+    }
+    assert(e1.getMessage.contains("laced"))
+    val e2 = intercept[Exception] {
+      MkvSource.parseMkv(file(block(1, 0, key = true, 4)))
+    }
+    assert(e2.getMessage.contains("before cluster Timestamp"))
+  }
+
+  test("mkv: negative relative timestamps sign-extend (block before cluster ts)") {
+    val bytes = header("matroska") ++ MkvSource.el(Segment,
+      MkvSource.el(Tracks, videoTrack(1)) ++
+        MkvSource.el(Cluster, MkvSource.elU(ClusterTs, 1000L) ++
+          block(1, -40, key = true, 4) ++ block(1, 40, key = false, 4)))
+    val f = MkvSource.parseMkv(bytes)
+    assert(f.blocks.map(_.tsAbs) === Seq(960L, 1040L))
+  }
+
+  test("ebml: unknown elements are skipped by size (Void, custom ids)") {
+    val void = MkvSource.el(0xECL, Array.fill(13)(0.toByte))
+    val bytes = header("matroska") ++ MkvSource.el(Segment,
+      void ++ MkvSource.el(Tracks, void ++ videoTrack(1) ++ void) ++
+        MkvSource.el(Cluster, MkvSource.elU(ClusterTs, 0L) ++ void ++
+          block(1, 0, key = true, 4)))
+    val f = MkvSource.parseMkv(bytes)
+    assert(f.tracks.size === 1 && f.blocks.size === 1)
+  }
+
+  test("ebml: truncation anywhere rejects loudly") {
+    val whole = MkvSource.mkvOf(4L)
+    Seq(whole.length - 3, whole.length / 2, 7).foreach { cut =>
+      val e = intercept[Exception] {
+        MkvSource.parseMkv(java.util.Arrays.copyOfRange(whole, 0, cut))
+      }
+      assert(e.getMessage.contains("ebml") || e.getMessage.contains("mkv"),
+        s"cut=$cut got ${e.getMessage}")
+    }
+    // trailing garbage after the Segment rejects too
+    val e = intercept[Exception] {
+      MkvSource.parseMkv(whole ++ Array(0x00.toByte))
+    }
+    assert(e.getMessage.contains("ebml"))
+  }
+}
