@@ -3212,6 +3212,48 @@ object ExtensionQueries {
           |  CAST(max(ts) + 40 - min(ts) AS BIGINT) AS dur_ms
           |FROM s GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin)),
 
+    // POSIX tar (ustar) walk + WebDataset sample grouping
+    // (sources/TarSource) — the tar-of-samples shard format multimodal
+    // training pipelines feed from. Our walker validates the ustar magic
+    // and the header CHECKSUM on every entry, handles the prefix field,
+    // 512-block rounding and the end-of-archive marker; .tar.gz shards
+    // reuse the WARC gzip member walker (CRC32+ISIZE checked). Samples
+    // group by the name's pre-dot key; completeness (caption+label
+    // present) is a real check because the fixture omits .cls on
+    // (id+j)%5==0. DuckDB re-derives every fact from doc_id arithmetic
+    // and the documents text length. TarSpec pins interop BOTH ways
+    // against the system tar binary.
+    "x104_webdataset" -> QueryDef(
+      (s, dir) => graft.sources.TarSource.webdatasetTable(
+          s, graft.sources.TarSource.synthesizeShards(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, text, doc_id % 4 + 1 AS k
+          |           FROM documents),
+          |u AS (SELECT doc_id, text, k, unnest(range(0, k)) AS j FROM d),
+          |e AS (SELECT doc_id, k, j,
+          |        CASE WHEN j = 0 THEN length(text)
+          |             ELSE length('fill ' || doc_id || ' ' || j) END
+          |          AS txt_len,
+          |        CASE WHEN (doc_id + j) % 5 = 0 THEN 0 ELSE 1 END
+          |          AS has_cls,
+          |        CASE WHEN (doc_id + j) % 5 = 0 THEN 0
+          |             ELSE (doc_id + j) % 10 END AS cls,
+          |        CASE WHEN j % 2 = 0 THEN (doc_id + j) % 29 + 1 ELSE 0
+          |          END AS bin_len
+          |      FROM u)
+          |SELECT doc_id,
+          |  CAST(count(*) + sum(has_cls) +
+          |    sum(CASE WHEN bin_len > 0 THEN 1 ELSE 0 END) AS INT)
+          |    AS n_entries,
+          |  CAST(any_value(k) AS INT) AS n_samples,
+          |  CAST(sum(has_cls) AS INT) AS n_complete,
+          |  CAST(sum(txt_len) AS BIGINT) AS txt_bytes,
+          |  CAST(sum(cls) AS BIGINT) AS cls_sum,
+          |  CAST(sum(bin_len) AS BIGINT) AS bin_bytes
+          |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Community detection #2 (beyond x51's seeded label propagation):
     // synchronous Louvain phase-1 over the co-purchase graph — the
     // standard modularity-driven community pass, in the all-nodes-at-once

@@ -1,0 +1,214 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** POSIX tar (ustar) walker + WebDataset sample grouping — the shard
+  * format large multimodal training pipelines feed from: a shard is a
+  * plain tar whose member files are named `{sampleKey}.{ext}`, and a
+  * sample is the group of same-key files ({key}.txt caption, {key}.cls
+  * label, {key}.bin payload, ...). Sequential tar reads are the whole
+  * point of the format (no per-sample seeks), which is exactly the
+  * one-task-per-shard discipline the other codec arms use.
+  *
+  * The walker implements the ustar grammar: 512-byte headers (name,
+  * octal size/mtime, typeflag, ustar magic, prefix for long paths), data
+  * rounded up to 512-byte blocks, two zero blocks at the end, and the
+  * header CHECKSUM (sum of header bytes with the chksum field blanked to
+  * spaces) validated on every entry — a flipped byte anywhere in a
+  * header fails that entry by name. `.tar.gz` shards reuse
+  * [[WarcSource.gzipMember]], so member CRC32/ISIZE checks come free.
+  *
+  * The x104 gate groups entries into samples (key = name up to the first
+  * dot), counts complete samples (caption + label present), and sums
+  * per-extension byte/label facts; DuckDB re-derives everything from
+  * doc_id arithmetic. TarSpec pins both interop directions against the
+  * system `tar` binary (it lists/extracts our bytes; we parse its).
+  */
+object TarSource {
+
+  private[graft] case class TarEntry(name: String, size: Long,
+      typeflag: Char, data: Array[Byte])
+
+  private def octal(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    while (i < end && (bytes(i) == ' ' || bytes(i) == 0)) i += 1
+    while (i < end && bytes(i) >= '0' && bytes(i) <= '7') {
+      v = (v << 3) + (bytes(i) - '0'); i += 1
+    }
+    v
+  }
+
+  private def cstr(bytes: Array[Byte], off: Int, len: Int): String = {
+    var n = 0
+    while (n < len && bytes(off + n) != 0) n += 1
+    new String(bytes, off, n, "ISO-8859-1")
+  }
+
+  /** Walk one (decompressed) tar archive. */
+  private[graft] def parseTar(bytes: Array[Byte]): Seq[TarEntry] = {
+    val out = scala.collection.mutable.ArrayBuffer[TarEntry]()
+    var pos = 0
+    var zeroBlocks = 0
+    while (pos + 512 <= bytes.length && zeroBlocks < 2) {
+      val allZero = (pos until pos + 512).forall(bytes(_) == 0)
+      if (allZero) { zeroBlocks += 1; pos += 512 }
+      else {
+        require(zeroBlocks == 0, "tar: data after end-of-archive marker")
+        // POSIX writes "ustar\0" + "00"; GNU writes "ustar " + " \0" —
+        // accept both (real archives are a mix)
+        val magic = cstr(bytes, pos + 257, 6)
+        require(magic.trim == "ustar", s"tar: bad magic '$magic'")
+        // checksum: header bytes with the chksum field (148..156) blanked
+        var sum = 0L
+        (0 until 512).foreach { i =>
+          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
+        }
+        val want = octal(bytes, pos + 148, 8)
+        require(sum == want, s"tar: header checksum mismatch ($sum != $want)")
+        val prefix = cstr(bytes, pos + 345, 155)
+        val name0 = cstr(bytes, pos, 100)
+        val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
+        val size = octal(bytes, pos + 124, 12)
+        val typeflag = {
+          val t = bytes(pos + 156)
+          if (t == 0) '0' else t.toChar
+        }
+        val dataBlocks = ((size + 511) / 512).toInt
+        require(pos + 512 + dataBlocks * 512 <= bytes.length,
+          s"tar: entry '$name' overruns archive")
+        val data = if (typeflag == '0')
+          java.util.Arrays.copyOfRange(bytes, pos + 512, pos + 512 + size.toInt)
+        else Array.emptyByteArray
+        out += TarEntry(name, size, typeflag, data)
+        pos += 512 + dataBlocks * 512
+      }
+    }
+    require(zeroBlocks == 2, "tar: missing end-of-archive zero blocks")
+    // real writers pad to the blocking factor with zeros — legal; any
+    // non-zero byte after the end marker is data a reader would drop
+    while (pos < bytes.length) {
+      require(bytes(pos) == 0, "tar: data after end-of-archive marker")
+      pos += 1
+    }
+    out.toSeq
+  }
+
+  /** Accept `.tar` or `.tar.gz` bytes (gz: concatenated members allowed,
+    * CRC-checked by [[WarcSource.gzipMember]]).
+    */
+  private[graft] def parseShard(bytes: Array[Byte]): Seq[TarEntry] = {
+    require(bytes.length >= 2, "tar: empty shard")
+    if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      val out = new java.io.ByteArrayOutputStream()
+      var pos = 0
+      while (pos < bytes.length) {
+        val (data, end) = WarcSource.gzipMember(bytes, pos)
+        out.write(data); pos = end
+      }
+      parseTar(out.toByteArray)
+    } else parseTar(bytes)
+  }
+
+  // ------------------------------------------------------------- writer
+
+  private[graft] def tarEntryBytes(name: String, data: Array[Byte]): Array[Byte] = {
+    require(name.getBytes("ISO-8859-1").length <= 100,
+      "tar: long names need the prefix field (not emitted by this writer)")
+    val hdr = new Array[Byte](512)
+    val nb = name.getBytes("ISO-8859-1")
+    System.arraycopy(nb, 0, hdr, 0, nb.length)
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val pad = "0" * (len - 1 - s.length) + s
+      val b = pad.getBytes("ISO-8859-1")
+      System.arraycopy(b, 0, hdr, off, b.length) // NUL terminator stays
+    }
+    oct(420, 100, 8) // mode 0644
+    oct(0, 108, 8); oct(0, 116, 8) // uid gid
+    oct(data.length.toLong, 124, 12)
+    oct(1767225600L, 136, 12) // fixed mtime (2026-01-01, determinism)
+    hdr(156) = '0'
+    System.arraycopy("ustar".getBytes("ISO-8859-1"), 0, hdr, 257, 5)
+    hdr(263) = '0'; hdr(264) = '0' // version "00"
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += hdr(i) & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPad = "0" * (6 - cs.length) + cs
+    System.arraycopy(csPad.getBytes("ISO-8859-1"), 0, hdr, 148, 6)
+    hdr(154) = 0; hdr(155) = ' '
+    val padded = new Array[Byte](((data.length + 511) / 512) * 512)
+    System.arraycopy(data, 0, padded, 0, data.length)
+    hdr ++ padded
+  }
+
+  private[graft] def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (n, d) => out.write(tarEntryBytes(n, d)) }
+    out.write(new Array[Byte](1024)) // two zero blocks
+    out.toByteArray
+  }
+
+  // Fixture arithmetic (the DuckDB oracle re-derives everything): per
+  // doc, k = id%4+1 samples keyed s{id}_{j}. Sample j carries
+  //   {key}.txt  — the document's text at j==0, else "fill {id} {j}"
+  //   {key}.cls  — decimal (id+j)%10, OMITTED when (id+j)%5==0 (so
+  //                sample completeness is a real check)
+  //   {key}.bin  — (id+j)%29+1 junk bytes, even j only
+  // Shards are .tar.gz on even ids, plain .tar on odd.
+  private[graft] def shardOf(id: Long, text: String): Array[Byte] = {
+    val k = (id % 4 + 1).toInt
+    val entries = (0 until k).flatMap { j =>
+      val key = s"s${id}_$j"
+      val txt = (s"$key.txt",
+        (if (j == 0) text else s"fill $id $j").getBytes("UTF-8"))
+      val cls = if ((id + j) % 5 == 0) Seq.empty
+        else Seq((s"$key.cls", ((id + j) % 10).toString.getBytes("UTF-8")))
+      val bin = if (j % 2 == 0)
+        Seq((s"$key.bin",
+          Array.fill(((id + j) % 29 + 1).toInt)(((id * 13 + j) % 256).toByte)))
+        else Seq.empty
+      Seq(txt) ++ cls ++ bin
+    }
+    val tar = tarOf(entries)
+    if (id % 2 == 0) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(tar); g.close()
+      bos.toByteArray
+    } else tar
+  }
+
+  def synthesizeShards(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { case (id, text) =>
+        graft.operators.Multimodal.ImageRow(id, shardOf(id, text)) }
+      .toDF()
+  }
+
+  /** x104 gate: WebDataset sample grouping + per-extension facts. */
+  def webdatasetTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val entries = parseShard(bytes)
+        val samples = entries.groupBy(e => e.name.takeWhile(_ != '.'))
+        val complete = samples.valuesIterator.count { es =>
+          val exts = es.map(_.name.dropWhile(_ != '.')).toSet
+          exts(".txt") && exts(".cls")
+        }
+        def ext(e: String) = entries.filter(_.name.endsWith(e))
+        (id, entries.size, samples.size, complete,
+          ext(".txt").map(_.size).sum,
+          ext(".cls").map(e => new String(e.data, "UTF-8").toLong).sum,
+          ext(".bin").map(_.size).sum)
+      }
+      .toDF("doc_id", "n_entries", "n_samples", "n_complete",
+        "txt_bytes", "cls_sum", "bin_bytes")
+  }
+}

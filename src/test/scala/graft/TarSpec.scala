@@ -1,0 +1,112 @@
+package graft
+
+import graft.sources.TarSource
+
+/** ustar walker: system-tar interop in BOTH directions (it reads ours,
+  * we read its — GNU and ustar formats, prefix-field long paths),
+  * checksum/truncation/end-marker tripwires, and the WebDataset fixture
+  * round-trip.
+  */
+class TarSpec extends GraftSparkSpec {
+
+  private def run(cmd: Seq[String], cwd: java.io.File): String = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(cwd); pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() === 0, s"${cmd.mkString(" ")} failed: $out")
+    out
+  }
+
+  private def withTmp[A](f: java.io.File => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("tarspec").toFile
+    try f(dir) finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("tar: the system tar binary lists and extracts our writer's bytes") {
+    withTmp { dir =>
+      val bytes = TarSource.tarOf(Seq(
+        ("a.txt", "hello tar".getBytes("UTF-8")),
+        ("b/c.bin", Array.tabulate(700)(_.toByte)))) // >512: block rounding
+      val f = new java.io.File(dir, "ours.tar")
+      java.nio.file.Files.write(f.toPath, bytes)
+      val listing = run(Seq("tar", "-tf", "ours.tar"), dir)
+      assert(listing.split("\n").toSeq === Seq("a.txt", "b/c.bin"))
+      run(Seq("tar", "-xf", "ours.tar"), dir)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "a.txt").toPath), "UTF-8") === "hello tar")
+      assert(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "b/c.bin").toPath).toSeq ===
+        Array.tabulate(700)(_.toByte).toSeq)
+    }
+  }
+
+  test("tar: we parse system-tar archives (GNU default AND --format=ustar, prefix paths)") {
+    withTmp { dir =>
+      val deep = new java.io.File(dir,
+        "d" * 60 + "/" + "e" * 60) // forces the ustar prefix field
+      deep.mkdirs()
+      java.nio.file.Files.write(new java.io.File(deep, "x.txt").toPath,
+        "deep content".getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(dir, "top.txt").toPath,
+        "top".getBytes("UTF-8"))
+      Seq(Seq("tar", "-cf", "gnu.tar", "top.txt"),
+        Seq("tar", "--format=ustar", "-cf", "posix.tar", "top.txt",
+          "d" * 60 + "/" + "e" * 60 + "/x.txt")).foreach(run(_, dir))
+      val gnu = TarSource.parseTar(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "gnu.tar").toPath))
+      assert(gnu.map(_.name) === Seq("top.txt"))
+      assert(new String(gnu.head.data, "UTF-8") === "top")
+      val posix = TarSource.parseTar(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "posix.tar").toPath))
+      val files = posix.filter(_.typeflag == '0')
+      assert(files.map(_.name).toSet ===
+        Set("top.txt", "d" * 60 + "/" + "e" * 60 + "/x.txt"))
+      assert(new String(files.find(_.name.endsWith("x.txt")).get.data,
+        "UTF-8") === "deep content")
+    }
+  }
+
+  test("tar: checksum, truncation, and data-after-end-marker reject loudly") {
+    val bytes = TarSource.tarOf(Seq(("a.txt", "abc".getBytes("UTF-8"))))
+    val c = bytes.clone(); c(0) = 'z' // name byte -> checksum breaks
+    val e1 = intercept[IllegalArgumentException] { TarSource.parseTar(c) }
+    assert(e1.getMessage.contains("checksum"))
+    val e2 = intercept[IllegalArgumentException] {
+      TarSource.parseTar(java.util.Arrays.copyOfRange(bytes, 0, 700))
+    }
+    assert(e2.getMessage.contains("overruns") ||
+      e2.getMessage.contains("end-of-archive"))
+    val e3 = intercept[IllegalArgumentException] {
+      TarSource.parseTar(bytes ++ TarSource.tarEntryBytes(
+        "late.txt", "x".getBytes("UTF-8")) ++ new Array[Byte](1024))
+    }
+    assert(e3.getMessage.contains("after end-of-archive"))
+  }
+
+  test("webdataset: fixture groups samples, flags incomplete ones, gz arm CRC-checked") {
+    Seq(10L, 7L).foreach { id => // 10: gz, k=3, j=0 hits (id+j)%5==0; 7: plain
+      val entries = TarSource.parseShard(TarSource.shardOf(id, "some text"))
+      val k = (id % 4 + 1).toInt
+      val keys = entries.map(_.name.takeWhile(_ != '.')).distinct
+      assert(keys.size === k)
+      assert(entries.count(_.name.endsWith(".txt")) === k)
+      val missing = (0 until k).count(j => (id + j) % 5 == 0)
+      assert(entries.count(_.name.endsWith(".cls")) === k - missing)
+      assert(entries.count(_.name.endsWith(".bin")) === (0 until k).count(_ % 2 == 0))
+    }
+    // gz arm integrity: flip one byte of the compressed shard
+    val gz = TarSource.shardOf(10L, "some text").clone()
+    gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x01).toByte
+    val e = intercept[Exception] { TarSource.parseShard(gz) }
+    assert(e.isInstanceOf[java.util.zip.DataFormatException] ||
+      e.getMessage.contains("CRC") || e.getMessage.contains("gzip") ||
+      e.getMessage.contains("deflate") || e.getMessage.contains("tar"))
+  }
+}
