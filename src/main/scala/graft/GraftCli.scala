@@ -812,6 +812,16 @@ object GraftCli {
       println(s"[graft] avro-scan: $glob -> $outDir")
       spark.stop()
 
+    case "stream-warc-extract" :: landingDir :: outDir :: checkpoint :: rest =>
+      val spark = session()
+      val runSec = rest.headOption.map(_.toInt).getOrElse(0)
+      val q = streaming.StreamingAnalytics.warcIngest(
+        spark, landingDir, outDir, checkpoint)
+      println(s"[graft] warc-extract server on $landingDir -> $outDir")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     case "mkv-meta" :: mediaParquet :: outDir :: Nil =>
       val spark = session()
       graft.sources.MkvSource.mkvTable(spark, spark.read.parquet(mediaParquet))
@@ -982,7 +992,8 @@ object GraftCli {
            |  mkv-meta <mediaParquet(doc_id,content)> <outDir>
            |  mkv-meta-demo <docsParquet> <outDir>
            |  warc-demo <docsParquet> <outDir>
-           |  warc-extract <glob.warc[.gz]> <outDir>""".stripMargin)
+           |  warc-extract <glob.warc[.gz]> <outDir>
+           |  stream-warc-extract <landingDir> <outDir> <checkpointDir> [runSec]""".stripMargin)
       sys.exit(2)
   }
 }

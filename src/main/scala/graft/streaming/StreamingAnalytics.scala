@@ -535,4 +535,48 @@ object StreamingAnalytics {
           Iterator(HllEst(src, n, graft.functions.Hll.estimate(regs)))
       }
   }
+
+  /** Continuous crawl ingestion: a landing directory of `.warc`/`.warc.gz`
+    * archives streams through the WARC walk + HTML extraction
+    * (sources/WarcSource) into an append-only parquet table of extracted
+    * pages. The `binaryFile` source gives exactly-once file-granular
+    * progress through the checkpoint; each micro-batch is the narrow
+    * map-only plan the batch arm (`warcFiles`) runs, so backpressure is
+    * just `maxFilesPerTrigger`. Output: (file, uri, status, text).
+    */
+  def warcIngest(spark: org.apache.spark.sql.SparkSession,
+                 landingDir: String, outDir: String,
+                 checkpointDir: String, maxFilesPerTrigger: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    // binaryFile's schema is fixed by the format, but streaming file
+    // sources require it stated explicitly
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(landingDir)
+    stream.select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.sources.WarcSource.parseWarc(bytes).records.iterator
+          .filter(_.warcType == "response")
+          .map(r => (path, r.targetUri, r.httpStatus,
+            graft.sources.WarcSource.htmlText(r.body)))
+      }
+      .toDF("file", "uri", "status", "text")
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .start()
+  }
 }

@@ -161,6 +161,42 @@ class WarcSpec extends GraftSparkSpec {
     assert(got === "doc 3 Doc 3 a & b < c > d \"quoted\" 'single' double space footer 3")
   }
 
+  test("warc: streaming ingestion appends exactly-once across files and restarts") {
+    val root = java.nio.file.Files.createTempDirectory("warcstream").toFile
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    try {
+      java.nio.file.Files.write(new java.io.File(landing, "d2.warc.gz").toPath,
+        WarcSource.warcOf(2L, "first file"))
+      val q = graft.streaming.StreamingAnalytics.warcIngest(
+        spark, landing.getAbsolutePath, out, ckpt)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3) // id=2 -> k=3 responses
+      // a second landing file appends only its own rows
+      java.nio.file.Files.write(new java.io.File(landing, "d4.warc.gz").toPath,
+        WarcSource.warcOf(4L, "second file"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 5) // + k=2
+      q.stop()
+      // restart from the checkpoint: nothing replays, nothing duplicates
+      val q2 = graft.streaming.StreamingAnalytics.warcIngest(
+        spark, landing.getAbsolutePath, out, ckpt)
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() === 5)
+      assert(rows.select("uri").distinct().count() === 5)
+      assert(rows.filter(rows("text").contains("first file")).count() === 1)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("warc: file-path arm reads .warc.gz files one task per file") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
     try {
