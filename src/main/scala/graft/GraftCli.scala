@@ -862,6 +862,21 @@ object GraftCli {
       println(s"[graft] warc-extract: $glob -> $outDir")
       spark.stop()
 
+    case "orc-footer" :: paths if paths.nonEmpty =>
+      paths.foreach { p =>
+        val t = graft.sources.OrcFooter.readTail(p)
+        println(s"$p: codec=${t.compression} rows=${t.nRows} " +
+          s"types=${t.typeKinds.size} stripes=${t.stripes.size} " +
+          s"writerVersion=${t.writerVersion}")
+        t.rootFields.zipWithIndex.foreach { case (c, i) =>
+          val st = t.stats(i + 1)
+          val ints = st.ints.map(s =>
+            s" int[${s.min.getOrElse("-")},${s.max.getOrElse("-")}] " +
+              s"sum=${s.sum.getOrElse("-")}").getOrElse("")
+          println(f"  $c%-24s values=${st.values}%-9d$ints")
+        }
+      }
+
     case "parquet-prune" :: file :: column :: lo :: hi :: Nil =>
       val plan = graft.sources.ParquetFooter.pruneRowGroups(
         file, column, lo.toLong, hi.toLong)
@@ -987,6 +1002,7 @@ object GraftCli {
            |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg]
            |  image-meta-demo <docsParquet> <outDir> [png|jpeg]
            |  parquet-footer <file.parquet> [file.parquet ...]
+           |  orc-footer <file.orc> [file.orc ...]
            |  parquet-prune <file.parquet> <intColumn> <lo> <hi>
            |  avro-scan <glob.avro> <outDir>
            |  mkv-meta <mediaParquet(doc_id,content)> <outDir>

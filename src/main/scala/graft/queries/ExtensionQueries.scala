@@ -3254,6 +3254,32 @@ object ExtensionQueries {
           |  CAST(sum(bin_len) AS BIGINT) AS bin_bytes
           |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ORC tail read via our own PROTOBUF decoder (sources/OrcFooter) —
+    // the data-lake container family's fourth member (thrift-compact
+    // x96, avro binary x98, now protobuf): postscript, zlib chunk-framed
+    // footer (3-byte little-endian headers, raw deflate), varint keys,
+    // zigzag sint64 int statistics, stats matched to columns BY NAME
+    // through the root struct's fieldNames. Files are written by SPARK's
+    // ORC writer (official bytes — there is no writer of ours to read);
+    // DuckDB re-derives the counts and l_partkey min/max/sum from the
+    // source table, so a varint/zigzag/chunk-framing slip fails the
+    // hash. The parser cross-checks stripe row sums against the footer
+    // total internally.
+    "x105_orc_footer" -> QueryDef(
+      (s, dir) => graft.sources.OrcFooter.orcFooterTable(s, dir),
+      Some(
+        """SELECT l_returnflag, 'zlib' AS compression,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(1 + (SELECT count(*) FROM (DESCRIBE lineitem)) AS INT)
+          |    AS n_types,
+          |  CAST(1 AS INT) AS n_stripes,
+          |  CAST(count(*) AS BIGINT) AS pk_values,
+          |  CAST(min(l_partkey) AS BIGINT) AS pk_min,
+          |  CAST(max(l_partkey) AS BIGINT) AS pk_max,
+          |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)),
+
     // Community detection #2 (beyond x51's seeded label propagation):
     // synchronous Louvain phase-1 over the co-purchase graph — the
     // standard modularity-driven community pass, in the all-nodes-at-once
