@@ -822,6 +822,20 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    case "mkv-scan" :: glob :: outDir :: Nil =>
+      val spark = session()
+      graft.sources.MkvSource.mkvFiles(spark, glob)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] mkv-scan: $glob -> $outDir")
+      spark.stop()
+
+    case "tar-scan" :: glob :: outDir :: Nil =>
+      val spark = session()
+      graft.sources.TarSource.tarFiles(spark, glob)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] tar-scan: $glob -> $outDir")
+      spark.stop()
+
     case "mkv-meta" :: mediaParquet :: outDir :: Nil =>
       val spark = session()
       graft.sources.MkvSource.mkvTable(spark, spark.read.parquet(mediaParquet))
@@ -1005,6 +1019,8 @@ object GraftCli {
            |  orc-footer <file.orc> [file.orc ...]
            |  parquet-prune <file.parquet> <intColumn> <lo> <hi>
            |  avro-scan <glob.avro> <outDir>
+           |  mkv-scan <glob.mkv|.webm> <outDir>
+           |  tar-scan <glob.tar[.gz]> <outDir>
            |  mkv-meta <mediaParquet(doc_id,content)> <outDir>
            |  mkv-meta-demo <docsParquet> <outDir>
            |  warc-demo <docsParquet> <outDir>

@@ -2129,6 +2129,145 @@ object TextQueries {
              |FROM est""".stripMargin
         .replace("__LNT__", hllLnTable.mkString(", ")))),
 
+    // HLL INTERSECTION by inclusion-exclusion — the sketch algebra that
+    // answers "how much vocabulary do two sources share?" (the d47
+    // overlap signal) from three register sets instead of a cross-source
+    // distinct join: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union
+    // registers are the d49 bucket-wise max. Same integer register
+    // discipline and shared ln-table as d48/d49, so both engines compute
+    // the identical estimate; the exact intersection is computed
+    // alongside and the estimate is gated with its error. The
+    // differencing amplifies relative error (the known cost of
+    // sketch-side intersections — fine for the routing decisions it
+    // feeds, measured here honestly as err_ppm).
+    "d56_hll_intersect" -> QueryDef(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+        val reg = tok
+          .withColumn("h", md5(col("token")))
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % 64"))
+          .withColumn("tz", expr(
+            "regexp_replace(substring(h, 3, 12), '^0+', '')"))
+          .withColumn("rho", expr(
+            """CASE WHEN tz = '' THEN 49
+              |ELSE (12 - length(tz)) * 4 +
+              |  CASE WHEN substring(tz, 1, 1) = '1' THEN 3
+              |       WHEN substring(tz, 1, 1) IN ('2', '3') THEN 2
+              |       WHEN substring(tz, 1, 1) IN ('4', '5', '6', '7')
+              |         THEN 1
+              |       ELSE 0 END + 1 END""".stripMargin))
+          .groupBy("source", "bucket").agg(max(col("rho")).as("r"))
+        // the union sketch IS a bucket-wise max merge of the two
+        val uni = reg.groupBy("bucket").agg(max(col("r")).as("r"))
+          .withColumn("source", lit("both"))
+        val allReg = reg.unionByName(uni.select("source", "bucket", "r"))
+        import s.implicits._
+        val allB = Seq("src0", "src1", "both").toDF("source")
+          .select(col("source"),
+            explode(sequence(lit(0L), lit(63L))).as("bucket"))
+        val lnArr = hllLnTable.mkString("array(", ", ", ")")
+        val est = allB.join(allReg, Seq("source", "bucket"), "left")
+          .groupBy("source")
+          .agg(sum(expr(
+            "shiftleft(CAST(1 AS BIGINT), " +
+              "greatest(20 - coalesce(r, 0), 0))")).as("hll_sum"),
+            sum(when(col("r").isNull, 1L).otherwise(0L)).as("v_empty"))
+          .withColumn("raw_est", expr(
+            "CAST(709357 AS BIGINT) * 4096 * 1048576 " +
+              "div hll_sum div 1000000"))
+          .withColumn("est", expr(
+            "CASE WHEN raw_est < 160 AND v_empty > 0 THEN " +
+              s"64 * element_at($lnArr, CAST(v_empty AS INT)) " +
+              "div 1000000 ELSE raw_est END"))
+        val pivoted = est.agg(
+          max(when(col("source") === "src0", col("est"))).as("est_a"),
+          max(when(col("source") === "src1", col("est"))).as("est_b"),
+          max(when(col("source") === "both", col("est"))).as("est_union"))
+        val exact = tok.select("source", "token").distinct()
+          .groupBy("token")
+          .agg(countDistinct(col("source")).as("ns"))
+          .filter(col("ns") === 2)
+          .agg(count(lit(1)).as("n_exact_common"))
+        pivoted.crossJoin(exact)
+          .withColumn("hll_est_common", expr(
+            "greatest(est_a + est_b - est_union, CAST(0 AS BIGINT))"))
+          .withColumn("err_ppm", expr(
+            "abs(hll_est_common - n_exact_common) * 1000000 " +
+              "div n_exact_common"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents WHERE source IN ('src0', 'src1')),
+             |reg AS (
+             |  SELECT source, bucket, max(rho) AS r FROM (
+             |    SELECT source,
+             |      (16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+             |       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+             |        % 64 AS bucket,
+             |      CASE WHEN tz = '' THEN 49
+             |      ELSE (12 - len(tz)) * 4 +
+             |        CASE WHEN substr(tz, 1, 1) = '1' THEN 3
+             |             WHEN substr(tz, 1, 1) IN ('2', '3') THEN 2
+             |             WHEN substr(tz, 1, 1) IN ('4', '5', '6', '7')
+             |               THEN 1
+             |             ELSE 0 END + 1 END AS rho
+             |    FROM (SELECT source, h,
+             |            regexp_replace(substr(h, 3, 12), '^0+', '') AS tz
+             |          FROM (SELECT source, md5(token) AS h FROM tok)))
+             |  GROUP BY source, bucket),
+             |uni AS (SELECT 'both' AS source, bucket, max(r) AS r
+             |        FROM reg GROUP BY bucket),
+             |allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM uni),
+             |allb AS (
+             |  SELECT s.source, b.bucket
+             |  FROM (VALUES ('src0'), ('src1'), ('both')) s(source),
+             |       (SELECT unnest(range(64)) AS bucket) b),
+             |hll AS (
+             |  SELECT allb.source,
+             |    CAST(sum(1::BIGINT <<
+             |      greatest(20 - coalesce(r, 0), 0)) AS BIGINT) AS hll_sum,
+             |    CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS v_empty
+             |  FROM allb LEFT JOIN allreg
+             |    ON allreg.source = allb.source
+             |   AND allreg.bucket = allb.bucket
+             |  GROUP BY allb.source),
+             |est AS (
+             |  SELECT source,
+             |    CASE WHEN raw_est < 160 AND v_empty > 0 THEN
+             |      64 * ([__LNT__])[CAST(v_empty AS INT)] // 1000000
+             |    ELSE raw_est END AS est
+             |  FROM (SELECT source, v_empty,
+             |          709357::BIGINT * 4096 * 1048576
+             |            // hll_sum // 1000000 AS raw_est
+             |        FROM hll)),
+             |piv AS (
+             |  SELECT
+             |    max(CASE WHEN source = 'src0' THEN est END) AS est_a,
+             |    max(CASE WHEN source = 'src1' THEN est END) AS est_b,
+             |    max(CASE WHEN source = 'both' THEN est END) AS est_union
+             |  FROM est),
+             |exact AS (
+             |  SELECT count(*) AS n_exact_common FROM (
+             |    SELECT token FROM (SELECT DISTINCT source, token FROM tok)
+             |    GROUP BY token HAVING count(*) = 2))
+             |SELECT CAST(est_a AS BIGINT) AS est_a,
+             |  CAST(est_b AS BIGINT) AS est_b,
+             |  CAST(est_union AS BIGINT) AS est_union,
+             |  CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT)
+             |    AS hll_est_common,
+             |  CAST(n_exact_common AS BIGINT) AS n_exact_common,
+             |  CAST(abs(greatest(est_a + est_b - est_union, 0)
+             |    - n_exact_common) * 1000000 // n_exact_common AS BIGINT)
+             |    AS err_ppm
+             |FROM piv, exact""".stripMargin
+        .replace("__LNT__", hllLnTable.mkString(", ")))),
+
     // Source-balanced epoch interleaving — the training-order pass that
     // prevents long single-source runs (a shuffled epoch that still
     // respects mixture weights starts from exactly this round-robin):

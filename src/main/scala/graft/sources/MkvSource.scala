@@ -320,6 +320,25 @@ object MkvSource {
         "dur_ms", "ts_sum", "frame_bytes")
   }
 
+  /** File-path arm: walk `.mkv`/`.webm` files under a glob — one task
+    * per file, the codec-blob discipline.
+    */
+  def mkvFiles(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .map { case (path, pds) =>
+        val f = parseMkv(pds.toArray())
+        val v = f.tracks.find(_.trackType == 1)
+        (path, f.docType, f.tracks.size, v.map(_.codec).getOrElse(""),
+          v.map(_.width).getOrElse(0), v.map(_.height).getOrElse(0),
+          f.nClusters, f.blocks.size,
+          v.map(t => f.blocks.count(b => b.track == t.number && b.keyframe))
+            .getOrElse(0))
+      }
+      .toDF("file", "doctype", "n_tracks", "v_codec", "width", "height",
+        "n_clusters", "n_blocks", "n_keyframes")
+  }
+
   /** x103 gate: keyframe-to-keyframe segments of the VIDEO track — the
     * mkv sibling of x86/x89. Parse is map-side; the running keyframe
     * count is one window over (doc, pts); segment rollup is one exchange.

@@ -191,6 +191,20 @@ object TarSource {
       .toDF()
   }
 
+  /** File-path arm: one row per member file across `.tar`/`.tar.gz`
+    * shards under a glob — one task per shard, sample key included so a
+    * downstream groupBy can assemble samples that span extensions.
+    */
+  def tarFiles(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        parseShard(pds.toArray()).iterator.filter(_.typeflag == '0')
+          .map(e => (path, e.name, e.name.takeWhile(_ != '.'), e.size))
+      }
+      .toDF("shard", "name", "sample_key", "bytes")
+  }
+
   /** x104 gate: WebDataset sample grouping + per-extension facts. */
   def webdatasetTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._

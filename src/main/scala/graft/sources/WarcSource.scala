@@ -393,17 +393,34 @@ object WarcSource {
       .toDF("doc_id", "extracted")
   }
 
+  /** One response record → output row. In `lenient` mode a page whose
+    * HTML the scanner rejects (real crawls are full of malformed markup)
+    * yields a NULL text instead of killing the task — the row survives
+    * with its uri/status so the failure is countable downstream; strict
+    * mode keeps the loud reject for curated corpora. Container-level
+    * corruption (gzip CRC, WARC grammar) always fails the file loudly —
+    * that is damage, not mess.
+    */
+  private def extractRow(path: String, r: WarcRecord, lenient: Boolean)
+      : (String, String, Int, String) = {
+    val text =
+      if (!lenient) htmlText(r.body)
+      else try htmlText(r.body) catch { case _: IllegalArgumentException => null }
+    (path, r.targetUri, r.httpStatus, text)
+  }
+
   /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit
     * one row per response record with its extracted text — the CLI's
     * ingestion entry (one task per file; member-at-a-time decode inside).
     */
-  def warcFiles(spark: SparkSession, glob: String): DataFrame = {
+  def warcFiles(spark: SparkSession, glob: String,
+                lenient: Boolean = false): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(glob)
       .flatMap { case (path, pds) =>
         parseWarc(pds.toArray()).records
           .filter(_.warcType == "response")
-          .map(r => (path, r.targetUri, r.httpStatus, htmlText(r.body)))
+          .map(r => extractRow(path, r, lenient))
       }
       .toDF("file", "uri", "status", "text")
   }

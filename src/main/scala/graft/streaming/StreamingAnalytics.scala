@@ -546,7 +546,8 @@ object StreamingAnalytics {
     */
   def warcIngest(spark: org.apache.spark.sql.SparkSession,
                  landingDir: String, outDir: String,
-                 checkpointDir: String, maxFilesPerTrigger: Int = 32)
+                 checkpointDir: String, maxFilesPerTrigger: Int = 32,
+                 lenient: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     // binaryFile's schema is fixed by the format, but streaming file
@@ -565,12 +566,19 @@ object StreamingAnalytics {
       .option("pathGlobFilter", "*.warc*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(landingDir)
+    // lenient by default: a crawl server must outlive malformed pages
+    // (null text, row kept); container corruption still fails loudly
     stream.select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         graft.sources.WarcSource.parseWarc(bytes).records.iterator
           .filter(_.warcType == "response")
-          .map(r => (path, r.targetUri, r.httpStatus,
-            graft.sources.WarcSource.htmlText(r.body)))
+          .map { r =>
+            val text =
+              if (!lenient) graft.sources.WarcSource.htmlText(r.body)
+              else try graft.sources.WarcSource.htmlText(r.body)
+                catch { case _: IllegalArgumentException => null }
+            (path, r.targetUri, r.httpStatus, text)
+          }
       }
       .toDF("file", "uri", "status", "text")
       .writeStream

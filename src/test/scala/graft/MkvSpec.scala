@@ -111,6 +111,24 @@ class MkvSpec extends GraftSparkSpec {
     assert(f.tracks.size === 1 && f.blocks.size === 1)
   }
 
+  test("mkv: file-path arm reads .webm files one task per file") {
+    val dir = java.nio.file.Files.createTempDirectory("mkvfiles").toFile
+    try {
+      Seq(2L, 5L).foreach { id =>
+        val ext = if (id % 2 == 0) "webm" else "mkv"
+        java.nio.file.Files.write(new java.io.File(dir, s"v$id.$ext").toPath,
+          MkvSource.mkvOf(id))
+      }
+      val rows = MkvSource.mkvFiles(spark, dir.getAbsolutePath + "/v*")
+        .collect().sortBy(_.getString(0))
+      assert(rows.length === 2)
+      assert(rows.map(_.getString(1)).toSeq === Seq("webm", "matroska"))
+      assert(rows.forall(_.getString(3) == "V_VP9"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("ebml: truncation anywhere rejects loudly") {
     val whole = MkvSource.mkvOf(4L)
     Seq(whole.length - 3, whole.length / 2, 7).foreach { cut =>

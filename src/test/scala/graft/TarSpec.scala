@@ -90,6 +90,24 @@ class TarSpec extends GraftSparkSpec {
     assert(e3.getMessage.contains("after end-of-archive"))
   }
 
+  test("tar: file-path arm reads mixed .tar/.tar.gz shards one task per shard") {
+    withTmp { dir =>
+      Seq(2L, 7L).foreach { id =>
+        val ext = if (id % 2 == 0) "tar.gz" else "tar"
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"shard$id.$ext").toPath,
+          TarSource.shardOf(id, s"text $id"))
+      }
+      val rows = TarSource.tarFiles(spark, dir.getAbsolutePath + "/shard*")
+        .collect()
+      // id=2 -> k=3 sample keys, id=7 -> k=4
+      assert(rows.map(_.getString(2)).distinct.length === 7)
+      assert(rows.forall(_.getLong(3) >= 0))
+      val byShard = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+      assert(byShard.values.toSet.nonEmpty)
+    }
+  }
+
   test("webdataset: fixture groups samples, flags incomplete ones, gz arm CRC-checked") {
     Seq(10L, 7L).foreach { id => // 10: gz, k=3, j=0 hits (id+j)%5==0; 7: plain
       val entries = TarSource.parseShard(TarSource.shardOf(id, "some text"))

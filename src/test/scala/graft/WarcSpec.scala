@@ -161,6 +161,38 @@ class WarcSpec extends GraftSparkSpec {
     assert(got === "doc 3 Doc 3 a & b < c > d \"quoted\" 'single' double space footer 3")
   }
 
+  test("warc: lenient mode isolates malformed HTML per record; strict stays loud") {
+    // hand-build a plain WARC with one malformed-HTML response followed
+    // by the good fixture records in the same file
+    val badHtml = "oops <div class=\"x".getBytes("UTF-8") // tag never closes
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ badHtml
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x/bad\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val file = rec ++ WarcSource.warcOf(7L, "good text") // 7: plain arm
+    val dir = java.nio.file.Files.createTempDirectory("warclenient").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "m.warc").toPath, file)
+      val glob = dir.getAbsolutePath + "/*.warc"
+      val e = intercept[Exception] {
+        WarcSource.warcFiles(spark, glob).collect()
+      }
+      assert(e.getMessage.contains("unterminated") ||
+        Option(e.getCause).exists(_.getMessage.contains("unterminated")))
+      val rows = WarcSource.warcFiles(spark, glob, lenient = true)
+        .collect().sortBy(_.getString(1))
+      assert(rows.length === 3) // bad + k=2 good responses
+      val bad = rows.find(_.getString(1) == "http://x/bad").get
+      assert(bad.isNullAt(3) && bad.getInt(2) === 200)
+      assert(rows.filterNot(_.isNullAt(3)).length === 2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("warc: streaming ingestion appends exactly-once across files and restarts") {
     val root = java.nio.file.Files.createTempDirectory("warcstream").toFile
     val landing = new java.io.File(root, "landing"); landing.mkdirs()
