@@ -3144,6 +3144,34 @@ object ExtensionQueries {
           |  ' footer ' || (doc_id % 11) AS extracted
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Readability-style MAIN-CONTENT extraction (WarcSource.bodyBlocks /
+    // mainText) — the extraction-QUALITY stage after x101's tag strip:
+    // segment the body into top-level blocks, measure each block's
+    // link-text density (non-whitespace chars inside <a> vs total), and
+    // drop link farms (nav bars, footers) above 50%. The fixture plants
+    // a nav with ratio exactly 1.0, a main div with one inline link over
+    // the document text, and a 12/14 footer; DuckDB re-derives every
+    // ppm from string-length arithmetic and constructs the expected
+    // main text, so a block-boundary, link-state, or entity slip fails
+    // the hash. Complements d20 (inter-doc shingle boilerplate): this
+    // is the intra-page structural signal.
+    "x106_main_content" -> QueryDef(
+      (s, dir) => graft.sources.WarcSource.mainContentTable(
+          s, t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(3 AS INT) AS n_blocks,
+          |  CAST(1 AS INT) AS n_kept,
+          |  CAST(1000000 AS BIGINT) AS nav_ppm,
+          |  CAST(5 * 1000000 // (18 + length(replace(text, ' ', '')) +
+          |    length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS div_ppm,
+          |  CAST(12 * 1000000 // 14 AS BIGINT) AS footer_ppm,
+          |  'see link ' || (doc_id % 3) || ' ' ||
+          |    trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+          |    ' extra ' || doc_id || ' words' AS main_text
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

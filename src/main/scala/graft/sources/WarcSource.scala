@@ -245,10 +245,16 @@ object WarcSource {
         }
       } else { sb.append(c); i += 1 }
     }
-    // entity decode on the tag-free text
-    val raw = sb.toString
+    decodeEntities(sb.toString).split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  /** Entity decode on tag-free text: named (&amp; &lt; &gt; &quot;
+    * &apos;), decimal and hex numeric refs; a bare or unknown '&' stays
+    * literal, per browsers.
+    */
+  private[graft] def decodeEntities(raw: String): String = {
     val out = new StringBuilder
-    i = 0
+    var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
       if (c == '&') {
@@ -269,14 +275,160 @@ object WarcSource {
           case _ => null
         }
         if (rep != null) { out.append(rep); i = e + 1 }
-        else { out.append(c); i += 1 } // bare '&': literal, per browsers
+        else { out.append(c); i += 1 }
       } else { out.append(c); i += 1 }
     }
-    out.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    out.toString
   }
 
   private[graft] def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  // -------------------------------------------------- main-content
+
+  private[graft] case class HtmlBlock(tag: String, text: String,
+      textChars: Long, linkChars: Long)
+
+  private val voidTags = Set("br", "img", "hr", "meta", "link", "input",
+    "area", "base", "col", "embed", "source", "track", "wbr")
+
+  /** Segment the `<body>` into its top-level element blocks, tracking
+    * per-block visible text and the share of it that sits inside `<a>`
+    * elements — the signal readability-style boilerplate removal keys
+    * on (nav/footer link farms have link ratios near 1, article bodies
+    * near 0). Char counts exclude whitespace so both engines count the
+    * same thing regardless of collapse behavior.
+    */
+  private[graft] def bodyBlocks(html: String): Seq[HtmlBlock] = {
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer[HtmlBlock]()
+    var i = 0
+    var inBody = false
+    var depth = 0 // element depth RELATIVE to body
+    var aDepth = 0
+    var blockTag = ""
+    var sb: StringBuilder = null
+    var text = 0L; var link = 0L
+    def closeBlock(): Unit = {
+      if (sb != null) {
+        val t = sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        out += HtmlBlock(blockTag, t, text, link)
+        sb = null; text = 0; link = 0
+      }
+    }
+    def findIc(needle: String, from: Int): Int = {
+      var j = from
+      while (j + needle.length <= n) {
+        if (html.regionMatches(true, j, needle, 0, needle.length)) return j
+        j += 1
+      }
+      -1
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          require(e >= 0, "html: unterminated comment")
+          i = e + 3
+        } else {
+          var j = i + 1
+          var q: Char = 0
+          while (j < n && (q != 0 || html.charAt(j) != '>')) {
+            val ch = html.charAt(j)
+            if (q == 0 && (ch == '"' || ch == '\'')) q = ch
+            else if (q != 0 && ch == q) q = 0
+            j += 1
+          }
+          require(j < n, "html: unterminated tag")
+          val inner = html.substring(i + 1, j)
+          i = j + 1
+          val closing = inner.startsWith("/")
+          val name = inner.dropWhile(_ == '/').takeWhile(_.isLetter).toLowerCase
+          val selfClosed = inner.endsWith("/") || voidTags(name)
+          if ((name == "script" || name == "style") && !closing && !selfClosed) {
+            val e = findIc("</" + name, i)
+            require(e >= 0, s"html: unterminated <$name> element")
+            val close = html.indexOf('>', e)
+            require(close >= 0, s"html: unterminated </$name> tag")
+            i = close + 1
+          } else if (name == "body") {
+            if (!closing) { inBody = true; depth = 0 }
+            else { closeBlock(); inBody = false }
+          } else if (inBody && !selfClosed) {
+            if (!closing) {
+              if (depth == 0) { closeBlock(); blockTag = name; sb = new StringBuilder }
+              if (name == "a") aDepth += 1
+              depth += 1
+            } else {
+              if (name == "a" && aDepth > 0) aDepth -= 1
+              depth -= 1
+              require(depth >= 0, s"html: stray closing </$name> in body")
+              if (depth == 0) closeBlock()
+            }
+          }
+          if (sb != null) sb.append(' ')
+        }
+      } else {
+        if (sb != null && depth > 0) {
+          sb.append(c)
+          if (!c.isWhitespace) {
+            text += 1
+            if (aDepth > 0) link += 1
+          }
+        }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Readability-style main-content extraction: drop body blocks whose
+    * visible text is mostly link text (ratio in ppm above the cap —
+    * nav bars, footers, related-links farms), keep the rest in document
+    * order. The block texts pass through the same entity decode as
+    * [[htmlText]].
+    */
+  private[graft] def mainText(html: String, maxLinkPpm: Long = 500000L): String = {
+    val kept = bodyBlocks(html).filter { b =>
+      b.textChars > 0 && b.linkChars * 1000000L <= maxLinkPpm * b.textChars
+    }
+    decodeEntities(kept.map(_.text).mkString(" "))
+      .split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  // Boilerplate fixture for x106 (oracle re-derives every number from
+  // doc_id/text arithmetic): a nav link farm (ratio 1.0), the main div
+  // (one inline link over the doc text), a link-heavy footer (12/14).
+  private[graft] def htmlBoilerOf(id: Long, text: String): String =
+    "<html><head><title>t " + id + "</title><style>a{}</style></head><body>" +
+      "<nav><a href=\"/\">home " + (id % 5) + "</a><a href=\"/b\">about</a>" +
+      "<a href=\"/c\">contact</a></nav>" +
+      "<div id=\"m\"><p>see <a href=\"/x\">link " + (id % 3) + "</a> " +
+      escapeHtml(text) + "</p><p>extra " + id + " words</p></div>" +
+      "<footer><a href=\"/p\">privacy</a><a href=\"/t\">terms</a> c" +
+      (id % 7) + "</footer></body></html>"
+
+  /** x106 gate: per-block link-density stats + the extracted main text. */
+  def mainContentTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val html = htmlBoilerOf(id, text)
+        val blocks = bodyBlocks(html)
+        def ppm(tag: String): Long = {
+          val b = blocks.find(_.tag == tag)
+            .getOrElse(sys.error(s"html: no <$tag> block in doc $id"))
+          b.linkChars * 1000000L / b.textChars
+        }
+        val kept = blocks.count(b => b.textChars > 0 &&
+          b.linkChars * 1000000L <= 500000L * b.textChars)
+        (id, blocks.size, kept, ppm("nav"), ppm("div"), ppm("footer"),
+          mainText(html))
+      }
+      .toDF("doc_id", "n_blocks", "n_kept", "nav_ppm", "div_ppm",
+        "footer_ppm", "main_text")
+  }
 
   // ------------------------------------------------------------- fixture
 

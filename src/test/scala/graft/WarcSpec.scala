@@ -161,6 +161,42 @@ class WarcSpec extends GraftSparkSpec {
     assert(got === "doc 3 Doc 3 a & b < c > d \"quoted\" 'single' double space footer 3")
   }
 
+  test("html: body blocks segment at depth 0; link chars track nested/void/self-closed tags") {
+    val html = "<html><head><title>skip</title></head><body>" +
+      "<nav><a href=\"/\">one</a><a href=\"/b\">two</a></nav>" +
+      "<div>keep <br> <img src=\"x\"/> <a href=\"/y\"><b>bold link</b></a> tail</div>" +
+      "<footer><a/>just text</footer>" + // self-closed <a/> opens no link state
+      "</body></html>"
+    val blocks = WarcSource.bodyBlocks(html)
+    assert(blocks.map(_.tag) === Seq("nav", "div", "footer"))
+    val nav = blocks(0)
+    assert(nav.textChars === 6 && nav.linkChars === 6) // "onetwo"
+    val div = blocks(1)
+    // "keep" 4 + "boldlink" 8 + "tail" 4; link = nested-bold 8
+    assert(div.textChars === 16 && div.linkChars === 8)
+    val foot = blocks(2)
+    assert(foot.textChars === 8 && foot.linkChars === 0)
+    // main text drops only the all-link nav (6/6 > 50%)
+    assert(WarcSource.mainText(html) === "keep bold link tail just text")
+    // stray close rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      WarcSource.bodyBlocks("<body><div>x</div></p></body>")
+    }
+    assert(e.getMessage.contains("stray closing"))
+  }
+
+  test("html: boiler fixture ratios match the documented arithmetic") {
+    val text = "alpha beta"
+    val blocks = WarcSource.bodyBlocks(WarcSource.htmlBoilerOf(9L, text))
+    val Seq(nav, div, foot) = blocks
+    assert(nav.linkChars === nav.textChars) // pure link farm
+    // 18 + nonws(text)=9 + digits(9)=1 = 28; link = "link4".length = 5
+    assert(div.textChars === 28 && div.linkChars === 5)
+    assert(foot.textChars === 14 && foot.linkChars === 12)
+    assert(WarcSource.mainText(WarcSource.htmlBoilerOf(9L, text)) ===
+      "see link 0 alpha beta extra 9 words")
+  }
+
   test("warc: lenient mode isolates malformed HTML per record; strict stays loud") {
     // hand-build a plain WARC with one malformed-HTML response followed
     // by the good fixture records in the same file
