@@ -3172,6 +3172,39 @@ object ExtensionQueries {
           |    ' extra ' || doc_id || ' words' AS main_text
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // robots.txt evaluation (sources/RobotsTxt) — the fetch-side gate a
+    // crawler runs before a URL enters the frontier: RFC 9309 group
+    // selection (exact agent beats *, groups never merge), longest
+    // matching prefix wins, Allow beats Disallow on ties, no match =
+    // allowed, wildcard rules reject loudly as out of scope. The gate
+    // evaluates TWO agents against per-site fixtures (one exact group,
+    // one falling through to *), so group selection itself is what the
+    // hash checks; DuckDB re-derives the decision and the matched rule
+    // from doc_id arithmetic.
+    "x107_robots" -> QueryDef(
+      (s, dir) => graft.sources.RobotsTxt.robotsTable(
+          s, t(s, dir, "documents"))
+        .orderBy("doc_id", "j", "agent"),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 7 AS site FROM documents),
+          |u AS (SELECT doc_id, site, unnest(range(0, 3)) AS j FROM d),
+          |a AS (SELECT doc_id, j, agent, site,
+          |        (doc_id + j) % 4 AS p,
+          |        CASE WHEN agent = 'anybot' THEN site % 4
+          |             ELSE (site + 1) % 4 END AS r4,
+          |        CASE WHEN agent = 'anybot' THEN site % 3
+          |             ELSE (site + 1) % 3 END AS r3
+          |      FROM u, (VALUES ('anybot'), ('GraftBot')) t(agent))
+          |SELECT doc_id, CAST(j AS INT) AS j, agent,
+          |  '/p' || p || '/q' || j AS path,
+          |  CAST(CASE WHEN p = r4 AND j <> r3 THEN 0 ELSE 1 END AS INT)
+          |    AS allowed,
+          |  CASE WHEN p = r4 AND j = r3 THEN
+          |         'allow:/p' || r4 || '/q' || r3
+          |       WHEN p = r4 THEN 'disallow:/p' || r4
+          |       ELSE '' END AS matched
+          |FROM a ORDER BY doc_id, j, agent""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT
