@@ -51,6 +51,9 @@ object MkvSource {
   private val Cluster = 0x1F43B675L
   private val ClusterTimestamp = 0xE7L
   private val SimpleBlock = 0xA3L
+  private val BlockGroup = 0xA0L
+  private val BlockEl = 0xA1L
+  private val ReferenceBlock = 0xFBL
 
   private[graft] case class MkvTrack(number: Long, trackType: Int,
       codec: String, width: Int, height: Int, channels: Int,
@@ -76,8 +79,10 @@ object MkvSource {
       (1 until len).foreach(_ => v = (v << 8) | u8())
       v
     }
-    /** Size VINT: marker stripped (1–8 bytes); all-ones rejects. */
-    def readSize(): Long = {
+    /** Plain data VINT, marker stripped — no all-ones reservation (a
+      * block's track number 127 is legitimately coded 0xFF).
+      */
+    def readVint(): Long = {
       val b0 = u8()
       var len = 1
       var mask = 0x80
@@ -85,6 +90,16 @@ object MkvSource {
       require(len <= 8, "ebml: bad size leading byte")
       var v = (b0 & (mask - 1)).toLong
       (1 until len).foreach(_ => v = (v << 8) | u8())
+      v
+    }
+    /** ELEMENT SIZE VINT: all-value-bits-ones means "unknown size" (the
+      * live-streaming form) and rejects — that reservation applies only
+      * to element sizes, not to data VINTs like block track numbers.
+      */
+    def readSize(): Long = {
+      val p0 = pos
+      val v = readVint()
+      val len = pos - p0
       require(v != (1L << (7 * len)) - 1,
         "ebml: unknown-size element unsupported (streaming form)")
       v
@@ -111,6 +126,19 @@ object MkvSource {
       require(n >= 0 && pos + n <= end, "ebml: element overruns parent")
       val r = new Rd(bytes, pos, pos + n.toInt); pos += n.toInt; r
     }
+  }
+
+  /** (track, absolute ts, frame bytes, flags) of one (Simple)Block body;
+    * consumes the reader. Lacing rejects by name in both block forms.
+    */
+  private def blockFields(b: Rd, clusterTs: Long): (Long, Long, Int, Int) = {
+    val track = b.readVint()
+    val rel = { val v = b.uint(2); (v ^ 0x8000L) - 0x8000L } // sign-extend s16
+    val flags = b.u8()
+    require((flags & 0x06) == 0, "mkv: laced blocks unsupported")
+    val nBytes = b.end - b.pos
+    b.pos = b.end
+    (track, clusterTs + rel, nBytes, flags)
   }
 
   private[graft] def parseMkv(bytes: Array[Byte]): MkvFile = {
@@ -195,16 +223,30 @@ object MkvSource {
               case SimpleBlock =>
                 require(sawTs, "mkv: SimpleBlock before cluster Timestamp")
                 val sb = cl.child(s2)
-                val track = sb.readSize() // block track VINT, marker stripped
-                val rel = {
-                  val v = sb.uint(2)
-                  (v ^ 0x8000L) - 0x8000L // sign-extend s16
+                val (track, ts, nBytes, flags) = blockFields(sb, clusterTs)
+                blocks += MkvBlock(track, ts, (flags & 0x80) != 0, nBytes)
+              case BlockGroup =>
+                // the Block form: no keyframe FLAG — a block is a
+                // keyframe iff its group carries no ReferenceBlock
+                require(sawTs, "mkv: BlockGroup before cluster Timestamp")
+                val bg = cl.child(s2)
+                var blk: Option[(Long, Long, Int)] = None
+                var hasRef = false
+                while (bg.pos < bg.end) {
+                  val i3 = bg.readId(); val s3 = bg.readSize()
+                  i3 match {
+                    case BlockEl =>
+                      require(blk.isEmpty, "mkv: BlockGroup with two Blocks")
+                      val b = bg.child(s3)
+                      val (track, ts, nBytes, _) = blockFields(b, clusterTs)
+                      blk = Some((track, ts, nBytes))
+                    case ReferenceBlock => bg.skip(s3); hasRef = true
+                    case _ => bg.skip(s3) // BlockDuration etc.
+                  }
                 }
-                val flags = sb.u8()
-                require((flags & 0x06) == 0, "mkv: laced blocks unsupported")
-                blocks += MkvBlock(track, clusterTs + rel,
-                  (flags & 0x80) != 0, sb.end - sb.pos)
-                sb.pos = sb.end
+                val (track, ts, nBytes) = blk.getOrElse(
+                  sys.error("mkv: BlockGroup without Block"))
+                blocks += MkvBlock(track, ts, keyframe = !hasRef, nBytes)
               case _ => cl.skip(s2)
             }
           }
@@ -272,14 +314,26 @@ object MkvSource {
           el(AudioEl,
             elF(SamplingFrequency, 48000.0) ++ elU(Channels, 1 + id % 3)))
     val tracks = el(Tracks, video ++ audio)
+    def blockBody(track: Int, rel: Int, flags: Int, n: Int, fill: Int): Array[Byte] =
+      Array((0x80 | track).toByte, ((rel >> 8) & 0xff).toByte,
+        (rel & 0xff).toByte, flags.toByte) ++ Array.fill(n)(fill.toByte)
     def block(track: Int, rel: Int, key: Boolean, n: Int, fill: Int): Array[Byte] =
-      el(SimpleBlock,
-        Array((0x80 | track).toByte, ((rel >> 8) & 0xff).toByte,
-          (rel & 0xff).toByte, (if (key) 0x80 else 0x00).toByte) ++
-          Array.fill(n)(fill.toByte))
+      el(SimpleBlock, blockBody(track, rel, if (key) 0x80 else 0x00, n, fill))
+    // the BlockGroup form: keyframe-ness is the ABSENCE of a
+    // ReferenceBlock (whose value is the signed relative ts of the
+    // referenced frame, -40 = the previous one)
+    def group(track: Int, rel: Int, key: Boolean, n: Int, fill: Int): Array[Byte] =
+      el(BlockGroup,
+        el(BlockEl, blockBody(track, rel, 0x00, n, fill)) ++
+          (if (key) Array.emptyByteArray
+           else el(ReferenceBlock, Array(0xD8.toByte))))
     val clusters = (0 until c).flatMap { i =>
       val vb = (0 until b).flatMap { j =>
-        block(1, j * 40, j == 0 || (id + i + j) % 7 == 0,
+        // j==1 ships as BlockGroup/Block (the form B-frame video and
+        // subtitles use), the rest as SimpleBlock — same facts, so the
+        // oracles are unchanged and both forms are gate-exercised
+        val form = if (j == 1) group _ else block _
+        form(1, j * 40, j == 0 || (id + i + j) % 7 == 0,
           ((id + j) % 17 + 1).toInt, ((id * 31 + j) % 256).toInt)
       }
       val ab = if (!webm) Seq.empty[Byte]

@@ -265,18 +265,19 @@ object OrcFooter {
       require(part.length == 1, s"orc: expected one part file, got ${part.length}")
       (g, part.head.getAbsolutePath)
     }
-    val rows = files.map { case (g, path) =>
-      val t = readTail(path)
-      val pk = t.colStats("l_partkey")
-      val ints = pk.ints.getOrElse(sys.error("orc: l_partkey missing int stats"))
-      (g, t.compression, t.nRows, t.typeKinds.size, t.stripes.size,
-        pk.values, ints.min.get, ints.max.get, ints.sum.get)
-    }.toSeq
     def rm(x: java.io.File): Unit = {
       if (x.isDirectory) x.listFiles().foreach(rm)
       x.delete()
     }
-    rm(tmp)
+    val rows = try {
+      files.map { case (g, path) =>
+        val t = readTail(path)
+        val pk = t.colStats("l_partkey")
+        val ints = pk.ints.getOrElse(sys.error("orc: l_partkey missing int stats"))
+        (g, t.compression, t.nRows, t.typeKinds.size, t.stripes.size,
+          pk.values, ints.min.get, ints.max.get, ints.sum.get)
+      }.toSeq
+    } finally rm(tmp)
     spark.createDataset(rows)
       .toDF("l_returnflag", "compression", "n_rows", "n_types",
         "n_stripes", "pk_values", "pk_min", "pk_max", "pk_sum")

@@ -174,12 +174,7 @@ object TarSource {
       Seq(txt) ++ cls ++ bin
     }
     val tar = tarOf(entries)
-    if (id % 2 == 0) {
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(tar); g.close()
-      bos.toByteArray
-    } else tar
+    if (id % 2 == 0) WarcSource.gzipOne(tar) else tar
   }
 
   def synthesizeShards(spark: SparkSession, docs: DataFrame): DataFrame = {

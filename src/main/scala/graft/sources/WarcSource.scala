@@ -112,16 +112,21 @@ object WarcSource {
 
   /** Parse the records of one decompressed chunk (one gzip member, or the
     * whole file when uncompressed). Requires exact consumption: a partial
-    * record at the end means the archive violated record-per-member.
+    * record means the archive violated record-per-member (gzip) or is
+    * simply truncated (plain) — the error names whichever applies.
     */
-  private[graft] def parseRecords(data: Array[Byte]): Seq[WarcRecord] = {
+  private[graft] def parseRecords(data: Array[Byte],
+                                  inGzipMember: Boolean = true): Seq[WarcRecord] = {
+    val partialMsg =
+      if (inGzipMember) "warc: record spans gzip members (unsupported)"
+      else "warc: truncated record"
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
     var pos = 0
     def line(): String = {
       val e = {
         var i = pos
         while (i + 1 < data.length && !(data(i) == 13 && data(i + 1) == 10)) i += 1
-        require(i + 1 < data.length, "warc: record spans gzip members (unsupported)")
+        require(i + 1 < data.length, partialMsg)
         i
       }
       val s = ascii(data, pos, e)
@@ -142,8 +147,7 @@ object WarcSource {
       }
       val clen = headers.getOrElse("content-length",
         sys.error("warc: missing Content-Length")).toLong
-      require(clen >= 0 && pos + clen + 4 <= data.length,
-        "warc: record spans gzip members (unsupported)")
+      require(clen >= 0 && pos + clen + 4 <= data.length, partialMsg)
       val payload = java.util.Arrays.copyOfRange(data, pos, pos + clen.toInt)
       pos += clen.toInt
       require(data(pos) == 13 && data(pos + 1) == 10 &&
@@ -180,7 +184,7 @@ object WarcSource {
   private[graft] def parseWarc(bytes: Array[Byte]): WarcFile = {
     require(bytes.length >= 2, "warc: empty file")
     val gz = (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
-    if (!gz) WarcFile(gzip = false, 0, parseRecords(bytes))
+    if (!gz) WarcFile(gzip = false, 0, parseRecords(bytes, inGzipMember = false))
     else {
       var pos = 0
       var n = 0
@@ -197,125 +201,20 @@ object WarcSource {
 
   // ---------------------------------------------------------------- html
 
-  /** Extract visible text from HTML: quote-aware tag scan (each tag
-    * becomes one space), script/style elision including their content,
-    * comment elision, entity decode (&amp; &lt; &gt; &quot; &apos;
-    * &#N; &#xN;), whitespace collapse.
-    */
-  private[graft] def htmlText(html: String): String = {
-    val n = html.length
-    val sb = new StringBuilder
-    var i = 0
-    def findIc(needle: String, from: Int): Int = {
-      var j = from
-      while (j + needle.length <= n) {
-        if (html.regionMatches(true, j, needle, 0, needle.length)) return j
-        j += 1
-      }
-      -1
-    }
-    while (i < n) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (html.regionMatches(false, i, "<!--", 0, 4)) {
-          val e = html.indexOf("-->", i + 4)
-          require(e >= 0, "html: unterminated comment")
-          i = e + 3
-        } else {
-          var j = i + 1
-          var q: Char = 0
-          while (j < n && (q != 0 || html.charAt(j) != '>')) {
-            val ch = html.charAt(j)
-            if (q == 0 && (ch == '"' || ch == '\'')) q = ch
-            else if (q != 0 && ch == q) q = 0
-            j += 1
-          }
-          require(j < n, "html: unterminated tag")
-          val inner = html.substring(i + 1, j)
-          i = j + 1
-          val name = inner.takeWhile(_.isLetter).toLowerCase
-          if ((name == "script" || name == "style") && !inner.endsWith("/")) {
-            val e = findIc("</" + name, i)
-            require(e >= 0, s"html: unterminated <$name> element")
-            val close = html.indexOf('>', e)
-            require(close >= 0, s"html: unterminated </$name> tag")
-            i = close + 1
-          }
-          sb.append(' ')
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    decodeEntities(sb.toString).split("\\s+").filter(_.nonEmpty).mkString(" ")
-  }
-
-  /** Entity decode on tag-free text: named (&amp; &lt; &gt; &quot;
-    * &apos;), decimal and hex numeric refs; a bare or unknown '&' stays
-    * literal, per browsers.
-    */
-  private[graft] def decodeEntities(raw: String): String = {
-    val out = new StringBuilder
-    var i = 0
-    while (i < raw.length) {
-      val c = raw.charAt(i)
-      if (c == '&') {
-        val e = raw.indexOf(';', i + 1)
-        val name = if (e > i && e - i <= 10) raw.substring(i + 1, e) else null
-        val rep = name match {
-          case "amp" => "&"
-          case "lt" => "<"
-          case "gt" => ">"
-          case "quot" => "\""
-          case "apos" => "'"
-          case s if s != null && s.startsWith("#x") && s.length > 2 &&
-            s.drop(2).forall(ch => Character.digit(ch, 16) >= 0) =>
-            Integer.parseInt(s.drop(2), 16).toChar.toString
-          case s if s != null && s.startsWith("#") && s.length > 1 &&
-            s.drop(1).forall(_.isDigit) =>
-            Integer.parseInt(s.drop(1)).toChar.toString
-          case _ => null
-        }
-        if (rep != null) { out.append(rep); i = e + 1 }
-        else { out.append(c); i += 1 }
-      } else { out.append(c); i += 1 }
-    }
-    out.toString
-  }
-
-  private[graft] def escapeHtml(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-  // -------------------------------------------------- main-content
-
-  private[graft] case class HtmlBlock(tag: String, text: String,
-      textChars: Long, linkChars: Long)
-
   private val voidTags = Set("br", "img", "hr", "meta", "link", "input",
     "area", "base", "col", "embed", "source", "track", "wbr")
 
-  /** Segment the `<body>` into its top-level element blocks, tracking
-    * per-block visible text and the share of it that sits inside `<a>`
-    * elements — the signal readability-style boilerplate removal keys
-    * on (nav/footer link farms have link ratios near 1, article bodies
-    * near 0). Char counts exclude whitespace so both engines count the
-    * same thing regardless of collapse behavior.
+  /** THE html tokenizer — one quote-aware pass shared by [[htmlText]]
+    * and [[bodyBlocks]] (a reviewer caught them drifting as two copies).
+    * Comments and script/style CONTENT are elided here, so no consumer
+    * ever sees them; a skipped script/style element is reported as one
+    * self-closed tag so consumers' depth tracking stays balanced. Void
+    * tags (br, img, ...) report selfClosed=true.
     */
-  private[graft] def bodyBlocks(html: String): Seq[HtmlBlock] = {
+  private def scanHtml(html: String)(
+      onTag: (String, Boolean, Boolean) => Unit, onText: Char => Unit): Unit = {
     val n = html.length
-    val out = scala.collection.mutable.ArrayBuffer[HtmlBlock]()
     var i = 0
-    var inBody = false
-    var depth = 0 // element depth RELATIVE to body
-    var aDepth = 0
-    var blockTag = ""
-    var sb: StringBuilder = null
-    var text = 0L; var link = 0L
-    def closeBlock(): Unit = {
-      if (sb != null) {
-        val t = sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
-        out += HtmlBlock(blockTag, t, text, link)
-        sb = null; text = 0; link = 0
-      }
-    }
     def findIc(needle: String, from: Int): Int = {
       var j = from
       while (j + needle.length <= n) {
@@ -345,31 +244,129 @@ object WarcSource {
           i = j + 1
           val closing = inner.startsWith("/")
           val name = inner.dropWhile(_ == '/').takeWhile(_.isLetter).toLowerCase
-          val selfClosed = inner.endsWith("/") || voidTags(name)
+          var selfClosed = inner.endsWith("/") || voidTags(name)
           if ((name == "script" || name == "style") && !closing && !selfClosed) {
             val e = findIc("</" + name, i)
             require(e >= 0, s"html: unterminated <$name> element")
             val close = html.indexOf('>', e)
             require(close >= 0, s"html: unterminated </$name> tag")
             i = close + 1
-          } else if (name == "body") {
-            if (!closing) { inBody = true; depth = 0 }
-            else { closeBlock(); inBody = false }
-          } else if (inBody && !selfClosed) {
-            if (!closing) {
-              if (depth == 0) { closeBlock(); blockTag = name; sb = new StringBuilder }
-              if (name == "a") aDepth += 1
-              depth += 1
-            } else {
-              if (name == "a" && aDepth > 0) aDepth -= 1
-              depth -= 1
-              require(depth >= 0, s"html: stray closing </$name> in body")
-              if (depth == 0) closeBlock()
-            }
+            selfClosed = true // content + close tag consumed here
           }
-          if (sb != null) sb.append(' ')
+          onTag(name, closing, selfClosed)
         }
-      } else {
+      } else { onText(c); i += 1 }
+    }
+  }
+
+  /** Extract visible text from HTML: quote-aware tag scan (each tag
+    * becomes one space), script/style elision including their content,
+    * comment elision, entity decode (&amp; &lt; &gt; &quot; &apos;
+    * &#N; &#xN;), whitespace collapse.
+    */
+  private[graft] def htmlText(html: String): String = {
+    val sb = new StringBuilder
+    scanHtml(html)((_, _, _) => sb.append(' '), c => sb.append(c))
+    decodeEntities(sb.toString).split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  /** Entity decode on tag-free text: named (&amp; &lt; &gt; &quot;
+    * &apos;), decimal and hex numeric refs; a bare or unknown '&' stays
+    * literal, per browsers.
+    */
+  private[graft] def decodeEntities(raw: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '&') {
+        val e = raw.indexOf(';', i + 1)
+        val name = if (e > i && e - i <= 10) raw.substring(i + 1, e) else null
+        val rep = name match {
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          // numeric refs must reach supplementary planes (emoji are
+          // ubiquitous in crawled text): parse as Long (name is <=9
+          // chars, so no overflow), validate the codepoint, and emit the
+          // surrogate PAIR — .toChar would truncate to a wrong BMP char
+          case s if s != null && s.startsWith("#x") && s.length > 2 &&
+            s.drop(2).forall(ch => Character.digit(ch, 16) >= 0) =>
+            codePointStr(java.lang.Long.parseLong(s.drop(2), 16))
+          case s if s != null && s.startsWith("#") && s.length > 1 &&
+            s.drop(1).forall(_.isDigit) =>
+            codePointStr(java.lang.Long.parseLong(s.drop(1)))
+          case _ => null
+        }
+        if (rep != null) { out.append(rep); i = e + 1 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Valid codepoint → its string (surrogate pair above the BMP);
+    * out-of-range or surrogate values → null, so the caller falls back
+    * to the literal-'&' path like any other unknown reference.
+    */
+  private def codePointStr(v: Long): String =
+    if (v >= 0 && v <= 0x10FFFF && Character.isValidCodePoint(v.toInt) &&
+      !Character.isSurrogate(v.toInt.toChar))
+      new String(Character.toChars(v.toInt))
+    else null
+
+  private[graft] def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  // -------------------------------------------------- main-content
+
+  private[graft] case class HtmlBlock(tag: String, text: String,
+      textChars: Long, linkChars: Long)
+
+  /** Segment the `<body>` into its top-level element blocks, tracking
+    * per-block visible text and the share of it that sits inside `<a>`
+    * elements — the signal readability-style boilerplate removal keys
+    * on (nav/footer link farms have link ratios near 1, article bodies
+    * near 0). Char counts exclude whitespace so both engines count the
+    * same thing regardless of collapse behavior.
+    */
+  private[graft] def bodyBlocks(html: String): Seq[HtmlBlock] = {
+    val out = scala.collection.mutable.ArrayBuffer[HtmlBlock]()
+    var inBody = false
+    var depth = 0 // element depth RELATIVE to body
+    var aDepth = 0
+    var blockTag = ""
+    var sb: StringBuilder = null
+    var text = 0L; var link = 0L
+    def closeBlock(): Unit = {
+      if (sb != null) {
+        val t = sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        out += HtmlBlock(blockTag, t, text, link)
+        sb = null; text = 0; link = 0
+      }
+    }
+    scanHtml(html)(
+      onTag = { (name, closing, selfClosed) =>
+        if (name == "body") {
+          if (!closing) { inBody = true; depth = 0 }
+          else { closeBlock(); inBody = false }
+        } else if (inBody && !selfClosed) {
+          if (!closing) {
+            if (depth == 0) { closeBlock(); blockTag = name; sb = new StringBuilder }
+            if (name == "a") aDepth += 1
+            depth += 1
+          } else {
+            if (name == "a" && aDepth > 0) aDepth -= 1
+            depth -= 1
+            require(depth >= 0, s"html: stray closing </$name> in body")
+            if (depth == 0) closeBlock()
+          }
+        }
+        if (sb != null) sb.append(' ')
+      },
+      onText = { c =>
         if (sb != null && depth > 0) {
           sb.append(c)
           if (!c.isWhitespace) {
@@ -377,9 +374,7 @@ object WarcSource {
             if (aDepth > 0) link += 1
           }
         }
-        i += 1
-      }
-    }
+      })
     out.toSeq
   }
 
@@ -458,7 +453,7 @@ object WarcSource {
     h.toString.getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
   }
 
-  private def gzipOne(data: Array[Byte]): Array[Byte] = {
+  private[graft] def gzipOne(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(bos)
     g.write(data); g.close()
@@ -553,7 +548,7 @@ object WarcSource {
     * corruption (gzip CRC, WARC grammar) always fails the file loudly —
     * that is damage, not mess.
     */
-  private def extractRow(path: String, r: WarcRecord, lenient: Boolean)
+  private[graft] def extractRow(path: String, r: WarcRecord, lenient: Boolean)
       : (String, String, Int, String) = {
     val text =
       if (!lenient) htmlText(r.body)

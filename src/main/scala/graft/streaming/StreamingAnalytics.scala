@@ -567,18 +567,13 @@ object StreamingAnalytics {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(landingDir)
     // lenient by default: a crawl server must outlive malformed pages
-    // (null text, row kept); container corruption still fails loudly
+    // (null text, row kept); container corruption still fails loudly.
+    // ONE extraction policy, shared with the batch arm (extractRow).
     stream.select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         graft.sources.WarcSource.parseWarc(bytes).records.iterator
           .filter(_.warcType == "response")
-          .map { r =>
-            val text =
-              if (!lenient) graft.sources.WarcSource.htmlText(r.body)
-              else try graft.sources.WarcSource.htmlText(r.body)
-                catch { case _: IllegalArgumentException => null }
-            (path, r.targetUri, r.httpStatus, text)
-          }
+          .map(r => graft.sources.WarcSource.extractRow(path, r, lenient))
       }
       .toDF("file", "uri", "status", "text")
       .writeStream

@@ -92,6 +92,46 @@ class MkvSpec extends GraftSparkSpec {
     assert(e2.getMessage.contains("before cluster Timestamp"))
   }
 
+  test("mkv: BlockGroup/Block form parses; keyframe = absence of ReferenceBlock") {
+    // the fixture ships j==1 as BlockGroup — check both key and non-key
+    val f = MkvSource.parseMkv(MkvSource.mkvOf(4L))
+    val v = f.tracks.find(_.trackType == 1).get
+    val vb = f.blocks.filter(_.track == v.number)
+    val c = (4L % 3 + 1).toInt; val b = (4L % 4 + 2).toInt
+    assert(vb.size === c * b)
+    (0 until c).foreach { i =>
+      val blk = vb(i * b + 1) // the j==1 BlockGroup block
+      assert(blk.tsAbs === i * 1000L + 40L)
+      assert(blk.keyframe === ((4 + i + 1) % 7 == 0))
+    }
+    // malformed groups reject by name
+    def file(cluster: Array[Byte]): Array[Byte] =
+      header("matroska") ++ MkvSource.el(Segment,
+        MkvSource.el(Tracks, videoTrack(1)) ++ MkvSource.el(Cluster, cluster))
+    val e = intercept[Exception] {
+      MkvSource.parseMkv(file(MkvSource.elU(ClusterTs, 0L) ++
+        MkvSource.el(0xA0L, MkvSource.el(0xFBL, Array(0xD8.toByte)))))
+    }
+    assert(e.getMessage.contains("BlockGroup without Block"))
+  }
+
+  test("mkv: track number 127 coded as the single byte 0xFF is a valid VINT") {
+    // the all-ones reservation applies to element SIZES only — a track
+    // VINT 0xFF must not trip the unknown-size reject
+    val blk = MkvSource.el(0xA3L, // SimpleBlock
+      Array[Byte](0xff.toByte, 0, 0, 0x80.toByte) ++ Array.fill(4)(1.toByte))
+    val track127 = MkvSource.el(TrackEntry,
+      MkvSource.elU(0xD7L, 127L) ++ MkvSource.elU(0x83L, 1) ++
+        MkvSource.elS(0x86L, "V_VP9") ++
+        MkvSource.el(0xE0L, MkvSource.elU(0xB0L, 64) ++ MkvSource.elU(0xBAL, 48)))
+    val bytes = header("matroska") ++ MkvSource.el(Segment,
+      MkvSource.el(Tracks, track127) ++
+        MkvSource.el(Cluster, MkvSource.elU(ClusterTs, 0L) ++ blk))
+    val f = MkvSource.parseMkv(bytes)
+    assert(f.blocks.map(_.track) === Seq(127L))
+    assert(f.blocks.head.keyframe)
+  }
+
   test("mkv: negative relative timestamps sign-extend (block before cluster ts)") {
     val bytes = header("matroska") ++ MkvSource.el(Segment,
       MkvSource.el(Tracks, videoTrack(1)) ++

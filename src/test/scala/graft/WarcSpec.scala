@@ -122,11 +122,11 @@ class WarcSpec extends GraftSparkSpec {
     val v = good.clone(); v(4) = '2'
     val e1 = intercept[Exception] { WarcSource.parseWarc(v) }
     assert(e1.getMessage.contains("bad version"))
-    // missing record terminator: truncate the final CRLF CRLF
+    // missing record terminator: truncate the final CRLF CRLF — a PLAIN
+    // file names truncation, never a gzip-member problem it can't have
     val t = java.util.Arrays.copyOfRange(good, 0, good.length - 2)
     val e2 = intercept[Exception] { WarcSource.parseWarc(t) }
-    assert(e2.getMessage.contains("spans gzip members") ||
-      e2.getMessage.contains("terminator"))
+    assert(e2.getMessage.contains("truncated record"))
     // corrupt the terminator in place
     val c = good.clone(); c(c.length - 1) = 'X'
     val e3 = intercept[Exception] { WarcSource.parseWarc(c) }
@@ -159,6 +159,18 @@ class WarcSpec extends GraftSparkSpec {
     val html = WarcSource.htmlOf(3L, 0, tricky)
     val got = WarcSource.htmlText(html)
     assert(got === "doc 3 Doc 3 a & b < c > d \"quoted\" 'single' double space footer 3")
+  }
+
+  test("html: numeric refs reach supplementary planes; invalid codepoints stay literal") {
+    // emoji via decimal and hex — .toChar truncation would emit U+F600
+    assert(WarcSource.htmlText("<p>&#128512; &#x1F600;</p>") ===
+      new String(Character.toChars(0x1F600)) + " " +
+        new String(Character.toChars(0x1F600)))
+    // out-of-range and surrogate refs fall back to literal text, and
+    // must never throw (strict mode would kill a whole crawl task)
+    assert(WarcSource.htmlText("a &#xFFFFFFFF; b") === "a &#xFFFFFFFF; b")
+    assert(WarcSource.htmlText("a &#xD800; b") === "a &#xD800; b")
+    assert(WarcSource.htmlText("a &#1114112; b") === "a &#1114112; b") // 0x110000
   }
 
   test("html: body blocks segment at depth 0; link chars track nested/void/self-closed tags") {
