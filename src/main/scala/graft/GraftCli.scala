@@ -812,6 +812,19 @@ object GraftCli {
       println(s"[graft] avro-scan: $glob -> $outDir")
       spark.stop()
 
+    // crawl -> corpus bridge: extracted 200-status pages become rows in
+    // the documents-table shape (doc_id, text, lang, source, n_chars),
+    // so corpus-prep / prepare-run consume a crawl unchanged. Stable ids
+    // from the URI hash; identical re-fetches collapse here, NEAR-dups
+    // are downstream dedup's job.
+    case "corpus-from-warc" :: glob :: outDir :: rest =>
+      val spark = session()
+      val lenient = !rest.headOption.contains("strict")
+      graft.sources.WarcSource.crawlDocs(spark, glob, lenient)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] corpus-from-warc: $glob -> $outDir")
+      spark.stop()
+
     case "stream-warc-extract" :: landingDir :: outDir :: checkpoint :: rest =>
       val spark = session()
       val runSec = rest.headOption.map(_.toInt).getOrElse(0)
@@ -1025,6 +1038,7 @@ object GraftCli {
            |  mkv-meta-demo <docsParquet> <outDir>
            |  warc-demo <docsParquet> <outDir>
            |  warc-extract <glob.warc[.gz]> <outDir>
+           |  corpus-from-warc <glob.warc[.gz]> <docsOutDir> [strict]
            |  stream-warc-extract <landingDir> <outDir> <checkpointDir> [runSec]""".stripMargin)
       sys.exit(2)
   }

@@ -556,6 +556,35 @@ object WarcSource {
     (path, r.targetUri, r.httpStatus, text)
   }
 
+  /** Crawl → corpus bridge: extracted 200-status pages in the documents
+    * table's shape (doc_id, text, lang, source, n_chars), so
+    * corpus-prep / prepare-run consume a crawl unchanged. doc_id is the
+    * URI hash (stable across re-fetches — identical URIs collapse here;
+    * NEAR-dups are downstream dedup's job), source is the host, lang is
+    * the d5 marker-argmax heuristic.
+    */
+  def crawlDocs(spark: SparkSession, glob: String,
+                lenient: Boolean = true): DataFrame = {
+    val pages = warcFiles(spark, glob, lenient)
+      .filter(col("status") === 200 && col("text").isNotNull &&
+        length(col("text")) > 0)
+    val toks = split(trim(col("text")), "\\s+")
+    def score(m: String) =
+      size(org.apache.spark.sql.functions.filter(toks, w => w === lit(m)))
+    val top = greatest(score("the"), score("table"), score("window"),
+      score("join"), score("data"))
+    pages
+      .withColumn("doc_id", pmod(xxhash64(col("uri")), lit(Long.MaxValue)))
+      .withColumn("source", regexp_extract(col("uri"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("lang",
+        when(score("the") === top, "en").when(score("table") === top, "de")
+          .when(score("window") === top, "fr")
+          .when(score("join") === top, "zh").otherwise("es"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .dropDuplicates("doc_id")
+  }
+
   /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit
     * one row per response record with its extracted text — the CLI's
     * ingestion entry (one task per file; member-at-a-time decode inside).

@@ -277,6 +277,35 @@ class WarcSpec extends GraftSparkSpec {
     }
   }
 
+  test("warc: crawlDocs bridges a crawl into the documents-table shape") {
+    val dir = java.nio.file.Files.createTempDirectory("crawldocs").toFile
+    try {
+      Seq(2L, 7L).foreach { id =>
+        val ext = if (id % 2 == 0) "warc.gz" else "warc"
+        java.nio.file.Files.write(new java.io.File(dir, s"d$id.$ext").toPath,
+          WarcSource.warcOf(id, "the the the data word"))
+      }
+      val docs = WarcSource.crawlDocs(spark,
+        dir.getAbsolutePath + "/*.warc*").collect()
+      // id=2: 3 responses all 200; id=7: j=3 404... k=2, (7+j)%5: j=0->2,
+      // j=1->3 both 200 => 5 docs total, all distinct URIs
+      assert(docs.length === 5)
+      assert(docs.map(_.getLong(0)).distinct.length === 5) // stable hash ids
+      assert(docs.forall(_.getLong(0) >= 0))
+      assert(docs.map(_.getString(3)).toSet === Set("site2.example", "site0.example"))
+      // j==0 pages embed the marker-laden text -> 'en'; filler pages vary
+      assert(docs.count(_.getString(2) == "en") >= 2)
+      assert(docs.forall(_.getLong(4) > 0))
+      // re-running yields the same ids (stability across fetches)
+      val again = WarcSource.crawlDocs(spark,
+        dir.getAbsolutePath + "/*.warc*").collect()
+      assert(again.map(_.getLong(0)).sorted.toSeq ===
+        docs.map(_.getLong(0)).sorted.toSeq)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("warc: file-path arm reads .warc.gz files one task per file") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
     try {
