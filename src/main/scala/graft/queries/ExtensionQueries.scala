@@ -3205,6 +3205,31 @@ object ExtensionQueries {
           |       ELSE '' END AS matched
           |FROM a ORDER BY doc_id, j, agent""".stripMargin)),
 
+    // Sitemap parsing (sources/Sitemap) — the crawl family's DISCOVERY
+    // side next to robots.txt's admission (x107) and WARC's fetch
+    // results (x100): a strict machine-written-XML subset (declaration,
+    // elements with attributes skipped quote-aware, namespace prefixes
+    // stripped, shared entity decode; CDATA/comments/mismatches reject
+    // loudly by name). Priorities parse to integer ppm — no float.
+    // DuckDB re-constructs every entry from doc_id arithmetic.
+    "x108_sitemap" -> QueryDef(
+      (s, dir) => graft.sources.Sitemap.sitemapTable(
+          s, t(s, dir, "documents"))
+        .orderBy("doc_id", "j"),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d)
+          |SELECT doc_id, CAST(j AS INT) AS j,
+          |  'http://site' || (doc_id % 7) || '.example/' || doc_id ||
+          |    '/' || j AS loc,
+          |  '2026-01-' ||
+          |    lpad(CAST((doc_id + j) % 28 + 1 AS VARCHAR), 2, '0')
+          |    AS lastmod,
+          |  ['daily', 'weekly', 'monthly', 'yearly']
+          |    [CAST((doc_id + j) % 4 AS INT) + 1] AS changefreq,
+          |  CAST((9 - j) * 100000 AS BIGINT) AS priority_ppm
+          |FROM u ORDER BY doc_id, j""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sitemap parsing — the crawl family's DISCOVERY side (robots.txt x107
+  * is admission, WARC x100 is the fetch result): `urlset` pages and
+  * `sitemapindex` shard lists per sitemaps.org 0.9.
+  *
+  * The XML reader is a deliberate strict subset: declaration + elements
+  * (attributes skipped quote-aware, namespace prefixes stripped) + text,
+  * entity decode shared with the HTML scanner. Sitemaps are
+  * machine-written, so anything outside that subset — CDATA, comments
+  * inside urlset, mismatched tags — rejects loudly by name rather than
+  * guessing; this is NOT an HTML-grade lenient parser and says so.
+  *
+  * 100 TB shape: sitemaps are per-site KB files — parse is a narrow
+  * per-row kernel; the output URL frontier joins robots decisions
+  * map-side (both tiny per site) before the fetch queue's exchange.
+  */
+object Sitemap {
+
+  private[graft] case class SitemapEntry(loc: String, lastmod: String,
+      changefreq: String, priorityPpm: Long)
+  private[graft] case class SitemapFile(kind: String, entries: Seq[SitemapEntry])
+
+  private[graft] def parseSitemap(xml: String): SitemapFile = {
+    val n = xml.length
+    var i = 0
+    def ws(): Unit = { while (i < n && xml.charAt(i).isWhitespace) i += 1 }
+    // prolog
+    ws()
+    if (xml.regionMatches(false, i, "<?xml", 0, 5)) {
+      val e = xml.indexOf("?>", i)
+      require(e >= 0, "sitemap: unterminated xml declaration")
+      i = e + 2
+    }
+    var kind = ""
+    val entries = scala.collection.mutable.ArrayBuffer[SitemapEntry]()
+    val stack = scala.collection.mutable.Stack[String]()
+    var loc = ""; var lastmod = ""; var changefreq = ""; var priority = 0L
+    val text = new StringBuilder
+    def localName(raw: String): String = {
+      val c = raw.indexOf(':')
+      if (c >= 0) raw.substring(c + 1) else raw
+    }
+    def flushEntry(): Unit = {
+      entries += SitemapEntry(loc, lastmod, changefreq, priority)
+      loc = ""; lastmod = ""; changefreq = ""; priority = 0L
+    }
+    while (i < n) {
+      ws()
+      if (i >= n) ()
+      else if (xml.charAt(i) == '<') {
+        require(!xml.regionMatches(false, i, "<!", 0, 2),
+          "sitemap: CDATA/comments/doctype unsupported in this subset")
+        val closing = i + 1 < n && xml.charAt(i + 1) == '/'
+        var j = i + 1
+        var q: Char = 0
+        while (j < n && (q != 0 || xml.charAt(j) != '>')) {
+          val ch = xml.charAt(j)
+          if (q == 0 && (ch == '"' || ch == '\'')) q = ch
+          else if (q != 0 && ch == q) q = 0
+          j += 1
+        }
+        require(j < n, "sitemap: unterminated tag")
+        val inner = xml.substring(i + 1, j)
+        i = j + 1
+        val selfClosed = inner.endsWith("/")
+        val name = localName(inner.dropWhile(_ == '/')
+          .takeWhile(c => !c.isWhitespace && c != '/').toLowerCase)
+        if (!closing) {
+          if (stack.isEmpty) {
+            require(name == "urlset" || name == "sitemapindex",
+              s"sitemap: unexpected root <$name>")
+            kind = name
+          }
+          if (!selfClosed) { stack.push(name); text.setLength(0) }
+        } else {
+          require(stack.nonEmpty && stack.top == name,
+            s"sitemap: mismatched </$name>")
+          stack.pop()
+          val value = WarcSource.decodeEntities(text.toString).trim
+          text.setLength(0)
+          name match {
+            case "loc" => loc = value
+            case "lastmod" => lastmod = value
+            case "changefreq" => changefreq = value
+            case "priority" =>
+              // "0.8" -> 800000 ppm, integer arithmetic (no float parse)
+              val parts = value.split("\\.", 2)
+              val whole = java.lang.Long.parseLong(parts(0))
+              val frac = if (parts.length < 2) 0L
+                else java.lang.Long.parseLong(
+                  (parts(1) + "000000").substring(0, 6))
+              priority = whole * 1000000L + frac
+            case "url" | "sitemap" => flushEntry()
+            case _ => () // urlset/sitemapindex close, unknown extensions
+          }
+        }
+      } else {
+        while (i < n && xml.charAt(i) != '<') { text.append(xml.charAt(i)); i += 1 }
+      }
+    }
+    require(stack.isEmpty, s"sitemap: unclosed <${if (stack.isEmpty) "" else stack.top}>")
+    require(kind.nonEmpty, "sitemap: no root element")
+    SitemapFile(kind, entries.toSeq)
+  }
+
+  // Fixture arithmetic (the oracle re-derives everything): per doc a
+  // urlset of k = id%3+1 urls matching the x100 fetch fixture —
+  // loc http://site{id%7}.example/{id}/{j}, lastmod 2026-01-{(id+j)%28+1},
+  // changefreq by (id+j)%4 of [daily, weekly, monthly, yearly],
+  // priority "0.{9-j}" -> (9-j)*100000 ppm.
+  private val freqs = Array("daily", "weekly", "monthly", "yearly")
+
+  private[graft] def sitemapOf(id: Long): String = {
+    val k = (id % 3 + 1).toInt
+    val urls = (0 until k).map { j =>
+      val lm = f"2026-01-${(id + j) % 28 + 1}%02d"
+      s"  <url><loc>http://site${id % 7}.example/$id/$j</loc>" +
+        s"<lastmod>$lm</lastmod>" +
+        s"<changefreq>${freqs(((id + j) % 4).toInt)}</changefreq>" +
+        s"<priority>0.${9 - j}</priority></url>"
+    }.mkString("\n")
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      urls + "\n</urlset>"
+  }
+
+  /** x108 gate: parse each doc's sitemap and emit its URL entries. */
+  def sitemapTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val f = parseSitemap(sitemapOf(id))
+        require(f.kind == "urlset", s"sitemap: doc $id parsed as ${f.kind}")
+        f.entries.zipWithIndex.map { case (e, j) =>
+          (id, j, e.loc, e.lastmod, e.changefreq, e.priorityPpm)
+        }
+      }
+      .toDF("doc_id", "j", "loc", "lastmod", "changefreq", "priority_ppm")
+  }
+}

@@ -44,6 +44,51 @@ class RobotsSpec extends GraftSparkSpec {
     assert(RobotsTxt.evaluate(rules, "x", "/c") === ((true, "")))
   }
 
+  test("sitemap: urlset and sitemapindex parse; entities decode; priority is ppm") {
+    import graft.sources.Sitemap
+    val f = Sitemap.parseSitemap(
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>http://x/a?p=1&amp;q=2</loc><lastmod>2026-02-03</lastmod>
+        |    <changefreq>daily</changefreq><priority>1</priority></url>
+        |  <url><loc>http://x/b</loc><priority>0.85</priority></url>
+        |</urlset>""".stripMargin)
+    assert(f.kind === "urlset")
+    assert(f.entries.map(_.loc) === Seq("http://x/a?p=1&q=2", "http://x/b"))
+    assert(f.entries.map(_.priorityPpm) === Seq(1000000L, 850000L))
+    assert(f.entries.head.lastmod === "2026-02-03")
+    val idx = Sitemap.parseSitemap(
+      """<sitemapindex><sitemap><loc>http://x/s1.xml</loc>
+        |<lastmod>2026-01-01</lastmod></sitemap></sitemapindex>""".stripMargin)
+    assert(idx.kind === "sitemapindex")
+    assert(idx.entries.map(_.loc) === Seq("http://x/s1.xml"))
+    // namespace-prefixed tags resolve by local name
+    val ns = Sitemap.parseSitemap(
+      "<sm:urlset xmlns:sm=\"u\"><sm:url><sm:loc>http://x/c</sm:loc>" +
+        "</sm:url></sm:urlset>")
+    assert(ns.entries.map(_.loc) === Seq("http://x/c"))
+  }
+
+  test("sitemap: out-of-subset input rejects loudly by name") {
+    import graft.sources.Sitemap
+    val e1 = intercept[IllegalArgumentException] {
+      Sitemap.parseSitemap("<rss><channel/></rss>")
+    }
+    assert(e1.getMessage.contains("unexpected root"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sitemap.parseSitemap("<urlset><url><loc>x</url></loc></urlset>")
+    }
+    assert(e2.getMessage.contains("mismatched"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sitemap.parseSitemap("<urlset><![CDATA[x]]></urlset>")
+    }
+    assert(e3.getMessage.contains("unsupported in this subset"))
+    val e4 = intercept[IllegalArgumentException] {
+      Sitemap.parseSitemap("<urlset><url><loc>x</loc>")
+    }
+    assert(e4.getMessage.contains("unclosed"))
+  }
+
   test("robots: comments, unknown directives, empty disallow, wildcard reject") {
     val rules = RobotsTxt.parseRobots(
       """# policy
