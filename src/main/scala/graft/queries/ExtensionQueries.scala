@@ -3230,6 +3230,56 @@ object ExtensionQueries {
           |  CAST((9 - j) * 100000 AS BIGINT) AS priority_ppm
           |FROM u ORDER BY doc_id, j""".stripMargin)),
 
+    // CRAWL FRONTIER — the capstone composition over the whole crawl
+    // family: sitemap DISCOVERY (x108 parser) anti-joined against the
+    // pages already fetched OK (parsed out of the x100 WARC fixture —
+    // 404s stay refetchable), then ADMISSION through the robots.txt
+    // evaluator (x107 — the per-site /{digit} rules bite on this
+    // numeric path space; /p rules never do), ordered by sitemap
+    // priority. Three independent parsers feeding one decision, and
+    // DuckDB re-derives the surviving queue rows from pure doc_id
+    // string arithmetic. Shape: everything here is per-site KBs and
+    // per-row narrow; the fetch queue's exchange is downstream.
+    "x109_frontier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val fetchedOk = graft.sources.WarcSource
+              .parseWarc(graft.sources.WarcSource.warcOf(id, text)).records
+              .filter(r => r.warcType == "response" && r.httpStatus == 200)
+              .map(_.targetUri).toSet
+            val rules = graft.sources.RobotsTxt.parseRobots(
+              graft.sources.RobotsTxt.robotsOf(id % 7))
+            graft.sources.Sitemap.parseSitemap(
+                graft.sources.Sitemap.sitemapOf(id)).entries
+              .filter(e => !fetchedOk(e.loc))
+              .filter { e =>
+                val path = e.loc.stripPrefix(s"http://site${id % 7}.example")
+                graft.sources.RobotsTxt.evaluate(rules, "anybot", path)._1
+              }
+              .map(e => (id, e.loc, e.priorityPpm))
+          }
+          .toDF("doc_id", "loc", "priority_ppm")
+          .orderBy(col("doc_id"), col("priority_ppm").desc, col("loc"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d),
+          |e AS (SELECT doc_id, j,
+          |        'http://site' || (doc_id % 7) || '.example/' || doc_id
+          |          || '/' || j AS loc,
+          |        (9 - j) * 100000 AS ppm,
+          |        CAST(doc_id AS VARCHAR) AS ids,
+          |        CAST(doc_id % 7 AS VARCHAR) AS s
+          |      FROM u
+          |      WHERE (doc_id + j) % 5 = 0)
+          |SELECT doc_id, loc, CAST(ppm AS BIGINT) AS priority_ppm
+          |FROM e
+          |WHERE NOT starts_with(ids, s) OR starts_with(ids, s || s)
+          |ORDER BY doc_id, priority_ppm DESC, loc""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

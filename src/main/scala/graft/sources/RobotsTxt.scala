@@ -86,10 +86,14 @@ object RobotsTxt {
   private[graft] def robotsOf(site: Long): String = {
     val s4 = site % 4; val s3 = site % 3
     val g4 = (site + 1) % 4; val g3 = (site + 1) % 3
+    // the /$site rules apply to the numeric /{id}/{j} path space the
+    // frontier gate (x109) crawls; they can never match x107's /p paths
     s"""# site $site policy
        |User-agent: *
        |Disallow: /p$s4
        |Allow: /p$s4/q$s3
+       |Disallow: /$site
+       |Allow: /$site$site
        |Crawl-delay: 5
        |
        |User-agent: graftbot
