@@ -44,6 +44,10 @@ object RobotsTxt {
             case "user-agent" =>
               if (groupOpen) agents ::= value.toLowerCase
               else { agents = List(value.toLowerCase); groupOpen = true }
+              // empty-prefix sentinel: records that this agent HAS a
+              // group, so an agent with a declared-but-empty group does
+              // not fall through to * (evaluate never reports it)
+              out += RobotsRule(value.toLowerCase, allow = true, "")
             case "allow" | "disallow" =>
               groupOpen = false
               require(agents.nonEmpty, "robots: rule before any User-agent")
@@ -52,7 +56,12 @@ object RobotsTxt {
                   s"robots: wildcard rules unsupported ('$value')")
                 agents.foreach(a => out += RobotsRule(a, key == "allow", value))
               } // empty Disallow/Allow: no rule — allow-all, per the RFC
-            case _ => () // Crawl-delay, Sitemap, unknown: skipped
+            case _ =>
+              // Crawl-delay, Sitemap, unknown: skipped — but they END
+              // User-agent accumulation (RFC 9309: other records are not
+              // group members), else two groups separated only by a
+              // Crawl-delay line would merge
+              groupOpen = false
           }
         }
       }
@@ -67,7 +76,7 @@ object RobotsTxt {
     val group =
       if (rules.exists(_.agent == a)) rules.filter(_.agent == a)
       else rules.filter(_.agent == "*")
-    val hits = group.filter(r => path.startsWith(r.prefix))
+    val hits = group.filter(r => r.prefix.nonEmpty && path.startsWith(r.prefix))
     if (hits.isEmpty) (true, "")
     else {
       // longest prefix wins; allow beats disallow on equal length

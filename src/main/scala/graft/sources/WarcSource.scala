@@ -312,8 +312,10 @@ object WarcSource {
     * to the literal-'&' path like any other unknown reference.
     */
   private def codePointStr(v: Long): String =
-    if (v >= 0 && v <= 0x10FFFF && Character.isValidCodePoint(v.toInt) &&
-      !Character.isSurrogate(v.toInt.toChar))
+    // the surrogate exclusion must be a RANGE test on the codepoint —
+    // isSurrogate(v.toInt.toChar) truncates to 16 bits and would falsely
+    // reject valid supplementary codepoints like U+1D800
+    if (v >= 0 && v <= 0x10FFFF && !(v >= 0xD800 && v <= 0xDFFF))
       new String(Character.toChars(v.toInt))
     else null
 
@@ -568,18 +570,27 @@ object WarcSource {
     val pages = warcFiles(spark, glob, lenient)
       .filter(col("status") === 200 && col("text").isNotNull &&
         length(col("text")) > 0)
+    // marker scores materialize ONCE into an array column — inlining the
+    // score expression into both greatest() and each when() would re-split
+    // and re-scan the full page text ~10x per row
     val toks = split(trim(col("text")), "\\s+")
-    def score(m: String) =
+    val markers = Seq("the", "table", "window", "join", "data")
+    val scoresCol = array(markers.map { m =>
       size(org.apache.spark.sql.functions.filter(toks, w => w === lit(m)))
-    val top = greatest(score("the"), score("table"), score("window"),
-      score("join"), score("data"))
+    }: _*)
+    val lang = when(col("scores")(0) === col("top"), "en")
+      .when(col("scores")(1) === col("top"), "de")
+      .when(col("scores")(2) === col("top"), "fr")
+      .when(col("scores")(3) === col("top"), "zh")
+      .otherwise("es")
     pages
+      .withColumn("scores", scoresCol)
+      .withColumn("top", array_max(col("scores")))
       .withColumn("doc_id", pmod(xxhash64(col("uri")), lit(Long.MaxValue)))
-      .withColumn("source", regexp_extract(col("uri"), "^[a-z]+://([^/]+)", 1))
-      .withColumn("lang",
-        when(score("the") === top, "en").when(score("table") === top, "de")
-          .when(score("window") === top, "fr")
-          .when(score("join") === top, "zh").otherwise("es"))
+      // schemes are case-insensitive per RFC 3986; normalize the host
+      .withColumn("source",
+        lower(regexp_extract(col("uri"), "(?i)^[a-z]+://([^/]+)", 1)))
+      .withColumn("lang", lang)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .dropDuplicates("doc_id")

@@ -93,17 +93,23 @@ class MkvSpec extends GraftSparkSpec {
   }
 
   test("mkv: BlockGroup/Block form parses; keyframe = absence of ReferenceBlock") {
-    // the fixture ships j==1 as BlockGroup — check both key and non-key
-    val f = MkvSource.parseMkv(MkvSource.mkvOf(4L))
+    // the fixture ships j==1 as BlockGroup — id=5 makes cluster i=1's
+    // group block a KEYFRAME ((5+1+1)%7==0), so both branches (no-ref =>
+    // key, ref => non-key) are genuinely asserted
+    val id = 5L
+    val f = MkvSource.parseMkv(MkvSource.mkvOf(id))
     val v = f.tracks.find(_.trackType == 1).get
     val vb = f.blocks.filter(_.track == v.number)
-    val c = (4L % 3 + 1).toInt; val b = (4L % 4 + 2).toInt
+    val c = (id % 3 + 1).toInt; val b = (id % 4 + 2).toInt
     assert(vb.size === c * b)
-    (0 until c).foreach { i =>
+    val groupKeys = (0 until c).map { i =>
       val blk = vb(i * b + 1) // the j==1 BlockGroup block
       assert(blk.tsAbs === i * 1000L + 40L)
-      assert(blk.keyframe === ((4 + i + 1) % 7 == 0))
+      assert(blk.keyframe === ((id + i + 1) % 7 == 0))
+      blk.keyframe
     }
+    assert(groupKeys.contains(true) && groupKeys.contains(false),
+      "fixture must exercise BOTH BlockGroup keyframe branches")
     // malformed groups reject by name
     def file(cluster: Array[Byte]): Array[Byte] =
       header("matroska") ++ MkvSource.el(Segment,

@@ -24,6 +24,14 @@ class RobotsSpec extends GraftSparkSpec {
     // unknown agent falls through to *
     assert(RobotsTxt.evaluate(rules, "other", "/y/1")._1 === false)
     assert(RobotsTxt.evaluate(rules, "other", "/x/1")._1 === true)
+    // a non-UA directive ENDS User-agent accumulation: two groups
+    // separated only by Crawl-delay must not merge (RFC 9309 — other
+    // records are not group members)
+    val sep = RobotsTxt.parseRobots(
+      "User-agent: a\nCrawl-delay: 10\nUser-agent: *\nDisallow: /\n")
+    assert(RobotsTxt.evaluate(sep, "a", "/anything")._1 === true,
+      "agent a's group has no rules; * group's Disallow must not leak in")
+    assert(RobotsTxt.evaluate(sep, "other", "/anything")._1 === false)
   }
 
   test("robots: longest prefix wins; allow beats disallow on equal length") {
@@ -97,8 +105,9 @@ class RobotsSpec extends GraftSparkSpec {
         |Crawl-delay: 10
         |Sitemap: http://x/s.xml
         |""".stripMargin)
-    assert(rules.isEmpty) // empty Disallow = allow all
-    assert(RobotsTxt.evaluate(rules, "x", "/anything")._1 === true)
+    // empty Disallow = allow all: only the group-existence sentinel remains
+    assert(rules.forall(_.prefix.isEmpty))
+    assert(RobotsTxt.evaluate(rules, "x", "/anything") === ((true, "")))
     val e = intercept[IllegalArgumentException] {
       RobotsTxt.parseRobots("User-agent: *\nDisallow: /*.pdf\n")
     }
