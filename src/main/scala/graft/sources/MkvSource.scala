@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * and royalty-free web video ships as, so a crawled corpus carries it in
   * volume. Same discipline as the mp4 walker: tracks are selected by
   * TYPE, never position; keyframes come from the PARSED SimpleBlock flag
-  * bit; per-frame presentation times are cluster-absolute (cluster
-  * Timestamp + the block's signed relative offset, in TimestampScale
-  * units); anything outside the understood grammar rejects loudly by
-  * name (unknown-size elements — the live-streaming form — included).
+  * bit (BlockGroup form: absence of a ReferenceBlock); per-frame
+  * presentation times are cluster-absolute (cluster Timestamp + the
+  * block's signed relative offset, in TimestampScale units); all three
+  * LACING modes (Xiph / fixed / EBML) unpack into per-frame rows;
+  * anything outside the understood grammar rejects loudly by name
+  * (unknown-size elements — the live-streaming form — included).
   *
   * EBML wire grammar (RFC 8794): element IDs are VINTs stored WITH their
   * length marker (1–4 bytes); sizes are VINTs with the marker stripped
@@ -80,9 +82,11 @@ object MkvSource {
       v
     }
     /** Plain data VINT, marker stripped — no all-ones reservation (a
-      * block's track number 127 is legitimately coded 0xFF).
+      * block's track number 127 is legitimately coded 0xFF). Returns
+      * (value, encodedLength); EBML-lacing deltas need the length for
+      * their signed bias.
       */
-    def readVint(): Long = {
+    def readVintLen(): (Long, Int) = {
       val b0 = u8()
       var len = 1
       var mask = 0x80
@@ -90,8 +94,9 @@ object MkvSource {
       require(len <= 8, "ebml: bad size leading byte")
       var v = (b0 & (mask - 1)).toLong
       (1 until len).foreach(_ => v = (v << 8) | u8())
-      v
+      (v, len)
     }
+    def readVint(): Long = readVintLen()._1
     /** ELEMENT SIZE VINT: all-value-bits-ones means "unknown size" (the
       * live-streaming form) and rejects — that reservation applies only
       * to element sizes, not to data VINTs like block track numbers.
@@ -128,17 +133,50 @@ object MkvSource {
     }
   }
 
-  /** (track, absolute ts, frame bytes, flags) of one (Simple)Block body;
-    * consumes the reader. Lacing rejects by name in both block forms.
+  /** (track, absolute ts, per-frame byte sizes, flags) of one
+    * (Simple)Block body; consumes the reader. All three LACING modes
+    * parse (real WebM audio — Vorbis especially — ships Xiph-laced):
+    * Xiph = 255-run size bytes for all but the last frame, fixed =
+    * equal split, EBML = first size as a VINT then signed-VINT deltas
+    * (bias 2^(7·len−1)−1). Laced frames share the block timestamp; the
+    * last frame's size is the remainder and must be non-negative.
     */
-  private def blockFields(b: Rd, clusterTs: Long): (Long, Long, Int, Int) = {
+  private def blockFields(b: Rd, clusterTs: Long): (Long, Long, Seq[Int], Int) = {
     val track = b.readVint()
     val rel = { val v = b.uint(2); (v ^ 0x8000L) - 0x8000L } // sign-extend s16
     val flags = b.u8()
-    require((flags & 0x06) == 0, "mkv: laced blocks unsupported")
-    val nBytes = b.end - b.pos
+    val sizes: Seq[Int] = (flags & 0x06) match {
+      case 0x00 => Seq(b.end - b.pos)
+      case lacing =>
+        val nFrames = b.u8() + 1
+        val head: Seq[Int] = lacing match {
+          case 0x02 => // Xiph
+            (0 until nFrames - 1).map { _ =>
+              var s = 0; var v = 255
+              while (v == 255) { v = b.u8(); s += v }
+              s
+            }
+          case 0x04 => // fixed-size: no size table
+            val rem = b.end - b.pos
+            require(nFrames > 0 && rem % nFrames == 0,
+              s"mkv: fixed lacing $rem bytes not divisible into $nFrames")
+            Seq.fill(nFrames - 1)(rem / nFrames)
+          case _ => // 0x06 EBML
+            var cur = 0L
+            (0 until nFrames - 1).map { k =>
+              val (v, len) = b.readVintLen()
+              cur = if (k == 0) v
+                else cur + (v - ((1L << (7 * len - 1)) - 1)) // signed delta
+              require(cur >= 0, "mkv: EBML lace size negative")
+              cur.toInt
+            }
+        }
+        val last = (b.end - b.pos) - head.sum
+        require(last >= 0, "mkv: lace sizes overrun block payload")
+        head :+ last
+    }
     b.pos = b.end
-    (track, clusterTs + rel, nBytes, flags)
+    (track, clusterTs + rel, sizes, flags)
   }
 
   private[graft] def parseMkv(bytes: Array[Byte]): MkvFile = {
@@ -223,14 +261,15 @@ object MkvSource {
               case SimpleBlock =>
                 require(sawTs, "mkv: SimpleBlock before cluster Timestamp")
                 val sb = cl.child(s2)
-                val (track, ts, nBytes, flags) = blockFields(sb, clusterTs)
-                blocks += MkvBlock(track, ts, (flags & 0x80) != 0, nBytes)
+                val (track, ts, sizes, flags) = blockFields(sb, clusterTs)
+                sizes.foreach(nb =>
+                  blocks += MkvBlock(track, ts, (flags & 0x80) != 0, nb))
               case BlockGroup =>
                 // the Block form: no keyframe FLAG — a block is a
                 // keyframe iff its group carries no ReferenceBlock
                 require(sawTs, "mkv: BlockGroup before cluster Timestamp")
                 val bg = cl.child(s2)
-                var blk: Option[(Long, Long, Int)] = None
+                var blk: Option[(Long, Long, Seq[Int])] = None
                 var hasRef = false
                 while (bg.pos < bg.end) {
                   val i3 = bg.readId(); val s3 = bg.readSize()
@@ -238,15 +277,16 @@ object MkvSource {
                     case BlockEl =>
                       require(blk.isEmpty, "mkv: BlockGroup with two Blocks")
                       val b = bg.child(s3)
-                      val (track, ts, nBytes, _) = blockFields(b, clusterTs)
-                      blk = Some((track, ts, nBytes))
+                      val (track, ts, sizes, _) = blockFields(b, clusterTs)
+                      blk = Some((track, ts, sizes))
                     case ReferenceBlock => bg.skip(s3); hasRef = true
                     case _ => bg.skip(s3) // BlockDuration etc.
                   }
                 }
-                val (track, ts, nBytes) = blk.getOrElse(
+                val (track, ts, sizes) = blk.getOrElse(
                   sys.error("mkv: BlockGroup without Block"))
-                blocks += MkvBlock(track, ts, keyframe = !hasRef, nBytes)
+                sizes.foreach(nb =>
+                  blocks += MkvBlock(track, ts, keyframe = !hasRef, nb))
               case _ => cl.skip(s2)
             }
           }
@@ -336,8 +376,14 @@ object MkvSource {
         form(1, j * 40, j == 0 || (id + i + j) % 7 == 0,
           ((id + j) % 17 + 1).toInt, ((id * 31 + j) % 256).toInt)
       }
+      // audio ships as ONE Xiph-laced SimpleBlock carrying both 3-byte
+      // packets (flags 0x80|0x02; lace header: nFrames-1=1, size0=3) —
+      // the layout real WebM audio uses; the parser still yields two
+      // frame rows, so the x102 facts are unchanged
       val ab = if (!webm) Seq.empty[Byte]
-        else (0 until 2).flatMap(j => block(2, j * 20, key = true, 3, 0x55))
+        else MkvSource.el(SimpleBlock,
+          Array((0x80 | 2).toByte, 0.toByte, 0.toByte, 0x82.toByte,
+            1.toByte, 3.toByte) ++ Array.fill(6)(0x55.toByte)).toSeq
       el(Cluster, elU(ClusterTimestamp, i * 1000L) ++ vb.toArray ++ ab.toArray)
     }.toArray
     hdr ++ el(Segment, info ++ tracks ++ clusters)

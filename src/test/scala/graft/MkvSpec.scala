@@ -76,20 +76,40 @@ class MkvSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("unknown-size"))
   }
 
-  test("mkv: laced SimpleBlocks and blocks before the cluster Timestamp reject") {
+  test("mkv: all three lacing modes unpack per-frame; malformed laces reject") {
     def file(cluster: Array[Byte]): Array[Byte] =
       header("matroska") ++ MkvSource.el(Segment,
         MkvSource.el(Tracks, videoTrack(1)) ++ MkvSource.el(Cluster, cluster))
-    val laced = MkvSource.el(SimpleBlock,
-      Array[Byte](0x81.toByte, 0, 0, 0x86.toByte) ++ Array.fill(4)(1.toByte))
-    val e1 = intercept[Exception] {
-      MkvSource.parseMkv(file(MkvSource.elU(ClusterTs, 0L) ++ laced))
+    def parse(body: Array[Byte]) = MkvSource.parseMkv(file(
+      MkvSource.elU(ClusterTs, 0L) ++ MkvSource.el(SimpleBlock, body)))
+    // Xiph with a 255-run size byte: frame0 = 300 (255+45), frame1 = 10
+    val xiph = parse(Array[Byte](0x81.toByte, 0, 0, 0x82.toByte, 1,
+      255.toByte, 45) ++ Array.fill(310)(7.toByte))
+    assert(xiph.blocks.map(_.frameBytes) === Seq(300, 10))
+    assert(xiph.blocks.forall(_.keyframe)) // block flag applies to all laces
+    // fixed-size: 3 equal frames
+    val fixed = parse(Array[Byte](0x81.toByte, 0, 0, 0x84.toByte, 2) ++
+      Array.fill(9)(7.toByte))
+    assert(fixed.blocks.map(_.frameBytes) === Seq(3, 3, 3))
+    // EBML: first size VINT 5, then signed delta -2 (0xBD = 61 - 63)
+    val ebml = parse(Array[Byte](0x81.toByte, 0, 0, 0x86.toByte, 2,
+      0x85.toByte, 0xBD.toByte) ++ Array.fill(12)(7.toByte))
+    assert(ebml.blocks.map(_.frameBytes) === Seq(5, 3, 4))
+    // malformed: fixed lacing not divisible; Xiph sizes overrun payload
+    val e1 = intercept[IllegalArgumentException] {
+      parse(Array[Byte](0x81.toByte, 0, 0, 0x84.toByte, 2) ++
+        Array.fill(10)(7.toByte))
     }
-    assert(e1.getMessage.contains("laced"))
-    val e2 = intercept[Exception] {
+    assert(e1.getMessage.contains("not divisible"))
+    val e2 = intercept[IllegalArgumentException] {
+      parse(Array[Byte](0x81.toByte, 0, 0, 0x82.toByte, 1, 50) ++
+        Array.fill(20)(7.toByte))
+    }
+    assert(e2.getMessage.contains("overrun block payload"))
+    val e3 = intercept[Exception] {
       MkvSource.parseMkv(file(block(1, 0, key = true, 4)))
     }
-    assert(e2.getMessage.contains("before cluster Timestamp"))
+    assert(e3.getMessage.contains("before cluster Timestamp"))
   }
 
   test("mkv: BlockGroup/Block form parses; keyframe = absence of ReferenceBlock") {
