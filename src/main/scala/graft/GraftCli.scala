@@ -819,10 +819,12 @@ object GraftCli {
     // are downstream dedup's job.
     case "corpus-from-warc" :: glob :: outDir :: rest =>
       val spark = session()
-      val lenient = !rest.headOption.contains("strict")
-      graft.sources.WarcSource.crawlDocs(spark, glob, lenient)
+      val lenient = !rest.contains("strict")
+      val mainContent = rest.contains("main") // x106 link-density extractor
+      graft.sources.WarcSource.crawlDocs(spark, glob, lenient, mainContent)
         .write.mode("overwrite").parquet(outDir)
-      println(s"[graft] corpus-from-warc: $glob -> $outDir")
+      println(s"[graft] corpus-from-warc: $glob -> $outDir" +
+        (if (mainContent) " (main-content)" else ""))
       spark.stop()
 
     case "stream-warc-extract" :: landingDir :: outDir :: checkpoint :: rest =>
@@ -1038,7 +1040,7 @@ object GraftCli {
            |  mkv-meta-demo <docsParquet> <outDir>
            |  warc-demo <docsParquet> <outDir>
            |  warc-extract <glob.warc[.gz]> <outDir>
-           |  corpus-from-warc <glob.warc[.gz]> <docsOutDir> [strict]
+           |  corpus-from-warc <glob.warc[.gz]> <docsOutDir> [strict] [main]
            |  stream-warc-extract <landingDir> <outDir> <checkpointDir> [runSec]""".stripMargin)
       sys.exit(2)
   }

@@ -550,11 +550,16 @@ object WarcSource {
     * corruption (gzip CRC, WARC grammar) always fails the file loudly —
     * that is damage, not mess.
     */
-  private[graft] def extractRow(path: String, r: WarcRecord, lenient: Boolean)
+  private[graft] def extractRow(path: String, r: WarcRecord, lenient: Boolean,
+                                mainContent: Boolean = false)
       : (String, String, Int, String) = {
+    // mainContent = the x106 link-density extractor (boilerplate blocks
+    // dropped); default = the full x101 tag strip
+    def extract(html: String): String =
+      if (mainContent) mainText(html) else htmlText(html)
     val text =
-      if (!lenient) htmlText(r.body)
-      else try htmlText(r.body) catch { case _: IllegalArgumentException => null }
+      if (!lenient) extract(r.body)
+      else try extract(r.body) catch { case _: IllegalArgumentException => null }
     (path, r.targetUri, r.httpStatus, text)
   }
 
@@ -566,8 +571,9 @@ object WarcSource {
     * the d5 marker-argmax heuristic.
     */
   def crawlDocs(spark: SparkSession, glob: String,
-                lenient: Boolean = true): DataFrame = {
-    val pages = warcFiles(spark, glob, lenient)
+                lenient: Boolean = true,
+                mainContent: Boolean = false): DataFrame = {
+    val pages = warcFiles(spark, glob, lenient, mainContent)
       .filter(col("status") === 200 && col("text").isNotNull &&
         length(col("text")) > 0)
     // marker scores materialize ONCE into an array column — inlining the
@@ -601,13 +607,14 @@ object WarcSource {
     * ingestion entry (one task per file; member-at-a-time decode inside).
     */
   def warcFiles(spark: SparkSession, glob: String,
-                lenient: Boolean = false): DataFrame = {
+                lenient: Boolean = false,
+                mainContent: Boolean = false): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(glob)
       .flatMap { case (path, pds) =>
         parseWarc(pds.toArray()).records
           .filter(_.warcType == "response")
-          .map(r => extractRow(path, r, lenient))
+          .map(r => extractRow(path, r, lenient, mainContent))
       }
       .toDF("file", "uri", "status", "text")
   }

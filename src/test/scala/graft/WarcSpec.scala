@@ -306,6 +306,26 @@ class WarcSpec extends GraftSparkSpec {
     }
   }
 
+  test("warc: mainContent mode runs the x106 extractor through the ingestion arms") {
+    val dir = java.nio.file.Files.createTempDirectory("warcmain").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "d7.warc").toPath,
+        WarcSource.warcOf(7L, "alpha beta"))
+      val glob = dir.getAbsolutePath + "/*.warc"
+      val full = WarcSource.warcFiles(spark, glob).collect()
+        .map(_.getString(3)).toSet
+      val main = WarcSource.warcFiles(spark, glob, mainContent = true)
+        .collect().map(_.getString(3)).toSet
+      // full tag-strip keeps the <title> ("doc 7 ..."); main-content
+      // reads only body blocks, so it starts at the <h1>
+      assert(full.exists(_.startsWith("doc 7 Doc 7")))
+      assert(main.exists(_.startsWith("Doc 7 alpha beta")))
+      assert(main.forall(!_.startsWith("doc 7")))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("warc: file-path arm reads .warc.gz files one task per file") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
     try {
