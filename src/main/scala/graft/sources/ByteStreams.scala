@@ -1,0 +1,263 @@
+package graft.sources
+
+/** Streaming byte substrate for the archive walkers (WARC, tar, gzip).
+  *
+  * The ingestion arms read 100 TB-shaped inputs one task per file; the
+  * r15 review found those tasks materializing the WHOLE file
+  * (`pds.toArray()`) plus every decoded record before emitting — O(file)
+  * memory that OOMs at Common-Crawl scale (~1 GB `.warc.gz`, 3–4 GB
+  * decompressed, × 32 concurrent tasks). Everything here exists to make
+  * the documented O(largest record) bound true: a [[ByteFeed]] pulls a
+  * bounded window from an `InputStream`, [[Gzip.MemberInflater]] inflates
+  * one gzip member through that window with the same CRC32 + ISIZE
+  * discipline as the original array walker, and [[Gzip.GunzipStream]]
+  * exposes a multi-member `.gz` file as one continuous stream (for tar
+  * shards, where a single member legally spans the whole archive) while
+  * still verifying each member's trailer as it is crossed.
+  *
+  * Reference seam: GunzipContentTransform.cs streams whole blobs through
+  * one gunzip; this file is the Spark-side equivalent with the window
+  * bounded instead of the blob materialized.
+  */
+private[graft] final class ByteFeed(in: java.io.InputStream,
+                                    bufSize: Int = 1 << 16) {
+  private val buf = new Array[Byte](bufSize)
+  private var lo = 0
+  private var hi = 0
+  private var eof = false
+  // bytes ever dropped off the front of the buffer (consumed by callers)
+  private var drained = 0L
+
+  /** Total bytes the caller has consumed from the stream so far. */
+  def consumedBytes: Long = drained + lo
+
+  private def refill(): Unit = { // precondition: lo == hi
+    drained += hi; lo = 0; hi = 0
+    var k = 0
+    while (k == 0 && !eof) {
+      k = in.read(buf)
+      if (k < 0) eof = true
+    }
+    if (k > 0) hi = k
+  }
+
+  /** At least one unconsumed byte buffered (refilling if needed)? */
+  def available: Boolean = { if (lo == hi && !eof) refill(); lo < hi }
+  def atEof: Boolean = !available
+
+  /** Buffer at least two bytes (for container sniffing) without
+    * consuming; false when the stream holds fewer than two bytes total.
+    */
+  def ensure2(): Boolean = {
+    if (hi - lo >= 2) return true
+    if (lo > 0) { // compact so the window can grow
+      System.arraycopy(buf, lo, buf, 0, hi - lo)
+      drained += lo; hi -= lo; lo = 0
+    }
+    while (hi - lo < 2 && !eof) {
+      val k = in.read(buf, hi, buf.length - hi)
+      if (k < 0) eof = true else hi += k
+    }
+    hi - lo >= 2
+  }
+  def peek(i: Int): Int = buf(lo + i) & 0xff
+
+  /** Next byte; `msg` names the truncation when the stream ends. */
+  def u8(msg: String): Int = {
+    require(available, msg)
+    val b = buf(lo) & 0xff; lo += 1; b
+  }
+
+  /** Read exactly `n` bytes into a fresh array; truncation throws `msg`. */
+  def bytes(n: Int, msg: String): Array[Byte] = {
+    val out = new Array[Byte](n)
+    bytesInto(out, 0, n, msg)
+    out
+  }
+
+  /** Read exactly `len` bytes into `out(off..)`; truncation throws `msg`. */
+  def bytesInto(out: Array[Byte], off: Int, len: Int, msg: String): Unit = {
+    var done = 0
+    while (done < len) {
+      require(available, msg)
+      val k = math.min(len - done, hi - lo)
+      System.arraycopy(buf, lo, out, off + done, k)
+      lo += k; done += k
+    }
+  }
+
+  /** Skip exactly `n` bytes; truncation throws `msg`. */
+  def skip(n: Long, msg: String): Unit = {
+    var left = n
+    while (left > 0) {
+      require(available, msg)
+      val k = math.min(left, (hi - lo).toLong).toInt
+      lo += k; left -= k
+    }
+  }
+
+  // --- Inflater coupling: expose the buffered window as setInput fodder.
+  // The caller owns consumption accounting: hand the window to the
+  // inflater, then skipWindow() however many bytes it actually used.
+  def windowArray: Array[Byte] = buf
+  def windowOff: Int = lo
+  def windowLen: Int = hi - lo
+  def skipWindow(n: Int): Unit = { lo += n }
+}
+
+private[graft] object Gzip {
+
+  /** Parse + validate one gzip member header off the feed: magic, CM,
+    * FLG (FEXTRA/FNAME/FCOMMENT/FHCRC all handled; reserved bits
+    * reject), with the optional header CRC verified over the bytes as
+    * they stream past.
+    */
+  private def readHeader(feed: ByteFeed): Unit = {
+    val hcrc = new java.util.zip.CRC32()
+    def u8(msg: String): Int = { val b = feed.u8(msg); hcrc.update(b); b }
+    val tm = "gzip: truncated header"
+    require(u8(tm) == 0x1f && u8(tm) == 0x8b, "gzip: bad magic")
+    require(u8(tm) == 8, "gzip: unknown compression method")
+    val flg = u8(tm)
+    require((flg & 0xe0) == 0, "gzip: reserved FLG bits set")
+    var i = 0
+    while (i < 6) { u8(tm); i += 1 } // MTIME, XFL, OS
+    if ((flg & 4) != 0) { // FEXTRA
+      val m = "gzip: truncated FEXTRA length"
+      val xlen = u8(m) | (u8(m) << 8)
+      var j = 0
+      while (j < xlen) { u8("gzip: FEXTRA overruns"); j += 1 }
+    }
+    def zstr(): Unit =
+      while (u8("gzip: unterminated header string") != 0) {}
+    if ((flg & 8) != 0) zstr()  // FNAME
+    if ((flg & 16) != 0) zstr() // FCOMMENT
+    if ((flg & 2) != 0) {       // FHCRC: low 16 bits, NOT themselves CRC'd
+      val m = "gzip: truncated FHCRC"
+      val want = feed.u8(m) | (feed.u8(m) << 8)
+      require((hcrc.getValue & 0xffffL).toInt == want,
+        "gzip: header CRC mismatch")
+    }
+  }
+
+  /** Incremental decoder for ONE gzip member: the header is parsed (and
+    * validated) at construction; `read` inflates into the caller's
+    * buffer; when the deflate stream ends, the trailer CRC32 and ISIZE
+    * are verified against the bytes actually produced and `read` returns
+    * -1. Memory: one feed window + inflater state — never the member.
+    */
+  final class MemberInflater(feed: ByteFeed) {
+    readHeader(feed)
+    private val inf = new java.util.zip.Inflater(true) // raw deflate
+    private val crc = new java.util.zip.CRC32()
+    private var total = 0L
+    private var pending = 0 // window bytes currently lent to the inflater
+    private var done = false
+
+    def read(out: Array[Byte], off: Int, len: Int): Int = {
+      if (done) return -1
+      var k = 0
+      while (k == 0 && !inf.finished()) {
+        if (inf.needsInput()) {
+          if (pending > 0) { feed.skipWindow(pending); pending = 0 }
+          require(feed.available, "gzip: truncated deflate stream")
+          inf.setInput(feed.windowArray, feed.windowOff, feed.windowLen)
+          pending = feed.windowLen
+        }
+        k = try inf.inflate(out, off, len) catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              "gzip: corrupt deflate stream: " + e.getMessage)
+        }
+      }
+      if (k > 0) { crc.update(out, off, k); total += k; k }
+      else { // deflate stream finished: settle accounting, check trailer
+        feed.skipWindow(pending - inf.getRemaining); pending = 0
+        inf.end()
+        def le32(): Long = {
+          val m = "gzip: truncated trailer"
+          var v = 0L
+          var i = 0
+          while (i < 4) { v |= feed.u8(m).toLong << (8 * i); i += 1 }
+          v
+        }
+        require(le32() == crc.getValue, "gzip: payload CRC mismatch")
+        require(le32() == (total & 0xffffffffL), "gzip: ISIZE mismatch")
+        done = true
+        -1
+      }
+    }
+  }
+
+  /** Decode one full member off the feed — O(member) memory, which for
+    * WARC's record-per-member layout is the documented O(largest record).
+    */
+  def memberBytes(feed: ByteFeed): Array[Byte] = {
+    val mi = new MemberInflater(feed)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    var k = mi.read(buf, 0, buf.length)
+    while (k >= 0) { out.write(buf, 0, k); k = mi.read(buf, 0, buf.length) }
+    out.toByteArray
+  }
+
+  /** A multi-member `.gz` file as one continuous InputStream — the tar
+    * shape, where one member can span the whole archive so member-at-a-
+    * time decode would be O(file). Each member's CRC32/ISIZE still
+    * verifies as its trailer is crossed.
+    */
+  final class GunzipStream(feed: ByteFeed) extends java.io.InputStream {
+    private var cur: MemberInflater = null
+    private var n = 0
+    private val one = new Array[Byte](1)
+    def members: Int = n
+
+    override def read(): Int = {
+      val k = read(one, 0, 1)
+      if (k < 0) -1 else one(0) & 0xff
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (cur == null) {
+          if (feed.atEof) return -1
+          cur = new MemberInflater(feed); n += 1
+        }
+        val k = cur.read(b, off, len)
+        if (k > 0) return k
+        cur = null // member done (trailer verified); try the next
+      }
+      -1
+    }
+  }
+}
+
+private[graft] object StreamUtil {
+  /** Wrap a lazy parse iterator so the underlying stream closes exactly
+    * once — on exhaustion or on the first error (which rethrows).
+    */
+  def closeOnExhaust[T](in: java.io.Closeable, base: Iterator[T]): Iterator[T] =
+    new Iterator[T] {
+      private var closed = false
+      private def closeQuietly(): Unit = if (!closed) {
+        closed = true
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+      private def guarded[A](body: => A): A =
+        try body catch {
+          case e: Throwable => closeQuietly(); throw e
+        }
+      def hasNext: Boolean = {
+        if (closed) false
+        else {
+          val h = guarded(base.hasNext)
+          if (!h) closeQuietly()
+          h
+        }
+      }
+      def next(): T = {
+        if (closed || !hasNext) throw new NoSuchElementException("stream closed")
+        guarded(base.next())
+      }
+    }
+}

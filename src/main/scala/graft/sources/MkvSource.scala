@@ -110,6 +110,9 @@ object MkvSource {
       v
     }
     def uint(n: Int): Long = {
+      // an element declaring an integer wider than 8 bytes would silently
+      // wrap the Long — reject by name like every other malformed shape
+      require(n <= 8, s"ebml: integer wider than 8 bytes ($n)")
       var v = 0L
       (0 until n).foreach(_ => v = (v << 8) | u8())
       v

@@ -47,70 +47,110 @@ object TarSource {
     new String(bytes, off, n, "ISO-8859-1")
   }
 
-  /** Walk one (decompressed) tar archive. */
-  private[graft] def parseTar(bytes: Array[Byte]): Seq[TarEntry] = {
-    val out = scala.collection.mutable.ArrayBuffer[TarEntry]()
-    var pos = 0
-    var zeroBlocks = 0
-    while (pos + 512 <= bytes.length && zeroBlocks < 2) {
-      val allZero = (pos until pos + 512).forall(bytes(_) == 0)
-      if (allZero) { zeroBlocks += 1; pos += 512 }
-      else {
-        require(zeroBlocks == 0, "tar: data after end-of-archive marker")
-        // POSIX writes "ustar\0" + "00"; GNU writes "ustar " + " \0" —
-        // accept both (real archives are a mix)
-        val magic = cstr(bytes, pos + 257, 6)
-        require(magic.trim == "ustar", s"tar: bad magic '$magic'")
-        // checksum: header bytes with the chksum field (148..156) blanked
-        var sum = 0L
-        (0 until 512).foreach { i =>
-          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
+  /** Lazy entry walk over one (decompressed) tar stream — O(largest
+    * entry) memory: one 512-byte header at a time, one entry's data at a
+    * time, never the archive. Grammar identical to the old array walker
+    * (checksum on every header, two zero blocks at the end, zero-only
+    * padding after), with truncation surfacing as the same messages.
+    */
+  private[graft] def tarEntryIter(feed: ByteFeed): Iterator[TarEntry] =
+    new Iterator[TarEntry] {
+      private val hdr = new Array[Byte](512)
+      private var pending: TarEntry = null
+      private var finished = false
+      private var zeroBlocks = 0
+
+      /** One 512-byte block into hdr; false at clean EOF-or-short-block
+        * (which is only legal after both zero blocks).
+        */
+      private def fillBlock(): Boolean = {
+        if (feed.atEof) return false
+        try { feed.bytesInto(hdr, 0, 512, "tar: short block"); true }
+        catch { case _: IllegalArgumentException => false }
+      }
+
+      private def advance(): Unit = {
+        while (pending == null && !finished) {
+          if (!fillBlock()) {
+            require(zeroBlocks == 2, "tar: missing end-of-archive zero blocks")
+            finished = true
+          } else if ((0 until 512).forall(hdr(_) == 0)) {
+            zeroBlocks += 1
+            if (zeroBlocks == 2) {
+              // real writers pad to the blocking factor with zeros —
+              // legal; any non-zero byte after the end marker is data a
+              // reader would drop
+              while (feed.available)
+                require(feed.u8("") == 0, "tar: data after end-of-archive marker")
+              finished = true
+            }
+          } else {
+            require(zeroBlocks == 0, "tar: data after end-of-archive marker")
+            // POSIX writes "ustar\0" + "00"; GNU writes "ustar " + " \0" —
+            // accept both (real archives are a mix)
+            val magic = cstr(hdr, 257, 6)
+            require(magic.trim == "ustar", s"tar: bad magic '$magic'")
+            // checksum: header bytes with the chksum field (148..156) blanked
+            var sum = 0L
+            (0 until 512).foreach { i =>
+              sum += (if (i >= 148 && i < 156) ' '.toInt else hdr(i) & 0xff)
+            }
+            val want = octal(hdr, 148, 8)
+            require(sum == want, s"tar: header checksum mismatch ($sum != $want)")
+            val prefix = cstr(hdr, 345, 155)
+            val name0 = cstr(hdr, 0, 100)
+            val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
+            val size = octal(hdr, 124, 12)
+            val typeflag = {
+              val t = hdr(156)
+              if (t == 0) '0' else t.toChar
+            }
+            val padded = ((size + 511) / 512) * 512
+            val overrun = s"tar: entry '$name' overruns archive"
+            val data = if (typeflag == '0') {
+              require(size <= Int.MaxValue - 16, s"tar: entry '$name' exceeds 2 GiB")
+              val d = feed.bytes(size.toInt, overrun)
+              feed.skip(padded - size, overrun)
+              d
+            } else { feed.skip(padded, overrun); Array.emptyByteArray }
+            pending = TarEntry(name, size, typeflag, data)
+          }
         }
-        val want = octal(bytes, pos + 148, 8)
-        require(sum == want, s"tar: header checksum mismatch ($sum != $want)")
-        val prefix = cstr(bytes, pos + 345, 155)
-        val name0 = cstr(bytes, pos, 100)
-        val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
-        val size = octal(bytes, pos + 124, 12)
-        val typeflag = {
-          val t = bytes(pos + 156)
-          if (t == 0) '0' else t.toChar
-        }
-        val dataBlocks = ((size + 511) / 512).toInt
-        require(pos + 512 + dataBlocks * 512 <= bytes.length,
-          s"tar: entry '$name' overruns archive")
-        val data = if (typeflag == '0')
-          java.util.Arrays.copyOfRange(bytes, pos + 512, pos + 512 + size.toInt)
-        else Array.emptyByteArray
-        out += TarEntry(name, size, typeflag, data)
-        pos += 512 + dataBlocks * 512
+      }
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): TarEntry = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("tar")
+        val e = pending; pending = null; e
       }
     }
-    require(zeroBlocks == 2, "tar: missing end-of-archive zero blocks")
-    // real writers pad to the blocking factor with zeros — legal; any
-    // non-zero byte after the end marker is data a reader would drop
-    while (pos < bytes.length) {
-      require(bytes(pos) == 0, "tar: data after end-of-archive marker")
-      pos += 1
-    }
-    out.toSeq
+
+  /** Lazy entry walk over `.tar` or `.tar.gz` stream bytes. The gz arm
+    * runs the tar grammar over [[Gzip.GunzipStream]] — incremental
+    * inflate with per-member CRC32/ISIZE checks as each trailer is
+    * crossed (a tar.gz is usually ONE member spanning the whole archive,
+    * so member-at-a-time decode would be O(file); chunked inflate keeps
+    * it O(largest entry)).
+    */
+  private[graft] def shardEntryIter(in: java.io.InputStream): Iterator[TarEntry] = {
+    val feed = new ByteFeed(in)
+    require(feed.ensure2(), "tar: empty shard")
+    if (feed.peek(0) == 0x1f && feed.peek(1) == 0x8b)
+      tarEntryIter(new ByteFeed(new Gzip.GunzipStream(feed)))
+    else tarEntryIter(feed)
   }
 
-  /** Accept `.tar` or `.tar.gz` bytes (gz: concatenated members allowed,
-    * CRC-checked by [[WarcSource.gzipMember]]).
+  /** Walk one (decompressed) tar archive — array convenience over
+    * [[tarEntryIter]] for specs and small fixtures.
     */
-  private[graft] def parseShard(bytes: Array[Byte]): Seq[TarEntry] = {
-    require(bytes.length >= 2, "tar: empty shard")
-    if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
-      val out = new java.io.ByteArrayOutputStream()
-      var pos = 0
-      while (pos < bytes.length) {
-        val (data, end) = WarcSource.gzipMember(bytes, pos)
-        out.write(data); pos = end
-      }
-      parseTar(out.toByteArray)
-    } else parseTar(bytes)
-  }
+  private[graft] def parseTar(bytes: Array[Byte]): Seq[TarEntry] =
+    tarEntryIter(new ByteFeed(new java.io.ByteArrayInputStream(bytes))).toList
+
+  /** Accept `.tar` or `.tar.gz` bytes (gz: concatenated members allowed,
+    * CRC-checked by the member walker) — array convenience for gates.
+    */
+  private[graft] def parseShard(bytes: Array[Byte]): Seq[TarEntry] =
+    shardEntryIter(new java.io.ByteArrayInputStream(bytes)).toList
 
   // ------------------------------------------------------------- writer
 
@@ -194,8 +234,12 @@ object TarSource {
     import spark.implicits._
     spark.sparkContext.binaryFiles(glob)
       .flatMap { case (path, pds) =>
-        parseShard(pds.toArray()).iterator.filter(_.typeflag == '0')
-          .map(e => (path, e.name, e.name.takeWhile(_ != '.'), e.size))
+        // stream PortableDataStream.open() entry-at-a-time — O(largest
+        // entry) per task, never pds.toArray() (r15 verdict)
+        val in = pds.open()
+        StreamUtil.closeOnExhaust(in,
+          shardEntryIter(in).filter(_.typeflag == '0')
+            .map(e => (path, e.name, e.name.takeWhile(_ != '.'), e.size)))
       }
       .toDF("shard", "name", "sample_key", "bytes")
   }

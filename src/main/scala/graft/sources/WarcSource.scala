@@ -35,80 +35,179 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: one task per `.warc.gz` file ([[warcFiles]] uses
   * binaryFiles — file-granular parallelism, the same discipline as the
-  * codec arms in [[Readers]]); within a task, members decode one at a
-  * time with O(largest record) memory. No shuffle anywhere: parse and
-  * extract are map-only; downstream dedup/quality stages impose the
-  * first exchange.
+  * codec arms in [[Readers]]); within a task [[WarcIterator]] streams
+  * `PortableDataStream.open()` through the [[ByteFeed]] window, decoding
+  * one gzip member at a time and emitting rows lazily — O(largest
+  * record) memory, with the whole file never in memory (proved by
+  * `tools/WarcScale --single` at a 1 GB+ archive under a pressure-bound
+  * heap). No shuffle anywhere: parse and extract are map-only;
+  * downstream dedup/quality stages impose the first exchange.
   */
 object WarcSource {
 
   private[graft] case class WarcRecord(
       warcType: String, targetUri: String, contentLength: Long,
-      httpStatus: Int, httpContentType: String, body: String)
+      httpStatus: Int, httpContentType: String, body: String,
+      bodyBytes: Long)
   private[graft] case class WarcFile(
       gzip: Boolean, nMembers: Int, records: Seq[WarcRecord])
 
   // ---------------------------------------------------------------- gzip
 
-  /** Decode one gzip member starting at `start`; returns (data, end). */
+  /** Decode one gzip member starting at `start`; returns (data, end).
+    * Array-convenience wrapper over the streaming walker in [[Gzip]] —
+    * one grammar, one set of CRC32/ISIZE checks, both call shapes.
+    */
   private[graft] def gzipMember(bytes: Array[Byte], start: Int): (Array[Byte], Int) = {
-    require(start + 10 <= bytes.length, "gzip: truncated header")
-    require((bytes(start) & 0xff) == 0x1f && (bytes(start + 1) & 0xff) == 0x8b,
-      "gzip: bad magic")
-    require((bytes(start + 2) & 0xff) == 8, "gzip: unknown compression method")
-    val flg = bytes(start + 3) & 0xff
-    require((flg & 0xe0) == 0, "gzip: reserved FLG bits set")
-    var p = start + 10
-    if ((flg & 4) != 0) { // FEXTRA
-      require(p + 2 <= bytes.length, "gzip: truncated FEXTRA length")
-      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-      p += 2 + xlen
-      require(p <= bytes.length, "gzip: FEXTRA overruns")
-    }
-    def zstr(): Unit = {
-      while (p < bytes.length && bytes(p) != 0) p += 1
-      require(p < bytes.length, "gzip: unterminated header string")
-      p += 1
-    }
-    if ((flg & 8) != 0) zstr()  // FNAME
-    if ((flg & 16) != 0) zstr() // FCOMMENT
-    if ((flg & 2) != 0) {       // FHCRC: low 16 bits of header CRC32
-      require(p + 2 <= bytes.length, "gzip: truncated FHCRC")
-      val crc = new java.util.zip.CRC32()
-      crc.update(bytes, start, p - start)
-      val want = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-      require((crc.getValue & 0xffffL).toInt == want, "gzip: header CRC mismatch")
-      p += 2
-    }
-    val inf = new java.util.zip.Inflater(true) // raw deflate
-    inf.setInput(bytes, p, bytes.length - p)
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val k = inf.inflate(buf)
-      require(k > 0 || inf.finished(), "gzip: truncated deflate stream")
-      out.write(buf, 0, k)
-    }
-    val consumed = (bytes.length - p) - inf.getRemaining
-    inf.end()
-    val data = out.toByteArray
-    val q = p + consumed
-    require(q + 8 <= bytes.length, "gzip: truncated trailer")
-    def le32(i: Int): Long =
-      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
-        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
-    val crc = new java.util.zip.CRC32()
-    crc.update(data)
-    require(le32(q) == crc.getValue, "gzip: payload CRC mismatch")
-    require(le32(q + 4) == (data.length.toLong & 0xffffffffL),
-      "gzip: ISIZE mismatch")
-    (data, q + 8)
+    val feed = new ByteFeed(new java.io.ByteArrayInputStream(
+      bytes, start, bytes.length - start))
+    val data = Gzip.memberBytes(feed)
+    (data, start + feed.consumedBytes.toInt)
   }
 
   // ---------------------------------------------------------------- warc
 
-  private def ascii(b: Array[Byte], from: Int, until: Int): String =
-    new String(b, from, until - from, "ISO-8859-1")
+  /** One header/version line off the feed: bytes to the next CRLF (a
+    * lone CR stays in the line, matching the pair-scan grammar), decoded
+    * ISO-8859-1. EOF mid-line throws `msg` — truncation or a record
+    * spanning gzip members, whichever the caller is walking.
+    */
+  private def readLine(feed: ByteFeed, msg: String): String = {
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      val b = feed.u8(msg)
+      if (b == 10 && sb.nonEmpty && sb.charAt(sb.length - 1) == '\r') {
+        sb.setLength(sb.length - 1); done = true
+      } else sb.append(b.toChar)
+    }
+    sb.toString
+  }
+
+  /** HTTP message facts from an `application/http` payload, STRICT:
+    * (status, content-type, decoded body or null, raw body byte count).
+    * Request payloads (no HTTP/ status line) return (-1, "", null, 0).
+    * The body decodes to a String ONLY for textual content types —
+    * real crawls carry binary response bodies (images, PDFs, gzip'd
+    * HTML) that UTF-8 decoding would corrupt to U+FFFD while doubling
+    * memory; byte counts always come from the raw payload slice.
+    */
+  private[graft] def httpFacts(payload: Array[Byte]): (Int, String, String, Long) = {
+    var he = -1
+    var i = 0
+    while (he < 0 && i + 3 < payload.length) {
+      if (payload(i) == 13 && payload(i + 1) == 10 &&
+        payload(i + 2) == 13 && payload(i + 3) == 10) he = i
+      else i += 1
+    }
+    require(he >= 0, "warc: http payload missing header terminator")
+    val head = new String(payload, 0, he, "ISO-8859-1")
+    val lines = head.split("\r\n")
+    val first = lines.head.split(" ", 3)
+    if (!first(0).startsWith("HTTP/")) return (-1, "", null, 0L)
+    require(first.length >= 2, s"warc: bad status line '${lines.head}'")
+    val status = first(1).toInt
+    val ct = lines.tail.map(_.split(":", 2)).collectFirst {
+      case Array(k, v) if k.trim.equalsIgnoreCase("content-type") => v.trim
+    }.getOrElse("")
+    val off = he + 4
+    val nBytes = (payload.length - off).toLong
+    val lc = ct.toLowerCase
+    val textual = lc.startsWith("text/") ||
+      lc.startsWith("application/xhtml+xml") ||
+      lc.startsWith("application/xml") || lc.startsWith("application/json")
+    val body =
+      if (textual) new String(payload, off, payload.length - off, "UTF-8")
+      else null
+    (status, ct, body, nBytes)
+  }
+
+  /** One record off the feed: version line, CRLF header block,
+    * Content-Length payload, mandatory CRLF CRLF terminator. The HTTP
+    * sub-parse runs OUTSIDE the container grammar: under `lenientHttp` a
+    * malformed HTTP payload degrades to status -1 / null body (a crawl
+    * server must outlive malformed pages) while container damage still
+    * throws; strict mode keeps both loud.
+    */
+  private[graft] def readRecord(feed: ByteFeed, partialMsg: String,
+                                lenientHttp: Boolean): WarcRecord = {
+    val version = readLine(feed, partialMsg)
+    require(version == "WARC/1.0" || version == "WARC/1.1",
+      s"warc: bad version line '$version'")
+    val headers = scala.collection.mutable.Map[String, String]()
+    var h = readLine(feed, partialMsg)
+    while (h.nonEmpty) {
+      val c = h.indexOf(':')
+      require(c > 0, s"warc: malformed header '$h'")
+      headers(h.substring(0, c).trim.toLowerCase) = h.substring(c + 1).trim
+      h = readLine(feed, partialMsg)
+    }
+    val clen = headers.getOrElse("content-length",
+      sys.error("warc: missing Content-Length")).toLong
+    require(clen >= 0, partialMsg)
+    require(clen <= Int.MaxValue - 16, "warc: record exceeds 2 GiB (unsupported)")
+    val payload = feed.bytes(clen.toInt, partialMsg)
+    val t0 = feed.u8(partialMsg); val t1 = feed.u8(partialMsg)
+    val t2 = feed.u8(partialMsg); val t3 = feed.u8(partialMsg)
+    require(t0 == 13 && t1 == 10 && t2 == 13 && t3 == 10,
+      "warc: missing record terminator")
+    val wtype = headers.getOrElse("warc-type", "")
+    val ctype = headers.getOrElse("content-type", "")
+    var status = -1
+    var httpCt = ""
+    var body: String = null
+    var bodyBytes = 0L
+    if (ctype.startsWith("application/http")) {
+      try {
+        val (s, ct, b, nb) = httpFacts(payload)
+        status = s; httpCt = ct; body = b; bodyBytes = nb
+      } catch {
+        case e: RuntimeException =>
+          if (!lenientHttp) throw e
+          // degraded page: countable downstream, never kills the archive
+          status = -1; httpCt = ""; body = null
+          bodyBytes = payload.length.toLong
+      }
+    }
+    WarcRecord(wtype, headers.getOrElse("warc-target-uri", ""),
+      clen, status, httpCt, body, bodyBytes)
+  }
+
+  /** Lazy record walk over a `.warc` / `.warc.gz` stream — O(largest
+    * record) memory: the gzip arm decodes one member at a time (the
+    * record-per-member layout bounds members at record size; a record
+    * spanning members rejects by name), the plain arm reads one record's
+    * header + payload at a time. Never buffers the file or the records.
+    */
+  private[graft] final class WarcIterator(in: java.io.InputStream,
+                                          lenientHttp: Boolean)
+      extends Iterator[WarcRecord] {
+    private val feed = new ByteFeed(in)
+    require(feed.ensure2(), "warc: empty file")
+    val gzip: Boolean = feed.peek(0) == 0x1f && feed.peek(1) == 0x8b
+    private var nMembers = 0
+    def members: Int = nMembers
+    private var memberFeed: ByteFeed = null // current gzip member's records
+
+    def hasNext: Boolean =
+      if (memberFeed != null && !memberFeed.atEof) true
+      else if (feed.atEof) false
+      else if (!gzip) true
+      else { // decode the next member; loop in case one holds no records
+        memberFeed = new ByteFeed(
+          new java.io.ByteArrayInputStream(Gzip.memberBytes(feed)))
+        nMembers += 1
+        hasNext
+      }
+
+    def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("warc")
+      if (gzip)
+        readRecord(memberFeed, "warc: record spans gzip members (unsupported)",
+          lenientHttp)
+      else readRecord(feed, "warc: truncated record", lenientHttp)
+    }
+  }
 
   /** Parse the records of one decompressed chunk (one gzip member, or the
     * whole file when uncompressed). Requires exact consumption: a partial
@@ -120,83 +219,22 @@ object WarcSource {
     val partialMsg =
       if (inGzipMember) "warc: record spans gzip members (unsupported)"
       else "warc: truncated record"
+    val feed = new ByteFeed(new java.io.ByteArrayInputStream(data))
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
-    var pos = 0
-    def line(): String = {
-      val e = {
-        var i = pos
-        while (i + 1 < data.length && !(data(i) == 13 && data(i + 1) == 10)) i += 1
-        require(i + 1 < data.length, partialMsg)
-        i
-      }
-      val s = ascii(data, pos, e)
-      pos = e + 2
-      s
-    }
-    while (pos < data.length) {
-      val version = line()
-      require(version == "WARC/1.0" || version == "WARC/1.1",
-        s"warc: bad version line '$version'")
-      val headers = scala.collection.mutable.Map[String, String]()
-      var h = line()
-      while (h.nonEmpty) {
-        val c = h.indexOf(':')
-        require(c > 0, s"warc: malformed header '$h'")
-        headers(h.substring(0, c).trim.toLowerCase) = h.substring(c + 1).trim
-        h = line()
-      }
-      val clen = headers.getOrElse("content-length",
-        sys.error("warc: missing Content-Length")).toLong
-      require(clen >= 0 && pos + clen + 4 <= data.length, partialMsg)
-      val payload = java.util.Arrays.copyOfRange(data, pos, pos + clen.toInt)
-      pos += clen.toInt
-      require(data(pos) == 13 && data(pos + 1) == 10 &&
-        data(pos + 2) == 13 && data(pos + 3) == 10,
-        "warc: missing record terminator")
-      pos += 4
-      val wtype = headers.getOrElse("warc-type", "")
-      val ctype = headers.getOrElse("content-type", "")
-      var status = -1
-      var httpCt = ""
-      var body = ""
-      if (ctype.startsWith("application/http")) {
-        val s = new String(payload, "UTF-8")
-        val he = s.indexOf("\r\n\r\n")
-        require(he >= 0, "warc: http payload missing header terminator")
-        val lines = s.substring(0, he).split("\r\n")
-        val first = lines.head.split(" ", 3)
-        if (first(0).startsWith("HTTP/")) {
-          require(first.length >= 2, s"warc: bad status line '${lines.head}'")
-          status = first(1).toInt
-          httpCt = lines.tail.map(_.split(":", 2))
-            .collectFirst { case Array(k, v) if k.trim.equalsIgnoreCase("content-type") => v.trim }
-            .getOrElse("")
-          body = s.substring(he + 4)
-        } // request payloads keep status = -1, body empty
-      }
-      out += WarcRecord(wtype, headers.getOrElse("warc-target-uri", ""),
-        clen, status, httpCt, body)
-    }
+    while (!feed.atEof) out += readRecord(feed, partialMsg, lenientHttp = false)
     out.toSeq
   }
 
-  /** Parse a `.warc` / `.warc.gz` byte blob. */
+  /** Parse a `.warc` / `.warc.gz` byte blob into a materialized
+    * [[WarcFile]] — the gate/spec convenience over [[WarcIterator]];
+    * the ingestion arms ([[warcFiles]], streaming ingest) stay on the
+    * iterator and never materialize a file's records.
+    */
   private[graft] def parseWarc(bytes: Array[Byte]): WarcFile = {
-    require(bytes.length >= 2, "warc: empty file")
-    val gz = (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
-    if (!gz) WarcFile(gzip = false, 0, parseRecords(bytes, inGzipMember = false))
-    else {
-      var pos = 0
-      var n = 0
-      val recs = scala.collection.mutable.ArrayBuffer[WarcRecord]()
-      while (pos < bytes.length) {
-        val (data, end) = gzipMember(bytes, pos)
-        recs ++= parseRecords(data)
-        pos = end
-        n += 1
-      }
-      WarcFile(gzip = true, n, recs.toSeq)
-    }
+    val it = new WarcIterator(new java.io.ByteArrayInputStream(bytes),
+      lenientHttp = false)
+    val recs = it.toList
+    WarcFile(it.gzip, it.members, recs)
   }
 
   // ---------------------------------------------------------------- html
@@ -243,7 +281,8 @@ object WarcSource {
           val inner = html.substring(i + 1, j)
           i = j + 1
           val closing = inner.startsWith("/")
-          val name = inner.dropWhile(_ == '/').takeWhile(_.isLetter).toLowerCase
+          // letterOrDigit: h1–h6 are tags too (isLetter truncated to 'h')
+          val name = inner.dropWhile(_ == '/').takeWhile(_.isLetterOrDigit).toLowerCase
           var selfClosed = inner.endsWith("/") || voidTags(name)
           if ((name == "script" || name == "style") && !closing && !selfClosed) {
             val e = findIc("</" + name, i)
@@ -521,7 +560,7 @@ object WarcSource {
           f.records.count(_.warcType == "request"),
           resp.count(_.httpStatus == 200),
           resp.map(_.httpStatus.toLong).sum,
-          resp.map(_.body.getBytes("UTF-8").length.toLong).sum)
+          resp.map(_.bodyBytes).sum)
       }
       .toDF("doc_id", "is_gzip", "n_members", "n_records", "n_responses",
         "n_requests", "ok_cnt", "sum_status", "body_bytes")
@@ -558,9 +597,48 @@ object WarcSource {
     def extract(html: String): String =
       if (mainContent) mainText(html) else htmlText(html)
     val text =
-      if (!lenient) extract(r.body)
+      if (r.body == null) null // binary or (lenient) malformed-HTTP payload
+      else if (!lenient) extract(r.body)
       else try extract(r.body) catch { case _: IllegalArgumentException => null }
     (path, r.targetUri, r.httpStatus, text)
+  }
+
+  /** Lazy row iterator over ONE archive stream: WARC walk → response
+    * filter → HTML extraction, O(largest record) memory, stream closed
+    * on exhaustion or error. Under `lenient`, container damage (gzip
+    * CRC, WARC grammar) terminates the FILE with one poison row
+    * (uri NULL, status -1) instead of the task — one poison archive in a
+    * million can neither kill a batch job nor permanently wedge a
+    * streaming micro-batch that would otherwise refail on every retry.
+    */
+  private[graft] def responseRows(path: String, in: java.io.InputStream,
+                                  lenient: Boolean, mainContent: Boolean)
+      : Iterator[(String, String, Int, String)] = {
+    val base = StreamUtil.closeOnExhaust(in,
+      new WarcIterator(in, lenientHttp = lenient)
+        .filter(_.warcType == "response")
+        .map(r => extractRow(path, r, lenient, mainContent)))
+    if (!lenient) base
+    else new Iterator[(String, String, Int, String)] {
+      private var nextRow: (String, String, Int, String) = null
+      private var done = false
+      private def advance(): Unit = {
+        if (done || nextRow != null) return
+        try {
+          if (base.hasNext) nextRow = base.next() else done = true
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            done = true // closeOnExhaust already closed the stream
+            nextRow = (path, null, -1, null)
+        }
+      }
+      def hasNext: Boolean = { advance(); nextRow != null }
+      def next(): (String, String, Int, String) = {
+        advance()
+        if (nextRow == null) throw new NoSuchElementException("warc")
+        val r = nextRow; nextRow = null; r
+      }
+    }
   }
 
   /** Crawl → corpus bridge: extracted 200-status pages in the documents
@@ -604,7 +682,11 @@ object WarcSource {
 
   /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit
     * one row per response record with its extracted text — the CLI's
-    * ingestion entry (one task per file; member-at-a-time decode inside).
+    * ingestion entry. One task per file; inside a task the walk streams
+    * `PortableDataStream.open()` through [[WarcIterator]] member by
+    * member — O(largest record) memory, never `pds.toArray()`
+    * (r15 verdict: whole-file materialization × 32 concurrent tasks is
+    * an OOM at the ~1 GB Common-Crawl archive shape).
     */
   def warcFiles(spark: SparkSession, glob: String,
                 lenient: Boolean = false,
@@ -612,9 +694,7 @@ object WarcSource {
     import spark.implicits._
     spark.sparkContext.binaryFiles(glob)
       .flatMap { case (path, pds) =>
-        parseWarc(pds.toArray()).records
-          .filter(_.warcType == "response")
-          .map(r => extractRow(path, r, lenient, mainContent))
+        responseRows(path, pds.open(), lenient, mainContent)
       }
       .toDF("file", "uri", "status", "text")
   }

@@ -567,13 +567,20 @@ object StreamingAnalytics {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(landingDir)
     // lenient by default: a crawl server must outlive malformed pages
-    // (null text, row kept); container corruption still fails loudly.
-    // ONE extraction policy, shared with the batch arm (extractRow).
-    stream.select(col("path"), col("content")).as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        graft.sources.WarcSource.parseWarc(bytes).records.iterator
-          .filter(_.warcType == "response")
-          .map(r => graft.sources.WarcSource.extractRow(path, r, lenient))
+    // (null text, row kept) AND poison archives (container damage yields
+    // ONE uri-NULL/status -1 row for the file instead of a micro-batch
+    // that refails on every retry, wedging the stream). ONE extraction
+    // policy, shared with the batch arm (responseRows).
+    // Only `path` is selected, so column pruning keeps binaryFile from
+    // materializing file bytes in the row; each task re-opens its file
+    // and streams it record-at-a-time — O(largest record), same as batch.
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    stream.select(col("path")).as[String]
+      .flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val in = p.getFileSystem(conf.value).open(p)
+        graft.sources.WarcSource.responseRows(path, in, lenient,
+          mainContent = false)
       }
       .toDF("file", "uri", "status", "text")
       .writeStream
@@ -581,5 +588,24 @@ object StreamingAnalytics {
       .option("checkpointLocation", checkpointDir)
       .option("path", outDir)
       .start()
+  }
+}
+
+/** Hadoop `Configuration` is `Writable`, not `Serializable`; executors
+  * opening files by path (the streaming WARC arm) need the driver's conf
+  * shipped in the closure — this is the standard write()/readFields()
+  * Java-serialization bridge.
+  */
+private[graft] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }

@@ -241,6 +241,95 @@ class WarcSpec extends GraftSparkSpec {
     }
   }
 
+  // hand-rolled record builder for adversarial payload shapes
+  private def rawRecord(wtype: String, uri: String, ctype: String,
+                        payload: Array[Byte]): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+      (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Type: $ctype\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+
+  test("warc: lenient degrades a malformed HTTP payload to status -1; strict stays loud") {
+    // payload claims application/http but never carries the \r\n\r\n
+    // header terminator — the r15 judge's wedged-stream shape
+    val bad = rawRecord("response", "http://x/broken",
+      "application/http; msgtype=response",
+      "HTTP/1.1 200 OK\r\nno-terminator-ever".getBytes("ISO-8859-1"))
+    val junkStatus = rawRecord("response", "http://x/junk",
+      "application/http; msgtype=response",
+      "HTTP/1.1 abc OK\r\n\r\nbody".getBytes("ISO-8859-1"))
+    val file = bad ++ junkStatus ++ WarcSource.warcOf(7L, "good text")
+    val e = intercept[Exception] { WarcSource.parseWarc(file) }
+    assert(e.getMessage.contains("header terminator"))
+    val dir = java.nio.file.Files.createTempDirectory("warchttp").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "m.warc").toPath, file)
+      val rows = WarcSource.warcFiles(spark, dir.getAbsolutePath + "/*.warc",
+        lenient = true).collect()
+      assert(rows.length === 4) // 2 degraded + 2 good fixture responses
+      val degraded = rows.filter(_.getInt(2) === -1)
+      assert(degraded.map(_.getString(1)).toSet ===
+        Set("http://x/broken", "http://x/junk"))
+      assert(degraded.forall(_.isNullAt(3)))
+      assert(rows.count(_.getInt(2) === 200) === 2)
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("warc: lenient poisons a container-damaged FILE with one uri-null row; strict fails the task") {
+    val dir = java.nio.file.Files.createTempDirectory("warcpoison").toFile
+    try {
+      val corrupt = WarcSource.warcOf(2L, "doomed").clone()
+      corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x04).toByte
+      java.nio.file.Files.write(new java.io.File(dir, "bad.warc.gz").toPath, corrupt)
+      java.nio.file.Files.write(new java.io.File(dir, "good.warc").toPath,
+        WarcSource.warcOf(7L, "survivor"))
+      val glob = dir.getAbsolutePath + "/*.warc*"
+      intercept[Exception] { WarcSource.warcFiles(spark, glob).collect() }
+      val rows = WarcSource.warcFiles(spark, glob, lenient = true).collect()
+      val poison = rows.filter(_.isNullAt(1))
+      assert(poison.length === 1)
+      assert(poison.head.getString(0).endsWith("bad.warc.gz"))
+      assert(poison.head.getInt(2) === -1 && poison.head.isNullAt(3))
+      // streaming semantics: the damaged file's records BEFORE the damage
+      // point already emitted (fewer than its 3 responses), then poison
+      val fromBad = rows.filter(r => r.getString(0).endsWith("bad.warc.gz") &&
+        !r.isNullAt(1))
+      assert(fromBad.length < 3)
+      // the good file's rows all survive next to the poison marker
+      assert(rows.count(r => r.getString(0).endsWith("good.warc") &&
+        r.getInt(2) === 200) === 2)
+      // crawlDocs filters the poison row out (status <> 200, null text)
+      val docs = WarcSource.crawlDocs(spark, glob).collect()
+      assert(docs.length === 2 + fromBad.count(_.getInt(2) === 200))
+      assert(docs.forall(!_.isNullAt(1)))
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("warc: binary response bodies stay bytes (null text), byte counts from the raw slice") {
+    val pdf = Array[Byte](0x25, 0x50, 0x44, 0x46, -1, -2, -60, 0x00, 0x7f)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ pdf
+    val f = WarcSource.parseWarc(rawRecord("response", "http://x/doc.pdf",
+      "application/http; msgtype=response", http))
+    val r = f.records.head
+    assert(r.httpStatus === 200 && r.httpContentType === "application/pdf")
+    assert(r.body === null) // UTF-8 decode would corrupt to U+FFFD
+    assert(r.bodyBytes === pdf.length.toLong) // raw slice, not re-encoded
+    // text/* still decodes
+    val textHttp = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhi")
+      .getBytes("ISO-8859-1")
+    val t = WarcSource.parseWarc(rawRecord("response", "http://x/t",
+      "application/http; msgtype=response", textHttp)).records.head
+    assert(t.body === "hi" && t.bodyBytes === 2L)
+  }
+
+  test("html: digit-bearing tags (h1-h6) keep their names in body blocks") {
+    val blocks = WarcSource.bodyBlocks(
+      "<body><h1>title</h1><h2>sub</h2><div>text</div></body>")
+    assert(blocks.map(_.tag) === Seq("h1", "h2", "div"))
+  }
+
   test("warc: streaming ingestion appends exactly-once across files and restarts") {
     val root = java.nio.file.Files.createTempDirectory("warcstream").toFile
     val landing = new java.io.File(root, "landing"); landing.mkdirs()
