@@ -3174,13 +3174,16 @@ object ExtensionQueries {
 
     // robots.txt evaluation (sources/RobotsTxt) — the fetch-side gate a
     // crawler runs before a URL enters the frontier: RFC 9309 group
-    // selection (exact agent beats *, groups never merge), longest
-    // matching prefix wins, Allow beats Disallow on ties, no match =
-    // allowed, wildcard rules reject loudly as out of scope. The gate
-    // evaluates TWO agents against per-site fixtures (one exact group,
-    // one falling through to *), so group selection itself is what the
-    // hash checks; DuckDB re-derives the decision and the matched rule
-    // from doc_id arithmetic.
+    // selection (exact agent beats *, groups never merge), most-octets
+    // pattern wins, Allow beats Disallow on ties, no match = allowed,
+    // and the RFC's `*`/`$` wildcards (the fixture plants a length-8
+    // `Disallow: /p*/q2$` that outranks the length-6 Allow exception,
+    // and a length-4 `Allow: /p2*` that outranks the length-3
+    // Disallow). The gate evaluates TWO agents against per-site
+    // fixtures (one exact group, one falling through to *), so group
+    // selection AND wildcard precedence are what the hash checks;
+    // DuckDB re-derives the decision and the matched rule from doc_id
+    // arithmetic (precedence mirrors as CASE order: 8 > 6 > 4 > 3).
     "x107_robots" -> QueryDef(
       (s, dir) => graft.sources.RobotsTxt.robotsTable(
           s, t(s, dir, "documents"))
@@ -3190,6 +3193,8 @@ object ExtensionQueries {
           |u AS (SELECT doc_id, site, unnest(range(0, 3)) AS j FROM d),
           |a AS (SELECT doc_id, j, agent, site,
           |        (doc_id + j) % 4 AS p,
+          |        CASE WHEN agent = 'anybot' THEN 1 ELSE 0 END AS star,
+          |        CASE WHEN agent = 'anybot' THEN 2 ELSE 1 END AS wq,
           |        CASE WHEN agent = 'anybot' THEN site % 4
           |             ELSE (site + 1) % 4 END AS r4,
           |        CASE WHEN agent = 'anybot' THEN site % 3
@@ -3197,10 +3202,14 @@ object ExtensionQueries {
           |      FROM u, (VALUES ('anybot'), ('GraftBot')) t(agent))
           |SELECT doc_id, CAST(j AS INT) AS j, agent,
           |  '/p' || p || '/q' || j AS path,
-          |  CAST(CASE WHEN p = r4 AND j <> r3 THEN 0 ELSE 1 END AS INT)
-          |    AS allowed,
-          |  CASE WHEN p = r4 AND j = r3 THEN
-          |         'allow:/p' || r4 || '/q' || r3
+          |  CAST(CASE WHEN j = wq THEN 0
+          |            WHEN p = r4 AND j = r3 THEN 1
+          |            WHEN star = 1 AND p = 2 THEN 1
+          |            WHEN p = r4 THEN 0
+          |            ELSE 1 END AS INT) AS allowed,
+          |  CASE WHEN j = wq THEN 'disallow:/p*/q' || wq || '$'
+          |       WHEN p = r4 AND j = r3 THEN 'allow:/p' || r4 || '/q' || r3
+          |       WHEN star = 1 AND p = 2 THEN 'allow:/p2*'
           |       WHEN p = r4 THEN 'disallow:/p' || r4
           |       ELSE '' END AS matched
           |FROM a ORDER BY doc_id, j, agent""".stripMargin)),

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * (Crawl-delay, Sitemap) are skipped, matching is case-insensitive on
   * directive names. Evaluation: pick the MOST SPECIFIC group (exact
   * agent match beats `*`; rules never merge across groups), then the
-  * LONGEST matching rule prefix wins, with Allow beating Disallow on
-  * equal length; no match ⇒ allowed; an empty Disallow value ⇒ allow
-  * all. The RFC's `*`/`$` wildcards inside rule PATHS are out of scope
-  * and reject loudly by name rather than mis-matching.
+  * LONGEST matching rule wins (most octets in the PATTERN, the RFC's
+  * "most specific match" and what major crawlers implement), with Allow
+  * beating Disallow on equal length; no match ⇒ allowed; an empty
+  * Disallow value ⇒ allow all. Rule paths support the RFC's wildcards:
+  * `*` matches any character run (including `/`), a trailing `$`
+  * anchors the match at end-of-path; everywhere else `$` is literal —
+  * real robots.txt files use both heavily (`Disallow: .pdf$`-style
+  * extension rules, written with a leading slash-star).
   *
   * 100 TB shape: robots bodies are tiny and per-site — the parsed rule
   * list broadcasts (sites × rules rows), the URL stream is filtered
@@ -51,11 +55,9 @@ object RobotsTxt {
             case "allow" | "disallow" =>
               groupOpen = false
               require(agents.nonEmpty, "robots: rule before any User-agent")
-              if (value.nonEmpty) {
-                require(!value.contains('*') && !value.contains('$'),
-                  s"robots: wildcard rules unsupported ('$value')")
+              if (value.nonEmpty)
                 agents.foreach(a => out += RobotsRule(a, key == "allow", value))
-              } // empty Disallow/Allow: no rule — allow-all, per the RFC
+              // empty Disallow/Allow: no rule — allow-all, per the RFC
             case _ =>
               // Crawl-delay, Sitemap, unknown: skipped — but they END
               // User-agent accumulation (RFC 9309: other records are not
@@ -69,6 +71,34 @@ object RobotsTxt {
     out.toSeq
   }
 
+  /** Does `pattern` match a prefix of `path`? `*` matches any character
+    * run (greedy-leftmost existence scan — complete for ordered literal
+    * segments), a trailing `$` anchors at end-of-path, and without `$`
+    * the pattern only needs to consume a prefix. RFC 9309 §2.2.3.
+    */
+  private[graft] def ruleMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val parts = pat.split("\\*", -1) // literal segments between '*'s
+    if (!path.startsWith(parts(0))) return false
+    var pos = parts(0).length
+    var i = 1
+    while (i < parts.length) {
+      val p = parts(i)
+      if (i == parts.length - 1 && anchored)
+        // final segment must align to the END of the path, at/after pos
+        return path.length >= pos + p.length && path.endsWith(p)
+      if (p.nonEmpty) {
+        val k = path.indexOf(p, pos)
+        if (k < 0) return false
+        pos = k + p.length
+      } // empty segment = '**' run or trailing '*': free
+      i += 1
+    }
+    // no '*' at all: plain prefix, or exact match when '$'-anchored
+    if (anchored) pos == path.length else true
+  }
+
   /** Evaluate one path for one agent: (allowed, matched-rule-or-empty). */
   private[graft] def evaluate(rules: Seq[RobotsRule], agent: String,
                               path: String): (Boolean, String) = {
@@ -76,10 +106,10 @@ object RobotsTxt {
     val group =
       if (rules.exists(_.agent == a)) rules.filter(_.agent == a)
       else rules.filter(_.agent == "*")
-    val hits = group.filter(r => r.prefix.nonEmpty && path.startsWith(r.prefix))
+    val hits = group.filter(r => r.prefix.nonEmpty && ruleMatches(r.prefix, path))
     if (hits.isEmpty) (true, "")
     else {
-      // longest prefix wins; allow beats disallow on equal length
+      // most octets in the pattern wins; allow beats disallow on ties
       val best = hits.maxBy(r => (r.prefix.length, r.allow))
       (best.allow, (if (best.allow) "allow:" else "disallow:") + best.prefix)
     }
@@ -87,20 +117,28 @@ object RobotsTxt {
 
   // Fixture arithmetic (oracle re-derives everything): site s = id%7;
   // robots per site — a `*` group disallowing /p{s%4} with the longer
-  // Allow exception /p{s%4}/q{s%3}, and a `graftbot` group disallowing
-  // /p{(s+1)%4} with exception /p{(s+1)%4}/q{(s+1)%3}. URLs: k=3 per
-  // doc, path /p{(id+j)%4}/q{j}. The gate evaluates BOTH agents, so the
-  // group-selection rule (exact beats *, groups never merge) is what
-  // the hash checks.
+  // Allow exception /p{s%4}/q{s%3}, PLUS the RFC wildcards: a global
+  // `Disallow: /p*/q2$` (pattern length 8 — outranks the length-6 Allow
+  // exception, so every j==2 path is disallowed for anybot) and an
+  // `Allow: /p2*` (length 4 — outranks the length-3 Disallow when
+  // s%4==2, and admits stray /p2 paths). The `graftbot` group disallows
+  // /p{(s+1)%4} with exception /p{(s+1)%4}/q{(s+1)%3} plus its own
+  // `Disallow: /p*/q1$`. URLs: k=3 per doc, path /p{(id+j)%4}/q{j}.
+  // The gate evaluates BOTH agents, so group selection (exact beats *,
+  // groups never merge) AND wildcard precedence-by-pattern-length are
+  // what the hash checks.
   private[graft] def robotsOf(site: Long): String = {
     val s4 = site % 4; val s3 = site % 3
     val g4 = (site + 1) % 4; val g3 = (site + 1) % 3
     // the /$site rules apply to the numeric /{id}/{j} path space the
-    // frontier gate (x109) crawls; they can never match x107's /p paths
+    // frontier gate (x109) crawls; they can never match x107's /p
+    // paths, and the /p wildcard rules never match numeric paths
     s"""# site $site policy
        |User-agent: *
        |Disallow: /p$s4
        |Allow: /p$s4/q$s3
+       |Disallow: /p*/q2$$
+       |Allow: /p2*
        |Disallow: /$site
        |Allow: /$site$site
        |Crawl-delay: 5
@@ -108,6 +146,7 @@ object RobotsTxt {
        |User-agent: graftbot
        |Disallow: /p$g4
        |Allow: /p$g4/q$g3
+       |Disallow: /p*/q1$$
        |Sitemap: http://site$site.example/sitemap.xml
        |""".stripMargin
   }

@@ -97,7 +97,7 @@ class RobotsSpec extends GraftSparkSpec {
     assert(e4.getMessage.contains("unclosed"))
   }
 
-  test("robots: comments, unknown directives, empty disallow, wildcard reject") {
+  test("robots: comments, unknown directives, empty disallow, rule-before-group reject") {
     val rules = RobotsTxt.parseRobots(
       """# policy
         |User-agent: * # everyone
@@ -108,13 +108,45 @@ class RobotsSpec extends GraftSparkSpec {
     // empty Disallow = allow all: only the group-existence sentinel remains
     assert(rules.forall(_.prefix.isEmpty))
     assert(RobotsTxt.evaluate(rules, "x", "/anything") === ((true, "")))
-    val e = intercept[IllegalArgumentException] {
-      RobotsTxt.parseRobots("User-agent: *\nDisallow: /*.pdf\n")
-    }
-    assert(e.getMessage.contains("wildcard"))
     val e2 = intercept[IllegalArgumentException] {
       RobotsTxt.parseRobots("Disallow: /x\n")
     }
     assert(e2.getMessage.contains("before any User-agent"))
+  }
+
+  test("robots: RFC 9309 wildcards — '*' any-run, trailing '$' anchor, pattern-length precedence") {
+    import RobotsTxt.ruleMatches
+    // the RFC/Google reference examples for /*.php
+    assert(ruleMatches("/*.php", "/index.php"))
+    assert(ruleMatches("/*.php", "/folder/filename.php"))
+    assert(ruleMatches("/*.php", "/folder/any.php.file.html"))
+    assert(ruleMatches("/*.php", "/index.php5")) // '.php' occurs mid-path
+    assert(!ruleMatches("/*.php", "/windows.PHP")) // paths are case-sensitive
+    assert(!ruleMatches("/*.php", "/"))
+    // trailing '$' anchors at end-of-path
+    assert(ruleMatches("/*.php$", "/filename.php"))
+    assert(!ruleMatches("/*.php$", "/filename.php?x"))
+    assert(!ruleMatches("/*.php$", "/filename.php5"))
+    // literal segments between stars must appear in order
+    assert(ruleMatches("/fish*.php", "/fishheads/catfish.php?p"))
+    assert(!ruleMatches("/fish*.php", "/catfish.php"))
+    // trailing '*' is a no-op on prefix semantics
+    assert(ruleMatches("/fish*", "/fish"))
+    assert(ruleMatches("/fish*", "/fishheads"))
+    // '$' without '*': exact-path match
+    assert(ruleMatches("/foo$", "/foo"))
+    assert(!ruleMatches("/foo$", "/foo/bar"))
+    // '$' anywhere but the end is a literal character
+    assert(ruleMatches("/a$b", "/a$b/c"))
+    // '*$' tail: anything to end (equivalent to the bare prefix)
+    assert(ruleMatches("/p*$", "/p/whatever"))
+    // precedence: most octets in the PATTERN wins, allow wins ties
+    val rules = RobotsTxt.parseRobots(
+      """User-agent: *
+        |Disallow: /p
+        |Allow: /p*/q$
+        |""".stripMargin)
+    assert(RobotsTxt.evaluate(rules, "bot", "/p1/q") === ((true, "allow:/p*/q$")))
+    assert(RobotsTxt.evaluate(rules, "bot", "/p1/qq") === ((false, "disallow:/p")))
   }
 }
