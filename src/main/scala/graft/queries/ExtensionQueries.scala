@@ -3292,9 +3292,12 @@ object ExtensionQueries {
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT
-    // ids, marker-stripped VINT sizes (the all-ones unknown-size
-    // streaming form rejects by name), size-packed big-endian ints, IEEE
-    // floats, skip-by-size forward compatibility. Track facts are
+    // ids, marker-stripped VINT sizes (the all-ones unknown-size form
+    // parses for Segment/Cluster with the §6.2 sibling-or-higher
+    // termination — the MediaRecorder WebM shape, which doc_id%5==0
+    // fixture files ship — and rejects by name anywhere else),
+    // size-packed big-endian ints, IEEE floats, skip-by-size forward
+    // compatibility. Track facts are
     // selected by TrackType (never position — the mp4 discipline),
     // keyframes come from the parsed SimpleBlock flag bit, and block
     // times are cluster-absolute (cluster Timestamp + signed s16

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * presentation times are cluster-absolute (cluster Timestamp + the
   * block's signed relative offset, in TimestampScale units); all three
   * LACING modes (Xiph / fixed / EBML) unpack into per-frame rows;
-  * anything outside the understood grammar rejects loudly by name
-  * (unknown-size elements — the live-streaming form — included).
+  * unknown-size Segment/Cluster (the live-streaming form MediaRecorder
+  * WebM writes) terminate at the first sibling-or-higher element ID per
+  * RFC 8794 §6.2; anything outside the understood grammar — including
+  * unknown-size in any OTHER context, where termination is ambiguous —
+  * rejects loudly by name.
   *
   * EBML wire grammar (RFC 8794): element IDs are VINTs stored WITH their
   * length marker (1–4 bytes); sizes are VINTs with the marker stripped
@@ -97,18 +100,30 @@ object MkvSource {
       (v, len)
     }
     def readVint(): Long = readVintLen()._1
-    /** ELEMENT SIZE VINT: all-value-bits-ones means "unknown size" (the
-      * live-streaming form) and rejects — that reservation applies only
-      * to element sizes, not to data VINTs like block track numbers.
+    /** ELEMENT SIZE VINT, unknown-size aware: all-value-bits-ones means
+      * "unknown size" (the live-streaming form MediaRecorder WebM
+      * writes) and returns -1 — the reservation applies only to element
+      * sizes, not to data VINTs like block track numbers.
       */
-    def readSize(): Long = {
+    def readSizeOrUnknown(): Long = {
       val p0 = pos
       val v = readVint()
       val len = pos - p0
-      require(v != (1L << (7 * len)) - 1,
-        "ebml: unknown-size element unsupported (streaming form)")
+      if (v == (1L << (7 * len)) - 1) -1L else v
+    }
+    /** ELEMENT SIZE VINT where unknown-size is ambiguous and rejects:
+      * only Segment and Cluster (master elements with an RFC 8794 §6.2
+      * sibling-or-higher termination rule) may be unknown-size; a leaf
+      * or other master with no size cannot be bounded.
+      */
+    def readSize(): Long = {
+      val v = readSizeOrUnknown()
+      require(v >= 0,
+        "ebml: unknown-size element unsupported here (only Segment/Cluster)")
       v
     }
+    /** Element ID at the cursor without consuming it. */
+    def peekId(): Long = { val p = pos; val id = readId(); pos = p; id }
     def uint(n: Int): Long = {
       // an element declaring an integer wider than 8 bytes would silently
       // wrap the Long — reject by name like every other malformed shape
@@ -182,6 +197,17 @@ object MkvSource {
     (track, clusterTs + rel, sizes, flags)
   }
 
+  // IDs legal at segment level — what an unknown-size Cluster terminates
+  // at, per RFC 8794 §6.2 (first sibling-or-higher element ID)
+  private val SeekHead = 0x114D9B74L
+  private val Cues = 0x1C53BB6BL
+  private val Chapters = 0x1043A770L
+  private val Tags = 0x1254C367L
+  private val Attachments = 0x1941A469L
+  private def isSegmentLevel(id: Long): Boolean =
+    id == Cluster || id == Info || id == Tracks || id == SeekHead ||
+      id == Cues || id == Chapters || id == Tags || id == Attachments
+
   private[graft] def parseMkv(bytes: Array[Byte]): MkvFile = {
     val r = new Rd(bytes, 0, bytes.length)
     require(r.readId() == EBML, "ebml: missing EBML header")
@@ -193,14 +219,21 @@ object MkvSource {
       else hdr.skip(sz)
     }
     require(r.pos < r.end && r.readId() == Segment, "ebml: missing Segment")
-    val seg = r.child(r.readSize())
+    // MediaRecorder WebM writes Segment (and Clusters) with unknown size;
+    // an unknown-size Segment runs to the next sibling Segment ID or EOF
+    val seg = r.readSizeOrUnknown() match {
+      case sz if sz >= 0 => r.child(sz)
+      case _ => val s = new Rd(bytes, r.pos, r.end); r.pos = r.end; s
+    }
     var tsScale = 1000000L // spec default: 1 ms
     var duration = 0.0
     val tracks = scala.collection.mutable.ArrayBuffer[MkvTrack]()
     val blocks = scala.collection.mutable.ArrayBuffer[MkvBlock]()
     var nClusters = 0
-    while (seg.pos < seg.end) {
-      val id = seg.readId(); val sz = seg.readSize()
+    while (seg.pos < seg.end && seg.peekId() != Segment) {
+      val id = seg.readId()
+      val szU = if (id == Cluster) seg.readSizeOrUnknown() else seg.readSize()
+      val sz = szU
       id match {
         case Info =>
           val in = seg.child(sz)
@@ -253,50 +286,61 @@ object MkvSource {
           }
         case Cluster =>
           nClusters += 1
-          val cl = seg.child(sz)
           var clusterTs = 0L
           var sawTs = false
-          while (cl.pos < cl.end) {
-            val i2 = cl.readId(); val s2 = cl.readSize()
-            i2 match {
-              case ClusterTimestamp =>
-                clusterTs = cl.uint(s2.toInt); sawTs = true
-              case SimpleBlock =>
-                require(sawTs, "mkv: SimpleBlock before cluster Timestamp")
-                val sb = cl.child(s2)
-                val (track, ts, sizes, flags) = blockFields(sb, clusterTs)
-                sizes.foreach(nb =>
-                  blocks += MkvBlock(track, ts, (flags & 0x80) != 0, nb))
-              case BlockGroup =>
-                // the Block form: no keyframe FLAG — a block is a
-                // keyframe iff its group carries no ReferenceBlock
-                require(sawTs, "mkv: BlockGroup before cluster Timestamp")
-                val bg = cl.child(s2)
-                var blk: Option[(Long, Long, Seq[Int])] = None
-                var hasRef = false
-                while (bg.pos < bg.end) {
-                  val i3 = bg.readId(); val s3 = bg.readSize()
-                  i3 match {
-                    case BlockEl =>
-                      require(blk.isEmpty, "mkv: BlockGroup with two Blocks")
-                      val b = bg.child(s3)
-                      val (track, ts, sizes, _) = blockFields(b, clusterTs)
-                      blk = Some((track, ts, sizes))
-                    case ReferenceBlock => bg.skip(s3); hasRef = true
-                    case _ => bg.skip(s3) // BlockDuration etc.
-                  }
+          def clusterChild(cl: Rd, i2: Long, s2: Long): Unit = i2 match {
+            case ClusterTimestamp =>
+              clusterTs = cl.uint(s2.toInt); sawTs = true
+            case SimpleBlock =>
+              require(sawTs, "mkv: SimpleBlock before cluster Timestamp")
+              val sb = cl.child(s2)
+              val (track, ts, sizes, flags) = blockFields(sb, clusterTs)
+              sizes.foreach(nb =>
+                blocks += MkvBlock(track, ts, (flags & 0x80) != 0, nb))
+            case BlockGroup =>
+              // the Block form: no keyframe FLAG — a block is a
+              // keyframe iff its group carries no ReferenceBlock
+              require(sawTs, "mkv: BlockGroup before cluster Timestamp")
+              val bg = cl.child(s2)
+              var blk: Option[(Long, Long, Seq[Int])] = None
+              var hasRef = false
+              while (bg.pos < bg.end) {
+                val i3 = bg.readId(); val s3 = bg.readSize()
+                i3 match {
+                  case BlockEl =>
+                    require(blk.isEmpty, "mkv: BlockGroup with two Blocks")
+                    val b = bg.child(s3)
+                    val (track, ts, sizes, _) = blockFields(b, clusterTs)
+                    blk = Some((track, ts, sizes))
+                  case ReferenceBlock => bg.skip(s3); hasRef = true
+                  case _ => bg.skip(s3) // BlockDuration etc.
                 }
-                val (track, ts, sizes) = blk.getOrElse(
-                  sys.error("mkv: BlockGroup without Block"))
-                sizes.foreach(nb =>
-                  blocks += MkvBlock(track, ts, keyframe = !hasRef, nb))
-              case _ => cl.skip(s2)
+              }
+              val (track, ts, sizes) = blk.getOrElse(
+                sys.error("mkv: BlockGroup without Block"))
+              sizes.foreach(nb =>
+                blocks += MkvBlock(track, ts, keyframe = !hasRef, nb))
+            case _ => cl.skip(s2)
+          }
+          if (sz >= 0) {
+            val cl = seg.child(sz)
+            while (cl.pos < cl.end) clusterChild(cl, cl.readId(), cl.readSize())
+          } else {
+            // unknown-size Cluster (MediaRecorder form): children parse
+            // in place until the first segment-level ID — the RFC 8794
+            // §6.2 sibling-or-higher termination — or parent end; child
+            // elements still carry sizes, so unknown ones skip normally
+            var open = true
+            while (open && seg.pos < seg.end) {
+              val nid = seg.peekId()
+              if (isSegmentLevel(nid) || nid == Segment) open = false
+              else clusterChild(seg, seg.readId(), seg.readSize())
             }
           }
         case _ => seg.skip(sz)
       }
     }
-    require(r.pos == r.end, "ebml: bytes after Segment")
+    require(r.pos == r.end && seg.pos == seg.end, "ebml: bytes after Segment")
     MkvFile(docType, tsScale, duration, tracks.toSeq, nClusters, blocks.toSeq)
   }
 
@@ -316,6 +360,11 @@ object MkvSource {
   }
   private[graft] def el(id: Long, payload: Array[Byte]): Array[Byte] =
     idBytes(id) ++ vintSize(payload.length.toLong) ++ payload
+  /** Element in the UNKNOWN-SIZE form (size VINT 0xFF) — what
+    * MediaRecorder writes for Segment and Cluster while recording.
+    */
+  private[graft] def elUnknown(id: Long, payload: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ Array(0xff.toByte) ++ payload
   private[graft] def uintBytes(v: Long): Array[Byte] = {
     var w = 1
     while (w < 8 && v >= (1L << (8 * w))) w += 1
@@ -387,9 +436,15 @@ object MkvSource {
         else MkvSource.el(SimpleBlock,
           Array((0x80 | 2).toByte, 0.toByte, 0.toByte, 0x82.toByte,
             1.toByte, 3.toByte) ++ Array.fill(6)(0x55.toByte)).toSeq
-      el(Cluster, elU(ClusterTimestamp, i * 1000L) ++ vb.toArray ++ ab.toArray)
+      // doc_id%5==0 ships the MediaRecorder shape: unknown-size clusters
+      // (terminated at the next Cluster ID or segment end) under an
+      // unknown-size Segment (terminated at EOF) — same facts, so the
+      // x102/x103 oracles are unchanged and the §6.2 rule is gate-checked
+      val form = if (id % 5 == 0) elUnknown _ else el _
+      form(Cluster, elU(ClusterTimestamp, i * 1000L) ++ vb.toArray ++ ab.toArray)
     }.toArray
-    hdr ++ el(Segment, info ++ tracks ++ clusters)
+    val segForm = if (id % 5 == 0) elUnknown _ else el _
+    hdr ++ segForm(Segment, info ++ tracks ++ clusters)
   }
 
   def synthesizeMkv(spark: SparkSession, docs: DataFrame): DataFrame = {

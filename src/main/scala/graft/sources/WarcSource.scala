@@ -169,8 +169,12 @@ object WarcSource {
           bodyBytes = payload.length.toLong
       }
     }
-    WarcRecord(wtype, headers.getOrElse("warc-target-uri", ""),
-      clen, status, httpCt, body, bodyBytes)
+    // ISO 28500's WARC/1.0 grammar writes URIs in angle brackets (wget
+    // does); WARC/1.1 dropped them — normalize so consumers see one form
+    val uri0 = headers.getOrElse("warc-target-uri", "")
+    val uri = if (uri0.length >= 2 && uri0.head == '<' && uri0.last == '>')
+      uri0.substring(1, uri0.length - 1) else uri0
+    WarcRecord(wtype, uri, clen, status, httpCt, body, bodyBytes)
   }
 
   /** Lazy record walk over a `.warc` / `.warc.gz` stream — O(largest

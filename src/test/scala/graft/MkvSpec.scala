@@ -68,11 +68,35 @@ class MkvSpec extends GraftSparkSpec {
     assert(MkvSource.vintSize(126L).length === 1)
   }
 
-  test("ebml: unknown-size element (streaming form) rejects by name") {
-    val good = header("matroska")
-    // replace the Segment size with the 1-byte unknown marker 0xFF
-    val bytes = good ++ MkvSource.idBytes(Segment) ++ Array(0xff.toByte)
-    val e = intercept[Exception] { MkvSource.parseMkv(bytes) }
+  test("ebml: unknown-size Segment/Cluster parse (MediaRecorder form); other contexts reject") {
+    // the same content in sized and unknown-size forms must yield the
+    // same facts: unknown-size Cluster terminates at the next Cluster ID
+    // (sibling), the last at segment end; unknown-size Segment at EOF
+    val content = MkvSource.el(Tracks, videoTrack(1)) ++
+      MkvSource.elUnknown(Cluster,
+        MkvSource.elU(ClusterTs, 0L) ++ block(1, 0, key = true, 5)) ++
+      MkvSource.elUnknown(Cluster,
+        MkvSource.elU(ClusterTs, 1000L) ++ block(1, 40, key = false, 6))
+    val f = MkvSource.parseMkv(header("webm") ++
+      MkvSource.elUnknown(Segment, content))
+    assert(f.nClusters === 2)
+    assert(f.blocks.map(b => (b.tsAbs, b.keyframe, b.frameBytes)) ===
+      Seq((0L, true, 5), (1040L, false, 6)))
+    // nested: unknown-size Cluster under a SIZED Segment also terminates
+    val g = MkvSource.parseMkv(header("webm") ++ MkvSource.el(Segment, content))
+    assert(g.nClusters === 2 && g.blocks.size === 2)
+    // a non-cluster-child segment-level ID (here Info) also closes an
+    // unknown-size cluster
+    val h = MkvSource.parseMkv(header("webm") ++ MkvSource.elUnknown(Segment,
+      MkvSource.el(Tracks, videoTrack(1)) ++
+        MkvSource.elUnknown(Cluster,
+          MkvSource.elU(ClusterTs, 0L) ++ block(1, 0, key = true, 3)) ++
+        MkvSource.el(Info, MkvSource.elU(0x2AD7B1L, 1000000L))))
+    assert(h.nClusters === 1 && h.blocks.size === 1)
+    // unknown-size is AMBIGUOUS anywhere else and rejects by name
+    val bad = header("matroska") ++ MkvSource.el(Segment,
+      MkvSource.idBytes(Info) ++ Array(0xff.toByte))
+    val e = intercept[Exception] { MkvSource.parseMkv(bad) }
     assert(e.getMessage.contains("unknown-size"))
   }
 
