@@ -1,0 +1,130 @@
+package graft.functions
+
+/** Character-trigram naive-Bayes language identification — the real
+  * langid stage of a crawl pipeline (replacing r15's 5-marker argmax;
+  * reference seam: the reference has no text analysis at all, this is
+  * extension surface). Five Latin-script languages (de/en/es/fr/it)
+  * with profiles built from SEEDED literal corpora at class load, so
+  * the model is a deterministic function of source code.
+  *
+  * Cross-engine discipline (the d33/d54 pattern): every score is an
+  * exact integer. Trigram counts are integers; add-one-smoothed log
+  * probabilities come from [[lnMicro]], a LITERAL micro-nat table both
+  * engines share (the DuckDB oracle re-builds the same counts from the
+  * same seed sentences and joins the same table — no runtime `ln`
+  * anywhere, so a 1-ulp libm difference cannot flip an argmax). Score:
+  *   score(L) = Σ_t lnMicro(count(L,t)+1) − nTris · lnMicro(total(L)+V)
+  * which is Σ ln((c+1)/(total+V)) in micro-nats — multinomial NB with
+  * add-one smoothing over the joint seed vocabulary V. Ties break to
+  * the alphabetically first language.
+  *
+  * 100 TB shape: the model is a few-KB closure constant; prediction is
+  * a narrow per-row map (no exchange, no broadcast join needed).
+  */
+object LangId {
+
+  /** Tie order = alphabetical. */
+  val langs: Seq[String] = Seq("de", "en", "es", "fr", "it")
+
+  // Seed corpora: 8 short ASCII-normalized sentences per language,
+  // function-word heavy (articles, pronouns, auxiliaries carry the
+  // trigram signal). MUST stay byte-identical to the d5 oracle's VALUES.
+  private[graft] val seeds: Seq[(String, String)] = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog"),
+    ("en", "this is the house that jack built"),
+    ("en", "what time is it and where are we going"),
+    ("en", "she said that they would come with us"),
+    ("en", "of all the things we have seen this was the best"),
+    ("en", "people who live in glass houses should not throw stones"),
+    ("en", "there is nothing either good or bad but thinking makes it so"),
+    ("en", "to be or not to be that is the question"),
+    ("de", "der schnelle braune fuchs springt ueber den faulen hund"),
+    ("de", "dies ist das haus das jack gebaut hat"),
+    ("de", "wie spaet ist es und wohin gehen wir"),
+    ("de", "sie sagte dass sie mit uns kommen wuerden"),
+    ("de", "von allen dingen die wir gesehen haben war dies das beste"),
+    ("de", "wer im glashaus sitzt sollte nicht mit steinen werfen"),
+    ("de", "es gibt nichts gutes ausser man tut es"),
+    ("de", "sein oder nicht sein das ist hier die frage"),
+    ("fr", "le rapide renard brun saute par dessus le chien paresseux"),
+    ("fr", "c est la maison que jacques a construite"),
+    ("fr", "quelle heure est il et ou allons nous"),
+    ("fr", "elle a dit qu ils viendraient avec nous"),
+    ("fr", "de toutes les choses que nous avons vues c etait la meilleure"),
+    ("fr", "les gens qui vivent dans des maisons de verre ne devraient pas jeter de pierres"),
+    ("fr", "il n y a rien de bon ou de mauvais mais la pensee le rend ainsi"),
+    ("fr", "etre ou ne pas etre telle est la question"),
+    ("es", "el rapido zorro marron salta sobre el perro perezoso"),
+    ("es", "esta es la casa que construyo jack"),
+    ("es", "que hora es y adonde vamos"),
+    ("es", "ella dijo que vendrian con nosotros"),
+    ("es", "de todas las cosas que hemos visto esta fue la mejor"),
+    ("es", "quien vive en casa de cristal no deberia tirar piedras"),
+    ("es", "no hay nada bueno ni malo pero el pensamiento lo hace asi"),
+    ("es", "ser o no ser esa es la cuestion"),
+    ("it", "la rapida volpe marrone salta sopra il cane pigro"),
+    ("it", "questa e la casa che jack ha costruito"),
+    ("it", "che ora e e dove stiamo andando"),
+    ("it", "lei ha detto che sarebbero venuti con noi"),
+    ("it", "di tutte le cose che abbiamo visto questa era la migliore"),
+    ("it", "chi vive in case di vetro non dovrebbe lanciare pietre"),
+    ("it", "non c e niente di buono o cattivo ma il pensiero lo rende tale"),
+    ("it", "essere o non essere questa e la domanda"))
+
+  /** round(ln(k)·1e6) for every k either engine looks up: smoothed
+    * counts 1..17 (max seed trigram count is 16) and the five
+    * total+vocab denominators. Literal so the oracle joins the SAME
+    * integers (LangIdSpec pins each entry against Math.log).
+    */
+  private[graft] val lnMicro: Map[Int, Long] = Map(
+    1 -> 0L, 2 -> 693147L, 3 -> 1098612L, 4 -> 1386294L, 5 -> 1609438L,
+    6 -> 1791759L, 7 -> 1945910L, 8 -> 2079442L, 9 -> 2197225L,
+    10 -> 2302585L, 11 -> 2397895L, 12 -> 2484907L, 13 -> 2564949L,
+    14 -> 2639057L, 15 -> 2708050L, 16 -> 2772589L, 17 -> 2833213L,
+    1166 -> 7061334L, 1178 -> 7071573L, 1185 -> 7077498L,
+    1196 -> 7086738L, 1242 -> 7124478L)
+
+  /** Lowercase, strip to [a-z] runs, collapse to single spaces, trim —
+    * the exact expression the oracle runs
+    * (`trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))`).
+    */
+  private[graft] def normalize(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z]+", " ").trim
+
+  /** Character trigrams of the space-padded normalized text. */
+  private[graft] def trigrams(text: String): Seq[String] = {
+    val p = " " + normalize(text) + " "
+    if (p.length < 3) Seq.empty
+    else (0 to p.length - 3).map(i => p.substring(i, i + 3))
+  }
+
+  private val counts: Map[String, Map[String, Int]] =
+    seeds.groupBy(_._1).map { case (l, ss) =>
+      l -> ss.flatMap(s => trigrams(s._2))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    }
+  private[graft] val vocabSize: Int =
+    counts.valuesIterator.flatMap(_.keysIterator).toSet.size
+  private[graft] val totals: Map[String, Int] =
+    counts.map { case (l, c) => l -> c.values.sum }
+  private[graft] val maxSeedCount: Int =
+    counts.valuesIterator.flatMap(_.valuesIterator).max
+
+  /** Per-language micro-nat NB scores for a text. */
+  private[graft] def scores(text: String): Map[String, Long] = {
+    val ts = trigrams(text)
+    langs.map { l =>
+      val c = counts(l)
+      val base = lnMicro(totals(l) + vocabSize)
+      l -> ts.foldLeft(0L)((acc, t) => acc + lnMicro(c.getOrElse(t, 0) + 1))
+        .-(ts.size.toLong * base)
+    }.toMap
+  }
+
+  /** Argmax language; ties break to the alphabetically first. */
+  def predict(text: String): String = {
+    val sc = scores(text)
+    langs.minBy(l => (-sc(l), l))
+  }
+}

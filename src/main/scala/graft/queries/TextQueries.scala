@@ -35,6 +35,56 @@ object TextQueries {
   private val hllLnTable: Seq[Long] =
     (1 to 64).map(v => Math.round(Math.log(64.0 / v) * 1e6))
 
+  /** d5's DuckDB side, GENERATED from the same source constants the
+    * engine scores with (LangId.seeds / LangId.lnMicro), so the two
+    * model definitions cannot drift: the oracle re-derives trigram
+    * counts from the seed VALUES and joins the literal micro-nat table
+    * — identical integers, no runtime ln. Declared before `all` (the
+    * md5Empty eager-interpolation rule).
+    */
+  private val langIdOracleSql: String = {
+    val seedVals = graft.functions.LangId.seeds
+      .map { case (l, s) => s"('$l', '$s')" }.mkString(",\n      ")
+    val lnVals = graft.functions.LangId.lnMicro.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"($k, $v)" }.mkString(", ")
+    s"""WITH seed(lang, sentence) AS (VALUES
+       |      $seedVals),
+       |lnt(k, v) AS (VALUES $lnVals),
+       |sp AS (SELECT lang,
+       |         ' ' || trim(regexp_replace(lower(sentence), '[^a-z]+', ' ', 'g'))
+       |           || ' ' AS p FROM seed),
+       |si AS (SELECT lang, p, unnest(range(1, length(p) - 1)) AS i FROM sp),
+       |stri AS (SELECT lang, substr(p, CAST(i AS INT), 3) AS tri FROM si),
+       |cnt AS (SELECT lang, tri, count(*) AS c FROM stri GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS t FROM stri GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tri) AS v FROM stri),
+       |dp AS (SELECT doc_id, lang AS true_lang,
+       |         ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+       |           || ' ' AS p FROM documents),
+       |di AS (SELECT doc_id, true_lang, p, unnest(range(1, length(p) - 1)) AS i
+       |       FROM dp WHERE length(p) >= 3),
+       |dtri AS (SELECT doc_id, true_lang, substr(p, CAST(i AS INT), 3) AS tri
+       |         FROM di),
+       |sc AS (SELECT dt.doc_id, dt.true_lang, lg.lang,
+       |         sum(lc.v) - count(*) * any_value(lt.v) AS score
+       |       FROM dtri dt
+       |       CROSS JOIN (SELECT DISTINCT lang FROM seed) lg
+       |       LEFT JOIN cnt ON cnt.lang = lg.lang AND cnt.tri = dt.tri
+       |       JOIN tot ON tot.lang = lg.lang
+       |       CROSS JOIN voc
+       |       JOIN lnt lc ON lc.k = coalesce(cnt.c, 0) + 1
+       |       JOIN lnt lt ON lt.k = tot.t + voc.v
+       |       GROUP BY 1, 2, 3),
+       |pr AS (SELECT doc_id, lang AS pred,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, lang) AS rn
+       |       FROM sc)
+       |SELECT d.lang, coalesce(p.pred, 'de') AS pred, count(*) AS n
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id, pred FROM pr WHERE rn = 1) p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: md5-groupBy, keep the smallest doc_id per content
@@ -101,48 +151,28 @@ object TextQueries {
              |      FROM documents)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
-    // ---- language-ID heuristic: marker-token scores + fixed-precedence
-    // argmax. (The synthetic corpus shares one vocabulary across langs, so
-    // this checks the *computation*, not model accuracy.)
+    // ---- language ID: char-trigram naive Bayes (functions/LangId) over
+    // SEEDED per-language profile corpora — the real langid stage of a
+    // crawl pipeline (replaced the r15 5-marker argmax). Both engines
+    // build the SAME model: the oracle re-derives trigram counts from
+    // the same literal seed sentences and joins the same literal
+    // micro-nat ln table (no runtime ln — the d33/d54 integer
+    // discipline), so smoothing, scoring, and the alphabetical tie rule
+    // are all hash-checked. (The synthetic corpus is English-shaped, so
+    // this checks the computation; LangIdSpec checks accuracy on
+    // held-out real sentences, 10/10.)
     "d5_langid" -> QueryDef(
       (s, dir) => {
-        // tokenize ONCE; five marker counts read the materialized array
-        def score(marker: String) =
-          size(filter(col("toks"), w => w === lit(marker)))
-        val scored = t(s, dir, "documents")
-          .withColumn("toks", tokens(col("text")))
-          .withColumn("s_en", score("the"))
-          .withColumn("s_de", score("table"))
-          .withColumn("s_fr", score("window"))
-          .withColumn("s_zh", score("join"))
-          .withColumn("s_es", score("data"))
-        val top = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_zh"), col("s_es"))
-        scored
-          .withColumn("pred",
-            when(col("s_en") === top, "en")
-              .when(col("s_de") === top, "de")
-              .when(col("s_fr") === top, "fr")
-              .when(col("s_zh") === top, "zh")
-              .otherwise("es"))
+        import s.implicits._
+        t(s, dir, "documents").select(col("lang"), col("text"))
+          .as[(String, String)]
+          .map { case (lang, text) =>
+            (lang, graft.functions.LangId.predict(text)) }
+          .toDF("lang", "pred")
           .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred")
       },
-      Some("""SELECT lang, CASE
-             |    WHEN s_en = top THEN 'en'
-             |    WHEN s_de = top THEN 'de'
-             |    WHEN s_fr = top THEN 'fr'
-             |    WHEN s_zh = top THEN 'zh'
-             |    ELSE 'es' END AS pred, count(*) AS n
-             |FROM (SELECT lang, s_en, s_de, s_fr, s_zh, s_es,
-             |        greatest(s_en, s_de, s_fr, s_zh, s_es) AS top
-             |      FROM (SELECT lang,
-             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'the')) AS s_en,
-             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'table')) AS s_de,
-             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'window')) AS s_fr,
-             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'join')) AS s_zh,
-             |        len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w = 'data')) AS s_es
-             |      FROM documents))
-             |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)),
+      Some(langIdOracleSql)),
 
     // ---- BPE-ish pre-tokenization: letter runs | single digits | single
     // punctuation (the GPT-2 pre-tokenizer shape, portable regex subset).

@@ -650,35 +650,25 @@ object WarcSource {
     * corpus-prep / prepare-run consume a crawl unchanged. doc_id is the
     * URI hash (stable across re-fetches — identical URIs collapse here;
     * NEAR-dups are downstream dedup's job), source is the host, lang is
-    * the d5 marker-argmax heuristic.
+    * the char-trigram naive-Bayes scorer ([[graft.functions.LangId]] —
+    * the d5 gate's model; a narrow per-row map, the profile rides the
+    * closure).
     */
   def crawlDocs(spark: SparkSession, glob: String,
                 lenient: Boolean = true,
                 mainContent: Boolean = false): DataFrame = {
-    val pages = warcFiles(spark, glob, lenient, mainContent)
+    import spark.implicits._
+    warcFiles(spark, glob, lenient, mainContent)
       .filter(col("status") === 200 && col("text").isNotNull &&
         length(col("text")) > 0)
-    // marker scores materialize ONCE into an array column — inlining the
-    // score expression into both greatest() and each when() would re-split
-    // and re-scan the full page text ~10x per row
-    val toks = split(trim(col("text")), "\\s+")
-    val markers = Seq("the", "table", "window", "join", "data")
-    val scoresCol = array(markers.map { m =>
-      size(org.apache.spark.sql.functions.filter(toks, w => w === lit(m)))
-    }: _*)
-    val lang = when(col("scores")(0) === col("top"), "en")
-      .when(col("scores")(1) === col("top"), "de")
-      .when(col("scores")(2) === col("top"), "fr")
-      .when(col("scores")(3) === col("top"), "zh")
-      .otherwise("es")
-    pages
-      .withColumn("scores", scoresCol)
-      .withColumn("top", array_max(col("scores")))
+      .select(col("uri"), col("text")).as[(String, String)]
+      .map { case (uri, text) =>
+        (uri, text, graft.functions.LangId.predict(text)) }
+      .toDF("uri", "text", "lang")
       .withColumn("doc_id", pmod(xxhash64(col("uri")), lit(Long.MaxValue)))
       // schemes are case-insensitive per RFC 3986; normalize the host
       .withColumn("source",
         lower(regexp_extract(col("uri"), "(?i)^[a-z]+://([^/]+)", 1)))
-      .withColumn("lang", lang)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .dropDuplicates("doc_id")
