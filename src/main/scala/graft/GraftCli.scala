@@ -427,6 +427,18 @@ object GraftCli {
       }
       spark.stop()
 
+    case "prepare-run-sync-ann" :: outDir :: indexDir :: rest =>
+      // incremental ANN-index sync against the run's committed waves
+      // (builds on first call; appends only new waves; x84-gated retrain)
+      val spark = session()
+      val nlist = rest.headOption.map(_.toInt).getOrElse(16)
+      val trainIters = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val m = operators.PrepareRun.syncAnnIndex(
+        spark, outDir, indexDir, nlist, trainIters)
+      println(s"[graft] ann sync: $outDir -> $indexDir " +
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
+      spark.stop()
+
     case "ann-index-build" :: embParquet :: indexDir :: rest =>
       val spark = session()
       val nlist = rest.headOption.map(_.toInt).getOrElse(16)
@@ -494,6 +506,17 @@ object GraftCli {
         trainIters = trainIters)
       println(s"[graft] ivf+pq index: $embParquet -> $indexDir " +
         s"(nlist=$nlist nSub=$nSub trainIters=$trainIters)")
+      spark.stop()
+
+    case "ann-index-append-pq" :: embParquet :: indexDir :: Nil =>
+      // wave append under BOTH frozen quantizers (coarse centroids and
+      // PQ codebook); prints the x84 drift report
+      val spark = session()
+      val rep = operators.Similarity.appendIvfPqIndex(
+        spark.read.parquet(embParquet), indexDir)
+      println(s"[graft] ivf+pq append: $embParquet -> $indexDir " +
+        rep.map(r => s"(n=${r.nBatch} kl_micro=${r.klMicro} " +
+          s"retrain=${r.retrain})").getOrElse("(no build_dist)"))
       spark.stop()
 
     case "ann-query-pq" :: indexDir :: embParquet :: vecId :: k :: rest =>
@@ -1013,7 +1036,9 @@ object GraftCli {
            |  ann-index-append <embeddingsParquet> <indexDir>
            |  ann-query <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
            |  ann-index-build-pq <embeddingsParquet> <indexDir> [nlist] [nSub] [trainIters]
+           |  ann-index-append-pq <embeddingsParquet> <indexDir>
            |  ann-query-pq <indexDir> <embeddingsParquet> <vecId> <k> [nprobe]
+           |  prepare-run-sync-ann <outDir> <indexDir> [nlist] [trainIters]
            |  ann-binary-build <embeddingsParquet> <indexDir>
            |  ann-binary-append <embeddingsParquet> <indexDir>
            |  ann-binary-query <indexDir> <embeddingsParquet> <vecId> <k> [prefilter]

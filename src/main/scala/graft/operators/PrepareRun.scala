@@ -276,6 +276,10 @@ object PrepareRun {
       // overwrite below wipes their partitions) — clear their markers
       // and data so they replay instead of serving ghost counts
       invalidateWaves(spark, outDir, deleteData = true)
+      // an ANN index synced against the old front indexes doc_ids that
+      // are about to be rewritten — drop its marker so the next
+      // syncAnnIndex rebuilds from scratch instead of serving stale ids
+      deleteMarker(spark, outDir, "ann")
       val q = docs.filter(Pack.tokenCount(col("text")) >= minTokens)
       // surv feeds BOTH the decontamination build and its manifest count;
       // clean feeds the split writes and its count — left lazy, each extra
@@ -761,5 +765,68 @@ object PrepareRun {
       mergedCounts.toSeq.sortBy(_._1))
     waveIds.foreach(id => deleteMarker(spark, outDir, s"wave_$id"))
     report
+  }
+
+  /** Keep a persisted IVF ANN index in sync with the run's COMMITTED
+    * train docs, incrementally — where "IVF index maintenance meets
+    * waves": the first call builds the index over every committed wave
+    * (`Similarity.writeIvfIndex`); later calls append ONLY the waves
+    * committed since the last sync, assigned under the frozen coarse
+    * quantizer, with the x84 drift tripwire deciding retrain-vs-append
+    * (`Similarity.maintainIvfIndex` — a fired tripwire rebuilds from
+    * the full committed corpus via the atomic `.retraining` swap).
+    *
+    * Exactly-once under crash replay: the `_stage_ann` marker commits
+    * AFTER the index mutation, and the append pass anti-joins the
+    * candidate vectors against the ids already in the lists — so a
+    * sync that crashed between index write and marker write replays
+    * into a no-op append instead of duplicating rows (the id probe is
+    * a single-column scan of the lists, the same economics as the
+    * appendUnique bucket probe). A base-front recompute in `run`
+    * drops the marker, forcing the next sync to rebuild.
+    *
+    * Returns (max_wave, n_appended, retrained) as marker-shaped counts.
+    */
+  def syncAnnIndex(spark: SparkSession, outDir: String, indexDir: String,
+                   nlist: Int = 16, trainIters: Int = 0,
+                   retrainMicro: Long = 500000L): Map[String, Long] = {
+    require(readMarkerRaw(spark, outDir, "docs").nonEmpty,
+      s"$outDir has no completed base docs stage — run PrepareRun.run first")
+    val waveIds = waveMarkerIds(spark, outDir)
+    val compactedMax = readMarkerRaw(spark, outDir, "compacted")
+      .flatMap(_._2.get("max_wave")).getOrElse(0L)
+    val committedMax = math.max(compactedMax,
+      waveIds.lastOption.getOrElse(0).toLong)
+    val docs = spark.read.parquet(s"$outDir/train_docs")
+    require(docs.columns.contains("embedding"),
+      "syncAnnIndex needs an embedding column on train_docs")
+    def vecs(df: DataFrame): DataFrame =
+      df.select(col("doc_id").as("vec_id"), col("source").as("label"),
+        col("embedding"))
+    val params = s"ann:$nlist:$retrainMicro"
+    val result = readMarkerRaw(spark, outDir, "ann") match {
+      case Some((ps, counts)) =>
+        require(ps == params,
+          s"ann index was synced under '$ps', not '$params' — delete the " +
+            "index and the _stage_ann marker to resync under new knobs")
+        val indexedMax = counts.getOrElse("max_wave", 0L)
+        val fresh = vecs(docs.filter(col("wave") > indexedMax))
+          .join(spark.read.parquet(s"$indexDir/lists").select("vec_id"),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        val n = fresh.count()
+        val rebuilt = n > 0 && Similarity.maintainIvfIndex(spark, indexDir,
+          fresh, vecs(docs), trainIters = trainIters,
+          retrainMicro = retrainMicro)._2
+        Map("max_wave" -> committedMax, "n_appended" -> n,
+          "retrained" -> (if (rebuilt) 1L else 0L))
+      case None =>
+        val all = vecs(docs).localCheckpoint()
+        val n = all.count()
+        Similarity.writeIvfIndex(all, indexDir, nlist, trainIters)
+        Map("max_wave" -> committedMax, "n_appended" -> n, "retrained" -> 0L)
+    }
+    writeMarker(spark, outDir, "ann", params, result.toSeq.sortBy(_._1))
+    result
   }
 }

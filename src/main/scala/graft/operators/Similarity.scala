@@ -788,14 +788,88 @@ object Similarity {
     assigned
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/lists")
+    driftAfterAppend(spark, path, assigned, cents.length)
+  }
+
+  /** The tripwire tail shared by every index append arm: compare the
+    * wave's assignment distribution against the persisted `build_dist`;
+    * None for an index persisted before that table existed (the append
+    * still lands).
+    */
+  private def driftAfterAppend(spark: org.apache.spark.sql.SparkSession,
+                               path: String, assigned: DataFrame,
+                               nlist: Int): Option[DriftReport] = {
     val distPath = new org.apache.hadoop.fs.Path(s"$path/build_dist")
     val fsys = distPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fsys.exists(distPath)) None
     else {
       val r = assignmentDrift(assigned.select("list_id"),
-        spark.read.parquet(s"$path/build_dist"), cents.length).head()
+        spark.read.parquet(s"$path/build_dist"), nlist).head()
       Some(DriftReport(r.getLong(0), r.getLong(1), r.getBoolean(2)))
     }
+  }
+
+  /** Append a batch to a persisted `writeIvfPqIndex` WITHOUT rebuilding:
+    * the batch is assigned under the index's FROZEN coarse centroids
+    * AND encoded under its FROZEN PQ codebook (both read once,
+    * driver-side literals), then appended to the `list_id`-partitioned
+    * lists — so appended rows are query-identical to a from-scratch
+    * build at the same centroids/codebook (spec-pinned). Same x84 drift
+    * tripwire and append-only contract as [[appendIvfIndex]]; quantizer
+    * RE-TRAINING (new codebook) is a deliberate rebuild, because codes
+    * are only comparable under one codebook.
+    */
+  def appendIvfPqIndex(batch: DataFrame, path: String): Option[DriftReport] = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect().map(_.getSeq[Float](1).toArray)
+    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    val nSub = cbRow.getInt(0)
+    val cbFlat = cbRow.getSeq[Float](1)
+    val assigned = assignLists(
+        batch.withColumn("codes", graft.functions.VectorFunctions
+          .pqEncode(col("embedding"), typedlit(cbFlat), nSub)),
+        cents)
+      .localCheckpoint() // feeds the append write AND the drift counts
+    assigned
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/lists")
+    driftAfterAppend(spark, path, assigned, cents.length)
+  }
+
+  /** Wave-aware IVF index maintenance: append the wave under the frozen
+    * centroids, and let the x84 tripwire DECIDE retrain-vs-append — a
+    * fired tripwire rebuilds the index from `corpus` (which must
+    * already include the wave) with `trainIters` k-means rounds, via a
+    * staged `.retraining` build + the compaction swap protocol, so the
+    * live index is always fully one generation or the other (crash in
+    * the window recovers from `.old` on the next call). Quiet waves pay
+    * only the append. Returns (wave drift report, rebuilt?).
+    *
+    * This is the lifecycle `prepare-run` waves drive (see
+    * `PrepareRun.syncAnnIndex`): ingestion assigns under the existing
+    * coarse quantizer; retraining is deliberate, tripwire-gated, and
+    * atomic.
+    */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, wave: DataFrame, corpus: => DataFrame,
+                       trainIters: Int = 2,
+                       retrainMicro: Long = 500000L)
+      : (Option[DriftReport], Boolean) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, root) // a crash inside a prior retrain swap window
+    val report = appendIvfIndex(wave, path)
+    val retrain = report.exists(r => r.nBatch > 0 && r.klMicro > retrainMicro)
+    if (retrain) {
+      val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+      val next = new org.apache.hadoop.fs.Path(s"$path.retraining")
+      if (fs.exists(next)) fs.delete(next, true)
+      writeIvfIndex(corpus, next.toString, nlist, trainIters)
+      swapDirs(fs, root, next)
+      spark.catalog.refreshByPath(path)
+    }
+    (report, retrain)
   }
 
   /** Top-k against a persisted `writeIvfIndex`: centroids load driver-side
@@ -859,6 +933,12 @@ object Similarity {
         cents)
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/lists")
+    // drift baseline for appendIvfPqIndex — same read-back derivation
+    // as writeIvfIndex (see the comment there)
+    spark.read.parquet(s"$path/lists")
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/build_dist")
   }
 
   /** Top-k against a persisted `writeIvfPqIndex`: probe lists chosen
