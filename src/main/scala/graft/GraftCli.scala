@@ -874,6 +874,18 @@ object GraftCli {
       println(s"[graft] tar-scan: $glob -> $outDir")
       spark.stop()
 
+    case "stream-tar-scan" :: landingDir :: outDir :: ckpt :: rest =>
+      // continuous WebDataset-shard ingestion server (tar sibling of
+      // stream-warc-extract); lifetimeSec bounds the demo run
+      val spark = session()
+      val lifetime = rest.headOption.map(_.toInt).getOrElse(15)
+      val q = streaming.StreamingAnalytics.tarIngest(
+        spark, landingDir, outDir, ckpt)
+      println(s"[graft] tar-scan server on $landingDir -> $outDir")
+      q.awaitTermination(lifetime * 1000L)
+      q.stop()
+      spark.stop()
+
     case "mkv-meta" :: mediaParquet :: outDir :: Nil =>
       val spark = session()
       graft.sources.MkvSource.mkvTable(spark, spark.read.parquet(mediaParquet))
@@ -1030,6 +1042,7 @@ object GraftCli {
            |  graph-bfs <edgesParquet> <seedsParquet> <outDir> [maxDepth]
            |  graph-components <edgesParquet> <outDir> [maxRounds]
            |  graph-sssp <edgesParquet(src,dst,w)> <seedsParquet> <outDir> [maxRounds]
+           |  stream-tar-scan <landingDir> <outDir> <ckptDir> [lifetimeSec]
            |  manifest-compact <shardDir> [retainDays]
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist] [trainIters]

@@ -47,6 +47,29 @@ object TarSource {
     new String(bytes, off, n, "ISO-8859-1")
   }
 
+  /** PAX extended-header records: repeated "<decimal len> key=value\n"
+    * where len counts the WHOLE record including itself and the newline
+    * (POSIX.1-2001 pax). Malformed records reject by name.
+    */
+  private[graft] def paxRecords(data: Array[Byte]): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    var pos = 0
+    while (pos < data.length) {
+      var sp = pos
+      while (sp < data.length && data(sp) != ' ') sp += 1
+      require(sp > pos && sp < data.length, "tar: malformed pax record length")
+      val len = new String(data, pos, sp - pos, "ISO-8859-1").toInt
+      require(len > sp - pos + 1 && pos + len <= data.length &&
+        data(pos + len - 1) == '\n', "tar: pax record overruns header")
+      val body = new String(data, sp + 1, pos + len - 1 - (sp + 1), "UTF-8")
+      val eq = body.indexOf('=')
+      require(eq > 0, s"tar: malformed pax record '$body'")
+      out(body.substring(0, eq)) = body.substring(eq + 1)
+      pos += len
+    }
+    out.toMap
+  }
+
   /** Lazy entry walk over one (decompressed) tar stream — O(largest
     * entry) memory: one 512-byte header at a time, one entry's data at a
     * time, never the archive. Grammar identical to the old array walker
@@ -59,6 +82,9 @@ object TarSource {
       private var pending: TarEntry = null
       private var finished = false
       private var zeroBlocks = 0
+      // name overrides announced by a preceding GNU 'L' / PAX 'x' entry
+      private var longName: Option[String] = None
+      private var paxPath: Option[String] = None
 
       /** One 512-byte block into hdr; false at clean EOF-or-short-block
         * (which is only legal after both zero blocks).
@@ -99,21 +125,47 @@ object TarSource {
             require(sum == want, s"tar: header checksum mismatch ($sum != $want)")
             val prefix = cstr(hdr, 345, 155)
             val name0 = cstr(hdr, 0, 100)
-            val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
+            val hdrName = if (prefix.isEmpty) name0 else prefix + "/" + name0
             val size = octal(hdr, 124, 12)
             val typeflag = {
               val t = hdr(156)
               if (t == 0) '0' else t.toChar
             }
             val padded = ((size + 511) / 512) * 512
-            val overrun = s"tar: entry '$name' overruns archive"
-            val data = if (typeflag == '0') {
-              require(size <= Int.MaxValue - 16, s"tar: entry '$name' exceeds 2 GiB")
-              val d = feed.bytes(size.toInt, overrun)
-              feed.skip(padded - size, overrun)
-              d
-            } else { feed.skip(padded, overrun); Array.emptyByteArray }
-            pending = TarEntry(name, size, typeflag, data)
+            val overrun = s"tar: entry '$hdrName' overruns archive"
+            typeflag match {
+              case 'L' =>
+                // GNU long-name: this pseudo-entry's DATA is the next
+                // real entry's NUL-terminated path (GNU tar emits it for
+                // any path over 100 bytes in its default format)
+                require(size <= (1L << 16), "tar: long-name entry oversized")
+                val d = feed.bytes(size.toInt, overrun)
+                feed.skip(padded - size, overrun)
+                var n = 0
+                while (n < d.length && d(n) != 0) n += 1
+                longName = Some(new String(d, 0, n, "ISO-8859-1"))
+              case 'x' | 'g' =>
+                // PAX extended header: "<len> key=value\n" records; honor
+                // `path` (the POSIX long-name form), skip other keys —
+                // they annotate, never change the byte walk
+                require(size <= (1L << 20), "tar: pax header oversized")
+                val d = feed.bytes(size.toInt, overrun)
+                feed.skip(padded - size, overrun)
+                if (typeflag == 'x') paxPath = paxRecords(d).get("path")
+              case _ =>
+                val name = longName
+                  .orElse(paxPath)
+                  .getOrElse(hdrName)
+                longName = None; paxPath = None
+                val data = if (typeflag == '0') {
+                  require(size <= Int.MaxValue - 16,
+                    s"tar: entry '$name' exceeds 2 GiB")
+                  val d = feed.bytes(size.toInt, overrun)
+                  feed.skip(padded - size, overrun)
+                  d
+                } else { feed.skip(padded, overrun); Array.emptyByteArray }
+                pending = TarEntry(name, size, typeflag, data)
+            }
           }
         }
       }

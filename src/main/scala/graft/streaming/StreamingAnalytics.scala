@@ -589,6 +589,52 @@ object StreamingAnalytics {
       .option("path", outDir)
       .start()
   }
+
+  /** Continuous WebDataset-shard ingestion — the tar sibling of
+    * [[warcIngest]]: a landing directory of `.tar`/`.tar.gz` shards
+    * streams through the entry walk (sources/TarSource) into an
+    * append-only parquet member manifest, exactly-once per file through
+    * the checkpoint. Same memory discipline as batch: only `path` is
+    * selected (binaryFile never ships content in a Row) and each task
+    * streams its shard entry-at-a-time — O(largest entry).
+    * Output: (shard, name, sample_key, bytes).
+    */
+  def tarIngest(spark: org.apache.spark.sql.SparkSession,
+                landingDir: String, outDir: String,
+                checkpointDir: String, maxFilesPerTrigger: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.tar*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(landingDir)
+      .select(col("path")).as[String]
+      .flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val in = p.getFileSystem(conf.value).open(p)
+        graft.sources.StreamUtil.closeOnExhaust(in,
+          graft.sources.TarSource.shardEntryIter(in)
+            .filter(_.typeflag == '0')
+            .map(e => (path, e.name, e.name.takeWhile(_ != '.'), e.size)))
+      }
+      .toDF("shard", "name", "sample_key", "bytes")
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .start()
+  }
 }
 
 /** Hadoop `Configuration` is `Writable`, not `Serializable`; executors
