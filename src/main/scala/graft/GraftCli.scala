@@ -874,6 +874,30 @@ object GraftCli {
       println(s"[graft] tar-scan: $glob -> $outDir")
       spark.stop()
 
+    case "zip-demo" :: docsParquet :: outDir :: Nil =>
+      // materialize .zip fixtures (mixed stored/deflate, some commented)
+      val spark = session()
+      new java.io.File(outDir).mkdirs()
+      sources.ZipSource.synthesizeZip(spark, spark.read.parquet(docsParquet))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"d${r.getLong(0)}.zip"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      println(s"[graft] zip-demo: $docsParquet -> $outDir")
+      spark.stop()
+
+    case "zip-scan" :: glob :: outDir :: Nil =>
+      // central-directory manifest of every archive under the glob,
+      // each entry decoded + CRC-verified
+      val spark = session()
+      sources.ZipSource.zipFiles(spark, glob)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] zip-scan: $glob -> $outDir")
+      spark.stop()
+
     case "stream-tar-scan" :: landingDir :: outDir :: ckpt :: rest =>
       // continuous WebDataset-shard ingestion server (tar sibling of
       // stream-warc-extract); lifetimeSec bounds the demo run
@@ -1043,6 +1067,8 @@ object GraftCli {
            |  graph-components <edgesParquet> <outDir> [maxRounds]
            |  graph-sssp <edgesParquet(src,dst,w)> <seedsParquet> <outDir> [maxRounds]
            |  stream-tar-scan <landingDir> <outDir> <ckptDir> [lifetimeSec]
+           |  zip-demo <docsParquet> <outDir>
+           |  zip-scan '<glob.zip>' <outDir>
            |  manifest-compact <shardDir> [retainDays]
            |  dedup-index-build <docsParquet> <indexDir>
            |  ann-index-build <embeddingsParquet> <indexDir> [nlist] [trainIters]

@@ -3402,6 +3402,41 @@ object ExtensionQueries {
           |  CAST(sum(bin_len) AS BIGINT) AS bin_bytes
           |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ZIP central-directory walk (sources/ZipSource) — the third shard
+    // container after tar and WARC, and a reference seam deepened: the
+    // reference reads zip input (TextSource.cs:88-103, first entry).
+    // The walk is the correct direction — EOCD scan-back (the fixture
+    // plants archive comments on doc_id%5==0 so the scan is exercised),
+    // central directory as the authoritative catalog, per-entry seek +
+    // bounded read + CRC32/usize verification; encryption, zip64, other
+    // methods reject by name. first_text is a full decode round-trip
+    // (stored AND deflated entries both appear via (id+j)%4). DuckDB
+    // re-derives every fact from doc_id arithmetic; ZipSpec pins
+    // interop BOTH ways against the system zip/unzip binaries.
+    "x110_zip" -> QueryDef(
+      (s, dir) => graft.sources.ZipSource.zipTable(
+          s, graft.sources.ZipSource.synthesizeZip(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, text, doc_id % 3 + 1 AS k
+          |           FROM documents),
+          |e AS (SELECT doc_id, text, k, unnest(range(0, k)) AS j FROM d)
+          |SELECT doc_id,
+          |  CAST(any_value(k) AS INT) AS n_entries,
+          |  CAST(sum(CASE WHEN (doc_id + j) % 4 = 0 THEN 1 ELSE 0 END)
+          |    AS INT) AS n_stored,
+          |  CAST(any_value(k) -
+          |    sum(CASE WHEN (doc_id + j) % 4 = 0 THEN 1 ELSE 0 END)
+          |    AS INT) AS n_deflated,
+          |  CAST(sum(CASE WHEN j = 0 THEN length(text)
+          |    ELSE length('entry ' || doc_id || ' ' || j) END) AS BIGINT)
+          |    AS usize_sum,
+          |  CAST(CASE WHEN doc_id % 5 = 0 THEN length('doc ' || doc_id)
+          |    ELSE 0 END AS INT) AS comment_len,
+          |  any_value(text) AS first_text
+          |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ORC tail read via our own PROTOBUF decoder (sources/OrcFooter) —
     // the data-lake container family's fourth member (thrift-compact
     // x96, avro binary x98, now protobuf): postscript, zlib chunk-framed

@@ -1,0 +1,139 @@
+package graft
+
+import graft.sources.ZipSource
+
+/** ZIP walker: system zip/unzip interop in BOTH directions, EOCD
+  * comment scan-back, stored+deflate round-trips, CRC/encryption/zip64
+  * tripwires, and the seek-based file arm.
+  */
+class ZipSpec extends GraftSparkSpec {
+
+  private def run(cmd: Seq[String], cwd: java.io.File,
+                  stdin: String = null): String = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(cwd); pb.redirectErrorStream(true)
+    val p = pb.start()
+    if (stdin != null) {
+      p.getOutputStream.write(stdin.getBytes("UTF-8"))
+    }
+    p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() === 0, s"${cmd.mkString(" ")} failed: $out")
+    out
+  }
+
+  private def withTmp[A](f: java.io.File => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("zipspec").toFile
+    try f(dir) finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("zip: the system unzip validates and extracts our writer's bytes") {
+    withTmp { dir =>
+      val bytes = ZipSource.zipOf(Seq(
+        ("a.txt", "hello zip".getBytes("UTF-8"), false),
+        ("b/c.bin", Array.tabulate(700)(_.toByte), true)),
+        comment = "our comment")
+      val f = new java.io.File(dir, "ours.zip")
+      java.nio.file.Files.write(f.toPath, bytes)
+      run(Seq("unzip", "-t", "ours.zip"), dir) // integrity (CRC) pass
+      val listing = run(Seq("unzip", "-Z1", "ours.zip"), dir)
+      assert(listing.split("\n").toSeq === Seq("a.txt", "b/c.bin"))
+      assert(run(Seq("unzip", "-p", "ours.zip", "a.txt"), dir) === "hello zip")
+      run(Seq("unzip", "-q", "ours.zip"), dir)
+      assert(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "b/c.bin").toPath).toSeq ===
+        Array.tabulate(700)(_.toByte).toSeq)
+    }
+  }
+
+  test("zip: we parse system-zip archives — deflate, stored, archive comment") {
+    withTmp { dir =>
+      java.nio.file.Files.write(new java.io.File(dir, "x.txt").toPath,
+        ("repeat " * 50).getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(dir, "y.txt").toPath,
+        "tiny".getBytes("UTF-8"))
+      run(Seq("zip", "-q", "-9", "theirs.zip", "x.txt"), dir)
+      run(Seq("zip", "-q", "-0", "theirs.zip", "y.txt"), dir) // stored
+      run(Seq("zip", "-q", "-z", "theirs.zip"), dir,
+        stdin = "their comment\n")
+      val in = new ZipSource.BytesSeekable(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "theirs.zip").toPath))
+      val d = ZipSource.readDirectory(in)
+      assert(d.comment === "their comment")
+      assert(d.entries.map(_.name).toSet === Set("x.txt", "y.txt"))
+      val x = d.entries.find(_.name == "x.txt").get
+      val y = d.entries.find(_.name == "y.txt").get
+      assert(x.method === 8 && x.csize < x.usize) // really deflated
+      assert(y.method === 0 && y.csize === y.usize)
+      assert(new String(ZipSource.entryBytes(in, x), "UTF-8") ===
+        "repeat " * 50)
+      assert(new String(ZipSource.entryBytes(in, y), "UTF-8") === "tiny")
+    }
+  }
+
+  test("zip: CRC damage, encryption, and zip64 reject loudly by name") {
+    val good = ZipSource.zipOf(Seq(
+      ("a.txt", ("payload " * 20).getBytes("UTF-8"), false)))
+    // flip a deflate byte: entry decode fails its CRC (or the inflate)
+    val c1 = good.clone(); c1(40) = (c1(40) ^ 0x08).toByte
+    val in1 = new ZipSource.BytesSeekable(c1)
+    val e1 = intercept[Exception] {
+      ZipSource.entryBytes(in1, ZipSource.readDirectory(in1).entries.head)
+    }
+    assert(e1.getMessage.contains("CRC") ||
+      e1.getMessage.contains("deflate") || e1.getMessage.contains("size"))
+    // set the encryption bit in the central entry's flags
+    val c2 = good.clone()
+    val cdOff = c2.length - 22 - 46 - 5 // EOCD(22) + central(46+name 5)
+    assert((c2(cdOff) & 0xff) === 0x50 && (c2(cdOff + 1) & 0xff) === 0x4b)
+    c2(cdOff + 8) = 1 // flags low byte
+    val e2 = intercept[IllegalArgumentException] {
+      ZipSource.readDirectory(new ZipSource.BytesSeekable(c2))
+    }
+    assert(e2.getMessage.contains("encrypted"))
+    // zip64 sentinel: total entry count 0xFFFF in the EOCD
+    val c3 = good.clone()
+    val eocd = c3.length - 22
+    c3(eocd + 10) = 0xff.toByte; c3(eocd + 11) = 0xff.toByte
+    val e3 = intercept[Exception] {
+      ZipSource.readDirectory(new ZipSource.BytesSeekable(c3))
+    }
+    assert(e3.getMessage.contains("zip64"))
+  }
+
+  test("zip: fixture facts match the documented arithmetic") {
+    Seq(0L, 4L, 7L).foreach { id => // 0: comment+stored; 4: k=2; 7: k=2
+      val in = new ZipSource.BytesSeekable(
+        ZipSource.zipFixtureOf(id, "some doc text"))
+      val d = ZipSource.readDirectory(in)
+      val k = (id % 3 + 1).toInt
+      assert(d.entries.size === k)
+      assert(d.entries.count(_.method == 0) ===
+        (0 until k).count(j => (id + j) % 4 == 0))
+      assert(d.comment === (if (id % 5 == 0) s"doc $id" else ""))
+      assert(new String(ZipSource.entryBytes(in,
+        d.entries.find(_.name == "e0.txt").get), "UTF-8") === "some doc text")
+    }
+  }
+
+  test("zip: file-path arm seeks the directory and CRC-checks every entry") {
+    withTmp { dir =>
+      Seq(2L, 5L).foreach { id =>
+        java.nio.file.Files.write(new java.io.File(dir, s"d$id.zip").toPath,
+          ZipSource.zipFixtureOf(id, s"text for $id"))
+      }
+      val rows = ZipSource.zipFiles(spark, dir.getAbsolutePath + "/*.zip")
+        .collect()
+      // id=2 -> k=3 entries, id=5 -> k=3
+      assert(rows.length === 6)
+      assert(rows.forall(_.getBoolean(4)))
+      assert(rows.map(_.getString(1)).toSet === Set("e0.txt", "e1.txt", "e2.txt"))
+    }
+  }
+}
