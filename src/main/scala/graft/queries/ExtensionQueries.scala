@@ -3289,6 +3289,120 @@ object ExtensionQueries {
           |WHERE NOT starts_with(ids, s) OR starts_with(ids, s || s)
           |ORDER BY doc_id, priority_ppm DESC, loc""".stripMargin)),
 
+    // FETCH POLITENESS SCHEDULE (x111) — the step between the frontier
+    // and the fetcher: per-site Crawl-delay directives (parsed from the
+    // same robots.txt as x107's admission rules, exact-group-else-*
+    // precedence, decimal seconds → integer ms) turn the x109 frontier
+    // into concrete fetch offsets: frontier order (priority desc, loc),
+    // fetch_at = seq × delay. DuckDB re-derives delays and the schedule
+    // from doc_id arithmetic. A polite crawler is not optional at 100 TB
+    // — this is the control plane's rate limiter, computed per-site
+    // map-side.
+    "x111_politeness" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val fetchedOk = graft.sources.WarcSource
+              .parseWarc(graft.sources.WarcSource.warcOf(id, text)).records
+              .filter(r => r.warcType == "response" && r.httpStatus == 200)
+              .map(_.targetUri).toSet
+            val (rules, delays) = graft.sources.RobotsTxt.parseRobotsAll(
+              graft.sources.RobotsTxt.robotsOf(id % 7))
+            val delayMs = graft.sources.RobotsTxt.crawlDelayMs(delays, "anybot")
+            graft.sources.Sitemap.parseSitemap(
+                graft.sources.Sitemap.sitemapOf(id)).entries
+              .filter(e => !fetchedOk(e.loc))
+              .filter { e =>
+                val path = e.loc.stripPrefix(s"http://site${id % 7}.example")
+                graft.sources.RobotsTxt.evaluate(rules, "anybot", path)._1
+              }
+              .sortBy(e => (-e.priorityPpm, e.loc))
+              .zipWithIndex.map { case (e, seq) =>
+                (id, e.loc, seq, delayMs, seq * delayMs)
+              }
+          }
+          .toDF("doc_id", "loc", "seq", "delay_ms", "fetch_at_ms")
+          .orderBy("doc_id", "seq")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d),
+          |e AS (SELECT doc_id, j,
+          |        'http://site' || (doc_id % 7) || '.example/' || doc_id
+          |          || '/' || j AS loc,
+          |        (9 - j) * 100000 AS ppm,
+          |        CAST(doc_id AS VARCHAR) AS ids,
+          |        CAST(doc_id % 7 AS VARCHAR) AS s
+          |      FROM u WHERE (doc_id + j) % 5 = 0),
+          |f AS (SELECT doc_id, loc, ppm FROM e
+          |      WHERE NOT starts_with(ids, s) OR starts_with(ids, s || s)),
+          |r AS (SELECT doc_id, loc,
+          |        row_number() OVER (PARTITION BY doc_id
+          |                           ORDER BY ppm DESC, loc) - 1 AS seq,
+          |        (doc_id % 7 % 3 + 1) * 1000 + 500 AS delay_ms
+          |      FROM f)
+          |SELECT doc_id, loc, CAST(seq AS INT) AS seq,
+          |  CAST(delay_ms AS BIGINT) AS delay_ms,
+          |  CAST(seq * delay_ms AS BIGINT) AS fetch_at_ms
+          |FROM r ORDER BY doc_id, seq""".stripMargin)),
+
+    // RECRAWL SCHEDULING (x112) — the freshness side of the control
+    // plane: sitemap lastmod + changefreq (the x108 parser's fields)
+    // decide which known URLs are DUE for refetch at a fixed decision
+    // instant (2026-02-15; determinism — wall clocks never enter gate
+    // logic). period = {daily 1, weekly 7, monthly 30, yearly 365}
+    // days; due = age >= period; overdue_ppm = age·1e6 div period, the
+    // integer-units priority a recrawl queue sorts by. DuckDB
+    // re-derives the dates and ratios from doc_id arithmetic.
+    "x112_recrawl" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val now = java.time.LocalDate.parse("2026-02-15")
+            graft.sources.Sitemap.parseSitemap(
+                graft.sources.Sitemap.sitemapOf(id)).entries
+              .zipWithIndex.map { case (e, j) =>
+                val age = java.time.temporal.ChronoUnit.DAYS.between(
+                  java.time.LocalDate.parse(e.lastmod), now)
+                val period = e.changefreq match {
+                  case "daily" => 1L
+                  case "weekly" => 7L
+                  case "monthly" => 30L
+                  case "yearly" => 365L
+                  case other => sys.error(s"sitemap: unknown changefreq '$other'")
+                }
+                (id, j, e.loc, age, period,
+                  if (age >= period) 1 else 0, age * 1000000L / period)
+              }
+          }
+          .toDF("doc_id", "j", "loc", "age_days", "period_days", "due",
+            "overdue_ppm")
+          .orderBy("doc_id", "j")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d),
+          |e AS (SELECT doc_id, j,
+          |        'http://site' || (doc_id % 7) || '.example/' || doc_id
+          |          || '/' || j AS loc,
+          |        CAST('2026-01-' ||
+          |          lpad(CAST((doc_id + j) % 28 + 1 AS VARCHAR), 2, '0')
+          |          AS DATE) AS lm,
+          |        [1, 7, 30, 365][CAST((doc_id + j) % 4 AS INT) + 1]
+          |          AS period
+          |      FROM u)
+          |SELECT doc_id, CAST(j AS INT) AS j, loc,
+          |  CAST(DATE '2026-02-15' - lm AS BIGINT) AS age_days,
+          |  CAST(period AS BIGINT) AS period_days,
+          |  CAST(CASE WHEN DATE '2026-02-15' - lm >= period
+          |    THEN 1 ELSE 0 END AS INT) AS due,
+          |  CAST((DATE '2026-02-15' - lm) * 1000000 // period AS BIGINT)
+          |    AS overdue_ppm
+          |FROM e ORDER BY doc_id, j""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

@@ -31,10 +31,21 @@ object RobotsTxt {
 
   private[graft] case class RobotsRule(agent: String, allow: Boolean,
       prefix: String)
+  private[graft] case class RobotsDelay(agent: String, delayMs: Long)
 
   /** Parse one robots.txt body into (agent, allow, prefix) rules. */
-  private[graft] def parseRobots(content: String): Seq[RobotsRule] = {
+  private[graft] def parseRobots(content: String): Seq[RobotsRule] =
+    parseRobotsAll(content)._1
+
+  /** One-pass parse of rules AND per-group `Crawl-delay` directives
+    * (non-standard but near-universal; decimal seconds → integer ms).
+    * A malformed delay value is skipped like any unknown directive —
+    * politeness hints must not fail admission parsing.
+    */
+  private[graft] def parseRobotsAll(content: String)
+      : (Seq[RobotsRule], Seq[RobotsDelay]) = {
     val out = scala.collection.mutable.ArrayBuffer[RobotsRule]()
+    val delays = scala.collection.mutable.ArrayBuffer[RobotsDelay]()
     var agents = List.empty[String]
     var groupOpen = false // true while UA lines accumulate, before rules
     content.split("\n").foreach { raw =>
@@ -58,17 +69,35 @@ object RobotsTxt {
               if (value.nonEmpty)
                 agents.foreach(a => out += RobotsRule(a, key == "allow", value))
               // empty Disallow/Allow: no rule — allow-all, per the RFC
+            case "crawl-delay" =>
+              // ends UA accumulation like every other non-group record
+              groupOpen = false
+              if (agents.nonEmpty && value.matches("\\d+(\\.\\d+)?")) {
+                val ms = (BigDecimal(value) * 1000).toLong
+                agents.foreach(a => delays += RobotsDelay(a, ms))
+              }
             case _ =>
-              // Crawl-delay, Sitemap, unknown: skipped — but they END
-              // User-agent accumulation (RFC 9309: other records are not
-              // group members), else two groups separated only by a
-              // Crawl-delay line would merge
+              // Sitemap, unknown: skipped — but they END User-agent
+              // accumulation (RFC 9309: other records are not group
+              // members), else two groups separated only by such a line
+              // would merge
               groupOpen = false
           }
         }
       }
     }
-    out.toSeq
+    (out.toSeq, delays.toSeq)
+  }
+
+  /** Effective crawl delay for an agent: the exact group's delay, else
+    * the `*` group's, else the caller's default (group selection
+    * mirrors [[evaluate]]'s precedence).
+    */
+  private[graft] def crawlDelayMs(delays: Seq[RobotsDelay], agent: String,
+                                  defaultMs: Long = 1000L): Long = {
+    val a = agent.toLowerCase
+    delays.find(_.agent == a).orElse(delays.find(_.agent == "*"))
+      .map(_.delayMs).getOrElse(defaultMs)
   }
 
   /** Does `pattern` match a prefix of `path`? `*` matches any character
@@ -141,12 +170,13 @@ object RobotsTxt {
        |Allow: /p2*
        |Disallow: /$site
        |Allow: /$site$site
-       |Crawl-delay: 5
+       |Crawl-delay: ${site % 3 + 1}.5
        |
        |User-agent: graftbot
        |Disallow: /p$g4
        |Allow: /p$g4/q$g3
        |Disallow: /p*/q1$$
+       |Crawl-delay: ${site % 2 + 1}
        |Sitemap: http://site$site.example/sitemap.xml
        |""".stripMargin
   }

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Pressure-bound probe for the ZIP walker (x110): the directory-first
+  * walk reads the central directory via TAIL SEEKS and decodes entries
+  * one at a time, so task heap is O(largest entry) — never the archive.
+  * Synthesizes TWO ~1 GB archives of ~4 MB LCG-hex entries (deflate
+  * barely shrinks them; the on-disk size is real), then runs `zipFiles`
+  * — full decode + CRC verification of every entry — over both
+  * concurrently under the caller's -Xmx. Run OUTSIDE sbt:
+  *   java -Xmx1g -cp "target/scala-2.13/classes:<spark jars>"
+  *     <add-opens flags> graft.tools.ZipScale
+  * Completing under a heap far below file-size × tasks is the proof; a
+  * heap sampler reports the true peak.
+  */
+object ZipScale {
+  def main(args: Array[String]): Unit = {
+    val entries = args.headOption.map(_.toInt).getOrElse(280)
+    val entryMB = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val dir = new java.io.File(s"/tmp/graft-zipscale-$entries-$entryMB")
+    if (!dir.exists()) {
+      dir.mkdirs()
+      val t0 = System.nanoTime()
+      (0 until 2).foreach { f =>
+        // streaming writer: local headers + data out as generated, the
+        // central directory accumulated (O(entries) metadata)
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(new java.io.File(dir, s"big$f.zip")),
+          1 << 20)
+        val central = new java.io.ByteArrayOutputStream()
+        def le16(v: Int): Array[Byte] =
+          Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Long): Array[Byte] =
+          Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+        var offset = 0L
+        (0 until entries).foreach { j =>
+          val sb = new java.lang.StringBuilder(entryMB * (1 << 20) + 16)
+          var s = (f * 1000003L + j * 2654435761L) | 1L
+          while (sb.length < entryMB * (1 << 20)) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            sb.append(java.lang.Long.toHexString(s >>> 32)).append(' ')
+          }
+          val data = sb.toString.getBytes("UTF-8")
+          val crc = new java.util.zip.CRC32(); crc.update(data)
+          val name = s"e$j.txt".getBytes("UTF-8")
+          // stored entries: incompressible data, and stored keeps the
+          // writer single-pass (sizes known up front)
+          val common = le16(20) ++ le16(0) ++ le16(0) ++ le16(0) ++
+            le16(0x5a21) ++ le32(crc.getValue) ++
+            le32(data.length.toLong) ++ le32(data.length.toLong) ++
+            le16(name.length) ++ le16(0)
+          out.write(le32(0x04034b50L)); out.write(common); out.write(name)
+          out.write(data)
+          central.write(le32(0x02014b50L)); central.write(le16(20))
+          central.write(common)
+          central.write(le16(0)); central.write(le16(0))
+          central.write(le16(0)); central.write(le32(0))
+          central.write(le32(offset)); central.write(name)
+          offset += 30 + name.length + data.length
+        }
+        out.write(central.toByteArray)
+        out.write(le32(0x06054b50L)); out.write(le16(0)); out.write(le16(0))
+        out.write(le16(entries)); out.write(le16(entries))
+        out.write(le32(central.size().toLong)); out.write(le32(offset))
+        out.write(le16(0))
+        out.close()
+      }
+      println(f"synthesize: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val files = dir.listFiles().filter(_.getName.endsWith(".zip"))
+    val bytes = files.map(_.length()).sum
+    println(f"corpus: ${files.length} archives, largest ${files.map(_.length()).max / 1e9}%.2f GB, " +
+      f"total ${bytes / 1e9}%.2f GB; -Xmx=${Runtime.getRuntime.maxMemory() / 1e9}%.2f GB")
+
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (true) {
+        val rt = Runtime.getRuntime
+        val used = rt.totalMemory() - rt.freeMemory()
+        var p = peak.get()
+        while (used > p && !peak.compareAndSet(p, used)) p = peak.get()
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
+
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val agg = graft.sources.ZipSource
+      .zipFiles(spark, dir.getAbsolutePath + "/*.zip")
+      .agg(count(lit(1)), sum(col("usize")),
+        sum(when(col("crc_ok"), 1L).otherwise(0L))).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"scan: ${agg.getLong(0)} entries, ${agg.getLong(1) / 1e9}%.2f GB decoded+CRC-checked " +
+      f"(${agg.getLong(2)} ok), $secs%.1f s, ${bytes / secs / 1e6}%.1f MB/s")
+    println(f"peak heap: ${peak.get() / 1e6}%.0f MB (walk is O(entry): " +
+      f"${files.length} concurrent ~${files.map(_.length()).max / 1e9}%.1f GB tasks fit)")
+    spark.stop()
+  }
+}

@@ -114,6 +114,28 @@ class RobotsSpec extends GraftSparkSpec {
     assert(e2.getMessage.contains("before any User-agent"))
   }
 
+  test("robots: crawl-delay parses per group (decimal seconds to ms); exact agent beats *") {
+    val (_, delays) = RobotsTxt.parseRobotsAll(
+      """User-agent: *
+        |Disallow: /x
+        |Crawl-delay: 2.5
+        |
+        |User-agent: fastbot
+        |Crawl-delay: 0.1
+        |Allow: /
+        |""".stripMargin)
+    assert(RobotsTxt.crawlDelayMs(delays, "FastBot") === 100L)
+    assert(RobotsTxt.crawlDelayMs(delays, "other") === 2500L)
+    // absent everywhere: the caller's default
+    val (_, none) = RobotsTxt.parseRobotsAll("User-agent: *\nDisallow:\n")
+    assert(RobotsTxt.crawlDelayMs(none, "x") === 1000L)
+    // a malformed delay is a skipped hint, never a parse failure
+    val (rules, bad) = RobotsTxt.parseRobotsAll(
+      "User-agent: *\nCrawl-delay: fast\nDisallow: /y\n")
+    assert(bad.isEmpty)
+    assert(RobotsTxt.evaluate(rules, "x", "/y/z")._1 === false)
+  }
+
   test("robots: RFC 9309 wildcards — '*' any-run, trailing '$' anchor, pattern-length precedence") {
     import RobotsTxt.ruleMatches
     // the RFC/Google reference examples for /*.php
