@@ -810,7 +810,15 @@ object PrepareRun {
           s"ann index was synced under '$ps', not '$params' — delete the " +
             "index and the _stage_ann marker to resync under new knobs")
         val indexedMax = counts.getOrElse("max_wave", 0L)
-        val fresh = vecs(docs.filter(col("wave") > indexedMax))
+        // compactRun rewrites every committed row to wave=0, so waves
+        // folded AFTER the last sync can never match a wave > indexedMax
+        // filter — fall back to the full corpus as candidates (the
+        // anti-join below is what actually guarantees exactly-once; the
+        // wave filter is only the cheap steady-state path)
+        val candidates =
+          if (compactedMax > indexedMax) vecs(docs)
+          else vecs(docs.filter(col("wave") > indexedMax))
+        val fresh = candidates
           .join(spark.read.parquet(s"$indexDir/lists").select("vec_id"),
             Seq("vec_id"), "left_anti")
           .localCheckpoint()

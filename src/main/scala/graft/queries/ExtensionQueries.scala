@@ -3176,14 +3176,14 @@ object ExtensionQueries {
     // crawler runs before a URL enters the frontier: RFC 9309 group
     // selection (exact agent beats *, groups never merge), most-octets
     // pattern wins, Allow beats Disallow on ties, no match = allowed,
-    // and the RFC's `*`/`$` wildcards (the fixture plants a length-8
+    // and the RFC's `*`/`$` wildcards (the fixture plants a length-7
     // `Disallow: /p*/q2$` that outranks the length-6 Allow exception,
     // and a length-4 `Allow: /p2*` that outranks the length-3
     // Disallow). The gate evaluates TWO agents against per-site
     // fixtures (one exact group, one falling through to *), so group
     // selection AND wildcard precedence are what the hash checks;
     // DuckDB re-derives the decision and the matched rule from doc_id
-    // arithmetic (precedence mirrors as CASE order: 8 > 6 > 4 > 3).
+    // arithmetic (precedence mirrors as CASE order: 7 > 6 > 4 > 3).
     "x107_robots" -> QueryDef(
       (s, dir) => graft.sources.RobotsTxt.robotsTable(
           s, t(s, dir, "documents"))

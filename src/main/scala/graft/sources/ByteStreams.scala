@@ -235,10 +235,14 @@ private[graft] object Gzip {
 private[graft] object StreamUtil {
   /** Wrap a lazy parse iterator so the underlying stream closes exactly
     * once — on exhaustion or on the first error (which rethrows).
+    * `base` is BY NAME and evaluated inside the guard: parser
+    * construction itself can reject (empty shard, no EOCD, sniff reads)
+    * and the stream must close then too, not leak (r16 review).
     */
-  def closeOnExhaust[T](in: java.io.Closeable, base: Iterator[T]): Iterator[T] =
+  def closeOnExhaust[T](in: java.io.Closeable, base: => Iterator[T]): Iterator[T] =
     new Iterator[T] {
       private var closed = false
+      private var built: Iterator[T] = null
       private def closeQuietly(): Unit = if (!closed) {
         closed = true
         try in.close() catch { case _: java.io.IOException => () }
@@ -247,17 +251,51 @@ private[graft] object StreamUtil {
         try body catch {
           case e: Throwable => closeQuietly(); throw e
         }
+      private def it: Iterator[T] = {
+        if (built == null) built = base
+        built
+      }
       def hasNext: Boolean = {
         if (closed) false
         else {
-          val h = guarded(base.hasNext)
+          val h = guarded(it.hasNext)
           if (!h) closeQuietly()
           h
         }
       }
       def next(): T = {
         if (closed || !hasNext) throw new NoSuchElementException("stream closed")
-        guarded(base.next())
+        guarded(it.next())
+      }
+    }
+
+  /** Degrade errors to ONE poison element and stop — the lenient
+    * file-level guard shared by the ingestion arms: a damaged archive
+    * yields its rows up to the damage point, then the caller's poison
+    * marker, never a task failure (which a streaming micro-batch would
+    * retry forever). The wrapped iterator must close its own stream on
+    * error ([[closeOnExhaust]] does).
+    */
+  def poisonOnError[T](base: Iterator[T], poison: => T): Iterator[T] =
+    new Iterator[T] {
+      private var nextEl: Option[T] = None
+      private var done = false
+      private def advance(): Unit = {
+        if (done || nextEl.isDefined) return
+        try {
+          if (base.hasNext) nextEl = Some(base.next()) else done = true
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            done = true
+            nextEl = Some(poison)
+        }
+      }
+      def hasNext: Boolean = { advance(); nextEl.isDefined }
+      def next(): T = {
+        advance()
+        val el = nextEl.getOrElse(throw new NoSuchElementException("poisoned"))
+        nextEl = None
+        el
       }
     }
 }

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Implements the RFC 9309 core: `User-agent` lines open a group
   * (consecutive UA lines share the group), `Allow`/`Disallow` rules
   * attach to the open group, comments (`#`) and unknown directives
-  * (Crawl-delay, Sitemap) are skipped, matching is case-insensitive on
-  * directive names. Evaluation: pick the MOST SPECIFIC group (exact
+  * (Sitemap etc.) are skipped — `Crawl-delay`, though non-standard, is
+  * parsed per group into politeness hints (x111) — and matching is
+  * case-insensitive on directive names. Evaluation: pick the MOST SPECIFIC group (exact
   * agent match beats `*`; rules never merge across groups), then the
   * LONGEST matching rule wins (most octets in the PATTERN, the RFC's
   * "most specific match" and what major crawlers implement), with Allow
@@ -147,7 +148,7 @@ object RobotsTxt {
   // Fixture arithmetic (oracle re-derives everything): site s = id%7;
   // robots per site — a `*` group disallowing /p{s%4} with the longer
   // Allow exception /p{s%4}/q{s%3}, PLUS the RFC wildcards: a global
-  // `Disallow: /p*/q2$` (pattern length 8 — outranks the length-6 Allow
+  // `Disallow: /p*/q2$` (pattern length 7 — outranks the length-6 Allow
   // exception, so every j==2 path is disallowed for anybot) and an
   // `Allow: /p2*` (length 4 — outranks the length-3 Disallow when
   // s%4==2, and admits stray /p2 paths). The `graftbot` group disallows

@@ -618,31 +618,16 @@ object WarcSource {
   private[graft] def responseRows(path: String, in: java.io.InputStream,
                                   lenient: Boolean, mainContent: Boolean)
       : Iterator[(String, String, Int, String)] = {
+    // the WarcIterator constructor itself sniffs the stream (and rejects
+    // empty files) — closeOnExhaust's BY-NAME base defers that inside
+    // the guard, so construction failures close the stream and, under
+    // lenient, degrade to the poison row like any mid-file damage
     val base = StreamUtil.closeOnExhaust(in,
       new WarcIterator(in, lenientHttp = lenient)
         .filter(_.warcType == "response")
         .map(r => extractRow(path, r, lenient, mainContent)))
     if (!lenient) base
-    else new Iterator[(String, String, Int, String)] {
-      private var nextRow: (String, String, Int, String) = null
-      private var done = false
-      private def advance(): Unit = {
-        if (done || nextRow != null) return
-        try {
-          if (base.hasNext) nextRow = base.next() else done = true
-        } catch {
-          case scala.util.control.NonFatal(_) =>
-            done = true // closeOnExhaust already closed the stream
-            nextRow = (path, null, -1, null)
-        }
-      }
-      def hasNext: Boolean = { advance(); nextRow != null }
-      def next(): (String, String, Int, String) = {
-        advance()
-        if (nextRow == null) throw new NoSuchElementException("warc")
-        val r = nextRow; nextRow = null; r
-      }
-    }
+    else StreamUtil.poisonOnError(base, (path, null, -1, null))
   }
 
   /** Crawl → corpus bridge: extracted 200-status pages in the documents

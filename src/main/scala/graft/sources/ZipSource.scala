@@ -91,6 +91,10 @@ object ZipSource {
     val cdOffset = u32(tail, at + 16)
     require(nTotal != 0xffff && cdSize != 0xffffffffL &&
       cdOffset != 0xffffffffL, "zip: zip64 unsupported")
+    // a u32 can reach 0xFFFFFFFE, which .toInt would wrap negative —
+    // reject by name like every other bound (a >2 GiB directory is
+    // zip64 territory in practice anyway)
+    require(cdSize <= Int.MaxValue - 16, "zip: central directory exceeds 2 GiB")
     // a zip64 EOCD locator directly precedes the EOCD when present
     val eocdPos = in.size - tailLen + at
     if (eocdPos >= 20 &&
@@ -277,25 +281,33 @@ object ZipSource {
     */
   def zipFiles(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
+    // ship the job's REAL Hadoop conf (spark.hadoop.* credentials,
+    // endpoints) for the executor-side file stat — a default-constructed
+    // Configuration breaks on exactly the object-store deployments this
+    // arm targets (r16 review)
+    val conf = new graft.streaming.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     spark.sparkContext.binaryFiles(glob)
       .flatMap { case (path, pds) =>
         val raw = pds.open()
-        val fsIn = raw match {
-          case f: org.apache.hadoop.fs.FSDataInputStream => f
-          case _ => sys.error("zip: binaryFiles stream is not seekable")
-        }
-        // PortableDataStream carries no length; stat the file for the
-        // tail seek (one namenode round-trip per archive)
-        val p = new org.apache.hadoop.fs.Path(pds.getPath())
-        val len = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          .getFileStatus(p).getLen
-        val in = new StreamSeekable(fsIn, len)
-        val dir = readDirectory(in)
-        StreamUtil.closeOnExhaust(raw,
+        // directory read happens INSIDE closeOnExhaust's by-name guard:
+        // a no-EOCD/encrypted/zip64 reject must close the stream
+        StreamUtil.closeOnExhaust(raw, {
+          val fsIn = raw match {
+            case f: org.apache.hadoop.fs.FSDataInputStream => f
+            case _ => sys.error("zip: binaryFiles stream is not seekable")
+          }
+          // PortableDataStream carries no length; stat the file for the
+          // tail seek (one namenode round-trip per archive)
+          val p = new org.apache.hadoop.fs.Path(pds.getPath())
+          val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
+          val in = new StreamSeekable(fsIn, len)
+          val dir = readDirectory(in)
           dir.entries.iterator.map { e =>
             val n = entryBytes(in, e).length.toLong // decode = CRC check
             (path, e.name, e.method, e.usize, n == e.usize)
-          })
+          }
+        })
       }
       .toDF("file", "name", "method", "usize", "crc_ok")
   }

@@ -601,7 +601,8 @@ object StreamingAnalytics {
     */
   def tarIngest(spark: org.apache.spark.sql.SparkSession,
                 landingDir: String, outDir: String,
-                checkpointDir: String, maxFilesPerTrigger: Int = 32)
+                checkpointDir: String, maxFilesPerTrigger: Int = 32,
+                lenient: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val binSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -623,10 +624,16 @@ object StreamingAnalytics {
       .flatMap { path =>
         val p = new org.apache.hadoop.fs.Path(path)
         val in = p.getFileSystem(conf.value).open(p)
-        graft.sources.StreamUtil.closeOnExhaust(in,
+        val base = graft.sources.StreamUtil.closeOnExhaust(in,
           graft.sources.TarSource.shardEntryIter(in)
             .filter(_.typeflag == '0')
             .map(e => (path, e.name, e.name.takeWhile(_ != '.'), e.size)))
+        // lenient (default): a damaged shard yields its entries up to
+        // the damage, then ONE poison row (null name, bytes -1) — never
+        // a micro-batch that refails on every retry
+        if (!lenient) base
+        else graft.sources.StreamUtil.poisonOnError(base,
+          (path, null, null, -1L))
       }
       .toDF("shard", "name", "sample_key", "bytes")
       .writeStream

@@ -88,6 +88,35 @@ class Round16OpsSpec extends GraftSparkSpec {
     assert(res.length == 5 && res.head.getLong(0) == 0L) // self is top hit
   }
 
+  test("syncAnnIndex: a wave folded by compactRun before any sync still reaches the index") {
+    import graft.operators.{PrepareRun, Similarity}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.join(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).limit(5)
+    val c1 = corpus.filter(col("doc_id") < 250)
+    val w1 = corpus.filter(col("doc_id") >= 250)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r16-fold").toString
+    PrepareRun.run(spark, c1, bench, tmp,
+      minTokens = 10, threshold = 0.5, capacity = 512, valPct = 10)
+    val m0 = PrepareRun.syncAnnIndex(spark, tmp, s"$tmp/ann", nlist = 8)
+    PrepareRun.runWave(spark, w1, tmp, 1)
+    // fold BEFORE the sync sees wave 1: every row is now wave=0, so the
+    // cheap wave>indexedMax filter can never match — the fallback path
+    // (full candidates + anti-join) must still index the folded vectors
+    PrepareRun.compactRun(spark, tmp)
+    val m1 = PrepareRun.syncAnnIndex(spark, tmp, s"$tmp/ann", nlist = 8)
+    assert(m1("n_appended") > 0L, "folded wave vectors were silently skipped")
+    assert(spark.read.parquet(s"$tmp/ann/lists").count() ==
+      spark.read.parquet(s"$tmp/train_docs").count())
+    assert(m0("n_appended") + m1("n_appended") ==
+      spark.read.parquet(s"$tmp/ann/lists").count())
+    // replay: anti-join makes it a no-op
+    assert(PrepareRun.syncAnnIndex(spark, tmp, s"$tmp/ann", nlist = 8)
+      .apply("n_appended") == 0L)
+  }
+
   test("syncAnnIndex: prepare-run waves keep the index in sync; replay is a no-op; base recompute rebuilds") {
     import graft.operators.{PrepareRun, Similarity}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

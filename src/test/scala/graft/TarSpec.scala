@@ -166,6 +166,30 @@ class TarSpec extends GraftSparkSpec {
     }
   }
 
+  test("tar: lenient streaming poisons a damaged shard with one null-name row") {
+    withTmp { root =>
+      val landing = new java.io.File(root, "landing"); landing.mkdirs()
+      java.nio.file.Files.write(new java.io.File(landing, "bad.tar").toPath,
+        "this is not a tar archive at all".getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(landing, "s7.tar").toPath,
+        TarSource.shardOf(7L, "fine"))
+      val q = graft.streaming.StreamingAnalytics.tarIngest(
+        spark, landing.getAbsolutePath,
+        new java.io.File(root, "out").getAbsolutePath,
+        new java.io.File(root, "ckpt").getAbsolutePath)
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.read
+        .parquet(new java.io.File(root, "out").getAbsolutePath).collect()
+      val poison = rows.filter(_.isNullAt(1))
+      assert(poison.length === 1)
+      assert(poison.head.getString(0).endsWith("bad.tar"))
+      assert(poison.head.getLong(3) === -1L)
+      // the good shard's entries land next to the marker
+      assert(rows.count(!_.isNullAt(1)) > 0)
+    }
+  }
+
   test("webdataset: fixture groups samples, flags incomplete ones, gz arm CRC-checked") {
     Seq(10L, 7L).foreach { id => // 10: gz, k=3, j=0 hits (id+j)%5==0; 7: plain
       val entries = TarSource.parseShard(TarSource.shardOf(id, "some text"))

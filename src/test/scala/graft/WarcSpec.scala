@@ -306,6 +306,25 @@ class WarcSpec extends GraftSparkSpec {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
+  test("warc: an empty landing file poisons under lenient instead of failing the task") {
+    // crawler-crashed-mid-upload shape: the WarcIterator constructor
+    // itself rejects ("warc: empty file") — the guard must cover it
+    val dir = java.nio.file.Files.createTempDirectory("warcempty").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "empty.warc.gz").toPath,
+        Array.emptyByteArray)
+      java.nio.file.Files.write(new java.io.File(dir, "good.warc").toPath,
+        WarcSource.warcOf(7L, "still fine"))
+      val glob = dir.getAbsolutePath + "/*.warc*"
+      intercept[Exception] { WarcSource.warcFiles(spark, glob).collect() }
+      val rows = WarcSource.warcFiles(spark, glob, lenient = true).collect()
+      val poison = rows.filter(_.isNullAt(1))
+      assert(poison.length === 1)
+      assert(poison.head.getString(0).endsWith("empty.warc.gz"))
+      assert(rows.count(_.getInt(2) === 200) === 2) // good file intact
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
   test("warc: binary response bodies stay bytes (null text), byte counts from the raw slice") {
     val pdf = Array[Byte](0x25, 0x50, 0x44, 0x46, -1, -2, -60, 0x00, 0x7f)
     val http = ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n")
