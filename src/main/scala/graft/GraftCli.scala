@@ -1015,6 +1015,7 @@ object GraftCli {
       val out = fmt match {
         case "png" => graft.operators.ImageCodecs.pngMetaTable(spark, media)
         case "jpeg" => graft.operators.ImageCodecs.jpegMetaTable(spark, media)
+        case "gif" => graft.sources.GifSource.gifTable(spark, media)
         case other => sys.error(s"image-meta: unknown format $other")
       }
       out.write.mode("overwrite").parquet(outDir)
@@ -1028,6 +1029,7 @@ object GraftCli {
       val media = fmt match {
         case "png" => graft.operators.ImageCodecs.synthesizePng(spark, docs)
         case "jpeg" => graft.operators.ImageCodecs.synthesizeJpeg(spark, docs)
+        case "gif" => graft.sources.GifSource.synthesizeGif(spark, docs)
         case other => sys.error(s"image-meta-demo: unknown format $other")
       }
       media.write.mode("overwrite").parquet(outDir)

@@ -3551,6 +3551,67 @@ object ExtensionQueries {
           |  any_value(text) AS first_text
           |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // GIF walk (sources/GifSource) — the fourth image family after PNG
+    // (x93/x94/x99), JPEG (x95), and MJPEG (x67): header + logical
+    // screen, global color table, Graphic Control / Comment / NETSCAPE
+    // loop extensions, sub-block framing, trailer. DuckDB re-derives
+    // every fact from doc_id arithmetic; GifSpec pins interop BOTH ways
+    // against javax.imageio.
+    "x113_gif_meta" -> QueryDef(
+      (s, dir) => graft.sources.GifSource.gifTable(
+          s, graft.sources.GifSource.synthesizeGif(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, '89a' AS version,
+          |  CAST(16 + (doc_id % 5) * 4 AS INT) AS w,
+          |  CAST(12 + (doc_id % 3) * 4 AS INT) AS h,
+          |  CAST(16 AS INT) AS gct_size,
+          |  CAST(doc_id % 2 + 1 AS INT) AS n_frames,
+          |  CAST((doc_id % 10 + 1) +
+          |    CASE WHEN doc_id % 2 = 1 THEN (doc_id + 1) % 10 + 1
+          |         ELSE 0 END AS BIGINT) AS delay_sum_cs,
+          |  CAST(doc_id % 2 AS INT) AS n_interlaced,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+          |    AS n_comments,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 ELSE -1 END
+          |    AS INT) AS loop_count
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // GIF pixel decode (x114) — GIF-LZW (variable code width, KwKwK,
+    // dictionary resets) + the four-pass interlace undone, checked as
+    // palette-resolved RGB sums per frame: a one-bit slip anywhere in
+    // the bit unpacking, dictionary, or row reordering moves the sum.
+    // The fixture's encoder builds a REAL LZW dictionary (the spec also
+    // round-trips javax.imageio's own LZW streams).
+    "x114_gif_pixels" -> QueryDef(
+      (s, dir) => graft.sources.GifSource.gifPixelTable(
+          s, graft.sources.GifSource.synthesizeGif(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id", "frame"),
+      Some(
+        """WITH d AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w,
+          |             12 + (doc_id % 3) * 4 AS h, doc_id % 2 + 1 AS nf
+          |           FROM documents),
+          |f AS (SELECT doc_id, unnest(range(0, nf)) AS frame, w, h FROM d),
+          |g AS (SELECT doc_id, frame,
+          |        CASE WHEN frame = 0 THEN w ELSE w - 4 END AS fw,
+          |        CASE WHEN frame = 0 THEN h ELSE h - 2 END AS fh
+          |      FROM f),
+          |px AS (SELECT doc_id, frame, fw, fh,
+          |         unnest(range(0, fw * fh)) AS p FROM g),
+          |v AS (SELECT doc_id, frame, fw, fh,
+          |        CAST((doc_id + frame + 3 * (p % fw) + 7 * (p // fw)) % 16
+          |          AS INT) AS i
+          |      FROM px)
+          |SELECT doc_id, CAST(frame AS INT) AS frame,
+          |  CAST(any_value(fw) AS INT) AS w,
+          |  CAST(any_value(fh) AS INT) AS h,
+          |  CAST(frame AS INT) AS interlaced,
+          |  CAST(sum(i * 15 + (i * 9) % 128 + 255 - i * 10) AS BIGINT)
+          |    AS rgb_sum
+          |FROM v GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin)),
+
     // ORC tail read via our own PROTOBUF decoder (sources/OrcFooter) —
     // the data-lake container family's fourth member (thrift-compact
     // x96, avro binary x98, now protobuf): postscript, zlib chunk-framed
