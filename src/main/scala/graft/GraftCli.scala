@@ -1016,6 +1016,7 @@ object GraftCli {
         case "png" => graft.operators.ImageCodecs.pngMetaTable(spark, media)
         case "jpeg" => graft.operators.ImageCodecs.jpegMetaTable(spark, media)
         case "gif" => graft.sources.GifSource.gifTable(spark, media)
+        case "tiff" => graft.sources.TiffSource.tiffTable(spark, media)
         case other => sys.error(s"image-meta: unknown format $other")
       }
       out.write.mode("overwrite").parquet(outDir)
@@ -1030,6 +1031,7 @@ object GraftCli {
         case "png" => graft.operators.ImageCodecs.synthesizePng(spark, docs)
         case "jpeg" => graft.operators.ImageCodecs.synthesizeJpeg(spark, docs)
         case "gif" => graft.sources.GifSource.synthesizeGif(spark, docs)
+        case "tiff" => graft.sources.TiffSource.synthesizeTiff(spark, docs)
         case other => sys.error(s"image-meta-demo: unknown format $other")
       }
       media.write.mode("overwrite").parquet(outDir)

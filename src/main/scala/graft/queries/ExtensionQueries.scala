@@ -3612,6 +3612,50 @@ object ExtensionQueries {
           |    AS rgb_sum
           |FROM v GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin)),
 
+    // TIFF walk (sources/TiffSource) — the fifth image family, and the
+    // standalone home of the IFD tag grammar x95 parses inside JPEG's
+    // EXIF: both byte orders, IFD chains, strip layout. DuckDB
+    // re-derives every fact from doc_id arithmetic; TiffSpec pins
+    // interop BOTH ways against the JDK ImageIO TIFF plugin across
+    // four codecs.
+    "x115_tiff_meta" -> QueryDef(
+      (s, dir) => graft.sources.TiffSource.tiffTable(
+          s, graft.sources.TiffSource.synthesizeTiff(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, 'II' AS endian, CAST(1 AS INT) AS n_pages,
+          |  CAST(24 + (doc_id % 4) * 8 AS INT) AS w,
+          |  CAST(10 + (doc_id % 5) * 2 AS INT) AS h,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
+          |    ELSE 5 END AS INT) AS compression,
+          |  CAST(1 AS INT) AS spp,
+          |  CAST(4 AS INT) AS rows_per_strip,
+          |  CAST((10 + (doc_id % 5) * 2 + 3) // 4 AS INT) AS n_strips
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // TIFF pixel decode (x116): the three fixture codecs — uncompressed
+    // strips, PackBits RLE, and TIFF-LZW (MSB-first bits, early-change
+    // width schedule, dictionary resets) — must all land the identical
+    // pixel arithmetic; strips have NO checksum, so decoded VALUES are
+    // the only integrity check (the ORC discipline).
+    "x116_tiff_pixels" -> QueryDef(
+      (s, dir) => graft.sources.TiffSource.tiffPixelTable(
+          s, graft.sources.TiffSource.synthesizeTiff(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, 24 + (doc_id % 4) * 8 AS w,
+          |             10 + (doc_id % 5) * 2 AS h FROM documents),
+          |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d)
+          |SELECT doc_id, CAST(any_value(w) AS INT) AS w,
+          |  CAST(any_value(h) AS INT) AS h,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
+          |    ELSE 5 END AS INT) AS compression,
+          |  CAST(sum((doc_id + 5 * (p % w) + 11 * (p // w)) % 256)
+          |    AS BIGINT) AS px_sum
+          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ORC tail read via our own PROTOBUF decoder (sources/OrcFooter) —
     // the data-lake container family's fourth member (thrift-compact
     // x96, avro binary x98, now protobuf): postscript, zlib chunk-framed

@@ -1,0 +1,453 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TIFF walker — the fifth image family (PNG x93/x94/x99, JPEG x95,
+  * MJPEG x67, GIF x113/x114): the scanned-document and scientific-image
+  * format crawled corpora carry in volume, and the same IFD tag grammar
+  * EXIF embeds in JPEG (x95 parses it inside APP1; this is the
+  * standalone container). Implemented from the TIFF 6.0 specification:
+  *
+  *  - both byte orders ("II" little / "MM" big endian), the IFD chain
+  *    (multi-page), 12-byte entries with inline-vs-offset values by
+  *    type size, LONG/SHORT promotion.
+  *  - strip-organized image data (StripOffsets/StripByteCounts/
+  *    RowsPerStrip), 8-bit samples, chunky planar layout.
+  *  - codecs: uncompressed, PackBits (the spec's RLE), TIFF-LZW — which
+  *    is NOT GIF-LZW: MSB-first bit packing, fixed 256/257
+  *    clear/EOI codes, and the spec's "early change" (code width grows
+  *    one code earlier than the dictionary strictly requires) — and
+  *    zlib DEFLATE (both the 8 and 32946 tag values), plus the
+  *    horizontal-differencing predictor (tag 317 = 2) LZW/deflate
+  *    writers pair with it.
+  *
+  * TiffSpec pins interop BOTH ways against the JDK's ImageIO TIFF
+  * plugin (None/PackBits/LZW/Deflate written by it all decode to its
+  * own pixels; it reads our writer's bytes); x115 gates container facts
+  * and x116 decoded pixel sums against DuckDB doc_id arithmetic.
+  * Out-of-subset shapes (planar, tiles, non-8-bit) reject loudly.
+  * Caveat (the ORC-tail lesson): TIFF strips carry NO integrity check —
+  * only structural damage is detectable; a flipped payload bit is a
+  * legal different pixel, which is why the gates check decoded VALUES.
+  *
+  * 100 TB shape: per-row decode kernels, zero shuffle (the x67/x94/x114
+  * discipline).
+  */
+object TiffSource {
+
+  private[graft] case class TiffPage(w: Int, h: Int, compression: Int,
+      samplesPerPixel: Int, rowsPerStrip: Int, nStrips: Int,
+      predictor: Int, pixels: Array[Byte]) // row-major, chunky
+  private[graft] case class TiffFile(littleEndian: Boolean,
+      pages: Seq[TiffPage])
+
+  // ------------------------------------------------------------ decode
+
+  private final class Rd(bytes: Array[Byte], le: Boolean) {
+    def u8(p: Int): Int = {
+      require(p >= 0 && p < bytes.length, "tiff: truncated")
+      bytes(p) & 0xff
+    }
+    def u16(p: Int): Int =
+      if (le) u8(p) | (u8(p + 1) << 8) else (u8(p) << 8) | u8(p + 1)
+    def u32(p: Int): Long =
+      if (le) u16(p).toLong | (u16(p + 2).toLong << 16)
+      else (u16(p).toLong << 16) | u16(p + 2).toLong
+    def slice(off: Long, len: Int): Array[Byte] = {
+      require(off >= 0 && off + len <= bytes.length, "tiff: slice overruns")
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    }
+  }
+
+  /** PackBits (TIFF 6.0 §9) decode to exactly `expected` bytes. */
+  private[graft] def packBitsDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var ip = 0
+    var op = 0
+    while (op < expected) {
+      require(ip < data.length, "tiff: packbits truncated")
+      val n = data(ip); ip += 1
+      if (n >= 0) { // n+1 literals
+        require(ip + n + 1 <= data.length && op + n + 1 <= expected,
+          "tiff: packbits overruns")
+        System.arraycopy(data, ip, out, op, n + 1)
+        ip += n + 1; op += n + 1
+      } else if (n != -128) { // repeat next byte 1-n times
+        require(ip < data.length && op + (1 - n) <= expected,
+          "tiff: packbits overruns")
+        java.util.Arrays.fill(out, op, op + 1 - n, data(ip))
+        ip += 1; op += 1 - n
+      } // -128: no-op
+    }
+    out
+  }
+
+  /** TIFF-LZW decode (§13): MSB-first bits, clear=256/EOI=257, width
+    * 9→12 with the spec's EARLY CHANGE (grow at capacity − 1).
+    */
+  private[graft] def tiffLzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val clear = 256; val eoi = 257
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = clear + 2
+    var width = 9
+    var bitPos = 0
+    def readCode(): Int = {
+      var v = 0
+      var got = 0
+      while (got < width) {
+        val byteI = bitPos >> 3
+        require(byteI < data.length, "tiff: LZW stream truncated")
+        val avail = 8 - (bitPos & 7)
+        val take = math.min(avail, width - got)
+        // MSB-first: take the HIGH bits of the current byte
+        v = (v << take) |
+          (((data(byteI) & 0xff) >> (avail - take)) & ((1 << take) - 1))
+        got += take; bitPos += take
+      }
+      v
+    }
+    def emit(code: Int): Byte = {
+      var stack = List.empty[Byte]
+      var c = code
+      while (c >= clear + 2) { stack = suffix(c) :: stack; c = prefix(c) }
+      require(c < clear, s"tiff: corrupt LZW chain at $c")
+      stack = c.toByte :: stack
+      val first = stack.head
+      stack.foreach { b =>
+        require(outPos < expected, "tiff: LZW emits more bytes than the strip")
+        out(outPos) = b; outPos += 1
+      }
+      first
+    }
+    var prev = -1
+    var done = false
+    while (!done && outPos < expected) {
+      val code = readCode()
+      if (code == clear) { next = clear + 2; width = 9; prev = -1 }
+      else if (code == eoi) done = true
+      else if (prev < 0) {
+        require(code < clear, "tiff: first LZW code not a literal")
+        emit(code); prev = code
+      } else {
+        require(code <= next, s"tiff: LZW code $code beyond dictionary")
+        val first =
+          if (code < next) emit(code)
+          else { // KwKwK
+            var stack = List.empty[Byte]
+            var c = prev
+            while (c >= clear + 2) { stack = suffix(c) :: stack; c = prefix(c) }
+            stack = c.toByte :: stack
+            val f = stack.head
+            (stack :+ f).foreach { b =>
+              require(outPos < expected, "tiff: LZW emits more bytes than the strip")
+              out(outPos) = b; outPos += 1
+            }
+            f
+          }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+          // EARLY CHANGE: one earlier than the GIF schedule
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    require(outPos == expected,
+      s"tiff: LZW decoded $outPos bytes, strip needs $expected")
+    out
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater() // zlib-wrapped per the spec
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var pos = 0
+    while (!inf.finished() && pos < expected) {
+      val k = try inf.inflate(out, pos, expected - pos) catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException("tiff: corrupt deflate: " + e.getMessage)
+      }
+      require(k > 0 || inf.finished(), "tiff: truncated deflate strip")
+      pos += k
+    }
+    inf.end()
+    require(pos == expected, s"tiff: deflate strip decoded $pos of $expected")
+    out
+  }
+
+  private[graft] def parseTiff(bytes: Array[Byte]): TiffFile = {
+    require(bytes.length >= 8, "tiff: too short for a header")
+    val le = (bytes(0), bytes(1)) match {
+      case (0x49, 0x49) => true
+      case (0x4D, 0x4D) => false
+      case _ => sys.error("tiff: bad byte-order mark")
+    }
+    val r = new Rd(bytes, le)
+    require(r.u16(2) == 42, "tiff: bad magic")
+    val pages = scala.collection.mutable.ArrayBuffer[TiffPage]()
+    var ifdOff = r.u32(4)
+    var guard = 0
+    while (ifdOff != 0) {
+      guard += 1
+      require(guard <= 64, "tiff: IFD chain too long (cycle?)")
+      val n = r.u16(ifdOff.toInt)
+      val tags = scala.collection.mutable.Map[Int, (Int, Long, Long)]()
+      (0 until n).foreach { i =>
+        val e = ifdOff.toInt + 2 + i * 12
+        val tag = r.u16(e)
+        val typ = r.u16(e + 2)
+        val count = r.u32(e + 4)
+        tags(tag) = (typ, count, e + 8L)
+      }
+      val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8)
+      def values(tag: Int): Seq[Long] = tags.get(tag) match {
+        case None => Seq.empty
+        case Some((typ, count, at)) =>
+          val sz = typeSize.getOrElse(typ,
+            sys.error(s"tiff: unsupported type $typ for tag $tag"))
+          val total = sz * count
+          val base = if (total <= 4) at else r.u32(at.toInt)
+          (0L until count).map { i =>
+            val p = (base + i * sz).toInt
+            typ match {
+              case 1 | 2 => r.u8(p).toLong
+              case 3 => r.u16(p).toLong
+              case 4 => r.u32(p)
+              case 5 => r.u32(p) // rational numerator is enough here
+            }
+          }
+      }
+      def one(tag: Int, default: Long = -1L): Long =
+        values(tag).headOption.getOrElse(default)
+
+      val w = one(256).toInt
+      val h = one(257).toInt
+      require(w > 0 && h > 0, "tiff: missing image dimensions")
+      val spp = one(277, 1L).toInt
+      val bps = values(258)
+      require(bps.isEmpty || bps.forall(_ == 8L),
+        s"tiff: only 8-bit samples supported (got ${bps.mkString(",")})")
+      require(one(284, 1L) == 1L, "tiff: planar configuration unsupported")
+      require(!tags.contains(322), "tiff: tiled layout unsupported")
+      val comp = one(259, 1L).toInt
+      val predictor = one(317, 1L).toInt
+      require(predictor == 1 || predictor == 2,
+        s"tiff: predictor $predictor unsupported")
+      val rps = one(278, h.toLong).toInt
+      val offs = values(273)
+      val counts = values(279)
+      require(offs.nonEmpty && offs.size == counts.size,
+        "tiff: strip offsets/counts mismatch")
+      val rowBytes = w * spp
+      val out = new Array[Byte](rowBytes * h)
+      var row = 0
+      offs.zip(counts).foreach { case (off, cnt) =>
+        val stripRows = math.min(rps, h - row)
+        val expected = stripRows * rowBytes
+        val raw = r.slice(off, cnt.toInt)
+        val data = comp match {
+          case 1 => require(raw.length == expected,
+            "tiff: uncompressed strip size mismatch"); raw
+          case 5 => tiffLzwDecode(raw, expected)
+          case 8 | 32946 => inflate(raw, expected)
+          case 32773 => packBitsDecode(raw, expected)
+          case other => sys.error(s"tiff: compression $other unsupported")
+        }
+        System.arraycopy(data, 0, out, row * rowBytes, expected)
+        row += stripRows
+      }
+      require(row == h, s"tiff: strips cover $row of $h rows")
+      if (predictor == 2) { // horizontal differencing: undo per row
+        (0 until h).foreach { y =>
+          val base = y * rowBytes
+          (spp until rowBytes).foreach { i =>
+            out(base + i) = (out(base + i) + out(base + i - spp)).toByte
+          }
+        }
+      }
+      pages += TiffPage(w, h, comp, spp, rps, offs.size, predictor, out)
+      ifdOff = r.u32(ifdOff.toInt + 2 + n * 12)
+    }
+    require(pages.nonEmpty, "tiff: no pages")
+    TiffFile(le, pages.toSeq)
+  }
+
+  // ------------------------------------------------------------ encode
+
+  /** PackBits encode (literal runs + repeats, the spec's suggestion). */
+  private[graft] def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run) // -(run-1)
+        out.write(data(i)); i += run
+      } else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 &&
+          (i + lit + 1 >= data.length || data(i + lit) != data(i + lit + 1)))
+          lit += 1
+        out.write(lit - 1)
+        out.write(data, i, lit); i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** TIFF-LZW encode mirroring [[tiffLzwDecode]]'s early-change width
+    * schedule (shifted one entry for the decoder's dictionary lag, the
+    * GIF lesson) — fixtures carry real dictionary compression.
+    */
+  private[graft] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val clear = 256; val eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var bits = 0
+    var width = 9
+    def write(code: Int): Unit = { // MSB-first packing
+      cur = (cur << width) | code
+      bits += width
+      while (bits >= 8) {
+        out.write(((cur >> (bits - 8)) & 0xff).toInt); bits -= 8
+      }
+    }
+    var dict = scala.collection.mutable.Map[(Int, Int), Int]()
+    var next = clear + 2
+    write(clear)
+    var prev = -1
+    data.foreach { pb =>
+      val k = pb & 0xff
+      if (prev < 0) prev = k
+      else dict.get((prev, k)) match {
+        case Some(code) => prev = code
+        case None =>
+          write(prev)
+          dict((prev, k)) = next
+          next += 1
+          // early change + the one-entry decoder lag: grow at capacity
+          if (next == (1 << width) && width < 12) width += 1
+          if (next >= 4094) { // reset before the 12-bit ceiling
+            write(clear)
+            dict = scala.collection.mutable.Map[(Int, Int), Int]()
+            next = clear + 2
+            width = 9
+          }
+          prev = k
+      }
+    }
+    if (prev >= 0) write(prev)
+    write(eoi)
+    if (bits > 0) out.write(((cur << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  // Fixture arithmetic (the DuckDB oracle re-derives everything):
+  //   little-endian, one 8-bit grayscale page, w = 24+(id%4)*8,
+  //   h = 10+(id%5)*2, RowsPerStrip = 4 (multi-strip), pixel
+  //   v(x,y) = (id + 5x + 11y) % 256; compression by id%3:
+  //   0 = none, 1 = PackBits, 2 = LZW (real dictionaries).
+  private[graft] def tiffOf(id: Long): Array[Byte] = {
+    val w = 24 + (id % 4).toInt * 8
+    val h = 10 + (id % 5).toInt * 2
+    val comp = (id % 3).toInt match {
+      case 0 => 1
+      case 1 => 32773
+      case _ => 5
+    }
+    val rps = 4
+    val nStrips = (h + rps - 1) / rps
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw = Array.tabulate(rows * w) { p =>
+        val x = p % w; val y = s * rps + p / w
+        ((id + 5 * x + 11 * y) % 256).toByte
+      }
+      comp match {
+        case 1 => raw
+        case 32773 => packBitsEncode(raw)
+        case 5 => tiffLzwEncode(raw)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = (0 until 4).foreach(i =>
+      out.write(((v >> (8 * i)) & 0xff).toInt))
+    out.write('I'); out.write('I'); le16(42); le32(8)
+    // IFD at offset 8; strip data follows it
+    val nTags = 9
+    val ifdSize = 2 + nTags * 12 + 4
+    val offsArraySize = if (nStrips > 1) nStrips * 4 else 0
+    val cntsArraySize = if (nStrips > 1) nStrips * 4 else 0
+    var dataOff = 8L + ifdSize + offsArraySize + cntsArraySize
+    val stripOffs = strips.map { s => val o = dataOff; dataOff += s.length; o }
+    le16(nTags)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      le16(tag); le16(typ); le32(count); le32(value)
+    }
+    val offsAt = 8L + ifdSize
+    val cntsAt = offsAt + offsArraySize
+    entry(256, 4, 1, w.toLong)                    // ImageWidth
+    entry(257, 4, 1, h.toLong)                    // ImageLength
+    entry(258, 3, 1, 8L)                          // BitsPerSample
+    entry(259, 3, 1, comp.toLong)                 // Compression
+    entry(262, 3, 1, 1L)                          // Photometric: BlackIsZero
+    entry(273, 4, nStrips.toLong,                 // StripOffsets
+      if (nStrips > 1) offsAt else stripOffs.head)
+    entry(277, 3, 1, 1L)                          // SamplesPerPixel
+    entry(278, 4, 1, rps.toLong)                  // RowsPerStrip
+    entry(279, 4, nStrips.toLong,                 // StripByteCounts
+      if (nStrips > 1) cntsAt else strips.head.length.toLong)
+    le32(0) // no next IFD
+    if (nStrips > 1) {
+      stripOffs.foreach(le32)
+      strips.foreach(s => le32(s.length.toLong))
+    }
+    strips.foreach(out.write)
+    out.toByteArray
+  }
+
+  def synthesizeTiff(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => graft.operators.Multimodal.ImageRow(id, tiffOf(id)))
+      .toDF()
+  }
+
+  /** x115 gate: container facts per file. */
+  def tiffTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val f = parseTiff(bytes)
+        val p = f.pages.head
+        (id, if (f.littleEndian) "II" else "MM", f.pages.size,
+          p.w, p.h, p.compression, p.samplesPerPixel, p.rowsPerStrip,
+          p.nStrips)
+      }
+      .toDF("doc_id", "endian", "n_pages", "w", "h", "compression",
+        "spp", "rows_per_strip", "n_strips")
+  }
+
+  /** x116 gate: decoded pixel sum — all three codecs must land the
+    * same arithmetic.
+    */
+  def tiffPixelTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val p = parseTiff(bytes).pages.head
+        var sum = 0L
+        p.pixels.foreach(b => sum += (b & 0xff).toLong)
+        (id, p.w, p.h, p.compression, sum)
+      }
+      .toDF("doc_id", "w", "h", "compression", "px_sum")
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.sources.TiffSource
+
+/** TIFF walker: JDK ImageIO interop BOTH ways across four codecs
+  * (None/PackBits/LZW/Deflate, incl. the LZW predictor pairing), own
+  * codec round-trips, both byte orders, and grammar tripwires.
+  */
+class TiffSpec extends GraftSparkSpec {
+
+  private def grayImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, (x * 13 + y * 29) % 256)
+    img
+  }
+
+  test("tiff: we decode JDK-written TIFFs — None, PackBits, LZW, Deflate") {
+    val w = 53; val h = 37
+    val img = grayImage(w, h)
+    Seq("None", "PackBits", "LZW", "Deflate").foreach { codec =>
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("tiff").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      if (codec != "None") {
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(codec)
+      }
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val f = TiffSource.parseTiff(baos.toByteArray)
+      assert(f.pages.size === 1, codec)
+      val p = f.pages.head
+      assert(p.w === w && p.h === h && p.samplesPerPixel === 1, codec)
+      for (y <- 0 until h; x <- 0 until w) {
+        val mine = p.pixels(y * w + x) & 0xff
+        val theirs = img.getRaster.getSample(x, y, 0)
+        assert(mine === theirs, s"$codec pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("tiff: the JDK reader decodes our writer's bytes — all three fixture codecs") {
+    Seq(0L, 1L, 2L).foreach { id => // none / packbits / lzw
+      val bytes = TiffSource.tiffOf(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK reader rejected fixture id=$id")
+      val ours = TiffSource.parseTiff(bytes).pages.head
+      assert(img.getWidth === ours.w && img.getHeight === ours.h)
+      for (y <- 0 until ours.h; x <- 0 until ours.w) {
+        val theirs = img.getRaster.getSample(x, y, 0)
+        assert((ours.pixels(y * ours.w + x) & 0xff) === theirs,
+          s"id=$id pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("tiff: own codecs round-trip noise (LZW through dictionary resets); big-endian parses") {
+    val rnd = new scala.util.Random(5)
+    val data = Array.fill(9000)(rnd.nextInt(256).toByte)
+    assert(TiffSource.tiffLzwDecode(TiffSource.tiffLzwEncode(data),
+      data.length).toSeq === data.toSeq)
+    val runs = Array.fill(500)(7.toByte) ++ data.take(100) ++
+      Array.fill(300)(9.toByte)
+    assert(TiffSource.packBitsDecode(TiffSource.packBitsEncode(runs),
+      runs.length).toSeq === runs.toSeq)
+    // big-endian: the JDK writer emits MM when asked via metadata is
+    // awkward — hand-flip our header instead is invalid; rely on the
+    // Rd path via a tiny hand-built MM file
+    val mm = Array[Byte](0x4D, 0x4D, 0, 42, 0, 0, 0, 8) ++
+      // IFD: 5 tags (w,h,strip off,strip cnt,rows) minimal gray 2x1
+      Array[Byte](0, 5) ++
+      Array[Byte](1, 0, 0, 4, 0, 0, 0, 1, 0, 0, 0, 2) ++   // 256 w=2
+      Array[Byte](1, 1, 0, 4, 0, 0, 0, 1, 0, 0, 0, 1) ++   // 257 h=1
+      Array[Byte](1, 17, 0, 4, 0, 0, 0, 1, 0, 0, 0, 74) ++ // 273 off
+      Array[Byte](1, 22, 0, 4, 0, 0, 0, 1, 0, 0, 0, 1) ++  // 278 rps
+      Array[Byte](1, 23, 0, 4, 0, 0, 0, 1, 0, 0, 0, 2) ++  // 279 cnt=2
+      Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](0x2A, 0x3B)
+    val f = TiffSource.parseTiff(mm)
+    assert(!f.littleEndian)
+    assert(f.pages.head.pixels.toSeq === Seq(0x2A.toByte, 0x3B.toByte))
+  }
+
+  test("tiff: fixture facts match the documented arithmetic") {
+    Seq(0L, 4L, 7L).foreach { id =>
+      val f = TiffSource.parseTiff(TiffSource.tiffOf(id))
+      val p = f.pages.head
+      assert(f.littleEndian && f.pages.size === 1)
+      assert(p.w === 24 + (id % 4).toInt * 8)
+      assert(p.h === 10 + (id % 5).toInt * 2)
+      assert(p.compression === Seq(1, 32773, 5)((id % 3).toInt))
+      assert(p.nStrips === (p.h + 3) / 4)
+      (0 until p.h).foreach { y =>
+        (0 until p.w).foreach { x =>
+          assert((p.pixels(y * p.w + x) & 0xff) ===
+            ((id + 5 * x + 11 * y) % 256).toInt)
+        }
+      }
+    }
+  }
+
+  test("tiff: out-of-subset shapes and damage reject loudly by name") {
+    val good = TiffSource.tiffOf(2L) // LZW fixture
+    val e1 = intercept[Exception] {
+      TiffSource.parseTiff("XXXX1234".getBytes("ISO-8859-1"))
+    }
+    assert(e1.getMessage.contains("byte-order"))
+    // TIFF strips carry NO integrity check (unlike gzip/zip CRCs — the
+    // ORC-tail lesson): a flipped bit can be a perfectly legal different
+    // pixel, so only GRAMMAR damage is detectable. Patch the compression
+    // tag (entry 3, value at header 8 + count 2 + 3*12 + 8 = 54) to an
+    // unsupported scheme:
+    val c = good.clone()
+    c(54) = 99.toByte
+    val e2 = intercept[Exception] { TiffSource.parseTiff(c) }
+    assert(e2.getMessage.contains("compression 99 unsupported"))
+    // truncated file
+    val e3 = intercept[Exception] {
+      TiffSource.parseTiff(java.util.Arrays.copyOfRange(good, 0, 60))
+    }
+    assert(e3.getMessage.contains("truncated") ||
+      e3.getMessage.contains("overruns"))
+  }
+}
