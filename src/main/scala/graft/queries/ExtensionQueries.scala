@@ -3255,19 +3255,8 @@ object ExtensionQueries {
         t(s, dir, "documents").select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .flatMap { case (id, text) =>
-            val fetchedOk = graft.sources.WarcSource
-              .parseWarc(graft.sources.WarcSource.warcOf(id, text)).records
-              .filter(r => r.warcType == "response" && r.httpStatus == 200)
-              .map(_.targetUri).toSet
-            val rules = graft.sources.RobotsTxt.parseRobots(
-              graft.sources.RobotsTxt.robotsOf(id % 7))
-            graft.sources.Sitemap.parseSitemap(
-                graft.sources.Sitemap.sitemapOf(id)).entries
-              .filter(e => !fetchedOk(e.loc))
-              .filter { e =>
-                val path = e.loc.stripPrefix(s"http://site${id % 7}.example")
-                graft.sources.RobotsTxt.evaluate(rules, "anybot", path)._1
-              }
+            // ONE shared derivation with x111 (Sitemap.fixtureFrontier)
+            graft.sources.Sitemap.fixtureFrontier(id, text)
               .map(e => (id, e.loc, e.priorityPpm))
           }
           .toDF("doc_id", "loc", "priority_ppm")
@@ -3304,21 +3293,12 @@ object ExtensionQueries {
         t(s, dir, "documents").select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .flatMap { case (id, text) =>
-            val fetchedOk = graft.sources.WarcSource
-              .parseWarc(graft.sources.WarcSource.warcOf(id, text)).records
-              .filter(r => r.warcType == "response" && r.httpStatus == 200)
-              .map(_.targetUri).toSet
             val (rules, delays) = graft.sources.RobotsTxt.parseRobotsAll(
               graft.sources.RobotsTxt.robotsOf(id % 7))
-            val delayMs = graft.sources.RobotsTxt.crawlDelayMs(delays, "anybot")
-            graft.sources.Sitemap.parseSitemap(
-                graft.sources.Sitemap.sitemapOf(id)).entries
-              .filter(e => !fetchedOk(e.loc))
-              .filter { e =>
-                val path = e.loc.stripPrefix(s"http://site${id % 7}.example")
-                graft.sources.RobotsTxt.evaluate(rules, "anybot", path)._1
-              }
-              .sortBy(e => (-e.priorityPpm, e.loc))
+            val delayMs =
+              graft.sources.RobotsTxt.crawlDelayMs(rules, delays, "anybot")
+            // ONE shared frontier derivation with x109
+            graft.sources.Sitemap.fixtureFrontier(id, text)
               .zipWithIndex.map { case (e, seq) =>
                 (id, e.loc, seq, delayMs, seq * delayMs)
               }

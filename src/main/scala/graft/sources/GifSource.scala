@@ -120,15 +120,9 @@ object GifSource {
         val first =
           if (code < next) emit(code)
           else { // KwKwK: code == next, string = prev's string + its first byte
-            var stack = List.empty[Byte]
-            var c = prev
-            while (c >= clear + 2) { stack = suffix(c) :: stack; c = prefix(c) }
-            stack = c.toByte :: stack
-            val f = stack.head
-            (stack :+ f).foreach { b =>
-              require(outPos < expected, "gif: LZW emits more pixels than the frame")
-              out(outPos) = b; outPos += 1
-            }
+            val f = emit(prev)
+            require(outPos < expected, "gif: LZW emits more pixels than the frame")
+            out(outPos) = f; outPos += 1
             f
           }
         if (next < 4096) {
@@ -168,6 +162,9 @@ object GifSource {
     val hasGct = (flags & 0x80) != 0
     val gctSize = if (hasGct) 2 << (flags & 7) else 0
     require(hasGct, "gif: files without a global color table unsupported")
+    // u16×u16 screens can reach 4.3G pixels — bound the decode budget
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 28),
+      "gif: logical screen exceeds supported decoded size (256M px)")
     val palette = new Array[Int](gctSize)
     (0 until gctSize).foreach { i =>
       palette(i) = (r.u8() << 16) | (r.u8() << 8) | r.u8()
@@ -202,14 +199,17 @@ object GifSource {
         case 0x2C => // image descriptor
           val left = r.u16(); val top = r.u16()
           val fw = r.u16(); val fh = r.u16()
+          // validate BEFORE lzwDecode allocates fw*fh: a <100-byte
+          // hostile GIF must not force a 2 GB allocation (and u16×u16
+          // can wrap Int); the screen bound below caps the product
+          require(fw > 0 && fh > 0 && left + fw <= w && top + fh <= h,
+            "gif: frame exceeds the logical screen")
           val f = r.u8()
           require((f & 0x80) == 0, "gif: local color tables unsupported")
           val interlaced = (f & 0x40) != 0
           val minCode = r.u8()
           val raw = lzwDecode(r.subBlocks(), minCode, fw * fh)
           val px = if (interlaced) deinterlace(raw, fw, fh) else raw
-          require(left + fw <= w && top + fh <= h,
-            "gif: frame exceeds the logical screen")
           frames += GifFrame(left, top, fw, fh, interlaced, delayCs,
             transparentIdx, px)
           delayCs = 0; transparentIdx = -1 // GCE applies to one image

@@ -73,7 +73,11 @@ object RobotsTxt {
             case "crawl-delay" =>
               // ends UA accumulation like every other non-group record
               groupOpen = false
-              if (agents.nonEmpty && value.matches("\\d+(\\.\\d+)?")) {
+              if (agents.nonEmpty && value.matches("\\d+(\\.\\d+)?") &&
+                // out-of-range values are malformed hints too: a huge
+                // decimal would wrap .toLong into garbage (possibly
+                // negative) delays; nothing sane waits more than a day
+                BigDecimal(value) <= BigDecimal(86400)) {
                 val ms = (BigDecimal(value) * 1000).toLong
                 agents.foreach(a => delays += RobotsDelay(a, ms))
               }
@@ -90,15 +94,22 @@ object RobotsTxt {
     (out.toSeq, delays.toSeq)
   }
 
-  /** Effective crawl delay for an agent: the exact group's delay, else
-    * the `*` group's, else the caller's default (group selection
-    * mirrors [[evaluate]]'s precedence).
+  /** Effective crawl delay for an agent, with group selection
+    * genuinely mirroring [[evaluate]]: if the agent has its OWN group
+    * (in `rules` — the empty-prefix sentinel marks declared groups),
+    * only that group's delay applies (its absence means the default,
+    * NOT the `*` group's value — RFC 9309 groups never merge); only an
+    * agent with no group at all falls through to `*`.
     */
-  private[graft] def crawlDelayMs(delays: Seq[RobotsDelay], agent: String,
+  private[graft] def crawlDelayMs(rules: Seq[RobotsRule],
+                                  delays: Seq[RobotsDelay], agent: String,
                                   defaultMs: Long = 1000L): Long = {
     val a = agent.toLowerCase
-    delays.find(_.agent == a).orElse(delays.find(_.agent == "*"))
-      .map(_.delayMs).getOrElse(defaultMs)
+    val own = delays.find(_.agent == a)
+    val fromGroup =
+      if (rules.exists(_.agent == a)) own
+      else own.orElse(delays.find(_.agent == "*"))
+    fromGroup.map(_.delayMs).getOrElse(defaultMs)
   }
 
   /** Does `pattern` match a prefix of `path`? `*` matches any character

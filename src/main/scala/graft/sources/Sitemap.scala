@@ -128,6 +128,28 @@ object Sitemap {
       urls + "\n</urlset>"
   }
 
+  /** THE admitted crawl frontier of one doc's site — sitemap discovery
+    * minus the fetched-OK pages (parsed from the x100 WARC fixture),
+    * through robots admission, priority-ordered (priority desc, loc).
+    * The single shared derivation behind x109 (queue rows) and x111
+    * (politeness schedule): one definition, so a fixture change cannot
+    * drift the two gates apart (the r11 shared-pipeline discipline).
+    */
+  private[graft] def fixtureFrontier(id: Long, text: String): Seq[SitemapEntry] = {
+    val fetchedOk = WarcSource
+      .parseWarc(WarcSource.warcOf(id, text)).records
+      .filter(r => r.warcType == "response" && r.httpStatus == 200)
+      .map(_.targetUri).toSet
+    val rules = RobotsTxt.parseRobots(RobotsTxt.robotsOf(id % 7))
+    parseSitemap(sitemapOf(id)).entries
+      .filter(e => !fetchedOk(e.loc))
+      .filter { e =>
+        val path = e.loc.stripPrefix(s"http://site${id % 7}.example")
+        RobotsTxt.evaluate(rules, "anybot", path)._1
+      }
+      .sortBy(e => (-e.priorityPpm, e.loc))
+  }
+
   /** x108 gate: parse each doc's sitemap and emit its URL entries. */
   def sitemapTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -136,16 +136,10 @@ object TiffSource {
         require(code <= next, s"tiff: LZW code $code beyond dictionary")
         val first =
           if (code < next) emit(code)
-          else { // KwKwK
-            var stack = List.empty[Byte]
-            var c = prev
-            while (c >= clear + 2) { stack = suffix(c) :: stack; c = prefix(c) }
-            stack = c.toByte :: stack
-            val f = stack.head
-            (stack :+ f).foreach { b =>
-              require(outPos < expected, "tiff: LZW emits more bytes than the strip")
-              out(outPos) = b; outPos += 1
-            }
+          else { // KwKwK: code == next, string = prev's string + its first byte
+            val f = emit(prev)
+            require(outPos < expected, "tiff: LZW emits more bytes than the strip")
+            out(outPos) = f; outPos += 1
             f
           }
         if (next < 4096) {
@@ -228,6 +222,13 @@ object TiffSource {
       val h = one(257).toInt
       require(w > 0 && h > 0, "tiff: missing image dimensions")
       val spp = one(277, 1L).toInt
+      require(spp >= 1 && spp <= 4, s"tiff: $spp samples/pixel unsupported")
+      // u32 dims are legal up to 2^32-1: bound the DECODED size before
+      // any arithmetic so w*h*spp can neither wrap Int nor OOM-allocate
+      // (a crafted 65536x65536 header wrapped to a 0-byte buffer and
+      // "decoded" to zero pixels before this check existed)
+      require(w.toLong * h * spp <= (1L << 28),
+        "tiff: image exceeds supported decoded size (256 MB)")
       val bps = values(258)
       require(bps.isEmpty || bps.forall(_ == 8L),
         s"tiff: only 8-bit samples supported (got ${bps.mkString(",")})")

@@ -114,8 +114,8 @@ class RobotsSpec extends GraftSparkSpec {
     assert(e2.getMessage.contains("before any User-agent"))
   }
 
-  test("robots: crawl-delay parses per group (decimal seconds to ms); exact agent beats *") {
-    val (_, delays) = RobotsTxt.parseRobotsAll(
+  test("robots: crawl-delay parses per group (decimal seconds to ms); groups never merge") {
+    val (rules, delays) = RobotsTxt.parseRobotsAll(
       """User-agent: *
         |Disallow: /x
         |Crawl-delay: 2.5
@@ -123,17 +123,25 @@ class RobotsSpec extends GraftSparkSpec {
         |User-agent: fastbot
         |Crawl-delay: 0.1
         |Allow: /
+        |
+        |User-agent: quietbot
+        |Disallow: /z
         |""".stripMargin)
-    assert(RobotsTxt.crawlDelayMs(delays, "FastBot") === 100L)
-    assert(RobotsTxt.crawlDelayMs(delays, "other") === 2500L)
+    assert(RobotsTxt.crawlDelayMs(rules, delays, "FastBot") === 100L)
+    assert(RobotsTxt.crawlDelayMs(rules, delays, "other") === 2500L)
+    // an agent with its OWN group but no delay gets the DEFAULT, not
+    // the * group's value (groups never merge — the evaluate rule)
+    assert(RobotsTxt.crawlDelayMs(rules, delays, "quietbot") === 1000L)
     // absent everywhere: the caller's default
-    val (_, none) = RobotsTxt.parseRobotsAll("User-agent: *\nDisallow:\n")
-    assert(RobotsTxt.crawlDelayMs(none, "x") === 1000L)
-    // a malformed delay is a skipped hint, never a parse failure
-    val (rules, bad) = RobotsTxt.parseRobotsAll(
-      "User-agent: *\nCrawl-delay: fast\nDisallow: /y\n")
+    val (nr, none) = RobotsTxt.parseRobotsAll("User-agent: *\nDisallow:\n")
+    assert(RobotsTxt.crawlDelayMs(nr, none, "x") === 1000L)
+    // malformed or absurd delays are skipped hints, never failures and
+    // never wrapped negatives
+    val (rules2, bad) = RobotsTxt.parseRobotsAll(
+      "User-agent: *\nCrawl-delay: fast\n" +
+        "Crawl-delay: 99999999999999999999\nDisallow: /y\n")
     assert(bad.isEmpty)
-    assert(RobotsTxt.evaluate(rules, "x", "/y/z")._1 === false)
+    assert(RobotsTxt.evaluate(rules2, "x", "/y/z")._1 === false)
   }
 
   test("robots: RFC 9309 wildcards — '*' any-run, trailing '$' anchor, pattern-length precedence") {
