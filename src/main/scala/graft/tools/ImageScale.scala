@@ -53,6 +53,36 @@ object ImageScale {
     val td = time("decode")(graft.operators.ImageCodecs.pngPixelTable(spark, media))
     val ti = time("imageio")(graft.operators.Multimodal.decodeImages(spark, media))
     println(f"meta is ${td / tm}%.1fx cheaper than own decode, ${ti / tm}%.1fx than ImageIO")
+
+    // --- gif/tiff decode kernels (x114/x116): same corpus SIZE, the
+    // fixtures' own writers (real LZW/PackBits), full pixel decode
+    Seq("gif", "tiff").foreach { fmt =>
+      val dir = s"/tmp/graft-imagescale-$fmt-$n"
+      if (!new java.io.File(dir).exists()) {
+        spark.range(n).select(col("id").as("doc_id")).as[Long]
+          .repartition(64)
+          .map { id =>
+            val bytes = if (fmt == "gif") graft.sources.GifSource.gifOf(id)
+              else graft.sources.TiffSource.tiffOf(id)
+            graft.operators.Multimodal.ImageRow(id, bytes)
+          }
+          .toDF().write.mode("overwrite").parquet(dir)
+      }
+      val m = spark.read.parquet(dir)
+      val b = m.agg(sum(length(col("content")))).as[Long].first()
+      def timeF(label: String)(df: => DataFrame): Double = {
+        df.write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-12s ${s}%8.1f s  ${n / s}%9.0f img/s  ${b / s / 1e6}%7.1f MB/s")
+        s
+      }
+      if (fmt == "gif")
+        timeF("gif-decode")(graft.sources.GifSource.gifPixelTable(spark, m))
+      else
+        timeF("tiff-decode")(graft.sources.TiffSource.tiffPixelTable(spark, m))
+    }
     spark.stop()
   }
 }
