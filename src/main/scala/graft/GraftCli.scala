@@ -898,6 +898,18 @@ object GraftCli {
       println(s"[graft] zip-scan: $glob -> $outDir")
       spark.stop()
 
+    case "stream-zip-scan" :: landingDir :: outDir :: ckpt :: rest =>
+      // continuous ZIP-shard ingestion server (completes the trio next
+      // to stream-warc-extract and stream-tar-scan)
+      val spark = session()
+      val lifetime = rest.headOption.map(_.toInt).getOrElse(15)
+      val q = streaming.StreamingAnalytics.zipIngest(
+        spark, landingDir, outDir, ckpt)
+      println(s"[graft] zip-scan server on $landingDir -> $outDir")
+      q.awaitTermination(lifetime * 1000L)
+      q.stop()
+      spark.stop()
+
     case "stream-tar-scan" :: landingDir :: outDir :: ckpt :: rest =>
       // continuous WebDataset-shard ingestion server (tar sibling of
       // stream-warc-extract); lifetimeSec bounds the demo run
@@ -1071,6 +1083,7 @@ object GraftCli {
            |  graph-components <edgesParquet> <outDir> [maxRounds]
            |  graph-sssp <edgesParquet(src,dst,w)> <seedsParquet> <outDir> [maxRounds]
            |  stream-tar-scan <landingDir> <outDir> <ckptDir> [lifetimeSec]
+           |  stream-zip-scan <landingDir> <outDir> <ckptDir> [lifetimeSec]
            |  zip-demo <docsParquet> <outDir>
            |  zip-scan '<glob.zip>' <outDir>
            |  manifest-compact <shardDir> [retainDays]

@@ -122,6 +122,32 @@ class ZipSpec extends GraftSparkSpec {
     }
   }
 
+  test("zip: streaming ingestion is exactly-once across restarts; damage poisons under lenient") {
+    withTmp { root =>
+      val landing = new java.io.File(root, "landing"); landing.mkdirs()
+      val out = new java.io.File(root, "out").getAbsolutePath
+      val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+      java.nio.file.Files.write(new java.io.File(landing, "d2.zip").toPath,
+        ZipSource.zipFixtureOf(2L, "first")) // k=3 entries
+      java.nio.file.Files.write(new java.io.File(landing, "bad.zip").toPath,
+        "no EOCD anywhere in this file at all......".getBytes("UTF-8"))
+      val q = graft.streaming.StreamingAnalytics.zipIngest(
+        spark, landing.getAbsolutePath, out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.count(!_.isNullAt(1)) === 3) // d2's entries
+      val poison = rows.filter(_.isNullAt(1))
+      assert(poison.length === 1 && poison.head.getString(0).endsWith("bad.zip"))
+      // restart: nothing replays
+      val q2 = graft.streaming.StreamingAnalytics.zipIngest(
+        spark, landing.getAbsolutePath, out, ckpt)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.read.parquet(out).count() === rows.length)
+    }
+  }
+
   test("zip: file-path arm seeks the directory and CRC-checks every entry") {
     withTmp { dir =>
       Seq(2L, 5L).foreach { id =>
