@@ -536,6 +536,19 @@ object StreamingAnalytics {
       }
   }
 
+  // binaryFile's schema is fixed by the format, but streaming file
+  // sources require it stated explicitly — shared by the three ingest
+  // servers (warc/tar/zip)
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
   /** Continuous crawl ingestion: a landing directory of `.warc`/`.warc.gz`
     * archives streams through the WARC walk + HTML extraction
     * (sources/WarcSource) into an append-only parquet table of extracted
@@ -552,17 +565,8 @@ object StreamingAnalytics {
     import spark.implicits._
     // binaryFile's schema is fixed by the format, but streaming file
     // sources require it stated explicitly
-    val binSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content",
-        org.apache.spark.sql.types.BinaryType)))
     val stream = spark.readStream.format("binaryFile")
-      .schema(binSchema)
+      .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.warc*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(landingDir)
@@ -605,18 +609,9 @@ object StreamingAnalytics {
                 lenient: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    val binSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content",
-        org.apache.spark.sql.types.BinaryType)))
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     spark.readStream.format("binaryFile")
-      .schema(binSchema)
+      .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.tar*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(landingDir)
@@ -659,18 +654,9 @@ object StreamingAnalytics {
                 lenient: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    val binSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content",
-        org.apache.spark.sql.types.BinaryType)))
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     spark.readStream.format("binaryFile")
-      .schema(binSchema)
+      .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.zip")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(landingDir)
