@@ -850,6 +850,34 @@ object GraftCli {
         (if (mainContent) " (main-content)" else ""))
       spark.stop()
 
+    case "wet-demo" :: docsParquet :: outDir :: Nil =>
+      // materialize Common-Crawl-shaped .warc.wet[.gz] fixtures
+      val spark = session()
+      new java.io.File(outDir).mkdirs()
+      graft.sources.WarcSource.synthesizeWet(
+          spark, spark.read.parquet(docsParquet))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val ext = if (id % 2 == 0) "warc.wet.gz" else "warc.wet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"d$id.$ext"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      println(s"[graft] wet-demo: $docsParquet -> $outDir")
+      spark.stop()
+
+    case "corpus-from-wet" :: glob :: outDir :: rest =>
+      // WET conversion records -> documents-table shape (text already
+      // extracted upstream; no HTML stage)
+      val spark = session()
+      val lenient = !rest.contains("strict")
+      graft.sources.WarcSource.wetDocs(spark, glob, lenient)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] corpus-from-wet: $glob -> $outDir")
+      spark.stop()
+
     case "stream-warc-extract" :: landingDir :: outDir :: checkpoint :: rest =>
       val spark = session()
       val runSec = rest.headOption.map(_.toInt).getOrElse(0)
@@ -1084,6 +1112,8 @@ object GraftCli {
            |  graph-sssp <edgesParquet(src,dst,w)> <seedsParquet> <outDir> [maxRounds]
            |  stream-tar-scan <landingDir> <outDir> <ckptDir> [lifetimeSec]
            |  stream-zip-scan <landingDir> <outDir> <ckptDir> [lifetimeSec]
+           |  wet-demo <docsParquet> <outDir>
+           |  corpus-from-wet '<glob.wet*>' <outParquet> [strict]
            |  zip-demo <docsParquet> <outDir>
            |  zip-scan '<glob.zip>' <outDir>
            |  manifest-compact <shardDir> [retainDays]

@@ -3144,6 +3144,36 @@ object ExtensionQueries {
           |  ' footer ' || (doc_id % 11) AS extracted
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // WET derivative archives (x117) — Common Crawl's text-extract
+    // sibling of WARC: `conversion` records whose text/plain payload IS
+    // the extracted page text (no HTTP sub-parse, no HTML), the format
+    // most CC-based corpora actually ingest. Same container grammar and
+    // member-per-record gzip walk as x100; the record parser surfaces
+    // textual non-HTTP payloads as the body. `wetDocs` lands these
+    // directly in the documents-table shape (the crawlDocs sibling
+    // without the extraction stage). DuckDB re-derives all facts.
+    "x117_wet" -> QueryDef(
+      (s, dir) => graft.sources.WarcSource.wetTable(
+          s, graft.sources.WarcSource.synthesizeWet(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, text, doc_id % 3 + 1 AS k
+          |           FROM documents),
+          |e AS (SELECT doc_id, text, k, unnest(range(0, k)) AS j FROM d)
+          |SELECT doc_id,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+          |    AS is_gzip,
+          |  CAST(any_value(k) + 1 AS INT) AS n_records,
+          |  CAST(any_value(k) AS INT) AS n_conversion,
+          |  CAST(sum(CASE WHEN j = 0 THEN length(text)
+          |    ELSE length('wet ' || doc_id || ' ' || j || ' extracted text')
+          |    END) AS BIGINT) AS body_bytes,
+          |  'http://site' || (doc_id % 7) || '.example/' || doc_id || '/0'
+          |    AS first_uri,
+          |  any_value(text) AS first_text
+          |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Readability-style MAIN-CONTENT extraction (WarcSource.bodyBlocks /
     // mainText) — the extraction-QUALITY stage after x101's tag strip:
     // segment the body into top-level blocks, measure each block's

@@ -186,6 +186,12 @@ object WarcSource {
           status = -1; httpCt = ""; body = null
           bodyBytes = payload.length.toLong
       }
+    } else if (ctype.startsWith("text/")) {
+      // non-HTTP textual payloads — Common Crawl's WET `conversion`
+      // records (text/plain extracted text) are the big population;
+      // the whole payload IS the body, no sub-parse
+      body = new String(payload, "UTF-8")
+      bodyBytes = payload.length.toLong
     }
     // ISO 28500's WARC/1.0 grammar writes URIs in angle brackets (wget
     // does); WARC/1.1 dropped them — normalize so consumers see one form
@@ -669,6 +675,97 @@ object WarcSource {
       .toDF("uri", "text", "lang")
       .withColumn("doc_id", pmod(xxhash64(col("uri")), lit(Long.MaxValue)))
       // schemes are case-insensitive per RFC 3986; normalize the host
+      .withColumn("source",
+        lower(regexp_extract(col("uri"), "(?i)^[a-z]+://([^/]+)", 1)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .dropDuplicates("doc_id")
+  }
+
+  // ---------------------------------------------------------------- wet
+
+  // WET fixture arithmetic (the DuckDB oracle re-derives everything):
+  //   k = id%3+1 conversion records; record j's URI is
+  //   http://site{id%7}.example/{id}/{j} and its text/plain payload is
+  //   the doc text at j==0, else "wet {id} {j} extracted text"; gzip
+  //   member-per-record on even ids (the Common Crawl layout), plain
+  //   otherwise — one warcinfo record leads either way.
+  private[graft] def wetOf(id: Long, text: String): Array[Byte] = {
+    val date = f"2026-02-${id % 28 + 1}%02dT00:00:00Z"
+    val recs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    recs += record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:uuid:$id-wetinfo>",
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-wet\r\nextractedFrom: fixture\r\n".getBytes("UTF-8"))
+    val k = (id % 3 + 1).toInt
+    (0 until k).foreach { j =>
+      val payload = (if (j == 0) text else s"wet $id $j extracted text")
+        .getBytes("UTF-8")
+      recs += record(Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Record-ID" -> s"<urn:uuid:$id-$j-wet>",
+        "WARC-Refers-To" -> s"<urn:uuid:$id-$j>",
+        "WARC-Date" -> date,
+        "WARC-Target-URI" -> s"http://site${id % 7}.example/$id/$j",
+        "Content-Type" -> "text/plain"), payload)
+    }
+    if (id % 2 == 0) recs.toArray.flatMap(gzipOne) else recs.toArray.flatten
+  }
+
+  def synthesizeWet(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { case (id, text) =>
+        graft.operators.Multimodal.ImageRow(id, wetOf(id, text)) }
+      .toDF()
+  }
+
+  /** x117 gate: WET facts per archive — conversion records carry the
+    * extracted text AS the payload (no HTTP, no HTML), which is what
+    * most Common-Crawl-based corpora actually ingest.
+    */
+  def wetTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val f = parseWarc(bytes)
+        val conv = f.records.filter(_.warcType == "conversion")
+        val first = conv.headOption.getOrElse(
+          sys.error(s"wet: no conversion record in doc $id"))
+        (id, if (f.gzip) 1 else 0, f.records.size, conv.size,
+          conv.map(_.bodyBytes).sum, first.targetUri, first.body)
+      }
+      .toDF("doc_id", "is_gzip", "n_records", "n_conversion",
+        "body_bytes", "first_uri", "first_text")
+  }
+
+  /** WET → corpus bridge: conversion records under a glob land directly
+    * in the documents-table shape (the crawlDocs sibling without the
+    * HTML extraction stage — WET text is already extracted). Same
+    * streaming discipline: one task per file, record-at-a-time,
+    * lenient poison semantics via [[responseRows]]'s machinery.
+    */
+  def wetDocs(spark: SparkSession, glob: String,
+              lenient: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        val in = pds.open()
+        val base = StreamUtil.closeOnExhaust(in,
+          new WarcIterator(in, lenientHttp = lenient)
+            .filter(r => r.warcType == "conversion" && r.body != null)
+            .map(r => (r.targetUri, r.body)))
+        if (!lenient) base
+        else StreamUtil.poisonOnError(base, (null, null))
+      }
+      .filter(r => r._1 != null && r._2 != null && r._2.nonEmpty)
+      .map { case (uri, text) =>
+        (uri, text, graft.functions.LangId.predict(text)) }
+      .toDF("uri", "text", "lang")
+      .withColumn("doc_id", pmod(xxhash64(col("uri")), lit(Long.MaxValue)))
       .withColumn("source",
         lower(regexp_extract(col("uri"), "(?i)^[a-z]+://([^/]+)", 1)))
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -385,6 +385,43 @@ class WarcSpec extends GraftSparkSpec {
     }
   }
 
+  test("wet: conversion records surface their text payloads; wetDocs lands the documents shape") {
+    Seq(2L, 7L).foreach { id => // gzip member-per-record / plain
+      val f = WarcSource.parseWarc(WarcSource.wetOf(id, "wet doc text"))
+      assert(f.gzip === (id % 2 == 0))
+      val conv = f.records.filter(_.warcType == "conversion")
+      assert(conv.size === (id % 3 + 1).toInt)
+      assert(conv.head.body === "wet doc text") // payload IS the body
+      assert(conv.head.httpStatus === -1) // no HTTP anywhere
+      assert(conv.head.bodyBytes === "wet doc text".length.toLong)
+      assert(f.records.head.warcType === "warcinfo")
+      assert(f.records.head.body === null) // warc-fields stays opaque
+    }
+    val dir = java.nio.file.Files.createTempDirectory("wetdocs").toFile
+    try {
+      Seq(2L, 7L).foreach { id =>
+        val ext = if (id % 2 == 0) "warc.wet.gz" else "warc.wet"
+        java.nio.file.Files.write(new java.io.File(dir, s"d$id.$ext").toPath,
+          WarcSource.wetOf(id, "the the the data word"))
+      }
+      val docs = WarcSource.wetDocs(spark,
+        dir.getAbsolutePath + "/*.wet*").collect()
+      // id=2: k=3 conversions, id=7: k=2 -> 5 docs, distinct URIs
+      assert(docs.length === 5)
+      assert(docs.map(_.getLong(0)).distinct.length === 5)
+      assert(docs.map(_.getString(3)).toSet ===
+        Set("site2.example", "site0.example"))
+      assert(docs.forall(_.getLong(4) > 0))
+      // a poison file is skipped, the good ones survive
+      java.nio.file.Files.write(new java.io.File(dir, "bad.warc.wet").toPath,
+        "definitely not a warc".getBytes("UTF-8"))
+      assert(WarcSource.wetDocs(spark,
+        dir.getAbsolutePath + "/*.wet*").count() === 5)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("warc: crawlDocs bridges a crawl into the documents-table shape") {
     val dir = java.nio.file.Files.createTempDirectory("crawldocs").toFile
     try {
