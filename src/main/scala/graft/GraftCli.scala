@@ -1139,8 +1139,8 @@ object GraftCli {
            |  kmeans <embeddingsParquet> <outDir> [k] [iters]
            |  profile <inParquet>
            |  chunk <docsParquet> <outDir> [size] [stride]
-           |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg]
-           |  image-meta-demo <docsParquet> <outDir> [png|jpeg]
+           |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg|gif|tiff]
+           |  image-meta-demo <docsParquet> <outDir> [png|jpeg|gif|tiff]
            |  parquet-footer <file.parquet> [file.parquet ...]
            |  orc-footer <file.orc> [file.orc ...]
            |  parquet-prune <file.parquet> <intColumn> <lo> <hi>

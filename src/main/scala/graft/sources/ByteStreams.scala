@@ -279,6 +279,18 @@ private[graft] object StreamUtil {
       }
     }
 
+  /** Defer a whole per-file pipeline (open, stat, parser construction)
+    * to first use, so it runs INSIDE whatever guard wraps the iterator:
+    * a file deleted between source listing and task execution must
+    * surface as a guardable error, not an eager throw outside the
+    * lenient poison path (r16 review).
+    */
+  def deferred[T](make: => Iterator[T]): Iterator[T] = new Iterator[T] {
+    private lazy val it = make
+    def hasNext: Boolean = it.hasNext
+    def next(): T = it.next()
+  }
+
   /** Degrade errors to ONE poison element and stop — the lenient
     * file-level guard shared by the ingestion arms: a damaged archive
     * yields its rows up to the damage point, then the caller's poison

@@ -664,12 +664,22 @@ object WarcSource {
     */
   def crawlDocs(spark: SparkSession, glob: String,
                 lenient: Boolean = true,
-                mainContent: Boolean = false): DataFrame = {
+                mainContent: Boolean = false): DataFrame =
+    docsShape(spark,
+      warcFiles(spark, glob, lenient, mainContent)
+        .filter(col("status") === 200 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("uri"), col("text")))
+
+  /** THE (uri, text) → documents-table derivation shared by the two
+    * corpus bridges (crawlDocs, wetDocs): trigram language id, URI-hash
+    * doc_id (stable across re-fetches), lower-cased host as source —
+    * one definition so the bridges cannot drift (the fixtureFrontier
+    * discipline).
+    */
+  private def docsShape(spark: SparkSession, pages: DataFrame): DataFrame = {
     import spark.implicits._
-    warcFiles(spark, glob, lenient, mainContent)
-      .filter(col("status") === 200 && col("text").isNotNull &&
-        length(col("text")) > 0)
-      .select(col("uri"), col("text")).as[(String, String)]
+    pages.as[(String, String)]
       .map { case (uri, text) =>
         (uri, text, graft.functions.LangId.predict(text)) }
       .toDF("uri", "text", "lang")
@@ -751,26 +761,19 @@ object WarcSource {
   def wetDocs(spark: SparkSession, glob: String,
               lenient: Boolean = true): DataFrame = {
     import spark.implicits._
-    spark.sparkContext.binaryFiles(glob)
-      .flatMap { case (path, pds) =>
-        val in = pds.open()
-        val base = StreamUtil.closeOnExhaust(in,
-          new WarcIterator(in, lenientHttp = lenient)
-            .filter(r => r.warcType == "conversion" && r.body != null)
-            .map(r => (r.targetUri, r.body)))
-        if (!lenient) base
-        else StreamUtil.poisonOnError(base, (null, null))
-      }
-      .filter(r => r._1 != null && r._2 != null && r._2.nonEmpty)
-      .map { case (uri, text) =>
-        (uri, text, graft.functions.LangId.predict(text)) }
-      .toDF("uri", "text", "lang")
-      .withColumn("doc_id", pmod(xxhash64(col("uri")), lit(Long.MaxValue)))
-      .withColumn("source",
-        lower(regexp_extract(col("uri"), "(?i)^[a-z]+://([^/]+)", 1)))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .select("doc_id", "text", "lang", "source", "n_chars")
-      .dropDuplicates("doc_id")
+    docsShape(spark,
+      spark.sparkContext.binaryFiles(glob)
+        .flatMap { case (path, pds) =>
+          val in = pds.open()
+          val base = StreamUtil.closeOnExhaust(in,
+            new WarcIterator(in, lenientHttp = lenient)
+              .filter(r => r.warcType == "conversion" && r.body != null)
+              .map(r => (r.targetUri, r.body)))
+          if (!lenient) base
+          else StreamUtil.poisonOnError(base, (null, null))
+        }
+        .filter(r => r._1 != null && r._2 != null && r._2.nonEmpty)
+        .toDF("uri", "text"))
   }
 
   /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit

@@ -581,10 +581,17 @@ object StreamingAnalytics {
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     stream.select(col("path")).as[String]
       .flatMap { path =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val in = p.getFileSystem(conf.value).open(p)
-        graft.sources.WarcSource.responseRows(path, in, lenient,
-          mainContent = false)
+        // open at FIRST USE (deferred): a file deleted between listing
+        // and task must poison under lenient, not fail the micro-batch
+        val base = graft.sources.StreamUtil.deferred {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val in = p.getFileSystem(conf.value).open(p)
+          graft.sources.WarcSource.responseRows(path, in, lenient,
+            mainContent = false)
+        }
+        if (!lenient) base
+        else graft.sources.StreamUtil.poisonOnError(base,
+          (path, null, -1, null)) // open failures; parse errors poison inside
       }
       .toDF("file", "uri", "status", "text")
       .writeStream
@@ -617,12 +624,15 @@ object StreamingAnalytics {
       .load(landingDir)
       .select(col("path")).as[String]
       .flatMap { path =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val in = p.getFileSystem(conf.value).open(p)
-        val base = graft.sources.StreamUtil.closeOnExhaust(in,
-          graft.sources.TarSource.shardEntryIter(in)
-            .filter(_.typeflag == '0')
-            .map(e => (path, e.name, e.name.takeWhile(_ != '.'), e.size)))
+        // open deferred to first use — see warcIngest's listing-race note
+        val base = graft.sources.StreamUtil.deferred {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val in = p.getFileSystem(conf.value).open(p)
+          graft.sources.StreamUtil.closeOnExhaust(in,
+            graft.sources.TarSource.shardEntryIter(in)
+              .filter(_.typeflag == '0')
+              .map(e => (path, e.name, e.name.takeWhile(_ != '.'), e.size)))
+        }
         // lenient (default): a damaged shard yields its entries up to
         // the damage, then ONE poison row (null name, bytes -1) — never
         // a micro-batch that refails on every retry
@@ -641,8 +651,8 @@ object StreamingAnalytics {
   /** Continuous ZIP-shard ingestion — completes the streaming trio
     * (WARC [[warcIngest]], tar [[tarIngest]]): landing `.zip` archives
     * stream into an append-only entry manifest, exactly-once per file.
-    * The directory read needs SEEKS, so the task opens the path itself
-    * (`FSDataInputStream`) — only `path` is ever selected from the
+    * The directory read needs SEEKS, so the task opens (and stats) the
+    * path itself at first use — only `path` is ever selected from the
     * binaryFile source. Decode + CRC verification per entry, O(largest
     * entry) memory; under `lenient` a damaged archive degrades to one
     * poison row (null name, usize -1) instead of wedging the stream.
@@ -660,17 +670,25 @@ object StreamingAnalytics {
       .option("pathGlobFilter", "*.zip")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(landingDir)
-      .select(col("path"), col("length")).as[(String, Long)]
-      .flatMap { case (path, len) =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fsIn = p.getFileSystem(conf.value).open(p)
-        val base = graft.sources.StreamUtil.closeOnExhaust(fsIn, {
-          val in = new graft.sources.ZipSource.StreamSeekable(fsIn, len)
-          graft.sources.ZipSource.readDirectory(in).entries.iterator.map { e =>
-            val n = graft.sources.ZipSource.entryBytes(in, e).length.toLong
-            (path, e.name, e.method, e.usize, n == e.usize)
-          }
-        })
+      .select(col("path")).as[String]
+      .flatMap { path =>
+        // open AND stat at first use, inside the guard: a file deleted
+        // after listing poisons instead of wedging the stream, and the
+        // length is the task-time one, not the (possibly stale)
+        // listing-time value of a still-growing copy-in
+        val base = graft.sources.StreamUtil.deferred {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(conf.value)
+          val len = fs.getFileStatus(p).getLen
+          val fsIn = fs.open(p)
+          graft.sources.StreamUtil.closeOnExhaust(fsIn, {
+            val in = new graft.sources.ZipSource.StreamSeekable(fsIn, len)
+            graft.sources.ZipSource.readDirectory(in).entries.iterator.map { e =>
+              val n = graft.sources.ZipSource.entryBytes(in, e).length.toLong
+              (path, e.name, e.method, e.usize, n == e.usize)
+            }
+          })
+        }
         if (!lenient) base
         else graft.sources.StreamUtil.poisonOnError(base,
           (path, null, -1, -1L, false))

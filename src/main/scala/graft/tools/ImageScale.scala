@@ -41,12 +41,12 @@ object ImageScale {
     val bytes = media.agg(sum(length(col("content")))).as[Long].first()
     println(f"corpus: $n images, ${bytes / 1e9}%.2f GB encoded")
 
-    def time(label: String)(df: => DataFrame): Double = {
+    def time(label: String, total: Long = bytes)(df: => DataFrame): Double = {
       df.write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"$label%-8s ${s}%8.1f s  ${n / s}%9.0f img/s  ${bytes / s / 1e6}%7.1f MB/s")
+      println(f"$label%-12s ${s}%8.1f s  ${n / s}%9.0f img/s  ${total / s / 1e6}%7.1f MB/s")
       s
     }
     val tm = time("meta")(graft.operators.ImageCodecs.pngMetaTable(spark, media))
@@ -70,18 +70,10 @@ object ImageScale {
       }
       val m = spark.read.parquet(dir)
       val b = m.agg(sum(length(col("content")))).as[Long].first()
-      def timeF(label: String)(df: => DataFrame): Double = {
-        df.write.format("noop").mode("overwrite").save()
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        val s = (System.nanoTime() - t0) / 1e9
-        println(f"$label%-12s ${s}%8.1f s  ${n / s}%9.0f img/s  ${b / s / 1e6}%7.1f MB/s")
-        s
-      }
       if (fmt == "gif")
-        timeF("gif-decode")(graft.sources.GifSource.gifPixelTable(spark, m))
+        time("gif-decode", b)(graft.sources.GifSource.gifPixelTable(spark, m))
       else
-        timeF("tiff-decode")(graft.sources.TiffSource.tiffPixelTable(spark, m))
+        time("tiff-decode", b)(graft.sources.TiffSource.tiffPixelTable(spark, m))
     }
     spark.stop()
   }
