@@ -3079,13 +3079,18 @@ object ExtensionQueries {
     // even doc_ids, plain concatenation on odd). Our own gzip member
     // walker validates CRC32 + ISIZE per member; the WARC grammar
     // (version line, CRLF headers, Content-Length payload, CRLF CRLF
-    // terminator) and the HTTP sub-parse are ours end to end. The facts
-    // (member/record/response/request counts, status sums, body byte
-    // sums) are re-derived by DuckDB constructing the same HTML strings
-    // from the documents table — a header slip, member mis-split, or
-    // Content-Length error fails the hash. Fixture property the oracle
-    // leans on: document text has no &/<.> specials, so escapeHtml is
-    // the identity and length(text) is the embedded byte count.
+    // terminator) and the HTTP sub-parse are ours end to end — including
+    // the WIRE-FORM decode: chunked transfer framing removed and
+    // Content-Encoding: gzip inflated ((id+j)%3==1 / %4==2 responses),
+    // so body_bytes is a decoded-ENTITY fact invariant to how the bytes
+    // crossed the wire, plus revisit dedup-linkage records (id%3==1).
+    // The facts (member/record/response/request/revisit counts, status
+    // sums, body byte sums, revisit digests) are re-derived by DuckDB
+    // constructing the same HTML strings from the documents table — a
+    // header slip, member mis-split, chunk-framing or inflation error
+    // fails the hash. Fixture property the oracle leans on: document
+    // text has no &/<.> specials, so escapeHtml is the identity and
+    // length(text) is the embedded byte count.
     "x100_warc_records" -> QueryDef(
       (s, dir) => graft.sources.WarcSource.warcTable(
           s, graft.sources.WarcSource.synthesizeWarc(
@@ -3093,11 +3098,12 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       Some(
         """WITH d AS (SELECT doc_id, text, doc_id % 3 + 1 AS k,
-          |             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS hasreq
+          |             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS hasreq,
+          |             CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS rev
           |           FROM documents),
-          |u AS (SELECT doc_id, text, k, hasreq, unnest(range(0, k)) AS jj
+          |u AS (SELECT doc_id, text, k, hasreq, rev, unnest(range(0, k)) AS jj
           |      FROM d),
-          |r AS (SELECT doc_id, k, hasreq, jj,
+          |r AS (SELECT doc_id, k, hasreq, rev, jj,
           |        CASE WHEN (doc_id + jj) % 5 = 0 THEN 404 ELSE 200 END
           |          AS status,
           |        length('<!DOCTYPE html><html><head><title>doc ' || doc_id
@@ -3113,16 +3119,20 @@ object ExtensionQueries {
           |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
           |    AS is_gzip,
           |  CAST(CASE WHEN doc_id % 2 = 0
-          |    THEN 1 + any_value(k) * (1 + any_value(hasreq))
+          |    THEN 1 + any_value(k) * (1 + any_value(hasreq)) + any_value(rev)
           |    ELSE 0 END AS INT) AS n_members,
-          |  CAST(1 + any_value(k) * (1 + any_value(hasreq)) AS INT)
-          |    AS n_records,
+          |  CAST(1 + any_value(k) * (1 + any_value(hasreq)) + any_value(rev)
+          |    AS INT) AS n_records,
           |  CAST(any_value(k) AS INT) AS n_responses,
           |  CAST(any_value(k) * any_value(hasreq) AS INT) AS n_requests,
           |  CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS INT)
           |    AS ok_cnt,
           |  CAST(sum(status) AS BIGINT) AS sum_status,
-          |  CAST(sum(hlen) AS BIGINT) AS body_bytes
+          |  CAST(sum(hlen) AS BIGINT) AS body_bytes,
+          |  CAST(any_value(rev) AS INT) AS n_revisit,
+          |  CASE WHEN doc_id % 3 = 1
+          |    THEN 'sha1:FIX' || ((doc_id * 31) % 97) ELSE '' END
+          |    AS revisit_digest
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // WARC -> HTTP -> HTML -> text, end to end (WarcSource.htmlText): the

@@ -48,7 +48,13 @@ object WarcSource {
   private[graft] case class WarcRecord(
       warcType: String, targetUri: String, contentLength: Long,
       httpStatus: Int, httpContentType: String, body: String,
-      bodyBytes: Long)
+      bodyBytes: Long,
+      // revisit linkage (ISO 28500 §6.7.2): Common Crawl's dedup emits
+      // `WARC-Type: revisit` instead of re-storing an unchanged page —
+      // refersTo/digest let a corpus bridge resolve the duplicate to the
+      // original capture without refetching. Empty on non-revisit types.
+      refersTo: String = "", payloadDigest: String = "",
+      revisitProfile: String = "")
   private[graft] case class WarcFile(
       gzip: Boolean, nMembers: Int, records: Seq[WarcRecord])
 
@@ -102,15 +108,125 @@ object WarcSource {
     sb.toString
   }
 
-  /** HTTP message facts from an `application/http` payload, STRICT:
-    * (status, content-type, decoded body or null, raw body byte count).
-    * Request payloads (no HTTP/ status line) return (-1, "", null, 0).
-    * The body decodes to a String ONLY for textual content types —
-    * real crawls carry binary response bodies (images, PDFs, gzip'd
-    * HTML) that UTF-8 decoding would corrupt to U+FFFD while doubling
-    * memory; byte counts always come from the raw payload slice.
+  /** Decoded-entity size cap: a `Content-Encoding: gzip` body is
+    * attacker-supplied compressed data (the GIF/TIFF hostile-header
+    * discipline), so inflation is bounded BEFORE it happens — a 1 GiB
+    * entity from one page is damage, not content.
     */
-  private[graft] def httpFacts(payload: Array[Byte]): (Int, String, String, Long) = {
+  private val MaxHttpEntity = 1L << 30
+
+  /** De-chunk a `Transfer-Encoding: chunked` body (RFC 9112 §7.1): hex
+    * size line (chunk extensions after ';' ignored), chunk data + CRLF,
+    * zero-size terminal chunk, optional trailer fields, final empty
+    * line. Bytes after the terminal chunk are a framing violation (the
+    * WARC payload is exactly one HTTP message).
+    */
+  private[graft] def dechunk(raw: Array[Byte]): Array[Byte] = {
+    val feed = ByteFeed.wrap(raw)
+    val out = new java.io.ByteArrayOutputStream()
+    val tm = "http: truncated chunked body"
+    var done = false
+    while (!done) {
+      val line = readLine(feed, tm)
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      require(hex.nonEmpty && hex.length <= 8 &&
+        hex.forall(c => Character.digit(c, 16) >= 0),
+        s"http: bad chunk size line '$line'")
+      val n = java.lang.Long.parseLong(hex, 16)
+      if (n == 0) {
+        // trailer fields end at the empty line — OR at EOF: wget's WARC
+        // writer records the trailer lines but drops the final blank
+        // line (observed against a live trailer-sending server), and
+        // every entity byte is already in hand by the terminal chunk
+        var t = if (feed.atEof) "" else readLine(feed, tm)
+        while (t.nonEmpty) t = if (feed.atEof) "" else readLine(feed, tm)
+        done = true
+      } else {
+        require(out.size + n <= MaxHttpEntity, "http: entity exceeds 1 GiB")
+        out.write(feed.bytes(n.toInt, tm))
+        require(feed.u8(tm) == 13 && feed.u8(tm) == 10,
+          "http: chunk data missing CRLF")
+      }
+    }
+    require(feed.atEof, "http: bytes after final chunk")
+    out.toByteArray
+  }
+
+  /** Inflate a full deflate stream (`zlib` selects the RFC 1950 wrapper
+    * vs raw RFC 1951), bounded at [[MaxHttpEntity]].
+    */
+  private def inflateAll(data: Array[Byte], zlib: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(!zlib)
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      inf.setInput(data)
+      val buf = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        val k = try inf.inflate(buf) catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              "http: corrupt deflate body: " + e.getMessage)
+        }
+        if (k == 0) {
+          require(!inf.needsInput() && !inf.needsDictionary(),
+            "http: truncated deflate body")
+        }
+        out.write(buf, 0, k)
+        require(out.size.toLong <= MaxHttpEntity, "http: entity exceeds 1 GiB")
+      }
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** Undo one content/transfer coding. gzip reuses the member walker
+    * (CRC32 + ISIZE verified per member; multi-member streams legal);
+    * deflate sniffs the zlib wrapper (RFC 9110 names zlib, but raw
+    * deflate is a famously common server bug — both occur in crawls).
+    */
+  private def decodeCoding(data: Array[Byte], coding: String): Array[Byte] =
+    coding match {
+      case "identity" | "" => data
+      case "gzip" | "x-gzip" =>
+        val feed = ByteFeed.wrap(data)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 16)
+        val gs = new Gzip.GunzipStream(feed)
+        var k = gs.read(buf, 0, buf.length)
+        while (k >= 0) {
+          out.write(buf, 0, k)
+          require(out.size.toLong <= MaxHttpEntity, "http: entity exceeds 1 GiB")
+          k = gs.read(buf, 0, buf.length)
+        }
+        out.toByteArray
+      case "deflate" =>
+        val zlib = data.length >= 2 && (data(0) & 0x0f) == 8 &&
+          (((data(0) & 0xff) << 8 | (data(1) & 0xff)) % 31 == 0)
+        inflateAll(data, zlib)
+      case other =>
+        throw new IllegalArgumentException(
+          s"http: unsupported content coding '$other'")
+    }
+
+  /** HTTP message facts from an `application/http` payload:
+    * (status, content-type, decoded body or null, DECODED entity byte
+    * count). Request payloads (no HTTP/ status line) return
+    * (-1, "", null, 0). The wire form is undone before the byte count
+    * and the textual split: `Transfer-Encoding: chunked` framing is
+    * removed (real crawler WARCs — Heritrix, wget vs HTTP/1.1 — store
+    * the raw wire bytes, which are routinely chunked) and
+    * `Content-Encoding: gzip|deflate` is inflated, so byte counts and
+    * text extraction always measure the ENTITY, never chunk-size lines
+    * or DEFLATE bytes. Under `lenientBody`, damage INSIDE the body
+    * codings degrades to (status kept, null body, wire byte count) —
+    * the envelope parsed, so the page stays countable; strict mode
+    * throws. The body decodes to a String ONLY for textual content
+    * types — binary bodies (images, PDFs) stay bytes-only, a UTF-8
+    * decode would corrupt them to U+FFFD while doubling memory.
+    */
+  private[graft] def httpFacts(payload: Array[Byte],
+                               lenientBody: Boolean = false)
+      : (Int, String, String, Long) = {
     var he = -1
     var i = 0
     while (he < 0 && i + 3 < payload.length) {
@@ -125,19 +241,36 @@ object WarcSource {
     if (!first(0).startsWith("HTTP/")) return (-1, "", null, 0L)
     require(first.length >= 2, s"warc: bad status line '${lines.head}'")
     val status = first(1).toInt
-    val ct = lines.tail.map(_.split(":", 2)).collectFirst {
-      case Array(k, v) if k.trim.equalsIgnoreCase("content-type") => v.trim
+    def header(name: String): String = lines.tail.map(_.split(":", 2)).collectFirst {
+      case Array(k, v) if k.trim.equalsIgnoreCase(name) => v.trim
     }.getOrElse("")
+    val ct = header("content-type")
     val off = he + 4
-    val nBytes = (payload.length - off).toLong
     val lc = ct.toLowerCase
     val textual = lc.startsWith("text/") ||
       lc.startsWith("application/xhtml+xml") ||
       lc.startsWith("application/xml") || lc.startsWith("application/json")
-    val body =
-      if (textual) new String(payload, off, payload.length - off, "UTF-8")
-      else null
-    (status, ct, body, nBytes)
+    try {
+      // transfer codings are applied last by the sender, so undone
+      // first; then content codings, last-listed innermost
+      val raw = java.util.Arrays.copyOfRange(payload, off, payload.length)
+      val teCodings = header("transfer-encoding").toLowerCase
+        .split(",").map(_.trim).filter(_.nonEmpty).toList
+      val afterTe = teCodings.reverse.foldLeft(raw) { (d, c) =>
+        if (c == "chunked") dechunk(d) else decodeCoding(d, c)
+      }
+      val ceCodings = header("content-encoding").toLowerCase
+        .split(",").map(_.trim).filter(_.nonEmpty).toList
+      val entity = ceCodings.reverse.foldLeft(afterTe)(decodeCoding)
+      val body = if (textual) new String(entity, "UTF-8") else null
+      (status, ct, body, entity.length.toLong)
+    } catch {
+      case e: RuntimeException =>
+        if (!lenientBody) throw e
+        // the ENVELOPE parsed; only the body codings are damaged —
+        // keep status/type so the page stays countable downstream
+        (status, ct, null, (payload.length - off).toLong)
+    }
   }
 
   /** One record off the feed: version line, CRLF header block,
@@ -177,7 +310,7 @@ object WarcSource {
     var bodyBytes = 0L
     if (ctype.startsWith("application/http")) {
       try {
-        val (s, ct, b, nb) = httpFacts(payload)
+        val (s, ct, b, nb) = httpFacts(payload, lenientBody = lenientHttp)
         status = s; httpCt = ct; body = b; bodyBytes = nb
       } catch {
         case e: RuntimeException =>
@@ -198,7 +331,16 @@ object WarcSource {
     val uri0 = headers.getOrElse("warc-target-uri", "")
     val uri = if (uri0.length >= 2 && uri0.head == '<' && uri0.last == '>')
       uri0.substring(1, uri0.length - 1) else uri0
-    WarcRecord(wtype, uri, clen, status, httpCt, body, bodyBytes)
+    // revisit linkage headers (kept for every type that carries them —
+    // responses also declare WARC-Payload-Digest, which is what a
+    // revisit's digest resolves against)
+    def bare(v: String): String =
+      if (v.length >= 2 && v.head == '<' && v.last == '>')
+        v.substring(1, v.length - 1) else v
+    WarcRecord(wtype, uri, clen, status, httpCt, body, bodyBytes,
+      refersTo = bare(headers.getOrElse("warc-refers-to", "")),
+      payloadDigest = headers.getOrElse("warc-payload-digest", ""),
+      revisitProfile = headers.getOrElse("warc-profile", ""))
   }
 
   /** Lazy record walk over a `.warc` / `.warc.gz` stream — O(largest
@@ -501,7 +643,14 @@ object WarcSource {
   //   concatenation otherwise. Response j: uri http://site{id%7}.example/
   //   {id}/{j}, status 404 when (id+j)%5==0 else 200, html body embeds
   //   the document's text at j==0 and "word{(id*7+j)%50} page {id} {j}"
-  //   otherwise.
+  //   otherwise. Wire form varies so the decode paths are gate-checked:
+  //   Transfer-Encoding: chunked when (id+j)%3==1, Content-Encoding:
+  //   gzip when (id+j)%4==2 (both at once where the moduli coincide) —
+  //   the oracle's body_bytes/extracted columns are DECODED-entity
+  //   facts, so they are invariant to the wire form, which is exactly
+  //   what makes a framing or inflation slip fail the hash. One revisit
+  //   record (refers to response 0, digest sha1:FIX{id%97}) when
+  //   id%3==1.
   private[graft] def htmlOf(id: Long, j: Int, text: String): String = {
     val t = if (j == 0) escapeHtml(text)
       else "word" + ((id * 7 + j) % 50) + " page " + id + " " + j
@@ -526,6 +675,29 @@ object WarcSource {
     val g = new java.util.zip.GZIPOutputStream(bos)
     g.write(data); g.close()
     bos.toByteArray
+  }
+
+  /** Chunk-encode a body for the fixture's wire-form arm: 57-byte
+    * chunks (so real multi-chunk reassembly happens), a chunk extension
+    * on the first chunk and a trailer field on odd ids (both must be
+    * parsed-and-ignored per RFC 9112).
+    */
+  private[graft] def chunkEncode(entity: Array[Byte], id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    var off = 0
+    var first = true
+    while (off < entity.length) {
+      val n = math.min(57, entity.length - off)
+      val ext = if (first && id % 2 == 1) ";gf=1" else ""
+      ascii(Integer.toHexString(n) + ext + "\r\n")
+      out.write(entity, off, n)
+      ascii("\r\n")
+      off += n; first = false
+    }
+    ascii(if (id % 2 == 1) "0\r\nX-Graft-Trailer: t" + (id % 9) + "\r\n\r\n"
+          else "0\r\n\r\n")
+    out.toByteArray
   }
 
   private[graft] def warcOf(id: Long, text: String): Array[Byte] = {
@@ -553,15 +725,46 @@ object WarcSource {
       val status = if ((id + j) % 5 == 0) 404 else 200
       val reason = if (status == 200) "OK" else "Not Found"
       val html = htmlOf(id, j, text).getBytes("UTF-8")
+      // wire form: possibly content-gzipped, possibly chunk-framed —
+      // the stored payload is the RAW wire bytes, as real crawlers write
+      val chunked = (id + j) % 3 == 1
+      val gzipped = (id + j) % 4 == 2
+      val entityWire = if (gzipped) gzipOne(html) else html
+      val bodyWire = if (chunked) chunkEncode(entityWire, id) else entityWire
       val http = (s"HTTP/1.1 $status $reason\r\n" +
         "Content-Type: text/html; charset=utf-8\r\n" +
-        s"Content-Length: ${html.length}\r\n\r\n").getBytes("UTF-8") ++ html
+        (if (gzipped) "Content-Encoding: gzip\r\n" else "") +
+        (if (chunked) "Transfer-Encoding: chunked\r\n"
+         else s"Content-Length: ${bodyWire.length}\r\n") +
+        "\r\n").getBytes("UTF-8") ++ bodyWire
       recs += record(Seq(
         "WARC-Type" -> "response",
         "WARC-Record-ID" -> s"<urn:uuid:$id-$j>",
         "WARC-Date" -> date,
         "WARC-Target-URI" -> uri,
+        "WARC-Payload-Digest" -> s"sha1:FIX${(id * 31 + j) % 97}",
         "Content-Type" -> "application/http; msgtype=response"), http)
+    }
+    if (id % 3 == 1) {
+      // revisit: the Common-Crawl dedup shape — an unchanged re-fetch of
+      // response 0 stored as linkage (profile + digest + refers-to) with
+      // headers-only HTTP payload; its HTTP Content-Length advertises
+      // the ORIGINAL entity, pinning that the WARC Content-Length, not
+      // the HTTP header, delimits the stored payload
+      val head = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${htmlOf(id, 0, text).getBytes("UTF-8").length}\r\n" +
+        "\r\n").getBytes("UTF-8")
+      recs += record(Seq(
+        "WARC-Type" -> "revisit",
+        "WARC-Record-ID" -> s"<urn:uuid:$id-rev>",
+        "WARC-Date" -> date,
+        "WARC-Target-URI" -> s"$uriBase/$id/0",
+        "WARC-Refers-To" -> s"<urn:uuid:$id-0>",
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        "WARC-Payload-Digest" -> s"sha1:FIX${(id * 31) % 97}",
+        "Content-Type" -> "application/http; msgtype=response"), head)
     }
     if (id % 2 == 0) recs.toArray.flatMap(gzipOne) // member per record
     else recs.toArray.flatten
@@ -576,21 +779,60 @@ object WarcSource {
       .toDF()
   }
 
-  /** x100 gate: container facts per archive. */
+  /** x100 gate: container facts per archive. body_bytes counts the
+    * DECODED entity (chunk framing removed, content codings inflated),
+    * so the fixture's chunked/gzipped wire forms hash identically to
+    * the plain ones — which is the decode-correctness check. Revisit
+    * facts pin the dedup-linkage parse (count + the digest a bridge
+    * resolves against).
+    */
   def warcTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val f = parseWarc(bytes)
         val resp = f.records.filter(_.warcType == "response")
+        val rev = f.records.filter(_.warcType == "revisit")
         (id, if (f.gzip) 1 else 0, f.nMembers, f.records.size, resp.size,
           f.records.count(_.warcType == "request"),
           resp.count(_.httpStatus == 200),
           resp.map(_.httpStatus.toLong).sum,
-          resp.map(_.bodyBytes).sum)
+          resp.map(_.bodyBytes).sum,
+          rev.size, rev.map(_.payloadDigest).sorted.mkString(","))
       }
       .toDF("doc_id", "is_gzip", "n_members", "n_records", "n_responses",
-        "n_requests", "ok_cnt", "sum_status", "body_bytes")
+        "n_requests", "ok_cnt", "sum_status", "body_bytes",
+        "n_revisit", "revisit_digest")
+  }
+
+  /** Revisit-resolution arm: one row per `WARC-Type: revisit` record
+    * under a glob — (file, uri, refers_to, digest, profile). Common
+    * Crawl's dedup stores an unchanged re-fetch as this linkage instead
+    * of the payload; joining `digest` against the responses'
+    * `WARC-Payload-Digest` resolves the duplicate to its original
+    * capture WITHOUT refetching, so a corpus bridge can count/attribute
+    * revisits while ingesting each page's bytes exactly once. Same
+    * streaming discipline as [[warcFiles]]: one task per file,
+    * record-at-a-time, lenient poison row (uri NULL) on container
+    * damage.
+    */
+  def warcRevisits(spark: SparkSession, glob: String,
+                   lenient: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        val base = StreamUtil.deferred {
+          val in = pds.open()
+          StreamUtil.closeOnExhaust(in,
+            new WarcIterator(in, lenientHttp = lenient)
+              .filter(_.warcType == "revisit")
+              .map(r => (path, r.targetUri, r.refersTo, r.payloadDigest,
+                r.revisitProfile)))
+        }
+        if (!lenient) base
+        else StreamUtil.poisonOnError(base, (path, null, null, null, null))
+      }
+      .toDF("file", "uri", "refers_to", "digest", "profile")
   }
 
   /** x101 gate: end-to-end extracted text of each archive's first

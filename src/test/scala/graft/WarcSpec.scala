@@ -57,8 +57,9 @@ class WarcSpec extends GraftSparkSpec {
       val f = WarcSource.parseWarc(WarcSource.warcOf(id, docText))
       val k = (id % 3 + 1).toInt
       val withReq = id % 4 == 0
+      val nRev = if (id % 3 == 1) 1 else 0
       assert(f.gzip === (id % 2 == 0))
-      assert(f.records.size === 1 + k * (if (withReq) 2 else 1))
+      assert(f.records.size === 1 + k * (if (withReq) 2 else 1) + nRev)
       if (f.gzip) assert(f.nMembers === f.records.size) else assert(f.nMembers === 0)
       assert(f.records.head.warcType === "warcinfo")
       val resp = f.records.filter(_.warcType === "response")
@@ -67,9 +68,91 @@ class WarcSpec extends GraftSparkSpec {
         assert(r.targetUri === s"http://site${id % 7}.example/$id/$j")
         assert(r.httpStatus === (if ((id + j) % 5 == 0) 404 else 200))
         assert(r.httpContentType.startsWith("text/html"))
+        // wire form (chunked/content-gzipped/plain) never leaks into
+        // the decoded entity
+        assert(r.body === WarcSource.htmlOf(id, j, docText))
+        assert(r.bodyBytes === WarcSource.htmlOf(id, j, docText)
+          .getBytes("UTF-8").length.toLong)
       }
       assert(f.records.count(_.warcType === "request") === (if (withReq) k else 0))
+      val rev = f.records.filter(_.warcType === "revisit")
+      assert(rev.size === nRev)
+      rev.foreach { r =>
+        assert(r.targetUri === s"http://site${id % 7}.example/$id/0")
+        assert(r.refersTo === s"urn:uuid:$id-0")
+        assert(r.payloadDigest === s"sha1:FIX${(id * 31) % 97}")
+        assert(r.revisitProfile.endsWith("identical-payload-digest"))
+        // identical-payload-digest resolves against the original
+        // response's declared digest — the no-refetch dedup join key
+        assert(resp.head.payloadDigest === r.payloadDigest)
+        assert(r.httpStatus === 200 && r.bodyBytes === 0L)
+      }
     }
+  }
+
+  test("http: chunked framing and content codings decode to the entity; damage degrades leniently") {
+    val html = "<html><body><p>chunk entity text</p></body></html>"
+    val entity = html.getBytes("UTF-8")
+    def msg(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$headers\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    // chunked with extension + trailer (id=1 arms both)
+    val chunked = msg("Transfer-Encoding: chunked\r\n",
+      WarcSource.chunkEncode(entity, 1L))
+    assert(WarcSource.httpFacts(chunked) ===
+      ((200, "text/html", html, entity.length.toLong)))
+    // content-gzipped
+    val gzBody = WarcSource.gzipOne(entity)
+    val gzMsg = msg("Content-Encoding: gzip\r\n", gzBody)
+    assert(WarcSource.httpFacts(gzMsg) ===
+      ((200, "text/html", html, entity.length.toLong)))
+    // chunked AND gzipped (transfer coding undone first)
+    val both = msg("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+      WarcSource.chunkEncode(gzBody, 2L))
+    assert(WarcSource.httpFacts(both) ===
+      ((200, "text/html", html, entity.length.toLong)))
+    // raw-deflate content coding (the common server bug) and zlib both
+    def deflate(zlib: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, !zlib)
+      d.setInput(entity); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    Seq(true, false).foreach { zlib =>
+      val m = msg("Content-Encoding: deflate\r\n", deflate(zlib))
+      assert(WarcSource.httpFacts(m) ===
+        ((200, "text/html", html, entity.length.toLong)))
+    }
+    // binary content type: entity decoded for the byte count, body null
+    val binMsg = ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes("ISO-8859-1") ++ gzBody
+    assert(WarcSource.httpFacts(binMsg) ===
+      ((200, "application/pdf", null, entity.length.toLong)))
+    // damaged chunk framing: strict throws, lenient keeps the envelope
+    val bad = msg("Transfer-Encoding: chunked\r\n",
+      "zz\r\nnope".getBytes("ISO-8859-1"))
+    val e1 = intercept[IllegalArgumentException] { WarcSource.httpFacts(bad) }
+    assert(e1.getMessage.contains("chunk size"))
+    assert(WarcSource.httpFacts(bad, lenientBody = true) ===
+      ((200, "text/html", null, 8L)))
+    // truncated gzip entity: same split
+    val trunc = msg("Content-Encoding: gzip\r\n",
+      java.util.Arrays.copyOfRange(gzBody, 0, gzBody.length - 6))
+    intercept[RuntimeException] { WarcSource.httpFacts(trunc) }
+    val (s2, ct2, b2, _) = WarcSource.httpFacts(trunc, lenientBody = true)
+    assert(s2 === 200 && ct2 === "text/html" && b2 === null)
+    // unsupported coding (br): strict loud, lenient degrades
+    val br = msg("Content-Encoding: br\r\n", entity)
+    val e3 = intercept[IllegalArgumentException] { WarcSource.httpFacts(br) }
+    assert(e3.getMessage.contains("unsupported content coding"))
+    assert(WarcSource.httpFacts(br, lenientBody = true)._3 === null)
+    // bytes after the terminal chunk are a framing violation
+    val extra = msg("Transfer-Encoding: chunked\r\n",
+      WarcSource.chunkEncode(entity, 2L) ++ "x".getBytes)
+    val e4 = intercept[IllegalArgumentException] { WarcSource.httpFacts(extra) }
+    assert(e4.getMessage.contains("after final chunk"))
   }
 
   test("gzip: all header flags (FEXTRA/FNAME/FCOMMENT/FHCRC) parse; GZIPInputStream agrees") {

@@ -111,4 +111,117 @@ class WgetWarcSpec extends GraftSparkSpec {
       rm(dir)
     }
   }
+
+  /** Minimal raw-socket HTTP/1.1 server speaking the wire forms
+    * python's http.server never emits: chunked transfer framing,
+    * Content-Encoding: gzip, and both stacked — so wget records REAL
+    * chunked/gzipped response bytes into the WARC and our decode path
+    * is proven against a foreign producer, not our own fixture writer.
+    */
+  private def withRawServer[A](pages: Map[String, (String, String)])(f: Int => A): A = {
+    val server = new java.net.ServerSocket(0, 8,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var running = true
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          try {
+            val in = s.getInputStream
+            val req = new StringBuilder
+            var prev4 = 0
+            // stop EXACTLY at the header terminator — reading one byte
+            // further would block: the client is now awaiting a response
+            while (prev4 != 0x0d0a0d0a) {
+              val b = in.read()
+              if (b < 0) throw new java.io.EOFException("client closed")
+              req.append(b.toChar)
+              prev4 = (prev4 << 8) | b
+            }
+            val path = req.toString.split(" ")(1)
+            val (mode, html) = pages.getOrElse(path, ("plain", "<p>404</p>"))
+            val entity = html.getBytes("UTF-8")
+            val out = new java.io.BufferedOutputStream(s.getOutputStream)
+            def ascii(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+            def chunks(body: Array[Byte]): Unit = {
+              var off = 0
+              while (off < body.length) {
+                val n = math.min(41, body.length - off)
+                ascii(Integer.toHexString(n) + "\r\n")
+                out.write(body, off, n); ascii("\r\n")
+                off += n
+              }
+              ascii("0\r\nX-Served-By: raw\r\n\r\n")
+            }
+            val gz = graft.sources.WarcSource.gzipOne(entity)
+            ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              "Connection: close\r\n")
+            mode match {
+              case "chunked" =>
+                ascii("Transfer-Encoding: chunked\r\n\r\n"); chunks(entity)
+              case "gzip" =>
+                ascii("Content-Encoding: gzip\r\n" +
+                  s"Content-Length: ${gz.length}\r\n\r\n")
+                out.write(gz)
+              case "both" =>
+                ascii("Content-Encoding: gzip\r\n" +
+                  "Transfer-Encoding: chunked\r\n\r\n"); chunks(gz)
+              case _ =>
+                ascii(s"Content-Length: ${entity.length}\r\n\r\n")
+                out.write(entity)
+            }
+            out.flush()
+          } finally s.close()
+        } catch { case _: java.io.IOException => () } // closed during accept
+      }
+    })
+    t.setDaemon(true); t.start()
+    try f(server.getLocalPort)
+    finally { running = false; server.close(); t.join(2000) }
+  }
+
+  test("warc: wget records chunked + content-gzipped wire forms; decode recovers the entity") {
+    val dir = java.nio.file.Files.createTempDirectory("wgetchunk").toFile
+    try {
+      val pages = Map(
+        "/chunked.html" -> ("chunked",
+          "<html><body><h1>Chunky</h1><p>" + ("alpha beta " * 30).trim +
+            "</p></body></html>"),
+        "/gzip.html" -> ("gzip",
+          "<html><body><p>gzip encoded entity body</p></body></html>"),
+        "/both.html" -> ("both",
+          "<html><body><p>" + ("stacked codings " * 20).trim +
+            "</p></body></html>"))
+      withRawServer(pages) { port =>
+        val base = s"http://127.0.0.1:$port"
+        run(Seq("wget", "--warc-file=wire", "--no-warc-compression", "-q",
+          "-O", "/dev/null", "-t", "1",
+          s"$base/chunked.html", s"$base/gzip.html", s"$base/both.html"),
+          dir, okExit = Set(0, 8)) // 8 = some non-200 allowed; asserted below
+        val raw = java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, "wire.warc").toPath)
+        // the producer REALLY wrote chunk framing into the archive
+        val rawStr = new String(raw, "ISO-8859-1")
+        assert(rawStr.contains("Transfer-Encoding: chunked"))
+        assert(rawStr.contains("Content-Encoding: gzip"))
+        val f = WarcSource.parseWarc(raw)
+        val resp = f.records.filter(_.warcType == "response")
+        assert(resp.size === 3)
+        pages.foreach { case (path, (_, html)) =>
+          val r = resp.find(_.targetUri.endsWith(path)).get
+          assert(r.httpStatus === 200)
+          // byte count measures the DECODED entity, not the wire form
+          assert(r.bodyBytes === html.getBytes("UTF-8").length.toLong)
+          assert(r.body === html)
+          assert(WarcSource.htmlText(r.body) === WarcSource.htmlText(html))
+        }
+      }
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(dir)
+    }
+  }
 }
