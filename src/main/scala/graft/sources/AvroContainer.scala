@@ -58,14 +58,49 @@ object AvroContainer {
     def str(): String = new String(bin(varlong().toInt), "UTF-8")
   }
 
-  /** Parse one OCF byte blob; decode rows iff the schema is the fixture's
-    * flat `{long id, string name}` record (other schemas parse
-    * structurally — counts and codec — with idSum/nameChars = 0; a 100 TB
-    * sweep wants the block map even when it doesn't know the records).
+  /** One OCF data block may be hostile-sized; its byte length is bounded
+    * BEFORE allocation (the GIF/TIFF decode-bound discipline). The spec's
+    * default sync interval is 64 KB; 256 MiB is far past any legitimate
+    * writer while keeping 32 concurrent tasks under control.
     */
-  private[graft] def parseOcf(bytes: Array[Byte]): OcfFile = {
-    val r = new R(bytes)
-    require(bytes.length > 20 && r.u8() == 'O' && r.u8() == 'b' &&
+  private val MaxBlock = 1 << 28
+
+  /** Feed-backed varint/bytes reader — the streaming sibling of [[R]]:
+    * same zigzag-varint grammar, O(read) memory off a bounded window.
+    */
+  private final class FR(feed: ByteFeed) {
+    def u8(): Int = feed.u8("avro: truncated")
+    def varlong(): Long = {
+      var r = 0L; var shift = 0
+      while (true) {
+        val b = u8()
+        r |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return (r >>> 1) ^ -(r & 1L) // zigzag
+        shift += 7
+        require(shift < 64, "avro: varint overflow")
+      }
+      0L
+    }
+    def bin(n: Int): Array[Byte] = {
+      require(n >= 0 && n <= MaxBlock, "avro: binary exceeds 256 MiB bound")
+      feed.bytes(n, "avro: binary overruns")
+    }
+    def str(): String = new String(bin(varlong().toInt), "UTF-8")
+  }
+
+  /** Streaming OCF walk: magic + metadata map + sync off the feed, then
+    * block-at-a-time (count, length, payload, sync-equality) — O(largest
+    * block) memory, never the file (the ByteFeed discipline the WARC/
+    * tar/zip trio established; a 100 TB lake's Avro shards are multi-GB
+    * and 32 concurrent whole-file reads are an OOM). Decodes rows iff
+    * the schema is the fixture's flat `{long id, string name}` record;
+    * other schemas parse structurally (counts and codec) with
+    * idSum/nameChars = 0 — a sweep wants the block map even when it
+    * doesn't know the records.
+    */
+  private[graft] def parseOcfStream(feed: ByteFeed): OcfFile = {
+    val r = new FR(feed)
+    require(feed.ensureN(4) && r.u8() == 'O' && r.u8() == 'b' &&
       r.u8() == 'j' && r.u8() == 1, "avro: bad OCF magic")
     // file metadata map: count-prefixed runs, 0-terminated; a negative
     // count means (|count| entries, long byte-size follows) per the spec
@@ -91,7 +126,7 @@ object AvroContainer {
     val flat = schemaJson.contains("\"type\":\"record\"") &&
       schemaJson.contains("\"type\":\"long\"") &&
       schemaJson.contains("\"type\":\"string\"")
-    while (r.pos < bytes.length) {
+    while (!feed.atEof) {
       val rows = r.varlong()
       val blen = r.varlong().toInt
       val payload = r.bin(blen)
@@ -106,6 +141,7 @@ object AvroContainer {
             val k = inf.inflate(buf)
             require(k > 0 || inf.finished(), "avro: truncated deflate block")
             out.write(buf, 0, k)
+            require(out.size <= MaxBlock, "avro: block exceeds 256 MiB bound")
           }
           inf.end(); out.toByteArray
       }
@@ -127,6 +163,10 @@ object AvroContainer {
     }
     OcfFile(codec, schemaJson, blocks.toSeq, idSum, nameChars)
   }
+
+  /** Array convenience over [[parseOcfStream]] — gate/spec call shape. */
+  private[graft] def parseOcf(bytes: Array[Byte]): OcfFile =
+    parseOcfStream(ByteFeed.wrap(bytes))
 
   // Fixture arithmetic (oracle re-derives everything): per doc,
   // k = id%5+2 records {id: doc_id*1000 + 7j, name: "n" + (doc_id+j)%23},
@@ -176,13 +216,17 @@ object AvroContainer {
   }
 
   /** File-path arm: decode rows of `.avro` files under a glob with OUR
-    * parser (one stream per file, the codec-blob discipline).
+    * parser — one task per file, the walk STREAMS `pds.open()` through
+    * [[parseOcfStream]] block by block (O(largest block) memory, never
+    * `pds.toArray()`; proven by `tools/AvroScale` at a >1 GB container
+    * under a pressure-bound heap).
     */
   def avroRows(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(glob)
-      .map { case (path, pds) => (path, parseOcf(pds.toArray())) }
-      .map { case (path, f) =>
+      .map { case (path, pds) =>
+        val in = pds.open()
+        val f = try parseOcfStream(new ByteFeed(in)) finally in.close()
         (path, f.blocks.size, f.nRows, f.codec, f.idSum, f.nameChars)
       }
       .toDF("file", "n_blocks", "n_rows", "codec", "id_sum", "name_chars")

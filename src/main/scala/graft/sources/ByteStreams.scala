@@ -55,21 +55,24 @@ private[graft] final class ByteFeed private (
   def available: Boolean = { if (lo == hi && !eof) refill(); lo < hi }
   def atEof: Boolean = !available
 
-  /** Buffer at least two bytes (for container sniffing) without
-    * consuming; false when the stream holds fewer than two bytes total.
+  /** Buffer at least `n` unconsumed bytes (n ≤ buffer size) without
+    * consuming; false when the stream holds fewer than `n` bytes total.
+    * Used for container sniffing (2 bytes) and EBML ID lookahead (≤4).
     */
-  def ensure2(): Boolean = {
-    if (hi - lo >= 2) return true
+  def ensureN(n: Int): Boolean = {
+    require(n <= buf.length, "ByteFeed: lookahead exceeds window")
+    if (hi - lo >= n) return true
     if (lo > 0) { // compact so the window can grow
       System.arraycopy(buf, lo, buf, 0, hi - lo)
       drained += lo; hi -= lo; lo = 0
     }
-    while (hi - lo < 2 && !eof) {
+    while (hi - lo < n && !eof) {
       val k = in.read(buf, hi, buf.length - hi)
       if (k < 0) eof = true else hi += k
     }
-    hi - lo >= 2
+    hi - lo >= n
   }
+  def ensure2(): Boolean = ensureN(2)
   def peek(i: Int): Int = buf(lo + i) & 0xff
 
   /** Next byte; `msg` names the truncation when the stream ends. */

@@ -208,35 +208,125 @@ object MkvSource {
     id == Cluster || id == Info || id == Tracks || id == SeekHead ||
       id == Cues || id == Chapters || id == Tags || id == Attachments
 
-  private[graft] def parseMkv(bytes: Array[Byte]): MkvFile = {
-    val r = new Rd(bytes, 0, bytes.length)
+  /** Leaf-payload bound checked BEFORE allocation (the decode-bound
+    * discipline): a hostile element size cannot force a giant buffer.
+    * Real leaves (Info, a TrackEntry, one laced block) are KB-to-MB.
+    */
+  private val MaxLeaf = 1 << 28
+
+  /** Feed-backed EBML cursor — the streaming sibling of [[Rd]]: same
+    * VINT grammar, but the walk consumes a bounded [[ByteFeed]] window
+    * instead of an in-memory array, with `end` the ABSOLUTE stream
+    * offset of the current master element's bound (Long.MaxValue =
+    * unknown-size / EOF-terminated). Master elements nest as further
+    * [[ERd]]s over the SAME feed (the walk is strictly sequential);
+    * leaf payloads read into bounded arrays and reuse the [[Rd]]
+    * sub-parsers — so the only O(element) allocation is one leaf, never
+    * a cluster or the file.
+    */
+  private final class ERd(feed: ByteFeed, val end: Long) {
+    def pos: Long = feed.consumedBytes
+    def atEnd: Boolean =
+      if (end != Long.MaxValue) pos >= end else feed.atEof
+    private def chk(n: Long): Unit =
+      require(n >= 0 && pos + n <= end, "ebml: element overruns parent")
+    def u8(): Int = { chk(1); feed.u8("ebml: truncated") }
+    def readId(): Long = {
+      val b0 = u8()
+      val len = if ((b0 & 0x80) != 0) 1 else if ((b0 & 0x40) != 0) 2
+        else if ((b0 & 0x20) != 0) 3 else if ((b0 & 0x10) != 0) 4
+        else sys.error("ebml: bad element ID leading byte")
+      var v = b0.toLong
+      (1 until len).foreach(_ => v = (v << 8) | u8())
+      v
+    }
+    def readVintLen(): (Long, Int) = {
+      val b0 = u8()
+      var len = 1
+      var mask = 0x80
+      while (len <= 8 && (b0 & mask) == 0) { len += 1; mask >>= 1 }
+      require(len <= 8, "ebml: bad size leading byte")
+      var v = (b0 & (mask - 1)).toLong
+      (1 until len).foreach(_ => v = (v << 8) | u8())
+      (v, len)
+    }
+    def readSizeOrUnknown(): Long = {
+      val (v, len) = readVintLen()
+      if (v == (1L << (7 * len)) - 1) -1L else v
+    }
+    def readSize(): Long = {
+      val v = readSizeOrUnknown()
+      require(v >= 0,
+        "ebml: unknown-size element unsupported here (only Segment/Cluster)")
+      v
+    }
+    /** Element ID at the cursor without consuming it (≤4-byte window
+      * lookahead) — the §6.2 sibling-or-higher termination probe.
+      */
+    def peekId(): Long = {
+      require(feed.ensureN(1), "ebml: truncated")
+      val b0 = feed.peek(0)
+      val len = if ((b0 & 0x80) != 0) 1 else if ((b0 & 0x40) != 0) 2
+        else if ((b0 & 0x20) != 0) 3 else if ((b0 & 0x10) != 0) 4
+        else sys.error("ebml: bad element ID leading byte")
+      require(feed.ensureN(len), "ebml: truncated")
+      var v = 0L
+      (0 until len).foreach(i => v = (v << 8) | feed.peek(i))
+      v
+    }
+    /** Leaf payload into a fresh array, size-bounded before allocation. */
+    def leaf(n: Long): Rd = {
+      require(n <= MaxLeaf, "ebml: element exceeds 256 MiB leaf bound")
+      chk(n)
+      val a = feed.bytes(n.toInt, "ebml: truncated")
+      new Rd(a, 0, a.length)
+    }
+    def skip(n: Long): Unit = { chk(n); feed.skip(n, "ebml: truncated") }
+    def child(n: Long): ERd = { chk(n); new ERd(feed, pos + n) }
+  }
+
+  /** Array convenience over [[parseMkvStream]] — gate/spec call shape. */
+  private[graft] def parseMkv(bytes: Array[Byte]): MkvFile =
+    parseMkvStream(ByteFeed.wrap(bytes))
+
+  /** Streaming EBML walk — O(largest leaf element) memory, never the
+    * file or a cluster: master elements (Segment, sized/unknown-size
+    * Clusters) are walked in place off the feed, leaf payloads (Info,
+    * Tracks, one (Simple)Block) drop into bounded arrays for the [[Rd]]
+    * sub-parsers. The r16 verdict flagged the whole-file `pds.toArray()`
+    * read here: real Matroska media is multi-GB, and 32 concurrent
+    * whole-file tasks are the OOM shape the WARC/tar/zip trio escaped;
+    * `tools/MkvScale --single` proves the bound at a >1 GB file under a
+    * pressure-bound heap.
+    */
+  private[graft] def parseMkvStream(feed: ByteFeed): MkvFile = {
+    val r = new ERd(feed, Long.MaxValue)
     require(r.readId() == EBML, "ebml: missing EBML header")
-    val hdr = r.child(r.readSize())
+    val hdr = r.leaf(r.readSize())
     var docType = "matroska"
     while (hdr.pos < hdr.end) {
       val id = hdr.readId(); val sz = hdr.readSize()
       if (id == DocTypeId) docType = hdr.str(sz.toInt)
       else hdr.skip(sz)
     }
-    require(r.pos < r.end && r.readId() == Segment, "ebml: missing Segment")
+    require(!feed.atEof && r.readId() == Segment, "ebml: missing Segment")
     // MediaRecorder WebM writes Segment (and Clusters) with unknown size;
     // an unknown-size Segment runs to the next sibling Segment ID or EOF
     val seg = r.readSizeOrUnknown() match {
       case sz if sz >= 0 => r.child(sz)
-      case _ => val s = new Rd(bytes, r.pos, r.end); r.pos = r.end; s
+      case _ => new ERd(feed, Long.MaxValue)
     }
     var tsScale = 1000000L // spec default: 1 ms
     var duration = 0.0
     val tracks = scala.collection.mutable.ArrayBuffer[MkvTrack]()
     val blocks = scala.collection.mutable.ArrayBuffer[MkvBlock]()
     var nClusters = 0
-    while (seg.pos < seg.end && seg.peekId() != Segment) {
+    while (!seg.atEnd && seg.peekId() != Segment) {
       val id = seg.readId()
-      val szU = if (id == Cluster) seg.readSizeOrUnknown() else seg.readSize()
-      val sz = szU
+      val sz = if (id == Cluster) seg.readSizeOrUnknown() else seg.readSize()
       id match {
         case Info =>
-          val in = seg.child(sz)
+          val in = seg.leaf(sz)
           while (in.pos < in.end) {
             val i2 = in.readId(); val s2 = in.readSize()
             i2 match {
@@ -246,7 +336,7 @@ object MkvSource {
             }
           }
         case Tracks =>
-          val tr = seg.child(sz)
+          val tr = seg.leaf(sz)
           while (tr.pos < tr.end) {
             val i2 = tr.readId(); val s2 = tr.readSize()
             if (i2 == TrackEntry) {
@@ -288,12 +378,13 @@ object MkvSource {
           nClusters += 1
           var clusterTs = 0L
           var sawTs = false
-          def clusterChild(cl: Rd, i2: Long, s2: Long): Unit = i2 match {
+          def clusterChild(cl: ERd, i2: Long, s2: Long): Unit = i2 match {
             case ClusterTimestamp =>
-              clusterTs = cl.uint(s2.toInt); sawTs = true
+              val t = cl.leaf(s2)
+              clusterTs = t.uint(s2.toInt); sawTs = true
             case SimpleBlock =>
               require(sawTs, "mkv: SimpleBlock before cluster Timestamp")
-              val sb = cl.child(s2)
+              val sb = cl.leaf(s2)
               val (track, ts, sizes, flags) = blockFields(sb, clusterTs)
               sizes.foreach(nb =>
                 blocks += MkvBlock(track, ts, (flags & 0x80) != 0, nb))
@@ -301,7 +392,7 @@ object MkvSource {
               // the Block form: no keyframe FLAG — a block is a
               // keyframe iff its group carries no ReferenceBlock
               require(sawTs, "mkv: BlockGroup before cluster Timestamp")
-              val bg = cl.child(s2)
+              val bg = cl.leaf(s2)
               var blk: Option[(Long, Long, Seq[Int])] = None
               var hasRef = false
               while (bg.pos < bg.end) {
@@ -324,14 +415,14 @@ object MkvSource {
           }
           if (sz >= 0) {
             val cl = seg.child(sz)
-            while (cl.pos < cl.end) clusterChild(cl, cl.readId(), cl.readSize())
+            while (!cl.atEnd) clusterChild(cl, cl.readId(), cl.readSize())
           } else {
             // unknown-size Cluster (MediaRecorder form): children parse
             // in place until the first segment-level ID — the RFC 8794
             // §6.2 sibling-or-higher termination — or parent end; child
             // elements still carry sizes, so unknown ones skip normally
             var open = true
-            while (open && seg.pos < seg.end) {
+            while (open && !seg.atEnd) {
               val nid = seg.peekId()
               if (isSegmentLevel(nid) || nid == Segment) open = false
               else clusterChild(seg, seg.readId(), seg.readSize())
@@ -340,7 +431,7 @@ object MkvSource {
         case _ => seg.skip(sz)
       }
     }
-    require(r.pos == r.end && seg.pos == seg.end, "ebml: bytes after Segment")
+    require(seg.atEnd && feed.atEof, "ebml: bytes after Segment")
     MkvFile(docType, tsScale, duration, tracks.toSeq, nClusters, blocks.toSeq)
   }
 
@@ -479,13 +570,16 @@ object MkvSource {
   }
 
   /** File-path arm: walk `.mkv`/`.webm` files under a glob — one task
-    * per file, the codec-blob discipline.
+    * per file, streaming `pds.open()` through [[parseMkvStream]]
+    * (O(largest leaf) memory, never `pds.toArray()` — multi-GB media ×
+    * 32 concurrent tasks is the OOM shape the WARC/tar/zip trio fixed).
     */
   def mkvFiles(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(glob)
       .map { case (path, pds) =>
-        val f = parseMkv(pds.toArray())
+        val in = pds.open()
+        val f = try parseMkvStream(new ByteFeed(in)) finally in.close()
         val v = f.tracks.find(_.trackType == 1)
         (path, f.docType, f.tracks.size, v.map(_.codec).getOrElse(""),
           v.map(_.width).getOrElse(0), v.map(_.height).getOrElse(0),
