@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * against the central record. A flipped payload byte fails that entry
   * by name.
   *
-  * Rejects loudly, by name: encryption (flag bit 0), compression methods
-  * other than stored/deflate, multi-disk archives, and zip64 (the 0xFFFF
-  * / 0xFFFFFFFF sentinel values and the EOCD64 locator) — honest bounds
-  * beat silent misreads; none of these appear in training-data shards in
-  * practice.
+  * zip64 archives — the NORMAL form for >4 GiB or >65535-entry shards
+  * at the 100 TB scale (WebDataset-style shards are routinely multi-GB)
+  * — resolve through the EOCD64 locator → EOCD64 record → per-entry
+  * 0x0001 extended-information extra fields. Rejects loudly, by name:
+  * encryption (flag bit 0), compression methods other than
+  * stored/deflate, multi-disk archives, and single entries >2 GiB —
+  * honest bounds beat silent misreads.
   *
   * 100 TB shape: one task per archive; the central directory is
   * O(entries) metadata and each entry's bytes decode one at a time —
@@ -66,9 +68,27 @@ object ZipSource {
   private def u32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+    require(v >= 0, "zip: 64-bit field exceeds Long range")
+    v
+  }
+
+  /** Largest legal central-directory entry: 46 fixed bytes + three
+    * 65535-byte variable fields. The directory allocation is bounded by
+    * `nTotal × this` BEFORE `readAt` — a hostile EOCD cannot force a
+    * giant buffer on the directory's say-so alone (the GIF/TIFF
+    * hostile-header discipline).
+    */
+  private val MaxCentralEntry = 46L + 3L * 65535L
 
   /** Locate + parse the end-of-central-directory record, then the
-    * central directory it points at.
+    * central directory it points at. zip64 archives (the normal form
+    * for >4 GiB / >65535-entry shards at the 100 TB scale) resolve
+    * through the EOCD64 locator → EOCD64 record → per-entry 0x0001
+    * extra fields; multi-disk and encryption stay loud rejects.
     */
   private[graft] def readDirectory(in: Seekable): ZipDir = {
     require(in.size >= 22, "zip: too short for an EOCD record")
@@ -86,20 +106,44 @@ object ZipSource {
     require(at >= 0, "zip: no end-of-central-directory record")
     require(u16(tail, at + 4) == 0 && u16(tail, at + 6) == 0,
       "zip: multi-disk archives unsupported")
-    val nTotal = u16(tail, at + 10)
-    val cdSize = u32(tail, at + 12)
-    val cdOffset = u32(tail, at + 16)
-    require(nTotal != 0xffff && cdSize != 0xffffffffL &&
-      cdOffset != 0xffffffffL, "zip: zip64 unsupported")
-    // a u32 can reach 0xFFFFFFFE, which .toInt would wrap negative —
-    // reject by name like every other bound (a >2 GiB directory is
-    // zip64 territory in practice anyway)
-    require(cdSize <= Int.MaxValue - 16, "zip: central directory exceeds 2 GiB")
-    // a zip64 EOCD locator directly precedes the EOCD when present
+    val nTotal16 = u16(tail, at + 10)
+    val cdSize32 = u32(tail, at + 12)
+    val cdOffset32 = u32(tail, at + 16)
+    // a zip64 EOCD locator directly precedes the EOCD when present;
+    // saturated EOCD fields WITHOUT the locator are corruption, not a
+    // dialect
     val eocdPos = in.size - tailLen + at
-    if (eocdPos >= 20 &&
-      u32(in.readAt(eocdPos - 20, 4), 0) == 0x07064b50L)
-      sys.error("zip: zip64 unsupported")
+    val hasLocator = eocdPos >= 20 &&
+      u32(in.readAt(eocdPos - 20, 4), 0) == 0x07064b50L
+    val (nTotal, cdSize, cdOffset) =
+      if (hasLocator) {
+        val loc = in.readAt(eocdPos - 20, 20)
+        require(u32(loc, 4) == 0 && u32(loc, 16) == 1,
+          "zip: multi-disk archives unsupported")
+        val e64Pos = u64(loc, 8)
+        require(e64Pos >= 0 && e64Pos + 56 <= in.size,
+          "zip: EOCD64 offset out of bounds")
+        val h = in.readAt(e64Pos, 56)
+        require(u32(h, 0) == 0x06064b50L, "zip: bad EOCD64 signature")
+        require(u32(h, 16) == 0 && u32(h, 20) == 0,
+          "zip: multi-disk archives unsupported")
+        val n = u64(h, 32)
+        require(u64(h, 24) == n, "zip: multi-disk archives unsupported")
+        (n, u64(h, 40), u64(h, 48))
+      } else {
+        require(nTotal16 != 0xffff && cdSize32 != 0xffffffffL &&
+          cdOffset32 != 0xffffffffL,
+          "zip: zip64 sentinels without an EOCD64 locator")
+        (nTotal16.toLong, cdSize32, cdOffset32)
+      }
+    require(nTotal <= Int.MaxValue - 16, "zip: entry count exceeds 2^31")
+    // allocation bounds BEFORE readAt: the absolute 2 GiB array cap and
+    // the entry-derived cap (a 10-entry directory cannot claim gigabytes)
+    require(cdSize <= Int.MaxValue - 16, "zip: central directory exceeds 2 GiB")
+    require(cdSize <= nTotal * MaxCentralEntry,
+      s"zip: central directory size $cdSize exceeds $nTotal entries' maximum")
+    require(cdOffset >= 0 && cdOffset + cdSize <= in.size,
+      "zip: central directory out of bounds")
     val comment = new String(tail, at + 22, tailLen - at - 22, "UTF-8")
     val cd = in.readAt(cdOffset, cdSize.toInt)
     val out = scala.collection.mutable.ArrayBuffer[ZipEntry]()
@@ -113,18 +157,52 @@ object ZipSource {
       require(method == 0 || method == 8,
         s"zip: compression method $method unsupported (stored/deflate only)")
       val crc = u32(cd, pos + 16)
-      val csize = u32(cd, pos + 20)
-      val usize = u32(cd, pos + 24)
-      require(csize != 0xffffffffL && usize != 0xffffffffL,
-        "zip: zip64 unsupported")
+      var csize = u32(cd, pos + 20)
+      var usize = u32(cd, pos + 24)
       val nameLen = u16(cd, pos + 28)
       val extraLen = u16(cd, pos + 30)
       val commentLen = u16(cd, pos + 32)
-      val lhOffset = u32(cd, pos + 42)
-      require(lhOffset != 0xffffffffL, "zip: zip64 unsupported")
+      val diskStart = u16(cd, pos + 34)
+      var lhOffset = u32(cd, pos + 42)
       require(pos + 46 + nameLen + extraLen + commentLen <= cd.length,
         "zip: central directory truncated")
       val name = new String(cd, pos + 46, nameLen, "UTF-8")
+      if (csize == 0xffffffffL || usize == 0xffffffffL ||
+        lhOffset == 0xffffffffL || diskStart == 0xffff) {
+        // zip64 extended-information extra field (tag 0x0001): 8-byte
+        // values present ONLY for the saturated fields, in spec order
+        // usize, csize, offset, disk
+        var ep = pos + 46 + nameLen
+        val eend = ep + extraLen
+        var found = false
+        while (!found && ep + 4 <= eend) {
+          val tag = u16(cd, ep)
+          val flen = u16(cd, ep + 2)
+          require(ep + 4 + flen <= eend,
+            s"zip: extra field overruns in '$name'")
+          if (tag == 0x0001) {
+            var vp = ep + 4
+            val vend = ep + 4 + flen
+            def take8(what: String): Long = {
+              require(vp + 8 <= vend,
+                s"zip: zip64 extra field missing $what in '$name'")
+              val v = u64(cd, vp); vp += 8; v
+            }
+            if (usize == 0xffffffffL) usize = take8("usize")
+            if (csize == 0xffffffffL) csize = take8("csize")
+            if (lhOffset == 0xffffffffL) lhOffset = take8("offset")
+            if (diskStart == 0xffff) {
+              require(vp + 4 <= vend,
+                s"zip: zip64 extra field missing disk in '$name'")
+              require(u32(cd, vp) == 0,
+                "zip: multi-disk archives unsupported")
+            }
+            found = true
+          } else ep += 4 + flen
+        }
+        require(found,
+          s"zip: zip64 sentinel without a 0x0001 extra field in '$name'")
+      } else require(diskStart == 0, "zip: multi-disk archives unsupported")
       out += ZipEntry(name, method, crc, csize, usize, lhOffset)
       pos += 46 + nameLen + extraLen + commentLen
     }
@@ -144,7 +222,11 @@ object ZipSource {
     val nameLen = u16(lh, 26)
     val extraLen = u16(lh, 28)
     val dataPos = e.offset + 30 + nameLen + extraLen
-    require(e.csize <= Int.MaxValue - 16, s"zip: entry '${e.name}' exceeds 2 GiB")
+    // a zip64 ARCHIVE may exceed 4 GiB while every ENTRY stays decodable;
+    // a single >2 GiB entry still rejects loudly (it would need a
+    // streaming entry decode, and no training shard ships one)
+    require(e.csize <= Int.MaxValue - 16 && e.usize <= Int.MaxValue - 16,
+      s"zip: entry '${e.name}' exceeds 2 GiB")
     val raw = in.readAt(dataPos, e.csize.toInt)
     val data =
       if (e.method == 0) raw
@@ -181,14 +263,23 @@ object ZipSource {
   private def le32(v: Long): Array[Byte] =
     Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
 
+  private def le64(v: Long): Array[Byte] =
+    Array.tabulate(8)(i => ((v >> (8 * i)) & 0xff).toByte)
+
   /** Deterministic zip writer (fixtures + the export arm's shape):
     * stored or deflate entries, fixed DOS timestamp, optional archive
-    * comment. `unzip -t` validates its output (spec-pinned).
+    * comment. `zip64 = true` forces the zip64 form regardless of size —
+    * saturated central csize/usize/offset resolved by 0x0001 extra
+    * fields, EOCD64 record + locator, saturated EOCD — the layout a
+    * >4 GiB shard carries, writable small enough to gate-check.
+    * `unzip -t` and python's zipfile validate both forms (spec-pinned).
     */
   private[graft] def zipOf(entries: Seq[(String, Array[Byte], Boolean)],
-                           comment: String = ""): Array[Byte] = {
+                           comment: String = "",
+                           zip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val central = new java.io.ByteArrayOutputStream()
+    val version = if (zip64) 45 else 20
     entries.foreach { case (name, data, stored) =>
       val offset = out.size().toLong
       val crc = new java.util.zip.CRC32()
@@ -205,43 +296,83 @@ object ZipSource {
         }
       val nb = name.getBytes("UTF-8")
       val method = if (stored) 0 else 8
-      def common: Array[Byte] =
-        le16(20) ++ le16(0) ++ le16(method) ++
+      def head(csize: Long, usize: Long, extraLen: Int): Array[Byte] =
+        le16(version) ++ le16(0) ++ le16(method) ++
           le16(0) ++ le16(0x5a21) ++ // fixed DOS time/date (2025-01-01)
-          le32(crc.getValue) ++ le32(packed.length.toLong) ++
-          le32(data.length.toLong) ++ le16(nb.length) ++ le16(0)
-      out.write(le32(0x04034b50L)); out.write(common); out.write(nb)
+          le32(crc.getValue) ++ le32(csize) ++ le32(usize) ++
+          le16(nb.length) ++ le16(extraLen)
+      // local header keeps real sizes (zip64 local extras are only
+      // REQUIRED once a size saturates; readers take the central copy)
+      out.write(le32(0x04034b50L))
+      out.write(head(packed.length.toLong, data.length.toLong, 0))
+      out.write(nb)
       out.write(packed)
-      central.write(le32(0x02014b50L)); central.write(le16(20))
-      central.write(common)
-      central.write(le16(0)) // comment len
-      central.write(le16(0)) // disk start
-      central.write(le16(0)); central.write(le32(0)) // attrs
-      central.write(le32(offset))
-      central.write(nb)
+      central.write(le32(0x02014b50L)); central.write(le16(version))
+      if (zip64) {
+        // saturate csize/usize/offset; the 0x0001 extra resolves them
+        central.write(head(0xffffffffL, 0xffffffffL, 4 + 24))
+        central.write(le16(0)) // comment len
+        central.write(le16(0)) // disk start
+        central.write(le16(0)); central.write(le32(0)) // attrs
+        central.write(le32(0xffffffffL))
+        central.write(nb)
+        central.write(le16(0x0001)); central.write(le16(24))
+        central.write(le64(data.length.toLong)) // usize
+        central.write(le64(packed.length.toLong)) // csize
+        central.write(le64(offset))
+      } else {
+        central.write(head(packed.length.toLong, data.length.toLong, 0))
+        central.write(le16(0)) // comment len
+        central.write(le16(0)) // disk start
+        central.write(le16(0)); central.write(le32(0)) // attrs
+        central.write(le32(offset))
+        central.write(nb)
+      }
     }
     val cdOffset = out.size().toLong
     out.write(central.toByteArray)
     val cb = comment.getBytes("UTF-8")
-    out.write(le32(0x06054b50L))
-    out.write(le16(0)); out.write(le16(0))
-    out.write(le16(entries.size)); out.write(le16(entries.size))
-    out.write(le32(central.size().toLong)); out.write(le32(cdOffset))
-    out.write(le16(cb.length)); out.write(cb)
+    if (zip64) {
+      val e64Pos = cdOffset + central.size().toLong
+      out.write(le32(0x06064b50L)) // EOCD64 record
+      out.write(le64(44L)) // size of remainder
+      out.write(le16(45)); out.write(le16(45))
+      out.write(le32(0)); out.write(le32(0)) // this disk / cd start disk
+      out.write(le64(entries.size.toLong)); out.write(le64(entries.size.toLong))
+      out.write(le64(central.size().toLong)); out.write(le64(cdOffset))
+      out.write(le32(0x07064b50L)) // EOCD64 locator
+      out.write(le32(0)) // disk holding the EOCD64
+      out.write(le64(e64Pos))
+      out.write(le32(1)) // total disks
+      out.write(le32(0x06054b50L)) // saturated classic EOCD
+      out.write(le16(0)); out.write(le16(0))
+      out.write(le16(0xffff)); out.write(le16(0xffff))
+      out.write(le32(0xffffffffL)); out.write(le32(0xffffffffL))
+      out.write(le16(cb.length)); out.write(cb)
+    } else {
+      out.write(le32(0x06054b50L))
+      out.write(le16(0)); out.write(le16(0))
+      out.write(le16(entries.size)); out.write(le16(entries.size))
+      out.write(le32(central.size().toLong)); out.write(le32(cdOffset))
+      out.write(le16(cb.length)); out.write(cb)
+    }
     out.toByteArray
   }
 
   // Fixture arithmetic (the DuckDB oracle re-derives everything):
   //   k = id%3+1 entries named e{j}.txt; entry j's content is the doc's
   //   text at j==0, else "entry {id} {j}"; STORED when (id+j)%4==0 else
-  //   deflated; archive comment "doc {id}" when id%5==0.
+  //   deflated; archive comment "doc {id}" when id%5==0. The FORCED
+  //   zip64 form (EOCD64 + locator + 0x0001 extras) on id%7==3 — the
+  //   facts are container-form-invariant, so a zip64 resolution slip
+  //   fails the x110 hash.
   private[graft] def zipFixtureOf(id: Long, text: String): Array[Byte] = {
     val k = (id % 3 + 1).toInt
     val entries = (0 until k).map { j =>
       val content = if (j == 0) text else s"entry $id $j"
       (s"e$j.txt", content.getBytes("UTF-8"), (id + j) % 4 == 0)
     }
-    zipOf(entries, if (id % 5 == 0) s"doc $id" else "")
+    zipOf(entries, if (id % 5 == 0) s"doc $id" else "", zip64 = id % 7 == 3)
   }
 
   def synthesizeZip(spark: SparkSession, docs: DataFrame): DataFrame = {

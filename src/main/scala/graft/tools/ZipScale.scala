@@ -17,13 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object ZipScale {
   def main(args: Array[String]): Unit = {
-    val entries = args.headOption.map(_.toInt).getOrElse(280)
-    val entryMB = args.drop(1).headOption.map(_.toInt).getOrElse(4)
-    val dir = new java.io.File(s"/tmp/graft-zipscale-$entries-$entryMB")
+    // --zip64: ONE >4 GiB archive in the true zip64 layout (EOCD64 +
+    // locator + per-entry 0x0001 extras once offsets pass 4 GiB) — the
+    // r16 verdict's "shards >4 GB are normal at the target scale" gap;
+    // completing `zipFiles` (full decode + CRC of every entry) proves
+    // the 64-bit offset path against a real saturated archive.
+    val zip64 = args.headOption.contains("--zip64")
+    val rest = if (zip64) args.drop(1) else args
+    val entries = rest.headOption.map(_.toInt)
+      .getOrElse(if (zip64) 1100 else 280)
+    val entryMB = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val nFiles = if (zip64) 1 else 2
+    val dir = new java.io.File(
+      s"/tmp/graft-zipscale${if (zip64) "64" else ""}-$entries-$entryMB")
     if (!dir.exists()) {
       dir.mkdirs()
       val t0 = System.nanoTime()
-      (0 until 2).foreach { f =>
+      (0 until nFiles).foreach { f =>
         // streaming writer: local headers + data out as generated, the
         // central directory accumulated (O(entries) metadata)
         val out = new java.io.BufferedOutputStream(
@@ -34,6 +44,8 @@ object ZipScale {
           Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
         def le32(v: Long): Array[Byte] =
           Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+        def le64(v: Long): Array[Byte] =
+          Array.tabulate(8)(i => ((v >> (8 * i)) & 0xff).toByte)
         var offset = 0L
         (0 until entries).foreach { j =>
           val sb = new java.lang.StringBuilder(entryMB * (1 << 20) + 16)
@@ -47,24 +59,52 @@ object ZipScale {
           val name = s"e$j.txt".getBytes("UTF-8")
           // stored entries: incompressible data, and stored keeps the
           // writer single-pass (sizes known up front)
-          val common = le16(20) ++ le16(0) ++ le16(0) ++ le16(0) ++
-            le16(0x5a21) ++ le32(crc.getValue) ++
-            le32(data.length.toLong) ++ le32(data.length.toLong) ++
-            le16(name.length) ++ le16(0)
-          out.write(le32(0x04034b50L)); out.write(common); out.write(name)
+          val version = if (zip64) 45 else 20
+          def common(extraLen: Int): Array[Byte] =
+            le16(version) ++ le16(0) ++ le16(0) ++ le16(0) ++
+              le16(0x5a21) ++ le32(crc.getValue) ++
+              le32(data.length.toLong) ++ le32(data.length.toLong) ++
+              le16(name.length) ++ le16(extraLen)
+          out.write(le32(0x04034b50L)); out.write(common(0)); out.write(name)
           out.write(data)
-          central.write(le32(0x02014b50L)); central.write(le16(20))
-          central.write(common)
-          central.write(le16(0)); central.write(le16(0))
-          central.write(le16(0)); central.write(le32(0))
-          central.write(le32(offset)); central.write(name)
+          central.write(le32(0x02014b50L)); central.write(le16(version))
+          if (zip64) {
+            // offsets pass 4 GiB mid-archive: saturate and resolve via
+            // the 0x0001 extra (sizes stay real — entries are 4 MB)
+            central.write(common(4 + 8))
+            central.write(le16(0)); central.write(le16(0))
+            central.write(le16(0)); central.write(le32(0))
+            central.write(le32(0xffffffffL)); central.write(name)
+            central.write(le16(0x0001)); central.write(le16(8))
+            central.write(le64(offset))
+          } else {
+            central.write(common(0))
+            central.write(le16(0)); central.write(le16(0))
+            central.write(le16(0)); central.write(le32(0))
+            central.write(le32(offset)); central.write(name)
+          }
           offset += 30 + name.length + data.length
         }
         out.write(central.toByteArray)
-        out.write(le32(0x06054b50L)); out.write(le16(0)); out.write(le16(0))
-        out.write(le16(entries)); out.write(le16(entries))
-        out.write(le32(central.size().toLong)); out.write(le32(offset))
-        out.write(le16(0))
+        if (zip64) {
+          val e64Pos = offset + central.size().toLong
+          out.write(le32(0x06064b50L)); out.write(le64(44L))
+          out.write(le16(45)); out.write(le16(45))
+          out.write(le32(0)); out.write(le32(0))
+          out.write(le64(entries.toLong)); out.write(le64(entries.toLong))
+          out.write(le64(central.size().toLong)); out.write(le64(offset))
+          out.write(le32(0x07064b50L)); out.write(le32(0))
+          out.write(le64(e64Pos)); out.write(le32(1))
+          out.write(le32(0x06054b50L)); out.write(le16(0)); out.write(le16(0))
+          out.write(le16(0xffff)); out.write(le16(0xffff))
+          out.write(le32(0xffffffffL)); out.write(le32(0xffffffffL))
+          out.write(le16(0))
+        } else {
+          out.write(le32(0x06054b50L)); out.write(le16(0)); out.write(le16(0))
+          out.write(le16(entries)); out.write(le16(entries))
+          out.write(le32(central.size().toLong)); out.write(le32(offset))
+          out.write(le16(0))
+        }
         out.close()
       }
       println(f"synthesize: ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -77,6 +77,66 @@ class ZipSpec extends GraftSparkSpec {
     }
   }
 
+  test("zip64: our forced form is read by unzip and python zipfile; we read python's forced form") {
+    withTmp { dir =>
+      // ours -> foreign readers
+      val bytes = ZipSource.zipOf(Seq(
+        ("a.txt", "zip64 hello".getBytes("UTF-8"), false),
+        ("b.bin", Array.tabulate(300)(_.toByte), true)),
+        comment = "sixty-four", zip64 = true)
+      java.nio.file.Files.write(new java.io.File(dir, "ours64.zip").toPath, bytes)
+      run(Seq("unzip", "-t", "ours64.zip"), dir) // CRC pass over zip64 layout
+      assert(run(Seq("unzip", "-p", "ours64.zip", "a.txt"), dir) === "zip64 hello")
+      val py = run(Seq("python3", "-c",
+        """import zipfile
+          |z = zipfile.ZipFile("ours64.zip")
+          |print(z.testzip() is None)
+          |print(z.read("a.txt").decode())
+          |print(len(z.read("b.bin")))""".stripMargin), dir)
+      assert(py.split("\n").take(3).toSeq === Seq("True", "zip64 hello", "300"))
+
+      // foreign writer -> us: python's zipfile with force_zip64 writes
+      // saturated local+central sizes resolved by 0x0001 extras
+      run(Seq("python3", "-c",
+        """import zipfile
+          |z = zipfile.ZipFile("theirs64.zip", "w", allowZip64=True)
+          |with z.open("p.txt", "w", force_zip64=True) as f:
+          |    f.write(b"forced " * 40)
+          |z.writestr("q.txt", "small entry")
+          |z.close()""".stripMargin), dir)
+      val in = new ZipSource.BytesSeekable(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "theirs64.zip").toPath))
+      val d = ZipSource.readDirectory(in)
+      assert(d.entries.map(_.name).toSet === Set("p.txt", "q.txt"))
+      val p = d.entries.find(_.name == "p.txt").get
+      assert(new String(ZipSource.entryBytes(in, p), "UTF-8") === "forced " * 40)
+      // round-trip our zip64 through our own reader too
+      val ours = new ZipSource.BytesSeekable(bytes)
+      val od = ZipSource.readDirectory(ours)
+      assert(od.comment === "sixty-four")
+      assert(od.entries.map(_.name) === Seq("a.txt", "b.bin"))
+      assert(new String(ZipSource.entryBytes(ours, od.entries.head), "UTF-8")
+        === "zip64 hello")
+      assert(ZipSource.entryBytes(ours, od.entries(1)).toSeq ===
+        Array.tabulate(300)(_.toByte).toSeq)
+    }
+  }
+
+  test("zip: hostile EOCD directory size is bounded before allocation") {
+    val good = ZipSource.zipOf(Seq(
+      ("a.txt", "bound me".getBytes("UTF-8"), true)))
+    val c = good.clone()
+    val eocd = c.length - 22
+    // claim a ~1.9 GiB directory for a 1-entry archive
+    c(eocd + 12) = 0x00.toByte; c(eocd + 13) = 0x00.toByte
+    c(eocd + 14) = 0x00.toByte; c(eocd + 15) = 0x78.toByte
+    val e = intercept[IllegalArgumentException] {
+      ZipSource.readDirectory(new ZipSource.BytesSeekable(c))
+    }
+    assert(e.getMessage.contains("exceeds 1 entries' maximum") ||
+      e.getMessage.contains("out of bounds"))
+  }
+
   test("zip: CRC damage, encryption, and zip64 reject loudly by name") {
     val good = ZipSource.zipOf(Seq(
       ("a.txt", ("payload " * 20).getBytes("UTF-8"), false)))
