@@ -3644,15 +3644,22 @@ object ExtensionQueries {
             s, t(s, dir, "documents")))
         .orderBy("doc_id"),
       Some(
-        """SELECT doc_id, 'II' AS endian, CAST(1 AS INT) AS n_pages,
-          |  CAST(24 + (doc_id % 4) * 8 AS INT) AS w,
-          |  CAST(10 + (doc_id % 5) * 2 AS INT) AS h,
+        """WITH d AS (SELECT doc_id, 24 + (doc_id % 4) * 8 AS w,
+          |             10 + (doc_id % 5) * 2 AS h,
+          |             CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END AS tiled
+          |           FROM documents)
+          |SELECT doc_id, 'II' AS endian, CAST(1 AS INT) AS n_pages,
+          |  CAST(w AS INT) AS w, CAST(h AS INT) AS h,
           |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
           |    ELSE 5 END AS INT) AS compression,
           |  CAST(1 AS INT) AS spp,
-          |  CAST(4 AS INT) AS rows_per_strip,
-          |  CAST((10 + (doc_id % 5) * 2 + 3) // 4 AS INT) AS n_strips
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+          |  CAST(CASE WHEN tiled = 1 THEN 16 ELSE 4 END AS INT)
+          |    AS rows_per_strip,
+          |  CAST(CASE WHEN tiled = 1
+          |    THEN ((w + 15) // 16) * ((h + 15) // 16)
+          |    ELSE (h + 3) // 4 END AS INT) AS n_strips,
+          |  CAST(tiled AS INT) AS is_tiled
+          |FROM d ORDER BY doc_id""".stripMargin)),
 
     // TIFF pixel decode (x116): the three fixture codecs — uncompressed
     // strips, PackBits RLE, and TIFF-LZW (MSB-first bits, early-change

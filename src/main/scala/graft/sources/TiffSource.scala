@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *    (multi-page), 12-byte entries with inline-vs-offset values by
   *    type size, LONG/SHORT promotion.
   *  - strip-organized image data (StripOffsets/StripByteCounts/
-  *    RowsPerStrip), 8-bit samples, chunky planar layout.
+  *    RowsPerStrip) AND the tiled layout (§15: TileWidth/TileLength
+  *    multiples of 16, full-size edge tiles clipped on assembly — the
+  *    organization scanned-document and GeoTIFF corpora predominantly
+  *    use), 8-bit samples, chunky planar layout.
   *  - codecs: uncompressed, PackBits (the spec's RLE), TIFF-LZW — which
   *    is NOT GIF-LZW: MSB-first bit packing, fixed 256/257
   *    clear/EOI codes, and the spec's "early change" (code width grows
@@ -26,7 +29,7 @@ import org.apache.spark.sql.functions._
   * plugin (None/PackBits/LZW/Deflate written by it all decode to its
   * own pixels; it reads our writer's bytes); x115 gates container facts
   * and x116 decoded pixel sums against DuckDB doc_id arithmetic.
-  * Out-of-subset shapes (planar, tiles, non-8-bit) reject loudly.
+  * Out-of-subset shapes (planar, non-8-bit) reject loudly.
   * Caveat (the ORC-tail lesson): TIFF strips carry NO integrity check —
   * only structural damage is detectable; a flipped payload bit is a
   * legal different pixel, which is why the gates check decoded VALUES.
@@ -38,7 +41,8 @@ object TiffSource {
 
   private[graft] case class TiffPage(w: Int, h: Int, compression: Int,
       samplesPerPixel: Int, rowsPerStrip: Int, nStrips: Int,
-      predictor: Int, pixels: Array[Byte]) // row-major, chunky
+      predictor: Int, pixels: Array[Byte], // row-major, chunky
+      tiled: Boolean = false) // tiled: rowsPerStrip=TileLength, nStrips=#tiles
   private[graft] case class TiffFile(littleEndian: Boolean,
       pages: Seq[TiffPage])
 
@@ -233,24 +237,12 @@ object TiffSource {
       require(bps.isEmpty || bps.forall(_ == 8L),
         s"tiff: only 8-bit samples supported (got ${bps.mkString(",")})")
       require(one(284, 1L) == 1L, "tiff: planar configuration unsupported")
-      require(!tags.contains(322), "tiff: tiled layout unsupported")
       val comp = one(259, 1L).toInt
       val predictor = one(317, 1L).toInt
       require(predictor == 1 || predictor == 2,
         s"tiff: predictor $predictor unsupported")
-      val rps = one(278, h.toLong).toInt
-      val offs = values(273)
-      val counts = values(279)
-      require(offs.nonEmpty && offs.size == counts.size,
-        "tiff: strip offsets/counts mismatch")
-      val rowBytes = w * spp
-      val out = new Array[Byte](rowBytes * h)
-      var row = 0
-      offs.zip(counts).foreach { case (off, cnt) =>
-        val stripRows = math.min(rps, h - row)
-        val expected = stripRows * rowBytes
-        val raw = r.slice(off, cnt.toInt)
-        val data = comp match {
+      def decodeSeg(raw: Array[Byte], expected: Int): Array[Byte] =
+        comp match {
           case 1 => require(raw.length == expected,
             "tiff: uncompressed strip size mismatch"); raw
           case 5 => tiffLzwDecode(raw, expected)
@@ -258,19 +250,73 @@ object TiffSource {
           case 32773 => packBitsDecode(raw, expected)
           case other => sys.error(s"tiff: compression $other unsupported")
         }
-        System.arraycopy(data, 0, out, row * rowBytes, expected)
-        row += stripRows
-      }
-      require(row == h, s"tiff: strips cover $row of $h rows")
-      if (predictor == 2) { // horizontal differencing: undo per row
-        (0 until h).foreach { y =>
+      // horizontal differencing resets per ROW — strip rows are image
+      // rows, tile rows are TileWidth wide
+      def undoPredictor(buf: Array[Byte], rows: Int, rowBytes: Int): Unit =
+        if (predictor == 2) (0 until rows).foreach { y =>
           val base = y * rowBytes
           (spp until rowBytes).foreach { i =>
-            out(base + i) = (out(base + i) + out(base + i - spp)).toByte
+            buf(base + i) = (buf(base + i) + buf(base + i - spp)).toByte
           }
         }
-      }
-      pages += TiffPage(w, h, comp, spp, rps, offs.size, predictor, out)
+      val rowBytes = w * spp
+      val out = new Array[Byte](rowBytes * h)
+      val tiled = tags.contains(322) || tags.contains(323) ||
+        tags.contains(324) || tags.contains(325)
+      val (rpsOut, nSegs) =
+        if (!tiled) {
+          val rps = one(278, h.toLong).toInt
+          val offs = values(273)
+          val counts = values(279)
+          require(offs.nonEmpty && offs.size == counts.size,
+            "tiff: strip offsets/counts mismatch")
+          var row = 0
+          offs.zip(counts).foreach { case (off, cnt) =>
+            val stripRows = math.min(rps, h - row)
+            val expected = stripRows * rowBytes
+            val data = decodeSeg(r.slice(off, cnt.toInt), expected)
+            System.arraycopy(data, 0, out, row * rowBytes, expected)
+            row += stripRows
+          }
+          require(row == h, s"tiff: strips cover $row of $h rows")
+          undoPredictor(out, h, rowBytes)
+          (rps, offs.size)
+        } else {
+          // tiled layout (TIFF 6.0 §15): TileWidth/TileLength multiples
+          // of 16; EVERY tile decodes to the full tw×tl — right/bottom
+          // edge tiles are writer-padded and clipped on assembly; the
+          // predictor undoes per TILE row before clipping
+          val tw = one(322).toInt
+          val tl = one(323).toInt
+          require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0,
+            s"tiff: tile size ${tw}x$tl not positive multiples of 16")
+          val offs = values(324)
+          val counts = values(325)
+          require(offs.nonEmpty && offs.size == counts.size,
+            "tiff: tile offsets/counts mismatch")
+          val across = (w + tw - 1) / tw
+          val down = (h + tl - 1) / tl
+          require(offs.size == across * down,
+            s"tiff: ${offs.size} tiles for a ${across}x$down grid")
+          val tileRowBytes = tw * spp
+          require(tileRowBytes.toLong * tl <= (1L << 28),
+            "tiff: tile exceeds supported decoded size (256 MB)")
+          val expected = tileRowBytes * tl
+          offs.zip(counts).zipWithIndex.foreach { case ((off, cnt), t) =>
+            val data = decodeSeg(r.slice(off, cnt.toInt), expected)
+            undoPredictor(data, tl, tileRowBytes)
+            val tx = t % across
+            val ty = t / across
+            val copyRows = math.min(tl, h - ty * tl)
+            val copyBytes = math.min(tw, w - tx * tw) * spp
+            (0 until copyRows).foreach { yy =>
+              System.arraycopy(data, yy * tileRowBytes,
+                out, ((ty * tl + yy) * w + tx * tw) * spp, copyBytes)
+            }
+          }
+          (tl, offs.size)
+        }
+      pages += TiffPage(w, h, comp, spp, rpsOut, nSegs, predictor, out, tiled)
       ifdOff = r.u32(ifdOff.toInt + 2 + n * 12)
     }
     require(pages.nonEmpty, "tiff: no pages")
@@ -351,9 +397,12 @@ object TiffSource {
 
   // Fixture arithmetic (the DuckDB oracle re-derives everything):
   //   little-endian, one 8-bit grayscale page, w = 24+(id%4)*8,
-  //   h = 10+(id%5)*2, RowsPerStrip = 4 (multi-strip), pixel
-  //   v(x,y) = (id + 5x + 11y) % 256; compression by id%3:
-  //   0 = none, 1 = PackBits, 2 = LZW (real dictionaries).
+  //   h = 10+(id%5)*2, pixel v(x,y) = (id + 5x + 11y) % 256;
+  //   compression by id%3: 0 = none, 1 = PackBits, 2 = LZW (real
+  //   dictionaries). Layout: TILED 16x16 when id%7==5 (edge tiles
+  //   clipped — w/h are never multiples of 16; pads are 0), else
+  //   strips with RowsPerStrip = 4. Pixel facts are layout-invariant,
+  //   so a tile-grid or clipping slip fails the x116 hash.
   private[graft] def tiffOf(id: Long): Array[Byte] = {
     val w = 24 + (id % 4).toInt * 8
     val h = 10 + (id % 5).toInt * 2
@@ -362,55 +411,86 @@ object TiffSource {
       case 1 => 32773
       case _ => 5
     }
-    val rps = 4
-    val nStrips = (h + rps - 1) / rps
-    val strips = (0 until nStrips).map { s =>
-      val rows = math.min(rps, h - s * rps)
-      val raw = Array.tabulate(rows * w) { p =>
-        val x = p % w; val y = s * rps + p / w
-        ((id + 5 * x + 11 * y) % 256).toByte
-      }
-      comp match {
-        case 1 => raw
-        case 32773 => packBitsEncode(raw)
-        case 5 => tiffLzwEncode(raw)
-      }
+    val tiled = id % 7 == 5
+    def pack(raw: Array[Byte]): Array[Byte] = comp match {
+      case 1 => raw
+      case 32773 => packBitsEncode(raw)
+      case 5 => tiffLzwEncode(raw)
     }
+    val rps = 4
+    val (segs, segTags) =
+      if (!tiled) {
+        val nStrips = (h + rps - 1) / rps
+        val strips = (0 until nStrips).map { s =>
+          val rows = math.min(rps, h - s * rps)
+          pack(Array.tabulate(rows * w) { p =>
+            val x = p % w; val y = s * rps + p / w
+            ((id + 5 * x + 11 * y) % 256).toByte
+          })
+        }
+        (strips, Seq((273, 4, nStrips.toLong), (278, 4, 1L),
+          (279, 4, nStrips.toLong)))
+      } else {
+        val tw = 16; val tl = 16
+        val across = (w + tw - 1) / tw
+        val down = (h + tl - 1) / tl
+        val tiles = (0 until across * down).map { t =>
+          val tx = t % across; val ty = t / across
+          pack(Array.tabulate(tw * tl) { p =>
+            val x = tx * tw + p % tw; val y = ty * tl + p / tw
+            if (x < w && y < h) ((id + 5 * x + 11 * y) % 256).toByte
+            else 0.toByte // edge-tile padding (spec: contents undefined)
+          })
+        }
+        (tiles, Seq((322, 4, 1L), (323, 4, 1L),
+          (324, 4, tiles.size.toLong), (325, 4, tiles.size.toLong)))
+      }
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Long): Unit = (0 until 4).foreach(i =>
       out.write(((v >> (8 * i)) & 0xff).toInt))
     out.write('I'); out.write('I'); le16(42); le32(8)
-    // IFD at offset 8; strip data follows it
-    val nTags = 9
+    // IFD at offset 8; offset/count arrays then segment data follow it
+    val nTags = 6 + segTags.size
     val ifdSize = 2 + nTags * 12 + 4
-    val offsArraySize = if (nStrips > 1) nStrips * 4 else 0
-    val cntsArraySize = if (nStrips > 1) nStrips * 4 else 0
+    val multi = segs.size > 1
+    val offsArraySize = if (multi) segs.size * 4 else 0
+    val cntsArraySize = if (multi) segs.size * 4 else 0
     var dataOff = 8L + ifdSize + offsArraySize + cntsArraySize
-    val stripOffs = strips.map { s => val o = dataOff; dataOff += s.length; o }
+    val segOffs = segs.map { s => val o = dataOff; dataOff += s.length; o }
     le16(nTags)
     def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
       le16(tag); le16(typ); le32(count); le32(value)
     }
     val offsAt = 8L + ifdSize
     val cntsAt = offsAt + offsArraySize
-    entry(256, 4, 1, w.toLong)                    // ImageWidth
-    entry(257, 4, 1, h.toLong)                    // ImageLength
-    entry(258, 3, 1, 8L)                          // BitsPerSample
-    entry(259, 3, 1, comp.toLong)                 // Compression
-    entry(262, 3, 1, 1L)                          // Photometric: BlackIsZero
-    entry(273, 4, nStrips.toLong,                 // StripOffsets
-      if (nStrips > 1) offsAt else stripOffs.head)
-    entry(277, 3, 1, 1L)                          // SamplesPerPixel
-    entry(278, 4, 1, rps.toLong)                  // RowsPerStrip
-    entry(279, 4, nStrips.toLong,                 // StripByteCounts
-      if (nStrips > 1) cntsAt else strips.head.length.toLong)
-    le32(0) // no next IFD
-    if (nStrips > 1) {
-      stripOffs.foreach(le32)
-      strips.foreach(s => le32(s.length.toLong))
+    // tags must appear in ascending order per the spec — fold the
+    // layout-specific ones into the fixed set sorted by tag id
+    val fixed = Seq(
+      (256, 4, 1L, w.toLong), (257, 4, 1L, h.toLong), (258, 3, 1L, 8L),
+      (259, 3, 1L, comp.toLong), (262, 3, 1L, 1L), (277, 3, 1L, 1L))
+    val layout = segTags.map {
+      case (273, typ, cnt) =>
+        (273, typ, cnt, if (multi) offsAt else segOffs.head)
+      case (279, typ, cnt) =>
+        (279, typ, cnt, if (multi) cntsAt else segs.head.length.toLong)
+      case (278, typ, cnt) => (278, typ, cnt, rps.toLong)
+      case (322, typ, cnt) => (322, typ, cnt, 16L)
+      case (323, typ, cnt) => (323, typ, cnt, 16L)
+      case (324, typ, cnt) =>
+        (324, typ, cnt, if (multi) offsAt else segOffs.head)
+      case (325, typ, cnt) =>
+        (325, typ, cnt, if (multi) cntsAt else segs.head.length.toLong)
     }
-    strips.foreach(out.write)
+    (fixed ++ layout).sortBy(_._1).foreach { case (t, ty, c, v) =>
+      entry(t, ty, c, v)
+    }
+    le32(0) // no next IFD
+    if (multi) {
+      segOffs.foreach(le32)
+      segs.foreach(s => le32(s.length.toLong))
+    }
+    segs.foreach(out.write)
     out.toByteArray
   }
 
@@ -422,7 +502,10 @@ object TiffSource {
       .toDF()
   }
 
-  /** x115 gate: container facts per file. */
+  /** x115 gate: container facts per file. For tiled pages
+    * `rows_per_strip` reports TileLength and `n_strips` the tile count
+    * — layout facts stay one schema across both organizations.
+    */
   def tiffTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
@@ -431,10 +514,10 @@ object TiffSource {
         val p = f.pages.head
         (id, if (f.littleEndian) "II" else "MM", f.pages.size,
           p.w, p.h, p.compression, p.samplesPerPixel, p.rowsPerStrip,
-          p.nStrips)
+          p.nStrips, if (p.tiled) 1 else 0)
       }
       .toDF("doc_id", "endian", "n_pages", "w", "h", "compression",
-        "spp", "rows_per_strip", "n_strips")
+        "spp", "rows_per_strip", "n_strips", "is_tiled")
   }
 
   /** x116 gate: decoded pixel sum — all three codecs must land the

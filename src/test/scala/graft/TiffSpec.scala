@@ -96,13 +96,71 @@ class TiffSpec extends GraftSparkSpec {
       assert(p.w === 24 + (id % 4).toInt * 8)
       assert(p.h === 10 + (id % 5).toInt * 2)
       assert(p.compression === Seq(1, 32773, 5)((id % 3).toInt))
-      assert(p.nStrips === (p.h + 3) / 4)
+      assert(!p.tiled && p.nStrips === (p.h + 3) / 4)
       (0 until p.h).foreach { y =>
         (0 until p.w).foreach { x =>
           assert((p.pixels(y * p.w + x) & 0xff) ===
             ((id + 5 * x + 11 * y) % 256).toInt)
         }
       }
+    }
+  }
+
+  test("tiff: tiled fixtures decode identically across all three codecs — edge tiles clipped") {
+    // 12: none; 19: packbits; 5: LZW — all id%7==5, dims never
+    // multiples of 16 so right/bottom clipping always happens
+    Seq(12L, 19L, 5L).foreach { id =>
+      val f = TiffSource.parseTiff(TiffSource.tiffOf(id))
+      val p = f.pages.head
+      assert(p.tiled, s"id=$id")
+      assert(p.compression === Seq(1, 32773, 5)((id % 3).toInt))
+      assert(p.rowsPerStrip === 16)
+      assert(p.nStrips === ((p.w + 15) / 16) * ((p.h + 15) / 16))
+      (0 until p.h).foreach { y =>
+        (0 until p.w).foreach { x =>
+          assert((p.pixels(y * p.w + x) & 0xff) ===
+            ((id + 5 * x + 11 * y) % 256).toInt, s"id=$id ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("tiff: JDK-written TILED files decode — all four codecs; JDK reads our tiled bytes") {
+    val w = 53; val h = 37 // not multiples of 16: edge clipping for real
+    val img = grayImage(w, h)
+    Seq("None", "PackBits", "LZW", "Deflate").foreach { codec =>
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("tiff").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(16, 16, 0, 0)
+      if (codec != "None") {
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(codec)
+      }
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val p = TiffSource.parseTiff(baos.toByteArray).pages.head
+      assert(p.tiled && p.w === w && p.h === h, codec)
+      assert(p.nStrips === ((w + 15) / 16) * ((h + 15) / 16), codec)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((p.pixels(y * w + x) & 0xff) ===
+          img.getRaster.getSample(x, y, 0), s"$codec pixel ($x,$y)")
+    }
+    // the other direction: JDK ImageIO reads our tiled fixture bytes
+    Seq(12L, 19L, 5L).foreach { id =>
+      val bytes = TiffSource.tiffOf(id)
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"JDK reader rejected tiled fixture id=$id")
+      val ours = TiffSource.parseTiff(bytes).pages.head
+      assert(jdk.getWidth === ours.w && jdk.getHeight === ours.h)
+      for (y <- 0 until ours.h; x <- 0 until ours.w)
+        assert((ours.pixels(y * ours.w + x) & 0xff) ===
+          jdk.getRaster.getSample(x, y, 0), s"id=$id pixel ($x,$y)")
     }
   }
 
