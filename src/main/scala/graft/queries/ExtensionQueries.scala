@@ -3423,6 +3423,71 @@ object ExtensionQueries {
           |    AS overdue_ppm
           |FROM e ORDER BY doc_id, j""".stripMargin)),
 
+    // FETCH SCHEDULE (x118) — the crawl control plane composed end to
+    // end: x109's admitted frontier (sitemap ∖ fetched-OK through
+    // robots) JOINED with x111's per-host Crawl-delay (broadcast — the
+    // rule table is one number per host) and x112's recrawl urgency
+    // (overdue_ppm at the fixed 2026-02-15 instant), then per-HOST
+    // fetch slots: order (overdue desc, priority desc, loc), fetch_at =
+    // seq × delay. Per-host, not per-sitemap: URLs from different docs
+    // share a site{0..6} host and must interleave in ONE polite queue —
+    // the one exchange is the per-host window, keyed on the same host
+    // the fetch queue partitions by anyway. DuckDB composes the same
+    // three derivations (admission WHERE clause = x109's, delay
+    // arithmetic = x111's, overdue arithmetic = x112's) over a window.
+    "x118_fetch_schedule" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val frontier = t(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            graft.sources.Sitemap.fixtureFrontier(id, text).map(e =>
+              (s"site${id % 7}.example", e.loc, e.priorityPpm,
+                e.lastmod, e.changefreq))
+          }
+          .toDF("host", "loc", "priority_ppm", "lastmod", "changefreq")
+        val delays = (0 until 7).map { k =>
+          val (rules, ds) = graft.sources.RobotsTxt.parseRobotsAll(
+            graft.sources.RobotsTxt.robotsOf(k.toLong))
+          (s"site$k.example",
+            graft.sources.RobotsTxt.crawlDelayMs(rules, ds, "anybot"))
+        }.toDF("host", "delay_ms")
+        graft.sources.Sitemap.fetchSchedule(frontier, delays, "2026-02-15")
+          .orderBy("host", "seq")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d),
+          |e AS (SELECT doc_id, j,
+          |        'http://site' || (doc_id % 7) || '.example/' || doc_id
+          |          || '/' || j AS loc,
+          |        'site' || (doc_id % 7) || '.example' AS host,
+          |        (9 - j) * 100000 AS ppm,
+          |        CAST('2026-01-' ||
+          |          lpad(CAST((doc_id + j) % 28 + 1 AS VARCHAR), 2, '0')
+          |          AS DATE) AS lm,
+          |        [1, 7, 30, 365][CAST((doc_id + j) % 4 AS INT) + 1]
+          |          AS period,
+          |        CAST(doc_id AS VARCHAR) AS ids,
+          |        CAST(doc_id % 7 AS VARCHAR) AS s
+          |      FROM u WHERE (doc_id + j) % 5 = 0),
+          |f AS (SELECT host, loc, ppm,
+          |        (DATE '2026-02-15' - lm) * 1000000 // period
+          |          AS overdue_ppm,
+          |        (CAST(substr(host, 5, 1) AS BIGINT) % 3 + 1) * 1000
+          |          + 500 AS delay_ms
+          |      FROM e
+          |      WHERE NOT starts_with(ids, s) OR starts_with(ids, s || s)),
+          |r AS (SELECT host, loc, overdue_ppm, delay_ms,
+          |        row_number() OVER (PARTITION BY host
+          |          ORDER BY overdue_ppm DESC, ppm DESC, loc) - 1 AS seq
+          |      FROM f)
+          |SELECT host, loc, CAST(seq AS INT) AS seq,
+          |  CAST(overdue_ppm AS BIGINT) AS overdue_ppm,
+          |  CAST(delay_ms AS BIGINT) AS delay_ms,
+          |  CAST(seq * delay_ms AS BIGINT) AS fetch_at_ms
+          |FROM r ORDER BY host, seq""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

@@ -150,6 +150,50 @@ object Sitemap {
       .sortBy(e => (-e.priorityPpm, e.loc))
   }
 
+  /** FETCH SCHEDULE — the end-to-end crawl scheduler composing the
+    * three control-plane gates: x109 admission decides WHAT may fetch
+    * (`frontier` is the admitted URL set with its sitemap facts), x112
+    * recrawl decides WHAT FIRST (overdue_ppm from lastmod/changefreq at
+    * the fixed decision instant — wall clocks never enter gate logic),
+    * and x111 politeness decides WHEN (per-HOST spacing: seq × the
+    * host's Crawl-delay). URLs from different sitemaps interleave on a
+    * shared host — per-host, not per-sitemap, is what a polite fetcher
+    * must space by.
+    *
+    * 100 TB shape: `delays` is the per-host rule table (KBs — Crawl-delay
+    * is one number per host), BROADCAST to the frontier; the only
+    * exchange is the per-host window that assigns fetch slots, keyed on
+    * the same host the fetch queue partitions by anyway. Integer units
+    * throughout (ms, ppm).
+    *
+    * `frontier`: (host, loc, priority_ppm, lastmod, changefreq);
+    * `delays`: (host, delay_ms). Output ordering per host:
+    * overdue first, then sitemap priority, then loc.
+    */
+  def fetchSchedule(frontier: DataFrame, delays: DataFrame,
+                    asOf: String): DataFrame = {
+    val period = when(col("changefreq") === "daily", 1L)
+      .when(col("changefreq") === "weekly", 7L)
+      .when(col("changefreq") === "monthly", 30L)
+      .when(col("changefreq") === "yearly", 365L)
+      .otherwise(raise_error(concat(lit("sitemap: unknown changefreq '"),
+        col("changefreq"), lit("'"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
+      .orderBy(col("overdue_ppm").desc, col("priority_ppm").desc, col("loc"))
+    frontier
+      .withColumn("age_days",
+        datediff(to_date(lit(asOf)), to_date(col("lastmod"))).cast("long"))
+      .withColumn("period_days", period)
+      // integer div: nonnegative ages, so Spark `div` == DuckDB `//`
+      .withColumn("overdue_ppm",
+        expr("age_days * 1000000 div period_days"))
+      .join(broadcast(delays), "host")
+      .withColumn("seq", (row_number().over(w) - 1).cast("int"))
+      .withColumn("fetch_at_ms", col("seq") * col("delay_ms"))
+      .select("host", "loc", "seq", "overdue_ppm", "delay_ms",
+        "fetch_at_ms")
+  }
+
   /** x108 gate: parse each doc's sitemap and emit its URL entries. */
   def sitemapTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
