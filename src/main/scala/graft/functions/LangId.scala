@@ -3,9 +3,15 @@ package graft.functions
 /** Character-trigram naive-Bayes language identification — the real
   * langid stage of a crawl pipeline (replacing r15's 5-marker argmax;
   * reference seam: the reference has no text analysis at all, this is
-  * extension surface). Five Latin-script languages (de/en/es/fr/it)
-  * with profiles built from SEEDED literal corpora at class load, so
-  * the model is a deterministic function of source code.
+  * extension surface). Eight Latin-script languages
+  * (de/en/es/fr/it/nl/pt/sv) with profiles built from SEEDED literal
+  * corpora at class load, so the model is a deterministic function of
+  * source code, plus an `und` (undetermined) decision: the argmax must
+  * beat the runner-up by [[undMarginMicro]] micro-nats PER TRIGRAM
+  * (a per-trigram margin is length-invariant) or the text is declared
+  * out-of-set — a real crawl mix carries hundreds of languages the
+  * seed set cannot name, and a confident wrong label is worse for a
+  * training mix than an honest `und`.
   *
   * Cross-engine discipline (the d33/d54 pattern): every score is an
   * exact integer. Trigram counts are integers; add-one-smoothed log
@@ -16,7 +22,8 @@ package graft.functions
   *   score(L) = Σ_t lnMicro(count(L,t)+1) − nTris · lnMicro(total(L)+V)
   * which is Σ ln((c+1)/(total+V)) in micro-nats — multinomial NB with
   * add-one smoothing over the joint seed vocabulary V. Ties break to
-  * the alphabetically first language.
+  * the alphabetically first language; the margin rule then decides
+  * between that argmax and `und`.
   *
   * 100 TB shape: the model is a few-KB closure constant; prediction is
   * a narrow per-row map (no exchange, no broadcast join needed).
@@ -24,7 +31,16 @@ package graft.functions
 object LangId {
 
   /** Tie order = alphabetical. */
-  val langs: Seq[String] = Seq("de", "en", "es", "fr", "it")
+  val langs: Seq[String] = Seq("de", "en", "es", "fr", "it", "nl", "pt", "sv")
+
+  /** Decision margin, micro-nats per trigram: the best language must
+    * beat the runner-up by this much per trigram, else `und`. Chosen
+    * against measured gaps (LangIdSpec pins both sides): in-set
+    * held-out sentences score ≥ ~48k/trigram over the runner-up, while
+    * out-of-set text (Finnish, Turkish) lands ≤ ~13k — 25k splits the
+    * two populations with ~2× headroom on the in-set side.
+    */
+  val undMarginMicro: Long = 25000L
 
   // Seed corpora: 8 short ASCII-normalized sentences per language,
   // function-word heavy (articles, pronouns, auxiliaries carry the
@@ -69,10 +85,34 @@ object LangId {
     ("it", "di tutte le cose che abbiamo visto questa era la migliore"),
     ("it", "chi vive in case di vetro non dovrebbe lanciare pietre"),
     ("it", "non c e niente di buono o cattivo ma il pensiero lo rende tale"),
-    ("it", "essere o non essere questa e la domanda"))
+    ("it", "essere o non essere questa e la domanda"),
+    ("nl", "de snelle bruine vos springt over de luie hond"),
+    ("nl", "dit is het huis dat jack heeft gebouwd"),
+    ("nl", "hoe laat is het en waar gaan we heen"),
+    ("nl", "zij zei dat ze met ons mee zouden komen"),
+    ("nl", "van alle dingen die we hebben gezien was dit het beste"),
+    ("nl", "wie in een glazen huis woont moet niet met stenen gooien"),
+    ("nl", "er is niets goed of slecht maar het denken maakt het zo"),
+    ("nl", "zijn of niet zijn dat is de vraag"),
+    ("pt", "a rapida raposa marrom salta sobre o cao preguicoso"),
+    ("pt", "esta e a casa que jack construiu"),
+    ("pt", "que horas sao e para onde vamos"),
+    ("pt", "ela disse que eles viriam conosco"),
+    ("pt", "de todas as coisas que vimos esta foi a melhor"),
+    ("pt", "quem mora em casa de vidro nao deveria atirar pedras"),
+    ("pt", "nao ha nada de bom ou mau mas o pensamento o torna assim"),
+    ("pt", "ser ou nao ser eis a questao"),
+    ("sv", "den snabba bruna raven hoppar over den lata hunden"),
+    ("sv", "detta ar huset som jack byggde"),
+    ("sv", "vad ar klockan och vart ska vi ga"),
+    ("sv", "hon sa att de skulle komma med oss"),
+    ("sv", "av allt vi har sett var detta det basta"),
+    ("sv", "den som sitter i glashus ska inte kasta sten"),
+    ("sv", "det finns inget gott eller ont men tanken gor det sa"),
+    ("sv", "att vara eller inte vara det ar fragan"))
 
   /** round(ln(k)·1e6) for every k either engine looks up: smoothed
-    * counts 1..17 (max seed trigram count is 16) and the five
+    * counts 1..17 (max seed trigram count is 16) and the eight
     * total+vocab denominators. Literal so the oracle joins the SAME
     * integers (LangIdSpec pins each entry against Math.log).
     */
@@ -81,8 +121,9 @@ object LangId {
     6 -> 1791759L, 7 -> 1945910L, 8 -> 2079442L, 9 -> 2197225L,
     10 -> 2302585L, 11 -> 2397895L, 12 -> 2484907L, 13 -> 2564949L,
     14 -> 2639057L, 15 -> 2708050L, 16 -> 2772589L, 17 -> 2833213L,
-    1166 -> 7061334L, 1178 -> 7071573L, 1185 -> 7077498L,
-    1196 -> 7086738L, 1242 -> 7124478L)
+    1387 -> 7234898L, 1396 -> 7241366L, 1408 -> 7249926L,
+    1420 -> 7258412L, 1424 -> 7261225L, 1427 -> 7263330L,
+    1438 -> 7271009L, 1484 -> 7302496L)
 
   /** Lowercase, strip to [a-z] runs, collapse to single spaces, trim —
     * the exact expression the oracle runs
@@ -122,9 +163,19 @@ object LangId {
     }.toMap
   }
 
-  /** Argmax language; ties break to the alphabetically first. */
+  /** Argmax language when it clears the per-trigram margin over the
+    * runner-up, else `und` — which also covers letterless/empty text
+    * (zero trigrams, all scores tie at 0). In-set ties below the
+    * margin are indistinguishable from out-of-set text by this model,
+    * so they are `und` too.
+    */
   def predict(text: String): String = {
+    val nTris = trigrams(text).size
+    if (nTris == 0) return "und"
     val sc = scores(text)
-    langs.minBy(l => (-sc(l), l))
+    val ordered = langs.sortBy(l => (-sc(l), l))
+    if (sc(ordered.head) - sc(ordered(1)) >= undMarginMicro * nTris)
+      ordered.head
+    else "und"
   }
 }

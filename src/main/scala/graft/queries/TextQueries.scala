@@ -47,6 +47,7 @@ object TextQueries {
       .map { case (l, s) => s"('$l', '$s')" }.mkString(",\n      ")
     val lnVals = graft.functions.LangId.lnMicro.toSeq.sortBy(_._1)
       .map { case (k, v) => s"($k, $v)" }.mkString(", ")
+    val margin = graft.functions.LangId.undMarginMicro
     s"""WITH seed(lang, sentence) AS (VALUES
        |      $seedVals),
        |lnt(k, v) AS (VALUES $lnVals),
@@ -65,6 +66,7 @@ object TextQueries {
        |       FROM dp WHERE length(p) >= 3),
        |dtri AS (SELECT doc_id, true_lang, substr(p, CAST(i AS INT), 3) AS tri
        |         FROM di),
+       |ntr AS (SELECT doc_id, count(*) AS n FROM dtri GROUP BY 1),
        |sc AS (SELECT dt.doc_id, dt.true_lang, lg.lang,
        |         sum(lc.v) - count(*) * any_value(lt.v) AS score
        |       FROM dtri dt
@@ -75,13 +77,19 @@ object TextQueries {
        |       JOIN lnt lc ON lc.k = coalesce(cnt.c, 0) + 1
        |       JOIN lnt lt ON lt.k = tot.t + voc.v
        |       GROUP BY 1, 2, 3),
-       |pr AS (SELECT doc_id, lang AS pred,
+       |pr AS (SELECT doc_id, lang, score,
        |         row_number() OVER (PARTITION BY doc_id
        |                            ORDER BY score DESC, lang) AS rn
-       |       FROM sc)
-       |SELECT d.lang, coalesce(p.pred, 'de') AS pred, count(*) AS n
+       |       FROM sc),
+       |win AS (SELECT p1.doc_id,
+       |          CASE WHEN p1.score - p2.score >= $margin * ntr.n
+       |            THEN p1.lang ELSE 'und' END AS pred
+       |        FROM (SELECT * FROM pr WHERE rn = 1) p1
+       |        JOIN (SELECT * FROM pr WHERE rn = 2) p2 USING (doc_id)
+       |        JOIN ntr USING (doc_id))
+       |SELECT d.lang, coalesce(p.pred, 'und') AS pred, count(*) AS n
        |FROM documents d
-       |LEFT JOIN (SELECT doc_id, pred FROM pr WHERE rn = 1) p USING (doc_id)
+       |LEFT JOIN win p USING (doc_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
@@ -158,9 +166,12 @@ object TextQueries {
     // the same literal seed sentences and joins the same literal
     // micro-nat ln table (no runtime ln — the d33/d54 integer
     // discipline), so smoothing, scoring, and the alphabetical tie rule
-    // are all hash-checked. (The synthetic corpus is English-shaped, so
-    // this checks the computation; LangIdSpec checks accuracy on
-    // held-out real sentences, 10/10.)
+    // are all hash-checked — including the und margin rule (argmax
+    // must beat the runner-up by undMarginMicro per trigram, else the
+    // text is declared out-of-set; keyword-soup synthetic docs
+    // legitimately land und). LangIdSpec checks accuracy on held-out
+    // real sentences across all eight languages and pins Finnish/
+    // Turkish to und.
     "d5_langid" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -31,7 +31,7 @@ class LangIdSpec extends GraftSparkSpec {
     }
   }
 
-  test("langid: held-out sentences classify 10/10; normalization strips non-letters") {
+  test("langid: held-out sentences classify for all eight languages; normalization strips non-letters") {
     val held = Seq(
       ("en", "the government said that it would not change the law"),
       ("en", "we are going to the market this morning with the children"),
@@ -42,7 +42,13 @@ class LangIdSpec extends GraftSparkSpec {
       ("es", "el gobierno dijo que no cambiaria la ley"),
       ("es", "vamos al mercado esta manana con los ninos"),
       ("it", "il governo ha detto che non cambiera la legge"),
-      ("it", "andiamo al mercato questa mattina con i bambini"))
+      ("it", "andiamo al mercato questa mattina con i bambini"),
+      ("nl", "we gaan morgenochtend met de kinderen naar de markt"),
+      ("nl", "de regering zei dat ze de wet niet zou veranderen"),
+      ("pt", "vamos ao mercado amanha de manha com as criancas"),
+      ("pt", "o governo disse que nao mudaria a lei"),
+      ("sv", "vi gar till marknaden i morgon bitti med barnen"),
+      ("sv", "regeringen sade att den inte skulle andra lagen"))
     held.foreach { case (lang, s) =>
       assert(LangId.predict(s) === lang, s"misclassified: $s")
     }
@@ -54,8 +60,24 @@ class LangIdSpec extends GraftSparkSpec {
       LangId.predict("the government said times"))
   }
 
-  test("langid: letterless text scores zero everywhere and ties to 'de'") {
-    assert(LangId.predict("12345 !!! ...") === "de")
-    assert(LangId.predict("") === "de")
+  test("langid: out-of-set languages and letterless text map to 'und'") {
+    // Finnish and Turkish: no seed profile — the per-trigram margin
+    // (undMarginMicro) must refuse to name them rather than guess a
+    // Latin-script neighbor
+    assert(LangId.predict(
+      "hyvaa paivaa me menemme torille huomenna aamulla") === "und")
+    assert(LangId.predict(
+      "gunaydin yarin sabah pazara gidiyoruz") === "und")
+    // zero trigrams: nothing to score
+    assert(LangId.predict("12345 !!! ...") === "und")
+    assert(LangId.predict("") === "und")
+    // the margin is the decision: in-set text clears it with headroom
+    val enScores = LangId.scores(
+      "the government said that it would not change the law")
+    val ordered = LangId.langs.sortBy(l => (-enScores(l), l))
+    val nTris = LangId.trigrams(
+      "the government said that it would not change the law").size
+    assert(enScores(ordered.head) - enScores(ordered(1)) >=
+      2 * LangId.undMarginMicro * nTris, "in-set margin headroom eroded")
   }
 }
