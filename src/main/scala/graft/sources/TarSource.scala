@@ -87,12 +87,21 @@ object TarSource {
       private var paxPath: Option[String] = None
 
       /** One 512-byte block into hdr; false at clean EOF-or-short-block
-        * (which is only legal after both zero blocks).
+        * (which is only legal after both zero blocks). ONLY the tar
+        * truncation is absorbed: a gzip-layer error (CRC/ISIZE
+        * mismatch, corrupt deflate) surfacing during the refill of a
+        * `.tar.gz` must propagate with ITS message, not be relabeled
+        * as a missing end-of-archive marker (r16 advice — triage and
+        * poison-row diagnostics need the real cause).
         */
       private def fillBlock(): Boolean = {
         if (feed.atEof) return false
         try { feed.bytesInto(hdr, 0, 512, "tar: short block"); true }
-        catch { case _: IllegalArgumentException => false }
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("tar: short block") => false
+        }
       }
 
       private def advance(): Unit = {

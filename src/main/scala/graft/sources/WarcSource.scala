@@ -994,29 +994,48 @@ object WarcSource {
         "body_bytes", "first_uri", "first_text")
   }
 
+  /** WET record arm: one row per `conversion` record under a glob —
+    * (file, uri, text) — the wetDocs sibling of [[warcFiles]]. Under
+    * `lenient`, container damage terminates the FILE with one
+    * countable poison row (uri NULL) exactly like warcFiles; this
+    * layer is where a pipeline counts degraded archives before the
+    * corpus bridge filters them (r16 advice: the old wetDocs filtered
+    * its own poison row away, so a damaged WET archive was silently
+    * invisible).
+    */
+  def wetRecords(spark: SparkSession, glob: String,
+                 lenient: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        val base = StreamUtil.deferred {
+          val in = pds.open()
+          StreamUtil.closeOnExhaust(in,
+            new WarcIterator(in, lenientHttp = lenient)
+              .filter(r => r.warcType == "conversion" && r.body != null)
+              .map(r => (path, r.targetUri, r.body)))
+        }
+        if (!lenient) base
+        else StreamUtil.poisonOnError(base, (path, null, null))
+      }
+      .toDF("file", "uri", "text")
+  }
+
   /** WET → corpus bridge: conversion records under a glob land directly
     * in the documents-table shape (the crawlDocs sibling without the
     * HTML extraction stage — WET text is already extracted). Same
-    * streaming discipline: one task per file, record-at-a-time,
-    * lenient poison semantics via [[responseRows]]'s machinery.
+    * streaming discipline: one task per file, record-at-a-time. The
+    * poison accounting lives in [[wetRecords]] (uri-NULL rows) — this
+    * bridge drops degraded rows like crawlDocs drops non-200 pages;
+    * count them at the record layer.
     */
   def wetDocs(spark: SparkSession, glob: String,
-              lenient: Boolean = true): DataFrame = {
-    import spark.implicits._
+              lenient: Boolean = true): DataFrame =
     docsShape(spark,
-      spark.sparkContext.binaryFiles(glob)
-        .flatMap { case (path, pds) =>
-          val in = pds.open()
-          val base = StreamUtil.closeOnExhaust(in,
-            new WarcIterator(in, lenientHttp = lenient)
-              .filter(r => r.warcType == "conversion" && r.body != null)
-              .map(r => (r.targetUri, r.body)))
-          if (!lenient) base
-          else StreamUtil.poisonOnError(base, (null, null))
-        }
-        .filter(r => r._1 != null && r._2 != null && r._2.nonEmpty)
-        .toDF("uri", "text"))
-  }
+      wetRecords(spark, glob, lenient)
+        .filter(col("uri").isNotNull && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("uri"), col("text")))
 
   /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit
     * one row per response record with its extracted text — the CLI's

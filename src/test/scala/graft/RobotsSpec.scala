@@ -132,6 +132,19 @@ class RobotsSpec extends GraftSparkSpec {
     // an agent with its OWN group but no delay gets the DEFAULT, not
     // the * group's value (groups never merge — the evaluate rule)
     assert(RobotsTxt.crawlDelayMs(rules, delays, "quietbot") === 1000L)
+    // ... including a group declared ONLY via an empty Disallow
+    // (allow-all): the user-agent line's sentinel marks the group as
+    // declared, so the * delay must NOT leak into it (r16 advice)
+    val (er, ed) = RobotsTxt.parseRobotsAll(
+      """User-agent: *
+        |Crawl-delay: 7
+        |Disallow: /x
+        |
+        |User-agent: emptybot
+        |Disallow:
+        |""".stripMargin)
+    assert(RobotsTxt.crawlDelayMs(er, ed, "emptybot") === 1000L)
+    assert(RobotsTxt.crawlDelayMs(er, ed, "someoneelse") === 7000L)
     // absent everywhere: the caller's default
     val (nr, none) = RobotsTxt.parseRobotsAll("User-agent: *\nDisallow:\n")
     assert(RobotsTxt.crawlDelayMs(nr, none, "x") === 1000L)

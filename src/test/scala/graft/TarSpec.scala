@@ -115,6 +115,19 @@ class TarSpec extends GraftSparkSpec {
         "late.txt", "x".getBytes("UTF-8")) ++ new Array[Byte](1024))
     }
     assert(e3.getMessage.contains("after end-of-archive"))
+    // a gzip-layer fault in a .tar.gz keeps ITS name — the header-block
+    // refill must not relabel a CRC/ISIZE/deflate error as a missing
+    // end-of-archive marker (r16 advice)
+    val bigTar = TarSource.tarOf(Seq(
+      ("big.txt", Array.tabulate(200000)(i => (i * 31 % 251).toByte))))
+    val gz = graft.sources.WarcSource.gzipOne(bigTar)
+    val dmg = gz.clone()
+    dmg(dmg.length - 2) = (dmg(dmg.length - 2) ^ 0x40).toByte // ISIZE
+    val e4 = intercept[IllegalArgumentException] {
+      TarSource.parseShard(dmg)
+    }
+    assert(e4.getMessage.contains("gzip"),
+      s"gzip damage relabeled as: ${e4.getMessage}")
   }
 
   test("tar: file-path arm reads mixed .tar/.tar.gz shards one task per shard") {

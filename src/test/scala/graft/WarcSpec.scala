@@ -495,11 +495,19 @@ class WarcSpec extends GraftSparkSpec {
       assert(docs.map(_.getString(3)).toSet ===
         Set("site2.example", "site0.example"))
       assert(docs.forall(_.getLong(4) > 0))
-      // a poison file is skipped, the good ones survive
+      // a poison file is skipped by the corpus bridge BUT stays
+      // countable at the record layer (uri-NULL row per damaged file —
+      // the warcFiles symmetry the r16 advice asked for)
       java.nio.file.Files.write(new java.io.File(dir, "bad.warc.wet").toPath,
         "definitely not a warc".getBytes("UTF-8"))
       assert(WarcSource.wetDocs(spark,
         dir.getAbsolutePath + "/*.wet*").count() === 5)
+      val recs = WarcSource.wetRecords(spark,
+        dir.getAbsolutePath + "/*.wet*").collect()
+      assert(recs.length === 6)
+      val poison = recs.filter(_.isNullAt(1))
+      assert(poison.length === 1)
+      assert(poison.head.getString(0).endsWith("bad.warc.wet"))
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
