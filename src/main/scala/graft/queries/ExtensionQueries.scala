@@ -3047,13 +3047,14 @@ object ExtensionQueries {
     // (sources/AvroContainer.parseOcf) — the data-lake container family's
     // third member after the parquet footer (x96) and the zstd blob arm
     // (q77). Our own parser implements the OCF grammar (magic, metadata
-    // map, 16-byte sync equality on EVERY block — enforced loudly), raw-
-    // deflate block decompression, and avro-binary row decode (zigzag
-    // varints + length-prefixed UTF-8) for the flat fixture record. The
-    // fixture bytes are written by the OFFICIAL avro library (deflate
-    // codec on even doc_ids, an explicit sync per record so the block
-    // count is oracle-predictable) — our parser never reads its own
-    // writer's bytes. Decoded content (id sums, name byte lengths) is
+    // map, 16-byte sync equality on EVERY block — enforced loudly), all
+    // four mainstream codecs (raw deflate, snappy with its CRC32
+    // suffix, streamed zstandard, null), and avro-binary row decode
+    // (zigzag varints + length-prefixed UTF-8) for the flat fixture
+    // record. The fixture bytes are written by the OFFICIAL avro
+    // library (codec by doc_id%4: deflate/null/snappy/zstandard, an
+    // explicit sync per record so the block count is oracle-
+    // predictable) — our parser never reads its own writer's bytes. Decoded content (id sums, name byte lengths) is
     // re-derived arithmetically by DuckDB, so a varint/zigzag slip or a
     // block-boundary error fails the hash.
     "x98_avro_scan" -> QueryDef(
@@ -3067,8 +3068,8 @@ object ExtensionQueries {
           |SELECT doc_id,
           |  CAST(any_value(k) AS INT) AS n_blocks,
           |  CAST(any_value(k) AS BIGINT) AS n_rows,
-          |  CASE WHEN doc_id % 2 = 0 THEN 'deflate' ELSE 'null' END
-          |    AS codec,
+          |  CASE doc_id % 4 WHEN 0 THEN 'deflate' WHEN 1 THEN 'null'
+          |    WHEN 2 THEN 'snappy' ELSE 'zstandard' END AS codec,
           |  CAST(sum(doc_id * 1000 + 7 * j) AS BIGINT) AS id_sum,
           |  CAST(sum(1 + CASE WHEN (doc_id + j) % 23 < 10 THEN 1 ELSE 2
           |    END) AS BIGINT) AS name_chars

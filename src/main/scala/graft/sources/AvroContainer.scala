@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * `avro.schema` JSON + `avro.codec`), a 16-byte sync marker, then data
   * blocks of (row count, byte length, payload, sync) where EVERY block's
   * trailing sync must equal the header's — that equality is the
-  * container's integrity check and this parser enforces it loudly. The
-  * null and deflate codecs are supported (deflate = RAW Deflate streams,
-  * no zlib wrapper — `Inflater(nowrap = true)`).
+  * container's integrity check and this parser enforces it loudly. All
+  * four mainstream codecs decode: null, deflate (RAW Deflate streams,
+  * no zlib wrapper — `Inflater(nowrap = true)`), snappy (with the
+  * spec's big-endian CRC32 suffix over the uncompressed bytes), and
+  * zstandard (streamed, bound-checked).
   *
   * Row decode is implemented for the fixture's flat record shape
   * `{long id, string name}` — avro binary encoding is zigzag varints and
@@ -117,8 +119,8 @@ object AvroContainer {
       .getOrElse("null")
     val schemaJson = meta.get("avro.schema").map(new String(_, "UTF-8"))
       .getOrElse(sys.error("avro: missing avro.schema"))
-    require(codec == "null" || codec == "deflate",
-      s"avro: unsupported codec $codec (snappy/zstd need their libs)")
+    require(codec == "null" || codec == "deflate" || codec == "snappy" ||
+      codec == "zstandard", s"avro: unsupported codec $codec")
     val sync = r.bin(16)
     val blocks = scala.collection.mutable.ArrayBuffer[OcfBlock]()
     var idSum = 0L; var nameChars = 0L
@@ -144,6 +146,40 @@ object AvroContainer {
             require(out.size <= MaxBlock, "avro: block exceeds 256 MiB bound")
           }
           inf.end(); out.toByteArray
+        case "snappy" =>
+          // spec: snappy(data) + 4-byte BIG-ENDIAN CRC32 of the
+          // UNCOMPRESSED bytes — the one avro codec with its own check
+          require(payload.length >= 4, "avro: snappy block too short")
+          val bodyLen = payload.length - 4
+          val un = org.xerial.snappy.Snappy.uncompressedLength(
+            payload, 0, bodyLen)
+          require(un >= 0 && un <= MaxBlock,
+            "avro: block exceeds 256 MiB bound")
+          val outB = new Array[Byte](un)
+          org.xerial.snappy.Snappy.uncompress(payload, 0, bodyLen, outB, 0)
+          val crc = new java.util.zip.CRC32(); crc.update(outB)
+          val want = ((payload(bodyLen) & 0xffL) << 24) |
+            ((payload(bodyLen + 1) & 0xffL) << 16) |
+            ((payload(bodyLen + 2) & 0xffL) << 8) |
+            (payload(bodyLen + 3) & 0xffL)
+          require(crc.getValue == want, "avro: snappy block CRC mismatch")
+          outB
+        case "zstandard" =>
+          // streamed decode so a zstd bomb hits the bound, not the heap
+          val zin = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val out = new java.io.ByteArrayOutputStream()
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var k = zin.read(buf)
+            while (k >= 0) {
+              out.write(buf, 0, k)
+              require(out.size <= MaxBlock,
+                "avro: block exceeds 256 MiB bound")
+              k = zin.read(buf)
+            }
+          } finally zin.close()
+          out.toByteArray
       }
       if (flat) {
         val br = new R(data)
@@ -170,8 +206,9 @@ object AvroContainer {
 
   // Fixture arithmetic (oracle re-derives everything): per doc,
   // k = id%5+2 records {id: doc_id*1000 + 7j, name: "n" + (doc_id+j)%23},
-  // one record per block (explicit sync() per append), deflate codec for
-  // even doc_ids, null for odd.
+  // one record per block (explicit sync() per append); codec by id%4:
+  // 0 deflate, 1 null, 2 snappy (CRC32-suffixed per the spec),
+  // 3 zstandard — all four official-library-written.
   private[graft] def ocfOf(id: Long): Array[Byte] = {
     val schema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"doc","fields":[
@@ -181,8 +218,12 @@ object AvroContainer {
     val w = new org.apache.avro.file.DataFileWriter(
       new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](schema))
-    if (id % 2 == 0)
-      w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    (id % 4) match {
+      case 0 => w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      case 1 => () // null codec
+      case 2 => w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      case _ => w.setCodec(org.apache.avro.file.CodecFactory.zstandardCodec(3))
+    }
     w.create(schema, out)
     val k = (id % 5 + 2).toInt
     (0 until k).foreach { j =>

@@ -31,10 +31,12 @@ class AvroContainerSpec extends GraftSparkSpec {
     w.close()
   }
 
-  test("parser agrees with DataFileReader on library-blocked files, both codecs") {
+  test("parser agrees with DataFileReader on library-blocked files, all four codecs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avro").toFile
     for ((codec, label) <- Seq(None -> "null",
-        Some(CodecFactory.deflateCodec(6)) -> "deflate")) {
+        Some(CodecFactory.deflateCodec(6)) -> "deflate",
+        Some(CodecFactory.snappyCodec()) -> "snappy",
+        Some(CodecFactory.zstandardCodec(3)) -> "zstandard")) {
       val f = new java.io.File(dir, s"$label.avro")
       writeFile(f, 500, codec)
       val ours = AvroContainer.parseOcf(
@@ -62,9 +64,26 @@ class AvroContainerSpec extends GraftSparkSpec {
     writeFile(new java.io.File(dir, "a.avro"), 300, None)
     writeFile(new java.io.File(dir, "b.avro"), 200,
       Some(CodecFactory.deflateCodec(4)))
+    writeFile(new java.io.File(dir, "c.avro"), 100,
+      Some(CodecFactory.snappyCodec()))
     val got = AvroContainer.avroRows(spark, s"$dir/*.avro")
       .collect().map(r => (r.getString(3), r.getLong(2))).sorted
-    assert(got.toSeq === Seq(("deflate", 200L), ("null", 300L)))
+    assert(got.toSeq ===
+      Seq(("deflate", 200L), ("null", 300L), ("snappy", 100L)))
+  }
+
+  test("snappy block CRC damage rejects by name") {
+    // one record per block so the CRC quad sits right before the sync
+    val f = AvroContainer.parseOcf(AvroContainer.ocfOf(2L)) // snappy
+    assert(f.codec === "snappy")
+    val bytes = AvroContainer.ocfOf(2L).clone()
+    // flip a byte in the LAST block's CRC suffix: 16 sync bytes end the
+    // file, the 4 CRC bytes precede them
+    val at = bytes.length - 16 - 2
+    bytes(at) = (bytes(at) ^ 0x11).toByte
+    val e = intercept[Exception] { AvroContainer.parseOcf(bytes) }
+    assert(e.getMessage.contains("snappy block CRC") ||
+      e.getMessage.contains("FAILED_TO_UNCOMPRESS"))
   }
 
   test("a corrupted block sync marker rejects loudly") {
@@ -78,8 +97,8 @@ class AvroContainerSpec extends GraftSparkSpec {
 
   test("unsupported codec and truncation reject loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avro3").toFile
-    val f = new java.io.File(dir, "snappy.avro")
-    writeFile(f, 10, Some(CodecFactory.snappyCodec()))
+    val f = new java.io.File(dir, "bzip2.avro")
+    writeFile(f, 10, Some(CodecFactory.bzip2Codec()))
     val e1 = intercept[RuntimeException] {
       AvroContainer.parseOcf(java.nio.file.Files.readAllBytes(f.toPath))
     }

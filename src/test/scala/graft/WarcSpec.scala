@@ -513,6 +513,45 @@ class WarcSpec extends GraftSparkSpec {
     }
   }
 
+  test("warc: revisit arm surfaces dedup linkage rows; damage poisons under lenient") {
+    val dir = java.nio.file.Files.createTempDirectory("revisits").toFile
+    try {
+      // 4 and 7 are id%3==1 (one revisit each, gzip and plain layouts);
+      // 2 has none
+      Seq(2L, 4L, 7L).foreach { id =>
+        val ext = if (id % 2 == 0) "warc.gz" else "warc"
+        java.nio.file.Files.write(new java.io.File(dir, s"d$id.$ext").toPath,
+          WarcSource.warcOf(id, "alpha beta"))
+      }
+      val rows = WarcSource.warcRevisits(spark,
+        dir.getAbsolutePath + "/*.warc*").collect()
+      assert(rows.length === 2)
+      Seq(4L, 7L).foreach { id =>
+        val r = rows.find(_.getString(0).endsWith(s"d$id.warc" +
+          (if (id % 2 == 0) ".gz" else ""))).get
+        assert(r.getString(1) === s"http://site${id % 7}.example/$id/0")
+        assert(r.getString(2) === s"urn:uuid:$id-0")
+        assert(r.getString(3) === s"sha1:FIX${(id * 31) % 97}")
+        assert(r.getString(4).endsWith("identical-payload-digest"))
+      }
+      // resolving a revisit against the responses' declared digests is
+      // one join on digest — prove the keys actually meet
+      val resp4 = WarcSource.parseWarc(WarcSource.warcOf(4L, "alpha beta"))
+        .records.filter(_.warcType == "response")
+      assert(resp4.head.payloadDigest ===
+        rows.find(_.getString(1).contains("/4/")).get.getString(3))
+      // damage: a non-WARC file poisons with uri NULL, survivors intact
+      java.nio.file.Files.write(new java.io.File(dir, "bad.warc").toPath,
+        "not a warc at all".getBytes("UTF-8"))
+      val withBad = WarcSource.warcRevisits(spark,
+        dir.getAbsolutePath + "/*.warc*").collect()
+      assert(withBad.length === 3)
+      assert(withBad.count(_.isNullAt(1)) === 1)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("warc: crawlDocs bridges a crawl into the documents-table shape") {
     val dir = java.nio.file.Files.createTempDirectory("crawldocs").toFile
     try {
