@@ -152,16 +152,21 @@ object LangId {
   private[graft] val maxSeedCount: Int =
     counts.valuesIterator.flatMap(_.valuesIterator).max
 
-  /** Per-language micro-nat NB scores for a text. */
-  private[graft] def scores(text: String): Map[String, Long] = {
-    val ts = trigrams(text)
+  /** Per-language micro-nat NB scores for a pre-computed trigram list
+    * (the per-row hot path computes trigrams ONCE and reuses them for
+    * scoring and the margin divisor).
+    */
+  private def scoresOf(ts: Seq[String]): Map[String, Long] =
     langs.map { l =>
       val c = counts(l)
       val base = lnMicro(totals(l) + vocabSize)
       l -> ts.foldLeft(0L)((acc, t) => acc + lnMicro(c.getOrElse(t, 0) + 1))
         .-(ts.size.toLong * base)
     }.toMap
-  }
+
+  /** Per-language micro-nat NB scores for a text. */
+  private[graft] def scores(text: String): Map[String, Long] =
+    scoresOf(trigrams(text))
 
   /** Argmax language when it clears the per-trigram margin over the
     * runner-up, else `und` — which also covers letterless/empty text
@@ -170,11 +175,11 @@ object LangId {
     * so they are `und` too.
     */
   def predict(text: String): String = {
-    val nTris = trigrams(text).size
-    if (nTris == 0) return "und"
-    val sc = scores(text)
+    val ts = trigrams(text)
+    if (ts.isEmpty) return "und"
+    val sc = scoresOf(ts)
     val ordered = langs.sortBy(l => (-sc(l), l))
-    if (sc(ordered.head) - sc(ordered(1)) >= undMarginMicro * nTris)
+    if (sc(ordered.head) - sc(ordered(1)) >= undMarginMicro * ts.size)
       ordered.head
     else "und"
   }

@@ -60,13 +60,16 @@ private[graft] final class ByteFeed private (
     * Used for container sniffing (2 bytes) and EBML ID lookahead (≤4).
     */
   def ensureN(n: Int): Boolean = {
-    require(n <= buf.length, "ByteFeed: lookahead exceeds window")
     if (hi - lo >= n) return true
     if (lo > 0) { // compact so the window can grow
       System.arraycopy(buf, lo, buf, 0, hi - lo)
       drained += lo; hi -= lo; lo = 0
     }
     while (hi - lo < n && !eof) {
+      // only a LIVE stream that genuinely cannot buffer n is an error;
+      // a wrapped short array (buf IS the blob) must return false so
+      // callers keep their by-name empty/truncated rejects
+      require(n <= buf.length, "ByteFeed: lookahead exceeds window")
       val k = in.read(buf, hi, buf.length - hi)
       if (k < 0) eof = true else hi += k
     }

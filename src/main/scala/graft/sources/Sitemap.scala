@@ -168,10 +168,13 @@ object Sitemap {
     *
     * `frontier`: (host, loc, priority_ppm, lastmod, changefreq);
     * `delays`: (host, delay_ms). Output ordering per host:
-    * overdue first, then sitemap priority, then loc.
+    * overdue first, then sitemap priority, then loc. A host with no
+    * delay row gets `defaultDelayMs` (the crawlDelayMs default) — a
+    * LEFT join: an inner join would silently drop admitted URLs, and
+    * a missing politeness hint must never unschedule a fetch.
     */
   def fetchSchedule(frontier: DataFrame, delays: DataFrame,
-                    asOf: String): DataFrame = {
+                    asOf: String, defaultDelayMs: Long = 1000L): DataFrame = {
     val period = when(col("changefreq") === "daily", 1L)
       .when(col("changefreq") === "weekly", 7L)
       .when(col("changefreq") === "monthly", 30L)
@@ -187,7 +190,9 @@ object Sitemap {
       // integer div: nonnegative ages, so Spark `div` == DuckDB `//`
       .withColumn("overdue_ppm",
         expr("age_days * 1000000 div period_days"))
-      .join(broadcast(delays), "host")
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_ms",
+        coalesce(col("delay_ms"), lit(defaultDelayMs)))
       .withColumn("seq", (row_number().over(w) - 1).cast("int"))
       .withColumn("fetch_at_ms", col("seq") * col("delay_ms"))
       .select("host", "loc", "seq", "overdue_ppm", "delay_ms",

@@ -251,19 +251,30 @@ object WarcSource {
       lc.startsWith("application/xhtml+xml") ||
       lc.startsWith("application/xml") || lc.startsWith("application/json")
     try {
-      // transfer codings are applied last by the sender, so undone
-      // first; then content codings, last-listed innermost
-      val raw = java.util.Arrays.copyOfRange(payload, off, payload.length)
       val teCodings = header("transfer-encoding").toLowerCase
         .split(",").map(_.trim).filter(_.nonEmpty).toList
-      val afterTe = teCodings.reverse.foldLeft(raw) { (d, c) =>
-        if (c == "chunked") dechunk(d) else decodeCoding(d, c)
-      }
       val ceCodings = header("content-encoding").toLowerCase
         .split(",").map(_.trim).filter(_.nonEmpty).toList
-      val entity = ceCodings.reverse.foldLeft(afterTe)(decodeCoding)
-      val body = if (textual) new String(entity, "UTF-8") else null
-      (status, ct, body, entity.length.toLong)
+      if (teCodings.isEmpty && ceCodings.isEmpty) {
+        // the overwhelmingly common wire form: no codings — decode
+        // straight off the payload slice, zero copies (this is the hot
+        // extraction path the WarcScale MB/s numbers were measured on)
+        val nBytes = (payload.length - off).toLong
+        val body =
+          if (textual) new String(payload, off, payload.length - off, "UTF-8")
+          else null
+        (status, ct, body, nBytes)
+      } else {
+        // transfer codings are applied last by the sender, so undone
+        // first; then content codings, last-listed innermost
+        val raw = java.util.Arrays.copyOfRange(payload, off, payload.length)
+        val afterTe = teCodings.reverse.foldLeft(raw) { (d, c) =>
+          if (c == "chunked") dechunk(d) else decodeCoding(d, c)
+        }
+        val entity = ceCodings.reverse.foldLeft(afterTe)(decodeCoding)
+        val body = if (textual) new String(entity, "UTF-8") else null
+        (status, ct, body, entity.length.toLong)
+      }
     } catch {
       case e: RuntimeException =>
         if (!lenientBody) throw e

@@ -104,8 +104,6 @@ object ZipSource {
       else i -= 1
     }
     require(at >= 0, "zip: no end-of-central-directory record")
-    require(u16(tail, at + 4) == 0 && u16(tail, at + 6) == 0,
-      "zip: multi-disk archives unsupported")
     val nTotal16 = u16(tail, at + 10)
     val cdSize32 = u32(tail, at + 12)
     val cdOffset32 = u32(tail, at + 16)
@@ -115,13 +113,23 @@ object ZipSource {
     val eocdPos = in.size - tailLen + at
     val hasLocator = eocdPos >= 20 &&
       u32(in.readAt(eocdPos - 20, 4), 0) == 0x07064b50L
+    // EOCD disk fields: 0 for single-disk; APPNOTE also allows a zip64
+    // writer to saturate them to 0xFFFF with the real (validated-zero)
+    // values in the EOCD64 record — only a true nonzero disk number is
+    // the multi-disk reject
+    val eDisk = u16(tail, at + 4)
+    val eCdDisk = u16(tail, at + 6)
+    def diskOk(v: Int): Boolean = v == 0 || (hasLocator && v == 0xffff)
+    require(diskOk(eDisk) && diskOk(eCdDisk),
+      "zip: multi-disk archives unsupported")
     val (nTotal, cdSize, cdOffset) =
       if (hasLocator) {
         val loc = in.readAt(eocdPos - 20, 20)
         require(u32(loc, 4) == 0 && u32(loc, 16) == 1,
           "zip: multi-disk archives unsupported")
         val e64Pos = u64(loc, 8)
-        require(e64Pos >= 0 && e64Pos + 56 <= in.size,
+        // upper bound BEFORE the addition: e64Pos + 56 could wrap Long
+        require(e64Pos >= 0 && in.size >= 56 && e64Pos <= in.size - 56,
           "zip: EOCD64 offset out of bounds")
         val h = in.readAt(e64Pos, 56)
         require(u32(h, 0) == 0x06064b50L, "zip: bad EOCD64 signature")
@@ -142,7 +150,10 @@ object ZipSource {
     require(cdSize <= Int.MaxValue - 16, "zip: central directory exceeds 2 GiB")
     require(cdSize <= nTotal * MaxCentralEntry,
       s"zip: central directory size $cdSize exceeds $nTotal entries' maximum")
-    require(cdOffset >= 0 && cdOffset + cdSize <= in.size,
+    // subtraction form: cdOffset + cdSize could wrap Long on hostile
+    // EOCD64 values
+    require(cdOffset >= 0 && cdOffset <= in.size &&
+      cdSize <= in.size - cdOffset,
       "zip: central directory out of bounds")
     val comment = new String(tail, at + 22, tailLen - at - 22, "UTF-8")
     val cd = in.readAt(cdOffset, cdSize.toInt)
@@ -169,6 +180,11 @@ object ZipSource {
       val name = new String(cd, pos + 46, nameLen, "UTF-8")
       if (csize == 0xffffffffL || usize == 0xffffffffL ||
         lhOffset == 0xffffffffL || diskStart == 0xffff) {
+        // a real (nonzero, non-sentinel) disk number is multi-disk even
+        // when OTHER fields brought us into the zip64 branch — without
+        // this, entryBytes would read a wrong-disk offset in THIS file
+        require(diskStart == 0 || diskStart == 0xffff,
+          "zip: multi-disk archives unsupported")
         // zip64 extended-information extra field (tag 0x0001): 8-byte
         // values present ONLY for the saturated fields, in spec order
         // usize, csize, offset, disk

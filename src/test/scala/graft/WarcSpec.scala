@@ -199,6 +199,18 @@ class WarcSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("spans gzip members"))
   }
 
+  test("warc: empty and one-byte blobs keep their by-name reject") {
+    // ByteFeed.wrap uses the blob AS the window: ensureN on a shorter
+    // blob must return false (not throw 'lookahead exceeds window') so
+    // the caller's named reject survives (review regression)
+    Seq(Array.emptyByteArray, Array[Byte](0x1f)).foreach { blob =>
+      val e = intercept[IllegalArgumentException] {
+        WarcSource.parseWarc(blob)
+      }
+      assert(e.getMessage.contains("empty file"), s"blob len ${blob.length}")
+    }
+  }
+
   test("warc: grammar violations reject loudly") {
     val good = WarcSource.warcOf(7L, docText)
     // bad version line

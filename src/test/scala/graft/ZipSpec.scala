@@ -110,6 +110,17 @@ class ZipSpec extends GraftSparkSpec {
       assert(d.entries.map(_.name).toSet === Set("p.txt", "q.txt"))
       val p = d.entries.find(_.name == "p.txt").get
       assert(new String(ZipSource.entryBytes(in, p), "UTF-8") === "forced " * 40)
+      // APPNOTE also lets a zip64 writer saturate the EOCD's disk
+      // fields to 0xFFFF (real values live in the EOCD64): that form
+      // must parse, not trip the multi-disk reject
+      val sat = bytes.clone()
+      val eocdAt = sat.length - 22 - "sixty-four".length
+      assert((sat(eocdAt) & 0xff) === 0x50 && (sat(eocdAt + 1) & 0xff) === 0x4b)
+      sat(eocdAt + 4) = 0xff.toByte; sat(eocdAt + 5) = 0xff.toByte
+      sat(eocdAt + 6) = 0xff.toByte; sat(eocdAt + 7) = 0xff.toByte
+      val satIn = new ZipSource.BytesSeekable(sat)
+      assert(ZipSource.readDirectory(satIn).entries.map(_.name) ===
+        Seq("a.txt", "b.bin"))
       // round-trip our zip64 through our own reader too
       val ours = new ZipSource.BytesSeekable(bytes)
       val od = ZipSource.readDirectory(ours)
