@@ -835,6 +835,44 @@ object GraftCli {
       println(s"[graft] avro-scan: $glob -> $outDir")
       spark.stop()
 
+    case "cdx-scan" :: glob :: outDir :: Nil =>
+      // parse CDXJ crawl-index shards (plain or .gz) into a manifest
+      val spark = session()
+      graft.sources.CdxSource.cdxFiles(spark, glob)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] cdx-scan: $glob -> $outDir")
+      spark.stop()
+
+    case "cdx-fetch" :: cdxGlob :: warcDir :: outDir :: Nil =>
+      // selective refetch: decode ONLY the records the index points at —
+      // one seek + one gzip member per row, archives never walked
+      val spark = session()
+      graft.sources.CdxSource.fetchByIndex(spark, warcDir,
+          graft.sources.CdxSource.cdxFiles(spark, cdxGlob))
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] cdx-fetch: $cdxGlob over $warcDir -> $outDir")
+      spark.stop()
+
+    case "cdx-demo" :: docsParquet :: outDir :: Nil =>
+      // materialize .warc[.gz] fixtures WITH their measured CDX index
+      val spark = session()
+      new java.io.File(outDir).mkdirs()
+      spark.read.parquet(docsParquet)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .collect().foreach { r =>
+          val id = r.getLong(0); val text = r.getString(1)
+          val ext = if (id % 2 == 0) "warc.gz" else "warc"
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"d$id.$ext"),
+            graft.sources.WarcSource.warcOf(id, text))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"d$id.cdx"),
+            graft.sources.CdxSource.cdxOf(id, text).getBytes("UTF-8"))
+        }
+      println(s"[graft] cdx-demo: $docsParquet -> $outDir")
+      spark.stop()
+
     // crawl -> corpus bridge: extracted 200-status pages become rows in
     // the documents-table shape (doc_id, text, lang, source, n_chars),
     // so corpus-prep / prepare-run consume a crawl unchanged. Stable ids
@@ -1145,6 +1183,9 @@ object GraftCli {
            |  orc-footer <file.orc> [file.orc ...]
            |  parquet-prune <file.parquet> <intColumn> <lo> <hi>
            |  avro-scan <glob.avro> <outDir>
+           |  cdx-demo <docs.parquet> <outDir>
+           |  cdx-scan <glob.cdx[.gz]> <outDir>
+           |  cdx-fetch <cdxGlob> <warcDir> <outDir>
            |  mkv-scan <glob.mkv|.webm> <outDir>
            |  tar-scan <glob.tar[.gz]> <outDir>
            |  mkv-meta <mediaParquet(doc_id,content)> <outDir>

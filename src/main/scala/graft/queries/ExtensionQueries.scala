@@ -3489,6 +3489,41 @@ object ExtensionQueries {
           |  CAST(seq * delay_ms AS BIGINT) AS fetch_at_ms
           |FROM r ORDER BY host, seq""".stripMargin)),
 
+    // CDX CRAWL INDEX + random-access fetch (x119) — the third Common
+    // Crawl artifact after WARC (x100) and WET (x117): SURT-keyed CDXJ
+    // lines whose (filename, offset, length) point at ONE gzip member
+    // inside the archive. The gate builds the REAL index of each
+    // fixture archive (offsets MEASURED by a member walk, not
+    // arithmetic), then FETCHES every entry by offset/length — single
+    // member inflate, CRC32+ISIZE verified — and emits what the fetch
+    // decoded: surt/mime/status/digest re-derived by DuckDB from
+    // doc_id arithmetic, fetched text equal to the x101 derivation
+    // for EVERY response (j>0 included, chunked/content-gzipped wire
+    // forms included). A one-byte offset slip lands in a different
+    // member and fails the url/digest requires or the text hash. The
+    // 100 TB story: selective refetch costs the rows fetched, never
+    // the archives scanned.
+    "x119_cdx_fetch" -> QueryDef(
+      (s, dir) => graft.sources.CdxSource.cdxTable(s, t(s, dir, "documents"))
+        .orderBy("doc_id", "j"),
+      Some(
+        """WITH d AS (SELECT doc_id, text, doc_id % 3 + 1 AS k
+          |           FROM documents),
+          |u AS (SELECT doc_id, text, k, unnest(range(0, k)) AS j FROM d)
+          |SELECT doc_id, CAST(j AS INT) AS j,
+          |  'example,site' || (doc_id % 7) || ')/' || doc_id || '/' || j
+          |    AS surt,
+          |  'text/html' AS mime,
+          |  CAST(CASE WHEN (doc_id + j) % 5 = 0 THEN 404 ELSE 200 END
+          |    AS INT) AS status,
+          |  'sha1:FIX' || ((doc_id * 31 + j) % 97) AS digest,
+          |  'doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
+          |    CASE WHEN j = 0 THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
+          |         ELSE 'word' || ((doc_id * 7 + j) % 50) || ' page ' ||
+          |              doc_id || ' ' || j END ||
+          |    ' footer ' || (doc_id % 11) AS fetched_text
+          |FROM u ORDER BY doc_id, j""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

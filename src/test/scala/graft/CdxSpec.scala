@@ -1,0 +1,103 @@
+package graft
+
+import graft.sources.{CdxSource, WarcSource, ZipSource}
+
+/** CDX crawl-index family: SURT canonicalization, the CDXJ line
+  * grammar (flat JSON blobs), and the random-access fetch — measured
+  * offsets into real archive bytes, one member per fetch.
+  */
+class CdxSpec extends GraftSparkSpec {
+
+  test("cdx: SURT canonicalization — scheme/port drops, host reversal, path verbatim") {
+    assert(CdxSource.surt("http://www.Example.org:80/A/b?q=1") ===
+      "org,example,www)/A/b?q=1")
+    assert(CdxSource.surt("https://sub.host.example.com/") ===
+      "com,example,host,sub)/")
+    assert(CdxSource.surt("https://example.com") === "com,example)/")
+    assert(CdxSource.surt("http://example.com:8080/x") ===
+      "com,example:8080)/x")
+    assert(CdxSource.surt("HTTPS://EXAMPLE.com:443/Keep/Case") ===
+      "com,example)/Keep/Case")
+    val e = intercept[RuntimeException] { CdxSource.surt("ftp://x/") }
+    assert(e.getMessage.contains("non-http"))
+  }
+
+  test("cdx: flat JSON blobs parse with escapes; nesting and junk reject by name") {
+    assert(CdxSource.parseFlatJson(
+      """{"a": "1", "b": "x\"y\\z", "c": "n\nl"}""") ===
+      Map("a" -> "1", "b" -> "x\"y\\z", "c" -> "n\nl"))
+    assert(CdxSource.parseFlatJson("{}") === Map.empty[String, String])
+    val e1 = intercept[RuntimeException] {
+      CdxSource.parseFlatJson("""{"a": {"b": "c"}}""")
+    }
+    assert(e1.getMessage.contains("flat string maps"))
+    val e2 = intercept[RuntimeException] {
+      CdxSource.parseFlatJson("""{"a": "1"} trailing""")
+    }
+    assert(e2.getMessage.contains("after json object"))
+    val e3 = intercept[RuntimeException] {
+      CdxSource.parseCdxLine("""org,x)/ 2026 {"url": "http://x/"}""")
+    }
+    assert(e3.getMessage.contains("bad timestamp"))
+  }
+
+  test("cdx: measured pointers fetch exactly their record — gzip and plain arms") {
+    Seq(4L, 7L).foreach { id => // gzip member-per-record / plain
+      val text = "alpha beta gamma"
+      val archive = new ZipSource.BytesSeekable(WarcSource.warcOf(id, text))
+      val full = WarcSource.parseWarc(WarcSource.warcOf(id, text))
+        .records.filter(_.warcType == "response")
+      val entries = CdxSource.cdxOf(id, text).split("\n")
+        .filter(_.nonEmpty).map(CdxSource.parseCdxLine)
+      assert(entries.length === full.length)
+      entries.zip(full).foreach { case (e, expect) =>
+        val r = CdxSource.fetchRecord(archive, e.offset, e.length)
+        assert(r.targetUri === expect.targetUri)
+        assert(r.httpStatus === expect.httpStatus)
+        assert(r.payloadDigest === e.digest)
+        assert(r.body === expect.body) // wire form decoded identically
+        assert(e.surtKey === CdxSource.surt(expect.targetUri))
+      }
+      // a slipped pointer cannot silently succeed: one byte off the
+      // member start is not a gzip member / WARC version line
+      val e0 = entries.head
+      intercept[RuntimeException] {
+        CdxSource.fetchRecord(archive, e0.offset + 1, e0.length)
+      }
+      intercept[RuntimeException] {
+        CdxSource.fetchRecord(archive, e0.offset, archive.size + 5)
+      }
+    }
+  }
+
+  test("cdx: shard files parse through the Spark path; fetchByIndex round-trips a crawl") {
+    val dir = java.nio.file.Files.createTempDirectory("cdxspec").toFile
+    try {
+      val text = "the data word table"
+      Seq(2L, 7L).foreach { id =>
+        val ext = if (id % 2 == 0) "warc.gz" else "warc"
+        java.nio.file.Files.write(new java.io.File(dir, s"d$id.$ext").toPath,
+          WarcSource.warcOf(id, text))
+      }
+      // one plain shard, one gzipped shard (the Common Crawl form)
+      java.nio.file.Files.write(new java.io.File(dir, "idx-0.cdx").toPath,
+        CdxSource.cdxOf(2L, text).getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(dir, "idx-1.cdx.gz").toPath,
+        WarcSource.gzipOne(CdxSource.cdxOf(7L, text).getBytes("UTF-8")))
+      val index = CdxSource.cdxFiles(spark, dir.getAbsolutePath + "/idx-*")
+      val rows = index.collect()
+      assert(rows.length === 5) // id=2: 3 responses; id=7: 2
+      assert(rows.forall(_.getString(2) === "20260101000000"))
+      // fetch every indexed record straight out of the archives
+      val fetched = CdxSource.fetchByIndex(spark, dir.getAbsolutePath, index)
+        .collect().map(r => (r.getString(1), r.getInt(2), r.getString(3)))
+        .sortBy(_._1)
+      val walked = WarcSource.warcFiles(spark, dir.getAbsolutePath + "/*.warc*")
+        .collect().map(r => (r.getString(1), r.getInt(2), r.getString(3)))
+        .sortBy(_._1)
+      assert(fetched.toSeq === walked.toSeq)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
