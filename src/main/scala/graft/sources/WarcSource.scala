@@ -179,6 +179,35 @@ object WarcSource {
     out.toByteArray
   }
 
+  /** The declared charset of a Content-Type value, resolved to a JVM
+    * charset. Real crawls are NOT all UTF-8: legacy pages declare
+    * iso-8859-1 / windows-1252 routinely, and decoding their bytes as
+    * UTF-8 corrupts every non-ASCII character to U+FFFD. Supported:
+    * the utf-8/16 family, latin-1, windows-1252, us-ascii; an absent
+    * charset defaults to UTF-8 (the modern-web default — html5's
+    * windows-1252 legacy default would mis-decode the UTF-8 majority);
+    * an unknown label throws (lenient mode degrades the body like any
+    * other body-layer damage, keeping the envelope).
+    */
+  private[graft] def charsetOf(ct: String): java.nio.charset.Charset = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)charset\\s*=\\s*\"?([^;\\s\"]+)\"?").matcher(ct)
+    val name = if (m.find()) m.group(1).toLowerCase else ""
+    name match {
+      case "" | "utf-8" | "utf8" => java.nio.charset.StandardCharsets.UTF_8
+      case "iso-8859-1" | "latin-1" | "latin1" | "l1" =>
+        java.nio.charset.StandardCharsets.ISO_8859_1
+      case "us-ascii" | "ascii" => java.nio.charset.StandardCharsets.US_ASCII
+      case "windows-1252" | "cp1252" | "cp-1252" =>
+        java.nio.charset.Charset.forName("windows-1252")
+      case "utf-16" | "utf-16le" | "utf-16be" =>
+        java.nio.charset.Charset.forName(name)
+      case other =>
+        throw new IllegalArgumentException(
+          s"http: unsupported charset '$other'")
+    }
+  }
+
   /** Undo one content/transfer coding. gzip reuses the member walker
     * (CRC32 + ISIZE verified per member; multi-member streams legal);
     * deflate sniffs the zlib wrapper (RFC 9110 names zlib, but raw
@@ -261,7 +290,8 @@ object WarcSource {
         // extraction path the WarcScale MB/s numbers were measured on)
         val nBytes = (payload.length - off).toLong
         val body =
-          if (textual) new String(payload, off, payload.length - off, "UTF-8")
+          if (textual)
+            new String(payload, off, payload.length - off, charsetOf(ct))
           else null
         (status, ct, body, nBytes)
       } else {
@@ -272,7 +302,7 @@ object WarcSource {
           if (c == "chunked") dechunk(d) else decodeCoding(d, c)
         }
         val entity = ceCodings.reverse.foldLeft(afterTe)(decodeCoding)
-        val body = if (textual) new String(entity, "UTF-8") else null
+        val body = if (textual) new String(entity, charsetOf(ct)) else null
         (status, ct, body, entity.length.toLong)
       }
     } catch {
@@ -742,8 +772,16 @@ object WarcSource {
       val gzipped = (id + j) % 4 == 2
       val entityWire = if (gzipped) gzipOne(html) else html
       val bodyWire = if (chunked) chunkEncode(entityWire, id) else entityWire
+      // charset label rotates (bodies are ASCII, so every label decodes
+      // identically — the parse path is gate-exercised, non-ASCII
+      // decode correctness is spec-pinned with real Latin-1 bytes)
+      val cs = ((id + j) % 3) match {
+        case 0 => "; charset=utf-8"
+        case 1 => ""
+        case _ => "; charset=iso-8859-1"
+      }
       val http = (s"HTTP/1.1 $status $reason\r\n" +
-        "Content-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Type: text/html$cs\r\n" +
         (if (gzipped) "Content-Encoding: gzip\r\n" else "") +
         (if (chunked) "Transfer-Encoding: chunked\r\n"
          else s"Content-Length: ${bodyWire.length}\r\n") +

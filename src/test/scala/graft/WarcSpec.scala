@@ -199,6 +199,39 @@ class WarcSpec extends GraftSparkSpec {
     assert(e.getMessage.contains("spans gzip members"))
   }
 
+  test("http: declared charsets decode non-ASCII bodies; unknown labels degrade leniently") {
+    def msg(ct: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    val text = "café über résumé"
+    // latin-1 bytes decoded as declared — a UTF-8 decode of the same
+    // bytes would yield U+FFFD for every accent
+    val latin = msg("text/html; charset=iso-8859-1",
+      text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val (s1, _, b1, n1) = WarcSource.httpFacts(latin)
+    assert(s1 === 200 && b1 === text && n1 === text.length.toLong)
+    // quoted label, case-insensitive
+    assert(WarcSource.httpFacts(msg("text/html; charset=\"ISO-8859-1\"",
+      text.getBytes("ISO-8859-1")))._3 === text)
+    // windows-1252's 0x80-0x9F printables (euro, curly quotes)
+    val winText = "euro € quote “q”"
+    assert(WarcSource.httpFacts(msg("text/html; charset=windows-1252",
+      winText.getBytes("windows-1252")))._3 === winText)
+    // utf-16be: byte count stays the WIRE entity size, chars decode
+    val u16 = msg("text/plain; charset=utf-16be", text.getBytes("UTF-16BE"))
+    val (_, _, b16, n16) = WarcSource.httpFacts(u16)
+    assert(b16 === text && n16 === 2L * text.length)
+    // absent charset: UTF-8 default
+    assert(WarcSource.httpFacts(msg("text/html",
+      text.getBytes("UTF-8")))._3 === text)
+    // unknown label: strict throws by name, lenient keeps the envelope
+    val bad = msg("text/html; charset=klingon", "x".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] { WarcSource.httpFacts(bad) }
+    assert(e.getMessage.contains("unsupported charset"))
+    assert(WarcSource.httpFacts(bad, lenientBody = true) ===
+      ((200, "text/html; charset=klingon", null, 1L)))
+  }
+
   test("warc: empty and one-byte blobs keep their by-name reject") {
     // ByteFeed.wrap uses the blob AS the window: ensureN on a shorter
     // blob must return false (not throw 'lookahead exceeds window') so
