@@ -853,6 +853,17 @@ object GraftCli {
       println(s"[graft] cdx-fetch: $cdxGlob over $warcDir -> $outDir")
       spark.stop()
 
+    case "corpus-from-cdx" :: cdxGlob :: warcDir :: outDir :: Nil =>
+      // index-driven corpus build: admit from the INDEX (status 200,
+      // text/html), fetch one member per admitted row, land in the
+      // documents-table shape — archives are never scanned
+      val spark = session()
+      graft.sources.CdxSource.corpusFromCdx(spark, warcDir,
+          graft.sources.CdxSource.cdxFiles(spark, cdxGlob))
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] corpus-from-cdx: $cdxGlob over $warcDir -> $outDir")
+      spark.stop()
+
     case "cdx-demo" :: docsParquet :: outDir :: Nil =>
       // materialize .warc[.gz] fixtures WITH their measured CDX index
       val spark = session()
@@ -1186,6 +1197,7 @@ object GraftCli {
            |  cdx-demo <docs.parquet> <outDir>
            |  cdx-scan <glob.cdx[.gz]> <outDir>
            |  cdx-fetch <cdxGlob> <warcDir> <outDir>
+           |  corpus-from-cdx <cdxGlob> <warcDir> <outDir>
            |  mkv-scan <glob.mkv|.webm> <outDir>
            |  tar-scan <glob.tar[.gz]> <outDir>
            |  mkv-meta <mediaParquet(doc_id,content)> <outDir>

@@ -238,6 +238,24 @@ object CdxSource {
         "fetched_text")
   }
 
+  /** Index → corpus bridge: the selective sibling of `crawlDocs` —
+    * admit rows from the INDEX (status 200, text/html) and fetch only
+    * those, landing them in the documents-table shape via the same
+    * shared derivation (doc_id = URI hash, trigram lang, host source).
+    * At the 100 TB shape this is how a corpus refresh actually runs:
+    * the index decides, the archives are touched one member per
+    * admitted row, and unselected records cost nothing.
+    */
+  def corpusFromCdx(spark: SparkSession, warcDir: String,
+                    index: DataFrame): DataFrame =
+    WarcSource.docsShape(spark,
+      fetchByIndex(spark, warcDir,
+        index.filter(col("status") === 200 &&
+          col("mime").startsWith("text/html")))
+        .filter(col("status") === 200 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("uri"), col("text")))
+
   /** File-path arm: parse `.cdx`(.gz) shards under a glob — one task
     * per shard, line-at-a-time off the (possibly gzipped) stream.
     */

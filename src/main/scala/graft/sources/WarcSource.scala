@@ -968,7 +968,7 @@ object WarcSource {
     * one definition so the bridges cannot drift (the fixtureFrontier
     * discipline).
     */
-  private def docsShape(spark: SparkSession, pages: DataFrame): DataFrame = {
+  private[graft] def docsShape(spark: SparkSession, pages: DataFrame): DataFrame = {
     import spark.implicits._
     pages.as[(String, String)]
       .map { case (uri, text) =>

@@ -96,6 +96,17 @@ class CdxSpec extends GraftSparkSpec {
         .collect().map(r => (r.getString(1), r.getInt(2), r.getString(3)))
         .sortBy(_._1)
       assert(fetched.toSeq === walked.toSeq)
+      // index-driven corpus build == the full-walk crawlDocs bridge
+      // when the index covers the crawl (same docsShape derivation)
+      val viaCdx = CdxSource.corpusFromCdx(spark, dir.getAbsolutePath, index)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1)
+      val viaWalk = WarcSource.crawlDocs(spark,
+          dir.getAbsolutePath + "/*.warc*")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1)
+      assert(viaCdx.toSeq === viaWalk.toSeq)
+      assert(viaCdx.nonEmpty)
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
