@@ -2181,6 +2181,55 @@ object TextQueries {
     // differencing amplifies relative error (the known cost of
     // sketch-side intersections — fine for the routing decisions it
     // feeds, measured here honestly as err_ppm).
+    // ---- Unicode-script detection (functions/ScriptId) — the routing
+    // stage BEFORE langid in a real crawl mix: d5's trigram model is
+    // Latin-script (non-Latin text honestly lands `und`), so a pipeline
+    // first routes by script. Classification is the JVM's exact
+    // Character.UnicodeScript over letter codepoints; the fixture
+    // synthesizes per-doc mixed-script strings with CONSTRUCTED counts
+    // (id-derived prefix lengths of literal Latin/Cyrillic/Han/Arabic
+    // alphabets + digits/punct that must be ignored), so DuckDB
+    // re-derives every ppm and the alphabetical-tie dominant purely
+    // arithmetically — a classification slip on any codepoint moves a
+    // count and fails the hash.
+    "d57_script" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val la = (id % 5 + 1).toInt
+            val cy = (id % 3 + 1).toInt
+            val ha = (id % 4).toInt
+            val ar = (id % 2).toInt
+            val text = "abcde".take(la) + " 123 " + "абвгд".take(cy) +
+              "! " + "漢字文書".take(ha) + " " + "كتاب".take(ar)
+            val h = graft.functions.ScriptId.histogram(text)
+            val tot = h.values.sum
+            def ppm(k: String): Long = h.getOrElse(k, 0L) * 1000000L / tot
+            (id, tot, ppm("latin"), ppm("cyrillic"), ppm("han"),
+              ppm("arabic"), graft.functions.ScriptId.dominant(text))
+          }
+          .toDF("doc_id", "n_letters", "latin_ppm", "cyrillic_ppm",
+            "han_ppm", "arabic_ppm", "dominant")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    doc_id % 5 + 1 AS la, doc_id % 3 + 1 AS cy,
+          |    doc_id % 4 AS ha, doc_id % 2 AS ar FROM documents),
+          |t AS (SELECT doc_id, la, cy, ha, ar,
+          |        la + cy + ha + ar AS tot FROM d)
+          |SELECT doc_id,
+          |  CAST(tot AS BIGINT) AS n_letters,
+          |  CAST(la * 1000000 // tot AS BIGINT) AS latin_ppm,
+          |  CAST(cy * 1000000 // tot AS BIGINT) AS cyrillic_ppm,
+          |  CAST(ha * 1000000 // tot AS BIGINT) AS han_ppm,
+          |  CAST(ar * 1000000 // tot AS BIGINT) AS arabic_ppm,
+          |  CASE WHEN ar >= cy AND ar >= ha AND ar >= la THEN 'arabic'
+          |       WHEN cy >= ha AND cy >= la THEN 'cyrillic'
+          |       WHEN ha >= la THEN 'han' ELSE 'latin' END AS dominant
+          |FROM t ORDER BY doc_id""".stripMargin)),
+
     "d56_hll_intersect" -> QueryDef(
       (s, dir) => {
         val tok = t(s, dir, "documents")
