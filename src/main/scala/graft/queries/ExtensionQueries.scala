@@ -3749,7 +3749,9 @@ object ExtensionQueries {
           |             10 + (doc_id % 5) * 2 AS h,
           |             CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END AS tiled
           |           FROM documents)
-          |SELECT doc_id, 'II' AS endian, CAST(1 AS INT) AS n_pages,
+          |SELECT doc_id, 'II' AS endian,
+          |  CAST(CASE WHEN doc_id % 11 = 6 THEN 2 ELSE 1 END AS INT)
+          |    AS n_pages,
           |  CAST(w AS INT) AS w, CAST(h AS INT) AS h,
           |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
           |    ELSE 5 END AS INT) AS compression,
@@ -3781,6 +3783,9 @@ object ExtensionQueries {
           |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
           |    ELSE 5 END AS INT) AS compression,
           |  CAST(sum((doc_id + 5 * (p % w) + 11 * (p // w)) % 256)
+          |    + CASE WHEN doc_id % 11 = 6
+          |        THEN sum((3 * doc_id + 7 * (p % w) + 13 * (p // w)) % 256)
+          |        ELSE 0 END
           |    AS BIGINT) AS px_sum
           |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 

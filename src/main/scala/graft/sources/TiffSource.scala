@@ -396,14 +396,23 @@ object TiffSource {
   }
 
   // Fixture arithmetic (the DuckDB oracle re-derives everything):
-  //   little-endian, one 8-bit grayscale page, w = 24+(id%4)*8,
-  //   h = 10+(id%5)*2, pixel v(x,y) = (id + 5x + 11y) % 256;
-  //   compression by id%3: 0 = none, 1 = PackBits, 2 = LZW (real
-  //   dictionaries). Layout: TILED 16x16 when id%7==5 (edge tiles
-  //   clipped — w/h are never multiples of 16; pads are 0), else
-  //   strips with RowsPerStrip = 4. Pixel facts are layout-invariant,
-  //   so a tile-grid or clipping slip fails the x116 hash.
-  private[graft] def tiffOf(id: Long): Array[Byte] = {
+  //   little-endian, 8-bit grayscale, w = 24+(id%4)*8, h = 10+(id%5)*2,
+  //   page-1 pixel v(x,y) = (id + 5x + 11y) % 256; compression by id%3:
+  //   0 = none, 1 = PackBits, 2 = LZW (real dictionaries). Layout:
+  //   TILED 16x16 when id%7==5 (edge tiles clipped — w/h are never
+  //   multiples of 16; pads are 0), else strips with RowsPerStrip = 4.
+  //   A SECOND page (IFD chain — the multi-page scanned-document shape)
+  //   when id%11==6: same dims/compression, strips, pixel
+  //   v2(x,y) = (3·id + 7x + 13y) % 256. Pixel facts are
+  //   layout-invariant, so a tile-grid, clipping, or chain slip fails
+  //   the x116 hash.
+
+  /** One page block = [IFD][offset/count arrays][segment data], all
+    * internal offsets absolute via `base`; the IFD's next pointer is
+    * `nextIfd` (0 = end of chain).
+    */
+  private def pageBlock(id: Long, page: Int, base: Long,
+                        nextIfd: Long): Array[Byte] = {
     val w = 24 + (id % 4).toInt * 8
     val h = 10 + (id % 5).toInt * 2
     val comp = (id % 3).toInt match {
@@ -411,7 +420,10 @@ object TiffSource {
       case 1 => 32773
       case _ => 5
     }
-    val tiled = id % 7 == 5
+    def px(x: Int, y: Int): Byte =
+      if (page == 0) ((id + 5 * x + 11 * y) % 256).toByte
+      else ((3 * id + 7 * x + 13 * y) % 256).toByte
+    val tiled = page == 0 && id % 7 == 5
     def pack(raw: Array[Byte]): Array[Byte] = comp match {
       case 1 => raw
       case 32773 => packBitsEncode(raw)
@@ -423,10 +435,7 @@ object TiffSource {
         val nStrips = (h + rps - 1) / rps
         val strips = (0 until nStrips).map { s =>
           val rows = math.min(rps, h - s * rps)
-          pack(Array.tabulate(rows * w) { p =>
-            val x = p % w; val y = s * rps + p / w
-            ((id + 5 * x + 11 * y) % 256).toByte
-          })
+          pack(Array.tabulate(rows * w)(p => px(p % w, s * rps + p / w)))
         }
         (strips, Seq((273, 4, nStrips.toLong), (278, 4, 1L),
           (279, 4, nStrips.toLong)))
@@ -438,7 +447,7 @@ object TiffSource {
           val tx = t % across; val ty = t / across
           pack(Array.tabulate(tw * tl) { p =>
             val x = tx * tw + p % tw; val y = ty * tl + p / tw
-            if (x < w && y < h) ((id + 5 * x + 11 * y) % 256).toByte
+            if (x < w && y < h) px(x, y)
             else 0.toByte // edge-tile padding (spec: contents undefined)
           })
         }
@@ -449,20 +458,18 @@ object TiffSource {
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Long): Unit = (0 until 4).foreach(i =>
       out.write(((v >> (8 * i)) & 0xff).toInt))
-    out.write('I'); out.write('I'); le16(42); le32(8)
-    // IFD at offset 8; offset/count arrays then segment data follow it
     val nTags = 6 + segTags.size
     val ifdSize = 2 + nTags * 12 + 4
     val multi = segs.size > 1
     val offsArraySize = if (multi) segs.size * 4 else 0
     val cntsArraySize = if (multi) segs.size * 4 else 0
-    var dataOff = 8L + ifdSize + offsArraySize + cntsArraySize
+    var dataOff = base + ifdSize + offsArraySize + cntsArraySize
     val segOffs = segs.map { s => val o = dataOff; dataOff += s.length; o }
     le16(nTags)
     def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
       le16(tag); le16(typ); le32(count); le32(value)
     }
-    val offsAt = 8L + ifdSize
+    val offsAt = base + ifdSize
     val cntsAt = offsAt + offsArraySize
     // tags must appear in ascending order per the spec — fold the
     // layout-specific ones into the fixed set sorted by tag id
@@ -485,12 +492,30 @@ object TiffSource {
     (fixed ++ layout).sortBy(_._1).foreach { case (t, ty, c, v) =>
       entry(t, ty, c, v)
     }
-    le32(0) // no next IFD
+    le32(nextIfd)
     if (multi) {
       segOffs.foreach(le32)
       segs.foreach(s => le32(s.length.toLong))
     }
     segs.foreach(out.write)
+    out.toByteArray
+  }
+
+  private[graft] def tiffOf(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = (0 until 4).foreach(i =>
+      out.write(((v >> (8 * i)) & 0xff).toInt))
+    out.write('I'); out.write('I'); le16(42); le32(8)
+    val twoPages = id % 11 == 6
+    if (!twoPages) out.write(pageBlock(id, 0, 8L, 0L))
+    else {
+      // the second IFD's position depends on the first block's size:
+      // lay out page 0 once with a placeholder to measure it
+      val len0 = pageBlock(id, 0, 8L, 0L).length
+      out.write(pageBlock(id, 0, 8L, 8L + len0))
+      out.write(pageBlock(id, 1, 8L + len0, 0L))
+    }
     out.toByteArray
   }
 
@@ -520,16 +545,18 @@ object TiffSource {
         "spp", "rows_per_strip", "n_strips", "is_tiled")
   }
 
-  /** x116 gate: decoded pixel sum — all three codecs must land the
-    * same arithmetic.
+  /** x116 gate: decoded pixel sum over ALL pages — the three codecs
+    * must land the same arithmetic, and a multi-page chain slip
+    * (missed or double-walked second IFD) moves the sum.
     */
   def tiffPixelTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val p = parseTiff(bytes).pages.head
+        val f = parseTiff(bytes)
+        val p = f.pages.head
         var sum = 0L
-        p.pixels.foreach(b => sum += (b & 0xff).toLong)
+        f.pages.foreach(_.pixels.foreach(b => sum += (b & 0xff).toLong))
         (id, p.w, p.h, p.compression, sum)
       }
       .toDF("doc_id", "w", "h", "compression", "px_sum")

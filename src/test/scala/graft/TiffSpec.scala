@@ -125,6 +125,39 @@ class TiffSpec extends GraftSparkSpec {
     }
   }
 
+  test("tiff: multi-page IFD chains decode both pages; JDK agrees page-for-page") {
+    // 6: none; 17: LZW; 61: page 1 TILED (61%7==5) + page 2 strips,
+    // PackBits — chain and layouts mix freely
+    Seq(6L, 17L, 61L).foreach { id =>
+      assert(id % 11 === 6)
+      val bytes = TiffSource.tiffOf(id)
+      val f = TiffSource.parseTiff(bytes)
+      assert(f.pages.size === 2, s"id=$id")
+      val Seq(p0, p1) = f.pages
+      assert(p0.w === p1.w && p0.h === p1.h)
+      (0 until p0.h).foreach { y =>
+        (0 until p0.w).foreach { x =>
+          assert((p0.pixels(y * p0.w + x) & 0xff) ===
+            ((id + 5 * x + 11 * y) % 256).toInt, s"id=$id p0 ($x,$y)")
+          assert((p1.pixels(y * p1.w + x) & 0xff) ===
+            ((3 * id + 7 * x + 13 * y) % 256).toInt, s"id=$id p1 ($x,$y)")
+        }
+      }
+      // JDK ImageIO walks the same chain to the same pixels
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("tiff").next()
+      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      assert(rd.getNumImages(true) === 2, s"id=$id")
+      Seq(p0, p1).zipWithIndex.foreach { case (p, k) =>
+        val img = rd.read(k)
+        for (y <- 0 until p.h; x <- 0 until p.w)
+          assert((p.pixels(y * p.w + x) & 0xff) ===
+            img.getRaster.getSample(x, y, 0), s"id=$id page $k ($x,$y)")
+      }
+      rd.dispose()
+    }
+  }
+
   test("tiff: JDK-written TILED files decode — all four codecs; JDK reads our tiled bytes") {
     val w = 53; val h = 37 // not multiples of 16: edge clipping for real
     val img = grayImage(w, h)
