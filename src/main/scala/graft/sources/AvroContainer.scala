@@ -151,12 +151,23 @@ object AvroContainer {
           // UNCOMPRESSED bytes — the one avro codec with its own check
           require(payload.length >= 4, "avro: snappy block too short")
           val bodyLen = payload.length - 4
-          val un = org.xerial.snappy.Snappy.uncompressedLength(
-            payload, 0, bodyLen)
+          // snappy-java surfaces corruption as a raw IOException
+          // (FAILED_TO_UNCOMPRESS) — relabel it as data damage, not
+          // I/O: an IOException reads as infra failure and gets
+          // RETRIED by schedulers, which corrupt bytes never deserve
+          // (found by the FuzzCorruptionSpec byte sweep)
+          def named[A](body: => A): A =
+            try body catch {
+              case e: java.io.IOException =>
+                throw new IllegalArgumentException(
+                  "avro: corrupt snappy block: " + e.getMessage)
+            }
+          val un = named(org.xerial.snappy.Snappy.uncompressedLength(
+            payload, 0, bodyLen))
           require(un >= 0 && un <= MaxBlock,
             "avro: block exceeds 256 MiB bound")
           val outB = new Array[Byte](un)
-          org.xerial.snappy.Snappy.uncompress(payload, 0, bodyLen, outB, 0)
+          named(org.xerial.snappy.Snappy.uncompress(payload, 0, bodyLen, outB, 0))
           val crc = new java.util.zip.CRC32(); crc.update(outB)
           val want = ((payload(bodyLen) & 0xffL) << 24) |
             ((payload(bodyLen + 1) & 0xffL) << 16) |
@@ -165,7 +176,9 @@ object AvroContainer {
           require(crc.getValue == want, "avro: snappy block CRC mismatch")
           outB
         case "zstandard" =>
-          // streamed decode so a zstd bomb hits the bound, not the heap
+          // streamed decode so a zstd bomb hits the bound, not the heap;
+          // zstd-jni's corruption signal is a ZstdIOException (an
+          // IOException) — relabeled as data damage like the snappy arm
           val zin = new com.github.luben.zstd.ZstdInputStream(
             new java.io.ByteArrayInputStream(payload))
           val out = new java.io.ByteArrayOutputStream()
@@ -178,6 +191,10 @@ object AvroContainer {
                 "avro: block exceeds 256 MiB bound")
               k = zin.read(buf)
             }
+          } catch {
+            case e: java.io.IOException =>
+              throw new IllegalArgumentException(
+                "avro: corrupt zstandard block: " + e.getMessage)
           } finally zin.close()
           out.toByteArray
       }
