@@ -285,10 +285,12 @@ object CdxSource {
   /** Random-access fetch arm: for each (filename, offset, length) row
     * of a parsed index, open the archive and decode just that record —
     * the selective-refetch primitive (recrawl candidates, revisit
-    * resolution, per-URL audits). One seek + one member per row;
-    * archives are opened once per (task, file) via sorting within
-    * partitions upstream if the caller wants locality — correctness
-    * here is per-row independent.
+    * resolution, per-URL audits). Rows are REPARTITIONED by archive and
+    * sorted by offset within partitions, so each archive's handle opens
+    * exactly once per job and its seeks are monotone (object stores
+    * reward forward-only positioned reads; a random-order fetch over
+    * 1000 archives would churn a handle per row). One exchange of
+    * pointer-sized rows buys it — the fetched bytes never shuffle.
     */
   def fetchByIndex(spark: SparkSession, warcDir: String,
                    index: DataFrame): DataFrame = {
@@ -298,6 +300,8 @@ object CdxSource {
     val dir = warcDir
     index.select(col("filename"), col("offset"), col("length"))
       .as[(String, Long, Long)]
+      .repartition(col("filename"))
+      .sortWithinPartitions(col("filename"), col("offset"))
       .mapPartitions { rows =>
         val fsCache = scala.collection.mutable.Map[String,
           (org.apache.hadoop.fs.FSDataInputStream, Long)]()
