@@ -43,15 +43,22 @@ object CdxSource {
 
   /** SURT (Sort-friendly URI Reordering Transform) of an http(s) URL:
     * `http://www.Example.org:80/A/b?q=1` → `org,example,www)/A/b?q=1`.
-    * Scheme and default port drop, host lowercases and label-reverses;
-    * the path/query stay verbatim (case maps to different resources on
-    * most servers — only the AUTHORITY is case-insensitive per RFC
-    * 3986). Non-http(s) schemes reject by name.
+    * Scheme, userinfo, and the SCHEME'S default port drop (http:80 /
+    * https:443 only — :443 on plain http is a different service and
+    * must NOT collide); host lowercases and label-reverses; the
+    * path/query stay verbatim after normalizing the empty path to `/`
+    * — including before a query, so `host?q` and `host/?q` land one
+    * key (case maps to different resources on most servers — only the
+    * AUTHORITY is case-insensitive per RFC 3986). Non-http(s) schemes
+    * reject by name.
     */
   private[graft] def surt(url: String): String = {
     val m = "(?i)^(https?)://([^/?#]+)([^#]*)".r
     url match {
-      case m(_, auth, rest) =>
+      case m(scheme, auth0, rest) =>
+        // userinfo carries no identity for dedup keys and would
+        // otherwise reverse as part of the host
+        val auth = auth0.substring(auth0.indexOf('@') + 1)
         val hostPort = auth.toLowerCase(java.util.Locale.ROOT)
         val (host, port) = hostPort.lastIndexOf(':') match {
           case -1 => (hostPort, "")
@@ -59,9 +66,14 @@ object CdxSource {
             (hostPort.substring(0, i), hostPort.substring(i + 1))
           case _ => (hostPort, "")
         }
-        val keepPort = port.nonEmpty && port != "80" && port != "443"
+        val defaultPort =
+          if (scheme.toLowerCase == "http") "80" else "443"
+        val keepPort = port.nonEmpty && port != defaultPort
         val rev = host.split('.').reverse.mkString(",")
-        val path = if (rest.isEmpty) "/" else rest
+        val path =
+          if (rest.isEmpty) "/"
+          else if (rest.startsWith("?")) "/" + rest
+          else rest
         rev + (if (keepPort) ":" + port else "") + ")" + path
       case _ => sys.error(s"cdx: non-http(s) url '$url'")
     }
@@ -98,6 +110,16 @@ object CdxSource {
             case 'n' => '\n'
             case 't' => '\t'
             case 'r' => '\r'
+            case 'b' => '\b'
+            case 'f' => '\f'
+            case 'u' =>
+              // real CDXJ routinely escapes non-ASCII url bytes
+              require(i + 4 < n, "cdx: truncated \\u escape in json")
+              val hex = s.substring(i + 1, i + 5)
+              require(hex.forall(ch => Character.digit(ch, 16) >= 0),
+                s"cdx: bad \\u escape '$hex'")
+              i += 4
+              Integer.parseInt(hex, 16).toChar
             case other => sys.error(s"cdx: unsupported escape '\\$other'")
           })
         } else sb.append(c)
@@ -148,7 +170,10 @@ object CdxSource {
     * `length` bytes, inflate the single gzip member (CRC32 + ISIZE
     * verified), parse the one WARC record. For an UNCOMPRESSED archive
     * (plain `.warc` — the fixture's odd-id arm) the slice IS the
-    * record. O(record) memory; the archive is never walked.
+    * record. EXACT consumption is enforced both ways: a pointer whose
+    * length spans past its member/record is index damage and fails by
+    * name instead of silently succeeding on the prefix (r17 review).
+    * O(record) memory; the archive is never walked.
     */
   private[graft] def fetchRecord(archive: ZipSource.Seekable,
                                  offset: Long, length: Long,
@@ -160,11 +185,21 @@ object CdxSource {
     val raw = archive.readAt(offset, length.toInt)
     val isGzip = raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
       (raw(1) & 0xff) == 0x8b
-    val feed =
-      if (isGzip) ByteFeed.wrap(Gzip.memberBytes(ByteFeed.wrap(raw)))
-      else ByteFeed.wrap(raw)
-    WarcSource.readRecord(feed, "cdx: pointer does not cover one record",
-      lenientHttp)
+    val msg = "cdx: pointer does not cover one record"
+    if (isGzip) {
+      val outer = ByteFeed.wrap(raw)
+      val member = Gzip.memberBytes(outer)
+      require(outer.atEof, "cdx: pointer spans past its gzip member")
+      val feed = ByteFeed.wrap(member)
+      val r = WarcSource.readRecord(feed, msg, lenientHttp)
+      require(feed.atEof, "cdx: member holds more than one record")
+      r
+    } else {
+      val feed = ByteFeed.wrap(raw)
+      val r = WarcSource.readRecord(feed, msg, lenientHttp)
+      require(feed.atEof, "cdx: pointer spans past its record")
+      r
+    }
   }
 
   // ------------------------------------------------------------- fixture
@@ -258,25 +293,42 @@ object CdxSource {
 
   /** File-path arm: parse `.cdx`(.gz) shards under a glob — one task
     * per shard, line-at-a-time off the (possibly gzipped) stream.
+    * Under `lenient` (default — index shards are millions of
+    * independent lines and one stray line must not abort the job), a
+    * malformed LINE degrades to one countable poison row (null surt,
+    * the raw line in `url`) and the walk continues; container damage
+    * (gzip CRC) still poisons the rest of the FILE via the stream
+    * guard. Strict mode keeps every reject loud.
     */
-  def cdxFiles(spark: SparkSession, glob: String): DataFrame = {
+  def cdxFiles(spark: SparkSession, glob: String,
+               lenient: Boolean = true): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(glob)
       .flatMap { case (path, pds) =>
-        val in = pds.open()
-        val base: java.io.InputStream =
-          if (path.endsWith(".gz")) new Gzip.GunzipStream(new ByteFeed(in))
-          else in
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(base, "UTF-8"))
-        StreamUtil.closeOnExhaust(in,
-          Iterator.continually(reader.readLine()).takeWhile(_ != null)
-            .filter(_.nonEmpty)
-            .map { ln =>
-              val e = parseCdxLine(ln)
-              (path, e.surtKey, e.timestamp, e.url, e.mime, e.status,
-                e.digest, e.length, e.offset, e.filename)
-            })
+        val base = StreamUtil.deferred {
+          val in = pds.open()
+          val stream: java.io.InputStream =
+            if (path.endsWith(".gz")) new Gzip.GunzipStream(new ByteFeed(in))
+            else in
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(stream, "UTF-8"))
+          StreamUtil.closeOnExhaust(in,
+            Iterator.continually(reader.readLine()).takeWhile(_ != null)
+              .filter(_.nonEmpty)
+              .map { ln =>
+                try {
+                  val e = parseCdxLine(ln)
+                  (path, e.surtKey, e.timestamp, e.url, e.mime, e.status,
+                    e.digest, e.length, e.offset, e.filename)
+                } catch {
+                  case e: RuntimeException if lenient =>
+                    (path, null, null, ln, null, -1, null, -1L, -1L, null)
+                }
+              })
+        }
+        if (!lenient) base
+        else StreamUtil.poisonOnError(base,
+          (path, null, null, null, null, -1, null, -1L, -1L, null))
       }
       .toDF("file", "surt", "timestamp", "url", "mime", "status",
         "digest", "length", "offset", "filename")
@@ -299,27 +351,38 @@ object CdxSource {
       spark.sparkContext.hadoopConfiguration)
     val dir = warcDir
     index.select(col("filename"), col("offset"), col("length"))
+      .filter(col("filename").isNotNull && col("offset") >= 0 &&
+        col("length") > 0) // cdxFiles' lenient poison rows carry nulls/-1
       .as[(String, Long, Long)]
       .repartition(col("filename"))
       .sortWithinPartitions(col("filename"), col("offset"))
       .mapPartitions { rows =>
-        val fsCache = scala.collection.mutable.Map[String,
-          (org.apache.hadoop.fs.FSDataInputStream, Long)]()
+        // single-slot handle: rows arrive sorted by filename, so the
+        // previous archive is finished the moment the name changes —
+        // close it then, keeping open FDs at one per task instead of
+        // one per archive-in-partition (r17 review)
+        var curName: String = null
+        var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+        var curSize = 0L
+        def closeCur(): Unit = if (curIn != null) {
+          try curIn.close() catch { case _: java.io.IOException => () }
+          curIn = null; curName = null
+        }
         val out = rows.map { case (fname, off, len) =>
-          val (in, size) = fsCache.getOrElseUpdate(fname, {
+          if (fname != curName) {
+            closeCur()
             val p = new org.apache.hadoop.fs.Path(dir, fname)
             val fs = p.getFileSystem(conf.value)
-            (fs.open(p), fs.getFileStatus(p).getLen)
-          })
-          val r = fetchRecord(new ZipSource.StreamSeekable(in, size),
+            curIn = fs.open(p)
+            curSize = fs.getFileStatus(p).getLen
+            curName = fname
+          }
+          val r = fetchRecord(new ZipSource.StreamSeekable(curIn, curSize),
             off, len, lenientHttp = true)
           (fname, r.targetUri, r.httpStatus,
             if (r.body == null) null else WarcSource.htmlText(r.body))
         }
-        StreamUtil.closeOnExhaust(
-          () => fsCache.values.foreach(v =>
-            try v._1.close() catch { case _: java.io.IOException => () }),
-          out)
+        StreamUtil.closeOnExhaust(() => closeCur(), out)
       }
       .toDF("filename", "uri", "status", "text")
   }

@@ -189,9 +189,13 @@ object WarcSource {
     * an unknown label throws (lenient mode degrades the body like any
     * other body-layer damage, keeping the envelope).
     */
+  // hoisted: charsetOf runs per textual record on the hot extraction
+  // path — a fresh Pattern.compile per call is pure waste (r17 review)
+  private val CharsetParam = java.util.regex.Pattern
+    .compile("(?i)charset\\s*=\\s*\"?([^;\\s\"]+)\"?")
+
   private[graft] def charsetOf(ct: String): java.nio.charset.Charset = {
-    val m = java.util.regex.Pattern
-      .compile("(?i)charset\\s*=\\s*\"?([^;\\s\"]+)\"?").matcher(ct)
+    val m = CharsetParam.matcher(ct)
     val name = if (m.find()) m.group(1).toLowerCase else ""
     name match {
       case "" | "utf-8" | "utf8" => java.nio.charset.StandardCharsets.UTF_8
@@ -200,11 +204,19 @@ object WarcSource {
       case "us-ascii" | "ascii" => java.nio.charset.StandardCharsets.US_ASCII
       case "windows-1252" | "cp1252" | "cp-1252" =>
         java.nio.charset.Charset.forName("windows-1252")
-      case "utf-16" | "utf-16le" | "utf-16be" =>
-        java.nio.charset.Charset.forName(name)
       case other =>
-        throw new IllegalArgumentException(
-          s"http: unsupported charset '$other'")
+        // the legacy web is not a short list — windows-1251, shift_jis,
+        // gb2312, euc-kr, big5, koi8-r are huge real-crawl populations
+        // the JVM decodes natively; only a label the JVM cannot resolve
+        // is damage (r17 review: a whitelist here silently DROPPED
+        // those pages under lenient, a regression vs the old
+        // unconditional UTF-8 decode)
+        try java.nio.charset.Charset.forName(other) catch {
+          case _: java.nio.charset.IllegalCharsetNameException |
+              _: java.nio.charset.UnsupportedCharsetException =>
+            throw new IllegalArgumentException(
+              s"http: unsupported charset '$other'")
+        }
     }
   }
 

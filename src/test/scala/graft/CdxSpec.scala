@@ -18,6 +18,16 @@ class CdxSpec extends GraftSparkSpec {
       "com,example:8080)/x")
     assert(CdxSource.surt("HTTPS://EXAMPLE.com:443/Keep/Case") ===
       "com,example)/Keep/Case")
+    // the default port is the SCHEME'S: :443 on plain http is a
+    // different service and must not collide (r17 review)
+    assert(CdxSource.surt("http://example.com:443/x") ===
+      "com,example:443)/x")
+    assert(CdxSource.surt("https://example.com:80/x") ===
+      "com,example:80)/x")
+    // userinfo carries no identity; query-only paths normalize to /?
+    assert(CdxSource.surt("http://user@example.com/a") === "com,example)/a")
+    assert(CdxSource.surt("http://example.com?q=1") ===
+      CdxSource.surt("http://example.com/?q=1"))
     val e = intercept[RuntimeException] { CdxSource.surt("ftp://x/") }
     assert(e.getMessage.contains("non-http"))
   }
@@ -27,6 +37,10 @@ class CdxSpec extends GraftSparkSpec {
       """{"a": "1", "b": "x\"y\\z", "c": "n\nl"}""") ===
       Map("a" -> "1", "b" -> "x\"y\\z", "c" -> "n\nl"))
     assert(CdxSource.parseFlatJson("{}") === Map.empty[String, String])
+    // real CDXJ escapes non-ASCII url chars as \uXXXX
+    assert(CdxSource.parseFlatJson(
+      "{\"url\": \"http://x/\\u0441\\u0442\"}")
+      === Map("url" -> "http://x/ст"))
     val e1 = intercept[RuntimeException] {
       CdxSource.parseFlatJson("""{"a": {"b": "c"}}""")
     }
@@ -88,6 +102,21 @@ class CdxSpec extends GraftSparkSpec {
       val rows = index.collect()
       assert(rows.length === 5) // id=2: 3 responses; id=7: 2
       assert(rows.forall(_.getString(2) === "20260101000000"))
+      // one stray malformed line cannot abort an index scan: it
+      // degrades to a countable poison row (null surt, raw line kept)
+      // and the good lines survive; strict mode stays loud
+      java.nio.file.Files.write(new java.io.File(dir, "idx-2.cdx").toPath,
+        ("org,x)/ notatimestamp {\"url\": \"http://x/\"}\n" +
+          CdxSource.cdxOf(2L, text)).getBytes("UTF-8"))
+      val withBad = CdxSource.cdxFiles(spark, dir.getAbsolutePath + "/idx-*")
+        .collect()
+      assert(withBad.length === 9) // 5 + 3 good + 1 poison
+      assert(withBad.count(_.isNullAt(1)) === 1)
+      intercept[Exception] {
+        CdxSource.cdxFiles(spark, dir.getAbsolutePath + "/idx-2.cdx",
+          lenient = false).collect()
+      }
+      java.nio.file.Files.delete(new java.io.File(dir, "idx-2.cdx").toPath)
       // fetch every indexed record straight out of the archives
       val fetched = CdxSource.fetchByIndex(spark, dir.getAbsolutePath, index)
         .collect().map(r => (r.getString(1), r.getInt(2), r.getString(3)))
