@@ -112,6 +112,22 @@ object RobotsTxt {
     fromGroup.map(_.delayMs).getOrElse(defaultMs)
   }
 
+  /** `Sitemap:` directives of a robots.txt body — group-INDEPENDENT
+    * per RFC 9309 §2.2.4 / sitemaps.org: they apply to the whole site
+    * regardless of which group they appear near, which is how a
+    * crawler bootstraps discovery (robots → sitemap set → x108 parse →
+    * x109 frontier) before fetching anything else. The value keeps its
+    * scheme-colon: only the FIRST colon separates the directive.
+    */
+  private[graft] def sitemapUrls(content: String): Seq[String] =
+    content.split("\n").toSeq.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap"))
+        Some(line.substring(c + 1).trim).filter(_.nonEmpty)
+      else None
+    }
+
   /** Does `pattern` match a prefix of `path`? `*` matches any character
     * run (greedy-leftmost existence scan — complete for ordered literal
     * segments), a trailing `$` anchors at end-of-path, and without `$`

@@ -114,6 +114,21 @@ class RobotsSpec extends GraftSparkSpec {
     assert(e2.getMessage.contains("before any User-agent"))
   }
 
+  test("robots: Sitemap directives extract group-independently, first-colon split, comments stripped") {
+    assert(RobotsTxt.sitemapUrls(RobotsTxt.robotsOf(3)) ===
+      Seq("http://site3.example/sitemap.xml"))
+    val multi = RobotsTxt.sitemapUrls(
+      """User-agent: *
+        |Disallow: /x
+        |Sitemap: https://a.example/s1.xml # primary
+        |
+        |SITEMAP: https://a.example/s2.xml.gz
+        |Sitemap:
+        |""".stripMargin)
+    assert(multi === Seq("https://a.example/s1.xml",
+      "https://a.example/s2.xml.gz")) // empty value dropped, case-blind
+  }
+
   test("robots: crawl-delay parses per group (decimal seconds to ms); groups never merge") {
     val (rules, delays) = RobotsTxt.parseRobotsAll(
       """User-agent: *
