@@ -927,6 +927,18 @@ object GraftCli {
       println(s"[graft] corpus-from-wet: $glob -> $outDir")
       spark.stop()
 
+    case "stream-cdx-fetch" :: cdxLanding :: warcDir :: outDir :: checkpoint :: rest =>
+      // continuous selective refetch: cdx shards land, their pointers
+      // fetch one member each out of warcDir, exactly-once per shard
+      val spark = session()
+      val runSec = rest.headOption.map(_.toInt).getOrElse(0)
+      val q = streaming.StreamingAnalytics.cdxFetchIngest(
+        spark, cdxLanding, warcDir, outDir, checkpoint)
+      println(s"[graft] cdx-fetch server on $cdxLanding over $warcDir -> $outDir")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     case "stream-warc-extract" :: landingDir :: outDir :: checkpoint :: rest =>
       val spark = session()
       val runSec = rest.headOption.map(_.toInt).getOrElse(0)
@@ -1198,6 +1210,7 @@ object GraftCli {
            |  cdx-scan <glob.cdx[.gz]> <outDir>
            |  cdx-fetch <cdxGlob> <warcDir> <outDir>
            |  corpus-from-cdx <cdxGlob> <warcDir> <outDir>
+           |  stream-cdx-fetch <cdxLandingDir> <warcDir> <outDir> <ckpt> [runSec]
            |  mkv-scan <glob.mkv|.webm> <outDir>
            |  tar-scan <glob.tar[.gz]> <outDir>
            |  mkv-meta <mediaParquet(doc_id,content)> <outDir>

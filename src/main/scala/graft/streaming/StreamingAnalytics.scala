@@ -700,6 +700,96 @@ object StreamingAnalytics {
       .option("path", outDir)
       .start()
   }
+
+  /** Continuous INDEX-DRIVEN fetch — the CDX sibling of [[warcIngest]]:
+    * `.cdx(.gz)` shards land, each line's (filename, offset, length)
+    * pointer fetches ONE gzip member out of `warcDir`, and the decoded
+    * rows append exactly-once through the checkpoint. This is the
+    * streaming shape of selective refetch: work is proportional to
+    * index lines landed, never to archive bytes. Per-task archive
+    * handles live in a small bounded cache (cdx shards are SURT-sorted,
+    * so pointers interleave across archives — unlike the batch arm's
+    * filename sort); under `lenient` a malformed line or failed fetch
+    * degrades to one countable poison row (uri NULL, status -1), a
+    * malformed page to a NULL text with its uri kept, and shard-level
+    * damage to one poison row for the file — the micro-batch never
+    * wedges on retry. Output: (file, uri, status, text), the
+    * warcIngest shape.
+    */
+  def cdxFetchIngest(spark: org.apache.spark.sql.SparkSession,
+                     cdxLandingDir: String, warcDir: String,
+                     outDir: String, checkpointDir: String,
+                     maxFilesPerTrigger: Int = 32,
+                     lenient: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val dir = warcDir
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.cdx*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(cdxLandingDir)
+      .select(col("path")).as[String]
+      .flatMap { path =>
+        val base = graft.sources.StreamUtil.deferred {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val in = p.getFileSystem(conf.value).open(p)
+          val stream: java.io.InputStream =
+            if (path.endsWith(".gz"))
+              new graft.sources.Gzip.GunzipStream(new graft.sources.ByteFeed(in))
+            else in
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(stream, "UTF-8"))
+          // bounded archive-handle cache, oldest-evicted: SURT order
+          // interleaves archives, but neighboring lines still cluster
+          val handles = scala.collection.mutable.LinkedHashMap[String,
+            (org.apache.hadoop.fs.FSDataInputStream, Long)]()
+          def closeQuietly(h: org.apache.hadoop.fs.FSDataInputStream): Unit =
+            try h.close() catch { case _: java.io.IOException => () }
+          def archive(fname: String)
+              : (org.apache.hadoop.fs.FSDataInputStream, Long) =
+            handles.getOrElseUpdate(fname, {
+              if (handles.size >= 8) {
+                val (k, (h, _)) = handles.head
+                closeQuietly(h); handles.remove(k)
+              }
+              val ap = new org.apache.hadoop.fs.Path(dir, fname)
+              val afs = ap.getFileSystem(conf.value)
+              (afs.open(ap), afs.getFileStatus(ap).getLen)
+            })
+          val rows = Iterator.continually(reader.readLine())
+            .takeWhile(_ != null)
+            .filter(_.nonEmpty)
+            .map { ln =>
+              try {
+                val e = graft.sources.CdxSource.parseCdxLine(ln)
+                val (h, size) = archive(e.filename)
+                val r = graft.sources.CdxSource.fetchRecord(
+                  new graft.sources.ZipSource.StreamSeekable(h, size),
+                  e.offset, e.length, lenientHttp = lenient)
+                graft.sources.WarcSource.extractRow(path, r, lenient)
+              } catch {
+                case _: RuntimeException if lenient =>
+                  (path, null, -1, null) // bad line / bad pointer: countable
+              }
+            }
+          graft.sources.StreamUtil.closeOnExhaust(in,
+            graft.sources.StreamUtil.closeOnExhaust(
+              () => handles.valuesIterator.foreach(v => closeQuietly(v._1)),
+              rows))
+        }
+        if (!lenient) base
+        else graft.sources.StreamUtil.poisonOnError(base,
+          (path, null, -1, null))
+      }
+      .toDF("file", "uri", "status", "text")
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .start()
+  }
 }
 
 /** Hadoop `Configuration` is `Writable`, not `Serializable`; executors

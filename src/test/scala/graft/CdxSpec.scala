@@ -84,6 +84,61 @@ class CdxSpec extends GraftSparkSpec {
     }
   }
 
+  test("cdx: streaming index-driven fetch appends exactly-once across shards and restarts") {
+    val root = java.nio.file.Files.createTempDirectory("cdxstream").toFile
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val warcs = new java.io.File(root, "warcs"); warcs.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    try {
+      val text = "stream fetch text"
+      Seq(2L, 7L).foreach { id =>
+        val ext = if (id % 2 == 0) "warc.gz" else "warc"
+        java.nio.file.Files.write(new java.io.File(warcs, s"d$id.$ext").toPath,
+          WarcSource.warcOf(id, text))
+      }
+      java.nio.file.Files.write(new java.io.File(landing, "i2.cdx").toPath,
+        CdxSource.cdxOf(2L, text).getBytes("UTF-8"))
+      val q = graft.streaming.StreamingAnalytics.cdxFetchIngest(
+        spark, landing.getAbsolutePath, warcs.getAbsolutePath, out, ckpt)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3) // id=2: k=3 responses
+      // a second shard (gzipped, the CC form) appends only its own rows
+      java.nio.file.Files.write(new java.io.File(landing, "i7.cdx.gz").toPath,
+        WarcSource.gzipOne(CdxSource.cdxOf(7L, text).getBytes("UTF-8")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 5) // + k=2
+      q.stop()
+      // restart from the checkpoint: nothing replays, nothing duplicates
+      val q2 = graft.streaming.StreamingAnalytics.cdxFetchIngest(
+        spark, landing.getAbsolutePath, warcs.getAbsolutePath, out, ckpt)
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() === 5)
+      assert(rows.select("uri").distinct().count() === 5)
+      assert(rows.filter(rows("text").contains(text)).count() === 2) // j==0 pages
+      // a pointer into a MISSING archive poisons its line, not the batch
+      java.nio.file.Files.write(new java.io.File(landing, "bad.cdx").toPath,
+        ("org,gone)/x 20260101000000 {\"url\": \"http://gone/x\", " +
+          "\"status\": \"200\", \"length\": \"100\", \"offset\": \"0\", " +
+          "\"filename\": \"missing.warc.gz\"}\n").getBytes("UTF-8"))
+      val q3 = graft.streaming.StreamingAnalytics.cdxFetchIngest(
+        spark, landing.getAbsolutePath, warcs.getAbsolutePath, out, ckpt)
+      q3.processAllAvailable()
+      q3.stop()
+      val all = spark.read.parquet(out)
+      assert(all.count() === 6)
+      assert(all.filter(all("status") === -1).count() === 1)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("cdx: shard files parse through the Spark path; fetchByIndex round-trips a crawl") {
     val dir = java.nio.file.Files.createTempDirectory("cdxspec").toFile
     try {
