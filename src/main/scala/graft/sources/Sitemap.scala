@@ -140,7 +140,15 @@ object Sitemap {
       .parseWarc(WarcSource.warcOf(id, text)).records
       .filter(r => r.warcType == "response" && r.httpStatus == 200)
       .map(_.targetUri).toSet
-    val rules = RobotsTxt.parseRobots(RobotsTxt.robotsOf(id % 7))
+    val robots = RobotsTxt.robotsOf(id % 7)
+    val rules = RobotsTxt.parseRobots(robots)
+    // discovery bootstraps FROM the robots advertisement (RFC 9309
+    // Sitemap directives): the sitemap we parse is the one the site
+    // declares — `sitemapOf(id)` plays the fetch of that URL, and the
+    // derivation fails loudly if the advertisement ever drifts
+    require(RobotsTxt.sitemapUrls(robots) ==
+      Seq(s"http://site${id % 7}.example/sitemap.xml"),
+      s"robots: site ${id % 7} does not advertise its sitemap")
     parseSitemap(sitemapOf(id)).entries
       .filter(e => !fetchedOk(e.loc))
       .filter { e =>

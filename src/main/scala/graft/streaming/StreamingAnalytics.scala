@@ -712,9 +712,12 @@ object StreamingAnalytics {
     * filename sort); under `lenient` a malformed line or failed fetch
     * degrades to one countable poison row (uri NULL, status -1), a
     * malformed page to a NULL text with its uri kept, and shard-level
-    * damage to one poison row for the file — the micro-batch never
-    * wedges on retry. Output: (file, uri, status, text), the
-    * warcIngest shape.
+    * damage (gzip CRC on the index itself) to one poison row for the
+    * file — the micro-batch never wedges on retry. Output:
+    * (file, uri, status, text) where `file` is the fetched ARCHIVE for
+    * decoded rows (the fetchByIndex shape — per-archive accounting)
+    * and the index shard path for poison rows (a bad line's only
+    * provenance).
     */
   def cdxFetchIngest(spark: org.apache.spark.sql.SparkSession,
                      cdxLandingDir: String, warcDir: String,
@@ -768,10 +771,20 @@ object StreamingAnalytics {
                 val r = graft.sources.CdxSource.fetchRecord(
                   new graft.sources.ZipSource.StreamSeekable(h, size),
                   e.offset, e.length, lenientHttp = lenient)
-                graft.sources.WarcSource.extractRow(path, r, lenient)
+                // fetched rows carry the ARCHIVE filename (the
+                // fetchByIndex shape — per-archive accounting needs
+                // it); poison rows carry the index shard path, the
+                // only provenance a bad line has
+                graft.sources.WarcSource.extractRow(e.filename, r, lenient)
               } catch {
-                case _: RuntimeException if lenient =>
-                  (path, null, -1, null) // bad line / bad pointer: countable
+                // NonFatal, not just RuntimeException: a missing or
+                // unreadable ARCHIVE surfaces as IOException from
+                // fs.open/readFully, and it must poison THIS line —
+                // letting it escape to the file-level guard would
+                // silently drop every remaining line of the shard
+                // while the checkpoint marks it done (r17 review)
+                case scala.util.control.NonFatal(_) if lenient =>
+                  (path, null, -1, null) // bad line / bad pointer / bad archive
               }
             }
           graft.sources.StreamUtil.closeOnExhaust(in,

@@ -118,18 +118,28 @@ class CdxSpec extends GraftSparkSpec {
       assert(rows.count() === 5)
       assert(rows.select("uri").distinct().count() === 5)
       assert(rows.filter(rows("text").contains(text)).count() === 2) // j==0 pages
-      // a pointer into a MISSING archive poisons its line, not the batch
+      // fetched rows carry the ARCHIVE filename (per-archive
+      // accounting, the fetchByIndex shape)
+      assert(rows.select("file").distinct().collect().map(_.getString(0))
+        .toSet === Set("d2.warc.gz", "d7.warc"))
+      // a pointer into a MISSING archive (an IOException, not a parse
+      // error) poisons ITS LINE only — the shard's remaining lines
+      // still fetch (r17 review: an escaping IOException would drop
+      // them silently while the checkpoint marked the shard done)
       java.nio.file.Files.write(new java.io.File(landing, "bad.cdx").toPath,
         ("org,gone)/x 20260101000000 {\"url\": \"http://gone/x\", " +
           "\"status\": \"200\", \"length\": \"100\", \"offset\": \"0\", " +
-          "\"filename\": \"missing.warc.gz\"}\n").getBytes("UTF-8"))
+          "\"filename\": \"missing.warc.gz\"}\n" +
+          CdxSource.cdxOf(2L, text)).getBytes("UTF-8"))
       val q3 = graft.streaming.StreamingAnalytics.cdxFetchIngest(
         spark, landing.getAbsolutePath, warcs.getAbsolutePath, out, ckpt)
       q3.processAllAvailable()
       q3.stop()
       val all = spark.read.parquet(out)
-      assert(all.count() === 6)
+      assert(all.count() === 9) // 5 + 1 poison + 3 survivors of bad.cdx
       assert(all.filter(all("status") === -1).count() === 1)
+      assert(all.filter(all("status") === -1).head.getString(0)
+        .endsWith("bad.cdx")) // poison provenance = the index shard
     } finally {
       def rm(x: java.io.File): Unit = {
         if (x.isDirectory) x.listFiles().foreach(rm)
