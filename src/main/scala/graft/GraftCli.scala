@@ -853,6 +853,32 @@ object GraftCli {
       println(s"[graft] cdx-fetch: $cdxGlob over $warcDir -> $outDir")
       spark.stop()
 
+    case "wat-demo" :: docsParquet :: outDir :: Nil =>
+      // materialize Common-Crawl-shaped .warc.wat[.gz] metadata fixtures
+      val spark = session()
+      new java.io.File(outDir).mkdirs()
+      graft.sources.WatSource.synthesizeWat(
+          spark, spark.read.parquet(docsParquet))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val ext = if (id % 2 == 0) "warc.wat.gz" else "warc.wat"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"d$id.$ext"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      println(s"[graft] wat-demo: $docsParquet -> $outDir")
+      spark.stop()
+
+    case "wat-scan" :: glob :: outDir :: Nil =>
+      // metadata envelopes (uri/title/links/status) per capture
+      val spark = session()
+      graft.sources.WatSource.watFiles(spark, glob)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] wat-scan: $glob -> $outDir")
+      spark.stop()
+
     case "corpus-from-cdx" :: cdxGlob :: warcDir :: outDir :: Nil =>
       // index-driven corpus build: admit from the INDEX (status 200,
       // text/html), fetch one member per admitted row, land in the
@@ -1211,6 +1237,8 @@ object GraftCli {
            |  cdx-fetch <cdxGlob> <warcDir> <outDir>
            |  corpus-from-cdx <cdxGlob> <warcDir> <outDir>
            |  stream-cdx-fetch <cdxLandingDir> <warcDir> <outDir> <ckpt> [runSec]
+           |  wat-demo <docs.parquet> <outDir>
+           |  wat-scan <glob.wat[.gz]> <outDir>
            |  mkv-scan <glob.mkv|.webm> <outDir>
            |  tar-scan <glob.tar[.gz]> <outDir>
            |  mkv-meta <mediaParquet(doc_id,content)> <outDir>

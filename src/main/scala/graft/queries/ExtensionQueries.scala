@@ -3524,6 +3524,33 @@ object ExtensionQueries {
           |    ' footer ' || (doc_id % 11) AS fetched_text
           |FROM u ORDER BY doc_id, j""".stripMargin)),
 
+    // WAT metadata archives (x120) — the FOURTH and final Common Crawl
+    // artifact (fetches x100, text x117, index x119): `metadata`
+    // records whose application/json envelope carries the parsed
+    // capture metadata (target URI, HTML link graph, page title, HTTP
+    // status) — the substrate for link-graph work without page bytes.
+    // The JSON reader is OURS (sources/WatSource.Jsons: strict
+    // recursive descent, depth-capped, lexically-preserved numbers,
+    // python-json-arbitered both directions in WatSpec); DuckDB
+    // re-derives every envelope fact from doc_id arithmetic, so a
+    // grammar or path-walk slip fails the hash.
+    "x120_wat" -> QueryDef(
+      (s, dir) => graft.sources.WatSource.watTable(
+          s, graft.sources.WatSource.synthesizeWat(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id", "j"),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d)
+          |SELECT doc_id, CAST(j AS INT) AS j,
+          |  'http://site' || (doc_id % 7) || '.example/' || doc_id ||
+          |    '/' || j AS uri,
+          |  'doc ' || doc_id || ' ' || j AS title,
+          |  CAST((doc_id + j) % 4 + 1 AS INT) AS n_links,
+          |  CAST(CASE WHEN (doc_id + j) % 5 = 0 THEN 404 ELSE 200 END
+          |    AS INT) AS status
+          |FROM u ORDER BY doc_id, j""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

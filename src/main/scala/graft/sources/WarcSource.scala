@@ -372,10 +372,12 @@ object WarcSource {
           status = -1; httpCt = ""; body = null
           bodyBytes = payload.length.toLong
       }
-    } else if (ctype.startsWith("text/")) {
+    } else if (ctype.startsWith("text/") ||
+      ctype.startsWith("application/json")) {
       // non-HTTP textual payloads — Common Crawl's WET `conversion`
-      // records (text/plain extracted text) are the big population;
-      // the whole payload IS the body, no sub-parse
+      // records (text/plain extracted text) and WAT `metadata` records
+      // (application/json envelopes) are the big populations; the
+      // whole payload IS the body, no sub-parse
       body = new String(payload, "UTF-8")
       bodyBytes = payload.length.toLong
     }

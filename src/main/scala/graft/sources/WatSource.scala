@@ -1,0 +1,342 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WAT metadata archives — the FOURTH and final Common Crawl artifact
+  * (WARC x100 fetches, WET x117 text, CDX x119 index): each crawl
+  * ships `.warc.wat.gz` files whose `metadata` records carry a nested
+  * JSON envelope per capture — parsed headers, HTML link graph, page
+  * title — the cheap substrate for link-graph and anchor-text work
+  * without touching page bytes.
+  *
+  * [[Jsons]] is an own strict recursive-descent JSON reader (objects,
+  * arrays, strings with the full escape set, lexically-preserved
+  * numbers, true/false/null; depth-capped against stack bombs;
+  * trailing garbage rejects). Numbers stay STRINGS — WAT numbers are
+  * offsets and counts a consumer casts knowingly; silent double
+  * round-trips are how 2^53+1 corrupts. Interop is arbitered against
+  * python's json in BOTH directions (WatSpec).
+  *
+  * 100 TB shape: one task per `.wat.gz`, record-at-a-time through the
+  * same [[WarcIterator]] streaming walk as WARC/WET; the JSON parse is
+  * a narrow per-record kernel over KB-sized envelopes.
+  */
+object WatSource {
+
+  // ------------------------------------------------------------- json
+
+  sealed trait JValue
+  case class JObj(fields: Vector[(String, JValue)]) extends JValue {
+    def get(k: String): Option[JValue] = fields.collectFirst {
+      case (`k`, v) => v
+    }
+    /** Path lookup: `obj / "a" / "b"` — None anywhere along the way. */
+    def /(k: String): Option[JValue] = get(k)
+  }
+  case class JArr(items: Vector[JValue]) extends JValue
+  case class JStr(value: String) extends JValue
+  /** Lexical — the consumer casts knowingly. */
+  case class JNum(literal: String) extends JValue
+  case class JBool(value: Boolean) extends JValue
+  case object JNull extends JValue
+
+  object Jsons {
+    private val MaxDepth = 64
+
+    def parse(s: String): JValue = {
+      val p = new P(s)
+      p.ws()
+      val v = p.value(0)
+      p.ws()
+      require(p.i == s.length, "json: bytes after top-level value")
+      v
+    }
+
+    /** Descend an object path; None if any hop is missing/non-object. */
+    def path(v: JValue, keys: String*): Option[JValue] =
+      keys.foldLeft(Option(v)) {
+        case (Some(o: JObj), k) => o.get(k)
+        case _ => None
+      }
+
+    private final class P(s: String) {
+      var i = 0
+      def ws(): Unit = {
+        while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\n' ||
+          s.charAt(i) == '\r' || s.charAt(i) == '\t')) i += 1
+      }
+      private def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"json: $msg at $i")
+      private def expect(c: Char): Unit = {
+        if (i >= s.length || s.charAt(i) != c) fail(s"expected '$c'")
+        i += 1
+      }
+      def value(depth: Int): JValue = {
+        if (depth > MaxDepth) fail("nesting exceeds depth cap")
+        if (i >= s.length) fail("truncated")
+        s.charAt(i) match {
+          case '{' => obj(depth)
+          case '[' => arr(depth)
+          case '"' => JStr(str())
+          case 't' => lit("true"); JBool(true)
+          case 'f' => lit("false"); JBool(false)
+          case 'n' => lit("null"); JNull
+          case c if c == '-' || (c >= '0' && c <= '9') => num()
+          case c => fail(s"unexpected '$c'")
+        }
+      }
+      private def lit(word: String): Unit = {
+        if (!s.regionMatches(false, i, word, 0, word.length))
+          fail(s"bad literal (expected $word)")
+        i += word.length
+      }
+      private def obj(depth: Int): JValue = {
+        expect('{'); ws()
+        val out = Vector.newBuilder[(String, JValue)]
+        if (i < s.length && s.charAt(i) == '}') { i += 1; return JObj(out.result()) }
+        var more = true
+        while (more) {
+          ws()
+          val k = str()
+          ws(); expect(':'); ws()
+          out += (k -> value(depth + 1))
+          ws()
+          if (i < s.length && s.charAt(i) == ',') { i += 1; more = true }
+          else { expect('}'); more = false }
+        }
+        JObj(out.result())
+      }
+      private def arr(depth: Int): JValue = {
+        expect('['); ws()
+        val out = Vector.newBuilder[JValue]
+        if (i < s.length && s.charAt(i) == ']') { i += 1; return JArr(out.result()) }
+        var more = true
+        while (more) {
+          ws()
+          out += value(depth + 1)
+          ws()
+          if (i < s.length && s.charAt(i) == ',') { i += 1; more = true }
+          else { expect(']'); more = false }
+        }
+        JArr(out.result())
+      }
+      private def str(): String = {
+        expect('"')
+        val sb = new StringBuilder
+        while (i < s.length && s.charAt(i) != '"') {
+          val c = s.charAt(i)
+          if (c == '\\') {
+            i += 1
+            if (i >= s.length) fail("truncated escape")
+            s.charAt(i) match {
+              case '"' => sb.append('"')
+              case '\\' => sb.append('\\')
+              case '/' => sb.append('/')
+              case 'b' => sb.append('\b')
+              case 'f' => sb.append('\f')
+              case 'n' => sb.append('\n')
+              case 'r' => sb.append('\r')
+              case 't' => sb.append('\t')
+              case 'u' =>
+                if (i + 4 >= s.length) fail("truncated \\u escape")
+                val hex = s.substring(i + 1, i + 5)
+                if (!hex.forall(ch => Character.digit(ch, 16) >= 0))
+                  fail(s"bad \\u escape '$hex'")
+                sb.append(Integer.parseInt(hex, 16).toChar)
+                i += 4
+              case other => fail(s"unsupported escape '\\$other'")
+            }
+          } else sb.append(c)
+          i += 1
+        }
+        if (i >= s.length) fail("unterminated string")
+        i += 1
+        sb.toString
+      }
+      private def num(): JValue = {
+        val start = i
+        if (i < s.length && s.charAt(i) == '-') i += 1
+        def digits(): Unit = {
+          val d0 = i
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+          if (i == d0) fail("bad number")
+        }
+        digits()
+        if (i < s.length && s.charAt(i) == '.') { i += 1; digits() }
+        if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+          i += 1
+          if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+          digits()
+        }
+        JNum(s.substring(start, i))
+      }
+    }
+  }
+
+  /** Serialize back to canonical JSON (insertion order kept) — the
+    * other interop direction: python's json must re-read our bytes.
+    */
+  private[graft] def render(v: JValue): String = v match {
+    case JObj(fs) => fs.map { case (k, x) =>
+      renderStr(k) + ": " + render(x) }.mkString("{", ", ", "}")
+    case JArr(xs) => xs.map(render).mkString("[", ", ", "]")
+    case JStr(x) => renderStr(x)
+    case JNum(l) => l
+    case JBool(b) => b.toString
+    case JNull => "null"
+  }
+  private def renderStr(x: String): String = {
+    val sb = new StringBuilder("\"")
+    x.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  // -------------------------------------------------------------- wat
+
+  private[graft] case class WatFacts(uri: String, title: String,
+      nLinks: Int, status: Int)
+
+  /** Facts of one WAT metadata envelope: target URI (header metadata),
+    * page title, link count, and the recorded HTTP status. Missing
+    * branches (non-HTML captures have no HTML-Metadata) degrade to
+    * empty/zero — absence is data in WAT, not damage.
+    */
+  private[graft] def watFacts(json: String): WatFacts = {
+    val v = Jsons.parse(json)
+    val env = Jsons.path(v, "Envelope")
+      .getOrElse(sys.error("wat: missing Envelope"))
+    val uri = Jsons.path(env, "WARC-Header-Metadata", "WARC-Target-URI")
+      match {
+        case Some(JStr(u)) => u
+        case _ => sys.error("wat: missing WARC-Target-URI")
+      }
+    val respMeta = Jsons.path(env, "Payload-Metadata",
+      "HTTP-Response-Metadata")
+    val title = respMeta.flatMap(Jsons.path(_, "HTML-Metadata", "Head",
+      "Title")) match {
+      case Some(JStr(t)) => t
+      case _ => ""
+    }
+    val nLinks = respMeta.flatMap(Jsons.path(_, "HTML-Metadata", "Links"))
+      match {
+        case Some(JArr(xs)) => xs.size
+        case _ => 0
+      }
+    val status = respMeta.flatMap(Jsons.path(_, "Response-Message",
+      "Status")) match {
+      case Some(JNum(l)) => l.toInt
+      case Some(JStr(l)) => l.toInt // some producers quote it
+      case _ => -1
+    }
+    WatFacts(uri, title, nLinks, status)
+  }
+
+  // Fixture arithmetic (the DuckDB oracle re-derives everything): one
+  // warcinfo + k = id%3+1 `metadata` records matching the x100 capture
+  // set — record j's envelope carries uri http://site{id%7}.example/
+  // {id}/{j}, status 404/(id+j)%5 like x100, title "doc {id} {j}", and
+  // (id+j)%4+1 links to /l{m}; gzip member-per-record on even ids.
+  private[graft] def watOf(id: Long, text: String): Array[Byte] = {
+    val k = (id % 3 + 1).toInt
+    val recs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    recs += watRecord("warcinfo", s"urn:uuid:$id-watinfo", "",
+      """{"Software": "graft-wat"}""")
+    (0 until k).foreach { j =>
+      val uri = s"http://site${id % 7}.example/$id/$j"
+      val status = if ((id + j) % 5 == 0) 404 else 200
+      val nLinks = ((id + j) % 4 + 1).toInt
+      val links = (0 until nLinks).map(m =>
+        s"""{"path": "A@/href", "url": "/l$m"}""").mkString("[", ", ", "]")
+      val json =
+        s"""{"Envelope": {"WARC-Header-Metadata": {"WARC-Target-URI": "$uri", "WARC-Type": "response"}, "Payload-Metadata": {"HTTP-Response-Metadata": {"Response-Message": {"Status": $status}, "HTML-Metadata": {"Head": {"Title": "doc $id $j"}, "Links": $links}}}}}"""
+      recs += watRecord("metadata", s"urn:uuid:$id-$j-wat", uri, json)
+    }
+    if (id % 2 == 0) recs.toArray.flatMap(WarcSource.gzipOne)
+    else recs.toArray.flatten
+  }
+
+  private def watRecord(wtype: String, rid: String, uri: String,
+                        json: String): Array[Byte] = {
+    val payload = json.getBytes("UTF-8")
+    val h = new StringBuilder("WARC/1.0\r\n")
+    h.append("WARC-Type: ").append(wtype).append("\r\n")
+    h.append("WARC-Record-ID: <").append(rid).append(">\r\n")
+    h.append("WARC-Date: 2026-03-01T00:00:00Z\r\n")
+    if (uri.nonEmpty)
+      h.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    h.append("Content-Type: application/json\r\n")
+    h.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    h.toString.getBytes("ISO-8859-1") ++ payload ++
+      "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  def synthesizeWat(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { case (id, text) =>
+        graft.operators.Multimodal.ImageRow(id, watOf(id, text)) }
+      .toDF()
+  }
+
+  /** x120 gate: parse each doc's WAT archive and emit per-capture
+    * envelope facts — DuckDB re-derives uri/title/links/status from
+    * doc_id arithmetic, so a JSON-grammar or path-walk slip fails the
+    * hash.
+    */
+  def watTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        WarcSource.parseWarc(bytes).records
+          .filter(_.warcType == "metadata")
+          .zipWithIndex.map { case (r, j) =>
+            val f = watFacts(r.body)
+            require(f.uri == r.targetUri,
+              s"wat: envelope uri '${f.uri}' != record uri '${r.targetUri}'")
+            (id, j, f.uri, f.title, f.nLinks, f.status)
+          }
+      }
+      .toDF("doc_id", "j", "uri", "title", "n_links", "status")
+  }
+
+  /** File-path arm: metadata envelopes of `.wat(.gz)` files under a
+    * glob — one task per file, record-at-a-time (the WARC/WET
+    * streaming discipline), lenient poison row (uri NULL) on damage.
+    */
+  def watFiles(spark: SparkSession, glob: String,
+               lenient: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        val base = StreamUtil.deferred {
+          val in = pds.open()
+          StreamUtil.closeOnExhaust(in,
+            new WarcSource.WarcIterator(in, lenientHttp = lenient)
+              .filter(r => r.warcType == "metadata" && r.body != null)
+              .map { r =>
+                val f =
+                  try watFacts(r.body)
+                  catch {
+                    case e: RuntimeException =>
+                      if (!lenient) throw e
+                      WatFacts(r.targetUri, null, -1, -1) // bad envelope
+                  }
+                (path, f.uri, f.title, f.nLinks, f.status)
+              })
+        }
+        if (!lenient) base
+        else StreamUtil.poisonOnError(base, (path, null, null, -1, -1))
+      }
+      .toDF("file", "uri", "title", "n_links", "status")
+  }
+}

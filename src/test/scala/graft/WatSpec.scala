@@ -1,0 +1,118 @@
+package graft
+
+import graft.sources.WatSource
+import graft.sources.WatSource._
+
+/** WAT metadata family: the own JSON reader vs python's json in BOTH
+  * directions, envelope fact extraction, fixture arithmetic, and the
+  * lenient file arm.
+  */
+class WatSpec extends GraftSparkSpec {
+
+  private def python(script: String, stdin: String): String = {
+    val pb = new ProcessBuilder("python3", "-c", script)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    p.getOutputStream.write(stdin.getBytes("UTF-8"))
+    p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() === 0, s"python failed: $out")
+    out
+  }
+
+  test("json: python-written nested JSON parses to the same values") {
+    // python WRITES (the foreign producer), we read
+    // non-ASCII via escapes: argv crosses the process boundary in the
+    // platform locale, which may not be UTF-8
+    val esc = "caf\\u00e9 \\u201cq\\u201d" // single backslashes in python
+    val py = python(
+      s"""import json, sys
+         |v = {"a": [1, 2.5, -3e2], "b": {"nested": {"deep": "x\\ny"}},
+         |     "c": True, "d": None, "e": "$esc",
+         |     "f": [], "g": {}}
+         |sys.stdout.write(json.dumps(v))""".stripMargin, "")
+    val v = Jsons.parse(py).asInstanceOf[JObj]
+    assert(v.get("a") === Some(JArr(Vector(
+      JNum("1"), JNum("2.5"), JNum("-300.0")))))
+    assert(Jsons.path(v, "b", "nested", "deep") === Some(JStr("x\ny")))
+    assert(v.get("c") === Some(JBool(true)))
+    assert(v.get("d") === Some(JNull))
+    assert(v.get("e") === Some(JStr("café “q”")))
+    assert(v.get("f") === Some(JArr(Vector.empty)))
+    assert(v.get("g") === Some(JObj(Vector.empty)))
+  }
+
+  test("json: python re-reads our rendered bytes value-for-value") {
+    val ours = Jsons.parse(
+      """{"k": ["v", {"n": 42, "t": true}], "s": "a\"b\\c\nd"}""")
+    val rendered = WatSource.render(ours)
+    // python parses our serialization and re-dumps with sorted keys —
+    // comparing against its own dump of the same structure
+    val check = python(
+      """import json, sys
+        |v = json.load(sys.stdin)
+        |expect = {"k": ["v", {"n": 42, "t": True}], "s": "a\"b\\c\nd"}
+        |print(v == expect)""".stripMargin, rendered)
+    assert(check.trim === "True")
+  }
+
+  test("json: malformed shapes reject by name; depth cap holds") {
+    Seq("{", "[1,", "{\"a\" 1}", "tru", "\"unterminated",
+      "{\"a\": 1} extra", "01x", "{\"a\": .5}").foreach { bad =>
+      val e = intercept[IllegalArgumentException] { Jsons.parse(bad) }
+      assert(e.getMessage.contains("json:"), s"input '$bad': $e")
+    }
+    val bomb = "[" * 100 + "]" * 100
+    val e = intercept[IllegalArgumentException] { Jsons.parse(bomb) }
+    assert(e.getMessage.contains("depth"))
+  }
+
+  test("wat: fixture facts match the documented arithmetic; file arm is lenient") {
+    Seq(2L, 7L).foreach { id => // gzip member-per-record / plain
+      val f = graft.sources.WarcSource.parseWarc(
+        WatSource.watOf(id, "text"))
+      val meta = f.records.filter(_.warcType == "metadata")
+      assert(meta.size === (id % 3 + 1).toInt)
+      meta.zipWithIndex.foreach { case (r, j) =>
+        val w = WatSource.watFacts(r.body)
+        assert(w.uri === s"http://site${id % 7}.example/$id/$j")
+        assert(w.title === s"doc $id $j")
+        assert(w.nLinks === ((id + j) % 4 + 1).toInt)
+        assert(w.status === (if ((id + j) % 5 == 0) 404 else 200))
+      }
+    }
+    // python validates the whole fixture envelope (foreign reader)
+    val body = graft.sources.WarcSource.parseWarc(WatSource.watOf(4L, "t"))
+      .records.filter(_.warcType == "metadata").head.body
+    val py = python(
+      """import json, sys
+        |v = json.load(sys.stdin)
+        |m = v["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+        |print(m["HTML-Metadata"]["Head"]["Title"],
+        |      len(m["HTML-Metadata"]["Links"]),
+        |      m["Response-Message"]["Status"])""".stripMargin, body)
+    assert(py.trim === "doc 4 0 1 200")
+
+    val dir = java.nio.file.Files.createTempDirectory("watspec").toFile
+    try {
+      Seq(2L, 7L).foreach { id =>
+        val ext = if (id % 2 == 0) "warc.wat.gz" else "warc.wat"
+        java.nio.file.Files.write(new java.io.File(dir, s"d$id.$ext").toPath,
+          WatSource.watOf(id, "t"))
+      }
+      val rows = WatSource.watFiles(spark, dir.getAbsolutePath + "/*.wat*")
+        .collect()
+      assert(rows.length === 5) // k=3 + k=2
+      assert(rows.forall(r => r.getInt(4) == 200 || r.getInt(4) == 404))
+      // a damaged file poisons with uri NULL; survivors intact
+      java.nio.file.Files.write(new java.io.File(dir, "bad.warc.wat").toPath,
+        "not a wat".getBytes("UTF-8"))
+      val withBad = WatSource.watFiles(spark, dir.getAbsolutePath + "/*.wat*")
+        .collect()
+      assert(withBad.length === 6)
+      assert(withBad.count(_.isNullAt(1)) === 1)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
