@@ -87,6 +87,16 @@ class FuzzCorruptionSpec extends GraftSparkSpec {
     }
   }
 
+  test("fuzz: wat metadata envelopes (nested JSON through the record walk)") {
+    Seq(2L, 7L).foreach { id =>
+      sweep(s"wat-$id", WatSource.watOf(id, "alpha"), { b =>
+        WarcSource.parseWarc(b).records
+          .filter(r => r.warcType == "metadata" && r.body != null)
+          .foreach(r => WatSource.watFacts(r.body))
+      })
+    }
+  }
+
   test("fuzz: tar shards (plain) and cdx index lines") {
     sweep("tar", TarSource.tarOf(Seq(
       ("a.txt", ("data " * 40).getBytes("UTF-8")),
