@@ -28,7 +28,11 @@ object WatSource {
 
   sealed trait JValue
   case class JObj(fields: Vector[(String, JValue)]) extends JValue {
-    def get(k: String): Option[JValue] = fields.collectFirst {
+    /** LAST occurrence wins on duplicate keys — matching python's dict
+      * semantics so the arbiter and this reader can never disagree on
+      * a hostile duplicate-key envelope.
+      */
+    def get(k: String): Option[JValue] = fields.reverseIterator.collectFirst {
       case (`k`, v) => v
     }
     /** Path lookup: `obj / "a" / "b"` — None anywhere along the way. */
@@ -126,6 +130,7 @@ object WatSource {
         val sb = new StringBuilder
         while (i < s.length && s.charAt(i) != '"') {
           val c = s.charAt(i)
+          if (c < 0x20) fail("raw control character in string")
           if (c == '\\') {
             i += 1
             if (i >= s.length) fail("truncated escape")
@@ -141,7 +146,10 @@ object WatSource {
               case 'u' =>
                 if (i + 4 >= s.length) fail("truncated \\u escape")
                 val hex = s.substring(i + 1, i + 5)
-                if (!hex.forall(ch => Character.digit(ch, 16) >= 0))
+                // explicit ASCII hex: Character.digit also accepts
+                // Unicode digit chars python rejects
+                if (!hex.forall(ch => (ch >= '0' && ch <= '9') ||
+                  (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')))
                   fail(s"bad \\u escape '$hex'")
                 sb.append(Integer.parseInt(hex, 16).toChar)
                 i += 4
@@ -157,12 +165,18 @@ object WatSource {
       private def num(): JValue = {
         val start = i
         if (i < s.length && s.charAt(i) == '-') i += 1
+        // ASCII digits only (isDigit is Unicode-aware and would accept
+        // what python rejects); RFC 8259 int grammar forbids leading 0s
+        def ascii(c: Char): Boolean = c >= '0' && c <= '9'
         def digits(): Unit = {
           val d0 = i
-          while (i < s.length && s.charAt(i).isDigit) i += 1
+          while (i < s.length && ascii(s.charAt(i))) i += 1
           if (i == d0) fail("bad number")
         }
+        val intStart = i
         digits()
+        if (s.charAt(intStart) == '0' && i - intStart > 1)
+          fail("leading zero in number")
         if (i < s.length && s.charAt(i) == '.') { i += 1; digits() }
         if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
           i += 1
@@ -217,7 +231,9 @@ object WatSource {
     val uri = Jsons.path(env, "WARC-Header-Metadata", "WARC-Target-URI")
       match {
         case Some(JStr(u)) => u
-        case _ => sys.error("wat: missing WARC-Target-URI")
+        // real WAT files carry envelopes WITHOUT a target URI (the
+        // warcinfo-description record) — absence is data, not damage
+        case _ => ""
       }
     val respMeta = Jsons.path(env, "Payload-Metadata",
       "HTTP-Response-Metadata")
@@ -245,7 +261,7 @@ object WatSource {
   // set — record j's envelope carries uri http://site{id%7}.example/
   // {id}/{j}, status 404/(id+j)%5 like x100, title "doc {id} {j}", and
   // (id+j)%4+1 links to /l{m}; gzip member-per-record on even ids.
-  private[graft] def watOf(id: Long, text: String): Array[Byte] = {
+  private[graft] def watOf(id: Long): Array[Byte] = {
     val k = (id % 3 + 1).toInt
     val recs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     recs += watRecord("warcinfo", s"urn:uuid:$id-watinfo", "",
@@ -281,10 +297,9 @@ object WatSource {
 
   def synthesizeWat(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id")).as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
-      .map { case (id, text) =>
-        graft.operators.Multimodal.ImageRow(id, watOf(id, text)) }
+      .map(id => graft.operators.Multimodal.ImageRow(id, watOf(id)))
       .toDF()
   }
 

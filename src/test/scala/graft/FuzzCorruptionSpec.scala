@@ -89,7 +89,7 @@ class FuzzCorruptionSpec extends GraftSparkSpec {
 
   test("fuzz: wat metadata envelopes (nested JSON through the record walk)") {
     Seq(2L, 7L).foreach { id =>
-      sweep(s"wat-$id", WatSource.watOf(id, "alpha"), { b =>
+      sweep(s"wat-$id", WatSource.watOf(id), { b =>
         WarcSource.parseWarc(b).records
           .filter(r => r.warcType == "metadata" && r.body != null)
           .foreach(r => WatSource.watFacts(r.body))

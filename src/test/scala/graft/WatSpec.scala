@@ -58,19 +58,34 @@ class WatSpec extends GraftSparkSpec {
 
   test("json: malformed shapes reject by name; depth cap holds") {
     Seq("{", "[1,", "{\"a\" 1}", "tru", "\"unterminated",
-      "{\"a\": 1} extra", "01x", "{\"a\": .5}").foreach { bad =>
+      "{\"a\": 1} extra", "01x", "{\"a\": .5}",
+      // strictness matched to the python arbiter (r17 review):
+      "01", "-012", // leading zeros
+      "\"a\nb\"", // raw control character inside a string
+      "[1\u0663]", // non-ASCII Unicode digit
+      "\"\\u0\u0663\u06630\"" // Unicode digits inside a \u escape
+    ).foreach { bad =>
       val e = intercept[IllegalArgumentException] { Jsons.parse(bad) }
       assert(e.getMessage.contains("json:"), s"input '$bad': $e")
     }
     val bomb = "[" * 100 + "]" * 100
     val e = intercept[IllegalArgumentException] { Jsons.parse(bomb) }
     assert(e.getMessage.contains("depth"))
+    // duplicate keys: LAST wins, matching python's dict semantics
+    assert(Jsons.parse("""{"s": 200, "s": 404}""")
+      .asInstanceOf[JObj].get("s") === Some(JNum("404")))
+    // an envelope without a target URI is DATA (the warcinfo-
+    // description record real WAT files open with), never damage
+    assert(WatSource.watFacts(
+      """{"Envelope": {"WARC-Header-Metadata": {"WARC-Type": "warcinfo"},
+        | "Payload-Metadata": {}}}""".stripMargin.replace("\n", ""))
+      === WatSource.WatFacts("", "", 0, -1))
   }
 
   test("wat: fixture facts match the documented arithmetic; file arm is lenient") {
     Seq(2L, 7L).foreach { id => // gzip member-per-record / plain
       val f = graft.sources.WarcSource.parseWarc(
-        WatSource.watOf(id, "text"))
+        WatSource.watOf(id))
       val meta = f.records.filter(_.warcType == "metadata")
       assert(meta.size === (id % 3 + 1).toInt)
       meta.zipWithIndex.foreach { case (r, j) =>
@@ -82,7 +97,7 @@ class WatSpec extends GraftSparkSpec {
       }
     }
     // python validates the whole fixture envelope (foreign reader)
-    val body = graft.sources.WarcSource.parseWarc(WatSource.watOf(4L, "t"))
+    val body = graft.sources.WarcSource.parseWarc(WatSource.watOf(4L))
       .records.filter(_.warcType == "metadata").head.body
     val py = python(
       """import json, sys
@@ -98,7 +113,7 @@ class WatSpec extends GraftSparkSpec {
       Seq(2L, 7L).foreach { id =>
         val ext = if (id % 2 == 0) "warc.wat.gz" else "warc.wat"
         java.nio.file.Files.write(new java.io.File(dir, s"d$id.$ext").toPath,
-          WatSource.watOf(id, "t"))
+          WatSource.watOf(id))
       }
       val rows = WatSource.watFiles(spark, dir.getAbsolutePath + "/*.wat*")
         .collect()
