@@ -3551,6 +3551,34 @@ object ExtensionQueries {
           |    AS INT) AS status
           |FROM u ORDER BY doc_id, j""".stripMargin)),
 
+    // WAT OUTLINK EDGES (x121) — the link-graph substrate: every
+    // envelope link resolved to an absolute URL against its capture
+    // URI per RFC 3986 §5 (via java.net.URI, fragment-stripped). The
+    // fixture rotates the three reference forms a crawler meets —
+    // absolute-path (/lm), relative-path (lm — merges against the
+    // capture's /id/j directory), and already-absolute — and DuckDB
+    // re-derives each resolution arithmetically, so a merge or
+    // dot-segment slip fails the hash. Feeding these edges into the
+    // graph family (pagerank x47, components x69) is the standard
+    // web-graph pipeline, built without touching page bytes.
+    "x121_wat_outlinks" -> QueryDef(
+      (s, dir) => graft.sources.WatSource.watOutlinkTable(
+          s, graft.sources.WatSource.synthesizeWat(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id", "j", "m"),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d),
+          |l AS (SELECT doc_id, j,
+          |        unnest(range(0, (doc_id + j) % 4 + 1)) AS m FROM u)
+          |SELECT doc_id, CAST(j AS INT) AS j, CAST(m AS INT) AS m,
+          |  CASE m % 3
+          |    WHEN 0 THEN 'http://site' || (doc_id % 7) || '.example/l' || m
+          |    WHEN 1 THEN 'http://site' || (doc_id % 7) || '.example/' ||
+          |      doc_id || '/l' || m
+          |    ELSE 'http://ext' || m || '.example/p' END AS target
+          |FROM l ORDER BY doc_id, j, m""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

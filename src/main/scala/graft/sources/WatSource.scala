@@ -270,8 +270,16 @@ object WatSource {
       val uri = s"http://site${id % 7}.example/$id/$j"
       val status = if ((id + j) % 5 == 0) 404 else 200
       val nLinks = ((id + j) % 4 + 1).toInt
-      val links = (0 until nLinks).map(m =>
-        s"""{"path": "A@/href", "url": "/l$m"}""").mkString("[", ", ", "]")
+      // the three reference forms a crawler must resolve (RFC 3986 §5):
+      // absolute-path, relative-path, and already-absolute
+      val links = (0 until nLinks).map { m =>
+        val href = (m % 3) match {
+          case 0 => s"/l$m"
+          case 1 => s"l$m"
+          case _ => s"http://ext$m.example/p"
+        }
+        s"""{"path": "A@/href", "url": "$href"}"""
+      }.mkString("[", ", ", "]")
       val json =
         s"""{"Envelope": {"WARC-Header-Metadata": {"WARC-Target-URI": "$uri", "WARC-Type": "response"}, "Payload-Metadata": {"HTTP-Response-Metadata": {"Response-Message": {"Status": $status}, "HTML-Metadata": {"Head": {"Title": "doc $id $j"}, "Links": $links}}}}}"""
       recs += watRecord("metadata", s"urn:uuid:$id-$j-wat", uri, json)
@@ -322,6 +330,71 @@ object WatSource {
           }
       }
       .toDF("doc_id", "j", "uri", "title", "n_links", "status")
+  }
+
+  /** RFC 3986 §5 reference resolution for outlink edges — via
+    * `java.net.URI` (the platform implements the algorithm; hand-
+    * rolling it would only re-derive the same table), fragment
+    * stripped (crawl identity ends at the query). Unresolvable refs
+    * return null — a crawler counts them, it never dies on them.
+    * Note the known JDK deviation: empty-path references ("?q") drop
+    * the base's last path segment where the RFC keeps it — callers
+    * resolving query-only refs at scale should normalize those
+    * upstream; WAT Links are overwhelmingly path-carrying.
+    */
+  private[graft] def resolveUrl(base: String, ref: String): String =
+    try {
+      val r = new java.net.URI(base).resolve(ref)
+      val noFrag = new java.net.URI(r.getScheme, r.getRawAuthority,
+        r.getPath, r.getQuery, null)
+      noFrag.toString
+    } catch {
+      case _: java.net.URISyntaxException | _: IllegalArgumentException |
+          _: NullPointerException => null
+    }
+
+  /** Outlink EDGES of each capture: the link-graph substrate — every
+    * envelope link resolved to an absolute URL against its capture
+    * URI. One row per (capture, link); feeding this into the graph
+    * family (pagerank x47, components x69...) is the standard
+    * web-graph pipeline, built here without touching page bytes.
+    */
+  private[graft] def outlinks(json: String): Seq[String] = {
+    val v = Jsons.parse(json)
+    val env = Jsons.path(v, "Envelope")
+      .getOrElse(sys.error("wat: missing Envelope"))
+    val base = Jsons.path(env, "WARC-Header-Metadata", "WARC-Target-URI")
+      match {
+        case Some(JStr(u)) => u
+        case _ => return Seq.empty // no base: nothing resolvable
+      }
+    Jsons.path(env, "Payload-Metadata", "HTTP-Response-Metadata",
+      "HTML-Metadata", "Links") match {
+      case Some(JArr(xs)) => xs.flatMap {
+        case o: JObj => o.get("url") match {
+          case Some(JStr(u)) => Option(resolveUrl(base, u))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  /** x121 gate: the resolved outlink edge list per capture. */
+  def watOutlinkTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        WarcSource.parseWarc(bytes).records
+          .filter(_.warcType == "metadata")
+          .zipWithIndex.flatMap { case (r, j) =>
+            outlinks(r.body).zipWithIndex.map { case (t, m) =>
+              (id, j, m, t)
+            }
+          }
+      }
+      .toDF("doc_id", "j", "m", "target")
   }
 
   /** File-path arm: metadata envelopes of `.wat(.gz)` files under a

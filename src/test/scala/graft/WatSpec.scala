@@ -82,6 +82,37 @@ class WatSpec extends GraftSparkSpec {
       === WatSource.WatFacts("", "", 0, -1))
   }
 
+  test("wat: outlink resolution covers the RFC 3986 reference forms; junk resolves to null") {
+    import graft.sources.WatSource.resolveUrl
+    val base = "http://site1.example/12/3"
+    assert(resolveUrl(base, "/abs/path") === "http://site1.example/abs/path")
+    assert(resolveUrl(base, "rel") === "http://site1.example/12/rel")
+    assert(resolveUrl(base, "../up") === "http://site1.example/up")
+    assert(resolveUrl(base, "http://other.example/x") ===
+      "http://other.example/x")
+    assert(resolveUrl(base, "//cdn.example/y") === "http://cdn.example/y")
+    // fragments drop: crawl identity ends at the query
+    assert(resolveUrl(base, "/p#frag") === "http://site1.example/p")
+    assert(resolveUrl(base, "/p?q=1#frag") === "http://site1.example/p?q=1")
+    // unresolvable junk is a countable null, never a throw
+    assert(resolveUrl(base, "http://[broken") === null)
+    // envelope edges follow the fixture arithmetic
+    val meta = graft.sources.WarcSource.parseWarc(WatSource.watOf(5L))
+      .records.filter(_.warcType == "metadata")
+    meta.zipWithIndex.foreach { case (r, j) =>
+      val links = WatSource.outlinks(r.body)
+      assert(links.size === ((5 + j) % 4 + 1))
+      links.zipWithIndex.foreach { case (t, m) =>
+        val expect = (m % 3) match {
+          case 0 => s"http://site5.example/l$m"
+          case 1 => s"http://site5.example/5/l$m"
+          case _ => s"http://ext$m.example/p"
+        }
+        assert(t === expect, s"j=$j m=$m")
+      }
+    }
+  }
+
   test("wat: fixture facts match the documented arithmetic; file arm is lenient") {
     Seq(2L, 7L).foreach { id => // gzip member-per-record / plain
       val f = graft.sources.WarcSource.parseWarc(
