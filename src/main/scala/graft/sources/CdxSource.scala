@@ -54,7 +54,14 @@ object CdxSource {
     */
   private[graft] def surt(url: String): String = {
     val m = "(?i)^(https?)://([^/?#]+)([^#]*)".r
-    url match {
+    // fragments never reach the server — strip before matching (a full-
+    // string regex would otherwise fail on '#' and mislabel a perfectly
+    // good https URL as "non-http(s)", ADVICE r17)
+    val noFrag = url.indexOf('#') match {
+      case -1 => url
+      case h => url.substring(0, h)
+    }
+    noFrag match {
       case m(scheme, auth0, rest) =>
         // userinfo carries no identity for dedup keys and would
         // otherwise reverse as part of the host
@@ -116,7 +123,10 @@ object CdxSource {
               // real CDXJ routinely escapes non-ASCII url bytes
               require(i + 4 < n, "cdx: truncated \\u escape in json")
               val hex = s.substring(i + 1, i + 5)
-              require(hex.forall(ch => Character.digit(ch, 16) >= 0),
+              // explicit ASCII hex — Character.digit also accepts
+              // Unicode digit chars (the WatSource.Jsons strictness)
+              require(hex.forall(ch => (ch >= '0' && ch <= '9') ||
+                (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')),
                 s"cdx: bad \\u escape '$hex'")
               i += 4
               Integer.parseInt(hex, 16).toChar

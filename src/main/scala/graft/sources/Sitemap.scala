@@ -180,24 +180,37 @@ object Sitemap {
     * delay row gets `defaultDelayMs` (the crawlDelayMs default) — a
     * LEFT join: an inner join would silently drop admitted URLs, and
     * a missing politeness hint must never unschedule a fetch.
+    *
+    * Missing hints are DATA, not damage (both fields are optional per
+    * sitemaps.org, so real frontier rows carry them even though the
+    * fixture never does — ADVICE r17): an unknown/NULL changefreq falls
+    * back to a weekly period, and a NULL/unparseable lastmod means
+    * "never seen" → [[NeverFetchedPpm]], a sentinel above any real age
+    * (36500 days daily ≈ 3.7e10 ppm), so such URLs schedule FIRST and
+    * the ordering is engine-independent (a NULL overdue would sort
+    * nulls-last in Spark but nulls-first in DuckDB's DESC default).
     */
+  val NeverFetchedPpm = 1000000000000L
+
   def fetchSchedule(frontier: DataFrame, delays: DataFrame,
                     asOf: String, defaultDelayMs: Long = 1000L): DataFrame = {
     val period = when(col("changefreq") === "daily", 1L)
       .when(col("changefreq") === "weekly", 7L)
       .when(col("changefreq") === "monthly", 30L)
       .when(col("changefreq") === "yearly", 365L)
-      .otherwise(raise_error(concat(lit("sitemap: unknown changefreq '"),
-        col("changefreq"), lit("'"))))
+      .otherwise(lit(7L)) // documented default: unknown/NULL -> weekly
     val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
       .orderBy(col("overdue_ppm").desc, col("priority_ppm").desc, col("loc"))
     frontier
       .withColumn("age_days",
-        datediff(to_date(lit(asOf)), to_date(col("lastmod"))).cast("long"))
+        datediff(to_date(lit(asOf)), try_to_date(col("lastmod")))
+          .cast("long"))
       .withColumn("period_days", period)
-      // integer div: nonnegative ages, so Spark `div` == DuckDB `//`
+      // integer div: nonnegative ages, so Spark `div` == DuckDB `//`;
+      // NULL age (no/unparseable lastmod) -> never-fetched sentinel
       .withColumn("overdue_ppm",
-        expr("age_days * 1000000 div period_days"))
+        coalesce(expr("age_days * 1000000 div period_days"),
+          lit(NeverFetchedPpm)))
       .join(broadcast(delays), Seq("host"), "left")
       .withColumn("delay_ms",
         coalesce(col("delay_ms"), lit(defaultDelayMs)))

@@ -130,8 +130,13 @@ object WarcSource {
       val line = readLine(feed, tm)
       val semi = line.indexOf(';')
       val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      // explicit ASCII hex (ADVICE r17): Character.digit is Unicode-
+      // aware; readLine's Latin-1 decode keeps chars below 0x100 where
+      // the tables happen to coincide, but the strictness should not
+      // depend on that coincidence (WatSource.Jsons discipline)
       require(hex.nonEmpty && hex.length <= 8 &&
-        hex.forall(c => Character.digit(c, 16) >= 0),
+        hex.forall(c => (c >= '0' && c <= '9') ||
+          (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
         s"http: bad chunk size line '$line'")
       val n = java.lang.Long.parseLong(hex, 16)
       if (n == 0) {

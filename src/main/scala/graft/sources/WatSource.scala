@@ -344,10 +344,16 @@ object WatSource {
     */
   private[graft] def resolveUrl(base: String, ref: String): String =
     try {
-      val r = new java.net.URI(base).resolve(ref)
-      val noFrag = new java.net.URI(r.getScheme, r.getRawAuthority,
-        r.getPath, r.getQuery, null)
-      noFrag.toString
+      // strip the fragment TEXTUALLY off the resolved raw form: a parsed
+      // URI has at most one raw '#' (any other is percent-encoded), and
+      // reassembling from decoded getPath/getQuery would strip the
+      // encoding itself — %2F in a path segment became a real '/',
+      // changing outlink identity (ADVICE r17)
+      val r = new java.net.URI(base).resolve(ref).toString
+      r.indexOf('#') match {
+        case -1 => r
+        case h => r.substring(0, h)
+      }
     } catch {
       case _: java.net.URISyntaxException | _: IllegalArgumentException |
           _: NullPointerException => null

@@ -111,8 +111,40 @@ object ZipSource {
     // saturated EOCD fields WITHOUT the locator are corruption, not a
     // dialect
     val eocdPos = in.size - tailLen + at
-    val hasLocator = eocdPos >= 20 &&
+    val sigHit = eocdPos >= 20 &&
       u32(in.readAt(eocdPos - 20, 4), 0) == 0x07064b50L
+    val classicSaturated = nTotal16 == 0xffff ||
+      cdSize32 == 0xffffffffL || cdOffset32 == 0xffffffffL
+    // validate the FULL locator→EOCD64 chain before committing to the
+    // zip64 branch: a classic archive whose central-directory bytes or
+    // comment coincidentally contain PK\x06\x07 twenty bytes before the
+    // EOCD is not zip64 — when the chain fails and the classic fields
+    // are non-saturated, fall back to them instead of hard-failing
+    // (ADVICE r17); when they ARE saturated the chain failure is real
+    // damage and stays loud.
+    def zip64Chain(): (Long, Long, Long) = {
+      val loc = in.readAt(eocdPos - 20, 20)
+      require(u32(loc, 4) == 0 && u32(loc, 16) == 1,
+        "zip: multi-disk archives unsupported")
+      val e64Pos = u64(loc, 8)
+      // upper bound BEFORE the addition: e64Pos + 56 could wrap Long
+      require(e64Pos >= 0 && in.size >= 56 && e64Pos <= in.size - 56,
+        "zip: EOCD64 offset out of bounds")
+      val h = in.readAt(e64Pos, 56)
+      require(u32(h, 0) == 0x06064b50L, "zip: bad EOCD64 signature")
+      require(u32(h, 16) == 0 && u32(h, 20) == 0,
+        "zip: multi-disk archives unsupported")
+      val n = u64(h, 32)
+      require(u64(h, 24) == n, "zip: multi-disk archives unsupported")
+      (n, u64(h, 40), u64(h, 48))
+    }
+    val zip64 =
+      if (!sigHit) None
+      else if (classicSaturated) Some(zip64Chain())
+      else try Some(zip64Chain()) catch {
+        case _: IllegalArgumentException => None // coincidental signature
+      }
+    val hasLocator = zip64.isDefined
     // EOCD disk fields: 0 for single-disk; APPNOTE also allows a zip64
     // writer to saturate them to 0xFFFF with the real (validated-zero)
     // values in the EOCD64 record — only a true nonzero disk number is
@@ -122,28 +154,11 @@ object ZipSource {
     def diskOk(v: Int): Boolean = v == 0 || (hasLocator && v == 0xffff)
     require(diskOk(eDisk) && diskOk(eCdDisk),
       "zip: multi-disk archives unsupported")
-    val (nTotal, cdSize, cdOffset) =
-      if (hasLocator) {
-        val loc = in.readAt(eocdPos - 20, 20)
-        require(u32(loc, 4) == 0 && u32(loc, 16) == 1,
-          "zip: multi-disk archives unsupported")
-        val e64Pos = u64(loc, 8)
-        // upper bound BEFORE the addition: e64Pos + 56 could wrap Long
-        require(e64Pos >= 0 && in.size >= 56 && e64Pos <= in.size - 56,
-          "zip: EOCD64 offset out of bounds")
-        val h = in.readAt(e64Pos, 56)
-        require(u32(h, 0) == 0x06064b50L, "zip: bad EOCD64 signature")
-        require(u32(h, 16) == 0 && u32(h, 20) == 0,
-          "zip: multi-disk archives unsupported")
-        val n = u64(h, 32)
-        require(u64(h, 24) == n, "zip: multi-disk archives unsupported")
-        (n, u64(h, 40), u64(h, 48))
-      } else {
-        require(nTotal16 != 0xffff && cdSize32 != 0xffffffffL &&
-          cdOffset32 != 0xffffffffL,
-          "zip: zip64 sentinels without an EOCD64 locator")
-        (nTotal16.toLong, cdSize32, cdOffset32)
-      }
+    val (nTotal, cdSize, cdOffset) = zip64.getOrElse {
+      require(!classicSaturated,
+        "zip: zip64 sentinels without an EOCD64 locator")
+      (nTotal16.toLong, cdSize32, cdOffset32)
+    }
     require(nTotal <= Int.MaxValue - 16, "zip: entry count exceeds 2^31")
     // allocation bounds BEFORE readAt: the absolute 2 GiB array cap and
     // the entry-derived cap (a 10-entry directory cannot claim gigabytes)

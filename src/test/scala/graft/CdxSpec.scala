@@ -28,6 +28,13 @@ class CdxSpec extends GraftSparkSpec {
     assert(CdxSource.surt("http://user@example.com/a") === "com,example)/a")
     assert(CdxSource.surt("http://example.com?q=1") ===
       CdxSource.surt("http://example.com/?q=1"))
+    // fragments never reach the server: same key with or without, and
+    // an https URL with a fragment is NOT "non-http(s)" (ADVICE r17)
+    assert(CdxSource.surt("https://example.com/a/b#sec2") ===
+      "com,example)/a/b")
+    assert(CdxSource.surt("http://example.com#top") === "com,example)/")
+    assert(CdxSource.surt("http://example.com/x?q=1#f") ===
+      CdxSource.surt("http://example.com/x?q=1"))
     val e = intercept[RuntimeException] { CdxSource.surt("ftp://x/") }
     assert(e.getMessage.contains("non-http"))
   }
@@ -53,6 +60,12 @@ class CdxSpec extends GraftSparkSpec {
       CdxSource.parseCdxLine("""org,x)/ 2026 {"url": "http://x/"}""")
     }
     assert(e3.getMessage.contains("bad timestamp"))
+    // ASCII-only \u hex: a Unicode digit codepoint (Arabic-Indic one)
+    // is NOT hex here, matching the WatSource.Jsons strictness
+    val e4 = intercept[RuntimeException] {
+      CdxSource.parseFlatJson("{\"a\": \"\\u0\u066141\"}")
+    }
+    assert(e4.getMessage.contains("bad \\u escape"))
   }
 
   test("cdx: measured pointers fetch exactly their record — gzip and plain arms") {

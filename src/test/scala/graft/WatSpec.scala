@@ -96,6 +96,14 @@ class WatSpec extends GraftSparkSpec {
     assert(resolveUrl(base, "/p?q=1#frag") === "http://site1.example/p?q=1")
     // unresolvable junk is a countable null, never a throw
     assert(resolveUrl(base, "http://[broken") === null)
+    // percent-encoding is IDENTITY: %2F in a path segment is not a
+    // path separator and %26 in a query is not a parameter break —
+    // decoding them would merge distinct outlink targets (ADVICE r17)
+    assert(resolveUrl(base, "/a%2Fb/c") === "http://site1.example/a%2Fb/c")
+    assert(resolveUrl(base, "/p?q=a%26b#f") ===
+      "http://site1.example/p?q=a%26b")
+    assert(resolveUrl(base, "http://h.example/x%20y?a=%3D#z") ===
+      "http://h.example/x%20y?a=%3D")
     // envelope edges follow the fixture arithmetic
     val meta = graft.sources.WarcSource.parseWarc(WatSource.watOf(5L))
       .records.filter(_.warcType == "metadata")

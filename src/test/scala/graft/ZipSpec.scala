@@ -219,6 +219,25 @@ class ZipSpec extends GraftSparkSpec {
     }
   }
 
+  test("zip: coincidental PK\\x06\\x07 before the EOCD does not mis-detect zip64") {
+    // the last CD entry's NAME is the final thing before the EOCD, so a
+    // name whose last 20 bytes start with the locator signature plants
+    // PK\x06\x07 exactly 20 bytes before the EOCD — a legal classic
+    // archive that a signature-only sniff rejected as zip64 (ADVICE r17):
+    // the locator CHAIN must validate before committing to the branch
+    val name = "PK" + "A" * 16
+    val data = "coincidence".getBytes("UTF-8")
+    val bytes = ZipSource.zipOf(Seq((name, data, true)))
+    val dir = ZipSource.readDirectory(new ZipSource.BytesSeekable(bytes))
+    assert(dir.entries.map(_.name) === Seq(name))
+    assert(ZipSource.entryBytes(new ZipSource.BytesSeekable(bytes),
+      dir.entries.head).sameElements(data))
+    // a REAL zip64 archive still resolves through its locator
+    val z64 = ZipSource.zipOf(Seq(("e.txt", data, false)), zip64 = true)
+    val d64 = ZipSource.readDirectory(new ZipSource.BytesSeekable(z64))
+    assert(d64.entries.map(_.name) === Seq("e.txt"))
+  }
+
   test("zip: file-path arm seeks the directory and CRC-checks every entry") {
     withTmp { dir =>
       Seq(2L, 5L).foreach { id =>
