@@ -853,6 +853,28 @@ object GraftCli {
       println(s"[graft] cdx-fetch: $cdxGlob over $warcDir -> $outDir")
       spark.stop()
 
+    case "warc-index" :: glob :: outDir :: Nil =>
+      // GENERATE the CDX index of .warc(.gz) archives: one streaming
+      // task per archive (measured member/record boundaries), then ONE
+      // exchange sorting pointer-sized rows into the globally
+      // SURT-ordered shard form that cdx-scan / cdx-fetch consume
+      val spark = session()
+      import spark.implicits._
+      val rows = graft.sources.CdxSource.warcIndexFiles(spark, glob)
+      rows.filter(org.apache.spark.sql.functions.col("surt").isNotNull)
+        .orderBy("surt", "timestamp")
+        .as[(String, String, String, String, Int, String, Long, Long, String)]
+        .map { case (s1, ts, u, m, st, d, l, o, f) =>
+          graft.sources.CdxSource.renderLine(
+            graft.sources.CdxSource.CdxEntry(s1, ts, u, m, st, d, l, o, f))
+        }
+        .write.mode("overwrite").text(outDir)
+      val bad = rows.filter(
+        org.apache.spark.sql.functions.col("surt").isNull).count()
+      println(s"[graft] warc-index: $glob -> $outDir" +
+        (if (bad > 0) s" ($bad damaged archives poisoned)" else ""))
+      spark.stop()
+
     case "wat-demo" :: docsParquet :: outDir :: Nil =>
       // materialize Common-Crawl-shaped .warc.wat[.gz] metadata fixtures
       val spark = session()
@@ -1235,6 +1257,7 @@ object GraftCli {
            |  cdx-demo <docs.parquet> <outDir>
            |  cdx-scan <glob.cdx[.gz]> <outDir>
            |  cdx-fetch <cdxGlob> <warcDir> <outDir>
+           |  warc-index <glob.warc[.gz]> <outDir>
            |  corpus-from-cdx <cdxGlob> <warcDir> <outDir>
            |  stream-cdx-fetch <cdxLandingDir> <warcDir> <outDir> <ckpt> [runSec]
            |  wat-demo <docs.parquet> <outDir>

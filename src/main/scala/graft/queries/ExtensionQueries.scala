@@ -3579,6 +3579,38 @@ object ExtensionQueries {
           |    ELSE 'http://ext' || m || '.example/p' END AS target
           |FROM l ORDER BY doc_id, j, m""".stripMargin)),
 
+    // CDX INDEX GENERATION (x122) — the producing side of x119's
+    // random-access fetch: walk each archive on the streaming iterator's
+    // MEASURED record/member boundaries (sources/CdxSource.generateCdx)
+    // and emit one SURT-keyed pointer per response record. The gate
+    // requires the generated index line-for-line equal to the fixture
+    // index (two independent boundary measurements), fetches every
+    // generated pointer back out of the archive (url+digest-checked),
+    // and emits the entry facts — timestamp derived from each record's
+    // WARC-Date. A one-byte slip in the iterator's boundary tracking
+    // fails the fetch; a format drift fails the line equality. 100 TB
+    // story: generation is a narrow per-archive walk; the only exchange
+    // is the (surt, ts) sort of pointer-sized rows into ordered shards.
+    "x122_cdx_gen" -> QueryDef(
+      (s, dir) => graft.sources.CdxSource.cdxGenTable(
+          s, t(s, dir, "documents"))
+        .orderBy("doc_id", "j"),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d)
+          |SELECT doc_id, CAST(j AS INT) AS j,
+          |  'example,site' || (doc_id % 7) || ')/' || doc_id || '/' || j
+          |    AS surt,
+          |  '202601' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+          |    '000000' AS ts,
+          |  'http://site' || (doc_id % 7) || '.example/' || doc_id ||
+          |    '/' || j AS url,
+          |  'text/html' AS mime,
+          |  CAST(CASE WHEN (doc_id + j) % 5 = 0 THEN 404 ELSE 200 END
+          |    AS INT) AS status,
+          |  'sha1:FIX' || ((doc_id * 31 + j) % 97) AS digest
+          |FROM u ORDER BY doc_id, j""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

@@ -158,6 +158,78 @@ object CdxSource {
     out.toMap
   }
 
+  /** 14-digit CDX timestamp from a WARC-Date (ISO 8601, optional
+    * fractional seconds truncated): `2026-01-05T00:00:00Z` →
+    * `20260105000000`. Anything else rejects by name — WARC-Date is
+    * mandatory and machine-written, a missing/odd one is damage.
+    */
+  private[graft] def cdxTimestamp(warcDate: String): String = {
+    val m = ("(\\d{4})-(\\d{2})-(\\d{2})T" +
+      "(\\d{2}):(\\d{2}):(\\d{2})(?:\\.\\d+)?Z").r
+    warcDate match {
+      case m(y, mo, d, h, mi, s) => y + mo + d + h + mi + s
+      case _ => sys.error(s"cdx: bad WARC-Date '$warcDate'")
+    }
+  }
+
+  private def jsonEsc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < 0x20 =>
+        sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** The CDX entry of one response record at its measured archive
+    * boundary — ONE derivation shared by the production generator
+    * ([[generateCdx]]) and the fixture writer ([[cdxOf]]), so the two
+    * cannot drift in format. Timestamp derives from the record's
+    * WARC-Date, the way real indexers write it.
+    */
+  private[graft] def entryOf(r: WarcSource.WarcRecord, off: Long, len: Long,
+                             fname: String): CdxEntry =
+    CdxEntry(surt(r.targetUri), cdxTimestamp(r.warcDate), r.targetUri,
+      r.httpContentType.takeWhile(_ != ';'), r.httpStatus,
+      r.payloadDigest, len, off, fname)
+
+  private[graft] def renderLine(e: CdxEntry): String =
+    e.surtKey + " " + e.timestamp + " " +
+      "{\"url\": \"" + jsonEsc(e.url) + "\", " +
+      "\"mime\": \"" + jsonEsc(e.mime) + "\", " +
+      "\"status\": \"" + e.status + "\", " +
+      "\"digest\": \"" + jsonEsc(e.digest) + "\", " +
+      "\"length\": \"" + e.length + "\", " +
+      "\"offset\": \"" + e.offset + "\", " +
+      "\"filename\": \"" + jsonEsc(e.filename) + "\"}"
+
+  /** INDEX GENERATION (x122) — the producing side of [[fetchRecord]]:
+    * walk a `.warc(.gz)` stream record-at-a-time on [[WarcSource.
+    * WarcIterator]]'s measured boundaries and emit one [[CdxEntry]] per
+    * response record, pointer = the record's whole gzip member (plain:
+    * the record slice). A response SHARING its member rejects by name —
+    * an offset inside a shared member is unfetchable member-at-a-time,
+    * and real crawl writers (wget, Common Crawl) are record-per-member.
+    * O(record) memory: the iterator never buffers the archive.
+    */
+  private[graft] def generateCdx(in: java.io.InputStream, filename: String,
+                                 lenientHttp: Boolean = true)
+      : Iterator[CdxEntry] = {
+    val it = new WarcSource.WarcIterator(in, lenientHttp)
+    it.flatMap { r =>
+      if (r.warcType != "response") None
+      else {
+        require(it.lastSoloMember,
+          s"cdx-gen: response record shares a gzip member in '$filename'" +
+            " (record-per-member required for indexing)")
+        Some(entryOf(r, it.lastOffset, it.lastLength, filename))
+      }
+    }
+  }
+
   /** One CDXJ line: `SURT 14-digit-timestamp {json}`. */
   private[graft] def parseCdxLine(line: String): CdxEntry = {
     val sp1 = line.indexOf(' ')
@@ -225,14 +297,7 @@ object CdxSource {
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     def line(r: WarcSource.WarcRecord, off: Long, len: Long): Unit =
       if (r.warcType == "response")
-        entries += surt(r.targetUri) + " 20260101000000 " +
-          "{\"url\": \"" + r.targetUri + "\", " +
-          "\"mime\": \"" + r.httpContentType.takeWhile(_ != ';') + "\", " +
-          "\"status\": \"" + r.httpStatus + "\", " +
-          "\"digest\": \"" + r.payloadDigest + "\", " +
-          "\"length\": \"" + len + "\", " +
-          "\"offset\": \"" + off + "\", " +
-          "\"filename\": \"" + fname + "\"}"
+        entries += renderLine(entryOf(r, off, len, fname))
     if (id % 2 == 0) { // gzip: member per record, measured boundaries
       val feed = new ByteFeed(new java.io.ByteArrayInputStream(bytes))
       var off = 0L
@@ -281,6 +346,69 @@ object CdxSource {
       }
       .toDF("doc_id", "j", "surt", "mime", "status", "digest",
         "fetched_text")
+  }
+
+  /** x122 gate: GENERATE the index of each doc's archive on the
+    * streaming production path ([[generateCdx]]), require it line-for-
+    * line equal to the fixture index (two INDEPENDENT measured walks:
+    * the iterator's boundary tracking vs [[cdxOf]]'s member/record
+    * counting — a drift in either fails here), then FETCH every
+    * generated pointer back out of the archive bytes and emit the
+    * entry facts. DuckDB re-derives surt/ts/url/status/digest from
+    * doc_id arithmetic; the measured offsets are proven by what the
+    * fetch lands on (url + digest requires), never printed.
+    */
+  def cdxGenTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = WarcSource.warcOf(id, text)
+        val fname = s"d$id.warc" + (if (id % 2 == 0) ".gz" else "")
+        val gen = generateCdx(new java.io.ByteArrayInputStream(bytes),
+          fname, lenientHttp = false).toSeq
+        val fixture = cdxOf(id, text).split("\n").filter(_.nonEmpty).toSeq
+        require(gen.map(renderLine) == fixture,
+          s"cdx-gen: generated index of doc $id diverges from the fixture walk")
+        val archive = new ZipSource.BytesSeekable(bytes)
+        gen.zipWithIndex.map { case (e, j) =>
+          val r = fetchRecord(archive, e.offset, e.length)
+          require(r.targetUri == e.url && r.payloadDigest == e.digest,
+            s"cdx-gen: pointer $j of doc $id landed on '${r.targetUri}'")
+          (id, j, e.surtKey, e.timestamp, e.url, e.mime, e.status, e.digest)
+        }
+      }
+      .toDF("doc_id", "j", "surt", "ts", "url", "mime", "status", "digest")
+  }
+
+  /** File-path arm of index GENERATION: one task per `.warc(.gz)`
+    * under a glob, streaming record-at-a-time ([[generateCdx]] on the
+    * iterator — O(record) memory), one row per response record. Sort
+    * by (surt, timestamp) before writing shards to get the globally-
+    * SURT-ordered form real CDX consumers binary-search — that sort is
+    * the single exchange of pointer-sized rows; archive bytes never
+    * shuffle. Damage handling mirrors the other container arms:
+    * lenient poisons the rest of the FILE as one countable row.
+    */
+  def warcIndexFiles(spark: SparkSession, glob: String,
+                     lenient: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        val fname = path.substring(path.lastIndexOf('/') + 1)
+        val base = StreamUtil.deferred {
+          val in = pds.open()
+          StreamUtil.closeOnExhaust(in,
+            generateCdx(in, fname, lenientHttp = lenient).map { e =>
+              (e.surtKey, e.timestamp, e.url, e.mime, e.status, e.digest,
+                e.length, e.offset, e.filename)
+            })
+        }
+        if (!lenient) base
+        else StreamUtil.poisonOnError(base,
+          (null, null, null, null, -1, null, -1L, -1L, fname))
+      }
+      .toDF("surt", "timestamp", "url", "mime", "status", "digest",
+        "length", "offset", "filename")
   }
 
   /** Index → corpus bridge: the selective sibling of `crawlDocs` —

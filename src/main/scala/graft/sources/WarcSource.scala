@@ -54,7 +54,10 @@ object WarcSource {
       // refersTo/digest let a corpus bridge resolve the duplicate to the
       // original capture without refetching. Empty on non-revisit types.
       refersTo: String = "", payloadDigest: String = "",
-      revisitProfile: String = "")
+      revisitProfile: String = "",
+      // capture instant (ISO 8601) — what a generated CDX line's
+      // 14-digit timestamp derives from
+      warcDate: String = "")
   private[graft] case class WarcFile(
       gzip: Boolean, nMembers: Int, records: Seq[WarcRecord])
 
@@ -400,7 +403,8 @@ object WarcSource {
     WarcRecord(wtype, uri, clen, status, httpCt, body, bodyBytes,
       refersTo = bare(headers.getOrElse("warc-refers-to", "")),
       payloadDigest = headers.getOrElse("warc-payload-digest", ""),
-      revisitProfile = headers.getOrElse("warc-profile", ""))
+      revisitProfile = headers.getOrElse("warc-profile", ""),
+      warcDate = headers.getOrElse("warc-date", ""))
   }
 
   /** Lazy record walk over a `.warc` / `.warc.gz` stream — O(largest
@@ -418,23 +422,49 @@ object WarcSource {
     private var nMembers = 0
     def members: Int = nMembers
     private var memberFeed: ByteFeed = null // current gzip member's records
+    // measured boundary of the record `next()` last returned, in ARCHIVE
+    // bytes — what a generated CDX pointer is (gzip: the record's whole
+    // member, the unit fetchRecord inflates; plain: the record slice).
+    // lastSoloMember says the gzip member held exactly that one record —
+    // the layout a CDX pointer REQUIRES (an offset into a shared member
+    // cannot be fetched member-at-a-time).
+    private var memberStart = 0L
+    private var memberEnd = 0L
+    private var lastStart = 0L
+    private var lastEnd = 0L
+    private var lastSolo = true
+    def lastOffset: Long = lastStart
+    def lastLength: Long = lastEnd - lastStart
+    def lastSoloMember: Boolean = lastSolo
 
     def hasNext: Boolean =
       if (memberFeed != null && !memberFeed.atEof) true
       else if (feed.atEof) false
       else if (!gzip) true
       else { // decode the next member; loop in case one holds no records
+        memberStart = feed.consumedBytes
         memberFeed = ByteFeed.wrap(Gzip.memberBytes(feed))
+        memberEnd = feed.consumedBytes
         nMembers += 1
         hasNext
       }
 
     def next(): WarcRecord = {
       if (!hasNext) throw new NoSuchElementException("warc")
-      if (gzip)
-        readRecord(memberFeed, "warc: record spans gzip members (unsupported)",
-          lenientHttp)
-      else readRecord(feed, "warc: truncated record", lenientHttp)
+      if (gzip) {
+        val fresh = memberFeed.consumedBytes == 0
+        val r = readRecord(memberFeed,
+          "warc: record spans gzip members (unsupported)", lenientHttp)
+        lastStart = memberStart; lastEnd = memberEnd
+        lastSolo = fresh && memberFeed.atEof
+        r
+      } else {
+        lastStart = feed.consumedBytes
+        val r = readRecord(feed, "warc: truncated record", lenientHttp)
+        lastEnd = feed.consumedBytes
+        lastSolo = true
+        r
+      }
     }
   }
 

@@ -162,6 +162,40 @@ class CdxSpec extends GraftSparkSpec {
     }
   }
 
+  test("cdx: generated index equals the fixture walk and fetches back — both arms") {
+    val text = "alpha beta gamma"
+    Seq(4L, 7L, 9L).foreach { id => // gzip / plain / gzip-with-revisit? 9%2=1 plain
+      val bytes = WarcSource.warcOf(id, text)
+      val fname = s"d$id.warc" + (if (id % 2 == 0) ".gz" else "")
+      val gen = CdxSource.generateCdx(
+        new java.io.ByteArrayInputStream(bytes), fname).toSeq
+      // line-for-line equal to the fixture writer's independent walk
+      assert(gen.map(CdxSource.renderLine) ===
+        CdxSource.cdxOf(id, text).split("\n").filter(_.nonEmpty).toSeq)
+      // every generated pointer fetches exactly its record
+      val archive = new ZipSource.BytesSeekable(bytes)
+      gen.foreach { e =>
+        val r = CdxSource.fetchRecord(archive, e.offset, e.length)
+        assert(r.targetUri === e.url)
+        assert(r.payloadDigest === e.digest)
+      }
+      // timestamps derive from WARC-Date, not a constant
+      assert(gen.forall(_.timestamp ===
+        f"2026-01-${id % 28 + 1}%02d000000".replace("-", "")))
+    }
+    // a response SHARING its gzip member is un-indexable and says so:
+    // splice two fixture records into ONE member
+    val recs = WarcSource.parseWarc(WarcSource.warcOf(3L, text))
+    val plain = WarcSource.warcOf(3L, text) // id=3 odd -> plain concatenation
+    val shared = WarcSource.gzipOne(plain)  // every record in one member
+    val e = intercept[IllegalArgumentException] {
+      CdxSource.generateCdx(
+        new java.io.ByteArrayInputStream(shared), "shared.warc.gz").toSeq
+    }
+    assert(e.getMessage.contains("shares a gzip member"))
+    assert(recs.records.exists(_.warcType == "response")) // premise holds
+  }
+
   test("cdx: shard files parse through the Spark path; fetchByIndex round-trips a crawl") {
     val dir = java.nio.file.Files.createTempDirectory("cdxspec").toFile
     try {
@@ -179,7 +213,11 @@ class CdxSpec extends GraftSparkSpec {
       val index = CdxSource.cdxFiles(spark, dir.getAbsolutePath + "/idx-*")
       val rows = index.collect()
       assert(rows.length === 5) // id=2: 3 responses; id=7: 2
-      assert(rows.forall(_.getString(2) === "20260101000000"))
+      // timestamps derive from each record's WARC-Date (day = id%28+1)
+      assert(rows.filter(_.getString(9) == "d2.warc.gz")
+        .forall(_.getString(2) === "20260103000000"))
+      assert(rows.filter(_.getString(9) == "d7.warc")
+        .forall(_.getString(2) === "20260108000000"))
       // one stray malformed line cannot abort an index scan: it
       // degrades to a countable poison row (null surt, raw line kept)
       // and the good lines survive; strict mode stays loud

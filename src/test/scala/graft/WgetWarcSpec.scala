@@ -112,6 +112,58 @@ class WgetWarcSpec extends GraftSparkSpec {
     }
   }
 
+  test("cdx: generated index of wget archives fetches back record-for-record") {
+    val dir = java.nio.file.Files.createTempDirectory("wgetcdx").toFile
+    val docroot = new java.io.File(dir, "root"); docroot.mkdirs()
+    try {
+      Seq("a", "b", "c").foreach { p =>
+        java.nio.file.Files.write(new java.io.File(docroot, s"$p.html").toPath,
+          s"<html><body><p>page $p content</p></body></html>".getBytes("UTF-8"))
+      }
+      withServer(docroot) { port =>
+        val base = s"http://127.0.0.1:$port"
+        run(Seq("wget", "--warc-file=crawl", "-q", "-O", "/dev/null",
+          s"$base/a.html", s"$base/b.html", s"$base/c.html"), dir)
+        run(Seq("wget", "--warc-file=flat", "--no-warc-compression", "-q",
+          "-O", "/dev/null", s"$base/a.html"), dir)
+        // generation over a FOREIGN producer's bytes, both layouts
+        Seq("crawl.warc.gz", "flat.warc").foreach { fname =>
+          val bytes = java.nio.file.Files.readAllBytes(
+            new java.io.File(dir, fname).toPath)
+          val gen = graft.sources.CdxSource.generateCdx(
+            new java.io.ByteArrayInputStream(bytes), fname).toSeq
+          assert(gen.nonEmpty)
+          assert(gen.forall(_.status == 200))
+          assert(gen.forall(_.timestamp.matches("\\d{14}"))) // wget's WARC-Date
+          val archive = new graft.sources.ZipSource.BytesSeekable(bytes)
+          gen.foreach { e =>
+            val r = graft.sources.CdxSource.fetchRecord(archive,
+              e.offset, e.length, lenientHttp = true)
+            assert(r.targetUri === e.url)
+            assert(r.payloadDigest === e.digest) // wget writes sha1:base32
+            assert(r.body.contains("content"))
+          }
+        }
+        // the full Spark loop: warc-index arm -> fetchByIndex, exactly
+        // the selective-refetch pipeline a crawl store runs
+        val index = graft.sources.CdxSource.warcIndexFiles(spark,
+          dir.getAbsolutePath + "/*.warc*")
+        assert(index.filter(index("surt").isNull).count() === 0)
+        val fetched = graft.sources.CdxSource.fetchByIndex(spark,
+          dir.getAbsolutePath, index).collect()
+        assert(fetched.length === 4) // 3 gz + 1 plain responses
+        assert(fetched.forall(_.getInt(2) == 200))
+        assert(fetched.forall(_.getString(3).contains("content")))
+      }
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(dir)
+    }
+  }
+
   /** Minimal raw-socket HTTP/1.1 server speaking the wire forms
     * python's http.server never emits: chunked transfer framing,
     * Content-Encoding: gzip, and both stacked — so wget records REAL
