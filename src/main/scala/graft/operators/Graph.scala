@@ -120,6 +120,66 @@ object Graph {
     out
   }
 
+  /** WEIGHTED damped PageRank over `(src, dst, w)` — the host-graph form
+    * (Common Crawl's host ranking counts links between hosts, it does
+    * not unit-weight them): a node's rank splits across its out-edges
+    * proportionally to weight instead of uniformly. Node ids are left
+    * UNCAST, so string keys (hostnames) work directly — joins and
+    * aggregations are equality-keyed either way, and hashing hosts to
+    * longs would force every consumer to carry a sidecar mapping.
+    *
+    * Integer exactness: parallel (src,dst) edges pre-merge (sum of w);
+    * the per-edge contribution `(r·w) div sw` is computed in the
+    * decomposed exact form `(r div sw)·w + ((r mod sw)·w) div sw`, whose
+    * intermediates are bounded by `sw·w ≤ sw²` instead of `r·w ≈
+    * scale·w` — safe while a node's total out-weight stays below ~3e9
+    * (vs overflowing at w ≈ 9.2e6 in the naive form at the default
+    * scale). The oracle unrolls the same decomposed formula. Same
+    * per-iteration shape, cache discipline, and dangling simplification
+    * as [[pagerank]].
+    */
+  def pagerankWeighted(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dampingPct: Int = 85,
+      checkpointInterval: Int = 1): DataFrame = {
+    val e = edges.groupBy(col("src"), col("dst"))
+      .agg(sum(col("w").cast("long")).as("w0"))
+      .select(col("src"), col("dst"),
+        // a non-positive merged weight is caller damage, said loudly —
+        // a zero sw downstream would divide by zero with a worse message
+        when(col("w0") > 0, col("w0")).otherwise(raise_error(
+          lit("pagerankWeighted: non-positive edge weight"))).as("w"))
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("sw"))
+    val g = e.join(wsum, "src").persist()
+    val nodes = g.select(col("src").as("node"))
+      .union(g.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val n = nodes.count() // bounded driver scalar; materializes both caches
+    require(n > 0, "pagerankWeighted: empty graph")
+    val unit = scale / n
+    val teleport = ((100L - dampingPct) * unit) / 100L
+    var rank = nodes.withColumn("r", lit(unit))
+    for (i <- 1 to iters) {
+      val in = g.join(rank, g("src") === rank("node"))
+        .select(col("dst"),
+          expr("(r div sw) * w + ((r % sw) * w) div sw").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      rank = nodes.join(in, nodes("node") === in("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
+      if (i % checkpointInterval == 0 && i < iters)
+        rank = rank.localCheckpoint()
+    }
+    val out = rank.localCheckpoint()
+    g.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** Personalized (seeded) PageRank: identical integer-unit iteration to
     * `pagerank`, but initial mass and the teleport term go ONLY to the
     * seed set — ranks measure relevance TO THE SEEDS, not global

@@ -3579,6 +3579,76 @@ object ExtensionQueries {
           |    ELSE 'http://ext' || m || '.example/p' END AS target
           |FROM l ORDER BY doc_id, j, m""".stripMargin)),
 
+    // WAT HOST PAGERANK (x123) — the link-analysis payoff of the WAT
+    // family: x121's resolved outlinks collapse to the HOST graph
+    // (src_host, dst_host, w = link count; intra-site self-edges kept),
+    // then 3 rounds of WEIGHTED integer-exact PageRank
+    // (Graph.pagerankWeighted — rank splits across out-edges by weight,
+    // the Common Crawl host-ranking form; string node keys, no id
+    // mapping sidecar). Contribution uses the decomposed exact form
+    // (r div sw)·w + ((r mod sw)·w) div sw, which the oracle unrolls
+    // verbatim, so both engines are bit-identical at any parallelism.
+    // 100 TB shape: link-sized rows collapse to host-pair-sized ones in
+    // ONE map-side-combined exchange before any iteration; each round
+    // is then a host-graph-sized join + agg, never a re-walk of the
+    // archives.
+    "x123_host_rank" -> QueryDef(
+      (s, dir) => {
+        val edges = graft.sources.WatSource.watHostEdges(
+          s, graft.sources.WatSource.synthesizeWat(
+            s, t(s, dir, "documents")))
+        Graph.pagerankWeighted(edges, iters = 3, checkpointInterval = 5)
+          .orderBy(desc("r"), col("node"))
+          .select(col("node").as("host"), col("r").as("rank_units"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+          |u AS (SELECT doc_id, unnest(range(0, k)) AS j FROM d),
+          |l AS (SELECT doc_id, j,
+          |        unnest(range(0, (doc_id + j) % 4 + 1)) AS m FROM u),
+          |raw AS (SELECT 'site' || (doc_id % 7) || '.example' AS src,
+          |          CASE WHEN m % 3 = 2 THEN 'ext' || m || '.example'
+          |               ELSE 'site' || (doc_id % 7) || '.example'
+          |          END AS dst
+          |        FROM l),
+          |e AS (SELECT src, dst, count(*) AS w FROM raw GROUP BY src, dst),
+          |sw AS (SELECT src, sum(w) AS sw FROM e GROUP BY src),
+          |g AS (SELECT e.src, e.dst, e.w, sw.sw FROM e
+          |      JOIN sw ON sw.src = e.src),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
+          |i1 AS (SELECT g.dst AS node,
+          |         sum((r.r // g.sw) * g.w + ((r.r % g.sw) * g.w) // g.sw)
+          |           AS s
+          |       FROM g JOIN r0 r ON r.node = g.src GROUP BY g.dst),
+          |r1 AS (SELECT nodes.node,
+          |         (15 * (1000000000000 // nn.n)) // 100
+          |           + (85 * coalesce(i1.s, 0)) // 100 AS r
+          |       FROM nodes CROSS JOIN nn
+          |       LEFT JOIN i1 ON i1.node = nodes.node),
+          |i2 AS (SELECT g.dst AS node,
+          |         sum((r.r // g.sw) * g.w + ((r.r % g.sw) * g.w) // g.sw)
+          |           AS s
+          |       FROM g JOIN r1 r ON r.node = g.src GROUP BY g.dst),
+          |r2 AS (SELECT nodes.node,
+          |         (15 * (1000000000000 // nn.n)) // 100
+          |           + (85 * coalesce(i2.s, 0)) // 100 AS r
+          |       FROM nodes CROSS JOIN nn
+          |       LEFT JOIN i2 ON i2.node = nodes.node),
+          |i3 AS (SELECT g.dst AS node,
+          |         sum((r.r // g.sw) * g.w + ((r.r % g.sw) * g.w) // g.sw)
+          |           AS s
+          |       FROM g JOIN r2 r ON r.node = g.src GROUP BY g.dst),
+          |r3 AS (SELECT nodes.node,
+          |         (15 * (1000000000000 // nn.n)) // 100
+          |           + (85 * coalesce(i3.s, 0)) // 100 AS r
+          |       FROM nodes CROSS JOIN nn
+          |       LEFT JOIN i3 ON i3.node = nodes.node)
+          |SELECT node AS host, CAST(r AS BIGINT) AS rank_units FROM r3
+          |ORDER BY rank_units DESC, host""".stripMargin)),
+
     // CDX INDEX GENERATION (x122) — the producing side of x119's
     // random-access fetch: walk each archive on the streaming iterator's
     // MEASURED record/member boundaries (sources/CdxSource.generateCdx)

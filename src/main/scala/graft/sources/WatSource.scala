@@ -365,17 +365,25 @@ object WatSource {
     * family (pagerank x47, components x69...) is the standard
     * web-graph pipeline, built here without touching page bytes.
     */
-  private[graft] def outlinks(json: String): Seq[String] = {
+  private[graft] def outlinks(json: String): Seq[String] =
+    resolvedLinks(json)._2
+
+  /** One envelope parse → (capture URI or null, resolved outlink
+    * targets) — the shared core of [[outlinks]] (x121 edge rows) and
+    * [[watHostEdges]] (x123 host graph), so the host extractor does not
+    * re-parse the JSON it just walked.
+    */
+  private[graft] def resolvedLinks(json: String): (String, Seq[String]) = {
     val v = Jsons.parse(json)
     val env = Jsons.path(v, "Envelope")
       .getOrElse(sys.error("wat: missing Envelope"))
     val base = Jsons.path(env, "WARC-Header-Metadata", "WARC-Target-URI")
       match {
         case Some(JStr(u)) => u
-        case _ => return Seq.empty // no base: nothing resolvable
+        case _ => return (null, Seq.empty) // no base: nothing resolvable
       }
-    Jsons.path(env, "Payload-Metadata", "HTTP-Response-Metadata",
-      "HTML-Metadata", "Links") match {
+    val targets = Jsons.path(env, "Payload-Metadata",
+      "HTTP-Response-Metadata", "HTML-Metadata", "Links") match {
       case Some(JArr(xs)) => xs.flatMap {
         case o: JObj => o.get("url") match {
           case Some(JStr(u)) => Option(resolveUrl(base, u))
@@ -385,6 +393,50 @@ object WatSource {
       }
       case _ => Seq.empty
     }
+    (base, targets)
+  }
+
+  /** Lowercased host of an absolute URL (authority minus userinfo and
+    * port) — the node key of the host link graph. Null for anything
+    * unresolvable: a crawler counts junk, it never dies on it.
+    */
+  private[graft] def hostOf(url: String): String =
+    if (url == null) null
+    else try {
+      val h = new java.net.URI(url).getHost
+      if (h == null) null else h.toLowerCase(java.util.Locale.ROOT)
+    } catch {
+      case _: java.net.URISyntaxException => null
+    }
+
+  /** HOST-LEVEL link edges from WAT metadata — the Common Crawl host
+    * graph: one (src_host, dst_host, w) row per ordered host pair, w =
+    * how many resolved outlinks point that way. This is the substrate
+    * the weighted host ranking (x123) runs on; self-edges (intra-site
+    * links) are kept — they are real mass a site routes to itself, and
+    * dropping them is a CALLER's modeling choice, not the extractor's.
+    *
+    * 100 TB shape: the per-capture flatMap is narrow over archive
+    * tasks; the groupBy collapses link-sized rows to host-pair-sized
+    * ones in one exchange (map-side combined), so the PageRank that
+    * follows iterates over the COLLAPSED graph.
+    */
+  def watHostEdges(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        WarcSource.parseWarc(bytes).records
+          .filter(_.warcType == "metadata")
+          .flatMap { r =>
+            val (base, targets) = resolvedLinks(r.body)
+            val src = hostOf(base)
+            if (src == null) Seq.empty
+            else targets.flatMap(t => Option(hostOf(t)))
+              .map(dst => (src, dst))
+          }
+      }
+      .toDF("src", "dst")
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
   /** x121 gate: the resolved outlink edge list per capture. */

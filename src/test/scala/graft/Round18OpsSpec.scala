@@ -39,4 +39,71 @@ class Round18OpsSpec extends GraftSparkSpec {
     assert(rows.map(r => r.getLong(5)).toSeq === Seq(0L, 2000L, 4000L,
       6000L, 8000L))
   }
+
+  test("graph: unit-weighted pagerankWeighted equals pagerank; weights shift mass per the integer formula") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val unw = Graph.pagerank(edges, iters = 3, checkpointInterval = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w1 = Graph.pagerankWeighted(edges.withColumn("w", lit(1L)),
+        iters = 3, checkpointInterval = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w1 === unw) // w=1 everywhere IS uniform splitting
+    // skewed weights vs an in-memory reference running the SAME
+    // decomposed integer formula
+    val we = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L),
+      ("c", "a", 5L)).toDF("src", "dst", "w")
+    val got = Graph.pagerankWeighted(we, iters = 2, checkpointInterval = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val sw = Map("a" -> 4L, "b" -> 2L, "c" -> 5L)
+    val adj = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L),
+      ("c", "a", 5L))
+    val n = 3L
+    val unit = 1000000000000L / n
+    val tp = (15L * unit) / 100L
+    var r = Map("a" -> unit, "b" -> unit, "c" -> unit)
+    (1 to 2).foreach { _ =>
+      val in = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) =>
+          (r(s) / sw(s)) * w + ((r(s) % sw(s)) * w) / sw(s)
+        }.sum
+      }
+      r = r.keys.map(k => k -> (tp + (85L * in.getOrElse(k, 0L)) / 100L))
+        .toMap
+    }
+    assert(got === r)
+    // skew actually matters: b and c both feed only off a, and b's
+    // 3-weight edge takes 3x the mass c's 1-weight edge does
+    assert(got("b") > got("c"))
+    // non-positive weights are loud, not a downstream div-by-zero
+    val e = intercept[Exception] {
+      Graph.pagerankWeighted(Seq(("x", "y", 0L)).toDF("src", "dst", "w"),
+        iters = 1).collect()
+    }
+    assert(e.getMessage.contains("non-positive edge weight") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("non-positive edge weight"))
+  }
+
+  test("wat: host edges collapse outlinks to weighted host pairs") {
+    import spark.implicits._
+    import graft.sources.WatSource
+    assert(WatSource.hostOf("http://Sub.Example.ORG:8080/p?q#f")
+      === "sub.example.org")
+    assert(WatSource.hostOf("not a url") === null)
+    assert(WatSource.hostOf(null) === null)
+    val media = WatSource.synthesizeWat(spark,
+      Seq((5L, "t")).toDF("doc_id", "text"))
+    val rows = graft.sources.WatSource.watHostEdges(spark, media)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // doc 5: captures j=0..2, links m=0..(5+j)%4; m%3==2 -> ext2, else
+    // self. j=0: m=0,1 self,self; j=1: m=0..2 self,self,ext2; j=2:
+    // m=0..3 self,self,ext2,self -> self edges 2+2+3=7, ext2 edges 2
+    assert(rows === Map(
+      ("site5.example", "site5.example") -> 7L,
+      ("site5.example", "ext2.example") -> 2L))
+  }
 }
