@@ -943,6 +943,19 @@ object GraftCli {
       val mainContent = rest.contains("main") // x106 link-density extractor
       graft.sources.WarcSource.crawlDocs(spark, glob, lenient, mainContent)
         .write.mode("overwrite").parquet(outDir)
+      // honest degrade accounting: pages the lenient walk kept as
+      // envelopes but could not give a body (coding:br is the big
+      // real-crawl population) are REPORTED per reason, never silent
+      if (lenient) {
+        val byReason = graft.sources.WarcSource
+          .warcFiles(spark, glob, lenient = true, mainContent)
+          .filter(org.apache.spark.sql.functions.col("degraded").isNotNull)
+          .groupBy("degraded").count()
+          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        if (byReason.nonEmpty)
+          println(s"[graft] corpus-from-warc degraded: " +
+            byReason.sorted.mkString(", "))
+      }
       println(s"[graft] corpus-from-warc: $glob -> $outDir" +
         (if (mainContent) " (main-content)" else ""))
       spark.stop()

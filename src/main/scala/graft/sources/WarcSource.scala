@@ -57,7 +57,12 @@ object WarcSource {
       revisitProfile: String = "",
       // capture instant (ISO 8601) — what a generated CDX line's
       // 14-digit timestamp derives from
-      warcDate: String = "")
+      warcDate: String = "",
+      // lenient body-degrade reason (null = body intact): coding:<name>
+      // for undecodable codings (brotli), charset:<label> for
+      // JVM-unresolvable charsets, damage for corruption — the honest
+      // counters a crawl run reports instead of a silent null body
+      degraded: String = null)
   private[graft] case class WarcFile(
       gzip: Boolean, nMembers: Int, records: Seq[WarcRecord])
 
@@ -222,11 +227,23 @@ object WarcSource {
         try java.nio.charset.Charset.forName(other) catch {
           case _: java.nio.charset.IllegalCharsetNameException |
               _: java.nio.charset.UnsupportedCharsetException =>
-            throw new IllegalArgumentException(
-              s"http: unsupported charset '$other'")
+            throw new UnsupportedCharset(other)
         }
     }
   }
+
+  /** Typed body-degrade causes: the lenient path tells apart "this
+    * coding/charset is beyond the engine" (a capability gap, countable
+    * per label — the `Content-Encoding: br` population is the big one)
+    * from "these bytes are damaged" (corruption). Both are
+    * IllegalArgumentException so every existing strict-mode contract
+    * (specs, fuzz sweep) is unchanged.
+    */
+  private[graft] final class UnsupportedCoding(val coding: String)
+    extends IllegalArgumentException(
+      s"http: unsupported content coding '$coding'")
+  private[graft] final class UnsupportedCharset(val label: String)
+    extends IllegalArgumentException(s"http: unsupported charset '$label'")
 
   /** Undo one content/transfer coding. gzip reuses the member walker
     * (CRC32 + ISIZE verified per member; multi-member streams legal);
@@ -252,9 +269,7 @@ object WarcSource {
         val zlib = data.length >= 2 && (data(0) & 0x0f) == 8 &&
           (((data(0) & 0xff) << 8 | (data(1) & 0xff)) % 31 == 0)
         inflateAll(data, zlib)
-      case other =>
-        throw new IllegalArgumentException(
-          s"http: unsupported content coding '$other'")
+      case other => throw new UnsupportedCoding(other)
     }
 
   /** HTTP message facts from an `application/http` payload:
@@ -275,7 +290,7 @@ object WarcSource {
     */
   private[graft] def httpFacts(payload: Array[Byte],
                                lenientBody: Boolean = false)
-      : (Int, String, String, Long) = {
+      : (Int, String, String, Long, String) = {
     var he = -1
     var i = 0
     while (he < 0 && i + 3 < payload.length) {
@@ -287,7 +302,7 @@ object WarcSource {
     val head = new String(payload, 0, he, "ISO-8859-1")
     val lines = head.split("\r\n")
     val first = lines.head.split(" ", 3)
-    if (!first(0).startsWith("HTTP/")) return (-1, "", null, 0L)
+    if (!first(0).startsWith("HTTP/")) return (-1, "", null, 0L, null)
     require(first.length >= 2, s"warc: bad status line '${lines.head}'")
     val status = first(1).toInt
     def header(name: String): String = lines.tail.map(_.split(":", 2)).collectFirst {
@@ -313,7 +328,7 @@ object WarcSource {
           if (textual)
             new String(payload, off, payload.length - off, charsetOf(ct))
           else null
-        (status, ct, body, nBytes)
+        (status, ct, body, nBytes, null)
       } else {
         // transfer codings are applied last by the sender, so undone
         // first; then content codings, last-listed innermost
@@ -323,14 +338,20 @@ object WarcSource {
         }
         val entity = ceCodings.reverse.foldLeft(afterTe)(decodeCoding)
         val body = if (textual) new String(entity, charsetOf(ct)) else null
-        (status, ct, body, entity.length.toLong)
+        (status, ct, body, entity.length.toLong, null)
       }
     } catch {
       case e: RuntimeException =>
         if (!lenientBody) throw e
-        // the ENVELOPE parsed; only the body codings are damaged —
-        // keep status/type so the page stays countable downstream
-        (status, ct, null, (payload.length - off).toLong)
+        // the ENVELOPE parsed; only the body layer failed — keep
+        // status/type so the page stays countable downstream, and SAY
+        // WHY: a capability gap (br, exotic charset) is not corruption
+        val reason = e match {
+          case u: UnsupportedCoding => s"coding:${u.coding}"
+          case u: UnsupportedCharset => s"charset:${u.label}"
+          case _ => "damage"
+        }
+        (status, ct, null, (payload.length - off).toLong, reason)
     }
   }
 
@@ -369,16 +390,18 @@ object WarcSource {
     var httpCt = ""
     var body: String = null
     var bodyBytes = 0L
+    var degraded: String = null
     if (ctype.startsWith("application/http")) {
       try {
-        val (s, ct, b, nb) = httpFacts(payload, lenientBody = lenientHttp)
-        status = s; httpCt = ct; body = b; bodyBytes = nb
+        val (s, ct, b, nb, dg) = httpFacts(payload, lenientBody = lenientHttp)
+        status = s; httpCt = ct; body = b; bodyBytes = nb; degraded = dg
       } catch {
         case e: RuntimeException =>
           if (!lenientHttp) throw e
           // degraded page: countable downstream, never kills the archive
           status = -1; httpCt = ""; body = null
           bodyBytes = payload.length.toLong
+          degraded = "damage"
       }
     } else if (ctype.startsWith("text/") ||
       ctype.startsWith("application/json")) {
@@ -404,7 +427,8 @@ object WarcSource {
       refersTo = bare(headers.getOrElse("warc-refers-to", "")),
       payloadDigest = headers.getOrElse("warc-payload-digest", ""),
       revisitProfile = headers.getOrElse("warc-profile", ""),
-      warcDate = headers.getOrElse("warc-date", ""))
+      warcDate = headers.getOrElse("warc-date", ""),
+      degraded = degraded)
   }
 
   /** Lazy record walk over a `.warc` / `.warc.gz` stream — O(largest
@@ -958,16 +982,19 @@ object WarcSource {
     */
   private[graft] def extractRow(path: String, r: WarcRecord, lenient: Boolean,
                                 mainContent: Boolean = false)
-      : (String, String, Int, String) = {
+      : (String, String, Int, String, String) = {
     // mainContent = the x106 link-density extractor (boilerplate blocks
     // dropped); default = the full x101 tag strip
     def extract(html: String): String =
       if (mainContent) mainText(html) else htmlText(html)
+    var degraded = r.degraded
     val text =
-      if (r.body == null) null // binary or (lenient) malformed-HTTP payload
+      if (r.body == null) null // binary or (lenient) degraded payload
       else if (!lenient) extract(r.body)
-      else try extract(r.body) catch { case _: IllegalArgumentException => null }
-    (path, r.targetUri, r.httpStatus, text)
+      else try extract(r.body) catch {
+        case _: IllegalArgumentException => degraded = "damage:html"; null
+      }
+    (path, r.targetUri, r.httpStatus, text, degraded)
   }
 
   /** Lazy row iterator over ONE archive stream: WARC walk → response
@@ -980,7 +1007,7 @@ object WarcSource {
     */
   private[graft] def responseRows(path: String, in: java.io.InputStream,
                                   lenient: Boolean, mainContent: Boolean)
-      : Iterator[(String, String, Int, String)] = {
+      : Iterator[(String, String, Int, String, String)] = {
     // the WarcIterator constructor itself sniffs the stream (and rejects
     // empty files) — closeOnExhaust's BY-NAME base defers that inside
     // the guard, so construction failures close the stream and, under
@@ -990,7 +1017,8 @@ object WarcSource {
         .filter(_.warcType == "response")
         .map(r => extractRow(path, r, lenient, mainContent)))
     if (!lenient) base
-    else StreamUtil.poisonOnError(base, (path, null, -1, null))
+    else StreamUtil.poisonOnError(base,
+      (path, null, -1, null, "damage:container"))
   }
 
   /** Crawl → corpus bridge: extracted 200-status pages in the documents
@@ -1151,6 +1179,6 @@ object WarcSource {
       .flatMap { case (path, pds) =>
         responseRows(path, pds.open(), lenient, mainContent)
       }
-      .toDF("file", "uri", "status", "text")
+      .toDF("file", "uri", "status", "text", "degraded")
   }
 }

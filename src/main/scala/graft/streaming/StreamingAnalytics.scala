@@ -591,9 +591,10 @@ object StreamingAnalytics {
         }
         if (!lenient) base
         else graft.sources.StreamUtil.poisonOnError(base,
-          (path, null, -1, null)) // open failures; parse errors poison inside
+          (path, null, -1, null, "damage:container")) // open failures;
+          // parse errors poison inside
       }
-      .toDF("file", "uri", "status", "text")
+      .toDF("file", "uri", "status", "text", "degraded")
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)

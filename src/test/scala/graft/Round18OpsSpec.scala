@@ -87,6 +87,51 @@ class Round18OpsSpec extends GraftSparkSpec {
         e.getCause.getMessage.contains("non-positive edge weight"))
   }
 
+  test("warc: degraded bodies are counted by reason through the ingestion arm") {
+    import graft.sources.WarcSource
+    // hand-build an archive: one good page, one brotli-coded page (the
+    // engine's honest capability gap), one damaged-gzip page
+    def rec(uri: String, http: Array[Byte]): Array[Byte] = {
+      val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+      head ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$headers\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    val good = rec("http://a/", http("", "<p>fine</p>".getBytes("UTF-8")))
+    val br = rec("http://b/", http("Content-Encoding: br\r\n",
+      Array[Byte](0x6b, 1, 2, 3))) // bytes we honestly cannot decode
+    val broken = rec("http://c/", http("Content-Encoding: gzip\r\n",
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0))) // truncated member
+    val dir = java.nio.file.Files.createTempDirectory("brctr").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.warc").toPath,
+        good ++ br ++ broken)
+      val rows = WarcSource.warcFiles(spark,
+          dir.getAbsolutePath + "/*.warc", lenient = true)
+        .collect().map(r => (r.getString(1), r.getString(3), r.getString(4)))
+      assert(rows.length === 3)
+      val byUri = rows.map(r => (r._1, (r._2, r._3))).toMap
+      assert(byUri("http://a/") === (("fine", null)))
+      assert(byUri("http://b/") === ((null, "coding:br")))
+      assert(byUri("http://c/") === ((null, "damage")))
+      // strict mode still rejects br by name — the degrade is a lenient
+      // accounting channel, not a weakened contract
+      val e = intercept[Exception] {
+        WarcSource.warcFiles(spark, dir.getAbsolutePath + "/*.warc",
+          lenient = false).collect()
+      }
+      assert(e.getMessage.contains("unsupported content coding") ||
+        e.getCause != null)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("wat: host edges collapse outlinks to weighted host pairs") {
     import spark.implicits._
     import graft.sources.WatSource

@@ -100,17 +100,17 @@ class WarcSpec extends GraftSparkSpec {
     val chunked = msg("Transfer-Encoding: chunked\r\n",
       WarcSource.chunkEncode(entity, 1L))
     assert(WarcSource.httpFacts(chunked) ===
-      ((200, "text/html", html, entity.length.toLong)))
+      ((200, "text/html", html, entity.length.toLong, null)))
     // content-gzipped
     val gzBody = WarcSource.gzipOne(entity)
     val gzMsg = msg("Content-Encoding: gzip\r\n", gzBody)
     assert(WarcSource.httpFacts(gzMsg) ===
-      ((200, "text/html", html, entity.length.toLong)))
+      ((200, "text/html", html, entity.length.toLong, null)))
     // chunked AND gzipped (transfer coding undone first)
     val both = msg("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
       WarcSource.chunkEncode(gzBody, 2L))
     assert(WarcSource.httpFacts(both) ===
-      ((200, "text/html", html, entity.length.toLong)))
+      ((200, "text/html", html, entity.length.toLong, null)))
     // raw-deflate content coding (the common server bug) and zlib both
     def deflate(zlib: Boolean): Array[Byte] = {
       val d = new java.util.zip.Deflater(6, !zlib)
@@ -123,31 +123,40 @@ class WarcSpec extends GraftSparkSpec {
     Seq(true, false).foreach { zlib =>
       val m = msg("Content-Encoding: deflate\r\n", deflate(zlib))
       assert(WarcSource.httpFacts(m) ===
-        ((200, "text/html", html, entity.length.toLong)))
+        ((200, "text/html", html, entity.length.toLong, null)))
     }
     // binary content type: entity decoded for the byte count, body null
     val binMsg = ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n" +
       "Content-Encoding: gzip\r\n\r\n").getBytes("ISO-8859-1") ++ gzBody
     assert(WarcSource.httpFacts(binMsg) ===
-      ((200, "application/pdf", null, entity.length.toLong)))
+      ((200, "application/pdf", null, entity.length.toLong, null)))
     // damaged chunk framing: strict throws, lenient keeps the envelope
     val bad = msg("Transfer-Encoding: chunked\r\n",
       "zz\r\nnope".getBytes("ISO-8859-1"))
     val e1 = intercept[IllegalArgumentException] { WarcSource.httpFacts(bad) }
     assert(e1.getMessage.contains("chunk size"))
     assert(WarcSource.httpFacts(bad, lenientBody = true) ===
-      ((200, "text/html", null, 8L)))
+      ((200, "text/html", null, 8L, "damage")))
     // truncated gzip entity: same split
     val trunc = msg("Content-Encoding: gzip\r\n",
       java.util.Arrays.copyOfRange(gzBody, 0, gzBody.length - 6))
     intercept[RuntimeException] { WarcSource.httpFacts(trunc) }
-    val (s2, ct2, b2, _) = WarcSource.httpFacts(trunc, lenientBody = true)
+    val (s2, ct2, b2, _, dg2) = WarcSource.httpFacts(trunc, lenientBody = true)
     assert(s2 === 200 && ct2 === "text/html" && b2 === null)
+    assert(dg2 === "damage")
     // unsupported coding (br): strict loud, lenient degrades
     val br = msg("Content-Encoding: br\r\n", entity)
     val e3 = intercept[IllegalArgumentException] { WarcSource.httpFacts(br) }
     assert(e3.getMessage.contains("unsupported content coding"))
-    assert(WarcSource.httpFacts(br, lenientBody = true)._3 === null)
+    val brFacts = WarcSource.httpFacts(br, lenientBody = true)
+    assert(brFacts._3 === null)
+    // the degrade is COUNTED by capability gap, not lumped into damage
+    assert(brFacts._5 === "coding:br")
+    val badCs = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=x-nope\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ entity
+    assert(WarcSource.httpFacts(badCs, lenientBody = true)._5
+      === "charset:x-nope")
     // bytes after the terminal chunk are a framing violation
     val extra = msg("Transfer-Encoding: chunked\r\n",
       WarcSource.chunkEncode(entity, 2L) ++ "x".getBytes)
@@ -208,7 +217,7 @@ class WarcSpec extends GraftSparkSpec {
     // bytes would yield U+FFFD for every accent
     val latin = msg("text/html; charset=iso-8859-1",
       text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-    val (s1, _, b1, n1) = WarcSource.httpFacts(latin)
+    val (s1, _, b1, n1, _) = WarcSource.httpFacts(latin)
     assert(s1 === 200 && b1 === text && n1 === text.length.toLong)
     // quoted label, case-insensitive
     assert(WarcSource.httpFacts(msg("text/html; charset=\"ISO-8859-1\"",
@@ -219,7 +228,7 @@ class WarcSpec extends GraftSparkSpec {
       winText.getBytes("windows-1252")))._3 === winText)
     // utf-16be: byte count stays the WIRE entity size, chars decode
     val u16 = msg("text/plain; charset=utf-16be", text.getBytes("UTF-16BE"))
-    val (_, _, b16, n16) = WarcSource.httpFacts(u16)
+    val (_, _, b16, n16, _) = WarcSource.httpFacts(u16)
     assert(b16 === text && n16 === 2L * text.length)
     // absent charset: UTF-8 default
     assert(WarcSource.httpFacts(msg("text/html",
@@ -229,7 +238,7 @@ class WarcSpec extends GraftSparkSpec {
     val e = intercept[IllegalArgumentException] { WarcSource.httpFacts(bad) }
     assert(e.getMessage.contains("unsupported charset"))
     assert(WarcSource.httpFacts(bad, lenientBody = true) ===
-      ((200, "text/html; charset=klingon", null, 1L)))
+      ((200, "text/html; charset=klingon", null, 1L, "charset:klingon")))
   }
 
   test("warc: empty and one-byte blobs keep their by-name reject") {
