@@ -3,19 +3,26 @@ package graft.functions
 /** Character-trigram naive-Bayes language identification — the real
   * langid stage of a crawl pipeline (replacing r15's 5-marker argmax;
   * reference seam: the reference has no text analysis at all, this is
-  * extension surface). Eight Latin-script languages
-  * (de/en/es/fr/it/nl/pt/sv) with profiles built from SEEDED literal
-  * corpora at class load, so the model is a deterministic function of
-  * source code, plus an `und` (undetermined) decision: the argmax must
-  * beat the runner-up by [[undMarginMicro]] micro-nats PER TRIGRAM
-  * (a per-trigram margin is length-invariant) or the text is declared
-  * out-of-set — a real crawl mix carries hundreds of languages the
-  * seed set cannot name, and a confident wrong label is worse for a
-  * training mix than an honest `und`.
+  * extension surface). Language models are PER-SCRIPT (the d57/x-route
+  * discipline: one trigram model cannot span writing systems honestly):
+  * [[LangId]] is the Latin family (de/en/es/fr/it/nl/pt/sv),
+  * [[CyrLangId]] the Cyrillic family (bg/ru/uk), both instances of the
+  * same [[TrigramNb]] core, and [[LangId.route]] dispatches on
+  * [[ScriptId.dominant]] — Latin text to the Latin model, Cyrillic to
+  * the Cyrillic model, unmodeled scripts honestly to `und`.
+  *
+  * Profiles are built from SEEDED literal corpora at class load, so the
+  * model is a deterministic function of source code, plus an `und`
+  * (undetermined) decision: the argmax must beat the runner-up by
+  * `undMarginMicro` micro-nats PER TRIGRAM (a per-trigram margin is
+  * length-invariant) or the text is declared out-of-set — a real crawl
+  * mix carries hundreds of languages the seed set cannot name, and a
+  * confident wrong label is worse for a training mix than an honest
+  * `und`.
   *
   * Cross-engine discipline (the d33/d54 pattern): every score is an
   * exact integer. Trigram counts are integers; add-one-smoothed log
-  * probabilities come from [[lnMicro]], a LITERAL micro-nat table both
+  * probabilities come from `lnMicro`, a LITERAL micro-nat table both
   * engines share (the DuckDB oracle re-builds the same counts from the
   * same seed sentences and joins the same table — no runtime `ln`
   * anywhere, so a 1-ulp libm difference cannot flip an argmax). Score:
@@ -25,9 +32,74 @@ package graft.functions
   * the alphabetically first language; the margin rule then decides
   * between that argmax and `und`.
   *
-  * 100 TB shape: the model is a few-KB closure constant; prediction is
+  * 100 TB shape: each model is a few-KB closure constant; prediction is
   * a narrow per-row map (no exchange, no broadcast join needed).
   */
+private[graft] final class TrigramNb(
+    val langs: Seq[String], // alphabetical = the tie order
+    val seeds: Seq[(String, String)],
+    /** normalize class: everything OUTSIDE it collapses to spaces —
+      * `[^a-z]` for Latin, the explicit Cyrillic letter class for
+      * Cyrillic; the oracle runs the same regex in DuckDB. */
+    stripRe: String,
+    val lnMicro: Map[Int, Long],
+    val undMarginMicro: Long) {
+
+  def normalize(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll(stripRe + "+", " ").trim
+
+  /** Character trigrams of the space-padded normalized text. */
+  def trigrams(text: String): Seq[String] = {
+    val p = " " + normalize(text) + " "
+    if (p.length < 3) Seq.empty
+    else (0 to p.length - 3).map(i => p.substring(i, i + 3))
+  }
+
+  private val counts: Map[String, Map[String, Int]] =
+    seeds.groupBy(_._1).map { case (l, ss) =>
+      l -> ss.flatMap(s => trigrams(s._2))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    }
+  val vocabSize: Int =
+    counts.valuesIterator.flatMap(_.keysIterator).toSet.size
+  val totals: Map[String, Int] =
+    counts.map { case (l, c) => l -> c.values.sum }
+  val maxSeedCount: Int =
+    counts.valuesIterator.flatMap(_.valuesIterator).max
+
+  /** Per-language micro-nat NB scores for a pre-computed trigram list
+    * (the per-row hot path computes trigrams ONCE and reuses them for
+    * scoring and the margin divisor).
+    */
+  private def scoresOf(ts: Seq[String]): Map[String, Long] =
+    langs.map { l =>
+      val c = counts(l)
+      val base = lnMicro(totals(l) + vocabSize)
+      l -> ts.foldLeft(0L)((acc, t) => acc + lnMicro(c.getOrElse(t, 0) + 1))
+        .-(ts.size.toLong * base)
+    }.toMap
+
+  /** Per-language micro-nat NB scores for a text. */
+  def scores(text: String): Map[String, Long] = scoresOf(trigrams(text))
+
+  /** Argmax language when it clears the per-trigram margin over the
+    * runner-up, else `und` — which also covers letterless/empty text
+    * (zero trigrams, all scores tie at 0). In-set ties below the
+    * margin are indistinguishable from out-of-set text by this model,
+    * so they are `und` too.
+    */
+  def predict(text: String): String = {
+    val ts = trigrams(text)
+    if (ts.isEmpty) return "und"
+    val sc = scoresOf(ts)
+    val ordered = langs.sortBy(l => (-sc(l), l))
+    if (sc(ordered.head) - sc(ordered(1)) >= undMarginMicro * ts.size)
+      ordered.head
+    else "und"
+  }
+}
+
 object LangId {
 
   /** Tie order = alphabetical. */
@@ -125,62 +197,145 @@ object LangId {
     1420 -> 7258412L, 1424 -> 7261225L, 1427 -> 7263330L,
     1438 -> 7271009L, 1484 -> 7302496L)
 
+  private[graft] val model =
+    new TrigramNb(langs, seeds, "[^a-z]", lnMicro, undMarginMicro)
+
   /** Lowercase, strip to [a-z] runs, collapse to single spaces, trim —
     * the exact expression the oracle runs
     * (`trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))`).
     */
-  private[graft] def normalize(text: String): String =
-    text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z]+", " ").trim
-
-  /** Character trigrams of the space-padded normalized text. */
-  private[graft] def trigrams(text: String): Seq[String] = {
-    val p = " " + normalize(text) + " "
-    if (p.length < 3) Seq.empty
-    else (0 to p.length - 3).map(i => p.substring(i, i + 3))
-  }
-
-  private val counts: Map[String, Map[String, Int]] =
-    seeds.groupBy(_._1).map { case (l, ss) =>
-      l -> ss.flatMap(s => trigrams(s._2))
-        .groupBy(identity).map { case (t, xs) => t -> xs.size }
-    }
-  private[graft] val vocabSize: Int =
-    counts.valuesIterator.flatMap(_.keysIterator).toSet.size
-  private[graft] val totals: Map[String, Int] =
-    counts.map { case (l, c) => l -> c.values.sum }
-  private[graft] val maxSeedCount: Int =
-    counts.valuesIterator.flatMap(_.valuesIterator).max
-
-  /** Per-language micro-nat NB scores for a pre-computed trigram list
-    * (the per-row hot path computes trigrams ONCE and reuses them for
-    * scoring and the margin divisor).
-    */
-  private def scoresOf(ts: Seq[String]): Map[String, Long] =
-    langs.map { l =>
-      val c = counts(l)
-      val base = lnMicro(totals(l) + vocabSize)
-      l -> ts.foldLeft(0L)((acc, t) => acc + lnMicro(c.getOrElse(t, 0) + 1))
-        .-(ts.size.toLong * base)
-    }.toMap
-
-  /** Per-language micro-nat NB scores for a text. */
+  private[graft] def normalize(text: String): String = model.normalize(text)
+  private[graft] def trigrams(text: String): Seq[String] = model.trigrams(text)
+  private[graft] def vocabSize: Int = model.vocabSize
+  private[graft] def totals: Map[String, Int] = model.totals
+  private[graft] def maxSeedCount: Int = model.maxSeedCount
   private[graft] def scores(text: String): Map[String, Long] =
-    scoresOf(trigrams(text))
+    model.scores(text)
 
-  /** Argmax language when it clears the per-trigram margin over the
-    * runner-up, else `und` — which also covers letterless/empty text
-    * (zero trigrams, all scores tie at 0). In-set ties below the
-    * margin are indistinguishable from out-of-set text by this model,
-    * so they are `und` too.
+  def predict(text: String): String = model.predict(text)
+
+  /** Script-routed prediction — the full crawl-mix entry point: the
+    * dominant letter script picks the model (latin → this model,
+    * cyrillic → [[CyrLangId]]); scripts with no model yet, and
+    * letterless text, are honestly `und` rather than forced through a
+    * model whose normalize would strip them to nothing.
     */
-  def predict(text: String): String = {
-    val ts = trigrams(text)
-    if (ts.isEmpty) return "und"
-    val sc = scoresOf(ts)
-    val ordered = langs.sortBy(l => (-sc(l), l))
-    if (sc(ordered.head) - sc(ordered(1)) >= undMarginMicro * ts.size)
-      ordered.head
-    else "und"
+  def route(text: String): String = ScriptId.dominant(text) match {
+    case "latin" => predict(text)
+    case "cyrillic" => CyrLangId.predict(text)
+    case _ => "und"
   }
+}
+
+/** The Cyrillic trigram family (bg/ru/uk) behind [[LangId.route]]'s
+  * script dispatch — same NB core, Cyrillic seed corpora, normalize
+  * class `[а-яёіїєґ]` (the basic range plus yo and the Ukrainian
+  * letters — Bulgarian needs nothing beyond а-я).
+  */
+object CyrLangId {
+
+  /** Tie order = alphabetical. */
+  val langs: Seq[String] = Seq("bg", "ru", "uk")
+
+  /** Per-trigram margin, same decision rule and value as the Latin
+    * family (in-set held-out clears ≥ ~34.8k micro-nats/trigram). The
+    * margin alone cannot refuse Serbian: stripping its distinctive
+    * letters (ј ћ ђ џ љ њ) leaves residue full of bare ` е ` — the
+    * BULGARIAN copula — which scores confidently bg. That population is
+    * refused by [[alphabetCoverageMinPpm]] instead: letters OUTSIDE the
+    * model's alphabet are themselves the out-of-set evidence.
+    */
+  val undMarginMicro: Long = 25000L
+
+  /** Minimum share (ppm) of the text's CYRILLIC letters that must fall
+    * inside the model alphabet, else `und` before any scoring: Serbian
+    * (ј ћ ђ џ љ њ), Macedonian (ј ѓ ќ ѕ џ), Belarusian (ў), Kazakh
+    * (қ ң ү ұ һ ә ө і-Kazakh) all carry letters bg/ru/uk never use, and
+    * a model whose normalize silently DELETES them would otherwise
+    * score the remainder as a false neighbor. 98%: real bg/ru/uk text
+    * is ~100% in-alphabet; the Serbian probes measure 89–95%.
+    */
+  val alphabetCoverageMinPpm: Long = 980000L
+
+  // Seed corpora: the same 8 function-word-heavy sentences as the Latin
+  // family, in each language's own words. MUST stay byte-identical to
+  // the d58 oracle's VALUES.
+  private[graft] val seeds: Seq[(String, String)] = Seq(
+    ("ru", "быстрая коричневая лиса прыгает через ленивую собаку"),
+    ("ru", "это дом который построил джек"),
+    ("ru", "который час и куда мы идем"),
+    ("ru", "она сказала что они придут с нами"),
+    ("ru", "из всего что мы видели это было лучшее"),
+    ("ru", "кто живет в стеклянном доме не должен бросать камни"),
+    ("ru", "нет ничего хорошего или плохого но мышление делает это таким"),
+    ("ru", "быть или не быть вот в чем вопрос"),
+    ("uk", "швидка коричнева лисиця стрибає через ледачого пса"),
+    ("uk", "це будинок який збудував джек"),
+    ("uk", "котра година і куди ми йдемо"),
+    ("uk", "вона сказала що вони прийдуть з нами"),
+    ("uk", "з усього що ми бачили це було найкраще"),
+    ("uk", "хто живе в скляному будинку не повинен кидати каміння"),
+    ("uk", "немає нічого доброго чи поганого але думка робить це таким"),
+    ("uk", "бути чи не бути ось у чому питання"),
+    ("bg", "бързата кафява лисица скача над мързеливото куче"),
+    ("bg", "това е къщата която джак построи"),
+    ("bg", "колко е часът и къде отиваме"),
+    ("bg", "тя каза че те ще дойдат с нас"),
+    ("bg", "от всичко което видяхме това беше най доброто"),
+    ("bg", "който живее в стъклена къща не бива да хвърля камъни"),
+    ("bg", "няма нищо добро или лошо но мисленето го прави такова"),
+    ("bg", "да бъдеш или да не бъдеш това е въпросът"))
+
+  /** round(ln(k)·1e6): smoothed counts 1..7 (max seed trigram count is
+    * 6) and the three total+vocab denominators (V = 594, totals
+    * ru 322 / uk 326 / bg 327). Literal — the d58 oracle joins the
+    * same integers; LangIdSpec pins each entry against Math.log.
+    */
+  private[graft] val lnMicro: Map[Int, Long] = Map(
+    1 -> 0L, 2 -> 693147L, 3 -> 1098612L, 4 -> 1386294L, 5 -> 1609438L,
+    6 -> 1791759L, 7 -> 1945910L,
+    916 -> 6820016L, 920 -> 6824374L, 921 -> 6825460L)
+
+  /** The oracle-side normalize class (kept here so engine and oracle
+    * cannot drift): everything outside these letters becomes a space.
+    */
+  private[graft] val stripRe: String = "[^а-яёіїєґ]"
+
+  private[graft] val model =
+    new TrigramNb(langs, seeds, stripRe, lnMicro, undMarginMicro)
+
+  private[graft] def normalize(text: String): String = model.normalize(text)
+  private[graft] def trigrams(text: String): Seq[String] = model.trigrams(text)
+  private[graft] def vocabSize: Int = model.vocabSize
+  private[graft] def totals: Map[String, Int] = model.totals
+  private[graft] def maxSeedCount: Int = model.maxSeedCount
+  private[graft] def scores(text: String): Map[String, Long] =
+    model.scores(text)
+
+  /** In-alphabet share of the text's Cyrillic letters, ppm (1e6 when
+    * the text has no Cyrillic letters at all — coverage is then not
+    * evidence either way; the trigram emptiness rule handles it).
+    */
+  private[graft] def alphabetCoveragePpm(text: String): Long = {
+    var cyr = 0L
+    var kept = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp) &&
+        Character.UnicodeScript.of(cp) ==
+          java.lang.Character.UnicodeScript.CYRILLIC) {
+        cyr += 1
+        val lc = Character.toLowerCase(cp)
+        if ((lc >= 'а' && lc <= 'я') || lc == 'ё' || lc == 'і' ||
+          lc == 'ї' || lc == 'є' || lc == 'ґ') kept += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (cyr == 0) 1000000L else (kept * 1000000L) / cyr
+  }
+
+  def predict(text: String): String =
+    if (alphabetCoveragePpm(text) < alphabetCoverageMinPpm) "und"
+    else model.predict(text)
 }

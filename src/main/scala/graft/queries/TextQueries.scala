@@ -93,6 +93,83 @@ object TextQueries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** The d58 probe pool: held-out Cyrillic sentences (NEVER seed
+    * sentences — the gate must exercise generalization, not recall),
+    * indexed by doc_id % 9 in both engines. All lowercase and 100%
+    * inside the model alphabet, so the engine-side coverage rule and
+    * lowercasing are identities here (both spec-pinned separately in
+    * LangIdSpec) and the oracle needs neither.
+    */
+  private[graft] val cyrPool: Seq[(String, String)] = Seq(
+    ("ru", "мы читаем книги каждый вечер после работы"),
+    ("ru", "сегодня хорошая погода и мы идем гулять в парк"),
+    ("ru", "он не знал что сказать и просто молчал"),
+    ("uk", "ми читаємо книжки щовечора після роботи"),
+    ("uk", "сьогодні гарна погода і ми йдемо гуляти в парк"),
+    ("uk", "він не знав що сказати і просто мовчав"),
+    ("bg", "къде е най близката спирка на автобуса и кога идва той"),
+    ("bg", "времето днес е много хубаво и ще отидем на разходка"),
+    ("bg", "той не знаеше какво да каже и просто мълчеше"))
+
+  private val cyrLangIdOracleSql: String = {
+    val poolVals = cyrPool.zipWithIndex
+      .map { case ((l, s), i) => s"($i, '$l', '$s')" }.mkString(",\n      ")
+    val seedVals = graft.functions.CyrLangId.seeds
+      .map { case (l, s) => s"('$l', '$s')" }.mkString(",\n      ")
+    val lnVals = graft.functions.CyrLangId.lnMicro.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"($k, $v)" }.mkString(", ")
+    val margin = graft.functions.CyrLangId.undMarginMicro
+    val strip = graft.functions.CyrLangId.stripRe
+    s"""WITH pool(idx, true_lang, sentence) AS (VALUES
+       |      $poolVals),
+       |seed(lang, sentence) AS (VALUES
+       |      $seedVals),
+       |lnt(k, v) AS (VALUES $lnVals),
+       |sp AS (SELECT lang,
+       |         ' ' || trim(regexp_replace(sentence, '$strip+', ' ', 'g'))
+       |           || ' ' AS p FROM seed),
+       |si AS (SELECT lang, p, unnest(range(1, length(p) - 1)) AS i FROM sp),
+       |stri AS (SELECT lang, substr(p, CAST(i AS INT), 3) AS tri FROM si),
+       |cnt AS (SELECT lang, tri, count(*) AS c FROM stri GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS t FROM stri GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tri) AS v FROM stri),
+       |pp AS (SELECT idx, true_lang,
+       |         ' ' || trim(regexp_replace(sentence, '$strip+', ' ', 'g'))
+       |           || ' ' AS p FROM pool),
+       |pi AS (SELECT idx, true_lang, p, unnest(range(1, length(p) - 1)) AS i
+       |       FROM pp),
+       |ptri AS (SELECT idx, true_lang, substr(p, CAST(i AS INT), 3) AS tri
+       |         FROM pi),
+       |ntr AS (SELECT idx, count(*) AS n FROM ptri GROUP BY 1),
+       |sc AS (SELECT pt.idx, lg.lang,
+       |         sum(lc.v) - count(*) * any_value(lt.v) AS score
+       |       FROM ptri pt
+       |       CROSS JOIN (SELECT DISTINCT lang FROM seed) lg
+       |       LEFT JOIN cnt ON cnt.lang = lg.lang AND cnt.tri = pt.tri
+       |       JOIN tot ON tot.lang = lg.lang
+       |       CROSS JOIN voc
+       |       JOIN lnt lc ON lc.k = coalesce(cnt.c, 0) + 1
+       |       JOIN lnt lt ON lt.k = tot.t + voc.v
+       |       GROUP BY 1, 2),
+       |pr AS (SELECT idx, lang, score,
+       |         row_number() OVER (PARTITION BY idx
+       |                            ORDER BY score DESC, lang) AS rn
+       |       FROM sc),
+       |win AS (SELECT p1.idx,
+       |          CASE WHEN p1.score - p2.score >= $margin * ntr.n
+       |            THEN p1.lang ELSE 'und' END AS pred
+       |        FROM (SELECT * FROM pr WHERE rn = 1) p1
+       |        JOIN (SELECT * FROM pr WHERE rn = 2) p2 USING (idx)
+       |        JOIN ntr USING (idx)),
+       |docs AS (SELECT doc_id, CAST(doc_id % 9 AS INT) AS idx
+       |         FROM documents)
+       |SELECT p.true_lang, w.pred, count(*) AS n
+       |FROM docs d
+       |JOIN pool p ON p.idx = d.idx
+       |JOIN win w ON w.idx = d.idx
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: md5-groupBy, keep the smallest doc_id per content
@@ -2229,6 +2306,32 @@ object TextQueries {
           |       WHEN cy >= ha AND cy >= la THEN 'cyrillic'
           |       WHEN ha >= la THEN 'han' ELSE 'latin' END AS dominant
           |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- Cyrillic langid family (functions/CyrLangId) behind d57's
+    // script routing — per-script models, not one stretched model:
+    // LangId.route dispatches the dominant script to its family (latin
+    // → d5's 8-language model, cyrillic → bg/ru/uk, unmodeled scripts
+    // honestly und). The gate predicts over HELD-OUT Cyrillic sentences
+    // chosen by doc_id % 9 (never seed sentences — generalization, not
+    // recall), and the oracle re-derives every score: same seed VALUES,
+    // same literal micro-nat ln table, same margin and alphabetical tie
+    // — the d5 discipline on a second writing system. The engine-side
+    // alphabet-coverage refusal (Serbian/Kazakh letters outside the
+    // bg/ru/uk alphabet → und) is an identity on this pure-in-alphabet
+    // pool; LangIdSpec pins it on real Serbian/Kazakh text.
+    "d58_cyr_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val (lang, text) = cyrPool((id % 9).toInt)
+            (lang, graft.functions.LangId.route(text))
+          }
+          .toDF("true_lang", "pred")
+          .groupBy("true_lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred")
+      },
+      Some(cyrLangIdOracleSql)),
 
     "d56_hll_intersect" -> QueryDef(
       (s, dir) => {

@@ -1048,8 +1048,11 @@ object WarcSource {
   private[graft] def docsShape(spark: SparkSession, pages: DataFrame): DataFrame = {
     import spark.implicits._
     pages.as[(String, String)]
+      // script-routed: Latin pages hit the d5 trigram model, Cyrillic
+      // pages the d58 family, unmodeled scripts land und — identical to
+      // plain predict on a Latin corpus, honest on a real crawl mix
       .map { case (uri, text) =>
-        (uri, text, graft.functions.LangId.predict(text)) }
+        (uri, text, graft.functions.LangId.route(text)) }
       .toDF("uri", "text", "lang")
       .withColumn("doc_id", pmod(xxhash64(col("uri")), lit(Long.MaxValue)))
       // schemes are case-insensitive per RFC 3986; normalize the host

@@ -80,4 +80,71 @@ class LangIdSpec extends GraftSparkSpec {
     assert(enScores(ordered.head) - enScores(ordered(1)) >=
       2 * LangId.undMarginMicro * nTris, "in-set margin headroom eroded")
   }
+
+  test("cyrillic: table literals, held-out accuracy, out-of-set und, script routing") {
+    import graft.functions.{CyrLangId, ScriptId}
+    CyrLangId.lnMicro.foreach { case (k, v) =>
+      assert(v === Math.round(Math.log(k.toDouble) * 1e6),
+        s"cyr lnMicro($k) drifted from Math.log")
+    }
+    (1 to CyrLangId.maxSeedCount + 1).foreach(k =>
+      assert(CyrLangId.lnMicro.contains(k), s"missing smoothed-count key $k"))
+    CyrLangId.langs.foreach { l =>
+      val k = CyrLangId.totals(l) + CyrLangId.vocabSize
+      assert(CyrLangId.lnMicro.contains(k), s"missing denominator key $k")
+    }
+    CyrLangId.seeds.foreach { case (_, s) =>
+      assert(!s.contains("'"), "seed sentences must not contain quotes")
+      assert(CyrLangId.normalize(s) === s, "seed not normalize-clean")
+    }
+    // held-out sentences (none in the seeds) classify per language
+    val held = Seq(
+      ("ru", "мы читаем книги каждый вечер после работы"),
+      ("ru", "сегодня хорошая погода и мы идем гулять в парк"),
+      ("ru", "он не знал что сказать и просто молчал"),
+      ("uk", "ми читаємо книжки щовечора після роботи"),
+      ("uk", "сьогодні гарна погода і ми йдемо гуляти в парк"),
+      ("uk", "він не знав що сказати і просто мовчав"),
+      ("bg", "къде е най близката спирка на автобуса и кога идва той"),
+      ("bg", "времето днес е много хубаво и ще отидем на разходка"),
+      ("bg", "той не знаеше какво да каже и просто мълчеше"))
+    val seedSet = CyrLangId.seeds.map(_._2).toSet
+    assert(held.forall(h => !seedSet(h._2)))
+    held.foreach { case (lang, s) =>
+      val sc = CyrLangId.scores(s)
+      val ord = CyrLangId.langs.sortBy(x => (-sc(x), x))
+      val gap = (sc(ord.head) - sc(ord(1))) / CyrLangId.trigrams(s).size
+      info(s"$lang gap/tri = $gap -> ${CyrLangId.predict(s)}")
+      assert(CyrLangId.predict(s) === lang, s"misclassified: $s")
+    }
+    // out-of-set Cyrillic (Serbian, Kazakh) lands und — refused by the
+    // ALPHABET COVERAGE rule: their distinctive letters (ј ћ ђ / қ ң ү)
+    // sit outside the bg/ru/uk alphabet, and a normalize that silently
+    // deleted them would leave Serbian residue full of bare ' е ' (the
+    // Bulgarian copula!) that scores as a confident false bg
+    val outOfSet = Seq(
+      "деца се играју у дворишту сваког јутра пре школе",
+      "он је рекао да ће доћи са нама у град",
+      "жылдам қоңыр түлкі жалқау иттің үстінен секіреді")
+    outOfSet.foreach { s =>
+      val cov = CyrLangId.alphabetCoveragePpm(s)
+      info(s"out-of-set coverage = $cov ppm")
+      assert(cov < CyrLangId.alphabetCoverageMinPpm)
+      assert(CyrLangId.predict(s) === "und", s"named out-of-set text: $s")
+    }
+    // in-set text is ~100% in-alphabet — the rule never touches it
+    held.foreach { case (_, s) =>
+      assert(CyrLangId.alphabetCoveragePpm(s) === 1000000L)
+    }
+    // routing: the script picks the model; unmodeled scripts are und
+    assert(LangId.route("the government said that it would not change " +
+      "the law") === "en")
+    assert(LangId.route("мы читаем книги каждый вечер после работы")
+      === "ru")
+    assert(LangId.route("ми читаємо книжки щовечора після роботи") === "uk")
+    assert(LangId.route("времето днес е много хубаво и ще отидем на разходка") === "bg")
+    assert(ScriptId.dominant("今日は良い天気です") !== "latin")
+    assert(LangId.route("今日は良い天気ですから公園へ行きます") === "und")
+    assert(LangId.route("12345 !!!") === "und")
+  }
 }
