@@ -34,6 +34,39 @@ object Bench {
     // warmup: run the flagship shape once to load classes + codegen paths
     SparkEntry.queries.get("q1_agg").foreach(runOne)
 
+    // CALIBRATION KERNELS (r17 verdict item 8): two fixed, data-free
+    // workloads whose cost depends only on the BOX, reported beside the
+    // query times so cross-box comparisons (driver vs builder runs
+    // swung 23% on identical code) can normalize by hardware speed
+    // instead of arguing about jitter. cpu_1t = one core's scalar
+    // throughput (200M-step mix/xor loop); spark_par = the whole
+    // local[N] stack pushing 400M codegen'd rows (range→xxhash64→sum).
+    // Median of 3, measured warm, before any query runs.
+    def median3(f: () => Double): Double =
+      Seq(f(), f(), f()).sorted.apply(1)
+    val calibCpu = median3 { () =>
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 200000000L) {
+        h ^= i; h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        i += 1
+      }
+      if (h == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSpark = median3 { () =>
+      import org.apache.spark.sql.functions.expr
+      val t0 = System.nanoTime()
+      // bit_xor fold: overflow-free under ANSI where sum(xxhash64) throws
+      spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .select(expr("bit_xor(xxhash64(id))"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibJson = s"""{"cpu_1t":${f"$calibCpu%.3f"},""" +
+      s""""spark_par":${f"$calibSpark%.3f"}}"""
+
     // steady-state: three runs per query, report the MEDIAN of successful
     // runs — run-order JIT/classloading noise can't masquerade as a
     // regression in either direction (min hides steady-state cost, a lone
@@ -114,7 +147,7 @@ object Bench {
         f"${if (ts.isEmpty) -1.0 else ts.last}%.3f]"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"calib":$calibJson,"queries":$fullQs,"spread":$spread,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
@@ -130,7 +163,7 @@ object Bench {
       else omitted += 1
     }
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"full":"$outFile","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"calib":$calibJson,"queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"full":"$outFile","sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

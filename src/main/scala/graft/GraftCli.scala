@@ -1072,6 +1072,18 @@ object GraftCli {
       q.stop()
       spark.stop()
 
+    case "stream-wat-scan" :: landingDir :: outDir :: ckpt :: rest =>
+      // continuous WAT-metadata ingestion server (the wat sibling of
+      // stream-warc-extract); lifetimeSec bounds the demo run
+      val spark = session()
+      val lifetime = rest.headOption.map(_.toInt).getOrElse(15)
+      val q = streaming.StreamingAnalytics.watIngest(
+        spark, landingDir, outDir, ckpt)
+      println(s"[graft] wat-scan server on $landingDir -> $outDir")
+      q.awaitTermination(lifetime * 1000L)
+      q.stop()
+      spark.stop()
+
     case "mkv-meta" :: mediaParquet :: outDir :: Nil =>
       val spark = session()
       graft.sources.MkvSource.mkvTable(spark, spark.read.parquet(mediaParquet))
@@ -1275,6 +1287,7 @@ object GraftCli {
            |  stream-cdx-fetch <cdxLandingDir> <warcDir> <outDir> <ckpt> [runSec]
            |  wat-demo <docs.parquet> <outDir>
            |  wat-scan <glob.wat[.gz]> <outDir>
+           |  stream-wat-scan <landingDir> <outDir> <ckpt> [runSec]
            |  mkv-scan <glob.mkv|.webm> <outDir>
            |  tar-scan <glob.tar[.gz]> <outDir>
            |  mkv-meta <mediaParquet(doc_id,content)> <outDir>

@@ -3576,7 +3576,9 @@ object ExtensionQueries {
           |    WHEN 0 THEN 'http://site' || (doc_id % 7) || '.example/l' || m
           |    WHEN 1 THEN 'http://site' || (doc_id % 7) || '.example/' ||
           |      doc_id || '/l' || m
-          |    ELSE 'http://ext' || m || '.example/p' END AS target
+          |    ELSE 'http://ext' || m || '.example/p' END AS target,
+          |  CAST(CASE WHEN (doc_id + j + m) % 5 = 0 THEN 1 ELSE 0 END
+          |    AS INT) AS nofollow
           |FROM l ORDER BY doc_id, j, m""".stripMargin)),
 
     // WAT HOST PAGERANK (x123) — the link-analysis payoff of the WAT
@@ -3610,7 +3612,8 @@ object ExtensionQueries {
           |          CASE WHEN m % 3 = 2 THEN 'ext' || m || '.example'
           |               ELSE 'site' || (doc_id % 7) || '.example'
           |          END AS dst
-          |        FROM l),
+          |        FROM l
+          |        WHERE (doc_id + j + m) % 5 <> 0),
           |e AS (SELECT src, dst, count(*) AS w FROM raw GROUP BY src, dst),
           |sw AS (SELECT src, sum(w) AS sw FROM e GROUP BY src),
           |g AS (SELECT e.src, e.dst, e.w, sw.sw FROM e

@@ -271,14 +271,22 @@ object WatSource {
       val status = if ((id + j) % 5 == 0) 404 else 200
       val nLinks = ((id + j) % 4 + 1).toInt
       // the three reference forms a crawler must resolve (RFC 3986 §5):
-      // absolute-path, relative-path, and already-absolute
+      // absolute-path, relative-path, and already-absolute; a rotating
+      // rel=nofollow (the form real WAT emits when the anchor carries
+      // it — multiple tokens possible, so the fixture writes one of
+      // the stacked forms too)
       val links = (0 until nLinks).map { m =>
         val href = (m % 3) match {
           case 0 => s"/l$m"
           case 1 => s"l$m"
           case _ => s"http://ext$m.example/p"
         }
-        s"""{"path": "A@/href", "url": "$href"}"""
+        val rel =
+          if ((id + j + m) % 5 == 0)
+            ", \"rel\": \"" +
+              (if (m % 2 == 0) "nofollow" else "noopener nofollow") + "\""
+          else ""
+        s"""{"path": "A@/href", "url": "$href"$rel}"""
       }.mkString("[", ", ", "]")
       val json =
         s"""{"Envelope": {"WARC-Header-Metadata": {"WARC-Target-URI": "$uri", "WARC-Type": "response"}, "Payload-Metadata": {"HTTP-Response-Metadata": {"Response-Message": {"Status": $status}, "HTML-Metadata": {"Head": {"Title": "doc $id $j"}, "Links": $links}}}}}"""
@@ -366,14 +374,19 @@ object WatSource {
     * web-graph pipeline, built here without touching page bytes.
     */
   private[graft] def outlinks(json: String): Seq[String] =
-    resolvedLinks(json)._2
+    resolvedLinks(json)._2.map(_._1)
 
-  /** One envelope parse → (capture URI or null, resolved outlink
-    * targets) — the shared core of [[outlinks]] (x121 edge rows) and
-    * [[watHostEdges]] (x123 host graph), so the host extractor does not
-    * re-parse the JSON it just walked.
+  /** One envelope parse → (capture URI or null, resolved (target,
+    * nofollow) outlinks) — the shared core of [[outlinks]] (x121 edge
+    * rows) and [[watHostEdges]] (x123 host graph), so the host
+    * extractor does not re-parse the JSON it just walked. `nofollow` is
+    * true when the link's `rel` carries the token (real anchors stack
+    * rel values — "noopener nofollow" — so this is a token test, not
+    * string equality): the author's explicit "pass no endorsement"
+    * signal, which the rank flow honors.
     */
-  private[graft] def resolvedLinks(json: String): (String, Seq[String]) = {
+  private[graft] def resolvedLinks(json: String)
+      : (String, Seq[(String, Boolean)]) = {
     val v = Jsons.parse(json)
     val env = Jsons.path(v, "Envelope")
       .getOrElse(sys.error("wat: missing Envelope"))
@@ -385,10 +398,16 @@ object WatSource {
     val targets = Jsons.path(env, "Payload-Metadata",
       "HTTP-Response-Metadata", "HTML-Metadata", "Links") match {
       case Some(JArr(xs)) => xs.flatMap {
-        case o: JObj => o.get("url") match {
-          case Some(JStr(u)) => Option(resolveUrl(base, u))
-          case _ => None
-        }
+        case o: JObj =>
+          val nofollow = o.get("rel") match {
+            case Some(JStr(r)) => r.split("\\s+").contains("nofollow")
+            case _ => false
+          }
+          o.get("url") match {
+            case Some(JStr(u)) =>
+              Option(resolveUrl(base, u)).map(t => (t, nofollow))
+            case _ => None
+          }
         case _ => None
       }
       case _ => Seq.empty
@@ -431,7 +450,11 @@ object WatSource {
             val (base, targets) = resolvedLinks(r.body)
             val src = hostOf(base)
             if (src == null) Seq.empty
-            else targets.flatMap(t => Option(hostOf(t)))
+            // rel=nofollow is the author saying "pass no endorsement" —
+            // the canonical rank flow drops those edges (they remain
+            // visible in the x121 edge rows for crawl-discovery uses)
+            else targets.filter(!_._2)
+              .flatMap(t => Option(hostOf(t._1)))
               .map(dst => (src, dst))
           }
       }
@@ -439,7 +462,9 @@ object WatSource {
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
-  /** x121 gate: the resolved outlink edge list per capture. */
+  /** x121 gate: the resolved outlink edge list per capture, with the
+    * parsed rel=nofollow flag (as int — the cross-engine boolean form).
+    */
   def watOutlinkTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
@@ -447,38 +472,48 @@ object WatSource {
         WarcSource.parseWarc(bytes).records
           .filter(_.warcType == "metadata")
           .zipWithIndex.flatMap { case (r, j) =>
-            outlinks(r.body).zipWithIndex.map { case (t, m) =>
-              (id, j, m, t)
+            resolvedLinks(r.body)._2.zipWithIndex.map { case ((t, nf), m) =>
+              (id, j, m, t, if (nf) 1 else 0)
             }
           }
       }
-      .toDF("doc_id", "j", "m", "target")
+      .toDF("doc_id", "j", "m", "target", "nofollow")
   }
 
   /** File-path arm: metadata envelopes of `.wat(.gz)` files under a
     * glob — one task per file, record-at-a-time (the WARC/WET
     * streaming discipline), lenient poison row (uri NULL) on damage.
     */
+  /** The per-archive envelope-fact iterator shared by the batch
+    * ([[watFiles]]) and streaming (`StreamingAnalytics.watIngest`)
+    * arms — one derivation, the warcIngest/responseRows discipline.
+    * Record-at-a-time on the streaming WARC walk; a bad envelope
+    * degrades per record under lenient (uri kept, facts -1).
+    */
+  private[graft] def watRowsIter(path: String, in: java.io.InputStream,
+                                 lenient: Boolean)
+      : Iterator[(String, String, String, Int, Int)] =
+    StreamUtil.closeOnExhaust(in,
+      new WarcSource.WarcIterator(in, lenientHttp = lenient)
+        .filter(r => r.warcType == "metadata" && r.body != null)
+        .map { r =>
+          val f =
+            try watFacts(r.body)
+            catch {
+              case e: RuntimeException =>
+                if (!lenient) throw e
+                WatFacts(r.targetUri, null, -1, -1) // bad envelope
+            }
+          (path, f.uri, f.title, f.nLinks, f.status)
+        })
+
   def watFiles(spark: SparkSession, glob: String,
                lenient: Boolean = true): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(glob)
       .flatMap { case (path, pds) =>
         val base = StreamUtil.deferred {
-          val in = pds.open()
-          StreamUtil.closeOnExhaust(in,
-            new WarcSource.WarcIterator(in, lenientHttp = lenient)
-              .filter(r => r.warcType == "metadata" && r.body != null)
-              .map { r =>
-                val f =
-                  try watFacts(r.body)
-                  catch {
-                    case e: RuntimeException =>
-                      if (!lenient) throw e
-                      WatFacts(r.targetUri, null, -1, -1) // bad envelope
-                  }
-                (path, f.uri, f.title, f.nLinks, f.status)
-              })
+          watRowsIter(path, pds.open(), lenient)
         }
         if (!lenient) base
         else StreamUtil.poisonOnError(base, (path, null, null, -1, -1))

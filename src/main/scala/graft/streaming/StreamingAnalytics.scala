@@ -720,6 +720,47 @@ object StreamingAnalytics {
     * and the index shard path for poison rows (a bad line's only
     * provenance).
     */
+  /** Continuous WAT-metadata ingestion — the streaming arm of
+    * `watFiles` (same envelope walk, same lenient contract): landing
+    * `.wat(.gz)` archives stream into an append-only table of
+    * per-capture envelope facts, exactly-once per file through the
+    * binaryFile checkpoint. Bad envelopes degrade per record (uri
+    * kept, facts -1), container damage poisons the rest of the FILE as
+    * one uri-NULL row — the warcIngest discipline.
+    */
+  def watIngest(spark: org.apache.spark.sql.SparkSession,
+                landingDir: String, outDir: String,
+                checkpointDir: String, maxFilesPerTrigger: Int = 32,
+                lenient: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.wat*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(landingDir)
+      .select(col("path")).as[String]
+      .flatMap { path =>
+        // open deferred to first use — see warcIngest's listing-race note
+        val base = graft.sources.StreamUtil.deferred {
+          val p = new org.apache.hadoop.fs.Path(path)
+          // watRowsIter wraps the stream in its own closeOnExhaust
+          graft.sources.WatSource.watRowsIter(path,
+            p.getFileSystem(conf.value).open(p), lenient)
+        }
+        if (!lenient) base
+        else graft.sources.StreamUtil.poisonOnError(base,
+          (path, null, null, -1, -1))
+      }
+      .toDF("file", "uri", "title", "n_links", "status")
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .start()
+  }
+
   def cdxFetchIngest(spark: org.apache.spark.sql.SparkSession,
                      cdxLandingDir: String, warcDir: String,
                      outDir: String, checkpointDir: String,

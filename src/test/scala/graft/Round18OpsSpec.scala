@@ -145,10 +145,16 @@ class Round18OpsSpec extends GraftSparkSpec {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
       .toMap
     // doc 5: captures j=0..2, links m=0..(5+j)%4; m%3==2 -> ext2, else
-    // self. j=0: m=0,1 self,self; j=1: m=0..2 self,self,ext2; j=2:
-    // m=0..3 self,self,ext2,self -> self edges 2+2+3=7, ext2 edges 2
+    // self; rel=nofollow when (5+j+m)%5==0 drops the edge from rank
+    // flow: j=0 drops m=0, j=2 drops m=3 -> self edges 1+2+2=5, ext2 2
     assert(rows === Map(
-      ("site5.example", "site5.example") -> 7L,
+      ("site5.example", "site5.example") -> 5L,
       ("site5.example", "ext2.example") -> 2L))
+    // the x121 edge rows keep nofollow links VISIBLE with the flag
+    val edges = graft.sources.WatSource.watOutlinkTable(spark, media)
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), r.getInt(4))).toMap
+    assert(edges((0, 0)) === 1) // (5+0+0)%5==0
+    assert(edges((0, 1)) === 0)
+    assert(edges((2, 3)) === 1) // (5+2+3)%5==0, the stacked-rel form
   }
 }

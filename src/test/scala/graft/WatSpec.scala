@@ -169,4 +169,47 @@ class WatSpec extends GraftSparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("wat: streaming ingestion appends exactly-once across files and restarts") {
+    val root = java.nio.file.Files.createTempDirectory("watstream").toFile
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(landing, "d2.warc.wat.gz").toPath,
+        WatSource.watOf(2L))
+      val q = graft.streaming.StreamingAnalytics.watIngest(
+        spark, landing.getAbsolutePath, out, ckpt)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3) // id=2 -> k=3 captures
+      // a second landing file appends only its own rows; a damaged one
+      // poisons as a single uri-NULL row without wedging the stream
+      java.nio.file.Files.write(
+        new java.io.File(landing, "d7.warc.wat").toPath, WatSource.watOf(7L))
+      java.nio.file.Files.write(
+        new java.io.File(landing, "bad.warc.wat").toPath,
+        "not a wat".getBytes("UTF-8"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() === 6) // 3 + 2 + 1 poison
+      assert(rows.filter(rows("uri").isNull).count() === 1)
+      // restart from the checkpoint: nothing replays, nothing duplicates
+      val q2 = graft.streaming.StreamingAnalytics.watIngest(
+        spark, landing.getAbsolutePath, out, ckpt)
+      q2.processAllAvailable()
+      q2.stop()
+      val after = spark.read.parquet(out)
+      assert(after.count() === 6)
+      assert(after.filter(after("uri").isNotNull)
+        .select("uri").distinct().count() === 5)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(root)
+    }
+  }
 }
