@@ -875,6 +875,55 @@ object GraftCli {
         (if (bad > 0) s" ($bad damaged archives poisoned)" else ""))
       spark.stop()
 
+    case "cdx-cluster" :: cdxGlob :: outDir :: rest =>
+      // zipnum build: sorted .cdx shards -> <name>.zn gzip blocks +
+      // <name>.idx cluster indexes (one task per shard, O(block) memory)
+      val spark = session()
+      val bs = rest.headOption.map(_.toInt).getOrElse(3000)
+      val n = graft.sources.CdxSource.writeZipnumFiles(
+        spark, cdxGlob, outDir, bs)
+      println(s"[graft] cdx-cluster: $cdxGlob -> $outDir ($n shards)")
+      spark.stop()
+
+    case "cdx-lookup" :: clusterDir :: url :: Nil =>
+      // point lookup: binary-search the cluster indexes, inflate ONE
+      // block per candidate shard, print the matching entries
+      val spark = session()
+      val hits = graft.sources.CdxSource.zipnumLookupDir(
+        spark, clusterDir, url)
+      if (hits.isEmpty) println(s"[graft] cdx-lookup: no captures of $url")
+      else hits.sortBy(_.timestamp).foreach { e =>
+        println(s"[graft] ${e.timestamp} ${e.url} ${e.status} " +
+          s"${e.filename}@${e.offset}+${e.length}")
+      }
+      spark.stop()
+
+    case "resolve-revisits" :: warcGlob :: warcDir :: outDir :: Nil =>
+      // cross-archive dedup bridge: revisit records join the GENERATED
+      // index on payload digest, originals fetch by pointer — pages
+      // recovered without refetching the live site
+      val spark = session()
+      import org.apache.spark.sql.functions.{broadcast, col, row_number}
+      val revisits = graft.sources.WarcSource.warcRevisits(spark, warcGlob)
+        .select(col("uri"), col("digest")).distinct()
+      val index = graft.sources.CdxSource.warcIndexFiles(spark, warcGlob)
+      // identical-payload-digest: ANY capture with the digest carries
+      // the content — resolve to ONE canonical original (the earliest
+      // capture) instead of fanning out across every co-digest entry
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("uri", "digest")
+        .orderBy(col("timestamp"), col("filename"), col("offset"))
+      val resolved = revisits
+        .join(broadcast(index.select(col("digest"), col("timestamp"),
+          col("filename"), col("offset"), col("length"))), Seq("digest"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("filename", "offset", "length")
+      graft.sources.CdxSource.fetchByIndex(spark, warcDir, resolved)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] resolve-revisits: $warcGlob -> $outDir")
+      spark.stop()
+
     case "wat-demo" :: docsParquet :: outDir :: Nil =>
       // materialize Common-Crawl-shaped .warc.wat[.gz] metadata fixtures
       val spark = session()
@@ -1283,6 +1332,9 @@ object GraftCli {
            |  cdx-scan <glob.cdx[.gz]> <outDir>
            |  cdx-fetch <cdxGlob> <warcDir> <outDir>
            |  warc-index <glob.warc[.gz]> <outDir>
+           |  cdx-cluster <sortedCdxGlob> <outDir> [blockSize]
+           |  cdx-lookup <clusterDir> <url>
+           |  resolve-revisits <glob.warc[.gz]> <warcDir> <outDir>
            |  corpus-from-cdx <cdxGlob> <warcDir> <outDir>
            |  stream-cdx-fetch <cdxLandingDir> <warcDir> <outDir> <ckpt> [runSec]
            |  wat-demo <docs.parquet> <outDir>

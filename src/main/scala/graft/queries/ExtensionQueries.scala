@@ -3684,6 +3684,60 @@ object ExtensionQueries {
           |  'sha1:FIX' || ((doc_id * 31 + j) % 97) AS digest
           |FROM u ORDER BY doc_id, j""".stripMargin)),
 
+    // ZIPNUM CLUSTER INDEX (x124) — the secondary index layer over the
+    // sorted CDX shards (Common Crawl's cluster.idx): lines pack into
+    // gzip members of 4, a cluster index records (firstKey, offset,
+    // length) per block, and a point lookup binary-searches the cluster
+    // (strictly-below start — equal-key runs spill across boundaries)
+    // then inflates ONE member. The gate groups docs 64 per cluster
+    // (the per-shard deployment unit), looks up every doc's j=0 capture
+    // by SURT, and emits the found entry + the cluster geometry — all
+    // re-derived arithmetically by DuckDB. A framing or search slip
+    // misses the key or lands on the wrong entry.
+    "x124_zipnum" -> QueryDef(
+      (s, dir) => graft.sources.CdxSource.zipnumTable(
+        s, t(s, dir, "documents")),
+      Some(
+        """WITH d AS (SELECT doc_id, text, doc_id % 3 + 1 AS k,
+          |             doc_id // 64 AS g FROM documents),
+          |grp AS (SELECT g, sum(k) AS n_lines FROM d GROUP BY g)
+          |SELECT doc_id,
+          |  CAST(grp.n_lines AS INT) AS n_lines,
+          |  CAST((grp.n_lines + 3) // 4 AS INT) AS n_blocks,
+          |  'example,site' || (doc_id % 7) || ')/' || doc_id || '/0'
+          |    AS surt,
+          |  'http://site' || (doc_id % 7) || '.example/' || doc_id ||
+          |    '/0' AS url,
+          |  CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INT)
+          |    AS status,
+          |  'sha1:FIX' || ((doc_id * 31) % 97) AS digest
+          |FROM d JOIN grp ON grp.g = d.g
+          |ORDER BY doc_id""".stripMargin)),
+
+    // REVISIT RESOLUTION (x125) — the Common Crawl dedup bridge closed:
+    // revisit records (x100's linkage-only dedup form) resolve to their
+    // ORIGINAL capture by joining payload digest against the CDX index
+    // and fetching the original's pointer — the revisit's URI gets the
+    // original's decoded text without a refetch. DuckDB re-derives the
+    // resolved text from the j=0 derivation (the fixture's revisits
+    // reference response 0); a digest-join or pointer slip fails the
+    // url/digest requires or the text hash.
+    "x125_revisit_resolve" -> QueryDef(
+      (s, dir) => graft.sources.CdxSource.revisitTable(
+        s, t(s, dir, "documents")),
+      Some(
+        """SELECT doc_id,
+          |  'http://site' || (doc_id % 7) || '.example/' || doc_id ||
+          |    '/0' AS uri,
+          |  'sha1:FIX' || ((doc_id * 31) % 97) AS digest,
+          |  'http://site' || (doc_id % 7) || '.example/' || doc_id ||
+          |    '/0' AS resolved_from,
+          |  'doc ' || doc_id || ' Doc ' || doc_id || ' ' ||
+          |    trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+          |    ' footer ' || (doc_id % 11) AS text
+          |FROM documents WHERE doc_id % 3 = 1
+          |ORDER BY doc_id""".stripMargin)),
+
     // Matroska/WebM (EBML) container walk (sources/MkvSource.parseMkv) —
     // the second web-video container family after mp4/fmp4 (x85/x88).
     // Our walker implements the RFC 8794 wire grammar: marker-kept VINT

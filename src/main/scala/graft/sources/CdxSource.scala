@@ -411,6 +411,88 @@ object CdxSource {
         "length", "offset", "filename")
   }
 
+  // ------------------------------------------------------------- zipnum
+
+  /** ZIPNUM CLUSTER (x124) — the SECONDARY index layer real CDX
+    * deployments ship (Common Crawl's `cluster.idx`): the sorted CDX
+    * lines pack into gzip members of `blockSize` lines each, and a
+    * small plain-text cluster index records one line per block —
+    * `firstKey \t offset \t length` — so a point lookup is a binary
+    * search of the (memory-resident, thousands-of-lines) cluster index
+    * plus ONE member inflate, never a scan of the multi-GB shard.
+    * Returns (packed block bytes, cluster-index lines).
+    */
+  private[graft] def zipnumOf(sorted: Seq[String], blockSize: Int)
+      : (Array[Byte], Seq[String]) = {
+    require(blockSize > 0, "zipnum: block size must be positive")
+    val out = new java.io.ByteArrayOutputStream()
+    val idx = scala.collection.mutable.ArrayBuffer[String]()
+    sorted.grouped(blockSize).foreach { block =>
+      val data = (block.mkString("\n") + "\n").getBytes("UTF-8")
+      val off = out.size().toLong
+      out.write(WarcSource.gzipOne(data))
+      // cluster key = the block's first (surt, timestamp) pair — the
+      // sort key, never the json tail
+      val l = block.head
+      val sp2 = l.indexOf(' ', l.indexOf(' ') + 1)
+      require(sp2 > 0, s"zipnum: malformed cdx line '$l'")
+      idx += l.substring(0, sp2) + "\t" + off + "\t" +
+        (out.size().toLong - off)
+    }
+    (out.toByteArray, idx.toSeq)
+  }
+
+  /** Point lookup by SURT key: binary-search the cluster index for the
+    * last block whose first key is <= the probe (keys equal at a block
+    * boundary can spill into later blocks, so the scan continues while
+    * the NEXT block's first key still matches), inflate just those
+    * members, and return the matching entries. O(log blocks) index
+    * probes + O(1) member inflates; the shard bytes are never walked.
+    */
+  private[graft] def zipnumLookup(blocks: ZipSource.Seekable,
+                                  clusterIdx: IndexedSeq[String],
+                                  surtKey: String): Seq[CdxEntry] = {
+    if (clusterIdx.isEmpty) return Seq.empty
+    // lookups match on the SURT field alone (the key's first token)
+    def keyOf(line: String): String = {
+      val sp = line.indexOf(' ')
+      require(sp > 0, s"zipnum: malformed cluster line '$line'")
+      line.substring(0, sp)
+    }
+    // binary search: last block whose first key is STRICTLY below the
+    // probe — a run of equal keys can spill across block boundaries, so
+    // starting at the last <=-block would skip the run's head when a
+    // later block opens with the probe key itself
+    var lo = 0
+    var hi = clusterIdx.size - 1
+    var at = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (keyOf(clusterIdx(mid)) < surtKey) { at = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (at < 0) at = 0 // probe at/below the first block's key
+    val found = scala.collection.mutable.ArrayBuffer[CdxEntry]()
+    var b = at
+    var continue = true
+    while (continue && b < clusterIdx.size) {
+      val parts = clusterIdx(b).split("\t")
+      require(parts.length == 3, s"zipnum: malformed cluster line")
+      val member = blocks.readAt(parts(1).toLong, parts(2).toInt)
+      val feed = ByteFeed.wrap(member)
+      val data = Gzip.memberBytes(feed)
+      require(feed.atEof, "zipnum: pointer spans past its member")
+      new String(data, "UTF-8").split("\n").filter(_.nonEmpty).foreach { ln =>
+        val e = parseCdxLine(ln)
+        if (e.surtKey == surtKey) found += e
+      }
+      b += 1
+      // only continue when the next block could still hold the key
+      continue = b < clusterIdx.size && keyOf(clusterIdx(b)) <= surtKey
+    }
+    found.toSeq
+  }
+
   /** Index → corpus bridge: the selective sibling of `crawlDocs` —
     * admit rows from the INDEX (status 200, text/html) and fetch only
     * those, landing them in the documents-table shape via the same
@@ -428,6 +510,188 @@ object CdxSource {
         .filter(col("status") === 200 && col("text").isNotNull &&
           length(col("text")) > 0)
         .select(col("uri"), col("text")))
+
+  /** x124 gate: zipnum point lookups over group-level clusters. Docs
+    * group by `doc_id div 64`; each group packs its members' measured
+    * CDX lines (sorted — the shard invariant) into gzip blocks of 4
+    * lines plus a cluster index, then every doc LOOKS UP its own j=0
+    * capture by SURT through the binary search + single-member inflate
+    * path. DuckDB re-derives the found entry's facts from doc_id
+    * arithmetic; a block-framing or search slip either misses the key
+    * (row count) or lands on a wrong entry (hash).
+    *
+    * 100 TB shape: the cluster index is ~1/4000th of the shard and
+    * memory-resident per task; a lookup costs O(log blocks) string
+    * compares + ONE member inflate. The gate's grouped form mirrors the
+    * deployment unit (one cluster per shard), not a global structure.
+    */
+  def zipnumTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey { case (id, _) => id / 64 }
+      .flatMapGroups { (_, rows) =>
+        val members = rows.toSeq
+        val lines = members.flatMap { case (id, text) =>
+          cdxOf(id, text).split("\n").filter(_.nonEmpty)
+        }.sorted
+        val (blocks, cluster) = zipnumOf(lines, blockSize = 4)
+        val seek = new ZipSource.BytesSeekable(blocks)
+        val idx = cluster.toIndexedSeq
+        members.map { case (id, _) =>
+          val key = s"example,site${id % 7})/$id/0"
+          val hits = zipnumLookup(seek, idx, key)
+          require(hits.nonEmpty, s"zipnum: lookup missed doc $id")
+          val e = hits.minBy(_.timestamp)
+          (id, lines.size, idx.size, e.surtKey, e.url, e.status, e.digest)
+        }
+      }
+      .toDF("doc_id", "n_lines", "n_blocks", "surt", "url", "status",
+        "digest")
+      .orderBy("doc_id")
+  }
+
+  /** File arm of the zipnum build: each SORTED `.cdx` shard under the
+    * glob packs into `<name>.zn` (concatenated gzip blocks) +
+    * `<name>.idx` (the cluster index) in `outDir` — one task per shard,
+    * O(block) memory (lines stream through; only the current block and
+    * the growing-but-tiny index are held). Returns the shard count.
+    * Shard-level routing at lookup time comes from the idx files'
+    * first/last keys; the shards' global sort order (warc-index's
+    * output invariant) makes that routing exact.
+    */
+  def writeZipnumFiles(spark: SparkSession, glob: String, outDir: String,
+                       blockSize: Int = 3000): Long = {
+    val conf = new graft.streaming.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val out = outDir
+    spark.sparkContext.binaryFiles(glob)
+      .map { case (path, pds) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+          .stripSuffix(".cdx")
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(conf.value)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+        val zn = fs.create(
+          new org.apache.hadoop.fs.Path(out, name + ".zn"), true)
+        val idx = new StringBuilder
+        try {
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(pds.open(), "UTF-8"))
+          try {
+            var off = 0L
+            val block = new scala.collection.mutable.ArrayBuffer[String]()
+            var prevKey: String = null
+            def flush(): Unit = if (block.nonEmpty) {
+              val data = (block.mkString("\n") + "\n").getBytes("UTF-8")
+              val member = WarcSource.gzipOne(data)
+              zn.write(member)
+              val l = block.head
+              val sp2 = l.indexOf(' ', l.indexOf(' ') + 1)
+              require(sp2 > 0, s"zipnum: malformed cdx line '$l'")
+              idx.append(l.substring(0, sp2)).append('\t').append(off)
+                .append('\t').append(member.length).append('\n')
+              off += member.length
+              block.clear()
+            }
+            var ln = reader.readLine()
+            while (ln != null) {
+              if (ln.nonEmpty) {
+                // the cluster binary search REQUIRES sorted input — an
+                // unsorted shard must fail the build, not the lookups
+                val sp2 = ln.indexOf(' ', ln.indexOf(' ') + 1)
+                require(sp2 > 0, s"zipnum: malformed cdx line '$ln'")
+                val key = ln.substring(0, sp2)
+                require(prevKey == null || prevKey <= key,
+                  s"zipnum: shard '$name' is not sorted at '$key'")
+                prevKey = key
+                block += ln
+                if (block.size >= blockSize) flush()
+              }
+              ln = reader.readLine()
+            }
+            flush()
+          } finally reader.close()
+        } finally zn.close()
+        val ip = fs.create(
+          new org.apache.hadoop.fs.Path(out, name + ".idx"), true)
+        try ip.write(idx.toString.getBytes("UTF-8")) finally ip.close()
+        1L
+      }
+      .sum().toLong
+  }
+
+  /** Point lookup across a zipnum directory ([[writeZipnumFiles]]
+    * output): load every shard's cluster index (tiny), route to the
+    * shards whose key range can hold the SURT, and run the
+    * binary-search + single-member lookup on each. Driver-callable —
+    * the per-URL audit path; bulk refetch goes through
+    * [[fetchByIndex]] instead.
+    */
+  def zipnumLookupDir(spark: SparkSession, dir: String, url: String)
+      : Seq[CdxEntry] = {
+    val key = surt(url)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".idx"))
+      .toSeq.flatMap { st =>
+        val in = fs.open(st.getPath)
+        val cluster =
+          try new String(in.readAllBytes(), "UTF-8")
+            .split("\n").filter(_.nonEmpty).toIndexedSeq
+          finally in.close()
+        if (cluster.isEmpty) Seq.empty
+        else {
+          val znPath = new org.apache.hadoop.fs.Path(dir,
+            st.getPath.getName.stripSuffix(".idx") + ".zn")
+          val zIn = fs.open(znPath)
+          try {
+            val size = fs.getFileStatus(znPath).getLen
+            zipnumLookup(new ZipSource.StreamSeekable(zIn, size),
+              cluster, key)
+          } finally zIn.close()
+        }
+      }
+  }
+
+  /** REVISIT RESOLUTION (x125) — Common Crawl's dedup bridge closed end
+    * to end: a `revisit` record stores NO body, only linkage (URI,
+    * payload digest, refers-to). Resolution joins the revisit's digest
+    * against the CDX index — whose entries carry the SAME payload
+    * digest — and fetches the ORIGINAL record by its pointer, surfacing
+    * its decoded text under the revisit's URI without refetching the
+    * live site. The gate runs per archive (the fixture's revisits
+    * reference their own archive, like a same-crawl dedup); the
+    * cross-archive production form is the same digest-keyed join
+    * against the full index followed by [[fetchByIndex]] — pointer-
+    * sized rows exchange, archive bytes never move.
+    */
+  def revisitTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = WarcSource.warcOf(id, text)
+        val revs = WarcSource.parseWarc(bytes).records
+          .filter(_.warcType == "revisit")
+        if (revs.isEmpty) Seq.empty
+        else {
+          val archive = new ZipSource.BytesSeekable(bytes)
+          val byDigest = cdxOf(id, text).split("\n").filter(_.nonEmpty)
+            .map(parseCdxLine).map(e => e.digest -> e).toMap
+          revs.map { r =>
+            val e = byDigest.getOrElse(r.payloadDigest,
+              sys.error(s"revisit: digest ${r.payloadDigest} not indexed"))
+            val orig = fetchRecord(archive, e.offset, e.length)
+            require(orig.payloadDigest == r.payloadDigest,
+              "revisit: pointer landed on a different digest")
+            (id, r.targetUri, r.payloadDigest, orig.targetUri,
+              WarcSource.htmlText(orig.body))
+          }
+        }
+      }
+      .toDF("doc_id", "uri", "digest", "resolved_from", "text")
+      .orderBy("doc_id")
+  }
 
   /** File-path arm: parse `.cdx`(.gz) shards under a glob — one task
     * per shard, line-at-a-time off the (possibly gzipped) stream.

@@ -46,6 +46,8 @@ object CdxScale {
           body
         val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
           s"WARC-Target-URI: $uri\r\n" +
+          "WARC-Date: 2026-01-01T00:00:00Z\r\n" + // mandatory per ISO 28500;
+          // index GENERATION derives its timestamp from it
           "Content-Type: application/http; msgtype=response\r\n" +
           s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
           http ++ "\r\n\r\n".getBytes("ISO-8859-1")
@@ -95,6 +97,43 @@ object CdxScale {
     println(f"counterfactual: walking costs ${walkS / fetchS}%.1fx the " +
       f"sample fetch — selective refetch scales with rows fetched, " +
       f"not archive bytes")
+
+    // (c) x122 generation: the streaming iterator's measured-boundary
+    // walk emitting one pointer per record — the producing side's MB/s
+    val tG0 = System.nanoTime()
+    val gen = graft.sources.CdxSource
+      .warcIndexFiles(spark, dir.getAbsolutePath + "/*.warc.gz")
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val genS = (System.nanoTime() - tG0) / 1e9
+    println(f"index gen:  $gen pointers, $genS%6.1f s, " +
+      f"${archiveBytes / genS / 1e6}%7.1f MB/s")
+
+    // (d) x124 zipnum: cluster build over the sorted index + per-lookup
+    // cost through the binary search + one-member inflate
+    val znDir = new java.io.File(dir, "zn").getAbsolutePath
+    val sorted = new java.io.File(dir, "sorted.cdx")
+    if (!sorted.exists()) {
+      val lines = scala.io.Source.fromFile(
+        new java.io.File(dir, "big.cdx"), "UTF-8").getLines().toArray.sorted
+      java.nio.file.Files.write(sorted.toPath,
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    val tZ0 = System.nanoTime()
+    graft.sources.CdxSource.writeZipnumFiles(spark,
+      sorted.getAbsolutePath, znDir, blockSize = 50)
+    val buildS = (System.nanoTime() - tZ0) / 1e9
+    val tL0 = System.nanoTime()
+    val probes = 200
+    var found = 0
+    (0 until probes).foreach { i =>
+      val j = (i * 97) % records
+      if (graft.sources.CdxSource.zipnumLookupDir(spark, znDir,
+        s"http://big.example/$j").nonEmpty) found += 1
+    }
+    val lookS = (System.nanoTime() - tL0) / 1e9
+    println(f"zipnum:     build $buildS%5.1f s; $found/$probes lookups, " +
+      f"${lookS / probes * 1000}%6.2f ms/lookup (index resident, one " +
+      f"member inflate each)")
     spark.stop()
   }
 }

@@ -196,6 +196,80 @@ class CdxSpec extends GraftSparkSpec {
     assert(recs.records.exists(_.warcType == "response")) // premise holds
   }
 
+  test("zipnum: cluster build + point lookup — boundaries, duplicate spills, file arm") {
+    // hand-built sorted lines with a DUPLICATE-KEY RUN spanning block
+    // boundaries: the binary search must start strictly below the key
+    def line(surtKey: String, ts: String, n: Int): String =
+      surtKey + " " + ts + " {\"url\": \"http://u/" + n + "\", " +
+        "\"status\": \"200\", \"length\": \"1\", \"offset\": \"0\", " +
+        "\"filename\": \"f.warc\"}"
+    val lines = Seq(
+      line("com,a)/", "20260101000000", 0),
+      line("com,b)/", "20260101000000", 1),
+      line("com,b)/", "20260102000000", 2), // run of com,b spans blocks
+      line("com,b)/", "20260103000000", 3),
+      line("com,c)/", "20260101000000", 4),
+      line("com,d)/", "20260101000000", 5))
+    val (blocks, idx) = CdxSource.zipnumOf(lines, blockSize = 2)
+    assert(idx.size === 3) // 6 lines / 2
+    val seek = new ZipSource.BytesSeekable(blocks)
+    def urls(k: String): Seq[String] =
+      CdxSource.zipnumLookup(seek, idx.toIndexedSeq, k).map(_.url)
+    assert(urls("com,b)/") === Seq("http://u/1", "http://u/2", "http://u/3"))
+    assert(urls("com,a)/") === Seq("http://u/0")) // first block's first key
+    assert(urls("com,d)/") === Seq("http://u/5")) // last line
+    assert(urls("com,zz)/") === Seq.empty) // above every key
+    assert(urls("com,0)/") === Seq.empty) // below every key
+    // file arm: build from a sorted shard on disk, look up through the
+    // directory router; an UNSORTED shard fails the build by name
+    val dir = java.nio.file.Files.createTempDirectory("zipnum").toFile
+    try {
+      val text = "zip num text"
+      val all = Seq(4L, 7L).flatMap(id =>
+        CdxSource.cdxOf(id, text).split("\n").filter(_.nonEmpty)).sorted
+      java.nio.file.Files.write(new java.io.File(dir, "part-0.cdx").toPath,
+        (all.mkString("\n") + "\n").getBytes("UTF-8"))
+      val zn = new java.io.File(dir, "zn").getAbsolutePath
+      assert(CdxSource.writeZipnumFiles(spark,
+        dir.getAbsolutePath + "/part-*.cdx", zn, blockSize = 2) === 1L)
+      val hits = CdxSource.zipnumLookupDir(spark, zn,
+        "http://site4.example/4/1")
+      assert(hits.map(_.url) === Seq("http://site4.example/4/1"))
+      assert(CdxSource.zipnumLookupDir(spark, zn,
+        "http://site9.example/none").isEmpty)
+      java.nio.file.Files.write(new java.io.File(dir, "bad.cdx").toPath,
+        (all.reverse.mkString("\n") + "\n").getBytes("UTF-8"))
+      val e = intercept[Exception] {
+        CdxSource.writeZipnumFiles(spark, dir.getAbsolutePath + "/bad.cdx",
+          zn + "2", blockSize = 2)
+      }
+      assert(e.getMessage.contains("not sorted") ||
+        e.getCause != null)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("cdx: revisit records resolve to their original's text through the index") {
+    import spark.implicits._
+    // fixture revisits exist on id%3==1; id=7 (plain) proves presence,
+    // id=5 (5%3=2, no revisit) proves absence
+    val docs = Seq((7L, "revisit body text"), (5L, "no revisit here"))
+      .toDF("doc_id", "text")
+    val rows = CdxSource.revisitTable(spark, docs).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 7L)
+    assert(r.getString(1) === "http://site0.example/7/0")
+    assert(r.getString(3) === "http://site0.example/7/0")
+    assert(r.getString(4).contains("revisit body text"))
+    assert(r.getString(4).startsWith("doc 7 Doc 7"))
+  }
+
   test("cdx: shard files parse through the Spark path; fetchByIndex round-trips a crawl") {
     val dir = java.nio.file.Files.createTempDirectory("cdxspec").toFile
     try {
