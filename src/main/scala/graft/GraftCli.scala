@@ -860,7 +860,11 @@ object GraftCli {
       // SURT-ordered shard form that cdx-scan / cdx-fetch consume
       val spark = session()
       import spark.implicits._
+      // persist: the sorted write AND the damage count read one parsed
+      // pass instead of re-walking every archive (r18 review); the
+      // cached rows are pointer-sized, never archive bytes
       val rows = graft.sources.CdxSource.warcIndexFiles(spark, glob)
+        .persist()
       rows.filter(org.apache.spark.sql.functions.col("surt").isNotNull)
         .orderBy("surt", "timestamp")
         .as[(String, String, String, String, Int, String, Long, Long, String)]
@@ -871,6 +875,7 @@ object GraftCli {
         .write.mode("overwrite").text(outDir)
       val bad = rows.filter(
         org.apache.spark.sql.functions.col("surt").isNull).count()
+      rows.unpersist()
       println(s"[graft] warc-index: $glob -> $outDir" +
         (if (bad > 0) s" ($bad damaged archives poisoned)" else ""))
       spark.stop()
@@ -903,25 +908,15 @@ object GraftCli {
       // index on payload digest, originals fetch by pointer — pages
       // recovered without refetching the live site
       val spark = session()
-      import org.apache.spark.sql.functions.{broadcast, col, row_number}
-      val revisits = graft.sources.WarcSource.warcRevisits(spark, warcGlob)
-        .select(col("uri"), col("digest")).distinct()
-      val index = graft.sources.CdxSource.warcIndexFiles(spark, warcGlob)
-      // identical-payload-digest: ANY capture with the digest carries
-      // the content — resolve to ONE canonical original (the earliest
-      // capture) instead of fanning out across every co-digest entry
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("uri", "digest")
-        .orderBy(col("timestamp"), col("filename"), col("offset"))
-      val resolved = revisits
-        .join(broadcast(index.select(col("digest"), col("timestamp"),
-          col("filename"), col("offset"), col("length"))), Seq("digest"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("filename", "offset", "length")
-      graft.sources.CdxSource.fetchByIndex(spark, warcDir, resolved)
-        .write.mode("overwrite").parquet(outDir)
-      println(s"[graft] resolve-revisits: $warcGlob -> $outDir")
+      import org.apache.spark.sql.functions.col
+      val out = graft.sources.CdxSource.resolveRevisits(spark, warcDir,
+        graft.sources.WarcSource.warcRevisits(spark, warcGlob),
+        graft.sources.CdxSource.warcIndexFiles(spark, warcGlob))
+      out.write.mode("overwrite").parquet(outDir)
+      val unresolved = spark.read.parquet(outDir)
+        .filter(col("resolved_from").isNull).count()
+      println(s"[graft] resolve-revisits: $warcGlob -> $outDir" +
+        (if (unresolved > 0) s" ($unresolved unresolved)" else ""))
       spark.stop()
 
     case "wat-demo" :: docsParquet :: outDir :: Nil =>
@@ -990,14 +985,18 @@ object GraftCli {
       val spark = session()
       val lenient = !rest.contains("strict")
       val mainContent = rest.contains("main") // x106 link-density extractor
-      graft.sources.WarcSource.crawlDocs(spark, glob, lenient, mainContent)
+      // ONE archive walk serves both the corpus write and the degrade
+      // report (r18 review: an uncached second warcFiles pass re-decoded
+      // the whole glob just to count reasons)
+      val pages = graft.sources.WarcSource
+        .warcFiles(spark, glob, lenient, mainContent).persist()
+      graft.sources.WarcSource.crawlDocsFrom(spark, pages)
         .write.mode("overwrite").parquet(outDir)
       // honest degrade accounting: pages the lenient walk kept as
       // envelopes but could not give a body (coding:br is the big
       // real-crawl population) are REPORTED per reason, never silent
       if (lenient) {
-        val byReason = graft.sources.WarcSource
-          .warcFiles(spark, glob, lenient = true, mainContent)
+        val byReason = pages
           .filter(org.apache.spark.sql.functions.col("degraded").isNotNull)
           .groupBy("degraded").count()
           .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
@@ -1005,6 +1004,7 @@ object GraftCli {
           println(s"[graft] corpus-from-warc degraded: " +
             byReason.sorted.mkString(", "))
       }
+      pages.unpersist()
       println(s"[graft] corpus-from-warc: $glob -> $outDir" +
         (if (mainContent) " (main-content)" else ""))
       spark.stop()

@@ -422,22 +422,35 @@ object CdxSource {
     * plus ONE member inflate, never a scan of the multi-GB shard.
     * Returns (packed block bytes, cluster-index lines).
     */
+  /** One packed zipnum block: (gzip member bytes, cluster key) — the
+    * SINGLE framing implementation behind both the in-memory build
+    * ([[zipnumOf]]) and the file arm ([[writeZipnumFiles]]), so the
+    * gate and the production files cannot drift (r18 review). The
+    * cluster key is the block's first (surt, timestamp) pair — the
+    * sort key, never the json tail.
+    */
+  private def packBlock(block: Seq[String]): (Array[Byte], String) = {
+    val data = (block.mkString("\n") + "\n").getBytes("UTF-8")
+    (WarcSource.gzipOne(data), sortKeyOf(block.head))
+  }
+
+  /** The (surt, timestamp) sort-key prefix of one CDX line. */
+  private def sortKeyOf(line: String): String = {
+    val sp2 = line.indexOf(' ', line.indexOf(' ') + 1)
+    require(sp2 > 0, s"zipnum: malformed cdx line '$line'")
+    line.substring(0, sp2)
+  }
+
   private[graft] def zipnumOf(sorted: Seq[String], blockSize: Int)
       : (Array[Byte], Seq[String]) = {
     require(blockSize > 0, "zipnum: block size must be positive")
     val out = new java.io.ByteArrayOutputStream()
     val idx = scala.collection.mutable.ArrayBuffer[String]()
     sorted.grouped(blockSize).foreach { block =>
-      val data = (block.mkString("\n") + "\n").getBytes("UTF-8")
       val off = out.size().toLong
-      out.write(WarcSource.gzipOne(data))
-      // cluster key = the block's first (surt, timestamp) pair — the
-      // sort key, never the json tail
-      val l = block.head
-      val sp2 = l.indexOf(' ', l.indexOf(' ') + 1)
-      require(sp2 > 0, s"zipnum: malformed cdx line '$l'")
-      idx += l.substring(0, sp2) + "\t" + off + "\t" +
-        (out.size().toLong - off)
+      val (member, key) = packBlock(block)
+      out.write(member)
+      idx += key + "\t" + off + "\t" + member.length
     }
     (out.toByteArray, idx.toSeq)
   }
@@ -582,13 +595,9 @@ object CdxSource {
             val block = new scala.collection.mutable.ArrayBuffer[String]()
             var prevKey: String = null
             def flush(): Unit = if (block.nonEmpty) {
-              val data = (block.mkString("\n") + "\n").getBytes("UTF-8")
-              val member = WarcSource.gzipOne(data)
+              val (member, key) = packBlock(block.toSeq)
               zn.write(member)
-              val l = block.head
-              val sp2 = l.indexOf(' ', l.indexOf(' ') + 1)
-              require(sp2 > 0, s"zipnum: malformed cdx line '$l'")
-              idx.append(l.substring(0, sp2)).append('\t').append(off)
+              idx.append(key).append('\t').append(off)
                 .append('\t').append(member.length).append('\n')
               off += member.length
               block.clear()
@@ -598,9 +607,7 @@ object CdxSource {
               if (ln.nonEmpty) {
                 // the cluster binary search REQUIRES sorted input — an
                 // unsorted shard must fail the build, not the lookups
-                val sp2 = ln.indexOf(' ', ln.indexOf(' ') + 1)
-                require(sp2 > 0, s"zipnum: malformed cdx line '$ln'")
-                val key = ln.substring(0, sp2)
+                val key = sortKeyOf(ln)
                 require(prevKey == null || prevKey <= key,
                   s"zipnum: shard '$name' is not sorted at '$key'")
                 prevKey = key
@@ -621,11 +628,16 @@ object CdxSource {
   }
 
   /** Point lookup across a zipnum directory ([[writeZipnumFiles]]
-    * output): load every shard's cluster index (tiny), route to the
-    * shards whose key range can hold the SURT, and run the
-    * binary-search + single-member lookup on each. Driver-callable —
-    * the per-URL audit path; bulk refetch goes through
-    * [[fetchByIndex]] instead.
+    * output): load every shard's cluster index (tiny), SKIP shards the
+    * probe cannot be in (globally-sorted shards: a probe below a
+    * shard's first key is absent from that shard — so at most the one
+    * shard covering the key's range, plus its successors when the key
+    * equals their first key, pay a member inflate; a probe above a
+    * shard's last block's first key still costs that one inflate, the
+    * honest residue of not recording last keys), and run the
+    * binary-search + single-member lookup on the survivors.
+    * Driver-callable — the per-URL audit path; bulk refetch goes
+    * through [[fetchByIndex]] instead.
     */
   def zipnumLookupDir(spark: SparkSession, dir: String, url: String)
       : Seq[CdxEntry] = {
@@ -640,7 +652,14 @@ object CdxSource {
           try new String(in.readAllBytes(), "UTF-8")
             .split("\n").filter(_.nonEmpty).toIndexedSeq
           finally in.close()
-        if (cluster.isEmpty) Seq.empty
+        // shard routing (r18 review): the shard's first cluster key is
+        // its minimum — a strictly-smaller probe cannot be inside
+        def minSurt(line: String): String = {
+          val sp = line.indexOf(' ')
+          require(sp > 0, s"zipnum: malformed cluster line '$line'")
+          line.substring(0, sp)
+        }
+        if (cluster.isEmpty || key < minSurt(cluster.head)) Seq.empty
         else {
           val znPath = new org.apache.hadoop.fs.Path(dir,
             st.getPath.getName.stripSuffix(".idx") + ".zn")
@@ -749,15 +768,34 @@ object CdxSource {
   def fetchByIndex(spark: SparkSession, warcDir: String,
                    index: DataFrame): DataFrame = {
     import spark.implicits._
+    fetchTagged(spark, warcDir,
+      index.select(col("filename"), col("offset"), col("length"),
+        lit("").as("tag"))
+        .as[(String, Long, Long, String)])
+      .drop("tag")
+  }
+
+  /** The fetch loop with a caller PASSTHROUGH column — `fetchByIndex`
+    * with tag="" and dropped, [[resolveRevisits]] with the revisit URI
+    * (without the tag the output only knows the FETCHED record's URI,
+    * which is precisely not the revisit's). Same handle/seek shape.
+    */
+  private def fetchTagged(spark: SparkSession, warcDir: String,
+      rows0: org.apache.spark.sql.Dataset[(String, Long, Long, String)])
+      : DataFrame = {
+    import spark.implicits._
     val conf = new graft.streaming.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val dir = warcDir
-    index.select(col("filename"), col("offset"), col("length"))
-      .filter(col("filename").isNotNull && col("offset") >= 0 &&
-        col("length") > 0) // cdxFiles' lenient poison rows carry nulls/-1
-      .as[(String, Long, Long)]
-      .repartition(col("filename"))
-      .sortWithinPartitions(col("filename"), col("offset"))
+    rows0
+      .filter(r => r._1 != null && r._2 >= 0 && r._3 > 0) // poison rows
+      // explicit names before the exchange: the caller's column names
+      // vary (fetchByIndex vs resolveRevisits) and tuple `_1` access
+      // only resolves after a reserializing op, not a filter
+      .toDF("fname", "off", "len", "tag")
+      .repartition(col("fname"))
+      .sortWithinPartitions(col("fname"), col("off"))
+      .as[(String, Long, Long, String)]
       .mapPartitions { rows =>
         // single-slot handle: rows arrive sorted by filename, so the
         // previous archive is finished the moment the name changes —
@@ -770,7 +808,7 @@ object CdxSource {
           try curIn.close() catch { case _: java.io.IOException => () }
           curIn = null; curName = null
         }
-        val out = rows.map { case (fname, off, len) =>
+        val out = rows.map { case (fname, off, len, tag) =>
           if (fname != curName) {
             closeCur()
             val p = new org.apache.hadoop.fs.Path(dir, fname)
@@ -782,10 +820,47 @@ object CdxSource {
           val r = fetchRecord(new ZipSource.StreamSeekable(curIn, curSize),
             off, len, lenientHttp = true)
           (fname, r.targetUri, r.httpStatus,
-            if (r.body == null) null else WarcSource.htmlText(r.body))
+            if (r.body == null) null else WarcSource.htmlText(r.body), tag)
         }
         StreamUtil.closeOnExhaust(() => closeCur(), out)
       }
-      .toDF("filename", "uri", "status", "text")
+      .toDF("filename", "uri", "status", "text", "tag")
+  }
+
+  /** Cross-archive revisit resolution — the production form of x125:
+    * join revisit linkage (uri, digest) against a parsed/generated
+    * index on payload digest, resolve each to ONE canonical original
+    * (earliest capture — identical-payload-digest means any co-digest
+    * capture carries the content), fetch the originals by pointer, and
+    * emit rows under the REVISIT's URI. A LEFT join: a revisit whose
+    * original lives outside the index surfaces as an `unresolved` row
+    * (null text, status -1) to COUNT, never a silent drop (the degrade
+    * discipline). No broadcast hint: at crawl scale BOTH sides can be
+    * huge (CC revisits are ~half of all captures), so the digest join
+    * shuffles pointer-sized rows and AQE picks the strategy.
+    */
+  def resolveRevisits(spark: SparkSession, warcDir: String,
+                      revisits: DataFrame, index: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("revisit_uri", "digest")
+      .orderBy(col("timestamp"), col("filename"), col("offset"))
+    val picked = revisits
+      .select(col("uri").as("revisit_uri"), col("digest")).distinct()
+      .join(index.select(col("digest"), col("timestamp"), col("filename"),
+        col("offset"), col("length")), Seq("digest"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val resolved = fetchTagged(spark, warcDir,
+      picked.filter(col("filename").isNotNull)
+        .select(col("filename"), col("offset"), col("length"),
+          col("revisit_uri"))
+        .as[(String, Long, Long, String)])
+      .select(col("tag").as("revisit_uri"), col("uri").as("resolved_from"),
+        col("status"), col("text"))
+    val unresolved = picked.filter(col("filename").isNull)
+      .select(col("revisit_uri"), lit(null).cast("string").as("resolved_from"),
+        lit(-1).as("status"), lit(null).cast("string").as("text"))
+    resolved.unionByName(unresolved)
   }
 }

@@ -146,11 +146,16 @@ object Sitemap {
   // not the frontier's.
   private val frontierMemo =
     new java.util.concurrent.ConcurrentHashMap[Long, Seq[SitemapEntry]]()
+  // bounded: a long-lived executor must not accumulate entries forever
+  // (r18 review) — past the cap the memo clears wholesale; the cost is
+  // one recompute wave, the invariant is O(cap) retained memory
+  private val FrontierMemoCap = 1 << 20
 
   private[graft] def fixtureFrontier(id: Long, text: String): Seq[SitemapEntry] = {
     val cached = frontierMemo.get(id)
     if (cached != null) return cached
     val out = computeFrontier(id, text)
+    if (frontierMemo.size >= FrontierMemoCap) frontierMemo.clear()
     frontierMemo.putIfAbsent(id, out)
     out
   }
@@ -204,34 +209,44 @@ object Sitemap {
     *
     * Missing hints are DATA, not damage (both fields are optional per
     * sitemaps.org, so real frontier rows carry them even though the
-    * fixture never does — ADVICE r17): an unknown/NULL changefreq falls
-    * back to a weekly period, and a NULL/unparseable lastmod means
-    * "never seen" → [[NeverFetchedPpm]], a sentinel above any real age
-    * (36500 days daily ≈ 3.7e10 ppm), so such URLs schedule FIRST and
-    * the ordering is engine-independent (a NULL overdue would sort
-    * nulls-last in Spark but nulls-first in DuckDB's DESC default).
+    * fixture never does — ADVICE r17), and the FULL sitemaps.org
+    * changefreq vocabulary is mapped (r18 review: a fallback that
+    * silently treated `hourly` as weekly under-scheduled news sites
+    * 168×): periods are in HOURS (hourly 1, daily 24, weekly 168,
+    * monthly 720, yearly 8760 — the day-based four divide out to the
+    * same overdue values as before), `always` means always stale
+    * (sentinel overdue), `never` means never due (overdue 0 — unless
+    * never FETCHED, which wins), and unknown/NULL falls back to weekly.
+    * A NULL/unparseable lastmod means "never seen" → [[NeverFetchedPpm]],
+    * a sentinel above any real age (100 years hourly ≈ 8.8e11 ppm), so
+    * such URLs schedule FIRST and the ordering is engine-independent (a
+    * NULL overdue would sort nulls-last in Spark but nulls-first in
+    * DuckDB's DESC default).
     */
   val NeverFetchedPpm = 1000000000000L
 
   def fetchSchedule(frontier: DataFrame, delays: DataFrame,
                     asOf: String, defaultDelayMs: Long = 1000L): DataFrame = {
-    val period = when(col("changefreq") === "daily", 1L)
-      .when(col("changefreq") === "weekly", 7L)
-      .when(col("changefreq") === "monthly", 30L)
-      .when(col("changefreq") === "yearly", 365L)
-      .otherwise(lit(7L)) // documented default: unknown/NULL -> weekly
+    val period = when(col("changefreq") === "hourly", 1L)
+      .when(col("changefreq") === "daily", 24L)
+      .when(col("changefreq") === "weekly", 168L)
+      .when(col("changefreq") === "monthly", 720L)
+      .when(col("changefreq") === "yearly", 8760L)
+      .otherwise(lit(168L)) // documented default: unknown/NULL -> weekly
     val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
       .orderBy(col("overdue_ppm").desc, col("priority_ppm").desc, col("loc"))
     frontier
-      .withColumn("age_days",
-        datediff(to_date(lit(asOf)), try_to_date(col("lastmod")))
-          .cast("long"))
-      .withColumn("period_days", period)
+      .withColumn("age_hours",
+        (datediff(to_date(lit(asOf)), try_to_date(col("lastmod")))
+          .cast("long") * 24))
+      .withColumn("period_hours", period)
       // integer div: nonnegative ages, so Spark `div` == DuckDB `//`;
-      // NULL age (no/unparseable lastmod) -> never-fetched sentinel
+      // precedence: never-FETCHED beats everything (even `never`)
       .withColumn("overdue_ppm",
-        coalesce(expr("age_days * 1000000 div period_days"),
-          lit(NeverFetchedPpm)))
+        when(col("age_hours").isNull, lit(NeverFetchedPpm))
+          .when(col("changefreq") === "always", lit(NeverFetchedPpm))
+          .when(col("changefreq") === "never", lit(0L))
+          .otherwise(expr("age_hours * 1000000 div period_hours")))
       .join(broadcast(delays), Seq("host"), "left")
       .withColumn("delay_ms",
         coalesce(col("delay_ms"), lit(defaultDelayMs)))

@@ -1045,8 +1045,17 @@ object WarcSource {
   def crawlDocs(spark: SparkSession, glob: String,
                 lenient: Boolean = true,
                 mainContent: Boolean = false): DataFrame =
+    crawlDocsFrom(spark, warcFiles(spark, glob, lenient, mainContent))
+
+  /** The admission + shaping half of [[crawlDocs]] over an ALREADY
+    * BUILT pages frame — callers that also need the degrade accounting
+    * persist one `warcFiles` frame and feed it here instead of walking
+    * every archive twice (r18 review: the CLI's report re-decoded the
+    * whole glob).
+    */
+  def crawlDocsFrom(spark: SparkSession, pages: DataFrame): DataFrame =
     docsShape(spark,
-      warcFiles(spark, glob, lenient, mainContent)
+      pages
         .filter(col("status") === 200 && col("text").isNotNull &&
           length(col("text")) > 0)
         .select(col("uri"), col("text")))

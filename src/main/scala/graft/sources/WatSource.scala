@@ -445,7 +445,10 @@ object WatSource {
     media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
       .flatMap { case (_, bytes) =>
         WarcSource.parseWarc(bytes).records
-          .filter(_.warcType == "metadata")
+          // body != null like the sibling arms (watRowsIter): a metadata
+          // record with a non-JSON content type has no decoded body, and
+          // a crawler counts junk, it never dies on it (r18 review)
+          .filter(r => r.warcType == "metadata" && r.body != null)
           .flatMap { r =>
             val (base, targets) = resolvedLinks(r.body)
             val src = hostOf(base)
