@@ -215,15 +215,28 @@ object LangId {
   def predict(text: String): String = model.predict(text)
 
   /** Script-routed prediction — the full crawl-mix entry point: the
-    * dominant letter script picks the model (latin → this model,
-    * cyrillic → [[CyrLangId]]); scripts with no model yet, and
-    * letterless text, are honestly `und` rather than forced through a
-    * model whose normalize would strip them to nothing.
+    * letter-script histogram picks the handler. Latin and Cyrillic go
+    * to their trigram families; two scripts IMPLY their language
+    * outright — hangul writes Korean and nothing else, kana writes
+    * Japanese and nothing else (running Japanese always carries kana
+    * particles/okurigana even when kanji dominate the letter count, so
+    * a 5% kana share names `ja` without needing kanji to lose the
+    * majority). Han ALONE stays `und`: kanji-only fragments are
+    * Chinese OR Japanese and guessing zh would mislabel the ja
+    * minority — the d5 refusal discipline. Letterless text is `und`.
     */
-  def route(text: String): String = ScriptId.dominant(text) match {
-    case "latin" => predict(text)
-    case "cyrillic" => CyrLangId.predict(text)
-    case _ => "und"
+  def route(text: String): String = {
+    val h = ScriptId.histogram(text)
+    if (h.isEmpty) return "und"
+    val total = h.values.sum
+    val kana = h.getOrElse("hiragana", 0L) + h.getOrElse("katakana", 0L)
+    if (kana * 20L >= total) "ja"
+    else ScriptId.dominantOf(h) match {
+      case "latin" => predict(text)
+      case "cyrillic" => CyrLangId.predict(text)
+      case "hangul" => "ko"
+      case _ => "und"
+    }
   }
 }
 

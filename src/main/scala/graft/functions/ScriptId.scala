@@ -58,9 +58,12 @@ object ScriptId {
     * no letters at all → "none" (the d5 `und` discipline: refuse,
     * don't guess).
     */
-  def dominant(text: String): String = {
-    val h = histogram(text)
+  def dominant(text: String): String = dominantOf(histogram(text))
+
+  /** Dominant script of a pre-computed histogram (callers that also
+    * need the counts — [[LangId.route]] — classify in ONE pass).
+    */
+  def dominantOf(h: Map[String, Long]): String =
     if (h.isEmpty) "none"
     else scripts.filter(h.contains).minBy(s => (-h(s), s))
-  }
 }

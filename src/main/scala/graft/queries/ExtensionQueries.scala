@@ -3714,6 +3714,36 @@ object ExtensionQueries {
           |FROM d JOIN grp ON grp.g = d.g
           |ORDER BY doc_id""".stripMargin)),
 
+    // SITEMAP TREE WALK (x126) — discovery through sitemapindex
+    // nesting (any big site shards its URL space across leaf sitemaps
+    // under one index — sitemaps.org caps a file at 50k URLs): the
+    // walk parses the root, recurses into every advertised child
+    // (cycle/depth/count guard rails reject loudly — unbounded
+    // recursive fetch of attacker XML is how crawlers get stuck), and
+    // emits each URL with its LEAF's provenance. DuckDB re-derives the
+    // whole two-level tree from doc_id arithmetic; a recursion or
+    // provenance slip moves rows between leaves and fails the hash.
+    "x126_sitemap_tree" -> QueryDef(
+      (s, dir) => graft.sources.Sitemap.sitemapTreeTable(
+        s, t(s, dir, "documents")),
+      Some(
+        """WITH d AS (SELECT doc_id, doc_id % 2 + 2 AS n FROM documents),
+          |p AS (SELECT doc_id, unnest(range(0, n)) AS p FROM d),
+          |u AS (SELECT doc_id, p,
+          |        unnest(range(0, (doc_id + p) % 3 + 1)) AS q FROM p)
+          |SELECT doc_id,
+          |  'http://site' || (doc_id % 7) || '.example/sitemaps/' ||
+          |    doc_id || '/' || p || '.xml' AS leaf,
+          |  'http://site' || (doc_id % 7) || '.example/' || doc_id ||
+          |    '/' || p || '/' || q AS loc,
+          |  '2026-01-' || lpad(CAST((doc_id + p + q) % 28 + 1 AS VARCHAR),
+          |    2, '0') AS lastmod,
+          |  CASE (doc_id + p + q) % 4 WHEN 0 THEN 'daily'
+          |    WHEN 1 THEN 'weekly' WHEN 2 THEN 'monthly'
+          |    ELSE 'yearly' END AS changefreq,
+          |  CAST((9 - q) * 100000 AS BIGINT) AS priority_ppm
+          |FROM u ORDER BY doc_id, loc""".stripMargin)),
+
     // REVISIT RESOLUTION (x125) — the Common Crawl dedup bridge closed:
     // revisit records (x100's linkage-only dedup form) resolve to their
     // ORIGINAL capture by joining payload digest against the CDX index

@@ -256,6 +256,93 @@ object Sitemap {
         "fetch_at_ms")
   }
 
+  /** SITEMAP TREE WALK (x126) — discovery through `sitemapindex`
+    * nesting: real sites shard their URL space into an index of leaf
+    * sitemaps (sitemaps.org caps one file at 50k URLs / 50 MB, so any
+    * big site nests). The walk parses the root, recurses into every
+    * advertised child, and emits each URL entry with its LEAF's
+    * provenance. `fetch` abstracts the byte source (the crawl fetcher
+    * in production, the fixture synthesizer in the gate). Guard rails
+    * are loud, not silent: a cycle (an index reachable from itself), a
+    * depth past `maxDepth` (sitemaps.org allows ONE level of nesting;
+    * the default permits it and nothing deeper), and a walk past
+    * `maxSitemaps` all reject by name — an unbounded recursive fetch of
+    * attacker-controlled XML is how a crawler gets stuck.
+    */
+  private[graft] def walkSitemapTree(root: String, fetch: String => String,
+                                     maxDepth: Int = 2,
+                                     maxSitemaps: Int = 10000)
+      : Seq[(String, SitemapEntry)] = {
+    val visited = scala.collection.mutable.Set[String]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, SitemapEntry)]()
+    def walk(url: String, depth: Int): Unit = {
+      require(depth <= maxDepth,
+        s"sitemap: nesting deeper than $maxDepth at '$url'")
+      require(visited.add(url), s"sitemap: cycle at '$url'")
+      require(visited.size <= maxSitemaps,
+        s"sitemap: tree exceeds $maxSitemaps files")
+      val f = parseSitemap(fetch(url))
+      f.kind match {
+        case "urlset" => f.entries.foreach(e => out += ((url, e)))
+        case "sitemapindex" =>
+          f.entries.foreach(e => walk(e.loc, depth + 1))
+      }
+    }
+    walk(root, 1)
+    out.toSeq
+  }
+
+  // Tree-fixture arithmetic (the x126 oracle re-derives everything):
+  // root sitemap-index advertises p = id%2+2 leaf sitemaps
+  // /sitemaps/{id}/{p}.xml; leaf p is a urlset of k = (id+p)%3+1 urls
+  // loc http://site{id%7}.example/{id}/{p}/{q} with
+  // lastmod 2026-01-{(id+p+q)%28+1}, changefreq freqs[(id+p+q)%4],
+  // priority 0.{9-q}.
+  private[graft] def sitemapTreeFetch(id: Long)(url: String): String = {
+    val base = s"http://site${id % 7}.example"
+    val leafRe = (java.util.regex.Pattern.quote(base) +
+      "/sitemaps/" + id + "/(\\d+)\\.xml").r
+    url match {
+      case u if u == s"$base/sitemap-index.xml" =>
+        val n = (id % 2 + 2).toInt
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          (0 until n).map(p =>
+            s"  <sitemap><loc>$base/sitemaps/$id/$p.xml</loc>" +
+              s"<lastmod>2026-02-01</lastmod></sitemap>").mkString("\n") +
+          "\n</sitemapindex>"
+      case leafRe(ps) =>
+        val p = ps.toInt
+        val k = ((id + p) % 3 + 1).toInt
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          (0 until k).map { q =>
+            val lm = f"2026-01-${(id + p + q) % 28 + 1}%02d"
+            s"  <url><loc>$base/$id/$p/$q</loc><lastmod>$lm</lastmod>" +
+              s"<changefreq>${freqs(((id + p + q) % 4).toInt)}</changefreq>" +
+              s"<priority>0.${9 - q}</priority></url>"
+          }.mkString("\n") + "\n</urlset>"
+      case other => sys.error(s"sitemap: fixture has no '$other'")
+    }
+  }
+
+  /** x126 gate: walk each doc's two-level sitemap tree and emit every
+    * discovered URL with its leaf provenance.
+    */
+  def sitemapTreeTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val root = s"http://site${id % 7}.example/sitemap-index.xml"
+        walkSitemapTree(root, sitemapTreeFetch(id)).map { case (leaf, e) =>
+          (id, leaf, e.loc, e.lastmod, e.changefreq, e.priorityPpm)
+        }
+      }
+      .toDF("doc_id", "leaf", "loc", "lastmod", "changefreq",
+        "priority_ppm")
+      .orderBy("doc_id", "loc")
+  }
+
   /** x108 gate: parse each doc's sitemap and emit its URL entries. */
   def sitemapTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

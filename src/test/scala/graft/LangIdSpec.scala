@@ -144,7 +144,14 @@ class LangIdSpec extends GraftSparkSpec {
     assert(LangId.route("ми читаємо книжки щовечора після роботи") === "uk")
     assert(LangId.route("времето днес е много хубаво и ще отидем на разходка") === "bg")
     assert(ScriptId.dominant("今日は良い天気です") !== "latin")
-    assert(LangId.route("今日は良い天気ですから公園へ行きます") === "und")
     assert(LangId.route("12345 !!!") === "und")
+    // script-implied languages: hangul writes only Korean, kana only
+    // Japanese — and real Japanese keeps its kana particles even under
+    // a kanji majority, so the 5% kana rule names it without a model
+    assert(LangId.route("오늘은 날씨가 좋아서 공원에 갑니다") === "ko")
+    assert(LangId.route("今日は良い天気ですから公園へ行きます") === "ja")
+    assert(LangId.route("東京特許許可局長官許可証文書審査結果") ===
+      "und") // kanji-only: zh OR ja — refuse, don't guess
+    assert(LangId.route("我们今天去公园散步因为天气很好") === "und")
   }
 }

@@ -141,6 +141,44 @@ class Round18OpsSpec extends GraftSparkSpec {
     }
   }
 
+  test("sitemap: tree walk recurses index -> leaves; cycles/depth/count reject loudly") {
+    import graft.sources.Sitemap
+    val walked = Sitemap.walkSitemapTree(
+      "http://site5.example/sitemap-index.xml", Sitemap.sitemapTreeFetch(5L))
+    // id=5: n = 5%2+2 = 3 leaves; leaf p has (5+p)%3+1 urls -> 3+1+2 = 6
+    assert(walked.size === 6)
+    assert(walked.map(_._1).distinct.size === 3)
+    assert(walked.forall { case (leaf, e) =>
+      leaf.contains("/sitemaps/5/") && e.loc.startsWith("http://site5") })
+    // cycle: an index advertising itself
+    val cyc = "<?xml version=\"1.0\"?><sitemapindex>" +
+      "<sitemap><loc>http://x/i.xml</loc></sitemap></sitemapindex>"
+    val e1 = intercept[IllegalArgumentException] {
+      Sitemap.walkSitemapTree("http://x/i.xml", _ => cyc)
+    }
+    assert(e1.getMessage.contains("cycle"))
+    // depth: index -> index -> index exceeds the one-nesting allowance
+    def deep(url: String): String =
+      "<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>" +
+        url + "x</loc></sitemap></sitemapindex>"
+    val e2 = intercept[IllegalArgumentException] {
+      Sitemap.walkSitemapTree("http://x/a", u => deep(u))
+    }
+    assert(e2.getMessage.contains("deeper"))
+    // count: a sprawling index trips the file cap
+    val wide = "<?xml version=\"1.0\"?><sitemapindex>" +
+      (0 until 30).map(i =>
+        s"<sitemap><loc>http://x/$i.xml</loc></sitemap>").mkString +
+      "</sitemapindex>"
+    val leaf = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>http://x/p</loc></url></urlset>"
+    val e3 = intercept[IllegalArgumentException] {
+      Sitemap.walkSitemapTree("http://x/root.xml",
+        u => if (u.endsWith("root.xml")) wide else leaf, maxSitemaps = 10)
+    }
+    assert(e3.getMessage.contains("exceeds"))
+  }
+
   test("wat: host edges collapse outlinks to weighted host pairs") {
     import spark.implicits._
     import graft.sources.WatSource
