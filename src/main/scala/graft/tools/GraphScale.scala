@@ -65,6 +65,25 @@ object GraphScale {
       println(f"${m}%4dM ${tUnrolled}%10.2f s ${tEager}%12.2f s")
     }
 
+    // ---- weighted pagerank (x123's operator): the same power-law
+    // graph with zipf-ish integer weights (1..16). Per-iteration shape
+    // is identical to unweighted (edge join + dst agg) plus the
+    // decomposed exact contribution and the parallel-edge weight merge
+    // — the measure pins what that arithmetic costs next to the
+    // unweighted eager arm above.
+    println(f"%n${"edges"}%6s ${"weighted_3it"}%12s")
+    for (m <- sizesM) {
+      val n = m * 1000000L
+      val we = edges(n).withColumn("w",
+        pmod(xxhash64(col("src"), col("dst")), lit(16)) + 1)
+      val tW = timed {
+        Graph.pagerankWeighted(we, iters = 3)
+          .agg(sum("r"), max("r")).head()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      println(f"${m}%4dM ${tW}%10.2f s")
+    }
+
     // ---- triangle counting: degree orientation vs node-id orientation
     // (the x52 claim). Node-id orientation's wedge count at a node v is
     // (#edges where v is the max end) x (#edges where v is the min end)
