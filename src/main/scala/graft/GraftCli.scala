@@ -987,9 +987,11 @@ object GraftCli {
       val mainContent = rest.contains("main") // x106 link-density extractor
       // ONE archive walk serves both the corpus write and the degrade
       // report (r18 review: an uncached second warcFiles pass re-decoded
-      // the whole glob just to count reasons)
-      val pages = graft.sources.WarcSource
-        .warcFiles(spark, glob, lenient, mainContent).persist()
+      // the whole glob just to count reasons); strict mode has no second
+      // consumer, so it skips the cache entirely
+      val pages0 = graft.sources.WarcSource
+        .warcFiles(spark, glob, lenient, mainContent)
+      val pages = if (lenient) pages0.persist() else pages0
       graft.sources.WarcSource.crawlDocsFrom(spark, pages)
         .write.mode("overwrite").parquet(outDir)
       // honest degrade accounting: pages the lenient walk kept as

@@ -230,11 +230,15 @@ object LangId {
     if (h.isEmpty) return "und"
     val total = h.values.sum
     val kana = h.getOrElse("hiragana", 0L) + h.getOrElse("katakana", 0L)
-    if (kana * 20L >= total) "ja"
-    else ScriptId.dominantOf(h) match {
+    ScriptId.dominantOf(h) match {
       case "latin" => predict(text)
       case "cyrillic" => CyrLangId.predict(text)
       case "hangul" => "ko"
+      case "hiragana" | "katakana" => "ja"
+      // the kana rule only arbitrates HAN dominance (zh vs kanji-heavy
+      // ja) — applied over latin/cyrillic-dominant text it would label
+      // an English page with one short Japanese quote `ja` (r18 review)
+      case "han" => if (kana * 20L >= total) "ja" else "und"
       case _ => "und"
     }
   }

@@ -766,33 +766,29 @@ object CdxSource {
     * pointer-sized rows buys it — the fetched bytes never shuffle.
     */
   def fetchByIndex(spark: SparkSession, warcDir: String,
-                   index: DataFrame): DataFrame = {
-    import spark.implicits._
+                   index: DataFrame): DataFrame =
     fetchTagged(spark, warcDir,
       index.select(col("filename"), col("offset"), col("length"),
-        lit("").as("tag"))
-        .as[(String, Long, Long, String)])
+        lit("").as("tag")))
       .drop("tag")
-  }
 
   /** The fetch loop with a caller PASSTHROUGH column — `fetchByIndex`
     * with tag="" and dropped, [[resolveRevisits]] with the revisit URI
     * (without the tag the output only knows the FETCHED record's URI,
     * which is precisely not the revisit's). Same handle/seek shape.
+    * Takes a DataFrame (filename, offset, length, tag): the pointer
+    * filter runs as a null-safe Column expression BEFORE the typed
+    * decode — a typed lambda filter would crash on SQL-NULL pointers
+    * from an external index instead of skipping them (r18 review).
     */
   private def fetchTagged(spark: SparkSession, warcDir: String,
-      rows0: org.apache.spark.sql.Dataset[(String, Long, Long, String)])
-      : DataFrame = {
+                          rows0: DataFrame): DataFrame = {
     import spark.implicits._
     val conf = new graft.streaming.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val dir = warcDir
-    rows0
-      .filter(r => r._1 != null && r._2 >= 0 && r._3 > 0) // poison rows
-      // explicit names before the exchange: the caller's column names
-      // vary (fetchByIndex vs resolveRevisits) and tuple `_1` access
-      // only resolves after a reserializing op, not a filter
-      .toDF("fname", "off", "len", "tag")
+    rows0.toDF("fname", "off", "len", "tag")
+      .filter(col("fname").isNotNull && col("off") >= 0 && col("len") > 0)
       .repartition(col("fname"))
       .sortWithinPartitions(col("fname"), col("off"))
       .as[(String, Long, Long, String)]
@@ -851,14 +847,19 @@ object CdxSource {
         col("offset"), col("length")), Seq("digest"), "left")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      // pointer VALIDITY decides the branch — an index-missing digest
+      // AND an index row with a garbage/NULL pointer both land in
+      // `unresolved`: routing only on filename would let fetchTagged's
+      // pointer filter silently swallow the latter (r18 review)
+      .withColumn("ok", col("filename").isNotNull &&
+        coalesce(col("offset") >= 0 && col("length") > 0, lit(false)))
     val resolved = fetchTagged(spark, warcDir,
-      picked.filter(col("filename").isNotNull)
+      picked.filter(col("ok"))
         .select(col("filename"), col("offset"), col("length"),
-          col("revisit_uri"))
-        .as[(String, Long, Long, String)])
+          col("revisit_uri")))
       .select(col("tag").as("revisit_uri"), col("uri").as("resolved_from"),
         col("status"), col("text"))
-    val unresolved = picked.filter(col("filename").isNull)
+    val unresolved = picked.filter(!col("ok"))
       .select(col("revisit_uri"), lit(null).cast("string").as("resolved_from"),
         lit(-1).as("status"), lit(null).cast("string").as("text"))
     resolved.unionByName(unresolved)

@@ -241,12 +241,19 @@ object Sitemap {
           .cast("long") * 24))
       .withColumn("period_hours", period)
       // integer div: nonnegative ages, so Spark `div` == DuckDB `//`;
-      // precedence: never-FETCHED beats everything (even `never`)
+      // precedence: never-FETCHED beats everything (even `never`). The
+      // computed branch is CAPPED below the sentinel — a garbage
+      // lastmod like 1900-01-01 on an hourly period would otherwise
+      // exceed 1e12 ppm and outrank genuinely never-fetched URLs
+      // (r18 review; the fixture's dates never get near the cap, so
+      // the x118 oracle is unaffected)
       .withColumn("overdue_ppm",
         when(col("age_hours").isNull, lit(NeverFetchedPpm))
           .when(col("changefreq") === "always", lit(NeverFetchedPpm))
           .when(col("changefreq") === "never", lit(0L))
-          .otherwise(expr("age_hours * 1000000 div period_hours")))
+          .otherwise(least(
+            expr("age_hours * 1000000 div period_hours"),
+            lit(NeverFetchedPpm - 1))))
       .join(broadcast(delays), Seq("host"), "left")
       .withColumn("delay_ms",
         coalesce(col("delay_ms"), lit(defaultDelayMs)))
@@ -262,11 +269,15 @@ object Sitemap {
     * big site nests). The walk parses the root, recurses into every
     * advertised child, and emits each URL entry with its LEAF's
     * provenance. `fetch` abstracts the byte source (the crawl fetcher
-    * in production, the fixture synthesizer in the gate). Guard rails
-    * are loud, not silent: a cycle (an index reachable from itself), a
+    * in production, the fixture synthesizer in the gate). A repeated
+    * URL — a duplicate sibling reference (legal, real indexes carry
+    * them) or a true cycle — is VISITED ONCE and skipped after: both
+    * shapes terminate and neither double-counts entries (r18 review:
+    * treating a benign duplicate as a loud "cycle" threw away a whole
+    * site's discovery). The loud guard rails are the unbounded shapes:
     * depth past `maxDepth` (sitemaps.org allows ONE level of nesting;
-    * the default permits it and nothing deeper), and a walk past
-    * `maxSitemaps` all reject by name — an unbounded recursive fetch of
+    * the default permits it and nothing deeper) and a walk past
+    * `maxSitemaps` reject by name — an unbounded recursive fetch of
     * attacker-controlled XML is how a crawler gets stuck.
     */
   private[graft] def walkSitemapTree(root: String, fetch: String => String,
@@ -278,7 +289,7 @@ object Sitemap {
     def walk(url: String, depth: Int): Unit = {
       require(depth <= maxDepth,
         s"sitemap: nesting deeper than $maxDepth at '$url'")
-      require(visited.add(url), s"sitemap: cycle at '$url'")
+      if (!visited.add(url)) return // duplicate reference or cycle: once
       require(visited.size <= maxSitemaps,
         s"sitemap: tree exceeds $maxSitemaps files")
       val f = parseSitemap(fetch(url))

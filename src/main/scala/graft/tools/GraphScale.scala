@@ -66,7 +66,7 @@ object GraphScale {
     }
 
     // ---- weighted pagerank (x123's operator): the same power-law
-    // graph with zipf-ish integer weights (1..16). Per-iteration shape
+    // graph with uniform integer weights 1..16 (hash-derived). Per-iteration shape
     // is identical to unweighted (edge join + dst agg) plus the
     // decomposed exact contribution and the parallel-edge weight merge
     // — the measure pins what that arithmetic costs next to the

@@ -150,13 +150,20 @@ class Round18OpsSpec extends GraftSparkSpec {
     assert(walked.map(_._1).distinct.size === 3)
     assert(walked.forall { case (leaf, e) =>
       leaf.contains("/sitemaps/5/") && e.loc.startsWith("http://site5") })
-    // cycle: an index advertising itself
+    // a repeated URL terminates and never double-counts: a true cycle
+    // (index advertising itself) walks once and yields nothing; a
+    // duplicate sibling reference (legal, real indexes carry them)
+    // contributes its entries ONCE
     val cyc = "<?xml version=\"1.0\"?><sitemapindex>" +
       "<sitemap><loc>http://x/i.xml</loc></sitemap></sitemapindex>"
-    val e1 = intercept[IllegalArgumentException] {
-      Sitemap.walkSitemapTree("http://x/i.xml", _ => cyc)
-    }
-    assert(e1.getMessage.contains("cycle"))
+    assert(Sitemap.walkSitemapTree("http://x/i.xml", _ => cyc).isEmpty)
+    val dupIdx = "<?xml version=\"1.0\"?><sitemapindex>" +
+      "<sitemap><loc>http://x/leaf.xml</loc></sitemap>" +
+      "<sitemap><loc>http://x/leaf.xml</loc></sitemap></sitemapindex>"
+    val oneLeaf = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>http://x/p</loc></url></urlset>"
+    assert(Sitemap.walkSitemapTree("http://x/root.xml",
+      u => if (u.endsWith("root.xml")) dupIdx else oneLeaf).size === 1)
     // depth: index -> index -> index exceeds the one-nesting allowance
     def deep(url: String): String =
       "<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>" +
