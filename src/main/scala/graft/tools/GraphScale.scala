@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   *   eager-ckpt: checkpointInterval = 1 — the per-round materialization
   *     the shipped default avoids; kept as the honest counterpoint.
   *
-  * Usage: GraphScale [nEdgesMillions...] (default 10 30)
+  * Usage: GraphScale [--pr-only] [nEdgesMillions...] (default 10 30;
+  * --pr-only skips the triangle arms — their naive counterpoint is
+  * quadratic-wedge and dominates at ≥100 M edges)
   */
 object GraphScale {
   def main(args: Array[String]): Unit = {
-    val sizesM = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10, 30)
+    val prOnly = args.contains("--pr-only")
+    val sizeArgs = args.filterNot(_ == "--pr-only")
+    val sizesM = if (sizeArgs.nonEmpty) sizeArgs.map(_.toInt).toSeq
+      else Seq(10, 30)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -121,6 +126,8 @@ object GraphScale {
         pmod(xxhash64(col("id"), lit(29)), lit(nNodes)).as("dst"))
       background.unionAll(spokes).filter(col("src") =!= col("dst"))
     }
+
+    if (prOnly) { spark.stop(); return }
 
     println(f"%n${"graph"}%18s ${"deg_orient"}%12s ${"id_orient"}%12s")
     for (m <- sizesM) {
