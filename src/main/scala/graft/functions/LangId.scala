@@ -235,10 +235,13 @@ object LangId {
       case "cyrillic" => CyrLangId.predict(text)
       case "hangul" => "ko"
       case "hiragana" | "katakana" => "ja"
+      case "greek" => "el" // Greek script writes Greek, nothing else
       // the kana rule only arbitrates HAN dominance (zh vs kanji-heavy
       // ja) — applied over latin/cyrillic-dominant text it would label
       // an English page with one short Japanese quote `ja` (r18 review)
       case "han" => if (kana * 20L >= total) "ja" else "und"
+      // arabic (ar/fa/ur), devanagari (hi/mr/ne), hebrew (he/yi) each
+      // write MULTIPLE living languages — refuse until they get models
       case _ => "und"
     }
   }

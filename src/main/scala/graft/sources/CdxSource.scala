@@ -617,6 +617,11 @@ object CdxSource {
               ln = reader.readLine()
             }
             flush()
+            // trailing SENTINEL (offset -1, length 0): the shard's LAST
+            // sort key, so lookup routing can skip above-range shards
+            // exactly instead of inflating their final block to find out
+            if (prevKey != null)
+              idx.append(prevKey).append("\t-1\t0\n")
           } finally reader.close()
         } finally zn.close()
         val ip = fs.create(
@@ -652,14 +657,22 @@ object CdxSource {
           try new String(in.readAllBytes(), "UTF-8")
             .split("\n").filter(_.nonEmpty).toIndexedSeq
           finally in.close()
-        // shard routing (r18 review): the shard's first cluster key is
-        // its minimum — a strictly-smaller probe cannot be inside
-        def minSurt(line: String): String = {
+        // shard routing: the first cluster key is the shard's minimum
+        // (a strictly-smaller probe cannot be inside) and the trailing
+        // sentinel (offset -1) carries its MAXIMUM, so both range ends
+        // skip exactly — without the sentinel an above-range probe paid
+        // one final-block inflate per shard just to find nothing
+        def surtOf(line: String): String = {
           val sp = line.indexOf(' ')
           require(sp > 0, s"zipnum: malformed cluster line '$line'")
           line.substring(0, sp)
         }
-        if (cluster.isEmpty || key < minSurt(cluster.head)) Seq.empty
+        val hasSentinel = cluster.nonEmpty &&
+          cluster.last.endsWith("\t-1\t0")
+        val blocks0 = if (hasSentinel) cluster.dropRight(1) else cluster
+        val aboveMax = hasSentinel && key > surtOf(cluster.last)
+        if (blocks0.isEmpty || aboveMax || key < surtOf(blocks0.head))
+          Seq.empty
         else {
           val znPath = new org.apache.hadoop.fs.Path(dir,
             st.getPath.getName.stripSuffix(".idx") + ".zn")
@@ -667,7 +680,7 @@ object CdxSource {
           try {
             val size = fs.getFileStatus(znPath).getLen
             zipnumLookup(new ZipSource.StreamSeekable(zIn, size),
-              cluster, key)
+              blocks0, key)
           } finally zIn.close()
         }
       }

@@ -237,6 +237,17 @@ class CdxSpec extends GraftSparkSpec {
       assert(hits.map(_.url) === Seq("http://site4.example/4/1"))
       assert(CdxSource.zipnumLookupDir(spark, zn,
         "http://site9.example/none").isEmpty)
+      // the shard's .idx carries a trailing last-key sentinel so both
+      // range ends of the routing skip are exact
+      val idxLines = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(zn, new java.io.File(zn).list()
+          .find(_.endsWith(".idx")).get).toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+      assert(idxLines.last.endsWith("\t-1\t0"))
+      // probes below the min and above the max surt skip the shard
+      assert(CdxSource.zipnumLookupDir(spark, zn, "http://a.a/").isEmpty)
+      assert(CdxSource.zipnumLookupDir(spark, zn, "http://zzz.zzz/")
+        .isEmpty)
       java.nio.file.Files.write(new java.io.File(dir, "bad.cdx").toPath,
         (all.reverse.mkString("\n") + "\n").getBytes("UTF-8"))
       val e = intercept[Exception] {

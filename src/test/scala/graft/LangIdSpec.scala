@@ -149,6 +149,9 @@ class LangIdSpec extends GraftSparkSpec {
     // Japanese — and real Japanese keeps its kana particles even under
     // a kanji majority, so the 5% kana rule names it without a model
     assert(LangId.route("오늘은 날씨가 좋아서 공원에 갑니다") === "ko")
+    assert(LangId.route("σήμερα ο καιρός είναι καλός και πάμε βόλτα") === "el")
+    // multi-language scripts refuse: Arabic writes ar/fa/ur
+    assert(LangId.route("اليوم الطقس جميل ونذهب الى الحديقة") === "und")
     assert(LangId.route("今日は良い天気ですから公園へ行きます") === "ja")
     assert(LangId.route("東京特許許可局長官許可証文書審査結果") ===
       "und") // kanji-only: zh OR ja — refuse, don't guess
