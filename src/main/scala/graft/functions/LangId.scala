@@ -233,6 +233,7 @@ object LangId {
     ScriptId.dominantOf(h) match {
       case "latin" => predict(text)
       case "cyrillic" => CyrLangId.predict(text)
+      case "arabic" => ArabLangId.predict(text)
       case "hangul" => "ko"
       case "hiragana" | "katakana" => "ja"
       case "greek" => "el" // Greek script writes Greek, nothing else
@@ -240,8 +241,8 @@ object LangId {
       // ja) — applied over latin/cyrillic-dominant text it would label
       // an English page with one short Japanese quote `ja` (r18 review)
       case "han" => if (kana * 20L >= total) "ja" else "und"
-      // arabic (ar/fa/ur), devanagari (hi/mr/ne), hebrew (he/yi) each
-      // write MULTIPLE living languages — refuse until they get models
+      // devanagari (hi/mr/ne), hebrew (he/yi) each write MULTIPLE
+      // living languages — refuse until they get models
       case _ => "und"
     }
   }
@@ -353,6 +354,122 @@ object CyrLangId {
       i += Character.charCount(cp)
     }
     if (cyr == 0) 1000000L else (kept * 1000000L) / cyr
+  }
+
+  def predict(text: String): String =
+    if (alphabetCoveragePpm(text) < alphabetCoverageMinPpm) "und"
+    else model.predict(text)
+}
+
+/** The Arabic-script trigram family (ar/fa/ur) behind [[LangId.route]]'s
+  * script dispatch — same NB core. The alphabet class is the full
+  * standard set: core Arabic with hamza forms, the Farsi additions
+  * (پ چ ژ گ ک ی), and the Urdu additions (ٹ ڈ ڑ ں ھ ہ ۂ ے ۓ); the
+  * per-language DISTINCTIVE letters are themselves trigram signal
+  * (Farsi text is full of ک/ی where Arabic writes ك/ي — different
+  * codepoints). Arabic-script text whose letters fall outside this
+  * class (Kurdish Sorani's ە ڕ ۆ ێ, Pashto's ټ ډ ړ ښ — measured
+  * 68–86% coverage on real sentences) is refused by the same
+  * alphabet-coverage rule as the Cyrillic family.
+  */
+object ArabLangId {
+
+  /** Tie order = alphabetical. */
+  val langs: Seq[String] = Seq("ar", "fa", "ur")
+
+  /** Per-trigram margin, same rule as the other families — in-set
+    * held-out Arabic-script sentences clear ≥ ~178k micro-nats/trigram
+    * over the runner-up (the three languages' distinctive letters make
+    * the gap wide).
+    */
+  val undMarginMicro: Long = 25000L
+
+  /** Minimum in-alphabet share of the text's ARABIC-script letters,
+    * ppm — the [[CyrLangId.alphabetCoverageMinPpm]] discipline.
+    */
+  val alphabetCoverageMinPpm: Long = 980000L
+
+  /** The full modeled alphabet (membership set for the coverage rule
+    * and the normalize class — one literal, both derive from it).
+    */
+  private[graft] val alphabet: String =
+    "ءآأؤإئابةتثجحخدذرزسشصضطظعغفقكلمنهويى" + "پچژگکی" + "ٹڈڑںھہۂےۓ"
+
+  // Seed corpora: the same 8 function-word-heavy sentences as the other
+  // families, in each language's own words (no diacritics — bare
+  // letters are what crawled text overwhelmingly carries). MUST stay
+  // byte-identical to the d59 oracle's VALUES.
+  private[graft] val seeds: Seq[(String, String)] = Seq(
+    ("ar", "الثعلب البني السريع يقفز فوق الكلب الكسول"),
+    ("ar", "هذا هو البيت الذي بناه جاك"),
+    ("ar", "كم الساعة والى اين نحن ذاهبون"),
+    ("ar", "قالت انهم سوف ياتون معنا"),
+    ("ar", "من كل ما رايناه كان هذا هو الافضل"),
+    ("ar", "من يعيش في بيت من زجاج لا يرمي الناس بالحجارة"),
+    ("ar", "لا يوجد شيء جيد او سيء لكن التفكير يجعله كذلك"),
+    ("ar", "ان تكون او لا تكون تلك هي المسالة"),
+    ("fa", "روباه قهوه ای سریع از روی سگ تنبل می پرد"),
+    ("fa", "این خانه ای است که جک ساخت"),
+    ("fa", "ساعت چند است و ما کجا می رویم"),
+    ("fa", "او گفت که انها با ما خواهند امد"),
+    ("fa", "از همه چیزهایی که دیدیم این بهترین بود"),
+    ("fa", "کسی که در خانه شیشه ای زندگی می کند نباید سنگ بیندازد"),
+    ("fa", "هیچ چیز خوب یا بد نیست اما اندیشه ان را چنین می سازد"),
+    ("fa", "بودن یا نبودن مساله این است"),
+    ("ur", "تیز بھوری لومڑی سست کتے کے اوپر سے چھلانگ لگاتی ہے"),
+    ("ur", "یہ وہ گھر ہے جو جیک نے بنایا"),
+    ("ur", "کیا وقت ہوا ہے اور ہم کہاں جا رہے ہیں"),
+    ("ur", "اس نے کہا کہ وہ ہمارے ساتھ ائیں گے"),
+    ("ur", "جو کچھ ہم نے دیکھا اس میں یہ سب سے اچھا تھا"),
+    ("ur", "جو شیشے کے گھر میں رہتا ہے وہ پتھر نہیں پھینکتا"),
+    ("ur", "کوئی چیز اچھی یا بری نہیں لیکن سوچ اسے ایسا بناتی ہے"),
+    ("ur", "ہونا یا نہ ہونا سوال یہ ہے"))
+
+  /** round(ln(k)·1e6): smoothed counts 1..13 (max seed trigram count
+    * 12) and the three total+vocab denominators (V = 602, totals
+    * ar 276 / fa 296 / ur 317). Literal — the d59 oracle joins the
+    * same integers; LangIdSpec pins each entry against Math.log.
+    */
+  private[graft] val lnMicro: Map[Int, Long] = Map(
+    1 -> 0L, 2 -> 693147L, 3 -> 1098612L, 4 -> 1386294L, 5 -> 1609438L,
+    6 -> 1791759L, 7 -> 1945910L, 8 -> 2079442L, 9 -> 2197225L,
+    10 -> 2302585L, 11 -> 2397895L, 12 -> 2484907L, 13 -> 2564949L,
+    878 -> 6777647L, 898 -> 6800170L, 919 -> 6823286L)
+
+  /** The oracle-side normalize class, derived from [[alphabet]]. No
+    * lowercasing: Arabic script has no case.
+    */
+  private[graft] val stripRe: String = "[^" + alphabet + "]"
+
+  private[graft] val model =
+    new TrigramNb(langs, seeds, stripRe, lnMicro, undMarginMicro)
+
+  private[graft] def normalize(text: String): String = model.normalize(text)
+  private[graft] def trigrams(text: String): Seq[String] = model.trigrams(text)
+  private[graft] def vocabSize: Int = model.vocabSize
+  private[graft] def totals: Map[String, Int] = model.totals
+  private[graft] def maxSeedCount: Int = model.maxSeedCount
+  private[graft] def scores(text: String): Map[String, Long] =
+    model.scores(text)
+
+  private val alphaSet: Set[Char] = alphabet.toSet
+
+  /** In-alphabet share of the text's ARABIC-script letters, ppm. */
+  private[graft] def alphabetCoveragePpm(text: String): Long = {
+    var arab = 0L
+    var kept = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp) &&
+        Character.UnicodeScript.of(cp) ==
+          java.lang.Character.UnicodeScript.ARABIC) {
+        arab += 1
+        if (cp <= Char.MaxValue && alphaSet(cp.toChar)) kept += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (arab == 0) 1000000L else (kept * 1000000L) / arab
   }
 
   def predict(text: String): String =

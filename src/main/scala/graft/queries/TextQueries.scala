@@ -111,15 +111,22 @@ object TextQueries {
     ("bg", "времето днес е много хубаво и ще отидем на разходка"),
     ("bg", "той не знаеше какво да каже и просто мълчеше"))
 
-  private val cyrLangIdOracleSql: String = {
-    val poolVals = cyrPool.zipWithIndex
+  /** The shared held-out-pool NB oracle (d58 Cyrillic, d59 Arabic):
+    * re-derive every trigram count from the family's seed VALUES, join
+    * the family's literal ln table, score each pool sentence, apply the
+    * margin + alphabetical tie — then join docs by doc_id % pool-size.
+    * One builder, so a family cannot drift from the SQL that checks it.
+    */
+  private def trigramPoolOracleSql(
+      seeds: Seq[(String, String)], lnMicro: Map[Int, Long],
+      margin: Long, strip: String,
+      pool: Seq[(String, String)]): String = {
+    val poolVals = pool.zipWithIndex
       .map { case ((l, s), i) => s"($i, '$l', '$s')" }.mkString(",\n      ")
-    val seedVals = graft.functions.CyrLangId.seeds
+    val seedVals = seeds
       .map { case (l, s) => s"('$l', '$s')" }.mkString(",\n      ")
-    val lnVals = graft.functions.CyrLangId.lnMicro.toSeq.sortBy(_._1)
+    val lnVals = lnMicro.toSeq.sortBy(_._1)
       .map { case (k, v) => s"($k, $v)" }.mkString(", ")
-    val margin = graft.functions.CyrLangId.undMarginMicro
-    val strip = graft.functions.CyrLangId.stripRe
     s"""WITH pool(idx, true_lang, sentence) AS (VALUES
        |      $poolVals),
        |seed(lang, sentence) AS (VALUES
@@ -161,7 +168,7 @@ object TextQueries {
        |        FROM (SELECT * FROM pr WHERE rn = 1) p1
        |        JOIN (SELECT * FROM pr WHERE rn = 2) p2 USING (idx)
        |        JOIN ntr USING (idx)),
-       |docs AS (SELECT doc_id, CAST(doc_id % 9 AS INT) AS idx
+       |docs AS (SELECT doc_id, CAST(doc_id % ${pool.size} AS INT) AS idx
        |         FROM documents)
        |SELECT p.true_lang, w.pred, count(*) AS n
        |FROM docs d
@@ -169,6 +176,32 @@ object TextQueries {
        |JOIN win w ON w.idx = d.idx
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  private val cyrLangIdOracleSql: String = trigramPoolOracleSql(
+    graft.functions.CyrLangId.seeds, graft.functions.CyrLangId.lnMicro,
+    graft.functions.CyrLangId.undMarginMicro,
+    graft.functions.CyrLangId.stripRe, cyrPool)
+
+  /** The d59 probe pool — held-out Arabic-script sentences, the d58
+    * discipline on a third writing system (all in-alphabet, so the
+    * coverage rule is an identity here; LangIdSpec pins it on real
+    * Kurdish/Pashto text).
+    */
+  private[graft] val arabPool: Seq[(String, String)] = Seq(
+    ("ar", "نذهب الى السوق كل صباح مع الاطفال"),
+    ("ar", "قال الرجل انه لن يغير القانون"),
+    ("ar", "لم يعرف ماذا يقول فبقي صامتا"),
+    ("fa", "ما هر روز صبح با بچه ها به بازار می رویم"),
+    ("fa", "ان مرد گفت که قانون را تغییر نخواهد داد"),
+    ("fa", "او نمی دانست چه بگوید و ساکت ماند"),
+    ("ur", "ہم ہر صبح بچوں کے ساتھ بازار جاتے ہیں"),
+    ("ur", "اس ادمی نے کہا کہ وہ قانون نہیں بدلے گا"),
+    ("ur", "وہ نہیں جانتا تھا کہ کیا کہے اس لیے خاموش رہا"))
+
+  private val arabLangIdOracleSql: String = trigramPoolOracleSql(
+    graft.functions.ArabLangId.seeds, graft.functions.ArabLangId.lnMicro,
+    graft.functions.ArabLangId.undMarginMicro,
+    graft.functions.ArabLangId.stripRe, arabPool)
 
   val all: Map[String, QueryDef] = Map(
 
@@ -2332,6 +2365,28 @@ object TextQueries {
           .orderBy("true_lang", "pred")
       },
       Some(cyrLangIdOracleSql)),
+
+    // ---- Arabic-script langid family (functions/ArabLangId) — the
+    // third trigram family behind the script router (d5 Latin, d58
+    // Cyrillic): ar/fa/ur, whose DISTINCTIVE letters (Farsi ک/ی vs
+    // Arabic ك/ي, Urdu's ٹ ڈ ڑ ہ ے) are themselves trigram signal.
+    // Same shared oracle builder: seed VALUES + literal ln table +
+    // margin + tie, held-out pool by doc_id % 9. Kurdish/Pashto (out
+    // of set, letters outside the modeled alphabet) are refused by the
+    // coverage rule, spec-pinned.
+    "d59_arab_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val (lang, text) = arabPool((id % 9).toInt)
+            (lang, graft.functions.LangId.route(text))
+          }
+          .toDF("true_lang", "pred")
+          .groupBy("true_lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred")
+      },
+      Some(arabLangIdOracleSql)),
 
     "d56_hll_intersect" -> QueryDef(
       (s, dir) => {

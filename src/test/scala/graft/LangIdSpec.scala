@@ -150,11 +150,62 @@ class LangIdSpec extends GraftSparkSpec {
     // a kanji majority, so the 5% kana rule names it without a model
     assert(LangId.route("오늘은 날씨가 좋아서 공원에 갑니다") === "ko")
     assert(LangId.route("σήμερα ο καιρός είναι καλός και πάμε βόλτα") === "el")
-    // multi-language scripts refuse: Arabic writes ar/fa/ur
-    assert(LangId.route("اليوم الطقس جميل ونذهب الى الحديقة") === "und")
     assert(LangId.route("今日は良い天気ですから公園へ行きます") === "ja")
     assert(LangId.route("東京特許許可局長官許可証文書審査結果") ===
       "und") // kanji-only: zh OR ja — refuse, don't guess
     assert(LangId.route("我们今天去公园散步因为天气很好") === "und")
+  }
+
+  test("arabic: table literals, held-out accuracy, out-of-alphabet und, routing") {
+    import graft.functions.ArabLangId
+    ArabLangId.lnMicro.foreach { case (k, v) =>
+      assert(v === Math.round(Math.log(k.toDouble) * 1e6),
+        s"arab lnMicro($k) drifted from Math.log")
+    }
+    (1 to ArabLangId.maxSeedCount + 1).foreach(k =>
+      assert(ArabLangId.lnMicro.contains(k), s"missing smoothed-count key $k"))
+    ArabLangId.langs.foreach { l =>
+      val k = ArabLangId.totals(l) + ArabLangId.vocabSize
+      assert(ArabLangId.lnMicro.contains(k), s"missing denominator key $k")
+    }
+    ArabLangId.seeds.foreach { case (_, s) =>
+      assert(!s.contains("'"), "seed sentences must not contain quotes")
+      assert(ArabLangId.normalize(s) === s, "seed not normalize-clean")
+    }
+    // held-out sentences (none in the seeds) classify per language —
+    // the three languages' distinctive codepoints (Farsi ک/ی vs Arabic
+    // ك/ي, Urdu's retroflex letters) make the gaps wide (>=178k/tri)
+    val held = Seq(
+      ("ar", "نذهب الى السوق كل صباح مع الاطفال"),
+      ("ar", "قال الرجل انه لن يغير القانون"),
+      ("fa", "ما هر روز صبح با بچه ها به بازار می رویم"),
+      ("fa", "ان مرد گفت که قانون را تغییر نخواهد داد"),
+      ("ur", "ہم ہر صبح بچوں کے ساتھ بازار جاتے ہیں"),
+      ("ur", "اس ادمی نے کہا کہ وہ قانون نہیں بدلے گا"))
+    val seedSet = ArabLangId.seeds.map(_._2).toSet
+    assert(held.forall(h => !seedSet(h._2)))
+    held.foreach { case (lang, s) =>
+      val sc = ArabLangId.scores(s)
+      val ord = ArabLangId.langs.sortBy(x => (-sc(x), x))
+      val gap = (sc(ord.head) - sc(ord(1))) / ArabLangId.trigrams(s).size
+      info(s"$lang gap/tri = $gap -> ${ArabLangId.predict(s)}")
+      assert(ArabLangId.predict(s) === lang, s"misclassified: $s")
+      assert(LangId.route(s) === lang) // arabic-dominant routes here
+    }
+    // out-of-set Arabic script: Kurdish Sorani (ە ڕ ۆ ێ) and Pashto
+    // (ټ ډ ړ ښ ځ) carry letters the ar/fa/ur alphabet lacks — the
+    // coverage rule refuses them before any scoring
+    val outOfSet = Seq(
+      "ئەمڕۆ کەش و هەوا خۆشە و دەچینە پارک",
+      "نن هوا ښه ده او موږ پارک ته ځو")
+    outOfSet.foreach { s =>
+      val cov = ArabLangId.alphabetCoveragePpm(s)
+      info(s"out-of-set coverage = $cov ppm")
+      assert(cov < ArabLangId.alphabetCoverageMinPpm)
+      assert(ArabLangId.predict(s) === "und", s"named out-of-set text: $s")
+    }
+    held.foreach { case (_, s) =>
+      assert(ArabLangId.alphabetCoveragePpm(s) === 1000000L)
+    }
   }
 }
