@@ -3155,6 +3155,46 @@ object ExtensionQueries {
           |  ' footer ' || (doc_id % 11) AS extracted
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Brotli (RFC 7932) container roundtrip (x127): the engine's own
+    // from-scratch decoder ([[graft.sources.Brotli]] — full format:
+    // prefix codes, block switching, context modeling, static dictionary
+    // with all 121 transforms) against its own stored-metablock encoder.
+    // The oracle re-derives the decoded length AND the exact stored-
+    // stream size from arithmetic (header 3 bytes + payload + 3 per
+    // extra 64 KiB metablock + 1 terminator), and the decoded prefix
+    // from the text itself — a framing or decode slip fails the hash.
+    // Real COMPRESSED streams (quality 0-11, every window) are arbitered
+    // against the system encoder in BrotliSpec; br-coded HTTP bodies
+    // inside WARC are gated end-to-end by x100/x101's wire rotation.
+    "x127_brotli" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val entity = text.getBytes("UTF-8")
+            val stream = graft.sources.Brotli.encodeStored(entity)
+            val decoded = graft.sources.Brotli.decode(stream)
+            require(java.util.Arrays.equals(decoded, entity),
+              s"brotli roundtrip mismatch for doc $id")
+            (id, decoded.length.toLong, stream.length.toLong,
+              new String(decoded, "UTF-8").take(24))
+          }
+          .toDF("doc_id", "entity_len", "stream_len", "decoded_prefix")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(strlen(text) AS BIGINT) AS entity_len,
+          |  CAST(CASE WHEN strlen(text) = 0 THEN 1
+          |    ELSE strlen(text) + 4 +
+          |         3 * (CAST(ceil(strlen(text) / 65536.0) AS BIGINT) - 1)
+          |    END AS BIGINT) AS stream_len,
+          |  substr(text, 1, 24) AS decoded_prefix
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // WET derivative archives (x117) — Common Crawl's text-extract
     // sibling of WARC: `conversion` records whose text/plain payload IS
     // the extracted page text (no HTTP sub-parse, no HTML), the format

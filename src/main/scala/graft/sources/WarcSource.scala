@@ -269,6 +269,11 @@ object WarcSource {
         val zlib = data.length >= 2 && (data(0) & 0x0f) == 8 &&
           (((data(0) & 0xff) << 8 | (data(1) & 0xff)) % 31 == 0)
         inflateAll(data, zlib)
+      case "br" =>
+        // own RFC 7932 decoder ([[Brotli]]) — br is the second-biggest
+        // coding population in modern crawler archives; the bound is the
+        // same pre-inflation entity cap as the gzip arm
+        Brotli.decode(data, MaxHttpEntity)
       case other => throw new UnsupportedCoding(other)
     }
 
@@ -759,8 +764,9 @@ object WarcSource {
   //   the document's text at j==0 and "word{(id*7+j)%50} page {id} {j}"
   //   otherwise. Wire form varies so the decode paths are gate-checked:
   //   Transfer-Encoding: chunked when (id+j)%3==1, Content-Encoding:
-  //   gzip when (id+j)%4==2 (both at once where the moduli coincide) —
-  //   the oracle's body_bytes/extracted columns are DECODED-entity
+  //   gzip when (id+j)%4==2, Content-Encoding: br when (id+j)%4==0
+  //   (chunked composes with either where the moduli coincide) — the
+  //   oracle's body_bytes/extracted columns are DECODED-entity
   //   facts, so they are invariant to the wire form, which is exactly
   //   what makes a framing or inflation slip fail the hash. One revisit
   //   record (refers to response 0, digest sha1:FIX{id%97}) when
@@ -856,7 +862,14 @@ object WarcSource {
       // the stored payload is the RAW wire bytes, as real crawlers write
       val chunked = (id + j) % 3 == 1
       val gzipped = (id + j) % 4 == 2
-      val entityWire = if (gzipped) gzipOne(html) else html
+      // br via the engine's own stored-metablock encoder — a valid
+      // brotli stream per RFC 7932 §9.2 (compressed-stream arbitration
+      // against the system encoder lives in BrotliSpec)
+      val brotli = (id + j) % 4 == 0
+      val entityWire =
+        if (gzipped) gzipOne(html)
+        else if (brotli) Brotli.encodeStored(html)
+        else html
       val bodyWire = if (chunked) chunkEncode(entityWire, id) else entityWire
       // charset label rotates (bodies are ASCII, so every label decodes
       // identically — the parse path is gate-exercised, non-ASCII
@@ -868,7 +881,8 @@ object WarcSource {
       }
       val http = (s"HTTP/1.1 $status $reason\r\n" +
         s"Content-Type: text/html$cs\r\n" +
-        (if (gzipped) "Content-Encoding: gzip\r\n" else "") +
+        (if (gzipped) "Content-Encoding: gzip\r\n"
+         else if (brotli) "Content-Encoding: br\r\n" else "") +
         (if (chunked) "Transfer-Encoding: chunked\r\n"
          else s"Content-Length: ${bodyWire.length}\r\n") +
         "\r\n").getBytes("UTF-8") ++ bodyWire

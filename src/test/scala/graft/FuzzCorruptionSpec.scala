@@ -61,6 +61,12 @@ class FuzzCorruptionSpec extends GraftSparkSpec {
     }
   }
 
+  test("fuzz: brotli stream decode (stored metablocks; real-encoder streams swept in BrotliSpec)") {
+    val data = ("brotli fuzz payload " * 40).getBytes("UTF-8")
+    sweep("brotli", Brotli.encodeStored(data),
+      b => Brotli.decode(b, maxOut = 1 << 20))
+  }
+
   test("fuzz: avro OCF across all four codecs") {
     Seq(0L, 1L, 2L, 3L).foreach { id => // deflate/null/snappy/zstandard
       sweep(s"avro-${id % 4}", AvroContainer.ocfOf(id),

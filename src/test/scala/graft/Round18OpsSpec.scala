@@ -98,8 +98,9 @@ class Round18OpsSpec extends GraftSparkSpec {
 
   test("warc: degraded bodies are counted by reason through the ingestion arm") {
     import graft.sources.WarcSource
-    // hand-build an archive: one good page, one brotli-coded page (the
-    // engine's honest capability gap), one damaged-gzip page
+    // hand-build an archive: one good page, one brotli-coded page (now
+    // decoded for real by the own RFC 7932 decoder), one LZW-coded page
+    // (the remaining honest capability gap), one damaged-gzip page
     def rec(uri: String, http: Array[Byte]): Array[Byte] = {
       val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
         s"WARC-Target-URI: $uri\r\n" +
@@ -113,23 +114,27 @@ class Round18OpsSpec extends GraftSparkSpec {
         .getBytes("ISO-8859-1") ++ body
     val good = rec("http://a/", http("", "<p>fine</p>".getBytes("UTF-8")))
     val br = rec("http://b/", http("Content-Encoding: br\r\n",
-      Array[Byte](0x6b, 1, 2, 3))) // bytes we honestly cannot decode
+      graft.sources.Brotli.encodeStored("<p>br page</p>".getBytes("UTF-8"))))
+    val lzw = rec("http://d/", http("Content-Encoding: compress\r\n",
+      Array[Byte](0x1f, 0x9d.toByte, 1, 2))) // LZW we honestly cannot decode
     val broken = rec("http://c/", http("Content-Encoding: gzip\r\n",
       Array[Byte](0x1f, 0x8b.toByte, 8, 0))) // truncated member
     val dir = java.nio.file.Files.createTempDirectory("brctr").toFile
     try {
       java.nio.file.Files.write(new java.io.File(dir, "a.warc").toPath,
-        good ++ br ++ broken)
+        good ++ br ++ lzw ++ broken)
       val rows = WarcSource.warcFiles(spark,
           dir.getAbsolutePath + "/*.warc", lenient = true)
         .collect().map(r => (r.getString(1), r.getString(3), r.getString(4)))
-      assert(rows.length === 3)
+      assert(rows.length === 4)
       val byUri = rows.map(r => (r._1, (r._2, r._3))).toMap
       assert(byUri("http://a/") === (("fine", null)))
-      assert(byUri("http://b/") === ((null, "coding:br")))
+      // br now decodes for real (own RFC 7932 decoder)
+      assert(byUri("http://b/") === (("br page", null)))
+      assert(byUri("http://d/") === ((null, "coding:compress")))
       assert(byUri("http://c/") === ((null, "damage")))
-      // strict mode still rejects br by name — the degrade is a lenient
-      // accounting channel, not a weakened contract
+      // strict mode still rejects the unsupported coding by name — the
+      // degrade is a lenient accounting channel, not a weakened contract
       val e = intercept[Exception] {
         WarcSource.warcFiles(spark, dir.getAbsolutePath + "/*.warc",
           lenient = false).collect()

@@ -144,14 +144,26 @@ class WarcSpec extends GraftSparkSpec {
     val (s2, ct2, b2, _, dg2) = WarcSource.httpFacts(trunc, lenientBody = true)
     assert(s2 === 200 && ct2 === "text/html" && b2 === null)
     assert(dg2 === "damage")
-    // unsupported coding (br): strict loud, lenient degrades
-    val br = msg("Content-Encoding: br\r\n", entity)
-    val e3 = intercept[IllegalArgumentException] { WarcSource.httpFacts(br) }
+    // brotli content coding: decoded by the own RFC 7932 decoder (the
+    // fixture uses the engine's stored-metablock encoder; compressed
+    // streams are arbitered in BrotliSpec)
+    val br = msg("Content-Encoding: br\r\n",
+      graft.sources.Brotli.encodeStored(entity))
+    assert(WarcSource.httpFacts(br) ===
+      ((200, "text/html", html, entity.length.toLong, null)))
+    // damaged brotli stream: strict loud, lenient degrades as damage
+    val brBad = msg("Content-Encoding: br\r\n", Array[Byte](0x6b, 1, 2, 3))
+    intercept[IllegalArgumentException] { WarcSource.httpFacts(brBad) }
+    assert(WarcSource.httpFacts(brBad, lenientBody = true)._5 === "damage")
+    // an actually-unsupported coding (LZW "compress", dead on the modern
+    // web): strict loud, lenient counts the capability gap by name
+    val lzw = msg("Content-Encoding: compress\r\n", entity)
+    val e3 = intercept[IllegalArgumentException] { WarcSource.httpFacts(lzw) }
     assert(e3.getMessage.contains("unsupported content coding"))
-    val brFacts = WarcSource.httpFacts(br, lenientBody = true)
-    assert(brFacts._3 === null)
+    val lzwFacts = WarcSource.httpFacts(lzw, lenientBody = true)
+    assert(lzwFacts._3 === null)
     // the degrade is COUNTED by capability gap, not lumped into damage
-    assert(brFacts._5 === "coding:br")
+    assert(lzwFacts._5 === "coding:compress")
     val badCs = ("HTTP/1.1 200 OK\r\n" +
       "Content-Type: text/html; charset=x-nope\r\n\r\n")
       .getBytes("ISO-8859-1") ++ entity
