@@ -1029,6 +1029,20 @@ object GraftCli {
       println(s"[graft] wet-demo: $docsParquet -> $outDir")
       spark.stop()
 
+    case "wet-write" :: docsParquet :: outDir :: rest =>
+      // the EXPORT side of the WET surface: corpus -> sharded
+      // .warc.wet.gz archives (warcinfo lead + conversion record per
+      // doc, gzip member-per-record), the interchange format every
+      // Common-Crawl consumer ingests; re-ingest with corpus-from-wet
+      val spark = session()
+      val nShards = rest.headOption.map(_.toInt).getOrElse(8)
+      val gzip = !rest.contains("plain")
+      val n = graft.sources.WarcSource.writeWet(
+        spark.read.parquet(docsParquet), outDir, nShards, gzip)
+      println(s"[graft] wet-write: $docsParquet -> $outDir " +
+        s"($n docs, $nShards shards, gzip=$gzip)")
+      spark.stop()
+
     case "corpus-from-wet" :: glob :: outDir :: rest =>
       // WET conversion records -> documents-table shape (text already
       // extracted upstream; no HTML stage)

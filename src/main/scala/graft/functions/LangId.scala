@@ -215,15 +215,16 @@ object LangId {
   def predict(text: String): String = model.predict(text)
 
   /** Script-routed prediction — the full crawl-mix entry point: the
-    * letter-script histogram picks the handler. Latin and Cyrillic go
-    * to their trigram families; two scripts IMPLY their language
-    * outright — hangul writes Korean and nothing else, kana writes
-    * Japanese and nothing else (running Japanese always carries kana
-    * particles/okurigana even when kanji dominate the letter count, so
-    * a 5% kana share names `ja` without needing kanji to lose the
-    * majority). Han ALONE stays `und`: kanji-only fragments are
-    * Chinese OR Japanese and guessing zh would mislabel the ja
-    * minority — the d5 refusal discipline. Letterless text is `und`.
+    * letter-script histogram picks the handler. Latin, Cyrillic,
+    * Arabic, Hebrew, and Devanagari go to their trigram families; two
+    * scripts IMPLY their language outright — hangul writes Korean and
+    * nothing else, kana writes Japanese and nothing else (running
+    * Japanese always carries kana particles/okurigana even when kanji
+    * dominate the letter count, so a 5% kana share names `ja` without
+    * needing kanji to lose the majority). Han ALONE stays `und`:
+    * kanji-only fragments are Chinese OR Japanese and guessing zh
+    * would mislabel the ja minority — the d5 refusal discipline.
+    * Letterless text is `und`.
     */
   def route(text: String): String = {
     val h = ScriptId.histogram(text)
@@ -234,6 +235,8 @@ object LangId {
       case "latin" => predict(text)
       case "cyrillic" => CyrLangId.predict(text)
       case "arabic" => ArabLangId.predict(text)
+      case "hebrew" => HebLangId.predict(text)
+      case "devanagari" => DevaLangId.predict(text)
       case "hangul" => "ko"
       case "hiragana" | "katakana" => "ja"
       case "greek" => "el" // Greek script writes Greek, nothing else
@@ -241,8 +244,6 @@ object LangId {
       // ja) — applied over latin/cyrillic-dominant text it would label
       // an English page with one short Japanese quote `ja` (r18 review)
       case "han" => if (kana * 20L >= total) "ja" else "und"
-      // devanagari (hi/mr/ne), hebrew (he/yi) each write MULTIPLE
-      // living languages — refuse until they get models
       case _ => "und"
     }
   }
@@ -475,4 +476,182 @@ object ArabLangId {
   def predict(text: String): String =
     if (alphabetCoveragePpm(text) < alphabetCoverageMinPpm) "und"
     else model.predict(text)
+}
+
+/** The Hebrew-script trigram family (he/yi) behind [[LangId.route]]'s
+  * script dispatch — same NB core. Yiddish in Hebrew letters is
+  * trigram-distinct from Hebrew at every turn (דער/וואס/נישט function
+  * words, געוו verb prefixes, double-vav/double-yod digraphs), so the
+  * two separate cleanly. The alphabet is the full Hebrew block
+  * (27 letters incl. finals) plus the Yiddish ligature letters
+  * (װ ױ ײ, U+05F0–05F2) so ligature-typed Yiddish is not torn apart by
+  * the strip — ligature forms score as unseen trigrams rather than
+  * word-splitting spaces.
+  *
+  * NO alphabet-coverage rule: every Hebrew-script language writes in
+  * the same 27 letters, so coverage carries no out-of-set signal (the
+  * Cyrillic/Arabic families refuse Serbian/Kurdish on letters the
+  * model alphabet LACKS — there is no such letter here). Refusal rides
+  * the margin alone, and the margin honestly cannot refuse Talmudic
+  * Aramaic: it shares Hebrew's letters AND its trigram mass, so
+  * Aramaic quotes land `he` (pinned as a documented limitation in
+  * LangIdSpec — the same miss every production langid makes).
+  */
+object HebLangId {
+
+  /** Tie order = alphabetical. */
+  val langs: Seq[String] = Seq("he", "yi")
+
+  /** Per-trigram margin, same decision rule and value as the other
+    * families — in-set held-out sentences clear ≥ ~222k
+    * micro-nats/trigram over the runner-up (measured in
+    * tools/langid/calc_heb_deva.py, pinned in LangIdSpec).
+    */
+  val undMarginMicro: Long = 25000L
+
+  /** Full Hebrew block (finals included) + Yiddish ligature letters. */
+  private[graft] val alphabet: String =
+    "אבגדהוזחטיכךלמםנןסעפףצץקרשת" + "װױײ"
+
+  // Seed corpora: the same 8 function-word-heavy sentences as the
+  // other families, in each language's own words (Yiddish in YIVO-ish
+  // unpointed spelling with doubled letters, the form crawled text
+  // overwhelmingly carries). MUST stay byte-identical to the d60
+  // oracle's VALUES.
+  private[graft] val seeds: Seq[(String, String)] = Seq(
+    ("he", "השועל החום המהיר קופץ מעל הכלב העצלן"),
+    ("he", "זה הבית אשר בנה גק"),
+    ("he", "מה השעה ולאן אנחנו הולכים"),
+    ("he", "היא אמרה שהם יבואו איתנו"),
+    ("he", "מכל הדברים שראינו זה היה הטוב ביותר"),
+    ("he", "מי שגר בבית זכוכית לא צריך לזרוק אבנים"),
+    ("he", "אין דבר טוב או רע אלא המחשבה עושה אותו כך"),
+    ("he", "להיות או לא להיות זו השאלה"),
+    ("yi", "דער גיכער ברוינער פוקס שפרינגט איבער דעם פוילן הונט"),
+    ("yi", "דאס איז דאס הויז וואס יאנקל האט געבויט"),
+    ("yi", "וויפל איז דער זייגער און וווהין גייען מיר"),
+    ("yi", "זי האט געזאגט אז זיי וועלן קומען מיט אונדז"),
+    ("yi", "פון אלע זאכן וואס מיר האבן געזען איז דאס געווען דאס בעסטע"),
+    ("yi", "ווער עס וווינט אין א גלעזערן הויז זאל נישט ווארפן שטיינער"),
+    ("yi", "עס איז נישטא קיין גוטס אדער שלעכטס נאר דער געדאנק מאכט עס אזוי"),
+    ("yi", "זיין אדער נישט זיין דאס איז די פראגע"))
+
+  /** round(ln(k)·1e6): smoothed counts 1..12 (max seed trigram count
+    * 11) and the two total+vocab denominators (V = 425, totals
+    * he 243 / yi 384). Literal — the d60 oracle joins the same
+    * integers; LangIdSpec pins each entry against Math.log.
+    */
+  private[graft] val lnMicro: Map[Int, Long] = Map(
+    1 -> 0L, 2 -> 693147L, 3 -> 1098612L, 4 -> 1386294L, 5 -> 1609438L,
+    6 -> 1791759L, 7 -> 1945910L, 8 -> 2079442L, 9 -> 2197225L,
+    10 -> 2302585L, 11 -> 2397895L, 12 -> 2484907L,
+    668 -> 6504288L, 809 -> 6695799L)
+
+  /** The oracle-side normalize class, derived from [[alphabet]]. No
+    * lowercasing: Hebrew script has no case.
+    */
+  private[graft] val stripRe: String = "[^" + alphabet + "]"
+
+  private[graft] val model =
+    new TrigramNb(langs, seeds, stripRe, lnMicro, undMarginMicro)
+
+  private[graft] def normalize(text: String): String = model.normalize(text)
+  private[graft] def trigrams(text: String): Seq[String] = model.trigrams(text)
+  private[graft] def vocabSize: Int = model.vocabSize
+  private[graft] def totals: Map[String, Int] = model.totals
+  private[graft] def maxSeedCount: Int = model.maxSeedCount
+  private[graft] def scores(text: String): Map[String, Long] =
+    model.scores(text)
+
+  def predict(text: String): String = model.predict(text)
+}
+
+/** The Devanagari trigram family (hi/mr/ne) behind [[LangId.route]]'s
+  * script dispatch — same NB core. Unlike the Arabic/Cyrillic
+  * families, the alphabet class must include the DEPENDENT VOWEL SIGNS
+  * (matras), virama, anusvara, candrabindu, and visarga: Devanagari
+  * orthography carries half its signal in them (Hindi के/है vs Marathi
+  * आहे/ण vs Nepali छ/ँदै endings), and they are mandatory marks, not
+  * optional diacritics like Arabic harakat. Nukta forms (ड़ ज़ फ़) are
+  * excluded — crawled text mixes precomposed and decomposed encodings
+  * of them, and a normalization-sensitive alphabet would make the two
+  * engines disagree; the bare-consonant residue still scores.
+  *
+  * NO alphabet-coverage rule (the Hebrew-family reasoning): hi/mr/ne
+  * plus Sanskrit all write in the same signs. Sanskrit is the honest
+  * margin boundary — tatsama vocabulary IS the shared formal lexicon
+  * of these languages, so short Sanskrit maxims sometimes clear the
+  * margin as mr/hi (pinned as a documented limitation in LangIdSpec).
+  */
+object DevaLangId {
+
+  /** Tie order = alphabetical. */
+  val langs: Seq[String] = Seq("hi", "mr", "ne")
+
+  /** Per-trigram margin, same rule and value as the other families —
+    * in-set held-out sentences clear ≥ ~79k micro-nats/trigram
+    * (measured in tools/langid/calc_heb_deva.py, pinned in LangIdSpec).
+    */
+  val undMarginMicro: Long = 25000L
+
+  /** Independent vowels + consonants (incl. Marathi ळ) + avagraha +
+    * matras + virama + anusvara/candrabindu/visarga.
+    */
+  private[graft] val alphabet: String =
+    "अआइईउऊऋएऐओऔकखगघङचछजझञटठडढणतथदधनपफबभमयरलवशषसहळऽ" +
+      "ािीुूृेैोौ्ंँः"
+
+  // Seed corpora: the same 8 sentences per language, nukta-free. MUST
+  // stay byte-identical to the d61 oracle's VALUES.
+  private[graft] val seeds: Seq[(String, String)] = Seq(
+    ("hi", "तेज भूरी लोमडी आलसी कुत्ते के ऊपर से कूदती है"),
+    ("hi", "यह वह घर है जो जैक ने बनाया"),
+    ("hi", "क्या समय हुआ है और हम कहाँ जा रहे हैं"),
+    ("hi", "उसने कहा कि वे हमारे साथ आएँगे"),
+    ("hi", "जो कुछ हमने देखा उनमें यह सबसे अच्छा था"),
+    ("hi", "जो शीशे के घर में रहता है उसे पत्थर नहीं फेंकना चाहिए"),
+    ("hi", "कोई चीज अच्छी या बुरी नहीं होती सोच उसे वैसा बनाती है"),
+    ("hi", "होना या न होना यही प्रश्न है"),
+    ("mr", "वेगवान तपकिरी कोल्हा आळशी कुत्र्यावरून उडी मारतो"),
+    ("mr", "हे ते घर आहे जे जेकने बांधले"),
+    ("mr", "किती वाजले आहेत आणि आपण कुठे जात आहोत"),
+    ("mr", "ती म्हणाली की ते आमच्याबरोबर येतील"),
+    ("mr", "आम्ही पाहिलेल्या सर्व गोष्टींपैकी हे सर्वात चांगले होते"),
+    ("mr", "जो काचेच्या घरात राहतो त्याने दगड फेकू नयेत"),
+    ("mr", "कोणतीही गोष्ट चांगली किंवा वाईट नसते विचार तिला तशी बनवतो"),
+    ("mr", "असणे किंवा नसणे हाच प्रश्न आहे"),
+    ("ne", "छिटो खैरो फ्याउरो अल्छी कुकुर माथि उफ्रन्छ"),
+    ("ne", "यो त्यो घर हो जुन ज्याकले बनायो"),
+    ("ne", "कति बज्यो र हामी कहाँ जाँदैछौं"),
+    ("ne", "उनले भनिन कि उनीहरू हामीसँग आउनेछन्"),
+    ("ne", "हामीले देखेका सबै कुराहरूमध्ये यो सबैभन्दा राम्रो थियो"),
+    ("ne", "जो सिसाको घरमा बस्छ उसले ढुङ्गा हान्नु हुँदैन"),
+    ("ne", "कुनै कुरा राम्रो वा नराम्रो हुँदैन सोचले त्यसलाई त्यस्तो बनाउँछ"),
+    ("ne", "हुनु वा नहुनु यही प्रश्न हो"))
+
+  /** round(ln(k)·1e6): smoothed counts 1..8 (max seed trigram count 7)
+    * and the three total+vocab denominators (V = 645, totals hi 312 /
+    * mr 332 / ne 327). Literal — the d61 oracle joins the same
+    * integers; LangIdSpec pins each entry against Math.log.
+    */
+  private[graft] val lnMicro: Map[Int, Long] = Map(
+    1 -> 0L, 2 -> 693147L, 3 -> 1098612L, 4 -> 1386294L, 5 -> 1609438L,
+    6 -> 1791759L, 7 -> 1945910L, 8 -> 2079442L,
+    957 -> 6863803L, 972 -> 6879356L, 977 -> 6884487L)
+
+  /** The oracle-side normalize class, derived from [[alphabet]]. */
+  private[graft] val stripRe: String = "[^" + alphabet + "]"
+
+  private[graft] val model =
+    new TrigramNb(langs, seeds, stripRe, lnMicro, undMarginMicro)
+
+  private[graft] def normalize(text: String): String = model.normalize(text)
+  private[graft] def trigrams(text: String): Seq[String] = model.trigrams(text)
+  private[graft] def vocabSize: Int = model.vocabSize
+  private[graft] def totals: Map[String, Int] = model.totals
+  private[graft] def maxSeedCount: Int = model.maxSeedCount
+  private[graft] def scores(text: String): Map[String, Long] =
+    model.scores(text)
+
+  def predict(text: String): String = model.predict(text)
 }

@@ -3195,6 +3195,58 @@ object ExtensionQueries {
           |  substr(text, 1, 24) AS decoded_prefix
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // WET EXPORT roundtrip (x128): the write side of the Common Crawl
+    // text surface — WarcSource.writeWet shards a corpus into
+    // .warc.wet.gz archives (warcinfo lead + one conversion record per
+    // doc, gzip member-per-record). The gate builds each shard from the
+    // SAME record builders the file writer streams through
+    // (wetInfoOf/wetRecordOf), parses it back with the engine's own
+    // reader, and checks per-shard structure + text roundtrip; DuckDB
+    // re-derives every count from doc_id % 8 arithmetic. The file-level
+    // writer (tmp+rename first-wins commit, one task per shard) is
+    // exercised on real files by WetWriteSpec and the wet-write CLI.
+    "x128_wet_write" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val date = "2026-01-01T00:00:00Z"
+        t(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.col("text"))
+          .as[(Long, String, String)]
+          .groupByKey(r => java.lang.Math.floorMod(r._1, 8L))
+          .mapGroups { (shard, it) =>
+            val docs = it.toArray.sortBy(_._1)
+            val bos = new java.io.ByteArrayOutputStream()
+            bos.write(graft.sources.WarcSource.gzipOne(
+              graft.sources.WarcSource.wetInfoOf(shard, date)))
+            docs.foreach { case (id, src, text) =>
+              bos.write(graft.sources.WarcSource.gzipOne(
+                graft.sources.WarcSource.wetRecordOf(id, src, text, date)))
+            }
+            val f = graft.sources.WarcSource.parseWarc(bos.toByteArray)
+            val conv = f.records.filter(_.warcType == "conversion")
+            val ok = conv.zip(docs).count { case (r, (id, src, text)) =>
+              r.body == text && r.targetUri == s"http://$src/graft/$id"
+            }
+            (shard, docs.length, f.records.size, f.nMembers,
+              if (f.gzip) 1 else 0,
+              conv.map(_.bodyBytes).sum, ok)
+          }
+          .toDF("shard", "n_docs", "n_records", "n_members", "is_gzip",
+            "body_bytes", "n_text_ok")
+          .orderBy("shard")
+      },
+      Some(
+        """SELECT doc_id % 8 AS shard,
+          |  CAST(count(*) AS INT) AS n_docs,
+          |  CAST(count(*) + 1 AS INT) AS n_records,
+          |  CAST(count(*) + 1 AS INT) AS n_members,
+          |  1 AS is_gzip,
+          |  CAST(sum(strlen(text)) AS BIGINT) AS body_bytes,
+          |  CAST(count(*) AS INT) AS n_text_ok
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // WET derivative archives (x117) — Common Crawl's text-extract
     // sibling of WARC: `conversion` records whose text/plain payload IS
     // the extracted page text (no HTTP sub-parse, no HTML), the format

@@ -203,6 +203,43 @@ object TextQueries {
     graft.functions.ArabLangId.undMarginMicro,
     graft.functions.ArabLangId.stripRe, arabPool)
 
+  /** The d60 probe pool — held-out Hebrew-script sentences (he/yi),
+    * the d58 discipline on a fourth writing system. All in-alphabet
+    * (the family has no coverage rule — every Hebrew-script language
+    * shares the letters).
+    */
+  private[graft] val hebPool: Seq[(String, String)] = Seq(
+    ("he", "אנחנו קוראים ספרים כל ערב אחרי העבודה"),
+    ("he", "מזג האוויר היום טוב ואנחנו הולכים לטייל בפארק"),
+    ("he", "הוא לא ידע מה להגיד ופשוט שתק"),
+    ("yi", "מיר לייענען ביכער יעדן אוונט נאך דער ארבעט"),
+    ("yi", "דער וועטער איז היינט גוט און מיר גייען שפאצירן אין פארק"),
+    ("yi", "ער האט נישט געוווסט וואס צו זאגן און האט פשוט געשוויגן"))
+
+  private val hebLangIdOracleSql: String = trigramPoolOracleSql(
+    graft.functions.HebLangId.seeds, graft.functions.HebLangId.lnMicro,
+    graft.functions.HebLangId.undMarginMicro,
+    graft.functions.HebLangId.stripRe, hebPool)
+
+  /** The d61 probe pool — held-out Devanagari sentences (hi/mr/ne),
+    * nukta-free like the seeds.
+    */
+  private[graft] val devaPool: Seq[(String, String)] = Seq(
+    ("hi", "हम हर शाम काम के बाद किताबें पढते हैं"),
+    ("hi", "आज मौसम अच्छा है और हम पार्क में घूमने जा रहे हैं"),
+    ("hi", "उसे समझ नहीं आया कि क्या कहे और वह चुप रहा"),
+    ("mr", "आम्ही रोज संध्याकाळी कामानंतर पुस्तके वाचतो"),
+    ("mr", "आज हवामान छान आहे आणि आम्ही बागेत फिरायला जात आहोत"),
+    ("mr", "त्याला काय बोलावे ते समजले नाही आणि तो गप्प राहिला"),
+    ("ne", "हामी हरेक साँझ काम पछि किताबहरू पढ्छौं"),
+    ("ne", "आज मौसम राम्रो छ र हामी बगैंचामा घुम्न जाँदैछौं"),
+    ("ne", "उसलाई के भन्ने थाहा भएन र ऊ चुप लाग्यो"))
+
+  private val devaLangIdOracleSql: String = trigramPoolOracleSql(
+    graft.functions.DevaLangId.seeds, graft.functions.DevaLangId.lnMicro,
+    graft.functions.DevaLangId.undMarginMicro,
+    graft.functions.DevaLangId.stripRe, devaPool)
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: md5-groupBy, keep the smallest doc_id per content
@@ -2387,6 +2424,46 @@ object TextQueries {
           .orderBy("true_lang", "pred")
       },
       Some(arabLangIdOracleSql)),
+
+    // ---- Hebrew-script langid family (functions/HebLangId) — he/yi
+    // behind the script router. Yiddish function words (דער וואס נישט
+    // געוו-) are trigram-distinct from Hebrew everywhere; same shared
+    // oracle builder, held-out pool by doc_id % 6. No coverage rule
+    // (Hebrew-script languages share the letters) — the Aramaic
+    // boundary is pinned as a documented limitation in LangIdSpec.
+    "d60_heb_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val (lang, text) = hebPool((id % 6).toInt)
+            (lang, graft.functions.LangId.route(text))
+          }
+          .toDF("true_lang", "pred")
+          .groupBy("true_lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred")
+      },
+      Some(hebLangIdOracleSql)),
+
+    // ---- Devanagari langid family (functions/DevaLangId) — hi/mr/ne
+    // behind the script router. The alphabet class includes matras/
+    // virama/anusvara (mandatory orthography, unlike Arabic harakat);
+    // nukta forms excluded (mixed NFC/NFD encodings in real crawls
+    // would split the engines). Held-out pool by doc_id % 9; the
+    // Sanskrit tatsama boundary is pinned in LangIdSpec.
+    "d61_deva_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val (lang, text) = devaPool((id % 9).toInt)
+            (lang, graft.functions.LangId.route(text))
+          }
+          .toDF("true_lang", "pred")
+          .groupBy("true_lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred")
+      },
+      Some(devaLangIdOracleSql)),
 
     "d56_hll_intersect" -> QueryDef(
       (s, dir) => {

@@ -274,6 +274,32 @@ object WarcSource {
         // coding population in modern crawler archives; the bound is the
         // same pre-inflation entity cap as the gzip arm
         Brotli.decode(data, MaxHttpEntity)
+      case "zstd" =>
+        // RFC 8878 content coding — rare on the public web but live in
+        // fetcher stacks that advertise it; zstd-jni rides Spark's own
+        // classpath (the zstdLines/A9 discipline), bound enforced during
+        // streaming inflate, damage surfaced as the typed data error
+        val out = new java.io.ByteArrayOutputStream()
+        val zin = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var k = try zin.read(buf) catch {
+            case e: java.io.IOException =>
+              throw new IllegalArgumentException(
+                "http: corrupt zstd body: " + e.getMessage)
+          }
+          while (k >= 0) {
+            out.write(buf, 0, k)
+            require(out.size.toLong <= MaxHttpEntity, "http: entity exceeds 1 GiB")
+            k = try zin.read(buf) catch {
+              case e: java.io.IOException =>
+                throw new IllegalArgumentException(
+                  "http: corrupt zstd body: " + e.getMessage)
+            }
+          }
+        } finally zin.close()
+        out.toByteArray
       case other => throw new UnsupportedCoding(other)
     }
 
@@ -1200,6 +1226,109 @@ object WarcSource {
         .filter(col("uri").isNotNull && col("text").isNotNull &&
           length(col("text")) > 0)
         .select(col("uri"), col("text")))
+
+  // ---------------------------------------------------------- wet write
+
+  /** One WET `conversion` record's bytes for a corpus doc. The URI is
+    * reconstructed from (source, doc_id) in the http form [[docsShape]]
+    * parses back, so export → re-ingest preserves source attribution;
+    * `date` is caller-supplied (a corpus export is a point-in-time
+    * artifact — the caller stamps it, determinism keeps gates hashable).
+    */
+  private[graft] def wetRecordOf(id: Long, source: String, text: String,
+                                 date: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> s"<urn:graft:wet:$id>",
+      "WARC-Date" -> date,
+      "WARC-Target-URI" ->
+        s"http://${if (source.nonEmpty) source else "unknown.invalid"}/graft/$id",
+      "Content-Type" -> "text/plain"), text.getBytes("UTF-8"))
+
+  private[graft] def wetInfoOf(shard: Long, date: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:wetinfo:$shard>",
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-wet-writer\r\nformat: WARC File Format 1.0\r\n"
+        .getBytes("UTF-8"))
+
+  /** WET EXPORT — the WRITE side of the Common Crawl text surface (the
+    * engine already reads, indexes, and fetches these archives; this
+    * closes the interchange loop so a curated corpus ships in the format
+    * every CC consumer ingests). Shards the corpus by `pmod(doc_id, n)`
+    * into `part-NNNNN.warc.wet[.gz]`: a warcinfo lead then one
+    * `conversion` record per doc in doc_id order, gzip MEMBER-PER-RECORD
+    * (the ISO 28500 layout that makes any reader — [[wetDocs]] included —
+    * stream record-at-a-time instead of holding a shard).
+    *
+    * 100 TB shape: one task per shard (the one repartition in the plan),
+    * the writer streams record by record — O(record) memory, never the
+    * shard; commit is write-to-tmp + first-wins rename, the exactly-once
+    * discipline of `PrePartition.writeSpread` (a retried task cannot
+    * tear a shard). Returns docs written.
+    */
+  def writeWet(docs: DataFrame, outDir: String, nShards: Int,
+               gzip: Boolean = true,
+               date: String = "2026-01-01T00:00:00Z"): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nShards > 0, "wet-write: nShards must be positive")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.sql.graft.Shims.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val written = docs
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        col("text").cast("string"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, String, String, Long)]
+      .mapPartitions { iter =>
+        val conf = confB.value.value
+        var n = 0L
+        var cur = Long.MinValue
+        var out: java.io.OutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var dest: org.apache.hadoop.fs.Path = null
+        val ctx = Option(org.apache.spark.TaskContext.get())
+        val attempt = ctx.map(t =>
+          s"${t.partitionId()}-${t.taskAttemptId()}").getOrElse("0")
+        val ext = if (gzip) ".warc.wet.gz" else ".warc.wet"
+        def close(): Unit = if (out != null) {
+          out.close()
+          val fs = dest.getFileSystem(conf)
+          if (!fs.rename(tmp, dest)) {
+            if (fs.exists(dest)) fs.delete(tmp, false)
+            else throw new java.io.IOException(s"commit failed: $tmp -> $dest")
+          }
+          out = null
+        }
+        def writeRec(bytes: Array[Byte]): Unit =
+          out.write(if (gzip) gzipOne(bytes) else bytes)
+        iter.foreach { case (id, source, text, shard) =>
+          if (shard != cur) {
+            close()
+            cur = shard
+            dest = new org.apache.hadoop.fs.Path(
+              f"$outDir/part-$shard%05d$ext")
+            tmp = new org.apache.hadoop.fs.Path(
+              f"$outDir/_tmp-$attempt-$shard%05d$ext")
+            val fs = dest.getFileSystem(conf)
+            out = fs.create(tmp, true)
+            writeRec(wetInfoOf(shard, date))
+          }
+          writeRec(wetRecordOf(id, if (source == null) "" else source,
+            text, date))
+          n += 1
+        }
+        close()
+        Iterator.single(n)
+      }
+      .reduce(_ + _)
+    written
+  }
 
   /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit
     * one row per response record with its extracted text — the CLI's

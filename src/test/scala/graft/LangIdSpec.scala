@@ -208,4 +208,89 @@ class LangIdSpec extends GraftSparkSpec {
       assert(ArabLangId.alphabetCoveragePpm(s) === 1000000L)
     }
   }
+
+  test("hebrew: table literals, held-out accuracy, the Aramaic boundary, routing") {
+    import graft.functions.HebLangId
+    HebLangId.lnMicro.foreach { case (k, v) =>
+      assert(v === Math.round(Math.log(k.toDouble) * 1e6),
+        s"heb lnMicro($k) drifted from Math.log")
+    }
+    (1 to HebLangId.maxSeedCount + 1).foreach(k =>
+      assert(HebLangId.lnMicro.contains(k), s"missing smoothed-count key $k"))
+    HebLangId.langs.foreach { l =>
+      val k = HebLangId.totals(l) + HebLangId.vocabSize
+      assert(HebLangId.lnMicro.contains(k), s"missing denominator key $k")
+    }
+    HebLangId.seeds.foreach { case (_, s) =>
+      assert(!s.contains("'"), "seed sentences must not contain quotes")
+      assert(HebLangId.normalize(s) === s, "seed not normalize-clean")
+    }
+    // held-out sentences (the d60 pool) classify per language
+    val held = graft.queries.TextQueries.hebPool
+    val seedSet = HebLangId.seeds.map(_._2).toSet
+    assert(held.forall(h => !seedSet(h._2)))
+    held.foreach { case (lang, s) =>
+      val sc = HebLangId.scores(s)
+      val ord = HebLangId.langs.sortBy(x => (-sc(x), x))
+      val gap = (sc(ord.head) - sc(ord(1))) / HebLangId.trigrams(s).size
+      info(s"$lang gap/tri = $gap -> ${HebLangId.predict(s)}")
+      assert(gap >= HebLangId.undMarginMicro * 3,
+        s"margin headroom collapsed for: $s")
+      assert(HebLangId.predict(s) === lang, s"misclassified: $s")
+    }
+    // DOCUMENTED LIMITATION, pinned so a silent behavior change shows:
+    // Talmudic Aramaic writes in Hebrew's letters with Hebrew-like
+    // trigram mass — no alphabet-coverage signal exists (unlike
+    // Serbian-vs-Cyrillic) and the margin does not refuse it, so
+    // Aramaic quotes land `he`. Every production langid shares this
+    // miss; the honest fix would be an arc model, not a wider margin.
+    assert(HebLangId.predict("מאן דיהיב חיי יהיב מזוני") === "he")
+    // routing: hebrew script reaches the family
+    assert(LangId.route("אנחנו קוראים ספרים כל ערב אחרי העבודה") === "he")
+    assert(LangId.route("מיר לייענען ביכער יעדן אוונט נאך דער ארבעט")
+      === "yi")
+  }
+
+  test("devanagari: table literals, held-out accuracy, the Sanskrit boundary, routing") {
+    import graft.functions.DevaLangId
+    DevaLangId.lnMicro.foreach { case (k, v) =>
+      assert(v === Math.round(Math.log(k.toDouble) * 1e6),
+        s"deva lnMicro($k) drifted from Math.log")
+    }
+    (1 to DevaLangId.maxSeedCount + 1).foreach(k =>
+      assert(DevaLangId.lnMicro.contains(k), s"missing smoothed-count key $k"))
+    DevaLangId.langs.foreach { l =>
+      val k = DevaLangId.totals(l) + DevaLangId.vocabSize
+      assert(DevaLangId.lnMicro.contains(k), s"missing denominator key $k")
+    }
+    DevaLangId.seeds.foreach { case (_, s) =>
+      assert(!s.contains("'"), "seed sentences must not contain quotes")
+      assert(DevaLangId.normalize(s) === s, "seed not normalize-clean")
+    }
+    val held = graft.queries.TextQueries.devaPool
+    val seedSet = DevaLangId.seeds.map(_._2).toSet
+    assert(held.forall(h => !seedSet(h._2)))
+    held.foreach { case (lang, s) =>
+      val sc = DevaLangId.scores(s)
+      val ord = DevaLangId.langs.sortBy(x => (-sc(x), x))
+      val gap = (sc(ord.head) - sc(ord(1))) / DevaLangId.trigrams(s).size
+      info(s"$lang gap/tri = $gap -> ${DevaLangId.predict(s)}")
+      assert(gap >= DevaLangId.undMarginMicro * 3,
+        s"margin headroom collapsed for: $s")
+      assert(DevaLangId.predict(s) === lang, s"misclassified: $s")
+    }
+    // DOCUMENTED LIMITATION, pinned: Sanskrit shares the signs AND the
+    // tatsama lexicon of hi/mr/ne. One maxim stays under the margin
+    // (und — the desired refusal), the other clears it as mr — short
+    // formal Sanskrit is genuinely inside the mr/hi trigram space.
+    assert(DevaLangId.predict("धर्मो रक्षति रक्षितः सत्यमेव जयते नानृतम")
+      === "und")
+    assert(DevaLangId.predict("विद्या ददाति विनयं विनयाद्याति पात्रताम")
+      === "mr")
+    // routing: devanagari script reaches the family
+    assert(LangId.route("हम हर शाम काम के बाद किताबें पढते हैं") === "hi")
+    assert(LangId.route("आम्ही रोज संध्याकाळी कामानंतर पुस्तके वाचतो")
+      === "mr")
+    assert(LangId.route("हामी हरेक साँझ काम पछि किताबहरू पढ्छौं") === "ne")
+  }
 }

@@ -155,6 +155,20 @@ class WarcSpec extends GraftSparkSpec {
     val brBad = msg("Content-Encoding: br\r\n", Array[Byte](0x6b, 1, 2, 3))
     intercept[IllegalArgumentException] { WarcSource.httpFacts(brBad) }
     assert(WarcSource.httpFacts(brBad, lenientBody = true)._5 === "damage")
+    // zstd content coding (RFC 8878) via zstd-jni on Spark's classpath
+    val zstdBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write(entity); z.close()
+      bos.toByteArray
+    }
+    val zstdMsg = msg("Content-Encoding: zstd\r\n", zstdBody)
+    assert(WarcSource.httpFacts(zstdMsg) ===
+      ((200, "text/html", html, entity.length.toLong, null)))
+    val zstdBad = msg("Content-Encoding: zstd\r\n",
+      Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte, 9, 9))
+    intercept[IllegalArgumentException] { WarcSource.httpFacts(zstdBad) }
+    assert(WarcSource.httpFacts(zstdBad, lenientBody = true)._5 === "damage")
     // an actually-unsupported coding (LZW "compress", dead on the modern
     // web): strict loud, lenient counts the capability gap by name
     val lzw = msg("Content-Encoding: compress\r\n", entity)
