@@ -1043,6 +1043,29 @@ object GraftCli {
         s"($n docs, $nShards shards, gzip=$gzip)")
       spark.stop()
 
+    case "warc-write" :: pagesParquet :: outDir :: rest =>
+      // response-record archive export: pages (uri, status,
+      // content_type, body) -> sharded .warc.gz with real SHA-1 payload
+      // digests — archives warc-index can index and cdx-fetch can
+      // point-fetch. `from-docs` adapts a documents table (uri from
+      // source/doc_id, status 200, text/plain body) for corpus export.
+      val spark = session()
+      val nShards = rest.filter(_.forall(_.isDigit)).headOption
+        .map(_.toInt).getOrElse(8)
+      val gzip = !rest.contains("plain")
+      val in = spark.read.parquet(pagesParquet)
+      val pages =
+        if (!rest.contains("from-docs")) in
+        else in.selectExpr(
+          "concat('http://', source, '/graft/', doc_id) AS uri",
+          "200 AS status",
+          "'text/plain; charset=utf-8' AS content_type",
+          "encode(text, 'UTF-8') AS body")
+      val n = graft.sources.WarcSource.writeWarc(pages, outDir, nShards, gzip)
+      println(s"[graft] warc-write: $pagesParquet -> $outDir " +
+        s"($n pages, $nShards shards, gzip=$gzip)")
+      spark.stop()
+
     case "corpus-from-wet" :: glob :: outDir :: rest =>
       // WET conversion records -> documents-table shape (text already
       // extracted upstream; no HTML stage)

@@ -3247,6 +3247,62 @@ object ExtensionQueries {
           |  CAST(count(*) AS INT) AS n_text_ok
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // WARC response-record EXPORT roundtrip (x129): writeWarc's record
+    // builders (HTTP wrap + REAL sha1:BASE32 payload digest) parsed
+    // back by the engine's own reader — per-shard structure, decoded
+    // bodies, and digest fidelity (the parse-back digest must equal a
+    // fresh recompute, pinning both the base32 and the header plumbing).
+    // DuckDB re-derives every count from doc_id % 8 arithmetic. The
+    // file-level writer and the full written-archive -> warc-index ->
+    // cdx-fetch loop are exercised on real files by WarcWriteSpec.
+    "x129_warc_write" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val date = "2026-01-01T00:00:00Z"
+        t(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.col("text"))
+          .as[(Long, String, String)]
+          .groupByKey(r => java.lang.Math.floorMod(r._1, 8L))
+          .mapGroups { (shard, it) =>
+            val docs = it.toArray.sortBy(_._1)
+            val bos = new java.io.ByteArrayOutputStream()
+            bos.write(graft.sources.WarcSource.gzipOne(
+              graft.sources.WarcSource.warcInfoOf(shard, date)))
+            docs.foreach { case (id, src, text) =>
+              bos.write(graft.sources.WarcSource.gzipOne(
+                graft.sources.WarcSource.warcResponseOf(
+                  s"http://$src/graft/$id", 200,
+                  "text/plain; charset=utf-8",
+                  text.getBytes("UTF-8"), date)))
+            }
+            val f = graft.sources.WarcSource.parseWarc(bos.toByteArray)
+            val resp = f.records.filter(_.warcType == "response")
+            val ok = resp.zip(docs).count { case (r, (id, src, text)) =>
+              r.body == text && r.httpStatus == 200 &&
+                r.targetUri == s"http://$src/graft/$id" &&
+                r.payloadDigest == graft.sources.WarcSource
+                  .payloadDigestOf(text.getBytes("UTF-8"))
+            }
+            (shard, docs.length, f.records.size, f.nMembers,
+              if (f.gzip) 1 else 0,
+              resp.map(_.bodyBytes).sum, ok)
+          }
+          .toDF("shard", "n_pages", "n_records", "n_members", "is_gzip",
+            "body_bytes", "n_ok")
+          .orderBy("shard")
+      },
+      Some(
+        """SELECT doc_id % 8 AS shard,
+          |  CAST(count(*) AS INT) AS n_pages,
+          |  CAST(count(*) + 1 AS INT) AS n_records,
+          |  CAST(count(*) + 1 AS INT) AS n_members,
+          |  1 AS is_gzip,
+          |  CAST(sum(strlen(text)) AS BIGINT) AS body_bytes,
+          |  CAST(count(*) AS INT) AS n_ok
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // WET derivative archives (x117) — Common Crawl's text-extract
     // sibling of WARC: `conversion` records whose text/plain payload IS
     // the extracted page text (no HTTP sub-parse, no HTML), the format

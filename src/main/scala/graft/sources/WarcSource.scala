@@ -1275,16 +1275,43 @@ object WarcSource {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nShards > 0, "wet-write: nShards must be positive")
+    val n = nShards.toLong
+    val g = gzip
+    val d = date
+    val rows = docs
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        col("text").cast("string"))
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        val rec = wetRecordOf(id, if (source == null) "" else source, text, d)
+        (java.lang.Math.floorMod(id, n), id, if (g) gzipOne(rec) else rec)
+      }
+    writeArchiveShards(rows, outDir,
+      if (gzip) ".warc.wet.gz" else ".warc.wet",
+      shard => { val i = wetInfoOf(shard, d); if (g) gzipOne(i) else i })
+  }
+
+  /** The sharded-archive commit loop [[writeWet]] and [[writeWarc]]
+    * share: `rows` = (shard, sort key, record bytes ALREADY in on-disk
+    * form — pre-wrapped gzip members travel the one exchange
+    * compressed), one task per shard streams them out, commit is
+    * write-to-tmp + first-wins rename (the `PrePartition.writeSpread`
+    * exactly-once discipline — a retried task cannot tear a shard, a
+    * lost race deletes its tmp). `lead(shard)` opens each archive
+    * (the warcinfo record). Returns records written (leads excluded).
+    */
+  private def writeArchiveShards(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Array[Byte])],
+      outDir: String, ext: String, lead: Long => Array[Byte]): Long = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.sql.graft.Shims.SerializableHadoopConf(
         spark.sparkContext.hadoopConfiguration))
-    val written = docs
-      .select(col("doc_id").cast("long"), col("source").cast("string"),
-        col("text").cast("string"))
-      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
-      .as[(Long, String, String, Long)]
+    rows.toDF("shard", "skey", "rec")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "skey")
+      .as[(Long, Long, Array[Byte])]
       .mapPartitions { iter =>
         val conf = confB.value.value
         var n = 0L
@@ -1295,7 +1322,6 @@ object WarcSource {
         val ctx = Option(org.apache.spark.TaskContext.get())
         val attempt = ctx.map(t =>
           s"${t.partitionId()}-${t.taskAttemptId()}").getOrElse("0")
-        val ext = if (gzip) ".warc.wet.gz" else ".warc.wet"
         def close(): Unit = if (out != null) {
           out.close()
           val fs = dest.getFileSystem(conf)
@@ -1305,9 +1331,7 @@ object WarcSource {
           }
           out = null
         }
-        def writeRec(bytes: Array[Byte]): Unit =
-          out.write(if (gzip) gzipOne(bytes) else bytes)
-        iter.foreach { case (id, source, text, shard) =>
+        iter.foreach { case (shard, _, rec) =>
           if (shard != cur) {
             close()
             cur = shard
@@ -1317,17 +1341,117 @@ object WarcSource {
               f"$outDir/_tmp-$attempt-$shard%05d$ext")
             val fs = dest.getFileSystem(conf)
             out = fs.create(tmp, true)
-            writeRec(wetInfoOf(shard, date))
+            out.write(lead(shard))
           }
-          writeRec(wetRecordOf(id, if (source == null) "" else source,
-            text, date))
+          out.write(rec)
           n += 1
         }
         close()
         Iterator.single(n)
       }
       .reduce(_ + _)
-    written
+  }
+
+  // --------------------------------------------------------- warc write
+
+  /** RFC 4648 base32 (no padding) — SHA-1's 160 bits are exactly 32
+    * chars, the `sha1:BASE32` form Common Crawl writes in
+    * WARC-Payload-Digest and CDX digests.
+    */
+  private[graft] def base32(bytes: Array[Byte]): String = {
+    val tab = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new java.lang.StringBuilder((bytes.length * 8 + 4) / 5)
+    var acc = 0L
+    var bits = 0
+    bytes.foreach { b =>
+      acc = (acc << 8) | (b & 0xff)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(tab(((acc >> bits) & 31).toInt))
+      }
+    }
+    if (bits > 0) sb.append(tab(((acc << (5 - bits)) & 31).toInt))
+    sb.toString
+  }
+
+  /** `sha1:BASE32(SHA-1(body))` — a REAL payload digest, so archives
+    * the engine writes participate in digest-keyed machinery (revisit
+    * resolution, CDX dedup) like any crawler's output.
+    */
+  private[graft] def payloadDigestOf(body: Array[Byte]): String =
+    "sha1:" + base32(
+      java.security.MessageDigest.getInstance("SHA-1").digest(body))
+
+  private val ReasonOf = Map(200 -> "OK", 301 -> "Moved Permanently",
+    302 -> "Found", 304 -> "Not Modified", 403 -> "Forbidden",
+    404 -> "Not Found", 500 -> "Internal Server Error")
+
+  /** One WARC `response` record wrapping an HTTP message around the
+    * stored body — identity coding, explicit Content-Length (the
+    * straightforward wire form; chunked/compressed wire forms are a
+    * CRAWLER artifact of capture, not something an exporter should
+    * fabricate).
+    */
+  private[graft] def warcResponseOf(uri: String, status: Int,
+                                    contentType: String, body: Array[Byte],
+                                    date: String): Array[Byte] = {
+    val http = (s"HTTP/1.1 $status ${ReasonOf.getOrElse(status, "Status")}\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" ->
+        s"<urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date).getBytes("UTF-8"))}>",
+      "WARC-Date" -> date,
+      "WARC-Target-URI" -> uri,
+      "WARC-Payload-Digest" -> payloadDigestOf(body),
+      "Content-Type" -> "application/http; msgtype=response"), http)
+  }
+
+  private[graft] def warcInfoOf(shard: Long, date: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:warcinfo:$shard>",
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-warc-writer\r\nformat: WARC File Format 1.0\r\n"
+        .getBytes("UTF-8"))
+
+  /** WARC EXPORT — response-record archives from page rows
+    * (`uri`, `status`, `content_type`, `body` binary): the full-fidelity
+    * sibling of [[writeWet]], closing the crawl loop END TO END on real
+    * files — archives the engine writes are indexable by `warc-index`
+    * (x122), point-fetchable through the index (x119), and
+    * revisit-resolvable (real SHA-1 payload digests). Sharded by URI
+    * hash, warcinfo lead, gzip member-per-record (the layout CDX
+    * generation REQUIRES), same exactly-once commit as [[writeWet]].
+    * Returns pages written.
+    */
+  def writeWarc(pages: DataFrame, outDir: String, nShards: Int,
+                gzip: Boolean = true,
+                date: String = "2026-01-01T00:00:00Z"): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    require(nShards > 0, "warc-write: nShards must be positive")
+    val n = nShards.toLong
+    val g = gzip
+    val d = date
+    val rows = pages
+      .select(col("uri").cast("string"), col("status").cast("int"),
+        col("content_type").cast("string"), col("body"))
+      .as[(String, Int, String, Array[Byte])]
+      .map { case (uri, status, ct, body) =>
+        val rec = warcResponseOf(uri, status,
+          if (ct == null) "application/octet-stream" else ct,
+          if (body == null) Array.emptyByteArray else body, d)
+        // String.hashCode is spec-fixed across JVMs — deterministic
+        // shard assignment without a jar-local hash
+        val h = java.lang.Math.floorMod(uri.hashCode.toLong, n)
+        (h, uri.hashCode.toLong, if (g) gzipOne(rec) else rec)
+      }
+    writeArchiveShards(rows, outDir, if (gzip) ".warc.gz" else ".warc",
+      shard => { val i = warcInfoOf(shard, d); if (g) gzipOne(i) else i })
   }
 
   /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit

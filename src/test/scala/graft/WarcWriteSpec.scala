@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.{CdxSource, WarcSource}
+import org.apache.spark.sql.functions._
+
+/** WARC response-record export (writeWarc): real files, re-ingested by
+  * the engine's own reader, then THE FULL CRAWL LOOP on written
+  * archives — warc-index generates CDX pointers over them and
+  * fetchByIndex point-fetches every record back. Digests arbitered
+  * against python's hashlib/base64.
+  */
+class WarcWriteSpec extends GraftSparkSpec {
+
+  private def pagesDf(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (s"http://host${i % 3}.example/p/$i", if (i % 7 == 0) 404 else 200,
+        "text/html; charset=utf-8",
+        (s"<html><body><p>page $i body " + ("w " * (i % 9)) +
+          "</p></body></html>").getBytes("UTF-8"))
+    }.toDF("uri", "status", "content_type", "body")
+  }
+
+  test("warc-write: archives re-ingest with status, text, and real digests") {
+    val dir = java.nio.file.Files.createTempDirectory("warcw").toFile
+    try {
+      val pages = pagesDf(30)
+      assert(WarcSource.writeWarc(pages, dir.getAbsolutePath, 3) === 30)
+      val f = WarcSource.parseWarc(java.nio.file.Files.readAllBytes(
+        dir.listFiles().filter(_.getName.endsWith(".warc.gz")).head.toPath))
+      assert(f.gzip && f.nMembers === f.records.size)
+      assert(f.records.head.warcType === "warcinfo")
+      f.records.tail.foreach { r =>
+        assert(r.warcType === "response")
+        // the digest in the header is a REAL sha1:BASE32 of the body
+        assert(r.payloadDigest ===
+          WarcSource.payloadDigestOf(r.body.getBytes("UTF-8")))
+      }
+      val back = WarcSource.warcFiles(spark, dir.getAbsolutePath + "/*.warc.gz")
+        .select("uri", "status", "text").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      import spark.implicits._
+      val want = pages.as[(String, Int, String, Array[Byte])].collect()
+        .map { case (u, s, _, b) =>
+          (u, s, WarcSource.htmlText(new String(b, "UTF-8"))) }.toSet
+      assert(back === want)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("warc-write: the full loop — written archives index and point-fetch") {
+    val dir = java.nio.file.Files.createTempDirectory("warcloop").toFile
+    try {
+      val pages = pagesDf(40)
+      WarcSource.writeWarc(pages, dir.getAbsolutePath, 4)
+      // generate the CDX index over the WRITTEN archives (x122 over
+      // our own output, not a fixture)
+      val index = CdxSource.warcIndexFiles(spark,
+        dir.getAbsolutePath + "/*.warc.gz")
+      assert(index.filter(col("surt").isNull).count() === 0) // no poison
+      assert(index.count() === 40)
+      // timestamps derive from the export date; digests are the real ones
+      assert(index.select("timestamp").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("20260101000000"))
+      // point-fetch EVERY indexed record back out of the written files
+      val fetched = CdxSource.fetchByIndex(spark, dir.getAbsolutePath, index)
+      assert(fetched.count() === 40)
+      val got = fetched.select("uri", "status", "text").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      import spark.implicits._
+      val want = pages.as[(String, Int, String, Array[Byte])].collect()
+        .map { case (u, s, _, b) =>
+          (u, s, WarcSource.htmlText(new String(b, "UTF-8"))) }.toSet
+      assert(got === want)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("warc-write: digest base32/sha1 arbitered against python") {
+    val bodies = Seq("", "a", "digest probe body é世",
+      "x" * 1000)
+    val ours = bodies.map(b =>
+      WarcSource.payloadDigestOf(b.getBytes("UTF-8")))
+    val pb = new ProcessBuilder("python3", "-c",
+      """import sys, hashlib, base64, json
+        |bodies = json.loads(sys.stdin.read())
+        |for b in bodies:
+        |    h = hashlib.sha1(b.encode('utf-8')).digest()
+        |    print('sha1:' + base64.b32encode(h).decode())""".stripMargin)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    p.getOutputStream.write(
+      ("[" + bodies.map(b => "\"" +
+        b.flatMap {
+          case '\\' => "\\\\"; case '"' => "\\\""
+          case c if c < 128 => c.toString
+          case c => f"\\u$c%04x"
+        } + "\"").mkString(",") + "]").getBytes("UTF-8"))
+    p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() === 0, s"python failed: $out")
+    assert(out.trim.split("\n").toSeq === ours)
+  }
+}
