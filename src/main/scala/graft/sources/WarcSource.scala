@@ -1236,7 +1236,12 @@ object WarcSource {
     * artifact — the caller stamps it, determinism keeps gates hashable).
     */
   private[graft] def wetRecordOf(id: Long, source: String, text: String,
-                                 date: String): Array[Byte] =
+                                 date: String): Array[Byte] = {
+    // the URI rides a CRLF-framed ISO-8859-1 header line: whitespace or
+    // non-ASCII in the host would silently corrupt the record — loud
+    // beats mangled (RFC 3986 hosts are ASCII; punycode IDNs upstream)
+    require(source.forall(c => c > 0x20 && c < 0x7f),
+      s"wet-write: non-ASCII or whitespace in source host '$source'")
     record(Seq(
       "WARC-Type" -> "conversion",
       "WARC-Record-ID" -> s"<urn:graft:wet:$id>",
@@ -1244,6 +1249,7 @@ object WarcSource {
       "WARC-Target-URI" ->
         s"http://${if (source.nonEmpty) source else "unknown.invalid"}/graft/$id",
       "Content-Type" -> "text/plain"), text.getBytes("UTF-8"))
+  }
 
   private[graft] def wetInfoOf(shard: Long, date: String): Array[Byte] =
     record(Seq(
@@ -1349,7 +1355,10 @@ object WarcSource {
         close()
         Iterator.single(n)
       }
-      .reduce(_ + _)
+      // per-partition counts are a handful of longs; collect().sum
+      // (unlike reduce) survives an empty input relation, whose
+      // optimized plan can have zero partitions
+      .collect().sum
   }
 
   // --------------------------------------------------------- warc write
@@ -1396,6 +1405,11 @@ object WarcSource {
   private[graft] def warcResponseOf(uri: String, status: Int,
                                     contentType: String, body: Array[Byte],
                                     date: String): Array[Byte] = {
+    // RFC 3986 URIs are ASCII by definition; whitespace/control or
+    // non-ASCII here would silently corrupt the CRLF-framed header
+    // (percent-encode upstream) — loud beats mangled
+    require(uri.nonEmpty && uri.forall(c => c > 0x20 && c < 0x7f),
+      s"warc-write: URI must be non-empty printable ASCII: '$uri'")
     val http = (s"HTTP/1.1 $status ${ReasonOf.getOrElse(status, "Status")}\r\n" +
       s"Content-Type: $contentType\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
