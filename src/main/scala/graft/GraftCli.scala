@@ -1043,6 +1043,28 @@ object GraftCli {
         s"($n docs, $nShards shards, gzip=$gzip)")
       spark.stop()
 
+    case "stream-wet-write" :: landingDir :: outDir :: checkpoint :: rest =>
+      // continuous archive export: parquet docs land, each micro-batch
+      // exports as its own wave of WET shards (idempotent on replay —
+      // deterministic bytes + first-wins rename)
+      val spark = session()
+      val nShards = rest.headOption.map(_.toInt).getOrElse(4)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(docSchema).parquet(landingDir)
+      val q = streaming.StreamingAnalytics.wetExportIngest(
+        stream, outDir, checkpoint, nShards)
+      println(s"[graft] wet-export server on $landingDir -> $outDir")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     case "warc-write" :: pagesParquet :: outDir :: rest =>
       // response-record archive export: pages (uri, status,
       // content_type, body) -> sharded .warc.gz with real SHA-1 payload

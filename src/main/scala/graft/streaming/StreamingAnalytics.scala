@@ -174,6 +174,32 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** STREAMING WET EXPORT — the archive-producing end of a continuous
+    * pipeline: each micro-batch of landing documents (doc_id, source,
+    * text) exports as its own wave of WET shards under
+    * `outDir/wave=<batchId>/` through the batch [[graft.sources.
+    * WarcSource.writeWet]]. Exactly-once without a transaction log:
+    * record bytes are a deterministic function of the rows (fixed
+    * export date, pmod shard assignment, doc_id sort), and the writer
+    * commits each shard via tmp + FIRST-WINS rename — so a replayed
+    * micro-batch recomputes byte-identical archives and loses every
+    * rename race to the originals, never duplicating or tearing a
+    * shard (the streaming pre-partition sink's idempotent-replay
+    * discipline, applied to archive files).
+    */
+  def wetExportIngest(docs: DataFrame, outDir: String,
+                      checkpointDir: String, nShards: Int = 4,
+                      gzip: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.WarcSource.writeWet(
+          batch.toDF(), s"$outDir/wave=$batchId", nShards, gzip)
+        ()
+      }
+      .start()
+
   /** SEMANTIC (embedding) dedup at ingest against a committed corpus's
     * persisted clustering state (PrepareRun's `semantic_centroids` +
     * `semantic_reps`): each micro-batch of (idCol, embedding) rows runs

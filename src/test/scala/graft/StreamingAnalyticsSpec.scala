@@ -299,4 +299,71 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
         s"mismatch on $tok")
     }
   }
+
+  test("wet export stream: waves of archives, byte-identical on checkpoint replay") {
+    val root = java.nio.file.Files.createTempDirectory("wetstream").toFile
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    import spark.implicits._
+    def land(name: String, docs: Seq[(Long, String, String)]): Unit =
+      docs.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("append").parquet(landing.getAbsolutePath)
+    def schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamingAnalytics.wetExportIngest(
+      spark.readStream.schema(schema).parquet(landing.getAbsolutePath),
+      out, ckpt, nShards = 2)
+    try {
+      land("a", Seq((0L, "h0.example", "alpha body"),
+        (1L, "h1.example", "beta body"), (2L, "h0.example", "gamma body")))
+      val q = start()
+      q.processAllAvailable()
+      q.stop()
+      val wave0 = new java.io.File(out, "wave=0")
+      val files0 = wave0.listFiles().map(_.getName)
+        .filterNot(_.startsWith(".")).sorted
+      assert(files0.toSeq === Seq("part-00000.warc.wet.gz",
+        "part-00001.warc.wet.gz"))
+      val bytes0 = files0.map(f => java.nio.file.Files.readAllBytes(
+        new java.io.File(wave0, f).toPath).toSeq)
+      // the archives re-ingest: all three docs back
+      val back = graft.sources.WarcSource.wetDocs(spark,
+        out + "/wave=*/part-*.warc.wet.gz")
+      assert(back.count() === 3)
+      // second wave appends ITS OWN wave dir, wave 0 untouched
+      land("b", Seq((3L, "h1.example", "delta body")))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(new java.io.File(out, "wave=1").exists())
+      val bytes0b = files0.map(f => java.nio.file.Files.readAllBytes(
+        new java.io.File(wave0, f).toPath).toSeq)
+      assert(bytes0b.toSeq === bytes0.toSeq)
+      assert(graft.sources.WarcSource.wetDocs(spark,
+        out + "/wave=*/part-*.warc.wet.gz").count() === 4)
+      // replay wave 0 WITHOUT the checkpoint: deterministic bytes +
+      // first-wins rename leave the originals byte-identical
+      val ckpt2 = new java.io.File(root, "ckpt2").getAbsolutePath
+      val q3 = StreamingAnalytics.wetExportIngest(
+        spark.readStream.schema(schema).parquet(landing.getAbsolutePath),
+        out, ckpt2, nShards = 2)
+      q3.processAllAvailable()
+      q3.stop()
+      val bytes0c = files0.map(f => java.nio.file.Files.readAllBytes(
+        new java.io.File(wave0, f).toPath).toSeq)
+      assert(bytes0c.toSeq === bytes0.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(root)
+    }
+  }
 }
