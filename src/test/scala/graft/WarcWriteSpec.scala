@@ -73,6 +73,42 @@ class WarcWriteSpec extends GraftSparkSpec {
         .map { case (u, s, _, b) =>
           (u, s, WarcSource.htmlText(new String(b, "UTF-8"))) }.toSet
       assert(got === want)
+      // ...and the ZIPNUM layer on top: pack the generated index into
+      // cluster blocks and point-look-up single URLs, fetching each hit
+      // through its pointer — own archives, own index, own secondary
+      // index, one member inflate per layer
+      val cdxDir = new java.io.File(dir, "cdx"); cdxDir.mkdirs()
+      val lines = index.orderBy("surt", "timestamp").collect().map { r =>
+        CdxSource.renderLine(CdxSource.CdxEntry(r.getString(0),
+          r.getString(1), r.getString(2), r.getString(3), r.getInt(4),
+          r.getString(5), r.getLong(6), r.getLong(7), r.getString(8)))
+      }
+      java.nio.file.Files.write(new java.io.File(cdxDir, "gen.cdx").toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      val znDir = new java.io.File(dir, "zn")
+      CdxSource.writeZipnumFiles(spark, cdxDir.getAbsolutePath + "/*.cdx",
+        znDir.getAbsolutePath, blockSize = 7)
+      Seq(3, 17, 39).foreach { i =>
+        val url = s"http://host${i % 3}.example/p/$i"
+        val hits = CdxSource.zipnumLookupDir(spark, znDir.getAbsolutePath, url)
+        assert(hits.size === 1 && hits.head.url === url)
+        val h = hits.head
+        val p = new org.apache.hadoop.fs.Path(dir.getAbsolutePath, h.filename)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try {
+          val r = CdxSource.fetchRecord(
+            new graft.sources.ZipSource.StreamSeekable(
+              in, fs.getFileStatus(p).getLen), h.offset, h.length)
+          assert(r.targetUri === url)
+          assert(r.body.contains(s"page $i body"))
+        } finally in.close()
+      }
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmr)
+        f.delete()
+      }
+      rmr(cdxDir); rmr(znDir)
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
