@@ -244,6 +244,25 @@ object LangId {
       // ja) — applied over latin/cyrillic-dominant text it would label
       // an English page with one short Japanese quote `ja` (r18 review)
       case "han" => if (kana * 20L >= total) "ja" else "und"
+      // scripts that write exactly ONE living language imply it the way
+      // hangul implies Korean — no model needed, and refusing them
+      // would discard the script's entire (unambiguous) population
+      case "armenian" => "hy"
+      case "georgian" => "ka"
+      case "gujarati" => "gu"
+      case "gurmukhi" => "pa"
+      case "kannada" => "kn"
+      case "khmer" => "km"
+      case "lao" => "lo"
+      case "malayalam" => "ml"
+      case "oriya" => "or"
+      case "sinhala" => "si"
+      case "tamil" => "ta"
+      case "telugu" => "te"
+      case "thaana" => "dv"
+      case "thai" => "th"
+      // multi-language scripts with no model stay honest refusals:
+      // bengali (bn/as), myanmar (my/shn/mnw), ethiopic (am/ti)
       case _ => "und"
     }
   }

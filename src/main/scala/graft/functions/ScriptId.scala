@@ -18,22 +18,41 @@ package graft.functions
 object ScriptId {
 
   /** Alphabetical — the tie order, like [[LangId.langs]]. */
-  val scripts: Seq[String] = Seq("arabic", "cyrillic", "devanagari",
-    "greek", "han", "hangul", "hebrew", "hiragana", "katakana", "latin",
-    "other")
+  val scripts: Seq[String] = Seq("arabic", "armenian", "bengali",
+    "cyrillic", "devanagari", "ethiopic", "georgian", "greek", "gujarati",
+    "gurmukhi", "han", "hangul", "hebrew", "hiragana", "kannada",
+    "katakana", "khmer", "lao", "latin", "malayalam", "myanmar", "oriya",
+    "sinhala", "tamil", "telugu", "thaana", "thai", "other")
 
   import java.lang.Character.UnicodeScript
   private val named: Map[UnicodeScript, String] = Map(
     UnicodeScript.ARABIC -> "arabic",
+    UnicodeScript.ARMENIAN -> "armenian",
+    UnicodeScript.BENGALI -> "bengali",
     UnicodeScript.CYRILLIC -> "cyrillic",
     UnicodeScript.DEVANAGARI -> "devanagari",
+    UnicodeScript.ETHIOPIC -> "ethiopic",
+    UnicodeScript.GEORGIAN -> "georgian",
     UnicodeScript.GREEK -> "greek",
+    UnicodeScript.GUJARATI -> "gujarati",
+    UnicodeScript.GURMUKHI -> "gurmukhi",
     UnicodeScript.HAN -> "han",
     UnicodeScript.HANGUL -> "hangul",
     UnicodeScript.HEBREW -> "hebrew",
     UnicodeScript.HIRAGANA -> "hiragana",
+    UnicodeScript.KANNADA -> "kannada",
     UnicodeScript.KATAKANA -> "katakana",
-    UnicodeScript.LATIN -> "latin")
+    UnicodeScript.KHMER -> "khmer",
+    UnicodeScript.LAO -> "lao",
+    UnicodeScript.LATIN -> "latin",
+    UnicodeScript.MALAYALAM -> "malayalam",
+    UnicodeScript.MYANMAR -> "myanmar",
+    UnicodeScript.ORIYA -> "oriya",
+    UnicodeScript.SINHALA -> "sinhala",
+    UnicodeScript.TAMIL -> "tamil",
+    UnicodeScript.TELUGU -> "telugu",
+    UnicodeScript.THAANA -> "thaana",
+    UnicodeScript.THAI -> "thai")
 
   /** Letter-codepoint counts per script class (named classes above;
     * any other script's letters count as "other"; non-letters are

@@ -293,4 +293,37 @@ class LangIdSpec extends GraftSparkSpec {
       === "mr")
     assert(LangId.route("हामी हरेक साँझ काम पछि किताबहरू पढ्छौं") === "ne")
   }
+
+  test("script-implied languages: single-language scripts name their language, shared scripts refuse") {
+    // each of these scripts writes exactly one living language — the
+    // hangul->ko discipline, pinned with real text per script
+    val implied = Seq(
+      ("th", "\u0e27\u0e31\u0e19\u0e19\u0e35\u0e49\u0e2d\u0e32\u0e01\u0e32\u0e28\u0e14\u0e35"),
+      ("lo", "\u0ea1\u0eb7\u0ec9\u0e99\u0eb5\u0ec9\u0ead\u0eb2\u0e81\u0eb2\u0e94\u0e94\u0eb5"),
+      ("ka", "\u10d3\u10e6\u10d4\u10e1 \u10d9\u10d0\u10e0\u10d2\u10d8 \u10d0\u10db\u10d8\u10dc\u10d3\u10d8\u10d0"),
+      ("hy", "\u0561\u0575\u057d\u0585\u0580 \u056c\u0561\u057e \u0565\u0572\u0561\u0576\u0561\u056f \u0567"),
+      ("km", "\u1790\u17d2\u1784\u17c3\u1793\u17c1\u17c7\u17a2\u17b6\u1780\u17b6\u179f\u1792\u17b6\u178f\u17bb\u179b\u17d2\u17a2"),
+      ("si", "\u0d85\u0daf \u0d9a\u0dcf\u0dbd\u0d9c\u0dd4\u0dab\u0dba \u0dc4\u0ddc\u0db3\u0dba\u0dd2"),
+      ("ta", "\u0b87\u0ba9\u0bcd\u0bb1\u0bc1 \u0bb5\u0bbe\u0ba9\u0bbf\u0bb2\u0bc8 \u0ba8\u0ba9\u0bcd\u0bb1\u0bbe\u0b95 \u0b89\u0bb3\u0bcd\u0bb3\u0ba4\u0bc1"),
+      ("te", "\u0c08 \u0c30\u0c4b\u0c1c\u0c41 \u0c35\u0c3e\u0c24\u0c3e\u0c35\u0c30\u0c23\u0c02 \u0c2c\u0c3e\u0c17\u0c41\u0c02\u0c26\u0c3f"),
+      ("kn", "\u0c87\u0c82\u0ca6\u0cc1 \u0cb9\u0cb5\u0cbe\u0cae\u0cbe\u0ca8 \u0c9a\u0cc6\u0ca8\u0ccd\u0ca8\u0cbe\u0c97\u0cbf\u0ca6\u0cc6"),
+      ("ml", "\u0d07\u0d28\u0d4d\u0d28\u0d4d \u0d15\u0d3e\u0d32\u0d3e\u0d35\u0d38\u0d4d\u0d25 \u0d28\u0d32\u0d4d\u0d32\u0d24\u0d3e\u0d23\u0d4d"),
+      ("gu", "\u0a86\u0a9c\u0ac7 \u0ab9\u0ab5\u0abe\u0aae\u0abe\u0aa8 \u0ab8\u0abe\u0ab0\u0ac1\u0a82 \u0a9b\u0ac7"),
+      ("pa", "\u0a05\u0a71\u0a1c \u0a2e\u0a4c\u0a38\u0a2e \u0a35\u0a27\u0a40\u0a06 \u0a39\u0a48"),
+      ("or", "\u0b06\u0b1c\u0b3f \u0b2a\u0b3e\u0b17 \u0b2d\u0b32 \u0b05\u0b1b\u0b3f"),
+      ("dv", "\u0789\u07a8\u0787\u07a6\u078b\u07aa \u0789\u07ab\u0790\u07aa\u0782\u07b0 \u0783\u07a6\u0782\u078e\u07a6\u0785\u07aa"))
+    implied.foreach { case (lang, text) =>
+      assert(LangId.route(text) === lang, s"script of '$lang' text")
+    }
+    // shared-script populations refuse without a model: bengali script
+    // writes Bengali AND Assamese, myanmar writes my/shn/mnw, ethiopic
+    // writes am/ti — naming one would mislabel the others
+    val refused = Seq(
+      "\u0986\u099c \u0986\u09ac\u09b9\u09be\u0993\u09af\u09bc\u09be \u09ad\u09be\u09b2\u09cb",
+      "\u101a\u1014\u1031\u1037 \u101b\u102c\u101e\u102e\u1025\u1010\u102f \u1000\u1031\u102c\u1004\u103a\u1038\u101e\u100a\u103a",
+      "\u12db\u122c \u12a0\u12e8\u1229 \u1325\u1229 \u1290\u12cd")
+    refused.foreach { t =>
+      assert(LangId.route(t) === "und", s"shared-script text must refuse: $t")
+    }
+  }
 }
