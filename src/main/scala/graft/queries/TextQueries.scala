@@ -2348,33 +2348,45 @@ object TextQueries {
             val cy = (id % 3 + 1).toInt
             val ha = (id % 4).toInt
             val ar = (id % 2).toInt
+            val th = (id % 6).toInt
+            val ta = ((id % 7) % 3).toInt
             val text = "abcde".take(la) + " 123 " + "абвгд".take(cy) +
-              "! " + "漢字文書".take(ha) + " " + "كتاب".take(ar)
+              "! " + "漢字文書".take(ha) + " " + "كتاب".take(ar) +
+              " " + "กขคงจฉ".take(th) + " " + "கஙச".take(ta)
             val h = graft.functions.ScriptId.histogram(text)
             val tot = h.values.sum
             def ppm(k: String): Long = h.getOrElse(k, 0L) * 1000000L / tot
             (id, tot, ppm("latin"), ppm("cyrillic"), ppm("han"),
-              ppm("arabic"), graft.functions.ScriptId.dominant(text))
+              ppm("arabic"), ppm("thai"), ppm("tamil"),
+              graft.functions.ScriptId.dominant(text))
           }
           .toDF("doc_id", "n_letters", "latin_ppm", "cyrillic_ppm",
-            "han_ppm", "arabic_ppm", "dominant")
+            "han_ppm", "arabic_ppm", "thai_ppm", "tamil_ppm", "dominant")
           .orderBy("doc_id")
       },
       Some(
         """WITH d AS (SELECT doc_id,
           |    doc_id % 5 + 1 AS la, doc_id % 3 + 1 AS cy,
-          |    doc_id % 4 AS ha, doc_id % 2 AS ar FROM documents),
-          |t AS (SELECT doc_id, la, cy, ha, ar,
-          |        la + cy + ha + ar AS tot FROM d)
+          |    doc_id % 4 AS ha, doc_id % 2 AS ar,
+          |    doc_id % 6 AS th, (doc_id % 7) % 3 AS ta FROM documents),
+          |t AS (SELECT doc_id, la, cy, ha, ar, th, ta,
+          |        la + cy + ha + ar + th + ta AS tot FROM d)
           |SELECT doc_id,
           |  CAST(tot AS BIGINT) AS n_letters,
           |  CAST(la * 1000000 // tot AS BIGINT) AS latin_ppm,
           |  CAST(cy * 1000000 // tot AS BIGINT) AS cyrillic_ppm,
           |  CAST(ha * 1000000 // tot AS BIGINT) AS han_ppm,
           |  CAST(ar * 1000000 // tot AS BIGINT) AS arabic_ppm,
-          |  CASE WHEN ar >= cy AND ar >= ha AND ar >= la THEN 'arabic'
-          |       WHEN cy >= ha AND cy >= la THEN 'cyrillic'
-          |       WHEN ha >= la THEN 'han' ELSE 'latin' END AS dominant
+          |  CAST(th * 1000000 // tot AS BIGINT) AS thai_ppm,
+          |  CAST(ta * 1000000 // tot AS BIGINT) AS tamil_ppm,
+          |  CASE WHEN ar >= cy AND ar >= ha AND ar >= la AND ar >= ta
+          |         AND ar >= th THEN 'arabic'
+          |       WHEN cy >= ha AND cy >= la AND cy >= ta AND cy >= th
+          |         THEN 'cyrillic'
+          |       WHEN ha >= la AND ha >= ta AND ha >= th THEN 'han'
+          |       WHEN la >= ta AND la >= th THEN 'latin'
+          |       WHEN ta >= th THEN 'tamil'
+          |       ELSE 'thai' END AS dominant
           |FROM t ORDER BY doc_id""".stripMargin)),
 
     // ---- Cyrillic langid family (functions/CyrLangId) behind d57's
