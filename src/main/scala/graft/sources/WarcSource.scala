@@ -1410,6 +1410,10 @@ object WarcSource {
     // (percent-encode upstream) — loud beats mangled
     require(uri.nonEmpty && uri.forall(c => c > 0x20 && c < 0x7f),
       s"warc-write: URI must be non-empty printable ASCII: '$uri'")
+    // a CR/LF inside the media type would TEAR the HTTP header block
+    // (header injection); spaces are legal in parameters
+    require(contentType.forall(c => c >= 0x20 && c < 0x7f),
+      s"warc-write: control or non-ASCII byte in content type '$contentType'")
     val http = (s"HTTP/1.1 $status ${ReasonOf.getOrElse(status, "Status")}\r\n" +
       s"Content-Type: $contentType\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body

@@ -114,6 +114,22 @@ class WarcWriteSpec extends GraftSparkSpec {
     }
   }
 
+  test("warc-write: header-tearing inputs reject loudly") {
+    // CRLF in a content type is header injection; whitespace in a URI
+    // tears the WARC header line — both must fail by name, not mangle
+    intercept[IllegalArgumentException] {
+      WarcSource.warcResponseOf("http://a/", 200,
+        "text/html\r\nX-Evil: 1", "x".getBytes, "2026-01-01T00:00:00Z")
+    }
+    intercept[IllegalArgumentException] {
+      WarcSource.warcResponseOf("http://a/ b", 200,
+        "text/html", "x".getBytes, "2026-01-01T00:00:00Z")
+    }
+    intercept[IllegalArgumentException] {
+      WarcSource.wetRecordOf(1L, "host with space", "t", "2026-01-01T00:00:00Z")
+    }
+  }
+
   test("warc-write: digest base32/sha1 arbitered against python") {
     val bodies = Seq("", "a", "digest probe body é世",
       "x" * 1000)
