@@ -3179,10 +3179,18 @@ object ExtensionQueries {
             val decoded = graft.sources.Brotli.decode(stream)
             require(java.util.Arrays.equals(decoded, entity),
               s"brotli roundtrip mismatch for doc $id")
+            // the COMPRESSED encoder too: roundtrip + no inflation
+            // (exact compressed size is parse-dependent, so the oracle
+            // fact is the boolean, not the length)
+            val enc = graft.sources.Brotli.encode(entity)
+            val cok = java.util.Arrays.equals(
+              graft.sources.Brotli.decode(enc), entity) &&
+              enc.length <= entity.length + 16
             (id, decoded.length.toLong, stream.length.toLong,
-              new String(decoded, "UTF-8").take(24))
+              new String(decoded, "UTF-8").take(24), if (cok) 1 else 0)
           }
-          .toDF("doc_id", "entity_len", "stream_len", "decoded_prefix")
+          .toDF("doc_id", "entity_len", "stream_len", "decoded_prefix",
+            "compressed_ok")
           .orderBy("doc_id")
       },
       Some(
@@ -3192,7 +3200,8 @@ object ExtensionQueries {
           |    ELSE strlen(text) + 4 +
           |         3 * (CAST(ceil(strlen(text) / 65536.0) AS BIGINT) - 1)
           |    END AS BIGINT) AS stream_len,
-          |  substr(text, 1, 24) AS decoded_prefix
+          |  substr(text, 1, 24) AS decoded_prefix,
+          |  1 AS compressed_ok
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // WET EXPORT roundtrip (x128): the write side of the Common Crawl

@@ -697,39 +697,389 @@ object Brotli {
 
   // -------------------------------------------------------------- encode
 
-  /** Minimal brotli ENCODER: uncompressed (stored) metablocks only — a
-    * valid stream any conformant decoder accepts, which is all the
-    * fixture synthesis needs to exercise the br wire-form path end to
-    * end (the decode direction is the engine's job; real compressed
-    * streams are spec-arbitered against the system encoder).
-    */
-  def encodeStored(data: Array[Byte]): Array[Byte] = {
-    val bits = new java.io.ByteArrayOutputStream()
-    var cur = 0
-    var n = 0
+  private final class BitWriter {
+    private val bytes = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    /** LSB-first value emission (header fields, extra bits). */
     def w(v: Int, k: Int): Unit = {
       var i = 0
       while (i < k) {
         cur |= ((v >> i) & 1) << n
         n += 1
-        if (n == 8) { bits.write(cur); cur = 0; n = 0 }
+        if (n == 8) { bytes.write(cur); cur = 0; n = 0 }
         i += 1
       }
     }
-    w(0, 1) // WBITS = 16
+    /** Prefix-code emission: the canonical code's bits MSB-first (the
+      * decoder reads bits LSB-first into a bit-reversed table, so the
+      * code's top bit goes on the wire first).
+      */
+    def code(c: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { w((c >> i) & 1, 1); i -= 1 }
+    }
+    def alignByte(): Unit = if (n > 0) w(0, 8 - n)
+    def writeRaw(data: Array[Byte], off: Int, len: Int): Unit = {
+      require(n == 0, "brotli-enc: raw write while unaligned")
+      bytes.write(data, off, len)
+    }
+    def toByteArray: Array[Byte] = { alignByte(); bytes.toByteArray }
+  }
+
+  /** Minimal brotli ENCODER: uncompressed (stored) metablocks only — a
+    * valid stream any conformant decoder accepts; the framing-only
+    * sibling of [[encode]] (and its fallback for incompressible
+    * chunks).
+    */
+  def encodeStored(data: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter
+    bw.w(0, 1) // WBITS = 16
     var off = 0
     while (off < data.length) {
       val m = math.min(1 << 16, data.length - off)
-      w(0, 1) // ISLAST = 0
-      w(0, 2) // MNIBBLES = 4
-      w(m - 1, 16)
-      w(1, 1) // ISUNCOMPRESSED
-      if (n > 0) w(0, 8 - n) // byte-align with zero padding
-      bits.write(data, off, m)
+      bw.w(0, 1) // ISLAST = 0
+      bw.w(0, 2) // MNIBBLES = 4
+      bw.w(m - 1, 16)
+      bw.w(1, 1) // ISUNCOMPRESSED
+      bw.alignByte()
+      bw.writeRaw(data, off, m)
       off += m
     }
-    w(1, 1); w(1, 1) // ISLAST + ISLASTEMPTY
-    if (n > 0) w(0, 8 - n)
-    bits.toByteArray
+    bw.w(1, 1); bw.w(1, 1) // ISLAST + ISLASTEMPTY
+    bw.toByteArray
+  }
+
+  /** Canonical codes for a length array — the SAME assignment
+    * [[buildHuff]] decodes (codes by length, then ascending symbol),
+    * returned MSB-first for [[BitWriter.code]].
+    */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    var maxLen = 0
+    lengths.foreach(l => if (l > maxLen) maxLen = l)
+    val blCount = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](maxLen + 1)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) {
+      code = (code + blCount(l - 1)) << 1
+      nextCode(l) = code
+      l += 1
+    }
+    lengths.map { len =>
+      if (len == 0) 0
+      else { val c = nextCode(len); nextCode(len) += 1; c }
+    }
+  }
+
+  /** Length-limited canonical Huffman lengths from a frequency table:
+    * plain Huffman merge, depths clamped to `cap`, then a Kraft fixup
+    * (shrink over-budget by lengthening the cheapest symbols, spend
+    * remaining budget by shortening the longest) so the code is EXACTLY
+    * complete — [[buildHuff]] rejects anything else.
+    */
+  private def limitedLengths(freq: Array[Int], cap: Int): Array[Int] = {
+    val used = freq.indices.filter(freq(_) > 0)
+    val lengths = new Array[Int](freq.length)
+    if (used.isEmpty) return lengths
+    if (used.size == 1) { lengths(used.head) = 1; return lengths }
+    // Huffman via two sorted queues
+    case class Node(w: Long, syms: List[Int])
+    var leaves = used.map(s => Node(freq(s).toLong, List(s)))
+      .sortBy(_.w).toList
+    var merged = List.empty[Node]
+    def pop(): Node = (leaves, merged) match {
+      case (l :: lt, m :: _) if l.w <= m.w => leaves = lt; l
+      case (l :: lt, Nil) => leaves = lt; l
+      case (_, m :: mt) => merged = mt; m
+      case _ => sys.error("brotli-enc: huffman underflow")
+    }
+    var queueLen = used.size
+    while (queueLen > 1) {
+      val a = pop(); val b = pop()
+      a.syms.foreach(s => lengths(s) += 1)
+      b.syms.foreach(s => lengths(s) += 1)
+      merged = merged :+ Node(a.w + b.w, a.syms ++ b.syms)
+      queueLen -= 1
+    }
+    // clamp and repair Kraft sum to exactly 1 (units of 2^-cap)
+    used.foreach(s => if (lengths(s) > cap) lengths(s) = cap)
+    def kraft: Long = used.map(s => 1L << (cap - lengths(s))).sum
+    val budget = 1L << cap
+    // over-subscribed: lengthen the shortest-loss symbols until legal
+    while (kraft > budget) {
+      val s = used.filter(lengths(_) < cap).minBy(freq(_))
+      lengths(s) += 1
+    }
+    // incomplete: shorten the longest codes (cheapest gain first)
+    var slack = budget - kraft
+    while (slack > 0) {
+      val cands = used.filter(s => (1L << (cap - lengths(s))) <= slack)
+        .sortBy(s => (-lengths(s), -freq(s)))
+      val s = cands.head
+      slack -= 1L << (cap - lengths(s))
+      lengths(s) -= 1
+    }
+    lengths
+  }
+
+  /** Emit one prefix code the way [[readPrefixCode]] reads it back:
+    * simple form for 1–4 distinct symbols, complex (code-length code,
+    * no 16/17 runs) otherwise. Returns the canonical codes for the
+    * data section.
+    */
+  private def emitPrefixCode(bw: BitWriter, lengths: Array[Int],
+                             alphabet: Int): Array[Int] = {
+    val used = lengths.indices.filter(lengths(_) > 0)
+    val abits = 32 - Integer.numberOfLeadingZeros(alphabet - 1)
+    if (used.size <= 4) {
+      // (re)assign the fixed simple-code shapes over the used symbols
+      val syms = used.sortBy(s => (lengths(s), s)) // short codes first
+      java.util.Arrays.fill(lengths, 0)
+      bw.w(1, 2)                 // simple marker
+      bw.w(syms.size - 1, 2)     // NSYM - 1
+      syms.size match {
+        case 1 =>
+          bw.w(syms.head, abits)
+          lengths(syms.head) = 0 // 0-bit code
+        case 2 =>
+          val s = syms.sorted
+          s.foreach(bw.w(_, abits))
+          s.foreach(lengths(_) = 1)
+        case 3 =>
+          // first listed gets the 1-bit code — keep the original
+          // shortest-length symbol there, the other two ascending
+          val first = syms.head
+          val rest = syms.tail.sorted
+          bw.w(first, abits); rest.foreach(bw.w(_, abits))
+          lengths(first) = 1; rest.foreach(lengths(_) = 2)
+        case _ =>
+          val s = syms.sorted
+          s.foreach(bw.w(_, abits))
+          bw.w(0, 1)             // tree-select 0: 2,2,2,2
+          s.foreach(lengths(_) = 2)
+      }
+      canonicalCodes(lengths)
+    } else {
+      bw.w(0, 2)                 // complex, HSKIP = 0
+      val lastNonzero = used.last
+      // code-length code over the lengths we will actually emit
+      val clcFreq = new Array[Int](18)
+      (0 to lastNonzero).foreach(s => clcFreq(lengths(s)) += 1)
+      val clcLengths = limitedLengths(clcFreq, 5)
+      val clcCodes = canonicalCodes(clcLengths)
+      // emit clc lengths along the fixed order until the space fills —
+      // exactly the prefix the decoder reads. Fixed 4-bit table codes
+      // for length-of-length values 0..5 (RFC 3.5).
+      val LolBits = Array(2, 4, 3, 2, 2, 4)
+      val LolCode = Array(0, 7, 3, 2, 1, 15)
+      var space = 32
+      var i = 0
+      while (i < 18 && space > 0) {
+        val v = clcLengths(ClcOrder(i))
+        bw.w(LolCode(v), LolBits(v))
+        if (v > 0) space -= 32 >> v
+        i += 1
+      }
+      require(space == 0 || clcFreq.count(_ > 0) == 1,
+        "brotli-enc: code length code incomplete")
+      // symbol lengths, literally (no 16/17 runs), up to the last
+      // nonzero — the decoder's space accounting stops exactly there.
+      // A single-distinct-clc-symbol code emits ZERO bits per length;
+      // that decodes correctly only in the prefix case (symbols
+      // 0..2^L-1 all length L), which is the only way it can arise
+      // (any gap would add a 0 to the clc alphabet).
+      (0 to lastNonzero).foreach { s =>
+        bw.code(clcCodes(lengths(s)), clcLengths(lengths(s)))
+      }
+      canonicalCodes(lengths)
+    }
+  }
+
+  /** Invert a base/extra table: largest code whose base ≤ v. */
+  private def codeOf(v: Int, base: Array[Int]): Int = {
+    var c = base.length - 1
+    while (base(c) > v) c -= 1
+    c
+  }
+
+  /** One LZ command: `insert` literals from `litOff`, then copy
+    * `copyLen` from `dist` back (copyLen 0 on the final flush).
+    */
+  private final case class LzCmd(litOff: Int, insert: Int, copyLen: Int,
+                                 dist: Int)
+
+  /** Greedy hash-chain LZ over one chunk (quality-1 class): 4-byte
+    * hash heads, one probe per position, matches extended maximally.
+    */
+  private def lzParse(data: Array[Byte], from: Int, until: Int,
+                      window: Int): Seq[LzCmd] = {
+    val HashBits = 17
+    val head = new Array[Int](1 << HashBits)
+    java.util.Arrays.fill(head, -1)
+    def hash(i: Int): Int = {
+      val h = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      (h * 0x9E3779B1) >>> (32 - HashBits)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[LzCmd]()
+    var lit = from
+    var i = from
+    while (i + 4 <= until) {
+      val h = hash(i)
+      val cand = head(h)
+      head(h) = i
+      var mlen = 0
+      if (cand >= 0 && i - cand <= window && i - cand >= 1) {
+        while (i + mlen < until && data(cand + mlen) == data(i + mlen) &&
+          mlen < (1 << 20)) mlen += 1
+      }
+      if (mlen >= 4) {
+        out += LzCmd(lit, i - lit, mlen, i - cand)
+        // index the match interior sparsely (every 4th position — the
+        // quality-1 tradeoff between chain freshness and encode speed)
+        var j = i + 1
+        val end = math.min(i + mlen, until - 4)
+        while (j < end) { head(hash(j)) = j; j += 4 }
+        i += mlen
+        lit = i
+      } else i += 1
+    }
+    // the decoder exits its command loop the moment the metablock is
+    // complete — a zero-insert flush after a chunk-ending match would
+    // leave unread bits in the stream and desync the next metablock
+    if (until > lit) out += LzCmd(lit, until - lit, 0, 0)
+    out.toSeq
+  }
+
+  /** Compressed-mode brotli ENCODER (greedy, single block type, one
+    * tree per category — the quality-0/1 class of the format): real
+    * LZ77 parsing into insert&copy commands, canonical limited-depth
+    * prefix codes built from the chunk's own histograms, explicit
+    * distance codes under NPOSTFIX=0/NDIRECT=0. Incompressible chunks
+    * fall back to stored metablocks, so output never inflates past
+    * `data + framing`. Arbitered both ways in BrotliSpec: the system
+    * brotli must decode our streams byte-identically, and [[decode]]
+    * round-trips them.
+    */
+  def encode(data: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter
+    // window: smallest WBITS covering the data (cap 24)
+    var wbits = 16
+    while (wbits < 24 && (1L << wbits) - 16 < data.length) wbits += 1
+    if (wbits == 16) bw.w(0, 1)
+    else if (wbits == 17) { bw.w(1, 1); bw.w(0, 3); bw.w(0, 3) }
+    else { bw.w(1, 1); bw.w(wbits - 17, 3) }
+    val window = (1 << wbits) - 16
+
+    val Chunk = 1 << 22
+    var off = 0
+    while (off < data.length) {
+      val until = math.min(off + Chunk, data.length)
+      val mlen = until - off
+      val cmds = lzParse(data, off, until, window)
+      // histograms
+      val litFreq = new Array[Int](256)
+      val cmdFreq = new Array[Int](704)
+      val distFreq = new Array[Int](64)
+      case class Enc(cmd: Int, iCode: Int, cCode: Int, dCode: Int,
+                     dExtra: Int, dBits: Int)
+      val encs = cmds.map { c =>
+        val iCode = codeOf(c.insert, InsertBase)
+        // final flush carries a dummy copy the decoder never uses
+        val copyLen = if (c.copyLen == 0) 2 else c.copyLen
+        val cCode = codeOf(copyLen, CopyBase)
+        val cell = (2 to 10).find { cl =>
+          val ir = InsertRange(cl - 2); val cr = CopyRange(cl - 2)
+          iCode >= ir && iCode < ir + 8 && cCode >= cr && cCode < cr + 8
+        }.get
+        val cmd = 128 + 64 * (cell - 2) +
+          ((iCode - InsertRange(cell - 2)) << 3) + (cCode - CopyRange(cell - 2))
+        var dCode = 0; var dExtra = 0; var dBits = 0
+        if (c.copyLen > 0) {
+          val d = c.dist
+          var nb = 1
+          var found = false
+          while (!found) {
+            var h = 0
+            while (!found && h <= 1) {
+              val base = ((2 + h) << nb) - 4 + 1
+              if (base <= d && d < base + (1 << nb)) {
+                dCode = 16 + 2 * (nb - 1) + h
+                dExtra = d - base
+                dBits = nb
+                found = true
+              }
+              h += 1
+            }
+            nb += 1
+            require(nb <= 25 || found, "brotli-enc: distance out of range")
+          }
+          distFreq(dCode) += 1
+        }
+        var k = 0
+        while (k < c.insert) { litFreq(data(c.litOff + k) & 0xff) += 1; k += 1 }
+        cmdFreq(cmd) += 1
+        Enc(cmd, iCode, cCode, dCode, dExtra, dBits)
+      }
+      if (distFreq.forall(_ == 0)) distFreq(0) = 1 // dummy single-symbol tree
+      if (litFreq.forall(_ == 0)) litFreq(0) = 1
+
+      // rough compressed-size estimate; stored fallback when it loses
+      val litLens = limitedLengths(litFreq, 15)
+      val cmdLens = limitedLengths(cmdFreq, 15)
+      val distLens = limitedLengths(distFreq, 15)
+      val estBits = litFreq.indices.map(s => litFreq(s).toLong * litLens(s)).sum +
+        cmdFreq.indices.map(s => cmdFreq(s).toLong * cmdLens(s)).sum +
+        encs.map(e => InsertExtra(e.iCode) + CopyExtra(e.cCode) +
+          e.dBits.toLong).sum + 4096
+      if (estBits / 8 >= mlen) {
+        // stored metablocks for this chunk (≤64 KiB each)
+        var so = off
+        while (so < until) {
+          val m = math.min(1 << 16, until - so)
+          bw.w(0, 1); bw.w(0, 2); bw.w(m - 1, 16); bw.w(1, 1)
+          bw.alignByte()
+          bw.writeRaw(data, so, m)
+          so += m
+        }
+      } else {
+        bw.w(0, 1)                 // ISLAST = 0
+        val nibbles = if (mlen <= (1 << 16)) 4
+          else if (mlen <= (1 << 20)) 5 else 6
+        bw.w(nibbles - 4, 2)
+        bw.w(mlen - 1, 4 * nibbles)
+        bw.w(0, 1)                 // ISUNCOMPRESSED = 0
+        bw.w(0, 1); bw.w(0, 1); bw.w(0, 1) // one block type per category
+        bw.w(0, 2)                 // NPOSTFIX 0
+        bw.w(0, 4)                 // NDIRECT 0
+        bw.w(0, 2)                 // literal context mode LSB6
+        bw.w(0, 1)                 // NTREES_L = 1
+        bw.w(0, 1)                 // NTREES_D = 1
+        val litCodes = emitPrefixCode(bw, litLens, 256)
+        val cmdCodes = emitPrefixCode(bw, cmdLens, 704)
+        val distCodes = emitPrefixCode(bw, distLens, 64)
+        encs.zip(cmds).foreach { case (e, c) =>
+          bw.code(cmdCodes(e.cmd), cmdLens(e.cmd))
+          bw.w(c.insert - InsertBase(e.iCode), InsertExtra(e.iCode))
+          val copyLen = if (c.copyLen == 0) 2 else c.copyLen
+          bw.w(copyLen - CopyBase(e.cCode), CopyExtra(e.cCode))
+          var k = 0
+          while (k < c.insert) {
+            val b = data(c.litOff + k) & 0xff
+            bw.code(litCodes(b), litLens(b))
+            k += 1
+          }
+          if (c.copyLen > 0) {
+            bw.code(distCodes(e.dCode), distLens(e.dCode))
+            bw.w(e.dExtra, e.dBits)
+          }
+        }
+      }
+      off = until
+    }
+    bw.w(1, 1); bw.w(1, 1)         // ISLAST + ISLASTEMPTY
+    bw.toByteArray
   }
 }

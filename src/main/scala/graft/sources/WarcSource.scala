@@ -888,13 +888,15 @@ object WarcSource {
       // the stored payload is the RAW wire bytes, as real crawlers write
       val chunked = (id + j) % 3 == 1
       val gzipped = (id + j) % 4 == 2
-      // br via the engine's own stored-metablock encoder — a valid
-      // brotli stream per RFC 7932 §9.2 (compressed-stream arbitration
-      // against the system encoder lives in BrotliSpec)
+      // br via the engine's own COMPRESSED encoder (greedy LZ + real
+      // prefix codes), so the x100/x101 decoded-entity oracles gate the
+      // full huffman/command/distance decode path, not just stored
+      // framing; system-encoder arbitration (both directions) lives in
+      // BrotliSpec
       val brotli = (id + j) % 4 == 0
       val entityWire =
         if (gzipped) gzipOne(html)
-        else if (brotli) Brotli.encodeStored(html)
+        else if (brotli) Brotli.encode(html)
         else html
       val bodyWire = if (chunked) chunkEncode(entityWire, id) else entityWire
       // charset label rotates (bodies are ASCII, so every label decodes

@@ -130,6 +130,21 @@ object BrotliScale {
     println(f" pages: $n%d entities, ${outBytes / 1e6}%8.1f MB out in " +
       f"$secs%6.2f s (${outBytes / 1e6 / secs}%6.1f MB/s, " +
       f"${n / secs}%8.0f entities/s)")
+
+    // the ENCODE side: the own greedy compressed encoder over the big
+    // corpus, verified by the own decoder
+    val bigC = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "big.br").toPath)
+    val big = graft.sources.Brotli.decode(bigC)
+    graft.sources.Brotli.encode(
+      java.util.Arrays.copyOfRange(big, 0, 1 << 22)) // warm
+    val e0 = System.nanoTime()
+    val enc = graft.sources.Brotli.encode(big)
+    val esecs = (System.nanoTime() - e0) / 1e9
+    require(java.util.Arrays.equals(graft.sources.Brotli.decode(enc), big))
+    println(f"encode: ${big.length / 1e6}%8.1f MB -> ${enc.length / 1e6}%8.1f MB " +
+      f"(${enc.length * 100.0 / big.length}%5.1f%%) in $esecs%6.2f s " +
+      f"(${big.length / 1e6 / esecs}%6.1f MB/s in)")
     println(f"peak heap: ${peak.get() / 1e6}%.0f MB")
   }
 }

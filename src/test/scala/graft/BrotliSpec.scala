@@ -123,6 +123,67 @@ class BrotliSpec extends GraftSparkSpec {
     }
   }
 
+  test("encode: compressed streams decode identically in BOTH decoders and actually compress") {
+    withTempDir { dir =>
+      // the same corpus shapes as the decode matrix, compressed by the
+      // ENGINE this time, decompressed by the system brotli
+      python(
+        s"""$genInputs
+           |import os
+           |d = ${"\"" + dir.getAbsolutePath + "\""}
+           |for name, data in inputs():
+           |    open(os.path.join(d, name.decode() + '.in'), 'wb').write(data)
+           |print('ok')""".stripMargin)
+      val names = Seq("empty", "one", "eng", "html", "utf8", "rand",
+        "zeros", "longrep")
+      names.foreach { name =>
+        val data = java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, name + ".in").toPath)
+        val c = Brotli.encode(data)
+        java.nio.file.Files.write(
+          new java.io.File(dir, name + ".enc.br").toPath, c)
+        // own decoder roundtrip
+        assert(java.util.Arrays.equals(Brotli.decode(c), data),
+          s"$name: own decode mismatch")
+        // compressible shapes must actually shrink; incompressible ones
+        // must not inflate past framing
+        if (name == "eng" || name == "html" || name == "zeros")
+          assert(c.length < data.length / 3, s"$name: ratio ${c.length}/${data.length}")
+        assert(c.length <= data.length + data.length / (1 << 16) * 4 + 16,
+          s"$name: inflated ${c.length}/${data.length}")
+      }
+      val out = python(
+        s"""import brotlicffi
+           |d = ${"\"" + dir.getAbsolutePath + "\""}
+           |for n in ['empty', 'one', 'eng', 'html', 'utf8', 'rand',
+           |          'zeros', 'longrep']:
+           |    c = open('%s/%s.enc.br' % (d, n), 'rb').read()
+           |    raw = open('%s/%s.in' % (d, n), 'rb').read()
+           |    assert brotlicffi.decompress(c) == raw, n
+           |print('OK')""".stripMargin)
+      assert(out.trim === "OK")
+    }
+  }
+
+  test("encode: multi-metablock (>4 MiB) and window-boundary inputs roundtrip") {
+    val rnd = new scala.util.Random(23)
+    // 6 MiB of structured text: spans two compressed metablocks
+    val sb = new StringBuilder
+    while (sb.length < (6 << 20))
+      sb.append("record ").append(rnd.nextInt(1000))
+        .append(" of the corpus with some description text; ")
+    val big = sb.toString.getBytes("UTF-8")
+    val c = Brotli.encode(big)
+    assert(java.util.Arrays.equals(Brotli.decode(c), big))
+    assert(c.length < big.length / 2)
+    // exactly-window-sized and window+1 inputs (wbits selection edges)
+    Seq((1 << 16) - 16, (1 << 16) - 15, 65536).foreach { n =>
+      val d = new Array[Byte](n)
+      rnd.nextBytes(d)
+      assert(java.util.Arrays.equals(Brotli.decode(Brotli.encode(d)), d))
+    }
+  }
+
   test("decode: metadata metablocks are skipped; empty stream decodes") {
     // WBITS=16, non-last metadata metablock (no skip bytes), last-empty
     assert(Brotli.decode(Array[Byte](0x0c, 0x03)).isEmpty)
