@@ -182,6 +182,17 @@ class BrotliSpec extends GraftSparkSpec {
       rnd.nextBytes(d)
       assert(java.util.Arrays.equals(Brotli.decode(Brotli.encode(d)), d))
     }
+    // fibonacci-skewed literal frequencies force a Huffman deeper than
+    // 15 — the length-limit clamp + Kraft fixup must still emit a
+    // complete code (an incomplete one fails the own decoder loudly)
+    val skew = scala.collection.mutable.ArrayBuffer[Byte]()
+    var (a, b) = (1L, 1L)
+    (0 until 24).foreach { i =>
+      (0L until math.min(a, 100000L)).foreach(_ => skew += i.toByte)
+      val t = a + b; a = b; b = t
+    }
+    val sk = skew.toArray
+    assert(java.util.Arrays.equals(Brotli.decode(Brotli.encode(sk)), sk))
   }
 
   test("decode: metadata metablocks are skipped; empty stream decodes") {
