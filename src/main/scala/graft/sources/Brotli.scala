@@ -886,13 +886,16 @@ object Brotli {
         "brotli-enc: code length code incomplete")
       // symbol lengths, literally (no 16/17 runs), up to the last
       // nonzero — the decoder's space accounting stops exactly there.
-      // A single-distinct-clc-symbol code emits ZERO bits per length;
-      // that decodes correctly only in the prefix case (symbols
-      // 0..2^L-1 all length L), which is the only way it can arise
-      // (any gap would add a 0 to the clc alphabet).
-      (0 to lastNonzero).foreach { s =>
-        bw.code(clcCodes(lengths(s)), clcLengths(lengths(s)))
-      }
+      // EXCEPT the single-distinct-clc-symbol case: the decoder builds
+      // a 0-bit code-length code and reads ZERO bits per length,
+      // auto-filling until its space runs out — which reproduces the
+      // array exactly because this case only arises as "symbols
+      // 0..2^L-1 all length L" (any gap would add 0 to the clc
+      // alphabet); emitting even one bit here would desync.
+      if (clcFreq.count(_ > 0) > 1)
+        (0 to lastNonzero).foreach { s =>
+          bw.code(clcCodes(lengths(s)), clcLengths(lengths(s)))
+        }
       canonicalCodes(lengths)
     }
   }

@@ -193,6 +193,30 @@ class BrotliSpec extends GraftSparkSpec {
     }
     val sk = skew.toArray
     assert(java.util.Arrays.equals(Brotli.decode(Brotli.encode(sk)), sk))
+    // a repeated random 256-byte permutation: LZ eats the repeats, the
+    // literal histogram is EXACTLY uniform over all 256 bytes → every
+    // length 8, single-symbol code-length code — the decoder reads
+    // ZERO bits per symbol length there (auto-fill), so the emitter
+    // must too
+    val perm = rnd.shuffle((0 until 256).toVector).map(_.toByte).toArray
+    val rep = Array.fill(1000)(perm).flatten
+    val repC = Brotli.encode(rep)
+    assert(java.util.Arrays.equals(Brotli.decode(repC), rep))
+    assert(repC.length < rep.length / 10) // the compressed path ran
+    // arbiter the zero-bit code-length-code stream against the system
+    // decoder too — own-encode/own-decode agreement alone could hide a
+    // shared misunderstanding of the auto-fill rule
+    withTempDir { dir =>
+      java.nio.file.Files.write(new java.io.File(dir, "rep.br").toPath, repC)
+      java.nio.file.Files.write(new java.io.File(dir, "rep.in").toPath, rep)
+      val out = python(
+        s"""import brotlicffi
+           |d = ${"\"" + dir.getAbsolutePath + "\""}
+           |assert brotlicffi.decompress(open(d + '/rep.br', 'rb').read()) \\
+           |    == open(d + '/rep.in', 'rb').read()
+           |print('OK')""".stripMargin)
+      assert(out.trim === "OK")
+    }
   }
 
   test("decode: metadata metablocks are skipped; empty stream decodes") {
