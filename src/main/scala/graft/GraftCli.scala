@@ -1065,6 +1065,29 @@ object GraftCli {
       else q.awaitTermination()
       spark.stop()
 
+    case "stream-warc-write" :: landingDir :: outDir :: checkpoint :: rest =>
+      // continuous response-record export: page rows land, each
+      // micro-batch becomes its own wave of .warc.gz archives
+      val spark = session()
+      val nShards = rest.headOption.map(_.toInt).getOrElse(4)
+      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val pageSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("uri",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("content_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = spark.readStream.schema(pageSchema).parquet(landingDir)
+      val q = streaming.StreamingAnalytics.warcExportIngest(
+        stream, outDir, checkpoint, nShards)
+      println(s"[graft] warc-export server on $landingDir -> $outDir")
+      if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
     case "warc-write" :: pagesParquet :: outDir :: rest =>
       // response-record archive export: pages (uri, status,
       // content_type, body) -> sharded .warc.gz with real SHA-1 payload

@@ -200,6 +200,25 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** [[wetExportIngest]]'s response-record sibling: micro-batches of
+    * page rows (uri, status, content_type, body) export as waves of
+    * `.warc.gz` archives through the batch [[graft.sources.WarcSource.
+    * writeWarc]] — same determinism argument, same first-wins commit,
+    * real payload digests per record.
+    */
+  def warcExportIngest(pages: DataFrame, outDir: String,
+                       checkpointDir: String, nShards: Int = 4,
+                       gzip: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.WarcSource.writeWarc(
+          batch.toDF(), s"$outDir/wave=$batchId", nShards, gzip)
+        ()
+      }
+      .start()
+
   /** SEMANTIC (embedding) dedup at ingest against a committed corpus's
     * persisted clustering state (PrepareRun's `semantic_centroids` +
     * `semantic_reps`): each micro-batch of (idCol, embedding) rows runs

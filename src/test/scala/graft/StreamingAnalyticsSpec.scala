@@ -366,4 +366,54 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
       rm(root)
     }
   }
+
+  test("warc export stream: waves of response archives re-ingest and replay safely") {
+    val root = java.nio.file.Files.createTempDirectory("warcstream").toFile
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("uri",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("content_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.BinaryType)))
+    try {
+      Seq(("http://h0/p/1", 200, "text/plain", "one body".getBytes("UTF-8")),
+          ("http://h1/p/2", 404, "text/plain", "two body".getBytes("UTF-8")))
+        .toDF("uri", "status", "content_type", "body")
+        .coalesce(1).write.mode("append").parquet(landing.getAbsolutePath)
+      val q = StreamingAnalytics.warcExportIngest(
+        spark.readStream.schema(schema).parquet(landing.getAbsolutePath),
+        out, ckpt, nShards = 1)
+      q.processAllAvailable()
+      q.stop()
+      val got = graft.sources.WarcSource.warcFiles(spark,
+          out + "/wave=*/part-*.warc.gz")
+        .select("uri", "status", "text").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      assert(got === Set(("http://h0/p/1", 200, "one body"),
+        ("http://h1/p/2", 404, "two body")))
+      // replay without the checkpoint: first-wins leaves bytes identical
+      val f0 = new java.io.File(out, "wave=0").listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head
+      val before = java.nio.file.Files.readAllBytes(f0.toPath).toSeq
+      val q2 = StreamingAnalytics.warcExportIngest(
+        spark.readStream.schema(schema).parquet(landing.getAbsolutePath),
+        out, new java.io.File(root, "ckpt2").getAbsolutePath, nShards = 1)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(java.nio.file.Files.readAllBytes(f0.toPath).toSeq === before)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(root)
+    }
+  }
 }
