@@ -1074,8 +1074,11 @@ object GraftCli {
       val pageSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("uri",
           org.apache.spark.sql.types.StringType),
+        // LONG, not INT: schema-declared parquet streaming reads are
+        // strict about physical integer width, and foreign producers
+        // (pandas included) default to int64 — writeWarc casts down
         org.apache.spark.sql.types.StructField("status",
-          org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content_type",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("body",
