@@ -271,6 +271,25 @@ class BrotliSpec extends GraftSparkSpec {
     }
   }
 
+  test("hostile: pure-random inputs only ever fail typed, bounded, and fast") {
+    // beyond the flip sweep: 20k seeded random byte strings (lengths
+    // 0..512) — every decode must either succeed (vanishingly rare) or
+    // throw the typed data error; nothing else may escape, and output
+    // stays under the bound
+    val rnd = new scala.util.Random(1009)
+    var decoded = 0
+    (0 until 20000).foreach { i =>
+      val d = new Array[Byte](rnd.nextInt(513))
+      rnd.nextBytes(d)
+      try {
+        val out = Brotli.decode(d, maxOut = 1 << 22)
+        decoded += 1
+        assert(out.length <= (1 << 22))
+      } catch { case _: IllegalArgumentException => () }
+    }
+    info(s"random inputs that decoded: $decoded / 20000")
+  }
+
   test("decode: the output bound is enforced before inflation") {
     withTempDir { dir =>
       python(
