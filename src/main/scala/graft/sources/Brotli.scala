@@ -327,8 +327,13 @@ object Brotli {
         }
       }
       require(symSpace >= 0, "brotli: prefix code over-subscribed")
-      // incomplete codes are invalid unless degenerate-single
-      buildHuff(lengths) // buildHuff enforces completeness
+      // RFC 3.5: a COMPLEX code must be exactly complete — the
+      // single-symbol degenerate form is reserved for the simple-code
+      // path, so a complex stream that codes one lone symbol (which
+      // buildHuff's nonZero==1 arm would otherwise accept) is invalid;
+      // the reference decoder rejects it too (r18 ADVICE)
+      require(symSpace == 0, "brotli: prefix code incomplete")
+      buildHuff(lengths)
     }
   }
 
@@ -724,6 +729,23 @@ object Brotli {
       require(n == 0, "brotli-enc: raw write while unaligned")
       bytes.write(data, off, len)
     }
+    /** Exact bits emitted so far — the stored-vs-compressed fallback
+      * compares MEASURED sizes, never an estimate (r18 ADVICE: a fixed
+      * table-cost slack can undershoot the worst case).
+      */
+    def bitLength: Long = bytes.size().toLong * 8 + n
+    /** Replay another writer's bits at the current (arbitrary) bit
+      * offset — how a scratch-emitted metablock lands in the stream.
+      * The scratch must hold no raw-aligned writes (alignment would
+      * not survive the shift); [[encode]]'s compressed metablocks
+      * never do.
+      */
+    def append(other: BitWriter): Unit = {
+      val arr = other.bytes.toByteArray
+      var i = 0
+      while (i < arr.length) { w(arr(i) & 0xff, 8); i += 1 }
+      if (other.n > 0) w(other.cur, other.n)
+    }
     def toByteArray: Array[Byte] = { alignByte(); bytes.toByteArray }
   }
 
@@ -1029,16 +1051,51 @@ object Brotli {
       if (distFreq.forall(_ == 0)) distFreq(0) = 1 // dummy single-symbol tree
       if (litFreq.forall(_ == 0)) litFreq(0) = 1
 
-      // rough compressed-size estimate; stored fallback when it loses
       val litLens = limitedLengths(litFreq, 15)
       val cmdLens = limitedLengths(cmdFreq, 15)
       val distLens = limitedLengths(distFreq, 15)
-      val estBits = litFreq.indices.map(s => litFreq(s).toLong * litLens(s)).sum +
-        cmdFreq.indices.map(s => cmdFreq(s).toLong * cmdLens(s)).sum +
-        encs.map(e => InsertExtra(e.iCode) + CopyExtra(e.cCode) +
-          e.dBits.toLong).sum + 4096
-      if (estBits / 8 >= mlen) {
-        // stored metablocks for this chunk (≤64 KiB each)
+      // emit the compressed metablock to a SCRATCH writer and compare
+      // its MEASURED size against the stored form — an estimate with a
+      // fixed table-emission slack can undershoot the worst-case table
+      // cost and let a near-incompressible chunk inflate past the
+      // stored framing (r18 ADVICE); measuring makes the never-inflates
+      // guarantee unconditional
+      val sc = new BitWriter
+      sc.w(0, 1)                 // ISLAST = 0
+      val nibbles = if (mlen <= (1 << 16)) 4
+        else if (mlen <= (1 << 20)) 5 else 6
+      sc.w(nibbles - 4, 2)
+      sc.w(mlen - 1, 4 * nibbles)
+      sc.w(0, 1)                 // ISUNCOMPRESSED = 0
+      sc.w(0, 1); sc.w(0, 1); sc.w(0, 1) // one block type per category
+      sc.w(0, 2)                 // NPOSTFIX 0
+      sc.w(0, 4)                 // NDIRECT 0
+      sc.w(0, 2)                 // literal context mode LSB6
+      sc.w(0, 1)                 // NTREES_L = 1
+      sc.w(0, 1)                 // NTREES_D = 1
+      val litCodes = emitPrefixCode(sc, litLens, 256)
+      val cmdCodes = emitPrefixCode(sc, cmdLens, 704)
+      val distCodes = emitPrefixCode(sc, distLens, 64)
+      encs.zip(cmds).foreach { case (e, c) =>
+        sc.code(cmdCodes(e.cmd), cmdLens(e.cmd))
+        sc.w(c.insert - InsertBase(e.iCode), InsertExtra(e.iCode))
+        val copyLen = if (c.copyLen == 0) 2 else c.copyLen
+        sc.w(copyLen - CopyBase(e.cCode), CopyExtra(e.cCode))
+        var k = 0
+        while (k < c.insert) {
+          val b = data(c.litOff + k) & 0xff
+          sc.code(litCodes(b), litLens(b))
+          k += 1
+        }
+        if (c.copyLen > 0) {
+          sc.code(distCodes(e.dCode), distLens(e.dCode))
+          sc.w(e.dExtra, e.dBits)
+        }
+      }
+      if (sc.bitLength >= 8L * mlen) {
+        // compressed form lost to the raw payload — stored metablocks
+        // for this chunk (≤64 KiB each; their framing is strictly
+        // smaller than the payload bits the compressed form exceeded)
         var so = off
         while (so < until) {
           val m = math.min(1 << 16, until - so)
@@ -1047,39 +1104,7 @@ object Brotli {
           bw.writeRaw(data, so, m)
           so += m
         }
-      } else {
-        bw.w(0, 1)                 // ISLAST = 0
-        val nibbles = if (mlen <= (1 << 16)) 4
-          else if (mlen <= (1 << 20)) 5 else 6
-        bw.w(nibbles - 4, 2)
-        bw.w(mlen - 1, 4 * nibbles)
-        bw.w(0, 1)                 // ISUNCOMPRESSED = 0
-        bw.w(0, 1); bw.w(0, 1); bw.w(0, 1) // one block type per category
-        bw.w(0, 2)                 // NPOSTFIX 0
-        bw.w(0, 4)                 // NDIRECT 0
-        bw.w(0, 2)                 // literal context mode LSB6
-        bw.w(0, 1)                 // NTREES_L = 1
-        bw.w(0, 1)                 // NTREES_D = 1
-        val litCodes = emitPrefixCode(bw, litLens, 256)
-        val cmdCodes = emitPrefixCode(bw, cmdLens, 704)
-        val distCodes = emitPrefixCode(bw, distLens, 64)
-        encs.zip(cmds).foreach { case (e, c) =>
-          bw.code(cmdCodes(e.cmd), cmdLens(e.cmd))
-          bw.w(c.insert - InsertBase(e.iCode), InsertExtra(e.iCode))
-          val copyLen = if (c.copyLen == 0) 2 else c.copyLen
-          bw.w(copyLen - CopyBase(e.cCode), CopyExtra(e.cCode))
-          var k = 0
-          while (k < c.insert) {
-            val b = data(c.litOff + k) & 0xff
-            bw.code(litCodes(b), litLens(b))
-            k += 1
-          }
-          if (c.copyLen > 0) {
-            bw.code(distCodes(e.dCode), distLens(e.dCode))
-            bw.w(e.dExtra, e.dBits)
-          }
-        }
-      }
+      } else bw.append(sc)
       off = until
     }
     bw.w(1, 1); bw.w(1, 1)         // ISLAST + ISLASTEMPTY

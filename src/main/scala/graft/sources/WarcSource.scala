@@ -298,7 +298,17 @@ object WarcSource {
                   "http: corrupt zstd body: " + e.getMessage)
             }
           }
-        } finally zin.close()
+        } finally {
+          // close() can itself throw on trailing damage — wrap it like
+          // the reads, or the IOException escapes httpFacts' lenient
+          // RuntimeException catch and fails the TASK instead of
+          // degrading the page (r18 ADVICE)
+          try zin.close() catch {
+            case e: java.io.IOException =>
+              throw new IllegalArgumentException(
+                "http: corrupt zstd body: " + e.getMessage)
+          }
+        }
         out.toByteArray
       case other => throw new UnsupportedCoding(other)
     }
@@ -1291,7 +1301,11 @@ object WarcSource {
         col("text").cast("string"))
       .as[(Long, String, String)]
       .map { case (id, source, text) =>
-        val rec = wetRecordOf(id, if (source == null) "" else source, text, d)
+        // null text coalesces to "" like null source — a corpus row
+        // with no text still gets its (empty) conversion record instead
+        // of a raw NPE out of the export job (r18 ADVICE)
+        val rec = wetRecordOf(id, if (source == null) "" else source,
+          if (text == null) "" else text, d)
         (java.lang.Math.floorMod(id, n), id, if (g) gzipOne(rec) else rec)
       }
     writeArchiveShards(rows, outDir,
@@ -1318,7 +1332,12 @@ object WarcSource {
         spark.sparkContext.hadoopConfiguration))
     rows.toDF("shard", "skey", "rec")
       .repartition(col("shard"))
-      .sortWithinPartitions("shard", "skey")
+      // the record bytes as the TERTIARY sort key: two rows whose skey
+      // collides (uri.hashCode in writeWarc) would otherwise order
+      // nondeterministically across task retries, and on a local FS a
+      // reordered replay can replace a shard's bytes — full-row
+      // ordering makes shard bytes deterministic (r18 ADVICE)
+      .sortWithinPartitions(col("shard"), col("skey"), col("rec"))
       .as[(Long, Long, Array[Byte])]
       .mapPartitions { iter =>
         val conf = confB.value.value
