@@ -794,8 +794,8 @@ object CdxSource {
     * decode — a typed lambda filter would crash on SQL-NULL pointers
     * from an external index instead of skipping them (r18 review).
     */
-  private def fetchTagged(spark: SparkSession, warcDir: String,
-                          rows0: DataFrame): DataFrame = {
+  private[graft] def fetchTagged(spark: SparkSession, warcDir: String,
+                                 rows0: DataFrame): DataFrame = {
     import spark.implicits._
     val conf = new graft.streaming.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
@@ -851,15 +851,31 @@ object CdxSource {
   def resolveRevisits(spark: SparkSession, warcDir: String,
                       revisits: DataFrame, index: DataFrame): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("revisit_uri", "digest")
-      .orderBy(col("timestamp"), col("filename"), col("offset"))
+    // The winning capture per digest does not depend on the revisit's
+    // URI (earliest by timestamp/filename/offset) — so pick it by
+    // pre-aggregating the index to ONE row per digest BEFORE the join
+    // (struct-min = the same lexicographic (timestamp, filename,
+    // offset) order the old per-(uri,digest) window used; `length`
+    // trails as a deterministic tiebreak where the window was
+    // tie-arbitrary). The r18 form joined the FULL index on bare
+    // digest first, fanning out |uris sharing d| × |captures with d|
+    // rows per digest — and on real crawl data `digest` is exactly the
+    // skewed key (boilerplate/soft-404 bodies share one digest across
+    // millions of captures AND revisit URIs). After the pre-agg the
+    // join is 1:1 per digest and the window is gone: map-side-combined
+    // agg + pointer-sized exchange, no skewed fan-out.
+    val best = index
+      .select(col("digest"), col("timestamp"), col("filename"),
+        col("offset"), col("length"))
+      .groupBy("digest")
+      .agg(min(struct(col("timestamp"), col("filename"),
+        col("offset"), col("length"))).as("cap"))
+      .select(col("digest"), col("cap.timestamp").as("timestamp"),
+        col("cap.filename").as("filename"),
+        col("cap.offset").as("offset"), col("cap.length").as("length"))
     val picked = revisits
       .select(col("uri").as("revisit_uri"), col("digest")).distinct()
-      .join(index.select(col("digest"), col("timestamp"), col("filename"),
-        col("offset"), col("length")), Seq("digest"), "left")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .join(best, Seq("digest"), "left")
       // pointer VALIDITY decides the branch — an index-missing digest
       // AND an index row with a garbage/NULL pointer both land in
       // `unresolved`: routing only on filename would let fetchTagged's

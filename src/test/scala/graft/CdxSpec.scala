@@ -281,6 +281,88 @@ class CdxSpec extends GraftSparkSpec {
     assert(r.getString(4).startsWith("doc 7 Doc 7"))
   }
 
+  test("cdx: resolveRevisits on a HOT digest equals the windowed form — no fan-out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the r18 plan joined the full index on bare digest before picking
+    // a winner, fanning out |uris sharing d| × |captures with d| rows —
+    // exactly the boilerplate/soft-404 skew shape of real crawls. The
+    // r19 form pre-aggregates the index to one earliest capture per
+    // digest (uri-independent pick), so this fixture plants ONE digest
+    // shared by 50 revisit URIs and 41 captures and requires row
+    // equality with the old windowed implementation.
+    val dir = java.nio.file.Files.createTempDirectory("cdxhot").toFile
+    try {
+      val text = "hot digest body"
+      java.nio.file.Files.write(new java.io.File(dir, "d7.warc").toPath,
+        WarcSource.warcOf(7L, text))
+      val real = CdxSource.cdxOf(7L, text).split("\n").filter(_.nonEmpty)
+        .map(CdxSource.parseCdxLine)
+      val e0 = real(0) // j=0 response — the hot digest's true original
+      val e1 = real(1) // j=1 response — digest B's null-ts winner target
+      // (digest, timestamp, filename, offset, length)
+      val hotFakes = (0 until 40).map(i =>
+        ("hotdigest", "20270101000000", "d7.warc", 4L + i, 9L))
+      val index = (Seq(
+        ("hotdigest", e0.timestamp, e0.filename, e0.offset, e0.length),
+        // digest B: a NULL-timestamp capture row must win (asc nulls
+        // first — the old window's order), pointing at a REAL record
+        ("digB", null, e1.filename, e1.offset, e1.length),
+        ("digB", "20260101000000", "d7.warc", 1L, 7L),
+        // digest D: winner has a null filename -> unresolved
+        ("digD", "20260101000000", null, 3L, 5L)) ++ hotFakes)
+        .toDF("digest", "timestamp", "filename", "offset", "length")
+      val revisits = ((0 until 50).map(i => (s"http://hot.example/$i", "hotdigest")) ++
+        Seq(("http://b.example/x", "digB"), ("http://b.example/y", "digB"),
+          ("http://c.example/", "digC"), ("http://d.example/", "digD")))
+        .toDF("uri", "digest")
+      val got = CdxSource.resolveRevisits(spark, dir.getAbsolutePath,
+        revisits, index)
+      // the OLD (r18) windowed form, verbatim — the semantics oracle
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("revisit_uri", "digest")
+        .orderBy(col("timestamp"), col("filename"), col("offset"))
+      val oldPicked = revisits
+        .select(col("uri").as("revisit_uri"), col("digest")).distinct()
+        .join(index.select(col("digest"), col("timestamp"), col("filename"),
+          col("offset"), col("length")), Seq("digest"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("ok", col("filename").isNotNull &&
+          coalesce(col("offset") >= 0 && col("length") > 0, lit(false)))
+      val oldResolved = CdxSource.fetchTagged(spark,
+          dir.getAbsolutePath, oldPicked.filter(col("ok"))
+            .select(col("filename"), col("offset"), col("length"),
+              col("revisit_uri")))
+        .select(col("tag").as("revisit_uri"), col("uri").as("resolved_from"),
+          col("status"), col("text"))
+      val oldAll = oldResolved.unionByName(oldPicked.filter(!col("ok"))
+        .select(col("revisit_uri"),
+          lit(null).cast("string").as("resolved_from"),
+          lit(-1).as("status"), lit(null).cast("string").as("text")))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), Option(r.getString(1)), r.getInt(2),
+          Option(r.getString(3)))
+      assert(got.collect().map(key).sorted === oldAll.collect().map(key).sorted)
+      val byUri = got.collect().map(r => r.getString(0) -> r).toMap
+      assert(byUri.size === 54)
+      // hot digest: all 50 URIs resolved from the TRUE original, never
+      // a 2027 fake
+      (0 until 50).foreach { i =>
+        val r = byUri(s"http://hot.example/$i")
+        assert(r.getString(1) === e0.url)
+        assert(r.getString(3).contains("hot digest body"))
+      }
+      // digB: the null-timestamp capture wins under nulls-first
+      assert(byUri("http://b.example/x").getString(1) === e1.url)
+      // digC (unindexed) and digD (garbage pointer) both unresolved
+      assert(byUri("http://c.example/").getInt(2) === -1)
+      assert(byUri("http://d.example/").getInt(2) === -1)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("cdx: shard files parse through the Spark path; fetchByIndex round-trips a crawl") {
     val dir = java.nio.file.Files.createTempDirectory("cdxspec").toFile
     try {
