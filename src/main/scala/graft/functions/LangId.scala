@@ -242,8 +242,11 @@ object LangId {
       case "greek" => "el" // Greek script writes Greek, nothing else
       // the kana rule only arbitrates HAN dominance (zh vs kanji-heavy
       // ja) — applied over latin/cyrillic-dominant text it would label
-      // an English page with one short Japanese quote `ja` (r18 review)
-      case "han" => if (kana * 20L >= total) "ja" else "und"
+      // an English page with one short Japanese quote `ja` (r18 review).
+      // Kana-free Han text goes to the hanzi-unigram family (d62):
+      // zh-hans/zh-hant when the script-variant signal clears the
+      // margin, honest `und` on variant-free or kanji-only fragments.
+      case "han" => if (kana * 20L >= total) "ja" else HanLangId.predict(text)
       // scripts that write exactly ONE living language imply it the way
       // hangul implies Korean — no model needed, and refusing them
       // would discard the script's entire (unambiguous) population
@@ -666,6 +669,147 @@ object DevaLangId {
 
   private[graft] def normalize(text: String): String = model.normalize(text)
   private[graft] def trigrams(text: String): Seq[String] = model.trigrams(text)
+  private[graft] def vocabSize: Int = model.vocabSize
+  private[graft] def totals: Map[String, Int] = model.totals
+  private[graft] def maxSeedCount: Int = model.maxSeedCount
+  private[graft] def scores(text: String): Map[String, Long] =
+    model.scores(text)
+
+  def predict(text: String): String = model.predict(text)
+}
+
+/** Hanzi-UNIGRAM naive Bayes — the core behind [[HanLangId]]. The Han
+  * script cannot ride [[TrigramNb]]: the URO alone holds 20k+
+  * codepoints, so a trigram table would explode past the literal-seed
+  * discipline, while single hanzi already carry the script-variant
+  * signal (simplified-only vs traditional-only characters are among
+  * the most frequent in running text — 这/這, 们/們, 说/說). The
+  * decision unit ADAPTS accordingly: micro-nats PER CHARACTER (the
+  * per-trigram margin, re-based; documented in the d62 oracle).
+  * Normalize strips to the URO (U+4E00–9FFF) with NO spaces and no
+  * padding — unigram counts are order-free. Ext-A+ ideographs are
+  * stripped like nukta forms in the Devanagari family (rare, and BMP
+  * restriction keeps Java char and DuckDB codepoint indexing aligned).
+  * Same cross-engine discipline as TrigramNb: integer scores, literal
+  * ln table, alphabetical tie, margin else `und`.
+  */
+private[graft] final class UnigramNb(
+    val langs: Seq[String],
+    val seeds: Seq[(String, String)],
+    stripRe: String,
+    val lnMicro: Map[Int, Long],
+    val undMarginMicro: Long) {
+
+  def normalize(text: String): String =
+    text.replaceAll(stripRe + "+", "")
+
+  def unigrams(text: String): Seq[String] =
+    normalize(text).map(_.toString)
+
+  private val counts: Map[String, Map[String, Int]] =
+    seeds.groupBy(_._1).map { case (l, ss) =>
+      l -> ss.flatMap(s => unigrams(s._2))
+        .groupBy(identity).map { case (c, xs) => c -> xs.size }
+    }
+  val vocabSize: Int =
+    counts.valuesIterator.flatMap(_.keysIterator).toSet.size
+  val totals: Map[String, Int] =
+    counts.map { case (l, c) => l -> c.values.sum }
+  val maxSeedCount: Int =
+    counts.valuesIterator.flatMap(_.valuesIterator).max
+
+  private def scoresOf(us: Seq[String]): Map[String, Long] =
+    langs.map { l =>
+      val c = counts(l)
+      val base = lnMicro(totals(l) + vocabSize)
+      l -> us.foldLeft(0L)((acc, u) => acc + lnMicro(c.getOrElse(u, 0) + 1))
+        .-(us.size.toLong * base)
+    }.toMap
+
+  def scores(text: String): Map[String, Long] = scoresOf(unigrams(text))
+
+  def predict(text: String): String = {
+    val us = unigrams(text)
+    if (us.isEmpty) return "und"
+    val sc = scoresOf(us)
+    val ordered = langs.sortBy(l => (-sc(l), l))
+    if (sc(ordered.head) - sc(ordered(1)) >= undMarginMicro * us.size)
+      ordered.head
+    else "und"
+  }
+}
+
+/** The Han family (zh-hans/zh-hant) behind [[LangId.route]]'s script
+  * dispatch — the single largest non-Latin slice of any web crawl,
+  * previously a named refusal. Kana presence still implies `ja` FIRST
+  * (route order), so this model only ever sees kana-free Han text.
+  *
+  * Seeds are the same 8 sentences as every other family, written in
+  * Simplified and Traditional Chinese — each pair is a CHARACTER-WISE
+  * variant (equal length), so the two models' totals are identical,
+  * the NB base terms cancel, and the score gap is carried purely by
+  * script-variant characters (过/過, 这/這, 们/們, 说/說 …); shared
+  * characters contribute exactly zero. Margin measured in
+  * tools/langid/calc_han.py: held-out in-set pool clears ≥ ~123k
+  * micro-nats/char, kanji-only Japanese with a stray seed character
+  * measures ≤ ~63k, seed-char-free kanji/hanja text measures 0 —
+  * 80000 splits the populations. Honest boundaries (pinned in
+  * LangIdSpec): variant-free text (shared-char-only zh, most
+  * kanji-only ja) lands `und`; a very SHORT kanji compound carrying a
+  * seed character (将来性) can cross the per-char margin — the
+  * Aramaic→he analogue of this family.
+  */
+object HanLangId {
+
+  /** Tie order = alphabetical. */
+  val langs: Seq[String] = Seq("zh-hans", "zh-hant")
+
+  /** Micro-nats per CHARACTER (the adapted per-trigram unit). */
+  val undMarginMicro: Long = 80000L
+
+  // Seed corpora: pairwise character-variant sentences. MUST stay
+  // byte-identical to the d62 oracle's VALUES.
+  private[graft] val seeds: Seq[(String, String)] = Seq(
+    ("zh-hans", "敏捷的棕色狐狸跳过懒惰的狗"),
+    ("zh-hans", "这是杰克建造的房子"),
+    ("zh-hans", "现在几点了我们要去哪里"),
+    ("zh-hans", "她说他们会和我们一起来"),
+    ("zh-hans", "在我们看到的所有东西中这是最好的"),
+    ("zh-hans", "住在玻璃房子里的人不应该扔石头"),
+    ("zh-hans", "没有什么好坏之分只是想法使然"),
+    ("zh-hans", "生存还是毁灭这是一个问题"),
+    ("zh-hant", "敏捷的棕色狐狸跳過懶惰的狗"),
+    ("zh-hant", "這是傑克建造的房子"),
+    ("zh-hant", "現在幾點了我們要去哪裡"),
+    ("zh-hant", "她說他們會和我們一起來"),
+    ("zh-hant", "在我們看到的所有東西中這是最好的"),
+    ("zh-hant", "住在玻璃房子裡的人不應該扔石頭"),
+    ("zh-hant", "沒有什麼好壞之分只是想法使然"),
+    ("zh-hant", "生存還是毀滅這是一個問題"))
+
+  /** round(ln(k)·1e6): smoothed counts 1..7 (max seed unigram count 6)
+    * and the ONE total+vocab denominator (V = 102, totals 101 both —
+    * the pairwise-variant seeds guarantee equality). Literal — the d62
+    * oracle joins the same integers; LangIdSpec pins each entry
+    * against Math.log.
+    */
+  private[graft] val lnMicro: Map[Int, Long] = Map(
+    1 -> 0L, 2 -> 693147L, 3 -> 1098612L, 4 -> 1386294L, 5 -> 1609438L,
+    6 -> 1791759L, 7 -> 1945910L,
+    203 -> 5313206L)
+
+  /** URO-only strip class — one literal valid in BOTH Java regex and
+    * DuckDB's RE2 (`\x{...}` range inside a class), so engine and
+    * oracle share it verbatim. No case, no spaces.
+    */
+  private[graft] val stripRe: String = "[^\\x{4e00}-\\x{9fff}]"
+
+  private[graft] val model =
+    new UnigramNb(langs, seeds, stripRe, lnMicro, undMarginMicro)
+
+  private[graft] def normalize(text: String): String = model.normalize(text)
+  private[graft] def unigrams(text: String): Seq[String] =
+    model.unigrams(text)
   private[graft] def vocabSize: Int = model.vocabSize
   private[graft] def totals: Map[String, Int] = model.totals
   private[graft] def maxSeedCount: Int = model.maxSeedCount

@@ -240,6 +240,90 @@ object TextQueries {
     graft.functions.DevaLangId.undMarginMicro,
     graft.functions.DevaLangId.stripRe, devaPool)
 
+  /** The d62 probe pool — held-out Han sentences (zh-hans/zh-hant),
+    * each pair a character-wise variant like the seeds. Held-out gap
+    * measured in tools/langid/calc_han.py: ≥ ~123k micro-nats/char.
+    */
+  private[graft] val hanPool: Seq[(String, String)] = Seq(
+    ("zh-hans", "我们每天晚上下班后都在家里读书"),
+    ("zh-hans", "今天天气很好我们去公园散步"),
+    ("zh-hans", "他不知道该说什么只好保持沉默"),
+    ("zh-hant", "我們每天晚上下班後都在家裡讀書"),
+    ("zh-hant", "今天天氣很好我們去公園散步"),
+    ("zh-hant", "他不知道該說什麼只好保持沉默"))
+
+  /** The UNIGRAM sibling of [[trigramPoolOracleSql]] for the Han
+    * family (d62): counts are per CHARACTER of the Han-stripped text
+    * (no padding, no spaces — order-free), the margin unit is
+    * micro-nats per character, and the strip class is the shared
+    * `[^\x{4e00}-\x{9fff}]` literal RE2/Java both accept. Same seed
+    * VALUES + literal ln table + alphabetical tie as every family.
+    */
+  private def unigramPoolOracleSql(
+      seeds: Seq[(String, String)], lnMicro: Map[Int, Long],
+      margin: Long, strip: String,
+      pool: Seq[(String, String)]): String = {
+    val poolVals = pool.zipWithIndex
+      .map { case ((l, s), i) => s"($i, '$l', '$s')" }.mkString(",\n      ")
+    val seedVals = seeds
+      .map { case (l, s) => s"('$l', '$s')" }.mkString(",\n      ")
+    val lnVals = lnMicro.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"($k, $v)" }.mkString(", ")
+    s"""WITH pool(idx, true_lang, sentence) AS (VALUES
+       |      $poolVals),
+       |seed(lang, sentence) AS (VALUES
+       |      $seedVals),
+       |lnt(k, v) AS (VALUES $lnVals),
+       |sp AS (SELECT lang,
+       |         regexp_replace(sentence, '$strip+', '', 'g') AS p
+       |       FROM seed),
+       |si AS (SELECT lang, p, unnest(range(1, length(p) + 1)) AS i FROM sp),
+       |sch AS (SELECT lang, substr(p, CAST(i AS INT), 1) AS ch FROM si),
+       |cnt AS (SELECT lang, ch, count(*) AS c FROM sch GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS t FROM sch GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT ch) AS v FROM sch),
+       |pp AS (SELECT idx, true_lang,
+       |         regexp_replace(sentence, '$strip+', '', 'g') AS p
+       |       FROM pool),
+       |pi AS (SELECT idx, true_lang, p, unnest(range(1, length(p) + 1)) AS i
+       |       FROM pp),
+       |pch AS (SELECT idx, true_lang, substr(p, CAST(i AS INT), 1) AS ch
+       |        FROM pi),
+       |ntr AS (SELECT idx, count(*) AS n FROM pch GROUP BY 1),
+       |sc AS (SELECT pc.idx, lg.lang,
+       |         sum(lc.v) - count(*) * any_value(lt.v) AS score
+       |       FROM pch pc
+       |       CROSS JOIN (SELECT DISTINCT lang FROM seed) lg
+       |       LEFT JOIN cnt ON cnt.lang = lg.lang AND cnt.ch = pc.ch
+       |       JOIN tot ON tot.lang = lg.lang
+       |       CROSS JOIN voc
+       |       JOIN lnt lc ON lc.k = coalesce(cnt.c, 0) + 1
+       |       JOIN lnt lt ON lt.k = tot.t + voc.v
+       |       GROUP BY 1, 2),
+       |pr AS (SELECT idx, lang, score,
+       |         row_number() OVER (PARTITION BY idx
+       |                            ORDER BY score DESC, lang) AS rn
+       |       FROM sc),
+       |win AS (SELECT p1.idx,
+       |          CASE WHEN p1.score - p2.score >= $margin * ntr.n
+       |            THEN p1.lang ELSE 'und' END AS pred
+       |        FROM (SELECT * FROM pr WHERE rn = 1) p1
+       |        JOIN (SELECT * FROM pr WHERE rn = 2) p2 USING (idx)
+       |        JOIN ntr USING (idx)),
+       |docs AS (SELECT doc_id, CAST(doc_id % ${pool.size} AS INT) AS idx
+       |         FROM documents)
+       |SELECT p.true_lang, w.pred, count(*) AS n
+       |FROM docs d
+       |JOIN pool p ON p.idx = d.idx
+       |JOIN win w ON w.idx = d.idx
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  private val hanLangIdOracleSql: String = unigramPoolOracleSql(
+    graft.functions.HanLangId.seeds, graft.functions.HanLangId.lnMicro,
+    graft.functions.HanLangId.undMarginMicro,
+    graft.functions.HanLangId.stripRe, hanPool)
+
   val all: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: md5-groupBy, keep the smallest doc_id per content
@@ -2476,6 +2560,31 @@ object TextQueries {
           .orderBy("true_lang", "pred")
       },
       Some(devaLangIdOracleSql)),
+
+    // ---- Han langid family (functions/HanLangId) — zh-hans/zh-hant
+    // behind the script router, closing the largest named refusal in
+    // the route table. UNIGRAM NB, not trigram (the URO's 20k+
+    // codepoints cannot ride the literal-seed trigram discipline;
+    // single hanzi carry the script-variant signal), margin unit
+    // micro-nats per CHARACTER. Seeds are pairwise character-variant
+    // sentence pairs, so totals are equal, base terms cancel, and
+    // only variant characters score. Kana-bearing Han text routes to
+    // `ja` BEFORE this model; kanji-only ja / variant-free zh land
+    // `und` (pinned with the 将来性 short-compound boundary in
+    // LangIdSpec). Held-out pool by doc_id % 6.
+    "d62_han_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val (lang, text) = hanPool((id % 6).toInt)
+            (lang, graft.functions.LangId.route(text))
+          }
+          .toDF("true_lang", "pred")
+          .groupBy("true_lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred")
+      },
+      Some(hanLangIdOracleSql)),
 
     "d56_hll_intersect" -> QueryDef(
       (s, dir) => {

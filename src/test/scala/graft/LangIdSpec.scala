@@ -151,9 +151,12 @@ class LangIdSpec extends GraftSparkSpec {
     assert(LangId.route("오늘은 날씨가 좋아서 공원에 갑니다") === "ko")
     assert(LangId.route("σήμερα ο καιρός είναι καλός και πάμε βόλτα") === "el")
     assert(LangId.route("今日は良い天気ですから公園へ行きます") === "ja")
-    assert(LangId.route("東京特許許可局長官許可証文書審査結果") ===
-      "und") // kanji-only: zh OR ja — refuse, don't guess
-    assert(LangId.route("我们今天去公园散步因为天气很好") === "und")
+    // kanji-only ja: the Han unigram margin refuses it (one stray
+    // seed character is below the per-char margin on a run this long)
+    assert(LangId.route("東京特許許可局長官許可証文書審査結果") === "und")
+    // kana-free Simplified text now reaches the d62 family and names
+    // itself (was a named refusal through r18)
+    assert(LangId.route("我们今天去公园散步因为天气很好") === "zh-hans")
   }
 
   test("arabic: table literals, held-out accuracy, out-of-alphabet und, routing") {
@@ -292,6 +295,62 @@ class LangIdSpec extends GraftSparkSpec {
     assert(LangId.route("आम्ही रोज संध्याकाळी कामानंतर पुस्तके वाचतो")
       === "mr")
     assert(LangId.route("हामी हरेक साँझ काम पछि किताबहरू पढ्छौं") === "ne")
+  }
+
+  test("han: table literals, held-out accuracy, kanji/variant-free und, routing") {
+    import graft.functions.HanLangId
+    HanLangId.lnMicro.foreach { case (k, v) =>
+      assert(v === Math.round(Math.log(k.toDouble) * 1e6),
+        s"han lnMicro($k) drifted from Math.log")
+    }
+    (1 to HanLangId.maxSeedCount + 1).foreach(k =>
+      assert(HanLangId.lnMicro.contains(k), s"missing smoothed-count key $k"))
+    HanLangId.langs.foreach { l =>
+      val k = HanLangId.totals(l) + HanLangId.vocabSize
+      assert(HanLangId.lnMicro.contains(k), s"missing denominator key $k")
+    }
+    // the pairwise-variant seed discipline: equal totals make the NB
+    // base terms cancel, so ONLY script-variant characters score
+    assert(HanLangId.totals.values.toSet.size === 1,
+      "hans/hant seed totals must be equal (pairwise character variants)")
+    HanLangId.seeds.foreach { case (_, s) =>
+      assert(!s.contains("'"), "seed sentences must not contain quotes")
+      assert(HanLangId.normalize(s) === s, "seed not normalize-clean")
+    }
+    // held-out pool (the d62 pool) classifies per variant with ≥1.5×
+    // margin headroom (measured min 123k/char vs the 80k margin —
+    // tools/langid/calc_han.py)
+    val held = graft.queries.TextQueries.hanPool
+    val seedSet = HanLangId.seeds.map(_._2).toSet
+    assert(held.forall(h => !seedSet(h._2)))
+    held.foreach { case (lang, s) =>
+      val sc = HanLangId.scores(s)
+      val ord = HanLangId.langs.sortBy(x => (-sc(x), x))
+      val gap = (sc(ord.head) - sc(ord(1))) / HanLangId.unigrams(s).size
+      info(s"$lang gap/char = $gap -> ${HanLangId.predict(s)}")
+      assert(gap * 2 >= HanLangId.undMarginMicro * 3,
+        s"margin headroom collapsed for: $s")
+      assert(HanLangId.predict(s) === lang, s"misclassified: $s")
+    }
+    // out-of-set Han text refuses: kanji-only Japanese (with and
+    // without a stray seed character) and hanja — the populations the
+    // margin must NOT hand to zh
+    assert(HanLangId.predict("新幹線特急券自由席") === "und")
+    assert(HanLangId.predict("東日本大震災復興支援金") === "und")
+    assert(HanLangId.predict("大韓民國憲法前文") === "und")
+    // variant-free text (shared characters only) carries no script
+    // signal — honest und
+    assert(HanLangId.predict("天地人山水雨") === "und")
+    // DOCUMENTED LIMITATION, pinned: a very SHORT kanji compound
+    // carrying a seed character (来) crosses the per-char margin and
+    // lands zh-hans — the Aramaic→he analogue; short fragments are
+    // low-evidence by construction and only reach this model when Han
+    // dominates the whole text's letters
+    assert(HanLangId.predict("将来性") === "zh-hans")
+    // routing: kana-free Han reaches the family; kana still wins first
+    assert(LangId.route("我們每天晚上下班後都在家裡讀書") === "zh-hant")
+    assert(LangId.route("我们每天晚上下班后都在家里读书") === "zh-hans")
+    assert(LangId.route("彼は東京大学の学生ですが今は大阪に住んでいます") === "ja")
   }
 
   test("script-implied languages: single-language scripts name their language, shared scripts refuse") {
