@@ -1109,9 +1109,17 @@ object GraftCli {
           "200 AS status",
           "'text/plain; charset=utf-8' AS content_type",
           "encode(text, 'UTF-8') AS body")
-      val n = graft.sources.WarcSource.writeWarc(pages, outDir, nShards, gzip)
+      // `dedup`: CC-shaped digest dedup — first URI per payload digest
+      // writes the full response, repeats write revisit records
+      // (resolve-revisits reconstitutes them). `requests`: interleave
+      // request records paired by WARC-Concurrent-To.
+      val n = graft.sources.WarcSource.writeWarc(pages, outDir, nShards,
+        gzip, dedupDigests = rest.contains("dedup"),
+        requests = rest.contains("requests"))
       println(s"[graft] warc-write: $pagesParquet -> $outDir " +
-        s"($n pages, $nShards shards, gzip=$gzip)")
+        s"($n pages, $nShards shards, gzip=$gzip" +
+        (if (rest.contains("dedup")) ", dedup" else "") +
+        (if (rest.contains("requests")) ", requests" else "") + ")")
       spark.stop()
 
     case "corpus-from-wet" :: glob :: outDir :: rest =>

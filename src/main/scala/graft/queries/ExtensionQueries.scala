@@ -3261,7 +3261,12 @@ object ExtensionQueries {
     // back by the engine's own reader — per-shard structure, decoded
     // bodies, and digest fidelity (the parse-back digest must equal a
     // fresh recompute, pinning both the base32 and the header plumbing).
-    // DuckDB re-derives every count from doc_id % 8 arithmetic. The
+    // Even doc_ids additionally write a `request` record before their
+    // response (the flagged writer mode — real CC archives interleave
+    // the capture conversation): n_req counts them, n_linked counts
+    // those whose parsed WARC-Concurrent-To equals the response id the
+    // builder stamps (responseIdOf), pinning the §5.7 pairing. DuckDB
+    // re-derives every count from doc_id % 8 arithmetic. The
     // file-level writer and the full written-archive -> warc-index ->
     // cdx-fetch loop are exercised on real files by WarcWriteSpec.
     "x129_warc_write" -> QueryDef(
@@ -3280,9 +3285,12 @@ object ExtensionQueries {
             bos.write(graft.sources.WarcSource.gzipOne(
               graft.sources.WarcSource.warcInfoOf(shard, date)))
             docs.foreach { case (id, src, text) =>
+              val uri = s"http://$src/graft/$id"
+              if (id % 2 == 0)
+                bos.write(graft.sources.WarcSource.gzipOne(
+                  graft.sources.WarcSource.warcRequestOf(uri, date)))
               bos.write(graft.sources.WarcSource.gzipOne(
-                graft.sources.WarcSource.warcResponseOf(
-                  s"http://$src/graft/$id", 200,
+                graft.sources.WarcSource.warcResponseOf(uri, 200,
                   "text/plain; charset=utf-8",
                   text.getBytes("UTF-8"), date)))
             }
@@ -3294,23 +3302,168 @@ object ExtensionQueries {
                 r.payloadDigest == graft.sources.WarcSource
                   .payloadDigestOf(text.getBytes("UTF-8"))
             }
+            val reqs = f.records.filter(_.warcType == "request")
+            val linked = reqs.count(r => r.concurrentTo ==
+              graft.sources.WarcSource.responseIdOf(r.targetUri, date))
             (shard, docs.length, f.records.size, f.nMembers,
               if (f.gzip) 1 else 0,
-              resp.map(_.bodyBytes).sum, ok)
+              resp.map(_.bodyBytes).sum, ok, reqs.size, linked)
           }
           .toDF("shard", "n_pages", "n_records", "n_members", "is_gzip",
-            "body_bytes", "n_ok")
+            "body_bytes", "n_ok", "n_req", "n_linked")
           .orderBy("shard")
       },
       Some(
         """SELECT doc_id % 8 AS shard,
           |  CAST(count(*) AS INT) AS n_pages,
-          |  CAST(count(*) + 1 AS INT) AS n_records,
-          |  CAST(count(*) + 1 AS INT) AS n_members,
+          |  CAST(count(*) + 1
+          |    + sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+          |    AS INT) AS n_records,
+          |  CAST(count(*) + 1
+          |    + sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+          |    AS INT) AS n_members,
           |  1 AS is_gzip,
           |  CAST(sum(strlen(text)) AS BIGINT) AS body_bytes,
-          |  CAST(count(*) AS INT) AS n_ok
+          |  CAST(count(*) AS INT) AS n_ok,
+          |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS INT)
+          |    AS n_req,
+          |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS INT)
+          |    AS n_linked
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // WARC DEDUP-WRITE → REVISIT-RESOLVE loop (x130): writeWarc's
+    // digest-dedup mode makes the engine's own archives CC-shaped —
+    // the first URI per payload digest (min uri, deterministic) writes
+    // the full response, every repeat writes a `revisit` record
+    // (identical-payload-digest profile + WARC-Refers-To-Target-URI) —
+    // and this gate closes the loop the x125 machinery was built for:
+    // docs carry their GROUP LEADER's body (doc_id - doc_id % 3), the
+    // same winner derivation as the production writer picks originals,
+    // per-shard archives build from the same record builders, the
+    // engine's reader parses them back, and the revisits then resolve
+    // CROSS-SHARD by digest join — every resolved text must equal the
+    // body a full (non-dedup) write would have stored. DuckDB
+    // re-derives all counts from leader-group arithmetic. The
+    // file-level dedup writer (real files, warc-index, resolveRevisits)
+    // is exercised by WarcWriteSpec's dedup arm.
+    "x130_warc_revisit_write" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val date = "2026-01-01T00:00:00Z"
+        val docs = t(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.col("text"))
+        val leaders = docs.select(
+          org.apache.spark.sql.functions.col("doc_id").as("lid"),
+          org.apache.spark.sql.functions.col("text").as("ltext"))
+        val pages = docs
+          .withColumn("lid", org.apache.spark.sql.functions.expr(
+            "doc_id - doc_id % 3"))
+          .join(leaders, "lid")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("x130 "),
+              org.apache.spark.sql.functions.col("lid").cast("string"),
+              org.apache.spark.sql.functions.lit(" "),
+              org.apache.spark.sql.functions.col("ltext")).as("body"))
+          .as[(Long, String, String)]
+          .map { case (id, src, body) =>
+            (java.lang.Math.floorMod(id, 8L), id, s"http://$src/graft/$id",
+              body, graft.sources.WarcSource.payloadDigestOf(
+                body.getBytes("UTF-8")))
+          }
+          .toDF("shard", "doc_id", "uri", "body", "digest")
+        // the production winner rule: min uri per digest
+        val winners = pages.groupBy("digest")
+          .agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col("uri")).as("orig"))
+        val dec = pages.join(winners, Seq("digest"))
+        val records = dec
+          .select("shard", "doc_id", "uri", "body", "digest", "orig")
+          .as[(Long, Long, String, String, String, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (shard, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            val bos = new java.io.ByteArrayOutputStream()
+            bos.write(graft.sources.WarcSource.gzipOne(
+              graft.sources.WarcSource.warcInfoOf(shard, date)))
+            rows.foreach { case (_, _, uri, body, digest, orig) =>
+              val rec =
+                if (uri == orig) graft.sources.WarcSource.warcResponseOf(
+                  uri, 200, "text/plain; charset=utf-8",
+                  body.getBytes("UTF-8"), date)
+                else graft.sources.WarcSource.warcRevisitOf(
+                  uri, "text/plain; charset=utf-8", orig, digest,
+                  body.getBytes("UTF-8").length.toLong, date)
+              bos.write(graft.sources.WarcSource.gzipOne(rec))
+            }
+            val f = graft.sources.WarcSource.parseWarc(bos.toByteArray)
+            require(f.gzip && f.nMembers == rows.length + 1,
+              s"x130: shard $shard framing drifted")
+            f.records.filter(_.warcType != "warcinfo").map { r =>
+              (shard, r.warcType, r.targetUri, r.payloadDigest,
+                r.body, r.refersToUri)
+            }
+          }
+          .toDF("shard", "rtype", "uri", "digest", "text", "refers_uri")
+        // cross-shard resolution: a revisit's digest finds exactly ONE
+        // full response (the winner); its text must equal the body the
+        // full write would have stored under the revisit's URI, and the
+        // parsed refers-to URI must be that response's URI
+        val resp = records.filter(
+          org.apache.spark.sql.functions.col("rtype") === "response")
+          .select(org.apache.spark.sql.functions.col("digest"),
+            org.apache.spark.sql.functions.col("uri").as("resp_uri"),
+            org.apache.spark.sql.functions.col("text").as("resp_text"))
+        val rev = records.filter(
+          org.apache.spark.sql.functions.col("rtype") === "revisit")
+          .join(resp, Seq("digest"))
+          .join(dec.select(org.apache.spark.sql.functions.col("uri"),
+            org.apache.spark.sql.functions.col("body")), Seq("uri"))
+          .withColumn("ok",
+            org.apache.spark.sql.functions.col("resp_text") ===
+              org.apache.spark.sql.functions.col("body") &&
+              org.apache.spark.sql.functions.col("refers_uri") ===
+                org.apache.spark.sql.functions.col("resp_uri"))
+        val revAgg = rev.groupBy("shard")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_rev"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col("ok"), 1L)
+                .otherwise(0L)).as("n_resolved_ok"))
+        records.groupBy("shard")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_pages"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col("rtype") === "response",
+                1L).otherwise(0L)).as("n_full"))
+          .join(revAgg, Seq("shard"), "left")
+          .na.fill(0L, Seq("n_rev", "n_resolved_ok"))
+          .orderBy("shard")
+      },
+      Some(
+        """WITH l AS (SELECT doc_id AS lid, text AS ltext FROM documents),
+          |d AS (SELECT doc_id, source, doc_id - doc_id % 3 AS lid
+          |      FROM documents),
+          |p AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+          |        'http://' || d.source || '/graft/' || d.doc_id AS uri,
+          |        d.lid
+          |      FROM d JOIN l ON l.lid = d.lid),
+          |w AS (SELECT lid, min(uri) AS orig FROM p GROUP BY lid)
+          |SELECT CAST(p.shard AS BIGINT) AS shard,
+          |  count(*) AS n_pages,
+          |  CAST(sum(CASE WHEN p.uri = w.orig THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_full,
+          |  CAST(sum(CASE WHEN p.uri <> w.orig THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_rev,
+          |  CAST(sum(CASE WHEN p.uri <> w.orig THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_resolved_ok
+          |FROM p JOIN w USING (lid)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // WET derivative archives (x117) — Common Crawl's text-extract
     // sibling of WARC: `conversion` records whose text/plain payload IS

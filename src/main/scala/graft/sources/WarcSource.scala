@@ -55,6 +55,14 @@ object WarcSource {
       // original capture without refetching. Empty on non-revisit types.
       refersTo: String = "", payloadDigest: String = "",
       revisitProfile: String = "",
+      // revisit URI linkage (WARC 1.1 §5.11–5.12): real crawl writers
+      // point a revisit at its original by TARGET URI + date, not just
+      // record id — what the write side's dedup mode emits and the
+      // x130 loop resolves on
+      refersToUri: String = "", refersToDate: String = "",
+      // request/response pairing (§5.7): a request record names its
+      // response's record id — the linkage x129's fact table counts
+      concurrentTo: String = "",
       // capture instant (ISO 8601) — what a generated CDX line's
       // 14-digit timestamp derives from
       warcDate: String = "",
@@ -468,6 +476,9 @@ object WarcSource {
       refersTo = bare(headers.getOrElse("warc-refers-to", "")),
       payloadDigest = headers.getOrElse("warc-payload-digest", ""),
       revisitProfile = headers.getOrElse("warc-profile", ""),
+      refersToUri = bare(headers.getOrElse("warc-refers-to-target-uri", "")),
+      refersToDate = headers.getOrElse("warc-refers-to-date", ""),
+      concurrentTo = bare(headers.getOrElse("warc-concurrent-to", "")),
       warcDate = headers.getOrElse("warc-date", ""),
       degraded = degraded)
   }
@@ -1040,12 +1051,14 @@ object WarcSource {
             new WarcIterator(in, lenientHttp = lenient)
               .filter(_.warcType == "revisit")
               .map(r => (path, r.targetUri, r.refersTo, r.payloadDigest,
-                r.revisitProfile)))
+                r.revisitProfile, r.refersToUri, r.refersToDate)))
         }
         if (!lenient) base
-        else StreamUtil.poisonOnError(base, (path, null, null, null, null))
+        else StreamUtil.poisonOnError(base,
+          (path, null, null, null, null, null, null))
       }
-      .toDF("file", "uri", "refers_to", "digest", "profile")
+      .toDF("file", "uri", "refers_to", "digest", "profile",
+        "refers_to_uri", "refers_to_date")
   }
 
   /** x101 gate: end-to-end extracted text of each archive's first
@@ -1467,8 +1480,7 @@ object WarcSource {
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
     record(Seq(
       "WARC-Type" -> "response",
-      "WARC-Record-ID" ->
-        s"<urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date).getBytes("UTF-8"))}>",
+      "WARC-Record-ID" -> s"<${responseIdOf(uri, date)}>",
       "WARC-Date" -> date,
       "WARC-Target-URI" -> uri,
       "WARC-Payload-Digest" -> payloadDigestOf(body),
@@ -1484,6 +1496,81 @@ object WarcSource {
       "software: graft-warc-writer\r\nformat: WARC File Format 1.0\r\n"
         .getBytes("UTF-8"))
 
+  /** The response record id [[warcResponseOf]] stamps — shared so the
+    * request record's `WARC-Concurrent-To` cannot drift from it.
+    */
+  private[graft] def responseIdOf(uri: String, date: String): String =
+    s"urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date).getBytes("UTF-8"))}"
+
+  /** One WARC `revisit` record — the write side of the Common Crawl
+    * dedup shape (x125 reads and resolves these; with this the
+    * engine's own archives carry them): linkage only, no body — an
+    * HTTP headers-only payload whose Content-Length advertises the
+    * ORIGINAL entity (pinning that the WARC Content-Length, not the
+    * HTTP header, delimits the stored payload), the
+    * identical-payload-digest profile, the shared digest, and the
+    * original's target URI + date (WARC 1.1 §5.11–5.12 — the fields
+    * [[CdxSource.resolveRevisits]] joins on). Reference seam: the same
+    * content-identity idempotency the reference records as ingest tags
+    * (KustoPreForgeLib/Text/TextKustoSink.cs:48-51, IngestIfNotExists).
+    */
+  private[graft] def warcRevisitOf(uri: String, contentType: String,
+                                   refersToUri: String, digest: String,
+                                   entityLen: Long, date: String)
+      : Array[Byte] = {
+    require(uri.nonEmpty && uri.forall(c => c > 0x20 && c < 0x7f),
+      s"warc-write: URI must be non-empty printable ASCII: '$uri'")
+    require(refersToUri.nonEmpty &&
+      refersToUri.forall(c => c > 0x20 && c < 0x7f),
+      s"warc-write: refers-to URI must be printable ASCII: '$refersToUri'")
+    require(contentType.forall(c => c >= 0x20 && c < 0x7f),
+      s"warc-write: control or non-ASCII byte in content type '$contentType'")
+    val head = (s"HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: $entityLen\r\n\r\n").getBytes("ISO-8859-1")
+    record(Seq(
+      "WARC-Type" -> "revisit",
+      "WARC-Record-ID" ->
+        s"<urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date + "\nrevisit").getBytes("UTF-8"))}>",
+      "WARC-Date" -> date,
+      "WARC-Target-URI" -> uri,
+      "WARC-Refers-To-Target-URI" -> refersToUri,
+      "WARC-Refers-To-Date" -> date,
+      "WARC-Profile" ->
+        "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+      "WARC-Payload-Digest" -> digest,
+      "Content-Type" -> "application/http; msgtype=response"), head)
+  }
+
+  /** One WARC `request` record paired to its response by
+    * `WARC-Concurrent-To` (WARC 1.1 §5.7) — real CC archives
+    * interleave these with responses; the flagged writer mode emits
+    * them so written archives carry the full capture conversation.
+    */
+  private[graft] def warcRequestOf(uri: String, date: String): Array[Byte] = {
+    require(uri.nonEmpty && uri.forall(c => c > 0x20 && c < 0x7f),
+      s"warc-write: URI must be non-empty printable ASCII: '$uri'")
+    // RFC 7230 origin-form request target: path + query of the URI
+    val m = "(?i)^https?://[^/?#]+([^#]*)".r
+    val target = uri match {
+      case m(rest) if rest.nonEmpty => rest
+      case m(_) => "/"
+      case _ => sys.error(s"warc-write: non-http(s) request URI '$uri'")
+    }
+    val host = uri.replaceFirst("(?i)^https?://", "")
+      .takeWhile(c => c != '/' && c != '?' && c != '#')
+    val http = (s"GET $target HTTP/1.1\r\n" +
+      s"Host: $host\r\nUser-Agent: graft\r\n\r\n").getBytes("ISO-8859-1")
+    record(Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" ->
+        s"<urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date + "\nrequest").getBytes("UTF-8"))}>",
+      "WARC-Date" -> date,
+      "WARC-Target-URI" -> uri,
+      "WARC-Concurrent-To" -> s"<${responseIdOf(uri, date)}>",
+      "Content-Type" -> "application/http; msgtype=request"), http)
+  }
+
   /** WARC EXPORT — response-record archives from page rows
     * (`uri`, `status`, `content_type`, `body` binary): the full-fidelity
     * sibling of [[writeWet]], closing the crawl loop END TO END on real
@@ -1496,28 +1583,90 @@ object WarcSource {
     */
   def writeWarc(pages: DataFrame, outDir: String, nShards: Int,
                 gzip: Boolean = true,
-                date: String = "2026-01-01T00:00:00Z"): Long = {
+                date: String = "2026-01-01T00:00:00Z",
+                dedupDigests: Boolean = false,
+                requests: Boolean = false): Long = {
     val spark = pages.sparkSession
     import spark.implicits._
     require(nShards > 0, "warc-write: nShards must be positive")
     val n = nShards.toLong
     val g = gzip
     val d = date
-    val rows = pages
+    val req = requests
+    val src = pages
       .select(col("uri").cast("string"), col("status").cast("int"),
         col("content_type").cast("string"), col("body"))
       .as[(String, Int, String, Array[Byte])]
-      .map { case (uri, status, ct, body) =>
-        val rec = warcResponseOf(uri, status,
-          if (ct == null) "application/octet-stream" else ct,
-          if (body == null) Array.emptyByteArray else body, d)
-        // String.hashCode is spec-fixed across JVMs — deterministic
-        // shard assignment without a jar-local hash
-        val h = java.lang.Math.floorMod(uri.hashCode.toLong, n)
-        (h, uri.hashCode.toLong, if (g) gzipOne(rec) else rec)
+    val rows =
+      if (!dedupDigests)
+        src.map { case (uri, status, ct, body) =>
+          // String.hashCode is spec-fixed across JVMs — deterministic
+          // shard assignment without a jar-local hash
+          (java.lang.Math.floorMod(uri.hashCode.toLong, n),
+            uri.hashCode.toLong,
+            warcMemberOf(uri, status, ct, body, null, g, req, d))
+        }
+      else {
+        // CC-shaped digest dedup: the canonical original per payload
+        // digest is the MIN URI (deterministic at any parallelism) —
+        // it writes the full response, every other URI writes a
+        // revisit. Plan: digests compute map-side; the winner pick is
+        // one map-side-combinable (digest → min uri) agg of
+        // pointer-sized rows; the page join against it is 1:1 per
+        // digest (no fan-out — a hot boilerplate digest inflates one
+        // partition's row count, which AQE skew-split handles, never a
+        // row blow-up). Bodies cross the digest exchange once,
+        // uncompressed (the winner decision must precede record
+        // building); the built members then ride the shard exchange
+        // compressed as in the plain path.
+        val withDigest = src
+          .map { case (uri, status, ct, body) =>
+            (uri, status, ct, body,
+              payloadDigestOf(if (body == null) Array.emptyByteArray
+                              else body))
+          }
+          .toDF("uri", "status", "ct", "body", "digest")
+        val winners = withDigest.groupBy("digest")
+          .agg(org.apache.spark.sql.functions.min(col("uri")).as("orig"))
+        withDigest.join(winners, Seq("digest"))
+          .select(col("uri"), col("status"), col("ct"), col("body"),
+            col("orig"))
+          .as[(String, Int, String, Array[Byte], String)]
+          .map { case (uri, status, ct, body, orig) =>
+            (java.lang.Math.floorMod(uri.hashCode.toLong, n),
+              uri.hashCode.toLong,
+              warcMemberOf(uri, status, ct, body, orig, g, req, d))
+          }
       }
     writeArchiveShards(rows, outDir, if (gzip) ".warc.gz" else ".warc",
       shard => { val i = warcInfoOf(shard, d); if (g) gzipOne(i) else i })
+  }
+
+  /** One page → its on-disk member bytes: [request +] response, or a
+    * revisit pointing at `orig` when this body's digest already wrote
+    * its full record elsewhere. Request+response share ONE row so the
+    * pair stays adjacent in the shard (WARC-Concurrent-To linkage).
+    * Object-level (not a writeWarc local) so the writer lambdas stay
+    * capture-free — a local def would drag the non-serializable module
+    * instance into the task closure.
+    */
+  private[graft] def warcMemberOf(uri: String, status: Int, ct0: String,
+                                  body0: Array[Byte], orig: String,
+                                  g: Boolean, req: Boolean, d: String)
+      : Array[Byte] = {
+    val ct = if (ct0 == null) "application/octet-stream" else ct0
+    val body = if (body0 == null) Array.emptyByteArray else body0
+    val main =
+      if (orig != null && orig != uri)
+        warcRevisitOf(uri, ct, orig, payloadDigestOf(body),
+          body.length.toLong, d)
+      else warcResponseOf(uri, status, ct, body, d)
+    val wrapped = if (g) gzipOne(main) else main
+    if (!req) wrapped
+    else {
+      val r = warcRequestOf(uri, d)
+      (if (g) gzipOne(r) else r) ++ wrapped
+    }
   }
 
   /** File-path arm: parse `.warc`/`.warc.gz` files under a glob and emit
