@@ -265,6 +265,66 @@ class CdxSpec extends GraftSparkSpec {
     }
   }
 
+  test("zipnum: multi-shard routing — key runs spill across a shard boundary, non-candidates skip") {
+    // three globally-sorted shards with a DUPLICATE-KEY RUN crossing
+    // the shard 0 / shard 1 boundary (com,k ends shard 0 AND opens
+    // shard 1): routing must search BOTH shards for that key and merge
+    // the hits, while keys outside a shard's [first, last] range never
+    // open its .zn — proved at the file level by deleting a shard's
+    // block file and looking up keys routed elsewhere.
+    def line(surtKey: String, ts: String, n: Int): String =
+      surtKey + " " + ts + " {\"url\": \"http://u/" + n + "\", " +
+        "\"status\": \"200\", \"length\": \"1\", \"offset\": \"0\", " +
+        "\"filename\": \"f.warc\"}"
+    val shard0 = Seq(
+      line("com,a)/", "20260101000000", 0),
+      line("com,b)/", "20260101000000", 1),
+      line("com,k)/", "20260101000000", 2),
+      line("com,k)/", "20260102000000", 3))
+    val shard1 = Seq(
+      line("com,k)/", "20260103000000", 4),
+      line("com,m)/", "20260101000000", 5),
+      line("com,n)/", "20260101000000", 6))
+    val shard2 = Seq(
+      line("com,p)/", "20260101000000", 7),
+      line("com,q)/", "20260101000000", 8))
+    val dir = java.nio.file.Files.createTempDirectory("zipnumms").toFile
+    try {
+      Seq(shard0, shard1, shard2).zipWithIndex.foreach { case (ls, i) =>
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"part-$i.cdx").toPath,
+          (ls.mkString("\n") + "\n").getBytes("UTF-8"))
+      }
+      val zn = new java.io.File(dir, "zn").getAbsolutePath
+      assert(CdxSource.writeZipnumFiles(spark,
+        dir.getAbsolutePath + "/part-*.cdx", zn, blockSize = 2) === 3L)
+      def urls(u: String): Seq[String] =
+        CdxSource.zipnumLookupDir(spark, zn, u)
+          .sortBy(_.timestamp).map(_.url)
+      // the boundary-spanning run: hits from shard 0 AND shard 1
+      assert(urls("http://k.com/") ===
+        Seq("http://u/2", "http://u/3", "http://u/4"))
+      // single-shard keys, range edges, and between-shard gaps
+      assert(urls("http://a.com/") === Seq("http://u/0"))
+      assert(urls("http://q.com/") === Seq("http://u/8"))
+      assert(urls("http://o.com/") === Seq.empty) // between n and p
+      assert(urls("http://zz.com/") === Seq.empty)
+      // file-level skip proof: with shard 2's BLOCK file gone, lookups
+      // routed to shards 0/1 still succeed (its .zn was never opened);
+      // a key inside shard 2's range now fails loudly
+      assert(new java.io.File(zn, "part-2.zn").delete())
+      assert(urls("http://k.com/").size === 3)
+      assert(urls("http://b.com/") === Seq("http://u/1"))
+      intercept[Exception] { urls("http://q.com/") }
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("cdx: revisit records resolve to their original's text through the index") {
     import spark.implicits._
     // fixture revisits exist on id%3==1; id=7 (plain) proves presence,
