@@ -931,44 +931,200 @@ object Brotli {
 
   /** One LZ command: `insert` literals from `litOff`, then copy
     * `copyLen` from `dist` back (copyLen 0 on the final flush).
+    * `isDict` marks a static-dictionary reference — its distance is
+    * the word address past maxDist and it must never update the
+    * last-distance state (the decoder's ring only pushes on backward
+    * copies).
     */
   private final case class LzCmd(litOff: Int, insert: Int, copyLen: Int,
-                                 dist: Int)
+                                 dist: Int, isDict: Boolean = false)
 
-  /** Greedy hash-chain LZ over one chunk (quality-1 class): 4-byte
-    * hash heads, one probe per position, matches extended maximally.
+  /** Encoder-side static-dictionary index: 4-byte word prefix →
+    * packed (len << 32 | index) candidates, LONGEST length first —
+    * built lazily from the same Appendix-A table the decoder reads
+    * out of the jar. Identity transform (id 0) only: the encode side
+    * references words verbatim; case/affix transforms stay a decode
+    * capability.
+    */
+  private lazy val dictPrefixIndex: java.util.HashMap[Integer, Array[Long]] = {
+    val m = new java.util.HashMap[Integer,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    var l = 24
+    while (l >= 4) {
+      val n = 1 << NDBITS(l)
+      var idx = 0
+      while (idx < n) {
+        val o = dictOffset(l) + l * idx
+        val key = Integer.valueOf(((dict(o) & 0xff) << 24) |
+          ((dict(o + 1) & 0xff) << 16) | ((dict(o + 2) & 0xff) << 8) |
+          (dict(o + 3) & 0xff))
+        var lst = m.get(key)
+        if (lst == null) {
+          lst = new scala.collection.mutable.ArrayBuffer[Long](4)
+          m.put(key, lst)
+        }
+        lst += (l.toLong << 32) | idx.toLong
+        idx += 1
+      }
+      l -= 1
+    }
+    val out = new java.util.HashMap[Integer, Array[Long]](m.size * 2)
+    m.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  /** Hash-chain LZ over one chunk (quality-5 class, r19 — the r18 cut
+    * was one-probe greedy): 4-byte hash heads + a per-position chain
+    * probed up to `MaxProbes` deep (longest match wins, closer on
+    * ties), ONE-STEP LAZY matching (a strictly longer match at i+1
+    * demotes i to a literal), and a RING-LAST probe first — a match at
+    * the decoder's last pushed distance costs a single dist-code-0
+    * symbol with zero extra bits, so it is preferred over an explicit
+    * match up to 3 bytes longer. `lastIn` threads the inter-chunk
+    * ring-last in; the parse-time tracking mirrors the emission loop
+    * exactly (explicit non-dict copies update it, dictionary
+    * references never do).
+    *
+    * Positions without a good backward match probe the STATIC
+    * DICTIONARY (identity transform): a word reference costs one copy
+    * command + a large explicit distance (~5 bytes), so it must beat
+    * the literals it replaces — `dlen >= 6` — and clearly beat any
+    * window match — `dlen >= mlen + 2`.
     */
   private def lzParse(data: Array[Byte], from: Int, until: Int,
-                      window: Int): Seq[LzCmd] = {
+                      window: Int, lastIn: Int): Seq[LzCmd] = {
     val HashBits = 17
+    val MaxProbes = 32
     val head = new Array[Int](1 << HashBits)
     java.util.Arrays.fill(head, -1)
+    val prev = new Array[Int](until - from)
     def hash(i: Int): Int = {
       val h = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
         ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
       (h * 0x9E3779B1) >>> (32 - HashBits)
     }
+    def insertPos(i: Int): Unit = {
+      val h = hash(i)
+      prev(i - from) = head(h)
+      head(h) = i
+    }
+    var curLast = lastIn
+    def extendAt(cand: Int, i: Int): Int = {
+      var l = 0
+      while (i + l < until && data(cand + l) == data(i + l) &&
+        l < (1 << 20)) l += 1
+      l
+    }
+    // a match this long is "good enough" — stop probing (the classic
+    // sufficiency cutoff that keeps degenerate repeat runs, whose
+    // chains are thousands deep, from turning the parse quadratic)
+    val SufficientLen = 128
+    /** Best backward match at i (chain already holds positions < i):
+      * packed (len << 32 | dist); len 0 = none. Ring-last probe gets a
+      * +3 length handicap (its distance is ~free to encode).
+      */
+    def bestMatch(i: Int): Long = {
+      var bestLen = 0
+      var bestDist = 0
+      if (curLast >= 1 && curLast <= i) {
+        val l = extendAt(i - curLast, i)
+        if (l >= 4) { bestLen = l; bestDist = curLast }
+      }
+      if (bestLen < SufficientLen) {
+        val handicap = bestLen + 3 // an explicit match must beat this
+        var cand = head(hash(i))
+        var probes = 0
+        var expLen = 0
+        var expDist = 0
+        while (cand >= 0 && probes < MaxProbes && expLen < SufficientLen) {
+          val d = i - cand
+          if (d >= 1 && d <= window) {
+            // quick reject: the byte that would extend the current best
+            // (overlapping candidates compare against already-matched
+            // bytes — in bounds, and extendAt handles the overlap)
+            if (i + expLen < until &&
+              data(cand + expLen) == data(i + expLen)) {
+              val l = extendAt(cand, i)
+              if (l > expLen || (l == expLen && d < expDist)) {
+                expLen = l; expDist = d
+              }
+            }
+          }
+          cand = if (cand >= from) prev(cand - from) else -1
+          probes += 1
+        }
+        if (expLen >= 4 && expLen > handicap) {
+          bestLen = expLen; bestDist = expDist
+        }
+      }
+      if (bestLen < 4) 0L else (bestLen.toLong << 32) | bestDist.toLong
+    }
     val out = scala.collection.mutable.ArrayBuffer[LzCmd]()
     var lit = from
     var i = from
     while (i + 4 <= until) {
-      val h = hash(i)
-      val cand = head(h)
-      head(h) = i
-      var mlen = 0
-      if (cand >= 0 && i - cand <= window && i - cand >= 1) {
-        while (i + mlen < until && data(cand + mlen) == data(i + mlen) &&
-          mlen < (1 << 20)) mlen += 1
+      val m = bestMatch(i)
+      insertPos(i)
+      var mlen = (m >>> 32).toInt
+      val mdist = (m & 0xffffffffL).toInt
+      // dictionary probe — only when the window match cannot already
+      // beat any word (words cap at 24 bytes)
+      var dlen = 0
+      var dword = 0
+      if (mlen < 22) {
+        val key = Integer.valueOf(((data(i) & 0xff) << 24) |
+          ((data(i + 1) & 0xff) << 16) | ((data(i + 2) & 0xff) << 8) |
+          (data(i + 3) & 0xff))
+        val cands = dictPrefixIndex.get(key)
+        if (cands != null) {
+          var ci = 0
+          while (ci < cands.length && dlen == 0) {
+            val L = (cands(ci) >>> 32).toInt
+            val idx = (cands(ci) & 0xffffffffL).toInt
+            if (i + L <= until) {
+              val o = dictOffset(L) + L * idx
+              var k = 4
+              while (k < L && data(i + k) == dict(o + k)) k += 1
+              if (k == L) { dlen = L; dword = idx }
+            }
+            ci += 1
+          }
+        }
       }
-      if (mlen >= 4) {
-        out += LzCmd(lit, i - lit, mlen, i - cand)
-        // index the match interior sparsely (every 4th position — the
-        // quality-1 tradeoff between chain freshness and encode speed)
+      if (dlen >= 6 && dlen >= mlen + 2) {
+        // word address: transform 0, so address = index; distance sits
+        // one past the decoder's maxDist = min(pos, window) at the
+        // copy instant, which is exactly `i` bytes into the stream
+        val dist = math.min(i, window) + 1 + dword
+        out += LzCmd(lit, i - lit, dlen, dist, isDict = true)
         var j = i + 1
-        val end = math.min(i + mlen, until - 4)
-        while (j < end) { head(hash(j)) = j; j += 4 }
-        i += mlen
+        val end = math.min(i + dlen, until - 4)
+        while (j < end) { insertPos(j); j += 1 }
+        i += dlen
         lit = i
+      } else if (mlen >= 4) {
+        // one-step lazy: a strictly longer match at i+1 demotes this
+        // position to a literal (the classic deflate/brotli parse) —
+        // skipped once the match is already long (it cannot lose much)
+        var defer = false
+        if (i + 5 <= until && mlen < 64) {
+          val n = bestMatch(i + 1)
+          if ((n >>> 32).toInt > mlen) defer = true
+        }
+        if (defer) i += 1
+        else {
+          out += LzCmd(lit, i - lit, mlen, mdist)
+          if (mdist != curLast) curLast = mdist
+          // index the interior: every position for short matches (chain
+          // quality), sparsely for long ones (a 100 KB repeat would
+          // otherwise build thousands-deep identical-hash chains)
+          val step = if (mlen > 512) 8 else if (mlen > 64) 2 else 1
+          var j = i + 1
+          val end = math.min(i + mlen, until - 4)
+          while (j < end) { insertPos(j); j += step }
+          i += mlen
+          lit = i
+        }
       } else i += 1
     }
     // the decoder exits its command loop the moment the metablock is
@@ -999,17 +1155,26 @@ object Brotli {
     val window = (1 << wbits) - 16
 
     val Chunk = 1 << 22
+    // last pushed backward distance — the decoder's ring-last, which
+    // persists ACROSS metablocks; -1 until the stream pushes one (the
+    // ring's preset values are never reused blind, so the initial
+    // state cannot matter). Distance code 0 re-issues it for free.
+    var lastDist = -1
     var off = 0
     while (off < data.length) {
       val until = math.min(off + Chunk, data.length)
       val mlen = until - off
-      val cmds = lzParse(data, off, until, window)
+      val cmds = lzParse(data, off, until, window, lastDist)
       // histograms
       val litFreq = new Array[Int](256)
       val cmdFreq = new Array[Int](704)
       val distFreq = new Array[Int](64)
       case class Enc(cmd: Int, iCode: Int, cCode: Int, dCode: Int,
                      dExtra: Int, dBits: Int)
+      // chunk-local view of the ring-last: committed back to lastDist
+      // only if this chunk emits COMPRESSED (a stored fallback never
+      // touches the decoder's ring)
+      var chunkLast = lastDist
       val encs = cmds.map { c =>
         val iCode = codeOf(c.insert, InsertBase)
         // final flush carries a dummy copy the decoder never uses
@@ -1024,22 +1189,31 @@ object Brotli {
         var dCode = 0; var dExtra = 0; var dBits = 0
         if (c.copyLen > 0) {
           val d = c.dist
-          var nb = 1
-          var found = false
-          while (!found) {
-            var h = 0
-            while (!found && h <= 1) {
-              val base = ((2 + h) << nb) - 4 + 1
-              if (base <= d && d < base + (1 << nb)) {
-                dCode = 16 + 2 * (nb - 1) + h
-                dExtra = d - base
-                dBits = nb
-                found = true
+          if (!c.isDict && d == chunkLast) {
+            // LAST-DISTANCE REUSE: code 0 = ring-last, zero extra bits
+            // and no ring push — the repetitive-stride shape (tables,
+            // logs, fixed-record text) collapses to one cheap symbol
+            dCode = 0
+          } else {
+            var nb = 1
+            var found = false
+            while (!found) {
+              var h = 0
+              while (!found && h <= 1) {
+                val base = ((2 + h) << nb) - 4 + 1
+                if (base <= d && d < base + (1 << nb)) {
+                  dCode = 16 + 2 * (nb - 1) + h
+                  dExtra = d - base
+                  dBits = nb
+                  found = true
+                }
+                h += 1
               }
-              h += 1
+              nb += 1
+              require(nb <= 25 || found, "brotli-enc: distance out of range")
             }
-            nb += 1
-            require(nb <= 25 || found, "brotli-enc: distance out of range")
+            // dictionary references never push the decoder's ring
+            if (!c.isDict) chunkLast = d
           }
           distFreq(dCode) += 1
         }
@@ -1104,7 +1278,10 @@ object Brotli {
           bw.writeRaw(data, so, m)
           so += m
         }
-      } else bw.append(sc)
+      } else {
+        bw.append(sc)
+        lastDist = chunkLast
+      }
       off = until
     }
     bw.w(1, 1); bw.w(1, 1)         // ISLAST + ISLASTEMPTY
