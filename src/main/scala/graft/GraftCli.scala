@@ -1067,10 +1067,13 @@ object GraftCli {
 
     case "stream-warc-write" :: landingDir :: outDir :: checkpoint :: rest =>
       // continuous response-record export: page rows land, each
-      // micro-batch becomes its own wave of .warc.gz archives
+      // micro-batch becomes its own wave of .warc.gz archives.
+      // `dedup`: cross-wave digest dedup through the persisted
+      // digest-index — repeats become revisit records
       val spark = session()
-      val nShards = rest.headOption.map(_.toInt).getOrElse(4)
-      val runSec = rest.drop(1).headOption.map(_.toInt).getOrElse(0)
+      val nums = rest.filter(_.forall(_.isDigit))
+      val nShards = nums.headOption.map(_.toInt).getOrElse(4)
+      val runSec = nums.drop(1).headOption.map(_.toInt).getOrElse(0)
       val pageSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("uri",
           org.apache.spark.sql.types.StringType),
@@ -1084,9 +1087,14 @@ object GraftCli {
         org.apache.spark.sql.types.StructField("body",
           org.apache.spark.sql.types.BinaryType)))
       val stream = spark.readStream.schema(pageSchema).parquet(landingDir)
-      val q = streaming.StreamingAnalytics.warcExportIngest(
-        stream, outDir, checkpoint, nShards)
-      println(s"[graft] warc-export server on $landingDir -> $outDir")
+      val q =
+        if (rest.contains("dedup"))
+          streaming.StreamingAnalytics.warcExportDedupIngest(
+            stream, outDir, checkpoint, nShards)
+        else streaming.StreamingAnalytics.warcExportIngest(
+          stream, outDir, checkpoint, nShards)
+      println(s"[graft] warc-export server on $landingDir -> $outDir" +
+        (if (rest.contains("dedup")) " (dedup)" else ""))
       if (runSec > 0) { q.awaitTermination(runSec * 1000L); q.stop() }
       else q.awaitTermination()
       spark.stop()

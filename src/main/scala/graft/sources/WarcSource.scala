@@ -1628,18 +1628,55 @@ object WarcSource {
           .toDF("uri", "status", "ct", "body", "digest")
         val winners = withDigest.groupBy("digest")
           .agg(org.apache.spark.sql.functions.min(col("uri")).as("orig"))
-        withDigest.join(winners, Seq("digest"))
-          .select(col("uri"), col("status"), col("ct"), col("body"),
-            col("orig"))
-          .as[(String, Int, String, Array[Byte], String)]
-          .map { case (uri, status, ct, body, orig) =>
-            (java.lang.Math.floorMod(uri.hashCode.toLong, n),
-              uri.hashCode.toLong,
-              warcMemberOf(uri, status, ct, body, orig, g, req, d))
-          }
+        decidedRows(withDigest.join(winners, Seq("digest"))
+          .select(col("uri"), col("status"), col("ct").as("content_type"),
+            col("body"), col("orig")), n, g, req, d)
       }
     writeArchiveShards(rows, outDir, if (gzip) ".warc.gz" else ".warc",
       shard => { val i = warcInfoOf(shard, d); if (g) gzipOne(i) else i })
+  }
+
+  /** (shard, sortkey, member bytes) rows from DECIDED pages — the
+    * original per digest is already picked (`orig`; equal-to-uri or
+    * null ⇒ full response, else revisit). Shared by [[writeWarc]]'s
+    * dedup branch and [[writeWarcDecided]].
+    */
+  private def decidedRows(decided: DataFrame, n: Long, g: Boolean,
+                          req: Boolean, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Long, Array[Byte])] = {
+    val spark = decided.sparkSession
+    import spark.implicits._
+    decided
+      .select(col("uri").cast("string"), col("status").cast("int"),
+        col("content_type").cast("string"), col("body"),
+        col("orig").cast("string"))
+      .as[(String, Int, String, Array[Byte], String)]
+      .map { case (uri, status, ct, body, orig) =>
+        (java.lang.Math.floorMod(uri.hashCode.toLong, n),
+          uri.hashCode.toLong,
+          warcMemberOf(uri, status, ct, body, orig, g, req, d))
+      }
+  }
+
+  /** The decided-pages arm of [[writeWarc]] — pages arrive with their
+    * per-digest original ALREADY picked (`uri, status, content_type,
+    * body, orig`), so a caller holding cross-batch dedup state (the
+    * streaming export's persisted digest index) can route repeats at
+    * originals chosen in EARLIER waves. Same sharding, member layout,
+    * and first-wins commit as writeWarc.
+    */
+  private[graft] def writeWarcDecided(decided: DataFrame, outDir: String,
+                                      nShards: Int, gzip: Boolean = true,
+                                      date: String = "2026-01-01T00:00:00Z")
+      : Long = {
+    require(nShards > 0, "warc-write: nShards must be positive")
+    writeArchiveShards(
+      decidedRows(decided, nShards.toLong, gzip, req = false, date),
+      outDir, if (gzip) ".warc.gz" else ".warc",
+      shard => {
+        val i = warcInfoOf(shard, date)
+        if (gzip) gzipOne(i) else i
+      })
   }
 
   /** One page → its on-disk member bytes: [request +] response, or a

@@ -219,6 +219,81 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** CC-shaped CONTINUOUS export — [[warcExportIngest]] with digest
+    * dedup carried ACROSS micro-batches through a persisted index
+    * (`<outDir>/digest-index/wave=<id>` parquet of digest → original
+    * uri): a batch's never-seen digests pick a batch-local winner (min
+    * uri, the writeWarc rule) that writes the full response and joins
+    * the index; digests known from EARLIER waves write `revisit`
+    * records pointing at the original wave's URI — so the whole
+    * multi-wave output is one CC-shaped archive set that `warc-index`
+    * + `resolveRevisits` reconstitute.
+    *
+    * Replay safety (the waves discipline, extended to state): the
+    * index read EXCLUDES waves at/after the current batch id — a
+    * replayed batch must not see its own possibly-crash-partial wave,
+    * or its winners would flip to revisits and the recompute would
+    * stop being byte-identical. Same prior state + same batch ⇒ same
+    * winners ⇒ same bytes; archive shards commit first-wins, the index
+    * wave rewrites in overwrite mode. Per-batch cost: one digest agg +
+    * two 1:1-per-digest joins (pointer-sized state side), never a
+    * fan-out.
+    */
+  def warcExportDedupIngest(pages: DataFrame, outDir: String,
+                            checkpointDir: String, nShards: Int = 4,
+                            gzip: Boolean = true,
+                            date: String = "2026-01-01T00:00:00Z")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val idxDir = s"$outDir/digest-index"
+        val prior =
+          try spark.read.option("basePath", idxDir).parquet(idxDir)
+            .filter(col("wave") < batchId)
+            .select(col("digest"), col("orig").as("prior_orig"))
+          catch {
+            // first batch: no index yet (the listing error surfaces as
+            // either, depending on the path layer)
+            case _: org.apache.spark.sql.AnalysisException |
+                 _: java.io.FileNotFoundException =>
+              Seq.empty[(String, String)].toDF("digest", "prior_orig")
+          }
+        val withDigest = batch.toDF()
+          .select(col("uri").cast("string"), col("status").cast("int"),
+            col("content_type").cast("string"), col("body"))
+          .as[(String, Int, String, Array[Byte])]
+          .map { case (uri, status, ct, body) =>
+            (uri, status, ct, body,
+              graft.sources.WarcSource.payloadDigestOf(
+                if (body == null) Array.emptyByteArray else body))
+          }
+          .toDF("uri", "status", "content_type", "body", "digest")
+          .persist()
+        try {
+          val newWinners = withDigest
+            .join(prior, Seq("digest"), "left_anti")
+            .groupBy("digest").agg(min(col("uri")).as("orig"))
+            .persist()
+          val decided = withDigest
+            .join(prior, Seq("digest"), "left")
+            .join(newWinners, Seq("digest"), "left")
+            .withColumn("orig", coalesce(col("prior_orig"), col("orig")))
+          graft.sources.WarcSource.writeWarcDecided(
+            decided.select("uri", "status", "content_type", "body", "orig"),
+            s"$outDir/wave=$batchId", nShards, gzip, date)
+          // the index append happens AFTER the archives land: a crash
+          // between the two replays with the same prior state either way
+          newWinners.write.mode("overwrite")
+            .parquet(s"$idxDir/wave=$batchId")
+          newWinners.unpersist()
+        } finally withDigest.unpersist()
+        ()
+      }
+      .start()
+
   /** SEMANTIC (embedding) dedup at ingest against a committed corpus's
     * persisted clustering state (PrepareRun's `semantic_centroids` +
     * `semantic_reps`): each micro-batch of (idCol, embedding) rows runs

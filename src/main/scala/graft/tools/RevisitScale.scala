@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured counterfactual for the r19 `resolveRevisits` fix
+  * (`sources/CdxSource.scala`): the r18 plan joined the FULL index on
+  * bare `digest` and then cut the fan-out back with a per-(revisit_uri,
+  * digest) window — on a HOT digest (one boilerplate/soft-404 body
+  * shared by U revisit URIs and C captures, exactly the key Common
+  * Crawl skews hardest) that join materializes U × C rows before the
+  * window sees them. The r19 plan pre-aggregates the index to ONE
+  * earliest-capture row per digest, making the join 1:1.
+  *
+  * This probe builds that hot shape synthetically (U = 5,000 revisit
+  * URIs × C = 20,000 co-digest captures on one digest → the old form's
+  * exchange carries 100,000,000 rows for that single key, the new
+  * form's carries 5,000) plus a unique-digest filler population, runs
+  * both PICK plans to a count (the fetch stage is identical in both
+  * and needs real files, so the pick — where the fan-out lives — is
+  * what's timed), and prints wall times. Run OUTSIDE sbt with the
+  * usual add-opens flags and the spark-jars classpath:
+  * `java -Xmx8g ... graft.tools.RevisitScale [U] [C] [filler]`.
+  */
+object RevisitScale {
+  def main(args: Array[String]): Unit = {
+    val u = args.lift(0).map(_.toInt).getOrElse(5000)
+    val c = args.lift(1).map(_.toInt).getOrElse(20000)
+    val filler = args.lift(2).map(_.toInt).getOrElse(1000000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // index: C captures of the hot digest + `filler` unique digests
+    val hotIdx = spark.range(c.toLong).select(
+      lit("sha1:HOT").as("digest"),
+      format_string("2026%010d", col("id")).as("timestamp"),
+      format_string("a%d.warc.gz", pmod(col("id"), lit(100))).as("filename"),
+      (col("id") * 100).as("offset"), lit(50L).as("length"))
+    val fillIdx = spark.range(filler.toLong).select(
+      format_string("sha1:U%d", col("id")).as("digest"),
+      lit("20260101000000").as("timestamp"),
+      lit("b.warc.gz").as("filename"),
+      (col("id") * 100).as("offset"), lit(50L).as("length"))
+    val index = hotIdx.unionByName(fillIdx)
+
+    // revisits: U URIs on the hot digest + one per 10 filler digests
+    val hotRev = spark.range(u.toLong).select(
+      format_string("http://dup%d.example/", col("id")).as("uri"),
+      lit("sha1:HOT").as("digest"))
+    val fillRev = spark.range(filler.toLong / 10).select(
+      format_string("http://f%d.example/", col("id")).as("uri"),
+      format_string("sha1:U%d", col("id") * 10).as("digest"))
+    val revisits = hotRev.unionByName(fillRev)
+
+    def timed(label: String)(df: => DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[revisit-scale] $label%-10s $n%9d picked rows in $s%8.2f s")
+      n
+    }
+
+    // r19 form: digest pre-agg (map-side combinable) + 1:1 join
+    def newPick: DataFrame = {
+      val best = index.groupBy("digest")
+        .agg(min(struct(col("timestamp"), col("filename"), col("offset"),
+          col("length"))).as("cap"))
+        .select(col("digest"), col("cap.timestamp").as("timestamp"),
+          col("cap.filename").as("filename"),
+          col("cap.offset").as("offset"), col("cap.length").as("length"))
+      revisits.select(col("uri").as("revisit_uri"), col("digest")).distinct()
+        .join(best, Seq("digest"), "left")
+    }
+
+    // r18 form: bare-digest join fans out U x C, window cuts it back
+    def oldPick: DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("revisit_uri", "digest")
+        .orderBy(col("timestamp"), col("filename"), col("offset"))
+      revisits.select(col("uri").as("revisit_uri"), col("digest")).distinct()
+        .join(index, Seq("digest"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+    }
+
+    println(s"[revisit-scale] hot digest: $u uris x $c captures " +
+      s"(old-form fan-out ${u.toLong * c} rows); filler $filler")
+    val nNew = timed("r19 pre-agg")(newPick)
+    val nOld = timed("r18 window")(oldPick)
+    require(nNew == nOld, s"row counts diverge: $nNew vs $nOld")
+    spark.stop()
+  }
+}

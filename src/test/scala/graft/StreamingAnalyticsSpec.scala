@@ -367,6 +367,105 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
     }
   }
 
+  test("warc export stream with dedup: cross-wave revisits resolve; replay is byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("warcdds").toFile
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("uri",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("content_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.BinaryType)))
+    def start(ck: String) = StreamingAnalytics.warcExportDedupIngest(
+      spark.readStream.schema(schema).parquet(landing.getAbsolutePath),
+      out, ck, nShards = 2)
+    def land(rows: Seq[(String, Int, String, Array[Byte])]): Unit =
+      rows.toDF("uri", "status", "content_type", "body")
+        .coalesce(1).write.mode("append").parquet(landing.getAbsolutePath)
+    try {
+      // wave 0: bodyX shared by two URIs (in-batch dedup), bodyY unique
+      land(Seq(
+        ("http://h0/p/1", 200, "text/plain", "bodyX".getBytes("UTF-8")),
+        ("http://h1/p/2", 200, "text/plain", "bodyX".getBytes("UTF-8")),
+        ("http://h0/p/3", 200, "text/plain", "bodyY".getBytes("UTF-8"))))
+      val q = start(ckpt)
+      q.processAllAvailable(); q.stop()
+      // wave 1: bodyX AGAIN (cross-wave revisit to the wave-0 winner),
+      // bodyZ new
+      land(Seq(
+        ("http://h2/p/4", 200, "text/plain", "bodyX".getBytes("UTF-8")),
+        ("http://h2/p/5", 200, "text/plain", "bodyZ".getBytes("UTF-8"))))
+      val q2 = start(ckpt)
+      q2.processAllAvailable(); q2.stop()
+      val glob = out + "/wave=*/part-*.warc.gz"
+      // 3 full responses (X-winner, Y, Z), 2 revisits (in-batch +
+      // CROSS-WAVE)
+      val revisits = graft.sources.WarcSource.warcRevisits(spark, glob)
+      assert(revisits.count() === 2)
+      val revs = revisits.collect()
+        .map(r => r.getString(1) -> r.getString(5)).toMap
+      assert(revs === Map(
+        "http://h1/p/2" -> "http://h0/p/1",
+        "http://h2/p/4" -> "http://h0/p/1"))
+      // the index carries exactly the winners, one wave each
+      val idx = spark.read.parquet(out + "/digest-index")
+        .select("digest", "orig").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(idx.values.toSet ===
+        Set("http://h0/p/1", "http://h0/p/3", "http://h2/p/5"))
+      // the loop closes on the engine's own multi-wave output:
+      // warc-index (per wave — index filenames are archive basenames,
+      // so nested waves qualify them with their wave dir) +
+      // resolveRevisits reconstitute both revisit texts
+      val index = Seq(0, 1).map { w =>
+        graft.sources.CdxSource.warcIndexFiles(spark,
+            out + s"/wave=$w/part-*.warc.gz")
+          .withColumn("filename", org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit(s"wave=$w/"),
+            org.apache.spark.sql.functions.col("filename")))
+      }.reduce(_ unionByName _)
+      assert(index.count() === 3)
+      val resolved = graft.sources.CdxSource.resolveRevisits(spark, out,
+        revisits, index)
+      assert(resolved.filter(
+        org.apache.spark.sql.functions.col("resolved_from").isNull)
+        .count() === 0)
+      resolved.collect().foreach { r =>
+        assert(r.getString(3) === "bodyX")
+      }
+      // replay with a fresh checkpoint: the landing re-batches (all 5
+      // rows land as one batch 0), so a shard file the original wave
+      // never materialized CAN appear — the first-wins guarantee is
+      // that no EXISTING shard's bytes ever change (a checkpointed
+      // recovery replays identical batches, where the file set is
+      // stable too; the prior-state exclusion keeps winners identical
+      // either way)
+      val wave0 = new java.io.File(out, "wave=0")
+      val before = wave0.listFiles().filter(_.getName.endsWith(".warc.gz"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      val q3 = start(new java.io.File(root, "ckpt2").getAbsolutePath)
+      q3.processAllAvailable(); q3.stop()
+      before.foreach { case (name, bytes) =>
+        assert(java.nio.file.Files.readAllBytes(
+          new java.io.File(wave0, name).toPath).toSeq === bytes,
+          s"replay rewrote existing shard $name")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("warc export stream: waves of response archives re-ingest and replay safely") {
     val root = java.nio.file.Files.createTempDirectory("warcstream").toFile
     val landing = new java.io.File(root, "landing"); landing.mkdirs()
