@@ -853,17 +853,24 @@ object GraftCli {
       println(s"[graft] cdx-fetch: $cdxGlob over $warcDir -> $outDir")
       spark.stop()
 
-    case "warc-index" :: glob :: outDir :: Nil =>
+    case "warc-index" :: glob :: outDir :: rest =>
       // GENERATE the CDX index of .warc(.gz) archives: one streaming
       // task per archive (measured member/record boundaries), then ONE
       // exchange sorting pointer-sized rows into the globally
-      // SURT-ordered shard form that cdx-scan / cdx-fetch consume
+      // SURT-ordered shard form that cdx-scan / cdx-fetch consume.
+      // `relative-to=<dir>` keeps wave-qualified paths for nested
+      // layouts (the streaming export's wave=N dirs repeat basenames)
       val spark = session()
       import spark.implicits._
+      val relTo = rest.collectFirst {
+        case a if a.startsWith("relative-to=") =>
+          a.stripPrefix("relative-to=")
+      }.orNull
       // persist: the sorted write AND the damage count read one parsed
       // pass instead of re-walking every archive (r18 review); the
       // cached rows are pointer-sized, never archive bytes
-      val rows = graft.sources.CdxSource.warcIndexFiles(spark, glob)
+      val rows = graft.sources.CdxSource.warcIndexFiles(spark, glob,
+          relativeTo = relTo)
         .persist()
       rows.filter(org.apache.spark.sql.functions.col("surt").isNotNull)
         .orderBy("surt", "timestamp")

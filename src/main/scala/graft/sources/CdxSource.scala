@@ -412,11 +412,30 @@ object CdxSource {
     * lenient poisons the rest of the FILE as one countable row.
     */
   def warcIndexFiles(spark: SparkSession, glob: String,
-                     lenient: Boolean = true): DataFrame = {
+                     lenient: Boolean = true,
+                     relativeTo: String = null): DataFrame = {
     import spark.implicits._
+    // `relativeTo`: keep the archive path RELATIVE to this base
+    // instead of the bare basename — wave-nested layouts (the
+    // streaming export's `wave=<id>/part-*.warc.gz`) repeat basenames
+    // across waves, and an index of bare names could neither
+    // distinguish them nor drive fetchByIndex against the base dir
+    val baseUri =
+      if (relativeTo == null) null
+      else {
+        val p = new org.apache.hadoop.fs.Path(relativeTo).toUri.getPath
+        if (p.endsWith("/")) p else p + "/"
+      }
     spark.sparkContext.binaryFiles(glob)
       .flatMap { case (path, pds) =>
-        val fname = path.substring(path.lastIndexOf('/') + 1)
+        val fname =
+          if (baseUri == null) path.substring(path.lastIndexOf('/') + 1)
+          else {
+            val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
+            require(p.startsWith(baseUri),
+              s"warc-index: '$p' is outside base '$baseUri'")
+            p.substring(baseUri.length)
+          }
         val base = StreamUtil.deferred {
           val in = pds.open()
           StreamUtil.closeOnExhaust(in,

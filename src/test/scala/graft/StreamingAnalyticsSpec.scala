@@ -420,17 +420,14 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
       assert(idx.values.toSet ===
         Set("http://h0/p/1", "http://h0/p/3", "http://h2/p/5"))
       // the loop closes on the engine's own multi-wave output:
-      // warc-index (per wave — index filenames are archive basenames,
-      // so nested waves qualify them with their wave dir) +
-      // resolveRevisits reconstitute both revisit texts
-      val index = Seq(0, 1).map { w =>
-        graft.sources.CdxSource.warcIndexFiles(spark,
-            out + s"/wave=$w/part-*.warc.gz")
-          .withColumn("filename", org.apache.spark.sql.functions.concat(
-            org.apache.spark.sql.functions.lit(s"wave=$w/"),
-            org.apache.spark.sql.functions.col("filename")))
-      }.reduce(_ unionByName _)
+      // warc-index with `relativeTo` keeps the wave-qualified archive
+      // paths (basenames repeat across waves), so resolveRevisits
+      // fetches against the export ROOT across all waves at once
+      val index = graft.sources.CdxSource.warcIndexFiles(spark, glob,
+        relativeTo = out)
       assert(index.count() === 3)
+      assert(index.select("filename").collect()
+        .forall(_.getString(0).startsWith("wave=")))
       val resolved = graft.sources.CdxSource.resolveRevisits(spark, out,
         revisits, index)
       assert(resolved.filter(
