@@ -165,6 +165,70 @@ class BrotliSpec extends GraftSparkSpec {
     }
   }
 
+  test("encode: randomized stride/dictionary/binary fuzz roundtrips; system arbitrates a sample") {
+    // the r19 encoder added two command forms — distance-code-0 reuse
+    // and static-dictionary references — so the fuzz targets their
+    // trigger shapes: fixed-stride repeats (the ring-reuse shape),
+    // English built from common dictionary words, long runs, raw
+    // randomness, and concatenated mixtures. Every case roundtrips
+    // through the own decoder; a sample is decoded by the SYSTEM
+    // brotli so an emission quirk our own decoder happens to tolerate
+    // cannot hide.
+    val rnd = new scala.util.Random(4719)
+    val words = Seq("the", "of", "and", "that", "with", "from", "this",
+      "world", "information", "different", "because", "people", "about",
+      "through", "government", "development")
+    def gen(): Array[Byte] = rnd.nextInt(5) match {
+      case 0 =>
+        val stride = rnd.nextInt(30) + 4
+        val unit = Array.fill(stride)((rnd.nextInt(4) + 'a').toByte)
+        Array.fill(rnd.nextInt(50) + 2)(unit).flatten
+      case 1 =>
+        (0 until rnd.nextInt(400) + 1)
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+          .getBytes("UTF-8")
+      case 2 =>
+        Array.fill(rnd.nextInt(5000))(rnd.nextInt(256).toByte)
+      case 3 =>
+        val zeros = new Array[Byte](rnd.nextInt(3000) + 10)
+        val island = Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)
+        zeros ++ island ++ zeros
+      case _ =>
+        val a = (0 until rnd.nextInt(100) + 1)
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+          .getBytes("UTF-8")
+        val b = Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte)
+        val unit = Array.fill(rnd.nextInt(12) + 4)('x'.toByte)
+        a ++ b ++ Array.fill(rnd.nextInt(30) + 1)(unit).flatten ++ a
+    }
+    val cases = (0 until 200).map(_ => gen())
+    cases.zipWithIndex.foreach { case (data, i) =>
+      val c = Brotli.encode(data)
+      assert(java.util.Arrays.equals(Brotli.decode(c), data),
+        s"fuzz case $i (len ${data.length}) roundtrip mismatch")
+      assert(c.length <= data.length + data.length / (1 << 16) * 4 + 16,
+        s"fuzz case $i inflated: ${c.length}/${data.length}")
+    }
+    withTempDir { dir =>
+      val sample = cases.grouped(7).map(_.head).toSeq // every 7th
+      sample.zipWithIndex.foreach { case (data, i) =>
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"f$i.in").toPath, data)
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"f$i.br").toPath, Brotli.encode(data))
+      }
+      val out = python(
+        s"""import brotlicffi
+           |d = ${"\"" + dir.getAbsolutePath + "\""}
+           |for i in range(${sample.size}):
+           |    c = open('%s/f%d.br' % (d, i), 'rb').read()
+           |    raw = open('%s/f%d.in' % (d, i), 'rb').read()
+           |    assert brotlicffi.decompress(c) == raw, i
+           |print('OK')""".stripMargin)
+      assert(out.trim === "OK")
+    }
+  }
+
   test("encode: multi-metablock (>4 MiB) and window-boundary inputs roundtrip") {
     val rnd = new scala.util.Random(23)
     // 6 MiB of structured text: spans two compressed metablocks
