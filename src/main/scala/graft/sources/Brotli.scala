@@ -1165,10 +1165,22 @@ object Brotli {
       val until = math.min(off + Chunk, data.length)
       val mlen = until - off
       val cmds = lzParse(data, off, until, window, lastDist)
-      // histograms
-      val litFreq = new Array[Int](256)
+      // histograms — literals are counted PER CONTEXT (mode-2/UTF8:
+      // the class pair of the two previous bytes, the same ctxLut the
+      // decoder reads from the jar), so the entropy stage can give
+      // after-space, after-letter, after-digit … literals their own
+      // trees (r19: the context-modeling share of the q5 ratio gap)
+      val ctxFreq = Array.ofDim[Int](64, 256)
       val cmdFreq = new Array[Int](704)
       val distFreq = new Array[Int](64)
+      // mode-2 literal context of the byte at absolute position q —
+      // the decoder's p1/p2 ARE the previous output bytes, which equal
+      // the previous data bytes at every emission point
+      def ctxOf(q: Int): Int = {
+        val p1 = if (q >= 1) data(q - 1) & 0xff else 0
+        val p2 = if (q >= 2) data(q - 2) & 0xff else 0
+        (ctxLut(2 * 512 + p1) & 0xff) | (ctxLut(2 * 512 + 256 + p2) & 0xff)
+      }
       case class Enc(cmd: Int, iCode: Int, cCode: Int, dCode: Int,
                      dExtra: Int, dBits: Int)
       // chunk-local view of the ring-last: committed back to lastDist
@@ -1218,14 +1230,122 @@ object Brotli {
           distFreq(dCode) += 1
         }
         var k = 0
-        while (k < c.insert) { litFreq(data(c.litOff + k) & 0xff) += 1; k += 1 }
+        while (k < c.insert) {
+          val q = c.litOff + k
+          ctxFreq(ctxOf(q))(data(q) & 0xff) += 1
+          k += 1
+        }
         cmdFreq(cmd) += 1
         Enc(cmd, iCode, cCode, dCode, dExtra, dBits)
       }
       if (distFreq.forall(_ == 0)) distFreq(0) = 1 // dummy single-symbol tree
-      if (litFreq.forall(_ == 0)) litFreq(0) = 1
 
-      val litLens = limitedLengths(litFreq, 15)
+      // ---- literal-tree clustering: greedy agglomerative merge of the
+      // 64 context histograms by entropy cost. Merging two clusters
+      // costs H(a+b) − H(a) − H(b) extra coded bits and saves one
+      // emitted table (~TableCostBits) — merge while that trade wins,
+      // and always down to the cap. Small-literal chunks skip straight
+      // to one tree (table overhead would dominate).
+      val ctxTotal = ctxFreq.map(_.sum)
+      val nLits = ctxTotal.sum
+      def entropyBits(h: Array[Int]): Double = {
+        var tot = 0L
+        var i = 0
+        while (i < h.length) { tot += h(i); i += 1 }
+        if (tot == 0) return 0.0
+        var e = 0.0
+        i = 0
+        while (i < h.length) {
+          val c = h(i)
+          if (c > 0) e -= c * math.log(c.toDouble / tot)
+          i += 1
+        }
+        e / math.log(2.0)
+      }
+      val MaxTrees = 12
+      val TableCostBits = 900.0
+      val map = new Array[Int](64)
+      val clusterHists: Seq[Array[Int]] = {
+        val live = (0 until 64).filter(ctxTotal(_) > 0)
+        if (nLits < 2048 || live.size <= 1) {
+          val h = new Array[Int](256)
+          live.foreach(c => (0 until 256).foreach(b => h(b) += ctxFreq(c)(b)))
+          if (h.forall(_ == 0)) h(0) = 1
+          Seq(h)
+        } else {
+          // cached pairwise merge deltas: the initial O(k²) entropy
+          // matrix plus an O(k) row refresh per merge — recomputing
+          // every pair per round made clustering the encode bottleneck
+          // on literal-heavy text
+          val k0 = live.size
+          val hists = live.map(c => ctxFreq(c).clone).toArray
+          val ctxs = live.map(c =>
+            scala.collection.mutable.ArrayBuffer(c)).toArray
+          val ents = hists.map(entropyBits)
+          val alive = Array.fill(k0)(true)
+          var nAlive = k0
+          val merged = new Array[Int](256)
+          def deltaOf(i: Int, j: Int): Double = {
+            var b = 0
+            while (b < 256) { merged(b) = hists(i)(b) + hists(j)(b); b += 1 }
+            entropyBits(merged) - ents(i) - ents(j)
+          }
+          val delta = Array.ofDim[Double](k0, k0)
+          var i = 0
+          while (i < k0) {
+            var j = i + 1
+            while (j < k0) { delta(i)(j) = deltaOf(i, j); j += 1 }
+            i += 1
+          }
+          var go = true
+          while (go && nAlive > 1) {
+            var bi = -1; var bj = -1
+            var best = Double.MaxValue
+            i = 0
+            while (i < k0) {
+              if (alive(i)) {
+                var j = i + 1
+                while (j < k0) {
+                  if (alive(j) && delta(i)(j) < best) {
+                    best = delta(i)(j); bi = i; bj = j
+                  }
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            if (nAlive > MaxTrees || best < TableCostBits) {
+              var b = 0
+              while (b < 256) { hists(bi)(b) += hists(bj)(b); b += 1 }
+              ctxs(bi) ++= ctxs(bj)
+              ents(bi) = entropyBits(hists(bi))
+              alive(bj) = false
+              nAlive -= 1
+              var t = 0
+              while (t < k0) {
+                if (alive(t) && t != bi) {
+                  if (t < bi) delta(t)(bi) = deltaOf(t, bi)
+                  else delta(bi)(t) = deltaOf(bi, t)
+                }
+                t += 1
+              }
+            } else go = false
+          }
+          val out = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+          i = 0
+          while (i < k0) {
+            if (alive(i)) {
+              ctxs(i).foreach(map(_) = out.size)
+              out += hists(i)
+            }
+            i += 1
+          }
+          out.toSeq
+        }
+      }
+      val nTreesL = clusterHists.size
+
+      val litLensT = clusterHists.map(h => limitedLengths(h, 15))
       val cmdLens = limitedLengths(cmdFreq, 15)
       val distLens = limitedLengths(distFreq, 15)
       // emit the compressed metablock to a SCRATCH writer and compare
@@ -1244,10 +1364,28 @@ object Brotli {
       sc.w(0, 1); sc.w(0, 1); sc.w(0, 1) // one block type per category
       sc.w(0, 2)                 // NPOSTFIX 0
       sc.w(0, 4)                 // NDIRECT 0
-      sc.w(0, 2)                 // literal context mode LSB6
-      sc.w(0, 1)                 // NTREES_L = 1
+      sc.w(2, 2)                 // literal context mode UTF8
+      // NTREES_L via the 1..256 count code the decoder reads
+      if (nTreesL == 1) sc.w(0, 1)
+      else {
+        var kk = 0
+        while ((1 << (kk + 1)) + 1 <= nTreesL) kk += 1
+        sc.w(1, 1); sc.w(kk, 3); sc.w(nTreesL - 1 - (1 << kk), kk)
+      }
+      if (nTreesL > 1) {
+        // literal context map: no RLE, raw values, no inverse-MTF —
+        // one prefix code over the tree ids, 64 entries
+        sc.w(0, 1)
+        val mapFreq = new Array[Int](nTreesL)
+        map.foreach(mapFreq(_) += 1)
+        val mapLens = limitedLengths(mapFreq, 15)
+        val mapCodes = emitPrefixCode(sc, mapLens, nTreesL)
+        var c = 0
+        while (c < 64) { sc.code(mapCodes(map(c)), mapLens(map(c))); c += 1 }
+        sc.w(0, 1)
+      }
       sc.w(0, 1)                 // NTREES_D = 1
-      val litCodes = emitPrefixCode(sc, litLens, 256)
+      val litCodesT = litLensT.map(l => emitPrefixCode(sc, l, 256))
       val cmdCodes = emitPrefixCode(sc, cmdLens, 704)
       val distCodes = emitPrefixCode(sc, distLens, 64)
       encs.zip(cmds).foreach { case (e, c) =>
@@ -1257,8 +1395,10 @@ object Brotli {
         sc.w(copyLen - CopyBase(e.cCode), CopyExtra(e.cCode))
         var k = 0
         while (k < c.insert) {
-          val b = data(c.litOff + k) & 0xff
-          sc.code(litCodes(b), litLens(b))
+          val q = c.litOff + k
+          val b = data(q) & 0xff
+          val t = if (nTreesL == 1) 0 else map(ctxOf(q))
+          sc.code(litCodesT(t)(b), litLensT(t)(b))
           k += 1
         }
         if (c.copyLen > 0) {

@@ -22,6 +22,25 @@ package graft.tools
   */
 object BrotliScale {
   def main(args: Array[String]): Unit = {
+    // `--file <path>`: ad-hoc encode probe over an arbitrary corpus —
+    // prints the own encoder's ratio/throughput and roundtrips it
+    if (args.length >= 2 && args(0) == "--file") {
+      val data = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(args(1)))
+      var c: Array[Byte] = null
+      var best = Double.MaxValue
+      (0 until 3).foreach { _ => // best-of-3: JIT out of the measure
+        val t0 = System.nanoTime()
+        c = graft.sources.Brotli.encode(data)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      require(java.util.Arrays.equals(graft.sources.Brotli.decode(c), data),
+        "roundtrip mismatch")
+      println(f"encode-file: ${data.length / 1e6}%.1f MB -> " +
+        f"${c.length / 1e6}%.2f MB (${c.length * 100.0 / data.length}%.2f%%)" +
+        f" in $best%.2f s (${data.length / 1e6 / best}%.1f MB/s in)")
+      return
+    }
     val dir = new java.io.File("/tmp/graft-brotliscale")
     if (!dir.exists()) {
       dir.mkdirs()
