@@ -992,23 +992,31 @@ object Brotli {
     * window match — `dlen >= mlen + 2`.
     */
   private def lzParse(data: Array[Byte], from: Int, until: Int,
-                      window: Int, lastIn: Int): Seq[LzCmd] = {
+                      window: Int, ring0: Array[Int], ringIdx0: Int,
+                      head: Array[Int], prev: Array[Int]): Seq[LzCmd] = {
     val HashBits = 17
     val MaxProbes = 32
-    val head = new Array[Int](1 << HashBits)
-    java.util.Arrays.fill(head, -1)
-    val prev = new Array[Int](until - from)
+    val PrevMask = prev.length - 1
     def hash(i: Int): Int = {
       val h = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
         ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
       (h * 0x9E3779B1) >>> (32 - HashBits)
     }
+    // the chain persists ACROSS chunks (r19b: matches may reference any
+    // earlier output inside the window — the decoder's copy window
+    // spans metablocks, stored ones included); prev is a position-
+    // masked rolling array, so a stale slot can hold a NEWER position's
+    // link — the monotonic `next < cand` guard terminates those chains
     def insertPos(i: Int): Unit = {
       val h = hash(i)
-      prev(i - from) = head(h)
+      prev(i & PrevMask) = head(h)
       head(h) = i
     }
-    var curLast = lastIn
+    // parse-side ring mirror (advisory: it biases match CHOICE toward
+    // ring-cheap distances; the emission loop maps each distance to
+    // its true code against the exact decoder trajectory)
+    val ring = ring0.clone()
+    var ringIdx = ringIdx0
     def extendAt(cand: Int, i: Int): Int = {
       var l = 0
       while (i + l < until && data(cand + l) == data(i + l) &&
@@ -1020,18 +1028,29 @@ object Brotli {
     // chains are thousands deep, from turning the parse quadratic)
     val SufficientLen = 128
     /** Best backward match at i (chain already holds positions < i):
-      * packed (len << 32 | dist); len 0 = none. Ring-last probe gets a
-      * +3 length handicap (its distance is ~free to encode).
+      * packed (len << 32 | dist); len 0 = none. RING probes run first —
+      * all four slots, since ring codes 0..3 cost one tree symbol with
+      * zero extra bits — with a +3 handicap for the last slot and +2
+      * for the others.
       */
     def bestMatch(i: Int): Long = {
       var bestLen = 0
       var bestDist = 0
-      if (curLast >= 1 && curLast <= i) {
-        val l = extendAt(i - curLast, i)
-        if (l >= 4) { bestLen = l; bestDist = curLast }
+      var handicap = 0
+      var r = 0
+      while (r < 4) {
+        val d = ring((ringIdx - 1 - r) & 3)
+        if (d >= 1 && d <= i && d <= window && d != bestDist) {
+          val l = extendAt(i - d, i)
+          if (l >= 4 && l > bestLen) {
+            bestLen = l; bestDist = d
+            handicap = if (r == 0) 3 else 2
+          }
+        }
+        r += 1
       }
       if (bestLen < SufficientLen) {
-        val handicap = bestLen + 3 // an explicit match must beat this
+        val floor = bestLen + handicap // an explicit match must beat this
         var cand = head(hash(i))
         var probes = 0
         var expLen = 0
@@ -1050,10 +1069,11 @@ object Brotli {
               }
             }
           }
-          cand = if (cand >= from) prev(cand - from) else -1
+          val next = prev(cand & PrevMask)
+          cand = if (next >= 0 && next < cand) next else -1
           probes += 1
         }
-        if (expLen >= 4 && expLen > handicap) {
+        if (expLen >= 4 && expLen > floor) {
           bestLen = expLen; bestDist = expDist
         }
       }
@@ -1114,7 +1134,12 @@ object Brotli {
         if (defer) i += 1
         else {
           out += LzCmd(lit, i - lit, mlen, mdist)
-          if (mdist != curLast) curLast = mdist
+          // mirror the decoder's ring rule: code 0 (== last) never
+          // pushes, every other distance does
+          if (mdist != ring((ringIdx - 1) & 3)) {
+            ring(ringIdx & 3) = mdist
+            ringIdx += 1
+          }
           // index the interior: every position for short matches (chain
           // quality), sparsely for long ones (a 100 KB repeat would
           // otherwise build thousands-deep identical-hash chains)
@@ -1155,16 +1180,25 @@ object Brotli {
     val window = (1 << wbits) - 16
 
     val Chunk = 1 << 22
-    // last pushed backward distance — the decoder's ring-last, which
-    // persists ACROSS metablocks; -1 until the stream pushes one (the
-    // ring's preset values are never reused blind, so the initial
-    // state cannot matter). Distance code 0 re-issues it for free.
-    var lastDist = -1
+    // the decoder's distance RING (presets 16,15,11,4), mirrored
+    // exactly: it persists across metablocks, pushes on every distance
+    // code except 0, and codes 0..3 re-issue its four slots for one
+    // tree symbol with zero extra bits.
+    val encRing = Array(16, 15, 11, 4)
+    var encRingIdx = 0
+    // hash chain shared ACROSS chunks so matches reach any earlier
+    // output inside the window; prev is position-masked (16 MiB of
+    // links) with the monotonic stale-slot guard in lzParse
+    val chainHead = new Array[Int](1 << 17)
+    java.util.Arrays.fill(chainHead, -1)
+    val chainPrev = new Array[Int](1 << 22)
+    java.util.Arrays.fill(chainPrev, -1)
     var off = 0
     while (off < data.length) {
       val until = math.min(off + Chunk, data.length)
       val mlen = until - off
-      val cmds = lzParse(data, off, until, window, lastDist)
+      val cmds = lzParse(data, off, until, window, encRing, encRingIdx,
+        chainHead, chainPrev)
       // histograms — literals are counted PER CONTEXT (mode-2/UTF8:
       // the class pair of the two previous bytes, the same ctxLut the
       // decoder reads from the jar), so the entropy stage can give
@@ -1183,10 +1217,11 @@ object Brotli {
       }
       case class Enc(cmd: Int, iCode: Int, cCode: Int, dCode: Int,
                      dExtra: Int, dBits: Int)
-      // chunk-local view of the ring-last: committed back to lastDist
+      // chunk-local ring trajectory: committed back to the stream ring
       // only if this chunk emits COMPRESSED (a stored fallback never
       // touches the decoder's ring)
-      var chunkLast = lastDist
+      val chunkRing = encRing.clone()
+      var chunkRingIdx = encRingIdx
       val encs = cmds.map { c =>
         val iCode = codeOf(c.insert, InsertBase)
         // final flush carries a dummy copy the decoder never uses
@@ -1201,11 +1236,38 @@ object Brotli {
         var dCode = 0; var dExtra = 0; var dBits = 0
         if (c.copyLen > 0) {
           val d = c.dist
-          if (!c.isDict && d == chunkLast) {
-            // LAST-DISTANCE REUSE: code 0 = ring-last, zero extra bits
-            // and no ring push — the repetitive-stride shape (tables,
-            // logs, fixed-record text) collapses to one cheap symbol
-            dCode = 0
+          // RING REUSE (codes 0..3 exact, 4..15 anchor±1..3): one tree
+          // symbol, zero extra bits. Code 0 (== last) never pushes;
+          // every other code pushes the resolved distance — the
+          // decoder's exact rule. The ± codes are a pure emission-side
+          // win: counter-bearing repeats land one byte off the ring.
+          var rCode = -1
+          if (!c.isDict) {
+            var r = 0
+            while (rCode < 0 && r < 4) {
+              if (chunkRing((chunkRingIdx - 1 - r) & 3) == d) rCode = r
+              r += 1
+            }
+            if (rCode < 0) {
+              // codes 4..15: ring anchor (slots 0/1) ± {1,2,3}
+              var cc = 4
+              while (rCode < 0 && cc < 16) {
+                val anchor = chunkRing((chunkRingIdx - 1 - ((cc - 4) / 6)) & 3)
+                val delta = ((cc - 4) % 6) match {
+                  case 0 => -1; case 1 => 1; case 2 => -2
+                  case 3 => 2; case 4 => -3; case 5 => 3
+                }
+                if (anchor + delta == d && d >= 1) rCode = cc
+                cc += 1
+              }
+            }
+          }
+          if (rCode >= 0) {
+            dCode = rCode
+            if (rCode != 0) {
+              chunkRing(chunkRingIdx & 3) = d
+              chunkRingIdx += 1
+            }
           } else {
             var nb = 1
             var found = false
@@ -1225,7 +1287,10 @@ object Brotli {
               require(nb <= 25 || found, "brotli-enc: distance out of range")
             }
             // dictionary references never push the decoder's ring
-            if (!c.isDict) chunkLast = d
+            if (!c.isDict) {
+              chunkRing(chunkRingIdx & 3) = d
+              chunkRingIdx += 1
+            }
           }
           distFreq(dCode) += 1
         }
@@ -1420,7 +1485,8 @@ object Brotli {
         }
       } else {
         bw.append(sc)
-        lastDist = chunkLast
+        System.arraycopy(chunkRing, 0, encRing, 0, 4)
+        encRingIdx = chunkRingIdx
       }
       off = until
     }
