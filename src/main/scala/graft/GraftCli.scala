@@ -1018,6 +1018,20 @@ object GraftCli {
         (if (mainContent) " (main-content)" else ""))
       spark.stop()
 
+    case "corpus-from-warc-resolved" :: glob :: warcDir :: outDir :: rest =>
+      // corpus bridge over DEDUP-WRITTEN archives: full responses PLUS
+      // revisit records reconstituted to their original's text (the
+      // x125 pieces composed) — a digest-deduped crawl reads as if
+      // every capture were stored full
+      val spark = session()
+      val lenient = !rest.contains("strict")
+      val docs = graft.sources.WarcSource.crawlDocsResolved(
+        spark, warcDir, glob, lenient)
+      docs.write.mode("overwrite").parquet(outDir)
+      val n = spark.read.parquet(outDir).count()
+      println(s"[graft] corpus-from-warc-resolved: $glob -> $outDir ($n docs)")
+      spark.stop()
+
     case "wet-demo" :: docsParquet :: outDir :: Nil =>
       // materialize Common-Crawl-shaped .warc.wet[.gz] fixtures
       val spark = session()

@@ -1139,6 +1139,35 @@ object WarcSource {
                 mainContent: Boolean = false): DataFrame =
     crawlDocsFrom(spark, warcFiles(spark, glob, lenient, mainContent))
 
+  /** Corpus bridge over DEDUP-WRITTEN (CC-shaped) archives: the
+    * [[crawlDocs]] admission PLUS revisit reconstitution — every
+    * `revisit` record's page lands under its OWN URI with the
+    * original capture's extracted text, so a digest-deduped crawl
+    * reads as if every capture were stored full (without this, half
+    * of a real CC crawl's pages silently vanish from the corpus).
+    * Composition of the x125 production pieces: `warc-index` over the
+    * glob (wave-nested layouts keep qualified paths via `relativeTo`),
+    * revisit linkage from [[warcRevisits]], digest-joined pointer
+    * fetches in [[CdxSource.resolveRevisits]] — pointer-sized
+    * exchanges only, archive bytes never shuffle, fetches cost one
+    * member each.
+    */
+  def crawlDocsResolved(spark: SparkSession, warcDir: String, glob: String,
+                        lenient: Boolean = true): DataFrame = {
+    val full = warcFiles(spark, glob, lenient)
+      .filter(col("status") === 200 && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("uri"), col("text"))
+    val resolved = CdxSource.resolveRevisits(spark, warcDir,
+        warcRevisits(spark, glob, lenient).filter(col("uri").isNotNull),
+        CdxSource.warcIndexFiles(spark, glob, lenient,
+          relativeTo = warcDir))
+      .filter(col("status") === 200 && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("revisit_uri").as("uri"), col("text"))
+    docsShape(spark, full.unionByName(resolved))
+  }
+
   /** The admission + shaping half of [[crawlDocs]] over an ALREADY
     * BUILT pages frame — callers that also need the degrade accounting
     * persist one `warcFiles` frame and feed it here instead of walking

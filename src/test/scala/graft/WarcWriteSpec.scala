@@ -165,6 +165,18 @@ class WarcWriteSpec extends GraftSparkSpec {
         resolved.select("revisit_uri", "text").collect()
           .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(dedupTexts === fullTexts)
+      // the corpus bridge composes the same loop: docs over the DEDUP
+      // archives (responses + reconstituted revisits) equal docs over
+      // the FULL write, row for row
+      def docRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "text", "source").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val viaDedup = docRows(WarcSource.crawlDocsResolved(
+        spark, dir.getAbsolutePath, glob))
+      val viaFull = docRows(WarcSource.crawlDocs(
+        spark, fullDir.getAbsolutePath + "/*.warc.gz"))
+      assert(viaDedup === viaFull)
+      assert(viaDedup.size === 36)
     } finally {
       def rmr(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
