@@ -994,13 +994,17 @@ object Brotli {
   private def lzParse(data: Array[Byte], from: Int, until: Int,
                       window: Int, ring0: Array[Int], ringIdx0: Int,
                       head: Array[Int], prev: Array[Int]): Seq[LzCmd] = {
-    val HashBits = 17
     val MaxProbes = 32
     val PrevMask = prev.length - 1
+    // table sizes are caller-sized to the input (a fixed 16 MiB chain
+    // allocated-and-filled per call crushed small-entity encodes — the
+    // WARC fixture arm's exact shape); derive the hash shift from the
+    // head the caller built
+    val hashBits = Integer.numberOfTrailingZeros(head.length)
     def hash(i: Int): Int = {
       val h = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
         ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
-      (h * 0x9E3779B1) >>> (32 - HashBits)
+      (h * 0x9E3779B1) >>> (32 - hashBits)
     }
     // the chain persists ACROSS chunks (r19b: matches may reference any
     // earlier output inside the window — the decoder's copy window
@@ -1187,11 +1191,19 @@ object Brotli {
     val encRing = Array(16, 15, 11, 4)
     var encRingIdx = 0
     // hash chain shared ACROSS chunks so matches reach any earlier
-    // output inside the window; prev is position-masked (16 MiB of
-    // links) with the monotonic stale-slot guard in lzParse
-    val chainHead = new Array[Int](1 << 17)
+    // output inside the window; prev is position-masked with the
+    // monotonic stale-slot guard in lzParse. Both tables size to the
+    // INPUT (powers of two, capped at 2^17 heads / 2^22 links): a
+    // fixed 16 MiB allocate-and-fill per call would cost more than the
+    // whole encode on the KB-sized entities the WARC fixture arm feeds
+    def bitsFor(n: Long, lo: Int, hi: Int): Int = {
+      var b = lo
+      while (b < hi && (1L << b) < n) b += 1
+      b
+    }
+    val chainHead = new Array[Int](1 << bitsFor(data.length / 4, 8, 17))
     java.util.Arrays.fill(chainHead, -1)
-    val chainPrev = new Array[Int](1 << 22)
+    val chainPrev = new Array[Int](1 << bitsFor(data.length, 8, 22))
     java.util.Arrays.fill(chainPrev, -1)
     var off = 0
     while (off < data.length) {
