@@ -3395,7 +3395,7 @@ object ExtensionQueries {
                   uri, 200, "text/plain; charset=utf-8",
                   body.getBytes("UTF-8"), date)
                 else graft.sources.WarcSource.warcRevisitOf(
-                  uri, "text/plain; charset=utf-8", orig, digest,
+                  uri, 200, "text/plain; charset=utf-8", orig, digest,
                   body.getBytes("UTF-8").length.toLong, date)
               bos.write(graft.sources.WarcSource.gzipOne(rec))
             }

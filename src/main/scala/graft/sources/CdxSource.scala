@@ -423,7 +423,16 @@ object CdxSource {
     val baseUri =
       if (relativeTo == null) null
       else {
-        val p = new org.apache.hadoop.fs.Path(relativeTo).toUri.getPath
+        // qualify through the FileSystem first: a RELATIVE base (the
+        // common CLI habit) would otherwise never prefix-match the
+        // absolute URIs binaryFiles resolves, erroring every file as
+        // "outside base" (r19 review)
+        val p0 = new org.apache.hadoop.fs.Path(relativeTo)
+        val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // normalize dot segments too — a "../x" base must still
+        // prefix-match the fully resolved file URIs
+        val p = java.nio.file.Paths.get(
+          fs.makeQualified(p0).toUri.getPath).normalize().toString
         if (p.endsWith("/")) p else p + "/"
       }
     spark.sparkContext.binaryFiles(glob)

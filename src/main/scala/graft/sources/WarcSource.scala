@@ -1051,14 +1051,18 @@ object WarcSource {
             new WarcIterator(in, lenientHttp = lenient)
               .filter(_.warcType == "revisit")
               .map(r => (path, r.targetUri, r.refersTo, r.payloadDigest,
-                r.revisitProfile, r.refersToUri, r.refersToDate)))
+                r.revisitProfile, r.refersToUri, r.refersToDate,
+                // the revisit's OWN recorded status (its headers-only
+                // HTTP head) — a soft-404 duplicate must not resurface
+                // as its 200 original's status downstream
+                r.httpStatus)))
         }
         if (!lenient) base
         else StreamUtil.poisonOnError(base,
-          (path, null, null, null, null, null, null))
+          (path, null, null, null, null, null, null, -1))
       }
       .toDF("file", "uri", "refers_to", "digest", "profile",
-        "refers_to_uri", "refers_to_date")
+        "refers_to_uri", "refers_to_date", "status")
   }
 
   /** x101 gate: end-to-end extracted text of each archive's first
@@ -1159,7 +1163,12 @@ object WarcSource {
         length(col("text")) > 0)
       .select(col("uri"), col("text"))
     val resolved = CdxSource.resolveRevisits(spark, warcDir,
-        warcRevisits(spark, glob, lenient).filter(col("uri").isNotNull),
+        // admission uses the REVISIT's own recorded status — a
+        // soft-404 duplicate of a 200 page must stay out of the
+        // corpus exactly as its full capture would have (r19 review);
+        // the inner filter then re-checks the ORIGINAL's fetch status
+        warcRevisits(spark, glob, lenient)
+          .filter(col("uri").isNotNull && col("status") === 200),
         CdxSource.warcIndexFiles(spark, glob, lenient,
           relativeTo = warcDir))
       .filter(col("status") === 200 && col("text").isNotNull &&
@@ -1494,7 +1503,8 @@ object WarcSource {
     */
   private[graft] def warcResponseOf(uri: String, status: Int,
                                     contentType: String, body: Array[Byte],
-                                    date: String): Array[Byte] = {
+                                    date: String,
+                                    digest0: String = null): Array[Byte] = {
     // RFC 3986 URIs are ASCII by definition; whitespace/control or
     // non-ASCII here would silently corrupt the CRLF-framed header
     // (percent-encode upstream) — loud beats mangled
@@ -1512,7 +1522,8 @@ object WarcSource {
       "WARC-Record-ID" -> s"<${responseIdOf(uri, date)}>",
       "WARC-Date" -> date,
       "WARC-Target-URI" -> uri,
-      "WARC-Payload-Digest" -> payloadDigestOf(body),
+      "WARC-Payload-Digest" ->
+        (if (digest0 != null) digest0 else payloadDigestOf(body)),
       "Content-Type" -> "application/http; msgtype=response"), http)
   }
 
@@ -1543,7 +1554,8 @@ object WarcSource {
     * content-identity idempotency the reference records as ingest tags
     * (KustoPreForgeLib/Text/TextKustoSink.cs:48-51, IngestIfNotExists).
     */
-  private[graft] def warcRevisitOf(uri: String, contentType: String,
+  private[graft] def warcRevisitOf(uri: String, status: Int,
+                                   contentType: String,
                                    refersToUri: String, digest: String,
                                    entityLen: Long, date: String)
       : Array[Byte] = {
@@ -1554,7 +1566,10 @@ object WarcSource {
       s"warc-write: refers-to URI must be printable ASCII: '$refersToUri'")
     require(contentType.forall(c => c >= 0x20 && c < 0x7f),
       s"warc-write: control or non-ASCII byte in content type '$contentType'")
-    val head = (s"HTTP/1.1 200 OK\r\n" +
+    // the revisit's head records ITS capture's status — digest dedup
+    // groups a soft-404 with a 200 twin, and a hardcoded 200 here
+    // would rewrite the recorded fact (r19 review)
+    val head = (s"HTTP/1.1 $status ${ReasonOf.getOrElse(status, "Status")}\r\n" +
       s"Content-Type: $contentType\r\n" +
       s"Content-Length: $entityLen\r\n\r\n").getBytes("ISO-8859-1")
     record(Seq(
@@ -1579,14 +1594,21 @@ object WarcSource {
   private[graft] def warcRequestOf(uri: String, date: String): Array[Byte] = {
     require(uri.nonEmpty && uri.forall(c => c > 0x20 && c < 0x7f),
       s"warc-write: URI must be non-empty printable ASCII: '$uri'")
-    // RFC 7230 origin-form request target: path + query of the URI
+    // RFC 7230 origin-form request target: path + query of the URI —
+    // the FRAGMENT never reaches the server, so strip it BEFORE
+    // matching (a whole-string match on a fragment-bearing URI would
+    // otherwise reject a perfectly good http(s) page, r19 review)
+    val noFrag = uri.indexOf('#') match {
+      case -1 => uri
+      case h => uri.substring(0, h)
+    }
     val m = "(?i)^https?://[^/?#]+([^#]*)".r
-    val target = uri match {
+    val target = noFrag match {
       case m(rest) if rest.nonEmpty => rest
       case m(_) => "/"
       case _ => sys.error(s"warc-write: non-http(s) request URI '$uri'")
     }
-    val host = uri.replaceFirst("(?i)^https?://", "")
+    val host = noFrag.replaceFirst("(?i)^https?://", "")
       .takeWhile(c => c != '/' && c != '?' && c != '#')
     val http = (s"GET $target HTTP/1.1\r\n" +
       s"Host: $host\r\nUser-Agent: graft\r\n\r\n").getBytes("ISO-8859-1")
@@ -1659,7 +1681,7 @@ object WarcSource {
           .agg(org.apache.spark.sql.functions.min(col("uri")).as("orig"))
         decidedRows(withDigest.join(winners, Seq("digest"))
           .select(col("uri"), col("status"), col("ct").as("content_type"),
-            col("body"), col("orig")), n, g, req, d)
+            col("body"), col("orig"), col("digest")), n, g, req, d)
       }
     writeArchiveShards(rows, outDir, if (gzip) ".warc.gz" else ".warc",
       shard => { val i = warcInfoOf(shard, d); if (g) gzipOne(i) else i })
@@ -1678,21 +1700,22 @@ object WarcSource {
     decided
       .select(col("uri").cast("string"), col("status").cast("int"),
         col("content_type").cast("string"), col("body"),
-        col("orig").cast("string"))
-      .as[(String, Int, String, Array[Byte], String)]
-      .map { case (uri, status, ct, body, orig) =>
+        col("orig").cast("string"), col("digest").cast("string"))
+      .as[(String, Int, String, Array[Byte], String, String)]
+      .map { case (uri, status, ct, body, orig, digest) =>
         (java.lang.Math.floorMod(uri.hashCode.toLong, n),
           uri.hashCode.toLong,
-          warcMemberOf(uri, status, ct, body, orig, g, req, d))
+          warcMemberOf(uri, status, ct, body, orig, g, req, d, digest))
       }
   }
 
   /** The decided-pages arm of [[writeWarc]] — pages arrive with their
     * per-digest original ALREADY picked (`uri, status, content_type,
-    * body, orig`), so a caller holding cross-batch dedup state (the
-    * streaming export's persisted digest index) can route repeats at
-    * originals chosen in EARLIER waves. Same sharding, member layout,
-    * and first-wins commit as writeWarc.
+    * body, orig, digest`), so a caller holding cross-batch dedup state
+    * (the streaming export's persisted digest index) can route repeats
+    * at originals chosen in EARLIER waves; the precomputed digest rides
+    * along so the record builders never re-hash the bodies. Same
+    * sharding, member layout, and first-wins commit as writeWarc.
     */
   private[graft] def writeWarcDecided(decided: DataFrame, outDir: String,
                                       nShards: Int, gzip: Boolean = true,
@@ -1718,15 +1741,21 @@ object WarcSource {
     */
   private[graft] def warcMemberOf(uri: String, status: Int, ct0: String,
                                   body0: Array[Byte], orig: String,
-                                  g: Boolean, req: Boolean, d: String)
+                                  g: Boolean, req: Boolean, d: String,
+                                  digest0: String = null)
       : Array[Byte] = {
     val ct = if (ct0 == null) "application/octet-stream" else ct0
     val body = if (body0 == null) Array.emptyByteArray else body0
+    // the dedup callers computed the digest upstream (the winner pick
+    // keyed on it) — reuse it instead of a second SHA-1 pass over
+    // nearly the whole body volume (r19 review)
+    lazy val digest =
+      if (digest0 != null) digest0 else payloadDigestOf(body)
     val main =
       if (orig != null && orig != uri)
-        warcRevisitOf(uri, ct, orig, payloadDigestOf(body),
+        warcRevisitOf(uri, status, ct, orig, digest,
           body.length.toLong, d)
-      else warcResponseOf(uri, status, ct, body, d)
+      else warcResponseOf(uri, status, ct, body, d, digest)
     val wrapped = if (g) gzipOne(main) else main
     if (!req) wrapped
     else {

@@ -272,24 +272,30 @@ object StreamingAnalytics {
           }
           .toDF("uri", "status", "content_type", "body", "digest")
           .persist()
+        val newWinners = withDigest
+          .join(prior, Seq("digest"), "left_anti")
+          .groupBy("digest").agg(min(col("uri")).as("orig"))
+          .persist()
         try {
-          val newWinners = withDigest
-            .join(prior, Seq("digest"), "left_anti")
-            .groupBy("digest").agg(min(col("uri")).as("orig"))
-            .persist()
           val decided = withDigest
             .join(prior, Seq("digest"), "left")
             .join(newWinners, Seq("digest"), "left")
             .withColumn("orig", coalesce(col("prior_orig"), col("orig")))
           graft.sources.WarcSource.writeWarcDecided(
-            decided.select("uri", "status", "content_type", "body", "orig"),
+            decided.select("uri", "status", "content_type", "body", "orig",
+              "digest"),
             s"$outDir/wave=$batchId", nShards, gzip, date)
           // the index append happens AFTER the archives land: a crash
           // between the two replays with the same prior state either way
           newWinners.write.mode("overwrite")
             .parquet(s"$idxDir/wave=$batchId")
+        } finally {
+          // both caches release on failure too — a restarted stream on
+          // the same session must not accumulate pinned blocks per
+          // failed attempt (r19 review)
           newWinners.unpersist()
-        } finally withDigest.unpersist()
+          withDigest.unpersist()
+        }
         ()
       }
       .start()

@@ -121,9 +121,12 @@ class WarcWriteSpec extends GraftSparkSpec {
       import spark.implicits._
       // 36 URIs over 5 shared bodies: each digest group spans hosts AND
       // shards (uri-hash sharding scatters the group), so resolution
-      // must cross shard files — the judge's cross-shard-repeats shape
+      // must cross shard files — the judge's cross-shard-repeats shape.
+      // Every 12th page is a SOFT-404 duplicate: its revisit head must
+      // record 404, not a hardcoded 200 (r19 review)
       val pages = (0 until 36).map { i =>
-        (s"http://host${i % 3}.example/p/$i", 200,
+        (s"http://host${i % 3}.example/p/$i",
+          if (i % 12 == 7) 404 else 200,
           "text/html; charset=utf-8",
           (s"<html><body>shared body ${i % 5}</body></html>")
             .getBytes("UTF-8"))
@@ -176,7 +179,25 @@ class WarcWriteSpec extends GraftSparkSpec {
       val viaFull = docRows(WarcSource.crawlDocs(
         spark, fullDir.getAbsolutePath + "/*.warc.gz"))
       assert(viaDedup === viaFull)
-      assert(viaDedup.size === 36)
+      assert(viaDedup.size === 33) // the 3 soft-404s stay out, both sides
+      // the soft-404 repeats keep their OWN status in the revisit head
+      // (a hardcoded 200 would launder them into the corpus)
+      val parsed404 = dir.listFiles().filter(_.getName.endsWith(".warc.gz"))
+        .flatMap(f => WarcSource.parseWarc(
+          java.nio.file.Files.readAllBytes(f.toPath)).records)
+        .filter(r => r.warcType == "revisit" && r.httpStatus == 404)
+      assert(parsed404.map(_.targetUri).toSet === Set(
+        "http://host1.example/p/7", "http://host1.example/p/19",
+        "http://host1.example/p/31"))
+      // warcRevisits surfaces that status for admission decisions
+      assert(revisits.filter(col("status") === 404).count() === 3)
+      // relative-base arm: a cwd-relative warcDir must route the index
+      // the same as the absolute one (r19 review: the prefix compare
+      // failed for every file under a relative base)
+      val rel = new java.io.File(".").getCanonicalFile.toPath
+        .relativize(dir.getCanonicalFile.toPath).toString
+      assert(CdxSource.warcIndexFiles(spark, glob, relativeTo = rel)
+        .count() === index.count())
     } finally {
       def rmr(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
@@ -189,9 +210,16 @@ class WarcWriteSpec extends GraftSparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("warcreq").toFile
     try {
       val date = "2026-01-01T00:00:00Z"
-      val pages = pagesDf(20)
+      import spark.implicits._
+      // one fragment-bearing URI rides along: the request line strips
+      // the fragment (it never reaches the server) instead of the
+      // whole-string match rejecting the page (r19 review)
+      val pages = pagesDf(20).unionByName(Seq(
+        ("http://host0.example/frag#sec", 200, "text/html",
+          "frag body".getBytes("UTF-8")))
+        .toDF("uri", "status", "content_type", "body"))
       assert(WarcSource.writeWarc(pages, dir.getAbsolutePath, 2,
-        requests = true) === 20)
+        requests = true) === 21)
       dir.listFiles().filter(_.getName.endsWith(".warc.gz")).foreach { f =>
         val parsed = WarcSource.parseWarc(
           java.nio.file.Files.readAllBytes(f.toPath))
@@ -211,9 +239,9 @@ class WarcWriteSpec extends GraftSparkSpec {
       // index generation skips the request members and the loop closes
       val index = CdxSource.warcIndexFiles(spark,
         dir.getAbsolutePath + "/*.warc.gz")
-      assert(index.count() === 20)
+      assert(index.count() === 21)
       assert(CdxSource.fetchByIndex(spark, dir.getAbsolutePath, index)
-        .count() === 20)
+        .count() === 21)
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
