@@ -89,6 +89,14 @@ object RevisitScale {
         .filter(col("rn") === 1)
     }
 
+    if (args.contains("--explain")) {
+      // plan audit: the digest pre-agg must run as a PARTIAL (map-side
+      // combined) aggregate before its exchange — grep the formatted
+      // plan for the partial_min marker
+      newPick.explain("formatted")
+      spark.stop()
+      return
+    }
     println(s"[revisit-scale] hot digest: $u uris x $c captures " +
       s"(old-form fan-out ${u.toLong * c} rows); filler $filler")
     val nNew = timed("r19 pre-agg")(newPick)
