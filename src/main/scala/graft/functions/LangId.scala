@@ -5,7 +5,8 @@ package graft.functions
   * reference seam: the reference has no text analysis at all, this is
   * extension surface). Language models are PER-SCRIPT (the d57/x-route
   * discipline: one trigram model cannot span writing systems honestly):
-  * [[LangId]] is the Latin family (de/en/es/fr/it/nl/pt/sv),
+  * [[LangId]] is the Latin family
+  * (cs/de/en/es/fr/id/it/nl/pl/pt/ro/sv/tr/vi),
   * [[CyrLangId]] the Cyrillic family (bg/ru/uk), both instances of the
   * same [[TrigramNb]] core, and [[LangId.route]] dispatches on
   * [[ScriptId.dominant]] — Latin text to the Latin model, Cyrillic to
@@ -102,17 +103,29 @@ private[graft] final class TrigramNb(
 
 object LangId {
 
-  /** Tie order = alphabetical. */
-  val langs: Seq[String] = Seq("de", "en", "es", "fr", "it", "nl", "pt", "sv")
+  /** Tie order = alphabetical. r20 widens the family from 8 to 14 —
+    * pl, tr, vi, id, ro, cs were top-20 web languages the router
+    * previously refused by name, and Latin is the script where a
+    * refusal costs the most corpus (r19 verdict item 2).
+    */
+  val langs: Seq[String] = Seq("cs", "de", "en", "es", "fr", "id", "it",
+    "nl", "pl", "pt", "ro", "sv", "tr", "vi")
 
   /** Decision margin, micro-nats per trigram: the best language must
-    * beat the runner-up by this much per trigram, else `und`. Chosen
-    * against measured gaps (LangIdSpec pins both sides): in-set
-    * held-out sentences score ≥ ~48k/trigram over the runner-up, while
-    * out-of-set text (Finnish, Turkish) lands ≤ ~13k — 25k splits the
-    * two populations with ~2× headroom on the in-set side.
+    * beat the runner-up by this much per trigram, else `und`. Re-placed
+    * for the 14-language family (LangIdSpec pins both sides): in-set
+    * held-out sentences score ≥ ~63k/trigram over the runner-up, while
+    * the pinned out-of-set probes (Finnish, Hungarian, Danish,
+    * Norwegian, Swahili) land ≤ ~45k — more neighbors means out-of-set
+    * text partially rides SOME profile, so the 8-language margin of
+    * 25k no longer splits the populations. Documented limitation
+    * (LangIdSpec): languages that ride one in-set profile hard —
+    * Slovak→cs, Croatian→cs, Tagalog→id, Catalan→es — exceed any
+    * feasible margin and are named by their nearest modeled neighbor;
+    * an 8-sentence trigram NB cannot separate same-family pairs it has
+    * never seen.
     */
-  val undMarginMicro: Long = 25000L
+  val undMarginMicro: Long = 50000L
 
   // Seed corpora: 8 short ASCII-normalized sentences per language,
   // function-word heavy (articles, pronouns, auxiliaries carry the
@@ -181,21 +194,75 @@ object LangId {
     ("sv", "av allt vi har sett var detta det basta"),
     ("sv", "den som sitter i glashus ska inte kasta sten"),
     ("sv", "det finns inget gott eller ont men tanken gor det sa"),
-    ("sv", "att vara eller inte vara det ar fragan"))
+    ("sv", "att vara eller inte vara det ar fragan"),
+    // r20 breadth languages — same 8 source sentences, ASCII-folded
+    // the way the established seeds are (ueber-style: diacritics
+    // dropped to their base letter, since normalize strips to [a-z])
+    ("pl", "szybki brazowy lis skacze nad leniwym psem"),
+    ("pl", "to jest dom ktory zbudowal jack"),
+    ("pl", "ktora jest godzina i dokad idziemy"),
+    ("pl", "powiedziala ze przyjda z nami"),
+    ("pl", "ze wszystkich rzeczy ktore widzielismy ta byla najlepsza"),
+    ("pl", "kto mieszka w szklanym domu nie powinien rzucac kamieniami"),
+    ("pl", "nie ma nic dobrego ani zlego ale myslenie czyni to takim"),
+    ("pl", "byc albo nie byc oto jest pytanie"),
+    ("tr", "hizli kahverengi tilki tembel kopegin ustunden atlar"),
+    ("tr", "bu jack in yaptigi evdir"),
+    ("tr", "saat kac ve nereye gidiyoruz"),
+    ("tr", "bizimle geleceklerini soyledi"),
+    ("tr", "gordugumuz her seyin icinde en iyisi buydu"),
+    ("tr", "cam evde oturan tas atmamali"),
+    ("tr", "iyi ya da kotu bir sey yoktur dusunce onu oyle yapar"),
+    ("tr", "olmak ya da olmamak iste butun mesele bu"),
+    ("vi", "con cao nau nhanh nhen nhay qua con cho luoi bieng"),
+    ("vi", "day la ngoi nha ma jack da xay"),
+    ("vi", "bay gio la may gio va chung ta dang di dau"),
+    ("vi", "co ay noi rang ho se den cung chung ta"),
+    ("vi", "trong tat ca nhung gi chung ta da thay cai nay la tot nhat"),
+    ("vi", "nguoi song trong nha kinh khong nen nem da"),
+    ("vi", "khong co gi tot hay xau nhung suy nghi lam cho no nhu vay"),
+    ("vi", "ton tai hay khong ton tai do la van de"),
+    ("id", "rubah coklat yang cepat melompati anjing yang malas"),
+    ("id", "ini adalah rumah yang dibangun oleh jack"),
+    ("id", "jam berapa sekarang dan kita mau pergi ke mana"),
+    ("id", "dia berkata bahwa mereka akan datang bersama kami"),
+    ("id", "dari semua yang telah kami lihat ini yang terbaik"),
+    ("id", "orang yang tinggal di rumah kaca tidak boleh melempar batu"),
+    ("id", "tidak ada yang baik atau buruk tetapi pikiran membuatnya begitu"),
+    ("id", "menjadi atau tidak menjadi itulah pertanyaannya"),
+    ("ro", "vulpea maro rapida sare peste cainele lenes"),
+    ("ro", "aceasta este casa pe care a construit o jack"),
+    ("ro", "cat este ceasul si unde mergem"),
+    ("ro", "ea a spus ca vor veni cu noi"),
+    ("ro", "dintre toate lucrurile pe care le am vazut aceasta a fost cea mai buna"),
+    ("ro", "cine locuieste intr o casa de sticla nu ar trebui sa arunce cu pietre"),
+    ("ro", "nu exista nimic bun sau rau dar gandirea il face asa"),
+    ("ro", "a fi sau a nu fi aceasta este intrebarea"),
+    ("cs", "rychla hneda liska skace pres lineho psa"),
+    ("cs", "to je dum ktery postavil jack"),
+    ("cs", "kolik je hodin a kam jdeme"),
+    ("cs", "rekla ze prijdou s nami"),
+    ("cs", "ze vseho co jsme videli bylo tohle nejlepsi"),
+    ("cs", "kdo zije ve sklenenem dome nemel by hazet kameny"),
+    ("cs", "neni nic dobreho ani spatneho ale mysleni to tak cini"),
+    ("cs", "byt ci nebyt toto je otazka"))
 
   /** round(ln(k)·1e6) for every k either engine looks up: smoothed
-    * counts 1..17 (max seed trigram count is 16) and the eight
-    * total+vocab denominators. Literal so the oracle joins the SAME
-    * integers (LangIdSpec pins each entry against Math.log).
+    * counts 1..17 (max seed trigram count is 16) and the fourteen
+    * total+vocab denominators (V = 1716 over the widened seed set).
+    * Literal so the oracle joins the SAME integers (LangIdSpec pins
+    * each entry against Math.log).
     */
   private[graft] val lnMicro: Map[Int, Long] = Map(
     1 -> 0L, 2 -> 693147L, 3 -> 1098612L, 4 -> 1386294L, 5 -> 1609438L,
     6 -> 1791759L, 7 -> 1945910L, 8 -> 2079442L, 9 -> 2197225L,
     10 -> 2302585L, 11 -> 2397895L, 12 -> 2484907L, 13 -> 2564949L,
     14 -> 2639057L, 15 -> 2708050L, 16 -> 2772589L, 17 -> 2833213L,
-    1387 -> 7234898L, 1396 -> 7241366L, 1408 -> 7249926L,
-    1420 -> 7258412L, 1424 -> 7261225L, 1427 -> 7263330L,
-    1438 -> 7271009L, 1484 -> 7302496L)
+    2005 -> 7603399L, 2011 -> 7606387L, 2036 -> 7618742L,
+    2045 -> 7623153L, 2055 -> 7628031L, 2057 -> 7629004L,
+    2069 -> 7634821L, 2071 -> 7635787L, 2073 -> 7636752L,
+    2076 -> 7638198L, 2087 -> 7643483L, 2092 -> 7645876L,
+    2119 -> 7658700L, 2133 -> 7665285L)
 
   private[graft] val model =
     new TrigramNb(langs, seeds, "[^a-z]", lnMicro, undMarginMicro)

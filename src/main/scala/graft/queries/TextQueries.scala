@@ -182,6 +182,47 @@ object TextQueries {
     graft.functions.CyrLangId.undMarginMicro,
     graft.functions.CyrLangId.stripRe, cyrPool)
 
+  /** The d63 probe pool: held-out Latin-script sentences, two per
+    * modeled language — the d58 discipline applied back to the Latin
+    * family after the r20 breadth extension (pl/tr/vi/id/ro/cs join
+    * de/en/es/fr/it/nl/pt/sv). Never seed sentences; all lowercase
+    * ASCII (the seeds' own folding convention), so normalization is an
+    * identity here and the shared pool oracle needs no lower().
+    */
+  private[graft] val latinPool: Seq[(String, String)] = Seq(
+    ("en", "the government said that it would not change the law"),
+    ("en", "we are going to the market this morning with the children"),
+    ("de", "die regierung sagte dass sie das gesetz nicht aendern wuerde"),
+    ("de", "wir gehen heute morgen mit den kindern auf den markt"),
+    ("fr", "le gouvernement a dit qu il ne changerait pas la loi"),
+    ("fr", "nous allons au marche ce matin avec les enfants"),
+    ("es", "el gobierno dijo que no cambiaria la ley"),
+    ("es", "vamos al mercado esta manana con los ninos"),
+    ("it", "il governo ha detto che non cambiera la legge"),
+    ("it", "andiamo al mercato questa mattina con i bambini"),
+    ("nl", "we gaan morgenochtend met de kinderen naar de markt"),
+    ("nl", "de regering zei dat ze de wet niet zou veranderen"),
+    ("pt", "vamos ao mercado amanha de manha com as criancas"),
+    ("pt", "o governo disse que nao mudaria a lei"),
+    ("sv", "vi gar till marknaden i morgon bitti med barnen"),
+    ("sv", "regeringen sade att den inte skulle andra lagen"),
+    ("pl", "rzad powiedzial ze nie zmieni prawa"),
+    ("pl", "idziemy dzis rano na targ z dziecmi"),
+    ("tr", "hukumet yasayi degistirmeyecegini soyledi"),
+    ("tr", "bu sabah cocuklarla pazara gidiyoruz"),
+    ("vi", "chinh phu noi rang ho se khong thay doi luat"),
+    ("vi", "sang nay chung ta di cho voi cac con"),
+    ("id", "pemerintah mengatakan bahwa mereka tidak akan mengubah undang undang"),
+    ("id", "pagi ini kami pergi ke pasar bersama anak anak"),
+    ("ro", "guvernul a spus ca nu va schimba legea"),
+    ("ro", "mergem la piata in aceasta dimineata cu copiii"),
+    ("cs", "vlada rekla ze zakon nezmeni"),
+    ("cs", "dnes rano jdeme s detmi na trh"))
+
+  private lazy val latinLangIdOracleSql: String = trigramPoolOracleSql(
+    graft.functions.LangId.seeds, graft.functions.LangId.lnMicro,
+    graft.functions.LangId.undMarginMicro, "[^a-z]", latinPool)
+
   /** The d59 probe pool — held-out Arabic-script sentences, the d58
     * discipline on a third writing system (all in-alphabet, so the
     * coverage rule is an identity here; LangIdSpec pins it on real
@@ -2585,6 +2626,28 @@ object TextQueries {
           .orderBy("true_lang", "pred")
       },
       Some(hanLangIdOracleSql)),
+
+    // ---- Latin langid breadth (r19 verdict item 2): the d58-style
+    // held-out-pool gate for the widened 14-language Latin family —
+    // pl/tr/vi/id/ro/cs were full named refusals before r20, in the
+    // script where refusal costs the most corpus. Pool by doc_id % 28,
+    // oracle re-derives every trigram count from the same seed VALUES
+    // and joins the same literal ln table; margin re-placed at 50k
+    // (the 14-language neighborhood lifts out-of-set runner-up gaps —
+    // LangIdSpec pins both populations).
+    "d63_latin_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val (lang, text) = latinPool((id % 28).toInt)
+            (lang, graft.functions.LangId.route(text))
+          }
+          .toDF("true_lang", "pred")
+          .groupBy("true_lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred")
+      },
+      Some(latinLangIdOracleSql)),
 
     "d56_hll_intersect" -> QueryDef(
       (s, dir) => {

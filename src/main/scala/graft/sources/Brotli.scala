@@ -1483,10 +1483,28 @@ object Brotli {
           sc.w(e.dExtra, e.dBits)
         }
       }
-      if (sc.bitLength >= 8L * mlen) {
+      // TRUE stored cost from the writer's current bit position: per
+      // ≤64 KiB block, 20 header bits (ISLAST + MNIBBLES code + 16-bit
+      // length + ISUNCOMPRESSED) then byte alignment then 8*m payload
+      // bits. Comparing against bare 8*mlen emitted stored even when a
+      // marginally-over compressed form was still strictly smaller than
+      // stored-with-framing (r19 advice).
+      val storedBits = {
+        var pos = bw.bitLength
+        val start = pos
+        var so = off
+        while (so < until) {
+          val m = math.min(1 << 16, until - so)
+          pos += 20
+          pos += (8 - (pos % 8)) % 8 // alignByte before the raw payload
+          pos += 8L * m
+          so += m
+        }
+        pos - start
+      }
+      if (sc.bitLength >= storedBits) {
         // compressed form lost to the raw payload — stored metablocks
-        // for this chunk (≤64 KiB each; their framing is strictly
-        // smaller than the payload bits the compressed form exceeded)
+        // for this chunk (≤64 KiB each)
         var so = off
         while (so < until) {
           val m = math.min(1 << 16, until - so)

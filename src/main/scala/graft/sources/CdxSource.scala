@@ -306,8 +306,16 @@ object CdxSource {
     val out = computeCdxOf(id, text)
     val cost = 2L * (out.length + text.length) + 64
     if (cdxOfMemoBytes.addAndGet(cost) > CdxOfMemoBudget) {
-      cdxOfMemo.clear()
-      cdxOfMemoBytes.set(cost)
+      // locked flush, same reasoning as WarcSource.warcOf (r19 advice):
+      // concurrent crossers with the lock-free clear()+set(cost) could
+      // leave entries uncounted and drift past the O(budget) invariant
+      cdxOfMemo.synchronized {
+        if (cdxOfMemoBytes.get() > CdxOfMemoBudget) {
+          cdxOfMemo.clear()
+          cdxOfMemoBytes.set(0L)
+        }
+      }
+      cdxOfMemoBytes.addAndGet(cost)
     }
     cdxOfMemo.putIfAbsent(k, out)
     out

@@ -63,6 +63,10 @@ object WarcSource {
       // request/response pairing (§5.7): a request record names its
       // response's record id — the linkage x129's fact table counts
       concurrentTo: String = "",
+      // the record's OWN id (§5.2) — what a sibling's Concurrent-To
+      // must resolve against; the dedup+requests spec arm pins that
+      // no pairing dangles at a never-written id (r19 advice)
+      recordId: String = "",
       // capture instant (ISO 8601) — what a generated CDX line's
       // 14-digit timestamp derives from
       warcDate: String = "",
@@ -479,6 +483,7 @@ object WarcSource {
       refersToUri = bare(headers.getOrElse("warc-refers-to-target-uri", "")),
       refersToDate = headers.getOrElse("warc-refers-to-date", ""),
       concurrentTo = bare(headers.getOrElse("warc-concurrent-to", "")),
+      recordId = bare(headers.getOrElse("warc-record-id", "")),
       warcDate = headers.getOrElse("warc-date", ""),
       degraded = degraded)
   }
@@ -893,8 +898,19 @@ object WarcSource {
               else recs.flatten
     val cost = out.length.toLong + 2L * text.length + 64
     if (warcOfMemoBytes.addAndGet(cost) > WarcOfMemoBudget) {
-      warcOfMemo.clear()
-      warcOfMemoBytes.set(cost)
+      // flush under a lock: the old lock-free clear()+set(cost) let two
+      // threads crossing the budget together each install only their
+      // own cost while entries putIfAbsent-ed between the two resets
+      // went uncounted — retained bytes could drift above the stated
+      // O(budget) invariant (r19 advice). The lock is crossing-rate
+      // cold (once per 256 MB of synthesis), never on the hit path.
+      warcOfMemo.synchronized {
+        if (warcOfMemoBytes.get() > WarcOfMemoBudget) {
+          warcOfMemo.clear()
+          warcOfMemoBytes.set(0L)
+        }
+      }
+      warcOfMemoBytes.addAndGet(cost) // our own put below stays counted
     }
     warcOfMemo.putIfAbsent(k, out)
     out
@@ -1542,6 +1558,17 @@ object WarcSource {
   private[graft] def responseIdOf(uri: String, date: String): String =
     s"urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date).getBytes("UTF-8"))}"
 
+  /** Record id of the revisit record for (uri, date) — the "revisit"
+    * salt keeps it distinct from the response id so a URI that appears
+    * both as a full response (in one archive set) and a revisit (in a
+    * deduped one) never collides. [[warcMemberOf]] needs it to point a
+    * paired request's `WARC-Concurrent-To` at the record that actually
+    * exists (r19 advice: dedup+requests previously dangled at the
+    * never-written response id).
+    */
+  private[graft] def revisitIdOf(uri: String, date: String): String =
+    s"urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date + "\nrevisit").getBytes("UTF-8"))}"
+
   /** One WARC `revisit` record — the write side of the Common Crawl
     * dedup shape (x125 reads and resolves these; with this the
     * engine's own archives carry them): linkage only, no body — an
@@ -1574,8 +1601,7 @@ object WarcSource {
       s"Content-Length: $entityLen\r\n\r\n").getBytes("ISO-8859-1")
     record(Seq(
       "WARC-Type" -> "revisit",
-      "WARC-Record-ID" ->
-        s"<urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date + "\nrevisit").getBytes("UTF-8"))}>",
+      "WARC-Record-ID" -> s"<${revisitIdOf(uri, date)}>",
       "WARC-Date" -> date,
       "WARC-Target-URI" -> uri,
       "WARC-Refers-To-Target-URI" -> refersToUri,
@@ -1591,7 +1617,9 @@ object WarcSource {
     * interleave these with responses; the flagged writer mode emits
     * them so written archives carry the full capture conversation.
     */
-  private[graft] def warcRequestOf(uri: String, date: String): Array[Byte] = {
+  private[graft] def warcRequestOf(uri: String, date: String,
+                                   concurrentTo: String = null)
+      : Array[Byte] = {
     require(uri.nonEmpty && uri.forall(c => c > 0x20 && c < 0x7f),
       s"warc-write: URI must be non-empty printable ASCII: '$uri'")
     // RFC 7230 origin-form request target: path + query of the URI —
@@ -1618,7 +1646,12 @@ object WarcSource {
         s"<urn:graft:warc:${java.util.UUID.nameUUIDFromBytes((uri + "\n" + date + "\nrequest").getBytes("UTF-8"))}>",
       "WARC-Date" -> date,
       "WARC-Target-URI" -> uri,
-      "WARC-Concurrent-To" -> s"<${responseIdOf(uri, date)}>",
+      // point at the member that ACTUALLY sits next to this request —
+      // under dedup the main member is a revisit whose id carries the
+      // "revisit" salt, and the response id exists nowhere in the set
+      // (r19 advice, medium)
+      "WARC-Concurrent-To" ->
+        s"<${if (concurrentTo != null) concurrentTo else responseIdOf(uri, date)}>",
       "Content-Type" -> "application/http; msgtype=request"), http)
   }
 
@@ -1751,15 +1784,19 @@ object WarcSource {
     // nearly the whole body volume (r19 review)
     lazy val digest =
       if (digest0 != null) digest0 else payloadDigestOf(body)
+    val isRevisit = orig != null && orig != uri
     val main =
-      if (orig != null && orig != uri)
+      if (isRevisit)
         warcRevisitOf(uri, status, ct, orig, digest,
           body.length.toLong, d)
       else warcResponseOf(uri, status, ct, body, d, digest)
     val wrapped = if (g) gzipOne(main) else main
     if (!req) wrapped
     else {
-      val r = warcRequestOf(uri, d)
+      // Concurrent-To must name the adjacent member's real id: the
+      // revisit id under dedup, the response id otherwise (r19 advice)
+      val r = warcRequestOf(uri, d,
+        if (isRevisit) revisitIdOf(uri, d) else responseIdOf(uri, d))
       (if (g) gzipOne(r) else r) ++ wrapped
     }
   }

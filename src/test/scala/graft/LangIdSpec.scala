@@ -31,24 +31,12 @@ class LangIdSpec extends GraftSparkSpec {
     }
   }
 
-  test("langid: held-out sentences classify for all eight languages; normalization strips non-letters") {
-    val held = Seq(
-      ("en", "the government said that it would not change the law"),
-      ("en", "we are going to the market this morning with the children"),
-      ("de", "die regierung sagte dass sie das gesetz nicht aendern wuerde"),
-      ("de", "wir gehen heute morgen mit den kindern auf den markt"),
-      ("fr", "le gouvernement a dit qu il ne changerait pas la loi"),
-      ("fr", "nous allons au marche ce matin avec les enfants"),
-      ("es", "el gobierno dijo que no cambiaria la ley"),
-      ("es", "vamos al mercado esta manana con los ninos"),
-      ("it", "il governo ha detto che non cambiera la legge"),
-      ("it", "andiamo al mercato questa mattina con i bambini"),
-      ("nl", "we gaan morgenochtend met de kinderen naar de markt"),
-      ("nl", "de regering zei dat ze de wet niet zou veranderen"),
-      ("pt", "vamos ao mercado amanha de manha com as criancas"),
-      ("pt", "o governo disse que nao mudaria a lei"),
-      ("sv", "vi gar till marknaden i morgon bitti med barnen"),
-      ("sv", "regeringen sade att den inte skulle andra lagen"))
+  test("langid: held-out sentences classify for all fourteen languages; normalization strips non-letters") {
+    // the shared pool doubles as the d63 gate's probe set — two
+    // held-out sentences per modeled language, including the six r20
+    // breadth languages (pl/tr/vi/id/ro/cs)
+    val held = graft.queries.TextQueries.latinPool
+    assert(held.map(_._1).distinct.sorted === LangId.langs)
     held.foreach { case (lang, s) =>
       assert(LangId.predict(s) === lang, s"misclassified: $s")
     }
@@ -61,13 +49,25 @@ class LangIdSpec extends GraftSparkSpec {
   }
 
   test("langid: out-of-set languages and letterless text map to 'und'") {
-    // Finnish and Turkish: no seed profile — the per-trigram margin
-    // (undMarginMicro) must refuse to name them rather than guess a
-    // Latin-script neighbor
-    assert(LangId.predict(
-      "hyvaa paivaa me menemme torille huomenna aamulla") === "und")
-    assert(LangId.predict(
-      "gunaydin yarin sabah pazara gidiyoruz") === "und")
+    // no seed profile — the per-trigram margin (undMarginMicro) must
+    // refuse to name these rather than guess a Latin-script neighbor.
+    // (Turkish, the old probe here, is IN set since r20.) Documented
+    // limitation, not pinned: languages that ride one in-set profile
+    // hard — Slovak/Croatian→cs, Tagalog→id, Catalan→es — exceed any
+    // feasible margin; an 8-sentence trigram NB cannot separate
+    // same-family pairs it has never seen.
+    Seq(
+      "hyvaa paivaa me menemme torille huomenna aamulla",    // Finnish
+      "hallitus sanoi ettei se muuta lakia",                 // Finnish
+      "jo reggelt holnap reggel a piacra megyunk",           // Hungarian
+      "god morgen vi tager pa markedet i morgen tidlig",     // Danish
+      "god morgen vi drar til markedet i morgen tidlig",     // Norwegian
+      "serikali ilisema kwamba haitabadilisha sheria"        // Swahili
+    ).foreach { s =>
+      assert(LangId.predict(s) === "und", s"named out-of-set text: $s")
+    }
+    // ...while the old Turkish probe is now named, not refused
+    assert(LangId.predict("gunaydin yarin sabah pazara gidiyoruz") === "tr")
     // zero trigrams: nothing to score
     assert(LangId.predict("12345 !!! ...") === "und")
     assert(LangId.predict("") === "und")

@@ -247,6 +247,58 @@ class WarcWriteSpec extends GraftSparkSpec {
     }
   }
 
+  test("warc-write: dedup + requests — Concurrent-To names the adjacent " +
+      "member's real id, revisit or response") {
+    // r19 advice (medium): with dedupDigests + requests together, a
+    // revisit's paired request previously pointed Concurrent-To at
+    // responseIdOf(uri,date) — an id that exists NOWHERE in the set
+    // (the revisit's own id carries the 'revisit' salt; the full
+    // response lives under the winner's URI). Pin the §5.7 pairing
+    // against each member's actual record id, per shard file.
+    val dir = java.nio.file.Files.createTempDirectory("warcddrq").toFile
+    try {
+      val date = "2026-01-01T00:00:00Z"
+      import spark.implicits._
+      // 12 URIs over 3 shared bodies → 3 full responses + 9 revisits
+      val pages = (0 until 12).map { i =>
+        (s"http://host${i % 3}.example/p/$i", 200,
+          "text/html; charset=utf-8",
+          s"<html><body>shared ${i % 3}</body></html>".getBytes("UTF-8"))
+      }.toDF("uri", "status", "content_type", "body")
+      assert(WarcSource.writeWarc(pages, dir.getAbsolutePath, 3,
+        dedupDigests = true, requests = true) === 12)
+      var nRev = 0; var nResp = 0
+      dir.listFiles().filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+        val recs = WarcSource.parseWarc(
+          java.nio.file.Files.readAllBytes(f.toPath)).records
+        assert(recs.head.warcType === "warcinfo")
+        val pairs = recs.tail.grouped(2).toSeq
+        assert(pairs.forall(_.size == 2))
+        pairs.foreach { case Seq(rq, main) =>
+          assert(rq.warcType === "request")
+          assert(Set("response", "revisit").contains(main.warcType))
+          assert(rq.targetUri === main.targetUri)
+          // the §5.7 pairing resolves against the member that is
+          // ACTUALLY adjacent — its parsed record id, not a derivation
+          assert(rq.concurrentTo === main.recordId,
+            s"dangling Concurrent-To for ${rq.targetUri}")
+          if (main.warcType == "revisit") {
+            nRev += 1
+            assert(main.recordId ===
+              WarcSource.revisitIdOf(main.targetUri, date))
+          } else {
+            nResp += 1
+            assert(main.recordId ===
+              WarcSource.responseIdOf(main.targetUri, date))
+          }
+        }
+      }
+      assert(nResp === 3 && nRev === 9)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("warc-write: header-tearing inputs reject loudly") {
     // CRLF in a content type is header injection; whitespace in a URI
     // tears the WARC header line — both must fail by name, not mangle
