@@ -2474,6 +2474,54 @@ object ExtensionQueries {
           |      ORDER BY frame_idx) > 2600000), TRUE) AS seg_start
           |FROM en ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // MP3 frame-header walk (r19 verdict item 4) — compressed-audio
+    // metadata without a decoder: real multimodal corpora are
+    // MP3/AAC/Opus-dominated while the decode surface is WAV/PCM, so
+    // the walker surfaces what curation actually consumes — per-frame
+    // bitrate/samplerate/channels, the seekable segment table
+    // (offset + frame_bytes), duration — and full Layer III decode
+    // stays a named refusal (the mp4/mkv meta treatment). The fixture
+    // exercises the real grammar: ID3v2 prefixes (syncsafe length),
+    // Xing and VBRI VBR lead frames (excluded from the audio table,
+    // their claims spec-pinned against the measured walk), per-frame
+    // VBR bitrates and padding bits. The oracle re-derives every field
+    // including the absolute byte offsets (prefix sum over the header
+    // length formula 144000·kbps//sr + pad, plus the ID3/lead prefix).
+    "x133_mp3_meta" -> QueryDef(
+      (s, dir) => graft.sources.Mp3Source.mp3Frames(
+          s, graft.sources.Mp3Source.synthesizeMp3(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id", "frame_idx"),
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n,
+          |    list_extract([44100,48000,32000],
+          |      CAST(doc_id % 3 AS INT) + 1) AS sr,
+          |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ch,
+          |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 50 + 20 ELSE 0 END
+          |      + CASE WHEN doc_id % 4 IN (0, 2)
+          |        THEN 144000 * 128 // list_extract([44100,48000,32000],
+          |          CAST(doc_id % 3 AS INT) + 1)
+          |        ELSE 0 END AS lead,
+          |    unnest(range(0, doc_id % 7 + 3)) AS i
+          |  FROM documents)
+          |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+          |  CAST(lead + list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(0, i), j ->
+          |      144000 * list_extract([64,96,128,160,192],
+          |        CAST((doc_id + j) % 5 AS INT) + 1) // sr
+          |      + (doc_id + j) % 2)), (a, b) -> a + b) AS BIGINT) AS offset,
+          |  CAST(144000 * list_extract([64,96,128,160,192],
+          |      CAST((doc_id + i) % 5 AS INT) + 1) // sr
+          |    + (doc_id + i) % 2 AS INT) AS frame_bytes,
+          |  CAST(list_extract([64,96,128,160,192],
+          |    CAST((doc_id + i) % 5 AS INT) + 1) AS INT) AS bitrate_kbps,
+          |  CAST(sr AS INT) AS samplerate,
+          |  CAST(ch AS INT) AS channels,
+          |  CAST((doc_id + i) % 2 AS INT) AS padding,
+          |  CAST(1152000000 // sr AS BIGINT) AS duration_us
+          |FROM s ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // mp4/ISO-BMFF container walk — real-corpus video metadata without a
     // codec: virtually every real video ships in ISO-BMFF, and the box
     // tree (ftyp/moov/trak/mdia/minf/stbl) carries everything the x78
