@@ -2474,6 +2474,82 @@ object ExtensionQueries {
           |      ORDER BY frame_idx) > 2600000), TRUE) AS seg_start
           |FROM en ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // WebP container walk (r19 verdict item 3) — the image family's
+    // largest format gap: several percent of crawl images and the
+    // default output of image CDNs. The fixture spans the container
+    // grammar: plain lossless (VP8L), plain lossy (VP8 keyframe header
+    // facts), extended VP8X with ALPH+alpha flag, extended lossless
+    // with EXIF, and a two-frame ANIM/ANMF animation. Oracle
+    // re-derives every fact from doc_id arithmetic; WebpSpec pins the
+    // walker against a REAL libwebp-encoded file.
+    "x131_webp_meta" -> QueryDef(
+      (s, dir) => graft.sources.WebpSource.webpTable(
+          s, graft.sources.WebpSource.synthesizeWebp(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 6 = 1 THEN 'lossy'
+          |    WHEN doc_id % 6 IN (0, 2) THEN 'lossless'
+          |    ELSE 'extended' END AS fmt,
+          |  CAST(8 + (doc_id % 5) * 4 AS INT) AS canvas_w,
+          |  CAST(6 + (doc_id % 4) * 3 AS INT) AS canvas_h,
+          |  doc_id % 6 = 3 AS has_alpha,
+          |  doc_id % 6 = 5 AS has_anim,
+          |  CAST(CASE WHEN doc_id % 6 = 5 THEN 2 ELSE 1 END AS INT)
+          |    AS n_frames,
+          |  CAST(CASE WHEN doc_id % 6 IN (0, 2, 4) THEN 1
+          |    WHEN doc_id % 6 = 5 THEN 2 ELSE 0 END AS INT)
+          |    AS lossless_frames
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // VP8L lossless pixel decode (r19 verdict item 3) — the decoded
+    // ARGB of every lossless frame folded to a per-frame rgb sum the
+    // oracle re-derives from the fixture's two-valued channel formula
+    // (odd docs store through SUBTRACT_GREEN, so both transform
+    // parities are under the gate). The general decoder paths the
+    // 2-symbol fixture cannot reach — code-length-coded prefix codes,
+    // color cache, LZ77 plane distances, predictor/color/palette
+    // transforms — are pinned by hand-built vectors in WebpSpec.
+    "x132_webp_pixels" -> QueryDef(
+      (s, dir) => graft.sources.WebpSource.webpPixelTable(
+          s, graft.sources.WebpSource.synthesizeWebp(
+            s, t(s, dir, "documents")))
+        .orderBy("doc_id", "frame"),
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, 8 + (doc_id % 5) * 4 AS w,
+          |    6 + (doc_id % 4) * 3 AS h, doc_id % 6 AS m
+          |  FROM documents WHERE doc_id % 6 IN (0, 2, 4, 5)),
+          |f AS (SELECT doc_id, m, w, h,
+          |        unnest(range(0, CASE WHEN m = 5 THEN 2 ELSE 1 END))
+          |          AS frame
+          |      FROM d),
+          |g AS (SELECT doc_id, frame,
+          |        CASE WHEN m = 5 AND frame = 1 THEN w - 4 ELSE w END AS fw,
+          |        CASE WHEN m = 5 AND frame = 1 THEN h - 2 ELSE h END AS fh
+          |      FROM f),
+          |px AS (SELECT doc_id, frame, fw, fh,
+          |         unnest(range(0, fw * fh)) AS p FROM g),
+          |v AS (SELECT doc_id, frame, fw, fh, p % fw AS x, p // fw AS y
+          |      FROM px),
+          |c AS (SELECT doc_id, frame, fw, fh,
+          |        32 + 128 * ((doc_id + frame + 3 * x + 7 * y) % 2) AS g,
+          |        CASE WHEN doc_id % 2 = 0
+          |          THEN 16 + 64 * ((doc_id + frame + 5 * x + y) % 2)
+          |          ELSE (32 + 128 * ((doc_id + frame + 3 * x + 7 * y) % 2)
+          |                + 70) % 256 END AS r,
+          |        CASE WHEN doc_id % 2 = 0
+          |          THEN 8 + 32 * ((doc_id + frame + x + 11 * y) % 2)
+          |          ELSE (32 + 128 * ((doc_id + frame + 3 * x + 7 * y) % 2)
+          |                + 13) % 256 END AS b
+          |      FROM v)
+          |SELECT doc_id, CAST(frame AS INT) AS frame,
+          |  CAST(any_value(fw) AS INT) AS w,
+          |  CAST(any_value(fh) AS INT) AS h,
+          |  CAST(sum(r + g + b) AS BIGINT) AS rgb_sum
+          |FROM c GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin)),
+
     // MP3 frame-header walk (r19 verdict item 4) — compressed-audio
     // metadata without a decoder: real multimodal corpora are
     // MP3/AAC/Opus-dominated while the decode surface is WAV/PCM, so

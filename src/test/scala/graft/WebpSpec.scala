@@ -1,0 +1,384 @@
+package graft
+
+import graft.sources.WebpSource
+
+/** WebP container walk (x131) + VP8L decode (x132): fixture roundtrip
+  * against the pixel formula, the container pinned against a REAL
+  * libwebp-encoded file (CPython's test-suite python.webp, PSF-
+  * licensed public test data, embedded below), hand-built VP8L
+  * bitstreams exercising every decoder path the fixture encoder does
+  * not emit (code-length-coded prefix codes, max-symbol shortcut,
+  * color cache, LZ77 direct and plane-coded distances, predictor /
+  * color / color-indexing transforms), and the hostile-input rules.
+  *
+  * No external WebP decoder exists in this environment, so VP8L
+  * bit-exactness is pinned through hand-derived vectors (each vector's
+  * expected ARGB is computed from the spec by hand, not through the
+  * engine's own encoder).
+  */
+class WebpSpec extends GraftSparkSpec {
+
+  // CPython test-suite python.webp: VP8X + ALPH + lossy VP8, 16x16.
+  private val realWebp: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "UklGRqgBAABXRUJQVlA4WAoAAAAQAAAADwAADwAAQUxQSMMAAAABJ6KokSTleucYX+ffKpmImP90" +
+    "cY3gJjDi4Yt3MsjBEVyDKzDosHgVjnhRNcEIDAJPkqBqsFUZHNa2bUYvTsZ2PLbtd/uvKa4hov9J" +
+    "0f2PkPe6REkkGzolkTTzFG0Ox9PlFiD0CxS+kOGDtxoynjaCfx0pfk52CPuInrOR75lzRugygtv4" +
+    "zEiy90UwfSD9NheMITJWLaXWayO8XeOlWRXVnIGk2W6WdYoYMQ+KqixQNPowgt+6a1BSKbUtz+lU" +
+    "FAoBAAAAVlA4IL4AAACQAgCdASoQABAAAwA0JbACdDBPCIUMfAMdCCz96AD+/XSg/QKbH4r3Q3yc" +
+    "N/bSDK/T/zVo4u6nvclvG/SqxWOuup+XhN9BojvaW+Tv+MvxvX/hr/o/5Qns9LtmX/+qKdl/yWzn" +
+    "huasl7nkxvSTI4xf3Y85VSB/lU/8Ofj/b9JrA+ifvIOYZm2x1RP/dhfmsf5diuSfR7+z+r/+HR3z" +
+    "Eo/+XM/B+vkYw73Pzx+ROaAB/ZoBSzEs3rzZe6qsAAAA")
+
+  private def vp8lHeader(bw: WebpSource.Bw, w: Int, h: Int): Unit = {
+    bw.w(0x2f, 8)
+    bw.w(w - 1, 14); bw.w(h - 1, 14)
+    bw.w(0, 1) // alpha hint
+    bw.w(0, 3) // version
+  }
+
+  private def singleCode(bw: WebpSource.Bw, sym: Int): Unit = {
+    bw.w(1, 1); bw.w(0, 1); bw.w(1, 1); bw.w(sym, 8)
+  }
+
+  private def pairCode(bw: WebpSource.Bw, s0: Int, s1: Int): Unit = {
+    bw.w(1, 1); bw.w(1, 1); bw.w(1, 1); bw.w(s0, 8); bw.w(s1, 8)
+  }
+
+  private def decode(bw: WebpSource.Bw): Seq[Int] = {
+    val b = bw.bytes()
+    val (_, _, _, px) = WebpSource.decodeVp8l(b, 0, b.length)
+    px.toSeq
+  }
+
+  test("webp: the real libwebp container parses — VP8X flags, ALPH " +
+      "pairing, lossy dims; lossy pixels are a named refusal") {
+    val f = WebpSource.parseWebp(realWebp)
+    assert(f.fmt === "extended")
+    assert(f.canvasW === 16 && f.canvasH === 16)
+    assert(f.hasAlpha && !f.hasAnim && !f.hasIcc && !f.hasExif && !f.hasXmp)
+    assert(f.frames.size === 1)
+    val fr = f.frames.head
+    assert(fr.kind === "lossy" && fr.w === 16 && fr.h === 16)
+    assert(fr.hasAlph, "the ALPH chunk must pair with the VP8 frame")
+    // lossy pixel decode refuses by name (VP8L signature check)
+    assert(WebpSource.decodeFrames(f).isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.decodeVp8l(realWebp, fr.payloadOff, fr.payloadLen)
+    }.getMessage.contains("signature"))
+  }
+
+  test("webp: fixture roundtrip — every lossless frame decodes to the " +
+      "pixel formula, both transform parities") {
+    (0L until 12L).foreach { id =>
+      val f = WebpSource.parseWebp(WebpSource.webpOf(id))
+      WebpSource.decodeFrames(f).foreach { case (i, w, h, px) =>
+        var p = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = WebpSource.pixelOf(id, i, x, y)
+            val want = 0xff000000 | (r << 16) | (g << 8) | b
+            assert(px(p) === want, s"doc $id frame $i pixel ($x,$y)")
+            p += 1; x += 1
+          }
+          y += 1
+        }
+      }
+      // the lossless population matches the fixture plan
+      val expect = (id % 6) match {
+        case 0 | 2 | 4 => 1
+        case 5 => 2
+        case _ => 0
+      }
+      assert(f.frames.count(_.kind == "lossless") === expect)
+    }
+  }
+
+  test("webp: hand-built vector — code-length-coded prefix code with " +
+      "the max-symbol shortcut") {
+    // prefix-code bits ride the stream MSB-of-code-first, so every
+    // code below is written bit by bit (a multi-bit w() would reverse)
+    val bw2 = new WebpSource.Bw
+    vp8lHeader(bw2, 4, 1)
+    bw2.w(0, 1); bw2.w(0, 1); bw2.w(0, 1) // no transforms/cache/meta
+    // green: normal code, lens[10]=1 lens[20]=2 lens[30]=2
+    bw2.w(0, 1) // not simple
+    bw2.w(1, 4) // numCodeLengths = 5: order 17,18,0,1,2
+    Seq(1, 0, 0, 2, 2).foreach(l => bw2.w(l, 3))
+    bw2.w(1, 1) // use max-symbol
+    bw2.w(1, 3) // lengthNBits = 4
+    bw2.w(4, 4) // maxSymbol = 6 tokens
+    def code(bw: WebpSource.Bw, bits: Int*): Unit =
+      bits.foreach(b => bw.w(b, 1))
+    // cl canonical: 17->0 (len1), 1->10, 2->11
+    code(bw2, 0); bw2.w(7, 3)      // 17 x10 zeros
+    code(bw2, 1, 0)                // literal len 1 (sym 10)
+    code(bw2, 0); bw2.w(6, 3)      // 17 x9 zeros
+    code(bw2, 1, 1)                // literal len 2 (sym 20)
+    code(bw2, 0); bw2.w(6, 3)      // 17 x9 zeros
+    code(bw2, 1, 1)                // literal len 2 (sym 30)
+    singleCode(bw2, 5)             // red
+    singleCode(bw2, 6)             // blue
+    singleCode(bw2, 255)           // alpha
+    singleCode(bw2, 0)             // distance
+    // pixels: greens 10,20,10,30 -> codes 0 / 10 / 0 / 11
+    code(bw2, 0)
+    code(bw2, 1, 0)
+    code(bw2, 0)
+    code(bw2, 1, 1)
+    assert(decode(bw2) ===
+      Seq(0xff050a06, 0xff051406, 0xff050a06, 0xff051e06))
+  }
+
+  test("webp: hand-built vector — color cache literal + hit") {
+    val bw = new WebpSource.Bw
+    def code(bits: Int*): Unit = bits.foreach(b => bw.w(b, 1))
+    vp8lHeader(bw, 2, 1)
+    bw.w(0, 1)      // no transforms
+    bw.w(1, 1); bw.w(1, 4) // color cache, 1 bit (size 2)
+    bw.w(0, 1)      // no meta
+    // green alphabet 282: lens[40]=1, lens[281]=1 (cache index 1)
+    bw.w(0, 1)      // normal code
+    bw.w(0, 4)      // numCodeLengths = 4: order 17,18,0,1
+    Seq(0, 1, 0, 1).foreach(l => bw.w(l, 3)) // 18->len1, 1->len1
+    bw.w(0, 1)      // no max-symbol: read to the end of the alphabet
+    // cl canonical: 1->0, 18->1
+    code(1); bw.w(29, 7)   // 18: 11+29 = 40 zeros
+    code(0)                // literal len 1 (sym 40)
+    code(1); bw.w(127, 7)  // 18: 138 zeros (41..178)
+    code(1); bw.w(91, 7)   // 18: 102 zeros (179..280)
+    code(0)                // literal len 1 (sym 281) -> alphabet done
+    singleCode(bw, 2)      // red
+    singleCode(bw, 7)      // blue
+    singleCode(bw, 255)    // alpha
+    singleCode(bw, 0)      // distance
+    // pixel 0: literal green 40 (code 0) -> 0xff022807, hashes to
+    // cache slot 1 ((0x1e35a7bd * 0xff022807) >>> 31 = 1, pinned);
+    // pixel 1: cache symbol 281 (code 1) -> slot 1
+    code(0)
+    code(1)
+    assert(decode(bw) === Seq(0xff022807, 0xff022807))
+  }
+
+  test("webp: hand-built vector — LZ77 with a direct distance and a " +
+      "plane-coded distance") {
+    def build(w: Int, h: Int, direct: Boolean): Seq[Int] = {
+      val bw = new WebpSource.Bw
+      def code(bits: Int*): Unit = bits.foreach(b => bw.w(b, 1))
+      vp8lHeader(bw, w, h)
+      bw.w(0, 1); bw.w(0, 1); bw.w(0, 1)
+      // green: lens[50]=2, lens[60]=2, lens[257]=1 (length code 1 -> 2)
+      bw.w(0, 1)
+      bw.w(1, 4) // numCodeLengths = 5
+      Seq(2, 2, 0, 2, 2).foreach(l => bw.w(l, 3)) // 17,18,1,2 all len2
+      bw.w(1, 1); bw.w(1, 3); bw.w(5, 4) // maxSymbol = 7 tokens
+      // cl canonical (len 2, by symbol): 1->00, 2->01, 17->10, 18->11
+      code(1, 1); bw.w(39, 7)  // 18: 50 zeros (0..49)
+      code(0, 1)               // literal len 2 (sym 50)
+      code(1, 0); bw.w(6, 3)   // 17: 9 zeros (51..59)
+      code(0, 1)               // literal len 2 (sym 60)
+      code(1, 1); bw.w(127, 7) // 18: 138 zeros (61..198)
+      code(1, 1); bw.w(47, 7)  // 18: 58 zeros (199..256)
+      code(0, 0)               // literal len 1 (sym 257)
+      singleCode(bw, 5)        // red
+      singleCode(bw, 6)        // blue
+      singleCode(bw, 255)      // alpha
+      // distance: single symbol — 13 (direct, 5 extra bits) or 0
+      singleCode(bw, if (direct) 13 else 0)
+      // green canonical: 257->0, 50->10, 60->11
+      code(1, 0)               // literal 50
+      code(1, 1)               // literal 60
+      code(0)                  // length sym 257 -> length 2, no extra
+      if (direct) bw.w(25, 5)  // dist value 96+25+1 = 122 -> direct 2
+      // plane arm: dist sym 0 -> value 1 -> (0,1) -> dy*w = 2 for w=2
+      decode(bw)
+    }
+    val a = 0xff053206; val b = 0xff053c06
+    assert(build(4, 1, direct = true) === Seq(a, b, a, b))
+    // 2x2, plane code (0,1): row 2 copies row 1 — pins DistanceMap(0)
+    assert(build(2, 2, direct = false) === Seq(a, b, a, b))
+  }
+
+  test("webp: hand-built vector — predictor transform, mode L") {
+    val bw = new WebpSource.Bw
+    def code(bits: Int*): Unit = bits.foreach(b => bw.w(b, 1))
+    vp8lHeader(bw, 2, 2)
+    bw.w(1, 1); bw.w(0, 2) // predictor transform
+    bw.w(0, 3)             // sizeBits = 2 -> 1x1 mode image
+    // mode subimage (1x1, entropy-coded): no cache; 5 codes; pixel
+    bw.w(0, 1)             // no cache
+    singleCode(bw, 1)      // green = 1 -> mode 1 (L)
+    singleCode(bw, 0); singleCode(bw, 0) // red, blue
+    singleCode(bw, 0)      // alpha
+    singleCode(bw, 0)      // distance
+    // (single-symbol codes: the mode pixel costs zero bits)
+    bw.w(0, 1)             // no more transforms
+    bw.w(0, 1); bw.w(0, 1) // no cache, no meta
+    pairCode(bw, 1, 2)     // green residuals {1, 2}
+    pairCode(bw, 1, 2)     // red
+    pairCode(bw, 1, 2)     // blue
+    singleCode(bw, 0)      // alpha residual 0
+    singleCode(bw, 0)      // distance
+    // residual pixels (g,r,b bits): (1,1,1) (1,1,1) (2,2,2) (2,2,2)
+    code(0, 0, 0)
+    code(0, 0, 0)
+    code(1, 1, 1)
+    code(1, 1, 1)
+    // (0,0)+black=ff010101; (1,0)+L=ff020202; (0,1)+T=ff030303;
+    // (1,1)+L(=out01)=ff050505
+    assert(decode(bw) ===
+      Seq(0xff010101, 0xff020202, 0xff030303, 0xff050505))
+  }
+
+  test("webp: hand-built vector — color transform (green-to-red delta, " +
+      "signed at both ends)") {
+    val bw = new WebpSource.Bw
+    def code(bits: Int*): Unit = bits.foreach(b => bw.w(b, 1))
+    vp8lHeader(bw, 2, 1)
+    bw.w(1, 1); bw.w(1, 2) // color transform
+    bw.w(0, 3)             // sizeBits = 2 -> 1x1 element image
+    bw.w(0, 1)             // subimage: no cache
+    singleCode(bw, 0)      // green (g2b = 0)
+    singleCode(bw, 0)      // red (r2b = 0)
+    singleCode(bw, 2)      // blue (g2r = 2)
+    singleCode(bw, 0)      // alpha
+    singleCode(bw, 0)      // distance
+    bw.w(0, 1)             // no more transforms
+    bw.w(0, 1); bw.w(0, 1)
+    pairCode(bw, 64, 192)  // green {64, 192}
+    singleCode(bw, 100)    // stored red
+    singleCode(bw, 50)     // stored blue
+    singleCode(bw, 255)    // alpha
+    singleCode(bw, 0)      // distance
+    code(0)                // pixel 0: g=64  -> r = 100 + (2*64>>5)  = 104
+    code(1)                // pixel 1: g=192 -> r = 100 + (2*-64>>5) = 96
+    assert(decode(bw) === Seq(0xff684032, 0xff60c032))
+  }
+
+  test("webp: hand-built vector — color indexing, unbundled 18-entry " +
+      "delta-coded palette") {
+    val bw = new WebpSource.Bw
+    def code(bits: Int*): Unit = bits.foreach(b => bw.w(b, 1))
+    vp8lHeader(bw, 2, 1)
+    bw.w(1, 1); bw.w(3, 2) // color indexing
+    bw.w(17, 8)            // palette size 18 (> 16: unbundled)
+    // palette image (18x1): deltas p0=(a255,r0,g10,b5), rest (0,1,1,0)
+    bw.w(0, 1)             // no cache
+    pairCode(bw, 10, 1)    // green deltas
+    pairCode(bw, 0, 1)     // red deltas
+    pairCode(bw, 5, 0)     // blue deltas
+    pairCode(bw, 255, 0)   // alpha deltas
+    singleCode(bw, 0)      // distance
+    code(0, 0, 0, 0)       // delta 0 (g,r,b,a = first of each pair)
+    (1 until 18).foreach(_ => code(1, 1, 1, 1))
+    bw.w(0, 1)             // no more transforms
+    bw.w(0, 1); bw.w(0, 1)
+    pairCode(bw, 0, 17)    // green = palette index
+    singleCode(bw, 0); singleCode(bw, 0); singleCode(bw, 0)
+    singleCode(bw, 0)
+    code(0)                // index 0  -> (255, 0, 10, 5)
+    code(1)                // index 17 -> (255, 17, 27, 5)
+    assert(decode(bw) === Seq(0xff000a05, 0xff111b05))
+  }
+
+  test("webp: hostile inputs fail by name, caps before allocation") {
+    // bad VP8L signature
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.decodeVp8l(Array[Byte](0x30, 0, 0, 0, 0), 0, 5)
+    }.getMessage.contains("signature"))
+    // decode budget: 16384x16384 = 256M px rejected BEFORE allocation
+    val big = new WebpSource.Bw
+    vp8lHeader(big, 16384, 16384)
+    val bb = big.bytes()
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.decodeVp8l(bb, 0, bb.length)
+    }.getMessage.contains("decode budget"))
+    // truncation mid-stream
+    val bw = new WebpSource.Bw
+    vp8lHeader(bw, 4, 4)
+    val cut = bw.bytes()
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.decodeVp8l(cut, 0, cut.length)
+    }.getMessage.contains("truncated"))
+    // bundled palette: a named refusal
+    val bp = new WebpSource.Bw
+    vp8lHeader(bp, 2, 1)
+    bp.w(1, 1); bp.w(3, 2); bp.w(15, 8) // palette size 16
+    val bpb = bp.bytes()
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.decodeVp8l(bpb, 0, bpb.length)
+    }.getMessage.contains("named refusal"))
+    // incomplete prefix code (lens 2 and 3 leave slack)
+    val ic = new WebpSource.Bw
+    vp8lHeader(ic, 2, 1)
+    ic.w(0, 1); ic.w(0, 1); ic.w(0, 1)
+    ic.w(0, 1)  // normal green code
+    ic.w(0, 4)  // numCodeLengths = 4: 17,18,0,1
+    Seq(0, 0, 2, 3).foreach(l => ic.w(l, 3)) // sym0 len2, sym1 len3
+    ic.w(1, 1); ic.w(0, 3); ic.w(0, 2) // maxSymbol = 2
+    // cl canonical: 0->0 (len2? no: cl code over {0:len2, 1:len3}) —
+    // tokens: two literals: 0 then 1
+    // cl codes: sym0 len2 -> 00, sym1 len3 -> 010
+    ic.w(0, 1); ic.w(0, 1)            // literal len 2 (sym 0... )
+    val icb = ic.bytes()
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.decodeVp8l(icb, 0, icb.length)
+    }.getMessage.contains("prefix code"))
+    // container: RIFF size lie
+    val lie = WebpSource.webpOf(0L)
+    lie(4) = (lie(4) + 64).toByte
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.parseWebp(lie)
+    }.getMessage.contains("RIFF advertises"))
+    // container: chunk size past the file
+    val ch = WebpSource.webpOf(0L)
+    ch(16) = (ch(16) + 64).toByte
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.parseWebp(ch)
+    }.getMessage.toLowerCase.contains("advertises"))
+  }
+
+  test("webp: the generated 2D distance map matches the spec's " +
+      "documented prefix and boundary") {
+    val want = Seq(
+      (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+      (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+      (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+      (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+      (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+      (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3))
+    assert(WebpSource.DistanceMap.take(54).toSeq === want)
+    assert(WebpSource.DistanceMap.length === 120)
+    // the 120-entry cut falls on a clean squared-distance boundary
+    val d2 = WebpSource.DistanceMap.map { case (dx, dy) => dx * dx + dy * dy }
+    assert(d2.last === 74)
+    assert(d2.sameElements(d2.sorted))
+  }
+
+  test("webp: the Spark tables run distributed over the fixture corpus") {
+    import spark.implicits._
+    val docs = (0L until 36L).toDF("doc_id")
+    val meta = WebpSource.webpTable(spark, WebpSource.synthesizeWebp(spark, docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta.size === 36)
+    (0L until 36L).foreach { id =>
+      val r = meta(id)
+      val m = (id % 6).toInt
+      assert(r.getString(1) ===
+        (if (m == 1) "lossy" else if (m == 0 || m == 2) "lossless"
+         else "extended"), s"doc $id fmt")
+      assert(r.getInt(2) === 8 + (id % 5).toInt * 4)
+      assert(r.getBoolean(4) === (m == 3), s"doc $id alpha")
+      assert(r.getBoolean(5) === (m == 5), s"doc $id anim")
+      assert(r.getInt(6) === (if (m == 5) 2 else 1))
+    }
+    val px = WebpSource.webpPixelTable(
+      spark, WebpSource.synthesizeWebp(spark, docs))
+    // lossless frames only: m in {0,2,4} once, m=5 twice
+    assert(px.count() === (0L until 36L).map(id => (id % 6) match {
+      case 0 | 2 | 4 => 1L; case 5 => 2L; case _ => 0L
+    }).sum)
+  }
+}
