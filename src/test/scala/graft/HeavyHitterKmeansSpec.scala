@@ -32,6 +32,79 @@ class HeavyHitterKmeansSpec extends GraftSparkSpec {
     assert(missed.isEmpty, s"MG guarantee violated: missed $missed")
   }
 
+  test("misra_gries bound holds LIVE at sf0.1's real vocabulary " +
+      "(r19 verdict item 8 — the d40-style calibration twin)") {
+    // the d26 gate proves sketch==exact at the oracle SF; this arm
+    // proves the MG guarantee at a 10x-larger REAL vocabulary (Zipfian
+    // token distribution, ~100k+ distinct tokens): every token whose
+    // exact count clears N/(k+1) must be in the candidate set, and the
+    // recount-then-filter pipeline must equal the full-vocabulary
+    // groupBy it replaces.
+    val dir = new java.io.File("/root/testdata/sf0.1/documents.parquet")
+    assume(dir.exists(), "sf0.1 testdata not present on this box")
+    import spark.implicits._
+    val k = 256
+    val toks = spark.read.parquet(dir.getAbsolutePath)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    val Array(row) = toks
+      .agg(count(lit(1)).as("n"),
+        AggFunctions.misraGries(col("token"), k).as("c"))
+      .collect()
+    val n = row.getLong(0)
+    val cands = row.getSeq[String](1).toSet
+    assert(cands.size <= k)
+    // exact ground truth over the full vocabulary. MEASURED FACT: the
+    // synthetic sf0.1 documents table has a ~31-token vocabulary —
+    // SMALLER than the sketch — so on the real table the bound is
+    // trivially exhaustive (every token is a candidate); assert that
+    // exhaustiveness, then prove the bound where it is NOT trivial.
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = exact.count()
+    info(s"sf0.1: N=$n tokens, vocabulary=$vocab, candidates=${cands.size}")
+    def checkBound(tk: org.apache.spark.sql.DataFrame,
+                   label: String): Unit = {
+      val Array(r0) = tk
+        .agg(count(lit(1)).as("n"),
+          AggFunctions.misraGries(col("token"), k).as("c"))
+        .collect()
+      val nn = r0.getLong(0)
+      val cs = r0.getSeq[String](1).toSet
+      val ex = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val heavy = ex.filter(col("cnt") * (k + 1) > nn)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(heavy.nonEmpty, s"$label: no heavy tokens above N/257")
+      val missed = heavy.keySet.diff(cs)
+      assert(missed.isEmpty,
+        s"MG bound violated ($label): heavy tokens missing from the " +
+          s"candidate set: $missed")
+      // the d26 pipeline (recount candidates, threshold) equals the
+      // full-vocabulary groupBy it replaces, live at this scale
+      val viaSketch = tk.filter(col("token").isin(cs.toSeq: _*))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (k + 1) > nn)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaSketch === heavy, s"$label: sketch-then-recount drifted")
+    }
+    checkBound(toks, s"sf0.1 real table (vocab $vocab)")
+    if (vocab <= k)
+      info("sf0.1 vocabulary fits the sketch — bound trivially " +
+        "exhaustive; the Zipf twin below is the live proof")
+    // Zipf twin at the SAME token count scale but a 100k+ vocabulary:
+    // rank = floor(exp(U * ln(Rmax))) over U = xxhash64-uniform gives
+    // P(rank) ~ 1/rank (Zipf s=1) — hot head, long tail, deterministic
+    // across runs. This is where MG actually discards: ~3M tokens,
+    // ~100k distinct, 256 counters.
+    val zipf = spark.range(0L, 3000000L, 1L, 32)
+      .select(concat(lit("z"),
+        floor(exp(((abs(xxhash64(col("id"))) % 1000000L) / 1000000.0)
+          * math.log(100000.0))).cast("long")).as("token"))
+    val zVocab = zipf.distinct().count()
+    info(s"zipf twin: vocabulary=$zVocab")
+    assert(zVocab > 10 * k,
+      "the twin must exercise a vocabulary far larger than the sketch")
+    checkBound(zipf, s"zipf twin (vocab $zVocab)")
+  }
+
   test("misra_gries single-partition sequential pass honors the same bound") {
     val stream = Seq.fill(500)("hot") ++ (0 until 700).map(i => s"cold$i")
     val df = stream.toDF("token").coalesce(1)

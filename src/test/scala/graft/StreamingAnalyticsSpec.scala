@@ -463,6 +463,123 @@ class StreamingAnalyticsSpec extends GraftSparkSpec {
     }
   }
 
+  test("warc export stream with dedup: a repeat spanning THREE batches " +
+      "resolves, and a crash between archive and index write replays " +
+      "byte-identical (r19 verdict item 7)") {
+    val root = java.nio.file.Files.createTempDirectory("warcdd3").toFile
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt")
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("uri",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("content_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.BinaryType)))
+    def start(ck: String) = StreamingAnalytics.warcExportDedupIngest(
+      spark.readStream.schema(schema).parquet(landing.getAbsolutePath),
+      out, ck, nShards = 2)
+    def land(rows: Seq[(String, Int, String, Array[Byte])]): Unit =
+      rows.toDF("uri", "status", "content_type", "body")
+        .coalesce(1).write.mode("append").parquet(landing.getAbsolutePath)
+    def runOnce(ck: String): Unit = {
+      val q = start(ck); q.processAllAvailable(); q.stop()
+    }
+    def cpDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) cpDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    try {
+      // batch 0: bodyQ's first capture + an unrelated page
+      land(Seq(
+        ("http://h0/a/1", 200, "text/plain", "bodyQ".getBytes("UTF-8")),
+        ("http://h0/a/2", 200, "text/plain", "bodyR".getBytes("UTF-8"))))
+      runOnce(ckpt.getAbsolutePath)
+      // batch 1: unrelated only — the repeat must survive an
+      // INTERVENING batch, not just wave-to-next-wave adjacency
+      land(Seq(
+        ("http://h1/b/3", 200, "text/plain", "bodyS".getBytes("UTF-8"))))
+      runOnce(ckpt.getAbsolutePath)
+      // snapshot the checkpoint BEFORE batch 2 — the crash arm below
+      // restarts from here, exactly what a dead driver leaves behind
+      val ckptCrash = new java.io.File(root, "ckpt-crash")
+      cpDir(ckpt, ckptCrash)
+      // batch 2: bodyQ AGAIN (a revisit spanning two batch boundaries)
+      // plus bodyT, a NEW winner — so the wave-2 index append is real
+      // state the crash arm below destroys and the replay must restore
+      land(Seq(
+        ("http://h2/c/4", 200, "text/plain", "bodyQ".getBytes("UTF-8")),
+        ("http://h2/c/5", 200, "text/plain", "bodyT".getBytes("UTF-8"))))
+      runOnce(ckpt.getAbsolutePath)
+      assert(new java.io.File(out, "wave=2").exists())
+      val glob = out + "/wave=*/part-*.warc.gz"
+      val revisits = graft.sources.WarcSource.warcRevisits(spark, glob)
+      assert(revisits.count() === 1)
+      val rr = revisits.head()
+      assert(rr.getString(1) === "http://h2/c/4")
+      assert(rr.getString(5) === "http://h0/a/1",
+        "the batch-2 revisit must point at the BATCH-0 winner")
+      // the loop closes over the accumulated three-wave archive set
+      val index = graft.sources.CdxSource.warcIndexFiles(spark, glob,
+        relativeTo = out)
+      assert(index.count() === 4) // Q-winner, R, S, T
+      val resolved = graft.sources.CdxSource.resolveRevisits(spark, out,
+        revisits, index)
+      assert(resolved.count() === 1)
+      assert(resolved.head().getString(3) === "bodyQ")
+      // ---- crash arm: kill between the two writes of batch 2 ----
+      // the documented crash window is AFTER writeWarcDecided landed
+      // the wave-2 archives but BEFORE the digest-index wave-2 append;
+      // reproduce that exact on-disk state: keep the wave=2 archives,
+      // delete the index wave, and restart from the pre-batch-2
+      // checkpoint (what the dead driver left)
+      val wave2 = new java.io.File(out, "wave=2")
+      val before = wave2.listFiles().filter(_.getName.endsWith(".warc.gz"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      assert(before.nonEmpty)
+      rm(new java.io.File(out, "digest-index/wave=2"))
+      runOnce(ckptCrash.getAbsolutePath)
+      // the replayed batch read prior state EXCLUDING the crash-partial
+      // wave (wave < batchId), so winners are identical, the archive
+      // bytes are byte-identical under first-wins, and the index wave
+      // is restored
+      before.foreach { case (name, bytes) =>
+        assert(java.nio.file.Files.readAllBytes(
+          new java.io.File(wave2, name).toPath).toSeq === bytes,
+          s"crash replay rewrote shard $name")
+      }
+      // the destroyed wave-2 index state is RESTORED: bodyT's winner
+      // is back, and bodyQ's winner is STILL the batch-0 original (the
+      // replay did not re-elect a winner for an already-won digest)
+      val origs = spark.read.parquet(out + "/digest-index")
+        .select("orig").collect().map(_.getString(0)).toSet
+      assert(origs.contains("http://h2/c/5"),
+        "crash replay failed to restore the wave-2 index append")
+      assert(origs.contains("http://h0/a/1"))
+      assert(!origs.contains("http://h2/c/4"),
+        "crash replay re-elected a winner for an already-won digest")
+      // and the revisit still resolves end to end
+      val resolved2 = graft.sources.CdxSource.resolveRevisits(spark, out,
+        graft.sources.WarcSource.warcRevisits(spark, glob),
+        graft.sources.CdxSource.warcIndexFiles(spark, glob, relativeTo = out))
+      assert(resolved2.count() === 1 &&
+        resolved2.head().getString(3) === "bodyQ")
+    } finally rm(root)
+  }
+
   test("warc export stream: waves of response archives re-ingest and replay safely") {
     val root = java.nio.file.Files.createTempDirectory("warcstream").toFile
     val landing = new java.io.File(root, "landing"); landing.mkdirs()
