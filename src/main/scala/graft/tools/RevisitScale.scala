@@ -23,7 +23,86 @@ import org.apache.spark.sql.functions._
   * `java -Xmx8g ... graft.tools.RevisitScale [U] [C] [filler]`.
   */
 object RevisitScale {
+
+  /** `--write` arm (r19 verdict item 5): the dedup WRITE path under a
+    * Zipfian hot digest. `writeWarc(dedupDigests = true)` sends full
+    * bodies across the digest exchange and the plan comment claims AQE
+    * skew-split absorbs a boilerplate mega-digest — this measures it:
+    * `pages` pages of which `hotPct`% share ONE body (the 30%-hot
+    * shape), the rest unique, real SHA-1 digests, real gzip members,
+    * real first-wins shard commit to a temp dir. Prints wall time +
+    * true peak heap; completing without a task OOM at the hot shape IS
+    * the claim. `java -Xmx8g ... graft.tools.RevisitScale --write
+    * [pages] [hotPct]`.
+    */
+  private def runWrite(rest: Array[String]): Unit = {
+    val pages = rest.headOption.map(_.toInt).getOrElse(10000000)
+    val hotPct = rest.drop(1).headOption.map(_.toInt).getOrElse(30)
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (true) {
+        val rt = Runtime.getRuntime
+        val used = rt.totalMemory() - rt.freeMemory()
+        var p = peak.get()
+        while (used > p && !peak.compareAndSet(p, used)) p = peak.get()
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = java.nio.file.Files.createTempDirectory("revwrite").toFile
+    println(s"[revisit-scale] write arm: $pages pages, $hotPct% on one " +
+      s"digest -> ${out.getAbsolutePath}; " +
+      f"-Xmx=${Runtime.getRuntime.maxMemory() / 1e9}%.2f GB")
+    try {
+      val df = spark.range(pages.toLong, 0L, -1L, 64).selectExpr(
+        "concat('http://h', id % 97, '.example/p/', id) AS uri",
+        "200 AS status",
+        "'text/html; charset=utf-8' AS content_type",
+        // hotPct% of pages carry the SAME boilerplate body (one digest
+        // owning nearly a third of the exchange's rows AND bytes)
+        s"""encode(CASE WHEN id % 100 < $hotPct
+           |  THEN '<html><body>cookie consent boilerplate page body padding padding padding</body></html>'
+           |  ELSE concat('<html><body>unique body ', id,
+           |    ' padding padding padding padding</body></html>')
+           |END, 'UTF-8') AS body""".stripMargin)
+      val t0 = System.nanoTime()
+      val n = graft.sources.WarcSource.writeWarc(
+        df, out.getAbsolutePath, nShards = 64, gzip = true,
+        dedupDigests = true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val bytes = out.listFiles().map(_.length()).sum
+      println(f"[revisit-scale] write  $n%9d pages in $secs%8.2f s " +
+        f"(${n / secs}%.0f pages/s), ${bytes / 1e9}%.2f GB of archives, " +
+        f"peak heap ${peak.get() / 1e9}%.2f GB")
+      // honesty check: the hot digest produced exactly one full
+      // response; everything else on it is a revisit
+      val revisits = graft.sources.WarcSource.warcRevisits(spark,
+        out.getAbsolutePath + "/*.warc.gz").count()
+      val expect = pages.toLong * hotPct / 100 - 1
+      println(s"[revisit-scale] revisits $revisits (expected ~$expect)")
+      require(revisits == expect,
+        s"revisit count $revisits != expected $expect")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(out)
+      spark.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--write")) {
+      runWrite(args.filterNot(_ == "--write"))
+      return
+    }
     val u = args.lift(0).map(_.toInt).getOrElse(5000)
     val c = args.lift(1).map(_.toInt).getOrElse(20000)
     val filler = args.lift(2).map(_.toInt).getOrElse(1000000)
