@@ -973,6 +973,26 @@ object Brotli {
     out
   }
 
+  /** 2^20-bit membership filter over [[dictPrefixIndex]]'s 4-byte
+    * prefixes (128 KB): the encoder probes the dictionary at EVERY
+    * position whose window match is short — on literal-heavy text
+    * that is nearly every position, and an Integer-boxing HashMap miss
+    * per position was a measured ~25% of the whole literal-path
+    * encode. One AND per position filters almost all misses for free
+    * (the dictionary has ~100k distinct prefixes over 2^20 slots —
+    * ~10% fill even before hashing spreads them).
+    */
+  private lazy val dictPrefixBloom: Array[Long] = {
+    val bits = new Array[Long](1 << 14) // 2^20 bits
+    val it = dictPrefixIndex.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next().intValue()
+      val h = (k * 0x9E3779B1) >>> 12 // top 20 bits
+      bits(h >>> 6) |= 1L << (h & 63)
+    }
+    bits
+  }
+
   /** Hash-chain LZ over one chunk (quality-5 class, r19 — the r18 cut
     * was one-probe greedy): 4-byte hash heads + a per-position chain
     * probed up to `MaxProbes` deep (longest match wins, closer on
@@ -991,30 +1011,55 @@ object Brotli {
     * the literals it replaces — `dlen >= 6` — and clearly beat any
     * window match — `dlen >= mlen + 2`.
     */
+  // parse-loop instrumentation, compiled away unless the prop is set
+  private val Stats = sys.props.contains("graft.brotli.stats")
+  private var statBest = 0L
+  private var statProbes = 0L
+  private var statExtend = 0L
+  private[graft] def statLine(): String =
+    s"best=$statBest probes=$statProbes extend=$statExtend"
+
+  /** Slots per hash bucket (a power of two). Buckets, not chains: the
+    * r19 head/prev linked walk cost one DEPENDENT random load per
+    * probe — measured 272M probe iterations for a 30 MB literal-heavy
+    * encode, ~60% of the whole wall time in cache misses. A bucket's
+    * candidates live in one contiguous run of ints (two cache lines),
+    * so probing 16 of them costs about as much as chasing two links.
+    */
+  private val SlotBits = 4
+  private val SlotMask = (1 << SlotBits) - 1
+
   private def lzParse(data: Array[Byte], from: Int, until: Int,
                       window: Int, ring0: Array[Int], ringIdx0: Int,
-                      head: Array[Int], prev: Array[Int]): Seq[LzCmd] = {
-    val MaxProbes = 32
-    val PrevMask = prev.length - 1
-    // table sizes are caller-sized to the input (a fixed 16 MiB chain
+                      slots: Array[Int], counts: Array[Int]): Seq[LzCmd] = {
+    val MaxProbes = 1 << SlotBits // the whole bucket: 16 contiguous ints
+    // table sizes are caller-sized to the input (a fixed 16 MiB table
     // allocated-and-filled per call crushed small-entity encodes — the
     // WARC fixture arm's exact shape); derive the hash shift from the
-    // head the caller built
-    val hashBits = Integer.numberOfTrailingZeros(head.length)
+    // count table the caller built
+    val hashBits = Integer.numberOfTrailingZeros(counts.length)
     def hash(i: Int): Int = {
+      // FIVE bytes, not the minimum-match four: on natural-language
+      // text the 4-byte buckets of common words ("the ", "and ") run
+      // thousands deep and the probe budget drowns in candidates that
+      // agree on 4 bytes and diverge at the 5th — a 5-byte key makes
+      // each probe worth taking (measured: 4.3 -> 9+ MB/s on a
+      // word-salad corpus at unchanged ratio; 4-byte-only matches are
+      // still reachable through the ring and the dictionary)
       val h = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
         ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
-      (h * 0x9E3779B1) >>> (32 - hashBits)
+      val b4 = if (i + 4 < data.length) data(i + 4) & 0xff else 0
+      ((h * 0x9E3779B1) ^ (b4 * 0x85EBCA6B)) >>> (32 - hashBits)
     }
-    // the chain persists ACROSS chunks (r19b: matches may reference any
+    // the table persists ACROSS chunks (r19b: matches may reference any
     // earlier output inside the window — the decoder's copy window
-    // spans metablocks, stored ones included); prev is a position-
-    // masked rolling array, so a stale slot can hold a NEWER position's
-    // link — the monotonic `next < cand` guard terminates those chains
+    // spans metablocks, stored ones included); slots hold ABSOLUTE
+    // positions, so there is no staleness to guard: a candidate is
+    // valid iff it is in [0, i) and within the window
     def insertPos(i: Int): Unit = {
       val h = hash(i)
-      prev(i & PrevMask) = head(h)
-      head(h) = i
+      slots((h << SlotBits) | (counts(h) & SlotMask)) = i
+      counts(h) += 1
     }
     // parse-side ring mirror (advisory: it biases match CHOICE toward
     // ring-cheap distances; the emission loop maps each distance to
@@ -1022,11 +1067,24 @@ object Brotli {
     val ring = ring0.clone()
     var ringIdx = ringIdx0
     def extendAt(cand: Int, i: Int): Int = {
-      var l = 0
-      while (i + l < until && data(cand + l) == data(i + l) &&
-        l < (1 << 20)) l += 1
-      l
+      if (Stats) statExtend += 1
+      // Arrays.mismatch is an HotSpot intrinsic (wide SIMD compares) —
+      // match extension is the encoder's single hottest loop, and the
+      // byte-at-a-time walk was the r19 throughput ceiling. Overlap
+      // (cand + max crossing i, the self-extending repeat case) is
+      // fine: mismatch compares element-wise, same semantics as the
+      // byte loop.
+      val max = math.min(until - i, 1 << 20)
+      val m = java.util.Arrays.mismatch(data, cand, cand + max,
+        data, i, i + max)
+      if (m < 0) max else m
     }
+    // 4-byte quick reject before a full extension probe: ring slots
+    // rarely match at an arbitrary position, and extendAt-per-slot
+    // (4 probes at EVERY position) was pure overhead when they don't
+    def quick4(a: Int, b: Int): Boolean =
+      data(a) == data(b) && data(a + 1) == data(b + 1) &&
+        data(a + 2) == data(b + 2) && data(a + 3) == data(b + 3)
     // a match this long is "good enough" — stop probing (the classic
     // sufficiency cutoff that keeps degenerate repeat runs, whose
     // chains are thousands deep, from turning the parse quadratic)
@@ -1044,7 +1102,8 @@ object Brotli {
       var r = 0
       while (r < 4) {
         val d = ring((ringIdx - 1 - r) & 3)
-        if (d >= 1 && d <= i && d <= window && d != bestDist) {
+        if (d >= 1 && d <= i && d <= window && d != bestDist &&
+          quick4(i - d, i)) {
           val l = extendAt(i - d, i)
           if (l >= 4 && l > bestLen) {
             bestLen = l; bestDist = d
@@ -1055,27 +1114,32 @@ object Brotli {
       }
       if (bestLen < SufficientLen) {
         val floor = bestLen + handicap // an explicit match must beat this
-        var cand = head(hash(i))
-        var probes = 0
+        val h = hash(i)
+        val base = h << SlotBits
+        val cnt = counts(h)
+        val lim = math.min(cnt, MaxProbes)
+        var k = 1 // newest candidate first (smallest distances)
         var expLen = 0
         var expDist = 0
-        while (cand >= 0 && probes < MaxProbes && expLen < SufficientLen) {
-          val d = i - cand
-          if (d >= 1 && d <= window) {
-            // quick reject: the byte that would extend the current best
-            // (overlapping candidates compare against already-matched
-            // bytes — in bounds, and extendAt handles the overlap)
-            if (i + expLen < until &&
-              data(cand + expLen) == data(i + expLen)) {
-              val l = extendAt(cand, i)
-              if (l > expLen || (l == expLen && d < expDist)) {
-                expLen = l; expDist = d
+        while (k <= lim && expLen < SufficientLen) {
+          val cand = slots(base | ((cnt - k) & SlotMask))
+          if (cand >= 0 && cand < i) {
+            val d = i - cand
+            if (d >= 1 && d <= window) {
+              // quick reject: the byte that would extend the current
+              // best (overlapping candidates compare against already-
+              // matched bytes — in bounds, extendAt handles overlap)
+              if (i + expLen < until &&
+                data(cand + expLen) == data(i + expLen)) {
+                val l = extendAt(cand, i)
+                if (l > expLen || (l == expLen && d < expDist)) {
+                  expLen = l; expDist = d
+                }
               }
             }
           }
-          val next = prev(cand & PrevMask)
-          cand = if (next >= 0 && next < cand) next else -1
-          probes += 1
+          k += 1
+          if (Stats) statProbes += 1
         }
         if (expLen >= 4 && expLen > floor) {
           bestLen = expLen; bestDist = expDist
@@ -1087,6 +1151,7 @@ object Brotli {
     var lit = from
     var i = from
     while (i + 4 <= until) {
+      if (Stats) statBest += 1
       val m = bestMatch(i)
       insertPos(i)
       var mlen = (m >>> 32).toInt
@@ -1096,10 +1161,15 @@ object Brotli {
       var dlen = 0
       var dword = 0
       if (mlen < 22) {
-        val key = Integer.valueOf(((data(i) & 0xff) << 24) |
+        val rawKey = ((data(i) & 0xff) << 24) |
           ((data(i + 1) & 0xff) << 16) | ((data(i + 2) & 0xff) << 8) |
-          (data(i + 3) & 0xff))
-        val cands = dictPrefixIndex.get(key)
+          (data(i + 3) & 0xff)
+        // bloom pre-filter: skip the boxing HashMap probe on the vast
+        // majority of positions whose prefix is not in the dictionary
+        val bh = (rawKey * 0x9E3779B1) >>> 12
+        val cands =
+          if ((dictPrefixBloom(bh >>> 6) & (1L << (bh & 63))) == 0) null
+          else dictPrefixIndex.get(Integer.valueOf(rawKey))
         if (cands != null) {
           var ci = 0
           while (ci < cands.length && dlen == 0) {
@@ -1190,27 +1260,28 @@ object Brotli {
     // tree symbol with zero extra bits.
     val encRing = Array(16, 15, 11, 4)
     var encRingIdx = 0
-    // hash chain shared ACROSS chunks so matches reach any earlier
-    // output inside the window; prev is position-masked with the
-    // monotonic stale-slot guard in lzParse. Both tables size to the
-    // INPUT (powers of two, capped at 2^17 heads / 2^22 links): a
-    // fixed 16 MiB allocate-and-fill per call would cost more than the
+    // bucket match table shared ACROSS chunks so matches reach any
+    // earlier output inside the window; per bucket, 2^SlotBits recent
+    // positions in one contiguous run (see lzParse — the r19 linked
+    // chains cost a dependent cache miss per probe). Sized to the
+    // INPUT (powers of two, capped at 2^17 buckets = 8 MiB of slots):
+    // a fixed allocate-and-fill per call would cost more than the
     // whole encode on the KB-sized entities the WARC fixture arm feeds
     def bitsFor(n: Long, lo: Int, hi: Int): Int = {
       var b = lo
       while (b < hi && (1L << b) < n) b += 1
       b
     }
-    val chainHead = new Array[Int](1 << bitsFor(data.length / 4, 8, 17))
-    java.util.Arrays.fill(chainHead, -1)
-    val chainPrev = new Array[Int](1 << bitsFor(data.length, 8, 22))
-    java.util.Arrays.fill(chainPrev, -1)
+    val hashBits = bitsFor(data.length / 4, 8, 17)
+    val tblCounts = new Array[Int](1 << hashBits)
+    val tblSlots = new Array[Int](1 << (hashBits + SlotBits))
+    java.util.Arrays.fill(tblSlots, -1)
     var off = 0
     while (off < data.length) {
       val until = math.min(off + Chunk, data.length)
       val mlen = until - off
       val cmds = lzParse(data, off, until, window, encRing, encRingIdx,
-        chainHead, chainPrev)
+        tblSlots, tblCounts)
       // histograms — literals are counted PER CONTEXT (mode-2/UTF8:
       // the class pair of the two previous bytes, the same ctxLut the
       // decoder reads from the jar), so the entropy stage can give

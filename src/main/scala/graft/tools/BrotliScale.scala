@@ -39,6 +39,8 @@ object BrotliScale {
       println(f"encode-file: ${data.length / 1e6}%.1f MB -> " +
         f"${c.length / 1e6}%.2f MB (${c.length * 100.0 / data.length}%.2f%%)" +
         f" in $best%.2f s (${data.length / 1e6 / best}%.1f MB/s in)")
+      if (sys.props.contains("graft.brotli.stats"))
+        println("stats: " + graft.sources.Brotli.statLine())
       return
     }
     val dir = new java.io.File("/tmp/graft-brotliscale")
