@@ -121,9 +121,19 @@ object Multimodal {
   private def pngWriter(): javax.imageio.ImageWriter =
     javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
 
+  // MEMORY-cache ImageIO streams, never ImageIO.create*Stream: the
+  // factory honors useCache=true (the JDK default) and spools every
+  // byte-array decode/encode through a TEMP FILE in java.io.tmpdir —
+  // one create+write+delete per image. At corpus scale that is
+  // executor-local disk I/O the operator never needed, and it made
+  // the decode gates hypersensitive to host /tmp contention (r20:
+  // x16/x17/x67 swung 2-10x run-to-run while the CPU calibration
+  // kernel stayed flat — the contention was file I/O, invisible to a
+  // CPU probe). The sources are in-memory byte arrays; keep the
+  // streams in memory too.
   private def readPng(reader: javax.imageio.ImageReader,
                       bytes: Array[Byte]): java.awt.image.BufferedImage = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis, true, true)
@@ -134,10 +144,11 @@ object Multimodal {
   private def writePng(writer: javax.imageio.ImageWriter,
                        img: java.awt.image.BufferedImage): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
       writer.setOutput(ios)
       writer.write(img)
+      ios.flush() // memory-cache streams buffer past the wrapped sink
     } finally ios.close()
     baos.toByteArray
   }
@@ -471,18 +482,29 @@ object Multimodal {
     * codec without touching the operators: `decodeVideo`/`sampleFrames`
     * run unchanged against MJPEG containers. Decoded frames are
     * re-packed into the wire DIB shape (24-bit BGR, rows bottom-up,
-    * 4-byte padded) the operators consume. Uses the static
-    * `ImageIO.read` (fresh reader per call): this singleton is shared by
-    * every task thread in the JVM, so a hoisted per-instance reader
-    * would race — the per-call SPI cost is the thread-safety price, paid
-    * only on the video path.
+    * 4-byte padded) the operators consume. A FRESH reader per call:
+    * this singleton is shared by every task thread in the JVM, so a
+    * hoisted per-instance reader would race — the per-call SPI cost is
+    * the thread-safety price, paid only on the video path. The input
+    * stream is an explicit MEMORY-cache wrap: the `ImageIO.read`
+    * convenience spools each frame through a temp FILE in
+    * java.io.tmpdir (useCache defaults true) — per-frame executor disk
+    * I/O the decode never needed (see readPng).
     */
   object MjpegDecoder extends VideoDecoder {
+    private def readJpeg(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try { reader.setInput(iis, true, true); reader.read(0) }
+      finally { iis.close(); reader.dispose() }
+    }
     def decode(content: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
       val (w, h, n, jpegs) = parseAviChunks(content, MJPG_FOURCC, "00dc")
       val rowBytes = (3 * w + 3) & ~3
       val dibs = jpegs.map { j =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+        val img = readJpeg(j)
         require(img != null, "undecodable MJPEG frame payload")
         require(img.getWidth == w && img.getHeight == h,
           s"frame dims ${img.getWidth}x${img.getHeight} disagree with strf ${w}x$h")
@@ -590,8 +612,13 @@ object Multimodal {
               y += 1
             }
             val baos = new java.io.ByteArrayOutputStream()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-            try { writer.setOutput(ios); writer.write(img) } finally ios.close()
+            // memory-cache, not the factory: the default spools through
+            // a temp FILE per frame (see readPng note)
+            val ios =
+              new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+            try {
+              writer.setOutput(ios); writer.write(img); ios.flush()
+            } finally ios.close()
             baos.toByteArray
           }
           VideoRow(id, mjpegAviBytes(w, h, jpegs))
