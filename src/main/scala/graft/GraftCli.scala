@@ -1273,6 +1273,22 @@ object GraftCli {
       println(s"[graft] mkv-meta-demo: $docsParquet -> $outDir")
       spark.stop()
 
+    case "mp3-meta-demo" :: docsParquet :: outDir :: rest =>
+      // MP3 frame walk over the deterministic fixture corpus: `frames`
+      // (default) writes the per-frame segment table, `summary` the
+      // per-file totals + VBR header claims
+      val spark = session()
+      val media = graft.sources.Mp3Source.synthesizeMp3(
+        spark, spark.read.parquet(docsParquet))
+      val out =
+        if (rest.contains("summary"))
+          graft.sources.Mp3Source.mp3Meta(spark, media)
+        else graft.sources.Mp3Source.mp3Frames(spark, media)
+      out.write.mode("overwrite").parquet(outDir)
+      println(s"[graft] mp3-meta-demo: $docsParquet -> $outDir" +
+        (if (rest.contains("summary")) " (summary)" else " (frames)"))
+      spark.stop()
+
     case "warc-demo" :: docsParquet :: outDir :: Nil =>
       val spark = session()
       new java.io.File(outDir).mkdirs()
@@ -1364,6 +1380,9 @@ object GraftCli {
         case "jpeg" => graft.operators.ImageCodecs.jpegMetaTable(spark, media)
         case "gif" => graft.sources.GifSource.gifTable(spark, media)
         case "tiff" => graft.sources.TiffSource.tiffTable(spark, media)
+        case "webp" => graft.sources.WebpSource.webpTable(spark, media)
+        case "webp-pixels" =>
+          graft.sources.WebpSource.webpPixelTable(spark, media)
         case other => sys.error(s"image-meta: unknown format $other")
       }
       out.write.mode("overwrite").parquet(outDir)
@@ -1379,6 +1398,8 @@ object GraftCli {
         case "jpeg" => graft.operators.ImageCodecs.synthesizeJpeg(spark, docs)
         case "gif" => graft.sources.GifSource.synthesizeGif(spark, docs)
         case "tiff" => graft.sources.TiffSource.synthesizeTiff(spark, docs)
+        case "webp" | "webp-pixels" =>
+          graft.sources.WebpSource.synthesizeWebp(spark, docs)
         case other => sys.error(s"image-meta-demo: unknown format $other")
       }
       media.write.mode("overwrite").parquet(outDir)
@@ -1446,8 +1467,9 @@ object GraftCli {
            |  kmeans <embeddingsParquet> <outDir> [k] [iters]
            |  profile <inParquet>
            |  chunk <docsParquet> <outDir> [size] [stride]
-           |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg|gif|tiff]
-           |  image-meta-demo <docsParquet> <outDir> [png|jpeg|gif|tiff]
+           |  image-meta <mediaParquet(doc_id,content)> <outDir> [png|jpeg|gif|tiff|webp|webp-pixels]
+           |  image-meta-demo <docsParquet> <outDir> [png|jpeg|gif|tiff|webp|webp-pixels]
+           |  mp3-meta-demo <docsParquet> <outDir> [frames|summary]
            |  parquet-footer <file.parquet> [file.parquet ...]
            |  orc-footer <file.orc> [file.orc ...]
            |  parquet-prune <file.parquet> <intColumn> <lo> <hi>

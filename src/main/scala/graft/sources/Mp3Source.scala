@@ -299,7 +299,7 @@ object Mp3Source {
     out.toByteArray
   }
 
-  private case class AudioDoc(doc_id: Long, bytes: Array[Byte])
+  private case class AudioDoc(doc_id: Long, content: Array[Byte])
 
   def synthesizeMp3(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -315,7 +315,7 @@ object Mp3Source {
     */
   def mp3Frames(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("bytes"))
+    media.select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         walk(bytes)._1.map(f => (id, f.frameIdx, f.offset, f.frameBytes,
@@ -331,7 +331,7 @@ object Mp3Source {
     */
   def mp3Meta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("bytes"))
+    media.select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val (fs, m) = walk(bytes)

@@ -901,7 +901,7 @@ object WebpSource {
     }
   }
 
-  private case class ImageDoc(doc_id: Long, bytes: Array[Byte])
+  private case class ImageDoc(doc_id: Long, content: Array[Byte])
 
   def synthesizeWebp(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -914,7 +914,7 @@ object WebpSource {
   /** Container facts per doc — the x131 gate. */
   def webpTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("bytes"))
+    media.select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val f = parseWebp(bytes)
@@ -928,7 +928,7 @@ object WebpSource {
   /** Decoded-pixel facts per lossless frame — the x132 gate. */
   def webpPixelTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("bytes"))
+    media.select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         decodePixels(bytes).map { case (i, w, h, px) =>
