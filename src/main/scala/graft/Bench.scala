@@ -81,10 +81,20 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(baselinePath)), "UTF-8")
+        // bound the grep to the queries OBJECT (its closing brace):
+        // grepping to EOF would let a later same-named map — a
+        // bench_out.json's calib_q follows queries with identical keys
+        // — silently overwrite every median with its calib sample
         val qStart = txt.indexOf("\"queries\"")
-        val qTxt = if (qStart >= 0) txt.substring(qStart) else ""
+        val qTxt =
+          if (qStart < 0) ""
+          else {
+            val open = txt.indexOf('{', qStart)
+            val close = if (open < 0) -1 else txt.indexOf('}', open)
+            if (open < 0 || close < 0) "" else txt.substring(open, close)
+          }
         val qs = num.findAllMatchIn(qTxt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val ref = """"ref_spark_par"\s*:\s*([0-9.]+)""".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(0.310)
         val prov = """"ref_spark_par_provenance"\s*:\s*"([^"]*)"""".r
@@ -256,8 +266,15 @@ object Bench {
     val rerunJson = rerun.toSeq.sortBy(_._1).map { case (n, (m0, m1)) =>
       "\"" + n + "\":[" + f"$m0%.3f,$m1%.3f]"
     }.mkString("{", ",", "}")
+    def jstr(s: String): String = // minimal JSON string escape
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < 0x20 => f"\\u$c%04x"
+        case c => c.toString
+      }
     val provJson =
-      s""""calib_ref":{"spark_par":$refSparkPar,"provenance":"$refProv","baseline":"$baselinePath"}"""
+      s""""calib_ref":{"spark_par":$refSparkPar,"provenance":"${jstr(refProv)}","baseline":"${jstr(baselinePath)}"}"""
     val fullLine =
       s"""{"metric":"total","value":${f"$total%.3f"},"value_calib_norm":${f"${calibNorm(total)}%.3f"},"unit":"sec","n_queries":${results.size},"calib":$calibJson,$provJson,"queries":$fullQs,"spread":$spread,"calib_q":$calibQ,"rerun":$rerunJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -1011,13 +1011,16 @@ object Brotli {
     * the literals it replaces — `dlen >= 6` — and clearly beat any
     * window match — `dlen >= mlen + 2`.
     */
-  // parse-loop instrumentation, compiled away unless the prop is set
+  // parse-loop instrumentation, inert unless the prop is set. LongAdder,
+  // not plain vars: Spark task threads encode concurrently, and racy
+  // read-modify-writes would drop increments from the very counters
+  // the throughput investigation reads (r20 self-review).
   private val Stats = sys.props.contains("graft.brotli.stats")
-  private var statBest = 0L
-  private var statProbes = 0L
-  private var statExtend = 0L
+  private val statBest = new java.util.concurrent.atomic.LongAdder
+  private val statProbes = new java.util.concurrent.atomic.LongAdder
+  private val statExtend = new java.util.concurrent.atomic.LongAdder
   private[graft] def statLine(): String =
-    s"best=$statBest probes=$statProbes extend=$statExtend"
+    s"best=${statBest.sum} probes=${statProbes.sum} extend=${statExtend.sum}"
 
   /** Slots per hash bucket (a power of two). Buckets, not chains: the
     * r19 head/prev linked walk cost one DEPENDENT random load per
@@ -1067,7 +1070,7 @@ object Brotli {
     val ring = ring0.clone()
     var ringIdx = ringIdx0
     def extendAt(cand: Int, i: Int): Int = {
-      if (Stats) statExtend += 1
+      if (Stats) statExtend.increment()
       // Arrays.mismatch is an HotSpot intrinsic (wide SIMD compares) —
       // match extension is the encoder's single hottest loop, and the
       // byte-at-a-time walk was the r19 throughput ceiling. Overlap
@@ -1139,7 +1142,7 @@ object Brotli {
             }
           }
           k += 1
-          if (Stats) statProbes += 1
+          if (Stats) statProbes.increment()
         }
         if (expLen >= 4 && expLen > floor) {
           bestLen = expLen; bestDist = expDist
@@ -1151,7 +1154,7 @@ object Brotli {
     var lit = from
     var i = from
     while (i + 4 <= until) {
-      if (Stats) statBest += 1
+      if (Stats) statBest.increment()
       val m = bestMatch(i)
       insertPos(i)
       var mlen = (m >>> 32).toInt

@@ -183,22 +183,19 @@ object Mp3Source {
             truncated = true
             off = b.length
           } else {
+            var vbrLead = false
             if (first) {
               val (x, v, f, by) = vbrHeader(b, off, len, ch)
               hasXing = x; hasVbri = v
-              if (x || v) { vbrFrames = f; vbrBytes = by }
+              if (x || v) { vbrFrames = f; vbrBytes = by; vbrLead = true }
               first = false
-              if (x || v) { off += len } // metadata frame: not audio
-              else {
-                frames += Mp3Frame(idx, off, len, kbps, sr, ch, pad,
-                  1152000000L / sr)
-                idx += 1; off += len
-              }
-            } else {
+            }
+            if (!vbrLead) { // a VBR lead is metadata, not audio
               frames += Mp3Frame(idx, off, len, kbps, sr, ch, pad,
                 1152000000L / sr)
-              idx += 1; off += len
+              idx += 1
             }
+            off += len
           }
         case None =>
           // lenient resync: scan byte-by-byte for the next plausible

@@ -38,6 +38,8 @@ object RevisitScale {
   private def runWrite(rest: Array[String]): Unit = {
     val pages = rest.headOption.map(_.toInt).getOrElse(10000000)
     val hotPct = rest.drop(1).headOption.map(_.toInt).getOrElse(30)
+    require(pages >= 100 && hotPct >= 1 && hotPct <= 100,
+      "revisit-scale --write: pages >= 100 and hotPct in 1..100")
     val peak = new java.util.concurrent.atomic.AtomicLong(0L)
     val sampler = new Thread(() => {
       while (true) {
@@ -85,7 +87,14 @@ object RevisitScale {
       // response; everything else on it is a revisit
       val revisits = graft.sources.WarcSource.warcRevisits(spark,
         out.getAbsolutePath + "/*.warc.gz").count()
-      val expect = pages.toLong * hotPct / 100 - 1
+      // exact hot-page count over ids 1..pages (a pages*hotPct/100
+      // shortcut is only right when pages is a multiple of 100):
+      // residue r occurs pages/100 times, plus once more when
+      // 1 <= r <= pages%100
+      val hot = (0 until hotPct).map(r =>
+        pages.toLong / 100 +
+          (if (r >= 1 && r <= pages % 100) 1L else 0L)).sum
+      val expect = math.max(0L, hot - 1L)
       println(s"[revisit-scale] revisits $revisits (expected ~$expect)")
       require(revisits == expect,
         s"revisit count $revisits != expected $expect")
