@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   *    not a container; header facts only).
   *  - pixel-bundled color indexing (palette ≤ 16 colors packs several
   *    pixels per byte); unbundled palettes (17..256) decode.
-  *  - ALPH payload decode (presence + preprocessing byte only).
+  * ALPH planes DECODE ([[decodeAlpha]]): raw (method 0) and
+  * VP8L-compressed (method 1 — a headerless image stream through the
+  * same decoder), with the horizontal/vertical/gradient prediction
+  * filters inverted; reserved methods refuse by name.
   *
   * The 2D distance table is GENERATED, not transcribed: the spec's
   * table is the 120 nearest causal neighbors (dy 0..8, dx -8..8,
@@ -561,7 +564,8 @@ object WebpSource {
   private[graft] case class WebpFrame(
       kind: String, // "lossy" | "lossless"
       x: Int, y: Int, w: Int, h: Int, durationMs: Int,
-      payloadOff: Int, payloadLen: Int, hasAlph: Boolean)
+      payloadOff: Int, payloadLen: Int, hasAlph: Boolean,
+      alphOff: Int = -1, alphLen: Int = 0)
 
   private[graft] case class WebpFile(
       fmt: String, // "lossy" | "lossless" | "extended"
@@ -599,6 +603,8 @@ object WebpSource {
                          fx: Int, fy: Int, fdur: Int): Boolean = {
     var off = from
     var alph = false
+    var aOff = -1
+    var aLen = 0
     while (off < to) {
       require(off + 8 <= to, s"webp: torn chunk header at offset $off")
       val t = tag(b, off)
@@ -610,7 +616,8 @@ object WebpSource {
       t match {
         case "VP8 " =>
           val (w, h) = vp8Dims(b, pOff, pLen)
-          frames += WebpFrame("lossy", fx, fy, w, h, fdur, pOff, pLen, alph)
+          frames += WebpFrame("lossy", fx, fy, w, h, fdur, pOff, pLen,
+            alph, aOff, aLen)
         case "VP8L" =>
           require(pLen >= 5, "webp: VP8L chunk too small")
           require((b(pOff) & 0xff) == 0x2f, "webp: bad VP8L signature")
@@ -618,8 +625,8 @@ object WebpSource {
           val w = ((hdr & 0x3fff) + 1).toInt
           val h = (((hdr >> 14) & 0x3fff) + 1).toInt
           frames += WebpFrame("lossless", fx, fy, w, h, fdur, pOff, pLen,
-            alph)
-        case "ALPH" => alph = true
+            alph, aOff, aLen)
+        case "ALPH" => alph = true; aOff = pOff; aLen = pLen
         case _ => () // ICCP/EXIF/XMP payloads skipped by framing
       }
       off = pOff + pLen + (pLen & 1)
@@ -661,6 +668,8 @@ object WebpSource {
       var loop = 0
       var off = 30
       var pendingAlph = false // an ALPH chunk pairs with the NEXT VP8
+      var pendAOff = -1
+      var pendALen = 0
       while (off < end) {
         require(off + 8 <= end, s"webp: torn chunk header at offset $off")
         val t = tag(bytes, off)
@@ -679,20 +688,21 @@ object WebpSource {
             val y = le24(bytes, pOff + 3) * 2
             val dur = le24(bytes, pOff + 12)
             walkChunks(bytes, pOff + 16, pOff + pLen, frames, x, y, dur)
-          case "ALPH" => pendingAlph = true
+          case "ALPH" =>
+            pendingAlph = true; pendAOff = pOff; pendALen = pLen
           case "VP8 " =>
             val (w, h) = vp8Dims(bytes, pOff, pLen)
             frames += WebpFrame("lossy", 0, 0, w, h, 0, pOff, pLen,
-              pendingAlph)
-            pendingAlph = false
+              pendingAlph, pendAOff, pendALen)
+            pendingAlph = false; pendAOff = -1; pendALen = 0
           case "VP8L" =>
             require(pLen >= 5 && (bytes(pOff) & 0xff) == 0x2f,
               "webp: bad VP8L chunk")
             val hdr = le32(bytes, pOff + 1)
             frames += WebpFrame("lossless", 0, 0,
               ((hdr & 0x3fff) + 1).toInt, (((hdr >> 14) & 0x3fff) + 1).toInt,
-              0, pOff, pLen, pendingAlph)
-            pendingAlph = false
+              0, pOff, pLen, pendingAlph, pendAOff, pendALen)
+            pendingAlph = false; pendAOff = -1; pendALen = 0
           case _ => () // ICCP/EXIF/XMP
         }
         off = pOff + pLen + (pLen & 1)
@@ -700,6 +710,69 @@ object WebpSource {
       WebpFile("extended", cw, ch, hasAlpha, hasAnim, hasIcc, hasExif,
         hasXmp, loop, frames.toSeq, bytes)
     }
+  }
+
+  /** Decode an ALPH chunk's alpha plane for a w x h frame — closing
+    * what r20 first shipped as a named refusal, because both halves
+    * were already on the shelf: compression 0 is the raw plane, and
+    * compression 1 is a VP8L image STREAM without the 5-byte header
+    * (the spec's "spatially-coded image"; alpha rides the green
+    * channel) — the same [[readImageStream]] the lossless path runs.
+    * The filter byte's prediction (horizontal/vertical/gradient,
+    * borders: (0,0) from 0, first row from left, first column from
+    * top) inverts after decode. Reserved compression methods and
+    * reserved header bits fail by name.
+    */
+  private[graft] def decodeAlpha(b: Array[Byte], off: Int, len: Int,
+                                 w: Int, h: Int): Array[Int] = {
+    require(len >= 1, "webp: empty ALPH chunk")
+    require(w > 0 && h > 0 && w.toLong * h <= MaxPixels,
+      s"webp: alpha plane ${w}x$h exceeds the decode budget")
+    val head = b(off) & 0xff
+    require((head >> 6) == 0, "webp: reserved ALPH header bits set")
+    val comp = head & 3
+    val filter = (head >> 2) & 3
+    val plane: Array[Int] = comp match {
+      case 0 =>
+        require(len - 1 >= w * h,
+          s"webp: raw alpha plane needs ${w * h} bytes, ALPH has ${len - 1}")
+        Array.tabulate(w * h)(i => b(off + 1 + i) & 0xff)
+      case 1 =>
+        val br = new Br(b, off + 1, len - 1)
+        readImageStream(br, w, h, isLevel0 = true).map(p => (p >> 8) & 0xff)
+      case other =>
+        fail(s"ALPH compression method $other is reserved")
+    }
+    if (filter == 0) return plane
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var y = 0
+    var pos = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0
+          else if (y == 0) plane(pos - 1)
+          else if (x == 0) plane(pos - w)
+          else filter match {
+            case 1 => plane(pos - 1)
+            case 2 => plane(pos - w)
+            case _ => clamp(plane(pos - 1) + plane(pos - w)
+              - plane(pos - w - 1))
+          }
+        plane(pos) = (plane(pos) + pred) & 0xff
+        pos += 1; x += 1
+      }
+      y += 1
+    }
+    plane
+  }
+
+  /** Alpha plane of frame `i` of a parsed file, if it carries one. */
+  private[graft] def decodeAlphaOf(f: WebpFile, i: Int): Option[Array[Int]] = {
+    val fr = f.frames(i)
+    if (fr.alphOff < 0) None
+    else Some(decodeAlpha(f.bytes, fr.alphOff, fr.alphLen, fr.w, fr.h))
   }
 
   /** Decode every lossless frame of a parsed file: (frameIdx, w, h,
@@ -884,8 +957,19 @@ object WebpSource {
       case 0 | 2 => riff(chunk("VP8L", vp8lOf(id, 0, w, h)))
       case 1 => riff(chunk("VP8 ", vp8StubOf(id, w, h)))
       case 3 =>
-        val alph = Array.tabulate(9)(i => ((id + i) % 251).toByte)
-        alph(0) = 0
+        // a REAL raw alpha plane (method 0, no filter): decodeAlpha
+        // reconstructs it; WebpSpec pins the formula
+        val alph = new Array[Byte](1 + w * h)
+        var p = 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            alph(p) = (255 - ((id + 3 * x + 5 * y) % 97)).toByte
+            p += 1; x += 1
+          }
+          y += 1
+        }
         riff(vp8x(0x10, w, h), chunk("ALPH", alph),
           chunk("VP8 ", vp8StubOf(id, w, h)))
       case 4 =>

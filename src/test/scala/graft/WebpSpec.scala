@@ -282,6 +282,76 @@ class WebpSpec extends GraftSparkSpec {
     assert(decode(bw) === Seq(0xff000a05, 0xff111b05))
   }
 
+  test("webp: ALPH planes decode — raw, all three prediction filters, " +
+      "VP8L-compressed, and the REAL libwebp alpha") {
+    // fixture: id%6==3 carries a raw unfiltered plane the formula pins
+    val id = 3L
+    val f = WebpSource.parseWebp(WebpSource.webpOf(id))
+    val fr = f.frames.head
+    assert(fr.hasAlph && fr.alphOff > 0)
+    val plane = WebpSource.decodeAlphaOf(f, 0).get
+    val w = fr.w; val h = fr.h
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        assert(plane(y * w + x) === 255 - ((id + 3 * x + 5 * y) % 97).toInt,
+          s"raw alpha at ($x,$y)")
+      }
+    }
+    // prediction filters: residual-code a known 3x2 plane by hand and
+    // assert each filter reconstructs it. Borders: (0,0) from 0, first
+    // row from left, first column from top.
+    val want = Array(10, 20, 30, 40, 50, 60)
+    def residuals(filter: Int): Array[Int] = {
+      val out = new Array[Int](6)
+      (0 until 2).foreach { y =>
+        (0 until 3).foreach { x =>
+          val pos = y * 3 + x
+          val pred =
+            if (x == 0 && y == 0) 0
+            else if (y == 0) want(pos - 1)
+            else if (x == 0) want(pos - 3)
+            else filter match {
+              case 1 => want(pos - 1)
+              case 2 => want(pos - 3)
+              case _ => math.max(0, math.min(255,
+                want(pos - 1) + want(pos - 3) - want(pos - 4)))
+            }
+          out(pos) = (want(pos) - pred) & 0xff
+        }
+      }
+      out
+    }
+    Seq(1, 2, 3).foreach { filt =>
+      val payload = Array((filt << 2).toByte) ++
+        residuals(filt).map(_.toByte)
+      assert(WebpSource.decodeAlpha(payload, 0, payload.length, 3, 2)
+        .toSeq === want.toSeq, s"filter $filt")
+    }
+    // method 1: a headerless VP8L stream (alpha in the green channel),
+    // 2x1 plane of {100, 200} via one 2-symbol code
+    val bw = new WebpSource.Bw
+    bw.w(1, 8) // ALPH header: compression 1, no filter
+    bw.w(0, 1); bw.w(0, 1); bw.w(0, 1) // no transforms/cache/meta
+    pairCode(bw, 100, 200) // green = alpha
+    singleCode(bw, 0); singleCode(bw, 0); singleCode(bw, 0)
+    singleCode(bw, 0)
+    bw.w(0, 1); bw.w(1, 1) // pixels: 100 then 200
+    val vb = bw.bytes()
+    assert(WebpSource.decodeAlpha(vb, 0, vb.length, 2, 1).toSeq ===
+      Seq(100, 200))
+    // the REAL libwebp file's 195-byte ALPH (VP8L-compressed) decodes
+    // through the full machinery to a 16x16 in-range plane
+    val real = WebpSource.parseWebp(realWebp)
+    val rp = WebpSource.decodeAlphaOf(real, 0).get
+    assert(rp.length === 256)
+    assert(rp.forall(v => v >= 0 && v <= 255))
+    assert(rp.distinct.length > 1, "a logo alpha plane is not constant")
+    // reserved compression method refuses by name
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.decodeAlpha(Array[Byte](2, 0, 0), 0, 3, 1, 2)
+    }.getMessage.contains("reserved"))
+  }
+
   test("webp: hostile inputs fail by name, caps before allocation") {
     // bad VP8L signature
     assert(intercept[IllegalArgumentException] {
