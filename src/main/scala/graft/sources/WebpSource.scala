@@ -36,13 +36,10 @@ import org.apache.spark.sql.functions._
   * same decoder), with the horizontal/vertical/gradient prediction
   * filters inverted; reserved methods refuse by name.
   *
-  * The 2D distance table is GENERATED, not transcribed: the spec's
-  * table is the 120 nearest causal neighbors (dy 0..8, dx -8..8,
-  * excluding dy=0,dx<=0) ordered by squared distance, then larger dy
-  * first, then positive dx before negative — the generation rule
-  * reproduces the published table's documented prefix exactly and the
-  * cut falls on a clean d^2 boundary (74 vs 80); WebpSpec pins the
-  * first entries and the boundary.
+  * The 2D distance table is TRANSCRIBED verbatim from the spec's
+  * published 120-entry table (the r20 generator's d^2-cut rule
+  * diverged from it at index 96 — ADVICE r20 high); WebpSpec pins all
+  * 120 entries.
   *
   * Hostile-input rules: 14-bit dims bound allocation by construction,
   * but the pixel-count budget is still checked BEFORE the ARGB
@@ -96,12 +93,31 @@ object WebpSource {
     def read(br: Br): Int = if (br.bit() == 0) s0 else s1
   }
 
+  /** Per-decode prefix-tree allocation budget (ADVICE r20 low): a
+    * hostile entropy image can declare up to 65536 meta groups × 5
+    * codes, each tree up to 2<<15 ints (~256 KB) — a few-MB crafted
+    * file could drive multi-GB allocations even though MaxPixels
+    * bounds the ARGB buffer. Every tree charges its size here BEFORE
+    * allocating; the budget (8M ints = 32 MB per image) is orders of
+    * magnitude above any real encoder's output and fails by name.
+    */
+  private final class TreeBudget {
+    private var remaining: Long = 8L * 1024 * 1024
+    def charge(ints: Long): Unit = {
+      remaining -= ints
+      require(remaining >= 0,
+        "webp: prefix-tree allocation budget exceeded " +
+          "(hostile meta-group / code-depth shape)")
+    }
+  }
+
   /** Canonical prefix code over `lengths` (DEFLATE assignment: codes
     * ordered by (length, symbol); the stream carries each code's bits
     * most-significant first). A code with exactly one used symbol is
     * 0-bit (emits without consuming, per VP8L).
     */
-  private final class Huff(lengths: Array[Int]) extends Code {
+  private final class Huff(lengths: Array[Int], budget: TreeBudget)
+      extends Code {
     private val used = lengths.count(_ > 0)
     require(used > 0, "webp: prefix code with no symbols")
     val single: Int = if (used == 1) lengths.indexWhere(_ > 0) else -1
@@ -127,6 +143,7 @@ object WebpSource {
         }
         require(space == 0,
           s"webp: incomplete or oversubscribed prefix code (slack $space)")
+        budget.charge(2L << maxLen)
         val t = new Array[Int](2 << maxLen)
         var nodes = 1
         var sym = 0
@@ -174,7 +191,8 @@ object WebpSource {
     * code-length-coded (with 16/17/18 repeats and the max-symbol
     * shortcut).
     */
-  private def readCode(br: Br, alphabetSize: Int): Code = {
+  private def readCode(br: Br, alphabetSize: Int,
+                       budget: TreeBudget): Code = {
     if (br.bit() == 1) { // simple
       val nSyms = br.bit() + 1
       val first8 = br.bit()
@@ -191,7 +209,7 @@ object WebpSource {
       val clLens = new Array[Int](19)
       var i = 0
       while (i < numCl) { clLens(ClOrder(i)) = br.bits(3); i += 1 }
-      val clCode = new Huff(clLens)
+      val clCode = new Huff(clLens, budget)
       var maxSymbol =
         if (br.bit() == 1) {
           val nb = 2 + 2 * br.bits(3)
@@ -218,7 +236,7 @@ object WebpSource {
           while (j < rep) { lens(sym) = value; sym += 1; j += 1 }
         }
       }
-      new Huff(lens)
+      new Huff(lens, budget)
     }
   }
 
@@ -236,19 +254,31 @@ object WebpSource {
     }
   }
 
-  /** The 120-entry 2D distance map, GENERATED by the spec's ordering
-    * (see object scaladoc). Entry i (0-based) is (dx, dy).
+  /** The 120-entry 2D distance map, TRANSCRIBED verbatim from the VP8L
+    * spec's published table (RFC 9649 §5.2.2). Entry i (0-based) is
+    * (dx, dy). The r20 generator cut the candidate window at d² ≤ 74,
+    * which diverged from the published table from index 96 on (the
+    * spec's true window is dx ∈ [-7, 8], dy ∈ [0, 7], sorted by
+    * (d², larger dy first, positive dx first, |dx|)); streams using
+    * plane codes 97..120 decoded to wrong pixels. WebpSpec pins all
+    * 120 entries against this literal table.
     */
-  private[graft] val DistanceMap: Array[(Int, Int)] = {
-    val cands = for {
-      dy <- 0 to 8
-      dx <- -8 to 8
-      if dy > 0 || dx > 0
-    } yield (dx, dy)
-    cands.sortBy { case (dx, dy) =>
-      (dx * dx + dy * dy, -dy, if (dx > 0) 0 else 1, math.abs(dx))
-    }.take(120).toArray
-  }
+  private[graft] val DistanceMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException("webp: " + msg)
@@ -265,7 +295,8 @@ object WebpSource {
     * transforms and meta prefix codes only at level 0 (the spec's
     * spatially-coded vs entropy-coded image split).
     */
-  private def readImageStream(br: Br, w0: Int, h: Int, isLevel0: Boolean)
+  private def readImageStream(br: Br, w0: Int, h: Int, isLevel0: Boolean,
+                              budget: TreeBudget = new TreeBudget)
       : Array[Int] = {
     require(w0 > 0 && h > 0 && w0.toLong * h <= MaxPixels,
       s"webp: image ${w0}x$h exceeds the decode budget")
@@ -281,7 +312,8 @@ object WebpSource {
           case 0 | 1 => // predictor / color transform: block subimage
             val sizeBits = br.bits(3) + 2
             val img = readImageStream(br,
-              subSize(w, sizeBits), subSize(h, sizeBits), isLevel0 = false)
+              subSize(w, sizeBits), subSize(h, sizeBits), isLevel0 = false,
+              budget)
             transforms += Transform(kind, sizeBits, img, 0)
           case 2 => transforms += Transform(2, 0, null, 0)
           case _ =>
@@ -290,7 +322,7 @@ object WebpSource {
               "indexing (palette <= 16) is a named refusal; " +
               "unbundled palettes decode")
             val deltas = readImageStream(br, paletteSize, 1,
-              isLevel0 = false)
+              isLevel0 = false, budget)
             // palette entries are component-wise sums of all deltas
             val pal = new Array[Int](paletteSize)
             var prev = 0
@@ -325,7 +357,7 @@ object WebpSource {
       metaBits = br.bits(3) + 2
       metaW = subSize(w, metaBits)
       metaImg = readImageStream(br, metaW, subSize(h, metaBits),
-        isLevel0 = false)
+        isLevel0 = false, budget)
       var mx = 0
       metaImg.foreach(p => mx = math.max(mx, (p >> 8) & 0xffff))
       numGroups = mx + 1
@@ -333,8 +365,9 @@ object WebpSource {
     val greenAlpha = 256 + 24 + cacheSize
     // each group: green+len+cache, red, blue, alpha, distance
     val groups = Array.fill(numGroups) {
-      Array(readCode(br, greenAlpha), readCode(br, 256), readCode(br, 256),
-        readCode(br, 256), readCode(br, 40))
+      Array(readCode(br, greenAlpha, budget), readCode(br, 256, budget),
+        readCode(br, 256, budget), readCode(br, 256, budget),
+        readCode(br, 40, budget))
     }
     val npix = w * h
     val out = new Array[Int](npix)

@@ -409,8 +409,12 @@ class WebpSpec extends GraftSparkSpec {
     }.getMessage.toLowerCase.contains("advertises"))
   }
 
-  test("webp: the generated 2D distance map matches the spec's " +
-      "documented prefix and boundary") {
+  test("webp: the 2D distance map matches the spec's published " +
+      "120-entry table, all entries pinned (r20 ADVICE high)") {
+    // RFC 9649 §5.2.2, transcribed verbatim. The r20 generator's
+    // d^2 <= 74 cut diverged from index 96 on; the spec's window is
+    // dx in [-7, 8], dy in [0, 7] (so (8,0) sits at index 96, (8,4)
+    // and (6,7) with d^2 > 74 are present, (-8,*) and (0,8) are not).
     val want = Seq(
       (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
       (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
@@ -418,13 +422,76 @@ class WebpSpec extends GraftSparkSpec {
       (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
       (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
       (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
-      (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3))
-    assert(WebpSource.DistanceMap.take(54).toSeq === want)
-    assert(WebpSource.DistanceMap.length === 120)
-    // the 120-entry cut falls on a clean squared-distance boundary
-    val d2 = WebpSource.DistanceMap.map { case (dx, dy) => dx * dx + dy * dy }
-    assert(d2.last === 74)
-    assert(d2.sameElements(d2.sorted))
+      (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+      (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+      (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+      (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+      (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+      (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+      (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+      (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+      (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+    assert(want.length === 120)
+    assert(WebpSource.DistanceMap.toSeq === want)
+    // the published table equals the spec's window rule, sorted by
+    // (d^2, larger dy first, positive dx first, |dx|) — cross-check the
+    // transcription against the rule so a typo in either is caught
+    val ruled = (for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if dy > 0 || dx > 0
+    } yield (dx, dy)).sortBy { case (dx, dy) =>
+      (dx * dx + dy * dy, -dy, if (dx > 0) 0 else 1, math.abs(dx))
+    }
+    assert(ruled === want)
+  }
+
+  test("webp: hostile meta-group prefix-tree flood fails on the " +
+      "allocation budget, by name (r20 ADVICE low)") {
+    val bw = new WebpSource.Bw
+    vp8lHeader(bw, 2, 2)
+    bw.w(0, 1) // no transforms
+    bw.w(0, 1) // no color cache
+    bw.w(1, 1) // meta prefix codes present
+    bw.w(0, 3) // metaBits = 2 -> 1x1 meta image
+    // meta subimage (1x1, entropy-coded): no cache; 5 single-symbol
+    // codes; green = 25 -> group index 25 -> numGroups = 26
+    bw.w(0, 1)
+    singleCode(bw, 25); singleCode(bw, 0); singleCode(bw, 0)
+    singleCode(bw, 0); singleCode(bw, 0)
+    // one DEEP code: complete lengths {1,2,...,14,15,15} over symbols
+    // 0..15 -> maxLen 15 -> 2<<15 tree ints; 26 groups x 5 codes = 130
+    // trees x 64Ki ints overflow the 8M-int budget near tree 128 — in
+    // a ~2 KB stream, which is exactly the hostile shape the budget
+    // exists to refuse
+    def deepCode(): Unit = {
+      bw.w(0, 1)  // code-length-coded (not simple)
+      bw.w(15, 4) // numCl = 19
+      // CL lengths: cl 1 -> 3 bits, cl 2..15 -> 4 bits (complete code),
+      // written in the spec's ClOrder
+      val clLen = Array.tabulate(19)(s =>
+        if (s == 1) 3 else if (s >= 2 && s <= 15) 4 else 0)
+      val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16,
+        6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+      order.foreach(s => bw.w(clLen(s), 3))
+      bw.w(1, 1)  // max-symbol shortcut
+      bw.w(1, 3)  // nb = 4
+      bw.w(14, 4) // maxSymbol = 2 + 14 = 16
+      // canonical CL codes: cl 1 = 000 (3 bits); cl s in 2..15 = s in
+      // 4 bits, emitted MSB-first
+      def emit(cl: Int): Unit = {
+        val (c, len) = if (cl == 1) (0, 3) else (cl, 4)
+        var d = len - 1
+        while (d >= 0) { bw.w((c >> d) & 1, 1); d -= 1 }
+      }
+      (1 to 14).foreach(emit) // symbols 0..13: lengths 1..14
+      emit(15); emit(15)      // symbols 14, 15: length 15
+    }
+    (0 until 130).foreach(_ => deepCode())
+    val b = bw.bytes()
+    assert(intercept[IllegalArgumentException] {
+      WebpSource.decodeVp8l(b, 0, b.length)
+    }.getMessage.contains("budget"))
   }
 
   test("webp: the Spark tables run distributed over the fixture corpus") {
