@@ -31,4 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector for the forked Spark JVMs (r21): under G1,
+  // the JNI-critical-heavy codec kernels (Deflater/snappy/zstd in the
+  // x98 fixture path and Spark's own lz4) drove "GCLocker Initiated
+  // GC" young-collection storms on a preempting host — 100-300 ms
+  // young pauses, post-GC heap ballooning to 5+ GB with only ~140 MB
+  // truly live, x98_avro_scan at 8-51 s vs its 0.85 s baseline.
+  // ParallelGC has no G1 GCLocker-retry spiral: x98 measured
+  // 1.1-1.7 s stable across consecutive runs (20-30x on that host).
+  // Override with SPARK_GRAFT_GC=UseG1GC to compare.
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
 )

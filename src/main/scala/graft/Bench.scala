@@ -213,21 +213,34 @@ object Bench {
       }
       (med, ts)
     }
+    // r20 verdict item 5: the point sample after a query's runs is blind
+    // to a contention window that opens mid-query and closes before the
+    // sample (x81 r20: 2.9x inflated with a 1.145 receipt). Sample the
+    // kernel BETWEEN queries and give each query the MAX of the samples
+    // bracketing its timed runs — a window overlapping either edge now
+    // leaves a receipt. (A window strictly inside one query's ~3 runs is
+    // still invisible; the rerun pass below is the backstop for those.)
+    var prevSample = calibSample()
     val runs = ordered.map { case (name, fn) =>
       val (med, ts) = measure(name, fn)
-      val cq = calibSample()
+      val after = calibSample()
+      val cq = math.max(prevSample, after)
+      prevSample = after
       (name, med, ts, cq)
     }
 
     // OUTLIER RERUN (r19 verdict item 1): any query whose median
-    // exceeds 3x its baseline (last clean builder run) AND 0.75 s
+    // exceeds 3x its baseline (last clean builder run) AND 0.3 s
     // absolute gets ONE re-measure at suite end, when whatever
     // contention window inflated it has most likely closed. The
     // recorded value is the better of the two — a median that only a
     // co-tenant produced must not enter the round-over-round record —
     // and both measurements are preserved in the `rerun` field.
+    // (Floor lowered 0.75 -> 0.3 s, r20 verdict item 5: sub-second
+    // queries with 4x ratios — q24-class — now rerun instead of
+    // reading as phantom regressions; the extra reruns cost << 1 s.)
     val flagged = runs.filter { case (name, med, _, _) =>
-      med > 0.75 && baselineQ.get(name).exists(b => med > 3.0 * b)
+      med > 0.3 && baselineQ.get(name).exists(b => med > 3.0 * b)
     }.map(_._1)
     val rerun: Map[String, (Double, Double)] = flagged.map { name =>
       val fn = SparkEntry.queries(name)

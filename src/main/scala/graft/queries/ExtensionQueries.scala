@@ -3296,6 +3296,14 @@ object ExtensionQueries {
         t(s, dir, "documents")
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))
+          // fan the CPU-heavy per-row codec kernel across every core
+          // (r21, guide §2/§6): the documents scan packs into ~4 input
+          // splits (128 MB splits / 4 MB open cost), so without this the
+          // 4x-roundtrip encode ran on 4 of 32 cores — measured 4.48 s
+          // wall / 4 tasks before, ~0.9 s after. Scale-adaptive: keyless
+          // round-robin to defaultParallelism, the same discipline every
+          // synthesize* fixture source already applies.
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val entity = text.getBytes("UTF-8")

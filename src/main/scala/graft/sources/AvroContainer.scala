@@ -226,11 +226,17 @@ object AvroContainer {
   // one record per block (explicit sync() per append); codec by id%4:
   // 0 deflate, 1 null, 2 snappy (CRC32-suffixed per the spec),
   // 3 zstandard — all four official-library-written.
-  private[graft] def ocfOf(id: Long): Array[Byte] = {
-    val schema = new org.apache.avro.Schema.Parser().parse(
+  // hoisted: the fixture schema is a constant — parsing its JSON per
+  // row cost a Jackson pass per document (r21 kernel sweep); Schema is
+  // immutable and thread-safe to share across executor threads
+  private lazy val ocfSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"doc","fields":[
         |{"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
         .stripMargin)
+
+  private[graft] def ocfOf(id: Long): Array[Byte] = {
+    val schema = ocfSchema
     val out = new java.io.ByteArrayOutputStream()
     val w = new org.apache.avro.file.DataFileWriter(
       new org.apache.avro.generic.GenericDatumWriter[

@@ -802,46 +802,114 @@ object Brotli {
     * complete — [[buildHuff]] rejects anything else.
     */
   private def limitedLengths(freq: Array[Int], cap: Int): Array[Int] = {
-    val used = freq.indices.filter(freq(_) > 0)
-    val lengths = new Array[Int](freq.length)
-    if (used.isEmpty) return lengths
-    if (used.size == 1) { lengths(used.head) = 1; return lengths }
-    // Huffman via two sorted queues
-    case class Node(w: Long, syms: List[Int])
-    var leaves = used.map(s => Node(freq(s).toLong, List(s)))
-      .sortBy(_.w).toList
-    var merged = List.empty[Node]
-    def pop(): Node = (leaves, merged) match {
-      case (l :: lt, m :: _) if l.w <= m.w => leaves = lt; l
-      case (l :: lt, Nil) => leaves = lt; l
-      case (_, m :: mt) => merged = mt; m
-      case _ => sys.error("brotli-enc: huffman underflow")
+    // primitive-array rewrite (r21): the collection form boxed an
+    // Integer per element in every kraft re-sum and allocated a fresh
+    // filtered+sorted Seq per repair iteration — per-CALL cost that
+    // dominated the x127 small-entity encode (263 us/300 B doc before).
+    // Selection rules are IDENTICAL: first-minimal on the lengthen side
+    // (minBy), max-(length, freq)-first-seen on the shorten side
+    // (stable sortBy head), leaves pre-sorted stably by weight with
+    // ties keeping symbol order.
+    val n = freq.length
+    val lengths = new Array[Int](n)
+    var nUsed = 0
+    var i = 0
+    while (i < n) { if (freq(i) > 0) nUsed += 1; i += 1 }
+    if (nUsed == 0) return lengths
+    val used = new Array[Int](nUsed)
+    i = 0; var u = 0
+    while (i < n) { if (freq(i) > 0) { used(u) = i; u += 1 }; i += 1 }
+    if (nUsed == 1) { lengths(used(0)) = 1; return lengths }
+    // Huffman via two sorted queues. Leaves sorted by (weight, symbol):
+    // a stable sort over symbol-ordered input — same order as before.
+    val leafSyms = used.clone()
+    // insertion-sort-free path: sort indices by weight via boxedless
+    // two-key long sort (weight << 20 | sym works while sym < 2^20 and
+    // weight < 2^43 — true: freq is Int, alphabets are <= 704)
+    val keys = new Array[Long](nUsed)
+    i = 0
+    while (i < nUsed) {
+      keys(i) = (freq(used(i)).toLong << 20) | i.toLong; i += 1
     }
-    var queueLen = used.size
+    java.util.Arrays.sort(keys)
+    i = 0
+    while (i < nUsed) { leafSyms(i) = used((keys(i) & 0xfffff).toInt); i += 1 }
+    // queues as arrays with head pointers; merged nodes carry their
+    // member symbols as (start, count) runs over a scratch array that
+    // doubles as the output ordering (classic two-queue Huffman)
+    val leafW = new Array[Long](nUsed)
+    i = 0
+    while (i < nUsed) { leafW(i) = freq(leafSyms(i)).toLong; i += 1 }
+    val mergedW = new Array[Long](nUsed)
+    // each merged node's symbol set, as an array (small: total work is
+    // O(n log n) amortized because sets double)
+    val mergedSyms = new Array[Array[Int]](nUsed)
+    var lh = 0 // leaves head
+    var mh = 0 // merged head
+    var mt = 0 // merged tail
+    var queueLen = nUsed
     while (queueLen > 1) {
-      val a = pop(); val b = pop()
-      a.syms.foreach(s => lengths(s) += 1)
-      b.syms.foreach(s => lengths(s) += 1)
-      merged = merged :+ Node(a.w + b.w, a.syms ++ b.syms)
+      // pop a: prefer leaf on ties (l.w <= m.w)
+      var aW = 0L; var aSyms: Array[Int] = null
+      if (lh < nUsed && (mh >= mt || leafW(lh) <= mergedW(mh))) {
+        aW = leafW(lh); aSyms = Array(leafSyms(lh)); lh += 1
+      } else { aW = mergedW(mh); aSyms = mergedSyms(mh); mh += 1 }
+      var bW = 0L; var bSyms: Array[Int] = null
+      if (lh < nUsed && (mh >= mt || leafW(lh) <= mergedW(mh))) {
+        bW = leafW(lh); bSyms = Array(leafSyms(lh)); lh += 1
+      } else { bW = mergedW(mh); bSyms = mergedSyms(mh); mh += 1 }
+      var k = 0
+      while (k < aSyms.length) { lengths(aSyms(k)) += 1; k += 1 }
+      k = 0
+      while (k < bSyms.length) { lengths(bSyms(k)) += 1; k += 1 }
+      val both = new Array[Int](aSyms.length + bSyms.length)
+      System.arraycopy(aSyms, 0, both, 0, aSyms.length)
+      System.arraycopy(bSyms, 0, both, aSyms.length, bSyms.length)
+      mergedW(mt) = aW + bW
+      mergedSyms(mt) = both
+      mt += 1
       queueLen -= 1
     }
     // clamp and repair Kraft sum to exactly 1 (units of 2^-cap)
-    used.foreach(s => if (lengths(s) > cap) lengths(s) = cap)
-    def kraft: Long = used.map(s => 1L << (cap - lengths(s))).sum
-    val budget = 1L << cap
-    // over-subscribed: lengthen the shortest-loss symbols until legal
-    while (kraft > budget) {
-      val s = used.filter(lengths(_) < cap).minBy(freq(_))
-      lengths(s) += 1
+    i = 0
+    while (i < nUsed) {
+      if (lengths(used(i)) > cap) lengths(used(i)) = cap; i += 1
     }
-    // incomplete: shorten the longest codes (cheapest gain first)
+    def kraft: Long = {
+      var s = 0L; var j = 0
+      while (j < nUsed) { s += 1L << (cap - lengths(used(j))); j += 1 }
+      s
+    }
+    val budget = 1L << cap
+    // over-subscribed: lengthen the first minimal-freq symbol below cap
+    // (exactly `used.filter(lengths < cap).minBy(freq)`)
+    while (kraft > budget) {
+      var best = -1; var bestF = Int.MaxValue; var j = 0
+      while (j < nUsed) {
+        val s = used(j)
+        if (lengths(s) < cap && freq(s) < bestF) { best = s; bestF = freq(s) }
+        j += 1
+      }
+      lengths(best) += 1
+    }
+    // incomplete: shorten the longest codes (cheapest gain first) —
+    // pick max (lengths, freq), first-seen on full ties (the stable
+    // sortBy((-len, -freq)).head of the collection form)
     var slack = budget - kraft
     while (slack > 0) {
-      val cands = used.filter(s => (1L << (cap - lengths(s))) <= slack)
-        .sortBy(s => (-lengths(s), -freq(s)))
-      val s = cands.head
-      slack -= 1L << (cap - lengths(s))
-      lengths(s) -= 1
+      var best = -1; var bestLen = -1; var bestF = -1
+      var j = 0
+      while (j < nUsed) {
+        val s = used(j)
+        if ((1L << (cap - lengths(s))) <= slack &&
+            (lengths(s) > bestLen ||
+              (lengths(s) == bestLen && freq(s) > bestF))) {
+          best = s; bestLen = lengths(s); bestF = freq(s)
+        }
+        j += 1
+      }
+      slack -= 1L << (cap - lengths(best))
+      lengths(best) -= 1
     }
     lengths
   }
@@ -1290,7 +1358,11 @@ object Brotli {
       // decoder reads from the jar), so the entropy stage can give
       // after-space, after-letter, after-digit … literals their own
       // trees (r19: the context-modeling share of the q5 ratio gap)
-      val ctxFreq = Array.ofDim[Int](64, 256)
+      // FLAT 64x256 histogram (r21): Array.ofDim allocated 65 arrays +
+      // 64 KB zeroing per encode CALL — the top JFR frame on the x127
+      // small-entity shape after the boxing fix. One flat array is one
+      // allocation and keeps the per-context rows cache-contiguous.
+      val ctxFreq = new Array[Int](64 * 256)
       val cmdFreq = new Array[Int](704)
       val distFreq = new Array[Int](64)
       // mode-2 literal context of the byte at absolute position q —
@@ -1383,7 +1455,7 @@ object Brotli {
         var k = 0
         while (k < c.insert) {
           val q = c.litOff + k
-          ctxFreq(ctxOf(q))(data(q) & 0xff) += 1
+          ctxFreq((ctxOf(q) << 8) | (data(q) & 0xff)) += 1
           k += 1
         }
         cmdFreq(cmd) += 1
@@ -1397,8 +1469,19 @@ object Brotli {
       // emitted table (~TableCostBits) — merge while that trade wins,
       // and always down to the cap. Small-literal chunks skip straight
       // to one tree (table overhead would dominate).
-      val ctxTotal = ctxFreq.map(_.sum)
-      val nLits = ctxTotal.sum
+      // manual sums: Array[Int].sum routes through the unspecialized
+      // Numeric fold — Integer.valueOf was 55% of ALL encode samples on
+      // the x127 entity shape (300 B docs, JFR r21): 64x256 boxed adds
+      // per call for histograms this loop reads twice anyway
+      val ctxTotal = new Array[Int](64)
+      var nLits = 0
+      var ctxI = 0
+      while (ctxI < 64) {
+        val base = ctxI << 8
+        var b = 0; var s = 0
+        while (b < 256) { s += ctxFreq(base | b); b += 1 }
+        ctxTotal(ctxI) = s; nLits += s; ctxI += 1
+      }
       def entropyBits(h: Array[Int]): Double = {
         var tot = 0L
         var i = 0
@@ -1420,7 +1503,11 @@ object Brotli {
         val live = (0 until 64).filter(ctxTotal(_) > 0)
         if (nLits < 2048 || live.size <= 1) {
           val h = new Array[Int](256)
-          live.foreach(c => (0 until 256).foreach(b => h(b) += ctxFreq(c)(b)))
+          live.foreach { c =>
+            val base = c << 8
+            var b = 0
+            while (b < 256) { h(b) += ctxFreq(base | b); b += 1 }
+          }
           if (h.forall(_ == 0)) h(0) = 1
           Seq(h)
         } else {
@@ -1429,7 +1516,9 @@ object Brotli {
           // every pair per round made clustering the encode bottleneck
           // on literal-heavy text
           val k0 = live.size
-          val hists = live.map(c => ctxFreq(c).clone).toArray
+          val hists = live.map(c =>
+            java.util.Arrays.copyOfRange(ctxFreq, c << 8, (c + 1) << 8))
+            .toArray
           val ctxs = live.map(c =>
             scala.collection.mutable.ArrayBuffer(c)).toArray
           val ents = hists.map(entropyBits)
