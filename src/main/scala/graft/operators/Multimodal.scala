@@ -1956,9 +1956,52 @@ object Multimodal {
     * r12 review found the guard copy-pasted in triplicate — one site
     * drifting would silently accept what another rejects).
     */
+  /** The platform's AudioFileReader providers, resolved ONCE per JVM
+    * (r21, guide §4.5-equivalent): `AudioSystem.getAudioInputStream`
+    * re-runs a ServiceLoader scan per CALL, and on this classpath
+    * (~300 spark jars) the per-row META-INF/services + JarFile.getEntry
+    * walk dominated the whole audio kernel — JFR showed
+    * ZipFile.getEntry/URLClassPath as the top frames of x35/x45, ~1 ms
+    * per row against a ~10 µs decode. Same providers, same parse, same
+    * first-success-wins dispatch as AudioSystem — only the lookup is
+    * cached.
+    */
+  private lazy val audioReaders
+      : Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // WAVE readers FIRST (stable otherwise): the JDK's provider order
+    // puts SoftMidiAudioFileReader ahead of WaveFileReader, and its
+    // probe calls MidiSystem.getSequence, which re-runs a MidiFileReader
+    // ServiceLoader scan PER CALL — the JFR stack showed every WAV row
+    // enumerating the full ~300-jar classpath inside that probe (65% of
+    // executor samples on x35/x45/x79). Probing the RIFF readers first
+    // means WAV rows never reach the MIDI probe; non-WAV inputs still
+    // fall through to every provider exactly as AudioSystem would.
+    b.result().sortBy(r => if (r.getClass.getName.contains("Wave")) 0 else 1)
+  }
+
+  private def openAudio(content: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < audioReaders.length) {
+      // fresh stream per attempt: stronger than the SPI reset contract
+      // and costs one small wrapper object over the shared byte array
+      try return audioReaders(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   private def pcm16(content: Array[Byte], docId: Long): (Int, Array[Short]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(content))
+    val ais = openAudio(content)
     val fmt = ais.getFormat
     // the decode below is little-endian; a big-endian stream would
     // silently produce wrong samples, so reject it up front

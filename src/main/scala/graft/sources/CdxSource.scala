@@ -359,7 +359,14 @@ object CdxSource {
     */
   def cdxTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text"))
+      // fan the per-row archive kernel across every core (r21): the
+      // documents scan packs into ~4 splits, which serialized these
+      // CPU-heavy walks on 4 of 32 cores (measured on x122: 4 tasks,
+      // wall 2.3 s for 2.1 s of task time). Same scale-adaptive
+      // round-robin the synthesize* fixture sources apply.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val archive = new ZipSource.BytesSeekable(WarcSource.warcOf(id, text))
         cdxOf(id, text).split("\n").filter(_.nonEmpty).zipWithIndex
@@ -390,7 +397,14 @@ object CdxSource {
     */
   def cdxGenTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text"))
+      // fan the per-row archive kernel across every core (r21): the
+      // documents scan packs into ~4 splits, which serialized these
+      // CPU-heavy walks on 4 of 32 cores (measured on x122: 4 tasks,
+      // wall 2.3 s for 2.1 s of task time). Same scale-adaptive
+      // round-robin the synthesize* fixture sources apply.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val bytes = WarcSource.warcOf(id, text)
         val fname = s"d$id.warc" + (if (id % 2 == 0) ".gz" else "")
@@ -598,7 +612,14 @@ object CdxSource {
     */
   def zipnumTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text"))
+      // fan the per-row archive kernel across every core (r21): the
+      // documents scan packs into ~4 splits, which serialized these
+      // CPU-heavy walks on 4 of 32 cores (measured on x122: 4 tasks,
+      // wall 2.3 s for 2.1 s of task time). Same scale-adaptive
+      // round-robin the synthesize* fixture sources apply.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .groupByKey { case (id, _) => id / 64 }
       .flatMapGroups { (_, rows) =>
         val members = rows.toSeq
@@ -758,7 +779,14 @@ object CdxSource {
     */
   def revisitTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text"))
+      // fan the per-row archive kernel across every core (r21): the
+      // documents scan packs into ~4 splits, which serialized these
+      // CPU-heavy walks on 4 of 32 cores (measured on x122: 4 tasks,
+      // wall 2.3 s for 2.1 s of task time). Same scale-adaptive
+      // round-robin the synthesize* fixture sources apply.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val bytes = WarcSource.warcOf(id, text)
         val revs = WarcSource.parseWarc(bytes).records

@@ -255,16 +255,29 @@ object OrcFooter {
     val groups = li.select(col("l_returnflag")).distinct()
       .as[String].collect().sorted // 3 values — driver-side by design
     val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toFile
-    val files = groups.map { g =>
-      val out = new java.io.File(tmp, s"rf_$g").getAbsolutePath
-      li.filter(col("l_returnflag") === g)
-        .coalesce(1)
-        .write.mode("overwrite").option("compression", "zlib").orc(out)
-      val part = new java.io.File(out).listFiles()
-        .filter(_.getName.endsWith(".orc"))
-      require(part.length == 1, s"orc: expected one part file, got ${part.length}")
-      (g, part.head.getAbsolutePath)
-    }
+    // the three per-group writes are independent single-task (coalesce 1)
+    // zlib encodes — submitted sequentially they serialized on one core
+    // each in turn (guide §2.6: overlap independent jobs); a small pool
+    // runs them concurrently, wall ≈ the slowest group instead of the sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.length)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(groups.map { g =>
+        new java.util.concurrent.Callable[(String, String)] {
+          def call(): (String, String) = {
+            val out = new java.io.File(tmp, s"rf_$g").getAbsolutePath
+            li.filter(col("l_returnflag") === g)
+              .coalesce(1)
+              .write.mode("overwrite").option("compression", "zlib").orc(out)
+            val part = new java.io.File(out).listFiles()
+              .filter(_.getName.endsWith(".orc"))
+            require(part.length == 1,
+              s"orc: expected one part file, got ${part.length}")
+            (g, part.head.getAbsolutePath)
+          }
+        }
+      }.toList.asJava).asScala.map(_.get()).toArray
+    } finally pool.shutdown()
     def rm(x: java.io.File): Unit = {
       if (x.isDirectory) x.listFiles().foreach(rm)
       x.delete()
