@@ -27,6 +27,39 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Size-derived partition count for a frame an iterative operator is
+    * about to CACHE and rescan every round (r21, guide §2.2 "fewer,
+    * larger partitions" made operator-local). The per-round cost of the
+    * iterative family is dominated at small scale by per-task fixed
+    * overhead: every cached-frame scan and every localCheckpoint stage
+    * ran `spark.sql.shuffle.partitions` tasks regardless of size (a
+    * 20 k-row edge cache in 32 partitions of ~600 rows — measured
+    * x58_hits: 608 tasks / 51 s of task-binary deserialization for
+    * ~1 s of work; a paired same-JVM A/B with 8 shuffle partitions ran
+    * the family at 0.57×). Deriving the count from the optimizer's
+    * size estimate is the scale-safe form of that observation:
+    *
+    *   n = clamp(ceil(sizeInBytes / bytesPerTask), 1, shuffle.partitions)
+    *
+    * — at cluster scale the estimate exceeds the cap and n equals the
+    * session's configured shuffle parallelism, i.e. exactly today's
+    * layout, with no added exchange anywhere (call sites either give an
+    * existing repartition an explicit count or `coalesce`, never a new
+    * shuffle). `bytesPerTask` is deliberately small (4 MB default,
+    * SPARK_GRAFT_ROUND_BYTES_PER_TASK to override): these frames are
+    * rescanned every round, so the break-even task size is far below
+    * the 128 MB scan heuristic; production values belong in the
+    * session's shuffle.partitions, which this NEVER exceeds.
+    */
+  private def sizedParts(df: DataFrame): Int = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytesPerTask = sys.env
+      .getOrElse("SPARK_GRAFT_ROUND_BYTES_PER_TASK", "4194304").toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (est + bytesPerTask - 1) / bytesPerTask
+    if (n >= cap) cap else math.max(1, n.toInt)
+  }
+
   /** Damped PageRank over a directed edge list `(src: long, dst: long)`.
     * Nodes with no out-edges contribute no mass (the standard
     * dangling-node simplification — callers wanting mass conservation
@@ -57,11 +90,15 @@ object Graph {
     // graph-with-degrees cached ONCE (persist, not eager checkpoint:
     // the InMemoryRelation advertises accurate stats, so AQE broadcasts
     // the node-sized rank frame into every iteration's edge join)
-    val g = e.join(deg, "src").persist()
-    val nodes = g.select(col("src").as("node"))
+    // sized cached layout (sizedParts): every iteration rescans this
+    // frame, so its partition count IS the per-round task count;
+    // coalesce adds no exchange at any scale
+    val gPlan = e.join(deg, "src")
+    val g = gPlan.coalesce(sizedParts(gPlan)).persist()
+    val nodesPlan = g.select(col("src").as("node"))
       .union(g.select(col("dst").as("node")))
       .distinct()
-      .persist()
+    val nodes = nodesPlan.coalesce(sizedParts(nodesPlan)).persist()
     val n = nodes.count() // bounded driver scalar; materializes both caches
     require(n > 0, "pagerank: empty graph")
     val unit = scale / n
@@ -152,11 +189,12 @@ object Graph {
         when(col("w0") > 0, col("w0")).otherwise(raise_error(
           lit("pagerankWeighted: non-positive edge weight"))).as("w"))
     val wsum = e.groupBy("src").agg(sum(col("w")).as("sw"))
-    val g = e.join(wsum, "src").persist()
-    val nodes = g.select(col("src").as("node"))
+    val gPlan = e.join(wsum, "src")
+    val g = gPlan.coalesce(sizedParts(gPlan)).persist()
+    val nodesPlan = g.select(col("src").as("node"))
       .union(g.select(col("dst").as("node")))
       .distinct()
-      .persist()
+    val nodes = nodesPlan.coalesce(sizedParts(nodesPlan)).persist()
     val n = nodes.count() // bounded driver scalar; materializes both caches
     require(n > 0, "pagerankWeighted: empty graph")
     val unit = scale / n
@@ -199,11 +237,15 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val g = e.join(deg, "src").persist()
-    val nodes = g.select(col("src").as("node"))
+    // sized cached layout (sizedParts): every iteration rescans this
+    // frame, so its partition count IS the per-round task count;
+    // coalesce adds no exchange at any scale
+    val gPlan = e.join(deg, "src")
+    val g = gPlan.coalesce(sizedParts(gPlan)).persist()
+    val nodesPlan = g.select(col("src").as("node"))
       .union(g.select(col("dst").as("node")))
       .distinct()
-      .persist()
+    val nodes = nodesPlan.coalesce(sizedParts(nodesPlan)).persist()
     val sd = seeds.select(col("seed").cast("long").as("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
       .withColumn("is_seed", lit(1))
@@ -264,13 +306,16 @@ object Graph {
     // One upfront dst exchange makes the cached layout reusable, so per
     // round only the node-sized label frame shuffles (the
     // connectedComponents discipline).
-    val e = edges.select(col("src").cast("long").as("src"),
+    val ePlan = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-      .repartition(col("dst")).persist()
-    val nodes = e.select(col("src").as("node"))
+    // sized dst-hash layout (sizedParts): the SAME single upfront
+    // exchange as before, now with an explicit size-derived count —
+    // per-round joins still reuse the cached partitioning
+    val e = ePlan.repartition(sizedParts(ePlan), col("dst")).persist()
+    val nodesPlan = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist()
+    val nodes = nodesPlan.coalesce(sizedParts(nodesPlan)).persist()
     var labels = nodes.join(
       seeds.select(col("node").cast("long").as("sn"),
         col("label").cast("string").as("label")),
@@ -331,13 +376,15 @@ object Graph {
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val e = und.select(explode(array(
+    val ePlan = und.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("dst")).persist()
+    // sized dst-hash layout (sizedParts): same single upfront exchange,
+    // explicit size-derived count; per-round dst joins reuse the cache
+    val e = ePlan.repartition(sizedParts(ePlan), col("dst")).persist()
     val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("k")).persist()
+      .agg(count(lit(1)).as("k")).persist()  // node-sized
     val m2 = deg.agg(sum("k")).head().getLong(0) // = 2m
     var comm = deg.select(col("node"), col("node").as("community"))
     for (r <- 1 to rounds) {
@@ -407,14 +454,14 @@ object Graph {
     // so the wedge stage can order tips by the SAME total order
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val o = und
+    val oPlan = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(
         when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"),
         when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
-      .persist()
+    val o = oPlan.coalesce(sizedParts(oPlan)).persist()
     // one canonical wedge per triangle: tips ordered by (deg, id)
     val w = o.as("e1").join(o.as("e2"), col("e1.u") === col("e2.u"))
       .filter(col("e1.dv") < col("e2.dv") ||
@@ -455,8 +502,9 @@ object Graph {
     // cached across the step loop (each step's eager checkpoint would
     // otherwise rebuild the distinct edge list); released before return
     // — every acc arm is checkpointed, so nothing references it after
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+    val ePlan = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val e = ePlan.coalesce(sizedParts(ePlan)).persist()
     var walk = seeds.select(col("seed").cast("long").as("seed"))
       .distinct().withColumn("cur", col("seed"))
       .localCheckpoint()
@@ -556,14 +604,15 @@ object Graph {
     // because the removed per-step exchange also removes its in-flight
     // shuffle buffers; the node-sized score frames are the only
     // per-step exchanges left.
-    val eSrc = edges.select(col("src").cast("long").as("src"),
+    val ePlan = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-      .repartition(col("src")).persist()
-    val eDst = eSrc.repartition(col("dst")).persist()
-    val nodes = eSrc.select(col("src").as("node"))
+    val eParts = sizedParts(ePlan) // one size for both cached layouts
+    val eSrc = ePlan.repartition(eParts, col("src")).persist()
+    val eDst = eSrc.repartition(eParts, col("dst")).persist()
+    val nodesPlan = eSrc.select(col("src").as("node"))
       .union(eSrc.select(col("dst").as("node")))
       .distinct()
-      .persist()
+    val nodes = nodesPlan.coalesce(sizedParts(nodesPlan)).persist()
     def renorm(rawIn: DataFrame, vcol: String, out: String): DataFrame = {
       // materialize the half-step aggregate: renorm reads it TWICE (the
       // 1-row total and the join). Left lazy in an unrolled DAG, each of
@@ -624,8 +673,9 @@ object Graph {
     * already-materialized frame).
     */
   def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+    val ePlan = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val e = ePlan.coalesce(sizedParts(ePlan)).persist()
     var frontier = sources.select(col("source").cast("long").as("node"))
       .distinct().localCheckpoint()
     var dist = frontier.withColumn("d", lit(0))
@@ -658,8 +708,9 @@ object Graph {
     */
   def bfsPerSource(edges: DataFrame, sources: DataFrame,
                    maxDepth: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+    val ePlan = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val e = ePlan.coalesce(sizedParts(ePlan)).persist()
     var frontier = sources.select(col("source").cast("long").as("source"))
       .distinct().withColumn("node", col("source")).localCheckpoint()
     var dist = frontier.withColumn("d", lit(0))
@@ -724,8 +775,9 @@ object Graph {
     */
   def betweennessTruncated(edges: DataFrame, sources: DataFrame,
                            maxDepth: Int = 3): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+    val ePlan = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val e = ePlan.coalesce(sizedParts(ePlan)).persist()
     // forward: levels(k) = (source, node, sigma) at distance exactly k
     val levels = scala.collection.mutable.ArrayBuffer(
       sources.select(col("source").cast("long").as("source"))
@@ -821,8 +873,9 @@ object Graph {
     // through the distinct unchanged
     val raw = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val e = raw.unionAll(raw.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().persist()
+    val ePlan = raw.unionAll(raw.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    val e = ePlan.coalesce(sizedParts(ePlan)).persist()
     var status = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct().withColumn("status", lit(0))
@@ -934,14 +987,14 @@ object Graph {
         .groupBy("n").agg(count(lit(1)).as("d"))
       val lowFirst = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
-      val o = cur
+      val oPlan = cur
         .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
         .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
         .select(
           when(lowFirst, col("u")).otherwise(col("v")).as("x"),
           when(lowFirst, col("v")).otherwise(col("u")).as("y"),
           when(lowFirst, col("dv")).otherwise(col("du")).as("dy"))
-        .persist()
+      val o = oPlan.coalesce(sizedParts(oPlan)).persist()
       val w = o.as("e1").join(o.as("e2"), col("e1.x") === col("e2.x"))
         .filter(col("e1.dy") < col("e2.dy") ||
           (col("e1.dy") === col("e2.dy") && col("e1.y") < col("e2.y")))
@@ -1058,9 +1111,9 @@ object Graph {
     // pre-partition the edge list on the src key ONCE: every round's
     // frontier join reuses this layout from the cache, so only the
     // (shrinking) frontier side exchanges per round
-    val e = edges.select(col("src").cast("long").as("src"),
+    val ePlan = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-      .repartition(col("src")).persist()
+    val e = ePlan.repartition(sizedParts(ePlan), col("src")).persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     // delta iteration (the bfs/shortestPaths discipline): an improvement
@@ -1117,9 +1170,9 @@ object Graph {
       checkpointInterval: Int = 1): DataFrame = {
     // src-key layout cached once; per-round frontier joins reuse it
     // (only the frontier side exchanges — see connectedComponents)
-    val e = edges.select(col("src").cast("long").as("src"),
+    val ePlan = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src")).persist()
+    val e = ePlan.repartition(sizedParts(ePlan), col("src")).persist()
     require(e.filter(col("w") < 0).isEmpty,
       "shortestPaths requires non-negative weights")
     var dist = sources.select(col("source").cast("long").as("node"))
