@@ -51,14 +51,7 @@ object Graph {
     * the 128 MB scan heuristic; production values belong in the
     * session's shuffle.partitions, which this NEVER exceeds.
     */
-  private def sizedParts(df: DataFrame): Int = {
-    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bytesPerTask = sys.env
-      .getOrElse("SPARK_GRAFT_ROUND_BYTES_PER_TASK", "4194304").toLong
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = (est + bytesPerTask - 1) / bytesPerTask
-    if (n >= cap) cap else math.max(1, n.toInt)
-  }
+  private def sizedParts(df: DataFrame): Int = Layout.sizedParts(df)
 
   /** Damped PageRank over a directed edge list `(src: long, dst: long)`.
     * Nodes with no out-edges contribute no mass (the standard

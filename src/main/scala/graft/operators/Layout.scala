@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Size-derived partition count for a frame that is about to be cached
+    * or checkpointed and then RESCANNED (per round / per sweep cell):
+    * n = clamp(ceil(sizeInBytes / bytesPerTask), 1, shuffle.partitions).
+    * At cluster scale the estimate exceeds the cap and the layout is
+    * unchanged; only provably-small frames shrink, so per-scan task
+    * count stops being the session parallelism for 50 KB frames (r21 —
+    * see Graph.sizedParts's measurements; this is the shared impl).
+    * SPARK_GRAFT_ROUND_BYTES_PER_TASK overrides the 4 MB default.
+    */
+  private[graft] def sizedParts(df: DataFrame): Int = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytesPerTask = sys.env
+      .getOrElse("SPARK_GRAFT_ROUND_BYTES_PER_TASK", "4194304").toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (est + bytesPerTask - 1) / bytesPerTask
+    if (n >= cap) cap else math.max(1, n.toInt)
+  }
+
+  /** `coalesce` to the size-derived count — no exchange at any scale. */
+  private[graft] def sizedCoalesce(df: DataFrame): DataFrame =
+    df.coalesce(sizedParts(df))
+
   /** Spread the low 16 bits of `c` to the even bit positions of a 32-bit
     * value (Morton spread, the classic shift-or-mask chain).
     */

@@ -606,16 +606,20 @@ object VectorQueries {
         //  - brute force: independent of nprobe — one top-k per QID,
         //    checkpointed (10 rows), reused by all five cells.
         val cents = Similarity.seedCentroids(e, 16)
-        val assigned = Similarity.assignLists(e, cents).localCheckpoint()
+        // sized checkpoint layout (Layout.sizedCoalesce, r21): this frame
+        // is rescanned by every sweep cell — without it each scan ran
+        // shuffle.partitions tasks over a ~1 MB frame
+        val assigned = graft.operators.Layout.sizedCoalesce(
+          Similarity.assignLists(e, cents)).localCheckpoint()
         val cells = qids.flatMap { qid =>
           val corpus = assigned.filter(col("vec_id") =!= qid)
           val qv = e.filter(col("vec_id") === qid)
             .select(col("embedding").as("q_embedding"))
           val q = qv.collect()(0).getSeq[Float](0).toArray
           val ranking = Similarity.probeRanking(cents, q)
-          val brute = Similarity
+          val brute = graft.operators.Layout.sizedCoalesce(Similarity
             .bruteForceTopK(corpus.drop("list_id"), qv, 10)
-            .select(col("vec_id")).localCheckpoint()
+            .select(col("vec_id"))).localCheckpoint()
           nprobes.map { np =>
             val ivf = Similarity
               .ivfTopKPreAssigned(corpus, qv, 10,
@@ -653,15 +657,17 @@ object VectorQueries {
         val qids = Seq(100L, 200L, 300L, 400L)
         val centsS = Similarity.seedCentroids(e, 16)
         val centsT = Similarity.kmeansCentroids(e, 16, iters = 1)
-        val aS = Similarity.assignLists(e, centsS).localCheckpoint()
-        val aT = Similarity.assignLists(e, centsT).localCheckpoint()
+        val aS = graft.operators.Layout.sizedCoalesce(
+          Similarity.assignLists(e, centsS)).localCheckpoint()
+        val aT = graft.operators.Layout.sizedCoalesce(
+          Similarity.assignLists(e, centsT)).localCheckpoint()
         val per = qids.map { qid =>
           val qv = e.filter(col("vec_id") === qid)
             .select(col("embedding").as("q_embedding"))
           val q = qv.collect()(0).getSeq[Float](0).toArray
-          val brute = Similarity
+          val brute = graft.operators.Layout.sizedCoalesce(Similarity
             .bruteForceTopK(aS.filter(col("vec_id") =!= qid).drop("list_id"), qv, 10)
-            .select(col("vec_id")).localCheckpoint()
+            .select(col("vec_id"))).localCheckpoint()
           def overlapOf(assigned: org.apache.spark.sql.DataFrame,
                         cents: Array[Array[Float]], alias: String) =
             Similarity.ivfTopKPreAssigned(
@@ -697,7 +703,8 @@ object VectorQueries {
         import graft.operators.Similarity
         val e = t(s, dir, "embeddings")
         val cents = Similarity.seedCentroids(e, 16)
-        val assigned = Similarity.assignLists(e, cents).localCheckpoint()
+        val assigned = graft.operators.Layout.sizedCoalesce(
+          Similarity.assignLists(e, cents)).localCheckpoint()
         val per = Seq(100L, 200L, 300L).map { qid =>
           val qv = e.filter(col("vec_id") === qid)
             .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
@@ -806,8 +813,9 @@ object VectorQueries {
         import graft.operators.Similarity
         val e = t(s, dir, "embeddings")
         val cents = Similarity.seedCentroids(e, 16)
-        val assigned = Similarity.assignLists(e, cents)
-          .select("vec_id", "list_id").localCheckpoint()
+        val assigned = graft.operators.Layout.sizedCoalesce(
+          Similarity.assignLists(e, cents)
+            .select("vec_id", "list_id")).localCheckpoint()
         val buildDist = assigned.groupBy("list_id")
           .agg(count(lit(1)).as("n"))
         Seq(
