@@ -373,9 +373,16 @@ object Graph {
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    // sized dst-hash layout (sizedParts): same single upfront exchange,
-    // explicit size-derived count; per-round dst joins reuse the cache
-    val e = ePlan.repartition(sizedParts(ePlan), col("dst")).persist()
+    // dst-hash layout at SESSION parallelism — deliberately NOT
+    // sizedParts (r22, verdict item 1): louvain's per-round work (the
+    // e⋈comm join, the (i,c) aggregation, the 4-way scoring join) is
+    // CPU-heavy and INHERITS this cached layout, so the r21 bytes-only
+    // size estimate (~1-2 partitions at sf0.1) serialized every round —
+    // driver receipts x97 4.99→12.20 s (0.41×), reproduced same-box
+    // (bench_r21_mid 9.87 s), 8-core ratio 0.20. The frames that DO keep
+    // sized layouts (pagerank/hits/walks/mis/…) are rescan-cheap: their
+    // per-round compute rides the node-sized shuffles, not this cache.
+    val e = ePlan.repartition(col("dst")).persist()
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("k")).persist()  // node-sized
     val m2 = deg.agg(sum("k")).head().getLong(0) // = 2m
@@ -1103,10 +1110,14 @@ object Graph {
                           checkpointInterval: Int = 1): DataFrame = {
     // pre-partition the edge list on the src key ONCE: every round's
     // frontier join reuses this layout from the cache, so only the
-    // (shrinking) frontier side exchanges per round
+    // (shrinking) frontier side exchanges per round. Session parallelism,
+    // NOT sizedParts (r22, verdict item 2): every round's frontier⋈e
+    // join runs IN this layout, and the r21 size-derived count (~1-2
+    // partitions at sf0.1) showed the louvain serialization signature —
+    // driver 4.47→6.19 s (0.72×) on a faster box, scaling ratio 0.53.
     val ePlan = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    val e = ePlan.repartition(sizedParts(ePlan), col("src")).persist()
+    val e = ePlan.repartition(col("src")).persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     // delta iteration (the bfs/shortestPaths discipline): an improvement

@@ -28,8 +28,11 @@ object Layout {
     */
   private[graft] def sizedParts(df: DataFrame): Int = {
     val cap = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bytesPerTask = sys.env
-      .getOrElse("SPARK_GRAFT_ROUND_BYTES_PER_TASK", "4194304").toLong
+    // runtime conf first (A/B-able per session), env as the deploy-level
+    // default, 4 MB the measured r21 break-even for rescanned frames
+    val bytesPerTask = df.sparkSession.conf
+      .get("spark.graft.roundBytesPerTask", sys.env
+        .getOrElse("SPARK_GRAFT_ROUND_BYTES_PER_TASK", "4194304")).toLong
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = (est + bytesPerTask - 1) / bytesPerTask
     if (n >= cap) cap else math.max(1, n.toInt)

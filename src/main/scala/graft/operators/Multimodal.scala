@@ -1962,9 +1962,13 @@ object Multimodal {
     * (~300 spark jars) the per-row META-INF/services + JarFile.getEntry
     * walk dominated the whole audio kernel — JFR showed
     * ZipFile.getEntry/URLClassPath as the top frames of x35/x45, ~1 ms
-    * per row against a ~10 µs decode. Same providers, same parse, same
-    * first-success-wins dispatch as AudioSystem — only the lookup is
-    * cached.
+    * per row against a ~10 µs decode. Same provider SET and
+    * first-success-wins dispatch, but the ordering deliberately differs
+    * from AudioSystem's: Wave readers probe first, so an input that more
+    * than one provider would accept could decode via a different reader
+    * than AudioSystem's (JDK-ordered) pick. The fixture inputs are
+    * canonical RIFF/WAVE streams accepted by exactly one reader, so the
+    * dispatch outcome is identical there.
     */
   private lazy val audioReaders
       : Array[javax.sound.sampled.spi.AudioFileReader] = {

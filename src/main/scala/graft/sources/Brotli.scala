@@ -1300,10 +1300,10 @@ object Brotli {
         // strength" idea): on match-poor text every position paid the
         // full 16-probe bucket scan — ~45% of natural-English encode
         // samples were bestMatch probing. After a matchless stretch the
-        // step grows (one extra byte per 128 literals), so long literal
-        // runs cost O(n/step) probes; the first match resets the run.
-        // Ratio cost measured on a 289 KB natural-English corpus:
-        // +0.15 pp for ~2x throughput.
+        // step grows (one extra byte per 32 literals — the >> 5), so long
+        // literal runs cost O(n/step) probes; the first match resets the
+        // run. Measured on a 289 KB natural-English corpus: +0.02 pp
+        // ratio for +26% throughput (6.01 → 7.56 MB/s, r21).
         i += 1 + ((i - lit) >> 5)
       }
     }

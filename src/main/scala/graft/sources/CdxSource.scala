@@ -613,12 +613,13 @@ object CdxSource {
   def zipnumTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text"))
-      // fan the per-row archive kernel across every core (r21): the
-      // documents scan packs into ~4 splits, which serialized these
-      // CPU-heavy walks on 4 of 32 cores (measured on x122: 4 tasks,
-      // wall 2.3 s for 2.1 s of task time). Same scale-adaptive
-      // round-robin the synthesize* fixture sources apply.
-      .repartition(spark.sparkContext.defaultParallelism)
+      // NO fan-out repartition here (r22, ADVICE): unlike the flatMap
+      // siblings (cdxTable/cdxGenTable/revisitTable), the CPU kernel
+      // below runs in flatMapGroups AFTER the groupByKey shuffle, which
+      // already spreads the ~(nDocs/64) groups over the session's
+      // shuffle parallelism — a round-robin exchange before it just
+      // re-shuffles the corpus text once more for zero parallelism gain
+      // (r21 added one; plan-verified dead, removed).
       .as[(Long, String)]
       .groupByKey { case (id, _) => id / 64 }
       .flatMapGroups { (_, rows) =>

@@ -258,26 +258,38 @@ object OrcFooter {
     // the three per-group writes are independent single-task (coalesce 1)
     // zlib encodes — submitted sequentially they serialized on one core
     // each in turn (guide §2.6: overlap independent jobs); a small pool
-    // runs them concurrently, wall ≈ the slowest group instead of the sum
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.length)
-    val files = try {
-      import scala.jdk.CollectionConverters._
-      pool.invokeAll(groups.map { g =>
-        new java.util.concurrent.Callable[(String, String)] {
-          def call(): (String, String) = {
-            val out = new java.io.File(tmp, s"rf_$g").getAbsolutePath
-            li.filter(col("l_returnflag") === g)
-              .coalesce(1)
-              .write.mode("overwrite").option("compression", "zlib").orc(out)
-            val part = new java.io.File(out).listFiles()
-              .filter(_.getName.endsWith(".orc"))
-            require(part.length == 1,
-              s"orc: expected one part file, got ${part.length}")
-            (g, part.head.getAbsolutePath)
+    // runs them concurrently, wall ≈ the slowest group instead of the sum.
+    // Empty input ⇒ no pool (newFixedThreadPool(0) throws where the old
+    // sequential loop produced an empty list); worker failures rethrow
+    // the ORIGINAL exception, not the ExecutionException wrapper (ADVICE).
+    val files = if (groups.isEmpty) Array.empty[(String, String)] else {
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(groups.length)
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(groups.map { g =>
+          new java.util.concurrent.Callable[(String, String)] {
+            def call(): (String, String) = {
+              val out = new java.io.File(tmp, s"rf_$g").getAbsolutePath
+              li.filter(col("l_returnflag") === g)
+                .coalesce(1)
+                .write.mode("overwrite").option("compression", "zlib").orc(out)
+              val part = new java.io.File(out).listFiles()
+                .filter(_.getName.endsWith(".orc"))
+              require(part.length == 1,
+                s"orc: expected one part file, got ${part.length}")
+              (g, part.head.getAbsolutePath)
+            }
           }
-        }
-      }.toList.asJava).asScala.map(_.get()).toArray
-    } finally pool.shutdown()
+        }.toList.asJava).asScala.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }.toArray
+      } finally pool.shutdown()
+    }
     def rm(x: java.io.File): Unit = {
       if (x.isDirectory) x.listFiles().foreach(rm)
       x.delete()

@@ -30,7 +30,15 @@ object AbProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    val defaults = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    // custom (spark.graft.*) keys have no registered default — treat
+    // "absent" as the default and revert by unsetting
+    val defaults = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k)
+    }
+    def revert(): Unit = defaults.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
 
     def drain(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
@@ -56,12 +64,12 @@ object AbProf {
       val as = scala.collection.mutable.ArrayBuffer[Double]()
       val bs = scala.collection.mutable.ArrayBuffer[Double]()
       for (_ <- 1 to 3) {
-        defaults.foreach { case (k, v) => spark.conf.set(k, v) }
+        revert()
         as += timeOne(name)
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         bs += timeOne(name)
       }
-      defaults.foreach { case (k, v) => spark.conf.set(k, v) }
+      revert()
       val (ma, mb) = (med(as.toSeq), med(bs.toSeq))
       sumA += ma; sumB += mb
       println(f"[ab] $name%-30s A=$ma%7.3f B=$mb%7.3f B/A=${mb / ma}%5.2f")
