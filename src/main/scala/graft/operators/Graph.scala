@@ -314,17 +314,42 @@ object Graph {
         col("label").cast("string").as("label")),
       nodes("node") === col("sn"), "left")
       .select(col("node"), col("label"))
+    // A/B toggle (r22 measurement; default = shared-exchange round):
+    // spark.graft.lpaSharedExchange=false restores the r21 three-exchange
+    // round so the two shapes can be paired in one JVM (tools/AbProf)
+    val shared = edges.sparkSession.conf
+      .get("spark.graft.lpaSharedExchange", "true").toBoolean
+    val ckInterval = edges.sparkSession.conf
+      .get("spark.graft.lpaCheckpointInterval", checkpointInterval.toString)
+      .toInt
     for (i <- 1 to iters) {
-      val cand = e.join(labels, e("dst") === labels("node"))
-        .filter(col("label").isNotNull)
-        .groupBy(e("src").as("n"), col("label"))
-        .agg(count(lit(1)).as("c"))
+      // ONE exchange per round (r22, guide §2.4 share-the-exchange): the
+      // neighbor-label rows hash-partition on the node key n BEFORE the
+      // (n, label) count — HashPartitioning(n) satisfies the agg's
+      // (n, label) clustering (subset rule), the majority argmax reuses
+      // the same n layout, and the label merge join consumes maj already
+      // partitioned on the join key. The previous shape exchanged three
+      // times per round: once for the (n, label) count, once for the
+      // per-n argmax, once more into the merge join.
+      val cand =
+        if (shared)
+          e.join(labels, e("dst") === labels("node"))
+            .filter(col("label").isNotNull)
+            .select(e("src").as("n"), col("label"))
+            .repartition(col("n"))
+            .groupBy(col("n"), col("label"))
+            .agg(count(lit(1)).as("c"))
+        else
+          e.join(labels, e("dst") === labels("node"))
+            .filter(col("label").isNotNull)
+            .groupBy(e("src").as("n"), col("label"))
+            .agg(count(lit(1)).as("c"))
       val maj = cand.groupBy(col("n"))
         .agg(min_by(col("label"),
           struct((-col("c")).as("negc"), col("label"))).as("mlabel"))
       labels = labels.join(maj, labels("node") === maj("n"), "left")
         .select(col("node"), coalesce(col("mlabel"), col("label")).as("label"))
-      if (i % checkpointInterval == 0 && i < iters)
+      if (i % ckInterval == 0 && i < iters)
         labels = labels.localCheckpoint()
     }
     // same cache-release discipline as pagerank
@@ -386,21 +411,44 @@ object Graph {
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("k")).persist()  // node-sized
     val m2 = deg.agg(sum("k")).head().getLong(0) // = 2m
+    // A/B toggle (r22): =false restores the r21 count+union+max round
+    val shared = edges.sparkSession.conf
+      .get("spark.graft.louvainSharedExchange", "true").toBoolean
     var comm = deg.select(col("node"), col("node").as("community"))
     for (r <- 1 to rounds) {
       val commDeg = comm.join(deg, "node")
         .groupBy(col("community").as("c")).agg(sum("k").as("ctot"))
       // k(i,c): i's edge weight into each neighbor community, plus a
-      // zero row for i's CURRENT community so "stay" is always a
-      // candidate (max(w) merges it when real edges exist)
-      val nbrW = e.join(comm.select(col("node").as("dn"),
-          col("community").as("c")), e("dst") === col("dn"))
-        .groupBy(e("src").as("i"), col("c"))
-        .agg(count(lit(1)).as("w"))
-      val cand = nbrW.unionByName(
-          comm.select(col("node").as("i"), col("community").as("c"),
-            lit(0L).as("w")))
-        .groupBy("i", "c").agg(max("w").as("w"))
+      // zero-WEIGHT row for i's CURRENT community so "stay" is always a
+      // candidate — sum(w0) over {1-weighted neighbor rows, 0-weighted
+      // stay row} equals the old max(count, 0) merge exactly.
+      // ONE sized exchange builds the candidate frame (r22, guide §2.4):
+      // raw rows hash-partition on the community key c before the agg —
+      // HashPartitioning(c) satisfies the (i, c) clustering (subset
+      // rule), and the commDeg attach joins on c in the SAME layout.
+      // The previous shape exchanged the counted frame on (i, c), the
+      // unioned frame on (i, c) again, and cand a third time into the
+      // c-keyed join.
+      val cand =
+        if (shared)
+          e.join(comm.select(col("node").as("dn"),
+              col("community").as("c")), e("dst") === col("dn"))
+            .select(e("src").as("i"), col("c"), lit(1L).as("w0"))
+            .unionByName(
+              comm.select(col("node").as("i"), col("community").as("c"),
+                lit(0L).as("w0")))
+            .repartition(col("c"))
+            .groupBy("i", "c").agg(sum("w0").as("w"))
+        else {
+          val nbrW = e.join(comm.select(col("node").as("dn"),
+              col("community").as("c")), e("dst") === col("dn"))
+            .groupBy(e("src").as("i"), col("c"))
+            .agg(count(lit(1)).as("w"))
+          nbrW.unionByName(
+              comm.select(col("node").as("i"), col("community").as("c"),
+                lit(0L).as("w")))
+            .groupBy("i", "c").agg(max("w").as("w"))
+        }
       val scored = cand
         .join(commDeg, "c")
         .join(deg.select(col("node").as("i"), col("k")), "i")

@@ -1261,12 +1261,18 @@ object ExtensionQueries {
         // dim (8 B/row); without the hint the planner occasionally falls
         // back to a sort-merge join here, tripling this query's cost in
         // long-lived sessions (measured r8) — pin it
+        // materialized ONCE (r22): op feeds THREE differently-keyed
+        // consumers below (the basket-count agg, the per-basket
+        // collect_set, the per-item counts) — left lazy, the whole
+        // orders⋈lineitem→distinct pipeline re-executes per consumer
+        // (different exchanges, so ReuseExchange never fires)
         val op = broadcast(t(s, dir, "orders").select(col("o_orderkey")))
           .join(t(s, dir, "lineitem")
               .select(col("l_orderkey"), col("l_partkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .localCheckpoint()
         // basket count as a 1-row agg crossed back (q23 idiom) — not a
         // driver count(), which would be a whole extra job over op
         val nb = op.agg(countDistinct(col("ok")).as("n_baskets"))
@@ -1334,7 +1340,9 @@ object ExtensionQueries {
           .filter(col("p_partkey") % 7 === 0)
           .select(col("p_partkey").as("node"), col("p_brand").as("label"))
         Graph.labelPropagate(edges, seeds, iters = 2,
-            checkpointInterval = 5) // small graph: unroll (x47 note)
+            checkpointInterval = 1) // per-round materialization: with the
+          // r22 shared-exchange round the unrolled (interval 5) plan
+          // re-executes duplicated label subtrees — paired A/B 0.82
           .filter(col("label").isNotNull)
           .orderBy("node")
       },
@@ -1860,7 +1868,7 @@ object ExtensionQueries {
           .filter(col("p_partkey") % 7 === 0)
           .select(col("p_partkey").as("node"), col("p_brand").as("label"))
         val lab = Graph.labelPropagate(edges, seeds, iters = 2,
-            checkpointInterval = 5)
+            checkpointInterval = 1) // r22: paired A/B 0.94 vs unroll
           .select(col("node"), coalesce(col("label"),
             concat(lit("u"), col("node").cast("string"))).as("lab"))
         val wl = edges
