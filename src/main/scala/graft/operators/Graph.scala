@@ -945,11 +945,16 @@ object Graph {
         val prio = active.withColumn("p",
           conv(substring(md5(concat(lit(r.toString), lit(":"),
             col("node").cast("string"))), 1, 12), 16, 10).cast("long"))
-        // active edges only: both endpoints still undecided
-        val aeLazy = eCur.join(prio.select(col("node").as("src"),
-              col("p").as("p_src")), "src")
-          .join(prio.select(col("node").as("dst"),
-            col("p").as("p_dst")), "dst")
+        // active edges only: both endpoints still undecided. dst join
+        // FIRST, src join LAST (r22): at scale these are shuffle joins,
+        // and the LAST join's key sets the frame's partitioning — src —
+        // which both downstream consumers (the neighbor-max agg on src,
+        // the removal join on src) then reuse exchange-free. Locally AQE
+        // broadcasts the node-sized prio sides either way.
+        val aeLazy = eCur.join(prio.select(col("node").as("dst"),
+              col("p").as("p_dst")), "dst")
+          .join(prio.select(col("node").as("src"),
+            col("p").as("p_src")), "src")
         // round 1's active set is every node — "shrinking" it yields the
         // whole graph, so materializing is pure cost; from round 2 the
         // frame is genuinely small and is cached for its three consumers

@@ -4603,10 +4603,19 @@ object ExtensionQueries {
           .distinct()
           .withColumn("df",
             count(lit(1)).over(Window.partitionBy("shingle")))
-          .filter(col("df") <= 64).drop("df")
-        val pairs = sh.as("a").join(sh.as("b"), "shingle")
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+          .filter(col("df").between(2, 64)) // df=1 shingles pair with
+          // nothing — the pair stage never sees them (same result)
+        // pair stage via the codegen'd pair_encode kernel (r22): bucket
+        // the ≤64 posting ids per shingle and emit each unordered pair
+        // ONCE — the previous sh⋈sh self-join sorted/shuffled the
+        // posting list twice and generated the d² cross product before
+        // the doc_id < doc_id filter (the Dedup.ngramJaccard idiom,
+        // identical pair multiset)
+        val pairs = sh.groupBy("shingle")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .select(explode(
+            graft.functions.SketchFunctions.pairEncode(col("ids"))).as("pk"))
+          .groupBy(col("pk.a").as("u"), col("pk.b").as("v"))
           .agg(count(lit(1)).as("c"))
           .filter(col("c") >= 3)
         val edges = pairs.select(explode(array(
@@ -4803,10 +4812,25 @@ object ExtensionQueries {
               col("l_orderkey") === col("o_orderkey"))
             .select(col("o_orderkey").as("ok"), col("l_partkey").as("pk"))
             .distinct()
-          op.as("a").join(op.as("b"), "ok")
-            .filter(col("a.pk") =!= col("b.pk"))
-            .groupBy(col("a.pk").as("part"))
-            .agg(countDistinct(col("b.pk")).as("deg"))
+          // distinct partner count via the in-row pair kernel (r22): the
+          // previous op⋈op self-join materialized every ordered partner
+          // pair per order (n·(n−1) rows/order) and then paid
+          // countDistinct's two-exchange expand. pair_encode emits each
+          // unordered pair once per order; after a global pair distinct,
+          // exploding both orientations and counting IS the distinct
+          // partner count (one distinct partner per distinct pair) —
+          // identical values, half the pair rows, no expand, no join.
+          val prs = op.groupBy("ok")
+            .agg(collect_list(col("pk")).as("items"))
+            .select(explode(graft.functions.SketchFunctions
+              .pairEncode(col("items"))).as("pr"))
+            .select(col("pr.a").as("a"), col("pr.b").as("b"))
+            .distinct()
+          prs.select(explode(array(
+              struct(col("a").as("part"), col("b").as("other")),
+              struct(col("b").as("part"), col("a").as("other")))).as("e"))
+            .groupBy(col("e.part").as("part"))
+            .agg(count(lit(1)).as("deg"))
         }
         val h1 = halfDeg(col("o_orderdate") <
           to_timestamp(lit("1998-01-01")))
