@@ -93,16 +93,23 @@ object WebpSource {
     def read(br: Br): Int = if (br.bit() == 0) s0 else s1
   }
 
-  /** Per-decode prefix-tree allocation budget (ADVICE r20 low): a
-    * hostile entropy image can declare up to 65536 meta groups × 5
-    * codes, each tree up to 2<<15 ints (~256 KB) — a few-MB crafted
-    * file could drive multi-GB allocations even though MaxPixels
-    * bounds the ARGB buffer. Every tree charges its size here BEFORE
-    * allocating; the budget (8M ints = 32 MB per image) is orders of
-    * magnitude above any real encoder's output and fails by name.
+  /** Per-decode prefix-tree allocation budget (ADVICE r20 low, reworked
+    * r22): a hostile entropy image can declare up to 65536 meta groups ×
+    * 5 codes — unbounded, a few-MB crafted file could drive huge
+    * allocations even though MaxPixels bounds the ARGB buffer. Every
+    * tree charges its ACTUAL allocation (2·used ints — node-count-sized
+    * since r22, so depth-15 codes no longer charge the 2<<15 worst case)
+    * BEFORE allocating. The budget scales with the declared image size —
+    * max(8M ints, 4 ints/pixel) — so total tree memory stays O(pixel
+    * buffer) (which the decoder commits to anyway) while photo-scale
+    * images with thousands of full-alphabet meta groups sit orders of
+    * magnitude under it (ADVICE r21: the flat 8M-int budget charged at
+    * the declared 2<<depth worst case could refuse legitimate deep-tree
+    * photos). Hostile small-dims floods still fail by name at the floor.
     */
-  private final class TreeBudget {
-    private var remaining: Long = 8L * 1024 * 1024
+  private final class TreeBudget(pixels: Long) {
+    private var remaining: Long =
+      math.max(8L * 1024 * 1024, 4L * pixels)
     def charge(ints: Long): Unit = {
       remaining -= ints
       require(remaining >= 0,
@@ -122,7 +129,13 @@ object WebpSource {
     require(used > 0, "webp: prefix code with no symbols")
     val single: Int = if (used == 1) lengths.indexWhere(_ > 0) else -1
     // array tree: node i has children at tree(2i), tree(2i+1); leaves
-    // are encoded as -(symbol+2), 0 = absent
+    // are encoded as -(symbol+2), 0 = absent. Node ids are assigned
+    // SEQUENTIALLY, so the array is sized by node count, not code depth
+    // (r22): a complete code over `used` leaves has exactly used-1
+    // internal nodes (ids 0..used-2), so 2*used slots always suffice —
+    // the previous 2<<maxLen sizing allocated and zeroed up to 64Ki ints
+    // per depth-15 tree for the same ≤2*used live slots (x131/x132
+    // decode path, and the reason the budget overcharged deep codes).
     private val tree = {
       if (single >= 0) null
       else {
@@ -143,8 +156,8 @@ object WebpSource {
         }
         require(space == 0,
           s"webp: incomplete or oversubscribed prefix code (slack $space)")
-        budget.charge(2L << maxLen)
-        val t = new Array[Int](2 << maxLen)
+        budget.charge(2L * used)
+        val t = new Array[Int](2 * used)
         var nodes = 1
         var sym = 0
         while (sym < lengths.length) {
@@ -296,7 +309,7 @@ object WebpSource {
     * spatially-coded vs entropy-coded image split).
     */
   private def readImageStream(br: Br, w0: Int, h: Int, isLevel0: Boolean,
-                              budget: TreeBudget = new TreeBudget)
+                              budget: TreeBudget)
       : Array[Int] = {
     require(w0 > 0 && h > 0 && w0.toLong * h <= MaxPixels,
       s"webp: image ${w0}x$h exceeds the decode budget")
@@ -589,7 +602,8 @@ object WebpSource {
     val alphaHint = br.bit() == 1
     val version = br.bits(3)
     require(version == 0, s"webp: VP8L version $version unsupported")
-    (w, h, alphaHint, readImageStream(br, w, h, isLevel0 = true))
+    (w, h, alphaHint, readImageStream(br, w, h, isLevel0 = true,
+      new TreeBudget(w.toLong * h)))
   }
 
   // -------------------------------------------------------- container
@@ -772,7 +786,8 @@ object WebpSource {
         Array.tabulate(w * h)(i => b(off + 1 + i) & 0xff)
       case 1 =>
         val br = new Br(b, off + 1, len - 1)
-        readImageStream(br, w, h, isLevel0 = true).map(p => (p >> 8) & 0xff)
+        readImageStream(br, w, h, isLevel0 = true,
+          new TreeBudget(w.toLong * h)).map(p => (p >> 8) & 0xff)
       case other =>
         fail(s"ALPH compression method $other is reserved")
     }

@@ -455,39 +455,61 @@ class WebpSpec extends GraftSparkSpec {
     bw.w(1, 1) // meta prefix codes present
     bw.w(0, 3) // metaBits = 2 -> 1x1 meta image
     // meta subimage (1x1, entropy-coded): no cache; 5 single-symbol
-    // codes; green = 25 -> group index 25 -> numGroups = 26
+    // codes; index = (red << 8) | green = (31 << 8) | 255 = 8191 ->
+    // numGroups = 8192
     bw.w(0, 1)
-    singleCode(bw, 25); singleCode(bw, 0); singleCode(bw, 0)
+    singleCode(bw, 255); singleCode(bw, 31); singleCode(bw, 0)
     singleCode(bw, 0); singleCode(bw, 0)
-    // one DEEP code: complete lengths {1,2,...,14,15,15} over symbols
-    // 0..15 -> maxLen 15 -> 2<<15 tree ints; 26 groups x 5 codes = 130
-    // trees x 64Ki ints overflow the 8M-int budget near tree 128 — in
-    // a ~2 KB stream, which is exactly the hostile shape the budget
-    // exists to refuse
-    def deepCode(): Unit = {
-      bw.w(0, 1)  // code-length-coded (not simple)
-      bw.w(15, 4) // numCl = 19
-      // CL lengths: cl 1 -> 3 bits, cl 2..15 -> 4 bits (complete code),
-      // written in the spec's ClOrder
-      val clLen = Array.tabulate(19)(s =>
-        if (s == 1) 3 else if (s >= 2 && s <= 15) 4 else 0)
+    // the budget charges ACTUAL tree allocation (2*used ints, r22), so
+    // the hostile shape is a GROUP FLOOD of full-alphabet codes: each
+    // group's 5 complete codes (256 len-8 symbols x4, 32 len-5 distance
+    // symbols) charge 4*512 + 64 = 2112 ints, so the 2x2 image's 8M-int
+    // floor trips near group 3970 — in a ~500 KB stream declaring
+    // 8192 groups, the tiny-dims/huge-group-count shape the budget
+    // exists to refuse (a legit photo's budget scales with its pixels).
+    // Wire form per code: cl-code over {len, 16} (1 bit each), the
+    // max-symbol shortcut, one explicit `len`, then repeat-16 runs.
+    def fullCode(len: Int, nSyms: Int, alphabet: Int): Unit = {
+      // repeat plan first: the max-symbol shortcut counts CL TOKENS read
+      // (libwebp semantics), so it must equal 1 + the repeat-run count
+      var rem = nSyms - 1
+      val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (rem > 0) {
+        val take =
+          if (rem >= 3 && rem <= 6) rem
+          else if (rem == 7) 4
+          else 6
+        takes += take
+        rem -= take
+      }
+      bw.w(0, 1) // code-length-coded (not simple)
+      bw.w(8, 4) // numCl = 12: ClOrder positions cover cl symbols 16, len
       val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16,
         6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
-      order.foreach(s => bw.w(clLen(s), 3))
-      bw.w(1, 1)  // max-symbol shortcut
-      bw.w(1, 3)  // nb = 4
-      bw.w(14, 4) // maxSymbol = 2 + 14 = 16
-      // canonical CL codes: cl 1 = 000 (3 bits); cl s in 2..15 = s in
-      // 4 bits, emitted MSB-first
-      def emit(cl: Int): Unit = {
-        val (c, len) = if (cl == 1) (0, 3) else (cl, 4)
-        var d = len - 1
-        while (d >= 0) { bw.w((c >> d) & 1, 1); d -= 1 }
+      (0 until 12).foreach { i =>
+        val s = order(i)
+        bw.w(if (s == 16 || s == len) 1 else 0, 3)
       }
-      (1 to 14).foreach(emit) // symbols 0..13: lengths 1..14
-      emit(15); emit(15)      // symbols 14, 15: length 15
+      if (nSyms < alphabet) {
+        bw.w(1, 1)              // max-symbol shortcut: stop after the
+        bw.w(3, 3)              // emitted tokens (nb = 2 + 2*3 = 8)
+        bw.w(takes.size - 1, 8) // maxSymbol tokens = 2 + (1 + takes) - 2
+      } else bw.w(0, 1)         // nSyms == alphabet: loop ends at sym cap
+      // canonical CL code over {len, 16}: len < 16 -> len = "0", 16 = "1"
+      bw.w(0, 1)                // first symbol: cl = len (sets prev)
+      takes.foreach { take =>
+        bw.w(1, 1)              // cl 16: repeat prev
+        bw.w(take - 3, 2)       // 3 + extra
+      }
     }
-    (0 until 130).foreach(_ => deepCode())
+    // write enough groups to trip the floor (decode fails mid-stream,
+    // well before the declared 8192nd group)
+    (0 until 4200).foreach { _ =>
+      fullCode(8, 256, 280) // green (shortcut stops the token loop)
+      fullCode(8, 256, 256); fullCode(8, 256, 256) // red/blue
+      fullCode(8, 256, 256)                        // alpha
+      fullCode(5, 32, 40)   // distance
+    }
     val b = bw.bytes()
     assert(intercept[IllegalArgumentException] {
       WebpSource.decodeVp8l(b, 0, b.length)
