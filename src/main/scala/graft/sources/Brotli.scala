@@ -703,37 +703,48 @@ object Brotli {
   // -------------------------------------------------------------- encode
 
   private final class BitWriter {
-    private val bytes = new java.io.ByteArrayOutputStream()
-    private var cur = 0
+    // word-based accumulator (r22): the old writer pushed ONE BIT per
+    // loop iteration (a branch per bit), which JFR put at ~25% of whole
+    // encode time (w/code/append leaves). k bits now land in one shift-or
+    // into a 64-bit pending word; output bytes are bit-identical.
+    private var buf = new Array[Byte](1 << 12)
+    private var len = 0  // complete bytes written
+    private var acc = 0L // pending bits, LSB-first (< 8 after flush)
     private var n = 0
-    /** LSB-first value emission (header fields, extra bits). */
+    private def ensure(more: Int): Unit =
+      if (len + more > buf.length)
+        buf = java.util.Arrays.copyOf(buf,
+          math.max(buf.length * 2, len + more))
+    /** LSB-first value emission (header fields, extra bits); k <= 32. */
     def w(v: Int, k: Int): Unit = {
-      var i = 0
-      while (i < k) {
-        cur |= ((v >> i) & 1) << n
-        n += 1
-        if (n == 8) { bytes.write(cur); cur = 0; n = 0 }
-        i += 1
+      acc |= (v.toLong & ((1L << k) - 1L)) << n
+      n += k
+      while (n >= 8) {
+        ensure(1)
+        buf(len) = acc.toByte
+        len += 1
+        acc >>>= 8
+        n -= 8
       }
     }
     /** Prefix-code emission: the canonical code's bits MSB-first (the
       * decoder reads bits LSB-first into a bit-reversed table, so the
-      * code's top bit goes on the wire first).
+      * code's top bit goes on the wire first) — one reversed w() call.
       */
-    def code(c: Int, len: Int): Unit = {
-      var i = len - 1
-      while (i >= 0) { w((c >> i) & 1, 1); i -= 1 }
-    }
+    def code(c: Int, len: Int): Unit =
+      if (len > 0) w(Integer.reverse(c) >>> (32 - len), len)
     def alignByte(): Unit = if (n > 0) w(0, 8 - n)
-    def writeRaw(data: Array[Byte], off: Int, len: Int): Unit = {
+    def writeRaw(data: Array[Byte], off: Int, length: Int): Unit = {
       require(n == 0, "brotli-enc: raw write while unaligned")
-      bytes.write(data, off, len)
+      ensure(length)
+      System.arraycopy(data, off, buf, len, length)
+      len += length
     }
     /** Exact bits emitted so far — the stored-vs-compressed fallback
       * compares MEASURED sizes, never an estimate (r18 ADVICE: a fixed
       * table-cost slack can undershoot the worst case).
       */
-    def bitLength: Long = bytes.size().toLong * 8 + n
+    def bitLength: Long = len.toLong * 8 + n
     /** Replay another writer's bits at the current (arbitrary) bit
       * offset — how a scratch-emitted metablock lands in the stream.
       * The scratch must hold no raw-aligned writes (alignment would
@@ -741,12 +752,20 @@ object Brotli {
       * never do.
       */
     def append(other: BitWriter): Unit = {
-      val arr = other.bytes.toByteArray
-      var i = 0
-      while (i < arr.length) { w(arr(i) & 0xff, 8); i += 1 }
-      if (other.n > 0) w(other.cur, other.n)
+      if (n == 0) {
+        ensure(other.len)
+        System.arraycopy(other.buf, 0, buf, len, other.len)
+        len += other.len
+      } else {
+        var i = 0
+        while (i < other.len) { w(other.buf(i) & 0xff, 8); i += 1 }
+      }
+      if (other.n > 0) w(other.acc.toInt, other.n)
     }
-    def toByteArray: Array[Byte] = { alignByte(); bytes.toByteArray }
+    def toByteArray: Array[Byte] = {
+      alignByte()
+      java.util.Arrays.copyOf(buf, len)
+    }
   }
 
   /** Minimal brotli ENCODER: uncompressed (stored) metablocks only — a
@@ -1103,7 +1122,8 @@ object Brotli {
   private def lzParse(data: Array[Byte], from: Int, until: Int,
                       window: Int, ring0: Array[Int], ringIdx0: Int,
                       slots: Array[Int], counts: Array[Int]): Seq[LzCmd] = {
-    val MaxProbes = 1 << SlotBits // the whole bucket: 16 contiguous ints
+    val MaxProbes = sys.props.getOrElse("graft.brotli.probes", (1 << SlotBits).toString).toInt // A/B knob
+    val shortStep = sys.props.getOrElse("graft.brotli.shortstep", "1").toInt // A/B knob
     // table sizes are caller-sized to the input (a fixed 16 MiB table
     // allocated-and-filled per call crushed small-entity encodes — the
     // WARC fixture arm's exact shape); derive the hash shift from the
@@ -1192,21 +1212,24 @@ object Brotli {
         var k = 1 // newest candidate first (smallest distances)
         var expLen = 0
         var expDist = 0
+        // the probe loop is the encoder's hottest path (JFR r22: ~30% of
+        // match-poor encode) — the reject byte `data(i + expLen)` is
+        // hoisted and refreshed only when expLen grows, and the
+        // always-true guards are gone (slot (cnt-k)&mask for k<=cnt was
+        // always written by insert cnt-k, and inserts only ever hold
+        // positions < the probe position)
+        var want: Int = if (i < until) data(i) & 0xff else -1
         while (k <= lim && expLen < SufficientLen) {
           val cand = slots(base | ((cnt - k) & SlotMask))
-          if (cand >= 0 && cand < i) {
-            val d = i - cand
-            if (d >= 1 && d <= window) {
-              // quick reject: the byte that would extend the current
-              // best (overlapping candidates compare against already-
-              // matched bytes — in bounds, extendAt handles overlap)
-              if (i + expLen < until &&
-                data(cand + expLen) == data(i + expLen)) {
-                val l = extendAt(cand, i)
-                if (l > expLen || (l == expLen && d < expDist)) {
-                  expLen = l; expDist = d
-                }
-              }
+          // quick reject: the byte that would extend the current best
+          // (overlapping candidates compare against already-matched
+          // bytes — in bounds, extendAt handles overlap)
+          if (i - cand <= window && want >= 0 &&
+            (data(cand + expLen) & 0xff) == want) {
+            val l = extendAt(cand, i)
+            if (l > expLen || (l == expLen && i - cand < expDist)) {
+              expLen = l; expDist = i - cand
+              want = if (i + expLen < until) data(i + expLen) & 0xff else -1
             }
           }
           k += 1
@@ -1288,7 +1311,7 @@ object Brotli {
           // index the interior: every position for short matches (chain
           // quality), sparsely for long ones (a 100 KB repeat would
           // otherwise build thousands-deep identical-hash chains)
-          val step = if (mlen > 512) 8 else if (mlen > 64) 2 else 1
+          val step = if (mlen > 512) 8 else if (mlen > 64) 2 else shortStep
           var j = i + 1
           val end = math.min(i + mlen, until - 4)
           while (j < end) { insertPos(j); j += step }

@@ -29,7 +29,8 @@ object BrotliScale {
         java.nio.file.Paths.get(args(1)))
       var c: Array[Byte] = null
       var best = Double.MaxValue
-      (0 until 3).foreach { _ => // best-of-3: JIT out of the measure
+      val reps = sys.props.getOrElse("graft.brotli.reps", "3").toInt
+      (0 until reps).foreach { _ => // best-of-N: JIT out of the measure
         val t0 = System.nanoTime()
         c = graft.sources.Brotli.encode(data)
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
