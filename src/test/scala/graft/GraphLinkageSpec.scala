@@ -302,4 +302,37 @@ class GraphLinkageSpec extends GraftSparkSpec {
     assert(math.abs(got.find(_._1 == 1L).get._3 - math.log(4)) < 1e-4)
     assert(got.find(_._2 == 5L).get._3 == 0.0)
   }
+
+  test("label-prop and louvain round shapes: shared-exchange equals the " +
+      "r21 three-exchange form bit-for-bit (r22 A/B toggles)") {
+    // random-ish small graph with hubs, isolated chains and ties — the
+    // shapes the argmax tie-breaks and the stay-row merge must survive
+    val rnd = new scala.util.Random(13)
+    val pairs = (0 until 160).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+    }.filter { case (a, b) => a != b }
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((3L, "a"), (17L, "b"), (29L, "c"), (5L, "b"))
+      .toDF("node", "label")
+    def collectLpa(): Map[Long, String] = {
+      val out = Graph.labelPropagate(edges, seeds, iters = 3)
+        .as[(Long, String)].collect()
+      // null labels surface as null Strings; key set must match too
+      out.map { case (n, l) => n -> l }.toMap
+    }
+    def collectLouvain(): Map[Long, Long] =
+      Graph.louvainSync(pairs.toDF("src", "dst"), rounds = 3)
+        .as[(Long, Long)].collect().toMap
+    val lpaNew = collectLpa()
+    val louvNew = collectLouvain()
+    spark.conf.set("spark.graft.lpaSharedExchange", "false")
+    spark.conf.set("spark.graft.louvainSharedExchange", "false")
+    try {
+      assert(collectLpa() === lpaNew)
+      assert(collectLouvain() === louvNew)
+    } finally {
+      spark.conf.unset("spark.graft.lpaSharedExchange")
+      spark.conf.unset("spark.graft.louvainSharedExchange")
+    }
+  }
 }
